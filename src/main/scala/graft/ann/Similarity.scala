@@ -1,0 +1,124 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Two tiers, as a 100 TB pipeline needs both:
+  *  - brute-force cosine top-k: exact baseline. The probe set is
+  *    broadcast, so the big side streams once with no shuffle; cost is
+  *    O(|corpus| * |probes| * dim).
+  *  - random-hyperplane LSH: corpus is bucketed by sign-bit sketch (one
+  *    shuffle on bucket id); probes only meet their own bucket. The
+  *    all-pairs term disappears; recall is tunable via sketch bits /
+  *    multi-probe.
+  *
+  * Dot products run in a codegen'd aggregate/zip_with fold — deterministic
+  * left-to-right order, no UDF.
+  */
+object Similarity {
+
+  /** cos(a, b) as a Column over two array<float> columns (fold in index
+    * order => bit-for-bit deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column = aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * @param corpus  (idCol, vecCol) big side — streamed, never shuffled
+    * @param probes  small probe set — broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(p))
+    val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))
+    val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-1, 1). Reproducible across runs/executors with
+    * no RNG state.
+    */
+  private def planesExpr(bits: Int, dim: Int): String =
+    s"""transform(sequence(0, ${bits - 1}),
+         p -> transform(sequence(0, ${dim - 1}),
+           d -> CAST(pmod(xxhash64(concat(CAST(p AS STRING), '_', CAST(d AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0))"""
+
+  /** Sign-bit sketch bucket id for a vector column. */
+  def withLshBucket(df: DataFrame, vecCol: String, bits: Int, dim: Int): DataFrame =
+    df.withColumn("__planes", expr(planesExpr(bits, dim)))
+      .withColumn("lsh_bucket", expr(
+        s"""aggregate(
+              transform(sequence(0, ${bits - 1}),
+                p -> IF(aggregate(zip_with(`$vecCol`, element_at(__planes, p + 1),
+                                           (v, w) -> CAST(v AS DOUBLE) * w),
+                                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0,
+                        shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))),
+              CAST(0 AS BIGINT), (acc, b) -> acc | b)"""))
+      .drop("__planes")
+
+  /** LSH-bucketed approximate top-k: probes meet only corpus rows in the
+    * same bucket. One shuffle on lsh_bucket for the corpus side; the probe
+    * side is broadcast per bucket.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      dim: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = withLshBucket(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "__cv", bits, dim)
+    val p = withLshBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", bits, dim)
+    val joined = c.join(broadcast(p), "lsh_bucket")
+    val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))
+    val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: bucket by sign sketch, pair within
+    * buckets, keep cosine >= minCos. Same no-all-pairs discipline as
+    * Dedup.minHashCandidates.
+    */
+  def cosineDedupCandidates(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      dim: Int,
+      minCos: Double): DataFrame = {
+    val b = withLshBucket(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", bits, dim)
+    val a = b.alias("a")
+    val c = b.alias("b")
+    a.join(c, col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

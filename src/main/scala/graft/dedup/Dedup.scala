@@ -1,0 +1,199 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora. Design constraints at
+  * 100 TB:
+  *  - never materialize all-pairs similarity (an O(n^2) crossJoin is dead
+  *    on arrival) — candidates come from hash buckets (LSH bands), so the
+  *    only wide operation is a shuffle on band-hash keys;
+  *  - signatures are computed with built-in hash expressions (xxhash64)
+  *    inside codegen, not UDFs;
+  *  - exact verification runs only within buckets (candidate pairs are a
+  *    tiny fraction of n^2).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: one shuffle on the 256-bit digest.
+    * Returns one row per distinct content with the smallest id kept and
+    * the duplicate count (deterministic survivor choice).
+    */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated corpus itself (keep min-id row per content hash). */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Shingle a named text column: adds `shingles` array<string> of word
+    * n-grams (pure Catalyst: split + slice + concat in one codegen stage).
+    */
+  def withShingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs.withColumn("shingles", expr(
+      s"""CASE WHEN size(split(`$textCol`, ' +')) >= $n
+            THEN transform(sequence(1, size(split(`$textCol`, ' +')) - ${n - 1}),
+                           i -> concat_ws(' ', slice(split(`$textCol`, ' +'), i, $n)))
+            ELSE array(`$textCol`) END"""))
+
+  // -------------------------------------------------------------- MinHash
+
+  /** MinHash signature via the standard double-hashing trick:
+    * h_j(s) = (h1(s) + j * h2(s)) mod p, p = 2^31-1; sig[j] = min over
+    * shingles. Two xxhash64 evaluations per shingle regardless of
+    * signature size; all arithmetic stays within long range (ANSI-safe).
+    */
+  def withMinHashSignature(docs: DataFrame, numHashes: Int): DataFrame =
+    docs
+      .withColumn("__hp", expr(
+        """transform(shingles, s -> named_struct(
+             'h1', pmod(xxhash64(s), CAST(2147483647 AS BIGINT)),
+             'h2', pmod(xxhash64(s, 1), CAST(2147483647 AS BIGINT))))"""))
+      .withColumn("minhash_sig", expr(
+        s"""transform(sequence(0, ${numHashes - 1}),
+             j -> array_min(transform(__hp,
+               p -> pmod(p.h1 + CAST(j AS BIGINT) * p.h2, CAST(2147483647 AS BIGINT)))))"""))
+      .drop("__hp")
+
+  /** LSH banding: split the signature into `bands` bands of r rows and
+    * hash each band. Documents sharing any band hash become candidates.
+    * THE scale-critical step: the shuffle key is (band_id, band_hash) —
+    * pairs are only formed inside buckets.
+    */
+  def withBands(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    docs.withColumn("band", explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+           b -> named_struct('band_id', b,
+                             'band_hash', xxhash64(slice(minhash_sig, b * $r + 1, $r))))""")))
+  }
+
+  /** Candidate duplicate pairs (id_a < id_b) with exact Jaccard verify on
+    * the shingle sets, computed only within LSH buckets.
+    *
+    * @return (id_a, id_b, jaccard) — pairs with estimated similarity from
+    *         banding, verified exactly.
+    */
+  def minHashCandidates(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sigs = withMinHashSignature(
+      withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize), numHashes)
+    // Signature computation dominates (higher-order transforms are
+    // interpreted, not codegen'd); persist so the self-join and the
+    // verify pass reuse one materialization instead of recomputing per
+    // branch. At 100 TB this would be an explicit signatures table.
+    val banded = withBands(sigs, numHashes, bands)
+      .select(col(idCol).as("id"), col("band.band_id").as("band_id"),
+              col("band.band_hash").as("band_hash"))
+      .persist()
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verify: join shingle sets back, jaccard = |∩| / |∪|
+    val sh = withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize)
+      .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
+      .persist()
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dedup: drop the higher-id member of every verified pair. */
+  def minHashDedup(docs: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   minJaccard: Double = 0.5): DataFrame = {
+    val drop = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes, bands, minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word hashes: per-bit vote accumulated with
+    * aggregate/zip_with — one pass over the words, all in codegen.
+    */
+  /** Adds `simhash` (64-bit) for a named text column. */
+  def withSimHash(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("__simhash_words", split(col(textCol), " +"))
+      .withColumn("simhash", expr(
+        """aggregate(
+             transform(sequence(0, 63),
+               i -> IF(aggregate(__simhash_words,
+                                 CAST(0 AS BIGINT),
+                                 (acc, w) -> acc + IF((shiftright(xxhash64(w), i) & 1) = 1,
+                                                      CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
+                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+             CAST(0 AS BIGINT), (acc, b) -> acc | b)"""))
+      .drop("__simhash_words")
+
+  /** SimHash near-dup candidates: docs whose hashes agree on one of the
+    * four 16-bit quadrants (standard pigeonhole blocking for Hamming
+    * distance <= 3) — shuffle on (quadrant_id, quadrant_value), never
+    * all-pairs. Verified with exact Hamming distance via bit_count.
+    */
+  def simHashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val hashed = withSimHash(docs.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val blocked = hashed.withColumn("block", explode(expr(
+      """transform(sequence(0, 3),
+           q -> named_struct('q', q, 'v', shiftright(simhash, q * 16) & 65535))""")))
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(b, col("a.block.q") === col("b.block.q") &&
+              col("a.block.v") === col("b.block.v") &&
+              col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // -------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs — the
+    * verification primitive shared by the LSH paths; exposed for direct
+    * use on small candidate sets.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String,
+                   idCol: String, n: Int = 3): DataFrame = {
+    val sh = withShingles(docs.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+}

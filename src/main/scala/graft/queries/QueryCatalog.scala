@@ -1,0 +1,624 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.ops.{AsOfJoin, EventTime}
+import graft.text.TextAnalysis
+
+/** Every operator from SURVEY.md §2 as a named query over the driver's
+  * testdata, paired (where SQL-expressible) with a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout — violating any of these
+  * turns a correct operator into a hash mismatch:
+  *  - money/double sums go through DECIMAL(18,2) (exact in both engines,
+  *    order-independent) and only then cast to double;
+  *  - averages = exact decimal sum cast to double, divided by the count
+  *    (single IEEE division, deterministic);
+  *  - event times stay integral epoch-nanos end to end (`div`, `//`);
+  *  - every result has a total ORDER BY with unique tie-break;
+  *  - integer outputs are cast to BIGINT on both sides (Spark length() is
+  *    int, DuckDB's is BIGINT).
+  */
+object QueryCatalog {
+
+  final case class QueryDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      /** part of the benchmark headline set */
+      bench: Boolean = false)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Exact money arithmetic: double -> DECIMAL(18,2). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+
+  // Event-time arithmetic runs in MICROSECONDS: DuckDB (the oracle) reads
+  // the parquet TIMESTAMP(NANOS) column as a us-precision TIMESTAMP, so ns
+  // values would never hash-match. Spark reads the raw ns longs
+  // (nanosAsLong) and rebases with `ts div 1000`.
+  private val UsPerHour = 3600L * 1000 * 1000
+  private val UsPerDay = 24L * UsPerHour
+
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ================================================================
+    // Core relational operators (scan/filter/project/agg/join/window/…)
+    // ================================================================
+
+    QueryDef("q1_pricing_summary", (s, d) => {
+      val li = t(s, d, "lineitem")
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sumd(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), bench = true),
+
+    QueryDef("q6_filter_agg", (s, d) => {
+      val li = t(s, d, "lineitem")
+      li.filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 25)
+        .agg(
+          sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }, Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25"""),
+      bench = true),
+
+    QueryDef("q3_top_orders", (s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }, Some("""
+      SELECT l_orderkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1996-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 20"""), bench = true),
+
+    QueryDef("q4_order_priority", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count_distinct(col("o_orderkey")).as("n_orders"),
+          sumd(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""), bench = true),
+
+    QueryDef("q5_local_supplier", (s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val supp = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }, Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name"""), bench = true),
+
+    QueryDef("q_nation_orders", (s, d) => {
+      val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      val nat = t(s, d, "nation")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total"))
+        .orderBy("n_name")
+    }, Some("""
+      SELECT n_name, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")),
+
+    QueryDef("q_window_rank", (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+      ORDER BY o_custkey""")),
+
+    QueryDef("q_window_running", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
+      FROM orders ORDER BY o_custkey, o_orderkey"""), bench = true),
+
+    QueryDef("q_sort_limit", (s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50),
+      Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")),
+
+    QueryDef("q_distinct", (s, d) =>
+      t(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      ORDER BY c_mktsegment, c_nationkey""")),
+
+    QueryDef("q_semijoin", (s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    QueryDef("q_antijoin", (s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    QueryDef("q_union_all", (s, d) => {
+      val part = t(s, d, "part")
+      part.filter(col("p_size") >= 40)
+        .select(col("p_partkey").as("key"), lit("large").as("tag"))
+        .unionByName(
+          part.filter(col("p_retailprice") > 990.0)
+            .select(col("p_partkey").as("key"), lit("pricey").as("tag")))
+        .orderBy("key", "tag")
+    }, Some("""
+      SELECT p_partkey AS key, 'large' AS tag FROM part WHERE p_size >= 40
+      UNION ALL
+      SELECT p_partkey AS key, 'pricey' AS tag FROM part WHERE p_retailprice > CAST(990.0 AS DOUBLE)
+      ORDER BY key, tag""")),
+
+    QueryDef("q_case_agg", (s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""
+      SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef("q_rollup", (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")),
+
+    QueryDef("q_scalar_subquery", (s, d) => {
+      val cust = t(s, d, "customer")
+      val thr = cust.agg((sumd(col("c_acctbal")) / count(lit(1))).as("__thr"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("__thr"))
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+      ORDER BY c_custkey""")),
+
+    // ================================================================
+    // Event time-slicing pipeline (the reference's flagship analytic)
+    // ================================================================
+
+    QueryDef("pulse_times", (s, d) => {
+      EventTime.derivePulseTimes(
+          eventsUs(s, d), "event_type", "ts_us", "click",
+          alternates = Seq("view"), runKeys = Seq("event_type"),
+          tieBreak = Seq("event_id"))
+        .select(col("pulse_index"), col("pulse_time").as("pulse_time_us"))
+        .orderBy("pulse_index")
+    }, Some("""
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS pulse_index,
+             epoch_us(ts) AS pulse_time_us
+      FROM events WHERE event_type = 'click'
+      ORDER BY pulse_index""")),
+
+    QueryDef("events_absolute_time", (s, d) => {
+      val ev = eventsUs(s, d)
+      val pulses = EventTime.derivePulseTimes(
+          ev, "event_type", "ts_us", "click",
+          runKeys = Seq("event_type"), tieBreak = Seq("event_id"))
+        .select("pulse_time", "pulse_index")
+      AsOfJoin.backward(
+          ev.select("event_id", "ts_us"), pulses,
+          leftTime = "ts_us", rightTime = "pulse_time",
+          keys = Nil, bucketWidth = UsPerHour,
+          rightCols = Seq("pulse_index"))
+        .select(
+          col("event_id"), col("pulse_index"),
+          col("pulse_time").as("pulse_time_us"),
+          (col("ts_us") - col("pulse_time")).as("time_offset_us"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH pulses AS (
+        SELECT epoch_us(ts) AS pt,
+               CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS pulse_index
+        FROM events WHERE event_type = 'click')
+      SELECT e.event_id,
+        (SELECT max(p.pulse_index) FROM pulses p WHERE p.pt <= epoch_us(e.ts)) AS pulse_index,
+        (SELECT max(p.pt) FROM pulses p WHERE p.pt <= epoch_us(e.ts)) AS pulse_time_us,
+        epoch_us(e.ts) - (SELECT max(p.pt) FROM pulses p WHERE p.pt <= epoch_us(e.ts)) AS time_offset_us
+      FROM events e ORDER BY e.event_id"""), bench = true),
+
+    QueryDef("events_by_interval", (s, d) => {
+      val off = EventTime.withOffsetFromStart(eventsUs(s, d), "ts_us", "off_us")
+      EventTime.countByInterval(off, "off_us", 6 * UsPerHour,
+        bankCol = Some("event_type"), pulseCol = Some("user_id"))
+    }, Some(s"""
+      WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+        e AS (SELECT epoch_us(ts) - t0 AS off_us, event_type, user_id FROM events, m)
+      SELECT interval, event_count, min_time, max_time, n_banks, n_pulses,
+             interval * ${6 * UsPerHour} AS interval_start,
+             (interval + 1) * ${6 * UsPerHour} AS interval_end
+      FROM (
+        SELECT CAST(off_us // ${6 * UsPerHour} AS BIGINT) AS interval,
+               COUNT(*) AS event_count,
+               MIN(off_us) AS min_time, MAX(off_us) AS max_time,
+               COUNT(DISTINCT event_type) AS n_banks,
+               COUNT(DISTINCT user_id) AS n_pulses
+        FROM e GROUP BY 1)
+      ORDER BY interval"""), bench = true),
+
+    QueryDef("events_time_range", (s, d) => {
+      val off = EventTime.withOffsetFromStart(eventsUs(s, d), "ts_us", "off_us")
+      EventTime.countInTimeRange(off, "off_us", UsPerDay, 7 * UsPerDay,
+        bankCol = Some("event_type"), pulseCol = Some("user_id"))
+    }, Some(s"""
+      WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+        e AS (SELECT epoch_us(ts) - t0 AS off_us, event_type, user_id FROM events, m)
+      SELECT CAST(${UsPerDay} AS BIGINT) AS start_time,
+             CAST(${7 * UsPerDay} AS BIGINT) AS end_time,
+             COUNT(*) AS event_count,
+             MIN(off_us) AS min_time, MAX(off_us) AS max_time,
+             COUNT(DISTINCT event_type) AS n_banks,
+             COUNT(DISTINCT user_id) AS n_pulses
+      FROM e WHERE off_us >= ${UsPerDay} AND off_us < ${7 * UsPerDay}""")),
+
+    QueryDef("events_by_bank_interval", (s, d) => {
+      val off = EventTime.withOffsetFromStart(eventsUs(s, d), "ts_us", "off_us")
+      EventTime.countByBankAndInterval(off, "off_us", "event_type", UsPerDay,
+        pulseCol = Some("user_id"))
+    }, Some(s"""
+      WITH m AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+        e AS (SELECT epoch_us(ts) - t0 AS off_us, event_type, user_id FROM events, m)
+      SELECT interval, event_type, event_count, min_time, max_time, n_pulses,
+             interval * ${UsPerDay} AS interval_start,
+             (interval + 1) * ${UsPerDay} AS interval_end
+      FROM (
+        SELECT CAST(off_us // ${UsPerDay} AS BIGINT) AS interval, event_type,
+               COUNT(*) AS event_count,
+               MIN(off_us) AS min_time, MAX(off_us) AS max_time,
+               COUNT(DISTINCT user_id) AS n_pulses
+        FROM e GROUP BY 1, 2)
+      ORDER BY interval, event_type""")),
+
+    QueryDef("event_summary", (s, d) =>
+      eventsUs(s, d).groupBy(col("event_type").as("bank"))
+        .agg(
+          count(lit(1)).as("total_counts"),
+          count_distinct(col("user_id")).as("n_users"),
+          sumd(col("value")).as("sum_value"),
+          min(col("ts_us")).as("min_ts_us"),
+          max(col("ts_us")).as("max_ts_us"))
+        .orderBy("bank"),
+      Some("""
+      SELECT event_type AS bank, COUNT(*) AS total_counts,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+      FROM events GROUP BY event_type ORDER BY bank""")),
+
+    QueryDef("daslogs_stats", (s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("value_numeric", graft.etl.NexusEtl.valueNumeric(
+          expr("""replace(replace(props, '{"k": ', ''), '}', '')""")))
+      ev.groupBy(col("event_type").as("log_name"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          (sumd(col("value")) / count(lit(1))).as("average_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(col("value_numeric")).cast("double").as("sum_k"))
+        .orderBy("log_name")
+    }, Some("""
+      SELECT event_type AS log_name, COUNT(*) AS n_points,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS average_value,
+        MIN(value) AS min_value, MAX(value) AS max_value,
+        CAST(SUM(TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS DOUBLE)) AS DOUBLE) AS sum_k
+      FROM events GROUP BY event_type ORDER BY log_name""")),
+
+    QueryDef("value_numeric", (s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        graft.etl.NexusEtl.valueNumeric(
+          expr("""replace(replace(props, '{"k": ', ''), '}', '')"""))
+          .as("value_numeric"))
+        .orderBy("event_id"),
+      Some("""
+      SELECT event_id,
+        TRY_CAST(replace(replace(props, '{"k": ', ''), '}', '') AS DOUBLE) AS value_numeric
+      FROM events ORDER BY event_id""")),
+
+    QueryDef("replay_kafka_shape", (s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type")
+      graft.streaming.Replay.kafkaShape(ev, "user_id")
+        .withColumn("event_id", get_json_object(col("value"), "$.event_id").cast("long"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS key,
+        CAST(to_json(struct_pack(event_id := event_id, user_id := user_id,
+                                 event_type := event_type)) AS VARCHAR) AS value,
+        event_id
+      FROM events ORDER BY event_id""")),
+
+    // ================================================================
+    // LLM-data-pipeline operators: dedup / text / similarity / media
+    // ================================================================
+
+    QueryDef("dedup_exact", (s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id")
+        .select(col("content_hash"), col("keep_id").as("keep_doc_id"), col("n_copies"))
+        .orderBy("content_hash"),
+      Some("""
+      SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY sha256(text) ORDER BY content_hash"""),
+      bench = true),
+
+    QueryDef("doc_fingerprint", (s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("text_stats", (s, d) =>
+      TextAnalysis.textStats(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+          / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("token_count", (s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+        CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+        CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("lang_id", (s, d) =>
+      TextAnalysis.langId(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN POSITION(' the ' IN text) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN POSITION(' and ' IN text) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN POSITION(' of ' IN text) > 0 THEN 1 ELSE 0 END AS BIGINT) AS en_hits,
+        CASE WHEN (CASE WHEN POSITION(' the ' IN text) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN POSITION(' and ' IN text) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN POSITION(' of ' IN text) > 0 THEN 1 ELSE 0 END) >= 2
+             THEN 'en' ELSE 'other' END AS lang_pred
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("quality_score", (s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        CAST(LENGTH(text) - LENGTH(replace(text, '.', '')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+        CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+          / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len,
+        (CASE WHEN LENGTH(text) >= 200 AND LENGTH(text) <= 100000 THEN CAST(1.0 AS DOUBLE)
+              ELSE LENGTH(text) / CAST(200.0 AS DOUBLE) END) * 0.5
+        + CASE WHEN (CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+                     / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1)) >= 3
+                AND (CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+                     / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1)) <= 10
+               THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        + CASE WHEN (CAST(LENGTH(text) - LENGTH(replace(text, '.', '')) AS DOUBLE) / LENGTH(text)) <= 0.1
+               THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS quality_score
+      FROM documents ORDER BY doc_id"""), bench = true),
+
+    QueryDef("multimodal_meta", (s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          lit("text/plain").as("content_type"),
+          octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+          (expr("octet_length(cast(text as binary)) div 256") + 1)
+            .cast("long").as("n_chunks"))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id, 'text/plain' AS content_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_chunks
+      FROM documents ORDER BY doc_id""")),
+
+    // ------- LSH / ANN operators: no portable SQL oracle (driver records
+    // rows-only); exact semantics are asserted in the ScalaTest suites.
+
+    QueryDef("dedup_minhash", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+                concat(col("text"), lit(" planted near duplicate suffix")).as("text"))
+      Dedup.minHashCandidates(docs.unionByName(planted), "text", "doc_id",
+          shingleSize = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }, None, bench = true),
+
+    QueryDef("dedup_simhash", (s, d) =>
+      Dedup.withSimHash(t(s, d, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id"),
+      None),
+
+    QueryDef("dedup_ngram_jaccard", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+                concat(col("text"), lit(" planted suffix")).as("text"))
+      val pairs = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+      Dedup.ngramJaccard(docs.unionByName(planted), pairs, "text", "doc_id", n = 3)
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    QueryDef("rolling_fingerprint", (s, d) =>
+      t(s, d, "documents")
+        .selectExpr("doc_id", "graft_rolling_fingerprint(text, 8) AS fp")
+        .orderBy("doc_id"),
+      None),
+
+    QueryDef("ann_bruteforce", (s, d) => {
+      val em = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "rank")
+    }, None, bench = true),
+
+    QueryDef("ann_lsh", (s, d) => {
+      val em = t(s, d, "embeddings")
+      Similarity.lshTopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+        .orderBy("probe_id", "rank")
+    }, None),
+
+    QueryDef("embed_dedup", (s, d) => {
+      val em = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = em.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      Similarity.cosineDedupCandidates(em.unionByName(planted),
+          "vec_id", "embedding", bits = 8, dim = 64, minCos = 0.999)
+        .orderBy("id_a", "id_b")
+    }, None)
+  )
+
+  def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+}

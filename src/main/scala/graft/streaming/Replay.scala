@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event replay + streaming analytics.
+  *
+  * Mirrors reference scripts/spark_replay_events.py:
+  *  - kafkaShape      <- write_to_kafka_batch/:184-201 — key = run/partition
+  *    id, value = JSON of all fields. The Kafka sink itself is swappable
+  *    (`.format("kafka")` vs parquet/memory); shaping is the testable part.
+  *  - batchSummary    <- write_to_console/:285-309 per-microbatch summary.
+  *  - streaming analytics are the Structured Streaming equivalents of the
+  *    reference's batch slicing: watermarked windowed counts, streaming
+  *    dedup, stateful sessionization (mapGroupsWithState).
+  *
+  * Scale notes: `kafkaShape` repartitions to the producer parallelism;
+  * watermarks bound state; sessionization state is per-key and expires on
+  * processing-time timeout, so state size tracks active keys, not history.
+  */
+object Replay {
+
+  /** Kafka-record shaping: (key, value) with the full row as JSON
+    * (spark_replay_events.py:184-186). `numPartitions` matches the topic's
+    * partition count (:199 repartition).
+    */
+  def kafkaShape(events: DataFrame, keyCol: String, numPartitions: Int = 0): DataFrame = {
+    val shaped = events.select(
+      col(keyCol).cast("string").as("key"),
+      to_json(struct(events.columns.map(col): _*)).as("value"))
+    if (numPartitions > 0) shaped.repartition(numPartitions) else shaped
+  }
+
+  /** Per-batch replay summary (spark_replay_events.py:300-309). */
+  def batchSummary(events: DataFrame, keyCol: String, pulseCol: String): DataFrame =
+    events.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("event_count"),
+      min(col(pulseCol)).as("min_pulse"),
+      max(col(pulseCol)).as("max_pulse"))
+
+  /** Rate-limited batch replay: assign rows to emission waves of
+    * `eventsPerWave` by position within each key (a distributed analog of
+    * the reference's sleep-based rate limiting at :206-223 — downstream
+    * consumers pace by wave id rather than the driver sleeping).
+    */
+  def withWaves(events: DataFrame, keyCol: String, orderCol: String,
+                eventsPerWave: Long): DataFrame =
+    events.withColumn("wave",
+      expr(s"CAST((row_number() OVER (PARTITION BY `$keyCol` ORDER BY `$orderCol`)) - 1 AS BIGINT) div $eventsPerWave"))
+
+  /** Watermarked tumbling-window counts over a streaming events frame
+    * (the streaming analog of EventTime.countByInterval). `tsCol` must be
+    * a timestamp column; late data beyond the watermark is dropped, which
+    * bounds state.
+    */
+  def windowedCounts(stream: DataFrame, tsCol: String, typeCol: String,
+                     windowDur: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(typeCol))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col(typeCol), col("event_count"))
+
+  /** Streaming exact dedup within the watermark horizon. */
+  def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                     watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  case class SessionUpdate(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long,
+                           closed: Boolean)
+  private case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+
+  /** Custom per-key state: user sessionization with a gap timeout —
+    * the KeyValueGroupedDataset.mapGroupsWithState pattern the brief calls
+    * for. Emits a running update per key per batch; state expires after
+    * `gapMs` idle (processing-time timeout keeps it testable without
+    * event-time watermark plumbing).
+    */
+  def sessionize(spark: SparkSession, stream: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    stream.groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.nEvents, s.firstTs, s.lastTs, closed = true)
+          } else {
+            val ts = rows.map(_._2).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+            val next = SessionState(prev.nEvents + ts.size,
+              math.min(prev.firstTs, ts.min), math.max(prev.lastTs, ts.max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            SessionUpdate(userId, next.nEvents, next.firstTs, next.lastTs, closed = false)
+          }
+      }
+  }
+
+  /** Streaming source over an ETL output directory — the "continuously
+    * stream new events as they're ingested" mode
+    * (spark_replay_events.py:134-163), with parquet standing in for the
+    * Iceberg streaming source.
+    */
+  def streamFromDir(spark: SparkSession, dir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 4).parquet(dir)
+
+  /** Write a replay stream to a directory sink with checkpointing (the
+    * Kafka sink swapped for parquet so the path is testable offline).
+    */
+  def writeStreamToDir(shaped: DataFrame, dir: String, checkpoint: String) =
+    shaped.writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+}

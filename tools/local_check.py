@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/local_check.py <sf_dir> <verify_out_dir>
+
+Loads each query's Spark parquet output from <verify_out_dir>/<name>/,
+runs the matching oracle SQL from oracle_sql.json in DuckDB (with views
+named after the testdata tables), and compares:
+  - row count
+  - schema (column names sorted, with types)
+  - exact values (cells compared after sorting columns by name; rows in
+    file order AND as sorted multiset, so we can tell ordering issues
+    from value issues)
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v  # exact compare on purpose
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+
+    results = {}
+    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+        spark_rel = con.sql(
+            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        spark_cols = list(spark_rel.columns)
+        spark_rows = spark_rel.fetchall()
+        if name not in oracle:
+            results[name] = {
+                "status": "rows_only",
+                "rows": len(spark_rows),
+                "ok": len(spark_rows) > 0,
+            }
+            continue
+        try:
+            oracle_rel = con.sql(oracle[name])
+            o_cols = list(oracle_rel.columns)
+            o_rows = oracle_rel.fetchall()
+        except Exception as e:
+            results[name] = {"status": "oracle_error", "error": str(e)[:300], "ok": False}
+            continue
+
+        entry = {"status": "compared", "rows_spark": len(spark_rows),
+                 "rows_oracle": len(o_rows)}
+        # column name sets
+        entry["cols_match"] = sorted(spark_cols) == sorted(o_cols)
+        if not entry["cols_match"]:
+            entry["cols_spark"] = sorted(spark_cols)
+            entry["cols_oracle"] = sorted(o_cols)
+            entry["ok"] = False
+            results[name] = entry
+            continue
+        # reorder columns by sorted name, like the driver
+        s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
+        o_idx = [o_cols.index(c) for c in sorted(o_cols)]
+        s_vals = [tuple(norm(r[i]) for i in s_idx) for r in spark_rows]
+        o_vals = [tuple(norm(r[i]) for i in o_idx) for r in o_rows]
+        entry["rows_match"] = len(s_vals) == len(o_vals)
+        entry["values_in_order"] = s_vals == o_vals
+        entry["values_as_set"] = sorted(map(repr, s_vals)) == sorted(map(repr, o_vals))
+        entry["ok"] = entry["rows_match"] and entry["values_in_order"]
+        if not entry["ok"] and entry["rows_match"]:
+            # show first mismatching row
+            for i, (a, b) in enumerate(zip(s_vals, o_vals)):
+                if a != b:
+                    entry["first_diff"] = {"row": i, "spark": repr(a)[:300],
+                                           "oracle": repr(b)[:300]}
+                    break
+        results[name] = entry
+
+    n_ok = sum(1 for r in results.values() if r.get("ok"))
+    print(json.dumps(results, indent=1, default=str))
+    print(f"\n== {n_ok}/{len(results)} OK ==")
+    for name, r in results.items():
+        flag = "OK " if r.get("ok") else "FAIL"
+        print(f"  [{flag}] {name} ({r['status']})")
+
+
+if __name__ == "__main__":
+    main()
