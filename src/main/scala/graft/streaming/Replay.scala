@@ -72,18 +72,22 @@ object Replay {
 
   case class SessionUpdate(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long,
                            closed: Boolean)
-  private case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  // public: Spark needs an accessible constructor to encode state
+  case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
 
   /** Custom per-key state: user sessionization with a gap timeout —
     * the KeyValueGroupedDataset.mapGroupsWithState pattern the brief calls
-    * for. Emits a running update per key per batch; state expires after
-    * `gapMs` idle (processing-time timeout keeps it testable without
-    * event-time watermark plumbing).
+    * for. Emits a running update per key per batch; with gapMs > 0 state
+    * expires after that idle period (processing-time timeout; note this
+    * makes the query trigger continuously — tests use gapMs = 0 /
+    * NoTimeout so processAllAvailable converges).
     */
   def sessionize(spark: SparkSession, stream: Dataset[(Long, Long)], gapMs: Long): Dataset[SessionUpdate] = {
     import spark.implicits._
+    val timeout = if (gapMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+                  else GroupStateTimeout.NoTimeout
     stream.groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[SessionState, SessionUpdate](timeout) {
         (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -95,7 +99,7 @@ object Replay {
             val next = SessionState(prev.nEvents + ts.size,
               math.min(prev.firstTs, ts.min), math.max(prev.lastTs, ts.max))
             state.update(next)
-            state.setTimeoutDuration(gapMs)
+            if (gapMs > 0) state.setTimeoutDuration(gapMs)
             SessionUpdate(userId, next.nEvents, next.firstTs, next.lastTs, closed = false)
           }
       }

@@ -1,0 +1,56 @@
+package graft.ann
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f)),
+    (4L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("cosine matches a hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    val expected = (1.0 * 3 + 2.0 * 4) / (math.sqrt(5.0) * math.sqrt(25.0))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("bruteForceTopK returns exact neighbors in rank order") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    // identical vector 4 first (cos=1), then 1 (cos~0.994), then 2/3 (cos=0, tie -> id 2)
+    assert(out === Seq((4L, 1L), (1L, 2L), (2L, 3L)))
+  }
+
+  test("lshTopK achieves decent recall vs brute force on real embeddings") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = em.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(em, probes, "vec_id", "embedding",
+        k = 5, bits = 2, dim = 64)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // unstructured random embeddings are the worst case for hyperplane
+    // LSH (near-orthogonal neighbors); 2 bits = 4 buckets keeps recall
+    // meaningfully above the 1/4 random-bucket floor
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"LSH recall $recall too low")
+    assert(approx.nonEmpty)
+  }
+
+  test("cosineDedupCandidates finds identical planted vectors") {
+    val planted = vecs.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val out = Similarity.cosineDedupCandidates(vecs.unionByName(planted),
+        "vec_id", "embedding", bits = 6, dim = 3, minCos = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 4L)) || out.contains((0L, 100L)))
+    assert(out.contains((0L, 100L)) && out.contains((4L, 100L)))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "a completely different document about spark query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (5L, "short text")).toDF("doc_id", "text")
+
+  test("exactGroups keeps min id per content hash") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").select("keep_id", "n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(g === Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
+    assert(Dedup.exactDedup(docs, "text", "doc_id").count() === 4)
+  }
+
+  test("withShingles builds word n-grams; short docs collapse to one shingle") {
+    val sh = Dedup.withShingles(Seq((1L, "a b c d")).toDF("doc_id", "text"), "text", 3)
+      .select("shingles").as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+    val short = Dedup.withShingles(Seq((1L, "a b")).toDF("doc_id", "text"), "text", 3)
+      .select("shingles").as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+
+  test("minHashCandidates finds exact+near dup pairs within buckets, with exact jaccard") {
+    val pairs = Dedup.minHashCandidates(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) === 1.0)
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) > 0.6)
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minHashDedup recall on planted near-duplicates >= 90%") {
+    val base = (0L until 100L).map { i =>
+      (i, s"document number $i talks about topic ${i % 7} with shared words " +
+        s"alpha beta gamma delta epsilon zeta eta theta iota kappa value${i}")
+    }
+    val planted = base.take(40).map { case (i, t) => (i + 1000L, t + " suffixtoken") }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    // threshold 0.8: planted copies (~0.94 jaccard) are dropped, while
+    // same-topic base docs (~0.5 jaccard) must survive
+    val deduped = Dedup.minHashDedup(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.8)
+    val survivors = deduped.select("doc_id").as[Long].collect().toSet
+    val caught = (0L until 40L).count(i => !survivors.contains(i + 1000L))
+    assert(caught >= 36, s"caught only $caught/40 planted near-dups")
+    // non-duplicates survive
+    assert((40L until 100L).forall(survivors.contains))
+  }
+
+  test("simhash is identical for identical docs and candidates verify by hamming") {
+    val hashed = Dedup.withSimHash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(hashed(1L) === hashed(3L))
+    val cands = Dedup.simHashCandidates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 3L)))
+    assert(!cands.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("ngramJaccard computes exact similarity for given pairs") {
+    val pairs = Seq((1L, 3L), (1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", n = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(j((1L, 3L)) === 1.0)
+    assert(j((1L, 2L)) === 0.0)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSuite
+
+class ReplaySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("kafkaShape emits (key, value-json) per event (spark_replay_events.py:184)") {
+    val ev = Seq((1L, "REF_L:1", "bank1"), (2L, "REF_L:1", "bank2"))
+      .toDF("event_id", "run_id", "bank")
+    val shaped = Replay.kafkaShape(ev, "run_id")
+    assert(shaped.columns.toSeq === Seq("key", "value"))
+    val row = shaped.orderBy(get_json_object(col("value"), "$.event_id")).head()
+    assert(row.getString(0) === "REF_L:1")
+    assert(row.getString(1) === """{"event_id":1,"run_id":"REF_L:1","bank":"bank1"}""")
+  }
+
+  test("batchSummary aggregates per key (spark_replay_events.py:300-309)") {
+    val ev = Seq(("r1", 0L), ("r1", 5L), ("r2", 2L)).toDF("run_id", "pulse_index")
+    val out = Replay.batchSummary(ev, "run_id", "pulse_index")
+      .orderBy("run_id")
+      .select("run_id", "event_count", "min_pulse", "max_pulse")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("r1", 2L, 0L, 5L), ("r2", 1L, 2L, 2L)))
+  }
+
+  test("withWaves assigns rate-limit waves by position within key") {
+    val ev = (1L to 10L).map(i => ("r1", i)).toDF("run_id", "event_id")
+    val waves = Replay.withWaves(ev, "run_id", "event_id", eventsPerWave = 4)
+      .select("event_id", "wave").as[(Long, Long)].collect().toMap
+    assert(waves(1L) === 0L && waves(4L) === 0L && waves(5L) === 1L && waves(10L) === 2L)
+  }
+
+  test("windowedCounts: watermarked tumbling windows over a memory stream") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val df = input.toDF().toDF("ts", "event_type")
+    val query = Replay.windowedCounts(df, "ts", "event_type", "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Complete).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData((t(1), "a"), (t(2), "a"), (t(3), "b"), (t(11), "a"))
+    query.processAllAvailable()
+    val rows = spark.table("wc")
+      .select(col("window_start").cast("long"), col("event_type"), col("event_count"))
+      .as[(Long, String, Long)].collect().toSet
+    query.stop()
+    assert(rows === Set((0L, "a", 2L), (0L, "b", 1L), (10L, "a", 1L)))
+  }
+
+  test("streamingDedup drops duplicates within the watermark") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val df = input.toDF().toDF("ts", "event_id")
+    val query = Replay.streamingDedup(df, "ts", Seq("event_id"), "10 seconds")
+      .writeStream.format("memory").queryName("sd").outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData((t(1), 1L), (t(2), 1L), (t(3), 2L))
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("sd").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("sessionize maintains per-user state via mapGroupsWithState") {
+    val input = MemoryStream[(Long, Long)](spark)
+    val sessions = Replay.sessionize(spark, input.toDS(), gapMs = 0)
+    val query = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Update).start()
+    input.addData((7L, 100L), (7L, 200L), (9L, 50L))
+    query.processAllAvailable()
+    input.addData((7L, 300L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("sess")
+      .select("userId", "nEvents", "firstTs", "lastTs")
+      .as[(Long, Long, Long, Long)].collect()
+    // latest state for user 7 accumulates across batches
+    assert(rows.filter(_._1 == 7L).map(_._2).max === 3L)
+    assert(rows.filter(_._1 == 7L).map(_._4).max === 300L)
+    assert(rows.exists(r => r._1 == 9L && r._2 == 1L))
+  }
+
+  test("streamFromDir + writeStreamToDir round-trip through parquet") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val ev = Seq((1L, "r1"), (2L, "r1")).toDF("event_id", "run_id")
+    ev.write.mode("overwrite").parquet(srcDir)
+    val stream = Replay.streamFromDir(spark, srcDir, ev.schema)
+    val shaped = Replay.kafkaShape(stream, "run_id")
+    val q = Replay.writeStreamToDir(shaped, outDir, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 2)
+    assert(out.columns.toSeq === Seq("key", "value"))
+  }
+}

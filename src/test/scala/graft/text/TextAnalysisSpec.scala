@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.RollingFingerprint
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("textStats counts chars/words exactly") {
+    val out = TextAnalysis.textStats(Seq((1L, "one two three")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("n_chars", "n_words", "avg_word_len").as[(Long, Long, Double)].head()
+    assert(out._1 === 13L)
+    assert(out._2 === 3L)
+    assert(math.abs(out._3 - 11.0 / 3) < 1e-12)
+  }
+
+  test("tokenCounts: whitespace + chars/4 BPE estimate") {
+    val out = TextAnalysis.tokenCounts(Seq((1L, "abcd efgh")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("n_ws_tokens", "n_bpe_est").as[(Long, Long)].head()
+    assert(out === ((2L, 3L))) // ceil(9/4) = 3
+  }
+
+  test("langId thresholds stopword hits") {
+    val df = Seq(
+      (1L, "word the word and word of word"),
+      (2L, "palabra uno dos tres cuatro")).toDF("doc_id", "text")
+    val rows = TextAnalysis.langId(df, "text", "doc_id")
+      .select("doc_id", "en_hits", "lang_pred").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) === ((3L, "en")))
+    assert(rows(2L) === ((0L, "other")))
+  }
+
+  test("qualityScore stays in [0, 1] and rewards well-formed text") {
+    val df = Seq(
+      (1L, ("the quick brown fox. " * 15).trim),   // long, clean
+      (2L, "x. y. z.")).toDF("doc_id", "text")      // short, punctuation heavy
+    val rows = TextAnalysis.qualityScore(df, "text", "doc_id")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(rows(1L) > rows(2L))
+    assert(rows.values.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq((1L, "Hello World"), (2L, "hello    world"), (3L, "other")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "text", "doc_id")
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("RollingFingerprint: expression output equals brute-force window min") {
+    def brute(s: String, w: Int): Long = {
+      val bytes = s.getBytes("UTF-8")
+      val win = math.min(w, bytes.length)
+      (0 to bytes.length - win).map { i =>
+        bytes.slice(i, i + win).foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+      }.min
+    }
+    val texts = Seq("hello world, this is a fingerprint test", "abc", "aaaaaaaaaa")
+    texts.foreach { t =>
+      assert(RollingFingerprint.compute(UTF8String.fromString(t), 8) === brute(t, 8))
+    }
+    // and through SQL via GraftExtensions registration
+    val viaSql = Seq((1L, texts.head)).toDF("id", "text")
+      .selectExpr("graft_rolling_fingerprint(text, 8)").as[Long].head()
+    assert(viaSql === brute(texts.head, 8))
+    // shared-window property: appending text can only keep or lower the min
+    val base = RollingFingerprint.compute(UTF8String.fromString(texts.head), 8)
+    val longer = RollingFingerprint.compute(UTF8String.fromString(texts.head + " suffix"), 8)
+    assert(longer <= base)
+  }
+}
