@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.RollingFingerprint
+import graft.functions.{MinHashSig, RollingFingerprint, SimHashSig}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL / `expr(...)` in any session configured with
@@ -20,6 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(text, Literal(w: Int, _)) => RollingFingerprint(text, w)
         case _ => throw new IllegalArgumentException(
           "graft_rolling_fingerprint(text[, window]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => MinHashSig(arr, 64)
+        case Seq(arr, Literal(k: Int, _)) => MinHashSig(arr, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_minhash_sig(shingles[, numHashes]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(arr) => SimHashSig(arr)
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash_sig(tokens) expects 1 arg")
       }))
   }
 }

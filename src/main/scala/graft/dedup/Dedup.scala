@@ -50,20 +50,14 @@ object Dedup {
 
   /** MinHash signature via the standard double-hashing trick:
     * h_j(s) = (h1(s) + j * h2(s)) mod p, p = 2^31-1; sig[j] = min over
-    * shingles. Two xxhash64 evaluations per shingle regardless of
-    * signature size; all arithmetic stays within long range (ANSI-safe).
+    * shingles. Computed by the native codegen expression
+    * [[graft.functions.MinHashSig]] — two xxhash64 evaluations per shingle
+    * in a compiled loop (the interpreted higher-order-function version was
+    * ~50x slower and dominated the benchmark).
     */
   def withMinHashSignature(docs: DataFrame, numHashes: Int): DataFrame =
-    docs
-      .withColumn("__hp", expr(
-        """transform(shingles, s -> named_struct(
-             'h1', pmod(xxhash64(s), CAST(2147483647 AS BIGINT)),
-             'h2', pmod(xxhash64(s, 1), CAST(2147483647 AS BIGINT))))"""))
-      .withColumn("minhash_sig", expr(
-        s"""transform(sequence(0, ${numHashes - 1}),
-             j -> array_min(transform(__hp,
-               p -> pmod(p.h1 + CAST(j AS BIGINT) * p.h2, CAST(2147483647 AS BIGINT)))))"""))
-      .drop("__hp")
+    docs.withColumn("minhash_sig",
+      graft.functions.MinHashSig.col(col("shingles"), numHashes))
 
   /** LSH banding: split the signature into `bands` bands of r rows and
     * hash each band. Documents sharing any band hash become candidates.
@@ -139,19 +133,13 @@ object Dedup {
   /** 64-bit SimHash over word hashes: per-bit vote accumulated with
     * aggregate/zip_with — one pass over the words, all in codegen.
     */
-  /** Adds `simhash` (64-bit) for a named text column. */
+  /** Adds `simhash` (64-bit) for a named text column via the native
+    * codegen expression [[graft.functions.SimHashSig]] (single compiled
+    * pass over the tokens).
+    */
   def withSimHash(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("__simhash_words", split(col(textCol), " +"))
-      .withColumn("simhash", expr(
-        """aggregate(
-             transform(sequence(0, 63),
-               i -> IF(aggregate(__simhash_words,
-                                 CAST(0 AS BIGINT),
-                                 (acc, w) -> acc + IF((shiftright(xxhash64(w), i) & 1) = 1,
-                                                      CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) > 0,
-                       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-             CAST(0 AS BIGINT), (acc, b) -> acc | b)"""))
-      .drop("__simhash_words")
+    docs.withColumn("simhash",
+      graft.functions.SimHashSig.col(split(col(textCol), " +")))
 
   /** SimHash near-dup candidates: docs whose hashes agree on one of the
     * four 16-bit quadrants (standard pigeonhole blocking for Hamming
