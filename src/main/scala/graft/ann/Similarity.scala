@@ -20,15 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cos(a, b) as a Column over two array<float> columns (fold in index
-    * order => bit-for-bit deterministic).
+  /** cos(a, b) over two array<float> columns via the native codegen
+    * expression [[graft.functions.CosineSim]] — one fused loop, index-order
+    * accumulation (bit-identical to a fold, ~10x an interpreted
+    * aggregate/zip_with pipeline).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column = aggregate(
-      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.col(a, b)
 
   /** Exact top-k cosine neighbors for each probe row.
     * @param corpus  (idCol, vecCol) big side — streamed, never shuffled
@@ -92,6 +90,66 @@ object Similarity {
     val c = withLshBucket(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "__cv", bits, dim)
     val p = withLshBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", bits, dim)
     val joined = c.join(broadcast(p), "lsh_bucket")
+    val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))
+    val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** IVF-style ANN: partition the corpus into `nLists` centroid-owned
+    * inverted lists, probes search only their `nProbe` nearest lists.
+    *
+    * Scale shape: centroids are a deterministic hash-sample (tiny,
+    * broadcast); assignment is one broadcast join + max_by aggregation
+    * (shuffle keyed on the corpus id); the search joins probe-lists to
+    * corpus-lists on centroid id — the all-pairs term shrinks by
+    * ~nLists/nProbe. A production variant would learn centroids with
+    * k-means|| on a sample; the list/probe mechanics are identical.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid_"), col(vecCol).as("cv"))
+    val n = c.count()
+    val step = math.max(1L, n / nLists)
+    // deterministic centroid sample: stable hash order, every step-th row
+    val centroids = c
+      .withColumn("__rk", pmod(xxhash64(col("cid_")), lit(step)))
+      .filter(col("__rk") === 0)
+      .limit(nLists)
+      .select(col("cid_").as("centroid_id"), col("cv").as("centroid_vec"))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("__ccos", cosine(col(vec), col("centroid_vec")))
+        .select(col(id), col(vec), col("centroid_id"), col("__ccos"))
+      if (keep == 1)
+        scored.groupBy(col(id), col(vec))
+          .agg(max_by(col("centroid_id"), struct(col("__ccos"), col("centroid_id")))
+            .as("centroid_id"))
+      else {
+        val w = Window.partitionBy(id).orderBy(col("__ccos").desc, col("centroid_id"))
+        scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
+          .select(col(id), col(vec), col("centroid_id"))
+      }
+    }
+
+    val lists = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", keep = 1)
+    val probed = assign(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
+      "probe_id", "__pv", keep = nProbe)
+
+    val joined = lists.join(broadcast(probed), "centroid_id")
     val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))
     val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0
     val w = Window.partitionBy("probe_id")

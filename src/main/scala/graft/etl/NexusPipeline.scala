@@ -1,0 +1,132 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.EventTime
+
+/** End-to-end run conversion — the Spark-first equivalent of the
+  * reference's `process_nexus_file` (parquet.py:784-897), driving every
+  * ETL building block in this package:
+  *
+  *   raw per-run record frames  ->  8 typed, partitioned, routed tables
+  *
+  * The reference walks an HDF5 tree file-by-file on one machine; here each
+  * concern arrives as a DataFrame (one row per run / log point / event
+  * bank — produced by any upstream reader) and the whole conversion is a
+  * distributed plan: thousands of runs convert in one job, partitioned by
+  * (instrument_id, run_number).
+  *
+  * Input column contract (see RunBundle): every frame carries
+  * `instrument_id` + `run_number`; remaining columns follow the reference
+  * field names (schemas.py). Unknown columns land in `additional_fields`,
+  * `file_attr_*`/`entry_attr_*` columns become attribute maps.
+  */
+object NexusPipeline {
+
+  /** One DataFrame per extraction concern (parquet.py:821-882 order). */
+  case class RunBundle(
+      metadata: DataFrame,
+      sample: DataFrame,
+      instrument: DataFrame,
+      software: DataFrame,
+      users: DataFrame,
+      daslogs: DataFrame,
+      /** one row per (run, bank) with array columns event_ids /
+        * event_offsets / event_index (parquet.py:402-499 shape) */
+      eventBanks: DataFrame)
+
+  private def keyed(df: DataFrame): DataFrame =
+    NexusEtl.withRunKeys(df, col("instrument_id"), col("run_number"))
+
+  private val MetadataKnown = Seq("instrument_id", "run_number", "run_id",
+    "title", "start_time", "end_time", "duration", "proton_charge",
+    "total_counts", "experiment_identifier", "definition", "source_file",
+    "source_path", "ingestion_time")
+  private val SampleKnown = Seq("instrument_id", "run_number", "run_id",
+    "name", "nature", "chemical_formula", "mass", "temperature")
+  private val InstrumentKnown = Seq("instrument_id", "run_number", "run_id",
+    "name", "beamline", "instrument_xml_data")
+  private val SoftwareKnown = Seq("instrument_id", "run_number", "run_id",
+    "component", "name", "version")
+  private val UsersKnown = Seq("instrument_id", "run_number", "run_id",
+    "user_id", "name", "facility_user_id", "role")
+
+  /** Project a frame onto a target schema: present columns cast to the
+    * schema type, absent ones become typed nulls (the reference fills
+    * missing HDF5 fields with None the same way).
+    */
+  def conformTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  private def shaped(df: DataFrame, known: Seq[String],
+                     schema: org.apache.spark.sql.types.StructType,
+                     withAttrs: Boolean = false): DataFrame = {
+    val k = keyed(df)
+    val attrs =
+      if (withAttrs)
+        k.withColumn("file_attributes", NexusEtl.attributeMap(k, "file_attr_"))
+          .withColumn("entry_attributes", NexusEtl.attributeMap(k, "entry_attr_"))
+      else
+        k.withColumn("additional_fields", NexusEtl.additionalFieldsMap(k, known))
+    conformTo(attrs, schema)
+  }
+
+  /** The full conversion: normalize each concern, correlate events to
+    * pulses (parquet.py:864-882 builds pulse_times from the proton_charge
+    * log), and return the 8 output tables keyed by their routing name.
+    */
+  def processRuns(spark: SparkSession, bundle: RunBundle,
+                  timeLog: String = "proton_charge"): Map[String, DataFrame] = {
+    val daslogs = conformTo(
+      NexusEtl.normalizeDaslogs(keyed(bundle.daslogs), "value"),
+      NexusSchemas.daslogs)
+
+    // pulse_times per run from the timing log (parquet.py:866-876)
+    val pulses = EventTime.derivePulseTimes(
+      daslogs, "log_name", "time", timeLog,
+      runKeys = Seq("run_id"), tieBreak = Nil)
+
+    // events: explode banks, attach pulse_time by pulse_index join
+    val exploded = NexusEtl.explodeEventsWithPulseIndex(
+      keyed(bundle.eventBanks), "event_ids", "event_offsets", "event_index")
+    // shuffle join on (run_id, pulse_index) — a run's pulse list can be
+    // millions of rows, so no broadcast; both sides hash-partition on the
+    // same composite key
+    val events = conformTo(
+      exploded.join(
+        pulses.select(col("run_id"), col("pulse_index"), col("pulse_time")),
+        Seq("run_id", "pulse_index"), "left"),
+      NexusSchemas.events)
+
+    val eventSummary = conformTo(
+      NexusEtl.eventSummary(
+          exploded, Seq("instrument_id", "run_number", "run_id"), "bank", "pulse_index")
+        .withColumn("total_counts", col("events_extracted")),
+      NexusSchemas.eventSummary)
+
+    Map(
+      "experiment_runs" -> shaped(bundle.metadata, MetadataKnown, NexusSchemas.metadata, withAttrs = true),
+      "sample" -> shaped(bundle.sample, SampleKnown, NexusSchemas.sample),
+      "instrument" -> shaped(bundle.instrument, InstrumentKnown, NexusSchemas.instrument),
+      "software" -> shaped(bundle.software, SoftwareKnown, NexusSchemas.software),
+      "users" -> shaped(bundle.users, UsersKnown, NexusSchemas.users),
+      "daslogs" -> daslogs,
+      "events" -> events,
+      "event_summary" -> eventSummary)
+  }
+
+  /** Convert and write all tables (parquet.py:884-895): ZSTD, partitioned
+    * by run, chunked, with routing metadata.
+    */
+  def processAndWrite(spark: SparkSession, bundle: RunBundle, outDir: String,
+                      maxRecordsPerFile: Long = 5000000L): Map[String, String] =
+    processRuns(spark, bundle).map { case (table, df) =>
+      val path = s"$outDir/$table"
+      NexusEtl.writeTable(df, path, table, partitionByRun = true, maxRecordsPerFile)
+      table -> path
+    }
+}

@@ -610,6 +610,13 @@ object QueryCatalog {
         .orderBy("probe_id", "rank")
     }, None),
 
+    QueryDef("ann_ivf", (s, d) => {
+      val em = t(s, d, "embeddings")
+      Similarity.ivfTopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3)
+        .orderBy("probe_id", "rank")
+    }, None),
+
     QueryDef("embed_dedup", (s, d) => {
       val em = t(s, d, "embeddings").select("vec_id", "embedding")
       val planted = em.filter(col("vec_id") < 50)
