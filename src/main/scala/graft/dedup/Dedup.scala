@@ -37,14 +37,14 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Shingle a named text column: adds `shingles` array<string> of word
-    * n-grams (pure Catalyst: split + slice + concat in one codegen stage).
+    * n-grams via the native codegen expression
+    * [[graft.functions.WordShingles]] (single byte-level pass; the
+    * interpreted split/slice/concat_ws pipeline it replaces was the
+    * second-largest cost in the dedup benchmark).
     */
   def withShingles(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs.withColumn("shingles", expr(
-      s"""CASE WHEN size(split(`$textCol`, ' +')) >= $n
-            THEN transform(sequence(1, size(split(`$textCol`, ' +')) - ${n - 1}),
-                           i -> concat_ws(' ', slice(split(`$textCol`, ' +'), i, $n)))
-            ELSE array(`$textCol`) END"""))
+    docs.withColumn("shingles",
+      graft.functions.WordShingles.col(col(textCol), n))
 
   // -------------------------------------------------------------- MinHash
 
