@@ -315,6 +315,43 @@ object QueryCatalog {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
       ORDER BY c_custkey""")),
 
+    QueryDef("q_having", (s, d) =>
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 15)
+        .orderBy("o_custkey"),
+      Some("""
+      SELECT o_custkey, COUNT(*) AS n FROM orders
+      GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""")),
+
+    QueryDef("q_string_ops", (s, d) =>
+      t(s, d, "customer").select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_u"),
+          substring(col("c_name"), 1, 8).as("name_pre"),
+          length(col("c_name")).cast("long").as("name_len"),
+          concat(col("c_mktsegment"), lit("-"), col("c_nationkey").cast("string"))
+            .as("seg_nat"))
+        .orderBy("c_custkey"),
+      Some("""
+      SELECT c_custkey, upper(c_name) AS name_u, substr(c_name, 1, 8) AS name_pre,
+        CAST(length(c_name) AS BIGINT) AS name_len,
+        concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nat
+      FROM customer ORDER BY c_custkey""")),
+
+    QueryDef("q_date_parts", (s, d) =>
+      t(s, d, "orders").groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+        .orderBy("y", "m"),
+      Some("""
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
     // ================================================================
     // Event time-slicing pipeline (the reference's flagship analytic)
     // ================================================================

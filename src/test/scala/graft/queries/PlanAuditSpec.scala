@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Plan-quality assertions — the properties SURVEY.md §4/§6 claim, locked
+  * in as tests so a regression (a filter that stops pushing down, a
+  * broadcast that silently becomes a shuffle, a window that loses its
+  * partitioning) fails CI instead of surfacing at 100 TB.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formattedPlan(name: String): String = {
+    val df = QueryCatalog.byName(name).fn(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: every predicate reaches the parquet scan; schema is pruned") {
+    val plan = formattedPlan("q6_filter_agg")
+    assert(plan.contains("PushedFilters:"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach(f =>
+      assert(plan.contains(f), s"missing pushed filter $f"))
+    // column pruning: only the 4 referenced columns are read
+    val readSchema = plan.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q3: dimension joins broadcast instead of shuffling the fact side") {
+    val plan = formattedPlan("q3_top_orders")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must push into the customer scan")
+  }
+
+  test("q_window_rank: the window keeps its partitioning (no global sort)") {
+    val plan = formattedPlan("q_window_rank")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      "window must hash-partition by o_custkey, not sort globally")
+  }
+
+  test("pulse_times: the timing-log filter pushes to the scan") {
+    val plan = formattedPlan("pulse_times")
+    assert(plan.contains("EqualTo(event_type,click)"))
+  }
+
+  test("events_absolute_time: as-of join is a real equi-join, not a nested loop") {
+    val plan = formattedPlan("events_absolute_time")
+    assert(!plan.contains("BroadcastNestedLoopJoin LeftOuter"),
+      "as-of join degenerated into a nested-loop range join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      "expected a hash/merge equi-join on (bucket)")
+  }
+
+  test("dedup_exact: single shuffle keyed on the content hash") {
+    val plan = formattedPlan("dedup_exact")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "aggregation lost its map-side partial phase")
+  }
+}
