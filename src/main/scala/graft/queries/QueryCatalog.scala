@@ -627,6 +627,11 @@ object QueryCatalog {
         .orderBy("id_a", "id_b")
     }, None),
 
+    QueryDef("lang_id_ngram", (s, d) =>
+      TextAnalysis.langIdNgram(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      None),
+
     QueryDef("rolling_fingerprint", (s, d) =>
       t(s, d, "documents")
         .selectExpr("doc_id", "graft_rolling_fingerprint(text, 8) AS fp")

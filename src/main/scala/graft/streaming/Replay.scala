@@ -105,6 +105,42 @@ object Replay {
       }
   }
 
+  case class ClosedSession(userId: Long, nEvents: Long, firstTs: Long, lastTs: Long)
+
+  /** Event-time sessionization: sessions close when the WATERMARK passes
+    * last-event + gap (flatMapGroupsWithState + EventTimeTimeout), so
+    * late data within the watermark still joins its session and state is
+    * bounded by the watermark horizon — the production-grade variant of
+    * [[sessionize]]'s processing-time timeout.
+    *
+    * @param stream (userId, eventTime) rows; watermark must already be
+    *               applied to the timestamp column upstream
+    */
+  def sessionizeByEventTime(spark: SparkSession,
+                            stream: Dataset[(Long, java.sql.Timestamp)],
+                            gapMs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    stream.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.nEvents, s.firstTs, s.lastTs))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, Long.MinValue))
+            val next = SessionState(prev.nEvents + ts.size,
+              math.min(prev.firstTs, ts.min), math.max(prev.lastTs, ts.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming source over an ETL output directory — the "continuously
     * stream new events as they're ingested" mode
     * (spark_replay_events.py:134-163), with parquet standing in for the

@@ -57,6 +57,51 @@ object TextAnalysis {
       when(hits >= 2, "en").otherwise("other").as("lang_pred"))
   }
 
+  /** Built-in character-trigram profiles for the n-gram language ID.
+    * Deliberately tiny (high-frequency function-word trigrams); a real
+    * deployment swaps in learned profiles — the scoring plan is identical:
+    * the profile table is broadcast, the corpus never shuffles until the
+    * per-document aggregate.
+    */
+  val defaultTrigramProfiles: Seq[(String, String, Double)] = Seq(
+    ("en", "the", 3.0), ("en", "he ", 2.0), ("en", "and", 2.5), ("en", "ing", 2.0),
+    ("en", " of", 2.0), ("en", "ion", 1.5), ("en", " to", 1.5),
+    ("es", " de", 3.0), ("es", "de ", 2.5), ("es", "la ", 2.0), ("es", "os ", 2.0),
+    ("es", "ar ", 1.5), ("es", "que", 2.0), ("es", "ión", 1.5),
+    ("de", "der", 3.0), ("de", "ein", 2.5), ("de", "sch", 2.5), ("de", "und", 2.5),
+    ("de", "ich", 2.0), ("de", "en ", 1.5), ("de", "die", 2.0),
+    ("fr", "le ", 2.5), ("fr", " le", 2.0), ("fr", "es ", 1.5), ("fr", "ent", 2.0),
+    ("fr", "eur", 1.5), ("fr", "ais", 1.5), ("fr", "une", 2.0))
+
+  /** N-gram language ID: score each document's character trigrams against
+    * per-language profile weights and keep the argmax. The profile table
+    * is broadcast; the only shuffle is the per-document aggregate. Docs
+    * with no profile hit are labeled 'unknown'.
+    */
+  def langIdNgram(docs: DataFrame, textCol: String, idCol: String,
+                  profiles: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = profiles.getOrElse(
+      defaultTrigramProfiles.toDF("lang", "trigram", "weight"))
+    val grams = docs.select(
+      col(idCol),
+      explode(expr(
+        s"transform(sequence(1, greatest(length(`$textCol`) - 2, 1)), " +
+        s"i -> substring(lower(`$textCol`), i, 3))")).as("trigram"))
+    val scores = grams.join(broadcast(prof), "trigram")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum("weight").as("score"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("lang"), struct(col("score"), col("lang"))).as("lang_pred"),
+           max(col("score")).as("lang_score"))
+    docs.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang_pred"), lit("unknown")).as("lang_pred"),
+        coalesce(col("lang_score"), lit(0.0)).as("lang_score"))
+  }
+
   /** Composite quality score from surface ratios (length, punctuation
     * density, word shape) — the usual first-pass filter before expensive
     * model-based scoring.

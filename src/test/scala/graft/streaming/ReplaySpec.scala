@@ -81,6 +81,31 @@ class ReplaySpec extends SparkSuite {
     assert(rows.exists(r => r._1 == 9L && r._2 == 1L))
   }
 
+  test("sessionizeByEventTime closes sessions when the watermark passes the gap") {
+    val input = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val withWm = input.toDF().toDF("userId", "ts")
+      .withWatermark("ts", "5 seconds")
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = Replay.sessionizeByEventTime(spark, withWm, gapMs = 10000)
+    val query = sessions.writeStream.format("memory").queryName("evsess")
+      .outputMode(OutputMode.Append).start()
+    // user 7's session: events at 1s and 3s; gap 10s -> times out at 13s
+    input.addData((7L, t(1)), (7L, t(3)))
+    query.processAllAvailable()
+    assert(spark.table("evsess").count() === 0) // watermark not past 13s yet
+    // a much later event pushes the watermark (100-5=95s > 13s)
+    input.addData((9L, t(100)))
+    query.processAllAvailable()
+    input.addData((9L, t(101))) // one more batch so the timeout fires
+    query.processAllAvailable()
+    query.stop()
+    val closed = spark.table("evsess")
+      .select("userId", "nEvents", "firstTs", "lastTs")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(closed.contains((7L, 2L, 1000L, 3000L)), s"got $closed")
+  }
+
   test("streamFromDir + writeStreamToDir round-trip through parquet") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_stream_out").toString

@@ -36,6 +36,18 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rows(2L) === ((0L, "other")))
   }
 
+  test("langIdNgram scores trigrams against broadcast profiles") {
+    val df = Seq(
+      (1L, "the thing and the other thing of note"),
+      (2L, "der einzige schlüssel und die schöne aussicht"),
+      (3L, "zzzz qqqq xxxx")).toDF("doc_id", "text")
+    val rows = TextAnalysis.langIdNgram(df, "text", "doc_id")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(rows(1L) === "en")
+    assert(rows(2L) === "de")
+    assert(rows(3L) === "unknown")
+  }
+
   test("qualityScore stays in [0, 1] and rewards well-formed text") {
     val df = Seq(
       (1L, ("the quick brown fox. " * 15).trim),   // long, clean
