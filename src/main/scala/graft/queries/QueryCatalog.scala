@@ -597,6 +597,18 @@ object QueryCatalog {
         CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_chunks
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("heavy_hitters", (s, d) =>
+      t(s, d, "events")
+        .agg(graft.functions.HeavyHitters.topK(col("event_type"), 10).as("top"))
+        .selectExpr("inline(top)")
+        .select(col("value"), col("count"), col("error"))
+        .orderBy(col("count").desc, col("value")),
+      // k=10 > 5 distinct event types => SpaceSaving is exact and matches
+      // a plain group-count
+      Some("""
+      SELECT event_type AS value, COUNT(*) AS count, CAST(0 AS BIGINT) AS error
+      FROM events GROUP BY event_type ORDER BY count DESC, value""")),
+
     // ------- LSH / ANN operators: no portable SQL oracle (driver records
     // rows-only); exact semantics are asserted in the ScalaTest suites.
 
