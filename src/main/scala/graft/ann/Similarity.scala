@@ -100,6 +100,60 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Lloyd k-means over the embedding column, expressed as iterated
+    * broadcast-assign + elementwise-mean aggregation — no driver-side
+    * vectors, no RNG (seeds are a deterministic hash sample). Used to
+    * learn IVF centroids; `iters` of 2-5 is plenty for routing quality.
+    *
+    * Scale shape per iteration: one broadcast join (corpus x k centroids,
+    * map-side), one shuffle keyed on (centroid, dim) for the means. Run
+    * on a sample for very large corpora — routing centroids don't need
+    * the full corpus.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // exactly-k seeds: hash-rank the (sample-sized) corpus and take the
+    // bottom k — a probability filter would yield a Binomial count, not k
+    var centroids = c
+      .withColumn("__rk", pmod(xxhash64(col("__id")), lit(1000000007L)))
+      .orderBy("__rk", "__id")
+      .limit(k)
+      .select(col("__id").as("centroid_id"),
+        expr("transform(__v, x -> CAST(x AS DOUBLE))").as("centroid_vec"))
+      .persist()
+    centroids.count()
+
+    for (_ <- 1 to iters) {
+      val assigned = c.crossJoin(broadcast(centroids))
+        .withColumn("__cos", cosine(col("__v"), col("centroid_vec")))
+        .groupBy(col("__id"), col("__v"))
+        .agg(max_by(col("centroid_id"), struct(col("__cos"), col("centroid_id")))
+          .as("centroid_id"))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("centroid_id", "__pos")
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("centroid_id"),
+          expr("transform(__pm, p -> p.__m)").as("__new_vec"))
+      // clusters that lost every member keep their previous centroid
+      val next = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__new_vec"), col("centroid_vec")).as("centroid_vec"))
+        .persist()
+      next.count()
+      centroids.unpersist()
+      centroids = next
+    }
+    centroids
+  }
+
   /** IVF-style ANN: partition the corpus into `nLists` centroid-owned
     * inverted lists, probes search only their `nProbe` nearest lists.
     *
@@ -118,16 +172,18 @@ object Similarity {
       k: Int,
       nLists: Int,
       nProbe: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      learnedCentroids: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("cid_"), col(vecCol).as("cv"))
-    val n = c.count()
-    val step = math.max(1L, n / nLists)
-    // deterministic centroid sample: stable hash order, every step-th row
-    val centroids = c
-      .withColumn("__rk", pmod(xxhash64(col("cid_")), lit(step)))
-      .filter(col("__rk") === 0)
-      .limit(nLists)
-      .select(col("cid_").as("centroid_id"), col("cv").as("centroid_vec"))
+    // centroids: learned (kmeansCentroids) or a deterministic hash sample
+    val centroids = learnedCentroids.getOrElse {
+      val n = c.count()
+      val step = math.max(1L, n / nLists)
+      c.withColumn("__rk", pmod(xxhash64(col("cid_")), lit(step)))
+        .filter(col("__rk") === 0)
+        .limit(nLists)
+        .select(col("cid_").as("centroid_id"), col("cv").as("centroid_vec"))
+    }
 
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(centroids))

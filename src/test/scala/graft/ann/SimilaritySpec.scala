@@ -56,6 +56,21 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("kmeansCentroids learns k centroids that improve IVF routing") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val centroids = Similarity.kmeansCentroids(em, "vec_id", "embedding", k = 8, iters = 2)
+    assert(centroids.count() === 8)
+    assert(centroids.columns.toSeq === Seq("centroid_id", "centroid_vec"))
+    val probes = em.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(em, probes, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 4, learnedCentroids = Some(centroids))
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"learned-centroid IVF recall $recall too low")
+  }
+
   test("cosineDedupCandidates finds identical planted vectors") {
     val planted = vecs.filter(col("vec_id") === 0)
       .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
