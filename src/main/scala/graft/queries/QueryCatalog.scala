@@ -315,6 +315,46 @@ object QueryCatalog {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
       ORDER BY c_custkey""")),
 
+    QueryDef("q_cube", (s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("n"))
+        .orderBy("st", "pr"),
+      Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+             COALESCE(o_orderpriority, 'ALL') AS pr,
+             COUNT(*) AS n
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY st, pr""")),
+
+    QueryDef("q_lag_lead", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef("q_ntile", (s, d) => {
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+      FROM orders ORDER BY o_orderkey""")),
+
     QueryDef("q_having", (s, d) =>
       t(s, d, "orders").groupBy("o_custkey")
         .agg(count(lit(1)).as("n"))

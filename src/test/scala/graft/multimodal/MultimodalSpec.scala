@@ -43,4 +43,17 @@ class MultimodalSpec extends SparkSuite {
       Seq("media_id", "content_type", "byte_len", "width", "height", "n_frames"))
     assert(meta.count() === 3)
   }
+
+  test("parquet-backed metadata query prunes the binary column at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.toMediaBlobs(spark, payloads, "id", "payload").write
+      .mode("overwrite").parquet(dir)
+    val meta = Multimodal.metaTable(spark.read.parquet(dir).as[Multimodal.MediaRow])
+    val plan = meta.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = plan.linesIterator.find(_.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("content:binary"),
+      s"binary payload read for a metadata-only query: $readSchema")
+    assert(meta.count() === 3)
+  }
 }
