@@ -166,6 +166,66 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // --------------------------------------- duplicate-cluster resolution
+
+  /** Connected components over a candidate-pair graph by iterative
+    * min-label propagation: each vertex adopts the smallest id reachable
+    * so far; converges in O(diameter) joins. This resolves TRANSITIVE
+    * duplicate chains (a~b, b~c => one cluster) that pairwise dropping
+    * handles only approximately. Everything is DataFrame joins — no graph
+    * library, no driver-side union-find — so it scales with the shuffle.
+    *
+    * @param pairs (id_a, id_b) undirected candidate edges
+    * @return (id, component) — component = min id in the cluster;
+    *         isolated ids absent from `pairs` are not returned
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each vertex takes the min of its own label and its neighbors'
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-aware near-dedup: build candidate pairs (MinHash LSH), close
+    * them transitively, keep the min-id document of every duplicate
+    * cluster.
+    */
+  def minHashDedupClustered(docs: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes,
+      bands, minJaccard)
+    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    val drop = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact n-gram Jaccard similarity for given candidate pairs — the

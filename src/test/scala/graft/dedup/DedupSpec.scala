@@ -59,6 +59,32 @@ class DedupSpec extends SparkSuite {
     assert((40L until 100L).forall(survivors.contains))
   }
 
+  test("connectedComponents closes transitive chains to min-id clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .select("id", "component").as[(Long, Long)].collect().toMap
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(7L) === 7L && comps(8L) === 7L && comps(9L) === 7L)
+    assert(comps(20L) === 20L && comps(21L) === 20L)
+  }
+
+  test("minHashDedupClustered keeps one survivor per transitive near-dup chain") {
+    // a chain: base, base+s1, base+s1+s2 — adjacent pairs are near-dups
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val chain = Seq(
+      (1L, base),
+      (2L, base + " one"),
+      (3L, base + " one two"),
+      (50L, "completely different content about query engines and shuffles entirely"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.minHashDedupClustered(chain, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 50L))
+  }
+
   test("simhash is identical for identical docs and candidates verify by hamming") {
     val hashed = Dedup.withSimHash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
