@@ -76,7 +76,10 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: probes meet only corpus rows in the
     * same bucket. One shuffle on lsh_bucket for the corpus side; the probe
-    * side is broadcast per bucket.
+    * side is broadcast per bucket. With `multiProbe` each probe also
+    * visits the `bits` Hamming-1 neighboring buckets (flip one sketch
+    * bit) — the standard recall lever that costs probe-side fan-out only,
+    * never a bigger corpus shuffle.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -86,9 +89,15 @@ object Similarity {
       k: Int,
       bits: Int,
       dim: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      multiProbe: Boolean = false): DataFrame = {
     val c = withLshBucket(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "__cv", bits, dim)
-    val p = withLshBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", bits, dim)
+    val p0 = withLshBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", bits, dim)
+    val p = if (!multiProbe) p0 else p0
+      .withColumn("lsh_bucket", explode(expr(
+        s"""array_union(array(lsh_bucket),
+              transform(sequence(0, ${bits - 1}),
+                b -> lsh_bucket ^ shiftleft(CAST(1 AS BIGINT), b)))""")))
     val joined = c.join(broadcast(p), "lsh_bucket")
     val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))
     val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0

@@ -42,6 +42,12 @@ class SimilaritySpec extends SparkSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.15, s"LSH recall $recall too low")
     assert(approx.nonEmpty)
+    // multi-probe visits Hamming-1 buckets too: recall never decreases
+    val multi = Similarity.lshTopK(em, probes, "vec_id", "embedding",
+        k = 5, bits = 2, dim = 64, multiProbe = true)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(recallMulti >= recall, s"multi-probe recall $recallMulti < single $recall")
   }
 
   test("ivfTopK recall vs brute force beats the probed-list fraction") {
