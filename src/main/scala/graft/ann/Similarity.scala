@@ -52,27 +52,14 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-1, 1). Reproducible across runs/executors with
-    * no RNG state.
+  /** Sign-bit sketch bucket id for a vector column, via the native
+    * codegen expression [[graft.functions.LshBucket]] (deterministic
+    * hash-derived hyperplanes cached per (bits, dim); one fused loop
+    * instead of bits x dim interpreted lambda dispatches). `dim` is kept
+    * for API stability; the expression reads it from the array.
     */
-  private def planesExpr(bits: Int, dim: Int): String =
-    s"""transform(sequence(0, ${bits - 1}),
-         p -> transform(sequence(0, ${dim - 1}),
-           d -> CAST(pmod(xxhash64(concat(CAST(p AS STRING), '_', CAST(d AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0))"""
-
-  /** Sign-bit sketch bucket id for a vector column. */
   def withLshBucket(df: DataFrame, vecCol: String, bits: Int, dim: Int): DataFrame =
-    df.withColumn("__planes", expr(planesExpr(bits, dim)))
-      .withColumn("lsh_bucket", expr(
-        s"""aggregate(
-              transform(sequence(0, ${bits - 1}),
-                p -> IF(aggregate(zip_with(`$vecCol`, element_at(__planes, p + 1),
-                                           (v, w) -> CAST(v AS DOUBLE) * w),
-                                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) >= 0,
-                        shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))),
-              CAST(0 AS BIGINT), (acc, b) -> acc | b)"""))
-      .drop("__planes")
+    df.withColumn("lsh_bucket", graft.functions.LshBucket.col(col(vecCol), bits))
 
   /** LSH-bucketed approximate top-k: probes meet only corpus rows in the
     * same bucket. One shuffle on lsh_bucket for the corpus side; the probe

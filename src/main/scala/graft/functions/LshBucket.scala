@@ -1,0 +1,84 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{Column, GraftColumnShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Random-hyperplane LSH sketch as a native codegen expression: `bits`
+  * sign bits of hyperplane projections packed into a long bucket id.
+  * Hyperplane components are a deterministic hash fold (same formula as
+  * the SQL formulation it replaces: xxhash64("p_d") folded into [-1, 1)),
+  * cached per (bits, dim) — no RNG state, reproducible across executors
+  * and runs. One fused loop instead of bits x dim interpreted lambda
+  * dispatches per row.
+  */
+case class LshBucket(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+
+  private def elem(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _) => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elem(child.dataType).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_bucket expects ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  private lazy val isDouble = elem(child.dataType).get
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBucket.compute(input.asInstanceOf[ArrayData], isDouble, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.LshBucket.compute($c, $isDouble, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  private val planeCache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  /** weight(p, d) = pmod(xxhash64(utf8("p_d"), 42), 2000) / 1000 - 1. */
+  private def planes(bits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dim), { _ =>
+      Array.tabulate(bits, dim) { (p, d) =>
+        val s = UTF8String.fromString(s"${p}_${d}")
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        Math.floorMod(h, 2000L).toDouble / 1000.0 - 1.0
+      }
+    })
+
+  def compute(vec: ArrayData, isDouble: Boolean, bits: Int): Long = {
+    val dim = vec.numElements()
+    val w = planes(bits, dim)
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      val wp = w(p)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isDouble) vec.getDouble(d) else vec.getFloat(d).toDouble
+        dot += x * wp(d)
+        d += 1
+      }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  def col(c: Column, bits: Int): Column =
+    GraftColumnShim.column(LshBucket(GraftColumnShim.expression(c), bits))
+}
