@@ -662,6 +662,24 @@ object QueryCatalog {
         .orderBy("id_a", "id_b")
     }, None, bench = true),
 
+    // scale probe for the dedup map-side path: 21x-replicated corpus
+    // (10.5k docs at any sf), signatures + band hashes only — the part
+    // whose cost is linear in corpus bytes and must stay so
+    QueryDef("dedup_sigs_10k", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val replicated = docs
+        .withColumn("copy", explode(expr("sequence(0, 20)")))
+        .select((col("doc_id") * 100 + col("copy")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("copy").cast("string")).as("text"))
+      val banded = Dedup.withBands(
+        Dedup.withMinHashSignature(
+          Dedup.withShingles(replicated, "text", 3), 64), 64, 16)
+      banded.groupBy(col("band.band_id").as("band_id"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("band.band_hash")).as("n_buckets"))
+        .orderBy("band_id")
+    }, None, bench = true),
+
     QueryDef("dedup_simhash", (s, d) =>
       Dedup.withSimHash(t(s, d, "documents").select("doc_id", "text"), "text")
         .select("doc_id", "simhash")
