@@ -26,6 +26,7 @@ object EventSliceCli {
     var timeLog = "proton_charge"
     var bank: Option[String] = None
     var byBank = false
+    var includeErrorEvents = false
     var output: Option[String] = None
     var i = 0
     while (i < args.length) {
@@ -38,6 +39,7 @@ object EventSliceCli {
         case "--time-log" => timeLog = args(i + 1); i += 2
         case "--bank" => bank = Some(args(i + 1)); i += 2
         case "--by-bank" => byBank = true; i += 1
+        case "--include-error-events" => includeErrorEvents = true; i += 1
         case "--output" => output = Some(args(i + 1)); i += 2
         case other => System.err.println(s"unknown option: $other"); sys.exit(2)
       }
@@ -60,7 +62,11 @@ object EventSliceCli {
       .filter(col("run_id") === runId)
     val events0 = spark.read.parquet(s"$parquetDir/events")
       .filter(col("run_id") === runId)
-    val events1 = bank.fold(events0)(b => events0.filter(col("bank") === b))
+    val events1a = bank.fold(events0)(b => events0.filter(col("bank") === b))
+    // error/unmapped banks are excluded by default (reference
+    // extract_events_by_time.py:83-88)
+    val events1 = if (includeErrorEvents) events1a
+                  else EventTime.excludeErrorBanks(events1a, "bank")
 
     // pulse times: primary log with the reference's fallbacks (:130-143)
     val pulses = EventTime.derivePulseTimes(daslogs, "log_name", "time", timeLog,

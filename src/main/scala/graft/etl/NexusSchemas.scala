@@ -141,4 +141,22 @@ object NexusSchemas {
   /** Fields excluding the partition columns (schemas.py:217). */
   def fieldsWithoutPartition(s: StructType): Seq[StructField] =
     s.filterNot(f => f.name == "instrument_id" || f.name == "run_number").toSeq
+
+  /** CREATE TABLE DDL for a lakehouse engine (Trino/Athena/Spark SQL) —
+    * the schema_to_iceberg_fields + init_neutron_data.py:55-184 path.
+    * Partition keys become the PARTITIONED BY clause.
+    */
+  def toCreateTableDdl(table: String, catalogPrefix: String = ""): String = {
+    val schema = byTable(table)
+    val name = if (catalogPrefix.isEmpty) table else s"$catalogPrefix.$table"
+    val cols = fieldsWithoutPartition(schema)
+      .map(f => s"  ${f.name} ${f.dataType.sql}")
+      .mkString(",\n")
+    s"""CREATE TABLE IF NOT EXISTS $name (
+       |  instrument_id STRING,
+       |  run_number BIGINT,
+       |$cols
+       |) USING iceberg
+       |PARTITIONED BY (instrument_id, run_number)""".stripMargin
+  }
 }

@@ -140,6 +140,16 @@ object EventTime {
       .agg(lit(start).as("start_time"), (lit(end).as("end_time") +: aggs): _*)
   }
 
+  /** Exclude error/unmapped detector banks (reference
+    * extract_events_by_time.py:83-88 drops `*error*` / `*unmapped*` event
+    * files by default; here the same policy as a row filter that pushes
+    * to the scan).
+    */
+  def excludeErrorBanks(events: DataFrame, bankCol: String): DataFrame =
+    events.filter(
+      !lower(col(bankCol)).contains("error") &&
+      !lower(col(bankCol)).contains("unmapped"))
+
   /** Rebase an integral epoch column to offsets from its global minimum
     * (the reference's times are seconds-from-run-start already; the
     * synthetic events table carries absolute epochs). The min is a single

@@ -42,6 +42,18 @@ class SchemaAndRoutingSpec extends SparkSuite {
     assert(fields.exists(_.name == "run_id"))
   }
 
+  test("toCreateTableDdl emits partitioned Iceberg DDL (init_neutron_data.py:55-184)") {
+    val ddl = NexusSchemas.toCreateTableDdl("daslogs", "lake.neutron")
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS lake.neutron.daslogs"))
+    assert(ddl.contains("instrument_id STRING"))
+    assert(ddl.contains("run_number BIGINT"))
+    assert(ddl.contains("value_numeric DOUBLE"))
+    assert(ddl.contains("PARTITIONED BY (instrument_id, run_number)"))
+    // nested/map columns render valid SQL types
+    assert(NexusSchemas.toCreateTableDdl("experiment_runs")
+      .contains("MAP<STRING, STRING>"))
+  }
+
   test("filename routing mirrors ingest_neutron_data.py:75-93") {
     assert(IcebergRouting.fromFilename("run1_metadata.parquet") === Some("experiment_runs"))
     assert(IcebergRouting.fromFilename("run1_daslogs.parquet") === Some("daslogs"))

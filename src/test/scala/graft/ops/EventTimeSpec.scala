@@ -45,6 +45,14 @@ class EventTimeSpec extends SparkSuite {
     assert(out === ((5L, 25L, 3L, 5L, 10L)))
   }
 
+  test("excludeErrorBanks drops error/unmapped banks by default (ref extract_events_by_time.py:83)") {
+    val ev = Seq("bank1_events", "bank_ERROR_events", "bank_unmapped_events", "bank2_events")
+      .map(b => (b, 1L)).toDF("bank", "x")
+    val kept = EventTime.excludeErrorBanks(ev, "bank")
+      .select("bank").as[String].collect().toSet
+    assert(kept === Set("bank1_events", "bank2_events"))
+  }
+
   test("withOffsetFromStart rebases to the global minimum") {
     val ev = Seq(100L, 105L, 150L).map(Tuple1(_)).toDF("t")
     val out = EventTime.withOffsetFromStart(ev, "t", "off")
