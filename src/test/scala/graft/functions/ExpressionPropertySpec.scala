@@ -1,0 +1,141 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks for the native expressions against independent
+  * reference implementations, over deterministic pseudo-random inputs
+  * (fixed seed — no Spark session needed, pure JVM).
+  */
+class ExpressionPropertySpec extends AnyFunSuite {
+
+  private val rnd = new Random(42)
+  private def randomText(): String = {
+    val words = (0 until rnd.nextInt(40)).map(_ =>
+      (0 until (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    // odd spacing: single, double, leading/trailing spaces
+    val sep = Seq(" ", "  ", "   ")
+    val body = words.mkString(sep(rnd.nextInt(3)))
+    (if (rnd.nextBoolean()) " " else "") + body + (if (rnd.nextBoolean()) " " else "")
+  }
+
+  private def tokens(s: String): Seq[String] =
+    s.split(" +").filter(_.nonEmpty).toSeq
+
+  test("WordShingles matches a split-based reference on 300 random texts") {
+    for (_ <- 1 to 300) {
+      val t = randomText()
+      val n = 1 + rnd.nextInt(4)
+      val toks = tokens(t)
+      val expected =
+        if (toks.isEmpty) Seq("")
+        else if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val actual = WordShingles.compute(UTF8String.fromString(t), n)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+      assert(actual === expected, s"text=${t.replace(" ", "_")} n=$n")
+    }
+  }
+
+  test("MinHashSig matches the (h1 + j*h2) mod p brute force") {
+    val P = MinHashSig.P
+    for (_ <- 1 to 100) {
+      val shingles = (0 until (1 + rnd.nextInt(50))).map(_ => randomText().trim)
+      val k = 1 + rnd.nextInt(64)
+      val arr = new GenericArrayData(shingles.map(UTF8String.fromString).toArray[Any])
+      val actual = MinHashSig.compute(arr, k)
+        .toLongArray().toSeq
+      val expected = (0 until k).map { j =>
+        val vals = shingles.map { s =>
+          val u = UTF8String.fromString(s)
+          val h1 = Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L), P)
+          val h2 = Math.floorMod(org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 1L), P)
+          (h1 + j.toLong * h2) % P
+        }
+        if (vals.isEmpty) P else vals.min
+      }
+      assert(actual === expected)
+    }
+  }
+
+  test("CosineSim matches an index-order fold exactly") {
+    for (_ <- 1 to 200) {
+      val dim = 1 + rnd.nextInt(128)
+      val a = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val b = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val actual = CosineSim.compute(
+        new GenericArrayData(a.map(x => x: Any)), false,
+        new GenericArrayData(b.map(x => x: Any)), false)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      val expected = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(actual === expected) // bit-for-bit: same accumulation order
+    }
+  }
+
+  test("SimHashSig bit votes match a per-bit reference") {
+    for (_ <- 1 to 100) {
+      val toks = (0 until (1 + rnd.nextInt(30))).map(_ => randomText().trim)
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val actual = SimHashSig.compute(arr)
+      val votes = new Array[Int](64)
+      toks.foreach { t =>
+        val u = UTF8String.fromString(t)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        for (b <- 0 until 64)
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      }
+      val expected = (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+      assert(actual === expected)
+    }
+  }
+
+  test("LshBucket sign bits match a recomputed-plane reference") {
+    for (_ <- 1 to 100) {
+      val dim = 1 + rnd.nextInt(64)
+      val bits = 1 + rnd.nextInt(16)
+      val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      val actual = LshBucket.compute(
+        new GenericArrayData(v.map(x => x: Any)), false, bits)
+      val expected = (0 until bits).foldLeft(0L) { (acc, p) =>
+        var dot = 0.0
+        for (d <- 0 until dim) {
+          val s = UTF8String.fromString(s"${p}_${d}")
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          val w = Math.floorMod(h, 2000L).toDouble / 1000.0 - 1.0
+          dot += v(d).toDouble * w
+        }
+        if (dot >= 0) acc | (1L << p) else acc
+      }
+      assert(actual === expected)
+    }
+  }
+
+  test("RollingFingerprint equals brute-force window minimum on random bytes") {
+    for (_ <- 1 to 200) {
+      val t = randomText()
+      val w = 1 + rnd.nextInt(12)
+      val bytes = t.getBytes("UTF-8")
+      val expected = if (bytes.isEmpty) 0L else {
+        val win = math.min(w, bytes.length)
+        (0 to bytes.length - win).map { i =>
+          bytes.slice(i, i + win).foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+        }.min
+      }
+      assert(RollingFingerprint.compute(UTF8String.fromString(t), w) === expected)
+    }
+  }
+}
