@@ -2,6 +2,10 @@ package graft
 
 class CatalogSpec extends SparkSuite {
 
+  test("SparkEntry.entry (driver smoke check) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("registerTables exposes every table to plain SQL") {
     Catalog.registerTables(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
