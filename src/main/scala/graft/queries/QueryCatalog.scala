@@ -315,6 +315,24 @@ object QueryCatalog {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
       ORDER BY c_custkey""")),
 
+    QueryDef("q_salted_agg", (s, d) => {
+      // two-phase salted aggregation must equal the direct group-sum;
+      // decimal sums keep both phases exact so the oracle is the plain agg
+      val li = t(s, d, "lineitem")
+        .withColumn("__uid",
+          concat(col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string")))
+        .withColumn("qty_dec", dec(col("l_quantity")))
+      graft.ops.Skew.saltedSumCount(li, Seq("l_returnflag"), "__uid",
+          saltBuckets = 8, sums = Seq("qty_dec"))
+        .select(col("l_returnflag"), col("n"),
+          col("sum_qty_dec").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef("q_cube", (s, d) =>
       t(s, d, "orders")
         .cube("o_orderstatus", "o_orderpriority")
