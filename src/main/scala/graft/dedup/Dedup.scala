@@ -166,6 +166,46 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------ cross-corpus contamination scan
+
+  /** Train/eval decontamination: find corpusA documents sharing at least
+    * `minShared` word n-grams with any corpusB document (the standard
+    * benchmark-leakage check before training).
+    *
+    * Scale shape: both corpora reduce to (shingle-hash, id) pairs and
+    * meet in ONE equi-join keyed on the 64-bit shingle hash — no
+    * all-pairs term. Ubiquitous shingles (df > maxDocFreq on the B side)
+    * are dropped first: they carry no evidence and are exactly the keys
+    * that would skew the join.
+    *
+    * @return (id_a, id_b, n_shared) pairs with n_shared >= minShared
+    */
+  def crossCorpusContamination(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minShared: Int = 1,
+      maxDocFreq: Long = 10): DataFrame = {
+    def hashed(df: DataFrame, as: String): DataFrame =
+      withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+        .select(col(idCol).as(as), explode(array_distinct(col("shingles"))).as("sh"))
+        .withColumn("h", xxhash64(col("sh")))
+        .select(as, "h")
+    val b = hashed(corpusB, "id_b")
+    // document-frequency cap on the eval side
+    val keep = b.groupBy("h").agg(count_distinct(col("id_b")).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("h")
+    val bKept = b.join(keep, "h")
+    hashed(corpusA, "id_a")
+      .join(bKept, "h")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // --------------------------------------- duplicate-cluster resolution
 
   /** Connected components over a candidate-pair graph by iterative

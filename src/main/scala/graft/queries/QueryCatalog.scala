@@ -315,6 +315,20 @@ object QueryCatalog {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
       ORDER BY c_custkey""")),
 
+    QueryDef("q_quantiles", (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+          expr("percentile(l_extendedprice, 0.5D)").as("median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        quantile_cont(l_extendedprice, 0.5) AS median_price,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef("q_salted_agg", (s, d) => {
       // two-phase salted aggregation must equal the direct group-sum;
       // decimal sums keep both phases exact so the oracle is the plain agg
@@ -712,6 +726,17 @@ object QueryCatalog {
       val pairs = docs.filter(col("doc_id") < 50)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
       Dedup.ngramJaccard(docs.unionByName(planted), pairs, "text", "doc_id", n = 3)
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    QueryDef("contamination_scan", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      // plant eval docs containing train 8-grams verbatim
+      val eval_ = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("evalprefix "), col("text"), lit(" evalsuffix")).as("text"))
+      Dedup.crossCorpusContamination(docs, eval_, "text", "doc_id",
+          n = 8, minShared = 3, maxDocFreq = 10)
         .orderBy("id_a", "id_b")
     }, None),
 

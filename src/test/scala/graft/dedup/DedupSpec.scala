@@ -95,6 +95,29 @@ class DedupSpec extends SparkSuite {
     assert(!cands.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("crossCorpusContamination flags shared n-grams and honors the df cap") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally unrelated training material with distinct vocabulary here"),
+      (3L, "common header words shared by every single evaluation document")) // ubiquitous
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"),
+      (101L, "common header words shared by every single evaluation document one"),
+      (102L, "common header words shared by every single evaluation document two"),
+      (103L, "common header words shared by every single evaluation document three"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusContamination(train, eval_, "text", "doc_id",
+        n = 8, minShared = 1, maxDocFreq = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // doc 1's 8-grams appear verbatim inside eval doc 100
+    assert(hits.contains((1L, 100L)))
+    // doc 2 shares nothing
+    assert(!hits.exists(_._1 == 2L))
+    // doc 3's shingles appear in 3 eval docs > maxDocFreq=2 -> capped away
+    assert(!hits.exists(_._1 == 3L))
+  }
+
   test("ngramJaccard computes exact similarity for given pairs") {
     val pairs = Seq((1L, 3L), (1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", n = 3)
