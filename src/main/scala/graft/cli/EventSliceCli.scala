@@ -73,12 +73,23 @@ object EventSliceCli {
       alternates = Seq("proton_charge", "SampleProtonCharge", "pcharge", "ProtonCharge"),
       runKeys = Seq("run_id"))
 
+    // diagnostics the reference prints while loading (:163-169)
+    val pstats = pulses.agg(count(lit(1)), min("pulse_time"), max("pulse_time")).head()
+    println(f"  Found ${pstats.getLong(0)}%,d pulses")
+    if (pstats.getLong(0) > 0)
+      println(f"  Time range: ${pstats.getDouble(1)}%.2fs to ${pstats.getDouble(2)}%.2fs")
+
     // events already carry pulse_index; recompute absolute time from the
     // (possibly different) timing log via equi-join (:224-235)
     val withTime = events1.drop("pulse_time")
       .join(pulses.select("run_id", "pulse_index", "pulse_time"),
         Seq("run_id", "pulse_index"), "left")
       .withColumn("absolute_time", col("pulse_time") + col("time_offset") / 1e6)
+
+    // ":238-241 Events with valid absolute time: X / Y" in one pass
+    val vstats = withTime.agg(count(lit(1)),
+      count(col("absolute_time"))).head()
+    println(f"  Events with valid absolute time: ${vstats.getLong(1)}%,d / ${vstats.getLong(0)}%,d")
 
     // double-seconds interval bucketing (the reference's floor(abs/width))
     def byInterval(df: DataFrame, width: Double, perBank: Boolean): DataFrame = {
