@@ -140,6 +140,31 @@ object EventTime {
       .agg(lit(start).as("start_time"), (lit(end).as("end_time") +: aggs): _*)
   }
 
+  /** Batch sessionization: split each key's event stream into sessions
+    * wherever the gap to the previous event exceeds `gap` (same units as
+    * timeCol). Two windows partitioned by the key — lag to mark session
+    * starts, running sum to number them — then one aggregation; nothing
+    * global, scales with the key partitioning. (The streaming equivalents
+    * live in graft.streaming.Replay.)
+    */
+  def sessionizeBatch(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gap: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(timeCol)
+    events
+      .withColumn("__new_s",
+        when(col(timeCol) - lag(col(timeCol), 1).over(w) > gap, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new_s")).over(w).cast("long"))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"))
+      .orderBy(keyCol, "session_id")
+  }
+
   /** Exclude error/unmapped detector banks (reference
     * extract_events_by_time.py:83-88 drops `*error*` / `*unmapped*` event
     * files by default; here the same policy as a row filter that pushes

@@ -520,6 +520,24 @@ object QueryCatalog {
         FROM e GROUP BY 1, 2)
       ORDER BY interval, event_type""")),
 
+    QueryDef("events_sessionize", (s, d) =>
+      EventTime.sessionizeBatch(eventsUs(s, d), "user_id", "ts_us", UsPerHour),
+      Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        marks AS (
+          SELECT user_id, t,
+            CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) > ${UsPerHour}
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e),
+        sess AS (
+          SELECT user_id, t,
+            CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t) AS BIGINT) AS session_id
+          FROM marks)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             MIN(t) AS session_start, MAX(t) AS session_end
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")),
+
     QueryDef("event_summary", (s, d) =>
       eventsUs(s, d).groupBy(col("event_type").as("bank"))
         .agg(

@@ -45,6 +45,21 @@ class EventTimeSpec extends SparkSuite {
     assert(out === ((5L, 25L, 3L, 5L, 10L)))
   }
 
+  test("sessionizeBatch splits on gaps larger than the threshold") {
+    val ev = Seq(
+      (1L, 0L), (1L, 50L), (1L, 60L),   // session 0
+      (1L, 500L), (1L, 510L),           // gap 440 > 100 -> session 1
+      (2L, 5L))                          // separate key
+      .toDF("user_id", "t")
+    val out = EventTime.sessionizeBatch(ev, "user_id", "t", gap = 100L)
+      .select("user_id", "session_id", "n_events", "session_start", "session_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 3L, 0L, 60L),
+      (1L, 1L, 2L, 500L, 510L),
+      (2L, 0L, 1L, 5L, 5L)))
+  }
+
   test("excludeErrorBanks drops error/unmapped banks by default (ref extract_events_by_time.py:83)") {
     val ev = Seq("bank1_events", "bank_ERROR_events", "bank_unmapped_events", "bank2_events")
       .map(b => (b, 1L)).toDF("bank", "x")

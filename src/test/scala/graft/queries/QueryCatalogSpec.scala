@@ -29,7 +29,10 @@ class QueryCatalogSpec extends SparkSuite {
       // lookbehinds skip EXTRACT(YEAR FROM col) style FROMs
       val froms = raw"(?i)(?<!year\s)(?<!month\s)(?:\bFROM|\bJOIN)\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val unknown = froms -- tables -- Set("pulses", "m", "e", "p") // CTE names
+      // CTE names declared inside the oracles themselves
+      val ctes = raw"(?i)([a-z_][a-z0-9_]*)\s+AS\s*\(".r
+        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = froms -- tables -- ctes -- Set("p") // p = aliased CTE use
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }
   }
