@@ -101,6 +101,19 @@ object Multimodal {
     }
   }
 
+  /** Exact media dedup: group by the payload checksum (computed map-side
+    * in extractFeatures), keep the lowest media_id — the binary column
+    * never shuffles, only (checksum, id) pairs do. Composition of the
+    * multimodal and dedup families.
+    */
+  def dedupByChecksum(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    val feats = extractFeatures(spark, media).toDF()
+      .select(col("media_id"), col("checksum"))
+    feats.groupBy("checksum")
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("n_copies"))
+  }
+
   /** Metadata-only projection — must prune `content` at the scan when the
     * dataset is parquet-backed (binary never read).
     */

@@ -44,6 +44,15 @@ class MultimodalSpec extends SparkSuite {
     assert(meta.count() === 3)
   }
 
+  test("dedupByChecksum groups identical payloads, keeps min id") {
+    val withDup = Seq((1L, "a" * 300), (2L, "bc" * 150), (9L, "a" * 300))
+      .toDF("id", "payload")
+    val media = Multimodal.toMediaBlobs(spark, withDup, "id", "payload")
+    val groups = Multimodal.dedupByChecksum(spark, media)
+      .select("keep_media_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(groups === Set((1L, 2L), (2L, 1L)))
+  }
+
   test("parquet-backed metadata query prunes the binary column at the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     Multimodal.toMediaBlobs(spark, payloads, "id", "payload").write
