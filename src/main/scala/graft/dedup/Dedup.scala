@@ -220,13 +220,21 @@ object Dedup {
     *         isolated ids absent from `pairs` are not returned
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Iterative algorithms MUST truncate lineage each round: with plain
+    // persist the logical plan under every action still carries the whole
+    // upstream pipeline (re-analysis/canonicalization per iteration blew
+    // a 6 s CC up to ~400 s when fed from a long curation DAG) and a
+    // partially-materialized cache re-computes through it. localCheckpoint
+    // materializes eagerly and replaces the plan with the stored blocks.
+    // (On a real cluster prefer reliable checkpoints / an explicit
+    // intermediate table for fault tolerance.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -239,15 +247,13 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -1,0 +1,108 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** End-to-end training-data curation: the operator families of this
+  * engine composed the way a 100 TB corpus pipeline runs them, with a
+  * per-document decision table as the audit trail.
+  *
+  * Stage order follows cost: cheap map-side annotations and filters
+  * first (language, quality, token counts — pure expression scans), the
+  * shuffling stages (exact hash dedup, MinHash-LSH near-dedup with
+  * transitive clustering) only over the survivors. Every drop records its
+  * reason, so the output is both the cleaned corpus and the curation
+  * report.
+  */
+object TrainingDataPipeline {
+
+  case class Config(
+      allowedLangs: Set[String] = Set("en", "unknown"),
+      minQuality: Double = 0.5,
+      minTokens: Long = 10,
+      maxTokens: Long = 1000000,
+      nearDupJaccard: Double = 0.8)
+
+  /** Annotate + decide. Returns one row per input document:
+    * (idCol, lang_pred, quality_score, n_ws_tokens, keep, drop_reason).
+    * Precedence of drop reasons: language, quality, length, exact_dup,
+    * near_dup (first failing stage wins, mirroring execution order).
+    */
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+             cfg: Config = Config()): DataFrame = {
+    val lang = TextAnalysis.langIdNgram(docs, textCol, idCol)
+      .select(col(idCol), col("lang_pred"))
+    val quality = TextAnalysis.qualityScore(docs, textCol, idCol)
+      .select(col(idCol), col("quality_score"))
+    val tokens = TextAnalysis.tokenCounts(docs, textCol, idCol)
+      .select(col(idCol), col("n_ws_tokens"))
+
+    // The annotation subtree feeds every later branch (filters, both
+    // dedup stages, the final decision join). Eagerly checkpoint it: a
+    // plain persist leaves the full logical plan under every downstream
+    // action, and the iterative dedup stages then pay re-analysis +
+    // partial-cache recompute per action (first measurement: 113-400 s
+    // vs ~15 s at sf0.1). Lineage truncation is the fix, not caching.
+    val annotated = docs.select(col(idCol), col(textCol))
+      .join(lang, idCol).join(quality, idCol).join(tokens, idCol)
+      .withColumn("__lang_ok", col("lang_pred").isin(cfg.allowedLangs.toSeq: _*))
+      .withColumn("__quality_ok", col("quality_score") >= cfg.minQuality)
+      .withColumn("__len_ok",
+        col("n_ws_tokens") >= cfg.minTokens && col("n_ws_tokens") <= cfg.maxTokens)
+      .localCheckpoint()
+
+    // dedup runs only over docs that survive the cheap filters
+    val candidates = annotated
+      .filter(col("__lang_ok") && col("__quality_ok") && col("__len_ok"))
+      .select(col(idCol), col(textCol))
+      .localCheckpoint()
+
+    val exactDropped = Dedup.exactGroups(candidates, textCol, idCol)
+      .filter(col("n_copies") > 1)
+    val exactDropIds = candidates
+      .select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .join(exactDropped, "content_hash")
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol).as("__exact_dup"))
+      .localCheckpoint()
+
+    val afterExact = candidates.join(
+      exactDropIds, candidates(idCol) === col("__exact_dup"), "left_anti")
+
+    val nearPairs = Dedup.minHashCandidates(afterExact, textCol, idCol,
+      minJaccard = cfg.nearDupJaccard)
+    val nearDropIds = Dedup.connectedComponents(nearPairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__near_dup"))
+      .localCheckpoint()
+
+    annotated
+      .join(exactDropIds, annotated(idCol) === col("__exact_dup"), "left")
+      .join(nearDropIds, annotated(idCol) === col("__near_dup"), "left")
+      .withColumn("drop_reason",
+        when(!col("__lang_ok"), "language")
+          .when(!col("__quality_ok"), "quality")
+          .when(!col("__len_ok"), "length")
+          .when(col("__exact_dup").isNotNull, "exact_dup")
+          .when(col("__near_dup").isNotNull, "near_dup"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("n_ws_tokens"), col("keep"), col("drop_reason"))
+  }
+
+  /** The cleaned corpus itself. */
+  def cleanCorpus(docs: DataFrame, textCol: String, idCol: String,
+                  cfg: Config = Config()): DataFrame =
+    docs.join(
+      curate(docs, textCol, idCol, cfg).filter(col("keep")).select(idCol),
+      Seq(idCol), "left_semi")
+
+  /** Curation report: kept/dropped counts by reason. */
+  def report(decisions: DataFrame): DataFrame =
+    decisions.groupBy(coalesce(col("drop_reason"), lit("kept")).as("outcome"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("outcome")
+}

@@ -747,6 +747,19 @@ object QueryCatalog {
         .orderBy("id_a", "id_b")
     }, None),
 
+    QueryDef("training_pipeline", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      // plant exact + near duplicates so every decision branch fires
+      val exactDups = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"), lit(" planted pipeline suffix")).as("text"))
+      graft.pipelines.TrainingDataPipeline.curate(
+          docs.unionByName(exactDups).unionByName(nearDups), "text", "doc_id")
+        .orderBy("doc_id")
+    }, None, bench = true),
+
     QueryDef("contamination_scan", (s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       // plant eval docs containing train 8-grams verbatim

@@ -1,0 +1,56 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class TrainingDataPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val goodText = ("the quick brown fox jumps over the lazy dog and then " +
+    "the dog wakes up and chases the fox around the field for a while today") * 2
+
+  private def corpus = Seq(
+    (1L, goodText),                                   // kept
+    (2L, goodText),                                   // exact dup of 1
+    (3L, goodText + " with a small planted suffix"),  // near dup of 1
+    (4L, "x. y. z."),                                 // too short + punct-heavy
+    (5L, "palabra uno dos tres cuatro cinco seis siete ocho " +
+         "nueve diez once doce trece catorce quince palabra uno dos tres " +
+         "cuatro cinco seis siete ocho nueve diez once doce trece catorce"), // non-en (no profile hits)
+    (6L, ("completely different and quite long content about the engines of " +
+          "query processing and the many shuffles of the world today ") * 2)) // kept
+    .toDF("doc_id", "text")
+
+  test("curate assigns the expected decision to every document") {
+    val d = TrainingDataPipeline.curate(corpus, "text", "doc_id")
+      .select("doc_id", "keep", "drop_reason")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)).getOrElse("")))).toMap
+    assert(d(1L) === ((true, "")))
+    assert(d(2L) === ((false, "exact_dup")))
+    assert(d(3L) === ((false, "near_dup")))
+    assert(d(4L)._1 === false) // quality or length, either cheap filter
+    assert(Set("quality", "length").contains(d(4L)._2))
+    assert(d(6L) === ((true, "")))
+  }
+
+  test("cleanCorpus returns exactly the kept documents") {
+    val kept = TrainingDataPipeline.cleanCorpus(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val decisions = TrainingDataPipeline.curate(corpus, "text", "doc_id")
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(kept === decisions)
+    assert(kept.contains(1L) && !kept.contains(2L))
+  }
+
+  test("report totals cover the whole corpus") {
+    val decisions = TrainingDataPipeline.curate(corpus, "text", "doc_id")
+    val rep = TrainingDataPipeline.report(decisions)
+      .as[(String, Long)].collect().toMap
+    assert(rep.values.sum === 6L)
+    assert(rep("exact_dup") === 1L)
+    assert(rep("near_dup") === 1L)
+    assert(rep("kept") >= 2L)
+  }
+}
