@@ -115,14 +115,17 @@ object Similarity {
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     // exactly-k seeds: hash-rank the (sample-sized) corpus and take the
     // bottom k — a probability filter would yield a Binomial count, not k
+    // lineage truncation per iteration (localCheckpoint, not persist):
+    // iterative loops otherwise re-analyze a growing plan per action and
+    // can recompute partially-cached lineage — see
+    // Dedup.connectedComponents for the measured failure mode
     var centroids = c
       .withColumn("__rk", pmod(xxhash64(col("__id")), lit(1000000007L)))
       .orderBy("__rk", "__id")
       .limit(k)
       .select(col("__id").as("centroid_id"),
         expr("transform(__v, x -> CAST(x AS DOUBLE))").as("centroid_vec"))
-      .persist()
-    centroids.count()
+      .localCheckpoint()
 
     for (_ <- 1 to iters) {
       val assigned = c.crossJoin(broadcast(centroids))
@@ -139,13 +142,10 @@ object Similarity {
         .select(col("centroid_id"),
           expr("transform(__pm, p -> p.__m)").as("__new_vec"))
       // clusters that lost every member keep their previous centroid
-      val next = centroids.join(means, Seq("centroid_id"), "left")
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("__new_vec"), col("centroid_vec")).as("centroid_vec"))
-        .persist()
-      next.count()
-      centroids.unpersist()
-      centroids = next
+        .localCheckpoint()
     }
     centroids
   }
