@@ -315,6 +315,32 @@ object QueryCatalog {
       WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
       ORDER BY c_custkey""")),
 
+    QueryDef("q_outer_join", (s, d) => {
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sumd(col("o_totalprice")), lit(0.0)).as("total"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    QueryDef("q_like_in", (s, d) =>
+      t(s, d, "part")
+        .filter(col("p_brand").like("Brand#1%") &&
+                col("p_type").isin("ECONOMY", "PROMO"))
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey"),
+      Some("""
+      SELECT p_partkey, p_brand, p_type FROM part
+      WHERE p_brand LIKE 'Brand#1%' AND p_type IN ('ECONOMY', 'PROMO')
+      ORDER BY p_partkey""")),
+
     QueryDef("q_quantiles", (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(
