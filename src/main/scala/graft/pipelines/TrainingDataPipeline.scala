@@ -30,6 +30,11 @@ object TrainingDataPipeline {
     * (idCol, lang_pred, quality_score, n_ws_tokens, keep, drop_reason).
     * Precedence of drop reasons: language, quality, length, exact_dup,
     * near_dup (first failing stage wins, mirroring execution order).
+    *
+    * NOTE: this call is EAGER — the stage checkpoints and the
+    * connected-components iterations execute immediately (an iterative
+    * pipeline cannot stay lazy; see the lineage note below). The returned
+    * decision frame itself is cheap to consume repeatedly.
     */
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config()): DataFrame = {
