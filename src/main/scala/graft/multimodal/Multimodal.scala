@@ -83,6 +83,25 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation re-encodes pixels; this
+    * deterministic fake subsamples every k-th payload byte so tests can
+    * assert exact output, while the Spark-side shape (map-side batch
+    * transform, metadata rewrite, no shuffle) is the real design.
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRow],
+             targetWidth: Int, targetHeight: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val srcPixels = math.max(1, r.meta.width * r.meta.height)
+      val dstPixels = targetWidth * targetHeight
+      val k = math.max(1, srcPixels / math.max(1, dstPixels))
+      val out = r.content.indices.collect { case i if i % k == 0 => r.content(i) }.toArray
+      MediaRow(r.media_id, out,
+        r.meta.copy(byteLen = out.length.toLong,
+          width = targetWidth, height = targetHeight))
+    })
+  }
+
   /** Frame sampling: every `stride`-th fixed-size slice of the payload
     * becomes a frame row (explode is distributed; frames inherit the
     * parent's partitioning).

@@ -661,6 +661,7 @@ object QueryCatalog {
       Some("""
       SELECT doc_id,
         CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
         CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_bpe_est
       FROM documents ORDER BY doc_id""")),
 

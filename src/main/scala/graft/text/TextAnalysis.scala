@@ -29,14 +29,21 @@ object TextAnalysis {
       (length(regexp_replace(t, " ", "")).cast("double") / nWords(t)).as("avg_word_len"))
   }
 
-  /** Token counting: exact whitespace tokens plus a BPE-ish estimate
-    * (chars/4 is the standard subword heuristic for Latin text).
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, and single
+    * punctuation marks — the word-boundary split BPE vocabularies are
+    * trained over (GPT-2-style, minus the unicode categories).
+    */
+  val bpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Token counting: exact whitespace tokens, a BPE-ish regex token count
+    * (codegen'd regexp_count, no UDF), and the chars/4 estimate.
     */
   def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val t = col(textCol)
     docs.select(
       col(idCol),
       nWords(t).as("n_ws_tokens"),
+      regexp_count(t, lit(bpeishPattern)).cast("long").as("n_bpe_tokens"),
       ceil(length(t) / lit(4.0)).cast("long").as("n_bpe_est"))
   }
 

@@ -44,6 +44,20 @@ class MultimodalSpec extends SparkSuite {
     assert(meta.count() === 3)
   }
 
+  test("resize stub subsamples payload and rewrites metadata") {
+    val media = Multimodal.toMediaBlobs(spark, payloads, "id", "payload")
+    val resized = Multimodal.resize(spark, media, targetWidth = 10, targetHeight = 10)
+      .collect().map(r => r.media_id -> r).toMap
+    val src = media.collect().map(r => r.media_id -> r).toMap
+    resized.foreach { case (id, r) =>
+      assert(r.meta.width === 10 && r.meta.height === 10)
+      assert(r.meta.byteLen === r.content.length.toLong)
+      assert(r.content.length <= src(id).content.length)
+    }
+    // deterministic: first byte always kept
+    assert(resized(1L).content.head === 'a'.toByte)
+  }
+
   test("dedupByChecksum groups identical payloads, keeps min id") {
     val withDup = Seq((1L, "a" * 300), (2L, "bc" * 150), (9L, "a" * 300))
       .toDF("id", "payload")

@@ -18,11 +18,13 @@ class TextAnalysisSpec extends SparkSuite {
     assert(math.abs(out._3 - 11.0 / 3) < 1e-12)
   }
 
-  test("tokenCounts: whitespace + chars/4 BPE estimate") {
-    val out = TextAnalysis.tokenCounts(Seq((1L, "abcd efgh")).toDF("doc_id", "text"),
-        "text", "doc_id")
-      .select("n_ws_tokens", "n_bpe_est").as[(Long, Long)].head()
-    assert(out === ((2L, 3L))) // ceil(9/4) = 3
+  test("tokenCounts: whitespace, BPE-ish regex, chars/4 estimate") {
+    val out = TextAnalysis.tokenCounts(
+        Seq((1L, "abcd efgh, x123!")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("n_ws_tokens", "n_bpe_tokens", "n_bpe_est")
+      .as[(Long, Long, Long)].head()
+    // bpe-ish: abcd | efgh | , | x | 123 | !  -> 6
+    assert(out === ((3L, 6L, 4L))) // ceil(16/4) = 4
   }
 
   test("langId thresholds stopword hits") {
