@@ -119,6 +119,36 @@ object NexusPipeline {
       "event_summary" -> eventSummary)
   }
 
+  /** Denormalized experiment_runs (schemas.py:163-210
+    * EXPERIMENT_RUNS_SCHEMA): the flat metadata table joined with nested
+    * sample/instrument structs and software/users lists — the primary
+    * Iceberg query table the lakehouse init script provisions. Built from
+    * the split tables with broadcast joins on run_id (each side is one or
+    * few rows per run) and list aggregation for the 1:N concerns.
+    */
+  def buildExperimentRuns(tables: Map[String, DataFrame]): DataFrame = {
+    val meta = tables("experiment_runs")
+    val sample = tables("sample").select(col("run_id"),
+      struct(col("name"), col("nature"), col("chemical_formula"),
+        col("mass"), col("temperature")).as("sample"))
+    val instrument = tables("instrument").select(col("run_id"),
+      struct(col("name"), col("beamline")).as("instrument"))
+    val software = tables("software")
+      .groupBy("run_id")
+      .agg(collect_list(struct(col("component"), col("name"), col("version")))
+        .as("software"))
+    val users = tables("users")
+      .groupBy("run_id")
+      .agg(collect_list(struct(col("name"), col("role"), col("facility_user_id")))
+        .as("users"))
+    conformTo(
+      meta.join(broadcast(sample), Seq("run_id"), "left")
+        .join(broadcast(instrument), Seq("run_id"), "left")
+        .join(broadcast(software), Seq("run_id"), "left")
+        .join(broadcast(users), Seq("run_id"), "left"),
+      NexusSchemas.experimentRuns)
+  }
+
   /** Convert and write all tables (parquet.py:884-895): ZSTD, partitioned
     * by run, chunked, with routing metadata.
     */

@@ -88,6 +88,21 @@ class NexusPipelineSpec extends SparkSuite {
     assert(s === (("bank1_events", 4L, 4L, 3L)))
   }
 
+  test("buildExperimentRuns denormalizes into the nested schema (schemas.py:163)") {
+    val tables = NexusPipeline.processRuns(spark, bundle)
+    val runs = NexusPipeline.buildExperimentRuns(tables)
+    assert(runs.schema.fieldNames.toSeq ===
+      NexusSchemas.experimentRuns.fieldNames.toSeq)
+    val row = runs.head()
+    assert(row.getAs[String]("title") === "my title")
+    assert(row.getAs[org.apache.spark.sql.Row]("sample").getAs[String]("name") === "water")
+    assert(row.getAs[org.apache.spark.sql.Row]("instrument").getAs[String]("beamline") === "BL-4B")
+    val sw = row.getSeq[org.apache.spark.sql.Row](runs.schema.fieldIndex("software"))
+    assert(sw.length === 1 && sw.head.getAs[String]("version") === "1.2")
+    val us = row.getSeq[org.apache.spark.sql.Row](runs.schema.fieldIndex("users"))
+    assert(us.length === 1 && us.head.getAs[String]("role") === "PI")
+  }
+
   test("processAndWrite lands partitioned, routed, readable tables") {
     val outDir = Files.createTempDirectory("graft_pipeline").toString
     val written = NexusPipeline.processAndWrite(spark, bundle, outDir)
