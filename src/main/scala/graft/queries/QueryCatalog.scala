@@ -627,6 +627,22 @@ object QueryCatalog {
     // LLM-data-pipeline operators: dedup / text / similarity / media
     // ================================================================
 
+    QueryDef("stratified_sample", (s, d) =>
+      graft.ops.Sampling.stratified(
+          t(s, d, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          rates = Map("en" -> 1.0, "de" -> 0.5, "zh" -> 0.25),
+          defaultRate = 0.1)
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        CASE lang WHEN 'en' THEN 'g0000000'
+                  WHEN 'de' THEN '80000000'
+                  WHEN 'zh' THEN '40000000'
+                  ELSE '1999999a' END
+      ORDER BY doc_id""")),
+
     QueryDef("dedup_exact", (s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "text", "doc_id")
         .select(col("content_hash"), col("keep_id").as("keep_doc_id"), col("n_copies"))
