@@ -30,25 +30,32 @@ object Bench {
 
     // Two timed runs per query, report the faster: steady-state of a
     // resident cluster, insulated from one-off codegen/broadcast builds.
+    // A crashed query records the -1 sentinel (never a fake elapsed time)
+    // and lands in "failed"; the process then exits nonzero so the gate
+    // cannot silently pass on a bench artifact that masks a broken query.
     val results = headline.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try q.fn(spark, sfDir).count()
+        try { q.fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val failed = results.collect { case (name, t) if t < 0 => name }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

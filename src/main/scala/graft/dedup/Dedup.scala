@@ -109,7 +109,7 @@ object Dedup {
     val sh = withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize)
       .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
       .persist()
-    candidates
+    val verified = candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
@@ -117,6 +117,13 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+    // Materialize (cheap: candidate pairs only), then release the cached
+    // intermediates — repeated invocations in a long-lived session would
+    // otherwise accumulate cached blocks until LRU eviction thrashes.
+    val out = verified.localCheckpoint()
+    banded.unpersist()
+    sh.unpersist()
+    out
   }
 
   /** Near-dedup: drop the higher-id member of every verified pair. */
@@ -219,7 +226,7 @@ object Dedup {
     * @return (id, component) — component = min id in the cluster;
     *         isolated ids absent from `pairs` are not returned
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Iterative algorithms MUST truncate lineage each round: with plain
     // persist the logical plan under every action still carries the whole
     // upstream pipeline (re-analysis/canonicalization per iteration blew
@@ -243,9 +250,19 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val propagated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+      // pointer jumping: also adopt the label of our current label's vertex
+      // (component ids are vertex ids), halving chain lengths each round —
+      // neighbor propagation alone needs diameter iterations; combined the
+      // loop converges in O(log diameter)
+      val byLabel = propagated
+        .select(col("id").as("component"), col("component").as("__cc2"))
+      val next = propagated.join(byLabel, Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__cc2"), col("component")))
             .as("component"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
@@ -254,6 +271,11 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // A silent partial merge is a correctness bug (split clusters keep
+    // duplicates downstream) — fail loudly instead of returning it.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations; " +
+        "raise maxIter (propagation needs ~log2(graph diameter) rounds)")
     labels
   }
 

@@ -83,13 +83,38 @@ object NexusEtl {
 
   /** Per-bank event summary (parquet.py:760-779 _save_events): one row per
     * bank with totals. One shuffle on (run, bank).
+    *
+    * n_pulses follows the reference (`n_pulses = len(event_index)`,
+    * parquet.py:714): the length of the bank's pulse-index array, supplied
+    * via `nPulsesPerBank` keyed by (runKeys, bankCol). Inferring it from
+    * observed event pulse indices undercounts trailing pulses with no
+    * events (and a bank whose only event sits at pulse 4 would report 5);
+    * the inference remains only as a documented lower-bound fallback when
+    * no bank table is available.
     */
   def eventSummary(events: DataFrame, runKeys: Seq[String], bankCol: String,
-                   pulseCol: String): DataFrame =
-    events.groupBy((runKeys :+ bankCol).map(col): _*).agg(
+                   pulseCol: String,
+                   nPulsesPerBank: Option[DataFrame] = None): DataFrame = {
+    val counts = events.groupBy((runKeys :+ bankCol).map(col): _*).agg(
       count(lit(1)).as("events_extracted"),
       count(lit(1)).as("total_counts"),
-      (max(col(pulseCol)) + 1).as("n_pulses"))
+      (max(col(pulseCol)) + 1).as("__n_pulses_observed"))
+    nPulsesPerBank match {
+      case Some(banks) =>
+        counts.join(banks, runKeys :+ bankCol)
+          .drop("__n_pulses_observed")
+      case None =>
+        counts.withColumnRenamed("__n_pulses_observed", "n_pulses")
+    }
+  }
+
+  /** The (runKeys, bankCol, n_pulses) frame for [[eventSummary]] from the
+    * raw bank rows: n_pulses = size(event_index).
+    */
+  def nPulsesFromBanks(banks: DataFrame, runKeys: Seq[String], bankCol: String,
+                       eventIndexCol: String): DataFrame =
+    banks.select((runKeys :+ bankCol).map(col) :+
+      size(col(eventIndexCol)).cast("long").as("n_pulses"): _*)
 
   /** Map event positions to pulse indices given per-pulse start offsets
     * (parquet.py:463-471: event_index[i] is the first event of pulse i).

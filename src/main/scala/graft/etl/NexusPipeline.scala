@@ -102,9 +102,12 @@ object NexusPipeline {
         Seq("run_id", "pulse_index"), "left"),
       NexusSchemas.events)
 
+    val runBankKeys = Seq("instrument_id", "run_number", "run_id")
     val eventSummary = conformTo(
       NexusEtl.eventSummary(
-          exploded, Seq("instrument_id", "run_number", "run_id"), "bank", "pulse_index")
+          exploded, runBankKeys, "bank", "pulse_index",
+          nPulsesPerBank = Some(NexusEtl.nPulsesFromBanks(
+            keyed(bundle.eventBanks), runBankKeys, "bank", "event_index")))
         .withColumn("total_counts", col("events_extracted")),
       NexusSchemas.eventSummary)
 

@@ -52,17 +52,23 @@ object AsOfJoin {
       rightCols: Seq[String]): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
 
-    val w = if (keys.isEmpty) Window.orderBy(col(rightTime))
-            else Window.partitionBy(keys.map(col): _*).orderBy(col(rightTime))
-
     // Cap the open-ended last interval at the max left time so it explodes
     // onto a bounded bucket range. One tiny aggregate, broadcast everywhere.
     val maxLeft = left.agg(max(col(leftTime)).as("__t_max"))
 
     val carried = (rightCols :+ rightTime).distinct.filterNot(keys.contains)
-    val intervals = right
-      .select((keys ++ carried).distinct.map(col): _*)
-      .withColumn("__t_end", lead(col(rightTime), 1).over(w))
+    val pruned = right.select((keys ++ carried).distinct.map(col): _*)
+    // interval end = next timeline entry. With keys the lead windows over
+    // each key's partition; keyless (one global timeline) it would collapse
+    // to a single partition, so use the range-partitioned global lead.
+    val withEnd =
+      if (keys.isEmpty)
+        Ranking.globalLead(pruned, rightTime, Seq(col(rightTime)), "__t_end")
+      else {
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(rightTime))
+        pruned.withColumn("__t_end", lead(col(rightTime), 1).over(w))
+      }
+    val intervals = withEnd
       .crossJoin(broadcast(maxLeft))
       .withColumn("__t_end", coalesce(col("__t_end"), col("__t_max") + 1))
       .drop("__t_max")

@@ -43,13 +43,23 @@ object EventTime {
       tieBreak: Seq[String] = Nil): DataFrame = {
     def forLog(name: String): DataFrame = {
       val ordering = (timeCol +: tieBreak).map(col)
-      val w = if (runKeys.isEmpty) Window.orderBy(ordering: _*)
-              else Window.partitionBy(runKeys.map(col): _*).orderBy(ordering: _*)
-      daslogs
+      val filtered = daslogs
         .filter(col(logNameCol) === name)
         .select((runKeys ++ (timeCol +: tieBreak)).distinct.map(col): _*)
-        .withColumn("pulse_index", (row_number().over(w) - 1).cast("long"))
-        .withColumnRenamed(timeCol, "pulse_time")
+      val indexed =
+        if (runKeys.isEmpty)
+          // no run key = one global timeline; a bare Window.orderBy would
+          // collapse it to a single partition — use the range-partitioned
+          // global row number instead (Ranking scaladoc)
+          Ranking.globalRowNumber(filtered, ordering, "__rn")
+            .withColumn("pulse_index", (col("__rn") - 1).cast("long"))
+            .drop("__rn")
+        else {
+          val w = Window.partitionBy(runKeys.map(col): _*).orderBy(ordering: _*)
+          filtered.withColumn("pulse_index",
+            (row_number().over(w) - 1).cast("long"))
+        }
+      indexed.withColumnRenamed(timeCol, "pulse_time")
     }
     val primary = forLog(timeLog)
     // isEmpty is a cheap limit-1 job; alternates are rare fallbacks.

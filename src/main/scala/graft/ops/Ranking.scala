@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global-ordering primitives.
+  *
+  * A global `Window.orderBy` (row_number/ntile/lead with no partition
+  * spec) moves ALL rows to a single partition — the exact pattern the
+  * reference's pulse derivation uses (spark_events_by_time_parquet.py:119
+  * orders the whole timing log globally) and the one thing that cannot
+  * survive 100 TB. These helpers compute the same results with a
+  * range-partitioned sort:
+  *
+  *  1. `repartitionByRange` on the sort keys (sampled range boundaries,
+  *     the same mechanism a global sort uses) + `sortWithinPartitions`;
+  *  2. per-row positions come from `monotonically_increasing_id()` over
+  *     the sorted partitions (contiguous within a partition), so no
+  *     second shuffle and no window at all for row numbers;
+  *  3. a tiny per-partition summary (one row per partition — row counts,
+  *     id bases, first values) is collected to the driver and broadcast
+  *     back to stitch partitions together.
+  *
+  * The driver-side step is O(numPartitions), independent of data size —
+  * the same cost class as the range-boundary sampling Spark already does.
+  *
+  * Results are identical to the single-partition window ONLY when the
+  * ordering is total (callers must pass tie-breaking columns), which the
+  * cross-engine oracle checks require anyway.
+  */
+object Ranking {
+
+  private val Pid = "__rank_pid"
+  private val Mid = "__rank_mid"
+
+  /** Range-partition + sort, tagging each row with its partition id and a
+    * monotonic id (row order within the partition).
+    *
+    * MUST materialize (localCheckpoint) before use: the per-partition
+    * stats and the final output are separate actions, and
+    * `repartitionByRange` samples its boundaries with an RDD-id-dependent
+    * seed — without pinning, the two actions can land on DIFFERENT range
+    * boundaries and the stitched offsets mis-assign whole partitions
+    * (observed as ~whole-partition row-number shifts at sf0.01). The
+    * materialized pass is also what the second action reads, so the sort
+    * runs once, not twice. (On a real cluster: a reliable checkpoint or
+    * an explicit staging table plays this role.)
+    */
+  private def ranged(df: DataFrame, orderCols: Seq[Column],
+                     numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn(Pid, spark_partition_id())
+      .withColumn(Mid, monotonically_increasing_id())
+      .localCheckpoint()
+
+  private def resolveN(df: DataFrame, numPartitions: Int): Int =
+    if (numPartitions > 0) numPartitions
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** (tagged frame with row numbers, total row count). */
+  private def withRowNumber(df: DataFrame, orderCols: Seq[Column], as: String,
+                            n: Int): (DataFrame, Long) = {
+    val tagged = ranged(df, orderCols, n)
+    // one row per partition -> driver: (count, first monotonic id)
+    val stats = tagged.groupBy(col(Pid))
+      .agg(count(lit(1)).as("cnt"), min(col(Mid)).as("m0"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val counts = (0 until n).map(p => stats.get(p).map(_._1).getOrElse(0L))
+    val offsets = counts.scanLeft(0L)(_ + _).take(n).toIndexedSeq
+    val bases = (0 until n).map(p => stats.get(p).map(_._2).getOrElse(0L))
+    // rn = rows-before-this-partition + position-within-partition + 1
+    val rn = element_at(typedLit(offsets), col(Pid) + 1) +
+      (col(Mid) - element_at(typedLit(bases.toIndexedSeq), col(Pid) + 1)) + 1
+    (tagged.withColumn(as, rn), counts.sum)
+  }
+
+  /** Global 1-based row number by `orderCols` without a single-partition
+    * window. `orderCols` must be a total order for deterministic output.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], as: String,
+                      numPartitions: Int = 0): DataFrame = {
+    val (tagged, _) = withRowNumber(df, orderCols, as, resolveN(df, numPartitions))
+    tagged.drop(Pid, Mid)
+  }
+
+  /** Global NTILE(k) by `orderCols` — the standard SQL bucket sizing
+    * (first `total % k` buckets get one extra row), computed from the
+    * scalable global row number instead of a one-partition window.
+    */
+  def globalNtile(df: DataFrame, k: Int, orderCols: Seq[Column], as: String,
+                  numPartitions: Int = 0): DataFrame = {
+    require(k > 0, "ntile buckets must be positive")
+    val (withRn, total) =
+      withRowNumber(df, orderCols, "__rank_rn", resolveN(df, numPartitions))
+    val base = total / k
+    val rem = total % k
+    // rows 1..(base+1)*rem fall in the first rem (larger) buckets
+    val bucket =
+      if (base == 0) col("__rank_rn") // fewer rows than buckets
+      else
+        when(col("__rank_rn") <= lit((base + 1) * rem),
+          (col("__rank_rn") - 1) / lit(base + 1) + 1)
+        .otherwise(lit(rem) + (col("__rank_rn") - lit((base + 1) * rem) - 1)
+          / lit(base) + 1)
+    withRn.withColumn(as, bucket.cast("long"))
+      .drop(Pid, Mid, "__rank_rn")
+  }
+
+  /** Global lead(srcCol, 1) by `orderCols` without a single-partition
+    * window: per-partition lead, with each partition's last row patched
+    * from the first value of the next non-empty partition (one row per
+    * partition via the driver, broadcast back).
+    *
+    * `orderCols` must be ASCENDING (the per-partition "first" is computed
+    * as a struct-min) and a total order.
+    */
+  def globalLead(df: DataFrame, srcCol: String, orderCols: Seq[Column],
+                 as: String, numPartitions: Int = 0): DataFrame = {
+    val n = resolveN(df, numPartitions)
+    val srcType = df.schema(srcCol).dataType
+    val tagged = ranged(df, orderCols, n)
+    // first srcCol value of each partition, in sort order: min of the
+    // (orderCols..., src) struct — one row per partition
+    val firstStruct = min(struct(
+      orderCols.zipWithIndex.map { case (c, i) => c.as(s"__o$i") } :+
+        col(srcCol).as("__src"): _*))
+    val firsts = tagged.groupBy(col(Pid)).agg(firstStruct.as("f"))
+      .select(col(Pid), col("f.__src").as("first_src"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+    // next non-empty partition's first value, per pid (null for the last)
+    val nextFirst = (0 until n).map { pid =>
+      ((pid + 1) until n).collectFirst {
+        case p if firsts.contains(p) => firsts(p)
+      }.orNull
+    }
+    val nextOf = array(nextFirst.map(v => lit(v).cast(srcType)): _*)
+    val w = Window.partitionBy(col(Pid)).orderBy(orderCols: _*)
+    tagged
+      .withColumn(as,
+        coalesce(lead(col(srcCol), 1).over(w),
+          element_at(nextOf, col(Pid) + 1)))
+      .drop(Pid, Mid)
+  }
+}

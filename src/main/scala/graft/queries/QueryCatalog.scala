@@ -341,16 +341,23 @@ object QueryCatalog {
       WHERE p_brand LIKE 'Brand#1%' AND p_type IN ('ECONOMY', 'PROMO')
       ORDER BY p_partkey""")),
 
+    // quartiles as SCALAR columns — an array-typed output column breaks
+    // the driver's compare (pandas sorts the result; numpy arrays are
+    // unhashable), so the multi-quantile array form is flattened
     QueryDef("q_quantiles", (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+          expr("percentile(l_quantity, 0.25D)").as("qty_p25"),
+          expr("percentile(l_quantity, 0.5D)").as("qty_p50"),
+          expr("percentile(l_quantity, 0.75D)").as("qty_p75"),
           expr("percentile(l_extendedprice, 0.5D)").as("median_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
       Some("""
       SELECT l_returnflag,
-        quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        quantile_cont(l_quantity, 0.25) AS qty_p25,
+        quantile_cont(l_quantity, 0.5) AS qty_p50,
+        quantile_cont(l_quantity, 0.75) AS qty_p75,
         quantile_cont(l_extendedprice, 0.5) AS median_price,
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
@@ -402,13 +409,14 @@ object QueryCatalog {
         lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
       FROM orders ORDER BY o_custkey, o_orderkey""")),
 
-    QueryDef("q_ntile", (s, d) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders").select(
-          col("o_orderkey"),
-          ntile(4).over(w).cast("long").as("quartile"))
-        .orderBy("o_orderkey")
-    }, Some("""
+    QueryDef("q_ntile", (s, d) =>
+      // global quartiles without the single-partition window ntile needs:
+      // range-partitioned global row number + the SQL bucket-size formula
+      graft.ops.Ranking.globalNtile(t(s, d, "orders"), 4,
+          Seq(col("o_totalprice").desc, col("o_orderkey")), "quartile")
+        .select("o_orderkey", "quartile")
+        .orderBy("o_orderkey"),
+      Some("""
       SELECT o_orderkey,
         CAST(ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
       FROM orders ORDER BY o_orderkey""")),

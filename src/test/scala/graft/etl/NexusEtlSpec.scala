@@ -80,4 +80,22 @@ class NexusEtlSpec extends SparkSuite {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(out === Seq(("b1", 2L, 2L, 2L), ("b2", 1L, 1L, 5L)))
   }
+
+  test("eventSummary n_pulses = len(event_index), incl. trailing empty pulses (parquet.py:714)") {
+    val ev = Seq(("r1", "b1", 0L), ("r1", "b1", 1L), ("r1", "b2", 4L))
+      .toDF("run_id", "bank", "pulse_index")
+    // b1 has 7 pulses (trailing ones empty), b2's only event is at pulse 4
+    // of a 5-pulse index: both must report the index length, not max+1
+    val banks = Seq(
+      ("r1", "b1", Seq(0L, 1L, 2L, 2L, 2L, 2L, 2L)),
+      ("r1", "b2", Seq(0L, 0L, 0L, 0L, 1L)))
+      .toDF("run_id", "bank", "event_index")
+    val out = NexusEtl.eventSummary(ev, Seq("run_id"), "bank", "pulse_index",
+        nPulsesPerBank = Some(NexusEtl.nPulsesFromBanks(
+          banks, Seq("run_id"), "bank", "event_index")))
+      .orderBy("bank")
+      .select("bank", "events_extracted", "n_pulses")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("b1", 2L, 7L), ("b2", 1L, 5L)))
+  }
 }

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.window.WindowExec
+
+import graft.SparkSuite
+
+/** Ranking must reproduce the single-partition window results exactly
+  * (given a total order) while never planning an unpartitioned WindowExec.
+  */
+class RankingSpec extends SparkSuite {
+  import spark.implicits._
+
+  // deliberately unsorted, with duplicate sort values broken by id
+  private def df = Seq(
+    (5L, 30.0), (1L, 50.0), (7L, 30.0), (2L, 10.0), (9L, 50.0),
+    (3L, 70.0), (8L, 10.0), (4L, 40.0), (6L, 40.0), (10L, 20.0),
+    (11L, 60.0), (12L, 5.0), (13L, 90.0))
+    .toDF("id", "price").repartition(4)
+
+  private def hasUnpartitionedWindow(plan: org.apache.spark.sql.DataFrame): Boolean =
+    plan.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.nonEmpty
+
+  test("globalRowNumber equals row_number over a global window") {
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("price"), col("id"))).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val got = Ranking.globalRowNumber(df, Seq(col("price"), col("id")), "rn",
+        numPartitions = 4)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(!hasUnpartitionedWindow(
+      Ranking.globalRowNumber(df, Seq(col("price"), col("id")), "rn", 4)))
+  }
+
+  test("globalRowNumber handles descending orderings") {
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("price").desc, col("id"))).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    val got = Ranking.globalRowNumber(df,
+        Seq(col("price").desc, col("id")), "rn", numPartitions = 4)
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("globalNtile equals ntile over a global window (uneven buckets)") {
+    // 13 rows / 4 buckets: sizes 4,3,3,3 — exercises the remainder branch
+    val expected = df
+      .withColumn("q", ntile(4).over(
+        Window.orderBy(col("price").desc, col("id"))).cast("long"))
+      .select("id", "q").as[(Long, Long)].collect().toMap
+    val got = Ranking.globalNtile(df, 4,
+        Seq(col("price").desc, col("id")), "q", numPartitions = 4)
+      .select("id", "q").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("globalNtile with more buckets than rows assigns one row per bucket") {
+    val tiny = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "price")
+    val got = Ranking.globalNtile(tiny, 5, Seq(col("price"), col("id")), "q", 2)
+      .select("id", "q").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("globalLead equals lead over a global window, incl. partition boundaries") {
+    val expected = df
+      .withColumn("nxt", lead(col("price"), 1).over(
+        Window.orderBy(col("price"), col("id"))))
+      .select("id", "nxt").as[(Long, Option[Double])].collect().toMap
+    val lead4 = Ranking.globalLead(df, "price",
+      Seq(col("price"), col("id")), "nxt", numPartitions = 4)
+    val got = lead4.select("id", "nxt").as[(Long, Option[Double])].collect().toMap
+    assert(got === expected)
+    assert(!hasUnpartitionedWindow(lead4))
+  }
+
+  test("globalLead with more partitions than rows (empty partitions skipped)") {
+    val tiny = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "price")
+    val got = Ranking.globalLead(tiny, "price", Seq(col("price"), col("id")),
+        "nxt", numPartitions = 8)
+      .select("id", "nxt").as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(1L -> Some(2.0), 2L -> Some(3.0), 3L -> None))
+  }
+
+  test("globalNtile/globalRowNumber match the window versions at sf0.01 scale") {
+    // regression for the repartitionByRange boundary-seed pitfall: the
+    // stats action and the output action must see the SAME partitioning
+    // (Ranking pins it with localCheckpoint) — without that, this test
+    // fails with whole-partition row-number shifts
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val ord = Seq(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = orders.select(col("o_orderkey"),
+        ntile(4).over(Window.orderBy(ord: _*)).cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    val got = Ranking.globalNtile(orders, 4, ord, "q")
+      .select("o_orderkey", "q").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("keyless derivePulseTimes and AsOfJoin plans have no unpartitioned window") {
+    val logs = Seq(("click", 100L, 1L), ("click", 200L, 2L), ("view", 150L, 3L))
+      .toDF("event_type", "ts_us", "event_id")
+    val pulses = EventTime.derivePulseTimes(logs, "event_type", "ts_us",
+      "click", tieBreak = Seq("event_id"))
+    assert(!hasUnpartitionedWindow(pulses))
+    assert(pulses.select("pulse_index", "pulse_time").as[(Long, Long)]
+      .collect().toSet === Set((0L, 100L), (1L, 200L)))
+
+    val left = Seq((10L, 120L), (11L, 250L)).toDF("id", "t")
+    val joined = AsOfJoin.backward(left, pulses.select("pulse_time", "pulse_index"),
+      "t", "pulse_time", Nil, bucketWidth = 100L, rightCols = Seq("pulse_index"))
+    assert(!hasUnpartitionedWindow(joined))
+    assert(joined.select("id", "pulse_index").as[(Long, Long)].collect().toSet ===
+      Set((10L, 0L), (11L, 1L)))
+  }
+}

@@ -37,7 +37,19 @@ def main():
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
 
     results = {}
-    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+    # Expected set = full query list dumped by Verify (plus oracle keys as a
+    # fallback), NOT just the directories that exist: a query that crashed in
+    # Verify writes no directory and must show up as FAIL, not vanish.
+    dirs = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
+    expected_file = Path(out_dir) / "query_names.json"
+    expected = set(json.loads(expected_file.read_text())) if expected_file.exists() \
+        else dirs | set(oracle)
+    for name in sorted(expected | dirs):
+        if name not in dirs:
+            results[name] = {"status": "missing_output",
+                             "error": "query wrote no output (crashed in Verify?)",
+                             "ok": False}
+            continue
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         spark_cols = list(spark_rel.columns)
