@@ -38,21 +38,22 @@ object TrainingDataPipeline {
     */
   def curate(docs: DataFrame, textCol: String, idCol: String,
              cfg: Config = Config()): DataFrame = {
-    val lang = TextAnalysis.langIdNgram(docs, textCol, idCol)
-      .select(col(idCol), col("lang_pred"))
-    val quality = TextAnalysis.qualityScore(docs, textCol, idCol)
-      .select(col(idCol), col("quality_score"))
-    val tokens = TextAnalysis.tokenCounts(docs, textCol, idCol)
-      .select(col(idCol), col("n_ws_tokens"))
-
+    // All three annotations are map-side column expressions over the same
+    // rows (language ID folds its profile table into the scan), so they
+    // compose into ONE pass with zero joins — the first version computed
+    // three separate annotation frames and paid three shuffle joins to
+    // reassemble them.
+    //
     // The annotation subtree feeds every later branch (filters, both
     // dedup stages, the final decision join). Eagerly checkpoint it: a
     // plain persist leaves the full logical plan under every downstream
     // action, and the iterative dedup stages then pay re-analysis +
     // partial-cache recompute per action (first measurement: 113-400 s
     // vs ~15 s at sf0.1). Lineage truncation is the fix, not caching.
-    val annotated = docs.select(col(idCol), col(textCol))
-      .join(lang, idCol).join(quality, idCol).join(tokens, idCol)
+    val annotated = docs.select(col(idCol), col(textCol),
+        TextAnalysis.langIdNgramCols(col(textCol))._1.as("lang_pred"),
+        TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
+        TextAnalysis.nWords(col(textCol)).as("n_ws_tokens"))
       .withColumn("__lang_ok", col("lang_pred").isin(cfg.allowedLangs.toSeq: _*))
       .withColumn("__quality_ok", col("quality_score") >= cfg.minQuality)
       .withColumn("__len_ok",

@@ -81,40 +81,61 @@ object TextAnalysis {
     ("fr", "eur", 1.5), ("fr", "ais", 1.5), ("fr", "une", 2.0))
 
   /** N-gram language ID: score each document's character trigrams against
-    * per-language profile weights and keep the argmax. The profile table
-    * is broadcast; the only shuffle is the per-document aggregate. Docs
-    * with no profile hit are labeled 'unknown'.
+    * per-language profile weights and keep the argmax.
+    *
+    * The profile table is tiny by definition (it is broadcast-class
+    * metadata), so it folds into the scan as literal expressions: each
+    * language's score is a sum of overlap-counting `regexp_count` terms
+    * (`(?=...)` lookahead counts every trigram start position, matching
+    * the explode-all-positions semantics), and the argmax is a struct
+    * `greatest`. ZERO shuffles and no join — the first version exploded
+    * one row per character and paid an explode+join+two-aggregation
+    * shuffle chain that dominated the curation pipeline's cost.
+    * Docs with no profile hit are labeled 'unknown'.
     */
+  /** (lang_pred, lang_score) column pair for a text column — the scoring
+    * expressions [[langIdNgram]] is built from, exposed so single-scan
+    * pipelines can inline them.
+    */
+  def langIdNgramCols(
+      textCol: Column,
+      prof: Seq[(String, String, Double)] = defaultTrigramProfiles)
+      : (Column, Column) = {
+    val t = lower(textCol)
+    val scored = prof.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lang, entries) =>
+        val score = entries.map { case (_, tri, w) =>
+          regexp_count(t,
+            lit("(?=" + java.util.regex.Pattern.quote(tri) + ")"))
+            .cast("double") * lit(w)
+        }.reduce(_ + _)
+        struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // struct comparison orders by (score, lang) — ties break to the
+    // lexicographically largest language, like max_by(lang, (score, lang))
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    (when(best.getField("score") > 0, best.getField("lang"))
+       .otherwise(lit("unknown")),
+     best.getField("score"))
+  }
+
   def langIdNgram(docs: DataFrame, textCol: String, idCol: String,
                   profiles: Option[DataFrame] = None): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val prof = profiles.getOrElse(
-      defaultTrigramProfiles.toDF("lang", "trigram", "weight"))
-    val grams = docs.select(
-      col(idCol),
-      explode(expr(
-        s"transform(sequence(1, greatest(length(`$textCol`) - 2, 1)), " +
-        s"i -> substring(lower(`$textCol`), i, 3))")).as("trigram"))
-    val scores = grams.join(broadcast(prof), "trigram")
-      .groupBy(col(idCol), col("lang"))
-      .agg(sum("weight").as("score"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("lang"), struct(col("score"), col("lang"))).as("lang_pred"),
-           max(col("score")).as("lang_score"))
-    docs.select(col(idCol))
-      .join(scores, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("lang_pred"), lit("unknown")).as("lang_pred"),
-        coalesce(col("lang_score"), lit(0.0)).as("lang_score"))
+    val prof: Seq[(String, String, Double)] = profiles match {
+      case Some(df) => df.select("lang", "trigram", "weight").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      case None => defaultTrigramProfiles
+    }
+    val (pred, score) = langIdNgramCols(col(textCol), prof)
+    docs.select(col(idCol), pred.as("lang_pred"), score.as("lang_score"))
   }
 
   /** Composite quality score from surface ratios (length, punctuation
     * density, word shape) — the usual first-pass filter before expensive
     * model-based scoring.
     */
-  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The composite score alone, as a column (for single-scan pipelines). */
+  def qualityScoreCol(t: Column): Column = {
     val nc = length(t).cast("double")
     val words = nWords(t).cast("double")
     val punct = (length(t) - length(regexp_replace(t, "\\.", ""))).cast("double")
@@ -122,16 +143,25 @@ object TextAnalysis {
     val avgWordLen = (nc - nSpaces(t).cast("double")) / words
     val lengthScore = when(nc >= 200 && nc <= 100000, lit(1.0))
       .otherwise(nc / lit(200.0))
-    val score = lengthScore * lit(0.5) +
+    lengthScore * lit(0.5) +
       when(avgWordLen >= 3 && avgWordLen <= 10, lit(0.3)).otherwise(lit(0.0)) +
       when(punctRatio <= 0.1, lit(0.2)).otherwise(lit(0.0))
+  }
+
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val nc = length(t).cast("double")
+    val words = nWords(t).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "\\.", ""))).cast("double")
+    val punctRatio = punct / nc
+    val avgWordLen = (nc - nSpaces(t).cast("double")) / words
     docs.select(
       col(idCol),
       length(t).cast("long").as("n_chars"),
       words.cast("long").as("n_words"),
       punctRatio.as("punct_ratio"),
       avgWordLen.as("avg_word_len"),
-      score.as("quality_score"))
+      qualityScoreCol(t).as("quality_score"))
   }
 
   /** Content fingerprint of the normalized document (case/whitespace
