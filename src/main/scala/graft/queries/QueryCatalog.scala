@@ -50,6 +50,25 @@ object QueryCatalog {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
 
+  /** ANSI SQL that runs VERBATIM on both engines — `spark.sql` over the
+    * Catalog temp views here, and the DuckDB oracle on the same parquet —
+    * the strongest form of the cross-engine contract.
+    */
+  private val PortableSql: Map[String, String] = Map(
+    "q_sql_cte" -> """
+      WITH seg AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0)
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN seg ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_grouping_sets" -> """
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""")
+
   val all: Seq[QueryDef] = Seq(
 
     // ================================================================
@@ -457,6 +476,193 @@ object QueryCatalog {
              COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    // pivot to fixed status columns (null combos -> 0 like conditional agg)
+    QueryDef("q_pivot", (s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""
+      SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // the SQL route: identical ANSI text runs on this engine (temp views
+    // registered by graft.Catalog) and on the DuckDB oracle
+    QueryDef("q_sql_cte", (s, d) => {
+      graft.Catalog.registerTables(s, d)
+      s.sql(PortableSql("q_sql_cte"))
+    }, Some(PortableSql("q_sql_cte"))),
+
+    QueryDef("q_grouping_sets", (s, d) => {
+      graft.Catalog.registerTables(s, d)
+      s.sql(PortableSql("q_grouping_sets"))
+    }, Some(PortableSql("q_grouping_sets"))),
+
+    QueryDef("q_intersect", (s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(
+          t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY c_custkey""")),
+
+    QueryDef("q_except", (s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .except(
+          t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY c_custkey""")),
+
+    // correlated scalar subquery: orders 1.5x above their customer's
+    // average order value (expressed as an aggregate join — the optimizer
+    // rewrites the correlated form the same way)
+    QueryDef("q_correlated_avg", (s, d) => {
+      val ord = t(s, d, "orders")
+      val perCust = ord.groupBy(col("o_custkey").as("__ck"))
+        .agg((sumd(col("o_totalprice")) / count(lit(1))).as("__avg"))
+      ord.join(perCust, col("o_custkey") === col("__ck"))
+        .filter(col("o_totalprice") > col("__avg") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE o_totalprice > 1.5 * (
+        SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")),
+
+    // moving average over the customer's last 3 orders (ROWS frame);
+    // exact decimal sum + one division keeps both engines bit-identical
+    QueryDef("q_moving_avg", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+      t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          (sum(dec(col("o_totalprice"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          / COUNT(*) OVER w AS avg3
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef("q_first_last", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        first_value(o_totalprice) OVER w AS first_price,
+        last_value(o_totalprice) OVER w AS last_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    QueryDef("q_percent_rank", (s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      t(s, d, "orders").select(
+          col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""")),
+
+    // top-3 per group via partitioned row_number (the general top-N shape;
+    // q_window_rank pins the N=1 variant)
+    QueryDef("q_top3_per_group", (s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rn")
+    }, Some("""
+      SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+          CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        FROM customer)
+      WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // list aggregation with deterministic ordering, joined to a scalar
+    // string (arrays can't cross the driver's pandas compare)
+    QueryDef("q_array_agg", (s, d) =>
+      t(s, d, "orders").filter(col("o_custkey") <= 50)
+        .groupBy("o_custkey")
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(o_orderkey)), " +
+          "x -> cast(x as string)), ',')").as("order_keys"))
+        .orderBy("o_custkey"),
+      Some("""
+      SELECT o_custkey,
+        array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
+      FROM orders WHERE o_custkey <= 50
+      GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    QueryDef("q_regexp", (s, d) =>
+      t(s, d, "part").select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy("p_partkey"),
+      Some("""
+      SELECT p_partkey,
+        regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      FROM part ORDER BY p_partkey""")),
+
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM) — nulls planted
+    // with nullif so the null-matching branch actually fires
+    QueryDef("q_nullsafe_join", (s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_nationkey"), lit(3)).as("ck"))
+      val supp = t(s, d, "supplier")
+        .select(col("s_suppkey"), nullif(col("s_nationkey"), lit(3)).as("sk"))
+      cust.join(supp, col("ck") <=> col("sk"))
+        .groupBy(col("ck").as("nation_key"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("nation_key").asc_nulls_first)
+    }, Some("""
+      SELECT ck AS nation_key, COUNT(*) AS n_pairs
+      FROM (SELECT nullif(c_nationkey, 3) AS ck FROM customer) c
+      JOIN (SELECT nullif(s_nationkey, 3) AS sk FROM supplier) s
+        ON ck IS NOT DISTINCT FROM sk
+      GROUP BY ck ORDER BY nation_key NULLS FIRST""")),
 
     // ================================================================
     // Event time-slicing pipeline (the reference's flagship analytic)

@@ -26,8 +26,8 @@ class QueryCatalogSpec extends SparkSuite {
   test("oracle SQL never references tables outside the testdata set") {
     val tables = graft.Tables.AllTables.toSet
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      // lookbehinds skip EXTRACT(YEAR FROM col) style FROMs
-      val froms = raw"(?i)(?<!year\s)(?<!month\s)(?:\bFROM|\bJOIN)\s+([a-z_][a-z0-9_]*)".r
+      // lookbehinds skip EXTRACT(YEAR FROM col) and IS NOT DISTINCT FROM
+      val froms = raw"(?i)(?<!year\s)(?<!month\s)(?<!distinct\s)(?:\bFROM|\bJOIN)\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // CTE names declared inside the oracles themselves
       val ctes = raw"(?i)([a-z_][a-z0-9_]*)\s+AS\s*\(".r
