@@ -8,10 +8,13 @@ import graft.functions.{MinHashSig, RollingFingerprint, SimHashSig}
 
 /** Session extensions registering graft's native expressions so they are
   * callable from SQL / `expr(...)` in any session configured with
-  * `spark.sql.extensions=graft.GraftExtensions`.
+  * `spark.sql.extensions=graft.GraftExtensions`, plus the ASOF JOIN SQL
+  * syntax (parser extension, see [[graft.sql.GraftSqlParser]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(session, delegate))
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rolling_fingerprint"),

@@ -708,6 +708,32 @@ object QueryCatalog {
         epoch_us(e.ts) - (SELECT max(p.pt) FROM pulses p WHERE p.pt <= epoch_us(e.ts)) AS time_offset_us
       FROM events e ORDER BY e.event_id"""), bench = true),
 
+    // the ASOF JOIN SQL surface (parser extension) over the same
+    // events⋈pulses correlation — must agree with the DuckDB oracle just
+    // like the Scala-API variant above
+    QueryDef("asof_sql", (s, d) => {
+      eventsUs(s, d).select("event_id", "ts_us")
+        .createOrReplaceTempView("asof_ev")
+      EventTime.derivePulseTimes(
+          eventsUs(s, d), "event_type", "ts_us", "click",
+          runKeys = Seq("event_type"), tieBreak = Seq("event_id"))
+        .select("pulse_time", "pulse_index")
+        .createOrReplaceTempView("asof_pulse")
+      s.sql(s"""
+        SELECT event_id, pulse_index, pulse_time AS pulse_time_us
+        FROM asof_ev ASOF JOIN asof_pulse
+          MATCH_CONDITION (ts_us >= pulse_time) WITHIN $UsPerHour
+        ORDER BY event_id""")
+    }, Some("""
+      WITH pulses AS (
+        SELECT epoch_us(ts) AS pt,
+               CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS pulse_index
+        FROM events WHERE event_type = 'click')
+      SELECT e.event_id,
+        (SELECT max(p.pulse_index) FROM pulses p WHERE p.pt <= epoch_us(e.ts)) AS pulse_index,
+        (SELECT max(p.pt) FROM pulses p WHERE p.pt <= epoch_us(e.ts)) AS pulse_time_us
+      FROM events e ORDER BY e.event_id""")),
+
     QueryDef("events_by_interval", (s, d) => {
       val off = EventTime.withOffsetFromStart(eventsUs(s, d), "ts_us", "off_us")
       EventTime.countByInterval(off, "off_us", 6 * UsPerHour,

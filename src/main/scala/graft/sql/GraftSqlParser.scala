@@ -1,0 +1,113 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL surface for the as-of join (Spark has none; the reference's users
+  * write the events⋈pulses correlation by hand every time —
+  * spark_events_by_time_parquet.py:205-243). Adds, by rewriting to stock
+  * Spark SQL before delegation:
+  *
+  * {{{
+  *   <left> ASOF JOIN <right>
+  *     MATCH_CONDITION ( <leftTimeCol> >= <rightTimeCol> )
+  *     [USING (k1, k2, ...)]      -- equality keys joined alongside time
+  *     [WITHIN <bucketWidth>]     -- time-bucket width (integer, same
+  *                                --  unit as the time columns); default
+  *                                --  spark.graft.asof.bucketWidth
+  * }}}
+  *
+  * (Snowflake's ASOF JOIN grammar, restricted to the backward `>=` match.)
+  * The rewrite produces the same bucketed-interval formulation as
+  * [[graft.ops.AsOfJoin.backward]]: intervals from a keyed LEAD window,
+  * exploded onto fixed-width buckets, then a plain equi join — never a
+  * range nested-loop. Limitations (v1): left/right must be table/view
+  * identifiers, time columns are named (qualifiers are stripped), and the
+  * output carries both sides' columns unqualified (USING keys are emitted
+  * once). Keyless ASOF (no USING) plans a single-partition LEAD window —
+  * sound only when the right side is small; the Scala API routes keyless
+  * joins through graft.ops.Ranking instead.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private def rewrite(sqlText: String): String =
+    AsofSqlRewrite(session, sqlText)
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(rewrite(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(rewrite(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object AsofSqlRewrite {
+
+  val BucketConf = "spark.graft.asof.bucketWidth"
+
+  // <l> ASOF JOIN <r> MATCH_CONDITION ( [q.]lt >= [q.]rt )
+  //   [USING (k, ...)] [WITHIN n]
+  private val Pattern =
+    ("""(?is)(\w+)\s+ASOF\s+JOIN\s+(\w+)\s+MATCH_CONDITION\s*""" +
+     """\(\s*(?:\w+\.)?(\w+)\s*>=\s*(?:\w+\.)?(\w+)\s*\)""" +
+     """(?:\s+USING\s*\(([^)]*)\))?""" +
+     """(?:\s+WITHIN\s+(\d+))?""").r
+
+  def apply(session: SparkSession, sqlText: String): String =
+    if (!sqlText.toUpperCase.contains("ASOF")) sqlText
+    else Pattern.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement(expand(session, m)))
+
+  private def expand(session: SparkSession,
+                     m: scala.util.matching.Regex.Match): String = {
+    val (l, r, lt, rt) = (m.group(1), m.group(2), m.group(3), m.group(4))
+    val keys = Option(m.group(5)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val width = Option(m.group(6)).map(_.toLong).getOrElse(
+      session.conf.get(BucketConf, "3600").toLong)
+    require(width > 0, s"ASOF WITHIN must be positive, got $width")
+
+    val partitionBy =
+      if (keys.isEmpty) "" else keys.mkString("PARTITION BY ", ", ", " ")
+    val keyEquality =
+      keys.map(k => s"AND __l.$k = __r.$k ").mkString
+    // USING keys appear once (from the left side); helper cols never leak
+    val exceptRight = (keys :+ "__gae" :+ "__gab").mkString(", ")
+
+    // Same shape as graft.ops.AsOfJoin.backward: cap the open last
+    // interval at max(left time)+1, drop intervals past every left row,
+    // explode each interval onto its buckets, equi-join on the bucket.
+    s"""(
+      SELECT __l.* EXCEPT (__gab), __r.* EXCEPT ($exceptRight)
+      FROM (SELECT *, CAST($lt DIV $width AS BIGINT) AS __gab FROM $l) AS __l
+      LEFT JOIN (
+        SELECT *, explode(sequence(CAST($rt DIV $width AS BIGINT),
+                                   CAST((__gae - 1) DIV $width AS BIGINT))) AS __gab
+        FROM (
+          SELECT * EXCEPT (__gae0),
+                 coalesce(__gae0, (SELECT MAX($lt) + 1 FROM $l)) AS __gae
+          FROM (SELECT *, LEAD($rt) OVER (${partitionBy}ORDER BY $rt) AS __gae0
+                FROM $r))
+        WHERE $rt < __gae
+      ) AS __r
+      ON __l.__gab = __r.__gab AND __r.$rt <= __l.$lt AND __l.$lt < __r.__gae
+         $keyEquality)"""
+  }
+}
