@@ -50,6 +50,80 @@ object QueryCatalog {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
 
+  // -------- DuckDB-oracle generators for the text/dedup family ----------
+  // These mirror graft's Scala-side semantics in DuckDB's dialect so even
+  // the LSH paths get EXACT oracles instead of rows-only checks:
+  //  - shingling matches WordShingles byte-for-byte on ASCII corpora
+  //    (tokens = space-run splits; <n tokens -> one shingle; "" -> ['']);
+  //  - trigram counts use the replace trick — every profile trigram is
+  //    non-self-overlapping (no s[0]==s[2]), so the non-overlapping count
+  //    equals langIdNgramCols' lookahead regexp_count;
+  //  - per-language double sums replay the same left-assoc reduce order,
+  //    making IEEE addition bit-identical across engines.
+
+  /** `words` list column -> word n-gram shingle list (DuckDB lambdas). */
+  private def duckShingleList(n: Int): String =
+    s"""CASE WHEN len(words)=0 THEN ['']
+            WHEN len(words)<$n THEN [array_to_string(words,' ')]
+            ELSE list_transform(generate_series(1,len(words)-${n - 1}),
+                                i -> array_to_string(words[i:i+${n - 1}],' ')) END"""
+
+  private val DuckWords = "list_filter(string_split(text,' '), w -> w <> '')"
+
+  /** Per-language trigram score select-list over a `lt` (lowered text)
+    * column, matching langIdNgramCols' grouping and reduce order.
+    */
+  private def duckLangScoreCols: String = {
+    val byLang = TextAnalysis.defaultTrigramProfiles.groupBy(_._1).toSeq.sortBy(_._1)
+    byLang.map { case (lang, entries) =>
+      val terms = entries.map { case (_, tri, w) =>
+        val esc = tri.replace("'", "''")
+        s"CAST((LENGTH(lt) - LENGTH(replace(lt, '$esc', ''))) / ${tri.length} AS DOUBLE) * $w"
+      }.mkString(" + ")
+      s"($terms) AS s_$lang"
+    }.mkString(", ")
+  }
+
+  private def duckLangNames: Seq[String] =
+    TextAnalysis.defaultTrigramProfiles.map(_._1).distinct.sorted
+
+  /** Unnest-the-scores + argmax fragment: struct `greatest` ties break to
+    * the lexicographically largest language, like the Scala side.
+    */
+  private def duckLangBestSql(scoredRel: String): String = {
+    val structs = duckLangNames
+      .map(l => s"{'score': s_$l, 'lang': '$l'}").mkString(", ")
+    s"""SELECT * EXCLUDE (s), s.lang AS best_lang, s.score AS best_score FROM (
+          SELECT *, unnest([$structs]) AS s FROM $scoredRel) __u
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s.score DESC, s.lang DESC) = 1"""
+  }
+
+  /** The quality-score expression verbatim from the quality_score oracle. */
+  private val DuckQuality = """
+      (CASE WHEN LENGTH(text) >= 200 AND LENGTH(text) <= 100000 THEN CAST(1.0 AS DOUBLE)
+            ELSE LENGTH(text) / CAST(200.0 AS DOUBLE) END) * 0.5
+      + CASE WHEN (CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+                   / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1)) >= 3
+               AND (CAST(LENGTH(replace(text, ' ', '')) AS DOUBLE)
+                   / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1)) <= 10
+             THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+      + CASE WHEN (CAST(LENGTH(text) - LENGTH(replace(text, '.', '')) AS DOUBLE) / LENGTH(text)) <= 0.1
+             THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"""
+
+  /** RollingFingerprint oracle terms: Java's wrap-around long arithmetic
+    * is mod-2^64 ring arithmetic, so each window hash is the polynomial
+    * sum with HUGEINT pow-mod constants, reduced once, then mapped back to
+    * the signed 64-bit range before the min (Java compares SIGNED longs).
+    */
+  private def duckRollingTerms(win: Int): String = {
+    val M = BigInt(1) << 64
+    val pows = (0 until win).map(k => BigInt(1000003).modPow(BigInt(k), M))
+    (0 until win).map(j =>
+      s"ord(substring(text, i+$j, 1))::HUGEINT * ${pows(win - 1 - j)}::HUGEINT")
+      .mkString(" + ")
+  }
+
   /** ANSI SQL that runs VERBATIM on both engines — `spark.sql` over the
     * Catalog temp views here, and the DuckDB oracle on the same parquet —
     * the strongest form of the cross-engine contract.
@@ -993,7 +1067,30 @@ object QueryCatalog {
       Dedup.minHashCandidates(docs.unionByName(planted), "text", "doc_id",
           shingleSize = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
         .orderBy("id_a", "id_b")
-    }, None, bench = true),
+    },
+    // The oracle is the EXACT answer — every pair sharing >=1 shingle with
+    // true Jaccard >= 0.5 — so this check asserts the LSH path's recall is
+    // 100% on this corpus (deterministic: the seeded signatures are fixed,
+    // so a pass is stable, not sampled) AND its verify stage is exact.
+    Some(s"""
+      WITH alldocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id+10000, text || ' planted near duplicate suffix'
+        FROM documents WHERE doc_id < 50),
+      sh AS (
+        SELECT doc_id, list_distinct(${duckShingleList(3)}) AS sh
+        FROM (SELECT doc_id, $DuckWords AS words FROM alldocs)),
+      shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM cpairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b)
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""), bench = true),
 
     // scale probe for the dedup map-side path: 21x-replicated corpus
     // (10.5k docs at any sf), signatures + band hashes only — the part
@@ -1028,7 +1125,20 @@ object QueryCatalog {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
       Dedup.ngramJaccard(docs.unionByName(planted), pairs, "text", "doc_id", n = 3)
         .orderBy("id_a", "id_b")
-    }, None),
+    }, Some(s"""
+      WITH alldocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id+10000, text || ' planted suffix' FROM documents WHERE doc_id < 50),
+      sh AS (
+        SELECT doc_id, list_distinct(${duckShingleList(3)}) AS sh
+        FROM (SELECT doc_id, $DuckWords AS words FROM alldocs)),
+      pairs AS (SELECT doc_id AS id_a, doc_id+10000 AS id_b FROM documents WHERE doc_id < 50)
+      SELECT p.id_a, p.id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM pairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+      ORDER BY id_a, id_b""")),
 
     QueryDef("training_pipeline", (s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
@@ -1041,7 +1151,76 @@ object QueryCatalog {
       graft.pipelines.TrainingDataPipeline.curate(
           docs.unionByName(exactDups).unionByName(nearDups), "text", "doc_id")
         .orderBy("doc_id")
-    }, None, bench = true),
+    },
+    // Full-pipeline oracle: every stage re-derived independently in DuckDB
+    // — trigram language ID (bit-identical double sums), quality score,
+    // whitespace token counts, sha256 exact dedup, EXACT-Jaccard near-dup
+    // pairs closed transitively by a recursive CTE. The near-dup stage
+    // checks the MinHash-LSH path against the exact answer, so banding
+    // recall and the connected-components clustering are both asserted.
+    Some(s"""
+      WITH RECURSIVE alldocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id+30000, text FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id+40000, text || ' planted pipeline suffix' FROM documents
+        WHERE doc_id >= 20 AND doc_id < 40),
+      scored AS (
+        SELECT doc_id, text, $duckLangScoreCols, $DuckQuality AS quality_score,
+          CAST(LENGTH(text) - LENGTH(replace(text,' ','')) + 1 AS BIGINT) AS n_ws_tokens
+        FROM (SELECT doc_id, text, lower(text) AS lt FROM alldocs)),
+      ann AS (
+        SELECT doc_id, text, quality_score, n_ws_tokens,
+          CASE WHEN best_score > 0 THEN best_lang ELSE 'unknown' END AS lang_pred
+        FROM (${duckLangBestSql("scored")})),
+      flags AS (
+        SELECT *, lang_pred IN ('en','unknown') AS lang_ok,
+               quality_score >= 0.5 AS quality_ok,
+               n_ws_tokens >= 10 AND n_ws_tokens <= 1000000 AS len_ok
+        FROM ann),
+      cand AS (SELECT doc_id, text FROM flags WHERE lang_ok AND quality_ok AND len_ok),
+      exact_drop AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+          FROM cand) WHERE doc_id <> keep_id),
+      after_exact AS (SELECT * FROM cand ANTI JOIN exact_drop USING (doc_id)),
+      sh AS (
+        SELECT doc_id, list_distinct(${duckShingleList(3)}) AS sh
+        FROM (SELECT doc_id, $DuckWords AS words FROM after_exact)),
+      shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id),
+      vpairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT p.id_a, p.id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+          FROM cpairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b)
+        WHERE jac >= 0.8),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM vpairs
+        UNION SELECT id_b, id_a FROM vpairs),
+      reach AS (
+        SELECT src AS id, src AS r FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+      near_drop AS (
+        SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) <> id)
+      SELECT f.doc_id, f.lang_pred, f.quality_score, f.n_ws_tokens,
+        CASE WHEN NOT f.lang_ok THEN 'language'
+             WHEN NOT f.quality_ok THEN 'quality'
+             WHEN NOT f.len_ok THEN 'length'
+             WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+             WHEN n.doc_id IS NOT NULL THEN 'near_dup' END AS drop_reason,
+        CASE WHEN NOT f.lang_ok THEN false WHEN NOT f.quality_ok THEN false
+             WHEN NOT f.len_ok THEN false WHEN e.doc_id IS NOT NULL THEN false
+             WHEN n.doc_id IS NOT NULL THEN false ELSE true END AS keep
+      FROM flags f
+      LEFT JOIN exact_drop e ON e.doc_id = f.doc_id
+      LEFT JOIN near_drop n ON n.doc_id = f.doc_id
+      ORDER BY f.doc_id"""), bench = true),
 
     QueryDef("contamination_scan", (s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
@@ -1052,18 +1231,56 @@ object QueryCatalog {
       Dedup.crossCorpusContamination(docs, eval_, "text", "doc_id",
           n = 8, minShared = 3, maxDocFreq = 10)
         .orderBy("id_a", "id_b")
-    }, None),
+    },
+    // The Spark side joins on xxhash64(shingle) (small shuffle keys at
+    // scale); the oracle joins on the shingle STRINGS — agreement also
+    // certifies hash-collision-freedom on this corpus.
+    Some(s"""
+      WITH alldocs AS (
+        SELECT doc_id AS id, text, 'train' AS side FROM documents
+        UNION ALL
+        SELECT doc_id+20000, 'evalprefix ' || text || ' evalsuffix', 'eval'
+        FROM documents WHERE doc_id < 40),
+      sh AS (
+        SELECT id, side, unnest(list_distinct(${duckShingleList(8)})) AS sh
+        FROM (SELECT id, side, $DuckWords AS words FROM alldocs)),
+      b AS (SELECT id AS id_b, sh FROM sh WHERE side='eval'),
+      keep AS (SELECT sh FROM b GROUP BY sh HAVING count(DISTINCT id_b) <= 10),
+      a AS (SELECT id AS id_a, sh FROM sh WHERE side='train')
+      SELECT a.id_a, bk.id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM a JOIN (SELECT b.id_b, b.sh FROM b JOIN keep USING (sh)) bk ON a.sh = bk.sh
+      GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""")),
 
     QueryDef("lang_id_ngram", (s, d) =>
       TextAnalysis.langIdNgram(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id"),
-      None),
+      Some(s"""
+      WITH scored AS (
+        SELECT doc_id, $duckLangScoreCols
+        FROM (SELECT doc_id, lower(text) AS lt FROM documents)),
+      best AS (${duckLangBestSql("scored")})
+      SELECT doc_id,
+        CASE WHEN best_score > 0 THEN best_lang ELSE 'unknown' END AS lang_pred,
+        best_score AS lang_score
+      FROM best ORDER BY doc_id""")),
 
     QueryDef("rolling_fingerprint", (s, d) =>
       t(s, d, "documents")
         .selectExpr("doc_id", "graft_rolling_fingerprint(text, 8) AS fp")
         .orderBy("doc_id"),
-      None),
+      Some(s"""
+      WITH w AS (
+        SELECT doc_id, text, unnest(generate_series(1, LENGTH(text)-7)) AS i
+        FROM documents),
+      h AS (
+        SELECT doc_id, (${duckRollingTerms(8)})
+          % 18446744073709551616::HUGEINT AS hu
+        FROM w)
+      SELECT doc_id,
+        CAST(min(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                      THEN hu - 18446744073709551616::HUGEINT ELSE hu END)
+             AS BIGINT) AS fp
+      FROM h GROUP BY doc_id ORDER BY doc_id""")),
 
     QueryDef("ann_bruteforce", (s, d) => {
       val em = t(s, d, "embeddings")
@@ -1093,7 +1310,99 @@ object QueryCatalog {
       Similarity.cosineDedupCandidates(em.unionByName(planted),
           "vec_id", "embedding", bits = 8, dim = 64, minCos = 0.999)
         .orderBy("id_a", "id_b")
-    }, None)
+    }, None),
+
+    // Integer-quantized inner-product top-k: floor(x*1e7+0.5) per element
+    // makes every score an exact 64-bit integer, so the ranking is
+    // bit-identical across engines — the exact-correctness anchor for the
+    // float-cosine ANN family above (whose IEEE sum order is engine-
+    // specific and is verified by ScalaTest instead).
+    QueryDef("ann_exact", (s, d) => {
+      val q = t(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0D + 0.5D) AS BIGINT))").as("e"))
+      val probes = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      q.crossJoin(broadcast(probes))
+        .withColumn("dot", expr("aggregate(zip_with(e, pe, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("dot").desc, col("vec_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("dot"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }, Some("""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM q WHERE vec_id < 5),
+      scored AS (
+        SELECT p.probe_id, q.vec_id AS neighbor_id,
+          CAST(list_sum(list_transform(generate_series(1, len(q.e)),
+            i -> q.e[i] * p.pe[i])) AS BIGINT) AS dot
+        FROM p CROSS JOIN q)
+      SELECT probe_id, neighbor_id, dot, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY dot DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5 ORDER BY probe_id, rank""")),
+
+    // Portable SimHash: 60-bit per-token hash from md5 (computable in any
+    // engine), sign-summed per bit position. The native xxhash64 variant
+    // (dedup_simhash) keeps the bench crown; this one carries the
+    // cross-engine oracle for the simhash SEMANTICS.
+    QueryDef("simhash_portable", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("h",
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      toks
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 59)")).as("p"))
+        .groupBy("doc_id", "p")
+        .agg(sum(when(expr("shiftright(h, p) % 2") === 1, 1L).otherwise(-1L)).as("sgn"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("sgn") > 0, expr("shiftleft(1L, p)")).otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT doc_id, unnest(list_distinct(
+                list_filter(string_split(text, ' '), w -> w <> ''))) AS tok
+              FROM documents)),
+      bits AS (
+        SELECT doc_id, p,
+          sum(CASE WHEN (h >> p) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+        FROM toks, unnest(generate_series(0, 59)) AS t(p)
+        GROUP BY doc_id, p)
+      SELECT doc_id,
+        CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Embedding EXACT dedup at scale: hash-groupBy on the quantized
+    // vector key (same shape as dedup_exact — no pairwise work at all);
+    // the near-dup threshold variant stays LSH-bucketed (embed_dedup).
+    QueryDef("embed_dedup_exact", (s, d) => {
+      val em = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = em.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      em.unionByName(planted)
+        .select(col("vec_id"),
+          md5(expr("""array_join(transform(embedding,
+            x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000000.0D + 0.5D) AS BIGINT) AS STRING)), ',')"""))
+            .as("emb_key"))
+        .groupBy("emb_key")
+        .agg(min(col("vec_id")).as("keep_vec_id"), count(lit(1)).as("n_copies"))
+        .orderBy("emb_key")
+    }, Some("""
+      WITH q AS (
+        SELECT vec_id, md5(array_to_string(list_transform(embedding,
+          x -> CAST(CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS emb_key
+        FROM (SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id+10000, embedding FROM embeddings WHERE vec_id < 50))
+      SELECT emb_key, MIN(vec_id) AS keep_vec_id, COUNT(*) AS n_copies
+      FROM q GROUP BY emb_key ORDER BY emb_key"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
