@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.pipelines.TrainingDataPipeline
+import graft.text.TextAnalysis
+
+/** Large-corpus benchmark for the operator families whose 100 TB behavior
+  * cannot be judged from the driver's sf0.1 tables: dedup (signatures,
+  * banding, candidate verify, transitive clustering), ANN, and the
+  * single-pass curation annotations.
+  *
+  * Corpus amplification is DETERMINISTIC and shaped like a real crawl:
+  *  - each source document yields `copies` variants made unique by a
+  *    word-rotation (rotating a document's word sequence changes most of
+  *    its word n-grams, so variants of one source are NOT near-dups of
+  *    each other — candidate counts stay linear in corpus size, which is
+  *    exactly the property banded LSH needs at scale);
+  *  - 10% of variants are exact duplicates of their source's variant 0
+  *    (same text, higher id) and 10% are near-dups (variant-0 text plus a
+  *    short tail), so both dedup stages do real, bounded work — dup
+  *    family sizes stay O(1) as the corpus grows, matching web-crawl
+  *    reality, so verify cost scales with corpus size, not quadratically.
+  *
+  * Usage: SPARK_DRIVER_MEM=32g SPARK_GRAFT_SCALE_COPIES=100 \
+  *          SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchScale"
+  * (SPARK_DRIVER_MEM matters: one local JVM stands in for a cluster's
+  * worth of executors, and the persisted shingle/signature frames of a
+  * 500k-doc corpus evict — and recompute — under the default 8g heap.)
+  * Emits one JSON line (same contract as [[Bench]]) and BENCH_SCALE.json.
+  */
+object BenchScale {
+
+  /** Deterministic pseudo-random word shuffle keyed by `seedCol`: sort the
+    * words by md5(word:position:seed). Variants of one source then share
+    * VOCABULARY but essentially no word n-grams (every adjacency is
+    * re-randomized per seed), so cross-variant Jaccard sits far below any
+    * dedup threshold and candidate counts stay LINEAR in corpus size.
+    * (Earlier designs failed this: a rotation keeps nearly all shingles,
+    * and stride permutations collide whenever strides share a gcd with
+    * the word count — both made candidates superlinear.)
+    */
+  private def shuffleWords(wordsCol: String, seedCol: String): String =
+    s"""array_join(
+          transform(
+            array_sort(transform($wordsCol,
+              (w, i) -> struct(md5(concat(w, ':', CAST(i AS STRING), ':',
+                                          CAST($seedCol AS STRING))) AS h,
+                               w AS w))),
+            s -> s.w),
+          ' ')"""
+
+  def amplifyDocs(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    docs
+      // split ONCE per row: referencing split(...) inside the transform
+      // lambda would re-tokenize the document per element (O(words^2))
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("copy", explode(expr(s"sequence(0, ${copies - 1})")))
+      // copies 10k+1 / 10k+2 anchor to their decade base 10k: one exact
+      // and one near duplicate per decade — dup FAMILY SIZE stays O(1) as
+      // the corpus grows (web-crawl shape), so dedup work scales with
+      // corpus size, never quadratically in family size.
+      .withColumn("seed",
+        col("copy") - when(col("copy") % 10 <= 2, col("copy") % 10).otherwise(0))
+      .withColumn("shuffled", expr(shuffleWords("words", "seed")))
+      .select(
+        (col("doc_id") * copies * 10 + col("copy")).as("doc_id"),
+        when(col("copy") % 10 === 2,
+            concat(col("shuffled"), lit(" scale near dup tail")))
+          .otherwise(col("shuffled"))
+          .as("text"))
+  }
+
+  def amplifyEmbeddings(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
+    val em = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    // Perturb one coordinate per copy so vectors are distinct but the
+    // space keeps its shape; copy 1 stays an exact duplicate.
+    em.withColumn("copy", explode(expr(s"sequence(0, ${copies - 1})")))
+      .select(
+        (col("vec_id") * copies * 10 + col("copy")).as("vec_id"),
+        when(col("copy") % 10 === 1, col("embedding"))
+          .otherwise(expr(
+            """transform(embedding,
+                 (x, i) -> CAST(x + CASE WHEN i = pmod(copy, 64) THEN copy * 0.001 ELSE 0.0 END AS FLOAT))"""))
+          .as("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // One-time corpus materialization (not timed): at a real deployment
+    // this is the input lake, not part of query latency.
+    val docsPath = s"$work/documents_x$copies"
+    val embPath = s"$work/embeddings_x$copies"
+    if (!Files.exists(Paths.get(docsPath)))
+      amplifyDocs(spark, sfDir, copies)
+        .repartition(cpus.toInt * 2).write.mode("overwrite").parquet(docsPath)
+    if (!Files.exists(Paths.get(embPath)))
+      amplifyEmbeddings(spark, sfDir, copies)
+        .repartition(cpus.toInt).write.mode("overwrite").parquet(embPath)
+    val docs = spark.read.parquet(docsPath)
+    val em = spark.read.parquet(embPath)
+    val nDocs = docs.count()
+    val nVecs = em.count()
+    val bytes = docs.select(sum(length(col("text")))).head().getLong(0)
+    System.err.println(s"[scale] corpus: $nDocs docs, $bytes text bytes, $nVecs vectors")
+
+    def timed(name: String)(f: => Long): (String, Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scale] $name: $dt%.1fs ($n rows)")
+      (name, dt, n)
+    }
+
+    val results = Seq(
+      timed("annotate_scan") {
+        // single-pass lang+quality+token annotation (the curation front
+        // end). Aggregate over every computed column — a bare count()
+        // would let Catalyst prune the annotations out of the plan and
+        // time an empty scan.
+        docs.select(col("doc_id"),
+            TextAnalysis.langIdNgramCols(col("text"))._1.as("lang"),
+            TextAnalysis.qualityScoreCol(col("text")).as("q"),
+            TextAnalysis.nWords(col("text")).as("n"))
+          .agg(count(when(col("lang") === "en", 1)) + count(col("q") > 0.5) +
+               sum(col("n")))
+          .head().getLong(0)
+      },
+      timed("dedup_exact") {
+        Dedup.exactGroups(docs, "text", "doc_id").filter(col("n_copies") > 1).count()
+      },
+      timed("minhash_candidates") {
+        Dedup.minHashCandidates(docs, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()
+      },
+      timed("minhash_dedup_clustered") {
+        Dedup.minHashDedupClustered(docs, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()
+      },
+      timed("simhash_sigs") {
+        // sum forces the signature computation (count() would prune it)
+        Dedup.withSimHash(docs, "text")
+          .agg(count(col("simhash")) + sum(col("simhash") % 1000))
+          .head().getLong(0)
+      },
+      timed("ann_bruteforce") {
+        Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10).count()
+      },
+      timed("ann_lsh") {
+        Similarity.lshTopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, bits = 8, dim = 64).count()
+      },
+      timed("curate_pipeline") {
+        TrainingDataPipeline.curate(docs, "text", "doc_id")
+          .filter(col("keep")).count()
+      })
+
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val rows = results.map { case (k, _, n) => "\"" + k + s"\":$n" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json =
+      f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rows,"n_docs":$nDocs,"text_bytes":$bytes,"n_vectors":$nVecs,"copies":$copies,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_SCALE.json"), json)
+    spark.stop()
+  }
+}

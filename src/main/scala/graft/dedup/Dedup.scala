@@ -86,17 +86,19 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      prefilterMargin: Double = 0.2): DataFrame = {
+    // Signatures are computed ONCE and persisted: banding, the
+    // sig-agreement prefilter, and (via shingles) the exact verify all
+    // hang off this frame. At 100 TB this is an explicit signatures table.
     val sigs = withMinHashSignature(
-      withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize), numHashes)
-    // Signature computation dominates (higher-order transforms are
-    // interpreted, not codegen'd); persist so the self-join and the
-    // verify pass reuse one materialization instead of recomputing per
-    // branch. At 100 TB this would be an explicit signatures table.
-    val banded = withBands(sigs, numHashes, bands)
-      .select(col(idCol).as("id"), col("band.band_id").as("band_id"),
-              col("band.band_hash").as("band_hash"))
+        withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize),
+        numHashes)
+      .select(col(idCol).as("id"), col("minhash_sig"))
       .persist()
+    val banded = withBands(sigs, numHashes, bands)
+      .select(col("id"), col("band.band_id").as("band_id"),
+              col("band.band_hash").as("band_hash"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val candidates = a.join(b,
@@ -105,23 +107,40 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // exact verify: join shingle sets back, jaccard = |∩| / |∪|
+    // Banding's S-curve has a heavy low-similarity tail (one colliding
+    // band admits the pair no matter how dissimilar): on a 500k-doc
+    // corpus 90% of distinct candidates had true Jaccard < 0.1. Those
+    // must not reach the exact verify — its shingle-set join is the
+    // expensive step. The signature-agreement estimator (64 long
+    // compares on the ALREADY-persisted sigs) prefilters them; the
+    // margin keeps the estimator's sampling noise (sigma ~ 1/sqrt(k))
+    // from dropping true pairs: a j=minJaccard pair estimating below
+    // minJaccard - 0.2 is a >3-sigma event at k=64. The oracle (exact
+    // Jaccard recomputed independently) certifies recall end to end.
+    val prefilterAt = math.max(0.0, minJaccard - prefilterMargin)
+    val prefiltered = candidates
+      .join(sigs.select(col("id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+      .filter(graft.functions.SigAgreement.col(col("sig_a"), col("sig_b"))
+        >= prefilterAt)
+      .select("id_a", "id_b")
+    // exact verify on the survivors: single-pass native Jaccard (no
+    // intermediate intersect/union arrays)
     val sh = withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize)
       .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
       .persist()
-    val verified = candidates
+    val verified = prefiltered
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.JaccardSim.col(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
     // Materialize (cheap: candidate pairs only), then release the cached
     // intermediates — repeated invocations in a long-lived session would
     // otherwise accumulate cached blocks until LRU eviction thrashes.
     val out = verified.localCheckpoint()
-    banded.unpersist()
+    sigs.unpersist()
     sh.unpersist()
     out
   }
@@ -308,8 +327,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.JaccardSim.col(col("sh_a"), col("sh_b")))
       .select("id_a", "id_b", "jaccard")
   }
 }

@@ -567,6 +567,51 @@ object QueryCatalog {
         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // RANGE frame (value-based window): running revenue over orders within
+    // the trailing 30 days per customer — RANGE, unlike ROWS, must bound
+    // by the ORDER-BY VALUE, so ties and gaps behave differently.
+    QueryDef("q_range_frame", (s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("d", datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-30L, Window.currentRow)
+      o.withColumn("rev30",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("d"), col("rev30"))
+        .orderBy("o_custkey", "d", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey, d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY d
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev30
+      FROM (SELECT o_custkey, o_orderkey,
+              CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+              , o_totalprice FROM orders)
+      WHERE o_custkey < 200 ORDER BY o_custkey, d, o_orderkey""")),
+
+    // Unpivot (wide -> long): lineitem measures to (measure, value) rows —
+    // Spark's stack() against the portable UNION ALL formulation.
+    QueryDef("q_unpivot", (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(3, 'quantity', CAST(l_quantity AS DOUBLE),
+                           'extendedprice', CAST(l_extendedprice AS DOUBLE),
+                           'discount', CAST(l_discount AS DOUBLE))
+                  AS (measure, value)"""))
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""
+      SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem)
+      WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, measure""")),
+
     // the SQL route: identical ANSI text runs on this engine (temp views
     // registered by graft.Catalog) and on the DuckDB oracle
     QueryDef("q_sql_cte", (s, d) => {

@@ -101,19 +101,14 @@ object TextAnalysis {
       textCol: Column,
       prof: Seq[(String, String, Double)] = defaultTrigramProfiles)
       : (Column, Column) = {
-    val t = lower(textCol)
-    val scored = prof.groupBy(_._1).toSeq.sortBy(_._1).map {
-      case (lang, entries) =>
-        val score = entries.map { case (_, tri, w) =>
-          regexp_count(t,
-            lit("(?=" + java.util.regex.Pattern.quote(tri) + ")"))
-            .cast("double") * lit(w)
-        }.reduce(_ + _)
-        struct(score.as("score"), lit(lang).as("lang"))
-    }
-    // struct comparison orders by (score, lang) — ties break to the
-    // lexicographically largest language, like max_by(lang, (score, lang))
-    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    // One native byte-level pass for all profile counts + the argmax
+    // (graft.functions.TrigramLangScore). The earlier Column formulation
+    // — one lookahead regexp_count per profile entry, struct greatest()
+    // for the argmax — computed identical values (same overlap-count
+    // semantics, same left-assoc IEEE sum order; ties to the
+    // lexicographically largest language) but paid 28 regex passes per
+    // document and dominated the single-pass annotation scan.
+    val best = graft.functions.TrigramLangScore.col(lower(textCol), prof)
     (when(best.getField("score") > 0, best.getField("lang"))
        .otherwise(lit("unknown")),
      best.getField("score"))

@@ -124,6 +124,67 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("JaccardSim matches the set-based intersect/union reference") {
+    for (_ <- 1 to 300) {
+      val a = (0 until rnd.nextInt(40)).map(_ => randomText().trim)
+      val b = (0 until rnd.nextInt(40)).map(_ => randomText().trim) ++
+        (if (rnd.nextBoolean() && a.nonEmpty) a.take(rnd.nextInt(a.length)) else Nil)
+      val actual = JaccardSim.compute(
+        new GenericArrayData(a.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(b.map(UTF8String.fromString).toArray[Any]))
+      val (sa, sb) = (a.toSet, b.toSet)
+      val union = (sa ++ sb).size
+      val expected =
+        if (union == 0) 0.0 else (sa & sb).size.toDouble / union
+      assert(actual === expected)
+    }
+  }
+
+  test("SigAgreement is the fraction of equal components") {
+    for (_ <- 1 to 300) {
+      val n = rnd.nextInt(64)
+      val a = Array.fill(n)(rnd.nextInt(8).toLong)
+      val b = Array.fill(n)(rnd.nextInt(8).toLong)
+      val actual = SigAgreement.compute(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any)))
+      val expected =
+        if (n == 0) 0.0
+        else a.zip(b).count { case (x, y) => x == y }.toDouble / n
+      assert(actual === expected)
+    }
+  }
+
+  test("TrigramLangScore matches the per-profile overlapping-count argmax") {
+    // random profiles over a tiny alphabet so patterns actually occur
+    for (_ <- 1 to 200) {
+      val langs = Seq("aa", "bb", "cc", "dd").take(2 + rnd.nextInt(3))
+      val profiles = langs.flatMap { l =>
+        (0 until (1 + rnd.nextInt(4))).map { _ =>
+          val pat = (0 until (1 + rnd.nextInt(3)))
+            .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+          (l, pat, rnd.nextDouble() * 2)
+        }
+      }
+      val text = (0 until rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val row = TrigramLangScore.Compiled(profiles).eval(UTF8String.fromString(text))
+      def countOverlap(t: String, p: String): Int =
+        if (p.isEmpty || p.length > t.length) 0
+        else (0 to t.length - p.length).count(i => t.regionMatches(i, p, 0, p.length))
+      // same grouping + left-assoc sum order as the Compiled path
+      val scored = profiles.map(_._1).distinct.sorted.map { l =>
+        val s = profiles.filter(_._1 == l)
+          .map { case (_, p, w) => countOverlap(text, p) * w }
+          .foldLeft(0.0)(_ + _)
+        (s, l)
+      }
+      // ties break to the lexicographically LARGEST language
+      val (bestScore, bestLang) = scored.maxBy { case (s, l) => (s, l) }
+      assert(row.getDouble(0) === bestScore, s"text=$text profiles=$profiles")
+      assert(row.getUTF8String(1).toString === bestLang)
+    }
+  }
+
   test("RollingFingerprint equals brute-force window minimum on random bytes") {
     for (_ <- 1 to 200) {
       val t = randomText()
