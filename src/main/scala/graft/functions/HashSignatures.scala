@@ -80,6 +80,62 @@ object MinHashSig {
     GraftColumnShim.column(MinHashSig(GraftColumnShim.expression(c), numHashes))
 }
 
+/** LSH band hashes of a MinHash signature: split the array<long> into
+  * `bands` contiguous bands and hash each one, returning array<long> of
+  * length `bands`. Values are BIT-IDENTICAL to the column formulation
+  * `xxhash64(slice(sig, b*r+1, r))` (Spark hashes an array<long> by
+  * folding XXH64.hashLong over the elements from seed 42), but computed
+  * in one compiled pass — the `transform(sequence(...), b ->
+  * xxhash64(slice(...)))` lambda it replaces is interpreted and measured
+  * 133 s vs 13 s for the signature pass itself on a 500k-doc corpus.
+  */
+case class BandHashes(child: Expression, bands: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"band_hashes expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandHashes.compute(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BandHashes.compute($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+object BandHashes {
+  def compute(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var j = 0
+    while (b < bands) {
+      var h = 42L // xxhash64's seed, matching the Column formulation
+      var k = 0
+      while (k < r) {
+        h = XXH64.hashLong(sig.getLong(j), h)
+        j += 1
+        k += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def col(c: Column, bands: Int): Column =
+    GraftColumnShim.column(BandHashes(GraftColumnShim.expression(c), bands))
+}
+
 /** 64-bit SimHash over an array of tokens: per-bit +-1 votes of each
   * token's xxhash64, sign of the vote becomes the bit. Same rationale as
   * MinHashSig: one compiled pass instead of 64 interpreted lambda scans.

@@ -612,6 +612,62 @@ object QueryCatalog {
                CAST(l_discount AS DOUBLE) FROM lineitem)
       WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber, measure""")),
 
+    // Lateral explode + aggregate: corpus word frequency (top 100). The
+    // tokenizer is the same space-run split both engines use elsewhere.
+    QueryDef("q_explode_tokens", (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(100),
+      Some("""
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+        FROM documents)
+      GROUP BY word ORDER BY n DESC, word LIMIT 100""")),
+
+    // Time-series gap fill: hourly event counts with empty buckets
+    // materialized as zeros (sequence + explode + left join) — the
+    // standard resample shape reporting pipelines need.
+    QueryDef("q_gap_fill", (s, d) => {
+      val e = eventsUs(s, d).withColumn("b", expr(s"ts_us div $UsPerHour"))
+      val counts = e.groupBy("b").agg(count(lit(1)).as("n_events"))
+      val range = e.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+        .select(explode(expr("sequence(b0, b1)")).as("b"))
+      range.join(counts, Seq("b"), "left")
+        .select(col("b"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy("b")
+    }, Some("""
+      WITH e AS (SELECT epoch_us(ts) // 3600000000 AS b FROM events),
+      r AS (SELECT unnest(generate_series(MIN(b), MAX(b))) AS b FROM e),
+      c AS (SELECT b, COUNT(*) AS n_events FROM e GROUP BY b)
+      SELECT r.b AS b, COALESCE(c.n_events, 0) AS n_events
+      FROM r LEFT JOIN c USING (b) ORDER BY b""")),
+
+    // Higher-order array functions as a query: per-order quantity list ->
+    // sort, transform (double it), filter (> 40), aggregate (sum) — all
+    // inside codegen'd array expressions; scalar output keeps the
+    // cross-engine hash comparable.
+    QueryDef("q_array_transform", (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 500)
+        .withColumn("q", col("l_quantity").cast("long"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("q"))).as("qs"))
+        .select(col("l_orderkey"),
+          expr("aggregate(filter(transform(qs, x -> x * 2), x -> x > 40), 0L, (a, x) -> a + x)")
+            .as("total"),
+          size(col("qs")).cast("long").as("n_items"))
+        .orderBy("l_orderkey"),
+      Some("""
+      SELECT l_orderkey,
+        CAST(COALESCE(list_sum(list_filter(
+               list_transform(list_sort(list(CAST(l_quantity AS BIGINT))), x -> x * 2),
+               x -> x > 40)), 0) AS BIGINT) AS total,
+        CAST(len(list(CAST(l_quantity AS BIGINT))) AS BIGINT) AS n_items
+      FROM lineitem WHERE l_orderkey < 500
+      GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     // the SQL route: identical ANSI text runs on this engine (temp views
     // registered by graft.Catalog) and on the DuckDB oracle
     QueryDef("q_sql_cte", (s, d) => {

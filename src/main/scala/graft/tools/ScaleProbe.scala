@@ -58,29 +58,43 @@ object ScaleProbe {
     timed("raw_pairs") { raw.count() }
     val cand = raw.distinct().persist()
     timed("distinct_pairs") { cand.count() }
+    val sigsKeyed = sigs.select(col("doc_id").as("id"), col("minhash_sig")).persist()
+    val prefiltered = cand
+      .join(sigsKeyed.select(col("id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+      .join(sigsKeyed.select(col("id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+      .filter(graft.functions.SigAgreement.col(col("sig_a"), col("sig_b")) >= 0.3)
+      .select("id_a", "id_b")
+      .persist()
+    timed("prefilter") { prefiltered.count() }
     val shv = Dedup.withShingles(docs, "text", 3)
       .select(col("doc_id").as("id"), array_distinct(col("shingles")).as("sh"))
       .persist()
     timed("sh_materialize") { shv.count() }
     timed("verify_join") {
-      cand
+      prefiltered
         .join(shv.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(shv.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+          graft.functions.JaccardSim.col(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.5)
         .count()
     }
-    timed("jaccard_histogram") {
-      cand
-        .join(shv.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(shv.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    timed("verify_join_pruned_shingles") {
+      // shingle ONLY docs referenced by surviving pairs (semi-join prune):
+      // at real-corpus candidate rates this is the scale form — most docs
+      // never appear in any candidate pair and are never shingled twice
+      val ids = prefiltered.select(col("id_a").as("id"))
+        .union(prefiltered.select(col("id_b").as("id"))).distinct()
+      val shp = Dedup.withShingles(
+          docs.join(ids, docs("doc_id") === ids("id"), "left_semi"), "text", 3)
+        .select(col("doc_id").as("id"), array_distinct(col("shingles")).as("sh"))
+      prefiltered
+        .join(shp.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(shp.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-        .groupBy(floor(col("jaccard") * 10).as("decile")).count()
-        .orderBy("decile").collect().mkString(" ")
+          graft.functions.JaccardSim.col(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.5)
+        .count()
     }
     timed("fat_bucket_sample") {
       val fat = banded.groupBy("band_id", "band_hash").count()

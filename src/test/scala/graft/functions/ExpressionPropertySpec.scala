@@ -124,6 +124,24 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BandHashes matches Spark's own xxhash64 over sliced signature arrays") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    for (_ <- 1 to 200) {
+      val bands = 1 + rnd.nextInt(16)
+      val r = 1 + rnd.nextInt(8)
+      val sig = Array.fill(bands * r)(rnd.nextLong())
+      val actual = BandHashes.compute(
+        new GenericArrayData(sig.map(x => x: Any)), bands).toLongArray().toSeq
+      val expected = (0 until bands).map { b =>
+        XxHash64Function.hash(
+          new GenericArrayData(sig.slice(b * r, (b + 1) * r).map(x => x: Any)),
+          ArrayType(LongType), 42L)
+      }
+      assert(actual === expected)
+    }
+  }
+
   test("JaccardSim matches the set-based intersect/union reference") {
     for (_ <- 1 to 300) {
       val a = (0 until rnd.nextInt(40)).map(_ => randomText().trim)
