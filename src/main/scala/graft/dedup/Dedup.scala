@@ -93,7 +93,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      prefilterMargin: Double = 0.2): DataFrame = {
+      prefilterMargin: Double = 0.2,
+      maxBucketSize: Int = 0): DataFrame = {
     // Signatures are computed ONCE and persisted: banding, the
     // sig-agreement prefilter, and (via shingles) the exact verify all
     // hang off this frame. At 100 TB this is an explicit signatures table.
@@ -102,9 +103,25 @@ object Dedup {
         numHashes)
       .select(col(idCol).as("id"), col("minhash_sig"))
       .persist()
-    val banded = withBands(sigs, numHashes, bands)
+    val bandedAll = withBands(sigs, numHashes, bands)
       .select(col("id"), col("band.band_id").as("band_id"),
               col("band.band_hash").as("band_hash"))
+    // Optional skew valve: pair formation is QUADRATIC in bucket size, so
+    // one pathological bucket (boilerplate cluster, template spam) can
+    // dominate the whole job at crawl scale. With maxBucketSize > 0,
+    // buckets above the cap are skipped; a true near-dup pair in a
+    // skipped bucket is still found via any of its other bands-1 band
+    // collisions (P[miss] ~ (1-j^r)^(bands-1), negligible at j >=
+    // minJaccard), and identical-text clusters — the usual cause of huge
+    // buckets — belong to the exact-dedup stage that runs first in the
+    // curation pipeline. Off (0) by default: results are then exhaustive.
+    val banded = if (maxBucketSize > 0) {
+      val ok = bandedAll.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("band_id", "band_hash")
+      bandedAll.join(ok, Seq("band_id", "band_hash"), "left_semi")
+    } else bandedAll
     val a = banded.alias("a")
     val b = banded.alias("b")
     val candidates = a.join(b,

@@ -59,6 +59,30 @@ class DedupSpec extends SparkSuite {
     assert((40L until 100L).forall(survivors.contains))
   }
 
+  test("maxBucketSize drops pathological buckets but keeps ordinary near-dups") {
+    // 60 identical word-soup docs form fat buckets in every band; one
+    // ordinary near-dup pair lives in small buckets
+    val soup = (0L until 60L).map(i => (100L + i,
+      "slow column agg table batch window slow vector fast scan sort window"))
+    val pair = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+    val corpus = (soup ++ pair).toDF("doc_id", "text")
+    val capped = Dedup.minHashCandidates(corpus, "text", "doc_id",
+        minJaccard = 0.5, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the ordinary near-dup pair survives the cap...
+    assert(capped.contains((1L, 2L)))
+    // ...while the 60-doc identical cluster (1770 pairs) is skipped —
+    // identical text is the exact-dedup stage's job
+    assert(!capped.exists { case (a, b) => a >= 100L || b >= 100L })
+    // and with the cap off the cluster's pairs are all there
+    val uncapped = Dedup.minHashCandidates(corpus, "text", "doc_id",
+        minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 60 * 59 / 2)
+  }
+
   test("connectedComponents closes transitive chains to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
       .toDF("id_a", "id_b")
