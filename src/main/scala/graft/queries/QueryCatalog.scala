@@ -668,6 +668,36 @@ object QueryCatalog {
       FROM lineitem WHERE l_orderkey < 500
       GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
+    // Z-order (Morton) clustering key: identical shift/OR interleave
+    // arithmetic on both engines — the layout op behind multi-column
+    // min/max scan pruning, exactly checkable because the z-value is a
+    // static expression tree, not a UDF.
+    QueryDef("q_zorder", (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          graft.ops.Layout.zValue(
+            Seq(pmod(col("l_orderkey"), lit(256)),
+                pmod(col("l_partkey"), lit(256))), 8).as("z"))
+        .orderBy("z", "l_orderkey", "l_partkey", "l_linenumber"),
+      Some(s"""
+      SELECT l_orderkey, l_partkey, l_linenumber,
+        ${graft.ops.Layout.zValueSql(
+          Seq("(l_orderkey % 256)", "(l_partkey % 256)"), 8)} AS z
+      FROM lineitem WHERE l_orderkey < 2000
+      ORDER BY z, l_orderkey, l_partkey, l_linenumber""")),
+
+    // Approximate aggregates (HLL++ distinct, approx percentile): sketch
+    // values are engine-specific, so the driver checks rows>0 and
+    // SketchSpec pins the error bounds against exact answers.
+    QueryDef("sketch_stats", (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("approx_median_price"))
+        .orderBy("o_orderpriority"),
+      None),
+
     // the SQL route: identical ANSI text runs on this engine (temp views
     // registered by graft.Catalog) and on the DuckDB oracle
     QueryDef("q_sql_cte", (s, d) => {
