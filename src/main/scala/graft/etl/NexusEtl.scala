@@ -63,6 +63,48 @@ object NexusEtl {
       struct(lit(c).as("key"), normalizeToString(df, c).as("value"))): _*))
   }
 
+  /** DASlogs array->row explode (parquet.py:288-400 extract_daslogs): one
+    * input row per (run, log) with `time`/`value` series ARRAYS becomes
+    * one output row per time point, entirely executor-side:
+    *
+    *  - logs with no `time` array fall back to `veto_pulse_time` with a
+    *    constant 1.0 pulse indicator (the reference's Veto_pulse special
+    *    case, parquet.py:346-348);
+    *  - unequal array lengths truncate to the shorter
+    *    (`n_points = min(len(times), len(values))`, parquet.py:366);
+    *  - logs with no series at all survive as ONE metadata-only row with
+    *    null time/value (parquet.py:387-398) — `explode_outer`, so the
+    *    log's device metadata is never dropped.
+    *
+    * The reference builds these rows in a per-file python loop on one
+    * machine; here the explode is a Generate over the array columns, so a
+    * million-point log never leaves its executor and thousands of logs
+    * fan out in parallel.
+    */
+  def explodeDaslogs(logs: DataFrame, timeCol: String = "time",
+                     valueCol: String = "value",
+                     vetoCol: String = "veto_pulse_time"): DataFrame = {
+    import org.apache.spark.sql.types.ArrayType
+    val hasVeto = logs.columns.contains(vetoCol)
+    val valueElem = logs.schema(valueCol).dataType
+      .asInstanceOf[ArrayType].elementType
+    val tRaw = if (hasVeto) coalesce(col(timeCol), col(vetoCol)) else col(timeCol)
+    val vRaw = if (hasVeto)
+        when(col(timeCol).isNull && col(vetoCol).isNotNull,
+          array_repeat(lit(1.0).cast(valueElem), size(col(vetoCol))))
+          .otherwise(col(valueCol))
+      else col(valueCol)
+    val n = least(size(tRaw), size(vRaw))
+    val zipped = when(tRaw.isNotNull && vRaw.isNotNull,
+      arrays_zip(slice(tRaw, lit(1), n), slice(vRaw, lit(1), n)))
+    val out = logs
+      .withColumn("__pt", explode_outer(zipped))
+      .withColumn(timeCol, col("__pt").getField("0").cast("double"))
+      .withColumn(valueCol, col("__pt").getField("1"))
+      .drop("__pt")
+    if (hasVeto) out.drop(vetoCol) else out
+  }
+
   /** DASlogs normalization (parquet.py:672-693): string-encode the raw
     * value, derive value_numeric, keep per-log aggregate stats columns.
     */

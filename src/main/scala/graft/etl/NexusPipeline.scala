@@ -24,7 +24,11 @@ import graft.ops.EventTime
   */
 object NexusPipeline {
 
-  /** One DataFrame per extraction concern (parquet.py:821-882 order). */
+  /** One DataFrame per extraction concern (parquet.py:821-882 order).
+    * `daslogs` is one row per log POINT; a reader that surfaces per-log
+    * `time`/`value`/`veto_pulse_time` series arrays goes through
+    * [[NexusEtl.explodeDaslogs]] first.
+    */
   case class RunBundle(
       metadata: DataFrame,
       sample: DataFrame,

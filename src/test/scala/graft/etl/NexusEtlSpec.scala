@@ -98,4 +98,27 @@ class NexusEtlSpec extends SparkSuite {
       .as[(String, Long, Long)].collect().toSeq
     assert(out === Seq(("b1", 2L, 7L), ("b2", 1L, 5L)))
   }
+
+  test("explodeDaslogs: series explode, veto fallback, metadata-only rows (parquet.py:288-400)") {
+    val logs = Seq(
+      // ordinary series; value array shorter -> truncate to 2 points
+      ("temp", Some(Seq(0.5, 1.5, 2.5)), Some(Seq("300", "301")), None: Option[Seq[Double]]),
+      // Veto_pulse shape: no time array, veto_pulse_time supplies it,
+      // values become the 1.0 pulse indicator
+      ("Veto_pulse", None, None, Some(Seq(10.0, 20.0))),
+      // metadata-only log: no series at all, survives as one null row
+      ("phase", None, None, None))
+      .toDF("log_name", "time", "value", "veto_pulse_time")
+    val out = NexusEtl.explodeDaslogs(logs)
+      .select("log_name", "time", "value")
+      .as[(String, Option[Double], Option[String])]
+      .collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(out === Seq(
+      ("Veto_pulse", Some(10.0), Some("1.0")),
+      ("Veto_pulse", Some(20.0), Some("1.0")),
+      ("phase", None, None),
+      ("temp", Some(0.5), Some("300")),
+      ("temp", Some(1.5), Some("301"))))
+    assert(!NexusEtl.explodeDaslogs(logs).columns.contains("veto_pulse_time"))
+  }
 }
