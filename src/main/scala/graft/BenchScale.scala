@@ -155,9 +155,10 @@ object BenchScale {
           shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()
       },
       timed("simhash_sigs") {
-        // sum forces the signature computation (count() would prune it)
+        // sum forces the signature computation (count() would prune it);
+        // pmod keeps the checksum non-negative so the artifact reads sanely
         Dedup.withSimHash(docs, "text")
-          .agg(count(col("simhash")) + sum(col("simhash") % 1000))
+          .agg(count(col("simhash")) + sum(pmod(col("simhash"), lit(1000))))
           .head().getLong(0)
       },
       timed("ann_bruteforce") {
@@ -167,6 +168,10 @@ object BenchScale {
       timed("ann_lsh") {
         Similarity.lshTopK(em, em.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, bits = 8, dim = 64).count()
+      },
+      timed("ann_ivf") {
+        Similarity.ivfTopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nLists = 64, nProbe = 4).count()
       },
       timed("curate_pipeline") {
         TrainingDataPipeline.curate(docs, "text", "doc_id")

@@ -115,6 +115,10 @@ object Dedup {
     // minJaccard), and identical-text clusters — the usual cause of huge
     // buckets — belong to the exact-dedup stage that runs first in the
     // curation pipeline. Off (0) by default: results are then exhaustive.
+    // NOT persisted: both self-join sides re-derive this from the cached
+    // signatures, and the native BandHashes explode is cheaper than
+    // building + reading an 8M-row cache (persisting it measured 2x
+    // SLOWER end-to-end at 500k docs).
     val banded = if (maxBucketSize > 0) {
       val ok = bandedAll.groupBy("band_id", "band_hash")
         .agg(count(lit(1)).as("__bsz"))

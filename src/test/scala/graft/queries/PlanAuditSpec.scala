@@ -57,6 +57,25 @@ class PlanAuditSpec extends SparkSuite {
       "expected a hash/merge equi-join on (bucket)")
   }
 
+  test("q_gap_fill: bucket join stays an equi-join (no cartesian/NLJ)") {
+    val plan = formattedPlan("q_gap_fill")
+    assert(!plan.contains("CartesianProduct"), "gap-fill join went cartesian")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "gap-fill join became a nested loop")
+  }
+
+  test("zOrderBy plans a single range partitioning on the Morton code") {
+    import org.apache.spark.sql.functions._
+    val grid = spark.range(0, 256)
+      .select((col("id") % 16).as("x"), expr("id div 16").as("y"))
+    val plan = graft.ops.Layout.zOrderBy(grid, Seq("x", "y"), bitsPerCol = 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"zOrderBy lost its range partitioning:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("dedup_exact: single shuffle keyed on the content hash") {
     val plan = formattedPlan("dedup_exact")
     assert(plan.contains("partial_min") || plan.contains("partial_count"),
