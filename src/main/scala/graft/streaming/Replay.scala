@@ -64,6 +64,39 @@ object Replay {
               col("window.end").as("window_end"),
               col(typeCol), col("event_count"))
 
+  /** Stream-stream interval join: enrich each event with pulses from the
+    * same key whose time lies in [event - maxLag, event] — the streaming
+    * analog of the batch as-of correlation (each side watermarked, so
+    * Spark buffers only rows inside the watermark horizon and state stays
+    * bounded; the interval bound is what makes the join's state
+    * expirable).
+    *
+    * Returns the inner join (one row per event x matching pulse; callers
+    * wanting only the latest pulse aggregate downstream — streaming joins
+    * cannot take a per-row argmax without a second stateful stage).
+    */
+  def joinEventsWithPulses(
+      events: DataFrame,
+      pulses: DataFrame,
+      keys: Seq[String],
+      eventTs: String,
+      pulseTs: String,
+      maxLag: String,
+      watermark: String): DataFrame = {
+    val e = events.withWatermark(eventTs, watermark)
+    // prefix non-key pulse columns so the joined schema is unambiguous
+    val renamed = pulses.columns.foldLeft(pulses) { (acc, c) =>
+      if (keys.contains(c)) acc else acc.withColumnRenamed(c, s"pulse_$c")
+    }
+    val pTs = s"pulse_$pulseTs"
+    val p = renamed.withWatermark(pTs, watermark)
+    val cond = keys.map(k => e(k) === p(k)).reduce(_ && _) &&
+      p(pTs) <= e(eventTs) &&
+      p(pTs) >= e(eventTs) - expr(s"INTERVAL $maxLag")
+    val joined = e.join(p, cond, "inner")
+    keys.foldLeft(joined)((acc, k) => acc.drop(p(k)))
+  }
+
   /** Streaming exact dedup within the watermark horizon. */
   def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],
                      watermark: String): DataFrame =

@@ -62,6 +62,30 @@ class ReplaySpec extends SparkSuite {
     assert(spark.table("sd").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("joinEventsWithPulses: stream-stream interval join within the lag window") {
+    val ev = MemoryStream[(String, java.sql.Timestamp, Long)](spark)
+    val pu = MemoryStream[(String, java.sql.Timestamp, Long)](spark)
+    val events = ev.toDF().toDF("run_id", "ts", "event_id")
+    val pulses = pu.toDF().toDF("run_id", "ts", "pulse_index")
+    val query = Replay.joinEventsWithPulses(
+        events, pulses, Seq("run_id"), "ts", "ts",
+        maxLag = "5 seconds", watermark = "10 seconds")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    pu.addData(("r1", t(1), 0L), ("r1", t(3), 1L), ("r2", t(1), 0L))
+    ev.addData(("r1", t(4), 100L), ("r1", t(20), 101L), ("r2", t(2), 200L))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("ssj")
+      .select("run_id", "event_id", "pulse_pulse_index")
+      .as[(String, Long, Long)].collect().toSet
+    // event 100 at t=4 sees pulses at t=1 and t=3 of ITS run only; event
+    // 101 at t=20 is beyond every pulse + 5s lag; event 200 matches r2's
+    // pulse — no cross-run contamination
+    assert(rows === Set(("r1", 100L, 0L), ("r1", 100L, 1L), ("r2", 200L, 0L)))
+  }
+
   test("sessionize maintains per-user state via mapGroupsWithState") {
     val input = MemoryStream[(Long, Long)](spark)
     val sessions = Replay.sessionize(spark, input.toDS(), gapMs = 0)
