@@ -686,6 +686,44 @@ object QueryCatalog {
       FROM lineitem WHERE l_orderkey < 2000
       ORDER BY z, l_orderkey, l_partkey, l_linenumber""")),
 
+    // Edit distance between part names of consecutive part keys — both
+    // engines implement classic Levenshtein, so exact oracle.
+    QueryDef("q_levenshtein", (s, d) => {
+      val p = t(s, d, "part")
+      val a = p.filter(col("p_partkey") <= 500)
+        .select(col("p_partkey").as("k"), col("p_name").as("name_a"))
+      val b = p.select((col("p_partkey") - 1).as("k"), col("p_name").as("name_b"))
+      a.join(b, "k")
+        .select(col("k"), levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy("k")
+    }, Some("""
+      SELECT a.p_partkey AS k,
+        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+      WHERE a.p_partkey <= 500 ORDER BY k""")),
+
+    // JSON shaping + extraction: rows serialize to JSON, fields extract
+    // back by path — to_json writes fields in struct order on both sides,
+    // and the extracted values hash-match exactly.
+    QueryDef("q_json", (s, d) =>
+      t(s, d, "orders").filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderpriority").as("p"),
+                         col("o_custkey").cast("long").as("ck"))).as("j"))
+        .select(col("o_orderkey"),
+          get_json_object(col("j"), "$.p").as("priority"),
+          get_json_object(col("j"), "$.ck").cast("long").as("cust_key"))
+        .orderBy("o_orderkey"),
+      Some("""
+      SELECT o_orderkey,
+        j->>'$.p' AS priority,
+        CAST(j->>'$.ck' AS BIGINT) AS cust_key
+      FROM (SELECT o_orderkey,
+              to_json(struct_pack(p := o_orderpriority,
+                                  ck := CAST(o_custkey AS BIGINT))) AS j
+            FROM orders)
+      WHERE o_orderkey < 200 ORDER BY o_orderkey""")),
+
     // Approximate aggregates (HLL++ distinct, approx percentile): sketch
     // values are engine-specific, so the driver checks rows>0 and
     // SketchSpec pins the error bounds against exact answers.
