@@ -150,6 +150,15 @@ object BenchScale {
         Dedup.minHashCandidates(docs, "text", "doc_id",
           shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()
       },
+      timed("minhash_candidates_capped") {
+        // the skew valve: boilerplate/word-soup clusters make bucket-pair
+        // formation quadratic in cluster size (the one super-linear term
+        // in the dedup path); capping bucket size restores linearity while
+        // planted near-dups (small buckets) keep full recall
+        Dedup.minHashCandidates(docs, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+          maxBucketSize = 200).count()
+      },
       timed("minhash_dedup_clustered") {
         Dedup.minHashDedupClustered(docs, "text", "doc_id",
           shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()

@@ -24,7 +24,13 @@ object TrainingDataPipeline {
       minQuality: Double = 0.5,
       minTokens: Long = 10,
       maxTokens: Long = 1000000,
-      nearDupJaccard: Double = 0.8)
+      nearDupJaccard: Double = 0.8,
+      /** LSH bucket-size skew valve (0 = exhaustive). At crawl scale,
+        * boilerplate clusters make within-bucket pairing quadratic; the
+        * exact-dedup stage that runs first already catches identical
+        * text, so capping costs little recall — see Dedup.minHashCandidates.
+        */
+      maxBucketSize: Int = 0)
 
   /** Annotate + decide. Returns one row per input document:
     * (idCol, lang_pred, quality_score, n_ws_tokens, keep, drop_reason).
@@ -79,7 +85,7 @@ object TrainingDataPipeline {
       exactDropIds, candidates(idCol) === col("__exact_dup"), "left_anti")
 
     val nearPairs = Dedup.minHashCandidates(afterExact, textCol, idCol,
-      minJaccard = cfg.nearDupJaccard)
+      minJaccard = cfg.nearDupJaccard, maxBucketSize = cfg.maxBucketSize)
     val nearDropIds = Dedup.connectedComponents(nearPairs.select("id_a", "id_b"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__near_dup"))
