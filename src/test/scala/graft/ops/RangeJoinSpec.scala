@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class RangeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pointInInterval matches brute force, incl. overlapping intervals") {
+    val pts = (0L until 300L).map(p => (p, (p * 53) % 997)).toDF("pid", "p")
+    val ivs = (0L until 40L).map { i =>
+      val s = (i * 71) % 900
+      (i, s, s + 1 + (i * 13) % 150) // spans 1..150, many overlap
+    }.toDF("iid", "s", "e")
+
+    for (w <- Seq(1L, 32L, 64L, 1024L)) {
+      val got = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e",
+          keys = Nil, bucketWidth = w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted
+      val want = for {
+        (pid, p) <- (0L until 300L).map(p => (p, (p * 53) % 997))
+        (iid, s, e) <- (0L until 40L).map { i =>
+          val s = (i * 71) % 900; (i, s, s + 1 + (i * 13) % 150)
+        }
+        if p >= s && p < e
+      } yield (pid, iid)
+      assert(got.toSeq === want.sorted, s"bucketWidth=$w")
+    }
+  }
+
+  test("pointInInterval respects equality keys") {
+    val pts = Seq(("a", 5L, 1L), ("b", 5L, 2L)).toDF("k", "p", "pid")
+    val ivs = Seq(("a", 0L, 10L, 10L), ("b", 6L, 10L, 20L)).toDF("k", "s", "e", "iid")
+    val got = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", Seq("k"), 4L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L))) // b's point is outside b's interval
+  }
+
+  test("intervalOverlap emits each overlapping pair exactly once") {
+    val as = (0L until 60L).map { i =>
+      val s = (i * 37) % 500; (i, s, s + 1 + (i * 11) % 90)
+    }
+    val bs = (0L until 50L).map { i =>
+      val s = (i * 43) % 500; (i, s, s + 1 + (i * 7) % 60)
+    }
+    val a = as.toDF("a_id", "a_s", "a_e")
+    val b = bs.toDF("b_id", "b_s", "b_e")
+    for (w <- Seq(1L, 16L, 64L, 4096L)) {
+      val got = RangeJoin.intervalOverlap(a, b, "a_s", "a_e", "b_s", "b_e",
+          keys = Nil, bucketWidth = w)
+        .select("a_id", "b_id").as[(Long, Long)].collect()
+      val want = for {
+        (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+        if s1 < e2 && s2 < e1
+      } yield (ai, bi)
+      // exact multiset equality: no duplicates from multi-bucket co-occurrence
+      assert(got.sorted.toSeq === want.sorted, s"bucketWidth=$w")
+    }
+  }
+
+  test("degenerate and empty intervals never match") {
+    val pts = Seq(5L).toDF("p")
+    val ivs = Seq((1L, 5L, 5L), (2L, 6L, 4L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", Nil, 8L).count() === 0)
+  }
+
+  test("physical plan is an equi-join, never a nested loop or cartesian") {
+    val pts = (0L until 100L).map(p => (p, p % 97)).toDF("pid", "p")
+    val ivs = (0L until 10L).map(i => (i, i * 10, i * 10 + 25)).toDF("iid", "s", "e")
+    val plan = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", Nil, 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
