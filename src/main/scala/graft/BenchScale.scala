@@ -91,6 +91,24 @@ object BenchScale {
           .as("embedding"))
   }
 
+  /** Deterministic event-stream amplification: copy c is the same run
+    * replayed later — `ts` shifts by c * (span + 1 s) so the result is one
+    * continuous `copies`-times-longer stream, and `run_id` = c models the
+    * reference's per-run timelines (pulse windows partition by run; runs
+    * parallelize — never a global sort).
+    */
+  def amplifyEvents(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val b = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+      max(col("event_id")).as("idmax")).head()
+    val span = b.getLong(1) - b.getLong(0) + 1000000000L
+    val idBase = b.getLong(2) + 1
+    val reps = spark.range(copies).select(col("id").as("run_id"))
+    ev.crossJoin(reps)
+      .withColumn("ts", col("ts") + col("run_id") * span)
+      .withColumn("event_id", col("event_id") + col("run_id") * idBase)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "100").toInt
@@ -114,8 +132,14 @@ object BenchScale {
     if (!Files.exists(Paths.get(embPath)))
       amplifyEmbeddings(spark, sfDir, copies)
         .repartition(cpus.toInt).write.mode("overwrite").parquet(embPath)
+    val eventsPath = s"$work/events_x$copies"
+    if (!Files.exists(Paths.get(eventsPath)))
+      amplifyEvents(spark, sfDir, copies)
+        .repartition(cpus.toInt * 2).write.mode("overwrite").parquet(eventsPath)
     val docs = spark.read.parquet(docsPath)
     val em = spark.read.parquet(embPath)
+    val events = spark.read.parquet(eventsPath)
+    val nEvents = events.count()
     val nDocs = docs.count()
     val nVecs = em.count()
     val bytes = docs.select(sum(length(col("text")))).head().getLong(0)
@@ -182,9 +206,46 @@ object BenchScale {
         Similarity.ivfTopK(em, em.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nLists = 64, nProbe = 4).count()
       },
+      timed("ann_ivf_index_10_batches") {
+        // build-once/query-many: the corpus-side assignment (the expensive
+        // full pass) happens once; 10 probe batches then cost only their
+        // own centroid routing + one bucket-pruned join each
+        val (centroids, lists) = Similarity.ivfIndex(em, "vec_id",
+          "embedding", nLists = 64)
+        val listsP = lists.persist()
+        val n = (0 until 10).map { i =>
+          Similarity.ivfSearchIndex(centroids, listsP,
+            em.filter(col("vec_id") >= i * 5 && col("vec_id") < i * 5 + 5),
+            "vec_id", "embedding", k = 10, nProbe = 4).count()
+        }.sum
+        listsP.unpersist()
+        n
+      },
       timed("curate_pipeline") {
         TrainingDataPipeline.curate(docs, "text", "doc_id")
           .filter(col("keep")).count()
+      },
+      timed("events_asof_pulse_join") {
+        // the reference's flagship path at stream scale: per-run pulse
+        // timelines (click events) indexed with a run-partitioned window,
+        // then every event correlated to its pulse via the bucketed
+        // as-of join keyed on (run_id, hour-bucket)
+        val ev = events.withColumn("ts_us", expr("ts div 1000"))
+        val pulses = graft.ops.EventTime.derivePulseTimes(
+            ev, "event_type", "ts_us", "click",
+            runKeys = Seq("run_id"), tieBreak = Seq("event_id"))
+          .select("run_id", "pulse_time", "pulse_index")
+        graft.ops.AsOfJoin.backward(
+          ev.select("run_id", "event_id", "ts_us"), pulses,
+          leftTime = "ts_us", rightTime = "pulse_time",
+          keys = Seq("run_id"), bucketWidth = 3600L * 1000 * 1000,
+          rightCols = Seq("pulse_index")).count()
+      },
+      timed("events_interval_counts") {
+        graft.ops.EventTime.countByInterval(
+          events.withColumn("ts_us", expr("ts div 1000")),
+          "ts_us", 3600L * 1000 * 1000,
+          bankCol = Some("event_type"), pulseCol = None).count()
       })
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
@@ -193,7 +254,7 @@ object BenchScale {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rows,"n_docs":$nDocs,"text_bytes":$bytes,"n_vectors":$nVecs,"copies":$copies,"sf":"$sfDir"}"""
+      f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rows,"n_docs":$nDocs,"text_bytes":$bytes,"n_vectors":$nVecs,"n_events":$nEvents,"copies":$copies,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_SCALE.json"), json)
     spark.stop()

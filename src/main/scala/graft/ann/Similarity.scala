@@ -208,6 +208,30 @@ object Similarity {
       nProbe: Int,
       excludeSelf: Boolean = true,
       learnedCentroids: Option[DataFrame] = None): DataFrame = {
+    val (centroids, lists) =
+      ivfIndex(corpus, idCol, vecCol, nLists, learnedCentroids)
+    ivfSearchIndex(centroids, lists, probes, idCol, vecCol, k, nProbe,
+      excludeSelf)
+  }
+
+  /** Build a REUSABLE IVF index over the corpus: `(centroids, lists)`
+    * where `centroids` is the tiny `(centroid_id, centroid_vec)` table
+    * and `lists` is the corpus assigned to its inverted lists
+    * `(neighbor_id, __cv, centroid_id)`.
+    *
+    * The index is the expensive part (a full corpus pass); build it once
+    * per corpus snapshot, persist/materialize `lists` (at 100 TB: a table
+    * partitioned by `centroid_id`, so a probe batch prunes to its nProbe
+    * lists at the scan), and serve every probe batch from it via
+    * [[ivfSearchIndex]] — the same build-once/query-many shape as
+    * [[graft.dedup.Dedup.signatureTable]].
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      learnedCentroids: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val c = corpus.select(col(idCol).as("cid_"), col(vecCol).as("cv"))
     // centroids: learned (kmeansCentroids) or a deterministic hash sample
     val centroids = learnedCentroids.getOrElse {
@@ -247,8 +271,31 @@ object Similarity {
 
     val lists = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
       "neighbor_id", "__cv", keep = 1)
-    val probed = assign(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")),
-      "probe_id", "__pv", keep = nProbe)
+    (centroids, lists)
+  }
+
+  /** Serve one probe batch from a prebuilt [[ivfIndex]]. Probe-side work
+    * only: assign each probe to its `nProbe` nearest centroids (map-only,
+    * static codegen argmax), broadcast the probe batch, and join it to
+    * the inverted lists on `centroid_id`.
+    */
+  def ivfSearchIndex(
+      centroids: DataFrame,
+      lists: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents = centroidLiterals(centroids)
+    val scoredC = cents.map { case (cid, cv) =>
+      struct(cosine(col("__pv"), cv).as("c"), lit(cid).as("id"))
+    }
+    val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("centroid_id",
+        explode(slice(reverse(sort_array(array(scoredC.toIndexedSeq: _*))),
+          1, nProbe).getField("id")))
 
     val joined = lists.join(broadcast(probed), "centroid_id")
     val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))

@@ -79,6 +79,28 @@ object Dedup {
       .drop("__band_id", "__band_hash")
   }
 
+  /** One-pass reusable signature table: `(id, sh, minhash_sig)` — the
+    * distinct shingle set and the MinHash signature from a SINGLE scan of
+    * the corpus. Every similarity stage hangs off this frame: LSH banding
+    * and the sig-agreement prefilter read `minhash_sig`, the exact
+    * Jaccard verify reads `sh`, and downstream similarity joins /
+    * contamination scans can reuse it instead of re-shingling (at 100 TB
+    * this is an explicit materialized table computed once per corpus
+    * snapshot — see [[minHashCandidatesFromSigs]]).
+    */
+  def signatureTable(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64): DataFrame =
+    withMinHashSignature(
+        withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize),
+        numHashes)
+      .select(col(idCol).as("id"),
+        array_distinct(col("shingles")).as("sh"),
+        col("minhash_sig"))
+
   /** Candidate duplicate pairs (id_a < id_b) with exact Jaccard verify on
     * the shingle sets, computed only within LSH buckets.
     *
@@ -95,15 +117,34 @@ object Dedup {
       minJaccard: Double = 0.5,
       prefilterMargin: Double = 0.2,
       maxBucketSize: Int = 0): DataFrame = {
-    // Signatures are computed ONCE and persisted: banding, the
-    // sig-agreement prefilter, and (via shingles) the exact verify all
-    // hang off this frame. At 100 TB this is an explicit signatures table.
-    val sigs = withMinHashSignature(
-        withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize),
-        numHashes)
-      .select(col(idCol).as("id"), col("minhash_sig"))
+    val sigs = signatureTable(docs, textCol, idCol, shingleSize, numHashes)
       .persist()
-    val bandedAll = withBands(sigs, numHashes, bands)
+    // Materialize (cheap: candidate pairs only), then release the cached
+    // signatures — repeated invocations in a long-lived session would
+    // otherwise accumulate cached blocks until LRU eviction thrashes.
+    val out = minHashCandidatesFromSigs(sigs, numHashes, bands, minJaccard,
+      prefilterMargin, maxBucketSize).localCheckpoint()
+    sigs.unpersist()
+    out
+  }
+
+  /** [[minHashCandidates]] over a precomputed (persisted or materialized)
+    * [[signatureTable]] — the reuse path when several pipeline stages
+    * share one corpus snapshot: compute signatures once, run near-dup
+    * candidates, similarity joins, and cluster resolution off the same
+    * frame without re-shingling the corpus per stage.
+    *
+    * The caller owns the signature frame's lifecycle (persist before,
+    * unpersist after); this method only reads it.
+    */
+  def minHashCandidatesFromSigs(
+      sigs: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      prefilterMargin: Double = 0.2,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bandedAll = withBands(sigs.select("id", "minhash_sig"), numHashes, bands)
       .select(col("id"), col("band.band_id").as("band_id"),
               col("band.band_hash").as("band_hash"))
     // Optional skew valve: pair formation is QUADRATIC in bucket size, so
@@ -163,24 +204,15 @@ object Dedup {
         .select("id_a", "id_b")
     }
     // exact verify on the survivors: single-pass native Jaccard (no
-    // intermediate intersect/union arrays)
-    val sh = withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleSize)
-      .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
-      .persist()
-    val verified = prefiltered
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // intermediate intersect/union arrays) over the shingle sets carried
+    // on the SAME signature frame — no second scan of the corpus.
+    prefiltered
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         graft.functions.JaccardSim.col(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-    // Materialize (cheap: candidate pairs only), then release the cached
-    // intermediates — repeated invocations in a long-lived session would
-    // otherwise accumulate cached blocks until LRU eviction thrashes.
-    val out = verified.localCheckpoint()
-    sigs.unpersist()
-    sh.unpersist()
-    out
   }
 
   /** Near-dedup: drop the higher-id member of every verified pair. */
@@ -252,18 +284,34 @@ object Dedup {
       n: Int = 8,
       minShared: Int = 1,
       maxDocFreq: Long = 10): DataFrame = {
-    def hashed(df: DataFrame, as: String): DataFrame =
+    def prep(df: DataFrame) =
       withShingles(df.select(col(idCol), col(textCol)), textCol, n)
-        .select(col(idCol).as(as), explode(array_distinct(col("shingles"))).as("sh"))
-        .withColumn("h", xxhash64(col("sh")))
+        .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
+    crossCorpusContaminationFromShingles(prep(corpusA), prep(corpusB),
+      minShared, maxDocFreq)
+  }
+
+  /** [[crossCorpusContamination]] over precomputed `(id, sh)` shingle-set
+    * frames — e.g. the `sh` column of a shared [[signatureTable]], so one
+    * corpus scan feeds near-dedup AND decontamination (shingle sizes must
+    * match, or pass purpose-built shingle frames).
+    */
+  def crossCorpusContaminationFromShingles(
+      shinglesA: DataFrame,
+      shinglesB: DataFrame,
+      minShared: Int = 1,
+      maxDocFreq: Long = 10): DataFrame = {
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(col("id").as(as), explode(col("sh")).as("__sh"))
+        .withColumn("h", xxhash64(col("__sh")))
         .select(as, "h")
-    val b = hashed(corpusB, "id_b")
+    val b = hashed(shinglesB, "id_b")
     // document-frequency cap on the eval side
     val keep = b.groupBy("h").agg(count_distinct(col("id_b")).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("h")
     val bKept = b.join(keep, "h")
-    hashed(corpusA, "id_a")
+    hashed(shinglesA, "id_a")
       .join(bKept, "h")
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))

@@ -86,4 +86,25 @@ class SimilaritySpec extends SparkSuite {
     assert(out.contains((0L, 4L)) || out.contains((0L, 100L)))
     assert(out.contains((0L, 100L)) && out.contains((4L, 100L)))
   }
+
+  test("ivfIndex built once serves repeated probe batches identically") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (centroids, lists) = Similarity.ivfIndex(em, "vec_id", "embedding",
+      nLists = 8)
+    val listsP = lists.persist()
+    val batches = Seq(em.filter(col("vec_id") < 10),
+      em.filter(col("vec_id") >= 10 && col("vec_id") < 20))
+    for (probes <- batches) {
+      val fromIndex = Similarity.ivfSearchIndex(centroids, listsP, probes,
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .select("probe_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+      val oneShot = Similarity.ivfTopK(em, probes, "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 4)
+        .select("probe_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fromIndex === oneShot)
+    }
+    listsP.unpersist()
+  }
 }

@@ -150,4 +150,50 @@ class DedupSpec extends SparkSuite {
     assert(j((1L, 3L)) === 1.0)
     assert(j((1L, 2L)) === 0.0)
   }
+
+  test("signatureTable reuse: FromSigs candidates equal the one-shot path") {
+    val corpus = (0L until 200L).map { i =>
+      val words = (0 until 20).map(w => s"w${(i * 7 + w * 3) % 40}").mkString(" ")
+      (i, if (i % 10 == 0) words + " near dup tail" else words)
+    }.toDF("doc_id", "text")
+    val direct = Dedup.minHashCandidates(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val sigs = Dedup.signatureTable(corpus, "text", "doc_id",
+      shingleSize = 3, numHashes = 64).persist()
+    val reused = Dedup.minHashCandidatesFromSigs(sigs,
+        numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    sigs.unpersist()
+    assert(reused === direct)
+  }
+
+  test("one signatureTable feeds both near-dedup and the contamination scan") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally unrelated training material with distinct vocabulary here"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"))
+      .toDF("doc_id", "text")
+    // n=8 shingles shared by both consumers
+    val sigT = Dedup.signatureTable(train, "text", "doc_id",
+      shingleSize = 8, numHashes = 64).persist()
+    val sigE = Dedup.signatureTable(eval_, "text", "doc_id",
+      shingleSize = 8, numHashes = 64).persist()
+    val contam = Dedup.crossCorpusContaminationFromShingles(
+        sigT.select("id", "sh"), sigE.select("id", "sh"),
+        minShared = 1, maxDocFreq = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(contam === Dedup.crossCorpusContamination(train, eval_,
+      "text", "doc_id", n = 8, minShared = 1, maxDocFreq = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+    assert(contam.contains((1L, 100L)))
+    val cands = Dedup.minHashCandidatesFromSigs(sigT, numHashes = 64,
+      bands = 16, minJaccard = 0.9).count()
+    assert(cands === 0) // train docs are not near-dups of each other
+    sigT.unpersist(); sigE.unpersist()
+  }
 }
