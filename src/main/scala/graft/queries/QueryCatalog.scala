@@ -649,6 +649,56 @@ object QueryCatalog {
     // sort, transform (double it), filter (> 40), aggregate (sum) — all
     // inside codegen'd array expressions; scalar output keeps the
     // cross-engine hash comparable.
+    // Array set algebra: per-order shipmode/returnflag sets intersected /
+    // diffed against fixed sets — Spark array_intersect/array_except vs
+    // DuckDB list_intersect / list_filter, canonicalized by sort.
+    QueryDef("q_array_setops", (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .groupBy("l_orderkey")
+        .agg(sort_array(array_distinct(collect_list(col("l_returnflag")))).as("flags"))
+        .select(col("l_orderkey"),
+          array_join(array_intersect(col("flags"), array(lit("A"), lit("R"))), ",")
+            .as("ar_flags"),
+          array_join(array_except(col("flags"), array(lit("N"))), ",")
+            .as("non_n_flags"),
+          size(col("flags")).cast("long").as("n_flags"))
+        .orderBy("l_orderkey"),
+      Some("""
+      WITH f AS (
+        SELECT l_orderkey,
+               list_sort(list_distinct(list(l_returnflag))) AS flags
+        FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        COALESCE(array_to_string(list_filter(flags, x -> x IN ('A', 'R')), ','), '') AS ar_flags,
+        COALESCE(array_to_string(list_filter(flags, x -> x <> 'N'), ','), '') AS non_n_flags,
+        CAST(len(flags) AS BIGINT) AS n_flags
+      FROM f ORDER BY l_orderkey""")),
+
+    // Map column construction + lookup: per-order (returnflag -> count)
+    // map built with map_from_entries, then element_at lookups. The map
+    // itself never crosses to the oracle (map key order is
+    // engine-specific) — the LOOKUPS are the checked surface.
+    QueryDef("q_map_ops", (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .groupBy("l_orderkey", "l_returnflag").agg(count(lit(1)).as("n"))
+        .groupBy("l_orderkey")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_returnflag"), col("n"))))).as("m"))
+        .select(col("l_orderkey"),
+          coalesce(element_at(col("m"), "A"), lit(0L)).as("n_a"),
+          coalesce(element_at(col("m"), "N"), lit(0L)).as("n_n"),
+          coalesce(element_at(col("m"), "R"), lit(0L)).as("n_r"),
+          size(col("m")).cast("long").as("n_keys"))
+        .orderBy("l_orderkey"),
+      Some("""
+      SELECT l_orderkey,
+        COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN 1 END), 0) AS n_a,
+        COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN 1 END), 0) AS n_n,
+        COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 END), 0) AS n_r,
+        CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_keys
+      FROM lineitem WHERE l_orderkey < 2000
+      GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     QueryDef("q_array_transform", (s, d) =>
       t(s, d, "lineitem").filter(col("l_orderkey") < 500)
         .withColumn("q", col("l_quantity").cast("long"))
