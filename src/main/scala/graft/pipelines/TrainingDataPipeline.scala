@@ -117,4 +117,35 @@ object TrainingDataPipeline {
     decisions.groupBy(coalesce(col("drop_reason"), lit("kept")).as("outcome"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("outcome")
+
+  /** Streaming curation front end: the SAME single-pass annotation +
+    * language/quality/length filters + exact content dedup, applied to an
+    * unbounded document stream (documents arrive incrementally at crawl
+    * scale; curation cannot always wait for a batch snapshot).
+    *
+    * The annotations are pure map-side column expressions, so they lift
+    * to Structured Streaming verbatim; exact dedup becomes
+    * `dropDuplicatesWithinWatermark` on the content hash (bounded state —
+    * a global-history dedup is a batch compaction concern). Near-dedup
+    * stays batch: LSH banding is a corpus self-join, which streaming
+    * cannot express with bounded state — the standard split runs this
+    * front end on arrival and [[curate]] periodically over the
+    * accumulated corpus.
+    *
+    * @return the kept, annotated stream (append mode)
+    */
+  def curateStream(stream: DataFrame, textCol: String, idCol: String,
+                   tsCol: String, watermark: String = "10 minutes",
+                   cfg: Config = Config()): DataFrame =
+    stream.select(col(idCol), col(textCol), col(tsCol),
+        graft.text.TextAnalysis.langIdNgramCols(col(textCol))._1.as("lang_pred"),
+        graft.text.TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
+        graft.text.TextAnalysis.nWords(col(textCol)).as("n_ws_tokens"))
+      .filter(col("lang_pred").isin(cfg.allowedLangs.toSeq: _*) &&
+        col("quality_score") >= cfg.minQuality &&
+        col("n_ws_tokens") >= cfg.minTokens &&
+        col("n_ws_tokens") <= cfg.maxTokens)
+      .withColumn("content_hash", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }
