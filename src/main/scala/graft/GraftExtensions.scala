@@ -15,6 +15,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((session, delegate) =>
       new graft.sql.GraftSqlParser(session, delegate))
+    // whole-operator as-of join (logical node -> sort-merge SparkPlan)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rolling_fingerprint"),

@@ -1004,6 +1004,35 @@ object QueryCatalog {
     // the ASOF JOIN SQL surface (parser extension) over the same
     // events⋈pulses correlation — must agree with the DuckDB oracle just
     // like the Scala-API variant above
+    // The custom whole-operator as-of join (graft.plans.AsOfMergeJoin —
+    // logical node + strategy + sort-merge SparkPlan) on per-user
+    // timelines: each event correlated to the user's latest click
+    // at-or-before it. Clicks aggregate to one row per (user, time)
+    // first so tie resolution is engine-independent.
+    QueryDef("asof_merge_join", (s, d) => {
+      val ev = eventsUs(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("ct"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.AsOfMergeJoin.backward(
+          ev.select("event_id", "user_id", "ts_us"), clicks,
+          leftTime = "ts_us", rightTime = "ct",
+          keys = Seq("user_id"), rightCols = Seq("click_id"))
+        .select(col("event_id"), col("click_id"),
+          col("ct").as("click_time_us"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ct, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+      SELECT e.event_id,
+        (SELECT c.click_id FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ct <= epoch_us(e.ts)
+          ORDER BY c.ct DESC LIMIT 1) AS click_id,
+        (SELECT max(c.ct) FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ct <= epoch_us(e.ts)) AS click_time_us
+      FROM events e ORDER BY e.event_id""")),
+
     QueryDef("asof_sql", (s, d) => {
       eventsUs(s, d).select("event_id", "ts_us")
         .createOrReplaceTempView("asof_ev")
