@@ -241,6 +241,20 @@ object BenchScale {
           keys = Seq("run_id"), bucketWidth = 3600L * 1000 * 1000,
           rightCols = Seq("pulse_index")).count()
       },
+      timed("events_asof_merge_join") {
+        // same correlation through the custom sort-merge SparkPlan
+        // (graft.plans.AsOfMergeJoin): one shuffle + sort per side, no
+        // bucket explosion term — the head-to-head vs the bucketed path
+        val ev = events.withColumn("ts_us", expr("ts div 1000"))
+        val pulses = graft.ops.EventTime.derivePulseTimes(
+            ev, "event_type", "ts_us", "click",
+            runKeys = Seq("run_id"), tieBreak = Seq("event_id"))
+          .select("run_id", "pulse_time", "pulse_index")
+        graft.plans.AsOfMergeJoin.backward(
+          ev.select("run_id", "event_id", "ts_us"), pulses,
+          leftTime = "ts_us", rightTime = "pulse_time",
+          keys = Seq("run_id"), rightCols = Seq("pulse_index")).count()
+      },
       timed("events_interval_counts") {
         graft.ops.EventTime.countByInterval(
           events.withColumn("ts_us", expr("ts div 1000")),

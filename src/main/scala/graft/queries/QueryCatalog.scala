@@ -1031,7 +1031,7 @@ object QueryCatalog {
           ORDER BY c.ct DESC LIMIT 1) AS click_id,
         (SELECT max(c.ct) FROM clicks c
           WHERE c.user_id = e.user_id AND c.ct <= epoch_us(e.ts)) AS click_time_us
-      FROM events e ORDER BY e.event_id""")),
+      FROM events e ORDER BY e.event_id"""), bench = true),
 
     QueryDef("asof_sql", (s, d) => {
       eventsUs(s, d).select("event_id", "ts_us")
@@ -1277,6 +1277,35 @@ object QueryCatalog {
         + CASE WHEN (CAST(LENGTH(text) - LENGTH(replace(text, '.', '')) AS DOUBLE) / LENGTH(text)) <= 0.1
                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS quality_score
       FROM documents ORDER BY doc_id"""), bench = true),
+
+    // PII redaction over documents with deterministically planted PII
+    // (the synthetic corpus has none): same RE2-subset regexes run
+    // verbatim in both engines; counts audit the scrub.
+    QueryDef("pii_redaction", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id"),
+            lit("@example.com or 10.0."), pmod(col("doc_id"), lit(200)),
+            lit(".7 phone 555-867-530"), pmod(col("doc_id"), lit(10)),
+            lit(" "), substring(col("text"), 1, 80)).as("text"))
+        .transform(df => TextAnalysis.redactPiiReport(df, "text", "doc_id"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          'contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 200)
+            || '.7 phone 555-867-530' || (doc_id % 10) || ' '
+            || substr(text, 1, 80) AS text
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones
+      FROM planted ORDER BY doc_id""")),
 
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(

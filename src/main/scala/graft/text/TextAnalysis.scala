@@ -167,4 +167,36 @@ object TextAnalysis {
 
   def fingerprints(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+
+  /** PII scrubbing for training corpora: emails, IPv4 addresses, and
+    * NNN-NNN-NNNN phone numbers replaced with stable placeholder tokens
+    * (stable tokens — rather than deletion — keep sentence structure for
+    * the model and make the scrub auditable/countable downstream).
+    *
+    * Pure regexp_replace expression pipeline: one codegen'd pass per
+    * pattern, no UDF, no shuffle. The patterns deliberately stay in the
+    * RE2-compatible subset (no backrefs/lookahead) so the very same
+    * regexes run on other engines (the DuckDB oracle executes them
+    * verbatim).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** (id, redacted text, per-kind match counts) — counts audit what was
+    * scrubbed without retaining the PII itself.
+    */
+  def redactPiiReport(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      redactPii(col(textCol)).as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
 }
