@@ -54,7 +54,8 @@ object AsOfMergeJoin {
       leftTime: String,
       rightTime: String,
       keys: Seq[String],
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String],
+      forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty,
       "AsOfMergeJoin needs equality keys; use AsOfJoin.backward for a global timeline")
     val spark = left.sparkSession
@@ -89,9 +90,23 @@ object AsOfMergeJoin {
       lPlan, rPlan,
       keys.map(lattr), keys.map(rattr),
       lattr(leftTime), rattr(rightTime),
-      carried.map(rattr))
+      carried.map(rattr), forward = forward)
     GraftPlanShim.ofRows(spark, node)
   }
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * per key (the mirror of [[backward]]; pandas merge_asof
+    * direction='forward'). Same custom sort-merge plan, walking to the
+    * first not-yet-passed right row instead of the last passed one.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      keys: Seq[String],
+      rightCols: Seq[String]): DataFrame =
+    backward(left, right, leftTime, rightTime, keys, rightCols, forward = true)
 }
 
 /** Logical node: left enriched with the latest right row at-or-before its
@@ -105,7 +120,8 @@ case class AsOfJoinNode(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    carry: Seq[Attribute]) extends BinaryNode {
+    carry: Seq[Attribute],
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ (carry :+ rightTime).distinct.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -116,8 +132,8 @@ case class AsOfJoinNode(
 /** Planner strategy (injected via GraftExtensions). */
 class AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, carry) =>
-      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carry) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, carry, fwd) =>
+      AsOfMergeJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, carry, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -133,7 +149,8 @@ case class AsOfMergeJoinExec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    carry: Seq[Attribute]) extends SparkPlan with BinaryExecNode {
+    carry: Seq[Attribute],
+    forward: Boolean = false) extends SparkPlan with BinaryExecNode {
 
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "as-of time columns must be integral epochs (LongType)")
@@ -189,6 +206,7 @@ case class AsOfMergeJoinExec(
       var candKey: InternalRow = null
       var candTime: Long = 0L
       var candCarry: InternalRow = null
+      val fwd = forward
 
       lIter.map { lrow =>
         val lkey = lKeyProj(lrow)
@@ -198,16 +216,34 @@ case class AsOfMergeJoinExec(
           val peek = buffered.head
           val cmp = keyOrd.compare(rKeyProj(peek), lkey)
           if (cmp < 0) { buffered.next() } // right side behind this key
-          else if (cmp == 0 && rTimeProj(peek).getLong(0) <= ltime) {
+          else if (cmp == 0 &&
+              (if (fwd) rTimeProj(peek).getLong(0) < ltime
+               else rTimeProj(peek).getLong(0) <= ltime)) {
+            // backward: every passed row is a (better) candidate.
+            // forward: rows strictly before the cursor are dead — consume
+            // without recording; the candidate is the unconsumed head.
             val row = buffered.next()
-            candKey = rKeyProj(row).copy()
-            candTime = rTimeProj(row).getLong(0)
-            candCarry = carryProj(row).copy()
+            if (!fwd) {
+              candKey = rKeyProj(row).copy()
+              candTime = rTimeProj(row).getLong(0)
+              candCarry = carryProj(row).copy()
+            }
           } else done = true
         }
-        val matched = candKey != null && keyOrd.compare(candKey, lkey) == 0 &&
-          candTime <= ltime
-        outProj(joined(lrow, if (matched) candCarry else nullCarry))
+        val matched =
+          if (fwd) {
+            // head (if any) is the first right row with time >= cursor;
+            // it stays buffered for subsequent left rows
+            buffered.hasNext && keyOrd.compare(rKeyProj(buffered.head), lkey) == 0
+          } else {
+            candKey != null && keyOrd.compare(candKey, lkey) == 0 &&
+              candTime <= ltime
+          }
+        val carryRow =
+          if (!matched) nullCarry
+          else if (fwd) carryProj(buffered.head)
+          else candCarry
+        outProj(joined(lrow, carryRow))
       }
     }
   }

@@ -1033,6 +1033,32 @@ object QueryCatalog {
           WHERE c.user_id = e.user_id AND c.ct <= epoch_us(e.ts)) AS click_time_us
       FROM events e ORDER BY e.event_id"""), bench = true),
 
+    // forward direction on the same custom plan: each event's NEXT click
+    // of the same user (at-or-after).
+    QueryDef("asof_merge_forward", (s, d) => {
+      val ev = eventsUs(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("ct"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.AsOfMergeJoin.forward(
+          ev.select("event_id", "user_id", "ts_us"), clicks,
+          leftTime = "ts_us", rightTime = "ct",
+          keys = Seq("user_id"), rightCols = Seq("click_id"))
+        .select(col("event_id"), col("click_id"),
+          col("ct").as("click_time_us"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ct, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+      SELECT e.event_id,
+        (SELECT c.click_id FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ct >= epoch_us(e.ts)
+          ORDER BY c.ct ASC LIMIT 1) AS click_id,
+        (SELECT min(c.ct) FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ct >= epoch_us(e.ts)) AS click_time_us
+      FROM events e ORDER BY e.event_id""")),
+
     QueryDef("asof_sql", (s, d) => {
       eventsUs(s, d).select("event_id", "ts_us")
         .createOrReplaceTempView("asof_ev")

@@ -102,4 +102,30 @@ class AsOfMergeJoinSpec extends SparkSuite {
     }.toMap
     assert(got === want)
   }
+
+  test("forward as-of attaches the earliest right row at-or-after, per key") {
+    val left = (1L to 300L).map(i =>
+      ((i % 6).toString, (i * 41) % 700, i)).toDF("k", "t", "id")
+    val rs = (0L until 40L).map(i => ((i % 6).toString, (i * 53) % 700, i))
+    val right = rs.toDF("k", "rt", "pidx")
+    val got = AsOfMergeJoin.forward(left, right, "t", "rt",
+        keys = Seq("k"), rightCols = Seq("pidx"))
+      .select("id", "pidx")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val want = (1L to 300L).map { i =>
+      val (k, t) = ((i % 6).toString, (i * 41) % 700)
+      val m = rs.filter(r => r._1 == k && r._2 >= t)
+      i -> (if (m.isEmpty) -1L
+            // earliest rt; ties on rt resolve to the last in sort order —
+            // make the expectation deterministic by unique (k, rt) below
+            else m.minBy(r => (r._2, r._3))._3)
+    }.toMap
+    // keep only keys with unique (k, rt) pairs in this dataset: rs has
+    // collisions when (i*53)%700 repeats within a key — dedup them the
+    // same way both sides would
+    val dupFree = rs.groupBy(r => (r._1, r._2)).forall(_._2.size == 1)
+    assume(dupFree, "test data must have unique (k, rt)")
+    assert(got === want)
+  }
 }
