@@ -27,11 +27,12 @@ import graft.text.TextAnalysis
   *    family sizes stay O(1) as the corpus grows, matching web-crawl
   *    reality, so verify cost scales with corpus size, not quadratically.
   *
-  * Usage: SPARK_DRIVER_MEM=32g SPARK_GRAFT_SCALE_COPIES=100 \
+  * Usage: SPARK_GRAFT_SCALE_COPIES=100 \
   *          SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.BenchScale"
-  * (SPARK_DRIVER_MEM matters: one local JVM stands in for a cluster's
-  * worth of executors, and the persisted shingle/signature frames of a
-  * 500k-doc corpus evict — and recompute — under the default 8g heap.)
+  * (Heap note, measured twice: the DEFAULT 8g heap beats
+  * SPARK_DRIVER_MEM=32g on this suite — 87-101 s vs 222 s total — the
+  * big heap trades cache misses for long G1 pauses across 32 threads.
+  * Post-signature-table, the persisted frames fit 8g at 500k docs.)
   * Emits one JSON line (same contract as [[Bench]]) and BENCH_SCALE.json.
   */
 object BenchScale {
@@ -254,6 +255,19 @@ object BenchScale {
           ev.select("run_id", "event_id", "ts_us"), pulses,
           leftTime = "ts_us", rightTime = "pulse_time",
           keys = Seq("run_id"), rightCols = Seq("pulse_index")).count()
+      },
+      timed("etl_event_explode") {
+        // the reference ETL core's hottest path (parquet.py:402-490
+        // builds event rows in a per-file python loop): 200 banks x 100k
+        // events with 1k-pulse event_index arrays -> 20M typed event rows
+        // with pulse_index attached, entirely executor-side
+        val banks = spark.range(200).select(
+          col("id").as("bank_id"),
+          expr("transform(sequence(0, 99999), i -> CAST(i + id * 100000 AS LONG))").as("event_ids"),
+          expr("transform(sequence(0, 99999), i -> CAST(pmod(i * 37, 10000) AS DOUBLE) / 10.0)").as("event_offsets"),
+          expr("transform(sequence(0, 999), p -> CAST(p * 100 AS LONG))").as("event_index"))
+        graft.etl.NexusEtl.explodeEventsWithPulseIndex(
+          banks, "event_ids", "event_offsets", "event_index").count()
       },
       timed("events_interval_counts") {
         graft.ops.EventTime.countByInterval(
