@@ -43,5 +43,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_simhash_sig(tokens) expects 1 arg")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "graft_word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => graft.functions.WordShingles(text, 3)
+        case Seq(text, Literal(n: Int, _)) => graft.functions.WordShingles(text, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_word_shingles(text[, n]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_band_hashes"),
+      new ExpressionInfo(classOf[graft.functions.BandHashes].getName, "graft_band_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sig) => graft.functions.BandHashes(sig, 16)
+        case Seq(sig, Literal(b: Int, _)) => graft.functions.BandHashes(sig, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_band_hashes(sig[, bands]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.CosineSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_cosine(a, b) expects 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[graft.functions.JaccardSim].getName, "graft_jaccard"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.JaccardSim(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_jaccard(a, b) expects 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sig_agreement"),
+      new ExpressionInfo(classOf[graft.functions.SigAgreement].getName, "graft_sig_agreement"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => graft.functions.SigAgreement(a, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_sig_agreement(a, b) expects 2 args")
+      }))
   }
 }

@@ -66,6 +66,42 @@ object RangeJoin {
         intervals.columns.filterNot(keys.contains).map(iv.apply): _*)
   }
 
+  /** [[pointInInterval]] with a LONG-INTERVAL escape hatch: real interval
+    * tables are usually a mass of short intervals plus a few huge ones
+    * (calibration windows, maintenance periods). A huge interval explodes
+    * onto span/bucketWidth rows — one year at 1-minute buckets is 525k
+    * copies — while being exactly the kind of tiny-side row a broadcast
+    * join handles for free. So: intervals spanning more than
+    * `longSpanBuckets` buckets go through a broadcast range join (they
+    * must be FEW — that is what makes them broadcastable), everything
+    * else through the bucketed equi-join; the result is their union.
+    * Same output as [[pointInInterval]], no explosion term.
+    */
+  def pointInIntervalHybrid(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Long = 1024L,
+      longSpanBuckets: Int = 64): DataFrame = {
+    require(longSpanBuckets > 0, "longSpanBuckets must be positive")
+    val spanLimit = bucketWidth * longSpanBuckets
+    val isLong = (col(endCol) - col(startCol)) > spanLimit
+    val short = intervals.filter(!isLong)
+    val long = intervals.filter(isLong)
+    val viaBuckets = pointInInterval(points, short, pointCol, startCol,
+      endCol, keys, bucketWidth)
+    val cond = keys.map(k => points(k) === long(k))
+      .foldLeft(long(startCol) <= points(pointCol) &&
+                points(pointCol) < long(endCol))(_ && _)
+    val viaBroadcast = points.join(broadcast(long), cond)
+      .select(points.columns.map(points.apply) ++
+        intervals.columns.filterNot(keys.contains).map(long.apply): _*)
+    viaBuckets.unionByName(viaBroadcast)
+  }
+
   /** All pairs (a, b) whose [start, end) intervals overlap:
     * `a.start < b.end AND b.start < a.end`. Each qualifying pair is
     * emitted exactly once (first-shared-bucket rule — no distinct).

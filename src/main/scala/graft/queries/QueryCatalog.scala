@@ -590,6 +590,22 @@ object QueryCatalog {
               , o_totalprice FROM orders)
       WHERE o_custkey < 200 ORDER BY o_custkey, d, o_orderkey""")),
 
+    // Calendar bucketing: monthly order revenue via date_trunc — the
+    // time-series resample every BI layer runs. Month key rendered as a
+    // DATE-cast string so both engines hash identically.
+    QueryDef("q_date_trunc", (s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"))
+        .agg(sumd(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("month_start"),
+      Some("""
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY 1 ORDER BY month_start""")),
+
     // Unpivot (wide -> long): lineitem measures to (measure, value) rows —
     // Spark's stack() against the portable UNION ALL formulation.
     QueryDef("q_unpivot", (s, d) =>

@@ -73,4 +73,35 @@ class RangeJoinSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("hybrid long/short path matches the pure bucketed result") {
+    val pts = (0L until 500L).map(p => (p, (p * 31) % 2000)).toDF("pid", "p")
+    // mixed spans: mostly short, a few spanning most of the domain
+    val ivs = (0L until 30L).map { i =>
+      val s = (i * 67) % 1800
+      val span = if (i % 9 == 0) 1500L else 1 + (i * 13) % 40
+      (i, s, s + span)
+    }.toDF("iid", "s", "e")
+    val plain = RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", Nil, 16L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    val hybrid = RangeJoin.pointInIntervalHybrid(pts, ivs, "p", "s", "e",
+        Nil, 16L, longSpanBuckets = 8)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(hybrid === plain)
+    assert(hybrid.nonEmpty)
+  }
+
+  test("hybrid with keys and boundary-length intervals stays exact") {
+    val pts = Seq(("a", 10L, 1L), ("a", 100L, 2L), ("b", 100L, 3L)).toDF("k", "p", "pid")
+    val ivs = Seq(
+      ("a", 0L, 16L, 10L),     // short
+      ("a", 0L, 1000L, 11L),   // long
+      ("b", 90L, 106L, 12L),   // exactly spanLimit boundary (16*1 = 16)
+      ("b", 101L, 200L, 13L))  // no match
+      .toDF("k", "s", "e", "iid")
+    val got = RangeJoin.pointInIntervalHybrid(pts, ivs, "p", "s", "e",
+        Seq("k"), 16L, longSpanBuckets = 1)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L), (1L, 11L), (2L, 11L), (3L, 12L)))
+  }
 }

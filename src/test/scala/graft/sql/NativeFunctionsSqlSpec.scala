@@ -1,0 +1,48 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Every graft native expression is callable from SQL through
+  * GraftExtensions — the full dedup/similarity pipeline is expressible
+  * in pure SQL text, matching the Column-API results exactly.
+  */
+class NativeFunctionsSqlSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles -> minhash -> bands round-trips through SQL") {
+    Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
+      .toDF("id", "text").createOrReplaceTempView("nf_docs")
+    val out = spark.sql("""
+      SELECT id,
+        graft_word_shingles(text, 3) AS sh,
+        graft_minhash_sig(graft_word_shingles(text, 3), 64) AS sig,
+        graft_band_hashes(graft_minhash_sig(graft_word_shingles(text, 3), 64), 16) AS bands
+      FROM nf_docs""").collect().map(r =>
+        r.getLong(0) -> (r.getSeq[String](1), r.getSeq[Long](2), r.getSeq[Long](3)))
+      .toMap
+    assert(out(1L) === out(2L))          // identical text, identical everything
+    assert(out(1L)._2 !== out(3L)._2)    // different text, different sigs
+    assert(out(1L)._3.size === 16)
+    // SQL route equals the Column-API route
+    val viaCol = graft.dedup.Dedup.withMinHashSignature(
+        graft.dedup.Dedup.withShingles(
+          Seq((1L, "a b c d e f g")).toDF("id", "text"), "text", 3), 64)
+      .select("minhash_sig").as[Seq[Long]].head()
+    assert(out(1L)._2 === viaCol)
+  }
+
+  test("similarity functions compute in SQL: jaccard, sig agreement, cosine") {
+    val r = spark.sql("""
+      SELECT
+        graft_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+        graft_sig_agreement(array(1L,2L,3L,4L), array(1L,2L,9L,9L)) AS agree,
+        graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                     array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cos
+      """).head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)    // |{b,c}| / |{a,b,c,d}|
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)    // 2 of 4 positions agree
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+  }
+}
