@@ -104,6 +104,20 @@ object Dedup {
   /** Candidate duplicate pairs (id_a < id_b) with exact Jaccard verify on
     * the shingle sets, computed only within LSH buckets.
     *
+    * RECALL BOUND — read before relying on verify-exhaustive behavior:
+    * for corpora >= 50k docs a signature-agreement prefilter drops banded
+    * candidates whose ESTIMATED Jaccard (k = numHashes agreement) is
+    * below `minJaccard - prefilterMargin` BEFORE the exact verify. With
+    * the defaults (k=64, margin=0.2) a true pair at exactly `minJaccard`
+    * is dropped only when its estimator lands > 3.2 sigma low — about
+    * 7e-4 per borderline pair — and the loss probability falls
+    * exponentially for pairs above the threshold. Callers that need the
+    * pre-r3 verify-every-banded-candidate behavior can set
+    * `prefilterMargin = 1.0` (prefilter threshold clamps to 0, passing
+    * everything); smaller corpora (< 50k docs) always verify exhaustively.
+    *
+    * @param prefilterMargin slack between `minJaccard` and the estimated-
+    *        similarity prefilter threshold; 1.0 disables the prefilter
     * @return (id_a, id_b, jaccard) — pairs with estimated similarity from
     *         banding, verified exactly.
     */
@@ -186,6 +200,10 @@ object Dedup {
     *
     * The caller owns the signature frame's lifecycle (persist before,
     * unpersist after); this method only reads it.
+    *
+    * Same RECALL BOUND as [[minHashCandidates]]: >= 50k docs enables the
+    * sig-agreement prefilter at `minJaccard - prefilterMargin`;
+    * `prefilterMargin = 1.0` restores verify-exhaustive behavior.
     */
   def minHashCandidatesFromSigs(
       sigs: DataFrame,

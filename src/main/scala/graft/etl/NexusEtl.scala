@@ -133,6 +133,11 @@ object NexusEtl {
     * events (and a bank whose only event sits at pulse 4 would report 5);
     * the inference remains only as a documented lower-bound fallback when
     * no bank table is available.
+    *
+    * When `nPulsesPerBank` is given, the BANKS frame drives the output:
+    * every bank yields a summary row even with zero extracted events
+    * (the reference stores `events: 0, total_counts: 0` rows —
+    * parquet.py:491-496, n_pulses = len(event_index) with no events).
     */
   def eventSummary(events: DataFrame, runKeys: Seq[String], bankCol: String,
                    pulseCol: String,
@@ -143,8 +148,12 @@ object NexusEtl {
       (max(col(pulseCol)) + 1).as("__n_pulses_observed"))
     nPulsesPerBank match {
       case Some(banks) =>
-        counts.join(banks, runKeys :+ bankCol)
-          .drop("__n_pulses_observed")
+        banks.join(counts.drop("__n_pulses_observed"),
+            runKeys :+ bankCol, "left")
+          .withColumn("events_extracted",
+            coalesce(col("events_extracted"), lit(0L)))
+          .withColumn("total_counts",
+            coalesce(col("total_counts"), lit(0L)))
       case None =>
         counts.withColumnRenamed("__n_pulses_observed", "n_pulses")
     }

@@ -114,6 +114,13 @@ case class BandHashes(child: Expression, bands: Int)
 object BandHashes {
   def compute(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
+    // Fail loudly on both API surfaces (the Column path has its own
+    // require; the SQL-registered graft_band_hashes lands here directly):
+    // a signature length not divisible by bands would silently drop
+    // trailing hashes, and bands > n would emit the bare seed per band.
+    if (bands <= 0 || n % bands != 0)
+      throw new IllegalArgumentException(
+        s"graft_band_hashes: signature length $n not divisible into $bands bands")
     val r = n / bands
     val out = new Array[Long](bands)
     var b = 0

@@ -121,7 +121,15 @@ case class SigAgreement(left: Expression, right: Expression)
 
 object SigAgreement {
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // Signatures from different numHashes configurations are not
+    // comparable — truncating to the common prefix would yield a
+    // plausible-looking but meaningless estimate. Fail loudly instead.
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_sig_agreement: signature lengths differ " +
+          s"(${a.numElements()} vs ${b.numElements()}); both sides must be " +
+          "built with the same numHashes")
+    val n = a.numElements()
     if (n == 0) return 0.0
     var eq = 0
     var i = 0

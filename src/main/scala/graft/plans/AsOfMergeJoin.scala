@@ -210,12 +210,24 @@ case class AsOfMergeJoinExec(
 
       lIter.map { lrow =>
         val lkey = lKeyProj(lrow)
-        val ltime = lTimeProj(lrow).getLong(0)
+        val lTimeRow = lTimeProj(lrow)
+        if (lTimeRow.isNullAt(0)) {
+          // NULL left time matches nothing (mirrors AsOfJoin.backward,
+          // where NULL <= t / NULL >= t is never true). The right cursor
+          // stays put for the following non-null rows of this key.
+          outProj(joined(lrow, nullCarry))
+        } else {
+        val ltime = lTimeRow.getLong(0)
         var done = false
         while (!done && buffered.hasNext) {
           val peek = buffered.head
           val cmp = keyOrd.compare(rKeyProj(peek), lkey)
           if (cmp < 0) { buffered.next() } // right side behind this key
+          else if (cmp == 0 && rTimeProj(peek).isNullAt(0)) {
+            // NULL right time never matches in either direction; consume
+            // (nulls sort first, so they precede every real candidate)
+            buffered.next()
+          }
           else if (cmp == 0 &&
               (if (fwd) rTimeProj(peek).getLong(0) < ltime
                else rTimeProj(peek).getLong(0) <= ltime)) {
@@ -244,6 +256,7 @@ case class AsOfMergeJoinExec(
           else if (fwd) carryProj(buffered.head)
           else candCarry
         outProj(joined(lrow, carryRow))
+        }
       }
     }
   }

@@ -708,9 +708,9 @@ object QueryCatalog {
         .orderBy("l_orderkey"),
       Some("""
       SELECT l_orderkey,
-        COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN 1 END), 0) AS n_a,
-        COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN 1 END), 0) AS n_n,
-        COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 END), 0) AS n_r,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN 1 END), 0) AS BIGINT) AS n_a,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN 1 END), 0) AS BIGINT) AS n_n,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN 1 END), 0) AS BIGINT) AS n_r,
         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_keys
       FROM lineitem WHERE l_orderkey < 2000
       GROUP BY l_orderkey ORDER BY l_orderkey""")),

@@ -99,6 +99,23 @@ class NexusEtlSpec extends SparkSuite {
     assert(out === Seq(("b1", 2L, 7L), ("b2", 1L, 5L)))
   }
 
+  test("eventSummary emits zero-event banks when the bank table is given (parquet.py:491-496)") {
+    val ev = Seq(("r1", "b1", 0L)).toDF("run_id", "bank", "pulse_index")
+    // b2 recorded pulses but extracted no events: the reference still
+    // stores its summary row with events 0
+    val banks = Seq(
+      ("r1", "b1", Seq(0L, 1L)),
+      ("r1", "b2", Seq(0L, 0L, 0L)))
+      .toDF("run_id", "bank", "event_index")
+    val out = NexusEtl.eventSummary(ev, Seq("run_id"), "bank", "pulse_index",
+        nPulsesPerBank = Some(NexusEtl.nPulsesFromBanks(
+          banks, Seq("run_id"), "bank", "event_index")))
+      .orderBy("bank")
+      .select("bank", "events_extracted", "total_counts", "n_pulses")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("b1", 1L, 1L, 2L), ("b2", 0L, 0L, 3L)))
+  }
+
   test("explodeDaslogs: series explode, veto fallback, metadata-only rows (parquet.py:288-400)") {
     val logs = Seq(
       // ordinary series; value array shorter -> truncate to 2 points

@@ -142,6 +142,20 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BandHashes rejects signature lengths not divisible into bands") {
+    val sig = new GenericArrayData(Array.fill(10)(rnd.nextLong()).map(x => x: Any))
+    intercept[IllegalArgumentException](BandHashes.compute(sig, 3))
+    intercept[IllegalArgumentException](BandHashes.compute(sig, 16))
+    intercept[IllegalArgumentException](BandHashes.compute(sig, 0))
+    assert(BandHashes.compute(sig, 5).numElements() === 5)
+  }
+
+  test("SigAgreement rejects signatures of different lengths") {
+    val a = new GenericArrayData(Array.fill(8)(rnd.nextLong()).map(x => x: Any))
+    val b = new GenericArrayData(Array.fill(16)(rnd.nextLong()).map(x => x: Any))
+    intercept[IllegalArgumentException](SigAgreement.compute(a, b))
+  }
+
   test("JaccardSim matches the set-based intersect/union reference") {
     for (_ <- 1 to 300) {
       val a = (0 until rnd.nextInt(40)).map(_ => randomText().trim)

@@ -40,6 +40,26 @@ class AsOfMergeJoinSpec extends SparkSuite {
     assert(out === Map(1L -> -1L, 2L -> 100L, 3L -> 150L, 4L -> -1L))
   }
 
+  test("NULL times match nothing, in both directions (parity with AsOfJoin.backward)") {
+    // null right times must never be returned as matches (they'd read as
+    // epoch 0 through getLong), and null left times must carry nulls
+    val left = Seq(("a", Some(5L), 1L), ("a", None, 2L), ("a", Some(50L), 3L))
+      .toDF("k", "t", "id")
+    val right = Seq(("a", None: Option[Long], 999L), ("a", Some(10L), 100L))
+      .toDF("k", "rt", "v")
+    val back = AsOfMergeJoin.backward(left, right, "t", "rt", Seq("k"), Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // id=1 (t=5): no right row <= 5 with non-null time -> null (NOT the
+    // null-time row 999); id=2 (t=null): null; id=3 (t=50): pulse at 10
+    assert(back === Map(1L -> -1L, 2L -> -1L, 3L -> 100L))
+    val fwd = AsOfMergeJoin.forward(left, right, "t", "rt", Seq("k"), Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // forward: id=1 (t=5) -> first right >= 5 is 10; id=2 null; id=3 none
+    assert(fwd === Map(1L -> 100L, 2L -> -1L, 3L -> -1L))
+  }
+
   test("heavy-tailed gaps: correct across an idle span no bucket width likes") {
     // one pulse, then 10 hours of silence, then a burst — the bucketed
     // formulation must explode ~36k 1s-buckets for the idle interval;
