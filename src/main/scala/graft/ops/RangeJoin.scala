@@ -133,4 +133,60 @@ object RangeJoin {
       .select(a.columns.map(ba.apply) ++
         b.columns.filterNot(keys.contains).map(bb.apply): _*)
   }
+
+  /** [[intervalOverlap]] with the same LONG-INTERVAL escape hatch as
+    * [[pointInIntervalHybrid]]: an interval spanning more than
+    * `longSpanBuckets` buckets explodes onto span/bucketWidth banded rows
+    * AND overlaps a correspondingly huge number of buckets on the other
+    * side — the quadratic skew term of banded overlap joins. Super-wide
+    * intervals are rare by construction (a validity window covering the
+    * whole timeline is closer to a dimension than to a fact), so they go
+    * through a broadcast join instead:
+    *
+    *  - short a × short b: the bucketed first-shared-bucket equi-join;
+    *  - long a × ALL b: `b ⋈ broadcast(long a)`;
+    *  - short a × long b: `short a ⋈ broadcast(long b)`
+    *    (long×long already covered by the second path).
+    *
+    * The three paths partition the pair space, so the union emits each
+    * overlapping pair exactly once, matching [[intervalOverlap]]. With no
+    * `keys` the broadcast paths plan as a broadcast nested loop — that is
+    * the point: the loop side is the handful of wide intervals, giving
+    * O(|rows| * |long|) with |long| small, instead of the unbounded
+    * bucket fan-out.
+    */
+  def intervalOverlapHybrid(
+      a: DataFrame,
+      b: DataFrame,
+      aStart: String,
+      aEnd: String,
+      bStart: String,
+      bEnd: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Long = 1024L,
+      longSpanBuckets: Int = 64): DataFrame = {
+    require(longSpanBuckets > 0, "longSpanBuckets must be positive")
+    val spanLimit = bucketWidth * longSpanBuckets
+    def split(df: DataFrame, s: String, e: String): (DataFrame, DataFrame) = {
+      val nonEmpty = df.filter(col(e) > col(s))
+      (nonEmpty.filter(col(e) - col(s) <= spanLimit),
+        nonEmpty.filter(col(e) - col(s) > spanLimit))
+    }
+    val (shortA, longA) = split(a, aStart, aEnd)
+    val (shortB, longB) = split(b, bStart, bEnd)
+    val allB = shortB.unionByName(longB)
+    def overlapCond(af: DataFrame, bf: DataFrame) =
+      keys.map(k => af(k) === bf(k))
+        .foldLeft(af(aStart) < bf(bEnd) && bf(bStart) < af(aEnd))(_ && _)
+    def outCols(af: DataFrame, bf: DataFrame) =
+      a.columns.map(af.apply) ++
+        b.columns.filterNot(keys.contains).map(bf.apply)
+    val viaBuckets = intervalOverlap(
+      shortA, shortB, aStart, aEnd, bStart, bEnd, keys, bucketWidth)
+    val viaLongA = allB.join(broadcast(longA), overlapCond(longA, allB))
+      .select(outCols(longA, allB): _*)
+    val viaLongB = shortA.join(broadcast(longB), overlapCond(shortA, longB))
+      .select(outCols(shortA, longB): _*)
+    viaBuckets.unionByName(viaLongA).unionByName(viaLongB)
+  }
 }

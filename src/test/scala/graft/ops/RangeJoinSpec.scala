@@ -91,6 +91,46 @@ class RangeJoinSpec extends SparkSuite {
     assert(hybrid.nonEmpty)
   }
 
+  test("overlap hybrid matches the pure bucketed result on skewed spans") {
+    val as = (0L until 80L).map { i =>
+      val s = (i * 37) % 3000
+      // every 11th interval is super-wide (the skew term the hybrid removes)
+      val span = if (i % 11 == 0) 2500L else 1 + (i * 13) % 50
+      (i, s, s + span)
+    }
+    val bs = (0L until 70L).map { i =>
+      val s = (i * 43) % 3000
+      val span = if (i % 13 == 0) 2800L else 1 + (i * 7) % 60
+      (i, s, s + span)
+    }
+    val a = as.toDF("a_id", "a_s", "a_e")
+    val b = bs.toDF("b_id", "b_s", "b_e")
+    val want = (for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+      if s1 < e2 && s2 < e1
+    } yield (ai, bi)).sorted
+    for (lsb <- Seq(1, 4, 64)) {
+      val got = RangeJoin.intervalOverlapHybrid(a, b, "a_s", "a_e", "b_s", "b_e",
+          keys = Nil, bucketWidth = 16L, longSpanBuckets = lsb)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      // exact multiset equality: the three hybrid paths neither drop nor
+      // double-count any pair (incl. long x long)
+      assert(got === want, s"longSpanBuckets=$lsb")
+    }
+  }
+
+  test("overlap hybrid respects keys and skips empty intervals") {
+    val a = Seq(("a", 0L, 1000L, 1L), ("a", 5L, 10L, 2L), ("b", 5L, 5L, 3L))
+      .toDF("k", "a_s", "a_e", "a_id")
+    val b = Seq(("a", 8L, 12L, 10L), ("b", 0L, 1000L, 11L), ("a", 900L, 901L, 12L))
+      .toDF("k", "b_s", "b_e", "b_id")
+    val got = RangeJoin.intervalOverlapHybrid(a, b, "a_s", "a_e", "b_s", "b_e",
+        Seq("k"), 16L, longSpanBuckets = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // a_id=3 is empty [5,5) -> never matches even against b's wide 11
+    assert(got === Set((1L, 10L), (2L, 10L), (1L, 12L)))
+  }
+
   test("hybrid with keys and boundary-length intervals stays exact") {
     val pts = Seq(("a", 10L, 1L), ("a", 100L, 2L), ("b", 100L, 3L)).toDF("k", "p", "pid")
     val ivs = Seq(
