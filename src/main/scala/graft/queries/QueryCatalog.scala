@@ -1275,6 +1275,42 @@ object QueryCatalog {
           / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("repetition_stats", (s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id"),
+      // DuckDB rederivation: unigram counts from string_split (testdata
+      // text is single-space separated, matching WordShingles'
+      // space-run tokenizer), bigrams via a list_transform window join
+      Some("""
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      wc AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(ws) AS w FROM base) GROUP BY 1, 2),
+      wstats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(MAX(c) AS BIGINT) AS max_w
+        FROM wc GROUP BY 1),
+      bg AS (
+        SELECT doc_id, UNNEST(
+          CASE WHEN len(ws) >= 2
+               THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+               ELSE [array_to_string(ws, ' ')] END) AS g
+        FROM base),
+      gc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      gstats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+               CAST(MAX(c) AS BIGINT) AS max_g
+        FROM gc GROUP BY 1)
+      SELECT doc_id, n_words, n_distinct_words,
+        CAST(max_w AS DOUBLE) / n_words AS top_word_frac,
+        CAST(n_words - n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+        CAST(max_g AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac
+      FROM wstats JOIN gstats USING (doc_id) ORDER BY doc_id""")),
+
     QueryDef("token_count", (s, d) =>
       TextAnalysis.tokenCounts(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id"),

@@ -199,4 +199,48 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
+
+  /** Gopher/MassiveText-style repetition statistics, the standard quality
+    * gate against degenerate (template/boilerplate/babble) documents:
+    * fraction of duplicate words, fraction of the most common word, and
+    * the same two measures over word bigrams. This variant measures
+    * token-count fractions (Gopher's char-fraction flavor differs only by
+    * a length weighting); filter thresholds like `dup_word_frac > 0.3 OR
+    * top_bigram_frac > 0.18` are the published regime.
+    *
+    * Shape: the unigram/bigram streams come from the native
+    * [[graft.functions.WordShingles]] single-pass expression (no
+    * interpreted lambdas), then ONE shuffle keyed by (id, gram) for the
+    * frequency counts and a map-side-partial reaggregation per document.
+    * At 100 TB the (id, gram) key is near-unique per partition slice so
+    * partial aggregation keeps the shuffle narrow; no global state.
+    *
+    * Documents with fewer than 2 words inherit WordShingles' fallback
+    * (the whole token sequence as one "bigram"), keeping every row
+    * defined; fractions are single divisions of exact integer counts
+    * (cross-engine deterministic).
+    */
+  def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def gramStats(n: Int, prefix: String): DataFrame =
+      docs.select(col(idCol),
+          explode(graft.functions.WordShingles.col(col(textCol), n)).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol)).agg(
+          sum("c").as(s"n_$prefix"),
+          count(lit(1)).as(s"n_distinct_$prefix"),
+          max("c").as(s"__max_$prefix"))
+    val w = gramStats(1, "words")
+    val g = gramStats(2, "bigrams")
+    w.join(g, idCol)
+      .select(col(idCol),
+        col("n_words"), col("n_distinct_words"),
+        (col("__max_words").cast("double") / col("n_words"))
+          .as("top_word_frac"),
+        ((col("n_words") - col("n_distinct_words")).cast("double") / col("n_words"))
+          .as("dup_word_frac"),
+        (col("__max_bigrams").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+          .as("dup_bigram_frac"))
+  }
 }

@@ -27,6 +27,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out === ((3L, 6L, 4L))) // ceil(16/4) = 4
   }
 
+  test("repetitionStats: duplicate/top fractions over words and bigrams") {
+    // "a b a b a": words {a:3, b:2} n=5 distinct=2 max=3
+    // bigrams: "a b","b a","a b","b a" -> n=4 distinct=2 max=2
+    val out = TextAnalysis.repetitionStats(
+        Seq((1L, "a b a b a")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("n_words", "n_distinct_words", "top_word_frac", "dup_word_frac",
+        "top_bigram_frac", "dup_bigram_frac")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(out === ((5L, 2L, 3.0 / 5, 3.0 / 5, 2.0 / 4, 2.0 / 4)))
+  }
+
+  test("repetitionStats: unique text scores zero; 1-word doc stays defined") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "dup_word_frac", "top_word_frac", "dup_bigram_frac")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(out(0) === ((1L, 0.0, 0.25, 0.0)))
+    // single word: WordShingles' fallback emits one whole-sequence bigram
+    assert(out(1) === ((2L, 0.0, 1.0, 0.0)))
+  }
+
   test("langId thresholds stopword hits") {
     val df = Seq(
       (1L, "word the word and word of word"),
