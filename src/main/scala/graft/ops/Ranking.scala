@@ -108,6 +108,33 @@ object Ranking {
       .drop(Pid, Mid, "__rank_rn")
   }
 
+  /** Global INCLUSIVE running sum of `srcCol` (integral) by `orderCols`
+    * without a single-partition window: per-partition running sums (the
+    * window partitions by the range-partition id, so it never
+    * concentrates rows) plus a driver-side O(numPartitions) prefix of the
+    * per-partition totals broadcast back as offsets.
+    *
+    * `orderCols` must be ASCENDING and a total order for deterministic
+    * output. The exclusive variant is `result - srcCol`.
+    */
+  def globalRunningSum(df: DataFrame, srcCol: String, orderCols: Seq[Column],
+                       as: String, numPartitions: Int = 0): DataFrame = {
+    val n = resolveN(df, numPartitions)
+    val tagged = ranged(df, orderCols, n)
+    val totals = tagged.groupBy(col(Pid))
+      .agg(sum(col(srcCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+      .take(n).toIndexedSeq
+    val w = Window.partitionBy(col(Pid)).orderBy(orderCols: _*)
+    tagged
+      .withColumn(as,
+        sum(col(srcCol).cast("long")).over(w) +
+          element_at(typedLit(offsets), col(Pid) + 1))
+      .drop(Pid, Mid)
+  }
+
   /** Global lead(srcCol, 1) by `orderCols` without a single-partition
     * window: per-partition lead, with each partition's last row patched
     * from the first value of the next non-empty partition (one row per

@@ -1275,6 +1275,26 @@ object QueryCatalog {
           / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("sequence_pack", (s, d) => {
+      val toks = TextAnalysis.tokenCounts(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_ws_tokens"))
+      TextAnalysis.packSequences(toks, "doc_id", "n_ws_tokens", 2048L)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+        FROM tok WHERE n_tokens > 0)
+      SELECT doc_id, n_tokens, c - n_tokens AS tok_start,
+        (c - n_tokens) // 2048 AS seq_first,
+        (c - 1) // 2048 AS seq_last,
+        (c - 1) // 2048 - (c - n_tokens) // 2048 + 1 AS n_seqs
+      FROM cum ORDER BY doc_id""")),
+
     QueryDef("repetition_stats", (s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id"),

@@ -200,6 +200,41 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
 
+  /** GPT-style sequence packing: documents are concatenated into one
+    * global token stream in `idCol` order and the stream is cut into
+    * fixed `maxTokens` training sequences (documents may straddle a cut —
+    * the standard pretraining packing, zero padding waste). Output maps
+    * each document to its place in the packed stream:
+    * `(id, n_tokens, tok_start, seq_first, seq_last, n_seqs)`.
+    *
+    * The only global state is the exclusive prefix sum of token counts,
+    * computed scalably via [[graft.ops.Ranking.globalRunningSum]] (range
+    * partition + per-partition window + O(numPartitions) driver stitch) —
+    * never a single-partition window. Zero-token documents are dropped
+    * (they occupy no stream positions).
+    *
+    * @param nTokensCol integral per-document token count (e.g.
+    *                   [[tokenCounts]]' n_ws_tokens or n_bpe_tokens)
+    */
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+                    maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val cum = graft.ops.Ranking.globalRunningSum(
+      docs.select(col(idCol), col(nTokensCol).cast("long").as(nTokensCol))
+        .filter(col(nTokensCol) > 0),
+      nTokensCol, Seq(col(idCol)), "__cum")
+    val start = col("__cum") - col(nTokensCol)
+    val seqFirst = expr(s"(`__cum` - `$nTokensCol`) div $maxTokens")
+    val seqLast = expr(s"(`__cum` - 1) div $maxTokens")
+    cum.select(
+      col(idCol),
+      col(nTokensCol).as("n_tokens"),
+      start.as("tok_start"),
+      seqFirst.as("seq_first"),
+      seqLast.as("seq_last"),
+      (seqLast - seqFirst + 1).as("n_seqs"))
+  }
+
   /** Gopher/MassiveText-style repetition statistics, the standard quality
     * gate against degenerate (template/boilerplate/babble) documents:
     * fraction of duplicate words, fraction of the most common word, and

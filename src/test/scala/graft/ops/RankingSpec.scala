@@ -37,6 +37,19 @@ class RankingSpec extends SparkSuite {
       Ranking.globalRowNumber(df, Seq(col("price"), col("id")), "rn", 4)))
   }
 
+  test("globalRunningSum equals sum over a global running window") {
+    val src = (1L to 200L).map(i => (i, (i * 37) % 23 + 1)).toDF("id", "v")
+      .repartition(7)
+    val expected = src
+      .withColumn("c", sum(col("v")).over(
+        Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    val out = Ranking.globalRunningSum(src, "v", Seq(col("id")), "c",
+      numPartitions = 5)
+    assert(out.select("id", "c").as[(Long, Long)].collect().toMap === expected)
+    assert(!hasUnpartitionedWindow(out))
+  }
+
   test("globalRowNumber handles descending orderings") {
     val expected = df
       .withColumn("rn", row_number().over(

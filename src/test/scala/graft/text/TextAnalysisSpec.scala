@@ -27,6 +27,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out === ((3L, 6L, 4L))) // ceil(16/4) = 4
   }
 
+  test("packSequences maps docs onto the packed token stream, straddles included") {
+    // stream: doc1 [0,1000) doc2 [1000,1500) doc3 [1500,2500) doc5 [2500,2600)
+    // with maxTokens=1024: doc1 seq0; doc2 seq0; doc3 seqs 1-2; doc5 seq 2
+    val docs = Seq((1L, 1000L), (2L, 500L), (3L, 1000L), (4L, 0L), (5L, 100L))
+      .toDF("doc_id", "n")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "n", 1024L)
+      .orderBy("doc_id")
+      .select("doc_id", "tok_start", "seq_first", "seq_last", "n_seqs")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 1000L, 0L, 1L, 2L),   // straddles the 1024 cut
+      (3L, 1500L, 1L, 2L, 2L),
+      (5L, 2500L, 2L, 2L, 1L)))  // zero-token doc 4 dropped
+  }
+
   test("repetitionStats: duplicate/top fractions over words and bigrams") {
     // "a b a b a": words {a:3, b:2} n=5 distinct=2 max=3
     // bigrams: "a b","b a","a b","b a" -> n=4 distinct=2 max=2
