@@ -1275,6 +1275,22 @@ object QueryCatalog {
           / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("doc_chunks", (s, d) =>
+      TextAnalysis.chunkDocs(t(s, d, "documents"), "text", "doc_id",
+          chunkWords = 64, overlapWords = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      ex AS (
+        SELECT doc_id, ws,
+          UNNEST(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_id
+        FROM base)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(chunk_id * 48 AS BIGINT) AS word_start,
+        CAST(LEAST(len(ws) - chunk_id * 48, 64) AS BIGINT) AS n_chunk_words,
+        array_to_string(ws[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+      FROM ex ORDER BY doc_id, chunk_id""")),
+
     QueryDef("sequence_pack", (s, d) => {
       val toks = TextAnalysis.tokenCounts(t(s, d, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("n_ws_tokens"))

@@ -200,6 +200,38 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
 
+  /** Fixed-size word-window chunking with overlap — the standard
+    * RAG-indexing / long-document training prep: chunk k starts at word
+    * `k * (chunkWords - overlapWords)` and covers up to `chunkWords`
+    * words; the last chunk may be shorter. One row per (doc, chunk).
+    *
+    * Pure expression pipeline (split → sequence/explode → slice →
+    * array_join): the explode fans out executor-side, no UDF, no
+    * shuffle; at 100 TB the output is written partitioned by the same
+    * keys as the input corpus.
+    */
+  def chunkDocs(docs: DataFrame, textCol: String, idCol: String,
+                chunkWords: Int, overlapWords: Int = 0): DataFrame = {
+    require(chunkWords > 0 && overlapWords >= 0 && overlapWords < chunkWords,
+      "need 0 <= overlapWords < chunkWords")
+    val stride = chunkWords - overlapWords
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), col("__ws"),
+        explode(expr(s"sequence(0L, (size(__ws) - 1) div $stride)"))
+          .as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        (col("chunk_id") * stride).as("word_start"),
+        least(size(col("__ws")) - col("chunk_id") * stride, lit(chunkWords))
+          .cast("long").as("n_chunk_words"),
+        array_join(
+          slice(col("__ws"),
+            (col("chunk_id") * stride + 1).cast("int"), lit(chunkWords)),
+          " ").as("chunk_text"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated into one
     * global token stream in `idCol` order and the stream is cut into
     * fixed `maxTokens` training sequences (documents may straddle a cut —

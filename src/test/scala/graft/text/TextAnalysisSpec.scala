@@ -27,6 +27,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out === ((3L, 6L, 4L))) // ceil(16/4) = 4
   }
 
+  test("chunkDocs: overlapping word windows, short last chunk") {
+    // 7 words, chunkWords=4, overlap=2 -> stride 2, starts 0,2,4,6
+    val out = TextAnalysis.chunkDocs(
+        Seq((1L, "w0 w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text"),
+        "text", "doc_id", chunkWords = 4, overlapWords = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "word_start", "n_chunk_words", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 0L, 4L, "w0 w1 w2 w3"),
+      (1L, 2L, 4L, "w2 w3 w4 w5"),
+      (2L, 4L, 3L, "w4 w5 w6"),
+      (3L, 6L, 1L, "w6")))
+  }
+
+  test("chunkDocs without overlap partitions the words exactly") {
+    val out = TextAnalysis.chunkDocs(
+        Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+        "text", "doc_id", chunkWords = 2)
+      .orderBy("chunk_id").select("chunk_text").as[String].collect().toSeq
+    assert(out === Seq("a b", "c d", "e"))
+  }
+
   test("packSequences maps docs onto the packed token stream, straddles included") {
     // stream: doc1 [0,1000) doc2 [1000,1500) doc3 [1500,2500) doc5 [2500,2600)
     // with maxTokens=1024: doc1 seq0; doc2 seq0; doc3 seqs 1-2; doc5 seq 2
