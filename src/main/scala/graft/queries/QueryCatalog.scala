@@ -1275,6 +1275,83 @@ object QueryCatalog {
           / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    // Statistical aggregates with cross-engine-exact arithmetic: built-in
+    // stddev/corr stream doubles in engine-specific orders (never
+    // hash-comparable), so the moments come from EXACT integer-cent sums
+    // (decimal(38,0) in Spark, HUGEINT in DuckDB) and every double is
+    // derived by the same single division/sqrt of the same exact integers.
+    QueryDef("q_stats_agg", (s, d) => {
+      val qi = (dec(col("l_quantity")) * 100).cast("decimal(38,0)")
+      val pi = (dec(col("l_extendedprice")) * 100).cast("decimal(38,0)")
+      val g = t(s, d, "lineitem")
+        .select(col("l_returnflag"), qi.as("qi"), pi.as("pi"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("qi")).cast("decimal(38,0)").as("sx"),
+          sum(col("qi") * col("qi")).cast("decimal(38,0)").as("sxx"),
+          sum(col("pi")).cast("decimal(38,0)").as("sy"),
+          sum(col("pi") * col("pi")).cast("decimal(38,0)").as("syy"),
+          sum(col("qi") * col("pi")).cast("decimal(38,0)").as("sxy"))
+      val varNum = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val varDen = (col("n") * (col("n") - 1)).cast("double") * 1e4
+      g.select(col("l_returnflag"),
+          col("n").cast("long").as("n"),
+          (varNum / varDen).as("var_qty"),
+          sqrt(varNum / varDen).as("stddev_qty"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH c AS (
+        SELECT l_returnflag,
+          CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS qi,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS pi
+        FROM lineitem),
+      s AS (
+        SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+          SUM(qi) AS sx, SUM(qi*qi) AS sxx,
+          SUM(pi) AS sy, SUM(pi*pi) AS syy, SUM(qi*pi) AS sxy
+        FROM c GROUP BY 1)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        CAST(n*sxx - sx*sx AS DOUBLE) / (CAST(n*(n-1) AS DOUBLE) * 1e4) AS var_qty,
+        SQRT(CAST(n*sxx - sx*sx AS DOUBLE) / (CAST(n*(n-1) AS DOUBLE) * 1e4)) AS stddev_qty,
+        CAST(n*sxy - sx*sy AS DOUBLE) /
+          (SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) * SQRT(CAST(n*syy - sy*sy AS DOUBLE)))
+          AS corr_qty_price
+      FROM s ORDER BY l_returnflag""")),
+
+    QueryDef("q_histogram", (s, d) =>
+      t(s, d, "lineitem")
+        .select(expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 500000")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("""
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 500000
+               AS bucket,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    QueryDef("q_bool_agg", (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_quantity") > 1).as("all_multi"),
+          bool_or(dec(col("l_discount")) > 0.09).as("any_deep_discount"),
+          sum(when(dec(col("l_discount")) > 0.09, 1L).otherwise(0L))
+            .as("n_deep_discount"))
+        .orderBy("l_returnflag"),
+      Some("""
+      SELECT l_returnflag,
+        BOOL_AND(l_quantity > 1) AS all_multi,
+        BOOL_OR(CAST(l_discount AS DECIMAL(18,2)) > 0.09) AS any_deep_discount,
+        CAST(SUM(CASE WHEN CAST(l_discount AS DECIMAL(18,2)) > 0.09
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_discount
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     QueryDef("doc_chunks", (s, d) =>
       TextAnalysis.chunkDocs(t(s, d, "documents"), "text", "doc_id",
           chunkWords = 64, overlapWords = 16)
