@@ -226,6 +226,27 @@ object BenchScale {
         TrainingDataPipeline.curate(docs, "text", "doc_id")
           .filter(col("keep")).count()
       },
+      timed("repetition_stats") {
+        // Gopher repetition gate at corpus scale: native WordShingles
+        // unigram+bigram streams, one (id, gram) shuffle each. The filter
+        // consumes every output fraction so nothing prunes away.
+        TextAnalysis.repetitionStats(docs, "text", "doc_id")
+          .filter(col("dup_word_frac") > 0.3 || col("top_bigram_frac") > 0.18)
+          .count()
+      },
+      timed("doc_chunks") {
+        // chunk fan-out (64-word windows, 16 overlap); sum of chunk text
+        // lengths forces the slice/join work that a bare count would prune
+        TextAnalysis.chunkDocs(docs, "text", "doc_id", 64, 16)
+          .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))))
+          .head().getLong(0)
+      },
+      timed("sequence_pack") {
+        val toks = TextAnalysis.tokenCounts(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_ws_tokens"))
+        TextAnalysis.packSequences(toks, "doc_id", "n_ws_tokens", 2048L)
+          .count()
+      },
       timed("events_asof_pulse_join") {
         // the reference's flagship path at stream scale: per-run pulse
         // timelines (click events) indexed with a run-partitioned window,

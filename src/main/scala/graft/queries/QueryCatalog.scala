@@ -1352,6 +1352,42 @@ object QueryCatalog {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_discount
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    QueryDef("vocab_topk", (s, d) =>
+      TextAnalysis.buildVocab(t(s, d, "documents"), "text",
+          minCount = 5L, topV = 100L)
+        .orderBy("token_id"),
+      Some("""
+      WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
+            HAVING COUNT(*) >= 5),
+      r AS (SELECT word, n,
+              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) - 1 AS BIGINT)
+                AS token_id
+            FROM c)
+      SELECT word, n, token_id FROM r WHERE token_id < 100
+      ORDER BY token_id""")),
+
+    QueryDef("encode_docs", (s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.encodeDocs(docs, "text", "doc_id",
+          TextAnalysis.buildVocab(docs, "text", minCount = 5L, topV = 100L))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH vw AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      c AS (SELECT word, COUNT(*) AS n FROM vw GROUP BY 1 HAVING COUNT(*) >= 5),
+      r AS (SELECT word,
+              CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) - 1 AS BIGINT)
+                AS token_id
+            FROM c),
+      vocab AS (SELECT word, token_id FROM r WHERE token_id < 100),
+      base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      w AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, ws[pos] AS word
+            FROM base, UNNEST(range(1, len(ws) + 1)) AS t(pos))
+      SELECT doc_id,
+        list(COALESCE(v.token_id, -1) ORDER BY w.pos) AS token_ids
+      FROM w LEFT JOIN vocab v USING (word)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef("doc_chunks", (s, d) =>
       TextAnalysis.chunkDocs(t(s, d, "documents"), "text", "doc_id",
           chunkWords = 64, overlapWords = 16)
@@ -1386,7 +1422,7 @@ object QueryCatalog {
         (c - n_tokens) // 2048 AS seq_first,
         (c - 1) // 2048 AS seq_last,
         (c - 1) // 2048 - (c - n_tokens) // 2048 + 1 AS n_seqs
-      FROM cum ORDER BY doc_id""")),
+      FROM cum ORDER BY doc_id"""), bench = true),
 
     QueryDef("repetition_stats", (s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "text", "doc_id")
@@ -1422,7 +1458,7 @@ object QueryCatalog {
         CAST(n_words - n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
         CAST(max_g AS DOUBLE) / n_bigrams AS top_bigram_frac,
         CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac
-      FROM wstats JOIN gstats USING (doc_id) ORDER BY doc_id""")),
+      FROM wstats JOIN gstats USING (doc_id) ORDER BY doc_id"""), bench = true),
 
     QueryDef("token_count", (s, d) =>
       TextAnalysis.tokenCounts(t(s, d, "documents"), "text", "doc_id")

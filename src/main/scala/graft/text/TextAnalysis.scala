@@ -200,6 +200,45 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
 
+  /** Word-level vocabulary construction: corpus-wide counts, a minimum
+    * frequency floor, and a deterministic total rank (count desc, word
+    * asc) assigning contiguous token ids from 0. The rank uses
+    * [[graft.ops.Ranking.globalRowNumber]] — a vocabulary over a 100 TB
+    * corpus is still tens of millions of rows, which must not funnel
+    * into a single-partition window.
+    *
+    * @param topV keep only the topV highest-ranked words (0 = all)
+    */
+  def buildVocab(docs: DataFrame, textCol: String,
+                 minCount: Long = 1L, topV: Long = 0L): DataFrame = {
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val ranked = graft.ops.Ranking.globalRowNumber(
+        counts, Seq(col("n").desc, col("word")), "__rn")
+      .select(col("word"), col("n"), (col("__rn") - 1).as("token_id"))
+    if (topV > 0) ranked.filter(col("token_id") < topV) else ranked
+  }
+
+  /** Encode documents as token-id arrays against a [[buildVocab]] frame:
+    * explode words with positions, join the vocabulary (out-of-vocabulary
+    * words become -1), and re-pack per document in word order. The join
+    * keys on the word string; at scale the capped vocabulary broadcasts
+    * (AQE converts the join once the filtered side is small).
+    */
+  def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
+                 vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+      .join(vocab.select(col("word"), col("token_id")), Seq("word"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(-1L)).as("tid"))
+      .groupBy(idCol)
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)")
+        .as("token_ids"))
+
   /** Fixed-size word-window chunking with overlap — the standard
     * RAG-indexing / long-document training prep: chunk k starts at word
     * `k * (chunkWords - overlapWords)` and covers up to `chunkWords`

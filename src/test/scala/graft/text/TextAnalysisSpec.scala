@@ -27,6 +27,27 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out === ((3L, 6L, 4L))) // ceil(16/4) = 4
   }
 
+  test("buildVocab ranks by count desc then word; encodeDocs maps OOV to -1") {
+    val docs = Seq(
+      (1L, "b a b c b a"),
+      (2L, "a c zz a")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 2L)
+    // counts: b=3 a=4 c=2 zz=1 -> a(4):0, b(3):1, c(2):2; zz filtered
+    val v = vocab.select("word", "n", "token_id")
+      .as[(String, Long, Long)].collect().toSet
+    assert(v === Set(("a", 4L, 0L), ("b", 3L, 1L), ("c", 2L, 2L)))
+    val enc = TextAnalysis.encodeDocs(docs, "text", "doc_id", vocab)
+      .orderBy("doc_id").select("token_ids").as[Seq[Long]].collect().toSeq
+    assert(enc === Seq(Seq(1L, 0L, 1L, 2L, 1L, 0L), Seq(0L, 2L, -1L, 0L)))
+  }
+
+  test("buildVocab topV keeps the highest-ranked words only") {
+    val docs = Seq((1L, "x x x y y z")).toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(docs, "text", minCount = 1L, topV = 2L)
+      .select("word", "token_id").as[(String, Long)].collect().toSet
+    assert(v === Set(("x", 0L), ("y", 1L)))
+  }
+
   test("chunkDocs: overlapping word windows, short last chunk") {
     // 7 words, chunkWords=4, overlap=2 -> stride 2, starts 0,2,4,6
     val out = TextAnalysis.chunkDocs(
