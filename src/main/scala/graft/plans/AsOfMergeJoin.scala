@@ -223,22 +223,26 @@ case class AsOfMergeJoinExec(
           val peek = buffered.head
           val cmp = keyOrd.compare(rKeyProj(peek), lkey)
           if (cmp < 0) { buffered.next() } // right side behind this key
-          else if (cmp == 0 && rTimeProj(peek).isNullAt(0)) {
-            // NULL right time never matches in either direction; consume
-            // (nulls sort first, so they precede every real candidate)
-            buffered.next()
-          }
-          else if (cmp == 0 &&
-              (if (fwd) rTimeProj(peek).getLong(0) < ltime
-               else rTimeProj(peek).getLong(0) <= ltime)) {
-            // backward: every passed row is a (better) candidate.
-            // forward: rows strictly before the cursor are dead — consume
-            // without recording; the candidate is the unconsumed head.
-            val row = buffered.next()
-            if (!fwd) {
-              candKey = rKeyProj(row).copy()
-              candTime = rTimeProj(row).getLong(0)
-              candCarry = carryProj(row).copy()
+          else if (cmp == 0) {
+            val tRow = rTimeProj(peek) // project the time ONCE per step
+            if (tRow.isNullAt(0)) {
+              // NULL right time never matches in either direction; consume
+              // (nulls sort first, so they precede every real candidate)
+              buffered.next()
+            } else {
+              val rt = tRow.getLong(0)
+              if (if (fwd) rt < ltime else rt <= ltime) {
+                // backward: every passed row is a (better) candidate.
+                // forward: rows strictly before the cursor are dead —
+                // consume without recording; the candidate is the
+                // unconsumed head.
+                val row = buffered.next()
+                if (!fwd) {
+                  candKey = rKeyProj(row).copy()
+                  candTime = rt
+                  candCarry = carryProj(row).copy()
+                }
+              } else done = true
             }
           } else done = true
         }

@@ -81,4 +81,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.contains("partial_min") || plan.contains("partial_count"),
       "aggregation lost its map-side partial phase")
   }
+
+  test("chunkDocs is shuffle-free: pure executor-side fan-out") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val plan = graft.text.TextAnalysis
+      .chunkDocs(docs, "text", "doc_id", 64, 16)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — it fans out within the scan:\n$plan")
+  }
+
+  test("repetition_stats keeps map-side partials and no global window") {
+    val plan = formattedPlan("repetition_stats")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "gram counting lost its map-side partial phase")
+    assert(!plan.contains("Window [") || plan.contains("hashpartitioning"),
+      "unexpected unpartitioned window in repetition stats")
+  }
+
+  test("vocab/encode/pack: no single-partition window anywhere") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val vocab = graft.text.TextAnalysis.buildVocab(docs, "text", 2L, 100L)
+    val enc = graft.text.TextAnalysis.encodeDocs(docs, "text", "doc_id", vocab)
+    val toks = graft.text.TextAnalysis.tokenCounts(docs, "text", "doc_id")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_ws_tokens"))
+    val pack = graft.text.TextAnalysis.packSequences(
+      toks, "doc_id", "n_ws_tokens", 2048L)
+    Seq("vocab" -> vocab, "encode" -> enc, "pack" -> pack).foreach {
+      case (name, df) =>
+        val bad = df.queryExecution.executedPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty, s"$name plans a single-partition window")
+    }
+  }
 }
