@@ -1275,6 +1275,26 @@ object QueryCatalog {
           / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("q_salted_join", (s, d) => {
+      // planned-salt join (Skew.saltedJoin): result must equal the plain
+      // equi-join — the salt spreads each hot key over saltFactor
+      // reducers and disappears from the output
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 30000)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+          dec(col("l_quantity")).cast("double").as("qty"))
+      val ords = t(s, d, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(li, ords, "okey", "l_linenumber", 8)
+        .orderBy("okey", "l_linenumber")
+    }, Some("""
+      SELECT l_orderkey AS okey, l_linenumber,
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+        o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey < 30000
+      ORDER BY okey, l_linenumber""")),
+
     // Statistical aggregates with cross-engine-exact arithmetic: built-in
     // stddev/corr stream doubles in engine-specific orders (never
     // hash-comparable), so the moments come from EXACT integer-cent sums
