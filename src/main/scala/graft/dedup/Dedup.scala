@@ -142,6 +142,43 @@ object Dedup {
     out
   }
 
+  /** C4/RefinedWeb-style corpus-wide SEGMENT dedup: split every document
+    * on `sep` (lines, paragraphs, sentences — caller's choice), drop each
+    * segment's repeat occurrences ACROSS the whole corpus (first
+    * occurrence by (id, position) survives), and reassemble the surviving
+    * segments in document order. Returns
+    * `(id, text_kept, n_kept, n_dropped)` — one row per input document,
+    * including documents whose every segment was dropped.
+    *
+    * Scale shape: first-occurrence selection is `groupBy(segment).agg(
+    * min(struct(id, pos)))` — a partial-aggregating shuffle, NOT a
+    * per-segment window (a window's row_number cannot map-side combine,
+    * so a boilerplate segment appearing 10^9 times would pile into one
+    * reducer). The join back is keyed on the segment with exactly one
+    * build row per segment.
+    */
+  def dedupSegments(docs: DataFrame, textCol: String, idCol: String,
+                    sep: String = "\n"): DataFrame = {
+    val segs = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "seg")))
+    val firsts = segs.groupBy("seg").agg(
+      min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"))
+    val kept = segs.join(firsts, "seg")
+      .filter(col(idCol) === col("f.fid") && col("pos") === col("f.fpos"))
+    val reassembled = kept.groupBy(idCol).agg(
+      array_join(
+        expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
+        sep).as("text_kept"),
+      count(lit(1)).as("n_kept"))
+    val totals = segs.groupBy(idCol).agg(count(lit(1)).as("n_segs"))
+    totals.join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Incremental near-dup candidates for an APPEND-ONLY corpus: given the
     * existing corpus's [[signatureTable]] and the signature table of a
     * newly arrived batch, emit exactly the verified pairs that TOUCH the

@@ -1275,6 +1275,31 @@ object QueryCatalog {
           / (LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1) AS avg_word_len
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("dedup_segments", (s, d) =>
+      // word-level segments on the single-line testdata corpus: the
+      // mechanics (global first-occurrence by (id, pos), order-preserving
+      // reassembly, all-dropped docs kept) are separator-independent
+      Dedup.dedupSegments(t(s, d, "documents"), "text", "doc_id", sep = " ")
+        .orderBy("doc_id"),
+      Some("""
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      segs AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, ws[pos] AS seg
+               FROM base, UNNEST(range(1, len(ws) + 1)) AS t(pos)),
+      kept AS (SELECT doc_id, pos, seg FROM (
+                 SELECT doc_id, pos, seg,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+                 FROM segs)
+               WHERE rn = 1),
+      ka AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_kept,
+                    CAST(COUNT(*) AS BIGINT) AS n_kept
+             FROM kept GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM segs GROUP BY 1)
+      SELECT tot.doc_id, COALESCE(ka.text_kept, '') AS text_kept,
+        COALESCE(ka.n_kept, 0) AS n_kept,
+        tot.n_segs - COALESCE(ka.n_kept, 0) AS n_dropped
+      FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+      ORDER BY tot.doc_id""")),
+
     QueryDef("q_salted_join", (s, d) => {
       // planned-salt join (Skew.saltedJoin): result must equal the plain
       // equi-join — the salt spreads each hot key over saltFactor

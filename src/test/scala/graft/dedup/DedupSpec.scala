@@ -83,6 +83,22 @@ class DedupSpec extends SparkSuite {
     assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 60 * 59 / 2)
   }
 
+  test("dedupSegments drops corpus-wide repeat lines, keeps first occurrence in order") {
+    val df = Seq(
+      (1L, "intro line\nshared boilerplate\nunique a"),
+      (2L, "shared boilerplate\nunique b\nintro line"),
+      (3L, "shared boilerplate")) // every segment already seen -> empty
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "intro line\nshared boilerplate\nunique a", 3L, 0L),
+      (2L, "unique b", 1L, 2L),
+      (3L, "", 0L, 1L)))
+  }
+
   test("connectedComponents closes transitive chains to min-id clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 21L))
       .toDF("id_a", "id_b")
