@@ -423,6 +423,46 @@ object QueryCatalog {
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
       GROUP BY c_custkey ORDER BY c_custkey""")),
 
+    QueryDef("q_full_outer", (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders").filter(col("o_custkey") % 2 === 0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          c("c_custkey").isNotNull.as("has_cust"))
+        .orderBy("custkey")
+    }, Some("""
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        COALESCE(n_orders, 0) AS n_orders,
+        c_custkey IS NOT NULL AS has_cust
+      FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0) c
+      FULL JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+                 FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1) o
+        ON c_custkey = o_custkey
+      ORDER BY custkey""")),
+
+    QueryDef("q_dense_rank", (s, d) => {
+      val qc = expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val wd = Window.partitionBy("l_returnflag").orderBy(col("qcents"))
+      t(s, d, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          qc.as("qcents"))
+        .withColumn("rnk", rank().over(wd).cast("long"))
+        .withColumn("drnk", dense_rank().over(wd).cast("long"))
+        .orderBy("l_returnflag", "qcents", "l_orderkey", "l_linenumber")
+    }, Some("""
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qcents,
+        CAST(RANK() OVER (PARTITION BY l_returnflag
+          ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rnk,
+        CAST(DENSE_RANK() OVER (PARTITION BY l_returnflag
+          ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS drnk
+      FROM lineitem WHERE l_orderkey < 2000
+      ORDER BY l_returnflag, qcents, l_orderkey, l_linenumber""")),
+
     QueryDef("q_like_in", (s, d) =>
       t(s, d, "part")
         .filter(col("p_brand").like("Brand#1%") &&
