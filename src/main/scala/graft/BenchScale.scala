@@ -226,6 +226,12 @@ object BenchScale {
         TrainingDataPipeline.curate(docs, "text", "doc_id")
           .filter(col("keep")).count()
       },
+      timed("dedup_segments") {
+        // corpus-wide first-occurrence segment dedup at word granularity:
+        // ~28M segments through the min-struct partial-agg shuffle + join
+        Dedup.dedupSegments(docs, "text", "doc_id", sep = " ")
+          .agg(sum(col("n_dropped"))).head().getLong(0)
+      },
       timed("repetition_stats") {
         // Gopher repetition gate at corpus scale: native WordShingles
         // unigram+bigram streams, one (id, gram) shuffle each. The filter

@@ -97,6 +97,16 @@ object Replay {
     keys.foldLeft(joined)((acc, k) => acc.drop(p(k)))
   }
 
+  /** Stream-static enrichment: join the unbounded stream against a static
+    * dimension frame (run/instrument metadata in the reference's world;
+    * any slowly-changing lookup in general). The static side re-plans per
+    * micro-batch, so a small dimension broadcasts; a left join keeps
+    * unmatched stream rows (nulls) rather than silently dropping them.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Streaming exact dedup within the watermark horizon. */
   def streamingDedup(stream: DataFrame, tsCol: String, keyCols: Seq[String],
                      watermark: String): DataFrame =

@@ -62,6 +62,21 @@ class ReplaySpec extends SparkSuite {
     assert(spark.table("sd").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("enrichStream: stream-static left join keeps unmatched rows") {
+    val input = MemoryStream[(Long, Long)](spark)
+    val df = input.toDF().toDF("event_id", "run_id")
+    val dim = Seq((1L, "SNAP"), (2L, "NOMAD")).toDF("run_id", "instrument")
+    val query = Replay.enrichStream(df, dim, Seq("run_id"))
+      .writeStream.format("memory").queryName("es").outputMode(OutputMode.Append).start()
+    input.addData((10L, 1L), (11L, 2L), (12L, 99L)) // 99 has no dim row
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("es")
+      .select(col("event_id"), col("instrument"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(rows === Set((10L, Some("SNAP")), (11L, Some("NOMAD")), (12L, None)))
+  }
+
   test("joinEventsWithPulses: stream-stream interval join within the lag window") {
     val ev = MemoryStream[(String, java.sql.Timestamp, Long)](spark)
     val pu = MemoryStream[(String, java.sql.Timestamp, Long)](spark)
