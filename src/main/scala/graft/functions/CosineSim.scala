@@ -49,7 +49,14 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   def compute(a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // Mixed-dimension embeddings (vectors from different models) must not
+    // silently score by prefix — the truncated norms make the result look
+    // plausible while meaning nothing.
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: embedding dimensions differ " +
+          s"(${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -83,6 +83,12 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CosineSim rejects mismatched embedding dimensions") {
+    val a = new GenericArrayData(Array.fill(64)(rnd.nextDouble()).map(x => x: Any))
+    val b = new GenericArrayData(Array.fill(32)(rnd.nextDouble()).map(x => x: Any))
+    intercept[IllegalArgumentException](CosineSim.compute(a, true, b, true))
+  }
+
   test("SimHashSig bit votes match a per-bit reference") {
     for (_ <- 1 to 100) {
       val toks = (0 until (1 + rnd.nextInt(30))).map(_ => randomText().trim)
