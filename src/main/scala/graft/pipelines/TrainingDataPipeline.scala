@@ -30,11 +30,20 @@ object TrainingDataPipeline {
         * exact-dedup stage that runs first already catches identical
         * text, so capping costs little recall — see Dedup.minHashCandidates.
         */
-      maxBucketSize: Int = 0)
+      maxBucketSize: Int = 0,
+      /** Gopher-style repetition gates (TextAnalysis.repetitionStats).
+        * 1.0 disables the gate (default): the stats need their own
+        * (id, gram) shuffle, so the stage only runs when a threshold is
+        * set. Published regime: dup-word <= 0.3, top-bigram <= 0.18.
+        * Batch-only — curateStream keeps the single-pass filters.
+        */
+      maxDupWordFrac: Double = 1.0,
+      maxTopBigramFrac: Double = 1.0)
 
   /** Annotate + decide. Returns one row per input document:
     * (idCol, lang_pred, quality_score, n_ws_tokens, keep, drop_reason).
-    * Precedence of drop reasons: language, quality, length, exact_dup,
+    * Precedence of drop reasons: language, quality, length, repetition
+    * (only when a repetition threshold is configured), exact_dup,
     * near_dup (first failing stage wins, mirroring execution order).
     *
     * NOTE: this call is EAGER — the stage checkpoints and the
@@ -66,9 +75,26 @@ object TrainingDataPipeline {
         col("n_ws_tokens") >= cfg.minTokens && col("n_ws_tokens") <= cfg.maxTokens)
       .localCheckpoint()
 
+    // Optional repetition gate: unlike the three scan annotations this
+    // costs a shuffle (per-doc gram frequencies), so it only joins in
+    // when a threshold is configured.
+    val gated =
+      if (cfg.maxDupWordFrac < 1.0 || cfg.maxTopBigramFrac < 1.0) {
+        val rep = TextAnalysis.repetitionStats(docs, textCol, idCol)
+          .select(col(idCol), col("dup_word_frac"), col("top_bigram_frac"))
+        annotated.join(rep, Seq(idCol), "left")
+          .withColumn("__rep_ok", coalesce(
+            col("dup_word_frac") <= cfg.maxDupWordFrac &&
+              col("top_bigram_frac") <= cfg.maxTopBigramFrac,
+            lit(true)))
+          .drop("dup_word_frac", "top_bigram_frac")
+          .localCheckpoint()
+      } else annotated.withColumn("__rep_ok", lit(true))
+
     // dedup runs only over docs that survive the cheap filters
-    val candidates = annotated
-      .filter(col("__lang_ok") && col("__quality_ok") && col("__len_ok"))
+    val candidates = gated
+      .filter(col("__lang_ok") && col("__quality_ok") && col("__len_ok") &&
+        col("__rep_ok"))
       .select(col(idCol), col(textCol))
       .localCheckpoint()
 
@@ -91,13 +117,14 @@ object TrainingDataPipeline {
       .select(col("id").as("__near_dup"))
       .localCheckpoint()
 
-    annotated
-      .join(exactDropIds, annotated(idCol) === col("__exact_dup"), "left")
-      .join(nearDropIds, annotated(idCol) === col("__near_dup"), "left")
+    gated
+      .join(exactDropIds, gated(idCol) === col("__exact_dup"), "left")
+      .join(nearDropIds, gated(idCol) === col("__near_dup"), "left")
       .withColumn("drop_reason",
         when(!col("__lang_ok"), "language")
           .when(!col("__quality_ok"), "quality")
           .when(!col("__len_ok"), "length")
+          .when(!col("__rep_ok"), "repetition")
           .when(col("__exact_dup").isNotNull, "exact_dup")
           .when(col("__near_dup").isNotNull, "near_dup"))
       .withColumn("keep", col("drop_reason").isNull)

@@ -35,6 +35,24 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(d(6L) === ((true, "")))
   }
 
+  test("repetition gate drops degenerate docs when configured, and only then") {
+    val loop = ("spam ham " * 40).trim + " the and of it is was here now " +
+      "when where who what why how which then than"
+    val withLoop = corpus.union(Seq((7L, loop)).toDF("doc_id", "text"))
+    // gate off (default): the loop doc passes the cheap filters
+    val off = TrainingDataPipeline.curate(withLoop, "text", "doc_id")
+      .filter(col("doc_id") === 7L)
+      .select("keep").collect().head.getBoolean(0)
+    assert(off, "repetition gate must stay off by default")
+    // gate on: dropped with the dedicated reason
+    val on = TrainingDataPipeline.curate(withLoop, "text", "doc_id",
+        TrainingDataPipeline.Config(maxDupWordFrac = 0.5))
+      .filter(col("doc_id") === 7L)
+      .select("keep", "drop_reason").collect().head
+    assert(!on.getBoolean(0))
+    assert(on.getString(1) === "repetition")
+  }
+
   test("cleanCorpus returns exactly the kept documents") {
     val kept = TrainingDataPipeline.cleanCorpus(corpus, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
