@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_simhash_sig(tokens) expects 1 arg")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gram_stats"),
+      new ExpressionInfo(classOf[graft.functions.GramStats].getName, "graft_gram_stats"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => graft.functions.GramStats(text, 1)
+        case Seq(text, Literal(n: Int, _)) => graft.functions.GramStats(text, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_gram_stats(text[, n]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "graft_word_shingles"),
       (args: Seq[Expression]) => args match {

@@ -83,6 +83,22 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GramStats equals aggregating the WordShingles stream on 300 random texts") {
+    for (_ <- 1 to 300) {
+      val text = randomText()
+      for (n <- Seq(1, 2, 3)) {
+        val grams = WordShingles.compute(UTF8String.fromString(text), n)
+          .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        val freq = grams.groupBy(identity).map(_._2.size)
+        val row = GramStats.compute(UTF8String.fromString(text), n)
+        assert(row.getLong(0) === grams.size.toLong, s"n=$n total for '$text'")
+        assert(row.getLong(1) === freq.size.toLong, s"n=$n distinct for '$text'")
+        assert(row.getLong(2) === freq.max.toLong, s"n=$n max for '$text'")
+      }
+    }
+  }
+
   test("CosineSim rejects mismatched embedding dimensions") {
     val a = new GenericArrayData(Array.fill(64)(rnd.nextDouble()).map(x => x: Any))
     val b = new GenericArrayData(Array.fill(32)(rnd.nextDouble()).map(x => x: Any))

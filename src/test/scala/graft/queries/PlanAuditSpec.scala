@@ -92,12 +92,15 @@ class PlanAuditSpec extends SparkSuite {
       s"chunking must not shuffle — it fans out within the scan:\n$plan")
   }
 
-  test("repetition_stats keeps map-side partials and no global window") {
+  test("repetition_stats is a pure scan: no aggregate, no join, no window") {
+    // gram frequencies are per-document — the native GramStats expression
+    // keeps them inside the scan; the only exchange allowed is the
+    // query's output ORDER BY
     val plan = formattedPlan("repetition_stats")
-    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
-      "gram counting lost its map-side partial phase")
-    assert(!plan.contains("Window [") || plan.contains("hashpartitioning"),
-      "unexpected unpartitioned window in repetition stats")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"repetition stats must not aggregate:\n$plan")
+    assert(!plan.contains("Join"), s"repetition stats must not join:\n$plan")
+    assert(!plan.contains("Window"), s"repetition stats must not window:\n$plan")
   }
 
   test("vocab/encode/pack: no single-partition window anywhere") {
