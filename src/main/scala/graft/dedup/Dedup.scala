@@ -71,7 +71,7 @@ object Dedup {
     // lambdas never enter codegen) and was 10x the signature-pass cost at
     // 500k docs. Values are identical (same XXH64 fold, seed 42).
     docs
-      .select(docs.columns.map(col) :+
+      .select(docs.columns.toIndexedSeq.map(col) :+
         posexplode(graft.functions.BandHashes.col(col("minhash_sig"), bands))
           .as(Seq("__band_id", "__band_hash")): _*)
       .withColumn("band", struct(col("__band_id").as("band_id"),

@@ -85,6 +85,6 @@ object AsOfJoin {
       intervals(rightTime) <= lb(leftTime) && lb(leftTime) < intervals("__t_end")
 
     lb.join(intervals, joinCond, "left")
-      .select(left.columns.map(lb.apply) ++ carried.map(intervals.apply): _*)
+      .select(left.columns.toIndexedSeq.map(lb.apply) ++ carried.map(intervals.apply): _*)
   }
 }

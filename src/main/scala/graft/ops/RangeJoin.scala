@@ -62,7 +62,7 @@ object RangeJoin {
     val cond = ("__bucket" +: keys).map(k => pt(k) === iv(k)).reduce(_ && _) &&
       iv(startCol) <= pt(pointCol) && pt(pointCol) < iv(endCol)
     pt.join(iv, cond)
-      .select(points.columns.map(pt.apply) ++
+      .select(points.columns.toIndexedSeq.map(pt.apply) ++
         intervals.columns.filterNot(keys.contains).map(iv.apply): _*)
   }
 
@@ -97,7 +97,7 @@ object RangeJoin {
       .foldLeft(long(startCol) <= points(pointCol) &&
                 points(pointCol) < long(endCol))(_ && _)
     val viaBroadcast = points.join(broadcast(long), cond)
-      .select(points.columns.map(points.apply) ++
+      .select(points.columns.toIndexedSeq.map(points.apply) ++
         intervals.columns.filterNot(keys.contains).map(long.apply): _*)
     viaBuckets.unionByName(viaBroadcast)
   }
@@ -130,7 +130,7 @@ object RangeJoin {
       // in the first one (which both sides provably cover)
       ba("__bucket") === expr(s"greatest(`$aStart`, `$bStart`) div $bucketWidth")
     ba.join(bb, cond)
-      .select(a.columns.map(ba.apply) ++
+      .select(a.columns.toIndexedSeq.map(ba.apply) ++
         b.columns.filterNot(keys.contains).map(bb.apply): _*)
   }
 
@@ -179,7 +179,7 @@ object RangeJoin {
       keys.map(k => af(k) === bf(k))
         .foldLeft(af(aStart) < bf(bEnd) && bf(bStart) < af(aEnd))(_ && _)
     def outCols(af: DataFrame, bf: DataFrame) =
-      a.columns.map(af.apply) ++
+      a.columns.toIndexedSeq.map(af.apply) ++
         b.columns.filterNot(keys.contains).map(bf.apply)
     val viaBuckets = intervalOverlap(
       shortA, shortB, aStart, aEnd, bStart, bEnd, keys, bucketWidth)

@@ -28,7 +28,7 @@ object Replay {
   def kafkaShape(events: DataFrame, keyCol: String, numPartitions: Int = 0): DataFrame = {
     val shaped = events.select(
       col(keyCol).cast("string").as("key"),
-      to_json(struct(events.columns.map(col): _*)).as("value"))
+      to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
     if (numPartitions > 0) shaped.repartition(numPartitions) else shaped
   }
 
