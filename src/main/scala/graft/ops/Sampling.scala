@@ -42,4 +42,30 @@ object Sampling {
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
                  rates: Map[String, Double], defaultRate: Double): DataFrame =
     df.filter(includeExpr(col(idCol), col(stratumCol), rates, defaultRate))
+
+  /** Deterministic UPsampling for mixing rates above 1.0 (e.g. "2.3
+    * epochs of source A"): every row gets `floor(rate)` copies, plus one
+    * more when its md5 fraction lands below the fractional remainder —
+    * the same hash-threshold trick as [[stratified]], so replays emit
+    * identical copies. Output carries a 0-based `copyCol` so downstream
+    * consumers (e.g. sequence packing in (id, copy) order) stay
+    * deterministic; expected multiplicity is exactly `rate`.
+    *
+    * Rates below 1.0 degenerate correctly (0 or 1 copies — equivalent to
+    * [[stratified]] filtering). The explode fans out executor-side; no
+    * shuffle.
+    */
+  def upsampled(df: DataFrame, idCol: String, rate: Double,
+                copyCol: String = "copy"): DataFrame = {
+    require(rate >= 0.0, "rate must be non-negative")
+    val whole = math.floor(rate).toLong
+    val frac = rate - whole
+    val extra = when(
+      substring(md5(col(idCol).cast("string")), 1, 8) < lit(hexThreshold(frac)),
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", lit(whole) + extra)
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol, explode(expr("sequence(0L, __copies - 1)")))
+      .drop("__copies")
+  }
 }

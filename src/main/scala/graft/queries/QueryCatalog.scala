@@ -1437,6 +1437,21 @@ object QueryCatalog {
                       THEN 1 ELSE 0 END) AS BIGINT) AS n_deep_discount
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    QueryDef("upsample_mix", (s, d) =>
+      // 2.3 "epochs" of the documents source: 2 copies always, a 3rd for
+      // the deterministic md5-fraction of ids below 0.3
+      graft.ops.Sampling.upsampled(
+          t(s, d, "documents").select("doc_id"), "doc_id", 2.3)
+        .orderBy("doc_id", "copy"),
+      Some("""
+      WITH c AS (SELECT doc_id,
+        2 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '4ccccccc'
+                 THEN 1 ELSE 0 END AS n
+        FROM documents)
+      SELECT doc_id, CAST(t.c AS BIGINT) AS copy
+      FROM c, UNNEST(range(0, n)) AS t(c)
+      ORDER BY doc_id, copy""")),
+
     QueryDef("vocab_topk", (s, d) =>
       TextAnalysis.buildVocab(t(s, d, "documents"), "text",
           minCount = 5L, topV = 100L)

@@ -30,6 +30,27 @@ class SamplingSpec extends SparkSuite {
     assert(a.subsetOf(wider)) // raising the rate only adds rows
   }
 
+  test("upsampled emits floor(rate) copies plus a deterministic fraction") {
+    val src = (1L to 4000L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val up = Sampling.upsampled(src, "id", 2.3)
+    val n = up.count()
+    // expectation 2.3 * 4000 = 9200; hash fraction is near-uniform
+    assert(math.abs(n - 9200L) < 200, s"got $n")
+    // every id has 2 or 3 copies, numbered from 0 contiguously
+    val perId = up.groupBy("id").agg(
+        count(lit(1)).as("n"), min("copy").as("lo"), max("copy").as("hi"))
+      .select("n", "lo", "hi").as[(Long, Long, Long)].collect()
+    assert(perId.forall { case (c, lo, hi) =>
+      (c == 2L || c == 3L) && lo == 0L && hi == c - 1 })
+    // deterministic across evaluations
+    val again = Sampling.upsampled(src, "id", 2.3).count()
+    assert(again === n)
+    // sub-1.0 rates degenerate to stratified-style filtering
+    val down = Sampling.upsampled(src, "id", 0.5)
+    assert(math.abs(down.count() - 2000L) < 100)
+    assert(down.select(max("copy")).as[Long].head() === 0L)
+  }
+
   test("default rate applies to unlisted strata") {
     val kept = Sampling.stratified(df, "id", "stratum",
       Map("keep_all" -> 0.0), defaultRate = 1.0)
