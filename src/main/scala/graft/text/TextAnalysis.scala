@@ -286,24 +286,30 @@ object TextAnalysis {
     *
     * @param nTokensCol integral per-document token count (e.g.
     *                   [[tokenCounts]]' n_ws_tokens or n_bpe_tokens)
+    * @param extraOrderCols additional stream-order tie-breakers after
+    *                   `idCol` — e.g. the copy index from
+    *                   [[graft.ops.Sampling.upsampled]], so repeated
+    *                   epochs of a document pack at distinct positions
     */
   def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
-                    maxTokens: Long): DataFrame = {
+                    maxTokens: Long,
+                    extraOrderCols: Seq[String] = Nil): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    val orderCols = (idCol +: extraOrderCols).map(col)
     val cum = graft.ops.Ranking.globalRunningSum(
-      docs.select(col(idCol), col(nTokensCol).cast("long").as(nTokensCol))
+      docs.select((idCol +: extraOrderCols).map(col) :+
+          col(nTokensCol).cast("long").as(nTokensCol): _*)
         .filter(col(nTokensCol) > 0),
-      nTokensCol, Seq(col(idCol)), "__cum")
+      nTokensCol, orderCols, "__cum")
     val start = col("__cum") - col(nTokensCol)
     val seqFirst = expr(s"(`__cum` - `$nTokensCol`) div $maxTokens")
     val seqLast = expr(s"(`__cum` - 1) div $maxTokens")
-    cum.select(
-      col(idCol),
+    cum.select((idCol +: extraOrderCols).map(col) ++ Seq(
       col(nTokensCol).as("n_tokens"),
       start.as("tok_start"),
       seqFirst.as("seq_first"),
       seqLast.as("seq_last"),
-      (seqLast - seqFirst + 1).as("n_seqs"))
+      (seqLast - seqFirst + 1).as("n_seqs")): _*)
   }
 
   /** Gopher/MassiveText-style repetition statistics, the standard quality

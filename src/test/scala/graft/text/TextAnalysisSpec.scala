@@ -87,6 +87,19 @@ class TextAnalysisSpec extends SparkSuite {
       (5L, 2500L, 2L, 2L, 1L)))  // zero-token doc 4 dropped
   }
 
+  test("packSequences with copy tie-breakers packs upsampled epochs distinctly") {
+    // two copies of doc 1 (500 tokens each), one of doc 2: stream is
+    // (1,c0)[0,500) (1,c1)[500,1000) (2,c0)[1000,1300)
+    val docs = Seq((1L, 0L, 500L), (1L, 1L, 500L), (2L, 0L, 300L))
+      .toDF("doc_id", "copy", "n")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "n", 1024L,
+        extraOrderCols = Seq("copy"))
+      .orderBy("doc_id", "copy")
+      .select("doc_id", "copy", "tok_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 0L, 0L), (1L, 1L, 500L), (2L, 0L, 1000L)))
+  }
+
   test("repetitionStats: duplicate/top fractions over words and bigrams") {
     // "a b a b a": words {a:3, b:2} n=5 distinct=2 max=3
     // bigrams: "a b","b a","a b","b a" -> n=4 distinct=2 max=2
