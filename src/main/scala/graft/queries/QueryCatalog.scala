@@ -1692,6 +1692,64 @@ object QueryCatalog {
       FROM iv JOIN pts ON p_day >= s_day AND p_day < e_day
       GROUP BY range_id ORDER BY range_id""")),
 
+    // same oracle as q_range_join_point, through the HYBRID path with a
+    // span limit (16 days) that genuinely routes the wider intervals onto
+    // the broadcast branch — the oracle certifies the three-path union
+    QueryDef("q_range_join_point_hybrid", (s, d) => {
+      val iv = t(s, d, "orders")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("range_id"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("s_day"))
+        .withColumn("e_day", col("s_day") + col("range_id") % 29 + 1)
+      val pts = t(s, d, "lineitem")
+        .select(datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("p_day"))
+      graft.ops.RangeJoin.pointInIntervalHybrid(pts, iv, "p_day", "s_day",
+          "e_day", keys = Nil, bucketWidth = 8L, longSpanBuckets = 2)
+        .groupBy("range_id").agg(count(lit(1)).as("n_pts"))
+        .orderBy("range_id")
+    }, Some("""
+      WITH iv AS (
+        SELECT o_orderkey AS range_id,
+          CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s_day,
+          CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+            + o_orderkey % 29 + 1 AS e_day
+        FROM orders WHERE o_orderkey % 97 = 0),
+      pts AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS p_day
+        FROM lineitem)
+      SELECT range_id, COUNT(*) AS n_pts
+      FROM iv JOIN pts ON p_day >= s_day AND p_day < e_day
+      GROUP BY range_id ORDER BY range_id""")),
+
+    QueryDef("q_range_join_overlap_hybrid", (s, d) => {
+      def spans(modKey: Int, modSpan: Int, p: String) =
+        t(s, d, "orders")
+          .filter(col("o_orderkey") % modKey === 0)
+          .select(col("o_orderkey").as(s"${p}_id"),
+            datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+              .cast("long").as(s"${p}_s"))
+          .withColumn(s"${p}_e", col(s"${p}_s") + col(s"${p}_id") % modSpan + 1)
+      val a = spans(97, 29, "a")
+      val b = spans(89, 23, "b")
+      graft.ops.RangeJoin.intervalOverlapHybrid(a, b, "a_s", "a_e", "b_s",
+          "b_e", keys = Nil, bucketWidth = 8L, longSpanBuckets = 2)
+        .select(col("a_id"), col("b_id"),
+          (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+            .as("overlap_days"))
+        .orderBy("a_id", "b_id")
+    }, Some("""
+      WITH iv AS (
+        SELECT o_orderkey AS id,
+          CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+        FROM orders),
+      a AS (SELECT id AS a_id, s AS a_s, s + id % 29 + 1 AS a_e FROM iv WHERE id % 97 = 0),
+      b AS (SELECT id AS b_id, s AS b_s, s + id % 23 + 1 AS b_e FROM iv WHERE id % 89 = 0)
+      SELECT a_id, b_id, LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_days
+      FROM a JOIN b ON a_s < b_e AND b_s < a_e
+      ORDER BY a_id, b_id""")),
+
     QueryDef("q_range_join_overlap", (s, d) => {
       def spans(modKey: Int, modSpan: Int, p: String) =
         t(s, d, "orders")
