@@ -44,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_simhash_sig(tokens) expects 1 arg")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[graft.functions.LshBucket].getName, "graft_lsh_bucket"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec) => graft.functions.LshBucket(vec, 8)
+        case Seq(vec, Literal(b: Int, _)) => graft.functions.LshBucket(vec, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_bucket(vec[, bits]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_gram_stats"),
       new ExpressionInfo(classOf[graft.functions.GramStats].getName, "graft_gram_stats"),
       (args: Seq[Expression]) => args match {

@@ -45,4 +45,20 @@ class NativeFunctionsSqlSpec extends SparkSuite {
     assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)    // 2 of 4 positions agree
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
   }
+
+  test("gram stats and lsh bucket compute in SQL") {
+    val r = spark.sql("""
+      SELECT
+        graft_gram_stats('a b a b a', 2) AS g,
+        graft_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8) AS b
+      """).head()
+    val g = r.getStruct(0)
+    assert((g.getLong(0), g.getLong(1), g.getLong(2)) === ((4L, 2L, 2L)))
+    // bucket value: 8 sign bits -> [0, 256)
+    assert(r.getLong(1) >= 0L && r.getLong(1) < 256L)
+    // SQL route equals the Column API
+    val viaCol = Seq(Tuple1(Seq(0.5f, -0.5f))).toDF("v")
+      .select(graft.functions.LshBucket.col(col("v"), 8)).as[Long].head()
+    assert(r.getLong(1) === viaCol)
+  }
 }
