@@ -90,6 +90,8 @@ object Multimodal {
     */
   def resize(spark: SparkSession, media: Dataset[MediaRow],
              targetWidth: Int, targetHeight: Int): Dataset[MediaRow] = {
+    require(targetWidth > 0 && targetHeight > 0,
+      "target dimensions must be positive")
     import spark.implicits._
     media.mapPartitions(_.map { r =>
       val srcPixels = math.max(1, r.meta.width * r.meta.height)
@@ -108,6 +110,8 @@ object Multimodal {
     */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
                    frameBytes: Int, stride: Int): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0,
+      "frameBytes and stride must be positive")
     import spark.implicits._
     media.flatMap { r =>
       val n = r.content.length
