@@ -524,6 +524,37 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[minHashDedupClustered]] with a caller-chosen SURVIVOR per cluster:
+    * keep the member maximizing `scoreCol` (quality score, length, a
+    * recency stamp — whatever the curation policy values), ties broken by
+    * the smaller id for determinism. The min-id policy answers "which
+    * rows to drop"; this answers the real curation question — "which
+    * copy is the best one to keep".
+    *
+    * One extra shuffle vs the min-id variant: argmax per component via a
+    * (component)-keyed max of (score, -id) structs — map-side partials,
+    * no window.
+    */
+  def minHashDedupClusteredBy(docs: DataFrame, textCol: String, idCol: String,
+                              scoreCol: String,
+                              shingleSize: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16,
+                              minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes,
+      bands, minJaccard)
+    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    val members = comps.join(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    // argmax(score) with min-id tie-break: max of (score, -id) structs
+    val winners = members.groupBy("component")
+      .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("w"))
+      .select((-col("w.__negid")).as("__keep_id"))
+    val losers = comps.join(winners, comps("id") === winners("__keep_id"),
+        "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact n-gram Jaccard similarity for given candidate pairs — the

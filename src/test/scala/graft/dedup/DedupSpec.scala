@@ -83,6 +83,22 @@ class DedupSpec extends SparkSuite {
     assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 60 * 59 / 2)
   }
 
+  test("minHashDedupClusteredBy keeps the highest-scoring member per cluster") {
+    // 1, 3, 4 form a near-dup cluster (exact + near); 4 has the top score
+    val scored = docs.withColumn("score",
+      when(col("doc_id") === 4L, 9.0).otherwise(col("doc_id").cast("double")))
+    val kept = Dedup.minHashDedupClusteredBy(scored, "text", "doc_id", "score",
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L, 5L))
+    // tie-break: equal scores keep the smaller id
+    val tied = docs.withColumn("score", lit(1.0))
+    val keptTied = Dedup.minHashDedupClusteredBy(tied, "text", "doc_id", "score",
+        minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied === Set(1L, 2L, 5L))
+  }
+
   test("dedupSegments drops corpus-wide repeat lines, keeps first occurrence in order") {
     val df = Seq(
       (1L, "intro line\nshared boilerplate\nunique a"),
