@@ -53,8 +53,16 @@ object AsOfJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
 
     // Cap the open-ended last interval at the max left time so it explodes
-    // onto a bounded bucket range. One tiny aggregate, broadcast everywhere.
-    val maxLeft = left.agg(max(col(leftTime)).as("__t_max"))
+    // onto a bounded bucket range. CRITICAL that the cap is PER KEY when
+    // keys are present: capping at the global max makes every key's last
+    // interval span to the end of the whole corpus timeline — with 1000
+    // run timelines laid end to end, each run's final pulse would explode
+    // onto (global span / bucketWidth) buckets, ~700M rows at 100M events
+    // (measured as a task-failure blowup before this fix). The per-key max
+    // is one aggregate of the left side, one row per key.
+    val maxLeft =
+      if (keys.isEmpty) left.agg(max(col(leftTime)).as("__t_max"))
+      else left.groupBy(keys.map(col): _*).agg(max(col(leftTime)).as("__t_max"))
 
     val carried = (rightCols :+ rightTime).distinct.filterNot(keys.contains)
     val pruned = right.select((keys ++ carried).distinct.map(col): _*)
@@ -68,8 +76,10 @@ object AsOfJoin {
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(rightTime))
         pruned.withColumn("__t_end", lead(col(rightTime), 1).over(w))
       }
-    val intervals = withEnd
-      .crossJoin(broadcast(maxLeft))
+    val capped =
+      if (keys.isEmpty) withEnd.crossJoin(broadcast(maxLeft))
+      else withEnd.join(maxLeft, keys, "left") // AQE broadcasts when small
+    val intervals = capped
       .withColumn("__t_end", coalesce(col("__t_end"), col("__t_max") + 1))
       .drop("__t_max")
       // drop intervals starting after every left row (nothing to cover)

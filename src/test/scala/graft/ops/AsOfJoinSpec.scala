@@ -38,6 +38,19 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out === Set((1L, 50L), (2L, 90L)))
   }
 
+  test("keyed last intervals cap at each key's own max left time") {
+    // key 'a' lives near t=0, key 'b' near t=10^12. A GLOBAL cap would
+    // explode a's last interval onto ~10^12 width-1 buckets (this test
+    // would not finish); the per-key cap bounds it at a's own max.
+    val far = 1000000000000L
+    val left = Seq(("a", 5L, 1L), ("b", far + 5L, 2L)).toDF("k", "t", "id")
+    val right = Seq(("a", 1L, 10L), ("b", far + 1L, 20L)).toDF("k", "rt", "v")
+    val out = AsOfJoin.backward(left, right, "t", "rt", Seq("k"),
+        bucketWidth = 1L, rightCols = Seq("v"))
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 10L, 2L -> 20L))
+  }
+
   test("matches a brute-force reference on random-ish data") {
     val ls = (1L to 200L).map(i => (i, (i * 37) % 1000))
     val rs = (0L until 25L).map(i => (i * 40 + 3, i))
