@@ -92,8 +92,21 @@ object AsofSqlRewrite {
     val exceptRight = (keys :+ "__gae" :+ "__gab").mkString(", ")
 
     // Same shape as graft.ops.AsOfJoin.backward: cap the open last
-    // interval at max(left time)+1, drop intervals past every left row,
-    // explode each interval onto its buckets, equi-join on the bucket.
+    // interval at max(left time)+1 — PER KEY when USING keys are present
+    // (a global cap makes every key's last interval span to the end of
+    // the whole corpus timeline and explode; see AsOfJoin.backward) —
+    // drop intervals past every left row, explode each interval onto its
+    // buckets, equi-join on the bucket.
+    val capJoin =
+      if (keys.isEmpty) ""
+      else {
+        val keyList = keys.mkString(", ")
+        val on = keys.map(k => s"__rr.$k = __gm.$k").mkString(" AND ")
+        s"""LEFT JOIN (SELECT $keyList, MAX($lt) + 1 AS __gcap
+                       FROM $l GROUP BY $keyList) AS __gm ON $on"""
+      }
+    val capExpr =
+      if (keys.isEmpty) s"(SELECT MAX($lt) + 1 FROM $l)" else "__gm.__gcap"
     s"""(
       SELECT __l.* EXCEPT (__gab), __r.* EXCEPT ($exceptRight)
       FROM (SELECT *, CAST($lt DIV $width AS BIGINT) AS __gab FROM $l) AS __l
@@ -101,10 +114,11 @@ object AsofSqlRewrite {
         SELECT *, explode(sequence(CAST($rt DIV $width AS BIGINT),
                                    CAST((__gae - 1) DIV $width AS BIGINT))) AS __gab
         FROM (
-          SELECT * EXCEPT (__gae0),
-                 coalesce(__gae0, (SELECT MAX($lt) + 1 FROM $l)) AS __gae
+          SELECT __rr.* EXCEPT (__gae0),
+                 coalesce(__gae0, $capExpr) AS __gae
           FROM (SELECT *, LEAD($rt) OVER (${partitionBy}ORDER BY $rt) AS __gae0
-                FROM $r))
+                FROM $r) AS __rr
+          $capJoin)
         WHERE $rt < __gae
       ) AS __r
       ON __l.__gab = __r.__gab AND __r.$rt <= __l.$lt AND __l.$lt < __r.__gae

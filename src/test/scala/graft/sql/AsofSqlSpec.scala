@@ -19,6 +19,22 @@ class AsofSqlSpec extends SparkSuite {
       .toDF("pt", "pidx", "k").createOrReplaceTempView("asof_right")
   }
 
+  test("keyed ASOF SQL caps last intervals per key (far-apart timelines, width 1)") {
+    // mirrors AsOfJoinSpec's per-key-cap regression: key 'b' lives 10^12
+    // time units after 'a'; a global cap would explode a's last interval
+    // onto ~10^12 width-1 buckets and never finish
+    val far = 1000000000000L
+    Seq(("a", 5L, 1L), ("b", far + 5L, 2L))
+      .toDF("k", "t", "id").createOrReplaceTempView("asof_far_left")
+    Seq(("a", 1L, 10L), ("b", far + 1L, 20L))
+      .toDF("k", "rt", "v").createOrReplaceTempView("asof_far_right")
+    val out = spark.sql("""
+      SELECT id, v FROM asof_far_left ASOF JOIN asof_far_right
+        MATCH_CONDITION (t >= rt) USING (k) WITHIN 1
+      ORDER BY id""").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("keyed ASOF JOIN SQL matches AsOfJoin.backward") {
     mkViews()
     val sqlOut = spark.sql("""
