@@ -115,6 +115,11 @@ object BenchScale {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "100").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    // comma-separated stage names to skip (targeted probes at corpus
+    // shapes where a stage is known-pathological, e.g. UNCAPPED minhash
+    // on a copies>=400 corpus whose fat buckets wedge a single JVM)
+    val skip = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKIP", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -147,11 +152,14 @@ object BenchScale {
     System.err.println(s"[scale] corpus: $nDocs docs, $bytes text bytes, $nVecs vectors")
 
     def timed(name: String)(f: => Long): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scale] $name: $dt%.1fs ($n rows)")
-      (name, dt, n)
+      if (skip(name)) { System.err.println(s"[scale] $name: SKIPPED"); (name, 0.0, 0L) }
+      else {
+        val t0 = System.nanoTime()
+        val n = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scale] $name: $dt%.1fs ($n rows)")
+        (name, dt, n)
+      }
     }
 
     val results = Seq(
