@@ -116,6 +116,15 @@ object Dedup {
     * `prefilterMargin = 1.0` (prefilter threshold clamps to 0, passing
     * everything); smaller corpora (< 50k docs) always verify exhaustively.
     *
+    * LIVENESS at scale: pair formation is quadratic in LSH bucket size,
+    * and `maxBucketSize = 0` (the exhaustive default) leaves that term
+    * unbounded. On a 2M-doc corpus whose boilerplate families reached
+    * ~2,800-doc buckets (~4M pairs each), the uncapped run was measured
+    * to STOP MAKING PROGRESS on a single JVM, not merely slow down. Run
+    * exact dedup first (identical-text clusters are the usual fat-bucket
+    * cause) and set `maxBucketSize` (e.g. 200-1000) on any corpus you do
+    * not control.
+    *
     * @param prefilterMargin slack between `minJaccard` and the estimated-
     *        similarity prefilter threshold; 1.0 disables the prefilter
     * @return (id_a, id_b, jaccard) — pairs with estimated similarity from

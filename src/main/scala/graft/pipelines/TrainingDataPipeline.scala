@@ -28,7 +28,10 @@ object TrainingDataPipeline {
       /** LSH bucket-size skew valve (0 = exhaustive). At crawl scale,
         * boilerplate clusters make within-bucket pairing quadratic; the
         * exact-dedup stage that runs first already catches identical
-        * text, so capping costs little recall — see Dedup.minHashCandidates.
+        * text, so capping costs little recall — see Dedup.minHashCandidates,
+        * including its LIVENESS note: an uncapped run on a corpus with
+        * heavy non-identical boilerplate can wedge, not just slow down.
+        * Set a cap (200-1000) for any corpus you do not control.
         */
       maxBucketSize: Int = 0,
       /** Gopher-style repetition gates (TextAnalysis.repetitionStats).
