@@ -151,17 +151,19 @@ object BenchScale {
     val bytes = docs.select(sum(length(col("text")))).head().getLong(0)
     System.err.println(s"[scale] corpus: $nDocs docs, $bytes text bytes, $nVecs vectors")
 
-    def timed(name: String)(f: => Long): (String, Double, Long) = {
-      if (skip(name)) { System.err.println(s"[scale] $name: SKIPPED"); (name, 0.0, 0L) }
+    def timed(name: String)(f: => Long): Option[(String, Double, Long)] = {
+      if (skip(name)) { System.err.println(s"[scale] $name: SKIPPED"); None }
       else {
         val t0 = System.nanoTime()
         val n = f
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[scale] $name: $dt%.1fs ($n rows)")
-        (name, dt, n)
+        Some((name, dt, n))
       }
     }
 
+    // skipped stages are OMITTED from the artifact (a 0.000 entry would
+    // read as an instant stage and deflate scale_total)
     val results = Seq(
       timed("annotate_scan") {
         // single-pass lang+quality+token annotation (the curation front
@@ -241,8 +243,8 @@ object BenchScale {
           .agg(sum(col("n_dropped"))).head().getLong(0)
       },
       timed("repetition_stats") {
-        // Gopher repetition gate at corpus scale: native WordShingles
-        // unigram+bigram streams, one (id, gram) shuffle each. The filter
+        // Gopher repetition gate at corpus scale: native GramStats keeps
+        // the gram frequencies inside the scan (no shuffle). The filter
         // consumes every output fraction so nothing prunes away.
         TextAnalysis.repetitionStats(docs, "text", "doc_id")
           .filter(col("dup_word_frac") > 0.3 || col("top_bigram_frac") > 0.18)
@@ -309,7 +311,7 @@ object BenchScale {
           events.withColumn("ts_us", expr("ts div 1000")),
           "ts_us", 3600L * 1000 * 1000,
           bankCol = Some("event_type"), pulseCol = None).count()
-      })
+      }).flatten
 
     val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

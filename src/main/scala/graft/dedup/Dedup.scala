@@ -168,9 +168,9 @@ object Dedup {
     */
   def dedupSegments(docs: DataFrame, textCol: String, idCol: String,
                     sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
     val segs = docs.select(col(idCol),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq("pos", "seg")))
+      posexplode(split(col(textCol), quoted)).as(Seq("pos", "seg")))
     val firsts = segs.groupBy("seg").agg(
       min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"))
     val kept = segs.join(firsts, "seg")
@@ -180,7 +180,12 @@ object Dedup {
         expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"),
         sep).as("text_kept"),
       count(lit(1)).as("n_kept"))
-    val totals = segs.groupBy(idCol).agg(count(lit(1)).as("n_segs"))
+    // totals come from the DOCS frame, not the exploded segments: a
+    // NULL-text document explodes to zero rows but must still emit its
+    // output row (0 segments), per the one-row-per-document contract
+    val totals = docs.select(col(idCol),
+      coalesce(size(split(col(textCol), quoted)).cast("long"), lit(0L))
+        .as("n_segs"))
     totals.join(reassembled, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_kept"), lit("")).as("text_kept"),
@@ -552,12 +557,21 @@ object Dedup {
     val pairs = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes,
       bands, minJaccard)
     val comps = connectedComponents(pairs.select("id_a", "id_b"))
+    // null scores sort below every real score (a cluster whose members
+    // are ALL null-scored still keeps one survivor); -Inf keeps the
+    // comparison total without special cases
     val members = comps.join(
-      docs.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
-    // argmax(score) with min-id tie-break: max of (score, -id) structs
-    val winners = members.groupBy("component")
-      .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("w"))
-      .select((-col("w.__negid")).as("__keep_id"))
+      docs.select(col(idCol).as("id"),
+        coalesce(col(scoreCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__score")), Seq("id"))
+    // argmax(score) with min-id tie-break, id-type agnostic (ids are
+    // compared with their own ordering, never negated/cast): max score
+    // per component, then min id among the members achieving it
+    val best = members.groupBy("component").agg(max(col("__score")).as("__best"))
+    val winners = members.join(best, Seq("component"))
+      .filter(col("__score") === col("__best"))
+      .groupBy("component").agg(min(col("id")).as("__keep_id"))
+      .select("__keep_id")
     val losers = comps.join(winners, comps("id") === winners("__keep_id"),
         "left_anti")
       .select(col("id").as(idCol))

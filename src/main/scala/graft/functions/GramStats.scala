@@ -53,29 +53,15 @@ case class GramStats(child: Expression, n: Int) extends UnaryExpression {
 object GramStats {
   def compute(text: UTF8String, n: Int): InternalRow = {
     val bytes = text.getBytes
-    // space-run tokenizer, byte-level (0x20 never occurs inside a
-    // multi-byte UTF-8 sequence) — identical to WordShingles.compute
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
-    var i = 0
-    val len = bytes.length
-    while (i < len) {
-      while (i < len && bytes(i) == ' ') i += 1
-      if (i < len) {
-        starts.add(i)
-        while (i < len && bytes(i) != ' ') i += 1
-        ends.add(i)
-      }
-    }
+    // the shared space-run tokenizer (SpaceTokens) keeps the gram stream
+    // byte-identical to WordShingles by construction
+    val (starts, ends) = SpaceTokens.tokenize(bytes)
     val nTokens = starts.size()
 
     def gram(from: Int, until: Int): UTF8String = {
-      // n-gram as the original byte span [token start, token end] —
-      // tokens are single-space separated within a span because the
-      // tokenizer collapsed space runs at the boundaries only when
-      // slicing; to stay byte-identical with WordShingles (which joins
-      // with single spaces), rebuild when the raw span contains a
-      // multi-space run.
+      // fast path: when the raw byte span contains only single spaces it
+      // IS the single-space join — slice without copying token by token;
+      // multi-space runs fall back to the shared join
       val s = starts.get(from)
       val e = ends.get(until - 1)
       var hasRun = false
@@ -85,22 +71,7 @@ object GramStats {
         p += 1
       }
       if (!hasRun) UTF8String.fromBytes(bytes, s, e - s)
-      else {
-        var size = until - 1 - from
-        var t = from
-        while (t < until) { size += ends.get(t) - starts.get(t); t += 1 }
-        val out = new Array[Byte](size)
-        var pos = 0
-        t = from
-        while (t < until) {
-          if (t > from) { out(pos) = ' '; pos += 1 }
-          val l = ends.get(t) - starts.get(t)
-          System.arraycopy(bytes, starts.get(t), out, pos, l)
-          pos += l
-          t += 1
-        }
-        UTF8String.fromBytes(out)
-      }
+      else SpaceTokens.joined(bytes, starts, ends, from, until)
     }
 
     val counts = new java.util.HashMap[UTF8String, Array[Long]]()

@@ -118,7 +118,7 @@ object BandHashes {
     // require; the SQL-registered graft_band_hashes lands here directly):
     // a signature length not divisible by bands would silently drop
     // trailing hashes, and bands > n would emit the bare seed per band.
-    if (bands <= 0 || n % bands != 0)
+    if (bands <= 0 || n == 0 || n % bands != 0)
       throw new IllegalArgumentException(
         s"graft_band_hashes: signature length $n not divisible into $bands bands")
     val r = n / bands

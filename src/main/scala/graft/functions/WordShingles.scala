@@ -37,11 +37,18 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-object WordShingles {
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val bytes = text.getBytes
-    // tokenize on runs of ASCII spaces (byte-level is UTF-8 safe: 0x20
-    // never occurs inside a multi-byte sequence)
+/** The ONE space-run tokenizer shared by every word-gram expression
+  * ([[WordShingles]], [[GramStats]]): byte-level split on runs of ASCII
+  * 0x20 (UTF-8 safe — 0x20 never occurs inside a multi-byte sequence),
+  * plus the single-space token join both use to build gram strings. Any
+  * tokenizer change lands in both expressions by construction, keeping
+  * the documented `GramStats(text, n) ≡ aggregate(graft_shingles(text,
+  * n))` invariant.
+  */
+private[functions] object SpaceTokens {
+  /** (starts, ends) byte offsets of each token. */
+  def tokenize(bytes: Array[Byte])
+      : (java.util.ArrayList[Int], java.util.ArrayList[Int]) = {
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
     var i = 0
@@ -54,25 +61,39 @@ object WordShingles {
         ends.add(i)
       }
     }
+    (starts, ends)
+  }
+
+  /** Tokens [from, until) joined by single spaces. */
+  def joined(bytes: Array[Byte],
+             starts: java.util.ArrayList[Int], ends: java.util.ArrayList[Int],
+             from: Int, until: Int): UTF8String = {
+    var size = until - 1 - from // separators
+    var t = from
+    while (t < until) { size += ends.get(t) - starts.get(t); t += 1 }
+    val out = new Array[Byte](size)
+    var pos = 0
+    t = from
+    while (t < until) {
+      if (t > from) { out(pos) = ' '; pos += 1 }
+      val l = ends.get(t) - starts.get(t)
+      System.arraycopy(bytes, starts.get(t), out, pos, l)
+      pos += l
+      t += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+object WordShingles {
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val (starts, ends) = SpaceTokens.tokenize(bytes)
     val nTokens = starts.size()
     if (nTokens == 0) return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
 
-    def joined(from: Int, until: Int): UTF8String = {
-      var size = until - 1 - from // separators
-      var t = from
-      while (t < until) { size += ends.get(t) - starts.get(t); t += 1 }
-      val out = new Array[Byte](size)
-      var pos = 0
-      t = from
-      while (t < until) {
-        if (t > from) { out(pos) = ' '; pos += 1 }
-        val l = ends.get(t) - starts.get(t)
-        System.arraycopy(bytes, starts.get(t), out, pos, l)
-        pos += l
-        t += 1
-      }
-      UTF8String.fromBytes(out)
-    }
+    def joined(from: Int, until: Int): UTF8String =
+      SpaceTokens.joined(bytes, starts, ends, from, until)
 
     if (nTokens < n) return new GenericArrayData(Array[Any](joined(0, nTokens)))
     val shingles = new Array[Any](nTokens - n + 1)

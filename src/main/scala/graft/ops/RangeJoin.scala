@@ -167,14 +167,15 @@ object RangeJoin {
       longSpanBuckets: Int = 64): DataFrame = {
     require(longSpanBuckets > 0, "longSpanBuckets must be positive")
     val spanLimit = bucketWidth * longSpanBuckets
-    def split(df: DataFrame, s: String, e: String): (DataFrame, DataFrame) = {
+    def split(df: DataFrame, s: String, e: String)
+        : (DataFrame, DataFrame, DataFrame) = {
       val nonEmpty = df.filter(col(e) > col(s))
-      (nonEmpty.filter(col(e) - col(s) <= spanLimit),
+      (nonEmpty,
+        nonEmpty.filter(col(e) - col(s) <= spanLimit),
         nonEmpty.filter(col(e) - col(s) > spanLimit))
     }
-    val (shortA, longA) = split(a, aStart, aEnd)
-    val (shortB, longB) = split(b, bStart, bEnd)
-    val allB = shortB.unionByName(longB)
+    val (_, shortA, longA) = split(a, aStart, aEnd)
+    val (allB, shortB, longB) = split(b, bStart, bEnd)
     def overlapCond(af: DataFrame, bf: DataFrame) =
       keys.map(k => af(k) === bf(k))
         .foldLeft(af(aStart) < bf(bEnd) && bf(bStart) < af(aEnd))(_ && _)

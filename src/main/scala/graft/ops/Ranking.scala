@@ -123,7 +123,11 @@ object Ranking {
     val tagged = ranged(df, orderCols, n)
     val totals = tagged.groupBy(col(Pid))
       .agg(sum(col(srcCol).cast("long")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r =>
+        // a partition whose srcCol values are all NULL sums to NULL;
+        // it contributes 0 to downstream offsets (matching the global
+        // window, where sum skips NULLs)
+        r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     val offsets = (0 until n)
       .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
       .take(n).toIndexedSeq

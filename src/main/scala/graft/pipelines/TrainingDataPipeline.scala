@@ -34,11 +34,11 @@ object TrainingDataPipeline {
         * Set a cap (200-1000) for any corpus you do not control.
         */
       maxBucketSize: Int = 0,
-      /** Gopher-style repetition gates (TextAnalysis.repetitionStats).
-        * 1.0 disables the gate (default): the stats need their own
-        * (id, gram) shuffle, so the stage only runs when a threshold is
-        * set. Published regime: dup-word <= 0.3, top-bigram <= 0.18.
-        * Batch-only — curateStream keeps the single-pass filters.
+      /** Gopher-style repetition gates (native GramStats fractions,
+        * computed inside the same annotation scan as language/quality —
+        * no extra shuffle). 1.0 disables a gate (default). Published
+        * regime: dup-word <= 0.3, top-bigram <= 0.18. Batch-only —
+        * curateStream keeps its own single-pass filter set.
         */
       maxDupWordFrac: Double = 1.0,
       maxTopBigramFrac: Double = 1.0)
@@ -68,31 +68,32 @@ object TrainingDataPipeline {
     // action, and the iterative dedup stages then pay re-analysis +
     // partial-cache recompute per action (first measurement: 113-400 s
     // vs ~15 s at sf0.1). Lineage truncation is the fix, not caching.
-    val annotated = docs.select(col(idCol), col(textCol),
+    val repGateOn = cfg.maxDupWordFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
+    // The repetition gate rides the SAME scan: GramStats fractions are
+    // per-row expressions (no shuffle — PlanAuditSpec pins it), so the
+    // gate costs only the extra expression work when configured.
+    val repOkCol =
+      if (!repGateOn) lit(true)
+      else {
+        val w = graft.functions.GramStats.col(col(textCol), 1)
+        val g = graft.functions.GramStats.col(col(textCol), 2)
+        val dupWord = (w.getField("n_grams") - w.getField("n_distinct"))
+          .cast("double") / w.getField("n_grams")
+        val topBigram = g.getField("max_count").cast("double") /
+          g.getField("n_grams")
+        coalesce(dupWord <= cfg.maxDupWordFrac &&
+          topBigram <= cfg.maxTopBigramFrac, lit(true))
+      }
+    val gated = docs.select(col(idCol), col(textCol),
         TextAnalysis.langIdNgramCols(col(textCol))._1.as("lang_pred"),
         TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
-        TextAnalysis.nWords(col(textCol)).as("n_ws_tokens"))
+        TextAnalysis.nWords(col(textCol)).as("n_ws_tokens"),
+        repOkCol.as("__rep_ok"))
       .withColumn("__lang_ok", col("lang_pred").isin(cfg.allowedLangs.toSeq: _*))
       .withColumn("__quality_ok", col("quality_score") >= cfg.minQuality)
       .withColumn("__len_ok",
         col("n_ws_tokens") >= cfg.minTokens && col("n_ws_tokens") <= cfg.maxTokens)
       .localCheckpoint()
-
-    // Optional repetition gate: unlike the three scan annotations this
-    // costs a shuffle (per-doc gram frequencies), so it only joins in
-    // when a threshold is configured.
-    val gated =
-      if (cfg.maxDupWordFrac < 1.0 || cfg.maxTopBigramFrac < 1.0) {
-        val rep = TextAnalysis.repetitionStats(docs, textCol, idCol)
-          .select(col(idCol), col("dup_word_frac"), col("top_bigram_frac"))
-        annotated.join(rep, Seq(idCol), "left")
-          .withColumn("__rep_ok", coalesce(
-            col("dup_word_frac") <= cfg.maxDupWordFrac &&
-              col("top_bigram_frac") <= cfg.maxTopBigramFrac,
-            lit(true)))
-          .drop("dup_word_frac", "top_bigram_frac")
-          .localCheckpoint()
-      } else annotated.withColumn("__rep_ok", lit(true))
 
     // dedup runs only over docs that survive the cheap filters
     val candidates = gated

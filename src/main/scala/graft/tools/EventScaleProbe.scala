@@ -44,10 +44,13 @@ object EventScaleProbe {
     }
 
     val ev = events.withColumn("ts_us", expr("ts div 1000"))
-    def pulses = graft.ops.EventTime.derivePulseTimes(
+    // materialize ONCE: both as-of stages read the same pulse frame, so
+    // their timings compare the joins, not a re-derivation each
+    val pulses = graft.ops.EventTime.derivePulseTimes(
         ev, "event_type", "ts_us", "click",
         runKeys = Seq("run_id"), tieBreak = Seq("event_id"))
       .select("run_id", "pulse_time", "pulse_index")
+      .localCheckpoint(false)
 
     timed("pulse_derivation")(pulses.count())
     timed("asof_bucketed") {

@@ -99,6 +99,31 @@ class DedupSpec extends SparkSuite {
     assert(keptTied === Set(1L, 2L, 5L))
   }
 
+  test("minHashDedupClusteredBy supports string ids (argmax never negates the id)") {
+    val scored = docs
+      .select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+      .withColumn("score",
+        when(col("doc_id") === "doc-4", 9.0).otherwise(1.0))
+    val kept = Dedup.minHashDedupClusteredBy(scored, "text", "doc_id", "score",
+        minJaccard = 0.5)
+      .select("doc_id").as[String].collect().toSet
+    // cluster {doc-1, doc-3, doc-4}: doc-4 wins on score; others survive alone
+    assert(kept === Set("doc-2", "doc-4", "doc-5"))
+  }
+
+  test("dedupSegments emits rows for null-text documents (one row per input doc)") {
+    val df = Seq((1L, Some("line a\nline b")), (2L, None), (3L, Some("line a")))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "line a\nline b", 2L, 0L),
+      (2L, "", 0L, 0L), // null text: zero segments, row still present
+      (3L, "", 0L, 1L)))
+  }
+
   test("dedupSegments drops corpus-wide repeat lines, keeps first occurrence in order") {
     val df = Seq(
       (1L, "intro line\nshared boilerplate\nunique a"),
