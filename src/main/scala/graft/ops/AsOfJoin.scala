@@ -60,12 +60,27 @@ object AsOfJoin {
     // onto (global span / bucketWidth) buckets, ~700M rows at 100M events
     // (measured as a task-failure blowup before this fix). The per-key max
     // is one aggregate of the left side, one row per key.
+    // Rename the cap frame's key columns through toDF: the right side is
+    // often DERIVED FROM the left frame (pulse timelines extracted from
+    // the same event stream), so a usingColumns join here would be an
+    // ambiguous self-join — fresh aliases give the cap side its own
+    // attribute ids.
+    val capKeys = keys.map(k => s"__cap_$k")
     val maxLeft =
       if (keys.isEmpty) left.agg(max(col(leftTime)).as("__t_max"))
       else left.groupBy(keys.map(col): _*).agg(max(col(leftTime)).as("__t_max"))
+        .toDF(capKeys :+ "__t_max": _*)
 
     val carried = (rightCols :+ rightTime).distinct.filterNot(keys.contains)
-    val pruned = right.select((keys ++ carried).distinct.map(col): _*)
+    // Re-alias the pruned right side through toDF: every downstream
+    // reference then binds to FRESH attribute ids, so a right frame that
+    // shares lineage or exprIds with `left` (pulse timelines derived from
+    // the event frame itself, or a checkpointed frame whose LogicalRDD
+    // reuses the original ids) can never trip the analyzer's
+    // ambiguous-self-join check — the same isolation AsOfMergeJoin does
+    // with explicit Alias nodes.
+    val prunedCols = (keys ++ carried).distinct
+    val pruned = right.select(prunedCols.map(col): _*).toDF(prunedCols: _*)
     // interval end = next timeline entry. With keys the lead windows over
     // each key's partition; keyless (one global timeline) it would collapse
     // to a single partition, so use the range-partitioned global lead.
@@ -78,7 +93,10 @@ object AsOfJoin {
       }
     val capped =
       if (keys.isEmpty) withEnd.crossJoin(broadcast(maxLeft))
-      else withEnd.join(maxLeft, keys, "left") // AQE broadcasts when small
+      else withEnd.join(maxLeft, // AQE broadcasts when small
+        keys.zip(capKeys).map { case (k, c) => withEnd(k) === maxLeft(c) }
+          .reduce(_ && _),
+        "left").drop(capKeys: _*)
     val intervals = capped
       .withColumn("__t_end", coalesce(col("__t_end"), col("__t_max") + 1))
       .drop("__t_max")

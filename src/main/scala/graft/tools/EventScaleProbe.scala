@@ -44,15 +44,21 @@ object EventScaleProbe {
     }
 
     val ev = events.withColumn("ts_us", expr("ts div 1000"))
-    // materialize ONCE: both as-of stages read the same pulse frame, so
-    // their timings compare the joins, not a re-derivation each
-    val pulses = graft.ops.EventTime.derivePulseTimes(
-        ev, "event_type", "ts_us", "click",
-        runKeys = Seq("run_id"), tieBreak = Seq("event_id"))
-      .select("run_id", "pulse_time", "pulse_index")
-      .localCheckpoint(false)
-
-    timed("pulse_derivation")(pulses.count())
+    // materialize ONCE (eager checkpoint, timed as the derivation stage):
+    // both as-of stages then read the same pulse frame, so their timings
+    // compare the joins, not a re-derivation each. Eager (not lazy)
+    // matters beyond timing: the lazy variant keeps the ev lineage in the
+    // plan and the downstream as-of join over the same ev frame trips the
+    // analyzer's ambiguous-self-join check.
+    var pulses: org.apache.spark.sql.DataFrame = null
+    timed("pulse_derivation") {
+      pulses = graft.ops.EventTime.derivePulseTimes(
+          ev, "event_type", "ts_us", "click",
+          runKeys = Seq("run_id"), tieBreak = Seq("event_id"))
+        .select("run_id", "pulse_time", "pulse_index")
+        .localCheckpoint()
+      pulses.count()
+    }
     timed("asof_bucketed") {
       graft.ops.AsOfJoin.backward(
         ev.select("run_id", "event_id", "ts_us"), pulses,

@@ -51,6 +51,40 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out === Map(1L -> 10L, 2L -> 20L))
   }
 
+  test("right side derived from the left frame joins without self-join ambiguity") {
+    // pulse timelines are usually EXTRACTED from the event frame itself;
+    // the per-key cap join must not trip the ambiguous-self-join check
+    val ev = Seq(("a", 5L, 1L, "click"), ("a", 9L, 2L, "x"), ("a", 20L, 3L, "x"))
+      .toDF("k", "t", "id", "typ")
+    val pulses = EventTime.derivePulseTimes(ev, "typ", "t", "click",
+        runKeys = Seq("k"), tieBreak = Seq("id"))
+      .select("k", "pulse_time", "pulse_index")
+    val out = AsOfJoin.backward(ev.select("k", "id", "t"), pulses,
+        leftTime = "t", rightTime = "pulse_time",
+        keys = Seq("k"), bucketWidth = 8L, rightCols = Seq("pulse_index"))
+      .select("id", "pulse_index").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("checkpointed right side (LogicalRDD reusing exprIds) joins cleanly") {
+    // a localCheckpoint'd pulse frame keeps the original attribute ids;
+    // without the internal re-alias the keyed cap join reads as an
+    // ambiguous self-join and analysis fails
+    val ev = Seq(("a", 5L, 1L, "click"), ("a", 9L, 2L, "x"), ("a", 20L, 3L, "x"))
+      .toDF("k", "t", "id", "typ")
+    val pulses = EventTime.derivePulseTimes(ev, "typ", "t", "click",
+        runKeys = Seq("k"), tieBreak = Seq("id"))
+      .select("k", "pulse_time", "pulse_index")
+      .localCheckpoint()
+    val out = AsOfJoin.backward(ev.select("k", "id", "t"), pulses,
+        leftTime = "t", rightTime = "pulse_time",
+        keys = Seq("k"), bucketWidth = 8L, rightCols = Seq("pulse_index"))
+      .select("id", "pulse_index").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("matches a brute-force reference on random-ish data") {
     val ls = (1L to 200L).map(i => (i, (i * 37) % 1000))
     val rs = (0L until 25L).map(i => (i * 40 + 3, i))
