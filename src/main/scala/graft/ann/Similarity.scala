@@ -310,7 +310,19 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: bucket by sign sketch, pair within
     * buckets, keep cosine >= minCos. Same no-all-pairs discipline as
-    * Dedup.minHashCandidates.
+    * Dedup.minHashCandidates — and the same LIVENESS valve: within-bucket
+    * pairing is quadratic in bucket size, and a degenerate corpus (many
+    * near-identical vectors collapsing into one sign-sketch bucket)
+    * reproduces exactly the fat-bucket wedge the text LSH path measured
+    * at 2M docs. Buckets above `maxBucketSize` are therefore SKIPPED by
+    * default.
+    *
+    * Recall note — this sketch has ONE bucket per vector (no bands), so
+    * unlike MinHash banding a skipped bucket's pairs are NOT recovered
+    * elsewhere: a fat bucket means an identical/near-identical embedding
+    * cluster, which belongs to exact dedup (checksum or quantized-vector
+    * groupBy) run first, or to a higher `bits` resolution. Pass
+    * `maxBucketSize = 0` for exhaustive pairing on a corpus you control.
     */
   def cosineDedupCandidates(
       corpus: DataFrame,
@@ -318,8 +330,15 @@ object Similarity {
       vecCol: String,
       bits: Int,
       dim: Int,
-      minCos: Double): DataFrame = {
-    val b = withLshBucket(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", bits, dim)
+      minCos: Double,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
+    val b0 = withLshBucket(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", bits, dim)
+    val b = if (maxBucketSize > 0) {
+      val ok = b0.groupBy("lsh_bucket").agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("lsh_bucket")
+      b0.join(ok, Seq("lsh_bucket"), "left_semi")
+    } else b0
     val a = b.alias("a")
     val c = b.alias("b")
     a.join(c, col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))

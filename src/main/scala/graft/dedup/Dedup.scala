@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default LSH bucket cap for candidate-pair formation. Pair formation
+    * is quadratic in bucket size, and an UNCAPPED run on a 2M-doc corpus
+    * with ~2,800-doc boilerplate buckets was measured to stop making
+    * progress entirely (BASELINE.md r4 probe) — so the safe cap is the
+    * DEFAULT and exhaustive pairing (`maxBucketSize = 0`) is the explicit
+    * opt-in for corpora the caller controls. Recall cost is negligible: a
+    * true near-dup pair in a skipped fat bucket is still found via any of
+    * its other bands-1 band collisions (measured 6 of 380k pairs at the
+    * 2M-doc probe with cap 200).
+    */
+  val DefaultMaxBucketSize: Int = 1000
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup by content hash: one shuffle on the 256-bit digest.
@@ -116,17 +128,16 @@ object Dedup {
     * `prefilterMargin = 1.0` (prefilter threshold clamps to 0, passing
     * everything); smaller corpora (< 50k docs) always verify exhaustively.
     *
-    * LIVENESS at scale: pair formation is quadratic in LSH bucket size,
-    * and `maxBucketSize = 0` (the exhaustive default) leaves that term
-    * unbounded. On a 2M-doc corpus whose boilerplate families reached
-    * ~2,800-doc buckets (~4M pairs each), the uncapped run was measured
-    * to STOP MAKING PROGRESS on a single JVM, not merely slow down. Run
-    * exact dedup first (identical-text clusters are the usual fat-bucket
-    * cause) and set `maxBucketSize` (e.g. 200-1000) on any corpus you do
-    * not control.
+    * LIVENESS at scale: pair formation is quadratic in LSH bucket size.
+    * Buckets above [[DefaultMaxBucketSize]] are therefore SKIPPED by
+    * default (see the constant's scaladoc for the measured wedge this
+    * prevents and the recall bound); pass `maxBucketSize = 0` to opt into
+    * exhaustive pairing on a corpus you control. Run exact dedup first
+    * (identical-text clusters are the usual fat-bucket cause) either way.
     *
     * @param prefilterMargin slack between `minJaccard` and the estimated-
     *        similarity prefilter threshold; 1.0 disables the prefilter
+    * @param maxBucketSize skip LSH buckets larger than this (0 = no cap)
     * @return (id_a, id_b, jaccard) — pairs with estimated similarity from
     *         banding, verified exactly.
     */
@@ -139,7 +150,7 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       prefilterMargin: Double = 0.2,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val sigs = signatureTable(docs, textCol, idCol, shingleSize, numHashes)
       .persist()
     // Materialize (cheap: candidate pairs only), then release the cached
@@ -213,14 +224,26 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      prefilterMargin: Double = 0.2): DataFrame = {
+      prefilterMargin: Double = 0.2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val all = sigsOld.unionByName(sigsNew)
     def banded(df: DataFrame) =
       withBands(df.select("id", "minhash_sig"), numHashes, bands)
         .select(col("id"), col("band.band_id").as("band_id"),
                 col("band.band_hash").as("band_hash"))
-    val a = banded(sigsNew).alias("a")
-    val b = banded(all).alias("b")
+    // Same fat-bucket valve as minHashCandidatesFromSigs: the join term
+    // is |delta ∩ bucket| x |bucket| per bucket, so a boilerplate bucket
+    // on the CORPUS side wedges the increment just as badly as a full
+    // run. Bucket sizes are measured over the whole corpus (old + new).
+    val capped = if (maxBucketSize > 0) {
+      val ok = banded(all).groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("band_id", "band_hash")
+      (df: DataFrame) => df.join(ok, Seq("band_id", "band_hash"), "left_semi")
+    } else identity[DataFrame] _
+    val a = capped(banded(sigsNew)).alias("a")
+    val b = capped(banded(all)).alias("b")
     // pair (min, max) so new-old and new-new pairs normalize identically;
     // a.id != b.id excludes self-pairs, distinct collapses multi-band hits
     val candidates = a.join(b,
@@ -262,19 +285,20 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       prefilterMargin: Double = 0.2,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val bandedAll = withBands(sigs.select("id", "minhash_sig"), numHashes, bands)
       .select(col("id"), col("band.band_id").as("band_id"),
               col("band.band_hash").as("band_hash"))
-    // Optional skew valve: pair formation is QUADRATIC in bucket size, so
-    // one pathological bucket (boilerplate cluster, template spam) can
-    // dominate the whole job at crawl scale. With maxBucketSize > 0,
-    // buckets above the cap are skipped; a true near-dup pair in a
-    // skipped bucket is still found via any of its other bands-1 band
-    // collisions (P[miss] ~ (1-j^r)^(bands-1), negligible at j >=
-    // minJaccard), and identical-text clusters — the usual cause of huge
-    // buckets — belong to the exact-dedup stage that runs first in the
-    // curation pipeline. Off (0) by default: results are then exhaustive.
+    // Skew valve, ON by default (DefaultMaxBucketSize): pair formation is
+    // QUADRATIC in bucket size, so one pathological bucket (boilerplate
+    // cluster, template spam) can dominate — or wedge — the whole job at
+    // crawl scale. With maxBucketSize > 0, buckets above the cap are
+    // skipped; a true near-dup pair in a skipped bucket is still found
+    // via any of its other bands-1 band collisions (P[miss] ~
+    // (1-j^r)^(bands-1), negligible at j >= minJaccard), and
+    // identical-text clusters — the usual cause of huge buckets — belong
+    // to the exact-dedup stage that runs first in the curation pipeline.
+    // maxBucketSize = 0 is the exhaustive-pairing opt-in.
     // NOT persisted: both self-join sides re-derive this from the cached
     // signatures, and the native BandHashes explode is cheaper than
     // building + reading an 8M-row cache (persisting it measured 2x
@@ -357,8 +381,10 @@ object Dedup {
   /** Near-dedup: drop the higher-id member of every verified pair. */
   def minHashDedup(docs: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   minJaccard: Double = 0.5): DataFrame = {
-    val drop = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes, bands, minJaccard)
+                   minJaccard: Double = 0.5,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val drop = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes,
+        bands, minJaccard, maxBucketSize = maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     docs.join(drop, Seq(idCol), "left_anti")
   }
@@ -529,9 +555,10 @@ object Dedup {
     */
   def minHashDedupClustered(docs: DataFrame, textCol: String, idCol: String,
                             shingleSize: Int = 3, numHashes: Int = 64,
-                            bands: Int = 16, minJaccard: Double = 0.5): DataFrame = {
+                            bands: Int = 16, minJaccard: Double = 0.5,
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes,
-      bands, minJaccard)
+      bands, minJaccard, maxBucketSize = maxBucketSize)
     val comps = connectedComponents(pairs.select("id_a", "id_b"))
     val drop = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -553,9 +580,10 @@ object Dedup {
                               scoreCol: String,
                               shingleSize: Int = 3, numHashes: Int = 64,
                               bands: Int = 16,
-                              minJaccard: Double = 0.5): DataFrame = {
+                              minJaccard: Double = 0.5,
+                              maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = minHashCandidates(docs, textCol, idCol, shingleSize, numHashes,
-      bands, minJaccard)
+      bands, minJaccard, maxBucketSize = maxBucketSize)
     val comps = connectedComponents(pairs.select("id_a", "id_b"))
     // null scores sort below every real score (a cluster whose members
     // are ALL null-scored still keeps one survivor); -Inf keeps the

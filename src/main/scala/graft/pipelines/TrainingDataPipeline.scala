@@ -25,15 +25,16 @@ object TrainingDataPipeline {
       minTokens: Long = 10,
       maxTokens: Long = 1000000,
       nearDupJaccard: Double = 0.8,
-      /** LSH bucket-size skew valve (0 = exhaustive). At crawl scale,
-        * boilerplate clusters make within-bucket pairing quadratic; the
-        * exact-dedup stage that runs first already catches identical
-        * text, so capping costs little recall — see Dedup.minHashCandidates,
-        * including its LIVENESS note: an uncapped run on a corpus with
-        * heavy non-identical boilerplate can wedge, not just slow down.
-        * Set a cap (200-1000) for any corpus you do not control.
+      /** LSH bucket-size skew valve, CAPPED by default (0 = exhaustive
+        * opt-in). At crawl scale, boilerplate clusters make within-bucket
+        * pairing quadratic; an uncapped run on a corpus with heavy
+        * non-identical boilerplate was measured to wedge, not just slow
+        * down — see Dedup.DefaultMaxBucketSize for the probe numbers and
+        * the recall bound (a capped bucket's true pairs still surface via
+        * the other bands). The exact-dedup stage that runs first already
+        * catches identical text.
         */
-      maxBucketSize: Int = 0,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize,
       /** Gopher-style repetition gates (native GramStats fractions,
         * computed inside the same annotation scan as language/quality —
         * no extra shuffle). 1.0 disables a gate (default). Published

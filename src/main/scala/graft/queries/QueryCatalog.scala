@@ -1469,8 +1469,14 @@ object QueryCatalog {
 
     QueryDef("encode_docs", (s, d) => {
       val docs = t(s, d, "documents")
+      // token_ids is emitted as a space-joined string: the driver's
+      // pandas comparator sorts column values before hashing and a raw
+      // array<long> cell is unhashable there (r4's one red row). Same
+      // shape trick doc_chunks uses; semantics unchanged.
       TextAnalysis.encodeDocs(docs, "text", "doc_id",
           TextAnalysis.buildVocab(docs, "text", minCount = 5L, topV = 100L))
+        .select(col("doc_id"),
+          concat_ws(" ", col("token_ids").cast("array<string>")).as("token_ids"))
         .orderBy("doc_id")
     }, Some("""
       WITH vw AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
@@ -1484,7 +1490,8 @@ object QueryCatalog {
       w AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, ws[pos] AS word
             FROM base, UNNEST(range(1, len(ws) + 1)) AS t(pos))
       SELECT doc_id,
-        list(COALESCE(v.token_id, -1) ORDER BY w.pos) AS token_ids
+        array_to_string(list(COALESCE(v.token_id, -1) ORDER BY w.pos), ' ')
+          AS token_ids
       FROM w LEFT JOIN vocab v USING (word)
       GROUP BY doc_id ORDER BY doc_id""")),
 

@@ -200,6 +200,15 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
 
+  /** Token array with the same semantics as the native space-run
+    * tokenizer (graft.functions SpaceTokens): maximal runs of non-space
+    * characters, so space runs / leading / trailing spaces never produce
+    * empty-string tokens. Empty or all-space text yields an empty array.
+    * Built from codegen'd split+filter — stays inside the scan.
+    */
+  def spaceTokens(text: Column): Column =
+    filter(split(text, " +"), w => w =!= "")
+
   /** Word-level vocabulary construction: corpus-wide counts, a minimum
     * frequency floor, and a deterministic total rank (count desc, word
     * asc) assigning contiguous token ids from 0. The rank uses
@@ -212,7 +221,7 @@ object TextAnalysis {
   def buildVocab(docs: DataFrame, textCol: String,
                  minCount: Long = 1L, topV: Long = 0L): DataFrame = {
     val counts = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
+      .select(explode(spaceTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
     val ranked = graft.ops.Ranking.globalRowNumber(
@@ -226,17 +235,25 @@ object TextAnalysis {
     * words become -1), and re-pack per document in word order. The join
     * keys on the word string; at scale the capped vocabulary broadcasts
     * (AQE converts the join once the filtered side is small).
+    *
+    * One output row per input document: posexplode_outer keeps a
+    * placeholder row for NULL/empty/all-space text (the null-pos struct
+    * is dropped by collect_list's null-skipping), so those documents
+    * encode to an empty token_ids array instead of silently vanishing —
+    * the same per-document contract dedupSegments keeps.
     */
   def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
                  vocab: DataFrame): DataFrame =
     docs
       .select(col(idCol),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "word")))
+        posexplode_outer(spaceTokens(col(textCol))).as(Seq("pos", "word")))
       .join(vocab.select(col("word"), col("token_id")), Seq("word"), "left")
       .select(col(idCol), col("pos"),
         coalesce(col("token_id"), lit(-1L)).as("tid"))
       .groupBy(idCol)
-      .agg(expr("transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)")
+      .agg(expr(
+        "transform(array_sort(collect_list(" +
+          "CASE WHEN pos IS NOT NULL THEN struct(pos, tid) END)), x -> x.tid)")
         .as("token_ids"))
 
   /** Fixed-size word-window chunking with overlap — the standard
@@ -255,7 +272,7 @@ object TextAnalysis {
       "need 0 <= overlapWords < chunkWords")
     val stride = chunkWords - overlapWords
     docs
-      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), spaceTokens(col(textCol)).as("__ws"))
       .select(col(idCol), col("__ws"),
         explode(expr(s"sequence(0L, (size(__ws) - 1) div $stride)"))
           .as("chunk_id"))

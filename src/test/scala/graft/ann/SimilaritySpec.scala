@@ -87,6 +87,31 @@ class SimilaritySpec extends SparkSuite {
     assert(out.contains((0L, 100L)) && out.contains((4L, 100L)))
   }
 
+  test("cosineDedupCandidates skips a planted fat bucket under the cap") {
+    // 50 identical vectors collapse into ONE sign-sketch bucket — the
+    // degenerate shape whose within-bucket pairing is quadratic. With the
+    // cap they are skipped (identical embeddings are exact dedup's job);
+    // an ordinary near-dup pair in a small bucket survives either way.
+    val fat = (0L until 50L).map(i => (100L + i, Seq(1.0f, 0.0f, 0.0f)))
+    val pair = Seq(
+      (1L, Seq(0.0f, 1.0f, 0.05f)),
+      (2L, Seq(0.0f, 1.0f, 0.06f)))
+    val corpus = (fat ++ pair).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineDedupCandidates(corpus, "vec_id", "embedding",
+        bits = 6, dim = 3, minCos = 0.99, maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L)))
+    val uncapped = Similarity.cosineDedupCandidates(corpus, "vec_id", "embedding",
+        bits = 6, dim = 3, minCos = 0.99, maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 50 * 49 / 2)
+    // the default cap itself is on, and a no-op for ordinary buckets
+    assert(Similarity.cosineDedupCandidates(corpus.filter(col("vec_id") < 100L),
+        "vec_id", "embedding", bits = 6, dim = 3, minCos = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+  }
+
   test("ivfIndex built once serves repeated probe batches identically") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (centroids, lists) = Similarity.ivfIndex(em, "vec_id", "embedding",

@@ -83,6 +83,45 @@ class DedupSpec extends SparkSuite {
     assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } === 60 * 59 / 2)
   }
 
+  test("default maxBucketSize cap is on and reproduces the exhaustive result " +
+       "on ordinary corpora") {
+    // The safe-by-default cap (DefaultMaxBucketSize) must be a no-op when
+    // no bucket is pathological — same pairs as the explicit uncapped run.
+    assert(Dedup.DefaultMaxBucketSize > 0)
+    def pairs(cap: Int) = Dedup.minHashCandidates(docs, "text", "doc_id",
+        minJaccard = 0.5, maxBucketSize = cap)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pairs(Dedup.DefaultMaxBucketSize) === pairs(0))
+    assert(pairs(Dedup.DefaultMaxBucketSize).nonEmpty)
+  }
+
+  test("incrementalCandidates skips fat corpus-side buckets under the cap") {
+    // 60 identical soup docs in the OLD corpus; the new batch has one
+    // near-dup of an ordinary old doc plus one more soup copy. Capped:
+    // only the ordinary cross-batch pair; uncapped: soup pairs too.
+    val soup = "slow column agg table batch window slow vector fast scan sort window"
+    val oldDocs = ((0L until 60L).map(i => (100L + i, soup)) :+
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (1002L, soup)).toDF("doc_id", "text")
+    val sOld = Dedup.signatureTable(oldDocs, "text", "doc_id").persist()
+    val sNew = Dedup.signatureTable(newDocs, "text", "doc_id").persist()
+    val capped = Dedup.incrementalCandidates(sOld, sNew, minJaccard = 0.5,
+        maxBucketSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 1001L)))
+    val uncapped = Dedup.incrementalCandidates(sOld, sNew, minJaccard = 0.5,
+        maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    sOld.unpersist(); sNew.unpersist()
+    assert(uncapped.contains((1L, 1001L)))
+    // every (old soup, new soup) pair touches the delta and is reported
+    assert(uncapped.count { case (a, b) => b === 1002L } === 60)
+  }
+
   test("minHashDedupClusteredBy keeps the highest-scoring member per cluster") {
     // 1, 3, 4 form a near-dup cluster (exact + near); 4 has the top score
     val scored = docs.withColumn("score",

@@ -41,6 +41,35 @@ class TextAnalysisSpec extends SparkSuite {
     assert(enc === Seq(Seq(1L, 0L, 1L, 2L, 1L, 0L), Seq(0L, 2L, -1L, 0L)))
   }
 
+  test("vocab/encode/chunk tokenize on space runs — no empty tokens") {
+    // Runs of spaces plus leading/trailing spaces must behave like the
+    // native SpaceTokens tokenizer (WordShingles/GramStats), not inject
+    // "" tokens into vocabulary counts or encodings.
+    val docs = Seq((1L, "  a  b a "), (2L, "b")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 1L)
+    val v = vocab.select("word", "n").as[(String, Long)].collect().toSet
+    assert(v === Set(("a", 2L), ("b", 2L)))
+    val enc = TextAnalysis.encodeDocs(docs, "text", "doc_id", vocab)
+      .orderBy("doc_id").select("token_ids").as[Seq[Long]].collect().toSeq
+    assert(enc === Seq(Seq(0L, 1L, 0L), Seq(1L)))
+    val chunks = TextAnalysis.chunkDocs(docs, "text", "doc_id", chunkWords = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_text").as[(Long, String)].collect().toSeq
+    assert(chunks === Seq((1L, "a b"), (1L, "a"), (2L, "b")))
+  }
+
+  test("encodeDocs keeps one row per document for NULL/empty/all-space text") {
+    val docs = Seq((1L, "a b"), (2L, null), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.buildVocab(
+      docs.filter($"text".isNotNull), "text", minCount = 1L)
+    val enc = TextAnalysis.encodeDocs(docs, "text", "doc_id", vocab)
+      .orderBy("doc_id").select("doc_id", "token_ids")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(enc === Seq(
+      (1L, Seq(0L, 1L)), (2L, Seq.empty), (3L, Seq.empty), (4L, Seq.empty)))
+  }
+
   test("buildVocab topV keeps the highest-ranked words only") {
     val docs = Seq((1L, "x x x y y z")).toDF("doc_id", "text")
     val v = TextAnalysis.buildVocab(docs, "text", minCount = 1L, topV = 2L)
