@@ -28,9 +28,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * range nested-loop. Limitations (v1): left/right must be table/view
   * identifiers, time columns are named (qualifiers are stripped), and the
   * output carries both sides' columns unqualified (USING keys are emitted
-  * once). Keyless ASOF (no USING) plans a single-partition LEAD window —
-  * sound only when the right side is small; the Scala API routes keyless
-  * joins through graft.ops.Ranking instead.
+  * once). Keyless ASOF (no USING) is rewritten scale-safely too: the LEAD
+  * window is partitioned by the time bucket, and each bucket's last row
+  * takes the next non-empty bucket's MIN time from a bucket-level
+  * aggregate — the only single-partition window runs over that aggregate
+  * (one row per non-empty bucket), never over the data. Same cost class
+  * as the Scala API's range-partitioned graft.ops.Ranking.globalLead.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
@@ -84,41 +87,58 @@ object AsofSqlRewrite {
       session.conf.get(BucketConf, "3600").toLong)
     require(width > 0, s"ASOF WITHIN must be positive, got $width")
 
-    val partitionBy =
-      if (keys.isEmpty) "" else keys.mkString("PARTITION BY ", ", ", " ")
     val keyEquality =
       keys.map(k => s"AND __l.$k = __r.$k ").mkString
     // USING keys appear once (from the left side); helper cols never leak
     val exceptRight = (keys :+ "__gae" :+ "__gab").mkString(", ")
 
-    // Same shape as graft.ops.AsOfJoin.backward: cap the open last
-    // interval at max(left time)+1 — PER KEY when USING keys are present
-    // (a global cap makes every key's last interval span to the end of
-    // the whole corpus timeline and explode; see AsOfJoin.backward) —
-    // drop intervals past every left row, explode each interval onto its
-    // buckets, equi-join on the bucket.
-    val capJoin =
-      if (keys.isEmpty) ""
+    // Same shape as graft.ops.AsOfJoin.backward: LEAD gives each right
+    // row's interval end, the open last interval is capped at
+    // max(left time)+1 — PER KEY when USING keys are present (a global
+    // cap makes every key's last interval span to the end of the whole
+    // corpus timeline and explode; see AsOfJoin.backward) — intervals
+    // past every left row are dropped, each interval explodes onto its
+    // buckets, and the join is a plain equi join on the bucket.
+    val innerRight =
+      if (keys.isEmpty)
+        // Keyless: a bare `LEAD(rt) OVER (ORDER BY rt)` would funnel the
+        // whole right side into ONE partition. Instead the LEAD window is
+        // partitioned by the row's time bucket, and each bucket's last
+        // row takes the next NON-EMPTY bucket's MIN(rt) — stitched from a
+        // bucket-level aggregate. The only single-partition window runs
+        // over that aggregate (<= one row per non-empty bucket, partial-
+        // agg'd map-side), never over the data: the same stitch cost
+        // class as Ranking.globalLead's boundary exchange.
+        s"""SELECT __rr.* EXCEPT (__gae0, __gb),
+                 coalesce(__gae0, __nx.__gnext,
+                          (SELECT MAX($lt) + 1 FROM $l)) AS __gae
+          FROM (SELECT *, CAST($rt DIV $width AS BIGINT) AS __gb,
+                       LEAD($rt) OVER (PARTITION BY CAST($rt DIV $width AS BIGINT)
+                                       ORDER BY $rt) AS __gae0
+                FROM $r) AS __rr
+          LEFT JOIN (SELECT __gb, LEAD(__gmn) OVER (ORDER BY __gb) AS __gnext
+                     FROM (SELECT CAST($rt DIV $width AS BIGINT) AS __gb,
+                                  MIN($rt) AS __gmn
+                           FROM $r GROUP BY 1) AS __gbm) AS __nx
+            ON __rr.__gb = __nx.__gb"""
       else {
         val keyList = keys.mkString(", ")
+        val partitionBy = keys.mkString("PARTITION BY ", ", ", " ")
         val on = keys.map(k => s"__rr.$k = __gm.$k").mkString(" AND ")
-        s"""LEFT JOIN (SELECT $keyList, MAX($lt) + 1 AS __gcap
-                       FROM $l GROUP BY $keyList) AS __gm ON $on"""
+        s"""SELECT __rr.* EXCEPT (__gae0),
+                 coalesce(__gae0, __gm.__gcap) AS __gae
+          FROM (SELECT *, LEAD($rt) OVER (${partitionBy}ORDER BY $rt) AS __gae0
+                FROM $r) AS __rr
+          LEFT JOIN (SELECT $keyList, MAX($lt) + 1 AS __gcap
+                     FROM $l GROUP BY $keyList) AS __gm ON $on"""
       }
-    val capExpr =
-      if (keys.isEmpty) s"(SELECT MAX($lt) + 1 FROM $l)" else "__gm.__gcap"
     s"""(
       SELECT __l.* EXCEPT (__gab), __r.* EXCEPT ($exceptRight)
       FROM (SELECT *, CAST($lt DIV $width AS BIGINT) AS __gab FROM $l) AS __l
       LEFT JOIN (
         SELECT *, explode(sequence(CAST($rt DIV $width AS BIGINT),
                                    CAST((__gae - 1) DIV $width AS BIGINT))) AS __gab
-        FROM (
-          SELECT __rr.* EXCEPT (__gae0),
-                 coalesce(__gae0, $capExpr) AS __gae
-          FROM (SELECT *, LEAD($rt) OVER (${partitionBy}ORDER BY $rt) AS __gae0
-                FROM $r) AS __rr
-          $capJoin)
+        FROM ($innerRight)
         WHERE $rt < __gae
       ) AS __r
       ON __l.__gab = __r.__gab AND __r.$rt <= __l.$lt AND __l.$lt < __r.__gae

@@ -70,6 +70,56 @@ class AsofSqlSpec extends SparkSuite {
     } finally spark.conf.unset(AsofSqlRewrite.BucketConf)
   }
 
+  test("keyless ASOF SQL never plans a single-partition window over the data") {
+    // The r4 audit flagged the keyless route's `LEAD(rt) OVER (ORDER BY
+    // rt)`: one partition holding the whole right side. It is now
+    // partitioned by time bucket; the only empty-partition-spec window
+    // allowed in the plan is the bucket-min stitch, which must sit above
+    // an aggregate (one row per non-empty bucket), never raw rows.
+    mkViews()
+    spark.conf.set(AsofSqlRewrite.BucketConf, "100")
+    try {
+      val df = spark.sql("""
+        SELECT id, pt FROM asof_left ASOF JOIN asof_right
+          MATCH_CONDITION (t >= pt)""")
+      import org.apache.spark.sql.execution.window.WindowExec
+      val plan = df.queryExecution.sparkPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty)
+      val globals = windows.filter(_.partitionSpec.isEmpty)
+      assert(globals.nonEmpty, "bucket-min stitch window missing")
+      globals.foreach { w =>
+        val aggsBelow = w.child.collect {
+          case p if p.nodeName.toLowerCase.contains("aggregate") => p
+        }
+        assert(aggsBelow.nonEmpty,
+          s"single-partition window consumes raw rows:\n$w")
+      }
+      // and at least one window is partitioned (the bucketed LEAD)
+      assert(windows.exists(_.partitionSpec.nonEmpty))
+    } finally spark.conf.unset(AsofSqlRewrite.BucketConf)
+  }
+
+  test("keyless ASOF SQL matches across bucket boundaries and empty buckets") {
+    // right times land in buckets 0, 0, 3 (width 10): the last row of
+    // bucket 0 must take its interval end from bucket 3's min across the
+    // two empty buckets in between
+    Seq((1L, 4L), (2L, 7L), (3L, 8L), (4L, 31L), (5L, 99L))
+      .toDF("id", "t").createOrReplaceTempView("asof_kb_left")
+    Seq((3L, 10L), (6L, 11L), (30L, 12L))
+      .toDF("rt", "v").createOrReplaceTempView("asof_kb_right")
+    val out = spark.sql("""
+      SELECT id, v FROM asof_kb_left ASOF JOIN asof_kb_right
+        MATCH_CONDITION (t >= rt) WITHIN 10
+      ORDER BY id""").as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some(10L)),   // t=4  -> rt=3
+      (2L, Some(11L)),   // t=7  -> rt=6 (last of bucket 0, ends at 30)
+      (3L, Some(11L)),   // t=8  -> rt=6
+      (4L, Some(12L)),   // t=31 -> rt=30
+      (5L, Some(12L))))  // t=99 -> open last interval, capped at max(t)+1
+  }
+
   test("ASOF JOIN composes inside a larger statement (agg over the join)") {
     mkViews()
     val out = spark.sql("""
