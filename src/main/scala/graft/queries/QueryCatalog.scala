@@ -2107,6 +2107,91 @@ object QueryCatalog {
         CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Portable MinHash+banding rederivation — the exact-correctness
+    // anchor for the native dedup path (WordShingles/MinHashSig/
+    // BandHashes run on xxhash64, which DuckDB cannot evaluate, so
+    // dedup_sigs_10k stays rows-only and THIS query certifies the same
+    // construction end to end on engine-portable md5 hashes): 3-word
+    // shingles over space-run tokens (short docs collapse to one whole-
+    // doc shingle, mirroring WordShingles), double-hashing signature
+    // sig[j] = min over shingles of (h1 + j*h2) mod p with h1/h2 the two
+    // md5 halves and p = 2^31-1, 16 hashes banded 4x4, band hash =
+    // md5 of the comma-joined band slice.
+    QueryDef("minhash_portable", (s, d) => {
+      val p = 2147483647L
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' +'), w -> w != '')").as("ws"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """CASE WHEN size(ws) >= 3
+               THEN transform(sequence(0, size(ws) - 3),
+                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+               ELSE array(concat_ws(' ', ws)) END"""))).as("sh"))
+      val h = sh.select(col("doc_id"),
+        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"), lit(p)).as("h1"),
+        pmod(conv(substring(md5(col("sh")), 16, 15), 16, 10).cast("long"), lit(p)).as("h2"))
+      h.select(col("doc_id"), col("h1"), col("h2"),
+          explode(expr("sequence(0, 15)")).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(min(pmod(col("h1") + col("j") * col("h2"), lit(p))).as("s"))
+        .withColumn("band_id", expr("j div 4"))
+        .groupBy("doc_id", "band_id")
+        .agg(md5(expr(
+          "concat_ws(',', transform(array_sort(collect_list(struct(j, s))), x -> CAST(x.s AS STRING)))"))
+          .as("band_hash"))
+        .orderBy("doc_id", "band_id")
+    }, Some("""
+      WITH base AS (SELECT doc_id,
+          list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+        FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [array_to_string(ws, ' ')] END)) AS sh FROM base),
+      h AS (SELECT doc_id,
+          CAST(concat('0x', substring(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h1,
+          CAST(concat('0x', substring(md5(sh), 16, 15)) AS BIGINT) % 2147483647 AS h2
+        FROM sh),
+      sig AS (SELECT doc_id, j, min((h1 + j * h2) % 2147483647) AS s
+        FROM h, unnest(generate_series(0, 15)) AS t(j) GROUP BY 1, 2),
+      band AS (SELECT doc_id, CAST(j // 4 AS BIGINT) AS band_id,
+          md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY j)) AS band_hash
+        FROM sig GROUP BY 1, 2)
+      SELECT doc_id, band_id, band_hash FROM band
+      ORDER BY doc_id, band_id""")),
+
+    // ANN quality as a driver-visible row: recall of the LSH and IVF
+    // variants (same hyperparameters as ann_lsh / ann_ivf) against the
+    // float-cosine exact top-k, over 20 probes x k=5 = 100 ground-truth
+    // pairs. Everything is deterministic (hash-derived hyperplanes,
+    // deterministic k-means seeds, id tie-breaks), so the oracle pins the
+    // measured values as literals; the ScalaTest recall floors
+    // (SimilaritySpec) remain the semantic bound. A drop below the pinned
+    // value = a real behavior change in the sketch/centroid path.
+    QueryDef("ann_recall", (s, d) => {
+      val em = t(s, d, "embeddings")
+      val probes = em.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
+        .select("probe_id", "neighbor_id")
+      def recallRow(name: String, approx: org.apache.spark.sql.DataFrame) =
+        exact.join(approx.select("probe_id", "neighbor_id"),
+            Seq("probe_id", "neighbor_id"), "left_semi")
+          .agg(floor(count(lit(1)) * lit(100.0) / lit(100)).cast("long")
+            .as("recall_pct"))
+          .select(lit(name).as("variant"), col("recall_pct"))
+      recallRow("ivf", Similarity.ivfTopK(em, probes, "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 3))
+        .unionByName(recallRow("lsh", Similarity.lshTopK(em, probes,
+          "vec_id", "embedding", k = 5, bits = 4, dim = 64)))
+        .unionByName(recallRow("lsh_multiprobe", Similarity.lshTopK(em, probes,
+          "vec_id", "embedding", k = 5, bits = 4, dim = 64, multiProbe = true)))
+        .orderBy("variant")
+    }, Some("""
+      SELECT 'ivf' AS variant, CAST(73 AS BIGINT) AS recall_pct
+      UNION ALL SELECT 'lsh', 12
+      UNION ALL SELECT 'lsh_multiprobe', 43
+      ORDER BY variant""")),
+
     // Embedding EXACT dedup at scale: hash-groupBy on the quantized
     // vector key (same shape as dedup_exact — no pairwise work at all);
     // the near-dup threshold variant stays LSH-bucketed (embed_dedup).
