@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Append-only near-dedup MAINTENANCE around [[Dedup.incrementalCandidates]]:
+  * the corpus's MinHash signature table is a maintained parquet table, and
+  * each arriving batch is folded in by one `ingest` call — shingle the
+  * DELTA only, emit exactly the verified pairs that touch it (new-new and
+  * new-old; old-old pairs were reported when their batches arrived), then
+  * append the delta's signatures to the table. This is the daily-crawl
+  * compaction loop at 100 TB: the corpus is never re-shingled, the banding
+  * join is |delta| x bucket width, and the signature table grows by
+  * appends (at real scale the same appends land in a lakehouse table
+  * partitioned on a band-hash prefix; the orchestration is identical).
+  *
+  * Invariant (inherited from incrementalCandidates): batch ids must be
+  * disjoint from every previously ingested id — enforce upstream with the
+  * exact-dedup/content-hash stage, which is also what keeps identical
+  * re-crawls from re-entering as "new" documents.
+  *
+  * Streaming front end: `sink(textCol, idCol)(onPairs)` adapts `ingest`
+  * to `writeStream.foreachBatch`, so a curateStream output folds into the
+  * same maintained table per micro-batch.
+  *
+  * Reference behavior anchor: the reference has no incremental dedup; this
+  * extends its batch semantics (SURVEY §2.5) with the accumulate/compact
+  * loop a production crawl pipeline needs.
+  */
+final class IncrementalNearDedup(
+    spark: SparkSession,
+    sigPath: String,
+    shingleSize: Int = 3,
+    numHashes: Int = 64,
+    bands: Int = 16,
+    minJaccard: Double = 0.5,
+    prefilterMargin: Double = 0.2,
+    maxBucketSize: Int = Dedup.DefaultMaxBucketSize) {
+
+  private def tableExists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sigPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** The maintained corpus signature table, if any batch has been
+    * ingested ([[Dedup.signatureTable]] schema: id, sh, minhash_sig).
+    */
+  def corpusSignatures: Option[DataFrame] =
+    if (tableExists) Some(spark.read.parquet(sigPath)) else None
+
+  /** Fold one batch in. Returns the batch's newly discovered verified
+    * pairs `(id_a, id_b, jaccard)` — MATERIALIZED (localCheckpoint)
+    * before the signature append, so the returned frame can never
+    * lazily observe its own fold.
+    */
+  def ingest(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sigsNew = Dedup
+      .signatureTable(docs, textCol, idCol, shingleSize, numHashes)
+      .persist()
+    val pairs = corpusSignatures match {
+      case Some(old) => Dedup.incrementalCandidates(old, sigsNew,
+        numHashes, bands, minJaccard, prefilterMargin, maxBucketSize)
+      case None => Dedup.minHashCandidatesFromSigs(sigsNew,
+        numHashes, bands, minJaccard, prefilterMargin, maxBucketSize)
+    }
+    val out = pairs.localCheckpoint()
+    sigsNew.write.mode("append").parquet(sigPath)
+    sigsNew.unpersist()
+    out
+  }
+
+  /** `writeStream.foreachBatch` adapter: every micro-batch is one
+    * [[ingest]] fold; `onPairs` receives that batch's new pairs (write
+    * them to the pair/cluster table, alert, etc.).
+    */
+  def sink(textCol: String, idCol: String)(
+      onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, epochId) => onPairs(ingest(batch, textCol, idCol), epochId)
+}
