@@ -182,14 +182,26 @@ object BenchScale {
         Dedup.exactGroups(docs, "text", "doc_id").filter(col("n_copies") > 1).count()
       },
       timed("minhash_candidates") {
+        // API DEFAULTS (since r5 that means maxBucketSize =
+        // DefaultMaxBucketSize = 1000): what a caller gets out of the box.
+        // r3/r4 BASELINE rows under this name were the UNCAPPED run —
+        // that series continues under minhash_candidates_uncapped.
         Dedup.minHashCandidates(docs, "text", "doc_id",
           shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5).count()
       },
+      timed("minhash_candidates_uncapped") {
+        // exhaustive-pairing opt-in (maxBucketSize = 0) — the historical
+        // r3/r4 "minhash_candidates" series. KNOWN to wedge a single JVM
+        // at copies>=400 (BASELINE.md r4); skip it for such probes.
+        Dedup.minHashCandidates(docs, "text", "doc_id",
+          shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+          maxBucketSize = 0).count()
+      },
       timed("minhash_candidates_capped") {
-        // the skew valve: boilerplate/word-soup clusters make bucket-pair
-        // formation quadratic in cluster size (the one super-linear term
-        // in the dedup path); capping bucket size restores linearity while
-        // planted near-dups (small buckets) keep full recall
+        // the tight skew valve: boilerplate/word-soup clusters make
+        // bucket-pair formation quadratic in cluster size (the one
+        // super-linear term in the dedup path); a 200 cap restores
+        // linearity while planted near-dups (small buckets) keep recall
         Dedup.minHashCandidates(docs, "text", "doc_id",
           shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
           maxBucketSize = 200).count()
@@ -240,6 +252,28 @@ object BenchScale {
         // corpus-wide first-occurrence segment dedup at word granularity:
         // ~28M segments through the min-struct partial-agg shuffle + join
         Dedup.dedupSegments(docs, "text", "doc_id", sep = " ")
+          .agg(sum(col("n_dropped"))).head().getLong(0)
+      },
+      timed("dedup_paragraphs") {
+        // the REALISTIC C4 shape: paragraph-granularity dedup over a
+        // multi-line corpus. Each doc is reshaped into ~12-word line
+        // paragraphs plus crawl boilerplate — a header line on EVERY doc
+        // and a footer on every 3rd — so the hottest key repeats nDocs
+        // times: exactly the 10^9-repeat regime the min-struct partial
+        // agg must absorb map-side (a per-segment window would pile it
+        // into one reducer).
+        val multi = docs
+          .select(col("doc_id"),
+            expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+          .select(col("doc_id"), concat_ws("\n",
+            lit("shared boilerplate navigation header common to every page"),
+            expr("""array_join(transform(sequence(0, (size(ws)-1) div 12),
+                      i -> array_join(slice(ws, CAST(i*12+1 AS INT), 12), ' ')),
+                    '\n')"""),
+            when(col("doc_id") % 3 === 0,
+              lit("copyright footer boilerplate repeated across the crawl")))
+            .as("text"))
+        Dedup.dedupSegments(multi, "text", "doc_id", sep = "\n")
           .agg(sum(col("n_dropped"))).head().getLong(0)
       },
       timed("repetition_stats") {

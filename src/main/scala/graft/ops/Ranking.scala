@@ -115,7 +115,11 @@ object Ranking {
     * per-partition totals broadcast back as offsets.
     *
     * `orderCols` must be ASCENDING and a total order for deterministic
-    * output. The exclusive variant is `result - srcCol`.
+    * output. The exclusive variant is `result - srcCol`. The frame is
+    * ROWS-explicit (unboundedPreceding..currentRow): if a caller violates
+    * the total-order requirement, tied rows get positional running sums
+    * (order within ties non-deterministic) rather than silently sharing
+    * the peer-inclusive RANGE-frame sum.
     */
   def globalRunningSum(df: DataFrame, srcCol: String, orderCols: Seq[Column],
                        as: String, numPartitions: Int = 0): DataFrame = {
@@ -132,6 +136,7 @@ object Ranking {
       .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
       .take(n).toIndexedSeq
     val w = Window.partitionBy(col(Pid)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn(as,
         sum(col(srcCol).cast("long")).over(w) +

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -44,6 +44,24 @@ object TrainingDataPipeline {
       maxDupWordFrac: Double = 1.0,
       maxTopBigramFrac: Double = 1.0)
 
+  /** Gopher-repetition pass/fail as one per-row column — GramStats
+    * fractions are plain expressions (no shuffle; PlanAuditSpec pins it),
+    * so the gate rides whatever scan it is placed on, batch or streaming.
+    * `lit(true)` when both thresholds are disabled (1.0).
+    */
+  private def repetitionOk(text: Column, cfg: Config): Column =
+    if (cfg.maxDupWordFrac >= 1.0 && cfg.maxTopBigramFrac >= 1.0) lit(true)
+    else {
+      val w = graft.functions.GramStats.col(text, 1)
+      val g = graft.functions.GramStats.col(text, 2)
+      val dupWord = (w.getField("n_grams") - w.getField("n_distinct"))
+        .cast("double") / w.getField("n_grams")
+      val topBigram = g.getField("max_count").cast("double") /
+        g.getField("n_grams")
+      coalesce(dupWord <= cfg.maxDupWordFrac &&
+        topBigram <= cfg.maxTopBigramFrac, lit(true))
+    }
+
   /** Annotate + decide. Returns one row per input document:
     * (idCol, lang_pred, quality_score, n_ws_tokens, keep, drop_reason).
     * Precedence of drop reasons: language, quality, length, repetition
@@ -69,22 +87,7 @@ object TrainingDataPipeline {
     // action, and the iterative dedup stages then pay re-analysis +
     // partial-cache recompute per action (first measurement: 113-400 s
     // vs ~15 s at sf0.1). Lineage truncation is the fix, not caching.
-    val repGateOn = cfg.maxDupWordFrac < 1.0 || cfg.maxTopBigramFrac < 1.0
-    // The repetition gate rides the SAME scan: GramStats fractions are
-    // per-row expressions (no shuffle — PlanAuditSpec pins it), so the
-    // gate costs only the extra expression work when configured.
-    val repOkCol =
-      if (!repGateOn) lit(true)
-      else {
-        val w = graft.functions.GramStats.col(col(textCol), 1)
-        val g = graft.functions.GramStats.col(col(textCol), 2)
-        val dupWord = (w.getField("n_grams") - w.getField("n_distinct"))
-          .cast("double") / w.getField("n_grams")
-        val topBigram = g.getField("max_count").cast("double") /
-          g.getField("n_grams")
-        coalesce(dupWord <= cfg.maxDupWordFrac &&
-          topBigram <= cfg.maxTopBigramFrac, lit(true))
-      }
+    val repOkCol = repetitionOk(col(textCol), cfg)
     val gated = docs.select(col(idCol), col(textCol),
         TextAnalysis.langIdNgramCols(col(textCol))._1.as("lang_pred"),
         TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
@@ -176,7 +179,11 @@ object TrainingDataPipeline {
       .filter(col("lang_pred").isin(cfg.allowedLangs.toSeq: _*) &&
         col("quality_score") >= cfg.minQuality &&
         col("n_ws_tokens") >= cfg.minTokens &&
-        col("n_ws_tokens") <= cfg.maxTokens)
+        col("n_ws_tokens") <= cfg.maxTokens &&
+        // same Gopher-repetition gate as the batch path — per-row
+        // expressions lift to streaming verbatim (previously the
+        // thresholds were silently ignored here)
+        repetitionOk(col(textCol), cfg))
       .withColumn("content_hash", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")

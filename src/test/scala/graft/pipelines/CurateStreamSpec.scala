@@ -35,6 +35,37 @@ class CurateStreamSpec extends SparkSuite {
       .subsetOf(cols))
   }
 
+  test("curateStream honors the Gopher repetition thresholds") {
+    // r4 ADVICE: the streaming path silently ignored
+    // maxDupWordFrac/maxTopBigramFrac. A doc made of one repeated word
+    // must now be dropped when the dup-word gate is configured.
+    // all-distinct words: dup-word fraction 0 (goodText itself is a 5x
+    // repeat and would rightly fail a 0.3 dup-word gate)
+    val varied = (0 until 40).map(i => s"alpha$i beta$i").mkString(" ")
+    val repetitive = ("spam " * 80).trim + " filler tail so length passes"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val query = TrainingDataPipeline.curateStream(
+        stream, "text", "doc_id", "ts", watermark = "10 seconds",
+        cfg = TrainingDataPipeline.Config(maxDupWordFrac = 0.3))
+      .writeStream.format("memory").queryName("cs3")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, varied, new java.sql.Timestamp(1000)),
+      (2L, repetitive, new java.sql.Timestamp(2000)))
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("cs3").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+    // and the same config drops it in the batch path (shared gate)
+    val batch = TrainingDataPipeline.curate(
+        Seq((1L, varied), (2L, repetitive)).toDF("doc_id", "text"),
+        "text", "doc_id",
+        TrainingDataPipeline.Config(maxDupWordFrac = 0.3))
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(batch === Set(1L))
+  }
+
   test("streaming decisions agree with the batch front end") {
     val docs = Seq(
       (1L, goodText), (2L, "x"), (3L, goodText + " more words here"))
