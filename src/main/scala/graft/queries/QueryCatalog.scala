@@ -1224,6 +1224,53 @@ object QueryCatalog {
         MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
       FROM events GROUP BY event_type ORDER BY bank""")),
 
+    // Ordered funnel over the event stream (view -> click -> purchase,
+    // strictly sequential per user) — graft.ops.Funnel; per-step filtered
+    // aggregations keyed on user_id, no stream-wide window.
+    QueryDef("q_funnel", (s, d) =>
+      graft.ops.Funnel.counts(eventsUs(s, d), "user_id", "ts_us",
+        "event_type", Seq("view", "click", "purchase")),
+      Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT s1.user_id, MIN(e.t) AS t2 FROM s1 JOIN e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+                AND e.t >= s1.t1 GROUP BY 1),
+      s3 AS (SELECT s2.user_id, MIN(e.t) AS t3 FROM s2 JOIN e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+                AND e.t >= s2.t2 GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+               (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+      ORDER BY step""")),
+
+    // Weekly cohort retention: cohort = the epoch-week of a user's first
+    // event; one row per (cohort, week offset) with distinct active
+    // users. Two aggregations keyed on user_id / (cohort, offset) — the
+    // user-activity matrix never materializes wider than its distinct
+    // (user, week) pairs.
+    QueryDef("q_cohort_retention", (s, d) => {
+      val wkUs = 7L * 24 * 3600 * 1000000L
+      val userWeeks = eventsUs(s, d)
+        .select(col("user_id"), expr(s"ts_us div $wkUs").as("wk"))
+        .distinct()
+      val cohorts = userWeeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      cohorts.join(userWeeks, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    }, Some("""
+      WITH uw AS (SELECT DISTINCT user_id,
+                    epoch_us(ts) // 604800000000 AS wk FROM events),
+      c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY 1)
+      SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+             COUNT(DISTINCT c.user_id) AS n_users
+      FROM c JOIN uw ON uw.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("daslogs_stats", (s, d) => {
       val ev = t(s, d, "events")
         .withColumn("value_numeric", graft.etl.NexusEtl.valueNumeric(
@@ -2106,6 +2153,83 @@ object QueryCatalog {
       SELECT doc_id,
         CAST(sum(CASE WHEN sgn > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // k-NN majority-vote label eval on the integer-quantized dot product
+    // (same exactness trick as ann_exact): the standard embedding-space
+    // quality probe (label-noise / dataset-cartography pass) — does a
+    // vector's neighborhood agree with its label? Tie-break: most votes,
+    // then smallest label.
+    QueryDef("knn_eval", (s, d) => {
+      val q = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0D + 0.5D) AS BIGINT))").as("e"))
+      val probes = q.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+          col("e").as("pe"))
+      val top = q.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(e, pe, (x, y) -> x*y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("dot").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+      top.groupBy(col("probe_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .groupBy("probe_id", "true_label")
+        .agg(max(struct(col("n_votes"),
+          (-col("label")).cast("long").as("negl"))).as("best"))
+        .select(col("probe_id"),
+          col("true_label").cast("long").as("true_label"),
+          (-col("best.negl")).as("pred_label"),
+          col("best.n_votes").as("n_votes"))
+        .orderBy("probe_id")
+    }, Some("""
+      WITH q AS (SELECT vec_id, label, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, label AS true_label, e AS pe
+            FROM q WHERE vec_id < 50),
+      scored AS (SELECT p.probe_id, p.true_label, q.vec_id, q.label,
+          CAST(list_sum(list_transform(generate_series(1, len(q.e)),
+            i -> q.e[i] * p.pe[i])) AS BIGINT) AS dot
+        FROM p JOIN q ON q.vec_id <> p.probe_id),
+      top AS (SELECT * FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rnk
+          FROM scored) WHERE rnk <= 5),
+      votes AS (SELECT probe_id, true_label, label, COUNT(*) AS n_votes
+                FROM top GROUP BY 1, 2, 3),
+      best AS (SELECT probe_id, true_label, label AS pred_label, n_votes,
+          row_number() OVER (PARTITION BY probe_id
+                             ORDER BY n_votes DESC, label) AS r FROM votes)
+      SELECT probe_id, CAST(true_label AS BIGINT) AS true_label,
+             CAST(pred_label AS BIGINT) AS pred_label,
+             CAST(n_votes AS BIGINT) AS n_votes
+      FROM best WHERE r = 1 ORDER BY probe_id""")),
+
+    // Per-label centroid statistics over the quantized embedding space
+    // (class centroids: IVF warm-start, label-noise screening). One
+    // posexplode + one (label, dim) aggregation — the mean is an exact
+    // long-sum divided once, so the doubles are bit-identical across
+    // engines.
+    QueryDef("embed_label_centroids", (s, d) =>
+      t(s, d, "embeddings").select(col("label"),
+          posexplode(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0D + 0.5D) AS BIGINT))"))
+            .as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("v")).as("sum_q"))
+        .select(col("label").cast("long").as("label"),
+          col("pos").cast("long").as("pos"), col("n_vecs"), col("sum_q"),
+          (col("sum_q").cast("double") / col("n_vecs")).as("mean_q"))
+        .orderBy("label", "pos"),
+      Some("""
+      WITH q AS (SELECT label, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      ex AS (SELECT label, t.pos - 1 AS pos, e[t.pos] AS v
+             FROM q, unnest(generate_series(1, len(e))) AS t(pos))
+      SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        COUNT(*) AS n_vecs, CAST(SUM(v) AS BIGINT) AS sum_q,
+        CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_q
+      FROM ex GROUP BY 1, 2 ORDER BY label, pos""")),
 
     // Portable MinHash+banding rederivation — the exact-correctness
     // anchor for the native dedup path (WordShingles/MinHashSig/
