@@ -77,6 +77,20 @@ object EventScaleProbe {
         3600L * 1000 * 1000, bankCol = Some("event_type"),
         pulseCol = None).count()
     }
+    timed("asof_sql_keyless") {
+      // the r5 keyless-ASOF rewrite at scale: a global (no USING keys)
+      // as-of over every pulse — pre-r5 this planned LEAD over ONE
+      // partition holding the whole right side; now the LEAD is
+      // bucket-partitioned with an aggregate-level stitch
+      ev.select("event_id", "ts_us").createOrReplaceTempView("probe_events")
+      pulses.select("pulse_time", "pulse_index")
+        .createOrReplaceTempView("probe_pulses")
+      spark.sql(
+        s"""SELECT COUNT(pulse_index) AS n
+            FROM probe_events ASOF JOIN probe_pulses
+            MATCH_CONDITION (ts_us >= pulse_time)
+            WITHIN ${3600L * 1000 * 1000}""").head().getLong(0)
+    }
     spark.stop()
   }
 }
