@@ -334,10 +334,12 @@ object Similarity {
       maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
     val b0 = withLshBucket(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", bits, dim)
     val b = if (maxBucketSize > 0) {
-      val ok = b0.groupBy("lsh_bucket").agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") <= maxBucketSize)
+      // anti-join against the (tiny, usually empty) fat-bucket list —
+      // bounded by |corpus| / maxBucketSize rows, so it broadcasts
+      val fat = b0.groupBy("lsh_bucket").agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucketSize)
         .select("lsh_bucket")
-      b0.join(ok, Seq("lsh_bucket"), "left_semi")
+      b0.join(broadcast(fat), Seq("lsh_bucket"), "left_anti")
     } else b0
     val a = b.alias("a")
     val c = b.alias("b")

@@ -235,12 +235,17 @@ object Dedup {
     // is |delta ∩ bucket| x |bucket| per bucket, so a boilerplate bucket
     // on the CORPUS side wedges the increment just as badly as a full
     // run. Bucket sizes are measured over the whole corpus (old + new).
-    val capped = if (maxBucketSize > 0) {
-      val ok = banded(all).groupBy("band_id", "band_hash")
+    val nDocs = all.count()
+    val capped = if (maxBucketSize > 0 && nDocs > maxBucketSize) {
+      val fat = banded(all).groupBy("band_id", "band_hash")
         .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") <= maxBucketSize)
+        .filter(col("__bsz") > maxBucketSize)
         .select("band_id", "band_hash")
-      (df: DataFrame) => df.join(ok, Seq("band_id", "band_hash"), "left_semi")
+      // fat list bounded by |banded| / maxBucketSize rows -> broadcast
+      // anti-join, map-side on both inputs; skipped when the whole
+      // corpus fits inside one cap (no bucket can exceed it)
+      (df: DataFrame) =>
+        df.join(broadcast(fat), Seq("band_id", "band_hash"), "left_anti")
     } else identity[DataFrame] _
     val a = capped(banded(sigsNew)).alias("a")
     val b = capped(banded(all)).alias("b")
@@ -253,7 +258,6 @@ object Dedup {
       .select(least(col("a.id"), col("b.id")).as("id_a"),
               greatest(col("a.id"), col("b.id")).as("id_b"))
       .distinct()
-    val nDocs = all.count()
     val prefiltered = if (nDocs < 50000) candidates else {
       val prefilterAt = math.max(0.0, minJaccard - prefilterMargin)
       candidates
@@ -303,12 +307,24 @@ object Dedup {
     // signatures, and the native BandHashes explode is cheaper than
     // building + reading an 8M-row cache (persisting it measured 2x
     // SLOWER end-to-end at 500k docs).
-    val banded = if (maxBucketSize > 0) {
-      val ok = bandedAll.groupBy("band_id", "band_hash")
+    // The valve joins against the FAT-bucket list, not the OK list: a
+    // bucket must hold > maxBucketSize rows to appear, so the list is
+    // bounded by |banded| / maxBucketSize rows (usually empty) and
+    // broadcasts — the cap then costs one partial-agg pass plus a
+    // map-side anti filter, never a second full shuffle of the banded
+    // rows (the semi-join-against-OK formulation measured ~0.3 s extra
+    // at sf0.1 — fixed overhead a 3 s pipeline notices). When the corpus
+    // itself has <= maxBucketSize docs no bucket CAN exceed the cap, so
+    // the valve is skipped outright (nDocs is counted anyway for the
+    // prefilter decision, and the count materializes the caller's
+    // persisted signature frame before the heavy branches read it).
+    val nDocs = sigs.count()
+    val banded = if (maxBucketSize > 0 && nDocs > maxBucketSize) {
+      val fat = bandedAll.groupBy("band_id", "band_hash")
         .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") <= maxBucketSize)
+        .filter(col("__bsz") > maxBucketSize)
         .select("band_id", "band_hash")
-      bandedAll.join(ok, Seq("band_id", "band_hash"), "left_semi")
+      bandedAll.join(broadcast(fat), Seq("band_id", "band_hash"), "left_anti")
     } else bandedAll
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -333,10 +349,8 @@ object Dedup {
     // verify they would save (measured +0.3 s at 5k docs vs -100 s at
     // 500k), so small corpora go straight to the exact verify — same
     // results either way, the prefilter only prunes pairs the
-    // minJaccard cut would drop anyway. The count is free: it
-    // materializes the persisted signature frame every later branch
-    // reads.
-    val nDocs = sigs.count()
+    // minJaccard cut would drop anyway. (nDocs was counted above, before
+    // the valve decision.)
     val prefiltered = if (nDocs < 50000) candidates else {
       val prefilterAt = math.max(0.0, minJaccard - prefilterMargin)
       candidates
