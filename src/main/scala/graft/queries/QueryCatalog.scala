@@ -1138,6 +1138,34 @@ object QueryCatalog {
         (SELECT max(p.pt) FROM pulses p WHERE p.pt <= epoch_us(e.ts)) AS pulse_time_us
       FROM events e ORDER BY e.event_id""")),
 
+    // Forward (<=) flavor of the ASOF SQL surface — the same correlation
+    // asof_merge_forward runs through the custom SparkPlan, here via the
+    // parser rewrite (LAG/(prev, rt] intervals, per-key MIN(left)-1 cap).
+    QueryDef("asof_sql_forward", (s, d) => {
+      val ev = eventsUs(s, d)
+      ev.select("event_id", "user_id", "ts_us")
+        .createOrReplaceTempView("asof_fwd_ev")
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("ct"))
+        .agg(max(col("event_id")).as("click_id"))
+        .createOrReplaceTempView("asof_fwd_clicks")
+      s.sql(s"""
+        SELECT event_id, click_id, ct AS click_time_us
+        FROM asof_fwd_ev ASOF JOIN asof_fwd_clicks
+          MATCH_CONDITION (ts_us <= ct) USING (user_id) WITHIN $UsPerHour
+        ORDER BY event_id""")
+    }, Some("""
+      WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ct, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+      SELECT e.event_id,
+        (SELECT c.click_id FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ct >= epoch_us(e.ts)
+          ORDER BY c.ct ASC LIMIT 1) AS click_id,
+        (SELECT min(c.ct) FROM clicks c
+          WHERE c.user_id = e.user_id AND c.ct >= epoch_us(e.ts)) AS click_time_us
+      FROM events e ORDER BY e.event_id""")),
+
     QueryDef("events_by_interval", (s, d) => {
       val off = EventTime.withOffsetFromStart(eventsUs(s, d), "ts_us", "off_us")
       EventTime.countByInterval(off, "off_us", 6 * UsPerHour,

@@ -14,14 +14,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   *   <left> ASOF JOIN <right>
-  *     MATCH_CONDITION ( <leftTimeCol> >= <rightTimeCol> )
+  *     MATCH_CONDITION ( <leftTimeCol> >= <rightTimeCol> )   -- backward
+  *     -- or: MATCH_CONDITION ( <leftTimeCol> <= <rightTimeCol> ) forward
   *     [USING (k1, k2, ...)]      -- equality keys joined alongside time
   *     [WITHIN <bucketWidth>]     -- time-bucket width (integer, same
   *                                --  unit as the time columns); default
   *                                --  spark.graft.asof.bucketWidth
   * }}}
   *
-  * (Snowflake's ASOF JOIN grammar, restricted to the backward `>=` match.)
+  * (Snowflake's ASOF JOIN grammar, restricted to `>=` — most recent right
+  * row at-or-before the left time — and `<=` — earliest right row
+  * at-or-after it. The forward rewrite mirrors the backward one with
+  * LAG/(prev, rt] intervals and a per-key MIN(left)-1 cap.)
   * The rewrite produces the same bucketed-interval formulation as
   * [[graft.ops.AsOfJoin.backward]]: intervals from a keyed LEAD window,
   * exploded onto fixed-width buckets, then a plain equi join — never a
@@ -65,11 +69,11 @@ object AsofSqlRewrite {
 
   val BucketConf = "spark.graft.asof.bucketWidth"
 
-  // <l> ASOF JOIN <r> MATCH_CONDITION ( [q.]lt >= [q.]rt )
+  // <l> ASOF JOIN <r> MATCH_CONDITION ( [q.]lt >= [q.]rt )   (or <=)
   //   [USING (k, ...)] [WITHIN n]
   private val Pattern =
     ("""(?is)(\w+)\s+ASOF\s+JOIN\s+(\w+)\s+MATCH_CONDITION\s*""" +
-     """\(\s*(?:\w+\.)?(\w+)\s*>=\s*(?:\w+\.)?(\w+)\s*\)""" +
+     """\(\s*(?:\w+\.)?(\w+)\s*(>=|<=)\s*(?:\w+\.)?(\w+)\s*\)""" +
      """(?:\s+USING\s*\(([^)]*)\))?""" +
      """(?:\s+WITHIN\s+(\d+))?""").r
 
@@ -80,35 +84,44 @@ object AsofSqlRewrite {
 
   private def expand(session: SparkSession,
                      m: scala.util.matching.Regex.Match): String = {
-    val (l, r, lt, rt) = (m.group(1), m.group(2), m.group(3), m.group(4))
-    val keys = Option(m.group(5)).toSeq
+    val (l, r, lt, op, rt) =
+      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
+    val forward = op == "<="
+    val keys = Option(m.group(6)).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val width = Option(m.group(6)).map(_.toLong).getOrElse(
+    val width = Option(m.group(7)).map(_.toLong).getOrElse(
       session.conf.get(BucketConf, "3600").toLong)
     require(width > 0, s"ASOF WITHIN must be positive, got $width")
 
     val keyEquality =
       keys.map(k => s"AND __l.$k = __r.$k ").mkString
-    // USING keys appear once (from the left side); helper cols never leak
-    val exceptRight = (keys :+ "__gae" :+ "__gab").mkString(", ")
+    val keyList = keys.mkString(", ")
+    val partitionBy =
+      if (keys.isEmpty) "" else keys.mkString("PARTITION BY ", ", ", " ")
+    val on = keys.map(k => s"__rr.$k = __gm.$k").mkString(" AND ")
 
-    // Same shape as graft.ops.AsOfJoin.backward: LEAD gives each right
-    // row's interval end, the open last interval is capped at
-    // max(left time)+1 — PER KEY when USING keys are present (a global
-    // cap makes every key's last interval span to the end of the whole
-    // corpus timeline and explode; see AsOfJoin.backward) — intervals
-    // past every left row are dropped, each interval explodes onto its
-    // buckets, and the join is a plain equi join on the bucket.
+    // Backward (lt >= rt): each right row owns the interval
+    // [rt, next_rt), intervals from LEAD; the open LAST interval is
+    // capped at max(left)+1. Forward (lt <= rt): each right row owns
+    // (prev_rt, rt], intervals from LAG; the open FIRST interval is
+    // capped at min(left)-1. Caps are PER KEY when USING keys are
+    // present (a global cap makes every key's open interval span the
+    // whole corpus timeline and explode; see AsOfJoin.backward).
+    // Intervals outside every left row are dropped, each interval
+    // explodes onto its fixed-width buckets, and the join is a plain
+    // equi join on the bucket.
+    //
+    // Keyless: a bare `LEAD/LAG(rt) OVER (ORDER BY rt)` would funnel the
+    // whole right side into ONE partition. Instead the window is
+    // partitioned by the row's time bucket, and the bucket-boundary row
+    // is stitched from the neighboring NON-EMPTY bucket's MIN (backward)
+    // / MAX (forward) via a bucket-level aggregate. The only
+    // single-partition window runs over that aggregate (<= one row per
+    // non-empty bucket, partial-agg'd map-side), never over the data:
+    // the same stitch cost class as Ranking.globalLead's boundary
+    // exchange.
     val innerRight =
-      if (keys.isEmpty)
-        // Keyless: a bare `LEAD(rt) OVER (ORDER BY rt)` would funnel the
-        // whole right side into ONE partition. Instead the LEAD window is
-        // partitioned by the row's time bucket, and each bucket's last
-        // row takes the next NON-EMPTY bucket's MIN(rt) — stitched from a
-        // bucket-level aggregate. The only single-partition window runs
-        // over that aggregate (<= one row per non-empty bucket, partial-
-        // agg'd map-side), never over the data: the same stitch cost
-        // class as Ranking.globalLead's boundary exchange.
+      if (!forward && keys.isEmpty)
         s"""SELECT __rr.* EXCEPT (__gae0, __gb),
                  coalesce(__gae0, __nx.__gnext,
                           (SELECT MAX($lt) + 1 FROM $l)) AS __gae
@@ -121,27 +134,61 @@ object AsofSqlRewrite {
                                   MIN($rt) AS __gmn
                            FROM $r GROUP BY 1) AS __gbm) AS __nx
             ON __rr.__gb = __nx.__gb"""
-      else {
-        val keyList = keys.mkString(", ")
-        val partitionBy = keys.mkString("PARTITION BY ", ", ", " ")
-        val on = keys.map(k => s"__rr.$k = __gm.$k").mkString(" AND ")
+      else if (!forward)
         s"""SELECT __rr.* EXCEPT (__gae0),
                  coalesce(__gae0, __gm.__gcap) AS __gae
           FROM (SELECT *, LEAD($rt) OVER (${partitionBy}ORDER BY $rt) AS __gae0
                 FROM $r) AS __rr
           LEFT JOIN (SELECT $keyList, MAX($lt) + 1 AS __gcap
                      FROM $l GROUP BY $keyList) AS __gm ON $on"""
-      }
-    s"""(
-      SELECT __l.* EXCEPT (__gab), __r.* EXCEPT ($exceptRight)
-      FROM (SELECT *, CAST($lt DIV $width AS BIGINT) AS __gab FROM $l) AS __l
-      LEFT JOIN (
-        SELECT *, explode(sequence(CAST($rt DIV $width AS BIGINT),
-                                   CAST((__gae - 1) DIV $width AS BIGINT))) AS __gab
-        FROM ($innerRight)
-        WHERE $rt < __gae
-      ) AS __r
-      ON __l.__gab = __r.__gab AND __r.$rt <= __l.$lt AND __l.$lt < __r.__gae
-         $keyEquality)"""
+      else if (keys.isEmpty)
+        s"""SELECT __rr.* EXCEPT (__gas0, __gb),
+                 coalesce(__gas0, __nx.__gprev,
+                          (SELECT MIN($lt) - 1 FROM $l)) AS __gas
+          FROM (SELECT *, CAST($rt DIV $width AS BIGINT) AS __gb,
+                       LAG($rt) OVER (PARTITION BY CAST($rt DIV $width AS BIGINT)
+                                      ORDER BY $rt) AS __gas0
+                FROM $r) AS __rr
+          LEFT JOIN (SELECT __gb, LAG(__gmx) OVER (ORDER BY __gb) AS __gprev
+                     FROM (SELECT CAST($rt DIV $width AS BIGINT) AS __gb,
+                                  MAX($rt) AS __gmx
+                           FROM $r GROUP BY 1) AS __gbm) AS __nx
+            ON __rr.__gb = __nx.__gb"""
+      else
+        s"""SELECT __rr.* EXCEPT (__gas0),
+                 coalesce(__gas0, __gm.__gcap) AS __gas
+          FROM (SELECT *, LAG($rt) OVER (${partitionBy}ORDER BY $rt) AS __gas0
+                FROM $r) AS __rr
+          LEFT JOIN (SELECT $keyList, MIN($lt) - 1 AS __gcap
+                     FROM $l GROUP BY $keyList) AS __gm ON $on"""
+
+    if (!forward) {
+      // USING keys appear once (left side); helper cols never leak
+      val exceptRight = (keys :+ "__gae" :+ "__gab").mkString(", ")
+      s"""(
+        SELECT __l.* EXCEPT (__gab), __r.* EXCEPT ($exceptRight)
+        FROM (SELECT *, CAST($lt DIV $width AS BIGINT) AS __gab FROM $l) AS __l
+        LEFT JOIN (
+          SELECT *, explode(sequence(CAST($rt DIV $width AS BIGINT),
+                                     CAST((__gae - 1) DIV $width AS BIGINT))) AS __gab
+          FROM ($innerRight)
+          WHERE $rt < __gae
+        ) AS __r
+        ON __l.__gab = __r.__gab AND __r.$rt <= __l.$lt AND __l.$lt < __r.__gae
+           $keyEquality)"""
+    } else {
+      val exceptRight = (keys :+ "__gas" :+ "__gab").mkString(", ")
+      s"""(
+        SELECT __l.* EXCEPT (__gab), __r.* EXCEPT ($exceptRight)
+        FROM (SELECT *, CAST($lt DIV $width AS BIGINT) AS __gab FROM $l) AS __l
+        LEFT JOIN (
+          SELECT *, explode(sequence(CAST((__gas + 1) DIV $width AS BIGINT),
+                                     CAST($rt DIV $width AS BIGINT))) AS __gab
+          FROM ($innerRight)
+          WHERE $rt > __gas
+        ) AS __r
+        ON __l.__gab = __r.__gab AND __r.$rt >= __l.$lt AND __l.$lt > __r.__gas
+           $keyEquality)"""
+    }
   }
 }

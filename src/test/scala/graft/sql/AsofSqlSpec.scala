@@ -120,6 +120,44 @@ class AsofSqlSpec extends SparkSuite {
       (5L, Some(12L))))  // t=99 -> open last interval, capped at max(t)+1
   }
 
+  test("forward ASOF (<=) matches AsOfMergeJoin.forward, keyed") {
+    mkViews()
+    val sqlOut = spark.sql("""
+      SELECT id, t, pt, pidx
+      FROM asof_left ASOF JOIN asof_right
+        MATCH_CONDITION (t <= pt) USING (k) WITHIN 50
+      ORDER BY id""").as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    val scalaOut = graft.plans.AsOfMergeJoin.forward(
+        spark.table("asof_left"), spark.table("asof_right"),
+        leftTime = "t", rightTime = "pt", keys = Seq("k"),
+        rightCols = Seq("pidx"))
+      .select("id", "t", "pt", "pidx").orderBy("id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(sqlOut === scalaOut)
+    assert(sqlOut === Seq(
+      (1L, 105L, Some(200L), Some(11L)),  // earliest pulse at-or-after
+      (2L, 250L, None, None),             // nothing after the last pulse
+      (3L, 160L, None, None),
+      (4L, 95L, Some(150L), Some(20L))))
+  }
+
+  test("forward keyless ASOF stitches across buckets and empty buckets") {
+    Seq((1L, 4L), (2L, 7L), (3L, 11L), (4L, 31L), (5L, 99L))
+      .toDF("id", "t").createOrReplaceTempView("asof_kf_left")
+    Seq((3L, 10L), (6L, 11L), (30L, 12L))
+      .toDF("rt", "v").createOrReplaceTempView("asof_kf_right")
+    val out = spark.sql("""
+      SELECT id, v FROM asof_kf_left ASOF JOIN asof_kf_right
+        MATCH_CONDITION (t <= rt) WITHIN 10
+      ORDER BY id""").as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some(11L)),   // t=4  -> rt=6 (earliest at-or-after)
+      (2L, Some(12L)),   // t=7  -> rt=30, crossing two empty buckets
+      (3L, Some(12L)),   // t=11 -> rt=30
+      (4L, None),        // t=31 -> past the last pulse
+      (5L, None)))
+  }
+
   test("ASOF JOIN composes inside a larger statement (agg over the join)") {
     mkViews()
     val out = spark.sql("""
