@@ -103,6 +103,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"repetition stats must not window:\n$plan")
   }
 
+  test("funnel: equi-joins keyed on the user column only — no cartesian, " +
+       "no window") {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("ts div 1000").as("ts_us"),
+        org.apache.spark.sql.functions.col("event_type"))
+    val df = graft.ops.Funnel.userSteps(ev, "user_id", "ts_us",
+      "event_type", Seq("view", "click", "purchase"))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel must stay an equi-join chain:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ("),
+      s"funnel must not window over the stream:\n$plan")
+  }
+
   test("vocab/encode/pack: no single-partition window anywhere") {
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = graft.Tables.load(spark, dir, "documents")
