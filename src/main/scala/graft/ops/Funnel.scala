@@ -55,15 +55,22 @@ object Funnel {
 
   /** Funnel counts: one row per step, `(step, step_type, n_users)` —
     * n_users = users whose step-i time exists (strictly sequential).
+    * All step counts come from ONE aggregation over [[userSteps]]
+    * (count skips NULLs), then stack() pivots the single row to
+    * per-step rows — a per-step agg would recompute the whole join
+    * chain k times.
     */
   def counts(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, steps: Seq[String]): DataFrame = {
     val per = userSteps(events, userCol, tsCol, typeCol, steps)
-    val rows = steps.zipWithIndex.map { case (step, i) =>
-      per.agg(count(col(s"step_${i + 1}_ts")).as("n_users"))
-        .select(lit(i + 1L).as("step"), lit(step).as("step_type"),
-          col("n_users"))
-    }
-    rows.reduce(_ unionByName _).orderBy("step")
+    val aggs = steps.indices.map(i =>
+      count(col(s"step_${i + 1}_ts")).as(s"__n${i + 1}"))
+    val stacked = steps.zipWithIndex
+      .map { case (s, i) => s"${i + 1}L, '$s', __n${i + 1}" }
+      .mkString(", ")
+    per.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${steps.size}, $stacked) AS (step, step_type, n_users)"))
+      .orderBy("step")
   }
 }
