@@ -276,6 +276,13 @@ object BenchScale {
         Dedup.dedupSegments(multi, "text", "doc_id", sep = "\n")
           .agg(sum(col("n_dropped"))).head().getLong(0)
       },
+      timed("dedup_substrings") {
+        // Lee et al. exact substring dedup at corpus scale: ~44M 16-token
+        // windows hashed in the scan; only duplicate windows (the planted
+        // exact/near-dup families) fan out to covered positions
+        Dedup.dedupSubstrings(docs, "text", "doc_id", windowTokens = 16)
+          .agg(sum(col("n_dropped_words"))).head().getLong(0)
+      },
       timed("repetition_stats") {
         // Gopher repetition gate at corpus scale: native GramStats keeps
         // the gram frequencies inside the scan (no shuffle). The filter

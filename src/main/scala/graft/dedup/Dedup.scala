@@ -204,6 +204,66 @@ object Dedup {
         (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Exact substring dedup, Lee et al. 2022 style ("Deduplicating
+    * Training Data Makes Language Models Better"): any `windowTokens`-
+    * token window that occurs more than once ACROSS THE WHOLE CORPUS is
+    * a duplicated passage; every occurrence except the global first (by
+    * (id, pos) struct-min) has its covered token positions removed, and
+    * each document is rebuilt from its surviving tokens. Returns
+    * `(id, text_kept, n_kept_words, n_dropped_words)` — one row per
+    * input document (NULL/empty/short docs pass through whole).
+    *
+    * Scale shape: window hashing is a pure fan-out scan (md5 of each
+    * window — the suffix-array construction the paper uses is a
+    * single-node algorithm; hashing costs windowTokens x more bytes but
+    * is embarrassingly parallel and oracle-portable); first-occurrence
+    * selection is the same min-struct PARTIAL-AGG shuffle as
+    * [[dedupSegments]] (never a per-window window function); only
+    * windows with >1 occurrence fan out to covered positions, so the
+    * explode term is bounded by the duplicate mass, not the corpus.
+    */
+  def dedupSubstrings(docs: DataFrame, textCol: String, idCol: String,
+                      windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val ws = docs.select(col(idCol),
+      graft.text.TextAnalysis.spaceTokens(col(textCol)).as("__ws"))
+    val wins = ws.filter(size(col("__ws")) >= windowTokens)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__ws) - $windowTokens),
+              i -> struct(i AS pos,
+                md5(concat_ws(' ',
+                  slice(__ws, CAST(i + 1 AS INT), $windowTokens))) AS h))"""))
+        .as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
+    val firsts = wins.groupBy("h").agg(
+      min(struct(col(idCol).as("fid"), col("pos").as("fpos"))).as("f"),
+      count(lit(1)).as("__nocc"))
+    val dupWins = wins.join(firsts.filter(col("__nocc") > 1), "h")
+      .filter(!(col(idCol) === col("f.fid") && col("pos") === col("f.fpos")))
+      .select(col(idCol).as("__cid"), col("pos"))
+    val covered = dupWins
+      .select(col("__cid"),
+        explode(expr(s"sequence(pos, pos + ${windowTokens - 1})")).as("cpos"))
+      .distinct()
+    val words = ws.select(col(idCol), posexplode(col("__ws")).as(Seq("wpos", "word")))
+    val kept = words.join(covered,
+      words(idCol) === covered("__cid") && col("wpos") === col("cpos"),
+      "left_anti")
+    val rebuilt = kept.groupBy(idCol).agg(
+      expr("array_join(transform(array_sort(collect_list(struct(wpos, word))), x -> x.word), ' ')")
+        .as("text_kept"),
+      count(lit(1)).as("n_kept_words"))
+    val totals = docs.select(col(idCol),
+      coalesce(size(graft.text.TextAnalysis.spaceTokens(col(textCol))), lit(0))
+        .cast("long").as("__n_words"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        coalesce(col("n_kept_words"), lit(0L)).as("n_kept_words"),
+        (col("__n_words") - coalesce(col("n_kept_words"), lit(0L)))
+          .as("n_dropped_words"))
+  }
+
   /** Incremental near-dup candidates for an APPEND-ONLY corpus: given the
     * existing corpus's [[signatureTable]] and the signature table of a
     * newly arrived batch, emit exactly the verified pairs that TOUCH the

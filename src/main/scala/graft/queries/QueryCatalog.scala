@@ -2259,6 +2259,53 @@ object QueryCatalog {
         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_q
       FROM ex GROUP BY 1, 2 ORDER BY label, pos""")),
 
+    // Exact substring dedup (Lee et al. 2022): repeated 8-token windows
+    // across the corpus (here: 50 planted near-copies) are removed from
+    // every occurrence but the global first. Window hashes are md5 so
+    // the DuckDB oracle rederives them bit-exactly.
+    QueryDef("dedup_substrings", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" planted unique tail")).as("text"))
+      Dedup.dedupSubstrings(docs.unionByName(planted), "text", "doc_id",
+          windowTokens = 8)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text || ' planted unique tail' AS text
+        FROM documents WHERE doc_id < 50),
+      base AS (SELECT doc_id,
+          list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+        FROM corpus),
+      wins AS (SELECT doc_id, t.i - 1 AS pos,
+          md5(array_to_string(list_slice(ws, t.i, t.i + 7), ' ')) AS h
+        FROM base, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+        WHERE len(ws) >= 8),
+      occ AS (SELECT doc_id, pos,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+          COUNT(*) OVER (PARTITION BY h) AS n_occ
+        FROM wins),
+      dup AS (SELECT doc_id, pos FROM occ WHERE n_occ > 1 AND rn > 1),
+      cov AS (SELECT DISTINCT doc_id, t.c AS cpos
+        FROM dup, unnest(generate_series(pos, pos + 7)) AS t(c)),
+      words AS (SELECT doc_id, t.i - 1 AS wpos, ws[t.i] AS word
+        FROM base, unnest(generate_series(1, len(ws))) AS t(i)),
+      kept AS (SELECT w.doc_id, w.wpos, w.word FROM words w
+        LEFT JOIN cov ON cov.doc_id = w.doc_id AND cov.cpos = w.wpos
+        WHERE cov.doc_id IS NULL),
+      reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text_kept,
+          COUNT(*) AS n_kept FROM kept GROUP BY 1),
+      tot AS (SELECT doc_id,
+          len(list_filter(string_split_regex(text, ' +'), w -> w <> ''))
+            AS n_words FROM corpus)
+      SELECT t.doc_id, COALESCE(r.text_kept, '') AS text_kept,
+        CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept_words,
+        CAST(t.n_words - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped_words
+      FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""")),
+
     // Portable MinHash+banding rederivation — the exact-correctness
     // anchor for the native dedup path (WordShingles/MinHashSig/
     // BandHashes run on xxhash64, which DuckDB cannot evaluate, so

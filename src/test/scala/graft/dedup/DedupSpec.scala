@@ -96,6 +96,29 @@ class DedupSpec extends SparkSuite {
     assert(pairs(Dedup.DefaultMaxBucketSize).nonEmpty)
   }
 
+  test("dedupSubstrings removes repeated windows corpus-wide, keeps the " +
+       "global first occurrence") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // all windows first-occurrence -> intact
+      (2L, "x y a b c d z"),      // shares windows abc, bcd with doc 1
+      (3L, "a b c d e f"),        // exact copy of doc 1 -> fully removed
+      (4L, "so sh"),              // < windowTokens -> passes through
+      (5L, null)                  // null text -> empty row, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(corpus, "text", "doc_id", windowTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "text_kept", "n_kept_words", "n_dropped_words")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a b c d e f", 6L, 0L),
+      // doc 2: windows 'a b c'@2 and 'b c d'@3 duplicate doc 1's ->
+      // covered positions 2..5 removed, x y z survive
+      (2L, "x y z", 3L, 4L),
+      (3L, "", 0L, 6L),
+      (4L, "so sh", 2L, 0L),
+      (5L, "", 0L, 0L)))
+  }
+
   test("incrementalCandidates skips fat corpus-side buckets under the cap") {
     // 60 identical soup docs in the OLD corpus; the new batch has one
     // near-dup of an ordinary old doc plus one more soup copy. Capped:
