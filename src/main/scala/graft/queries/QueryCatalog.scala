@@ -2259,6 +2259,29 @@ object QueryCatalog {
         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_q
       FROM ex GROUP BY 1, 2 ORDER BY label, pos""")),
 
+    // DSIR-style hashed n-gram features (data selection for LM training,
+    // Xie et al. 2023): per-doc bigram bucket counts with an md5-derived
+    // portable bucket hash — the integer substrate the importance
+    // log-ratio scoring runs on (ratio itself is ScalaTest-pinned; ln
+    // differs in final ulps across engines).
+    QueryDef("dsir_features", (s, d) =>
+      graft.ops.Selection.hashedNgramFeatures(
+          t(s, d, "documents").select("doc_id", "text"),
+          "text", "doc_id", n = 2, buckets = 64)
+        .orderBy("doc_id", "bucket"),
+      Some("""
+      WITH base AS (SELECT doc_id,
+          list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+        FROM documents),
+      g AS (SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] AS gram
+            FROM base, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+            WHERE len(ws) >= 2)
+      SELECT doc_id,
+        CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) % 64
+          AS bucket,
+        COUNT(*) AS n
+      FROM g GROUP BY 1, 2 ORDER BY doc_id, bucket""")),
+
     // Exact substring dedup (Lee et al. 2022): repeated 8-token windows
     // across the corpus (here: 50 planted near-copies) are removed from
     // every occurrence but the global first. Window hashes are md5 so
