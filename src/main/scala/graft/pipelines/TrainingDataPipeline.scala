@@ -147,6 +147,21 @@ object TrainingDataPipeline {
       curate(docs, textCol, idCol, cfg).filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi")
 
+  /** [[cleanCorpus]] followed by Lee-et-al exact substring dedup over the
+    * SURVIVORS (the standard pipeline order: document-level filters and
+    * near-dedup shrink the corpus first, then the passage-level pass
+    * scrubs boilerplate that crosses document boundaries). Returns the
+    * cleaned corpus with `textCol` REWRITTEN to the surviving tokens plus
+    * the (n_kept_words, n_dropped_words) audit columns.
+    */
+  def cleanCorpusWithSubstringDedup(docs: DataFrame, textCol: String,
+                                    idCol: String, windowTokens: Int,
+                                    cfg: Config = Config()): DataFrame = {
+    val survivors = cleanCorpus(docs, textCol, idCol, cfg)
+    Dedup.dedupSubstrings(survivors, textCol, idCol, windowTokens)
+      .withColumnRenamed("text_kept", textCol)
+  }
+
   /** Curation report: kept/dropped counts by reason. */
   def report(decisions: DataFrame): DataFrame =
     decisions.groupBy(coalesce(col("drop_reason"), lit("kept")).as("outcome"))

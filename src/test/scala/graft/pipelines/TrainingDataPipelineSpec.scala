@@ -62,6 +62,29 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("cleanCorpusWithSubstringDedup scrubs cross-doc passages from survivors") {
+    // docs 1 and 6 survive curation; doc 6 gets doc 1's opening passage
+    // appended — the passage-level pass must remove it from doc 6 (doc 1
+    // is the earlier first occurrence) while both docs stay present
+    val sharedTail = "the quick brown fox jumps over the lazy dog and then"
+    val corpus2 = corpus.withColumn("text",
+      when(col("doc_id") === 6L, concat(col("text"), lit(" " + sharedTail)))
+        .otherwise(col("text")))
+    val out = TrainingDataPipeline.cleanCorpusWithSubstringDedup(
+        corpus2, "text", "doc_id", windowTokens = 10)
+      .select("doc_id", "text", "n_dropped_words")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set(1L, 6L))
+    // both fixture texts are internal x2 repeats, so each also loses its
+    // own repeated second half (faithful Lee-et-al behavior); the
+    // cross-doc check is that doc 6's appended copy of doc 1's opening
+    // is gone while doc 6's own opening survives
+    assert(out(6L)._2 > 0L)
+    assert(!out(6L)._1.contains(sharedTail))
+    assert(out(1L)._1.startsWith("the quick brown fox"))
+    assert(out(6L)._1.startsWith("completely different"))
+  }
+
   test("report totals cover the whole corpus") {
     val decisions = TrainingDataPipeline.curate(corpus, "text", "doc_id")
     val rep = TrainingDataPipeline.report(decisions)
