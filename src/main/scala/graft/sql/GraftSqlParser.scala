@@ -71,8 +71,11 @@ object AsofSqlRewrite {
 
   // <l> ASOF JOIN <r> MATCH_CONDITION ( [q.]lt >= [q.]rt )   (or <=)
   //   [USING (k, ...)] [WITHIN n]
+  // Table names may be dot-qualified (db.tbl, global_temp.v, catalog
+  // paths) — the qualified name is interpolated verbatim into the
+  // rewritten FROM clauses.
   private val Pattern =
-    ("""(?is)(\w+)\s+ASOF\s+JOIN\s+(\w+)\s+MATCH_CONDITION\s*""" +
+    ("""(?is)((?:\w+\.)*\w+)\s+ASOF\s+JOIN\s+((?:\w+\.)*\w+)\s+MATCH_CONDITION\s*""" +
      """\(\s*(?:\w+\.)?(\w+)\s*(>=|<=)\s*(?:\w+\.)?(\w+)\s*\)""" +
      """(?:\s+USING\s*\(([^)]*)\))?""" +
      """(?:\s+WITHIN\s+(\d+))?""").r

@@ -103,6 +103,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("Window"), s"repetition stats must not window:\n$plan")
   }
 
+  test("dedupSubstrings: first-occurrence via aggregation, never a " +
+       "per-window window function") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val df = graft.dedup.Dedup.dedupSubstrings(docs, "text", "doc_id", 8)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("WindowExec") && !plan.contains("Window ("),
+      s"substring dedup must not plan a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must stay equi-join/agg shaped:\n$plan")
+  }
+
   test("funnel: equi-joins keyed on the user column only — no cartesian, " +
        "no window") {
     val ev = graft.Tables.load(spark, dir, "events")

@@ -173,6 +173,19 @@ class AsofSqlSpec extends SparkSuite {
     assert(spark.sql("SELECT 1 AS x").as[Int].head() === 1)
   }
 
+  test("dot-qualified table names resolve (global_temp database)") {
+    Seq((1L, 105L, "a"), (4L, 95L, "b"))
+      .toDF("id", "t", "k").createOrReplaceGlobalTempView("asof_gl")
+    Seq((100L, 10L, "a"), (150L, 20L, "b"))
+      .toDF("pt", "pidx", "k").createOrReplaceGlobalTempView("asof_gr")
+    val out = spark.sql("""
+      SELECT id, pidx
+      FROM global_temp.asof_gl ASOF JOIN global_temp.asof_gr
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").as[(Long, Option[Long])].collect().toSeq
+    assert(out === Seq((1L, Some(10L)), (4L, None)))
+  }
+
   test("qualified MATCH_CONDITION columns are accepted (qualifiers stripped)") {
     mkViews()
     val out = spark.sql("""
