@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Similarity
 import graft.dedup.Dedup
+import graft.ops.Selection
 import graft.pipelines.TrainingDataPipeline
 import graft.text.TextAnalysis
 
@@ -282,6 +283,32 @@ object BenchScale {
         // exact/near-dup families) fan out to covered positions
         Dedup.dedupSubstrings(docs, "text", "doc_id", windowTokens = 16)
           .agg(sum(col("n_dropped_words"))).head().getLong(0)
+      },
+      timed("dsir_select") {
+        // DSIR data selection end to end at corpus scale: bigram bucket
+        // features (one native-shingle scan + (id, bucket) partial agg),
+        // target model from a 0.1% slice, log-ratio scoring through two
+        // broadcast 64-row models, deterministic top-30% keep
+        val f = Selection.hashedNgramFeatures(docs, "text", "doc_id",
+          n = 2, buckets = 64).persist()
+        val target = Selection.bucketTotals(Selection.hashedNgramFeatures(
+          docs.filter(col("doc_id") % 1000 === 0), "text", "doc_id",
+          n = 2, buckets = 64))
+        val source = Selection.bucketTotals(f)
+        val n = Selection.selectTopFraction(
+          Selection.importanceLogWeights(f, target, source, 64, "doc_id"),
+          "doc_id", 0.3).count()
+        f.unpersist()
+        n
+      },
+      timed("funnel_3step") {
+        // ordered funnel over the 10M-event stream: 3 filtered
+        // aggregations keyed on user_id, no stream-wide window
+        graft.ops.Funnel.counts(
+          events.withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"))
+          .agg(sum(col("n_users"))).head().getLong(0)
       },
       timed("repetition_stats") {
         // Gopher repetition gate at corpus scale: native GramStats keeps
