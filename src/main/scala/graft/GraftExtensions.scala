@@ -49,8 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => args match {
         case Seq(vec) => graft.functions.LshBucket(vec, 8)
         case Seq(vec, Literal(b: Int, _)) => graft.functions.LshBucket(vec, b)
+        case Seq(vec, Literal(b: Int, _), Literal(t: Int, _)) =>
+          graft.functions.LshBucket(vec, b, t)
         case _ => throw new IllegalArgumentException(
-          "graft_lsh_bucket(vec[, bits]) expects 1 or 2 args")
+          "graft_lsh_bucket(vec[, bits[, table]]) expects 1-3 args")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_gram_stats"),

@@ -58,15 +58,33 @@ object Similarity {
     * instead of bits x dim interpreted lambda dispatches). `dim` is kept
     * for API stability; the expression reads it from the array.
     */
-  def withLshBucket(df: DataFrame, vecCol: String, bits: Int, dim: Int): DataFrame =
-    df.withColumn("lsh_bucket", graft.functions.LshBucket.col(col(vecCol), bits))
+  def withLshBucket(df: DataFrame, vecCol: String, bits: Int, dim: Int,
+      table: Int = 0): DataFrame =
+    df.withColumn("lsh_bucket",
+      graft.functions.LshBucket.col(col(vecCol), bits, table))
+
+  /** Default OR-construction width for [[lshTopK]]: candidates are the
+    * union over this many INDEPENDENT hyperplane tables. r5's measured
+    * recall ladder at (bits=4, k=5) made the single-table default a trap
+    * — 12/100 plain, 43/100 multi-probe — so the default is now
+    * multi-table + multi-probe (recall pinned in the `ann_recall` driver
+    * entry; floor asserted in SimilaritySpec).
+    */
+  val DefaultLshTables = 4
 
   /** LSH-bucketed approximate top-k: probes meet only corpus rows in the
-    * same bucket. One shuffle on lsh_bucket for the corpus side; the probe
-    * side is broadcast per bucket. With `multiProbe` each probe also
-    * visits the `bits` Hamming-1 neighboring buckets (flip one sketch
-    * bit) — the standard recall lever that costs probe-side fan-out only,
-    * never a bigger corpus shuffle.
+    * same bucket. With `tables` > 1 (the default), each vector is
+    * sketched under `tables` independent hyperplane sets and a candidate
+    * pair counts if it collides in ANY table — the classic AND-OR
+    * construction (AND over `bits` within a table, OR across tables).
+    * With `multiProbe` (also default) each probe additionally visits the
+    * `bits` Hamming-1 buckets of every table.
+    *
+    * Scale shape: the corpus side fans out x`tables` rows and shuffles
+    * once on (table, bucket); the probe side is broadcast with
+    * x`tables`·(1+`bits`) fan-out — probe-side cost only. The all-pairs
+    * term never materializes; pair dedup across tables happens on the
+    * projected (probe_id, neighbor_id, cos) triple, not the vectors.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -77,20 +95,32 @@ object Similarity {
       bits: Int,
       dim: Int,
       excludeSelf: Boolean = true,
-      multiProbe: Boolean = false): DataFrame = {
-    val c = withLshBucket(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")), "__cv", bits, dim)
-    val p0 = withLshBucket(probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv")), "__pv", bits, dim)
-    val p = if (!multiProbe) p0 else p0
-      .withColumn("lsh_bucket", explode(expr(
-        s"""array_union(array(lsh_bucket),
+      multiProbe: Boolean = true,
+      tables: Int = DefaultLshTables): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def bucketArr(vec: Column): Column =
+      array((0 until tables).map(t =>
+        graft.functions.LshBucket.col(vec, bits, t)): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col("neighbor_id"), col("__cv"),
+        posexplode(bucketArr(col("__cv"))).as(Seq("__t", "lsh_bucket")))
+    val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .select(col("probe_id"), col("__pv"),
+        posexplode(bucketArr(col("__pv"))).as(Seq("__t", "__b0")))
+    val p = if (!multiProbe) p0.withColumn("lsh_bucket", col("__b0"))
+      else p0.withColumn("lsh_bucket", explode(expr(
+        s"""array_union(array(__b0),
               transform(sequence(0, ${bits - 1}),
-                b -> lsh_bucket ^ shiftleft(CAST(1 AS BIGINT), b)))""")))
-    val joined = c.join(broadcast(p), "lsh_bucket")
+                b -> __b0 ^ shiftleft(CAST(1 AS BIGINT), b)))""")))
+    val joined = c.join(broadcast(p.select("probe_id", "__pv", "__t", "lsh_bucket")),
+      Seq("__t", "lsh_bucket"))
     val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))
     val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
+      // a pair colliding in several tables/probes must rank once
+      .select("probe_id", "neighbor_id", "cos").dropDuplicates("probe_id", "neighbor_id")
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "cos", "rank")

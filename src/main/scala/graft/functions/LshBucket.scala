@@ -18,8 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * and runs. One fused loop instead of bits x dim interpreted lambda
   * dispatches per row.
   */
-case class LshBucket(child: Expression, bits: Int) extends UnaryExpression {
+case class LshBucket(child: Expression, bits: Int, table: Int = 0)
+    extends UnaryExpression {
   require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+  require(table >= 0, "table must be >= 0")
 
   private def elem(dt: DataType): Option[Boolean] = dt match {
     case ArrayType(FloatType, _) => Some(false)
@@ -36,32 +38,39 @@ case class LshBucket(child: Expression, bits: Int) extends UnaryExpression {
   private lazy val isDouble = elem(child.dataType).get
 
   override protected def nullSafeEval(input: Any): Any =
-    LshBucket.compute(input.asInstanceOf[ArrayData], isDouble, bits)
+    LshBucket.compute(input.asInstanceOf[ArrayData], isDouble, bits, table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.LshBucket.compute($c, $isDouble, $bits)")
+      s"graft.functions.LshBucket.compute($c, $isDouble, $bits, $table)")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =
     copy(child = newChild)
 }
 
 object LshBucket {
-  private val planeCache = new ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private val planeCache =
+    new ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
-  /** weight(p, d) = pmod(xxhash64(utf8("p_d"), 42), 2000) / 1000 - 1. */
-  private def planes(bits: Int, dim: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent((bits, dim), { _ =>
+  /** weight(p, d) = pmod(xxhash64(utf8("p_d"), 42), 2000) / 1000 - 1 for
+    * table 0 (the historical sketch, unchanged); table t > 0 salts the
+    * seed string ("t<t>_p_d") for an INDEPENDENT hyperplane set — the
+    * OR-construction lever [[graft.ann.Similarity.lshTopK]] unions
+    * candidates across.
+    */
+  private def planes(bits: Int, dim: Int, table: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((bits, dim, table), { _ =>
       Array.tabulate(bits, dim) { (p, d) =>
-        val s = UTF8String.fromString(s"${p}_${d}")
+        val s = UTF8String.fromString(
+          if (table == 0) s"${p}_${d}" else s"t${table}_${p}_${d}")
         val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         Math.floorMod(h, 2000L).toDouble / 1000.0 - 1.0
       }
     })
 
-  def compute(vec: ArrayData, isDouble: Boolean, bits: Int): Long = {
+  def compute(vec: ArrayData, isDouble: Boolean, bits: Int, table: Int): Long = {
     val dim = vec.numElements()
-    val w = planes(bits, dim)
+    val w = planes(bits, dim, table)
     var bucket = 0L
     var p = 0
     while (p < bits) {
@@ -79,6 +88,6 @@ object LshBucket {
     bucket
   }
 
-  def col(c: Column, bits: Int): Column =
-    GraftColumnShim.column(LshBucket(GraftColumnShim.expression(c), bits))
+  def col(c: Column, bits: Int, table: Int = 0): Column =
+    GraftColumnShim.column(LshBucket(GraftColumnShim.expression(c), bits, table))
 }

@@ -2403,15 +2403,24 @@ object QueryCatalog {
           .select(lit(name).as("variant"), col("recall_pct"))
       recallRow("ivf", Similarity.ivfTopK(em, probes, "vec_id", "embedding",
           k = 5, nLists = 8, nProbe = 3))
+        // the DEFAULT lshTopK path (multi-table OR-construction +
+        // multi-probe) — the row a user's default call delivers
         .unionByName(recallRow("lsh", Similarity.lshTopK(em, probes,
           "vec_id", "embedding", k = 5, bits = 4, dim = 64)))
-        .unionByName(recallRow("lsh_multiprobe", Similarity.lshTopK(em, probes,
-          "vec_id", "embedding", k = 5, bits = 4, dim = 64, multiProbe = true)))
+        // explicit opt-down ladder, kept pinned so the cost/recall
+        // trade of each lever stays driver-visible
+        .unionByName(recallRow("lsh_multiprobe_1table", Similarity.lshTopK(em, probes,
+          "vec_id", "embedding", k = 5, bits = 4, dim = 64,
+          multiProbe = true, tables = 1)))
+        .unionByName(recallRow("lsh_single", Similarity.lshTopK(em, probes,
+          "vec_id", "embedding", k = 5, bits = 4, dim = 64,
+          multiProbe = false, tables = 1)))
         .orderBy("variant")
     }, Some("""
       SELECT 'ivf' AS variant, CAST(73 AS BIGINT) AS recall_pct
-      UNION ALL SELECT 'lsh', 12
-      UNION ALL SELECT 'lsh_multiprobe', 43
+      UNION ALL SELECT 'lsh', 94
+      UNION ALL SELECT 'lsh_multiprobe_1table', 43
+      UNION ALL SELECT 'lsh_single', 12
       ORDER BY variant""")),
 
     // Embedding EXACT dedup at scale: hash-groupBy on the quantized

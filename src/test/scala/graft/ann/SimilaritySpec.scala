@@ -28,26 +28,33 @@ class SimilaritySpec extends SparkSuite {
     assert(out === Seq((4L, 1L), (1L, 2L), (2L, 3L)))
   }
 
-  test("lshTopK achieves decent recall vs brute force on real embeddings") {
+  test("lshTopK recall ladder: single <= multi-probe <= default multi-table") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = em.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(em, probes, "vec_id", "embedding",
-        k = 5, bits = 2, dim = 64)
-      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(multiProbe: Boolean, tables: Int): Double = {
+      val approx = Similarity.lshTopK(em, probes, "vec_id", "embedding",
+          k = 5, bits = 4, dim = 64, multiProbe = multiProbe, tables = tables)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
     // unstructured random embeddings are the worst case for hyperplane
-    // LSH (near-orthogonal neighbors); 2 bits = 4 buckets keeps recall
-    // meaningfully above the 1/4 random-bucket floor
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.15, s"LSH recall $recall too low")
-    assert(approx.nonEmpty)
-    // multi-probe visits Hamming-1 buckets too: recall never decreases
-    val multi = Similarity.lshTopK(em, probes, "vec_id", "embedding",
-        k = 5, bits = 2, dim = 64, multiProbe = true)
-      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recallMulti = (exact intersect multi).size.toDouble / exact.size
-    assert(recallMulti >= recall, s"multi-probe recall $recallMulti < single $recall")
+    // LSH (near-orthogonal neighbors) — exactly why the single-table
+    // no-probe config is an opt-IN, not the default
+    val single = recallOf(multiProbe = false, tables = 1)
+    val multi1 = recallOf(multiProbe = true, tables = 1)
+    val dflt = {
+      val approx = Similarity.lshTopK(em, probes, "vec_id", "embedding",
+          k = 5, bits = 4, dim = 64)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    assert(multi1 >= single, s"multi-probe recall $multi1 < single $single")
+    assert(dflt >= multi1, s"default recall $dflt < 1-table multi-probe $multi1")
+    // the contract the ann_recall driver pin enforces: a DEFAULT call is
+    // not a recall trap
+    assert(dflt >= 0.5, s"default lshTopK recall $dflt below 0.5 floor")
   }
 
   test("ivfTopK recall vs brute force beats the probed-list fraction") {

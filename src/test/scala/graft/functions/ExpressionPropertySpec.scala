@@ -130,7 +130,7 @@ class ExpressionPropertySpec extends AnyFunSuite {
       val bits = 1 + rnd.nextInt(16)
       val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
       val actual = LshBucket.compute(
-        new GenericArrayData(v.map(x => x: Any)), false, bits)
+        new GenericArrayData(v.map(x => x: Any)), false, bits, 0)
       val expected = (0 until bits).foldLeft(0L) { (acc, p) =>
         var dot = 0.0
         for (d <- 0 until dim) {
