@@ -69,30 +69,60 @@ object AsofSqlRewrite {
 
   val BucketConf = "spark.graft.asof.bucketWidth"
 
-  // <l> ASOF JOIN <r> MATCH_CONDITION ( [q.]lt >= [q.]rt )   (or <=)
+  // <l> [[AS] la] ASOF JOIN <r> [[AS] ra] MATCH_CONDITION
+  //   ( [q.]lt >= [q.]rt )   (or <=)
   //   [USING (k, ...)] [WITHIN n]
   // Table names may be dot-qualified (db.tbl, global_temp.v, catalog
   // paths) — the qualified name is interpolated verbatim into the
-  // rewritten FROM clauses.
+  // rewritten FROM clauses. Either relation may carry an alias (AS
+  // optional); aliases are accepted as MATCH_CONDITION qualifiers and
+  // consumed — the join's output columns are UNQUALIFIED, so the
+  // enclosing query must reference them without the alias prefix (the
+  // two sides collapse into one projection; there is no per-side scope
+  // to qualify into).
+  // the keyword guard keeps the optional-alias group from mis-anchoring
+  // one word early (e.g. reading "FROM events ASOF JOIN" as table FROM
+  // aliased events)
   private val Pattern =
-    ("""(?is)((?:\w+\.)*\w+)\s+ASOF\s+JOIN\s+((?:\w+\.)*\w+)\s+MATCH_CONDITION\s*""" +
+    ("""(?is)\b(?!(?:FROM|JOIN|SELECT|WHERE|AS|ON|AND|OR|NOT|UNION|ALL|WITH|CROSS|INNER|LEFT|RIGHT|FULL|LATERAL|ASOF)\b)""" +
+     """((?:\w+\.)*\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(\w+))?""" +
+     """\s+ASOF\s+JOIN\s+""" +
+     """((?:\w+\.)*\w+)(?:\s+(?:AS\s+)?(?!MATCH_CONDITION\b)(\w+))?""" +
+     """\s+MATCH_CONDITION\s*""" +
      """\(\s*(?:\w+\.)?(\w+)\s*(>=|<=)\s*(?:\w+\.)?(\w+)\s*\)""" +
      """(?:\s+USING\s*\(([^)]*)\))?""" +
      """(?:\s+WITHIN\s+(\d+))?""").r
 
+  private val AsofJoinAnywhere = """(?is)\bASOF\s+JOIN\b""".r
+
   def apply(session: SparkSession, sqlText: String): String =
     if (!sqlText.toUpperCase.contains("ASOF")) sqlText
-    else Pattern.replaceAllIn(sqlText, m =>
-      scala.util.matching.Regex.quoteReplacement(expand(session, m)))
+    else {
+      val out = Pattern.replaceAllIn(sqlText, m =>
+        scala.util.matching.Regex.quoteReplacement(expand(session, m)))
+      // an ASOF JOIN the pattern could not consume would otherwise fall
+      // through to Spark's parser and die with a generic syntax error —
+      // name the graft-side limitation instead
+      if (AsofJoinAnywhere.findFirstIn(out).isDefined)
+        throw new IllegalArgumentException(
+          "graft ASOF JOIN: unsupported shape. Supported: " +
+            "<table> [[AS] alias] ASOF JOIN <table> [[AS] alias] " +
+            "MATCH_CONDITION(lt >= rt | lt <= rt) [USING (k, ...)] " +
+            "[WITHIN n] with plain or dot-qualified table/view names. " +
+            "Subqueries and parenthesized relations are not supported — " +
+            "register the subquery as a temp view first " +
+            "(df.createOrReplaceTempView) and join the view.")
+      out
+    }
 
   private def expand(session: SparkSession,
                      m: scala.util.matching.Regex.Match): String = {
     val (l, r, lt, op, rt) =
-      (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
+      (m.group(1), m.group(3), m.group(5), m.group(6), m.group(7))
     val forward = op == "<="
-    val keys = Option(m.group(6)).toSeq
+    val keys = Option(m.group(8)).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val width = Option(m.group(7)).map(_.toLong).getOrElse(
+    val width = Option(m.group(9)).map(_.toLong).getOrElse(
       session.conf.get(BucketConf, "3600").toLong)
     require(width > 0, s"ASOF WITHIN must be positive, got $width")
 

@@ -168,6 +168,40 @@ class AsofSqlSpec extends SparkSuite {
     assert(out === Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("aliased relations are accepted (AS optional, qualifiers stripped)") {
+    mkViews()
+    val expected = spark.sql("""
+      SELECT id, t, pt, pidx
+      FROM asof_left ASOF JOIN asof_right
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    val aliased = spark.sql("""
+      SELECT id, t, pt, pidx
+      FROM asof_left l ASOF JOIN asof_right AS r
+        MATCH_CONDITION (l.t >= r.pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    assert(aliased === expected)
+  }
+
+  test("unsupported ASOF shapes raise a clear graft-side error") {
+    mkViews()
+    // subquery as a relation: not supported by the v1 rewrite — the
+    // error must name the limitation, not fall through to a generic
+    // Spark syntax error
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("""
+        SELECT * FROM (SELECT * FROM asof_left WHERE t > 100) ASOF JOIN
+          asof_right MATCH_CONDITION (t >= pt) USING (k)""")
+    }
+    assert(e.getMessage.contains("graft ASOF JOIN: unsupported shape"))
+    assert(e.getMessage.contains("temp view"))
+    // missing MATCH_CONDITION: same clear error
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("SELECT * FROM asof_left ASOF JOIN asof_right USING (k)")
+    }
+    assert(e2.getMessage.contains("graft ASOF JOIN: unsupported shape"))
+  }
+
   test("non-ASOF SQL is passed through untouched") {
     assert(AsofSqlRewrite(spark, "SELECT 1 AS x") === "SELECT 1 AS x")
     assert(spark.sql("SELECT 1 AS x").as[Int].head() === 1)
