@@ -290,7 +290,8 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       prefilterMargin: Double = 0.2,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      corpusSize: Option[Long] = None): DataFrame = {
     val all = sigsOld.unionByName(sigsNew)
     def banded(df: DataFrame) =
       withBands(df.select("id", "minhash_sig"), numHashes, bands)
@@ -300,7 +301,12 @@ object Dedup {
     // is |delta ∩ bucket| x |bucket| per bucket, so a boilerplate bucket
     // on the CORPUS side wedges the increment just as badly as a full
     // run. Bucket sizes are measured over the whole corpus (old + new).
-    val nDocs = all.count()
+    // The count only steers the cap-skip and prefilter heuristics, so a
+    // caller that MAINTAINS the corpus (IncrementalNearDedup owns the
+    // signature table) passes it via `corpusSize` — at 100 TB an
+    // all.count() here is a full scan of the largest table per daily
+    // batch, paid for two boolean decisions.
+    val nDocs = corpusSize.getOrElse(all.count())
     val capped = if (maxBucketSize > 0 && nDocs > maxBucketSize) {
       val fat = banded(all).groupBy("band_id", "band_hash")
         .agg(count(lit(1)).as("__bsz"))

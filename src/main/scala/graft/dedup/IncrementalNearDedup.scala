@@ -44,36 +44,76 @@ final class IncrementalNearDedup(
 
   /** The maintained corpus signature table, if any batch has been
     * ingested ([[Dedup.signatureTable]] schema: id, sh, minhash_sig).
+    * Ingests land as `epoch=<id>` partition dirs (the discovery column is
+    * projected away here); the streaming sink overwrites ITS epoch's dir
+    * on micro-batch replay, which is what makes the fold exactly-once on
+    * this table across checkpoint restarts.
     */
   def corpusSignatures: Option[DataFrame] =
-    if (tableExists) Some(spark.read.parquet(sigPath)) else None
+    if (tableExists) Some(spark.read.parquet(sigPath)
+      .select("id", "sh", "minhash_sig"))
+    else None
+
+  /** Running corpus size, maintained ACROSS ingests so the per-batch fold
+    * never re-counts the signature table (at 100 TB that count is a full
+    * scan of the largest table per daily batch): seeded once from the
+    * existing table — parquet row-group metadata, not a data scan, via
+    * the pushed-down count — then advanced by each delta's (cheap,
+    * persisted) count.
+    */
+  private var knownCorpusSize: Option[Long] = None
+
+  private def corpusSize: Long = knownCorpusSize.getOrElse {
+    val n = corpusSignatures.map(_.count()).getOrElse(0L)
+    knownCorpusSize = Some(n)
+    n
+  }
 
   /** Fold one batch in. Returns the batch's newly discovered verified
     * pairs `(id_a, id_b, jaccard)` — MATERIALIZED (localCheckpoint)
-    * before the signature append, so the returned frame can never
+    * before the signature write, so the returned frame can never
     * lazily observe its own fold.
     */
-  def ingest(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def ingest(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    ingestInto(docs, textCol, idCol,
+      s"epoch=batch-${java.util.UUID.randomUUID}")
+
+  private def ingestInto(docs: DataFrame, textCol: String, idCol: String,
+                         epochDir: String): DataFrame = {
     val sigsNew = Dedup
       .signatureTable(docs, textCol, idCol, shingleSize, numHashes)
       .persist()
+    val nNew = sigsNew.count()
+    val total = corpusSize + nNew
     val pairs = corpusSignatures match {
       case Some(old) => Dedup.incrementalCandidates(old, sigsNew,
-        numHashes, bands, minJaccard, prefilterMargin, maxBucketSize)
+        numHashes, bands, minJaccard, prefilterMargin, maxBucketSize,
+        corpusSize = Some(total))
       case None => Dedup.minHashCandidatesFromSigs(sigsNew,
         numHashes, bands, minJaccard, prefilterMargin, maxBucketSize)
     }
     val out = pairs.localCheckpoint()
-    sigsNew.write.mode("append").parquet(sigPath)
+    // overwrite of a per-ingest partition dir, not a flat append: a
+    // foreachBatch replay of the same epoch lands in the same dir and
+    // replaces itself — duplicate signatures can never enter the table
+    sigsNew.write.mode("overwrite").parquet(s"$sigPath/$epochDir")
     sigsNew.unpersist()
+    knownCorpusSize = Some(total)
     out
   }
 
   /** `writeStream.foreachBatch` adapter: every micro-batch is one
-    * [[ingest]] fold; `onPairs` receives that batch's new pairs (write
-    * them to the pair/cluster table, alert, etc.).
+    * epoch-keyed ingest fold; `onPairs` receives that batch's new pairs
+    * (write them to the pair/cluster table, alert, etc.).
+    *
+    * Restart semantics with a checkpointed query: the signature table is
+    * EXACTLY-ONCE (a replayed micro-batch overwrites its own epoch dir),
+    * while `onPairs` is at-least-once (a replayed epoch re-reports its
+    * pairs) — idempotent downstream writes, e.g. keyed upserts on
+    * (id_a, id_b), complete the end-to-end guarantee.
     */
   def sink(textCol: String, idCol: String)(
       onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    (batch, epochId) => onPairs(ingest(batch, textCol, idCol), epochId)
+    (batch, epochId) =>
+      onPairs(ingestInto(batch, textCol, idCol, s"epoch=$epochId"), epochId)
 }

@@ -37,6 +37,45 @@ class IncrementalNearDedupSpec extends SparkSuite {
     assert(inc.corpusSignatures.get.count() === 220L)
   }
 
+  test("a provided corpusSize eliminates the full-corpus count job") {
+    // candidates must be identical with and without the provided count,
+    // and the corpusSize run must launch strictly fewer Spark jobs —
+    // the all.count() job is gone (the count only steers the cap-skip /
+    // prefilter booleans, which 300 docs resolve the same way)
+    val docs = mkCorpus(0 until 300).toDF("doc_id", "text")
+    val sigsOld = Dedup.signatureTable(
+      docs.filter(col("doc_id") < 200), "text", "doc_id").persist()
+    val sigsNew = Dedup.signatureTable(
+      docs.filter(col("doc_id") >= 200), "text", "doc_id").persist()
+    try {
+      val sc = spark.sparkContext
+      def countJobs(group: String)(run: => Unit): Int = {
+        sc.setJobGroup(group, group)
+        try run finally sc.clearJobGroup()
+        sc.statusTracker.getJobIdsForGroup(group).length
+      }
+      // materialize both persisted inputs up front — otherwise whichever
+      // variant runs first pays the cache-fill jobs and the comparison
+      // measures caching, not the count
+      sigsOld.count(); sigsNew.count()
+      var withSize: Set[(Long, Long)] = Set.empty
+      var without: Set[(Long, Long)] = Set.empty
+      val jobsWithout = countJobs("inc-counted") {
+        without = Dedup.incrementalCandidates(sigsOld, sigsNew)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      }
+      val jobsWith = countJobs("inc-known-size") {
+        withSize = Dedup.incrementalCandidates(sigsOld, sigsNew,
+            corpusSize = Some(300L))
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      }
+      assert(withSize === without)
+      assert(withSize.nonEmpty)
+      assert(jobsWith < jobsWithout,
+        s"expected fewer jobs with corpusSize ($jobsWith vs $jobsWithout)")
+    } finally { sigsOld.unpersist(); sigsNew.unpersist() }
+  }
+
   test("streaming front end folds micro-batches into the maintained table") {
     val input = MemoryStream[(Long, String)](spark)
     val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -56,5 +95,47 @@ class IncrementalNearDedupSpec extends SparkSuite {
       assert(collected.toSet === full)
       assert(inc.corpusSignatures.get.count() === 120L)
     } finally q.stop()
+  }
+
+  test("checkpointed restart + epoch replay keep the fold exactly-once") {
+    val all = mkCorpus(0 until 120)
+    val sigDir = tmpDir("recover")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("inc_dedup_ckpt").toString
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String)](spark)
+    def startQuery(inc: IncrementalNearDedup) =
+      input.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(inc.sink("text", "doc_id") { (pairs: DataFrame, _: Long) =>
+          collected ++= pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+        })
+        .start()
+    // first incarnation folds batch 1, then the query is killed
+    val q1 = startQuery(new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5))
+    input.addData(all.slice(0, 60)); q1.processAllAvailable(); q1.stop()
+    // process restart: a FRESH instance resumes from the checkpoint and
+    // folds only the unprocessed batch
+    val inc2 = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+    val q2 = startQuery(inc2)
+    try {
+      input.addData(all.slice(60, 120)); q2.processAllAvailable()
+      val full = Dedup.minHashCandidates(all.toDF("doc_id", "text"),
+          "text", "doc_id", minJaccard = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(collected.toSet === full)
+      assert(inc2.corpusSignatures.get.count() === 120L)
+      // crash-between-write-and-commit: foreachBatch REDELIVERS an epoch.
+      // The epoch-dir overwrite makes the table write idempotent — a
+      // fresh incarnation re-folding the last epoch must not grow the
+      // table (pairs are at-least-once by contract; the TABLE is the
+      // exactly-once surface)
+      val inc3 = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+      val lastEpochId = 1L
+      inc3.sink("text", "doc_id")((_, _) => ())(
+        all.slice(60, 120).toDF("doc_id", "text"), lastEpochId)
+      assert(inc3.corpusSignatures.get.count() === 120L)
+      assert(inc3.corpusSignatures.get.select("id").distinct().count() === 120L)
+    } finally q2.stop()
   }
 }
