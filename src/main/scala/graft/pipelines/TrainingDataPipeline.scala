@@ -151,15 +151,63 @@ object TrainingDataPipeline {
     * SURVIVORS (the standard pipeline order: document-level filters and
     * near-dedup shrink the corpus first, then the passage-level pass
     * scrubs boilerplate that crosses document boundaries). Returns the
-    * cleaned corpus with `textCol` REWRITTEN to the surviving tokens plus
-    * the (n_kept_words, n_dropped_words) audit columns.
+    * cleaned corpus — every non-text column preserved — with `textCol`
+    * REWRITTEN to the surviving tokens plus the (n_kept_words,
+    * n_dropped_words) audit columns. NOTE: the rewrite re-joins tokens
+    * with single spaces, so ALL surviving text (touched or not) has its
+    * whitespace runs normalized — the same canonical form every
+    * token-level stage here (shingles, vocab, packing) already assumes.
     */
   def cleanCorpusWithSubstringDedup(docs: DataFrame, textCol: String,
                                     idCol: String, windowTokens: Int,
                                     cfg: Config = Config()): DataFrame = {
     val survivors = cleanCorpus(docs, textCol, idCol, cfg)
-    Dedup.dedupSubstrings(survivors, textCol, idCol, windowTokens)
-      .withColumnRenamed("text_kept", textCol)
+    // dedupSubstrings emits only (id, text_kept, audit); join the rewrite
+    // back on the id so the survivors' remaining columns ride along
+    survivors.drop(textCol).join(
+      Dedup.dedupSubstrings(survivors, textCol, idCol, windowTokens)
+        .withColumnRenamed("text_kept", textCol),
+      Seq(idCol))
+  }
+
+  /** [[curate]] followed by DSIR importance selection against a TARGET
+    * corpus (the distribution to up-weight; Xie et al. 2023 — see
+    * [[graft.ops.Selection]]): the survivors of every curation stage are
+    * scored by the hashed-n-gram log-likelihood ratio target-vs-survivors
+    * and only the top `fraction` stay kept. The selection decision lands
+    * in the SAME audit frame — a curation survivor that selection drops
+    * carries drop_reason `not_selected` (and its log_weight), so
+    * [[report]] accounts for it like any other stage.
+    *
+    * Stage order matches production DSIR use: selection models are fit on
+    * CLEANED data (the source model is the survivor set itself), never on
+    * the raw crawl the earlier stages exist to filter.
+    */
+  def curateWithSelection(docs: DataFrame, textCol: String, idCol: String,
+                          target: DataFrame, fraction: Double,
+                          ngram: Int = 2, buckets: Int = 64,
+                          cfg: Config = Config()): DataFrame = {
+    import graft.ops.Selection
+    val decisions = curate(docs, textCol, idCol, cfg)
+    val survivors = docs.join(
+      decisions.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
+    val feats = Selection.hashedNgramFeatures(survivors, textCol, idCol,
+      ngram, buckets)
+    val weights = Selection.importanceLogWeights(feats,
+      Selection.bucketTotals(
+        Selection.hashedNgramFeatures(target, textCol, idCol, ngram, buckets)),
+      Selection.bucketTotals(feats), buckets, idCol)
+    val selected = Selection.selectTopFraction(weights, idCol, fraction)
+      .withColumn("__selected", lit(true))
+    decisions
+      .join(weights.withColumnRenamed("log_weight", "dsir_log_weight"),
+        Seq(idCol), "left")
+      .join(selected.select(col(idCol), col("__selected")), Seq(idCol), "left")
+      .withColumn("drop_reason",
+        when(col("drop_reason").isNotNull, col("drop_reason"))
+          .when(col("keep") && col("__selected").isNull, "not_selected"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .drop("__selected")
   }
 
   /** Curation report: kept/dropped counts by reason. */

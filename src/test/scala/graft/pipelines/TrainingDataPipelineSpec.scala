@@ -70,8 +70,13 @@ class TrainingDataPipelineSpec extends SparkSuite {
     val corpus2 = corpus.withColumn("text",
       when(col("doc_id") === 6L, concat(col("text"), lit(" " + sharedTail)))
         .otherwise(col("text")))
-    val out = TrainingDataPipeline.cleanCorpusWithSubstringDedup(
-        corpus2, "text", "doc_id", windowTokens = 10)
+      // a non-text column must survive the text rewrite
+      .withColumn("source", concat(lit("crawl-"), col("doc_id")))
+    val cleaned = TrainingDataPipeline.cleanCorpusWithSubstringDedup(
+      corpus2, "text", "doc_id", windowTokens = 10)
+    assert(cleaned.select("doc_id", "source").as[(Long, String)].collect()
+      .toMap === Map(1L -> "crawl-1", 6L -> "crawl-6"))
+    val out = cleaned
       .select("doc_id", "text", "n_dropped_words")
       .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out.keySet === Set(1L, 6L))
@@ -83,6 +88,41 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(!out(6L)._1.contains(sharedTail))
     assert(out(1L)._1.startsWith("the quick brown fox"))
     assert(out(6L)._1.startsWith("completely different"))
+  }
+
+  test("curateWithSelection == standalone Selection over the survivor set") {
+    import graft.ops.Selection
+    // target favors doc 6's engine/query vocabulary over doc 1's fox
+    val target = Seq((100L, "engines of query processing shuffles of the " +
+      "world and query engines again processing shuffles"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataPipeline.curateWithSelection(corpus, "text",
+      "doc_id", target, fraction = 0.5)
+    // survivors of plain curation are docs 1 and 6; fraction 0.5 keeps
+    // exactly the standalone-Selection winner
+    val survivors = TrainingDataPipeline.cleanCorpus(corpus, "text", "doc_id")
+    val feats = Selection.hashedNgramFeatures(survivors, "text", "doc_id")
+    val weights = Selection.importanceLogWeights(feats,
+      Selection.bucketTotals(Selection.hashedNgramFeatures(target, "text", "doc_id")),
+      Selection.bucketTotals(feats), buckets = 64, "doc_id")
+    val expectedKept = Selection.selectTopFraction(weights, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val gotKept = out.filter(col("keep")).select("doc_id").as[Long]
+      .collect().toSet
+    assert(gotKept === expectedKept)
+    assert(expectedKept === Set(6L), "target vocabulary must pick doc 6")
+    // the de-selected survivor is audited, with its weight, not vanished
+    val row6 = out.filter(col("doc_id") === 1L)
+      .select("keep", "drop_reason", "dsir_log_weight").collect().head
+    assert(!row6.getBoolean(0) && row6.getString(1) === "not_selected")
+    assert(!row6.isNullAt(2))
+    // earlier-stage decisions are untouched
+    assert(out.filter(col("doc_id") === 2L).select("drop_reason")
+      .collect().head.getString(0) === "exact_dup")
+    // and the report accounts for every document exactly once
+    val rep = TrainingDataPipeline.report(out).as[(String, Long)].collect().toMap
+    assert(rep.values.sum === 6L)
+    assert(rep("not_selected") === 1L)
   }
 
   test("report totals cover the whole corpus") {
