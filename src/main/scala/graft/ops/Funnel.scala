@@ -30,10 +30,22 @@ object Funnel {
     * omitted (they are the complement of the funnel's first count).
     *
     * @param steps ordered event-type values, length >= 1
+    * @param maxGaps optional per-transition conversion windows, one per
+    *                step AFTER the first (size `steps.size - 1`): step i
+    *                must occur within `maxGaps(i-2)` time units of step
+    *                i-1 ("purchase within 7 days of click"). Units are
+    *                the NUMERIC `tsCol`'s own (e.g. microseconds for an
+    *                epoch-µs column). Empty = unbounded (the default).
+    *                A user who converts only outside the window stalls at
+    *                that step — later events never revive a lapsed step.
     */
   def userSteps(events: DataFrame, userCol: String, tsCol: String,
-                typeCol: String, steps: Seq[String]): DataFrame = {
+                typeCol: String, steps: Seq[String],
+                maxGaps: Seq[Long] = Nil): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
+    require(maxGaps.isEmpty || maxGaps.size == steps.size - 1,
+      s"maxGaps must have one entry per transition (${steps.size - 1}), " +
+        s"got ${maxGaps.size}")
     val first = events.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("step_1_ts"))
@@ -41,15 +53,22 @@ object Funnel {
       val prev = s"step_${i}_ts"
       val cur = s"step_${i + 1}_ts"
       // earliest event of this step's type at-or-after the user's
-      // previous step time: filter the step's events, join on user,
-      // conditional min. The join is keyed on the user column only —
-      // equi-join, broadcast/co-located at scale, never a range join.
+      // previous step time (and inside the transition window, when one
+      // is configured — one extra predicate in the same conditional
+      // min): filter the step's events, join on user, conditional min.
+      // The join is keyed on the user column only — equi-join,
+      // broadcast/co-located at scale, never a range join.
+      val inWindow = maxGaps.lift(i - 1) match {
+        case Some(gap) => col("__t") >= col(prev) &&
+          col("__t") <= col(prev) + lit(gap)
+        case None => col("__t") >= col(prev)
+      }
       val stepEvents = events.filter(col(typeCol) === step)
         .select(col(userCol), col(tsCol).as("__t"))
       val carry = (1 to i).map(j => col(s"step_${j}_ts"))
       acc.join(stepEvents, Seq(userCol), "left")
         .groupBy(col(userCol) +: carry: _*)
-        .agg(min(when(col("__t") >= col(prev), col("__t"))).as(cur))
+        .agg(min(when(inWindow, col("__t"))).as(cur))
     }
   }
 
@@ -61,16 +80,21 @@ object Funnel {
     * chain k times.
     */
   def counts(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
-    val per = userSteps(events, userCol, tsCol, typeCol, steps)
+             typeCol: String, steps: Seq[String],
+             maxGaps: Seq[Long] = Nil): DataFrame = {
+    val per = userSteps(events, userCol, tsCol, typeCol, steps, maxGaps)
     val aggs = steps.indices.map(i =>
       count(col(s"step_${i + 1}_ts")).as(s"__n${i + 1}"))
-    val stacked = steps.zipWithIndex
-      .map { case (s, i) => s"${i + 1}L, '$s', __n${i + 1}" }
-      .mkString(", ")
+    // per-step rows via typed lit() structs, not an interpolated stack()
+    // string — a step value containing a quote must stay data, not SQL
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit((i + 1).toLong).as("step"), lit(s).as("step_type"),
+        col(s"__n${i + 1}").as("n_users"))
+    }
     per.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${steps.size}, $stacked) AS (step, step_type, n_users)"))
+      .select(explode(array(rows: _*)).as("__s"))
+      .select(col("__s.step").as("step"), col("__s.step_type").as("step_type"),
+        col("__s.n_users").as("n_users"))
       .orderBy("step")
   }
 }

@@ -35,6 +35,39 @@ class FunnelSpec extends SparkSuite {
     assert(out === Seq((1L, "view", 3L), (2L, "click", 1L), (3L, "purchase", 1L)))
   }
 
+  test("maxGaps: conversions outside the per-transition window stall") {
+    // u1: click 10 units after view (gap edge, inclusive), purchase 100
+    // after click; u5: click 11 after view — one unit past the window
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 120L, "purchase"),
+      (5L, 10L, "view"), (5L, 21L, "click"), (5L, 22L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.userSteps(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGaps = Seq(10L, 100L))
+      .orderBy("user_id")
+      .select("user_id", "step_1_ts", "step_2_ts", "step_3_ts")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some(10L), Some(20L), Some(120L)),   // both gaps at the edge
+      // u5 stalls at click — a lapsed window is never revived by the
+      // later purchase
+      (5L, Some(10L), None, None)))
+    val counts = Funnel.counts(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGaps = Seq(10L, 100L))
+      .select("step", "n_users").as[(Long, Long)].collect().toSeq
+    assert(counts === Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("counts: a step name containing a quote stays data") {
+    val ev = Seq((1L, 10L, "add'l view"), (1L, 20L, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.counts(ev, "user_id", "ts", "event_type",
+        Seq("add'l view", "click"))
+      .select("step", "step_type", "n_users")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "add'l view", 1L), (2L, "click", 1L)))
+  }
+
   test("same-timestamp step events match at-or-after semantics") {
     val ev = Seq((1L, 10L, "view"), (1L, 10L, "click"))
       .toDF("user_id", "ts", "event_type")
