@@ -352,7 +352,10 @@ object Similarity {
     * elsewhere: a fat bucket means an identical/near-identical embedding
     * cluster, which belongs to exact dedup (checksum or quantized-vector
     * groupBy) run first, or to a higher `bits` resolution. Pass
-    * `maxBucketSize = 0` for exhaustive pairing on a corpus you control.
+    * `maxBucketSize = 0` for exhaustive pairing on a corpus you control —
+    * and because the loss is otherwise SILENT, check
+    * [[cosineDedupSkippedBuckets]] (same arguments): a non-empty result
+    * enumerates exactly the buckets whose pairs this call dropped.
     */
   def cosineDedupCandidates(
       corpus: DataFrame,
@@ -377,5 +380,26 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** The buckets a capped [[cosineDedupCandidates]] call SKIPPED, as
+    * `(lsh_bucket, n_vectors)` — the recall-loss audit for the
+    * single-bucket sketch, where a skipped bucket's pairs are permanently
+    * lost (no bands to recover them). Empty result = the cap was a no-op
+    * and the candidate set is exhaustive. One aggregate pass over the
+    * sketch (same shuffle key as the candidate join); run it alongside
+    * any capped production dedup and alert on non-empty.
+    */
+  def cosineDedupSkippedBuckets(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      dim: Int,
+      maxBucketSize: Int = graft.dedup.Dedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxBucketSize > 0, "audit is for capped runs (maxBucketSize > 0)")
+    withLshBucket(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "v", bits, dim)
+      .groupBy("lsh_bucket").agg(count(lit(1)).as("n_vectors"))
+      .filter(col("n_vectors") > maxBucketSize)
   }
 }

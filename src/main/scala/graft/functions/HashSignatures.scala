@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native signature expressions for the LSH dedup family.
   *
@@ -78,6 +79,172 @@ object MinHashSig {
 
   def col(c: Column, numHashes: Int): Column =
     GraftColumnShim.column(MinHashSig(GraftColumnShim.expression(c), numHashes))
+}
+
+/** [[MinHashSig]]'s ENGINE-PORTABLE twin: identical double-hash minima
+  * `sig[j] = min over shingles of (h1 + j*h2) mod p`, but with h1/h2
+  * taken from the two md5 halves the portable SQL formulation uses —
+  * `conv(substring(md5(x), 1, 15), 16, 10) % p` and the same for chars
+  * 16..30 — so the output is BIT-IDENTICAL to what DuckDB (or any engine
+  * with md5 + string slicing) rederives, while running as one compiled
+  * loop instead of O(shingles x numHashes) interpreted lambda
+  * dispatches (the `transform`/`zip_with` formulation it replaces
+  * measured 75 s vs ~2 s on the 105k-doc dedup_sigs_10k probe).
+  * Empty/null-only input keeps MinHashSig's sentinel-P contract.
+  */
+case class PortableMinHashSig(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"portable_minhash_sig expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_portable_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableMinHashSig.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableMinHashSig.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PortableMinHashSig =
+    copy(child = newChild)
+}
+
+object PortableMinHashSig {
+  import MinHashSig.P
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, P)
+    val md = md5Local.get()
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        md.reset()
+        val d = md.digest(s.getBytes)
+        // hex chars 1..15 (1-based) = nibbles 0..14: bytes 0..7 as an
+        // unsigned big-endian long, dropping the 16th nibble (b7's low)
+        var v0 = 0L
+        var b = 0
+        while (b < 8) { v0 = (v0 << 8) | (d(b) & 0xFFL); b += 1 }
+        val h1 = (v0 >>> 4) % P
+        // hex chars 16..30 = nibbles 15..29: b7's low nibble then bytes
+        // 8..14 — 60 bits
+        var v1 = d(7) & 0xFL
+        b = 8
+        while (b < 15) { v1 = (v1 << 8) | (d(b) & 0xFFL); b += 1 }
+        val h2 = v1 % P
+        var j = 0
+        var v = h1 // (h1 + j*h2) mod P, incrementally like MinHashSig
+        while (j < k) {
+          if (v < mins(j)) mins(j) = v
+          v += h2
+          if (v >= P) v -= P
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def col(c: Column, numHashes: Int): Column =
+    GraftColumnShim.column(
+      PortableMinHashSig(GraftColumnShim.expression(c), numHashes))
+}
+
+/** [[BandHashes]]' ENGINE-PORTABLE twin: band b's hash is the lowercase
+  * md5 HEX STRING of the comma-joined decimal signature slice — exactly
+  * `md5(concat_ws(',', transform(slice(sig, b*r+1, r), x -> CAST(x AS
+  * STRING))))`, which any engine rederives — computed in one fused loop
+  * instead of `bands` interpreted lambda dispatches per row. Output
+  * array<string> of length `bands`.
+  */
+case class PortableBandHashes(child: Expression, bands: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"portable_band_hashes expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_portable_band_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PortableBandHashes.compute(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PortableBandHashes.compute($c, $bands)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PortableBandHashes =
+    copy(child = newChild)
+}
+
+object PortableBandHashes {
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  def compute(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    if (bands <= 0 || n == 0 || n % bands != 0)
+      throw new IllegalArgumentException(
+        s"graft_portable_band_hashes: signature length $n not divisible into $bands bands")
+    val r = n / bands
+    val md = md5Local.get()
+    val out = new Array[AnyRef](bands)
+    val sb = new java.lang.StringBuilder(r * 12)
+    var b = 0
+    var j = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var k = 0
+      while (k < r) {
+        if (k > 0) sb.append(',')
+        sb.append(sig.getLong(j))
+        j += 1
+        k += 1
+      }
+      md.reset()
+      // the joined slice is all ASCII (digits/commas/minus), so the
+      // ISO-8859-1 fast path equals the UTF-8 bytes md5() hashes
+      val d = md.digest(sb.toString.getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+      val hex = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = HexChars((d(i) >> 4) & 0xF)
+        hex(2 * i + 1) = HexChars(d(i) & 0xF)
+        i += 1
+      }
+      out(b) = UTF8String.fromString(new String(hex))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def col(c: Column, bands: Int): Column =
+    GraftColumnShim.column(
+      PortableBandHashes(GraftColumnShim.expression(c), bands))
 }
 
 /** LSH band hashes of a MinHash signature: split the array<long> into

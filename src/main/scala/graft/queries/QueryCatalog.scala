@@ -1275,6 +1275,31 @@ object QueryCatalog {
         UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
       ORDER BY step""")),
 
+    // Funnel with per-transition conversion windows ("click within 1 h of
+    // view, purchase within 1 day of click") — same filtered-agg shape as
+    // q_funnel with one extra predicate per step; a conversion outside
+    // its window stalls the user even if later events exist.
+    QueryDef("q_funnel_window", (s, d) =>
+      graft.ops.Funnel.counts(eventsUs(s, d), "user_id", "ts_us",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGaps = Seq(3600000000L, 86400000000L)),
+      Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT s1.user_id, MIN(e.t) AS t2 FROM s1 JOIN e
+             ON e.user_id = s1.user_id AND e.event_type = 'click'
+                AND e.t >= s1.t1 AND e.t <= s1.t1 + 3600000000 GROUP BY 1),
+      s3 AS (SELECT s2.user_id, MIN(e.t) AS t3 FROM s2 JOIN e
+             ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+                AND e.t >= s2.t2 AND e.t <= s2.t2 + 86400000000 GROUP BY 1)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+               (SELECT COUNT(*) FROM s1) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+      ORDER BY step""")),
+
     // Weekly cohort retention: cohort = the epoch-week of a user's first
     // event; one row per (cohort, week offset) with distinct active
     // users. Two aggregations keyed on user_id / (cohort, offset) — the
@@ -1532,7 +1557,8 @@ object QueryCatalog {
           minCount = 5L, topV = 100L)
         .orderBy("token_id"),
       Some("""
-      WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      WITH w AS (SELECT UNNEST(list_filter(string_split_regex(text, ' +'),
+                   w -> w <> '')) AS word FROM documents),
       c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY 1
             HAVING COUNT(*) >= 5),
       r AS (SELECT word, n,
@@ -1554,31 +1580,41 @@ object QueryCatalog {
           concat_ws(" ", col("token_ids").cast("array<string>")).as("token_ids"))
         .orderBy("doc_id")
     }, Some("""
-      WITH vw AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+      WITH vw AS (SELECT UNNEST(list_filter(string_split_regex(text, ' +'),
+                    w -> w <> '')) AS word FROM documents),
       c AS (SELECT word, COUNT(*) AS n FROM vw GROUP BY 1 HAVING COUNT(*) >= 5),
       r AS (SELECT word,
               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) - 1 AS BIGINT)
                 AS token_id
             FROM c),
       vocab AS (SELECT word, token_id FROM r WHERE token_id < 100),
-      base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      base AS (SELECT doc_id,
+          list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+        FROM documents),
       w AS (SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, ws[pos] AS word
-            FROM base, UNNEST(range(1, len(ws) + 1)) AS t(pos))
-      SELECT doc_id,
-        array_to_string(list(COALESCE(v.token_id, -1) ORDER BY w.pos), ' ')
-          AS token_ids
-      FROM w LEFT JOIN vocab v USING (word)
-      GROUP BY doc_id ORDER BY doc_id""")),
+            FROM base, UNNEST(range(1, len(ws) + 1)) AS t(pos)),
+      enc AS (SELECT doc_id,
+          array_to_string(list(COALESCE(v.token_id, -1) ORDER BY w.pos), ' ')
+            AS token_ids
+        FROM w LEFT JOIN vocab v USING (word) GROUP BY doc_id)
+      -- empty/all-space docs keep a row with an empty encoding, matching
+      -- the Spark side's posexplode_outer per-document contract
+      SELECT b.doc_id, COALESCE(e.token_ids, '') AS token_ids
+      FROM base b LEFT JOIN enc e USING (doc_id) ORDER BY b.doc_id""")),
 
     QueryDef("doc_chunks", (s, d) =>
       TextAnalysis.chunkDocs(t(s, d, "documents"), "text", "doc_id",
           chunkWords = 64, overlapWords = 16)
         .orderBy("doc_id", "chunk_id"),
       Some("""
-      WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      WITH base AS (SELECT doc_id,
+          list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+        FROM documents),
+      -- GREATEST guard: an empty doc still yields one empty chunk (Spark's
+      -- (size-1) div 48 truncates -1/48 to 0; DuckDB's // floors to -1)
       ex AS (
         SELECT doc_id, ws,
-          UNNEST(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_id
+          UNNEST(range(0, GREATEST((len(ws) - 1) // 48, 0) + 1)) AS chunk_id
         FROM base)
       SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         CAST(chunk_id * 48 AS BIGINT) AS word_start,
@@ -1896,22 +1932,69 @@ object QueryCatalog {
       WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""), bench = true),
 
     // scale probe for the dedup map-side path: 21x-replicated corpus
-    // (10.5k docs at any sf), signatures + band hashes only — the part
-    // whose cost is linear in corpus bytes and must stay so
+    // (105k docs at sf0.01), signatures + band hashes only — the part
+    // whose cost is linear in corpus bytes and must stay so. Since r6
+    // the signature math here is the md5-portable double-hash
+    // construction (minhash_portable's, at the full 64-hash/16-band
+    // production shape), so the per-band histogram is ORACLE-EXACT
+    // cross-engine; the native xxhash64 signature path keeps its own
+    // scale coverage in BenchScale (minhash_candidates/simhash_sigs)
+    // and its bench row in dedup_minhash. Signatures run through the
+    // native PortableMinHashSig (md5 double-hash in one fused loop —
+    // bit-identical to the HOF/conv formulation, which is interpreted
+    // and measured 75 s vs ~2 s here): rows stay |docs| until the
+    // 16-band fan-out.
     QueryDef("dedup_sigs_10k", (s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val replicated = docs
         .withColumn("copy", explode(expr("sequence(0, 20)")))
         .select((col("doc_id") * 100 + col("copy")).as("doc_id"),
           concat(col("text"), lit(" rep"), col("copy").cast("string")).as("text"))
-      val banded = Dedup.withBands(
-        Dedup.withMinHashSignature(
-          Dedup.withShingles(replicated, "text", 3), 64), 64, 16)
-      banded.groupBy(col("band.band_id").as("band_id"))
+      replicated
+        // native WordShingles (same space-run-token + whole-doc-shingle
+        // semantics the portable HOF formulation mirrors — the HOF CASE
+        // was 63M interpreted lambda dispatches at this scale)
+        .select(col("doc_id"), array_distinct(
+          graft.functions.WordShingles.col(col("text"), 3)).as("sh"))
+        .select(col("doc_id"),
+          graft.functions.PortableMinHashSig.col(col("sh"), 64).as("sig"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.PortableBandHashes.col(col("sig"), 16))
+          .as(Seq("band_id", "band_hash")))
+        .groupBy(col("band_id").cast("long").as("band_id"))
         .agg(count(lit(1)).as("n"),
-          count_distinct(col("band.band_hash")).as("n_buckets"))
+          count_distinct(col("band_hash")).as("n_buckets"))
         .orderBy("band_id")
-    }, None, bench = true),
+    }, Some("""
+      WITH corpus AS (
+        SELECT doc_id * 100 + t.c AS doc_id, text || ' rep' || CAST(t.c AS VARCHAR) AS text
+        FROM documents, unnest(generate_series(0, 20)) AS t(c)),
+      base AS (SELECT doc_id,
+          list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
+        FROM corpus),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+          THEN list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+          ELSE [array_to_string(ws, ' ')] END) AS sh FROM base),
+      h AS (SELECT doc_id,
+          list_transform(sh, x ->
+            CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS h1s,
+          list_transform(sh, x ->
+            CAST(concat('0x', substring(md5(x), 16, 15)) AS BIGINT) % 2147483647) AS h2s
+        FROM sh),
+      sig AS (SELECT doc_id,
+          list_transform(generate_series(0, 63), j ->
+            list_min(list_transform(generate_series(1, len(h1s)),
+              i -> (h1s[i] + j * h2s[i]) % 2147483647))) AS sig
+        FROM h),
+      band AS (SELECT doc_id, t.b AS band_id,
+          md5(array_to_string(list_transform(
+            list_slice(sig, t.b*4 + 1, t.b*4 + 4), x -> CAST(x AS VARCHAR)), ','))
+            AS band_hash
+        FROM sig, unnest(generate_series(0, 15)) AS t(b))
+      SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n,
+        COUNT(DISTINCT band_hash) AS n_buckets
+      FROM band GROUP BY 1 ORDER BY band_id"""), bench = true),
 
     QueryDef("dedup_simhash", (s, d) =>
       Dedup.withSimHash(t(s, d, "documents").select("doc_id", "text"), "text")
@@ -2275,7 +2358,12 @@ object QueryCatalog {
         FROM documents),
       g AS (SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] AS gram
             FROM base, unnest(generate_series(1, len(ws) - 1)) AS t(i)
-            WHERE len(ws) >= 2)
+            WHERE len(ws) >= 2
+            -- sub-n docs collapse to one whole-doc shingle, mirroring
+            -- WordShingles (same branch minhash_portable pins)
+            UNION ALL
+            SELECT doc_id, array_to_string(ws, ' ') AS gram
+            FROM base WHERE len(ws) < 2)
       SELECT doc_id,
         CAST(concat('0x', substring(md5(gram), 1, 15)) AS BIGINT) % 64
           AS bucket,

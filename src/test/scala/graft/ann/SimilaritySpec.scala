@@ -117,6 +117,13 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.cosineDedupCandidates(corpus.filter(col("vec_id") < 100L),
         "vec_id", "embedding", bits = 6, dim = 3, minCos = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+    // the skip is observable: the audit names the dropped bucket (and is
+    // empty when the cap was a no-op)
+    val skipped = Similarity.cosineDedupSkippedBuckets(corpus,
+      "vec_id", "embedding", bits = 6, dim = 3, maxBucketSize = 10)
+    assert(skipped.select("n_vectors").as[Long].collect().toSeq === Seq(50L))
+    assert(Similarity.cosineDedupSkippedBuckets(corpus,
+      "vec_id", "embedding", bits = 6, dim = 3).isEmpty)
   }
 
   test("ivfIndex built once serves repeated probe batches identically") {

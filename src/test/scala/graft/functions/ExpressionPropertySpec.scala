@@ -124,6 +124,48 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PortableMinHashSig matches the hex-substring md5 reference") {
+    val P = 2147483647L
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(64)
+      val shingles = (0 until (1 + rnd.nextInt(30))).map(_ => randomText())
+      val actual = PortableMinHashSig.compute(
+        new GenericArrayData(shingles.map(UTF8String.fromString(_): Any).toArray), k)
+      // reference path: full hex string + parseLong, the exact shape of
+      // the SQL conv(substring(md5(x), 1|16, 15), 16, 10) % p oracle
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = Array.fill(k)(P)
+      for (s <- shingles) {
+        val hex = md.digest(s.getBytes("UTF-8"))
+          .map(b => f"${b & 0xFF}%02x").mkString
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16) % P
+        val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16) % P
+        for (j <- 0 until k) {
+          val v = (h1 + j * h2) % P
+          if (v < expected(j)) expected(j) = v
+        }
+      }
+      assert(actual.toLongArray().toSeq === expected.toSeq)
+    }
+  }
+
+  test("PortableBandHashes matches a string-built md5-hex reference") {
+    for (_ <- 1 to 200) {
+      val bands = 1 + rnd.nextInt(8)
+      val r = 1 + rnd.nextInt(8)
+      val sig = Array.fill(bands * r)(rnd.nextLong().abs % 2147483647L)
+      val actual = PortableBandHashes.compute(
+        new GenericArrayData(sig.map(x => x: Any)), bands)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = (0 until bands).map { b =>
+        val joined = sig.slice(b * r, (b + 1) * r).mkString(",")
+        md.digest(joined.getBytes("UTF-8"))
+          .map(x => f"${x & 0xFF}%02x").mkString
+      }
+      assert((0 until bands).map(actual.getUTF8String(_).toString) === expected)
+    }
+  }
+
   test("LshBucket sign bits match a recomputed-plane reference") {
     for (_ <- 1 to 100) {
       val dim = 1 + rnd.nextInt(64)
