@@ -285,21 +285,25 @@ object BenchScale {
           .agg(sum(col("n_dropped_words"))).head().getLong(0)
       },
       timed("dsir_select") {
-        // DSIR data selection end to end at corpus scale: bigram bucket
-        // features (one native-shingle scan + (id, bucket) partial agg),
-        // target model from a 0.1% slice, log-ratio scoring through two
-        // broadcast 64-row models, deterministic top-30% keep
-        val f = Selection.hashedNgramFeatures(docs, "text", "doc_id",
-          n = 2, buckets = 64).persist()
-        val target = Selection.bucketTotals(Selection.hashedNgramFeatures(
-          docs.filter(col("doc_id") % 1000 === 0), "text", "doc_id",
-          n = 2, buckets = 64))
-        val source = Selection.bucketTotals(f)
-        val n = Selection.selectTopFraction(
-          Selection.importanceLogWeights(f, target, source, 64, "doc_id"),
+        // DSIR data selection end to end at corpus scale, on the VECTOR
+        // path: per-doc bucket-count arrays inside the scan (native
+        // HashedBucketCounts — map-only, no (id, bucket) shuffle), model
+        // totals as 64 columnar sums, scoring as a static literal-
+        // coefficient sum, deterministic top-30% keep. The row form
+        // (hashedNgramFeatures) exists for the cross-engine oracle; at
+        // 2M docs it shuffled 67M feature rows TWICE and ran 43.9 s vs
+        // ~7 s here — r6's root-caused superlinear term.
+        val fv = Selection.hashedNgramFeatureVectors(docs, "text", "doc_id",
+          n = 2, buckets = 64)
+        val target = Selection.bucketTotalsFromVectors(
+          Selection.hashedNgramFeatureVectors(
+            docs.filter(col("doc_id") % 1000 === 0), "text", "doc_id",
+            n = 2, buckets = 64), 64)
+        val source = Selection.bucketTotalsFromVectors(fv, 64)
+        Selection.selectTopFraction(
+          Selection.importanceLogWeightsFromVectors(fv, target, source,
+            64, "doc_id"),
           "doc_id", 0.3).count()
-        f.unpersist()
-        n
       },
       timed("funnel_3step") {
         // ordered funnel over the 10M-event stream: 3 filtered

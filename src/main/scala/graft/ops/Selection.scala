@@ -83,15 +83,81 @@ object Selection {
     * weight desc, then id asc via [[Ranking.globalRowNumber]] — no
     * single-partition window). Returns the selected `(idCol,
     * log_weight)` rows.
+    *
+    * The input is materialized first (localCheckpoint): this function
+    * consumes `weights` TWICE (the sizing count, then the rank pass), and
+    * a lazy upstream — the whole featurize+score pipeline — would run
+    * end to end for each (measured: select_top 44 s vs weights 26 s at
+    * 2M docs before the truncation). The weight frame itself is tiny
+    * (one id + one double per doc).
     */
   def selectTopFraction(weights: DataFrame, idCol: String,
                         fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, "fraction in (0, 1]")
-    val n = weights.count()
+    val w = weights.localCheckpoint()
+    val n = w.count()
     val keep = math.max(1L, math.ceil(n * fraction).toLong)
-    Ranking.globalRowNumber(weights,
+    Ranking.globalRowNumber(w,
         Seq(col("log_weight").desc, col(idCol)), "__rn")
       .filter(col("__rn") <= keep)
       .select(col(idCol), col("log_weight"))
+  }
+
+  /** SCALE PATH featurization: the same md5-bucket counts as
+    * [[hashedNgramFeatures]] but as one fixed-width vector per document,
+    * computed inside the scan by the native
+    * [[graft.functions.HashedBucketCounts]] expression — map-only, no
+    * (id, bucket) shuffle (67M shuffled rows at 2M docs in the row
+    * form). Returns `(idCol, fv array<long> of length buckets)`.
+    */
+  def hashedNgramFeatureVectors(docs: DataFrame, textCol: String,
+                                idCol: String, n: Int = 2,
+                                buckets: Int = 64): DataFrame = {
+    require(n > 0 && buckets > 0, "need n > 0 and buckets > 0")
+    docs.select(col(idCol),
+      graft.functions.HashedBucketCounts.col(
+        graft.functions.WordShingles.col(col(textCol), n), buckets).as("fv"))
+  }
+
+  /** Corpus bucket totals from the vector form: `buckets` columnar sums,
+    * partial-aggregated map-side — no explode. Output matches
+    * [[bucketTotals]] (zero-count buckets omitted).
+    */
+  def bucketTotalsFromVectors(vecFeatures: DataFrame,
+                              buckets: Int): DataFrame = {
+    val sums = (0 until buckets).map(i =>
+      sum(col("fv").getItem(i)).as(s"__s$i"))
+    val row = vecFeatures.agg(sums.head, sums.tail: _*)
+    row.select(posexplode(array((0 until buckets).map(i =>
+        coalesce(col(s"__s$i"), lit(0L))): _*)).as(Seq("bucket", "total")))
+      .filter(col("total") > 0)
+      .select(col("bucket").cast("long").as("bucket"), col("total"))
+  }
+
+  /** DSIR log-weights from the vector form: the per-bucket log-ratio
+    * model collapses to a LITERAL coefficient array (k doubles — k-bucket
+    * models are driver-safe by the same argument as k-means centroids),
+    * so scoring is a static codegen sum `Σ_b fv[b] * (ln p_t(b) − ln
+    * p_s(b))` with ZERO joins and ZERO shuffles — compare
+    * [[importanceLogWeights]]' broadcast-join + per-doc re-aggregation,
+    * whose (id, bucket) shuffle is the row-form cost this path deletes.
+    * Same add-one smoothing; same output `(idCol, log_weight)`.
+    */
+  def importanceLogWeightsFromVectors(vecFeatures: DataFrame,
+                                      target: DataFrame, source: DataFrame,
+                                      buckets: Int, idCol: String): DataFrame = {
+    def logModel(totals: DataFrame): Array[Double] = {
+      val m = totals.collect().map(r =>
+        r.getLong(0).toInt -> r.getLong(1)).toMap
+      val grand = m.values.sum
+      Array.tabulate(buckets)(b =>
+        math.log((m.getOrElse(b, 0L) + 1).toDouble / (grand + buckets)))
+    }
+    val lpt = logModel(target)
+    val lps = logModel(source)
+    val terms = (0 until buckets).map(b =>
+      col("fv").getItem(b).cast("double") * lit(lpt(b) - lps(b)))
+    vecFeatures.select(col(idCol),
+      terms.reduce(_ + _).as("log_weight"))
   }
 }
