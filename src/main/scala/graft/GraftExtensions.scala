@@ -82,6 +82,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_band_hashes(sig[, bands]) expects 1 or 2 args")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_portable_minhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.functions.PortableMinHashSig].getName,
+        "graft_portable_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sh) => graft.functions.PortableMinHashSig(sh, 64)
+        case Seq(sh, Literal(k: Int, _)) =>
+          graft.functions.PortableMinHashSig(sh, k)
+        case _ => throw new IllegalArgumentException(
+          "graft_portable_minhash_sig(shingles[, numHashes]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_portable_band_hashes"),
+      new ExpressionInfo(
+        classOf[graft.functions.PortableBandHashes].getName,
+        "graft_portable_band_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(sig) => graft.functions.PortableBandHashes(sig, 16)
+        case Seq(sig, Literal(b: Int, _)) =>
+          graft.functions.PortableBandHashes(sig, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_portable_band_hashes(sig[, bands]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hashed_bucket_counts"),
+      new ExpressionInfo(
+        classOf[graft.functions.HashedBucketCounts].getName,
+        "graft_hashed_bucket_counts"),
+      (args: Seq[Expression]) => args match {
+        case Seq(el) => graft.functions.HashedBucketCounts(el, 64)
+        case Seq(el, Literal(b: Int, _)) =>
+          graft.functions.HashedBucketCounts(el, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_hashed_bucket_counts(elems[, buckets]) expects 1 or 2 args")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => args match {

@@ -2427,30 +2427,22 @@ object QueryCatalog {
     // sig[j] = min over shingles of (h1 + j*h2) mod p with h1/h2 the two
     // md5 halves and p = 2^31-1, 16 hashes banded 4x4, band hash =
     // md5 of the comma-joined band slice.
-    QueryDef("minhash_portable", (s, d) => {
-      val p = 2147483647L
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"),
-          expr("filter(split(text, ' +'), w -> w != '')").as("ws"))
-        .select(col("doc_id"), explode(array_distinct(expr(
-          """CASE WHEN size(ws) >= 3
-               THEN transform(sequence(0, size(ws) - 3),
-                      i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-               ELSE array(concat_ws(' ', ws)) END"""))).as("sh"))
-      val h = sh.select(col("doc_id"),
-        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"), lit(p)).as("h1"),
-        pmod(conv(substring(md5(col("sh")), 16, 15), 16, 10).cast("long"), lit(p)).as("h2"))
-      h.select(col("doc_id"), col("h1"), col("h2"),
-          explode(expr("sequence(0, 15)")).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(min(pmod(col("h1") + col("j") * col("h2"), lit(p))).as("s"))
-        .withColumn("band_id", expr("j div 4"))
-        .groupBy("doc_id", "band_id")
-        .agg(md5(expr(
-          "concat_ws(',', transform(array_sort(collect_list(struct(j, s))), x -> CAST(x.s AS STRING)))"))
-          .as("band_hash"))
-        .orderBy("doc_id", "band_id")
-    }, Some("""
+    QueryDef("minhash_portable", (s, d) =>
+      // native portable twins (PortableMinHashSig/PortableBandHashes):
+      // bit-identical to the conv/substring/md5 HOF formulation this
+      // query originally spelled out (property- and SQL-spec-pinned),
+      // in two fused loops instead of an explode x16 shuffle
+      t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(
+          graft.functions.WordShingles.col(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.PortableBandHashes.col(
+            graft.functions.PortableMinHashSig.col(col("sh"), 16), 4))
+          .as(Seq("band_id", "band_hash")))
+        .select(col("doc_id"), col("band_id").cast("long").as("band_id"),
+          col("band_hash"))
+        .orderBy("doc_id", "band_id"),
+    Some("""
       WITH base AS (SELECT doc_id,
           list_filter(string_split_regex(text, ' +'), w -> w <> '') AS ws
         FROM documents),

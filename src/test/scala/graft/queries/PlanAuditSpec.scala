@@ -131,6 +131,40 @@ class PlanAuditSpec extends SparkSuite {
       s"funnel must not window over the stream:\n$plan")
   }
 
+  test("DSIR vector path: featurization and scoring are shuffle-free") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    import graft.ops.Selection
+    val fv = Selection.hashedNgramFeatureVectors(docs, "text", "doc_id")
+    assert(!fv.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("Exchange"),
+      "vector featurization must be map-only")
+    // scoring = literal-coefficient sum: still no exchange end to end
+    val target = Selection.bucketTotalsFromVectors(
+      Selection.hashedNgramFeatureVectors(
+        docs.limit(20), "text", "doc_id"), 64)
+    val w = Selection.importanceLogWeightsFromVectors(fv, target,
+      Selection.bucketTotalsFromVectors(fv, 64), 64, "doc_id")
+    assert(!w.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("Exchange"),
+      "vector scoring must be map-only (models are literals, not joins)")
+  }
+
+  test("lshTopK default: probe side broadcasts; no cartesian/NLJ") {
+    val em = graft.Tables.load(spark, dir, "embeddings")
+    val plan = graft.ann.Similarity.lshTopK(em,
+        em.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "multi-table OR-construction must stay an equi-join on (table, bucket)")
+  }
+
   test("vocab/encode/pack: no single-partition window anywhere") {
     import org.apache.spark.sql.execution.window.WindowExec
     val docs = graft.Tables.load(spark, dir, "documents")

@@ -33,6 +33,32 @@ class NativeFunctionsSqlSpec extends SparkSuite {
     assert(out(1L)._2 === viaCol)
   }
 
+  test("portable md5 expressions compute in SQL and match their SQL-builtin twins") {
+    Seq((1L, "a b c d e f g")).toDF("id", "text")
+      .createOrReplaceTempView("nf_port")
+    val r = spark.sql("""
+      SELECT
+        graft_portable_minhash_sig(graft_word_shingles(text, 3), 16) AS sig,
+        graft_portable_band_hashes(
+          graft_portable_minhash_sig(graft_word_shingles(text, 3), 16), 4) AS bands,
+        graft_hashed_bucket_counts(graft_word_shingles(text, 2), 8) AS fv,
+        transform(sequence(0, 15), j -> array_min(transform(
+          graft_word_shingles(text, 3), x ->
+            pmod(CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)
+                 + j * pmod(CAST(conv(substring(md5(x), 16, 15), 16, 10) AS BIGINT),
+                            2147483647L),
+                 2147483647L)))) AS sig_ref
+      FROM nf_port""").collect().head
+    // the fused loop reproduces the conv/substring/md5 HOF formulation
+    // (modular arithmetic note: h1 < p, so pmod(h1 + j*pmod(h2), p)
+    // equals pmod(h1 + j*h2, p))
+    assert(r.getSeq[Long](0) === r.getSeq[Long](3))
+    assert(r.getSeq[String](1).size === 4)
+    assert(r.getSeq[String](1).forall(_.length === 32))
+    val fv = r.getSeq[Long](2)
+    assert(fv.size === 8 && fv.sum === 6L) // 6 bigrams from 7 tokens
+  }
+
   test("similarity functions compute in SQL: jaccard, sig agreement, cosine") {
     val r = spark.sql("""
       SELECT
