@@ -291,12 +291,27 @@ object Dedup {
       minJaccard: Double = 0.5,
       prefilterMargin: Double = 0.2,
       maxBucketSize: Int = DefaultMaxBucketSize,
-      corpusSize: Option[Long] = None): DataFrame = {
+      corpusSize: Option[Long] = None,
+      bandedOld: Option[DataFrame] = None,
+      broadcastDelta: Boolean = false): DataFrame = {
     val all = sigsOld.unionByName(sigsNew)
     def banded(df: DataFrame) =
       withBands(df.select("id", "minhash_sig"), numHashes, bands)
         .select(col("id"), col("band.band_id").as("band_id"),
                 col("band.band_hash").as("band_hash"))
+    // The corpus-side banded form is consumed TWICE (fat-bucket sizing +
+    // the join's b side). A maintaining caller passes it precomputed via
+    // `bandedOld` (schema id, band_id, band_hash — IncrementalNearDedup
+    // appends it at each ingest alongside the signatures): the per-fold
+    // cost then reads a slim 3-column table instead of re-hashing every
+    // corpus signature twice per batch. Without it, banding is
+    // recomputed from `sigsOld` (correct, just O(corpus) extra work).
+    val bandedNew = banded(sigsNew)
+    val bandedAll = bandedOld match {
+      case Some(pre) => pre.select("id", "band_id", "band_hash")
+        .unionByName(bandedNew)
+      case None => banded(all)
+    }
     // Same fat-bucket valve as minHashCandidatesFromSigs: the join term
     // is |delta ∩ bucket| x |bucket| per bucket, so a boilerplate bucket
     // on the CORPUS side wedges the increment just as badly as a full
@@ -308,7 +323,7 @@ object Dedup {
     // batch, paid for two boolean decisions.
     val nDocs = corpusSize.getOrElse(all.count())
     val capped = if (maxBucketSize > 0 && nDocs > maxBucketSize) {
-      val fat = banded(all).groupBy("band_id", "band_hash")
+      val fat = bandedAll.groupBy("band_id", "band_hash")
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > maxBucketSize)
         .select("band_id", "band_hash")
@@ -318,8 +333,15 @@ object Dedup {
       (df: DataFrame) =>
         df.join(broadcast(fat), Seq("band_id", "band_hash"), "left_anti")
     } else identity[DataFrame] _
-    val a = capped(banded(sigsNew)).alias("a")
-    val b = capped(banded(all)).alias("b")
+    // The natural plan shuffles BOTH join sides on (band_id, band_hash) —
+    // an O(corpus) shuffle per fold. The incremental contract is
+    // delta ≪ corpus, so a maintaining caller sets `broadcastDelta` when
+    // the delta's banded rows fit a broadcast (IncrementalNearDedup
+    // gates on the delta count it already has): the join then probes the
+    // corpus-banded scan MAP-SIDE — one pass, zero corpus shuffle.
+    val aSide = capped(bandedNew)
+    val a = (if (broadcastDelta) broadcast(aSide) else aSide).alias("a")
+    val b = capped(bandedAll).alias("b")
     // pair (min, max) so new-old and new-new pairs normalize identically;
     // a.id != b.id excludes self-pairs, distinct collapses multi-band hits
     val candidates = a.join(b,
@@ -331,9 +353,20 @@ object Dedup {
       .distinct()
     val prefiltered = if (nDocs < 50000) candidates else {
       val prefilterAt = math.max(0.0, minJaccard - prefilterMargin)
-      candidates
-        .join(all.select(col("id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
-        .join(all.select(col("id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
+      // `all` is typically a parquet-backed maintained table here (not a
+      // caller-persisted frame like minHashCandidatesFromSigs'), so
+      // joining it twice re-scans the corpus twice per fold. Fetch the
+      // candidate-involved signatures in ONE semi-join pass and join the
+      // (small, checkpointed) lookup instead.
+      val cand = candidates.localCheckpoint()
+      val ids = cand.select(col("id_a").as("id"))
+        .unionByName(cand.select(col("id_b").as("id"))).distinct()
+      val sigLookup = all.select("id", "minhash_sig")
+        .join(ids, Seq("id"), "left_semi")
+        .localCheckpoint()
+      cand
+        .join(sigLookup.select(col("id").as("id_a"), col("minhash_sig").as("sig_a")), "id_a")
+        .join(sigLookup.select(col("id").as("id_b"), col("minhash_sig").as("sig_b")), "id_b")
         .filter(graft.functions.SigAgreement.col(col("sig_a"), col("sig_b"))
           >= prefilterAt)
         .select("id_a", "id_b")
@@ -453,7 +486,12 @@ object Dedup {
     val p = pairs.localCheckpoint()
     val ids = p.select(col("id_a").as("id"))
       .unionByName(p.select(col("id_b").as("id"))).distinct()
+    // the lookup feeds BOTH payload joins (sh_a, sh_b) — materialize it
+    // or the corpus-wide semi-join scan runs twice; it holds only the
+    // candidate-involved rows (<= 2 x |pairs|), so the checkpoint is
+    // small even when `sigs` is a parquet-backed maintained table
     val sh = sigs.join(ids, Seq("id"), "left_semi").select("id", "sh")
+      .localCheckpoint()
     p
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

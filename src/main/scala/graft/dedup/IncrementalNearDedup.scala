@@ -36,11 +36,14 @@ final class IncrementalNearDedup(
     prefilterMargin: Double = 0.2,
     maxBucketSize: Int = Dedup.DefaultMaxBucketSize) {
 
-  private def tableExists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(sigPath)
+  private def bandedPath = sigPath + "_banded"
+
+  private def exists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p)
   }
+  private def tableExists: Boolean = exists(sigPath)
 
   /** The maintained corpus signature table, if any batch has been
     * ingested ([[Dedup.signatureTable]] schema: id, sh, minhash_sig).
@@ -52,6 +55,19 @@ final class IncrementalNearDedup(
   def corpusSignatures: Option[DataFrame] =
     if (tableExists) Some(spark.read.parquet(sigPath)
       .select("id", "sh", "minhash_sig"))
+    else None
+
+  /** The maintained BANDED table `(id, band_id, band_hash)` — the slim
+    * 3-column form every fold's candidate join and fat-bucket sizing
+    * read. Banding is computed once per delta AT INGEST and appended
+    * here (same epoch-dir idempotency as the signatures), so a fold
+    * never re-hashes the corpus's signatures: without this table each
+    * ingest paid two full corpus banding passes (measured: the 10%-delta
+    * fold cost as much as a full-corpus run at 500k docs).
+    */
+  def corpusBanded: Option[DataFrame] =
+    if (exists(bandedPath)) Some(spark.read.parquet(bandedPath)
+      .select("id", "band_id", "band_hash"))
     else None
 
   /** Running corpus size, maintained ACROSS ingests so the per-batch fold
@@ -88,15 +104,25 @@ final class IncrementalNearDedup(
     val pairs = corpusSignatures match {
       case Some(old) => Dedup.incrementalCandidates(old, sigsNew,
         numHashes, bands, minJaccard, prefilterMargin, maxBucketSize,
-        corpusSize = Some(total))
+        corpusSize = Some(total), bandedOld = corpusBanded,
+        // delta-banded rows are (id, band_id, band_hash) triples; up to
+        // ~4M of them (~100 MB) broadcast comfortably — beyond that the
+        // fold falls back to the shuffled join
+        broadcastDelta = nNew * bands <= 4000000L)
       case None => Dedup.minHashCandidatesFromSigs(sigsNew,
         numHashes, bands, minJaccard, prefilterMargin, maxBucketSize)
     }
     val out = pairs.localCheckpoint()
     // overwrite of a per-ingest partition dir, not a flat append: a
     // foreachBatch replay of the same epoch lands in the same dir and
-    // replaces itself — duplicate signatures can never enter the table
+    // replaces itself — duplicate signatures (or banded rows) can never
+    // enter the tables
     sigsNew.write.mode("overwrite").parquet(s"$sigPath/$epochDir")
+    Dedup.withBands(sigsNew.select("id", "minhash_sig"), numHashes, bands)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("band.band_id").as("band_id"),
+        org.apache.spark.sql.functions.col("band.band_hash").as("band_hash"))
+      .write.mode("overwrite").parquet(s"$bandedPath/$epochDir")
     sigsNew.unpersist()
     knownCorpusSize = Some(total)
     out
