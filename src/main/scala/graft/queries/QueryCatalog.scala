@@ -2483,6 +2483,12 @@ object QueryCatalog {
           .select(lit(name).as("variant"), col("recall_pct"))
       recallRow("ivf", Similarity.ivfTopK(em, probes, "vec_id", "embedding",
           k = 5, nLists = 8, nProbe = 3))
+        // k-means-learned centroids (deterministic seeds/iterations):
+        // the quality lever over the hash-sampled default
+        .unionByName(recallRow("ivf_learned", Similarity.ivfTopK(em, probes,
+          "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3,
+          learnedCentroids = Some(Similarity.kmeansCentroids(
+            em, "vec_id", "embedding", k = 8, iters = 2)))))
         // the DEFAULT lshTopK path (multi-table OR-construction +
         // multi-probe) — the row a user's default call delivers
         .unionByName(recallRow("lsh", Similarity.lshTopK(em, probes,
@@ -2498,6 +2504,11 @@ object QueryCatalog {
         .orderBy("variant")
     }, Some("""
       SELECT 'ivf' AS variant, CAST(73 AS BIGINT) AS recall_pct
+      -- learned centroids measure BELOW the hash sample here: k-means on
+      -- unstructured uniform embeddings balances the lists, so nProbe/8
+      -- covers less corpus per probe — the gate records the
+      -- counterintuitive case instead of assuming "learned = better"
+      UNION ALL SELECT 'ivf_learned', 66
       UNION ALL SELECT 'lsh', 94
       UNION ALL SELECT 'lsh_multiprobe_1table', 43
       UNION ALL SELECT 'lsh_single', 12
