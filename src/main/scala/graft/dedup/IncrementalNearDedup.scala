@@ -116,13 +116,20 @@ final class IncrementalNearDedup(
     // overwrite of a per-ingest partition dir, not a flat append: a
     // foreachBatch replay of the same epoch lands in the same dir and
     // replaces itself — duplicate signatures (or banded rows) can never
-    // enter the tables
-    sigsNew.write.mode("overwrite").parquet(s"$sigPath/$epochDir")
+    // enter the tables.
+    //
+    // WRITE ORDER MATTERS on a crash between the two writes: the banded
+    // table goes FIRST. An orphan banded epoch (banded written, sigs
+    // not) only produces ghost candidates whose ids the verify lookup
+    // drops — harmless; the reverse (sigs without banded) would make
+    // every later fold's bandedOld silently INCOMPLETE and lose pairs
+    // against this epoch's documents.
     Dedup.withBands(sigsNew.select("id", "minhash_sig"), numHashes, bands)
       .select(org.apache.spark.sql.functions.col("id"),
         org.apache.spark.sql.functions.col("band.band_id").as("band_id"),
         org.apache.spark.sql.functions.col("band.band_hash").as("band_hash"))
       .write.mode("overwrite").parquet(s"$bandedPath/$epochDir")
+    sigsNew.write.mode("overwrite").parquet(s"$sigPath/$epochDir")
     sigsNew.unpersist()
     knownCorpusSize = Some(total)
     out

@@ -97,6 +97,37 @@ class IncrementalNearDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("an orphan banded epoch (crash between writes) cannot lose pairs") {
+    // a crash between ingestInto's two writes leaves the BANDED table
+    // with an epoch the signature table lacks (the safe order); the
+    // retried batch must still produce exactly the clean-fold pairs —
+    // ghost candidates from the orphan rows die in the verify lookup,
+    // and the duplicate banded rows collapse in the candidates distinct
+    val all = mkCorpus(0 until 120)
+    val sigDir = tmpDir("orphan")
+    val inc = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+    val p1 = inc.ingest(all.slice(0, 60).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // simulate the crashed ingest of batch 2: banded written, sigs not
+    val sigs2 = Dedup.signatureTable(
+      all.slice(60, 120).toDF("doc_id", "text"), "text", "doc_id")
+    Dedup.withBands(sigs2.select("id", "minhash_sig"), 64, 16)
+      .select(col("id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+      .write.parquet(s"${sigDir}_banded/epoch=crashed")
+    // retry with a fresh instance (a real restart)
+    val p2 = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+      .ingest(all.slice(60, 120).toDF("doc_id", "text"), "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashCandidates(all.toDF("doc_id", "text"),
+        "text", "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((p1 union p2) === full)
+    assert(new IncrementalNearDedup(spark, sigDir)
+      .corpusSignatures.get.count() === 120L)
+  }
+
   test("checkpointed restart + epoch replay keep the fold exactly-once") {
     val all = mkCorpus(0 until 120)
     val sigDir = tmpDir("recover")
