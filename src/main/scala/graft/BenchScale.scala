@@ -166,18 +166,30 @@ object BenchScale {
     // skipped stages are OMITTED from the artifact (a 0.000 entry would
     // read as an instant stage and deflate scale_total)
     // Untimed setup for incremental_ingest_10pct: the maintained
-    // signature table over 90% of the corpus — at a deployment this is
-    // the standing lakehouse table the daily fold runs against, not part
-    // of per-ingest latency. Rebuilt fresh per run (ids must stay
-    // disjoint across ingests).
+    // signature + banded tables over 90% of the corpus — at a deployment
+    // this is the standing lakehouse state the daily fold runs against,
+    // not part of per-ingest latency. BOTH dirs are rebuilt fresh per
+    // run (stale epochs from a prior run would double the banded rows
+    // and poison fat-bucket counts), and the base tables are written
+    // DIRECTLY (signatureTable + banding projection) — folding the base
+    // through ingest() would also run a full self-dedup whose pairs are
+    // discarded.
     if (!skip("incremental_ingest_10pct")) {
       val incDir = s"$work/inc_sigs_x$copies"
-      val p = new org.apache.hadoop.fs.Path(incDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      new graft.dedup.IncrementalNearDedup(spark, incDir)
-        .ingest(docs.filter(col("doc_id") % 10 =!= 3), "text", "doc_id")
-        .count()
+      val fs = new org.apache.hadoop.fs.Path(incDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (d <- Seq(incDir, incDir + "_banded")) {
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val baseSigs = Dedup.signatureTable(
+        docs.filter(col("doc_id") % 10 =!= 3), "text", "doc_id").persist()
+      baseSigs.write.parquet(s"$incDir/epoch=base")
+      Dedup.withBands(baseSigs.select("id", "minhash_sig"), 64, 16)
+        .select(col("id"), col("band.band_id").as("band_id"),
+          col("band.band_hash").as("band_hash"))
+        .write.parquet(s"${incDir}_banded/epoch=base")
+      baseSigs.unpersist()
     }
 
     val results = Seq(

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Append-only near-dedup MAINTENANCE around [[Dedup.incrementalCandidates]]:
   * the corpus's MinHash signature table is a maintained parquet table, and
@@ -89,18 +90,49 @@ final class IncrementalNearDedup(
     * pairs `(id_a, id_b, jaccard)` — MATERIALIZED (localCheckpoint)
     * before the signature write, so the returned frame can never
     * lazily observe its own fold.
+    *
+    * The batch's epoch dir is derived from the batch's ID SET (count,
+    * min, max, sum, quadratic checksum), not a random UUID: a crashed
+    * ingest retried with the same documents lands in the SAME dirs and
+    * overwrites its own partial writes — the batch path gets the
+    * streaming path's replay idempotency, and a crash between the two
+    * table writes can never leave a permanent orphan epoch (whose
+    * duplicate banded rows would otherwise inflate fat-bucket counts
+    * and silently cap healthy buckets).
     */
   def ingest(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    ingestInto(docs, textCol, idCol,
-      s"epoch=batch-${java.util.UUID.randomUUID}")
+    ingestInto(docs, textCol, idCol, None)
 
   private def ingestInto(docs: DataFrame, textCol: String, idCol: String,
-                         epochDir: String): DataFrame = {
+                         streamEpoch: Option[Long]): DataFrame = {
+    requireEpochLayout()
     val sigsNew = Dedup
       .signatureTable(docs, textCol, idCol, shingleSize, numHashes)
       .persist()
-    val nNew = sigsNew.count()
-    val total = corpusSize + nNew
+    // order-insensitive, type-agnostic, ANSI-overflow-safe id-set
+    // fingerprint: every term is a sum/min/max over pmod(xxhash64(id), p)
+    // values (< 2^31), so 2^31 docs stay far from long overflow
+    val p31 = 2147483647L
+    val h = pmod(xxhash64(col("id")), lit(p31))
+    val fp = sigsNew.agg(count(lit(1)), min(h), max(h), sum(h),
+      sum(pmod(h * h, lit(p31)))).head()
+    val nNew = fp.getLong(0)
+    val epochDir = streamEpoch match {
+      case Some(e) => s"epoch=$e"
+      case None =>
+        val key = (1 until 5).map(i => if (fp.isNullAt(i)) "x" else fp.get(i))
+          .mkString(s"$nNew:", ":", "")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(key.getBytes("UTF-8"))
+          .map(b => f"${b & 0xFF}%02x").mkString
+        s"epoch=batch-$hex"
+    }
+    // a replayed epoch REPLACES its rows — the corpus total only grows
+    // on a first-time fold (sig-epoch existence is the replay signal;
+    // after a crash between writes the sig dir is absent, so the retry
+    // correctly counts the batch)
+    val replay = exists(s"$sigPath/$epochDir")
+    val total = if (replay) corpusSize else corpusSize + nNew
     val pairs = corpusSignatures match {
       case Some(old) => Dedup.incrementalCandidates(old, sigsNew,
         numHashes, bands, minJaccard, prefilterMargin, maxBucketSize,
@@ -120,10 +152,15 @@ final class IncrementalNearDedup(
     //
     // WRITE ORDER MATTERS on a crash between the two writes: the banded
     // table goes FIRST. An orphan banded epoch (banded written, sigs
-    // not) only produces ghost candidates whose ids the verify lookup
-    // drops — harmless; the reverse (sigs without banded) would make
-    // every later fold's bandedOld silently INCOMPLETE and lose pairs
-    // against this epoch's documents.
+    // not) produces ghost candidates whose ids the verify lookup drops,
+    // and HEALS on retry (the content-derived epoch dir overwrites
+    // itself); the reverse order (sigs without banded) would make every
+    // later fold's bandedOld silently INCOMPLETE and lose pairs against
+    // this epoch's documents, with no healing path. Residual caveat: a
+    // crashed batch that is ABANDONED (never retried) leaves its banded
+    // rows inflating fat-bucket counts for exactly its own buckets —
+    // delete the orphan epoch dir (present in _banded, absent in the
+    // signature table) as part of abandoning a batch.
     Dedup.withBands(sigsNew.select("id", "minhash_sig"), numHashes, bands)
       .select(org.apache.spark.sql.functions.col("id"),
         org.apache.spark.sql.functions.col("band.band_id").as("band_id"),
@@ -148,5 +185,26 @@ final class IncrementalNearDedup(
   def sink(textCol: String, idCol: String)(
       onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch, epochId) =>
-      onPairs(ingestInto(batch, textCol, idCol, s"epoch=$epochId"), epochId)
+      onPairs(ingestInto(batch, textCol, idCol, Some(epochId)), epochId)
+
+  /** Fail fast — with migration guidance — on a signature table written
+    * by the pre-epoch flat-append layout: parquet part files at the
+    * table ROOT cannot coexist with `epoch=` partition dirs (Spark's
+    * partition discovery rejects mixed depths), so resuming such a table
+    * would wedge on the SECOND read with an opaque error.
+    */
+  private def requireEpochLayout(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(sigPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val flat = fs.listStatus(p).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (flat) throw new IllegalStateException(
+        s"$sigPath holds a flat (pre-epoch) signature table: root-level " +
+          "parquet files cannot mix with epoch= partition dirs. Migrate " +
+          "once by moving the existing part files into a single " +
+          s"subdirectory, e.g. $sigPath/epoch=legacy/, and delete any " +
+          "_SUCCESS marker at the root.")
+    }
+  }
 }

@@ -161,7 +161,9 @@ object TrainingDataPipeline {
   def cleanCorpusWithSubstringDedup(docs: DataFrame, textCol: String,
                                     idCol: String, windowTokens: Int,
                                     cfg: Config = Config()): DataFrame = {
-    val survivors = cleanCorpus(docs, textCol, idCol, cfg)
+    // both sides of the rewrite join consume the survivors frame —
+    // truncate its lineage (docs scan + keep-id semi-join) once
+    val survivors = cleanCorpus(docs, textCol, idCol, cfg).localCheckpoint()
     // dedupSubstrings emits only (id, text_kept, audit); join the rewrite
     // back on the id so the survivors' remaining columns ride along
     survivors.drop(textCol).join(
@@ -191,12 +193,17 @@ object TrainingDataPipeline {
     val decisions = curate(docs, textCol, idCol, cfg)
     val survivors = docs.join(
       decisions.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
+    // the featurization (explode + (id, bucket) shuffle over every
+    // survivor) feeds THREE consumers (source model, scoring join) and
+    // the weights feed two more (selection, the audit join) — truncate
+    // both lineages once or each consumer re-runs the whole upstream
+    // (the exact multi-evaluation the dsir_select scale probe measured)
     val feats = Selection.hashedNgramFeatures(survivors, textCol, idCol,
-      ngram, buckets)
+      ngram, buckets).localCheckpoint()
     val weights = Selection.importanceLogWeights(feats,
       Selection.bucketTotals(
         Selection.hashedNgramFeatures(target, textCol, idCol, ngram, buckets)),
-      Selection.bucketTotals(feats), buckets, idCol)
+      Selection.bucketTotals(feats), buckets, idCol).localCheckpoint()
     val selected = Selection.selectTopFraction(weights, idCol, fraction)
       .withColumn("__selected", lit(true))
     decisions

@@ -95,6 +95,17 @@ object AsofSqlRewrite {
 
   private val AsofJoinAnywhere = """(?is)\bASOF\s+JOIN\b""".r
 
+  /** Blank out single-quoted literals, double-quoted identifiers, and
+    * line (--) / block (slash-star) comments before the leftover-ASOF
+    * scan: the words "ASOF JOIN" inside a string or comment are data,
+    * not a join, and must not trip the unsupported-shape error.
+    */
+  private def scrubbed(sql: String): String = sql
+    .replaceAll("(?s)'(?:[^']|'')*'", "''")
+    .replaceAll("(?s)\"[^\"]*\"", "\"\"")
+    .replaceAll("(?s)/\\*.*?\\*/", " ")
+    .replaceAll("(?m)--.*$", "")
+
   def apply(session: SparkSession, sqlText: String): String =
     if (!sqlText.toUpperCase.contains("ASOF")) sqlText
     else {
@@ -103,7 +114,7 @@ object AsofSqlRewrite {
       // an ASOF JOIN the pattern could not consume would otherwise fall
       // through to Spark's parser and die with a generic syntax error —
       // name the graft-side limitation instead
-      if (AsofJoinAnywhere.findFirstIn(out).isDefined)
+      if (AsofJoinAnywhere.findFirstIn(scrubbed(out)).isDefined)
         throw new IllegalArgumentException(
           "graft ASOF JOIN: unsupported shape. Supported: " +
             "<table> [[AS] alias] ASOF JOIN <table> [[AS] alias] " +

@@ -97,6 +97,37 @@ class IncrementalNearDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("retrying a crashed batch overwrites its own epoch (no orphan growth)") {
+    // the batch epoch dir is content-derived: the same documents land in
+    // the same dirs, so a crash-retry (or an accidental double ingest)
+    // replaces rather than duplicates — table counts and the maintained
+    // corpusSize stay exact
+    val all = mkCorpus(0 until 120)
+    val sigDir = tmpDir("retry")
+    val inc = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+    inc.ingest(all.slice(0, 60).toDF("doc_id", "text"), "text", "doc_id").count()
+    inc.ingest(all.slice(60, 120).toDF("doc_id", "text"), "text", "doc_id").count()
+    // "retry" batch 2 on a fresh incarnation
+    new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+      .ingest(all.slice(60, 120).toDF("doc_id", "text"), "text", "doc_id").count()
+    val sigs = new IncrementalNearDedup(spark, sigDir).corpusSignatures.get
+    assert(sigs.count() === 120L)
+    assert(sigs.select("id").distinct().count() === 120L)
+  }
+
+  test("a flat pre-epoch signature table fails fast with migration guidance") {
+    val dir = tmpDir("legacy")
+    // simulate the old layout: part files at the table root
+    Dedup.signatureTable(mkCorpus(0 until 10).toDF("doc_id", "text"),
+      "text", "doc_id").write.parquet(dir)
+    val e = intercept[IllegalStateException] {
+      new IncrementalNearDedup(spark, dir)
+        .ingest(mkCorpus(10 until 20).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("flat (pre-epoch) signature table"))
+    assert(e.getMessage.contains("epoch=legacy"))
+  }
+
   test("an orphan banded epoch (crash between writes) cannot lose pairs") {
     // a crash between ingestInto's two writes leaves the BANDED table
     // with an epoch the signature table lacks (the safe order); the

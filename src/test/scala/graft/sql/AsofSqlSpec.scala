@@ -200,6 +200,12 @@ class AsofSqlSpec extends SparkSuite {
       spark.sql("SELECT * FROM asof_left ASOF JOIN asof_right USING (k)")
     }
     assert(e2.getMessage.contains("graft ASOF JOIN: unsupported shape"))
+    // but the words inside a string literal or a comment are DATA, not a
+    // join — no error, query runs
+    assert(spark.sql("SELECT 'uses ASOF JOIN here' AS s").count() === 1L)
+    assert(spark.sql(
+      "SELECT id FROM asof_left -- TODO try ASOF JOIN later\nWHERE id = 1")
+      .count() === 1L)
   }
 
   test("non-ASOF SQL is passed through untouched") {
