@@ -96,14 +96,18 @@ object Ranking {
       withRowNumber(df, orderCols, "__rank_rn", resolveN(df, numPartitions))
     val base = total / k
     val rem = total % k
+    // INTEGRAL division (DIV), not Column `/`: the latter is IEEE double
+    // division, and once row numbers pass ~2^40 a correctly-rounded
+    // quotient can truncate into the adjacent bucket at exact boundaries
+    // — invisible at test SF, wrong at 100 TB row counts.
     // rows 1..(base+1)*rem fall in the first rem (larger) buckets
     val bucket =
       if (base == 0) col("__rank_rn") // fewer rows than buckets
       else
         when(col("__rank_rn") <= lit((base + 1) * rem),
-          (col("__rank_rn") - 1) / lit(base + 1) + 1)
-        .otherwise(lit(rem) + (col("__rank_rn") - lit((base + 1) * rem) - 1)
-          / lit(base) + 1)
+          expr(s"(__rank_rn - 1) DIV ${base + 1} + 1"))
+        .otherwise(
+          expr(s"$rem + (__rank_rn - ${(base + 1) * rem} - 1) DIV $base + 1"))
     withRn.withColumn(as, bucket.cast("long"))
       .drop(Pid, Mid, "__rank_rn")
   }
