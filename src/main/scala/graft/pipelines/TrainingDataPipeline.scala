@@ -193,17 +193,12 @@ object TrainingDataPipeline {
     val decisions = curate(docs, textCol, idCol, cfg)
     val survivors = docs.join(
       decisions.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
-    // the featurization (explode + (id, bucket) shuffle over every
-    // survivor) feeds THREE consumers (source model, scoring join) and
-    // the weights feed two more (selection, the audit join) — truncate
-    // both lineages once or each consumer re-runs the whole upstream
-    // (the exact multi-evaluation the dsir_select scale probe measured)
-    val feats = Selection.hashedNgramFeatures(survivors, textCol, idCol,
+    // the weights feed two consumers (selection, the audit join) —
+    // truncate the lineage once or each consumer re-runs the whole
+    // upstream (the exact multi-evaluation the dsir_select scale probe
+    // measured)
+    val weights = selectionWeights(survivors, target, textCol, idCol,
       ngram, buckets).localCheckpoint()
-    val weights = Selection.importanceLogWeights(feats,
-      Selection.bucketTotals(
-        Selection.hashedNgramFeatures(target, textCol, idCol, ngram, buckets)),
-      Selection.bucketTotals(feats), buckets, idCol).localCheckpoint()
     val selected = Selection.selectTopFraction(weights, idCol, fraction)
       .withColumn("__selected", lit(true))
     decisions
@@ -215,6 +210,33 @@ object TrainingDataPipeline {
           .when(col("keep") && col("__selected").isNull, "not_selected"))
       .withColumn("keep", col("drop_reason").isNull)
       .drop("__selected")
+  }
+
+  /** The DSIR stage's weight frame exactly as [[curateWithSelection]]
+    * composes it — the SCALE PATH: per-doc feature VECTORS computed
+    * inside the scan (map-only, no explode, no (id, bucket) shuffle; the
+    * row form's shuffle was measured superlinear — 67M shuffled rows /
+    * 43.9 s at 2M docs vs 10.4 s here) and literal-coefficient scoring
+    * (zero joins). The row form [[graft.ops.Selection.hashedNgramFeatures]]
+    * remains the `dsir_features` oracle substrate.
+    *
+    * `checkpointFeatures = true` (the pipeline default) truncates the
+    * vector frame once — it feeds both the source model and the scoring
+    * pass. Tests pass `false` to see the fully-lazy composed plan and pin
+    * it Exchange-free (PlanAuditSpec).
+    */
+  private[graft] def selectionWeights(survivors: DataFrame, target: DataFrame,
+      textCol: String, idCol: String, ngram: Int, buckets: Int,
+      checkpointFeatures: Boolean = true): DataFrame = {
+    import graft.ops.Selection
+    val fv = Selection.hashedNgramFeatureVectors(survivors, textCol, idCol,
+      ngram, buckets)
+    val feats = if (checkpointFeatures) fv.localCheckpoint() else fv
+    Selection.importanceLogWeightsFromVectors(feats,
+      Selection.bucketTotalsFromVectors(
+        Selection.hashedNgramFeatureVectors(target, textCol, idCol, ngram,
+          buckets), buckets),
+      Selection.bucketTotalsFromVectors(feats, buckets), buckets, idCol)
   }
 
   /** Curation report: kept/dropped counts by reason. */

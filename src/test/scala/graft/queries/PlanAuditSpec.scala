@@ -151,6 +151,22 @@ class PlanAuditSpec extends SparkSuite {
       "vector scoring must be map-only (models are literals, not joins)")
   }
 
+  test("pipeline selection stage composes the vector path, shuffle-free") {
+    // curateWithSelection's DSIR stage must ride the vector path (the
+    // row form's (id, bucket) shuffle was measured superlinear at 2M
+    // docs) — pin the composed stage's plan Exchange-free end to end
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val w = graft.pipelines.TrainingDataPipeline.selectionWeights(
+      docs, docs.limit(20), "text", "doc_id", ngram = 2, buckets = 64,
+      checkpointFeatures = false)
+    val plan = w.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"),
+      s"pipeline DSIR stage must stay map-only (vector path):\n$plan")
+    assert(!plan.contains("Generate"),
+      s"pipeline DSIR stage must not explode shingles (row form):\n$plan")
+  }
+
   test("lshTopK default: probe side broadcasts; no cartesian/NLJ") {
     val em = graft.Tables.load(spark, dir, "embeddings")
     val plan = graft.ann.Similarity.lshTopK(em,
