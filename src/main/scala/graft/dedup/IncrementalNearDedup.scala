@@ -39,12 +39,25 @@ final class IncrementalNearDedup(
 
   private def bandedPath = sigPath + "_banded"
 
-  private def exists(path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p)
-  }
+  private def fs = new org.apache.hadoop.fs.Path(sigPath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(path: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(path))
   private def tableExists: Boolean = exists(sigPath)
+
+  /** `epoch=<value>` child dir names under a table root — one fs listing
+    * (metadata only; epoch dirs are one-per-ingested-batch, not
+    * one-per-file).
+    */
+  private def epochDirNames(root: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("epoch=") =>
+        st.getPath.getName
+    }.toSet
+  }
 
   /** The maintained corpus signature table, if any batch has been
     * ingested ([[Dedup.signatureTable]] schema: id, sh, minhash_sig).
@@ -70,6 +83,65 @@ final class IncrementalNearDedup(
     if (exists(bandedPath)) Some(spark.read.parquet(bandedPath)
       .select("id", "band_id", "band_hash"))
     else None
+
+  /** Bring the banded table's epoch set in line with the signature
+    * table's before a fold — two fs listings plus work proportional only
+    * to the mismatched epochs (zero on the steady-state path):
+    *
+    *  - ORPHAN banded epochs (present under `_banded`, absent from the
+    *    signature table — a crashed batch that was never retried) are
+    *    DELETED: their rows would inflate fat-bucket counts and silently
+    *    cap healthy buckets forever.
+    *  - MISSING banded epochs (signatures present, banded rows absent —
+    *    the documented `epoch=legacy/` flat-table migration lands here)
+    *    are BACKFILLED from that epoch's signatures. Without this, every
+    *    fold's `bandedOld` would silently lack the legacy corpus and
+    *    new-vs-legacy duplicate pairs would be permanently missed.
+    */
+  private def reconcileEpochs(): Unit = {
+    val sigEpochs = epochDirNames(sigPath)
+    val bandedEpochs = epochDirNames(bandedPath)
+    (bandedEpochs -- sigEpochs).foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$bandedPath/$e"), true)
+    }
+    (sigEpochs -- bandedEpochs).foreach { e =>
+      val sigs = spark.read.parquet(s"$sigPath/$e")
+      Dedup.withBands(sigs.select("id", "minhash_sig"), numHashes, bands)
+        .select(col("id"), col("band.band_id").as("band_id"),
+          col("band.band_hash").as("band_hash"))
+        .write.mode("overwrite").parquet(s"$bandedPath/$e")
+    }
+  }
+
+  /** Corpus reads for a fold, with the REPLAYED epoch's rows excluded:
+    * on a replay (prior attempt wrote both tables, then crashed before
+    * the downstream commit) the maintained tables already contain the
+    * delta's rows, so folding against the full tables would (a) count
+    * the delta's banded rows twice in fat-bucket sizing — falsely
+    * capping any bucket whose true size is in (max/2, max] and dropping
+    * its pairs — and (b) duplicate the delta ids on the b side,
+    * multiplying the prefilter/verify join rows. Excluding the epoch
+    * makes a replayed fold plan-identical to the first attempt. The
+    * filter is a partition-column comparison, so Spark prunes the
+    * epoch's dirs at the scan.
+    */
+  private def sigsExcluding(epoch: Option[String]): Option[DataFrame] =
+    if (!tableExists) None
+    else {
+      val full = spark.read.parquet(sigPath)
+      val pruned = epoch.fold(full)(e =>
+        full.filter(col("epoch").cast("string") =!= e))
+      Some(pruned.select("id", "sh", "minhash_sig"))
+    }
+
+  private def bandedExcluding(epoch: Option[String]): Option[DataFrame] =
+    if (!exists(bandedPath)) None
+    else {
+      val full = spark.read.parquet(bandedPath)
+      val pruned = epoch.fold(full)(e =>
+        full.filter(col("epoch").cast("string") =!= e))
+      Some(pruned.select("id", "band_id", "band_hash"))
+    }
 
   /** Running corpus size, maintained ACROSS ingests so the per-batch fold
     * never re-counts the signature table (at 100 TB that count is a full
@@ -106,6 +178,7 @@ final class IncrementalNearDedup(
   private def ingestInto(docs: DataFrame, textCol: String, idCol: String,
                          streamEpoch: Option[Long]): DataFrame = {
     requireEpochLayout()
+    reconcileEpochs()
     val sigsNew = Dedup
       .signatureTable(docs, textCol, idCol, shingleSize, numHashes)
       .persist()
@@ -130,13 +203,18 @@ final class IncrementalNearDedup(
     // a replayed epoch REPLACES its rows — the corpus total only grows
     // on a first-time fold (sig-epoch existence is the replay signal;
     // after a crash between writes the sig dir is absent, so the retry
-    // correctly counts the batch)
+    // correctly counts the batch). The replayed epoch's rows are
+    // EXCLUDED from the fold's corpus reads (see [[sigsExcluding]]), so
+    // a replay is plan-identical to the first attempt — no double-
+    // counted banded rows in fat-bucket sizing, no duplicate ids in the
+    // verify join.
     val replay = exists(s"$sigPath/$epochDir")
+    val excl = if (replay) Some(epochDir.stripPrefix("epoch=")) else None
     val total = if (replay) corpusSize else corpusSize + nNew
-    val pairs = corpusSignatures match {
+    val pairs = sigsExcluding(excl) match {
       case Some(old) => Dedup.incrementalCandidates(old, sigsNew,
         numHashes, bands, minJaccard, prefilterMargin, maxBucketSize,
-        corpusSize = Some(total), bandedOld = corpusBanded,
+        corpusSize = Some(total), bandedOld = bandedExcluding(excl),
         // delta-banded rows are (id, band_id, band_hash) triples; up to
         // ~4M of them (~100 MB) broadcast comfortably — beyond that the
         // fold falls back to the shuffled join
@@ -153,14 +231,13 @@ final class IncrementalNearDedup(
     // WRITE ORDER MATTERS on a crash between the two writes: the banded
     // table goes FIRST. An orphan banded epoch (banded written, sigs
     // not) produces ghost candidates whose ids the verify lookup drops,
-    // and HEALS on retry (the content-derived epoch dir overwrites
-    // itself); the reverse order (sigs without banded) would make every
-    // later fold's bandedOld silently INCOMPLETE and lose pairs against
-    // this epoch's documents, with no healing path. Residual caveat: a
-    // crashed batch that is ABANDONED (never retried) leaves its banded
-    // rows inflating fat-bucket counts for exactly its own buckets —
-    // delete the orphan epoch dir (present in _banded, absent in the
-    // signature table) as part of abandoning a batch.
+    // HEALS on retry (the content-derived epoch dir overwrites itself),
+    // and is DELETED by the next fold's [[reconcileEpochs]] if the batch
+    // is abandoned instead; the reverse order (sigs without banded)
+    // would make every later fold's bandedOld silently INCOMPLETE and
+    // lose pairs against this epoch's documents, with no healing path —
+    // reconcileEpochs would backfill it only at the NEXT ingest, leaving
+    // the current fold wrong.
     Dedup.withBands(sigsNew.select("id", "minhash_sig"), numHashes, bands)
       .select(org.apache.spark.sql.functions.col("id"),
         org.apache.spark.sql.functions.col("band.band_id").as("band_id"),
@@ -204,7 +281,8 @@ final class IncrementalNearDedup(
           "parquet files cannot mix with epoch= partition dirs. Migrate " +
           "once by moving the existing part files into a single " +
           s"subdirectory, e.g. $sigPath/epoch=legacy/, and delete any " +
-          "_SUCCESS marker at the root.")
+          "_SUCCESS marker at the root; the migrated epoch's banded " +
+          "rows are backfilled automatically at the next ingest.")
     }
   }
 }

@@ -159,6 +159,99 @@ class IncrementalNearDedupSpec extends SparkSuite {
       .corpusSignatures.get.count() === 120L)
   }
 
+  test("legacy migration: banded rows are backfilled, legacy pairs found") {
+    // the documented flat-table migration moves part files into
+    // epoch=legacy/ — which has NO banded rows. reconcileEpochs must
+    // backfill them at the next ingest, or every later fold's bandedOld
+    // silently lacks the legacy corpus and new-vs-legacy pairs are
+    // permanently missed (the exact failure the write-order comment
+    // warns about, introduced by the migration guidance itself)
+    val all = mkCorpus(0 until 180)
+    val sigDir = tmpDir("migrate")
+    Dedup.signatureTable(all.slice(0, 60).toDF("doc_id", "text"),
+      "text", "doc_id").write.parquet(s"$sigDir/epoch=legacy")
+    val inc = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+    val got2 = inc.ingest(all.slice(60, 120).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // first post-migration ingest must have backfilled the legacy epoch
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${sigDir}_banded/epoch=legacy")))
+    // SECOND fold is where the pre-fix bug bit: bandedOld existed but
+    // lacked the legacy epoch, so batch-3-vs-legacy pairs vanished
+    val got3 = inc.ingest(all.slice(120, 180).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashCandidates(all.toDF("doc_id", "text"),
+        "text", "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val legacyInternal = Dedup.minHashCandidates(
+        all.slice(0, 60).toDF("doc_id", "text"), "text", "doc_id",
+        minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((got2 union got3) === (full diff legacyInternal))
+    // the migrated corpus genuinely exercises cross-epoch pairs
+    assert((full diff legacyInternal).exists(p => p._1 < 60 && p._2 >= 120),
+      "fixture must contain batch-3-vs-legacy pairs")
+  }
+
+  test("an abandoned orphan banded epoch is deleted at the next ingest") {
+    // a crashed batch that is never retried leaves banded rows with no
+    // matching signatures; before reconcileEpochs they inflated
+    // fat-bucket counts (silently capping healthy buckets) until an
+    // operator deleted the dir by hand
+    val all = mkCorpus(0 until 120)
+    val sigDir = tmpDir("abandon")
+    val inc = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+    inc.ingest(all.slice(0, 60).toDF("doc_id", "text"), "text", "doc_id").count()
+    val sigs2 = Dedup.signatureTable(
+      all.slice(60, 120).toDF("doc_id", "text"), "text", "doc_id")
+    Dedup.withBands(sigs2.select("id", "minhash_sig"), 64, 16)
+      .select(col("id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+      .write.parquet(s"${sigDir}_banded/epoch=crashed")
+    // a DIFFERENT batch arrives; the abandoned orphan must be gone after
+    new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5)
+      .ingest(mkCorpus(200 until 230).toDF("doc_id", "text"),
+        "text", "doc_id").count()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${sigDir}_banded/epoch=crashed")))
+    // banded epochs now exactly mirror signature epochs
+    val sigEpochs = new java.io.File(sigDir).listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+    val bandedEpochs = new java.io.File(s"${sigDir}_banded").listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName).toSet
+    assert(bandedEpochs === sigEpochs)
+  }
+
+  test("a replayed epoch is not double-counted in fat-bucket sizing") {
+    // replay folds against tables that already hold the delta's rows;
+    // before the epoch exclusion the delta's banded rows counted TWICE,
+    // so a bucket with true size in (max/2, max] was falsely capped and
+    // the replayed fold silently dropped its pairs
+    val sigDir = tmpDir("replaycap")
+    val inc = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5,
+      maxBucketSize = 4)
+    inc.ingest(mkCorpus(0 until 20).toDF("doc_id", "text"),
+      "text", "doc_id").count()
+    // 3 near-identical docs: bucket size 3 <= 4 passes clean; doubled
+    // to 6 it would be capped
+    val trio = Seq(100L, 101L, 102L).map(i =>
+      (i, (0 until 18).map(w => s"z${w * 3 % 11}").mkString(" ") + s" v$i"))
+    val first = inc.ingest(trio.toDF("doc_id", "text"), "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(first.toSet === Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    // replay on a fresh incarnation (same docs -> same epoch dir)
+    val replayed = new IncrementalNearDedup(spark, sigDir, minJaccard = 0.5,
+        maxBucketSize = 4)
+      .ingest(trio.toDF("doc_id", "text"), "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(replayed.toSet === first.toSet,
+      "replayed fold must report exactly the first attempt's pairs")
+    assert(replayed.length === replayed.toSet.size,
+      "replayed fold must not emit duplicate pair rows")
+  }
+
   test("checkpointed restart + epoch replay keep the fold exactly-once") {
     val all = mkCorpus(0 until 120)
     val sigDir = tmpDir("recover")
