@@ -131,6 +131,17 @@ object Similarity {
     * vectors, no RNG (seeds are a deterministic hash sample). Used to
     * learn IVF centroids; `iters` of 2-5 is plenty for routing quality.
     *
+    * WHEN IT PAYS: learned centroids balance the inverted lists, so each
+    * probed list is SMALLER — at equal `nProbe` recall therefore drops
+    * vs a hash sample's fat lists (66 vs 73 on the sf0.01 pin), which is
+    * a cost artifact, not a quality loss. At equal SCANNED ROWS learned
+    * wins on the same fixture (89 vs 73 at ~60% scan; its cost/recall
+    * curve dominates throughout) AND balanced lists mean predictable
+    * per-probe latency at scale. Compare variants with [[ivfScanCost]]
+    * at your recall target; expect roughly `nProbe_learned ≈
+    * nProbe_sampled x (sampled scan share / balanced share)` for the
+    * same budget.
+    *
     * Scale shape per iteration: one broadcast join (corpus x k centroids,
     * map-side), one shuffle keyed on (centroid, dim) for the means. Run
     * on a sample for very large corpora — routing centroids don't need
@@ -336,6 +347,46 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Probe cost of an [[ivfIndex]]: corpus rows scanned per probe at
+    * `nProbe` — the sum of the probed lists' sizes, `(probe_id,
+    * scanned_rows)`. Recall comparisons between centroid variants are
+    * only meaningful at EQUAL scanned rows: hash-sampled centroids make
+    * UNBALANCED lists whose nearest-nProbe set covers more corpus per
+    * probe than k-means' balanced lists, so at equal `nProbe` the sample
+    * "wins" recall purely by scanning more. Measured on the sf0.01
+    * fixture (nLists=8, 20 probes, k=5): sampled nProbe=3 scans 59.8%
+    * of the corpus for recall 73/100, learned nProbe=3 scans 37.3% for
+    * 66 — but at MATCHED ~60% scan (learned nProbe=5, 62.1%) learned
+    * reaches 89. The learned curve dominates at every sampled operating
+    * point on this fixture: sampled (39.9% scan, 54) < learned (37.3%,
+    * 66); sampled (59.8%, 73) < learned (49.8%, 79); sampled (79.3%,
+    * 83) < learned (74.8%, 93). See SimilaritySpec's
+    * equal-cost test and the `ivf_learned_eqcost` ann_recall driver pin.
+    * Use this to pick the cheaper variant at YOUR recall target, never
+    * nProbe-vs-nProbe.
+    */
+  def ivfScanCost(
+      centroids: DataFrame,
+      lists: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int): DataFrame = {
+    val cents = centroidLiterals(centroids)
+    val scoredC = cents.map { case (cid, cv) =>
+      struct(cosine(col("__pv"), cv).as("c"), lit(cid).as("id"))
+    }
+    val probed = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .withColumn("centroid_id",
+        explode(slice(reverse(sort_array(array(scoredC.toIndexedSeq: _*))),
+          1, nProbe).getField("id")))
+    // list sizes: nLists rows — broadcast into the probe-side join
+    val sizes = lists.groupBy("centroid_id").agg(count(lit(1)).as("__lsz"))
+    probed.join(broadcast(sizes), Seq("centroid_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("__lsz"), lit(0L))).as("scanned_rows"))
   }
 
   /** Embedding near-duplicate pairs: bucket by sign sketch, pair within

@@ -84,6 +84,40 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.3, s"learned-centroid IVF recall $recall too low")
   }
 
+  test("learned IVF centroids beat the hash sample at EQUAL probe cost") {
+    // recall-vs-recall at equal nProbe is an unfair comparison: the hash
+    // sample's unbalanced lists scan far more corpus per probe than
+    // k-means' balanced ones. Hold SCANNED ROWS equal (ivfScanCost) and
+    // learned must win — the semantic bound behind the
+    // ivf_learned_eqcost driver pin (89 > 73 at sf0.01).
+    val em = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = em.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val (sc, sl) = Similarity.ivfIndex(em, "vec_id", "embedding", 8, None)
+    val learned = Similarity.kmeansCentroids(em, "vec_id", "embedding", k = 8, iters = 2)
+    val (lc, ll) = Similarity.ivfIndex(em, "vec_id", "embedding", 8, Some(learned))
+    def measure(c: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame,
+                np: Int): (Double, Double) = {
+      val got = Similarity.ivfSearchIndex(c, l, probes, "vec_id", "embedding", 5, np)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val scan = Similarity.ivfScanCost(c, l, probes, "vec_id", "embedding", np)
+        .agg(avg("scanned_rows")).as[Double].head()
+      ((exact intersect got).size.toDouble / exact.size, scan)
+    }
+    val (sampledRecall, sampledScan) = measure(sc, sl, np = 3)
+    // smallest learned nProbe reaching (>= 95% of) the sampled scan cost
+    val np = (1 to 8).find(np =>
+      Similarity.ivfScanCost(lc, ll, probes, "vec_id", "embedding", np)
+        .agg(avg("scanned_rows")).as[Double].head() >= 0.95 * sampledScan).get
+    val (learnedRecall, learnedScan) = measure(lc, ll, np)
+    assert(learnedScan <= 1.15 * sampledScan,
+      s"cost-parity window blown: learned scans $learnedScan vs $sampledScan")
+    assert(learnedRecall > sampledRecall,
+      s"learned IVF must beat the hash sample at equal cost: " +
+        s"$learnedRecall (scan $learnedScan) vs $sampledRecall (scan $sampledScan)")
+  }
+
   test("cosineDedupCandidates finds identical planted vectors") {
     val planted = vecs.filter(col("vec_id") === 0)
       .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
