@@ -10,49 +10,70 @@ import graft.etl.NexusPipeline
   * (cli.py:17-66) re-expressed over the distributed pipeline. Instead of
   * one HDF5 file, the input is a directory of per-concern parquet frames
   * (metadata/ sample/ instrument/ software/ users/ daslogs/ event_banks/ —
-  * any upstream reader's landing zone), and the output is the 8 typed
+  * any upstream reader's landing zone), and the output is the typed
   * tables for every run in the input at once.
   *
   * Usage: runMain graft.cli.ConvertCli INPUT_DIR
-  *   [--output-dir DIR] [--include-events|--no-events]
-  *   [--include-users|--no-users] [--max-events N] [--max-events-per-file N]
+  *   [--output-dir DIR | -o DIR] [--include-events|--no-events]
+  *   [--include-users|--no-users] [--max-events N | -m N]
+  *   [--max-events-per-file N]
   */
 object ConvertCli {
-  def main(args: Array[String]): Unit = {
-    if (args.isEmpty) { System.err.println("usage: ConvertCli INPUT_DIR [options]"); sys.exit(2) }
-    val inputDir = args(0)
-    var outputDir = s"$inputDir/parquet_output"
-    var includeEvents = false
-    var includeUsers = false
-    var maxEvents: Option[Int] = None
-    var maxEventsPerFile = 5000000L
+
+  /** Parsed CLI options, mirroring the reference CLI's behavior matrix
+    * (cli.py:17-66, pinned test-for-test by CliSpec against
+    * tests/test_cli.py:62-340): events and users are EXCLUDED by default
+    * (the heavy/PII-ish tables are opt-in via `--include-events` /
+    * `--include-users`); `--no-events`/`--no-users` re-exclude and the
+    * LAST flag wins; `-o`/`-m` are the short forms; the default output
+    * dir is `INPUT_DIR/parquet_output` (next to the input, as the
+    * reference places it next to the file).
+    */
+  final case class Config(
+      inputDir: String,
+      outputDir: String,
+      includeEvents: Boolean = false,
+      includeUsers: Boolean = false,
+      maxEvents: Option[Int] = None,
+      maxEventsPerFile: Long = 5000000L)
+
+  /** Pure argument parsing — `Left(message)` instead of exiting, so the
+    * error matrix is testable without forking a JVM. */
+  def parseArgs(args: Array[String]): Either[String, Config] = {
+    if (args.isEmpty || args(0).startsWith("-"))
+      return Left("Missing argument: INPUT_DIR " +
+        "(usage: ConvertCli INPUT_DIR [options])")
+    var cfg = Config(args(0), s"${args(0)}/parquet_output")
     var i = 1
     while (i < args.length) {
       args(i) match {
-        case "--output-dir" | "-o" => outputDir = args(i + 1); i += 2
-        case "--include-events" => includeEvents = true; i += 1
-        case "--no-events" => includeEvents = false; i += 1
-        case "--include-users" => includeUsers = true; i += 1
-        case "--no-users" => includeUsers = false; i += 1
-        case "--max-events" | "-m" => maxEvents = Some(args(i + 1).toInt); i += 2
-        case "--max-events-per-file" => maxEventsPerFile = args(i + 1).toLong; i += 2
-        case other => System.err.println(s"unknown option: $other"); sys.exit(2)
+        case "--output-dir" | "-o" =>
+          if (i + 1 >= args.length) return Left(s"${args(i)} needs a value")
+          cfg = cfg.copy(outputDir = args(i + 1)); i += 2
+        case "--include-events" => cfg = cfg.copy(includeEvents = true); i += 1
+        case "--no-events" => cfg = cfg.copy(includeEvents = false); i += 1
+        case "--include-users" => cfg = cfg.copy(includeUsers = true); i += 1
+        case "--no-users" => cfg = cfg.copy(includeUsers = false); i += 1
+        case "--max-events" | "-m" =>
+          if (i + 1 >= args.length) return Left(s"${args(i)} needs a value")
+          cfg = cfg.copy(maxEvents = Some(args(i + 1).toInt)); i += 2
+        case "--max-events-per-file" =>
+          if (i + 1 >= args.length) return Left(s"${args(i)} needs a value")
+          cfg = cfg.copy(maxEventsPerFile = args(i + 1).toLong); i += 2
+        case other => return Left(s"unknown option: $other")
       }
     }
+    Right(cfg)
+  }
 
-    val preexisting = SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession).isDefined
-    val spark = Tables.configure(SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def in(name: String) = spark.read.parquet(s"$inputDir/$name")
+  /** Run the conversion; returns table -> output path for what was
+    * actually written (events/event_summary/users only when included). */
+  def run(spark: SparkSession, cfg: Config): Map[String, String] = {
+    def in(name: String) = spark.read.parquet(s"${cfg.inputDir}/$name")
 
     // --max-events: truncate each bank's arrays (cli.py --max-events)
     val banks0 = in("event_banks")
-    val banks = maxEvents.fold(banks0) { m =>
+    val banks = cfg.maxEvents.fold(banks0) { m =>
       banks0
         .withColumn("event_ids", expr(s"slice(event_ids, 1, $m)"))
         .withColumn("event_offsets", expr(s"slice(event_offsets, 1, $m)"))
@@ -66,18 +87,35 @@ object ConvertCli {
 
     val tables = NexusPipeline.processRuns(spark, bundle)
       .filter { case (name, _) =>
-        (includeEvents || (name != "events" && name != "event_summary")) &&
-        (includeUsers || name != "users")
+        (cfg.includeEvents || (name != "events" && name != "event_summary")) &&
+        (cfg.includeUsers || name != "users")
       }
-    val written = tables.map { case (table, df) =>
-      val path = s"$outputDir/$table"
+    tables.map { case (table, df) =>
+      val path = s"${cfg.outputDir}/$table"
       graft.etl.NexusEtl.writeTable(df, path, table,
-        partitionByRun = true, maxRecordsPerFile = maxEventsPerFile)
+        partitionByRun = true, maxRecordsPerFile = cfg.maxEventsPerFile)
       table -> path
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args) match {
+      case Left(msg) => System.err.println(msg); sys.exit(2)
+      case Right(c) => c
+    }
+
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
+    val spark = Tables.configure(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val written = run(spark, cfg)
 
     println("\nProcessing complete!")
-    println(s"Output directory: $outputDir")
+    println(s"Output directory: ${cfg.outputDir}")
     println(s"Tables created: ${written.size}")
     written.toSeq.sortBy(_._1).foreach { case (t, p) => println(s"  $t: $p") }
     if (!preexisting) spark.stop()

@@ -11,11 +11,10 @@ import graft.SparkSuite
 class CliSpec extends SparkSuite {
   import spark.implicits._
 
-  test("ConvertCli then EventSliceCli round-trip") {
+  /** One-run input fixture in a fresh temp dir (the landing-zone layout
+    * ConvertCli reads) — built per test so output dirs never collide. */
+  private def writeFixture(): String = {
     val in = Files.createTempDirectory("graft_cli_in").toString
-    val out = Files.createTempDirectory("graft_cli_out").toString
-    val slice = Files.createTempDirectory("graft_cli_slice").toString
-
     Seq(("REF_L", 1L, "t"))
       .toDF("instrument_id", "run_number", "title").write.parquet(s"$in/metadata")
     Seq(("REF_L", 1L, "s")).toDF("instrument_id", "run_number", "name")
@@ -38,6 +37,109 @@ class CliSpec extends SparkSuite {
       .toDF("instrument_id", "run_number", "bank", "event_ids",
         "event_offsets", "event_index")
       .write.parquet(s"$in/event_banks")
+    in
+  }
+
+  private def exists(path: String): Boolean =
+    Files.exists(java.nio.file.Paths.get(path))
+
+  // ---- reference behavior matrix (tests/test_cli.py:62-340), one case
+  // ---- per reference test class
+
+  test("parseArgs: defaults, short flags, missing input, unknown option") {
+    // TestCliBasicUsage: missing argument and default output dir
+    assert(ConvertCli.parseArgs(Array.empty).swap.exists(_.contains("Missing argument")))
+    assert(ConvertCli.parseArgs(Array("--include-events")).isLeft)
+    assert(ConvertCli.parseArgs(Array("/data/in")).exists(
+      _.outputDir == "/data/in/parquet_output"))
+    // short forms parse like the long ones
+    val short = ConvertCli.parseArgs(Array("/d", "-o", "/out", "-m", "7")).toOption.get
+    assert(short.outputDir == "/out" && short.maxEvents.contains(7))
+    assert(ConvertCli.parseArgs(Array("/d", "--bogus")).swap.exists(
+      _.contains("unknown option")))
+    assert(ConvertCli.parseArgs(Array("/d", "-o")).swap.exists(
+      _.contains("needs a value")))
+  }
+
+  test("events and users are excluded by default; partition cols everywhere") {
+    // TestCliEventOptions.test_events_excluded_by_default +
+    // TestCliUserOptions.test_users_excluded_by_default +
+    // TestCliPartitionColumns
+    val in = writeFixture()
+    val out = Files.createTempDirectory("graft_cli_dflt").toString
+    val written = ConvertCli.run(spark,
+      ConvertCli.parseArgs(Array(in, "-o", out)).toOption.get)
+    assert(!written.contains("events") && !written.contains("event_summary") &&
+      !written.contains("users"))
+    assert(!exists(s"$out/events") && !exists(s"$out/event_summary") &&
+      !exists(s"$out/users"))
+    assert(written.keySet === Set("experiment_runs", "sample", "instrument",
+      "software", "daslogs"))
+    // every written table carries the partition columns, run_id = inst:run
+    written.values.foreach { p =>
+      val df = spark.read.parquet(p)
+      assert(df.columns.contains("instrument_id") && df.columns.contains("run_id"),
+        s"$p missing partition columns")
+      assert(df.select("run_id").distinct().as[String].collect().toSeq ===
+        Seq("REF_L:1"))
+    }
+  }
+
+  test("include/exclude flag precedence: the last flag wins") {
+    // TestCliEventOptions.test_include_events_flag / test_no_events_explicit_flag
+    // and the click-style pair semantics for combined flags
+    val in = writeFixture()
+    val out1 = Files.createTempDirectory("graft_cli_prec1").toString
+    val w1 = ConvertCli.run(spark, ConvertCli.parseArgs(
+      Array(in, "-o", out1, "--include-events", "--no-events")).toOption.get)
+    assert(!w1.contains("events"), "--no-events after --include-events must win")
+    val out2 = Files.createTempDirectory("graft_cli_prec2").toString
+    val w2 = ConvertCli.run(spark, ConvertCli.parseArgs(
+      Array(in, "-o", out2, "--no-events", "--include-events")).toOption.get)
+    assert(w2.contains("events"), "--include-events after --no-events must win")
+    assert(spark.read.parquet(w2("events")).count() === 4)
+  }
+
+  test("users opt-in writes the users table with its data") {
+    // TestCliUserOptions.test_include_users_flag
+    val in = writeFixture()
+    val out = Files.createTempDirectory("graft_cli_users").toString
+    val w = ConvertCli.run(spark, ConvertCli.parseArgs(
+      Array(in, "-o", out, "--include-users")).toOption.get)
+    assert(w.contains("users") && !w.contains("events"))
+    val users = spark.read.parquet(w("users"))
+    assert(users.select("name").as[String].collect().toSeq === Seq("Ada"))
+  }
+
+  test("--max-events truncates each bank (long and short form)") {
+    // TestCliEventOptions.test_max_events_option +
+    // TestCliOutputOptions.test_short_max_events_option +
+    // TestCliCombinedOptions.test_include_events_with_max_limit
+    val in = writeFixture()
+    val out2 = Files.createTempDirectory("graft_cli_max2").toString
+    ConvertCli.run(spark, ConvertCli.parseArgs(
+      Array(in, "-o", out2, "--include-events", "--max-events", "2")).toOption.get)
+    assert(spark.read.parquet(s"$out2/events").count() === 2)
+    val out1 = Files.createTempDirectory("graft_cli_max1").toString
+    ConvertCli.run(spark, ConvertCli.parseArgs(
+      Array(in, "-o", out1, "--include-events", "-m", "1")).toOption.get)
+    assert(spark.read.parquet(s"$out1/events").count() === 1)
+  }
+
+  test("combined --include-events --include-users writes both") {
+    // TestCliCombinedOptions.test_include_both_events_and_users
+    val in = writeFixture()
+    val out = Files.createTempDirectory("graft_cli_both").toString
+    val w = ConvertCli.run(spark, ConvertCli.parseArgs(
+      Array(in, "-o", out, "--include-events", "--include-users")).toOption.get)
+    assert(w.contains("events") && w.contains("event_summary") &&
+      w.contains("users"))
+  }
+
+  test("ConvertCli then EventSliceCli round-trip") {
+    val in = writeFixture()
+    val out = Files.createTempDirectory("graft_cli_out").toString
+    val slice = Files.createTempDirectory("graft_cli_slice").toString
 
     ConvertCli.main(Array(in, "--output-dir", out,
       "--include-events", "--include-users", "--max-events-per-file", "1000"))
