@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * The rewrite produces the same bucketed-interval formulation as
   * [[graft.ops.AsOfJoin.backward]]: intervals from a keyed LEAD window,
   * exploded onto fixed-width buckets, then a plain equi join — never a
-  * range nested-loop. Limitations (v1): left/right must be table/view
-  * identifiers, time columns are named (qualifiers are stripped), and the
-  * output carries both sides' columns unqualified (USING keys are emitted
-  * once). Keyless ASOF (no USING) is rewritten scale-safely too: the LEAD
+  * range nested-loop. Limitations: left/right must be table/view
+  * identifiers or parenthesized `(SELECT ...)` subqueries (lifted before
+  * the rewrite and substituted back — table-valued functions and LATERAL
+  * relations remain unsupported), time columns are named (qualifiers are
+  * stripped), and the output carries both sides' columns unqualified
+  * (USING keys are emitted once). Keyless ASOF (no USING) is rewritten scale-safely too: the LEAD
   * window is partitioned by the time bucket, and each bucket's last row
   * takes the next non-empty bucket's MIN time from a bucket-level
   * aggregate — the only single-partition window runs over that aggregate
@@ -95,35 +97,156 @@ object AsofSqlRewrite {
 
   private val AsofJoinAnywhere = """(?is)\bASOF\s+JOIN\b""".r
 
-  /** Blank out single-quoted literals, double-quoted identifiers, and
-    * line (--) / block (slash-star) comments before the leftover-ASOF
-    * scan: the words "ASOF JOIN" inside a string or comment are data,
-    * not a join, and must not trip the unsupported-shape error.
+  /** Length-preserving mask of non-code text: the CONTENTS of
+    * single-quoted literals ('' escape honored), double-quoted and
+    * backtick-quoted identifiers, and line (--) / block (slash-star)
+    * comments become spaces, in ONE left-to-right pass — the words
+    * "ASOF JOIN" inside any of them are data, not a join. A sequential
+    * regex scrub got the ordering wrong: quote-blanking ran before
+    * comment-stripping, so an apostrophe inside a line comment
+    * (`-- don't`) opened a phantom string that could swallow a real
+    * unsupported ASOF JOIN and skip the friendly error. Offsets are
+    * preserved so [[liftSubqueries]] can balance parens on the mask and
+    * slice the original text by the same positions.
     */
-  private def scrubbed(sql: String): String = sql
-    .replaceAll("(?s)'(?:[^']|'')*'", "''")
-    .replaceAll("(?s)\"[^\"]*\"", "\"\"")
-    .replaceAll("(?s)/\\*.*?\\*/", " ")
-    .replaceAll("(?m)--.*$", "")
+  private[sql] def masked(sql: String): String = {
+    val a = sql.toCharArray
+    val n = a.length
+    var i = 0
+    def blank(j: Int): Unit = if (a(j) != '\n') a(j) = ' '
+    def blankDelimitedBy(close: Char): Unit = {
+      i += 1
+      while (i < n && a(i) != close) { blank(i); i += 1 }
+      if (i < n) i += 1 // keep the closing delimiter
+    }
+    while (i < n) {
+      a(i) match {
+        case '\'' =>
+          i += 1
+          var open = true
+          while (i < n && open) {
+            if (a(i) == '\'') {
+              // '' is an escaped quote INSIDE the literal
+              if (i + 1 < n && a(i + 1) == '\'') { blank(i); blank(i + 1); i += 2 }
+              else { open = false; i += 1 }
+            } else { blank(i); i += 1 }
+          }
+        case '"' => blankDelimitedBy('"')
+        case '`' => blankDelimitedBy('`')
+        case '-' if i + 1 < n && a(i + 1) == '-' =>
+          while (i < n && a(i) != '\n') { a(i) = ' '; i += 1 }
+        case '/' if i + 1 < n && a(i + 1) == '*' =>
+          a(i) = ' '; a(i + 1) = ' '; i += 2
+          var open = true
+          while (i < n && open) {
+            if (a(i) == '*' && i + 1 < n && a(i + 1) == '/') {
+              a(i) = ' '; a(i + 1) = ' '; i += 2; open = false
+            } else { blank(i); i += 1 }
+          }
+        case _ => i += 1
+      }
+    }
+    new String(a)
+  }
+
+  private val SqPrefix = "__graft_asof_sq"
+
+  /** Lift parenthesized `(SELECT ...)` / `(WITH ...)` relations directly
+    * adjacent to an ASOF JOIN into generated placeholder names so the
+    * identifier-shaped [[Pattern]] can consume the join; [[apply]]
+    * substitutes each body back afterwards — recursively rewritten, so a
+    * subquery containing its own ASOF JOIN works too. Paren balancing
+    * runs on the [[masked]] copy (parens inside strings/comments are
+    * blanked), and spans slice the ORIGINAL text. Non-SELECT paren
+    * groups (e.g. a table-valued function) are left alone and fall
+    * through to the clear unsupported-shape error.
+    */
+  private def liftSubqueries(sql: String): (String, List[(String, String)]) = {
+    val m = masked(sql)
+    val n = m.length
+    def closeOf(open: Int): Int = {
+      var depth = 0; var i = open
+      while (i < n) {
+        if (m.charAt(i) == '(') depth += 1
+        else if (m.charAt(i) == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    def openOf(close: Int): Int = {
+      var depth = 0; var i = close
+      while (i >= 0) {
+        if (m.charAt(i) == ')') depth += 1
+        else if (m.charAt(i) == '(') { depth -= 1; if (depth == 0) return i }
+        i -= 1
+      }
+      -1
+    }
+    def isSelectBody(open: Int, close: Int): Boolean = {
+      val body = m.substring(open + 1, close).trim.toUpperCase
+      body.startsWith("SELECT") || body.startsWith("WITH")
+    }
+    def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+    var nextId = 0
+    for (mm <- AsofJoinAnywhere.findAllMatchIn(m)) {
+      // right side: ASOF JOIN ( SELECT ... )
+      var j = mm.end
+      while (j < n && m.charAt(j).isWhitespace) j += 1
+      if (j < n && m.charAt(j) == '(') {
+        val c = closeOf(j)
+        if (c > 0 && isSelectBody(j, c)) { spans += ((j, c + 1, s"$SqPrefix$nextId")); nextId += 1 }
+      }
+      // left side: ( SELECT ... ) [AS] [alias] ASOF JOIN — scan back over
+      // up to two word tokens (alias, AS) to the closing paren
+      var i = mm.start - 1
+      var words = 0
+      var scanning = true
+      while (scanning) {
+        while (i >= 0 && m.charAt(i).isWhitespace) i -= 1
+        if (i >= 0 && isWordChar(m.charAt(i)) && words < 2) {
+          while (i >= 0 && isWordChar(m.charAt(i))) i -= 1
+          words += 1
+        } else scanning = false
+      }
+      if (i >= 0 && m.charAt(i) == ')') {
+        val o = openOf(i)
+        if (o >= 0 && isSelectBody(o, i)) { spans += ((o, i + 1, s"$SqPrefix$nextId")); nextId += 1 }
+      }
+    }
+    var out = sql
+    val subs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    for ((from, until, name) <- spans.sortBy(-_._1)) {
+      subs += ((name, sql.substring(from, until)))
+      out = out.substring(0, from) + name + out.substring(until)
+    }
+    (out, subs.toList)
+  }
 
   def apply(session: SparkSession, sqlText: String): String =
     if (!sqlText.toUpperCase.contains("ASOF")) sqlText
     else {
-      val out = Pattern.replaceAllIn(sqlText, m =>
+      val (lifted, subs) = liftSubqueries(sqlText)
+      val out = Pattern.replaceAllIn(lifted, m =>
         scala.util.matching.Regex.quoteReplacement(expand(session, m)))
       // an ASOF JOIN the pattern could not consume would otherwise fall
       // through to Spark's parser and die with a generic syntax error —
       // name the graft-side limitation instead
-      if (AsofJoinAnywhere.findFirstIn(scrubbed(out)).isDefined)
+      if (AsofJoinAnywhere.findFirstIn(masked(out)).isDefined)
         throw new IllegalArgumentException(
           "graft ASOF JOIN: unsupported shape. Supported: " +
-            "<table> [[AS] alias] ASOF JOIN <table> [[AS] alias] " +
+            "<table | (SELECT ...)> [[AS] alias] ASOF JOIN " +
+            "<table | (SELECT ...)> [[AS] alias] " +
             "MATCH_CONDITION(lt >= rt | lt <= rt) [USING (k, ...)] " +
-            "[WITHIN n] with plain or dot-qualified table/view names. " +
-            "Subqueries and parenthesized relations are not supported — " +
-            "register the subquery as a temp view first " +
+            "[WITHIN n] with plain or dot-qualified table/view names or " +
+            "parenthesized SELECT subqueries. Other relation shapes " +
+            "(table-valued functions, LATERAL) are not supported — " +
+            "register them as a temp view first " +
             "(df.createOrReplaceTempView) and join the view.")
-      out
+      // substitute lifted subquery bodies back, each itself rewritten
+      subs.foldLeft(out) { case (acc, (name, body)) =>
+        acc.replace(name, apply(session, body))
+      }
     }
 
   private def expand(session: SparkSession,

@@ -183,15 +183,45 @@ class AsofSqlSpec extends SparkSuite {
     assert(aliased === expected)
   }
 
+  test("subquery relations are lifted and rewritten (left, right, both)") {
+    mkViews()
+    val expected = spark.sql("""
+      SELECT id, t, pt, pidx
+      FROM asof_left ASOF JOIN asof_right
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    val subLeft = spark.sql("""
+      SELECT id, t, pt, pidx
+      FROM (SELECT * FROM asof_left) l ASOF JOIN asof_right
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    assert(subLeft === expected)
+    val subRight = spark.sql("""
+      SELECT id, t, pt, pidx
+      FROM asof_left ASOF JOIN (SELECT pt, pidx, k FROM asof_right) AS r
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    assert(subRight === expected)
+    // both sides, no aliases, with a WHERE inside the subquery (nested
+    // parens + a string containing a paren must not break the balance)
+    val subBoth = spark.sql("""
+      SELECT id, t, pt, pidx
+      FROM (SELECT * FROM asof_left WHERE k <> '(never)')
+        ASOF JOIN (SELECT pt, pidx, k FROM asof_right WHERE pt IN (SELECT pt FROM asof_right))
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    assert(subBoth === expected)
+  }
+
   test("unsupported ASOF shapes raise a clear graft-side error") {
     mkViews()
-    // subquery as a relation: not supported by the v1 rewrite — the
-    // error must name the limitation, not fall through to a generic
-    // Spark syntax error
+    // a table-valued function is NOT a liftable subquery — the error
+    // must name the limitation, not fall through to a generic Spark
+    // syntax error
     val e = intercept[IllegalArgumentException] {
       spark.sql("""
-        SELECT * FROM (SELECT * FROM asof_left WHERE t > 100) ASOF JOIN
-          asof_right MATCH_CONDITION (t >= pt) USING (k)""")
+        SELECT * FROM range(10) ASOF JOIN
+          asof_right MATCH_CONDITION (id >= pt) USING (k)""")
     }
     assert(e.getMessage.contains("graft ASOF JOIN: unsupported shape"))
     assert(e.getMessage.contains("temp view"))
@@ -205,6 +235,23 @@ class AsofSqlSpec extends SparkSuite {
     assert(spark.sql("SELECT 'uses ASOF JOIN here' AS s").count() === 1L)
     assert(spark.sql(
       "SELECT id FROM asof_left -- TODO try ASOF JOIN later\nWHERE id = 1")
+      .count() === 1L)
+    // an apostrophe inside a line comment must not open a phantom string
+    // that swallows a following real-but-unsupported ASOF JOIN (the old
+    // regex scrub blanked quotes BEFORE stripping comments and did)
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql(
+        "SELECT * FROM asof_left -- don't mind this comment\n" +
+          "ASOF JOIN asof_right USING (k)")
+    }
+    assert(e3.getMessage.contains("graft ASOF JOIN: unsupported shape"))
+    // ...and a commented apostrophe never hides commented-out ASOF text
+    assert(spark.sql(
+      "SELECT id FROM asof_left -- don't ASOF JOIN here\nWHERE id = 1")
+      .count() === 1L)
+    // backtick-quoted identifiers are masked as identifiers, not code
+    assert(spark.sql(
+      "SELECT id AS `weird ASOF JOIN name` FROM asof_left WHERE id = 1")
       .count() === 1L)
   }
 
