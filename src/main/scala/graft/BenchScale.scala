@@ -282,6 +282,45 @@ object BenchScale {
         listsP.unpersist()
         n
       },
+      timed("ann_recall_200k") {
+        // Recall AT THE SCALE CORPUS: the driver's ann_recall pins live
+        // at sf0.1 (2k vectors) and bucket-occupancy statistics shift
+        // with corpus size, so a recall cliff at 200k would be invisible
+        // there. Probes = copy 0 of bases 0..19 (NOT the first 20
+        // amplified ids — those are 20 jittered variants of base 0).
+        // CROSS-BASE top-10 only: a probe's ~copies jittered siblings are
+        // cosine≈1 and share its buckets BY CONSTRUCTION, so whole-corpus
+        // top-10 recall is trivially 100 and measures nothing (verified —
+        // first cut of this stage). Both ground truth and the approx
+        // paths therefore query k = copies+20 deep, drop same-base
+        // neighbors, and keep the 10 best survivors per probe: does the
+        // bucketing still surface UNSTRUCTURED neighbors from a 200k
+        // corpus? Result value encodes recall, not rows:
+        // lsh_pct * 1000 + ivf_pct.
+        import org.apache.spark.sql.expressions.Window
+        val famWidth = copies * 10L
+        val kk = copies + 20
+        val probes = em.filter(pmod(col("vec_id"), lit(famWidth)) === 0 &&
+          col("vec_id") < 20L * famWidth)
+        def crossBaseTop10(ranked: DataFrame): DataFrame = ranked
+          .filter(expr(s"neighbor_id div $famWidth") =!=
+            expr(s"probe_id div $famWidth"))
+          .withColumn("__r", row_number().over(
+            Window.partitionBy("probe_id").orderBy("rank")))
+          .filter(col("__r") <= 10)
+          .select("probe_id", "neighbor_id")
+        val exact = crossBaseTop10(Similarity.bruteForceTopK(em, probes,
+          "vec_id", "embedding", k = kk)).localCheckpoint()
+        val truth = exact.count()
+        def recallPct(approx: DataFrame): Long =
+          exact.join(crossBaseTop10(approx),
+            Seq("probe_id", "neighbor_id"), "left_semi").count() * 100 / truth
+        val lsh = recallPct(Similarity.lshTopK(em, probes, "vec_id",
+          "embedding", k = kk, bits = 8, dim = 64))
+        val ivf = recallPct(Similarity.ivfTopK(em, probes, "vec_id",
+          "embedding", k = kk, nLists = 64, nProbe = 4))
+        lsh * 1000 + ivf
+      },
       timed("curate_pipeline") {
         TrainingDataPipeline.curate(docs, "text", "doc_id")
           .filter(col("keep")).count()
