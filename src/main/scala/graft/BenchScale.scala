@@ -192,6 +192,20 @@ object BenchScale {
       baseSigs.unpersist()
     }
 
+    // Standing IVF index over 90% of the vectors (untimed setup — the
+    // maintained lists table a daily embedding fold runs against);
+    // rebuilt fresh per run so stale epochs from a prior run cannot
+    // double the lists.
+    if (!skip("ann_incremental_ingest_10pct")) {
+      val ivfDir = s"$work/inc_ivf_x$copies"
+      val fs = new org.apache.hadoop.fs.Path(ivfDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(ivfDir)
+      if (fs.exists(p)) fs.delete(p, true)
+      new graft.ann.IncrementalIvfIndex(spark, ivfDir, nLists = 64)
+        .init(em.filter(col("vec_id") % 10 =!= 3), "vec_id", "embedding")
+    }
+
     val results = Seq(
       timed("annotate_scan") {
         // single-pass lang+quality+token annotation (the curation front
@@ -281,6 +295,21 @@ object BenchScale {
         }.sum
         listsP.unpersist()
         n
+      },
+      timed("ann_incremental_ingest_10pct") {
+        // the daily embedding fold: ONE ingest of the 10% delta into the
+        // maintained IVF index built (untimed) in the setup above —
+        // map-only assignment against frozen centroids + a partitioned
+        // epoch write, never a corpus re-assignment — then a 5-probe
+        // batch served from the maintained, centroid-pruned lists.
+        // Comparison rows: ann_ivf (one-shot build per query) and
+        // ann_ivf_index_10_batches (static prebuilt index).
+        val idx = new graft.ann.IncrementalIvfIndex(spark,
+          s"$work/inc_ivf_x$copies", nLists = 64)
+        val folded = idx.ingest(em.filter(col("vec_id") % 10 === 3),
+          "vec_id", "embedding").count()
+        folded + idx.search(em.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nProbe = 4).count()
       },
       timed("ann_recall_200k") {
         // Recall AT THE SCALE CORPUS: the driver's ann_recall pins live

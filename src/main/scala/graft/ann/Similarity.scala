@@ -152,7 +152,7 @@ object Similarity {
     * assumption every k-means implementation makes. Handles float/double
     * vectors and rows from localCheckpoint'd frames (raw ArrayData).
     */
-  private def centroidLiterals(centroids: DataFrame): Array[(Any, Column)] = {
+  private[ann] def centroidLiterals(centroids: DataFrame): Array[(Any, Column)] = {
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val elemT = centroids.schema("centroid_vec").dataType
@@ -291,28 +291,37 @@ object Similarity {
     // (crossJoin(broadcast(centroids)) + groupBy over the vector column)
     // re-shuffled |rows| x nLists copies of the full vectors as group
     // keys — measured 169 s vs 1.6 s brute force at 200k x 64 lists.
-    val cents = centroidLiterals(centroids)
-
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val scored = cents.map { case (cid, cv) =>
-        struct(cosine(col(vec), cv).as("c"), lit(cid).as("id"))
-      }
-      if (keep == 1) {
-        df.withColumn("centroid_id", bestCentroid(cents, col(vec)))
-          .select(col(id), col(vec), col("centroid_id"))
-      } else {
-        // top `keep` centroids: sort the scored structs descending and
-        // explode the head slice — probe-side only, fan-out = nProbe
-        df.withColumn("centroid_id",
-            explode(slice(reverse(sort_array(array(scored.toIndexedSeq: _*))),
-              1, keep).getField("id")))
-          .select(col(id), col(vec), col("centroid_id"))
-      }
-    }
-
-    val lists = assign(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-      "neighbor_id", "__cv", keep = 1)
+    val lists = assignCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", centroids, keep = 1)
     (centroids, lists)
+  }
+
+  /** Map-only centroid assignment: each row of `df` gets its nearest
+    * (`keep = 1`) or `keep` nearest `centroid_id`s via the static
+    * literal-codegen argmax tree (zero shuffle — see the ivfIndex plan
+    * note). Returns `(idCol, vecCol, centroid_id)`. Exposed for
+    * index-maintenance callers ([[IncrementalIvfIndex]]) so a batch
+    * folds into a maintained lists table with the exact expression the
+    * one-shot build uses.
+    */
+  private[graft] def assignCentroids(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, keep: Int): DataFrame = {
+    val cents = centroidLiterals(centroids)
+    if (keep == 1) {
+      df.withColumn("centroid_id", bestCentroid(cents, col(vecCol)))
+        .select(col(idCol), col(vecCol), col("centroid_id"))
+    } else {
+      // top `keep` centroids: sort the scored structs descending and
+      // explode the head slice — probe-side only, fan-out = nProbe
+      val scored = cents.map { case (cid, cv) =>
+        struct(cosine(col(vecCol), cv).as("c"), lit(cid).as("id"))
+      }
+      df.withColumn("centroid_id",
+          explode(slice(reverse(sort_array(array(scored.toIndexedSeq: _*))),
+            1, keep).getField("id")))
+        .select(col(idCol), col(vecCol), col("centroid_id"))
+    }
   }
 
   /** Serve one probe batch from a prebuilt [[ivfIndex]]. Probe-side work
