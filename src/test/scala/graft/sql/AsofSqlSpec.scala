@@ -213,6 +213,29 @@ class AsofSqlSpec extends SparkSuite {
     assert(subBoth === expected)
   }
 
+  test("ASOF JOIN inside a CTE body is rewritten in place") {
+    mkViews()
+    val expected = spark.sql("""
+      SELECT id, pidx FROM asof_left ASOF JOIN asof_right
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    val cte = spark.sql("""
+      WITH joined AS (
+        SELECT id, pidx FROM asof_left ASOF JOIN asof_right
+          MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      )
+      SELECT id, pidx FROM joined ORDER BY id""").collect().toSeq
+    assert(cte === expected)
+    // and a CTE feeding a subquery relation of ANOTHER asof join still
+    // resolves (CTE name as a plain relation)
+    val viaCte = spark.sql("""
+      WITH lefts AS (SELECT * FROM asof_left)
+      SELECT id, pidx FROM lefts ASOF JOIN asof_right
+        MATCH_CONDITION (t >= pt) USING (k) WITHIN 50
+      ORDER BY id""").collect().toSeq
+    assert(viaCte === expected)
+  }
+
   test("unsupported ASOF shapes raise a clear graft-side error") {
     mkViews()
     // a table-valued function is NOT a liftable subquery — the error
