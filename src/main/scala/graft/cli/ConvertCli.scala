@@ -114,10 +114,32 @@ object ConvertCli {
 
     val written = run(spark, cfg)
 
-    println("\nProcessing complete!")
-    println(s"Output directory: ${cfg.outputDir}")
-    println(s"Tables created: ${written.size}")
-    written.toSeq.sortBy(_._1).foreach { case (t, p) => println(s"  $t: $p") }
+    printSummary(written, cfg.outputDir,
+      spark.sparkContext.hadoopConfiguration)
     if (!preexisting) spark.stop()
+  }
+
+  /** The reference CLI's completion report (cli.py:52-64, pinned by
+    * tests/test_cli.py TestCliOutputMessages): "Processing complete!",
+    * the output directory, a "Files created:" count, and per-table
+    * sizes in KB/MB. Takes a PrintStream so CliSpec can capture it.
+    */
+  def printSummary(written: Map[String, String], outputDir: String,
+                   hadoopConf: org.apache.hadoop.conf.Configuration,
+                   out: java.io.PrintStream = System.out): Unit = {
+    def sizeOf(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hadoopConf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    def human(bytes: Long): String =
+      if (bytes >= 1024L * 1024) f"${bytes / (1024.0 * 1024)}%.1f MB"
+      else f"${bytes / 1024.0}%.1f KB"
+    out.println("\nProcessing complete!")
+    out.println(s"Output directory: $outputDir")
+    out.println(s"Files created: ${written.size}")
+    written.toSeq.sortBy(_._1).foreach { case (t, p) =>
+      out.println(s"  $t: $p (${human(sizeOf(p))})")
+    }
   }
 }

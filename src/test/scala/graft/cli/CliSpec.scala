@@ -126,6 +126,26 @@ class CliSpec extends SparkSuite {
     assert(spark.read.parquet(s"$out1/events").count() === 1)
   }
 
+  test("completion report prints directory, file count, and KB/MB sizes") {
+    // TestCliOutputMessages: "Processing complete!", "Output directory:",
+    // "Files created:", and a KB/MB size per table
+    val in = writeFixture()
+    val out = Files.createTempDirectory("graft_cli_msg").toString
+    val written = ConvertCli.run(spark,
+      ConvertCli.parseArgs(Array(in, "-o", out)).toOption.get)
+    val buf = new java.io.ByteArrayOutputStream()
+    ConvertCli.printSummary(written, out,
+      spark.sparkContext.hadoopConfiguration, new java.io.PrintStream(buf))
+    val text = buf.toString("UTF-8")
+    assert(text.contains("Processing complete!"))
+    assert(text.contains(s"Output directory: $out"))
+    assert(text.contains(s"Files created: ${written.size}"))
+    assert(text.contains("KB") || text.contains("MB"))
+    // every table appears with a nonzero size
+    written.keys.foreach(t => assert(text.contains(s"  $t: "), s"missing $t"))
+    assert(!text.contains("(0.0 KB)"), "sizes must be real, not zero")
+  }
+
   test("combined --include-events --include-users writes both") {
     // TestCliCombinedOptions.test_include_both_events_and_users
     val in = writeFixture()
