@@ -39,7 +39,7 @@ final class IncrementalIvfIndex(
     nLists: Int = 64) {
 
   private def centroidsPath = s"$indexPath/centroids"
-  private def listsPath = s"$indexPath/lists"
+  private[ann] def listsPath = s"$indexPath/lists"
 
   private def fs = new org.apache.hadoop.fs.Path(indexPath)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,13 +92,20 @@ final class IncrementalIvfIndex(
     * shuffle beyond the partitioned write), landed in the batch's own
     * content-derived epoch dir. Returns the assigned rows.
     */
-  def ingest(batch: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def ingest(batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+    writeEpoch(Similarity.assignCentroids(
+      batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+      "neighbor_id", "__cv", centroids, keep = 1))
+
+  /** Land assigned rows `(neighbor_id, __cv, centroid_id)` as one
+    * content-derived epoch dir. Shared by [[ingest]] (fresh assignment)
+    * and [[compactTo]] (assignments already in the lists table — a
+    * compaction must not pay the argmax compute again).
+    */
+  private def writeEpoch(rows: DataFrame): DataFrame = {
     // materialized once (localCheckpoint): consumed by the fingerprint
     // agg, the partitioned write, and whatever the caller does next
-    val assigned = Similarity.assignCentroids(
-        batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-        "neighbor_id", "__cv", centroids, keep = 1)
-      .localCheckpoint()
+    val assigned = rows.localCheckpoint()
     // order-insensitive id-set fingerprint (see IncrementalNearDedup):
     // same documents -> same epoch dir -> a retry replaces itself
     val p31 = 2147483647L
@@ -145,6 +152,36 @@ final class IncrementalIvfIndex(
         col("centroid_id").cast("long").as("centroid_id"))
     Similarity.ivfSearchIndex(cents, prunedLists, probes, idCol, vecCol,
       k, nProbe, excludeSelf)
+  }
+
+  /** `writeStream.foreachBatch` adapter: every micro-batch of embeddings
+    * folds into the maintained index (same shape as
+    * [[graft.dedup.IncrementalNearDedup.sink]]). The micro-batch epoch
+    * dir is content-derived like the batch path's, so a checkpointed
+    * restart that redelivers a batch overwrites its own rows — the index
+    * is exactly-once across restarts.
+    */
+  def sink(idCol: String, vecCol: String)(
+      onAssigned: (DataFrame, Long) => Unit = (_, _) => ()):
+      (DataFrame, Long) => Unit =
+    (batch, epochId) => onAssigned(ingest(batch, idCol, vecCol), epochId)
+
+  /** Compact every ingested epoch into a FRESH index at `newPath` (same
+    * frozen centroids, one epoch, one file per list): after many daily
+    * folds the per-list file count equals the epoch count, and scan cost
+    * starts paying per-file overhead. Compaction into a NEW path is
+    * crash-safe by construction — readers keep the old index until the
+    * caller flips to the returned handle and deletes the old dir; an
+    * in-place rewrite would have a window where a crash leaves both the
+    * compacted epoch and the originals visible (duplicates).
+    */
+  def compactTo(newPath: String): IncrementalIvfIndex = {
+    require(isInitialized, s"no IVF index at $indexPath — call init() first")
+    val fresh = new IncrementalIvfIndex(spark, newPath, nLists)
+    require(!fresh.isInitialized, s"compaction target $newPath already exists")
+    centroids.write.parquet(fresh.centroidsPath)
+    fresh.writeEpoch(lists)
+    fresh
   }
 
   /** Routing-quality monitor for the frozen centroids: per-batch

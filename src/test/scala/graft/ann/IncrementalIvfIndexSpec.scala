@@ -97,6 +97,53 @@ class IncrementalIvfIndexSpec extends SparkSuite {
     assert(off._3 > 0, "drifted vectors below the threshold must be counted")
   }
 
+  test("streaming sink folds micro-batches into the maintained index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpIndex("stream")
+    val idx = new IncrementalIvfIndex(spark, dir, nLists = 8)
+    idx.init(em.filter(col("vec_id") < 40), "vec_id", "embedding")
+    val rest = em.filter(col("vec_id") >= 40)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(idx.sink("vec_id", "embedding")())
+      .start()
+    try {
+      input.addData(rest.take(30)); q.processAllAvailable()
+      input.addData(rest.drop(30)); q.processAllAvailable()
+      assert(idx.lists.count() === em.count())
+      assert(idx.lists.select("neighbor_id").distinct().count() === em.count())
+    } finally q.stop()
+  }
+
+  test("compactTo collapses epochs into one, preserving rows and search") {
+    val dir = tmpIndex("compact")
+    val idx = new IncrementalIvfIndex(spark, dir, nLists = 8)
+    idx.init(em.filter(col("vec_id") < 30), "vec_id", "embedding")
+    idx.ingest(em.filter(col("vec_id") >= 30 && col("vec_id") < 60),
+      "vec_id", "embedding")
+    idx.ingest(em.filter(col("vec_id") >= 60), "vec_id", "embedding")
+    val before = idx.lists.select("neighbor_id", "centroid_id")
+      .as[(Long, Long)].collect().toSet
+    val compacted = idx.compactTo(tmpIndex("compacted"))
+    // one epoch dir, same rows, same assignments (no argmax recompute)
+    val epochs = new java.io.File(compacted.listsPath).listFiles()
+      .filter(_.getName.startsWith("epoch=")).map(_.getName)
+    assert(epochs.length === 1)
+    assert(compacted.lists.select("neighbor_id", "centroid_id")
+      .as[(Long, Long)].collect().toSet === before)
+    // search result identical through the compacted index
+    val probes = em.filter(col("vec_id") < 3)
+    def results(i: IncrementalIvfIndex) =
+      i.search(probes, "vec_id", "embedding", k = 5, nProbe = 3)
+        .select("probe_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(results(compacted) === results(idx))
+    // target must be fresh
+    intercept[IllegalArgumentException](idx.compactTo(dir))
+  }
+
   test("init refuses a second call; reads refuse an uninitialized path") {
     val dir = tmpIndex("guard")
     val idx = new IncrementalIvfIndex(spark, dir, nLists = 4)
