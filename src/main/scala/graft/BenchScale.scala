@@ -354,6 +354,16 @@ object BenchScale {
         TrainingDataPipeline.curate(docs, "text", "doc_id")
           .filter(col("keep")).count()
       },
+      timed("curate_select_pipeline") {
+        // the COMPOSED curation + DSIR-selection path — the route users
+        // actually take to DSIR (r6's verdict miss: the composition rode
+        // the row form whose (id, bucket) shuffle was superlinear; it
+        // now rides the vector path, so this stage should price at
+        // curate_pipeline + ~dsir_select, not curate + 40 s)
+        val target = docs.filter(col("doc_id") % 1000 === 0)
+        TrainingDataPipeline.curateWithSelection(docs, "text", "doc_id",
+          target, fraction = 0.3).filter(col("keep")).count()
+      },
       timed("dedup_segments") {
         // corpus-wide first-occurrence segment dedup at word granularity:
         // ~28M segments through the min-struct partial-agg shuffle + join
