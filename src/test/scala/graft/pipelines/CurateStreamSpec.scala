@@ -66,6 +66,60 @@ class CurateStreamSpec extends SparkSuite {
     assert(batch === Set(1L))
   }
 
+  test("curateStream composes with the near-dedup fold (the documented split)") {
+    // The scaladoc's "standard split": this front end curates on
+    // arrival, and the LSH near-dedup — a corpus self-join streaming
+    // cannot express with bounded state — runs as the maintained-table
+    // fold. Pin the composition end-to-end: stream -> curateStream ->
+    // foreachBatch(IncrementalNearDedup.sink), then the maintained
+    // table holds exactly the kept docs' signatures and the reported
+    // pairs equal a batch near-dedup run over the same kept set.
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("curate_fold").toString + "/sigs"
+    val inc = new graft.dedup.IncrementalNearDedup(spark, sigDir,
+      minJaccard = 0.5)
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val kept = TrainingDataPipeline.curateStream(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      "text", "doc_id", "ts", watermark = "10 seconds")
+    val query = kept.writeStream
+      .foreachBatch(inc.sink("text", "doc_id") { (p, _) =>
+        pairs ++= p.select("id_a", "id_b").as[(Long, Long)].collect()
+      })
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // batch 1: two keepers (one near-dup family), one length-reject
+    input.addData(
+      (1L, goodText, t(1)),
+      (2L, "tiny", t(2)),
+      (3L, goodText + " tail", t(3)))
+    query.processAllAvailable()
+    // batch 2: a cross-batch near-dup of doc 1 + an unrelated keeper
+    // (stopword-rich so it passes the language/quality gates, but with
+    // no shingle overlap with the fox text)
+    val other =
+      "we walked along the river while the evening light was fading " +
+        "and it felt like the whole town had gone quiet for a moment " * 4
+    input.addData(
+      (4L, goodText + " coda", t(20)),
+      (5L, other, t(21)))
+    query.processAllAvailable()
+    query.stop()
+    // the maintained table holds exactly the kept docs' signatures
+    assert(inc.corpusSignatures.get.select("id").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 5L))
+    // pairs across ALL folds == one batch near-dedup over the kept set
+    val keptDocs = Seq((1L, goodText), (3L, goodText + " tail"),
+      (4L, goodText + " coda"), (5L, other)).toDF("doc_id", "text")
+    val want = graft.dedup.Dedup.minHashCandidates(keptDocs, "text",
+        "doc_id", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.toSet === want)
+    assert(want.contains((1L, 3L)) && want.contains((1L, 4L)),
+      "fixture must exercise within-batch AND cross-batch near-dup pairs")
+  }
+
   test("streaming decisions agree with the batch front end") {
     val docs = Seq(
       (1L, goodText), (2L, "x"), (3L, goodText + " more words here"))
