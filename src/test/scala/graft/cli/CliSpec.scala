@@ -12,8 +12,11 @@ class CliSpec extends SparkSuite {
   import spark.implicits._
 
   /** One-run input fixture in a fresh temp dir (the landing-zone layout
-    * ConvertCli reads) — built per test so output dirs never collide. */
-  private def writeFixture(): String = {
+    * ConvertCli reads) — built per test so output dirs never collide.
+    * `extraBanks` adds a second event bank plus an error bank for the
+    * EventSliceCli flag-matrix cases (kept OFF for the ConvertCli cases,
+    * whose --max-events counts assume a single bank). */
+  private def writeFixture(extraBanks: Boolean = false): String = {
     val in = Files.createTempDirectory("graft_cli_in").toString
     Seq(("REF_L", 1L, "t"))
       .toDF("instrument_id", "run_number", "title").write.parquet(s"$in/metadata")
@@ -32,12 +35,30 @@ class CliSpec extends SparkSuite {
       ("REF_L", 1L, "proton_charge", 120.0, "1.2"))
       .toDF("instrument_id", "run_number", "log_name", "time", "value")
       .write.parquet(s"$in/daslogs")
-    Seq(("REF_L", 1L, "bank1", Seq(1L, 2L, 3L, 4L),
-        Seq(1000.0, 2000.0, 3000.0, 4000.0), Seq(0L, 2L, 3L)))
+    val bank1 = ("REF_L", 1L, "bank1", Seq(1L, 2L, 3L, 4L),
+      Seq(1000.0, 2000.0, 3000.0, 4000.0), Seq(0L, 2L, 3L))
+    val banks =
+      if (!extraBanks) Seq(bank1)
+      else Seq(bank1,
+        // two pulse-0 events on a second bank; an error bank that the
+        // default error-exclusion must drop
+        ("REF_L", 1L, "bank2", Seq(5L, 6L), Seq(1500.0, 2500.0), Seq(0L)),
+        ("REF_L", 1L, "bank_error_events", Seq(7L), Seq(1800.0), Seq(0L)))
+    banks
       .toDF("instrument_id", "run_number", "bank", "event_ids",
         "event_offsets", "event_index")
       .write.parquet(s"$in/event_banks")
     in
+  }
+
+  /** Converted tables (events+users included) for the EventSliceCli
+    * matrix, plus a scratch dir for its outputs. */
+  private def convertedWithBanks(): (String, String) = {
+    val in = writeFixture(extraBanks = true)
+    val out = Files.createTempDirectory("graft_cli_conv").toString
+    ConvertCli.run(spark, ConvertCli.parseArgs(
+      Array(in, "-o", out, "--include-events", "--include-users")).toOption.get)
+    (out, Files.createTempDirectory("graft_cli_slice_out").toString)
   }
 
   private def exists(path: String): Boolean =
@@ -154,6 +175,78 @@ class CliSpec extends SparkSuite {
       Array(in, "-o", out, "--include-events", "--include-users")).toOption.get)
     assert(w.contains("events") && w.contains("event_summary") &&
       w.contains("users"))
+  }
+
+  // ---- EventSliceCli flag matrix (the reference script's full surface:
+  // ---- --interval | --start/--end, --time-log fallback, --bank,
+  // ---- --by-bank, error-bank default exclusion)
+
+  test("EventSliceCli --start/--end window aggregation") {
+    val (conv, sliceDir) = convertedWithBanks()
+    // events at abs ~0.001/0.002/60.003/120.004 (bank1) + 0.0015/0.0025
+    // (bank2); error bank excluded by default -> [0, 100) holds 5
+    EventSliceCli.main(Array("--parquet-dir", conv, "--run-id", "REF_L:1",
+      "--start", "0", "--end", "100", "--output", s"$sliceDir/win"))
+    val row = spark.read.parquet(s"$sliceDir/win")
+      .select("event_count", "n_banks").as[(Long, Long)].collect().head
+    assert(row === ((5L, 2L)))
+  }
+
+  test("EventSliceCli --bank filters to one bank") {
+    val (conv, sliceDir) = convertedWithBanks()
+    EventSliceCli.main(Array("--parquet-dir", conv, "--run-id", "REF_L:1",
+      "--interval", "60", "--bank", "bank2", "--output", s"$sliceDir/b2"))
+    val rows = spark.read.parquet(s"$sliceDir/b2")
+      .select("interval", "event_count").as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((0L, 2L)))
+  }
+
+  test("EventSliceCli --by-bank groups per (interval, bank)") {
+    val (conv, sliceDir) = convertedWithBanks()
+    EventSliceCli.main(Array("--parquet-dir", conv, "--run-id", "REF_L:1",
+      "--interval", "60", "--by-bank", "--output", s"$sliceDir/bb"))
+    val rows = spark.read.parquet(s"$sliceDir/bb")
+      .select("interval", "bank", "event_count")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows === Set((0L, "bank1", 2L), (0L, "bank2", 2L),
+      (1L, "bank1", 1L), (2L, "bank1", 1L)))
+    // the error bank never appears without --include-error-events
+    assert(!rows.exists(_._2.contains("error")))
+  }
+
+  test("EventSliceCli --include-error-events restores excluded banks") {
+    val (conv, sliceDir) = convertedWithBanks()
+    EventSliceCli.main(Array("--parquet-dir", conv, "--run-id", "REF_L:1",
+      "--interval", "60", "--by-bank", "--include-error-events",
+      "--output", s"$sliceDir/err"))
+    val banks = spark.read.parquet(s"$sliceDir/err")
+      .select("bank").as[String].collect().toSet
+    assert(banks === Set("bank1", "bank2", "bank_error_events"))
+  }
+
+  test("EventSliceCli --time-log falls back to the alternates") {
+    val (conv, sliceDir) = convertedWithBanks()
+    // a log name absent from daslogs: the reference's fallback chain
+    // lands on proton_charge, so results equal the default run
+    EventSliceCli.main(Array("--parquet-dir", conv, "--run-id", "REF_L:1",
+      "--interval", "60", "--time-log", "no_such_log",
+      "--output", s"$sliceDir/fb"))
+    EventSliceCli.main(Array("--parquet-dir", conv, "--run-id", "REF_L:1",
+      "--interval", "60", "--output", s"$sliceDir/dflt"))
+    def read(p: String) = spark.read.parquet(p)
+      .select("interval", "event_count").as[(Long, Long)].collect().toSet
+    assert(read(s"$sliceDir/fb") === read(s"$sliceDir/dflt"))
+    assert(read(s"$sliceDir/fb") === Set((0L, 4L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("EventSliceCli rejects missing required arguments") {
+    intercept[IllegalArgumentException] {
+      EventSliceCli.main(Array("--parquet-dir", "/tmp/x"))
+    }
+    intercept[IllegalArgumentException] {
+      // run-id present but neither --interval nor --start/--end
+      EventSliceCli.main(Array("--parquet-dir", "/tmp/x", "--run-id", "a:1"))
+    }
   }
 
   test("ConvertCli then EventSliceCli round-trip") {
