@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based quality filtering — the GPT-3-style companion to
+  * [[Selection]]'s DSIR importance weights (Brown et al. 2020, appendix
+  * A: a logistic-regression quality classifier trained
+  * positive=curated-reference vs negative=raw-crawl, then a Pareto
+  * "lottery" keep so the kept set is quality-TILTED, not quality-
+  * truncated — hard thresholding collapses the tail diversity the
+  * lottery deliberately preserves).
+  *
+  * Scale shape: features are the SAME native hashed n-gram count vectors
+  * the DSIR scale path uses ([[graft.functions.HashedBucketCounts]] —
+  * map-only, inside the scan). Training runs on the labeled sample
+  * (positives + negatives — small by construction: the curated reference
+  * set is the scarce resource), and the FITTED model collapses to k+1
+  * literal doubles, so corpus scoring is a static codegen dot product
+  * with ZERO shuffles and ZERO MLlib machinery in the hot path — the
+  * same literal-coefficient trick as
+  * [[Selection.importanceLogWeightsFromVectors]] (a `model.transform`
+  * over the corpus would drag a Vector UDT conversion through every
+  * row). The lottery uses an md5-derived uniform, so keep decisions are
+  * replay-stable ([[Sampling]]'s determinism argument): re-running the
+  * filter on the same corpus keeps the same documents.
+  */
+object QualityFilter {
+
+  /** A fitted quality model: `k+1` doubles — driver-safe by the same
+    * argument as DSIR's k-bucket models and k-means centroids. */
+  final case class QualityModel(
+      intercept: Double,
+      coefficients: Array[Double],
+      ngram: Int,
+      buckets: Int)
+
+  private def featureVectors(docs: DataFrame, textCol: String,
+                             idCol: String, n: Int, buckets: Int): DataFrame =
+    Selection.hashedNgramFeatureVectors(docs, textCol, idCol, n, buckets)
+
+  /** Fit the classifier: `positives` = in-domain/curated docs,
+    * `negatives` = raw-crawl sample. Both are labeled samples, NOT the
+    * corpus — keep them modest (the model is k+1 numbers; more sample
+    * past a point buys nothing).
+    */
+  def trainQualityModel(positives: DataFrame, negatives: DataFrame,
+                        textCol: String, idCol: String,
+                        ngram: Int = 2, buckets: Int = 64,
+                        maxIter: Int = 50, regParam: Double = 1e-4): QualityModel = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val labeled = featureVectors(positives, textCol, idCol, ngram, buckets)
+        .select(lit(1.0).as("label"), col("fv"))
+      .unionByName(
+        featureVectors(negatives, textCol, idCol, ngram, buckets)
+          .select(lit(0.0).as("label"), col("fv")))
+      .select(col("label"),
+        array_to_vector(expr("transform(fv, x -> CAST(x AS DOUBLE))"))
+          .as("features"))
+    val fit = new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .fit(labeled)
+    QualityModel(fit.intercept, fit.coefficients.toArray, ngram, buckets)
+  }
+
+  private def logit(model: QualityModel, fv: Column): Column =
+    (0 until model.buckets).map(b =>
+        fv.getItem(b).cast("double") * lit(model.coefficients(b)))
+      .reduce(_ + _) + lit(model.intercept)
+
+  /** Score every document map-only: `(idCol, quality_prob)` with
+    * quality_prob = sigmoid(w·fv + b) from literal coefficients — the
+    * plan has no Exchange and no MLlib operators (PlanAuditSpec-style
+    * assertion in QualityFilterSpec).
+    */
+  def scoreQuality(docs: DataFrame, textCol: String, idCol: String,
+                   model: QualityModel): DataFrame =
+    featureVectors(docs, textCol, idCol, model.ngram, model.buckets)
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-logit(model, col("fv")))))
+          .as("quality_prob"))
+
+  /** Brown-et-al keep rule over a scored frame: keep iff
+    * `score > 1 - pareto(alpha)`, with the Pareto draw derived from an
+    * md5 uniform on the id (inverse CDF: `(1-u)^(-1/alpha) - 1`), so the
+    * decision is deterministic per id. Higher `alpha` = stricter (the
+    * GPT-3 run used alpha = 9). Low-score docs still survive at low
+    * rate — the point of the lottery — and a score >= 1 always keeps.
+    */
+  def paretoLotteryKeep(scored: DataFrame, scoreCol: String, idCol: String,
+                        alpha: Double = 9.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    // md5 uniform in [0, 1): top 15 hex digits / 16^15 (same construction
+    // as Sampling.stratified — replay-stable, no rand())
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double") / lit(math.pow(16.0, 15))
+    val pareto = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
+    scored.filter(col(scoreCol) > lit(1.0) - pareto)
+  }
+}

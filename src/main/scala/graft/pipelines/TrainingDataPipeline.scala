@@ -212,6 +212,54 @@ object TrainingDataPipeline {
       .drop("__selected")
   }
 
+  /** [[curate]] followed by GPT-3-style classifier quality filtering
+    * ([[graft.ops.QualityFilter]]): a logistic-regression model trained
+    * positive=`reference` (the curated in-domain set) vs negative=a
+    * deterministic md5 sample of the curation SURVIVORS (the raw-crawl
+    * side, sampled after the heuristic gates exactly as the published
+    * setup trains against the filtered crawl), then the Pareto lottery
+    * keep. A curation survivor the lottery drops carries drop_reason
+    * `quality_lottery` plus its `classifier_prob` (named apart from the
+    * heuristic `quality_score` the curate stage already emits), so
+    * [[report]] accounts for it like any other stage.
+    *
+    * Scale shape: training touches only `reference` + the bounded
+    * negative sample; corpus scoring is the map-only literal-coefficient
+    * plan ([[graft.ops.QualityFilter.scoreQuality]] — no MLlib, no
+    * Exchange, pinned in QualityFilterSpec), and the lottery is a per-row
+    * filter. The only new shuffles are the two audit joins on `idCol`.
+    */
+  def curateWithQuality(docs: DataFrame, textCol: String, idCol: String,
+                        reference: DataFrame, alpha: Double = 9.0,
+                        negativeRate: Double = 0.1,
+                        ngram: Int = 2, buckets: Int = 64,
+                        cfg: Config = Config()): DataFrame = {
+    import graft.ops.{QualityFilter, Sampling}
+    val decisions = curate(docs, textCol, idCol, cfg)
+    // scored feeds two consumers (the lottery, the audit join) — truncate
+    // once, same argument as the DSIR weights frame
+    val survivors = docs.join(
+      decisions.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
+    val negatives = survivors.filter(Sampling.includeExpr(
+      col(idCol), lit("__all"), Map.empty, negativeRate))
+    val model = QualityFilter.trainQualityModel(
+      reference, negatives, textCol, idCol, ngram, buckets)
+    val scored = QualityFilter.scoreQuality(survivors, textCol, idCol, model)
+      .localCheckpoint()
+    val kept = QualityFilter.paretoLotteryKeep(scored, "quality_prob", idCol,
+        alpha)
+      .select(col(idCol), lit(true).as("__q_keep"))
+    decisions
+      .join(scored.withColumnRenamed("quality_prob", "classifier_prob"),
+        Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .withColumn("drop_reason",
+        when(col("drop_reason").isNotNull, col("drop_reason"))
+          .when(col("keep") && col("__q_keep").isNull, "quality_lottery"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .drop("__q_keep")
+  }
+
   /** The DSIR stage's weight frame exactly as [[curateWithSelection]]
     * composes it — the SCALE PATH: per-doc feature VECTORS computed
     * inside the scan (map-only, no explode, no (id, bucket) shuffle; the

@@ -1764,6 +1764,88 @@ object QueryCatalog {
         CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones
       FROM planted ORDER BY doc_id""")),
 
+    // The Brown-et-al Pareto quality lottery, cross-engine exact: the
+    // deterministic md5-uniform + inverse-CDF keep rule over an exactly-
+    // reproducible score (doc_id%100 / 100 — identical IEEE result in
+    // both engines). Rows within 1e-6 of the keep boundary are filtered
+    // on BOTH sides first: the lottery's pow() may differ by final ulps
+    // across libm implementations, and the guard makes that provably
+    // unobservable (1e-6 >> ulp). The trained-classifier scoring that
+    // normally feeds this rule is ScalaTest-pinned (QualityFilterSpec) —
+    // LR training has no portable SQL.
+    QueryDef("quality_pareto_lottery", (s, d) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("double") / lit(math.pow(16.0, 15))
+      val pareto = pow(lit(1.0) - u, lit(-1.0 / 9.0)) - lit(1.0)
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"),
+          ((col("doc_id") % 100).cast("double") / lit(100.0)).as("quality_prob"))
+        .filter(abs(col("quality_prob") - (lit(1.0) - pareto)) > 1e-6)
+      graft.ops.QualityFilter.paretoLotteryKeep(
+          scored, "quality_prob", "doc_id", alpha = 9.0)
+        .select(col("doc_id"),
+          col("quality_prob").cast("decimal(18,2)").as("quality_prob"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH s AS (
+        SELECT doc_id,
+          (doc_id % 100) / 100.0 AS q,
+          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) / power(16, 15) AS u
+        FROM documents),
+      p AS (SELECT doc_id, q, power(1 - u, -1.0/9.0) - 1 AS pareto FROM s)
+      SELECT doc_id, CAST(q AS DECIMAL(18,2)) AS quality_prob
+      FROM p WHERE abs(q - (1 - pareto)) > 1e-6 AND q > 1 - pareto
+      ORDER BY doc_id""")),
+
+    // CCNet perplexity filtering, cross-engine exact on its integer
+    // substrate: the bigram LM is trained on the doc_id%7==0 slice and
+    // scores the rest; n_bigrams / n_oov_bigrams are exact counts, and
+    // the float cross-entropy is floored to 2 decimals with the same
+    // 1e-6 rounding-boundary guard quality_pareto_lottery uses (summed
+    // libm ln ulps across both engines are << the guard). Short docs
+    // keep their NULL-score row (the per-document contract).
+    QueryDef("lm_perplexity", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.text.NgramLm.train(
+        docs.filter(col("doc_id") % 7 === 0), "text")
+      graft.text.NgramLm.score(
+          docs.filter(col("doc_id") % 7 =!= 0), "text", "doc_id", model)
+        .filter(col("cross_entropy").isNull ||
+          abs(col("cross_entropy") * 100 -
+            round(col("cross_entropy") * 100)) > 1e-6)
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov_bigrams"),
+          (floor(col("cross_entropy") * 100) / 100)
+            .cast("decimal(18,2)").as("ce2"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, ' +'),
+                 w -> w <> '') AS t
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+      p2 AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g, t[i] AS w1 FROM pairs),
+      big AS (SELECT g, COUNT(*) AS c2 FROM p2 WHERE doc_id % 7 = 0 GROUP BY 1),
+      ctx AS (SELECT w1, COUNT(*) AS c1 FROM p2 WHERE doc_id % 7 = 0 GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT w) AS vs
+            FROM (SELECT unnest(t) AS w FROM toks WHERE doc_id % 7 = 0)),
+      scored AS (
+        SELECT p.doc_id, COUNT(*) AS nb,
+          SUM(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END) AS oov,
+          -AVG(ln((COALESCE(b.c2, 0) + 1) /
+                  (COALESCE(c.c1, 0) + (SELECT vs FROM v)))) AS ce
+        FROM p2 p LEFT JOIN big b USING (g) LEFT JOIN ctx c USING (w1)
+        WHERE p.doc_id % 7 <> 0 GROUP BY 1)
+      SELECT d.doc_id, CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+        CAST(COALESCE(s.oov, 0) AS BIGINT) AS n_oov_bigrams,
+        CAST(floor(s.ce * 100) / 100 AS DECIMAL(18,2)) AS ce2
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+      WHERE d.doc_id % 7 <> 0
+        AND (s.ce IS NULL OR abs(s.ce * 100 - round(s.ce * 100)) > 1e-6)
+      ORDER BY doc_id""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class QualityFilterSpec extends SparkSuite {
+  import spark.implicits._
+
+  // separable vocabularies: "curated" docs draw from one word set,
+  // "crawl" docs from another, with deterministic variety per doc
+  private def curated(i: Long): String =
+    (0 until 30).map(w => Seq("the", "careful", "essay", "explains",
+      "clearly", "with", "evidence", "and", "structure")((w.toInt + i.toInt) % 9))
+      .mkString(" ")
+  private def crawl(i: Long): String =
+    (0 until 30).map(w => Seq("click", "buy", "now", "cheap", "winner",
+      "casino", "free", "pills", "deal")((w.toInt + i.toInt) % 9))
+      .mkString(" ")
+
+  private def model = QualityFilter.trainQualityModel(
+    (0L until 40L).map(i => (i, curated(i))).toDF("doc_id", "text"),
+    (0L until 40L).map(i => (i + 100, crawl(i))).toDF("doc_id", "text"),
+    "text", "doc_id")
+
+  test("held-out docs from each vocabulary separate cleanly") {
+    val m = model
+    val held = ((50L until 60L).map(i => (i, curated(i), 1.0)) ++
+        (150L until 160L).map(i => (i, crawl(i), 0.0)))
+      .toDF("doc_id", "text", "truth")
+    val scored = QualityFilter.scoreQuality(held, "text", "doc_id", m)
+      .join(held.select("doc_id", "truth"), "doc_id")
+      .select("truth", "quality_prob").as[(Double, Double)].collect()
+    val correct = scored.count { case (truth, p) =>
+      (truth == 1.0 && p > 0.5) || (truth == 0.0 && p < 0.5) }
+    assert(correct >= 18, s"held-out accuracy ${correct}/20 too low")
+    // probabilities, not raw scores
+    assert(scored.forall { case (_, p) => p >= 0.0 && p <= 1.0 })
+  }
+
+  test("corpus scoring is map-only literal codegen (no Exchange, no MLlib)") {
+    val m = model
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = QualityFilter.scoreQuality(docs, "text", "doc_id", m)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"),
+      s"scoring must be map-only:\n$plan")
+    assert(!plan.toLowerCase.contains("logisticregression"),
+      "the fitted model must collapse to literals, not an MLlib transform")
+  }
+
+  test("curateWithQuality: lottery drops audit as quality_lottery, earlier reasons win") {
+    import graft.pipelines.TrainingDataPipeline
+    // Corpus shaped like the real use case: crawl docs dominate (the
+    // internally-sampled negatives are then mostly true negatives), both
+    // vocabularies carry stopwords so the language gate passes, and every
+    // doc gets a globally-unique token prefix so neither exact nor
+    // near-dedup collapses a class (pure rotations differ only in phase —
+    // same bigram multiset, Jaccard ≈ 1). One doc fails the length gate.
+    def crawlEn(i: Long): String =
+      (0 until 30).map(w => Seq("you", "win", "the", "free", "casino",
+        "bonus", "now", "and", "buy")((w.toInt + i.toInt) % 9))
+        .mkString(" ")
+    def uniq(i: Long): String =
+      (0 until 10).map(w => s"u${i}x$w").mkString(" ")
+    val docs = ((0L until 20L).map(i => (i, uniq(i) + " " + curated(i))) ++
+        (200L until 300L).map(i => (i, uniq(i) + " " + crawlEn(i))) ++
+        Seq((999L, "too short")))
+      .toDF("doc_id", "text")
+    val reference = (500L until 540L).map(i => (i, curated(i)))
+      .toDF("doc_id", "text")
+    def run() = TrainingDataPipeline.curateWithQuality(
+        docs, "text", "doc_id", reference, alpha = 2.0,
+        cfg = TrainingDataPipeline.Config(minQuality = 0.0))
+      .localCheckpoint()
+    val out = run()
+    // earlier-stage reason is preserved, not overwritten by the lottery
+    val short = out.filter($"doc_id" === 999L)
+      .select("drop_reason").as[String].head()
+    assert(short === "length")
+    // every curation SURVIVOR carries a classifier probability (docs
+    // dropped by earlier stages were never scored)
+    assert(out.filter(($"keep" || $"drop_reason" === "quality_lottery") &&
+      $"classifier_prob".isNull).count() === 0L)
+    // the lottery tilts: crawl-vocab docs are dropped as quality_lottery
+    // at a much higher rate than curated-vocab docs (alpha=2 keep prob is
+    // (1 + (1-p))^-2: ~0.9 at p≈0.95, ~0.25 at p≈0)
+    def lotteryDrops(lo: Long, hi: Long) = out.filter(
+      $"doc_id" >= lo && $"doc_id" < hi && $"drop_reason" === "quality_lottery")
+      .count()
+    val curatedDrops = lotteryDrops(0L, 20L)
+    val crawlDrops = lotteryDrops(200L, 300L)
+    assert(curatedDrops <= 7,
+      s"lottery should mostly keep reference-like docs: curated=$curatedDrops/20")
+    assert(crawlDrops >= 55,
+      s"lottery should mostly drop crawl docs: crawl=$crawlDrops/100")
+    // determinism: same inputs → same keep set
+    assert(run().filter($"keep").select("doc_id").as[Long].collect().toSet ===
+      out.filter($"keep").select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("pareto lottery is deterministic, tilts by score, keeps some tail") {
+    val scored = ((0L until 300L).map(i => (i, 0.9)) ++
+        (1000L until 1300L).map(i => (i, 0.05)))
+      .toDF("doc_id", "quality_prob")
+    def kept() = QualityFilter.paretoLotteryKeep(
+        scored, "quality_prob", "doc_id", alpha = 9.0)
+      .select("doc_id").as[Long].collect().toSet
+    val k1 = kept()
+    assert(k1 === kept(), "lottery must be replay-stable")
+    val hi = k1.count(_ < 1000L)
+    val lo = k1.count(_ >= 1000L)
+    // alpha=9: P[keep | 0.9] = P[pareto > 0.1] ~ 0.42; P[keep | 0.05] ~ 0.62^9 ~ 0.013
+    assert(hi > 60 && hi < 220, s"high-score keep count $hi out of band")
+    assert(lo < 30, s"low-score keep count $lo out of band")
+    assert(hi.toDouble / 300 > 5 * (lo.toDouble / 300),
+      "keep rate must tilt strongly toward high scores")
+    // score >= 1 always keeps (pareto draw is > 0)
+    val certain = QualityFilter.paretoLotteryKeep(
+        Seq((1L, 1.0)).toDF("doc_id", "quality_prob"),
+        "quality_prob", "doc_id")
+      .count()
+    assert(certain === 1L)
+  }
+}

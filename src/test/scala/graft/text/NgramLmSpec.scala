@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class NgramLmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val reference = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the rug"))
+    .toDF("doc_id", "text")
+
+  test("train counts bigrams, contexts, vocab exactly") {
+    val m = NgramLm.train(reference, "text")
+    // "the cat","cat sat","sat on","on the","the mat" +
+    // "the dog","dog sat","sat on","on the","the rug"
+    val big = m.bigrams.as[(String, Long)].collect().toMap
+    assert(big("sat on") === 2L && big("on the") === 2L)
+    assert(big("the cat") === 1L && big("the rug") === 1L)
+    assert(big.values.sum === 10L)
+    val ctx = m.contexts.as[(String, Long)].collect().toMap
+    // context counts are Σ_w2 c2: "the"→4 (cat,dog,mat?,rug? — mat/rug
+    // end their docs, so "the" contexts are the cat/the dog/the mat/the rug)
+    assert(ctx("the") === 4L)
+    assert(ctx("sat") === 2L && ctx("on") === 2L)
+    // V: the cat sat on mat dog rug = 7 distinct tokens
+    assert(m.vocabSize === 7L)
+  }
+
+  test("score: hand-checked cross-entropy, OOV counts, short-doc contract") {
+    val m = NgramLm.train(reference, "text")
+    val docs = Seq(
+      (10L, "the cat sat"),     // bigrams: "the cat"(c2=1,c1=4) "cat sat"(1,1)
+      (11L, "purple elephants"),// one fully-OOV bigram
+      (12L, "word"),            // no bigrams
+      (13L, "")                 // no tokens at all
+    ).toDF("doc_id", "text")
+    val rows = NgramLm.score(docs, "text", "doc_id", m)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_oov_bigrams", "cross_entropy")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((10L, 2L, 0L), (11L, 1L, 1L), (12L, 0L, 0L), (13L, 0L, 0L)))
+    val ce10 = rows(0)._4.get
+    val expected10 = -(math.log(2.0 / 11.0) + math.log(2.0 / 8.0)) / 2.0
+    assert(math.abs(ce10 - expected10) < 1e-12, s"$ce10 vs $expected10")
+    // fully-OOV: (0+1)/(0+7) per bigram
+    val ce11 = rows(1)._4.get
+    assert(math.abs(ce11 - (-math.log(1.0 / 7.0))) < 1e-12)
+    assert(rows(2)._4.isEmpty && rows(3)._4.isEmpty)
+    // reference text itself scores lower (more likely) than OOV text
+    assert(ce10 < ce11)
+  }
+
+  test("minCount prunes bigrams but keeps context normalization") {
+    val m = NgramLm.train(reference, "text", minCount = 2L)
+    assert(m.bigrams.count() === 2L) // only "sat on", "on the"
+    // contexts still reflect the FULL reference ("the" → 4)
+    assert(m.contexts.filter($"w1" === "the").as[(String, Long)].head()._2 === 4L)
+  }
+
+  test("filterByPerplexity keeps reference-like docs, gates the rest") {
+    val m = NgramLm.train(reference, "text")
+    val docs = Seq(
+      (10L, "the cat sat on the rug"),
+      (11L, "zz yy xx ww vv uu"),
+      (12L, "one")
+    ).toDF("doc_id", "text")
+    val kept = NgramLm.filterByPerplexity(docs, "text", "doc_id", m,
+        maxCrossEntropy = 1.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 12L)) // short doc passes by default
+    val strict = NgramLm.filterByPerplexity(docs, "text", "doc_id", m,
+        maxCrossEntropy = 1.7, keepShort = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict === Set(10L))
+  }
+
+  test("scoring plan: model joins broadcast, no shuffle on a token key") {
+    val m = NgramLm.train(reference, "text")
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = NgramLm.score(docs, "text", "doc_id", m)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), s"model joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized token-key shuffle join:\n$plan")
+  }
+}
