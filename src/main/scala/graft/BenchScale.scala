@@ -269,6 +269,32 @@ object BenchScale {
           .agg(count(col("simhash")) + sum(pmod(col("simhash"), lit(1000))))
           .head().getLong(0)
       },
+      timed("lm_perplexity_score") {
+        // CCNet perplexity over the full corpus: train the bigram LM on a
+        // 1% slice (minCount=2 prunes the jitter-generated hapax grams so
+        // the broadcast model stays bounded), then score every document —
+        // shingle fan-out in the scan + two broadcast joins + one doc-id
+        // groupBy. The agg consumes every output column so Catalyst
+        // cannot prune the scoring out of the plan.
+        val model = graft.text.NgramLm.train(
+          docs.filter(col("doc_id") % 100 === 0), "text", minCount = 2L)
+        graft.text.NgramLm.score(docs, "text", "doc_id", model)
+          .agg(count(col("cross_entropy")) + sum(col("n_oov_bigrams")) % 1000)
+          .head().getLong(0)
+      },
+      timed("quality_lottery_score") {
+        // classifier quality filter over the full corpus: LR training
+        // touches only the two bounded samples (the labels are arbitrary
+        // here — the timed cost is featurization + literal-coefficient
+        // scoring + the per-row lottery, which is label-independent)
+        val model = graft.ops.QualityFilter.trainQualityModel(
+          docs.filter(col("doc_id") % 1000 === 0),
+          docs.filter(col("doc_id") % 1000 === 1), "text", "doc_id")
+        val scored = graft.ops.QualityFilter.scoreQuality(
+          docs, "text", "doc_id", model)
+        graft.ops.QualityFilter.paretoLotteryKeep(
+          scored, "quality_prob", "doc_id").count()
+      },
       timed("ann_bruteforce") {
         Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10).count()

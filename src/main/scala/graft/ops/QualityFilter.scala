@@ -50,6 +50,14 @@ object QualityFilter {
                         maxIter: Int = 50, regParam: Double = 1e-4): QualityModel = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.functions.array_to_vector
+    // coalesce(1) + localCheckpoint BEFORE the fit: the optimizer runs
+    // one job PER ITERATION over this frame, so (a) without lineage
+    // truncation every iteration re-runs the upstream scans/filters that
+    // produced the samples, and (b) with the parent's partitioning each
+    // iteration schedules one micro-task per upstream partition (50
+    // iterations x 64 partitions = 3200 tasks of pure overhead). The
+    // samples are bounded by contract — one materialized block is the
+    // right shape.
     val labeled = featureVectors(positives, textCol, idCol, ngram, buckets)
         .select(lit(1.0).as("label"), col("fv"))
       .unionByName(
@@ -58,16 +66,22 @@ object QualityFilter {
       .select(col("label"),
         array_to_vector(expr("transform(fv, x -> CAST(x AS DOUBLE))"))
           .as("features"))
+      .coalesce(1)
+      .localCheckpoint()
     val fit = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)
       .fit(labeled)
     QualityModel(fit.intercept, fit.coefficients.toArray, ngram, buckets)
   }
 
+  /** Native dot product, NOT a per-bucket Add chain: a depth-k column
+    * reduce gets substituted whole into any downstream filter predicate
+    * and pushes the stage past the JIT method limit — see
+    * [[graft.functions.DotLiteral]] for the measured cliff.
+    */
   private def logit(model: QualityModel, fv: Column): Column =
-    (0 until model.buckets).map(b =>
-        fv.getItem(b).cast("double") * lit(model.coefficients(b)))
-      .reduce(_ + _) + lit(model.intercept)
+    graft.functions.DotLiteral.col(fv, model.coefficients) +
+      lit(model.intercept)
 
   /** Score every document map-only: `(idCol, quality_prob)` with
     * quality_prob = sigmoid(w·fv + b) from literal coefficients — the

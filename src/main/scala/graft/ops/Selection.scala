@@ -155,9 +155,12 @@ object Selection {
     }
     val lpt = logModel(target)
     val lps = logModel(source)
-    val terms = (0 until buckets).map(b =>
-      col("fv").getItem(b).cast("double") * lit(lpt(b) - lps(b)))
+    // native dot product, NOT a per-bucket Add chain: a depth-k column
+    // reduce gets substituted whole into any downstream filter predicate
+    // and pushes that stage past the JIT method limit — see
+    // graft.functions.DotLiteral for the measured cliff
     vecFeatures.select(col(idCol),
-      terms.reduce(_ + _).as("log_weight"))
+      graft.functions.DotLiteral.col(col("fv"),
+        Array.tabulate(buckets)(b => lpt(b) - lps(b))).as("log_weight"))
   }
 }
