@@ -260,6 +260,37 @@ object TrainingDataPipeline {
       .drop("__q_keep")
   }
 
+  /** [[curate]] followed by CCNet perplexity filtering
+    * ([[graft.text.NgramLm]]): survivors are scored by the cross-entropy
+    * of a bigram LM trained on `reference`, and those above
+    * `maxCrossEntropy` drop with reason `perplexity` (their
+    * `lm_cross_entropy` rides in the audit frame). Documents too short to
+    * have bigrams keep their NULL score and pass — the length gate is the
+    * `curate` stage's job. Model training touches only `reference`
+    * (bounded, broadcast); scoring is the shingle-fan-out + broadcast-join
+    * plan pinned in NgramLmSpec.
+    */
+  def curateWithPerplexity(docs: DataFrame, textCol: String, idCol: String,
+                           reference: DataFrame, maxCrossEntropy: Double,
+                           minCount: Long = 1L,
+                           cfg: Config = Config()): DataFrame = {
+    import graft.text.NgramLm
+    val decisions = curate(docs, textCol, idCol, cfg)
+    val survivors = docs.join(
+      decisions.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
+    val model = NgramLm.train(reference, textCol, minCount)
+    val scored = NgramLm.score(survivors, textCol, idCol, model)
+      .select(col(idCol), col("cross_entropy").as("lm_cross_entropy"))
+      .localCheckpoint()
+    decisions
+      .join(scored, Seq(idCol), "left")
+      .withColumn("drop_reason",
+        when(col("drop_reason").isNotNull, col("drop_reason"))
+          .when(col("keep") && col("lm_cross_entropy") > maxCrossEntropy,
+            "perplexity"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   /** The DSIR stage's weight frame exactly as [[curateWithSelection]]
     * composes it — the SCALE PATH: per-doc feature VECTORS computed
     * inside the scan (map-only, no explode, no (id, bucket) shuffle; the

@@ -78,6 +78,39 @@ class NgramLmSpec extends SparkSuite {
     assert(strict === Set(10L))
   }
 
+  test("curateWithPerplexity: audit reason, precedence, short-doc pass") {
+    import graft.pipelines.TrainingDataPipeline
+    // reference-vocab docs (with per-doc unique prefixes so dedup stages
+    // don't collapse them) vs gibberish docs; one too-short doc
+    def refLike(i: Long): String =
+      (0 until 8).map(w => s"u${i}x$w").mkString(" ") +
+        " the cat sat on the mat and the dog sat on the rug"
+    def gibberish(i: Long): String =
+      (0 until 20).map(w => s"g${i}z$w").mkString(" ") + " the and on"
+    val docs = ((0L until 10L).map(i => (i, refLike(i))) ++
+        (100L until 110L).map(i => (i, gibberish(i))) ++
+        Seq((999L, "too short")))
+      .toDF("doc_id", "text")
+    val out = TrainingDataPipeline.curateWithPerplexity(
+        // refLike ce ≈ 1.67 (mixed in-model/OOV bigrams), gibberish
+        // ≈ 1.97 (≈ the ln(V)=1.95 OOV ceiling — V is tiny here)
+        docs, "text", "doc_id", reference, maxCrossEntropy = 1.8,
+        cfg = TrainingDataPipeline.Config(minQuality = 0.0))
+      .localCheckpoint()
+    assert(out.filter($"doc_id" === 999L)
+      .select("drop_reason").as[String].head() === "length")
+    // gibberish docs (mostly OOV bigrams → ce near ln V) drop as
+    // perplexity; reference-like docs keep
+    val dropped = out.filter($"drop_reason" === "perplexity")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped.forall(_ >= 100L), s"only gibberish should drop: $dropped")
+    assert(dropped.size >= 8, s"most gibberish docs should drop: $dropped")
+    assert(out.filter($"keep" && $"doc_id" < 10L).count() >= 8L)
+    // audit column rides along for every scored survivor
+    assert(out.filter($"drop_reason" === "perplexity" &&
+      $"lm_cross_entropy".isNull).count() === 0L)
+  }
+
   test("scoring plan: model joins broadcast, no shuffle on a token key") {
     val m = NgramLm.train(reference, "text")
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
