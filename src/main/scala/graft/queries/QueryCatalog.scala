@@ -1846,6 +1846,59 @@ object QueryCatalog {
         AND (s.ce IS NULL OR abs(s.ce * 100 - round(s.ce * 100)) > 1e-6)
       ORDER BY doc_id""")),
 
+    // Deterministic training-order delivery, cross-engine exact end to
+    // end: md5 hex strings order identically in both engines and every
+    // derived value (position, round-robin shard, within-shard position)
+    // is integer arithmetic on that order — no floats anywhere.
+    QueryDef("corpus_shuffle", (s, d) =>
+      graft.ops.Shuffling.sharded(
+          t(s, d, "documents").select("doc_id"), "doc_id", "s42", 8)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH r AS (SELECT doc_id,
+        ROW_NUMBER() OVER (ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)),
+          doc_id) - 1 AS pos
+        FROM documents)
+      SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard,
+        CAST(pos // 8 AS BIGINT) AS pos_in_shard
+      FROM r ORDER BY doc_id""")),
+
+    // Multi-source mixing: 2.3 epochs of the doc_id%3==0 slice against a
+    // 0.5 subsample of the rest, interleaved by the seeded md5 order —
+    // the deterministic-upsample logic is upsample_mix's oracle pattern
+    // (floor(rate) copies + one more when md5(id) < the rate threshold),
+    // and the mix position is integer rank on the composite-key md5.
+    QueryDef("corpus_mix", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id")
+      graft.ops.Shuffling.mixCorpora(Seq(
+          (docs.filter(col("doc_id") % 3 === 0), 2.3),
+          (docs.filter(col("doc_id") % 3 =!= 0), 0.5)), "doc_id", "m7")
+        .select(col("pos"), col("source_id"), col("doc_id"), col("copy"))
+        .orderBy("pos")
+    }, Some("""
+      WITH a AS (SELECT doc_id,
+          2 + CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < '4ccccccc' THEN 1 ELSE 0 END AS n
+        FROM documents WHERE doc_id % 3 = 0),
+      b AS (SELECT doc_id,
+          CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '80000000' THEN 1 ELSE 0 END AS n
+        FROM documents WHERE doc_id % 3 <> 0),
+      u AS (
+        SELECT CAST(0 AS BIGINT) AS source_id, doc_id,
+          CAST(t.c AS BIGINT) AS copy FROM a, UNNEST(range(0, n)) t(c)
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id, CAST(t.c AS BIGINT)
+        FROM b, UNNEST(range(0, n)) t(c)),
+      k AS (SELECT *, md5('m7:' || CAST(source_id AS VARCHAR) || ':' ||
+              CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS key
+            FROM u)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY key, source_id, doc_id, copy)
+               - 1 AS BIGINT) AS pos,
+        source_id, doc_id, copy
+      FROM k ORDER BY pos""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),
