@@ -729,6 +729,37 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/val/test assignment: split on the NEAR-DUP
+    * CLUSTER, not the document — two near-duplicate documents in
+    * different splits are silent eval contamination, and a doc-id hash
+    * split produces exactly that. Members of a [[connectedComponents]]
+    * cluster share the cluster's min-id as their split key (singletons
+    * key on their own id — for them this IS the doc-id split), so a
+    * duplicate pair can never straddle splits by construction.
+    *
+    * Returns `docs` + a `split` column. Same hash-threshold semantics as
+    * [[graft.ops.Sampling.splitExpr]]; same candidate knobs as the dedup
+    * paths. Note the split FRACTIONS are over clusters, not documents —
+    * a heavy-duplication corpus has fewer clusters than docs, and each
+    * lands whole.
+    */
+  def splitByNearDupClusters(docs: DataFrame, textCol: String, idCol: String,
+                             splits: Seq[(String, Double)],
+                             shingleSize: Int = 3, numHashes: Int = 64,
+                             bands: Int = 16, minJaccard: Double = 0.8,
+                             maxBucketSize: Int = DefaultMaxBucketSize,
+                             asCol: String = "split"): DataFrame = {
+    val pairs = minHashCandidates(docs, textCol, idCol, shingleSize,
+      numHashes, bands, minJaccard, maxBucketSize = maxBucketSize)
+    val comps = connectedComponents(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("id", "__cc_id")
+    docs
+      .join(comps, docs(idCol) === col("__cc_id"), "left")
+      .withColumn(asCol, graft.ops.Sampling.splitExpr(
+        coalesce(col("component"), docs(idCol)), splits))
+      .drop("__cc_id", "component")
+  }
+
   // -------------------------------------------- n-gram Jaccard (exact)
 
   /** Exact n-gram Jaccard similarity for given candidate pairs — the

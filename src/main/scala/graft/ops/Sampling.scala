@@ -43,6 +43,42 @@ object Sampling {
                  rates: Map[String, Double], defaultRate: Double): DataFrame =
     df.filter(includeExpr(col(idCol), col(stratumCol), rates, defaultRate))
 
+  /** Deterministic train/val/test (or any k-way) split assignment: the
+    * md5 fraction of `keyCol` lands each row in one named bucket, with
+    * bucket widths proportional to the weights (normalized — pass
+    * `(train,8),(val,1),(test,1)` or fractions, same result). The same
+    * hash-threshold construction as [[stratified]], so assignment is
+    * replay-stable and engine-portable, and a row's split never depends
+    * on what other rows exist (corpus growth doesn't reshuffle history).
+    *
+    * LEAKAGE-SAFE SPLITS: hash a GROUP key, not the row id — e.g. the
+    * near-dup cluster representative from
+    * [[graft.dedup.Dedup.connectedComponents]] (so a duplicate pair can
+    * never straddle train/test), a domain, or an author. Every member of
+    * a group shares the group key's hash and therefore the split.
+    */
+  def splitExpr(keyCol: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), "split weights must be positive")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be unique")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val prefix = substring(md5(keyCol.cast("string")), 1, 8)
+    // last bucket is the otherwise-branch: its threshold is 1.0 and must
+    // capture every remaining prefix exactly
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), acc) =>
+        when(prefix < lit(hexThreshold(c)), name).otherwise(acc)
+    }
+  }
+
+  /** [[splitExpr]] as a frame transformation: adds `asCol`. */
+  def assignSplit(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)],
+                  asCol: String = "split"): DataFrame =
+    df.withColumn(asCol, splitExpr(col(keyCol), splits))
+
   /** Deterministic UPsampling for mixing rates above 1.0 (e.g. "2.3
     * epochs of source A"): every row gets `floor(rate)` copies, plus one
     * more when its md5 fraction lands below the fractional remainder —

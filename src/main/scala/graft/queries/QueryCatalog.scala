@@ -1899,6 +1899,23 @@ object QueryCatalog {
         source_id, doc_id, copy
       FROM k ORDER BY pos""")),
 
+    // Deterministic k-way split assignment (hash-threshold buckets over
+    // the md5 fraction — weights 8/1/1 exercise normalization). Exact:
+    // lowercase-hex string comparison is identical in both engines.
+    QueryDef("corpus_split", (s, d) =>
+      graft.ops.Sampling.assignSplit(
+          t(s, d, "documents").select("doc_id"), "doc_id",
+          Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+               THEN 'train'
+             WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

@@ -339,4 +339,29 @@ class DedupSpec extends SparkSuite {
     assert(inc === expected)
     assert(inc.nonEmpty) // the planted dups guarantee cross-batch pairs
   }
+
+  test("splitByNearDupClusters: near-dup pairs never straddle train/test") {
+    val base = (0L until 100L).map { i =>
+      (i, s"document number $i talks about topic ${i % 7} with shared words " +
+        s"alpha beta gamma delta epsilon zeta eta theta iota kappa value${i}")
+    }
+    val planted = base.take(40).map { case (i, t) => (i + 1000L, t + " suffixtoken") }
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+    val out = Dedup.splitByNearDupClusters(corpus, "text", "doc_id",
+        Seq(("train", 0.8), ("test", 0.2)), minJaccard = 0.8)
+      .localCheckpoint()
+    // every planted near-dup shares its base doc's split
+    val splits = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    (0L until 40L).foreach { i =>
+      assert(splits(i) === splits(i + 1000L), s"pair $i straddles splits")
+    }
+    // both splits are populated and every doc is assigned
+    assert(splits.size === 140)
+    assert(splits.values.toSet === Set("train", "test"))
+    // deterministic on re-run
+    val again = Dedup.splitByNearDupClusters(corpus, "text", "doc_id",
+        Seq(("train", 0.8), ("test", 0.2)), minJaccard = 0.8)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again === splits)
+  }
 }

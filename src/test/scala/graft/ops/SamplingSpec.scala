@@ -58,4 +58,38 @@ class SamplingSpec extends SparkSuite {
     assert(!counts.contains("keep_all"))
     assert(counts("half") === 2000L)
   }
+
+  test("assignSplit: proportional, exhaustive, weight-scale invariant") {
+    val ids = (0L until 10000L).toDF("id")
+    val out = Sampling.assignSplit(ids, "id",
+        Seq(("train", 8.0), ("val", 1.0), ("test", 1.0)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    // every row lands in exactly one split
+    assert(out.values.sum === 10000L)
+    assert(out.keySet === Set("train", "val", "test"))
+    // ~80/10/10 within sampling noise
+    assert(math.abs(out("train") - 8000L) < 300, out.toString)
+    assert(math.abs(out("val") - 1000L) < 150, out.toString)
+    assert(math.abs(out("test") - 1000L) < 150, out.toString)
+    // weights normalize: (8,1,1) ≡ (0.8,0.1,0.1)
+    val frac = Sampling.assignSplit(ids, "id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(frac === out)
+  }
+
+  test("assignSplit on a group key is leakage-safe: groups never straddle splits") {
+    // rows carry a group key (e.g. a near-dup cluster representative);
+    // hashing the KEY puts every member in the same split
+    val rows = (0L until 3000L).map(i => (i, i / 3)).toDF("id", "component")
+    val splits = Sampling.assignSplit(rows, "component",
+      Seq(("train", 0.8), ("test", 0.2)))
+    val perGroup = splits.groupBy("component")
+      .agg(countDistinct("split").as("n")).select("n").as[Long].collect()
+    assert(perGroup.forall(_ === 1L))
+    // and the group-level proportions still track the weights
+    val trainGroups = splits.filter($"split" === "train")
+      .select("component").distinct().count()
+    assert(math.abs(trainGroups - 800L) < 80, trainGroups.toString)
+  }
 }
