@@ -83,33 +83,46 @@ object QualityFilter {
     graft.functions.DotLiteral.col(fv, model.coefficients) +
       lit(model.intercept)
 
-  /** Score every document map-only: `(idCol, quality_prob)` with
-    * quality_prob = sigmoid(w·fv + b) from literal coefficients — the
-    * plan has no Exchange and no MLlib operators (PlanAuditSpec-style
+  /** quality_prob = sigmoid(w·fv(text) + b) as ONE pure column
+    * expression (native shingles → native bucket counts → native dot
+    * product): usable on batch frames AND verbatim on streaming frames —
+    * the literal-model collapse is what makes trained-model inference
+    * per-row streamable.
+    */
+  def qualityProbCol(model: QualityModel, text: Column): Column = {
+    val fv = graft.functions.HashedBucketCounts.col(
+      graft.functions.WordShingles.col(text, model.ngram), model.buckets)
+    lit(1.0) / (lit(1.0) + exp(-logit(model, fv)))
+  }
+
+  /** Score every document map-only: `(idCol, quality_prob)` — the plan
+    * has no Exchange and no MLlib operators (PlanAuditSpec-style
     * assertion in QualityFilterSpec).
     */
   def scoreQuality(docs: DataFrame, textCol: String, idCol: String,
                    model: QualityModel): DataFrame =
-    featureVectors(docs, textCol, idCol, model.ngram, model.buckets)
-      .select(col(idCol),
-        (lit(1.0) / (lit(1.0) + exp(-logit(model, col("fv")))))
-          .as("quality_prob"))
+    docs.select(col(idCol),
+      qualityProbCol(model, col(textCol)).as("quality_prob"))
 
-  /** Brown-et-al keep rule over a scored frame: keep iff
+  /** The Brown-et-al keep decision as a pure per-row predicate: keep iff
     * `score > 1 - pareto(alpha)`, with the Pareto draw derived from an
     * md5 uniform on the id (inverse CDF: `(1-u)^(-1/alpha) - 1`), so the
     * decision is deterministic per id. Higher `alpha` = stricter (the
     * GPT-3 run used alpha = 9). Low-score docs still survive at low
     * rate — the point of the lottery — and a score >= 1 always keeps.
     */
-  def paretoLotteryKeep(scored: DataFrame, scoreCol: String, idCol: String,
-                        alpha: Double = 9.0): DataFrame = {
+  def lotteryKeepExpr(score: Column, id: Column, alpha: Double): Column = {
     require(alpha > 0, "alpha must be positive")
     // md5 uniform in [0, 1): top 15 hex digits / 16^15 (same construction
     // as Sampling.stratified — replay-stable, no rand())
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+    val u = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("double") / lit(math.pow(16.0, 15))
     val pareto = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
-    scored.filter(col(scoreCol) > lit(1.0) - pareto)
+    score > lit(1.0) - pareto
   }
+
+  /** [[lotteryKeepExpr]] over a scored frame. */
+  def paretoLotteryKeep(scored: DataFrame, scoreCol: String, idCol: String,
+                        alpha: Double = 9.0): DataFrame =
+    scored.filter(lotteryKeepExpr(col(scoreCol), col(idCol), alpha))
 }

@@ -340,6 +340,32 @@ object TrainingDataPipeline {
     *
     * @return the kept, annotated stream (append mode)
     */
+  /** [[curateStream]] + the trained classifier quality gate applied
+    * per-row: because the fitted model collapses to literal coefficients
+    * ([[graft.ops.QualityFilter.qualityProbCol]] — native shingles →
+    * native bucket counts → native dot product) and the Pareto lottery is
+    * a deterministic predicate on (score, id), trained-model inference
+    * needs NO state, no join, and no microbatch coordination — it rides
+    * the same streaming scan as the heuristic gates. The model is trained
+    * OFFLINE on batch frames ([[graft.ops.QualityFilter.trainQualityModel]],
+    * typically on the periodic batch [[curate]] pass) and handed in here.
+    *
+    * @return the kept annotated stream, with `classifier_prob` attached
+    */
+  def curateStreamWithQuality(stream: DataFrame, textCol: String,
+                              idCol: String, tsCol: String,
+                              model: graft.ops.QualityFilter.QualityModel,
+                              alpha: Double = 9.0,
+                              watermark: String = "10 minutes",
+                              cfg: Config = Config()): DataFrame = {
+    import graft.ops.QualityFilter
+    curateStream(stream, textCol, idCol, tsCol, watermark, cfg)
+      .withColumn("classifier_prob",
+        QualityFilter.qualityProbCol(model, col(textCol)))
+      .filter(QualityFilter.lotteryKeepExpr(
+        col("classifier_prob"), col(idCol), alpha))
+  }
+
   def curateStream(stream: DataFrame, textCol: String, idCol: String,
                    tsCol: String, watermark: String = "10 minutes",
                    cfg: Config = Config()): DataFrame =

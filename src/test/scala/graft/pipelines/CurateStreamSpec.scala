@@ -145,4 +145,57 @@ class CurateStreamSpec extends SparkSuite {
     val streamKept = spark.table("cs2").select("doc_id").as[Long].collect().toSet
     assert(streamKept === batchKept)
   }
+
+  test("curateStreamWithQuality applies the trained gate per-row in-stream") {
+    import graft.ops.QualityFilter
+    // separable vocabularies, both passing the language gate, each doc
+    // unique (stopwords + distinct content rotation)
+    def curated(i: Long): String =
+      (0 until 40).map(w => Seq("the", "careful", "essay", "explains",
+        "clearly", "with", "evidence", "and", "structure")((w.toInt + i.toInt) % 9))
+        .mkString(" ") + s" marker$i"
+    def crawl(i: Long): String =
+      (0 until 40).map(w => Seq("you", "win", "the", "free", "casino",
+        "bonus", "now", "and", "buy")((w.toInt + i.toInt) % 9))
+        .mkString(" ") + s" marker$i"
+    val model = QualityFilter.trainQualityModel(
+      (0L until 40L).map(i => (i, curated(i))).toDF("doc_id", "text"),
+      (0L until 40L).map(i => (i + 100, crawl(i))).toDF("doc_id", "text"),
+      "text", "doc_id")
+
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val query = TrainingDataPipeline.curateStreamWithQuality(
+        stream, "text", "doc_id", "ts", model, alpha = 2.0,
+        watermark = "10 seconds",
+        cfg = TrainingDataPipeline.Config(minQuality = 0.0))
+      .writeStream.format("memory").queryName("csq")
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData(
+      (200L until 240L).map(i => (i, curated(i), t(i))) ++
+      (400L until 440L).map(i => (i, crawl(i), t(i))): _*)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("csq")
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    val curatedKept = kept.count(_ < 300L)
+    val crawlKept = kept.count(_ >= 400L)
+    // the trained gate tilts hard: reference-vocab docs mostly survive,
+    // crawl-vocab docs mostly drop (alpha=2 keep prob ~0.9 at p≈1,
+    // ~0.25 at p≈0)
+    assert(curatedKept >= 30, s"curated kept $curatedKept/40")
+    assert(crawlKept <= 18, s"crawl kept $crawlKept/40")
+    assert(curatedKept > 2 * crawlKept, s"$curatedKept vs $crawlKept")
+    // the classifier probability rides on the output stream
+    assert(out.columns.contains("classifier_prob"))
+    // streaming decisions ≡ the batch score+lottery on the same rows
+    val batchDocs = ((200L until 240L).map(i => (i, curated(i))) ++
+      (400L until 440L).map(i => (i, crawl(i)))).toDF("doc_id", "text")
+    val batchKept = QualityFilter.paretoLotteryKeep(
+        QualityFilter.scoreQuality(batchDocs, "text", "doc_id", model),
+        "quality_prob", "doc_id", alpha = 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === batchKept)
+  }
 }
