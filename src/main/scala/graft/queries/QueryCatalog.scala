@@ -1916,6 +1916,34 @@ object QueryCatalog {
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
 
+    // BPE tokenizer end to end at the verify SF: train 200 merges on the
+    // doc_id%10==0 slice (word-count shuffle + bounded driver merge
+    // loop), encode the whole corpus with the native expression, and
+    // emit integer-exact corpus statistics. BPE training has no portable
+    // SQL, so the oracle pins the deterministic measured values at
+    // sf0.01 (same pinned-literal pattern as ann_recall — train table,
+    // tie-breaks, and encode are all deterministic by construction);
+    // exact token-level semantics are ScalaTest-pinned in BpeSpec.
+    QueryDef("bpe_stats", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.text.Bpe.train(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        numMerges = 200, maxWords = 5000)
+      val enc = graft.text.Bpe.encodeDocs(docs, "text", "doc_id", model)
+        .localCheckpoint()
+      enc.agg(
+          count(lit(1)).as("n_docs"),
+          lit(model.merges.length.toLong).as("n_merges"),
+          sum(col("n_bpe_tokens")).as("total_tokens"),
+          max(col("n_bpe_tokens")).as("max_doc_tokens"))
+        .crossJoin(enc.select(explode(col("bpe_tokens")).as("t"))
+          .agg(countDistinct(col("t")).as("distinct_tokens")))
+    }, Some("""
+      SELECT CAST(500 AS BIGINT) AS n_docs, CAST(93 AS BIGINT) AS n_merges,
+        CAST(27165 AS BIGINT) AS total_tokens,
+        CAST(99 AS BIGINT) AS max_doc_tokens,
+        CAST(31 AS BIGINT) AS distinct_tokens""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),
