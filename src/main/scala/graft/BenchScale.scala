@@ -295,6 +295,18 @@ object BenchScale {
         graft.ops.QualityFilter.paretoLotteryKeep(
           scored, "quality_prob", "doc_id").count()
       },
+      timed("bpe_encode_count") {
+        // BPE over the full corpus: bounded training (word-count shuffle
+        // on the 1% slice + driver merge loop) then the native countOnly
+        // encode — map-only, the token-budgeting path sequence packing
+        // consumes
+        val model = graft.text.Bpe.train(
+          docs.filter(col("doc_id") % 100 === 0), "text",
+          numMerges = 500, maxWords = 20000)
+        docs.select(graft.functions.BpeEncode.col(col("text"),
+            model.merges, countOnly = true).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      },
       timed("ann_bruteforce") {
         Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10).count()
