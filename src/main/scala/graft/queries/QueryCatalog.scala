@@ -2800,7 +2800,149 @@ object QueryCatalog {
               UNION ALL
               SELECT vec_id+10000, embedding FROM embeddings WHERE vec_id < 50))
       SELECT emb_key, MIN(vec_id) AS keep_vec_id, COUNT(*) AS n_copies
-      FROM q GROUP BY emb_key ORDER BY emb_key"""))
+      FROM q GROUP BY emb_key ORDER BY emb_key""")),
+
+    // SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup —
+    // candidates are pairs CO-ASSIGNED to a k-means cell with cos >=
+    // 0.999. Same planted-ground-truth oracle design as embed_dedup:
+    // the only pairs at/above the threshold at this SF are the planted
+    // exact copies (measured corpus-wide max non-planted cosine 0.513),
+    // identical vectors always share an argmax cell, and no cell
+    // reaches the cap — so the planted set IS the oracle, and a lost
+    // pair (assignment bug, capped cell, threshold drift) = missing
+    // rows. Float cosine projected away (ann_exact anchors exactness).
+    QueryDef("semdedup", (s, d) => {
+      val em = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = em.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val corpus = em.unionByName(planted)
+      val centroids = em.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      graft.ann.SemDedup.candidates(corpus, "vec_id", "embedding",
+          centroids, minCos = 0.999)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+      FROM embeddings WHERE vec_id < 50 ORDER BY id_a""")),
+
+    // SemDeDup survivor policy (paper §3: keep the duplicate-group
+    // member FARTHEST from its centroid, min-id tie-break). Planted
+    // exact copies tie on centroid cosine, so the tie-break keeps the
+    // original and drops every +10000 copy — survivors ≡ the original
+    // corpus, exactly. The non-tied argmin policy is pinned by
+    // SemDedupSpec on constructed jittered groups.
+    QueryDef("semdedup_survivors", (s, d) => {
+      val em = t(s, d, "embeddings").select("vec_id", "embedding")
+      val planted = em.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+      val corpus = em.unionByName(planted)
+      val centroids = em.filter(col("vec_id").between(100, 107))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid_vec"))
+      graft.ann.SemDedup.semDedup(corpus, "vec_id", "embedding",
+          centroids, minCos = 0.999)
+        .select(col("vec_id"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id FROM embeddings ORDER BY vec_id""")),
+
+    // TF-IDF over the full inverted index. tf/df are exact integers;
+    // the float weight tf*ln(N/df) is floored to 6dp under the standard
+    // 1e-6 rounding-boundary guard (both engines compute the identical
+    // op sequence from identical integers — only libm ln ulps differ,
+    // << the guard).
+    QueryDef("tfidf_postings", (s, d) => {
+      graft.text.Retrieval.tfidf(t(s, d, "documents"), "text", "doc_id")
+        .filter(abs(col("tfidf") * 1000000 -
+          round(col("tfidf") * 1000000)) > 1e-6)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (floor(col("tfidf") * 1000000) / 1000000)
+            .cast("decimal(18,6)").as("tfidf6"))
+        .orderBy("doc_id", "term")
+    }, Some("""
+      WITH base AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+      post AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, unnest(t) AS term FROM base) GROUP BY 1, 2),
+      dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM base),
+      w AS (
+        SELECT doc_id, term, tf, df,
+          tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        FROM post JOIN dfs USING (term) CROSS JOIN n)
+      SELECT doc_id, term, tf, df,
+        CAST(floor(tfidf * 1000000) / 1000000 AS DECIMAL(18,6)) AS tfidf6
+      FROM w WHERE abs(tfidf * 1000000 - round(tfidf * 1000000)) > 1e-6
+      ORDER BY doc_id, term""")),
+
+    // BM25 top-10 for three fixed keyword queries. Exactness design:
+    // per-term contributions are computed by both engines with the
+    // IDENTICAL op sequence over exact integers (tf, df, dl, N, S —
+    // the only wobble is libm ln), quantized to integer micro-scores
+    // with the boundary guard BEFORE summation (so the per-doc sum is
+    // exact integer arithmetic, immune to fold order), and ranked on
+    // the integer score with doc_id tie-break. The raw-double ranking
+    // path (bm25TopK's sorted fold) is pinned by RetrievalSpec.
+    QueryDef("bm25_topk", (s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val queries = Seq((0L, "hash join merge"), (1L, "window agg stream"),
+        (2L, "vector scan slow")).toDF("query_id", "query_text")
+      val (post, stats) =
+        graft.text.Retrieval.buildIndex(docs, "text", "doc_id")
+      graft.text.Retrieval
+        .bm25TermScores(post, stats, queries, "query_id", "query_text")
+        .withColumn("sq", floor(col("s") * 1000000).cast("long"))
+        .withColumn("fl",
+          abs(col("s") * 1000000 - round(col("s") * 1000000)) <= 1e-6)
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("sq")).as("score_q"), max(col("fl")).as("f"))
+        .filter(!col("f"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "score_q", "rank")
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH base AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+      post AS (
+        SELECT term, doc_id, count(*) AS tf, max(dl) AS dl FROM (
+          SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM base)
+        GROUP BY 1, 2),
+      stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS s_tok FROM base),
+      q AS (SELECT query_id, unnest(list_distinct(
+              list_filter(string_split(qt, ' '), x -> x <> ''))) AS term
+            FROM (VALUES (0, 'hash join merge'), (1, 'window agg stream'),
+              (2, 'vector scan slow')) v(query_id, qt)),
+      dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      ts AS (
+        SELECT q.query_id, p.doc_id,
+          ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5))
+          * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (CAST(dl * n_docs AS DOUBLE)
+                         / CAST(s_tok AS DOUBLE)))) AS s
+        FROM post p JOIN q USING (term) JOIN dfs USING (term)
+        CROSS JOIN stats),
+      agg AS (
+        SELECT query_id, doc_id,
+          sum(CAST(floor(s * 1000000) AS BIGINT)) AS score_q,
+          bool_or(abs(s * 1000000 - round(s * 1000000)) <= 1e-6) AS f
+        FROM ts GROUP BY 1, 2)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
+        CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY score_q DESC, doc_id) AS rank
+            FROM agg WHERE NOT f)
+      WHERE rank <= 10 ORDER BY query_id, rank"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
