@@ -104,4 +104,30 @@ object Sampling {
       .withColumn(copyCol, explode(expr("sequence(0L, __copies - 1)")))
       .drop("__copies")
   }
+
+  /** Cluster-balanced (diversity-preserving) downsampling: keep at most
+    * `cap` members of each cluster, chosen by the seeded md5 order with
+    * an id tie-break — the DataComp/SemDeDup-adjacent recipe for capping
+    * over-represented regions of a corpus (boilerplate families, topic
+    * mega-clusters, head domains) without touching the tail. Any
+    * cluster column works: a near-dup component
+    * ([[graft.dedup.Dedup.connectedComponents]]), a k-means cell
+    * ([[graft.ann.Similarity]] assignment), a domain, a language.
+    *
+    * Deterministic like everything here (no rand(): the seeded hash
+    * picks the same survivors on every replay, and adding rows to OTHER
+    * clusters never changes a cluster's selection). The window
+    * partitions by cluster — many bounded partitions, never a global
+    * sort; clusters at or under the cap pass through whole.
+    */
+  def clusterCapped(df: DataFrame, idCol: String, clusterCol: String,
+                    cap: Int, seed: String): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val rank = row_number().over(
+      Window.partitionBy(col(clusterCol)).orderBy(
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string"))),
+        col(idCol)))
+    df.withColumn("__cr", rank).filter(col("__cr") <= cap).drop("__cr")
+  }
 }

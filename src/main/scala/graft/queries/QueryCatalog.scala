@@ -2942,7 +2942,49 @@ object QueryCatalog {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY score_q DESC, doc_id) AS rank
             FROM agg WHERE NOT f)
-      WHERE rank <= 10 ORDER BY query_id, rank"""))
+      WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // Cluster-balanced downsampling: at most 10 docs per source, chosen
+    // by the seeded md5 order — deterministic, so the oracle rederives
+    // the exact survivor set (hex strings order identically in both
+    // engines; integer rank arithmetic only).
+    QueryDef("cluster_cap_sample", (s, d) =>
+      graft.ops.Sampling.clusterCapped(
+          t(s, d, "documents"), "doc_id", "source", cap = 10, seed = "c1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          ORDER BY md5('c1:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM documents)
+      WHERE r <= 10 ORDER BY doc_id""")),
+
+    // Mergeable distinct-count sketches: per-(lang, epoch) HLL sketch
+    // table, merged per lang — the maintained-aggregate shape where a
+    // batch folds in WITHOUT re-scanning the corpus. The corpus
+    // vocabulary (~31 words/lang) is deep inside HLL's coupon-exact
+    // regime, so the merged estimate EQUALS the true distinct count and
+    // the oracle is real SQL (count distinct), not a pinned literal;
+    // larger-cardinality accuracy + the partitioning-invariance
+    // contract (self-union drops the order-sensitive HIP estimator)
+    // are pinned by SketchesSpec.
+    QueryDef("sketch_epoch_distinct", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("lang"), (col("doc_id") % 3).as("epoch"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val perEpoch = graft.ops.Sketches.hllSketchTable(
+        toks, "w", Seq("lang", "epoch"))
+      graft.ops.Sketches.hllMergeEstimate(
+          perEpoch.select("lang", "hll"), Seq("lang"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, count(DISTINCT w) AS n_distinct_est
+      FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS w
+            FROM documents)
+      GROUP BY lang ORDER BY lang"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

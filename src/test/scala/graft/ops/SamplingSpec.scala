@@ -92,4 +92,31 @@ class SamplingSpec extends SparkSuite {
       .select("component").distinct().count()
     assert(math.abs(trainGroups - 800L) < 80, trainGroups.toString)
   }
+
+  test("clusterCapped keeps at most cap per cluster, deterministically") {
+    // cluster 0: 100 members; cluster 1: 3; cluster 2: exactly cap
+    val rows = ((0L until 100L).map(i => (i, "c0")) ++
+      (100L until 103L).map(i => (i, "c1")) ++
+      (200L until 205L).map(i => (i, "c2"))).toDF("id", "cluster")
+    val kept = Sampling.clusterCapped(rows, "id", "cluster", cap = 5, "s1")
+    val byCluster = kept.groupBy("cluster").count()
+      .as[(String, Long)].collect().toMap
+    assert(byCluster === Map("c0" -> 5L, "c1" -> 3L, "c2" -> 5L))
+    // replay-stable: same survivors both times
+    val again = Sampling.clusterCapped(rows, "id", "cluster", cap = 5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+    // seed changes the big cluster's selection (5-of-100 overlap is
+    // vanishingly unlikely to be identical)
+    val other = Sampling.clusterCapped(rows, "id", "cluster", cap = 5, "s2")
+      .filter($"cluster" === "c0").select("id").as[Long].collect().toSet
+    val first = kept.filter($"cluster" === "c0")
+      .select("id").as[Long].collect().toSet
+    assert(other !== first)
+    // adding rows to ANOTHER cluster never changes c0's survivors
+    val grown = rows.unionByName(Seq((300L, "c9")).toDF("id", "cluster"))
+    val c0After = Sampling.clusterCapped(grown, "id", "cluster", cap = 5, "s1")
+      .filter($"cluster" === "c0").select("id").as[Long].collect().toSet
+    assert(c0After === first)
+  }
 }
