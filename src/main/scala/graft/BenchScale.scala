@@ -100,14 +100,19 @@ object BenchScale {
     * parallelize — never a global sort).
     */
   def amplifyEvents(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
-    val ev = graft.Tables.load(spark, sfDir, "events")
-    val b = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+    // Normalize event time to epoch-µs BIGINT up front (testdata has
+    // shipped `ts` as both int64-nanos and timestamp[us]); the amplified
+    // parquet then carries `ts_us` so every downstream stage is
+    // writer-schema independent.
+    val ev = graft.Tables.withTsUs(graft.Tables.load(spark, sfDir, "events"))
+      .drop("ts")
+    val b = ev.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"),
       max(col("event_id")).as("idmax")).head()
-    val span = b.getLong(1) - b.getLong(0) + 1000000000L
+    val span = b.getLong(1) - b.getLong(0) + 1000000L
     val idBase = b.getLong(2) + 1
     val reps = spark.range(copies).select(col("id").as("run_id"))
     ev.crossJoin(reps)
-      .withColumn("ts", col("ts") + col("run_id") * span)
+      .withColumn("ts_us", col("ts_us") + col("run_id") * span)
       .withColumn("event_id", col("event_id") + col("run_id") * idBase)
   }
 
@@ -462,7 +467,7 @@ object BenchScale {
         // ordered funnel over the 10M-event stream: 3 filtered
         // aggregations keyed on user_id, no stream-wide window
         graft.ops.Funnel.counts(
-          events.withColumn("ts_us", expr("ts div 1000")),
+          graft.Tables.withTsUs(events),
           "user_id", "ts_us", "event_type",
           Seq("view", "click", "purchase"))
           .agg(sum(col("n_users"))).head().getLong(0)
@@ -493,7 +498,7 @@ object BenchScale {
         // timelines (click events) indexed with a run-partitioned window,
         // then every event correlated to its pulse via the bucketed
         // as-of join keyed on (run_id, hour-bucket)
-        val ev = events.withColumn("ts_us", expr("ts div 1000"))
+        val ev = graft.Tables.withTsUs(events)
         val pulses = graft.ops.EventTime.derivePulseTimes(
             ev, "event_type", "ts_us", "click",
             runKeys = Seq("run_id"), tieBreak = Seq("event_id"))
@@ -508,7 +513,7 @@ object BenchScale {
         // same correlation through the custom sort-merge SparkPlan
         // (graft.plans.AsOfMergeJoin): one shuffle + sort per side, no
         // bucket explosion term — the head-to-head vs the bucketed path
-        val ev = events.withColumn("ts_us", expr("ts div 1000"))
+        val ev = graft.Tables.withTsUs(events)
         val pulses = graft.ops.EventTime.derivePulseTimes(
             ev, "event_type", "ts_us", "click",
             runKeys = Seq("run_id"), tieBreak = Seq("event_id"))
@@ -533,7 +538,7 @@ object BenchScale {
       },
       timed("events_interval_counts") {
         graft.ops.EventTime.countByInterval(
-          events.withColumn("ts_us", expr("ts div 1000")),
+          graft.Tables.withTsUs(events),
           "ts_us", 3600L * 1000 * 1000,
           bankCol = Some("event_type"), pulseCol = None).count()
       }).flatten

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic parquet tables plus the session
   * settings every entry point (Verify / Bench / tests) must share.
@@ -29,6 +31,46 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Epoch-microseconds BIGINT expression for an event-time column,
+    * adapting to however the parquet writer encoded it. The generated
+    * testdata has shipped `ts` as both INT64 TIMESTAMP(NANOS) (read as
+    * epoch-nanos Long under `nanosAsLong`) and plain `timestamp[us]`
+    * (read as TIMESTAMP or TIMESTAMP_NTZ); downstream event-time
+    * arithmetic must be exact integer µs regardless of the writer.
+    *
+    *  - LongType            → epoch-nanos, floor-div to µs (`div` keeps
+    *                          integer math, matching DuckDB `epoch_us`);
+    *  - TimestampType       → `unix_micros` directly;
+    *  - TimestampNTZType    → cast to TIMESTAMP first (`unix_micros`
+    *                          rejects NTZ); lossless because the session
+    *                          timezone is pinned to UTC in [[configure]].
+    */
+  def tsMicros(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case LongType         => expr(s"$tsCol div 1000")
+      case TimestampType    => expr(s"unix_micros($tsCol)")
+      case TimestampNTZType => expr(s"unix_micros(cast($tsCol as timestamp))")
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time dtype for '$tsCol': $other " +
+          "(expected INT64 epoch-nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
+  /** Ensure an epoch-µs `ts_us` BIGINT column exists, deriving it from
+    * `ts` (any supported dtype) when absent. Idempotent, so callers can
+    * apply it to raw testdata and to already-normalized intermediate
+    * parquet alike.
+    */
+  def withTsUs(df: DataFrame): DataFrame =
+    if (df.columns.contains("ts_us")) df
+    else df.withColumn("ts_us", tsMicros(df, "ts"))
+
+  /** `events` with a normalized `ts_us` epoch-µs BIGINT column. All
+    * event-time operators route through this single adapter so a testdata
+    * schema change lands in exactly one place.
+    */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    withTsUs(load(spark, dir, "events"))
 
   val AllTables: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part", "orders",

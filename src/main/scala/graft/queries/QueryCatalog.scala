@@ -41,14 +41,15 @@ object QueryCatalog {
   private def sumd(c: Column): Column = sum(dec(c)).cast("double")
 
   // Event-time arithmetic runs in MICROSECONDS: DuckDB (the oracle) reads
-  // the parquet TIMESTAMP(NANOS) column as a us-precision TIMESTAMP, so ns
-  // values would never hash-match. Spark reads the raw ns longs
-  // (nanosAsLong) and rebases with `ts div 1000`.
+  // `ts` as a µs-precision TIMESTAMP (`epoch_us(ts)`), so the Spark side
+  // must land on the same integer µs whatever dtype the parquet writer
+  // used — Tables.tsMicros adapts per loaded schema (int64-nanos,
+  // TIMESTAMP, or TIMESTAMP_NTZ).
   private val UsPerHour = 3600L * 1000 * 1000
   private val UsPerDay = 24L * UsPerHour
 
   private def eventsUs(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+    Tables.eventsUs(s, d)
 
   // -------- DuckDB-oracle generators for the text/dedup family ----------
   // These mirror graft's Scala-side semantics in DuckDB's dialect so even
@@ -1798,25 +1799,21 @@ object QueryCatalog {
       FROM p WHERE abs(q - (1 - pareto)) > 1e-6 AND q > 1 - pareto
       ORDER BY doc_id""")),
 
-    // CCNet perplexity filtering, cross-engine exact on its integer
-    // substrate: the bigram LM is trained on the doc_id%7==0 slice and
-    // scores the rest; n_bigrams / n_oov_bigrams are exact counts, and
-    // the float cross-entropy is floored to 2 decimals with the same
-    // 1e-6 rounding-boundary guard quality_pareto_lottery uses (summed
-    // libm ln ulps across both engines are << the guard). Short docs
-    // keep their NULL-score row (the per-document contract).
+    // CCNet perplexity filtering, cross-engine exact on its FULL integer
+    // substrate (NgramLm.scoreCounts): the bigram LM is trained on the
+    // doc_id%7==0 slice and scores the rest; the compare pins the exact
+    // bigram/OOV counts AND the summed numerators/denominators of every
+    // smoothed probability — so the model-lookup joins are verified
+    // bit-exactly with NO float in the output (the r7 floored-CE+guard
+    // form did not survive the driver environment's libm). The float
+    // cross-entropy/perplexity on this substrate is NgramLmSpec's job.
+    // Short docs keep their NULL-sums row (the per-document contract).
     QueryDef("lm_perplexity", (s, d) => {
       val docs = t(s, d, "documents")
       val model = graft.text.NgramLm.train(
         docs.filter(col("doc_id") % 7 === 0), "text")
-      graft.text.NgramLm.score(
+      graft.text.NgramLm.scoreCounts(
           docs.filter(col("doc_id") % 7 =!= 0), "text", "doc_id", model)
-        .filter(col("cross_entropy").isNull ||
-          abs(col("cross_entropy") * 100 -
-            round(col("cross_entropy") * 100)) > 1e-6)
-        .select(col("doc_id"), col("n_bigrams"), col("n_oov_bigrams"),
-          (floor(col("cross_entropy") * 100) / 100)
-            .cast("decimal(18,2)").as("ce2"))
         .orderBy("doc_id")
     }, Some("""
       WITH toks AS (
@@ -1834,16 +1831,16 @@ object QueryCatalog {
       scored AS (
         SELECT p.doc_id, COUNT(*) AS nb,
           SUM(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END) AS oov,
-          -AVG(ln((COALESCE(b.c2, 0) + 1) /
-                  (COALESCE(c.c1, 0) + (SELECT vs FROM v)))) AS ce
+          SUM(COALESCE(b.c2, 0) + 1) AS sum_num,
+          SUM(COALESCE(c.c1, 0) + (SELECT vs FROM v)) AS sum_den
         FROM p2 p LEFT JOIN big b USING (g) LEFT JOIN ctx c USING (w1)
         WHERE p.doc_id % 7 <> 0 GROUP BY 1)
       SELECT d.doc_id, CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
         CAST(COALESCE(s.oov, 0) AS BIGINT) AS n_oov_bigrams,
-        CAST(floor(s.ce * 100) / 100 AS DECIMAL(18,2)) AS ce2
+        CAST(s.sum_num AS BIGINT) AS sum_num,
+        CAST(s.sum_den AS BIGINT) AS sum_den
       FROM documents d LEFT JOIN scored s USING (doc_id)
       WHERE d.doc_id % 7 <> 0
-        AND (s.ce IS NULL OR abs(s.ce * 100 - round(s.ce * 100)) > 1e-6)
       ORDER BY doc_id""")),
 
     // Deterministic training-order delivery, cross-engine exact end to
@@ -2848,18 +2845,14 @@ object QueryCatalog {
     }, Some("""
       SELECT vec_id FROM embeddings ORDER BY vec_id""")),
 
-    // TF-IDF over the full inverted index. tf/df are exact integers;
-    // the float weight tf*ln(N/df) is floored to 6dp under the standard
-    // 1e-6 rounding-boundary guard (both engines compute the identical
-    // op sequence from identical integers — only libm ln ulps differ,
-    // << the guard).
+    // TF-IDF over the full inverted index — EXACT integer substrate end
+    // to end: tf/df are exact counts and the weight is the ppm rational
+    // idf proxy `tf * ((1e6*N) div df)` (Retrieval.tfidfExact), so the
+    // compare has no float anywhere (the r7 float-floor+guard form did
+    // not survive the driver environment's libm). The classic ln-form
+    // tfidf stays ScalaTest-pinned in RetrievalSpec.
     QueryDef("tfidf_postings", (s, d) => {
-      graft.text.Retrieval.tfidf(t(s, d, "documents"), "text", "doc_id")
-        .filter(abs(col("tfidf") * 1000000 -
-          round(col("tfidf") * 1000000)) > 1e-6)
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          (floor(col("tfidf") * 1000000) / 1000000)
-            .cast("decimal(18,6)").as("tfidf6"))
+      graft.text.Retrieval.tfidfExact(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id", "term")
     }, Some("""
       WITH base AS (SELECT doc_id,
@@ -2869,43 +2862,27 @@ object QueryCatalog {
         SELECT doc_id, term, count(*) AS tf FROM (
           SELECT doc_id, unnest(t) AS term FROM base) GROUP BY 1, 2),
       dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
-      n AS (SELECT count(*) AS n_docs FROM base),
-      w AS (
-        SELECT doc_id, term, tf, df,
-          tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
-        FROM post JOIN dfs USING (term) CROSS JOIN n)
+      n AS (SELECT count(*) AS n_docs FROM base)
       SELECT doc_id, term, tf, df,
-        CAST(floor(tfidf * 1000000) / 1000000 AS DECIMAL(18,6)) AS tfidf6
-      FROM w WHERE abs(tfidf * 1000000 - round(tfidf * 1000000)) > 1e-6
+        CAST(tf * ((1000000 * n_docs) // df) AS BIGINT) AS w
+      FROM post JOIN dfs USING (term) CROSS JOIN n
       ORDER BY doc_id, term""")),
 
-    // BM25 top-10 for three fixed keyword queries. Exactness design:
-    // per-term contributions are computed by both engines with the
-    // IDENTICAL op sequence over exact integers (tf, df, dl, N, S —
-    // the only wobble is libm ln), quantized to integer micro-scores
-    // with the boundary guard BEFORE summation (so the per-doc sum is
-    // exact integer arithmetic, immune to fold order), and ranked on
-    // the integer score with doc_id tie-break. The raw-double ranking
-    // path (bm25TopK's sorted fold) is pinned by RetrievalSpec.
+    // BM25 top-10 for three fixed keyword queries — EXACT integer
+    // scoring end to end (Retrieval.bm25TopKExact): idf as a ppm
+    // rational, tf-normalization scaled through 10*S, per-doc sum and
+    // ranking all integer arithmetic. No libm anywhere, so the ranking
+    // replays bit-identically in any engine (the r7 float-floor+guard
+    // form did not survive the driver environment). The float Robertson
+    // BM25 path (bm25TopK's sorted fold) is pinned by RetrievalSpec.
     QueryDef("bm25_topk", (s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val queries = Seq((0L, "hash join merge"), (1L, "window agg stream"),
+      val queries = Seq((0L, "hash index scan"), (1L, "window agg stream"),
         (2L, "vector scan slow")).toDF("query_id", "query_text")
-      val (post, stats) =
-        graft.text.Retrieval.buildIndex(docs, "text", "doc_id")
       graft.text.Retrieval
-        .bm25TermScores(post, stats, queries, "query_id", "query_text")
-        .withColumn("sq", floor(col("s") * 1000000).cast("long"))
-        .withColumn("fl",
-          abs(col("s") * 1000000 - round(col("s") * 1000000)) <= 1e-6)
-        .groupBy("query_id", "doc_id")
-        .agg(sum(col("sq")).as("score_q"), max(col("fl")).as("f"))
-        .filter(!col("f"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
-        .filter(col("rank") <= 10)
+        .bm25TopKExact(docs, "text", "doc_id",
+          queries, "query_id", "query_text", 10)
         .select("query_id", "doc_id", "score_q", "rank")
         .orderBy("query_id", "rank")
     }, Some("""
@@ -2919,29 +2896,24 @@ object QueryCatalog {
       stats AS (SELECT count(*) AS n_docs, sum(len(t)) AS s_tok FROM base),
       q AS (SELECT query_id, unnest(list_distinct(
               list_filter(string_split(qt, ' '), x -> x <> ''))) AS term
-            FROM (VALUES (0, 'hash join merge'), (1, 'window agg stream'),
+            FROM (VALUES (0, 'hash index scan'), (1, 'window agg stream'),
               (2, 'vector scan slow')) v(query_id, qt)),
       dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
       ts AS (
         SELECT q.query_id, p.doc_id,
-          ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                   / (CAST(df AS DOUBLE) + 0.5))
-          * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-            / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-               + 0.75 * (CAST(dl * n_docs AS DOUBLE)
-                         / CAST(s_tok AS DOUBLE)))) AS s
+          ((1000000 * (2*n_docs - 2*df + 1)) // (2*df + 1))
+          * ((1000000 * 22 * tf * s_tok) //
+             (10*s_tok*tf + 3*s_tok + 9*dl*n_docs)) AS s_int
         FROM post p JOIN q USING (term) JOIN dfs USING (term)
         CROSS JOIN stats),
       agg AS (
-        SELECT query_id, doc_id,
-          sum(CAST(floor(s * 1000000) AS BIGINT)) AS score_q,
-          bool_or(abs(s * 1000000 - round(s * 1000000)) <= 1e-6) AS f
+        SELECT query_id, doc_id, CAST(sum(s_int) AS BIGINT) AS score_q
         FROM ts GROUP BY 1, 2)
       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
         CAST(rank AS BIGINT) AS rank
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
               ORDER BY score_q DESC, doc_id) AS rank
-            FROM agg WHERE NOT f)
+            FROM agg)
       WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // Cluster-balanced downsampling: at most 10 docs per source, chosen

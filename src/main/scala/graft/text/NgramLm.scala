@@ -97,6 +97,41 @@ object NgramLm {
       .withColumn("perplexity", exp(col("cross_entropy")))
   }
 
+  /** The EXACT integer substrate of [[score]]: `(idCol, n_bigrams,
+    * n_oov_bigrams, sum_num, sum_den)` where `sum_num = Σ (c2+1)` and
+    * `sum_den = Σ (c1+V)` over the document's bigrams — the numerators
+    * and denominators of every smoothed probability the cross-entropy
+    * averages, summed as plain integers. Any model-lookup discrepancy
+    * (wrong count, missed OOV, tokenizer drift) perturbs these sums, so
+    * they pin the scoring join cross-engine-exactly with no libm in the
+    * compare; the float `ln`/`avg` on top is [[score]]'s job (ScalaTest-
+    * pinned). Short docs keep their row with NULL sums, mirroring
+    * [[score]]'s NULL cross_entropy contract.
+    */
+  def scoreCounts(docs: DataFrame, textCol: String, idCol: String,
+                  model: Model): DataFrame = {
+    require(model.vocabSize > 0, "model must have a non-empty vocabulary")
+    val pairs = docs
+      .select(col(idCol), explode_outer(grams(col(textCol))).as("g"))
+      .withColumn("__is_pair", col("g").isNotNull && col("g").contains(" "))
+      .join(broadcast(model.bigrams), Seq("g"), "left")
+      .join(broadcast(model.contexts
+          .withColumnRenamed("w1", "__ctx")),
+        substring_index(col("g"), " ", 1) === col("__ctx"), "left")
+    pairs
+      .select(col(idCol),
+        when(col("__is_pair"),
+          coalesce(col("c2"), lit(0L)) + 1L).as("__num"),
+        when(col("__is_pair"),
+          coalesce(col("c1"), lit(0L)) + model.vocabSize).as("__den"),
+        when(col("__is_pair") && col("c2").isNull, lit(1L)).as("__oov"))
+      .groupBy(idCol)
+      .agg(count(col("__num")).as("n_bigrams"),
+        coalesce(sum(col("__oov")), lit(0L)).as("n_oov_bigrams"),
+        sum(col("__num")).as("sum_num"),
+        sum(col("__den")).as("sum_den"))
+  }
+
   /** Keep documents whose cross-entropy is at most `maxCrossEntropy`
     * (lower = more reference-like; CCNet's "head" slice). Documents too
     * short to have bigrams pass iff `keepShort` — a length gate is a

@@ -77,6 +77,89 @@ object Retrieval {
           .as("tfidf"))
   }
 
+  /** TF-IDF on an exact integer substrate:
+    * `(doc_id, term, tf, df, w)` with
+    * `w = tf * ((1e6 * n_docs) div df)` — a parts-per-million rational
+    * idf proxy (monotone in `n_docs/df`, like `ln` of it) computed with
+    * integer multiply/divide only, so any two engines produce the SAME
+    * bits from the same corpus. This is the cross-engine-replayable
+    * weighting for reproducible pipelines; [[tfidf]] keeps the classic
+    * `ln` form for ranking quality work (pinned by RetrievalSpec, which
+    * also asserts the two orderings agree on df-distinct terms).
+    */
+  def tfidfExact(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (postings, stats) = buildIndex(docs, textCol, idCol)
+    postings
+      .join(docFrequencies(postings), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * expr("(1000000L * n_docs) div df")).as("w"))
+  }
+
+  /** Per-(query, doc, term) BM25 contributions on an exact integer
+    * substrate — every engine computes identical bits, so summed scores
+    * and the resulting ranking replay exactly across engines/libms:
+    *
+    *   idf_ppm    = (1e6 * (2N - 2df + 1)) div (2df + 1)
+    *                  [≈ 1e6 * (N - df + 0.5)/(df + 0.5), the BM25 idf
+    *                   argument as an exact rational in ppm]
+    *   tfnorm_ppm = (1e6 * 22 * tf * S) div (10*S*tf + 3*S + 9*dl*N)
+    *                  [tf*(k1+1)/(tf + k1*((1-b) + b*(dl*N)/S)) with
+    *                   k1=1.2, b=0.75, both sides scaled by 10*S]
+    *   s_int      = idf_ppm * tfnorm_ppm
+    *
+    * The `ln` in classic BM25 is a monotone squash of the idf rational;
+    * dropping it changes relative term weighting (rare terms weigh
+    * heavier here) but keeps a valid deterministic relevance order.
+    * [[bm25TermScores]] remains the float Robertson form. Plan shape is
+    * identical to the float path: query terms broadcast into postings,
+    * df over the narrowed frame broadcast back, stats a broadcast
+    * scalar — nothing corpus-sized shuffles.
+    */
+  def bm25TermScoresExact(
+      postings: DataFrame,
+      stats: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(toks(col(queryTextCol)))).as("term"))
+    val probedTerms = qt.select("term").distinct()
+    val narrowed = postings.join(broadcast(probedTerms), Seq("term"))
+    val dfT = narrowed.groupBy("term").agg(count(lit(1)).as("df"))
+    narrowed
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (expr("(1000000L * (2L*n_docs - 2L*df + 1L)) div (2L*df + 1L)") *
+          expr("""(1000000L * 22L * tf * n_tokens) div
+                  (10L*n_tokens*tf + 3L*n_tokens + 9L*dl*n_docs)"""))
+          .as("s_int"))
+  }
+
+  /** Top-k by the exact integer BM25 scores: `(query_id, doc_id,
+    * score_q, rank)` — the reduction is plain integer sum (order-free),
+    * rank by (score desc, doc_id).
+    */
+  def bm25TopKExact(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int): DataFrame = {
+    val (postings, stats) = buildIndex(docs, textCol, idCol)
+    bm25TermScoresExact(postings, stats, queries, queryIdCol, queryTextCol)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("s_int")).as("score_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-(query, doc, term) BM25 contributions
     * `(query_id, doc_id, term, s)` — the scoring substrate, exposed so
     * callers (and the cross-engine oracle) can control the reduction:

@@ -43,7 +43,7 @@ object EventScaleProbe {
         f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($rows rows)")
     }
 
-    val ev = events.withColumn("ts_us", expr("ts div 1000"))
+    val ev = graft.Tables.withTsUs(events)
     // materialize ONCE (eager checkpoint, timed as the derivation stage):
     // both as-of stages then read the same pulse frame, so their timings
     // compare the joins, not a re-derivation each. Eager (not lazy)

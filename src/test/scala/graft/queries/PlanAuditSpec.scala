@@ -117,10 +117,8 @@ class PlanAuditSpec extends SparkSuite {
 
   test("funnel: equi-joins keyed on the user column only — no cartesian, " +
        "no window") {
-    val ev = graft.Tables.load(spark, dir, "events")
-      .select(org.apache.spark.sql.functions.col("user_id"),
-        org.apache.spark.sql.functions.expr("ts div 1000").as("ts_us"),
-        org.apache.spark.sql.functions.col("event_type"))
+    val ev = graft.Tables.eventsUs(spark, dir)
+      .select("user_id", "ts_us", "event_type")
     val df = graft.ops.Funnel.userSteps(ev, "user_id", "ts_us",
       "event_type", Seq("view", "click", "purchase"))
     val plan = df.queryExecution.executedPlan.toString()
