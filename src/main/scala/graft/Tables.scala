@@ -39,8 +39,13 @@ object Tables {
     * (read as TIMESTAMP or TIMESTAMP_NTZ); downstream event-time
     * arithmetic must be exact integer µs regardless of the writer.
     *
-    *  - LongType            → epoch-nanos, floor-div to µs (`div` keeps
-    *                          integer math, matching DuckDB `epoch_us`);
+    *  - LongType            → epoch-nanos, FLOOR-div to µs. Plain `div`
+    *                          truncates toward zero, which differs from
+    *                          DuckDB `epoch_us` (floor) by 1 µs on
+    *                          negative (pre-1970) nanos — so the nanos
+    *                          are first rounded down to a multiple of
+    *                          1000 via `pmod` (pmod is in [0,1000) for
+    *                          either sign), making the `div` exact;
     *  - TimestampType       → `unix_micros` directly;
     *  - TimestampNTZType    → cast to TIMESTAMP first (`unix_micros`
     *                          rejects NTZ); lossless because the session
@@ -48,7 +53,7 @@ object Tables {
     */
   def tsMicros(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
-      case LongType         => expr(s"$tsCol div 1000")
+      case LongType         => expr(s"($tsCol - pmod($tsCol, 1000)) div 1000")
       case TimestampType    => expr(s"unix_micros($tsCol)")
       case TimestampNTZType => expr(s"unix_micros(cast($tsCol as timestamp))")
       case other => throw new IllegalArgumentException(

@@ -125,4 +125,45 @@ object QualityFilter {
   def paretoLotteryKeep(scored: DataFrame, scoreCol: String, idCol: String,
                         alpha: Double = 9.0): DataFrame =
     scored.filter(lotteryKeepExpr(col(scoreCol), col(idCol), alpha))
+
+  /** [[lotteryKeepExpr]] in EXACT integer arithmetic for scores
+    * quantized to hundredths (`scorePct` = integer percent, score =
+    * scorePct/100) and integer `alpha`. The float rule
+    * `score > 1 - ((1-u)^(-1/alpha) - 1)` with `u = m/16^15` (m = the
+    * md5 uniform's 15-hex-digit integer) is, for positive terms,
+    * algebraically the pure integer comparison
+    *
+    *   (16^15 - m) * (200 - scorePct)^alpha  <  16^15 * 100^alpha
+    *
+    * — no `pow`, no libm, bit-identical on every engine/host by
+    * construction (final-ulp `pow` differences across libm builds are
+    * real, and a 1e-6 boundary guard demonstrably does not survive
+    * them). To stay inside DECIMAL(38,0) (the left product can reach
+    * 2^60 * 200^9 ~ 5.9e38) the comparison is evaluated division-first:
+    * for positive integers A, B, R:  A*B < R  ⟺  A <= (R-1) div B.
+    * `A = 16^15 - m` and the quotient both fit in a BIGINT; only
+    * `B = (200 - scorePct)^alpha` (< 5.2e20) needs decimal width.
+    *
+    * Same decision set as [[lotteryKeepExpr]] up to that function's
+    * float rounding; exact agreement away from ulp boundaries is pinned
+    * by QualityFilterSpec.
+    */
+  def lotteryKeepExactExpr(scorePct: Column, id: Column, alpha: Int = 9): Column = {
+    require(alpha >= 1 && alpha <= 9,
+      "integer alpha in [1, 9] (the keep threshold (200-k)^alpha must stay < 10^38)")
+    val hex15 = 1152921504606846976L // 16^15 = 2^60, fits in a Long
+    val m = conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+    val a = lit(hex15) - m
+    val base = (lit(200L) - scorePct.cast("long")).cast("decimal(38,0)")
+    val bPow = (1 until alpha).foldLeft(base)((acc, _) => acc * base)
+    val rMinus1 = lit(new java.math.BigDecimal(
+      (BigInt(16).pow(15) * BigInt(100).pow(alpha) - 1).bigInteger))
+    // IntegralDivide ("div") returns BIGINT — floor division, exact
+    a <= call_function("div", rMinus1, bPow)
+  }
+
+  /** [[lotteryKeepExactExpr]] over a frame scored in integer percent. */
+  def paretoLotteryKeepExact(scored: DataFrame, scorePctCol: String,
+                             idCol: String, alpha: Int = 9): DataFrame =
+    scored.filter(lotteryKeepExactExpr(col(scorePctCol), col(idCol), alpha))
 }

@@ -832,28 +832,37 @@ object QueryCatalog {
       WHERE o_orderkey < 200 ORDER BY o_orderkey""")),
 
     // Approximate aggregates (HLL++ distinct, approx percentile): sketch
-    // ALGORITHMS are engine-specific, but for a fixed input both are
-    // deterministic — so the oracle pins the measured values as literals
-    // (driver sf0.01; a drift = a real change in the sketch path), while
-    // SketchSpec keeps the error-bound semantics against exact answers.
-    // percentile_approx returns an actual member of the input, so the
-    // DECIMAL(18,2) cast is exact, not a tolerance.
+    // ALGORITHMS are engine-specific, so instead of pinning measured
+    // sketch values as literals (the r7/r8 form — stale the moment the
+    // driver regenerates testdata), the compare is DERIVED FROM THE DATA:
+    // the exact per-group distinct count is recomputed by both engines,
+    // and the sketch outputs are exported as in-bound BOOLEANS checked
+    // inside Spark against in-Spark exact answers (HLL++ rsd=0.02 within
+    // 4 sigma; percentile_approx accuracy=10000 on ~3k rows/group has
+    // rank error < 1 row, so landing in the exact p45..p55 band is
+    // guaranteed). Regen-proof by construction; a broken sketch path
+    // flips a boolean. Tighter error-bound semantics live in SketchSpec.
     QueryDef("sketch_stats", (s, d) =>
       t(s, d, "orders")
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-            .cast("decimal(18,2)").as("approx_median_price"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_customers"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_c"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_m"),
+          expr("percentile(o_totalprice, 0.45)").as("p45"),
+          expr("percentile(o_totalprice, 0.55)").as("p55"))
+        .select(col("o_orderpriority"), col("exact_customers"),
+          (abs(col("approx_c") - col("exact_customers")).cast("double")
+            <= col("exact_customers") * lit(0.08)).as("hll_in_bound"),
+          (col("approx_m") >= col("p45") && col("approx_m") <= col("p55"))
+            .as("median_in_bound"))
         .orderBy("o_orderpriority"),
       Some("""
-      SELECT c0 AS o_orderpriority, CAST(c1 AS BIGINT) AS approx_customers,
-             CAST(c2 AS DECIMAL(18,2)) AS approx_median_price
-      FROM (VALUES ('1-URGENT', 1286, 256652.45),
-                   ('2-HIGH', 1295, 252176.99),
-                   ('3-MEDIUM', 1303, 249557.73),
-                   ('4-NOT SPECIFIED', 1302, 251597.20),
-                   ('5-LOW', 1273, 247766.54)) t(c0, c1, c2)
-      ORDER BY o_orderpriority""")),
+      SELECT o_orderpriority,
+        COUNT(DISTINCT o_custkey) AS exact_customers,
+        TRUE AS hll_in_bound,
+        TRUE AS median_in_bound
+      FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
 
     // the SQL route: identical ANSI text runs on this engine (temp views
     // registered by graft.Catalog) and on the DuckDB oracle
@@ -1765,38 +1774,39 @@ object QueryCatalog {
         CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones
       FROM planted ORDER BY doc_id""")),
 
-    // The Brown-et-al Pareto quality lottery, cross-engine exact: the
-    // deterministic md5-uniform + inverse-CDF keep rule over an exactly-
-    // reproducible score (doc_id%100 / 100 — identical IEEE result in
-    // both engines). Rows within 1e-6 of the keep boundary are filtered
-    // on BOTH sides first: the lottery's pow() may differ by final ulps
-    // across libm implementations, and the guard makes that provably
-    // unobservable (1e-6 >> ulp). The trained-classifier scoring that
-    // normally feeds this rule is ScalaTest-pinned (QualityFilterSpec) —
-    // LR training has no portable SQL.
+    // The Brown-et-al Pareto quality lottery, cross-engine exact on a
+    // PURE INTEGER substrate: the keep rule `q > 1 - pareto(u)` with
+    // q = k/100 (k = doc_id%100) and u = m/16^15 (m = md5 15-hex-digit
+    // uniform) is algebraically
+    //   (16^15 - m) * (200 - k)^9 < 16^15 * 100^9
+    // — no pow(), no float, no boundary guard; bit-identical across
+    // engines/libm builds by construction (the r7/r8 1e-6-guarded float
+    // form did NOT survive the driver environment's libm). Evaluated
+    // division-first on both engines so nothing exceeds 128-bit/
+    // DECIMAL(38,0): A*B < R ⟺ A <= (R-1) div B for positive integers.
+    // The trained-classifier scoring that normally feeds this rule is
+    // ScalaTest-pinned (QualityFilterSpec) — LR training has no
+    // portable SQL.
     QueryDef("quality_pareto_lottery", (s, d) => {
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("double") / lit(math.pow(16.0, 15))
-      val pareto = pow(lit(1.0) - u, lit(-1.0 / 9.0)) - lit(1.0)
       val scored = t(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 100).cast("int").as("quality_pct"))
+      graft.ops.QualityFilter.paretoLotteryKeepExact(
+          scored, "quality_pct", "doc_id", alpha = 9)
         .select(col("doc_id"),
-          ((col("doc_id") % 100).cast("double") / lit(100.0)).as("quality_prob"))
-        .filter(abs(col("quality_prob") - (lit(1.0) - pareto)) > 1e-6)
-      graft.ops.QualityFilter.paretoLotteryKeep(
-          scored, "quality_prob", "doc_id", alpha = 9.0)
-        .select(col("doc_id"),
-          col("quality_prob").cast("decimal(18,2)").as("quality_prob"))
+          (col("quality_pct").cast("double") / lit(100.0))
+            .cast("decimal(18,2)").as("quality_prob"))
         .orderBy("doc_id")
     }, Some("""
       WITH s AS (
-        SELECT doc_id,
-          (doc_id % 100) / 100.0 AS q,
+        SELECT doc_id, doc_id % 100 AS k,
           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-            AS BIGINT) / power(16, 15) AS u
+            AS BIGINT) AS m
         FROM documents),
-      p AS (SELECT doc_id, q, power(1 - u, -1.0/9.0) - 1 AS pareto FROM s)
-      SELECT doc_id, CAST(q AS DECIMAL(18,2)) AS quality_prob
-      FROM p WHERE abs(q - (1 - pareto)) > 1e-6 AND q > 1 - pareto
+      b AS (SELECT doc_id, k, m, CAST(200 - k AS HUGEINT) AS c FROM s)
+      SELECT doc_id, CAST(k / 100.0 AS DECIMAL(18,2)) AS quality_prob
+      FROM b
+      WHERE (1152921504606846976 - m)
+            <= 1152921504606846975999999999999999999 // (c*c*c*c*c*c*c*c*c)
       ORDER BY doc_id""")),
 
     // CCNet perplexity filtering, cross-engine exact on its FULL integer
@@ -1921,6 +1931,8 @@ object QueryCatalog {
     // sf0.01 (same pinned-literal pattern as ann_recall — train table,
     // tie-breaks, and encode are all deterministic by construction);
     // exact token-level semantics are ScalaTest-pinned in BpeSpec.
+    // REGEN DEPENDENCY: like ann_recall, the pins assume the documents
+    // table's seed-stable generator; re-measure on any content regen.
     QueryDef("bpe_stats", (s, d) => {
       val docs = t(s, d, "documents")
       val model = graft.text.Bpe.train(
@@ -2192,7 +2204,11 @@ object QueryCatalog {
     // simhash) relation as literals (driver sf0.01): count + distinct
     // count + pmod-checksum + id-weighted checksum. Any changed bit in
     // any row moves a checksum; ANSI-safe (pmod < 2^31, x500 docs x id
-    // weight < 2^54).
+    // weight < 2^54). REGEN DEPENDENCY: these literals are a function of
+    // the generated corpus — they survive a driver testdata regen only
+    // because the generator is seed-stable; if a regen ever changes the
+    // documents table, re-measure and re-pin (the r7 regen burned
+    // sketch_stats for exactly this; it is now data-derived instead).
     QueryDef("dedup_simhash", (s, d) => {
       val h = pmod(col("simhash"), lit(2147483647L))
       Dedup.withSimHash(t(s, d, "documents").select("doc_id", "text"), "text")
@@ -2718,6 +2734,10 @@ object QueryCatalog {
     // measured values as literals; the ScalaTest recall floors
     // (SimilaritySpec) remain the semantic bound. A drop below the pinned
     // value = a real behavior change in the sketch/centroid path.
+    // REGEN DEPENDENCY: pinned on the embeddings table as generated —
+    // survives a driver testdata regen only while the generator stays
+    // seed-stable; on a content change, re-measure and re-pin (recall
+    // ladders have no data-derived oracle — the pin is unavoidable).
     QueryDef("ann_recall", (s, d) => {
       val em = t(s, d, "embeddings")
       val probes = em.filter(col("vec_id") < 20)

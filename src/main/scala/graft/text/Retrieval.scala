@@ -115,6 +115,14 @@ object Retrieval {
     * identical to the float path: query terms broadcast into postings,
     * df over the narrowed frame broadcast back, stats a broadcast
     * scalar — nothing corpus-sized shuffles.
+    *
+    * Range: the inner product `1e6*22*tf*n_tokens` exceeds Long once
+    * `tf*n_tokens` passes ~4.2e11 (likewise `1e6*n_docs*…` in
+    * [[tfidfExact]]). The session runs ANSI mode (Spark 4 default, not
+    * disabled in [[graft.Tables.configure]]), so overflow THROWS rather
+    * than silently wrapping — pinned by RetrievalSpec's overflow test.
+    * Corpora near that envelope should move the substrate to
+    * DECIMAL(38,0) ppm.
     */
   def bm25TermScoresExact(
       postings: DataFrame,

@@ -123,4 +123,25 @@ class QualityFilterSpec extends SparkSuite {
       .count()
     assert(certain === 1L)
   }
+
+  test("lotteryKeepExactExpr: integer decision ≡ float rule away from ulp boundaries") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(0, 5000).select(col("id").as("doc_id"),
+      (col("id") % 100).cast("int").as("k"))
+    val both = ids.select(col("doc_id"), col("k"),
+      QualityFilter.lotteryKeepExactExpr(col("k"), col("doc_id"), alpha = 9)
+        .as("exact_keep"),
+      QualityFilter.lotteryKeepExpr(
+          col("k").cast("double") / 100.0, col("doc_id"), alpha = 9.0)
+        .as("float_keep"))
+    // the exact form is the float rule with pow() eliminated; on 5000
+    // md5 draws no id lands within a pow-ulp of the keep boundary, so
+    // the decisions agree row for row
+    assert(both.filter(col("exact_keep") =!= col("float_keep")).count() === 0L)
+    // tilt survives the substrate change: k=99 keeps far more than k=0
+    val kept = both.filter(col("exact_keep")).groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse(99, 0L) > 35L, s"k=99 keep ~91%: ${kept.get(99)}")
+    assert(kept.getOrElse(0, 0L) < 5L, s"k=0 keep ~0.2%: ${kept.get(0)}")
+  }
 }

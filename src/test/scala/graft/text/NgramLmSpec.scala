@@ -111,6 +111,27 @@ class NgramLmSpec extends SparkSuite {
       $"lm_cross_entropy".isNull).count() === 0L)
   }
 
+  test("scoreCounts: exact integer sums, OOV and short-doc contracts") {
+    val m = NgramLm.train(reference, "text")
+    val docs = Seq(
+      (10L, "the cat sat"),   // "the cat"(c2=1,c1=4) "cat sat"(c2=1,c1=1)
+      (11L, "the zebra sat"), // both bigrams OOV; ctx "the"=4, "zebra" absent
+      (12L, "hello"))         // no bigrams → NULL-sums row survives
+      .toDF("doc_id", "text")
+    val out = NgramLm.scoreCounts(docs, "text", "doc_id", m)
+      .select("doc_id", "n_bigrams", "n_oov_bigrams", "sum_num", "sum_den")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // V=7: sum_num = Σ(c2+1), sum_den = Σ(c1+V)
+    val r10 = out(10L)
+    assert((r10.getLong(1), r10.getLong(2), r10.getLong(3), r10.getLong(4))
+      === ((2L, 0L, 4L, 19L)))
+    val r11 = out(11L)
+    assert((r11.getLong(1), r11.getLong(2), r11.getLong(3), r11.getLong(4))
+      === ((2L, 2L, 2L, 18L)))
+    val r12 = out(12L)
+    assert(r12.getLong(1) === 0L && r12.isNullAt(3) && r12.isNullAt(4))
+  }
+
   test("scoring plan: model joins broadcast, no shuffle on a token key") {
     val m = NgramLm.train(reference, "text")
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -78,4 +78,55 @@ class RetrievalSpec extends SparkSuite {
     // tfNorm(3,4)=1.4667 > tfNorm(1,3)=1.0, so d3 wins
     assert(out === Set((1L, 1L), (2L, 3L)))
   }
+
+  test("tfidfExact: hand-computed ppm weights; ordering agrees with the ln form on df-distinct terms") {
+    // df(a)=3, df(b)=2, df(c)=1 — strictly distinct dfs, so both the
+    // ppm-rational idf proxy and ln(n/df) induce strict (and equal) orders
+    val d = Seq((1L, "a b c"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val w = Retrieval.tfidfExact(d, "text", "doc_id")
+      .filter(col("doc_id") === 1)
+      .select("term", "w").as[(String, Long)].collect().toMap
+    // tf=1 each; w = (1e6 * 3) div df
+    assert(w === Map("a" -> 1000000L, "b" -> 1500000L, "c" -> 3000000L))
+    val lnW = Retrieval.tfidf(d, "text", "doc_id")
+      .filter(col("doc_id") === 1)
+      .select("term", "tfidf").as[(String, Double)].collect().toMap
+    assert(w.toSeq.sortBy(_._2).map(_._1) === lnW.toSeq.sortBy(_._2).map(_._1))
+  }
+
+  test("bm25TermScoresExact: hand-computed ppm integers; bm25TopKExact rank agrees with the float ranker here") {
+    val queries = Seq((7L, "a b")).toDF("qid", "qtext")
+    val (post, stats) = Retrieval.buildIndex(docs, "text", "doc_id")
+    val s = Retrieval.bm25TermScoresExact(post, stats, queries, "qid", "qtext")
+      .select("doc_id", "term", "s_int").as[(Long, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // idf_ppm = (1e6*(2*3-2*2+1)) div (2*2+1) = 600000 for both terms;
+    // tfnorm_ppm = (1e6*22*tf*9) div (90*tf + 27 + 9*dl*3)
+    assert(s((1L, "a")) === 600000L * 1375000L) // tf=2, dl=3
+    assert(s((1L, "b")) === 600000L * 1000000L) // tf=1, dl=3
+    assert(s((2L, "a")) === 600000L * 1157894L) // tf=1, dl=2 (floor div)
+    assert(s((3L, "b")) === 600000L * 1466666L) // tf=3, dl=4 (floor div)
+    val ranks = Retrieval.bm25TopKExact(docs, "text", "doc_id",
+        queries, "qid", "qtext", k = 3)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    // same order the float bm25TopK test pins: 1, 3, 2
+    assert(ranks === Map(1L -> 1L, 3L -> 2L, 2L -> 3L))
+  }
+
+  test("exact-substrate Long products overflow LOUDLY under ANSI, never wrap") {
+    // tf * n_tokens past ~4.2e11 exceeds Long range inside
+    // 1e6*22*tf*n_tokens; ANSI mode (the session default) must throw,
+    // not silently produce a wrapped score
+    val post = Seq(("a", 1L, 10000000L, 100L)).toDF("term", "doc_id", "tf", "dl")
+    val stats = Seq((1000000L, 100000000000L)).toDF("n_docs", "n_tokens")
+    val queries = Seq((1L, "a")).toDF("qid", "qtext")
+    val e = intercept[Throwable] {
+      Retrieval.bm25TermScoresExact(post, stats, queries, "qid", "qtext").collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.isInstanceOf[ArithmeticException] ||
+        Option(t.getMessage).exists(_.toLowerCase.contains("overflow"))))
+  }
 }
