@@ -606,6 +606,67 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[crossCorpusContamination]] with a Bloom PREFILTER on the corpus
+    * side — the shape that survives 100 TB. The exact path shuffles
+    * every corpus-side shingle into the equi-join even though almost
+    * none match an eval-side key; here the (bounded, df-capped) eval
+    * shingle keys collapse into a Bloom filter that rides the closure
+    * ([[graft.functions.BloomContainsLong]], map-only inside the scan),
+    * so non-matching corpus shingles die before the Exchange. Bloom
+    * false positives pass the prefilter but are eliminated by the SAME
+    * exact equi-join + verify as the exact path — so the result is
+    * IDENTICAL to [[crossCorpusContamination]] (any `fpp`, by
+    * construction), and `fpp` tunes only the prefilter's selectivity.
+    * False negatives are impossible; no real contamination is lost.
+    */
+  def crossCorpusContaminationBloom(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minShared: Int = 1,
+      maxDocFreq: Long = 10,
+      fpp: Double = 0.01): DataFrame = {
+    def prep(df: DataFrame) =
+      withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+        .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
+    crossCorpusContaminationBloomFromShingles(prep(corpusA), prep(corpusB),
+      minShared, maxDocFreq, fpp)
+  }
+
+  /** [[crossCorpusContaminationBloom]] over precomputed `(id, sh)`
+    * frames (the [[signatureTable]] reuse contract of
+    * [[crossCorpusContaminationFromShingles]]).
+    */
+  def crossCorpusContaminationBloomFromShingles(
+      shinglesA: DataFrame,
+      shinglesB: DataFrame,
+      minShared: Int = 1,
+      maxDocFreq: Long = 10,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(col("id").as(as), explode(col("sh")).as("__sh"))
+        .withColumn("h", xxhash64(col("__sh")))
+        .select(as, "h")
+    val b = hashed(shinglesB, "id_b")
+    val keep = b.groupBy("h").agg(count_distinct(col("id_b")).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("h")
+    // bKept is bounded by contract (the eval/benchmark corpus) and feeds
+    // two consumers (filter build + the verify join): materialize once
+    val bKept = b.join(keep, "h").localCheckpoint()
+    val nKeys = bKept.select("h").distinct().count()
+    val bloom = bKept.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp)
+    hashed(shinglesA, "id_a")
+      .filter(graft.functions.BloomContains.col(col("h"), bloom))
+      .join(bKept, "h")
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // --------------------------------------- duplicate-cluster resolution
 
   /** Connected components over a candidate-pair graph by iterative

@@ -130,4 +130,130 @@ object Sampling {
         col(idCol)))
     df.withColumn("__cr", rank).filter(col("__cr") <= cap).drop("__cr")
   }
+
+  // ----------------------------------- temperature-scaled source mixing
+
+  /** Temperature-scaled mixing rates (the mT5/XLM-R α-smoothing
+    * standard): sample stratum `i` with probability
+    * `q_i = p_i^α / Σ_j p_j^α` where `p_i = n_i / N`, realized as a
+    * per-stratum expected multiplicity `r_i = q_i · N / n_i` so the
+    * mixed corpus keeps the original total size in expectation
+    * (`Σ n_i·r_i = N`). `α = 1` is the identity (natural proportions);
+    * `α = 0` flattens to uniform strata; between, head strata shrink
+    * and tail strata upsample — the multilingual/source-rebalancing
+    * knob every large training mix turns.
+    *
+    * Driver-side arithmetic over the bounded per-stratum count table
+    * (one row per source/language — the k-means-centroids bounded-model
+    * argument). Rates above 1 mean upsampling (epochs of a small
+    * stratum), below 1 subsampling; feed them to
+    * [[upsampledByStratum]] / [[stratified]].
+    */
+  def temperatureRates(counts: Seq[(String, Long)],
+                       alpha: Double): Map[String, Double] = {
+    require(counts.nonEmpty, "need at least one stratum")
+    require(counts.forall(_._2 > 0), "stratum counts must be positive")
+    require(alpha >= 0.0, "alpha must be non-negative")
+    val n = counts.map(_._2).sum.toDouble
+    val qs = counts.map { case (s, c) => (s, math.pow(c / n, alpha)) }
+    val z = qs.map(_._2).sum
+    val byStratum = counts.toMap
+    qs.map { case (s, q) => s -> (q / z) * n / byStratum(s) }.toMap
+  }
+
+  /** [[upsampled]] with PER-STRATUM rates — one pass, no per-source
+    * scans: the whole-copies count and the fractional-copy lottery
+    * threshold are when-chains over the (bounded) stratum set. Same
+    * md5 determinism contract as [[upsampled]]; the lottery seeds on
+    * (stratum, id) so a document appearing under two strata draws
+    * independently.
+    */
+  def upsampledByStratum(df: DataFrame, idCol: String, stratumCol: String,
+                         rates: Map[String, Double], defaultRate: Double = 1.0,
+                         copyCol: String = "copy"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0.0),
+      "rates must be non-negative")
+    def whole(r: Double) = math.floor(r).toLong
+    def fracThreshold(r: Double) = hexThreshold(r - math.floor(r))
+    val wholeCol = rates.foldLeft(lit(whole(defaultRate))) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit(whole(r))).otherwise(acc)
+    }
+    val thrCol = rates.foldLeft(lit(fracThreshold(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(col(stratumCol) === s, lit(fracThreshold(r))).otherwise(acc)
+    }
+    val extra = when(
+      substring(md5(concat_ws(":", col(stratumCol).cast("string"),
+        col(idCol).cast("string"))), 1, 8) < thrCol, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__copies", wholeCol + extra)
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol, explode(expr("sequence(0L, __copies - 1)")))
+      .drop("__copies")
+  }
+
+  /** One-call temperature mix: count strata (one bounded aggregate),
+    * derive [[temperatureRates]], apply [[upsampledByStratum]]. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+                     alpha: Double, copyCol: String = "copy"): DataFrame = {
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toSeq
+    upsampledByStratum(df, idCol, stratumCol,
+      temperatureRates(counts, alpha), defaultRate = 1.0, copyCol)
+  }
+
+  /** α = 0.5 temperature mix on a PURE INTEGER substrate — the
+    * cross-engine-replayable instance (general α needs `pow`, whose
+    * final-ulp behavior varies by libm; √ is the one common temperature
+    * with an exact integer form). Per stratum:
+    *
+    *   w_i   = isqrt(N · 10^12 / n_i)        (≈ 10^6 · √(N/n_i))
+    *   r_i   = w_i·N / Σ_j n_j·w_j           (exact rational, Σ n_i·r_i ≈ N)
+    *   keep: copies = ⌊r_i⌋ + [m < (16^15 · (num_i mod den)) div den]
+    *
+    * with `m` the md5 15-hex-digit integer of `stratum:id` — every
+    * quantity an integer, every division a floor division, so any two
+    * engines (and any two libms) produce the same mixed multiset. The
+    * BigInt driver math never overflows; per-row literals fit in BIGINT
+    * (⌊r⌋ small, threshold < 16^15).
+    */
+  def temperatureMixSqrt(df: DataFrame, idCol: String, stratumCol: String,
+                         copyCol: String = "copy"): DataFrame = {
+    val counts = df.groupBy(stratumCol).count().collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "need at least one stratum")
+    def isqrt(x: BigInt): BigInt = {
+      require(x >= 0)
+      if (x < 2) x
+      else {
+        // Newton from a double seed; converges in a few steps and the
+        // loop invariant (g decreasing past the root) makes it exact
+        var g = BigInt(math.sqrt(x.doubleValue).toLong) + 2
+        var prev = BigInt(-1)
+        while (g * g > x && g != prev) { prev = g; g = (g + x / g) / 2 }
+        while ((g + 1) * (g + 1) <= x) g += 1
+        g
+      }
+    }
+    val bigN = BigInt(counts.map(_._2).sum)
+    val scale = BigInt(10).pow(12)
+    val weights = counts.map { case (s, c) => (s, BigInt(c), isqrt(bigN * scale / c)) }
+    val den = weights.map { case (_, c, w) => c * w }.sum
+    val hex15 = BigInt(16).pow(15)
+    val params = weights.map { case (s, _, w) =>
+      val num = w * bigN
+      (s, (num / den).toLong, ((hex15 * (num % den)) / den).toLong)
+    }
+    val wholeCol = params.foldLeft(lit(0L)) { case (acc, (s, wl, _)) =>
+      when(col(stratumCol) === s, lit(wl)).otherwise(acc)
+    }
+    val thrCol = params.foldLeft(lit(0L)) { case (acc, (s, _, t)) =>
+      when(col(stratumCol) === s, lit(t)).otherwise(acc)
+    }
+    val m = conv(substring(md5(concat_ws(":", col(stratumCol).cast("string"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    df.withColumn("__copies", wholeCol + when(m < thrCol, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn(copyCol, explode(expr("sequence(0L, __copies - 1)")))
+      .drop("__copies")
+  }
 }

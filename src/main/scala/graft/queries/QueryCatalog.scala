@@ -2356,6 +2356,80 @@ object QueryCatalog {
       FROM a JOIN (SELECT b.id_b, b.sh FROM b JOIN keep USING (sh)) bk ON a.sh = bk.sh
       GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""")),
 
+    // The Bloom-prefiltered contamination path: same planted fixture,
+    // same EXACT oracle as contamination_scan — the Bloom filter only
+    // prunes corpus-side shingles before the verify join (map-only, in
+    // the scan), and its false positives are eliminated by that join, so
+    // the result is identical BY CONSTRUCTION at any fpp. The oracle
+    // therefore needs no bounds/booleans: hash-green here certifies the
+    // prefilter loses nothing. fpp=0.1 deliberately forces false
+    // positives through the prefilter at this corpus size.
+    QueryDef("contamination_bloom", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val eval_ = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("evalprefix "), col("text"), lit(" evalsuffix")).as("text"))
+      Dedup.crossCorpusContaminationBloom(docs, eval_, "text", "doc_id",
+          n = 8, minShared = 3, maxDocFreq = 10, fpp = 0.1)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""
+      WITH alldocs AS (
+        SELECT doc_id AS id, text, 'train' AS side FROM documents
+        UNION ALL
+        SELECT doc_id+20000, 'evalprefix ' || text || ' evalsuffix', 'eval'
+        FROM documents WHERE doc_id < 40),
+      sh AS (
+        SELECT id, side, unnest(list_distinct(${duckShingleList(8)})) AS sh
+        FROM (SELECT id, side, $DuckWords AS words FROM alldocs)),
+      b AS (SELECT id AS id_b, sh FROM sh WHERE side='eval'),
+      keep AS (SELECT sh FROM b GROUP BY sh HAVING count(DISTINCT id_b) <= 10),
+      a AS (SELECT id AS id_a, sh FROM sh WHERE side='train')
+      SELECT a.id_a, bk.id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM a JOIN (SELECT b.id_b, b.sh FROM b JOIN keep USING (sh)) bk ON a.sh = bk.sh
+      GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY id_a, id_b""")),
+
+    // Temperature-scaled (α = 0.5) source mixing on the pure integer
+    // substrate: per-lang counts → isqrt ppm weights → exact rational
+    // multiplicities realized as floor copies + an md5 15-hex-digit
+    // integer lottery. Every quantity is an integer and every division
+    // floors, so the mixed multiset is bit-identical across engines —
+    // the same no-libm discipline as quality_pareto_lottery (general-α
+    // float rates are ScalaTest-pinned in SamplingSpec).
+    QueryDef("temperature_mix", (s, d) =>
+      graft.ops.Sampling.temperatureMixSqrt(
+          t(s, d, "documents").select("doc_id", "lang"), "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy"),
+      Some("""
+      WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS N FROM n),
+      x AS (SELECT lang, cnt,
+              CAST((SELECT N FROM tot) AS HUGEINT) * 1000000000000 // cnt AS xv
+            FROM n),
+      s0 AS (SELECT lang, cnt, xv,
+              CAST(floor(sqrt(CAST(xv AS DOUBLE))) AS HUGEINT) AS g FROM x),
+      isq AS (SELECT lang, cnt,
+              CASE WHEN (g+1)*(g+1) <= xv THEN g+1
+                   WHEN g*g > xv THEN g-1 ELSE g END AS wgt
+            FROM s0),
+      den AS (SELECT SUM(CAST(cnt AS HUGEINT) * wgt) AS dv FROM isq),
+      rate AS (SELECT lang,
+              (wgt * (SELECT N FROM tot)) // (SELECT dv FROM den) AS whole,
+              (CAST(1152921504606846976 AS HUGEINT) *
+                ((wgt * (SELECT N FROM tot)) % (SELECT dv FROM den)))
+                // (SELECT dv FROM den) AS thr
+            FROM isq),
+      cp AS (SELECT d.doc_id, d.lang,
+              r.whole + CASE WHEN
+                CAST(concat('0x', substring(md5(d.lang || ':' ||
+                  CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < r.thr
+                THEN 1 ELSE 0 END AS copies
+            FROM documents d JOIN rate r USING (lang))
+      SELECT doc_id, lang, CAST(t.c AS BIGINT) AS copy
+      FROM cp, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS t(c)
+      ORDER BY doc_id, copy""")),
+
     QueryDef("lang_id_ngram", (s, d) =>
       TextAnalysis.langIdNgram(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id"),

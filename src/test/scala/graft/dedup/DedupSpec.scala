@@ -261,6 +261,34 @@ class DedupSpec extends SparkSuite {
     assert(!hits.exists(_._1 == 3L))
   }
 
+  test("crossCorpusContaminationBloom ≡ exact path, even in an FP-heavy regime") {
+    val train = ((1L to 60L).map { i =>
+      (i, (0 until 12).map(w => s"t${(i * 11 + w * 5) % 97}w$w").mkString(" "))
+    } :+ ((500L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "prefix alpha beta gamma delta epsilon zeta eta theta iota kappa suffix"),
+      (101L, "fully disjoint evaluation material nothing shared with training rows"))
+      .toDF("doc_id", "text")
+    def result(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    val exact = result(Dedup.crossCorpusContamination(
+      train, eval_, "text", "doc_id", n = 8, minShared = 1, maxDocFreq = 10))
+    // fpp=0.5 floods the prefilter with false positives; the verify join
+    // must still reduce the answer to exactly the exact path's pairs
+    val bloom = result(Dedup.crossCorpusContaminationBloom(
+      train, eval_, "text", "doc_id", n = 8, minShared = 1, maxDocFreq = 10,
+      fpp = 0.5))
+    assert(bloom === exact)
+    assert(bloom.exists { case (a, b, _) => a == 500L && b == 100L })
+    // and a tight fpp agrees too
+    val tight = result(Dedup.crossCorpusContaminationBloom(
+      train, eval_, "text", "doc_id", n = 8, minShared = 1, maxDocFreq = 10,
+      fpp = 0.001))
+    assert(tight === exact)
+  }
+
   test("ngramJaccard computes exact similarity for given pairs") {
     val pairs = Seq((1L, 3L), (1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", n = 3)

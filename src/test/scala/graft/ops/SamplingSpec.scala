@@ -119,4 +119,66 @@ class SamplingSpec extends SparkSuite {
       .filter($"cluster" === "c0").select("id").as[Long].collect().toSet
     assert(c0After === first)
   }
+
+  test("temperatureRates: α=1 identity, α=0 uniform, size-preserving in between") {
+    val counts = Seq(("head", 8000L), ("mid", 1500L), ("tail", 500L))
+    val n = counts.map(_._2).sum.toDouble
+    // α=1: natural proportions, every rate exactly 1
+    Sampling.temperatureRates(counts, alpha = 1.0).values
+      .foreach(r => assert(math.abs(r - 1.0) < 1e-12))
+    // α=0: uniform strata — expected counts n_i·r_i all equal N/k
+    val flat = Sampling.temperatureRates(counts, alpha = 0.0)
+    counts.foreach { case (s, c) =>
+      assert(math.abs(c * flat(s) - n / 3) < 1e-6) }
+    // α=0.5: head shrinks, tail grows, total preserved
+    val half = Sampling.temperatureRates(counts, alpha = 0.5)
+    assert(half("head") < 1.0 && half("tail") > 1.0)
+    assert(half("tail") > half("mid") && half("mid") > half("head"))
+    val total = counts.map { case (s, c) => c * half(s) }.sum
+    assert(math.abs(total - n) < 1e-6, s"Σ n_i·r_i must stay N: $total vs $n")
+  }
+
+  test("upsampledByStratum: per-stratum multiplicities, deterministic replay") {
+    val rows = ((0L until 400L).map(i => (i, "a")) ++
+      (1000L until 1200L).map(i => (i, "b"))).toDF("id", "s")
+    val rates = Map("a" -> 0.5, "b" -> 2.25)
+    val out = Sampling.upsampledByStratum(rows, "id", "s", rates)
+    val byStratum = out.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    // a: 400·0.5 = 200 expected; b: 200·2.25 = 450 expected
+    assert(byStratum("a") > 150 && byStratum("a") < 250, s"a=${byStratum("a")}")
+    assert(byStratum("b") > 430 && byStratum("b") < 470, s"b=${byStratum("b")}")
+    // whole copies are exact: every b row appears at least twice
+    val bCopies = out.filter($"s" === "b").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(bCopies.values.forall(c => c == 2L || c == 3L))
+    // replay-stable
+    val again = Sampling.upsampledByStratum(rows, "id", "s", rates)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(again === byStratum)
+  }
+
+  test("temperatureMixSqrt ≈ float α=0.5 mix, integer-deterministic") {
+    val rows = ((0L until 3000L).map(i => (i, "head")) ++
+      (10000L until 10600L).map(i => (i, "mid")) ++
+      (20000L until 20150L).map(i => (i, "tail"))).toDF("id", "s")
+    val counts = Seq(("head", 3000L), ("mid", 600L), ("tail", 150L))
+    val floatRates = Sampling.temperatureRates(counts, alpha = 0.5)
+    val out = Sampling.temperatureMixSqrt(rows, "id", "s")
+    val got = out.groupBy("s").count().as[(String, Long)].collect().toMap
+    // realized multiplicities track the float rates (lottery noise only:
+    // ±4·sqrt(n) around n_i·r_i)
+    counts.foreach { case (s, c) =>
+      val expected = c * floatRates(s)
+      assert(math.abs(got(s) - expected) < 4 * math.sqrt(expected) + 4,
+        s"$s: got ${got(s)}, expected ~$expected")
+    }
+    // total size preserved (within lottery noise)
+    assert(math.abs(got.values.sum - 3750L) < 100)
+    // exact replay: identical multiset both times
+    val a1 = out.select("id", "copy").as[(Long, Long)].collect().sorted.toSeq
+    val a2 = Sampling.temperatureMixSqrt(rows, "id", "s")
+      .select("id", "copy").as[(Long, Long)].collect().sorted.toSeq
+    assert(a1 === a2)
+  }
 }

@@ -197,4 +197,24 @@ class PlanAuditSpec extends SparkSuite {
         assert(bad.isEmpty, s"$name plans a single-partition window")
     }
   }
+
+  test("contamination_bloom: the prefilter applies BELOW every join/agg " +
+       "(corpus shingles die map-side, before any Exchange)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    val df = QueryCatalog.byName("contamination_bloom").fn(spark, dir)
+    val prefilters = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.toString.contains("graft_bloom_contains") => f
+    }
+    assert(prefilters.nonEmpty, "bloom prefilter missing from the optimized plan")
+    // nothing shuffle-inducing below the prefilter: it must sit directly
+    // over the corpus-side scan/fan-out, not after the verify join
+    prefilters.foreach { f =>
+      val shuffling = f.child.collect {
+        case j: Join => j
+        case a: Aggregate => a
+      }
+      assert(shuffling.isEmpty,
+        s"bloom prefilter planned above a join/aggregate:\n${f.treeString}")
+    }
+  }
 }
