@@ -267,6 +267,30 @@ object BenchScale {
           .ingest(docs.filter(col("doc_id") % 10 === 3), "text", "doc_id")
           .count()
       },
+      timed("contamination_exact") {
+        // train/eval decontamination at corpus scale: a bounded planted
+        // eval set (~1 in 5000 docs, wrapped so its 8-grams match the
+        // source verbatim) against the FULL corpus — the exact path
+        // shuffles every corpus-side shingle into the equi-join
+        val eval_ = docs.filter(col("doc_id") % 5000 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(lit("evalprefix "), col("text"), lit(" evalsuffix"))
+              .as("text"))
+        Dedup.crossCorpusContamination(docs, eval_, "text", "doc_id",
+          n = 8, minShared = 3, maxDocFreq = 10).count()
+      },
+      timed("contamination_bloom") {
+        // same scan, Bloom-prefiltered: eval shingle keys ride the
+        // closure as a filter, corpus shingles that match nothing die
+        // map-side before the Exchange; identical result by construction
+        // (DedupSpec + the contamination_bloom oracle pin equivalence)
+        val eval_ = docs.filter(col("doc_id") % 5000 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(lit("evalprefix "), col("text"), lit(" evalsuffix"))
+              .as("text"))
+        Dedup.crossCorpusContaminationBloom(docs, eval_, "text", "doc_id",
+          n = 8, minShared = 3, maxDocFreq = 10, fpp = 0.01).count()
+      },
       timed("simhash_sigs") {
         // sum forces the signature computation (count() would prune it);
         // pmod keeps the checksum non-negative so the artifact reads sanely

@@ -131,6 +131,27 @@ object Sampling {
     df.withColumn("__cr", rank).filter(col("__cr") <= cap).drop("__cr")
   }
 
+  /** Deterministic FIXED-SIZE global sample: the `k` rows with the
+    * smallest `md5(seed:id)` — eval-subset carving, debug slices,
+    * human-review draws. Scalable rank via
+    * [[Ranking.globalRowNumber]] (range-partitioned sort, never a
+    * single-partition window); replay-stable like everything here.
+    *
+    * Contract contrast with [[stratified]]: rate-based sampling is
+    * GROWTH-STABLE (a row's inclusion never depends on other rows);
+    * a fixed-size sample is rank-based, so corpus growth can evict
+    * previously-sampled rows. Pick by whether downstream needs a stable
+    * set or an exact count.
+    */
+  def fixedSizeSample(df: DataFrame, idCol: String, k: Long,
+                      seed: String): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    Ranking.globalRowNumber(df,
+        Seq(Shuffling.shuffleKey(seed, col(idCol)), col(idCol)), "__fs_rank")
+      .filter(col("__fs_rank") <= k)
+      .drop("__fs_rank")
+  }
+
   // ----------------------------------- temperature-scaled source mixing
 
   /** Temperature-scaled mixing rates (the mT5/XLM-R α-smoothing

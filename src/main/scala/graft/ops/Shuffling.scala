@@ -79,4 +79,33 @@ object Shuffling {
         Seq(key, col(sourceCol), col(idCol), col("copy")), posCol)
       .withColumn(posCol, col(posCol) - 1)
   }
+
+  /** Curriculum ordering: rows are dealt into `phases` difficulty tiers
+    * (global NTILE over `(difficultyCol, id)` ascending — phase 1 =
+    * easiest) and deterministically shuffled WITHIN each phase, the
+    * standard easy→hard curriculum delivery (Bengio et al. 2009) with
+    * in-phase order decorrelated from difficulty. `posCol` is the
+    * 0-based global training position: all of phase 1 shuffled, then all
+    * of phase 2, and so on. Both ranks come from [[Ranking]]'s
+    * range-partitioned machinery — no single-partition window at any
+    * corpus size — and the order is reproducible from `seed` alone
+    * (replay-stable, no rand()).
+    *
+    * `difficultyCol` is any exact, portable difficulty proxy: length,
+    * token count, integer-quantized perplexity or quality rank. (Float
+    * scores should be quantized first so the phase assignment is
+    * engine-portable — same discipline as the integer-substrate
+    * oracles.)
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: String,
+                      phases: Int, seed: String,
+                      phaseCol: String = "phase",
+                      posCol: String = "pos"): DataFrame = {
+    require(phases > 0, "phases must be positive")
+    val tiled = Ranking.globalNtile(df, phases,
+      Seq(col(difficultyCol), col(idCol)), phaseCol)
+    Ranking.globalRowNumber(tiled,
+        Seq(col(phaseCol), shuffleKey(seed, col(idCol)), col(idCol)), posCol)
+      .withColumn(posCol, col(posCol) - 1)
+  }
 }

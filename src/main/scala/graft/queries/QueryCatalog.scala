@@ -2430,6 +2430,47 @@ object QueryCatalog {
       FROM cp, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS t(c)
       ORDER BY doc_id, copy""")),
 
+    // Deterministic fixed-size global sample: smallest-k by seeded md5
+    // order (hex ordering + id tie-break — the corpus_shuffle total
+    // order), rank via the range-partitioned globalRowNumber. The
+    // growth-stability contrast with rate-based stratified sampling is
+    // the scaladoc's contract; this oracle pins the exact member set.
+    QueryDef("fixed_size_sample", (s, d) =>
+      graft.ops.Sampling.fixedSizeSample(
+          t(s, d, "documents").select("doc_id", "source"), "doc_id",
+          k = 100, seed = "fs1")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (
+          ORDER BY md5('fs1:' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM documents)
+      WHERE r <= 100 ORDER BY doc_id""")),
+
+    // Curriculum ordering: 4 length-difficulty phases (global ntile over
+    // (n_chars, doc_id) — integer, portable) with a seeded deterministic
+    // shuffle within each phase; pos = the 0-based global training
+    // position. Both ranks ride ops/Ranking's range-partitioned
+    // machinery; the oracle rederives the full order with window
+    // functions — integer substrate end to end.
+    QueryDef("curriculum_order", (s, d) =>
+      graft.ops.Shuffling.curriculumOrder(
+          t(s, d, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", phases = 4, seed = "cur1")
+        .select(col("doc_id"), col("n_chars"), col("phase"), col("pos"))
+        .orderBy("pos"),
+      Some("""
+      WITH tiled AS (
+        SELECT doc_id, n_chars,
+          CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS phase
+        FROM documents)
+      SELECT doc_id, n_chars, phase,
+        CAST(row_number() OVER (
+          ORDER BY phase, md5('cur1:' || CAST(doc_id AS VARCHAR)), doc_id)
+          - 1 AS BIGINT) AS pos
+      FROM tiled ORDER BY pos""")),
+
     QueryDef("lang_id_ngram", (s, d) =>
       TextAnalysis.langIdNgram(t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id"),

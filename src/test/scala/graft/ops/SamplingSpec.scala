@@ -120,6 +120,24 @@ class SamplingSpec extends SparkSuite {
     assert(c0After === first)
   }
 
+  test("fixedSizeSample: exactly k, deterministic, seed-sensitive") {
+    val rows = (0L until 1000L).toDF("id")
+    val s1 = Sampling.fixedSizeSample(rows, "id", k = 50, "seedA")
+      .select("id").as[Long].collect().toSet
+    assert(s1.size === 50)
+    assert(s1 === Sampling.fixedSizeSample(rows, "id", k = 50, "seedA")
+      .select("id").as[Long].collect().toSet, "replay-stable")
+    val s2 = Sampling.fixedSizeSample(rows, "id", k = 50, "seedB")
+      .select("id").as[Long].collect().toSet
+    assert(s1 !== s2, "different seed draws a different set")
+    // smaller k is a prefix of larger k under the same seed (rank-based)
+    val s3 = Sampling.fixedSizeSample(rows, "id", k = 20, "seedA")
+      .select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+    // k >= corpus returns everything
+    assert(Sampling.fixedSizeSample(rows, "id", k = 5000, "seedA").count() === 1000L)
+  }
+
   test("temperatureRates: α=1 identity, α=0 uniform, size-preserving in between") {
     val counts = Seq(("head", 8000L), ("mid", 1500L), ("tail", 500L))
     val n = counts.map(_._2).sum.toDouble

@@ -71,4 +71,36 @@ class ShufflingSpec extends SparkSuite {
     // genuinely interleaved: the first 100 positions contain both sources
     assert(first.take(100).map(_._2).toSet === Set(0L, 1L))
   }
+
+  test("curriculumOrder: easy phases first, in-phase shuffle, contiguous positions") {
+    // difficulty = id % 400 so ties exist; 2000 rows into 4 phases of 500
+    val rows = (0L until 2000L).map(i => (i, i % 400)).toDF("id", "diff")
+    val out = Shuffling.curriculumOrder(rows, "id", "diff", phases = 4, "cur")
+      .select("id", "diff", "phase", "pos")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 2000)
+    // positions are exactly 0..1999
+    assert(out.map(_._4).sorted.toSeq === (0L until 2000L))
+    // phases are contiguous position blocks of 500, in phase order
+    val byPos = out.sortBy(_._4)
+    assert(byPos.map(_._3).toSeq === (1L to 4L).flatMap(p => Seq.fill(500)(p)))
+    // monotone difficulty ACROSS phases: every phase-p difficulty <= every
+    // phase-(p+1) difficulty (ntile over a total order)
+    val maxByPhase = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByPhase = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (1L to 3L).foreach(p => assert(maxByPhase(p) <= minByPhase(p + 1)))
+    // within a phase the order is shuffled, not difficulty-sorted
+    val phase1 = byPos.filter(_._3 === 1L).map(_._2).toSeq
+    assert(phase1 !== phase1.sorted, "in-phase order must be decorrelated")
+    // replay-stable
+    val again = Shuffling.curriculumOrder(rows, "id", "diff", phases = 4, "cur")
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again === out.map(t => (t._1, t._4)).sortBy(_._1))
+    // seed changes the in-phase order but not phase membership
+    val other = Shuffling.curriculumOrder(rows, "id", "diff", phases = 4, "x")
+      .select("id", "phase", "pos").as[(Long, Long, Long)].collect()
+    assert(other.map(t => (t._1, t._2)).sortBy(_._1)
+      === out.map(t => (t._1, t._3)).sortBy(_._1))
+    assert(other.sortBy(_._3).map(_._1).toSeq !== byPos.map(_._1).toSeq)
+  }
 }
