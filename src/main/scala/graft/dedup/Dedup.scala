@@ -667,6 +667,53 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Per-document reference-overlap stats: for every corpus document,
+    * how many of its distinct word n-grams appear anywhere in the
+    * reference corpus — `(id, n_shingles, n_seen)`, from which novelty
+    * `1 - n_seen/n_shingles` follows (kept out of the frame so the
+    * output stays pure integers). The per-document companion to
+    * [[crossCorpusContamination]]'s pair-level scan: a QA signal for
+    * eval-set overlap, memorization probes, and "how much of this crawl
+    * is boilerplate we already have".
+    *
+    * Plan shape: corpus shingles fan out in the scan (explode_outer, so
+    * a null/empty doc keeps its row and reports 0/0), the reference key
+    * SET (distinct hashes — bounded by reference vocabulary, not
+    * documents) meets them in one equi-join on the 64-bit hash, and the
+    * doc-id aggregation has map-side partials.
+    */
+  def referenceOverlapStats(
+      corpus: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    def prep(df: DataFrame) =
+      withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+        .select(col(idCol).as("id"),
+          explode_outer(array_distinct(col("shingles"))).as("__sh"))
+        .withColumn("h", when(col("__sh").isNotNull, xxhash64(col("__sh"))))
+    val refKeys = prep(reference).filter(col("h").isNotNull)
+      .select("h").distinct()
+      .withColumn("__seen", lit(1L))
+    prep(corpus)
+      .join(refKeys, Seq("h"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(col("__sh")).as("n_shingles"),
+        coalesce(sum(col("__seen")), lit(0L)).as("n_seen"))
+  }
+
+  /** Drop the corpus documents a contamination scan flagged: `pairs` is
+    * the `(id_a, id_b, n_shared)` output of any
+    * [[crossCorpusContamination]] variant; every corpus row whose id
+    * appears as an `id_a` is removed (left_anti — no fan-out, no
+    * duplicate survivors). The standard eval-decontamination final step.
+    */
+  def decontaminate(corpus: DataFrame, pairs: DataFrame,
+                    idCol: String): DataFrame =
+    corpus.join(pairs.select(col("id_a").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   // --------------------------------------- duplicate-cluster resolution
 
   /** Connected components over a candidate-pair graph by iterative

@@ -2430,6 +2430,29 @@ object QueryCatalog {
       FROM cp, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS t(c)
       ORDER BY doc_id, copy""")),
 
+    // Per-document n-gram novelty vs a reference slice (doc_id%10==0):
+    // integer (n_shingles, n_seen) counts — novelty = 1 - n_seen/n is
+    // the caller's division. Spark joins on xxhash64 keys, the oracle on
+    // shingle strings (the contamination_scan collision-freedom
+    // certification, per-document this time).
+    QueryDef("ngram_novelty", (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.referenceOverlapStats(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(${duckShingleList(8)})) AS s
+        FROM (SELECT doc_id, $DuckWords AS words FROM documents)),
+      ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+      corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 <> 0)
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(count(r.s) AS BIGINT) AS n_seen
+      FROM corp c LEFT JOIN ref r USING (s)
+      GROUP BY 1 ORDER BY doc_id""")),
+
     // Deterministic fixed-size global sample: smallest-k by seeded md5
     // order (hex ordering + id tie-break — the corpus_shuffle total
     // order), rank via the range-partitioned globalRowNumber. The

@@ -289,6 +289,37 @@ class DedupSpec extends SparkSuite {
     assert(tight === exact)
   }
 
+  test("referenceOverlapStats: exact per-doc seen counts, 0/0 null-doc rows") {
+    val reference = Seq(
+      (900L, "alpha beta gamma delta"),
+      (901L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),   // 3-grams: "alpha beta gamma" seen
+      (2L, "beta gamma delta"),   // seen (inside ref doc 900)
+      (3L, "zeta alpha beta"),    // unseen adjacency
+      (4L, "xx"),                 // short doc → 1 whole-doc shingle, unseen
+      (5L, null.asInstanceOf[String])) // null → 0/0 row
+      .toDF("doc_id", "text")
+    val out = Dedup.referenceOverlapStats(corpus, reference,
+        "text", "doc_id", n = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, 1L)))
+    assert(out(2L) === ((1L, 1L)))
+    assert(out(3L) === ((1L, 0L)))
+    assert(out(4L) === ((1L, 0L)))
+    assert(out(5L) === ((0L, 0L)))
+    assert(out.size === 5, "every corpus doc keeps exactly one row")
+  }
+
+  test("decontaminate drops exactly the flagged ids, keeps everything else once") {
+    val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 100L, 3L), (2L, 101L, 4L), (7L, 100L, 3L))
+      .toDF("id_a", "id_b", "n_shared")
+    val kept = Dedup.decontaminate(corpus, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L, 5L, 6L, 8L, 9L, 10L))
+  }
+
   test("ngramJaccard computes exact similarity for given pairs") {
     val pairs = Seq((1L, 3L), (1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "text", "doc_id", n = 3)
