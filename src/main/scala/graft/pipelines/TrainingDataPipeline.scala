@@ -291,6 +291,46 @@ object TrainingDataPipeline {
       .withColumn("keep", col("drop_reason").isNull)
   }
 
+  /** [[curate]] followed by eval-set decontamination
+    * ([[graft.dedup.Dedup.crossCorpusContaminationBloom]]): curation
+    * survivors sharing at least `minShared` word `n`-grams with any
+    * `evalSet` document drop with reason `contaminated` (their matched
+    * eval doc id and shared-gram count ride in the audit frame as
+    * `contaminated_by` / `n_shared_grams`; a doc hitting several eval
+    * docs reports the strongest hit, min-id tie-break). The scan runs
+    * the Bloom-prefiltered path — identical pairs to the exact scan by
+    * construction, corpus shingles that match nothing never reach an
+    * Exchange — so this stage costs one shingle scan + a bounded join
+    * at any corpus size.
+    */
+  def curateWithDecontamination(docs: DataFrame, textCol: String,
+                                idCol: String, evalSet: DataFrame,
+                                n: Int = 8, minShared: Int = 3,
+                                maxDocFreq: Long = 10, fpp: Double = 0.01,
+                                cfg: Config = Config()): DataFrame = {
+    import graft.dedup.Dedup
+    val decisions = curate(docs, textCol, idCol, cfg)
+    val survivors = docs.join(
+      decisions.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
+    // strongest contamination evidence per corpus doc: max shared grams,
+    // then min eval id — a struct-max aggregate, no window
+    val hits = Dedup.crossCorpusContaminationBloom(survivors, evalSet,
+        textCol, idCol, n, minShared, maxDocFreq, fpp)
+      .groupBy(col("id_a").as(idCol))
+      .agg(max(struct(col("n_shared"), (-col("id_b")).as("__negb")))
+        .as("__best"))
+      .select(col(idCol),
+        col("__best.n_shared").as("n_shared_grams"),
+        (-col("__best.__negb")).as("contaminated_by"))
+    decisions
+      .join(hits, Seq(idCol), "left")
+      .withColumn("drop_reason",
+        when(col("drop_reason").isNotNull, col("drop_reason"))
+          .when(col("keep") && col("n_shared_grams").isNotNull,
+            "contaminated"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   /** The DSIR stage's weight frame exactly as [[curateWithSelection]]
     * composes it — the SCALE PATH: per-doc feature VECTORS computed
     * inside the scan (map-only, no explode, no (id, bucket) shuffle; the

@@ -53,6 +53,30 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(on.getString(1) === "repetition")
   }
 
+  test("curateWithDecontamination: contaminated survivors drop with audit, " +
+       "earlier reasons win") {
+    // doc 6 survives curation; an eval doc embedding its text verbatim
+    // makes it contaminated. doc 1 survives and matches nothing.
+    val evalSet = Seq(
+      (100L, "evalprefix " + ("completely different and quite long content " +
+        "about the engines of query processing and the many shuffles of " +
+        "the world today ") * 2 + " evalsuffix"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataPipeline.curateWithDecontamination(
+        corpus, "text", "doc_id", evalSet, n = 8, minShared = 3)
+      .select("doc_id", "keep", "drop_reason", "contaminated_by")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)).getOrElse(""),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(6L) === ((false, "contaminated", 100L)))
+    assert(out(1L)._1 === true)
+    // earlier-stage reasons are preserved, not overwritten
+    assert(out(2L)._2 === "exact_dup")
+    assert(out(3L)._2 === "near_dup")
+    // non-survivors are never scanned into contamination audit columns
+    assert(out(2L)._3 === -1L)
+  }
+
   test("cleanCorpus returns exactly the kept documents") {
     val kept = TrainingDataPipeline.cleanCorpus(corpus, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
