@@ -693,11 +693,14 @@ object Dedup {
         .select(col(idCol).as("id"),
           explode_outer(array_distinct(col("shingles"))).as("__sh"))
         .withColumn("h", when(col("__sh").isNotNull, xxhash64(col("__sh"))))
+    // reference is bounded by contract (eval benchmarks / curated sets):
+    // broadcast EXPLICITLY — the optimizer's post-aggregate size estimate
+    // can silently fall back to shuffling the corpus into a merge join
     val refKeys = prep(reference).filter(col("h").isNotNull)
       .select("h").distinct()
       .withColumn("__seen", lit(1L))
     prep(corpus)
-      .join(refKeys, Seq("h"), "left")
+      .join(broadcast(refKeys), Seq("h"), "left")
       .groupBy(col("id").as(idCol))
       .agg(count(col("__sh")).as("n_shingles"),
         coalesce(sum(col("__seen")), lit(0L)).as("n_seen"))

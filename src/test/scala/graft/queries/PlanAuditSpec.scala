@@ -198,6 +198,16 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("ngram_novelty: the reference key set broadcasts; the corpus never " +
+       "shuffles on the shingle hash") {
+    val plan = formattedPlan("ngram_novelty")
+    assert(plan.contains("BroadcastHashJoin") &&
+           plan.contains("BuildRight"),
+      s"reference keys must broadcast into the corpus scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shingles must not shuffle into a merge join:\n$plan")
+  }
+
   test("contamination_bloom: the prefilter applies BELOW every join/agg " +
        "(corpus shingles die map-side, before any Exchange)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
