@@ -667,6 +667,36 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The df-capped eval shingle-key Bloom filter as a standalone,
+    * driver-held artifact — the reference-set half of
+    * [[crossCorpusContaminationBloom]], exposed so STREAMING curation
+    * can run the same contamination gate per-row
+    * ([[graft.pipelines.TrainingDataPipeline.contaminationGateExpr]]):
+    * the eval set is static by contract, so its filter is built once
+    * batch-side and rides every micro-batch's closure. Default `fpp` is
+    * tight (1e-4): the per-row gate has no exact verify join behind it,
+    * so false positives translate into (bounded, documented) false
+    * drops rather than being filtered away.
+    */
+  def evalShingleBloom(
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      maxDocFreq: Long = 10,
+      fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter = {
+    val b = withShingles(reference.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(col("shingles"))).as("__sh"))
+      .withColumn("h", xxhash64(col("__sh")))
+      .select("id", "h")
+    val keep = b.groupBy("h").agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("h").localCheckpoint()
+    val nKeys = keep.count()
+    keep.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp)
+  }
+
   /** Per-document reference-overlap stats: for every corpus document,
     * how many of its distinct word n-grams appear anywhere in the
     * reference corpus — `(id, n_shingles, n_seen)`, from which novelty

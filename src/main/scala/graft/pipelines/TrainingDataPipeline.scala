@@ -406,6 +406,39 @@ object TrainingDataPipeline {
         col("classifier_prob"), col(idCol), alpha))
   }
 
+  /** The contamination test as ONE pure column expression — count the
+    * document's distinct word `n`-grams that hit the eval-set Bloom
+    * filter ([[graft.dedup.Dedup.evalShingleBloom]]), TRUE when at
+    * least `minShared` hit. Per-row streamable by the same literal-model
+    * argument as the quality gate. Unlike the batch scan there is no
+    * exact verify join behind the filter, so Bloom false positives are
+    * FALSE DROPS here: with the builder's default fpp=1e-4, a clean doc
+    * with `s` distinct grams needs `minShared` independent FP hits —
+    * P ≲ C(s, minShared)·fpp^minShared (~1e-8 at s=50, minShared=3,
+    * 1e-4) — acceptable for a streaming front end; the batch compaction
+    * pass re-decides exactly.
+    */
+  def contaminationGateExpr(text: Column,
+                            evalBloom: org.apache.spark.util.sketch.BloomFilter,
+                            n: Int = 8, minShared: Int = 3): Column =
+    size(filter(
+      array_distinct(graft.functions.WordShingles.col(text, n)),
+      s => graft.functions.BloomContains.col(xxhash64(s), evalBloom)))
+      .geq(lit(minShared))
+
+  /** [[curateStream]] + the per-row decontamination gate: rows whose
+    * text shares `minShared`+ word n-grams with the (static, batch-
+    * profiled) eval set never enter the stream's survivor set.
+    */
+  def curateStreamWithDecontamination(
+      stream: DataFrame, textCol: String, idCol: String, tsCol: String,
+      evalBloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 8, minShared: Int = 3,
+      watermark: String = "10 minutes",
+      cfg: Config = Config()): DataFrame =
+    curateStream(stream, textCol, idCol, tsCol, watermark, cfg)
+      .filter(!contaminationGateExpr(col(textCol), evalBloom, n, minShared))
+
   def curateStream(stream: DataFrame, textCol: String, idCol: String,
                    tsCol: String, watermark: String = "10 minutes",
                    cfg: Config = Config()): DataFrame =

@@ -3114,6 +3114,32 @@ object QueryCatalog {
       FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
               x -> x <> '')) AS w
             FROM documents)
+      GROUP BY lang ORDER BY lang""")),
+
+    // The same per-(lang, epoch) sketch/merge shape on Spark 4's NATIVE
+    // datasketches HLL surface (hll_sketch_agg / hll_union_agg /
+    // hll_sketch_estimate) — the built-in mergeable-sketch column type a
+    // lakehouse would persist. The ~31-word vocabulary sits in the
+    // sketch's exact (coupon list/set) regime, so the merged estimate
+    // EQUALS the true distinct count and the oracle stays real SQL —
+    // the identical testdata-independent contract sketch_epoch_distinct
+    // pins for graft's own HLL implementation.
+    QueryDef("sketch_hll_native", (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), (col("doc_id") % 3).as("epoch"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("lang", "epoch")
+        .agg(expr("hll_sketch_agg(w)").as("sk"))
+        .groupBy("lang")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("n_distinct_est"))
+        .orderBy("lang"),
+      Some("""
+      SELECT lang, count(DISTINCT w) AS n_distinct_est
+      FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS w
+            FROM documents)
       GROUP BY lang ORDER BY lang"""))
   )
 

@@ -35,6 +35,36 @@ class CurateStreamSpec extends SparkSuite {
       .subsetOf(cols))
   }
 
+  test("curateStreamWithDecontamination drops eval-overlapping docs per-row") {
+    val evalSet = Seq(
+      (100L, "evalprefix " + goodText + " evalsuffix")).toDF("doc_id", "text")
+    val bloom = graft.dedup.Dedup.evalShingleBloom(
+      evalSet, "text", "doc_id", n = 8)
+    // the repetition test pins this shape as passing every curateStream
+    // gate — so a drop here can only be the contamination gate
+    val clean = (0 until 40).map(i => s"alpha$i beta$i").mkString(" ")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+    val query = TrainingDataPipeline.curateStreamWithDecontamination(
+        stream, "text", "doc_id", "ts", bloom, n = 8, minShared = 3,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("csd")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      (1L, goodText, new java.sql.Timestamp(1000)),       // contaminated
+      (2L, clean, new java.sql.Timestamp(2000)))          // clean, kept
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("csd").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+    // the per-row gate agrees with the batch scan's decision here
+    val batch = graft.dedup.Dedup.crossCorpusContamination(
+        Seq((1L, goodText), (2L, clean)).toDF("doc_id", "text"), evalSet,
+        "text", "doc_id", n = 8, minShared = 3)
+      .select("id_a").as[Long].collect().toSet
+    assert(batch === Set(1L))
+  }
+
   test("curateStream honors the Gopher repetition thresholds") {
     // r4 ADVICE: the streaming path silently ignored
     // maxDupWordFrac/maxTopBigramFrac. A doc made of one repeated word
