@@ -3116,14 +3116,16 @@ object QueryCatalog {
             FROM documents)
       GROUP BY lang ORDER BY lang""")),
 
-    // The same per-(lang, epoch) sketch/merge shape on Spark 4's NATIVE
-    // datasketches HLL surface (hll_sketch_agg / hll_union_agg /
-    // hll_sketch_estimate) — the built-in mergeable-sketch column type a
-    // lakehouse would persist. The ~31-word vocabulary sits in the
-    // sketch's exact (coupon list/set) regime, so the merged estimate
-    // EQUALS the true distinct count and the oracle stays real SQL —
-    // the identical testdata-independent contract sketch_epoch_distinct
-    // pins for graft's own HLL implementation.
+    // The same per-(lang, epoch) sketch/merge shape on the RAW Spark 4
+    // datasketches SQL surface (hll_sketch_agg / hll_union_agg /
+    // hll_sketch_estimate) — what a SQL user writes WITHOUT
+    // graft.ops.Sketches' wrapper. The wrapper adds the self-union
+    // HIP-dropping determinism contract (Sketches.scala scaladoc); in
+    // the coupon-exact regime both estimators agree, so the raw surface
+    // is safely checkable here while Sketches remains the
+    // partitioning-safe API at real cardinalities. ~31-word vocabulary
+    // = exact regime, so the oracle is real SQL and
+    // testdata-independent, as in sketch_epoch_distinct.
     QueryDef("sketch_hll_native", (s, d) =>
       t(s, d, "documents")
         .select(col("lang"), (col("doc_id") % 3).as("epoch"),

@@ -64,6 +64,26 @@ object Replay {
               col("window.end").as("window_end"),
               col(typeCol), col("event_count"))
 
+  /** Watermarked tumbling-window APPROXIMATE distinct counts — the
+    * streaming "unique users/sessions/values per window" at any
+    * cardinality: per-window datasketches HLL sketch state (KB per
+    * window group, vs the unbounded exact-distinct set) estimated at
+    * emission. The sketch aggregate is mergeable, so partial aggregation
+    * and state-store merges stay correct; within the coupon-exact
+    * regime the estimate equals the exact count (the batch
+    * sketch_epoch_distinct contract, windowed).
+    */
+  def windowedApproxDistinct(stream: DataFrame, tsCol: String,
+                             valueCol: String, windowDur: String,
+                             watermark: String, lgK: Int = 12): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("__hll"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              expr("hll_sketch_estimate(__hll)").as("n_distinct_est"))
+
   /** Stream-stream interval join: enrich each event with pulses from the
     * same key whose time lies in [event - maxLag, event] — the streaming
     * analog of the batch as-of correlation (each side watermarked, so

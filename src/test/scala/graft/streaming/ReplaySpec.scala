@@ -50,6 +50,28 @@ class ReplaySpec extends SparkSuite {
     assert(rows === Set((0L, "a", 2L), (0L, "b", 1L), (10L, "a", 1L)))
   }
 
+  test("windowedApproxDistinct: exact in the coupon regime, mergeable across batches") {
+    val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val df = input.toDF().toDF("ts", "user_id")
+    val query = Replay.windowedApproxDistinct(df, "ts", "user_id",
+        "10 seconds", "5 seconds")
+      .writeStream.format("memory").queryName("wad")
+      .outputMode(OutputMode.Complete).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // window [0,10): users 1,2,3 (1 repeated across two micro-batches —
+    // the state-store sketch must merge, not double-count);
+    // window [10,20): user 7
+    input.addData((t(1), 1L), (t(2), 2L), (t(3), 1L))
+    query.processAllAvailable()
+    input.addData((t(4), 3L), (t(5), 1L), (t(11), 7L))
+    query.processAllAvailable()
+    val rows = spark.table("wad")
+      .select(col("window_start").cast("long"), col("n_distinct_est"))
+      .as[(Long, Long)].collect().toMap
+    query.stop()
+    assert(rows === Map(0L -> 3L, 10L -> 1L))
+  }
+
   test("streamingDedup drops duplicates within the watermark") {
     val input = MemoryStream[(java.sql.Timestamp, Long)](spark)
     val df = input.toDF().toDF("ts", "event_id")
