@@ -2112,6 +2112,11 @@ object QueryCatalog {
     // true Jaccard >= 0.5 — so this check asserts the LSH path's recall is
     // 100% on this corpus (deterministic: the seeded signatures are fixed,
     // so a pass is stable, not sampled) AND its verify stage is exact.
+    // CORPUS DEPENDENCY: the 100%-recall property is specific to the
+    // driver's sf0.01 corpus — the r9 sf0.001 sweep measured 91/92 (one
+    // jaccard≈0.5 boundary pair misses all 8 bands there), so at any
+    // other SF/regen this row can red-flag without a code change; the
+    // recall FLOOR is SimilaritySpec/DedupSpec's job.
     Some(s"""
       WITH alldocs AS (
         SELECT doc_id, text FROM documents
