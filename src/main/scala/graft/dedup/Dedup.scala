@@ -584,22 +584,31 @@ object Dedup {
     * corpus scan feeds near-dedup AND decontamination (shingle sizes must
     * match, or pass purpose-built shingle frames).
     */
+  /** `(as, h)` per (doc, distinct shingle): the shared hashing step of
+    * every contamination variant — ONE definition so the exact path,
+    * the Bloom path, and the streaming gate can never silently diverge
+    * on shingle hashing.
+    */
+  private def contaminationHashed(shingleFrame: DataFrame, as: String): DataFrame =
+    shingleFrame.select(col("id").as(as), explode(col("sh")).as("__sh"))
+      .withColumn("h", xxhash64(col("__sh")))
+      .select(as, "h")
+
+  /** The df-capped eval-side key set (`h` only, distinct) — likewise
+    * shared by all three contamination consumers. */
+  private def contaminationCappedKeys(b: DataFrame, maxDocFreq: Long): DataFrame =
+    b.groupBy("h").agg(count_distinct(col("id_b")).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("h")
+
   def crossCorpusContaminationFromShingles(
       shinglesA: DataFrame,
       shinglesB: DataFrame,
       minShared: Int = 1,
       maxDocFreq: Long = 10): DataFrame = {
-    def hashed(df: DataFrame, as: String): DataFrame =
-      df.select(col("id").as(as), explode(col("sh")).as("__sh"))
-        .withColumn("h", xxhash64(col("__sh")))
-        .select(as, "h")
-    val b = hashed(shinglesB, "id_b")
-    // document-frequency cap on the eval side
-    val keep = b.groupBy("h").agg(count_distinct(col("id_b")).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("h")
-    val bKept = b.join(keep, "h")
-    hashed(shinglesA, "id_a")
+    val b = contaminationHashed(shinglesB, "id_b")
+    val bKept = b.join(contaminationCappedKeys(b, maxDocFreq), "h")
+    contaminationHashed(shinglesA, "id_a")
       .join(bKept, "h")
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
@@ -646,20 +655,17 @@ object Dedup {
       maxDocFreq: Long = 10,
       fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    def hashed(df: DataFrame, as: String): DataFrame =
-      df.select(col("id").as(as), explode(col("sh")).as("__sh"))
-        .withColumn("h", xxhash64(col("__sh")))
-        .select(as, "h")
-    val b = hashed(shinglesB, "id_b")
-    val keep = b.groupBy("h").agg(count_distinct(col("id_b")).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("h")
-    // bKept is bounded by contract (the eval/benchmark corpus) and feeds
-    // two consumers (filter build + the verify join): materialize once
-    val bKept = b.join(keep, "h").localCheckpoint()
-    val nKeys = bKept.select("h").distinct().count()
-    val bloom = bKept.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp)
-    hashed(shinglesA, "id_a")
+    // the eval side is bounded by contract and feeds three consumers
+    // (size, filter build, verify join): materialize the DISTINCT capped
+    // key set once and build the Bloom filter from it — not from the
+    // duplicate-bearing (id_b, h) frame, which would re-insert every key
+    // once per eval doc
+    val b = contaminationHashed(shinglesB, "id_b")
+    val keep = contaminationCappedKeys(b, maxDocFreq).localCheckpoint()
+    val nKeys = keep.count()
+    val bloom = keep.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp)
+    val bKept = b.join(keep, "h")
+    contaminationHashed(shinglesA, "id_a")
       .filter(graft.functions.BloomContains.col(col("h"), bloom))
       .join(bKept, "h")
       .groupBy("id_a", "id_b")
@@ -685,14 +691,11 @@ object Dedup {
       n: Int = 8,
       maxDocFreq: Long = 10,
       fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter = {
-    val b = withShingles(reference.select(col(idCol), col(textCol)), textCol, n)
-      .select(col(idCol).as("id"),
-        explode(array_distinct(col("shingles"))).as("__sh"))
-      .withColumn("h", xxhash64(col("__sh")))
-      .select("id", "h")
-    val keep = b.groupBy("h").agg(count_distinct(col("id")).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("h").localCheckpoint()
+    val shingleFrame = withShingles(
+        reference.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
+    val b = contaminationHashed(shingleFrame, "id_b")
+    val keep = contaminationCappedKeys(b, maxDocFreq).localCheckpoint()
     val nKeys = keep.count()
     keep.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp)
   }

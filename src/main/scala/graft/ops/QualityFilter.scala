@@ -159,7 +159,22 @@ object QualityFilter {
     val rMinus1 = lit(new java.math.BigDecimal(
       (BigInt(16).pow(15) * BigInt(100).pow(alpha) - 1).bigInteger))
     // IntegralDivide ("div") returns BIGINT — floor division, exact
-    a <= call_function("div", rMinus1, bPow)
+    val keep = a <= call_function("div", rMinus1, bPow)
+    // Domain guard, enforced per row: the division-first identity needs
+    // B > 0 (scorePct <= 100 keeps 200-k >= 100), and the most likely
+    // misuse — passing the SIBLING API's 0..1 float score — would
+    // cast('long') truncate to 0/1 and silently drop almost everything.
+    // The integrality check (value == its truncation) catches fractional
+    // scores like 0.57 that are otherwise "in range". Fail loudly
+    // instead of deciding wrongly.
+    val inDomain = scorePct >= 0 && scorePct <= 100 &&
+      scorePct.cast("double") === scorePct.cast("long").cast("double")
+    when(inDomain, keep)
+      .otherwise(raise_error(lit(
+        "lotteryKeepExactExpr: scorePct must be an INTEGER PERCENT in " +
+          "[0, 100] (fractional or out-of-range value seen — if you " +
+          "have a 0..1 float score, use lotteryKeepExpr or quantize to " +
+          "integer hundredths first)")))
   }
 
   /** [[lotteryKeepExactExpr]] over a frame scored in integer percent. */

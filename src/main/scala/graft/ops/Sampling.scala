@@ -212,15 +212,26 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Driver-side per-stratum counts for the temperature mixers. Fails
+    * FAST on a null stratum (routine in crawl data — lang=null) instead
+    * of NPE-ing mid-plan or silently zero-rating those rows: the caller
+    * decides whether null means "fill", "filter", or "own stratum".
+    */
+  private def stratumCounts(df: DataFrame, stratumCol: String): Seq[(String, Long)] = {
+    val rows = df.groupBy(stratumCol).count().collect()
+    require(!rows.exists(_.isNullAt(0)),
+      s"null values in stratum column '$stratumCol' — fill them (e.g. " +
+        "coalesce to an 'unknown' stratum) or filter them before mixing")
+    rows.map(r => (r.get(0).toString, r.getLong(1))).toSeq
+  }
+
   /** One-call temperature mix: count strata (one bounded aggregate),
     * derive [[temperatureRates]], apply [[upsampledByStratum]]. */
   def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
-                     alpha: Double, copyCol: String = "copy"): DataFrame = {
-    val counts = df.groupBy(stratumCol).count().collect()
-      .map(r => (r.get(0).toString, r.getLong(1))).toSeq
+                     alpha: Double, copyCol: String = "copy"): DataFrame =
     upsampledByStratum(df, idCol, stratumCol,
-      temperatureRates(counts, alpha), defaultRate = 1.0, copyCol)
-  }
+      temperatureRates(stratumCounts(df, stratumCol), alpha),
+      defaultRate = 1.0, copyCol)
 
   /** α = 0.5 temperature mix on a PURE INTEGER substrate — the
     * cross-engine-replayable instance (general α needs `pow`, whose
@@ -239,8 +250,7 @@ object Sampling {
     */
   def temperatureMixSqrt(df: DataFrame, idCol: String, stratumCol: String,
                          copyCol: String = "copy"): DataFrame = {
-    val counts = df.groupBy(stratumCol).count().collect()
-      .map(r => (r.get(0).toString, r.getLong(1))).toSeq.sortBy(_._1)
+    val counts = stratumCounts(df, stratumCol).sortBy(_._1)
     require(counts.nonEmpty, "need at least one stratum")
     def isqrt(x: BigInt): BigInt = {
       require(x >= 0)

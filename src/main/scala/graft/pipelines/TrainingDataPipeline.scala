@@ -410,13 +410,24 @@ object TrainingDataPipeline {
     * document's distinct word `n`-grams that hit the eval-set Bloom
     * filter ([[graft.dedup.Dedup.evalShingleBloom]]), TRUE when at
     * least `minShared` hit. Per-row streamable by the same literal-model
-    * argument as the quality gate. Unlike the batch scan there is no
-    * exact verify join behind the filter, so Bloom false positives are
-    * FALSE DROPS here: with the builder's default fpp=1e-4, a clean doc
-    * with `s` distinct grams needs `minShared` independent FP hits —
-    * P ≲ C(s, minShared)·fpp^minShared (~1e-8 at s=50, minShared=3,
-    * 1e-4) — acceptable for a streaming front end; the batch compaction
-    * pass re-decides exactly.
+    * argument as the quality gate.
+    *
+    * This gate is a deliberate OVER-APPROXIMATION of the batch scan on
+    * two axes, both one-sided (it can only drop MORE, never miss a doc
+    * the batch rule drops):
+    *  1. it counts hits against the UNION of all eval-set grams, while
+    *     the batch rule requires `minShared` grams shared with a SINGLE
+    *     eval document — a doc sharing 1 gram with each of `minShared`
+    *     different eval docs drops here but not there (per-eval-doc
+    *     counting needs the doc ids, which a per-row filter cannot
+    *     carry);
+    *  2. Bloom false positives count as hits (no exact verify join
+    *     behind the filter): a clean doc with `s` distinct grams needs
+    *     `minShared` independent FP hits — P ≲ C(s, minShared)·
+    *     fpp^minShared (~1e-8 at s=50, minShared=3, fpp=1e-4).
+    * Both error classes are conservative for a streaming front end
+    * (contaminated data is the asymmetric risk); the batch compaction
+    * pass re-decides exactly with the per-pair rule.
     */
   def contaminationGateExpr(text: Column,
                             evalBloom: org.apache.spark.util.sketch.BloomFilter,

@@ -72,6 +72,15 @@ object Replay {
     * and state-store merges stay correct; within the coupon-exact
     * regime the estimate equals the exact count (the batch
     * sketch_epoch_distinct contract, windowed).
+    *
+    * The estimate goes through the self-union
+    * (`hll_union(__hll, __hll)`) for the same reason
+    * [[graft.ops.Sketches.hllMergeEstimate]] does: a raw single-group
+    * sketch keeps the order-sensitive HIP estimator, so beyond the
+    * exact regime the SAME window could report a different count under
+    * different micro-batch boundaries or shuffle partitioning — the
+    * self-union drops HIP and forces the order-independent composite
+    * estimator, making window estimates replay-deterministic.
     */
   def windowedApproxDistinct(stream: DataFrame, tsCol: String,
                              valueCol: String, windowDur: String,
@@ -82,7 +91,8 @@ object Replay {
       .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("__hll"))
       .select(col("window.start").as("window_start"),
               col("window.end").as("window_end"),
-              expr("hll_sketch_estimate(__hll)").as("n_distinct_est"))
+              expr("hll_sketch_estimate(hll_union(__hll, __hll))")
+                .as("n_distinct_est"))
 
   /** Stream-stream interval join: enrich each event with pulses from the
     * same key whose time lies in [event - maxLag, event] — the streaming

@@ -144,4 +144,27 @@ class QualityFilterSpec extends SparkSuite {
     assert(kept.getOrElse(99, 0L) > 35L, s"k=99 keep ~91%: ${kept.get(99)}")
     assert(kept.getOrElse(0, 0L) < 5L, s"k=0 keep ~0.2%: ${kept.get(0)}")
   }
+
+  test("lotteryKeepExactExpr rejects fractional and out-of-range scores loudly") {
+    import org.apache.spark.sql.functions.col
+    // the likely misuse: the sibling API's 0..1 float score would
+    // silently truncate to 0/1 — must raise instead
+    val floats = Seq((1L, 0.57), (2L, 0.9)).toDF("doc_id", "p")
+    val e1 = intercept[Exception] {
+      floats.filter(QualityFilter.lotteryKeepExactExpr(col("p"), col("doc_id")))
+        .count()
+    }
+    assert(e1.getMessage != null)
+    val big = Seq((1L, 250)).toDF("doc_id", "k")
+    intercept[Exception] {
+      big.filter(QualityFilter.lotteryKeepExactExpr(col("k"), col("doc_id")))
+        .count()
+    }
+    // in-domain integer-valued doubles pass (0.0/100.0 are 0%/100%)
+    val ok = Seq((1L, 100.0), (2L, 0.0)).toDF("doc_id", "k")
+    val kept = ok.filter(
+        QualityFilter.lotteryKeepExactExpr(col("k"), col("doc_id")))
+      .count()
+    assert(kept === 1L) // k=100 keeps (q=1), k=0 almost surely drops
+  }
 }
