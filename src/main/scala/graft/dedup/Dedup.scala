@@ -739,6 +739,27 @@ object Dedup {
         coalesce(sum(col("__seen")), lit(0L)).as("n_seen"))
   }
 
+  /** Snapshot diff between two corpus versions — the dataset-governance
+    * primitive behind "what changed since the last training set":
+    * `(id, status)` with status ∈ added | removed | modified |
+    * unchanged, decided by id presence and sha256 content equality. A
+    * full outer join on the id plus a hash compare: one shuffle on the
+    * id, no content movement beyond the hash (computed in the scan).
+    * Deterministic and engine-portable (sha256 both sides).
+    */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+                 textCol: String, idCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      df.select(col(idCol), sha2(col(textCol), 256).as(as))
+    hashed(oldCorpus, "__old_h")
+      .join(hashed(newCorpus, "__new_h"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old_h").isNull, "added")
+          .when(col("__new_h").isNull, "removed")
+          .when(col("__old_h") === col("__new_h"), "unchanged")
+          .otherwise("modified").as("status"))
+  }
+
   /** Drop the corpus documents a contamination scan flagged: `pairs` is
     * the `(id_a, id_b, n_shared)` output of any
     * [[crossCorpusContamination]] variant; every corpus row whose id

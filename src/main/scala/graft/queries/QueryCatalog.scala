@@ -2435,6 +2435,38 @@ object QueryCatalog {
       FROM cp, unnest(generate_series(0, CAST(copies AS BIGINT) - 1)) AS t(c)
       ORDER BY doc_id, copy""")),
 
+    // Corpus snapshot diff: v1 = documents as-is; v2 = drop doc_id%31==0,
+    // modify doc_id%17==0, add 20 fresh ids — the governance primitive
+    // ("what changed since the last training set"), sha256 both engines.
+    QueryDef("corpus_diff", (s, d) => {
+      val v1 = t(s, d, "documents").select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 90000).as("doc_id"), col("text")))
+      Dedup.corpusDiff(v1, v2, "text", "doc_id").orderBy("doc_id")
+    }, Some("""
+      WITH v1 AS (SELECT doc_id, text FROM documents),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 17 = 0 THEN text || ' v2 edit' ELSE text END AS text
+        FROM documents WHERE doc_id % 31 <> 0
+        UNION ALL
+        SELECT doc_id + 90000, text FROM documents WHERE doc_id < 20),
+      j AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          sha256(a.text) AS oh, sha256(b.text) AS nh,
+          a.doc_id IS NULL AS only_new, b.doc_id IS NULL AS only_old
+        FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      SELECT doc_id,
+        CASE WHEN only_new THEN 'added'
+             WHEN only_old THEN 'removed'
+             WHEN oh = nh THEN 'unchanged'
+             ELSE 'modified' END AS status
+      FROM j ORDER BY doc_id""")),
+
     // Per-document n-gram novelty vs a reference slice (doc_id%10==0):
     // integer (n_shingles, n_seen) counts — novelty = 1 - n_seen/n is
     // the caller's division. Spark joins on xxhash64 keys, the oracle on

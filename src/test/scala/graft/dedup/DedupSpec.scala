@@ -311,6 +311,17 @@ class DedupSpec extends SparkSuite {
     assert(out.size === 5, "every corpus doc keeps exactly one row")
   }
 
+  test("corpusDiff classifies added/removed/modified/unchanged exactly") {
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val d = Dedup.corpusDiff(v1, v2, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(d === Map(1L -> "unchanged", 2L -> "modified",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("decontaminate drops exactly the flagged ids, keeps everything else once") {
     val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((2L, 100L, 3L), (2L, 101L, 4L), (7L, 100L, 3L))
