@@ -571,12 +571,30 @@ object Dedup {
       idCol: String,
       n: Int = 8,
       minShared: Int = 1,
-      maxDocFreq: Long = 10): DataFrame = {
-    def prep(df: DataFrame) =
-      withShingles(df.select(col(idCol), col(textCol)), textCol, n)
-        .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
-    crossCorpusContaminationFromShingles(prep(corpusA), prep(corpusB),
+      maxDocFreq: Long = 10): DataFrame =
+    crossCorpusContaminationFromShingles(
+      distinctShingleFrame(corpusA, textCol, idCol, n),
+      distinctShingleFrame(corpusB, textCol, idCol, n),
       minShared, maxDocFreq)
+
+  /** `(id, sh)` distinct word-shingle sets — the shared prep of every
+    * contamination/novelty consumer (one definition, like
+    * [[contaminationHashed]]). */
+  private def distinctShingleFrame(df: DataFrame, textCol: String,
+                                   idCol: String, n: Int): DataFrame =
+    withShingles(df.select(col(idCol), col(textCol)), textCol, n)
+      .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
+
+  /** Materialized df-capped key set + the Bloom filter built from it —
+    * the shared build of both Bloom consumers (batch prefilter +
+    * streaming gate): sized by the DISTINCT capped key count, built
+    * from that same frame (never from a duplicate-bearing (id, h)
+    * frame, which would re-insert each key once per eval doc). */
+  private def cappedKeyBloom(b: DataFrame, maxDocFreq: Long, fpp: Double)
+      : (DataFrame, org.apache.spark.util.sketch.BloomFilter) = {
+    val keep = contaminationCappedKeys(b, maxDocFreq).localCheckpoint()
+    val nKeys = keep.count()
+    (keep, keep.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp))
   }
 
   /** [[crossCorpusContamination]] over precomputed `(id, sh)` shingle-set
@@ -636,13 +654,11 @@ object Dedup {
       n: Int = 8,
       minShared: Int = 1,
       maxDocFreq: Long = 10,
-      fpp: Double = 0.01): DataFrame = {
-    def prep(df: DataFrame) =
-      withShingles(df.select(col(idCol), col(textCol)), textCol, n)
-        .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
-    crossCorpusContaminationBloomFromShingles(prep(corpusA), prep(corpusB),
+      fpp: Double = 0.01): DataFrame =
+    crossCorpusContaminationBloomFromShingles(
+      distinctShingleFrame(corpusA, textCol, idCol, n),
+      distinctShingleFrame(corpusB, textCol, idCol, n),
       minShared, maxDocFreq, fpp)
-  }
 
   /** [[crossCorpusContaminationBloom]] over precomputed `(id, sh)`
     * frames (the [[signatureTable]] reuse contract of
@@ -655,15 +671,8 @@ object Dedup {
       maxDocFreq: Long = 10,
       fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
-    // the eval side is bounded by contract and feeds three consumers
-    // (size, filter build, verify join): materialize the DISTINCT capped
-    // key set once and build the Bloom filter from it — not from the
-    // duplicate-bearing (id_b, h) frame, which would re-insert every key
-    // once per eval doc
     val b = contaminationHashed(shinglesB, "id_b")
-    val keep = contaminationCappedKeys(b, maxDocFreq).localCheckpoint()
-    val nKeys = keep.count()
-    val bloom = keep.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp)
+    val (keep, bloom) = cappedKeyBloom(b, maxDocFreq, fpp)
     val bKept = b.join(keep, "h")
     contaminationHashed(shinglesA, "id_a")
       .filter(graft.functions.BloomContains.col(col("h"), bloom))
@@ -690,15 +699,11 @@ object Dedup {
       idCol: String,
       n: Int = 8,
       maxDocFreq: Long = 10,
-      fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter = {
-    val shingleFrame = withShingles(
-        reference.select(col(idCol), col(textCol)), textCol, n)
-      .select(col(idCol).as("id"), array_distinct(col("shingles")).as("sh"))
-    val b = contaminationHashed(shingleFrame, "id_b")
-    val keep = contaminationCappedKeys(b, maxDocFreq).localCheckpoint()
-    val nKeys = keep.count()
-    keep.stat.bloomFilter("h", math.max(nKeys, 1000L), fpp)
-  }
+      fpp: Double = 1e-4): org.apache.spark.util.sketch.BloomFilter =
+    cappedKeyBloom(
+      contaminationHashed(distinctShingleFrame(reference, textCol, idCol, n),
+        "id_b"),
+      maxDocFreq, fpp)._2
 
   /** Per-document reference-overlap stats: for every corpus document,
     * how many of its distinct word n-grams appear anywhere in the
@@ -721,10 +726,11 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 8): DataFrame = {
+    // explode_outer (not the inner-explode contaminationHashed): a
+    // null/empty doc must keep its row for the 0/0 contract
     def prep(df: DataFrame) =
-      withShingles(df.select(col(idCol), col(textCol)), textCol, n)
-        .select(col(idCol).as("id"),
-          explode_outer(array_distinct(col("shingles"))).as("__sh"))
+      distinctShingleFrame(df, textCol, idCol, n)
+        .select(col("id"), explode_outer(col("sh")).as("__sh"))
         .withColumn("h", when(col("__sh").isNotNull, xxhash64(col("__sh"))))
     // reference is bounded by contract (eval benchmarks / curated sets):
     // broadcast EXPLICITLY — the optimizer's post-aggregate size estimate
@@ -749,14 +755,19 @@ object Dedup {
     */
   def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
                  textCol: String, idCol: String): DataFrame = {
-    def hashed(df: DataFrame, as: String) =
-      df.select(col(idCol), sha2(col(textCol), 256).as(as))
-    hashed(oldCorpus, "__old_h")
-      .join(hashed(newCorpus, "__new_h"), Seq(idCol), "full_outer")
+    // presence is decided by explicit markers, NOT hash nullity: a row
+    // with NULL text must still count as present (sha2(NULL) is NULL,
+    // which would otherwise misread null-text rows as absent), and two
+    // null texts compare as unchanged via the null-safe <=>
+    def hashed(df: DataFrame, pres: String, hash: String) =
+      df.select(col(idCol), lit(true).as(pres),
+        sha2(col(textCol), 256).as(hash))
+    hashed(oldCorpus, "__old_p", "__old_h")
+      .join(hashed(newCorpus, "__new_p", "__new_h"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__old_h").isNull, "added")
-          .when(col("__new_h").isNull, "removed")
-          .when(col("__old_h") === col("__new_h"), "unchanged")
+        when(col("__old_p").isNull, "added")
+          .when(col("__new_p").isNull, "removed")
+          .when(col("__old_h") <=> col("__new_h"), "unchanged")
           .otherwise("modified").as("status"))
   }
 

@@ -166,10 +166,13 @@ object QualityFilter {
     // cast('long') truncate to 0/1 and silently drop almost everything.
     // The integrality check (value == its truncation) catches fractional
     // scores like 0.57 that are otherwise "in range". Fail loudly
-    // instead of deciding wrongly.
+    // instead of deciding wrongly — EXCEPT for NULL scores, which
+    // propagate as a NULL predicate (row drops in a filter), matching
+    // lotteryKeepExpr's behavior for unscorable docs.
     val inDomain = scorePct >= 0 && scorePct <= 100 &&
       scorePct.cast("double") === scorePct.cast("long").cast("double")
-    when(inDomain, keep)
+    when(scorePct.isNull, lit(null).cast("boolean"))
+      .when(inDomain, keep)
       .otherwise(raise_error(lit(
         "lotteryKeepExactExpr: scorePct must be an INTEGER PERCENT in " +
           "[0, 100] (fractional or out-of-range value seen — if you " +

@@ -188,6 +188,14 @@ object Sampling {
     * md5 determinism contract as [[upsampled]]; the lottery seeds on
     * (stratum, id) so a document appearing under two strata draws
     * independently.
+    *
+    * NULL stratum rows take `defaultRate` — the same tolerant contract
+    * as [[stratified]]/[[includeExpr]] for unlisted strata — with the
+    * lottery seed pinning null to an explicit `"__null"` token so the
+    * draw stays (stratum, id)-keyed rather than degrading to id-only.
+    * (The temperature mixers sit on the STRICT side instead: they
+    * fail fast on null strata, because there a silent default rate
+    * would corrupt the computed mixture.)
     */
   def upsampledByStratum(df: DataFrame, idCol: String, stratumCol: String,
                          rates: Map[String, Double], defaultRate: Double = 1.0,
@@ -203,8 +211,9 @@ object Sampling {
       case (acc, (s, r)) =>
         when(col(stratumCol) === s, lit(fracThreshold(r))).otherwise(acc)
     }
+    val seedStratum = coalesce(col(stratumCol).cast("string"), lit("__null"))
     val extra = when(
-      substring(md5(concat_ws(":", col(stratumCol).cast("string"),
+      substring(md5(concat_ws(":", seedStratum,
         col(idCol).cast("string"))), 1, 8) < thrCol, lit(1L)).otherwise(lit(0L))
     df.withColumn("__copies", wholeCol + extra)
       .filter(col("__copies") > 0)

@@ -322,6 +322,17 @@ class DedupSpec extends SparkSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("corpusDiff: null text is a PRESENT row, not an absent one") {
+    val nil = null.asInstanceOf[String]
+    val v1 = Seq((1L, nil), (2L, "text"), (3L, nil)).toDF("doc_id", "text")
+    val v2 = Seq((1L, "now set"), (2L, nil), (3L, nil)).toDF("doc_id", "text")
+    val d = Dedup.corpusDiff(v1, v2, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    // null→text and text→null are modifications of a present id;
+    // null→null is unchanged — never 'added'/'removed'
+    assert(d === Map(1L -> "modified", 2L -> "modified", 3L -> "unchanged"))
+  }
+
   test("decontaminate drops exactly the flagged ids, keeps everything else once") {
     val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((2L, 100L, 3L), (2L, 101L, 4L), (7L, 100L, 3L))

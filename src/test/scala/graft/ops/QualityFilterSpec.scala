@@ -166,5 +166,12 @@ class QualityFilterSpec extends SparkSuite {
         QualityFilter.lotteryKeepExactExpr(col("k"), col("doc_id")))
       .count()
     assert(kept === 1L) // k=100 keeps (q=1), k=0 almost surely drops
+    // a NULL score propagates (row drops in the filter) instead of
+    // aborting the job — the unscorable-doc contract of the float sibling
+    val withNull = Seq((1L, Some(100)), (2L, None))
+      .toDF("doc_id", "k")
+    assert(withNull.filter(
+        QualityFilter.lotteryKeepExactExpr(col("k"), col("doc_id")))
+      .select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
 }

@@ -41,11 +41,18 @@ ALLOWED_ENV = {"SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_OUT",
 EXTERNAL_ROOTS = ("com.", "org.", "net.", "io.", "ai.", "dev.",
                   "software.", "co.", "ml.", "edu.")
 
+def _allowed_import(pkg):
+    # package-boundary match: "org.apache.sparkproject.shaded" must NOT
+    # pass on the "org.apache.spark" allowlist entry
+    return any(pkg == root or pkg.startswith(root + ".")
+               for root in ALLOWED_IMPORT_ROOTS)
+
+
 CHECKS = {
     "scala-import": (
         re.compile(r"^\s*import\s+([A-Za-z_][\w.]*)", re.M),
         lambda m: m.group(1).startswith(EXTERNAL_ROOTS)
-        and not m.group(1).startswith(ALLOWED_IMPORT_ROOTS),
+        and not _allowed_import(m.group(1)),
     ),
     "url": (
         re.compile(r"https?://([\w.-]+)"),
