@@ -148,18 +148,32 @@ object QualityFilter {
     * float rounding; exact agreement away from ulp boundaries is pinned
     * by QualityFilterSpec.
     */
-  def lotteryKeepExactExpr(scorePct: Column, id: Column, alpha: Int = 9): Column = {
-    require(alpha >= 1 && alpha <= 9,
-      "integer alpha in [1, 9] (the keep threshold (200-k)^alpha must stay < 10^38)")
-    val hex15 = 1152921504606846976L // 16^15 = 2^60, fits in a Long
+  /** 16^15 = 2^60 — the md5-uniform's denominator; fits in a Long. */
+  private val Hex15 = 1152921504606846976L
+
+  /** The integer substrate of the exact lottery, surfaced as columns:
+    * `m` = the 15-hex-digit md5 uniform as a BIGINT, `a = 16^15 - m`,
+    * and `quotient = (16^15*100^alpha - 1) div (200-scorePct)^alpha`
+    * (a BIGINT — IntegralDivide's result type; only the intermediate
+    * power needs decimal width). The keep decision is `a <= quotient`.
+    */
+  private def lotteryParts(scorePct: Column, id: Column,
+                           alpha: Int): (Column, Column, Column) = {
     val m = conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
-    val a = lit(hex15) - m
+    val a = lit(Hex15) - m
     val base = (lit(200L) - scorePct.cast("long")).cast("decimal(38,0)")
     val bPow = (1 until alpha).foldLeft(base)((acc, _) => acc * base)
     val rMinus1 = lit(new java.math.BigDecimal(
       (BigInt(16).pow(15) * BigInt(100).pow(alpha) - 1).bigInteger))
     // IntegralDivide ("div") returns BIGINT — floor division, exact
-    val keep = a <= call_function("div", rMinus1, bPow)
+    (m, a, call_function("div", rMinus1, bPow).cast("long"))
+  }
+
+  def lotteryKeepExactExpr(scorePct: Column, id: Column, alpha: Int = 9): Column = {
+    require(alpha >= 1 && alpha <= 9,
+      "integer alpha in [1, 9] (the keep threshold (200-k)^alpha must stay < 10^38)")
+    val (_, a, quotient) = lotteryParts(scorePct, id, alpha)
+    val keep = a <= quotient
     // Domain guard, enforced per row: the division-first identity needs
     // B > 0 (scorePct <= 100 keeps 200-k >= 100), and the most likely
     // misuse — passing the SIBLING API's 0..1 float score — would
@@ -184,4 +198,39 @@ object QualityFilter {
   def paretoLotteryKeepExact(scored: DataFrame, scorePctCol: String,
                              idCol: String, alpha: Int = 9): DataFrame =
     scored.filter(lotteryKeepExactExpr(col(scorePctCol), col(idCol), alpha))
+
+  /** The exact lottery with its whole integer substrate surfaced, one
+    * row per input doc, every column BIGINT:
+    * `(id, k, m, quotient, kept)` where `k` is the integer-percent
+    * score, `m` the 15-hex-digit md5 uniform,
+    * `quotient = (16^15*100^alpha − 1) div (200−k)^alpha`, and
+    * `kept ∈ {0,1}` is `16^15 − m <= quotient` — the same decision as
+    * [[lotteryKeepExactExpr]] (shared construction, not a re-derivation).
+    * This is the cross-engine audit surface: a compare over it contains
+    * no float, no decimal, and no filtered set, so any engine divergence
+    * names the exact column (uniform vs threshold vs decision) and the
+    * exact rows where it happens. Map-only codegen — per-row streamable
+    * at any corpus size. Domain contract as [[lotteryKeepExactExpr]];
+    * NULL scores yield NULL m/quotient/kept rather than dropping rows.
+    */
+  def paretoLotteryDiagnostics(scored: DataFrame, scorePctCol: String,
+                               idCol: String, alpha: Int = 9): DataFrame = {
+    require(alpha >= 1 && alpha <= 9,
+      "integer alpha in [1, 9] (the keep threshold (200-k)^alpha must stay < 10^38)")
+    val k = col(scorePctCol)
+    val (m, a, quotient) = lotteryParts(k, col(idCol), alpha)
+    val inDomain = k >= 0 && k <= 100 &&
+      k.cast("double") === k.cast("long").cast("double")
+    val guard = when(k.isNull, lit(null).cast("long"))
+      .when(inDomain, lit(0L))
+      .otherwise(raise_error(lit(
+        "paretoLotteryDiagnostics: scorePct must be an INTEGER PERCENT " +
+          "in [0, 100]")))
+    scored.select(
+      col(idCol).cast("long").as(idCol),
+      (k.cast("long") + guard).as("k"),
+      (m + guard).as("m"),
+      (quotient + guard).as("quotient"),
+      (when(a <= quotient, 1L).otherwise(0L) + guard).as("kept"))
+  }
 }

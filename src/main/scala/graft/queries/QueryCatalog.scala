@@ -1784,30 +1784,58 @@ object QueryCatalog {
     // form did NOT survive the driver environment's libm). Evaluated
     // division-first on both engines so nothing exceeds 128-bit/
     // DECIMAL(38,0): A*B < R ⟺ A <= (R-1) div B for positive integers.
+    // r10 (the r9 verdict's prescription after a driver-only hash
+    // mismatch with local byte-exactness): the compared relation is now
+    // the FULL per-doc integer substrate — (doc_id, k, m, quotient,
+    // kept), all BIGINT, over ALL documents — so the compare contains no
+    // decimal, no filtered set, and no DuckDB-version-sensitive
+    // construct; a residual mismatch localizes to a column. The oracle
+    // parses the 15 md5 hex digits with an explicit strpos-ladder
+    // polynomial (the '0x' string cast was version-dependent) and the
+    // k/100.0 double→decimal cast is gone entirely.
     // The trained-classifier scoring that normally feeds this rule is
     // ScalaTest-pinned (QualityFilterSpec) — LR training has no
     // portable SQL.
     QueryDef("quality_pareto_lottery", (s, d) => {
       val scored = t(s, d, "documents")
         .select(col("doc_id"), (col("doc_id") % 100).cast("int").as("quality_pct"))
-      graft.ops.QualityFilter.paretoLotteryKeepExact(
+      graft.ops.QualityFilter.paretoLotteryDiagnostics(
           scored, "quality_pct", "doc_id", alpha = 9)
-        .select(col("doc_id"),
-          (col("quality_pct").cast("double") / lit(100.0))
-            .cast("decimal(18,2)").as("quality_prob"))
         .orderBy("doc_id")
     }, Some("""
       WITH s AS (
         SELECT doc_id, doc_id % 100 AS k,
-          CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-            AS BIGINT) AS m
+          substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS h
         FROM documents),
-      b AS (SELECT doc_id, k, m, CAST(200 - k AS HUGEINT) AS c FROM s)
-      SELECT doc_id, CAST(k / 100.0 AS DECIMAL(18,2)) AS quality_prob
-      FROM b
-      WHERE (1152921504606846976 - m)
-            <= 1152921504606846975999999999999999999 // (c*c*c*c*c*c*c*c*c)
-      ORDER BY doc_id""")),
+      mm AS (
+        SELECT doc_id, k,
+            (strpos('0123456789abcdef', substring(h,  1, 1)) - 1) * 72057594037927936
+          + (strpos('0123456789abcdef', substring(h,  2, 1)) - 1) * 4503599627370496
+          + (strpos('0123456789abcdef', substring(h,  3, 1)) - 1) * 281474976710656
+          + (strpos('0123456789abcdef', substring(h,  4, 1)) - 1) * 17592186044416
+          + (strpos('0123456789abcdef', substring(h,  5, 1)) - 1) * 1099511627776
+          + (strpos('0123456789abcdef', substring(h,  6, 1)) - 1) * 68719476736
+          + (strpos('0123456789abcdef', substring(h,  7, 1)) - 1) * 4294967296
+          + (strpos('0123456789abcdef', substring(h,  8, 1)) - 1) * 268435456
+          + (strpos('0123456789abcdef', substring(h,  9, 1)) - 1) * 16777216
+          + (strpos('0123456789abcdef', substring(h, 10, 1)) - 1) * 1048576
+          + (strpos('0123456789abcdef', substring(h, 11, 1)) - 1) * 65536
+          + (strpos('0123456789abcdef', substring(h, 12, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substring(h, 13, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substring(h, 14, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substring(h, 15, 1)) - 1) AS m
+        FROM s),
+      q AS (
+        SELECT doc_id, k, m,
+          1152921504606846975999999999999999999
+            // (CAST(200 - k AS HUGEINT) * (200-k) * (200-k) * (200-k)
+                * (200-k) * (200-k) * (200-k) * (200-k) * (200-k)) AS quotient
+        FROM mm)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(k AS BIGINT) AS k,
+        CAST(m AS BIGINT) AS m, CAST(quotient AS BIGINT) AS quotient,
+        CAST(CASE WHEN (1152921504606846976 - m) <= quotient
+             THEN 1 ELSE 0 END AS BIGINT) AS kept
+      FROM q ORDER BY doc_id""")),
 
     // CCNet perplexity filtering, cross-engine exact on its FULL integer
     // substrate (NgramLm.scoreCounts): the bigram LM is trained on the

@@ -174,4 +174,33 @@ class QualityFilterSpec extends SparkSuite {
         QualityFilter.lotteryKeepExactExpr(col("k"), col("doc_id")))
       .select("doc_id").as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("paretoLotteryDiagnostics: kept column ≡ the filter's keep set, substrate consistent") {
+    import org.apache.spark.sql.functions.col
+    val scored = spark.range(0, 3000).select(col("id").as("doc_id"),
+      (col("id") % 100).cast("int").as("k"))
+    val diag = QualityFilter.paretoLotteryDiagnostics(
+      scored, "k", "doc_id", alpha = 9)
+    assert(diag.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq ===
+      Seq("doc_id" -> "long", "k" -> "long", "m" -> "long",
+          "quotient" -> "long", "kept" -> "long"))
+    assert(diag.count() === 3000L, "diagnostics cover ALL docs, unfiltered")
+    val keptSet = diag.filter(col("kept") === 1L)
+      .select("doc_id").as[Long].collect().toSet
+    val filterSet = QualityFilter.paretoLotteryKeepExact(
+        scored, "k", "doc_id", alpha = 9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptSet === filterSet,
+      "diagnostic kept must be the same decision as the filter")
+    // substrate identity: kept ⟺ 16^15 − m <= quotient, and m in [0, 16^15)
+    val bad = diag.filter(
+      (col("kept") === 1L) =!= (lit(1152921504606846976L) - col("m") <= col("quotient"))
+        || col("m") < 0L || col("m") >= 1152921504606846976L).count()
+    assert(bad === 0L)
+    // NULL score → NULL substrate row, not a dropped row
+    val withNull = Seq((1L, Some(50)), (2L, None)).toDF("doc_id", "k")
+    val nd = QualityFilter.paretoLotteryDiagnostics(withNull, "k", "doc_id")
+    assert(nd.count() === 2L)
+    assert(nd.filter(col("doc_id") === 2L && col("kept").isNull).count() === 1L)
+  }
 }
