@@ -663,6 +663,16 @@ object Dedup {
   /** [[crossCorpusContaminationBloom]] over precomputed `(id, sh)`
     * frames (the [[signatureTable]] reuse contract of
     * [[crossCorpusContaminationFromShingles]]).
+    *
+    * EAGER, unlike the exact path: building the Bloom filter runs Spark
+    * jobs at CALL time (a `localCheckpoint` + `count` + the bloom
+    * aggregation over the df-capped eval keys — the filter must be a
+    * driver-held value before it can ride the corpus scan's closure),
+    * and the checkpointed key frame stays pinned in executor storage for
+    * the session. Call it once and reuse the returned frame; re-invoking
+    * the builder re-runs the eval-side jobs. The eval/reference side is
+    * bounded by contract (eval suites, not corpora), so the eager cost
+    * is small and independent of corpus size.
     */
   def crossCorpusContaminationBloomFromShingles(
       shinglesA: DataFrame,

@@ -36,6 +36,19 @@ case class BloomContainsLong(child: Expression, bytes: Array[Byte])
 
   @transient private lazy val filter: BloomFilter = BloomFilter.readFrom(bytes)
 
+  // Case-class equality over an Array[Byte] field degrades to array
+  // REFERENCE equality, which would make two semantically identical
+  // predicates never compare equal — defeating expression dedup /
+  // subexpression elimination (and semanticEquals, which delegates to
+  // equals on the canonicalized tree). Compare the byte CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomContainsLong =>
+      child == that.child && java.util.Arrays.equals(bytes, that.bytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -313,15 +313,21 @@ object TrainingDataPipeline {
     val survivors = docs.join(
       decisions.filter(col("keep")).select(idCol), Seq(idCol), "left_semi")
     // strongest contamination evidence per corpus doc: max shared grams,
-    // then min eval id — a struct-max aggregate, no window
+    // then min eval id. Two-stage aggregate, no window, and id-type-
+    // generic (every other Dedup/pipeline API takes string or numeric
+    // ids — a negated-id tie-break would bind this one to numerics):
+    // stage 1 takes min(id_b) within each (id_a, n_shared) group, so
+    // stage 2's struct-max sees n_shared values that are DISTINCT per
+    // id_a and never falls through to comparing ids at all.
     val hits = Dedup.crossCorpusContaminationBloom(survivors, evalSet,
         textCol, idCol, n, minShared, maxDocFreq, fpp)
+      .groupBy(col("id_a"), col("n_shared"))
+      .agg(min(col("id_b")).as("__minb"))
       .groupBy(col("id_a").as(idCol))
-      .agg(max(struct(col("n_shared"), (-col("id_b")).as("__negb")))
-        .as("__best"))
+      .agg(max(struct(col("n_shared"), col("__minb"))).as("__best"))
       .select(col(idCol),
         col("__best.n_shared").as("n_shared_grams"),
-        (-col("__best.__negb")).as("contaminated_by"))
+        col("__best.__minb").as("contaminated_by"))
     decisions
       .join(hits, Seq(idCol), "left")
       .withColumn("drop_reason",
@@ -439,7 +445,12 @@ object TrainingDataPipeline {
 
   /** [[curateStream]] + the per-row decontamination gate: rows whose
     * text shares `minShared`+ word n-grams with the (static, batch-
-    * profiled) eval set never enter the stream's survivor set.
+    * profiled) eval set never enter the stream's survivor set. A NULL
+    * text makes the gate expression NULL (size of a null array) —
+    * coalesced to `false` here so null-text rows fall through to
+    * [[curateStream]]'s own quality gates instead of being silently
+    * dropped by this stage, matching the batch path (a null-text doc
+    * produces no shingles and is never flagged contaminated).
     */
   def curateStreamWithDecontamination(
       stream: DataFrame, textCol: String, idCol: String, tsCol: String,
@@ -448,7 +459,9 @@ object TrainingDataPipeline {
       watermark: String = "10 minutes",
       cfg: Config = Config()): DataFrame =
     curateStream(stream, textCol, idCol, tsCol, watermark, cfg)
-      .filter(!contaminationGateExpr(col(textCol), evalBloom, n, minShared))
+      .filter(!coalesce(
+        contaminationGateExpr(col(textCol), evalBloom, n, minShared),
+        lit(false)))
 
   def curateStream(stream: DataFrame, textCol: String, idCol: String,
                    tsCol: String, watermark: String = "10 minutes",

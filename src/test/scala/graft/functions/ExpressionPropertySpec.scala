@@ -295,4 +295,25 @@ class ExpressionPropertySpec extends AnyFunSuite {
       assert(RollingFingerprint.compute(UTF8String.fromString(t), w) === expected)
     }
   }
+
+  test("BloomContainsLong equality is content-based (expression dedup works)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.util.sketch.BloomFilter
+    def freshBytes(): Array[Byte] = {
+      val bf = BloomFilter.create(1000L, 0.01)
+      (1L to 100L).foreach(bf.putLong)
+      BloomContains.serialize(bf)
+    }
+    val child = BoundReference(0, LongType, nullable = false)
+    val a = BloomContainsLong(child, freshBytes())
+    val b = BloomContainsLong(child, freshBytes()) // distinct array, same content
+    assert(a == b, "identical serialized filters must compare equal")
+    assert(a.hashCode() === b.hashCode())
+    assert(a.semanticEquals(b), "semanticEquals must see the predicates as one")
+    val other = BloomFilter.create(1000L, 0.01)
+    other.putLong(424242L)
+    val c = BloomContainsLong(child, BloomContains.serialize(other))
+    assert(a != c, "different filters must not compare equal")
+  }
 }

@@ -77,6 +77,37 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(out(2L)._3 === -1L)
   }
 
+  test("curateWithDecontamination is id-type-generic: string ids, " +
+       "strongest-hit (max shared, then min eval id) tie-break") {
+    // same texts keyed by STRING ids — the tie-break must not assume a
+    // numeric id (a negated-id struct-max would fail analysis here)
+    val strCorpus = corpus.withColumn("doc_id",
+      concat(lit("doc-"), col("doc_id").cast("string")))
+    // doc-6 hits BOTH eval docs: eval-b shares strictly more 8-grams
+    // (the full doubled text) than eval-c (one copy), so strongest-hit
+    // must report eval-b; eval-a ties eval-b and min-id wins
+    val six = ("completely different and quite long content about the " +
+      "engines of query processing and the many shuffles of the world " +
+      "today ") * 2
+    val evalSet = Seq(
+      ("eval-b", "p " + six + " s"),
+      ("eval-a", "q " + six + " r"),
+      ("eval-c", "completely different and quite long content about the " +
+        "engines of query processing and the many shuffles of the world"))
+      .toDF("doc_id", "text")
+    val out = TrainingDataPipeline.curateWithDecontamination(
+        strCorpus, "text", "doc_id", evalSet, n = 8, minShared = 3)
+      .select("doc_id", "keep", "drop_reason", "contaminated_by")
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)).getOrElse(""),
+          Option(r.getString(3)).getOrElse(""))))
+      .toMap
+    assert(out("doc-6") === ((false, "contaminated", "eval-a")),
+      "max n_shared first, then MIN eval id among the tied strongest hits")
+    assert(out("doc-1")._1 === true)
+    assert(out("doc-2")._2 === "exact_dup")
+  }
+
   test("cleanCorpus returns exactly the kept documents") {
     val kept = TrainingDataPipeline.cleanCorpus(corpus, "text", "doc_id")
       .select("doc_id").as[Long].collect().toSet
