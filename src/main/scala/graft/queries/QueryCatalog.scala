@@ -1995,6 +1995,41 @@ object QueryCatalog {
         CAST(octet_length(encode(text)) // 256 + 1 AS BIGINT) AS n_chunks
       FROM documents ORDER BY doc_id""")),
 
+    // REAL image-dimension extraction (graft.multimodal.ImageHeaders —
+    // pure-JVM PNG IHDR / JPEG SOF marker walk / GIF screen descriptor;
+    // no codec library): each document's text rides as the payload of a
+    // spec-conformant container (ImageFixtures — real chunk framing,
+    // CRCs, marker lengths) with dims planted from doc_id, and the
+    // native ImageDims expression parses them back inside codegen. The
+    // oracle recomputes the planted dims arithmetically — deliberately
+    // NOT DuckDB blob slicing (byte-extraction builtins are version-
+    // sensitive, the lottery lesson); the parser's honesty against
+    // canonical real-file bytes is ImageHeadersSpec's job.
+    QueryDef("multimodal_dims", (s, d) => {
+      import s.implicits._
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.multimodal.ImageFixtures.syntheticImageBlob(
+            id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        .toDF("doc_id", "content")
+      blobs
+        .select(col("doc_id"),
+          graft.multimodal.ImageDims.col(col("content")).as("dims"))
+        .select(col("doc_id"),
+          col("dims.format").as("format"),
+          col("dims.width").cast("long").as("width"),
+          col("dims.height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             ELSE 'gif' END AS format,
+        CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+        CAST(doc_id % 480 + 1 AS BIGINT) AS height
+      FROM documents ORDER BY doc_id""")),
+
     QueryDef("heavy_hitters", (s, d) =>
       t(s, d, "events")
         .agg(graft.functions.HeavyHitters.topK(col("event_type"), 10).as("top"))
