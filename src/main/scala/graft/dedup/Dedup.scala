@@ -470,6 +470,68 @@ object Dedup {
     verifyPairs(prefiltered, sigs, minJaccard)
   }
 
+  /** [[minHashCandidates]] on the ENGINE-PORTABLE md5 double-hash
+    * signature construction ([[graft.functions.PortableMinHashSig]] /
+    * [[graft.functions.PortableBandHashes]] — the `minhash_portable`
+    * oracle's exact math) instead of the native xxhash64 signatures.
+    * Because every step — signatures, band hashes, the bucket self-join,
+    * the fat-bucket cap, and the exact-Jaccard verify — is reproducible
+    * in any engine that can compute md5, the VERIFIED PAIR SET is a
+    * data-derived cross-engine identity at ANY corpus scale: the oracle
+    * recomputes banding-reachable pairs itself rather than asserting the
+    * corpus-specific "banding reaches every true pair here" (which held
+    * at sf0.01 but measurably not at sf0.001 — one jaccard≈0.5 pair
+    * missing all bands is expected LSH behavior, not a defect).
+    *
+    * Differences from the production path, both deliberate: no
+    * sig-agreement prefilter (the estimator's 3-sigma tail would break
+    * the exact identity; every banded candidate is verified), and md5
+    * instead of xxhash64 (~2x slower per shingle). Production corpora
+    * should use [[minHashCandidates]]; this is the audit/oracle path —
+    * the same role `minhash_portable` plays for the signature step
+    * alone. The [[DefaultMaxBucketSize]] liveness valve applies
+    * identically (a plain bucket-size cap, expressible in SQL).
+    */
+  def minHashCandidatesPortable(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = docs
+      .select(col(idCol).as("id"), array_distinct(
+        graft.functions.WordShingles.col(col(textCol), shingleSize)).as("sh"))
+      .withColumn("minhash_sig",
+        graft.functions.PortableMinHashSig.col(col("sh"), numHashes))
+      .persist()
+    val bandedAll = sigs.select(col("id"), posexplode(
+        graft.functions.PortableBandHashes.col(col("minhash_sig"), bands))
+        .as(Seq("band_id", "band_hash")))
+    val nDocs = sigs.count()
+    val banded = if (maxBucketSize > 0 && nDocs > maxBucketSize) {
+      val fat = bandedAll.groupBy("band_id", "band_hash")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucketSize)
+        .select("band_id", "band_hash")
+      bandedAll.join(broadcast(fat), Seq("band_id", "band_hash"), "left_anti")
+    } else bandedAll
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val out = verifyPairs(candidates, sigs, minJaccard).localCheckpoint()
+    sigs.unpersist()
+    out
+  }
+
   /** Exact-Jaccard verify of candidate pairs against a signature table's
     * `sh` column. The shingle side is semi-join pruned to the ids that
     * actually appear in a pair BEFORE the join shuffles: at real-corpus

@@ -2162,24 +2162,107 @@ object QueryCatalog {
     // ------- LSH / ANN operators: no portable SQL oracle (driver records
     // rows-only); exact semantics are asserted in the ScalaTest suites.
 
+    // r10 (verdict #4): the compared relation is now a DATA-DERIVED
+    // cross-engine IDENTITY at any scale — the full LSH pipeline on the
+    // engine-portable md5 double-hash construction (minhash_portable's
+    // math at 32 hashes x 8 bands), with the oracle recomputing
+    // signatures, band hashes, the bucket self-join, the fat-bucket cap,
+    // and the exact-Jaccard verify itself. The previous oracle was the
+    // exact-Jaccard answer, which silently asserted 100% banding recall —
+    // true at sf0.01, measurably false at sf0.001 (one jaccard≈0.5 pair
+    // misses all 8 bands: expected LSH behavior), so the row was
+    // scale-pinned. The absolute-recall claim lives in
+    // dedup_minhash_recall as an in-Spark bound boolean (sketch_stats
+    // pattern); the native-xxhash64 production path keeps its scale
+    // coverage in BenchScale (minhash_candidates) and its recall floors
+    // in DedupSpec/SimilaritySpec.
     QueryDef("dedup_minhash", (s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val planted = docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 10000).as("doc_id"),
                 concat(col("text"), lit(" planted near duplicate suffix")).as("text"))
-      Dedup.minHashCandidates(docs.unionByName(planted), "text", "doc_id",
+      Dedup.minHashCandidatesPortable(docs.unionByName(planted), "text", "doc_id",
           shingleSize = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
         .orderBy("id_a", "id_b")
     },
-    // The oracle is the EXACT answer — every pair sharing >=1 shingle with
-    // true Jaccard >= 0.5 — so this check asserts the LSH path's recall is
-    // 100% on this corpus (deterministic: the seeded signatures are fixed,
-    // so a pass is stable, not sampled) AND its verify stage is exact.
-    // CORPUS DEPENDENCY: the 100%-recall property is specific to the
-    // driver's sf0.01 corpus — the r9 sf0.001 sweep measured 91/92 (one
-    // jaccard≈0.5 boundary pair misses all 8 bands there), so at any
-    // other SF/regen this row can red-flag without a code change; the
-    // recall FLOOR is SimilaritySpec/DedupSpec's job.
+    Some(s"""
+      WITH alldocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id+10000, text || ' planted near duplicate suffix'
+        FROM documents WHERE doc_id < 50),
+      sh AS (
+        SELECT doc_id, list_distinct(${duckShingleList(3)}) AS sh
+        FROM (SELECT doc_id, $DuckWords AS words FROM alldocs)),
+      h AS (SELECT doc_id,
+          list_transform(sh, x ->
+            CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % 2147483647) AS h1s,
+          list_transform(sh, x ->
+            CAST(concat('0x', substring(md5(x), 16, 15)) AS BIGINT) % 2147483647) AS h2s
+        FROM sh),
+      sig AS (SELECT doc_id,
+          list_transform(generate_series(0, 31), j ->
+            list_min(list_transform(generate_series(1, len(h1s)),
+              i -> (h1s[i] + j * h2s[i]) % 2147483647))) AS sig
+        FROM h),
+      band AS (SELECT doc_id, t.b AS band_id,
+          md5(array_to_string(list_transform(
+            list_slice(sig, t.b*4 + 1, t.b*4 + 4), x -> CAST(x AS VARCHAR)), ','))
+            AS band_hash
+        FROM sig, unnest(generate_series(0, 7)) AS t(b)),
+      fat AS (SELECT band_id, band_hash FROM band
+              GROUP BY 1, 2 HAVING COUNT(*) > 1000),
+      bandk AS (SELECT b.* FROM band b ANTI JOIN fat USING (band_id, band_hash)),
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandk a JOIN bandk b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM cpairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b)
+      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""), bench = true),
+
+    // The absolute-recall claim the old dedup_minhash oracle made
+    // implicitly, now explicit and scale-robust: the PRODUCTION
+    // (xxhash64) LSH path must recover >= 85% of the exact-Jaccard>=0.5
+    // pair set — an integer-arithmetic bound computed entirely in Spark
+    // (sketch_stats pattern: the oracle derives n_exact from data and
+    // pins the bound boolean TRUE). Measured recall is 100% at sf0.01
+    // and 91/92 ≈ 99% at sf0.001, so 85% has wide margin against LSH's
+    // expected boundary-pair misses at any SF while still catching a
+    // real banding/verify defect (which collapses recall, not shaves it).
+    QueryDef("dedup_minhash_recall", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+                concat(col("text"), lit(" planted near duplicate suffix")).as("text"))
+      val all = docs.unionByName(planted)
+      val sh = all.select(col("doc_id"), array_distinct(
+        graft.functions.WordShingles.col(col("text"), 3)).as("sh"))
+      val shx = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val cand = shx.alias("x").join(shx.alias("y"),
+          col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val exact = cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(graft.functions.JaccardSim.col(col("sh_a"), col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+      val found = Dedup.minHashCandidates(all, "text", "doc_id",
+          shingleSize = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .select("id_a", "id_b")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.join(exact, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("__n_found")))
+        .select(col("n_exact"),
+          (col("__n_found") * lit(100L) >= col("n_exact") * lit(85L))
+            .as("recall_ok"))
+    },
     Some(s"""
       WITH alldocs AS (
         SELECT doc_id, text FROM documents
@@ -2192,13 +2275,17 @@ object QueryCatalog {
       shx AS (SELECT doc_id, unnest(sh) AS s FROM sh),
       cpairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b, jaccard FROM (
-        SELECT p.id_a, p.id_b,
-          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        FROM cpairs p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b)
-      WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""), bench = true),
+        FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id),
+      exact AS (
+        SELECT id_a, id_b FROM (
+          SELECT p.id_a, p.id_b,
+            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+          FROM cpairs p JOIN sh a ON a.doc_id = p.id_a
+                        JOIN sh b ON b.doc_id = p.id_b)
+        WHERE jaccard >= 0.5)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+      FROM exact""")),
 
     // scale probe for the dedup map-side path: 21x-replicated corpus
     // (105k docs at sf0.01), signatures + band hashes only — the part

@@ -41,6 +41,25 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("minHashCandidatesPortable: verified pairs are exact-Jaccard-true and " +
+       "find the planted dups; every pair is banding-reachable by construction") {
+    val pairs = Dedup.minHashCandidatesPortable(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) === 1.0)
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) > 0.6)
+    assert(!pairs.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    // soundness: the portable pair set is a subset of the exact >=0.5 set
+    // (the verify stage is exact regardless of the signature substrate),
+    // here checked against the native path run verify-exhaustively
+    val exactish = Dedup.minHashCandidates(docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+        prefilterMargin = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.keySet.subsetOf(exactish))
+  }
+
   test("minHashDedup recall on planted near-duplicates >= 90%") {
     val base = (0L until 100L).map { i =>
       (i, s"document number $i talks about topic ${i % 7} with shared words " +
