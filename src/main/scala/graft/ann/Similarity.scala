@@ -398,6 +398,47 @@ object Similarity {
       .agg(sum(coalesce(col("__lsz"), lit(0L))).as("scanned_rows"))
   }
 
+  /** Probe cost of [[lshTopK]] at a given `(bits, tables, multiProbe)`
+    * operating point: corpus rows cosine-scored per probe — the sum,
+    * over every (table, bucket) the probe opens (its own bucket plus
+    * the `bits` Hamming-1 buckets when `multiProbe`), of that bucket's
+    * corpus occupancy. The LSH counterpart of [[ivfScanCost]], on the
+    * same "rows scored" scale, so the two variants' recall curves are
+    * comparable at equal cost. Plan shape: the corpus collapses to a
+    * `(table, bucket) -> count` histogram (at most `tables * 2^bits`
+    * rows — KBs at any corpus size), which broadcasts into the
+    * probe-side bucket fan-out; the corpus is scanned exactly once
+    * regardless of probe count.
+    */
+  def lshScanCost(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bits: Int,
+      dim: Int,
+      multiProbe: Boolean = true,
+      tables: Int = DefaultLshTables): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def bucketArr(vec: Column): Column =
+      array((0 until tables).map(t =>
+        graft.functions.LshBucket.col(vec, bits, t)): _*)
+    val hist = corpus.select(col(vecCol).as("__cv"))
+      .select(posexplode(bucketArr(col("__cv"))).as(Seq("__t", "lsh_bucket")))
+      .groupBy("__t", "lsh_bucket").agg(count(lit(1)).as("__bsz"))
+    val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .select(col("probe_id"),
+        posexplode(bucketArr(col("__pv"))).as(Seq("__t", "__b0")))
+    val p = if (!multiProbe) p0.withColumn("lsh_bucket", col("__b0"))
+      else p0.withColumn("lsh_bucket", explode(expr(
+        s"""array_union(array(__b0),
+              transform(sequence(0, ${bits - 1}),
+                b -> __b0 ^ shiftleft(CAST(1 AS BIGINT), b)))""")))
+    p.join(broadcast(hist), Seq("__t", "lsh_bucket"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("__bsz"), lit(0L))).as("scanned_rows"))
+  }
+
   /** Embedding near-duplicate pairs: bucket by sign sketch, pair within
     * buckets, keep cosine >= minCos. Same no-all-pairs discipline as
     * Dedup.minHashCandidates — and the same LIVENESS valve: within-bucket

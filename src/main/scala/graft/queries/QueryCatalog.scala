@@ -2030,6 +2030,45 @@ object QueryCatalog {
         CAST(doc_id % 480 + 1 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""")),
 
+    // The audio companion of multimodal_dims: REAL WAV/FLAC container
+    // headers (AudioFixtures plants the parameters, AudioHeaders parses
+    // them back as a native codegen expression over the binary column).
+    // Same proof shape: the oracle recomputes the planted values
+    // arithmetically, so a green row means construct→parse roundtrips
+    // real RIFF-chunk / STREAMINFO-bit-pack bytes on every document;
+    // AudioHeadersSpec separately pins the parser against canonical
+    // hand-hexed file bytes so construction and parsing cannot share a
+    // mirrored bug.
+    QueryDef("multimodal_audio_meta", (s, d) => {
+      import s.implicits._
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.multimodal.AudioFixtures.syntheticAudioBlob(
+            id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        .toDF("doc_id", "content")
+      blobs
+        .select(col("doc_id"),
+          graft.multimodal.AudioMeta.col(col("content")).as("m"))
+        .select(col("doc_id"),
+          col("m.format").as("format"),
+          col("m.channels").cast("long").as("channels"),
+          col("m.sample_rate").cast("long").as("sample_rate"),
+          col("m.bits_per_sample").cast("long").as("bits_per_sample"),
+          col("m.n_frames").as("n_frames"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'flac' END AS format,
+        CAST(doc_id % 3 + 1 AS BIGINT) AS channels,
+        CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT)
+          AS sample_rate,
+        CAST((doc_id % 4 + 1) * 8 AS BIGINT) AS bits_per_sample,
+        CAST(doc_id % 50 + 1 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id""")),
+
     QueryDef("heavy_hitters", (s, d) =>
       t(s, d, "events")
         .agg(graft.functions.HeavyHitters.topK(col("event_type"), 10).as("top"))

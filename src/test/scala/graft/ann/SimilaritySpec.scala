@@ -118,6 +118,35 @@ class SimilaritySpec extends SparkSuite {
         s"$learnedRecall (scan $learnedScan) vs $sampledRecall (scan $sampledScan)")
   }
 
+  test("lshScanCost prices exactly the candidate fan-out lshTopK scores") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = em.filter(col("vec_id") < 5)
+    val bits = 4
+    val tables = 2
+    // ground truth: materialize the same (table, bucket) fan-out the
+    // lshTopK join scores — corpus bucket occupancy summed over every
+    // bucket each probe opens (own + the `bits` Hamming-1 flips)
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("vec_id"),
+      posexplode(array((0 until tables).map(t =>
+        graft.functions.LshBucket.col(col("embedding"), bits, t)): _*))
+        .as(Seq("__t", "b")))
+    val corpusB = bucketed(em).withColumnRenamed("vec_id", "nid")
+    val probeB = bucketed(probes).withColumn("b", explode(expr(
+      s"""array_union(array(b), transform(sequence(0, ${bits - 1}),
+            i -> b ^ shiftleft(CAST(1 AS BIGINT), i)))""")))
+    val actual = corpusB.join(probeB, Seq("__t", "b"))
+      .groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    val priced = Similarity.lshScanCost(em, probes, "vec_id", "embedding",
+        bits = bits, dim = 64, tables = tables)
+      .as[(Long, Long)].collect().toMap
+    assert(priced === actual)
+    // and the histogram the price rides is bounded by bucket space, not
+    // corpus size (the property that makes it broadcastable at 100 TB)
+    assert(priced.values.sum > 0L)
+  }
+
   test("cosineDedupCandidates finds identical planted vectors") {
     val planted = vecs.filter(col("vec_id") === 0)
       .select((col("vec_id") + 100).as("vec_id"), col("embedding"))

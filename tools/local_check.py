@@ -30,6 +30,7 @@ def norm(v):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -98,6 +99,8 @@ def main():
         results[name] = entry
 
     n_ok = sum(1 for r in results.values() if r.get("ok"))
+    if json_out:  # machine-readable artifact (oracle-robustness sweeps)
+        Path(json_out).write_text(json.dumps(results, indent=1, default=str))
     print(json.dumps(results, indent=1, default=str))
     print(f"\n== {n_ok}/{len(results)} OK ==")
     for name, r in results.items():
