@@ -141,5 +141,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_sig_agreement(a, b) expects 2 args")
       }))
+    // multimodal header decoders (pure-JVM container parsing; null on
+    // unrecognized bytes) — SQL surface for the binary media columns
+    ext.injectFunction((
+      new FunctionIdentifier("graft_image_dims"),
+      new ExpressionInfo(
+        classOf[graft.multimodal.ImageDims].getName, "graft_image_dims"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => graft.multimodal.ImageDims(bin)
+        case _ => throw new IllegalArgumentException(
+          "graft_image_dims(content) expects 1 arg")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(
+        classOf[graft.multimodal.AudioMeta].getName, "graft_audio_meta"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => graft.multimodal.AudioMeta(bin)
+        case _ => throw new IllegalArgumentException(
+          "graft_audio_meta(content) expects 1 arg")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_video_meta"),
+      new ExpressionInfo(
+        classOf[graft.multimodal.VideoMeta].getName, "graft_video_meta"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => graft.multimodal.VideoMeta(bin)
+        case _ => throw new IllegalArgumentException(
+          "graft_video_meta(content) expects 1 arg")
+      }))
   }
 }

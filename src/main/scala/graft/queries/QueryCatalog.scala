@@ -2069,6 +2069,45 @@ object QueryCatalog {
         CAST(doc_id % 50 + 1 AS BIGINT) AS n_frames
       FROM documents ORDER BY doc_id""")),
 
+    // Completes the multimodal header triad (dims/audio/video): REAL
+    // ISO-BMFF (MP4) box walks — ftyp/moov/mvhd/tkhd with big-endian
+    // sizes, 16.16 fixed-point track dims, and the trailing-moov layout
+    // on every 3rd doc so the parser proves it hops the mdat payload by
+    // declared size rather than assuming a header prefix. Oracle shape
+    // as above: arithmetic recomputation of the planted parameters;
+    // VideoHeadersSpec pins canonical hand-transcribed bytes.
+    QueryDef("multimodal_video_meta", (s, d) => {
+      import s.implicits._
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.multimodal.VideoFixtures.syntheticVideoBlob(
+            id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        .toDF("doc_id", "content")
+      blobs
+        .select(col("doc_id"),
+          graft.multimodal.VideoMeta.col(col("content")).as("m"))
+        .select(col("doc_id"),
+          col("m.format").as("format"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          col("m.width").cast("long").as("width"),
+          col("m.height").cast("long").as("height"),
+          col("m.n_tracks").cast("long").as("n_tracks"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        'mp4' AS format,
+        CAST(CASE doc_id % 5 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             WHEN 2 THEN 90000 WHEN 3 THEN 24000 ELSE 30000 END AS BIGINT)
+          AS timescale,
+        CAST((doc_id % 1000 + 1) * 100 AS BIGINT) AS duration,
+        CAST(doc_id % 1920 + 16 AS BIGINT) AS width,
+        CAST(doc_id % 1080 + 16 AS BIGINT) AS height,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks
+      FROM documents ORDER BY doc_id""")),
+
     QueryDef("heavy_hitters", (s, d) =>
       t(s, d, "events")
         .agg(graft.functions.HeavyHitters.topK(col("event_type"), 10).as("top"))

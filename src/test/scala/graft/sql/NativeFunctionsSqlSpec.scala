@@ -87,4 +87,30 @@ class NativeFunctionsSqlSpec extends SparkSuite {
       .select(graft.functions.LshBucket.col(col("v"), 8)).as[Long].head()
     assert(r.getLong(1) === viaCol)
   }
+
+  test("multimodal header decoders compute in SQL over binary columns") {
+    Seq(
+      (1L, graft.multimodal.ImageFixtures.png(12, 34, "p".getBytes)),
+      (2L, graft.multimodal.AudioFixtures.wav(2, 44100, 16, 10, "a".getBytes)),
+      (3L, graft.multimodal.VideoFixtures.mp4(600, 1200, 640, 480,
+        audioTrack = true, trailingMoov = false, payload = "v".getBytes)),
+      (4L, "not media".getBytes))
+      .toDF("id", "content").createOrReplaceTempView("nf_media")
+    val rows = spark.sql("""
+      SELECT id,
+        graft_image_dims(content) AS img,
+        graft_audio_meta(content) AS aud,
+        graft_video_meta(content) AS vid
+      FROM nf_media ORDER BY id""").collect()
+    assert(rows(0).getStruct(1).getString(0) === "png" &&
+      rows(0).getStruct(1).getInt(1) === 12 &&
+      rows(0).getStruct(1).getInt(2) === 34)
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).getStruct(2).getString(0) === "wav" &&
+      rows(1).getStruct(2).getInt(2) === 44100)
+    assert(rows(2).getStruct(3).getString(0) === "mp4" &&
+      rows(2).getStruct(3).getInt(3) === 640 &&
+      rows(2).getStruct(3).getInt(5) === 2)
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2) && rows(3).isNullAt(3))
+  }
 }
