@@ -538,8 +538,17 @@ object BenchScale {
           .start()
         q.awaitTermination()
         val s = spark.read.parquet(s"$dir/kept").select("content_hash")
-        val b = TrainingDataPipeline.curateStreamWithDecontamination(
-            withTs(docs), "text", "doc_id", "ts", evalBloom)
+        // batch equivalent: the same pure gate expressions
+        // (curateStreamGates), a plain dropDuplicates in place of the
+        // within-watermark state (the streaming-only operator), and the
+        // same contamination gate — filter order vs dedup is immaterial
+        // for the HASH set because equal hash means equal text means
+        // equal gate decision
+        val b = TrainingDataPipeline.curateStreamGates(
+            withTs(docs), "text", "doc_id", "ts")
+          .dropDuplicates("content_hash")
+          .filter(!coalesce(TrainingDataPipeline.contaminationGateExpr(
+            col("text"), evalBloom), lit(false)))
           .select("content_hash")
         val kept = s.count()
         val mismatches =

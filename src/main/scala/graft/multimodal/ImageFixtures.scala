@@ -99,18 +99,59 @@ object ImageFixtures {
     out.toByteArray
   }
 
+  private def le24(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte, ((v >>> 16) & 0xff).toByte)
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >>> 8) & 0xff).toByte,
+    ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+
+  /** WebP (RIFF container): the variant cycles by `id % 3` across the
+    * three first-chunk layouts the spec allows — `VP8 ` (lossy keyframe:
+    * 3-byte frame tag, 9D 01 2A start code, 14-bit LE dims), `VP8L`
+    * (lossless: 2F signature, 14+14 bits LSB-first), `VP8X` (extended:
+    * 24-bit LE canvas dims minus one) — with `payload` riding after the
+    * header fields inside the chunk. */
+  def webp(width: Int, height: Int, variant: Int,
+           payload: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && width <= 0x3fff && height >= 1 && height <= 0x3fff,
+      "fixture WebP dims are 14-bit (the smallest variant limit)")
+    val (tag, head) = variant match {
+      case 0 => ("VP8 ", Array[Byte](0, 0, 0) ++ // keyframe tag
+        Array(0x9d, 0x01, 0x2a).map(_.toByte) ++ le16(width) ++ le16(height))
+      case 1 =>
+        val bits = (width - 1).toLong | ((height - 1).toLong << 14)
+        ("VP8L", Array(0x2f).map(_.toByte) ++ le32(bits))
+      case _ => ("VP8X", Array[Byte](0, 0, 0, 0) ++ // flags + reserved
+        le24(width - 1) ++ le24(height - 1))
+    }
+    val data = head ++ payload
+    val padded = if (data.length % 2 == 0) data else data :+ 0.toByte
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    out.write(le32(4L + 8 + padded.length), 0, 4)
+    out.write("WEBP".getBytes("US-ASCII"), 0, 4)
+    out.write(tag.getBytes("US-ASCII"), 0, 4)
+    out.write(le32(data.length.toLong), 0, 4)
+    out.write(padded, 0, padded.length)
+    out.toByteArray
+  }
+
   /** The deterministic media corpus used by the `multimodal_dims`
-    * oracle: format cycles png/jpeg/gif by `id % 3`, dims are planted as
-    * `(id % 640 + 1, id % 480 + 1)` — the DuckDB oracle recomputes these
-    * arithmetically, so the compare proves construct→parse roundtrips
-    * the planted values through real container bytes on every row. */
+    * oracle: format cycles png/jpeg/gif/webp by `id % 4` (the webp
+    * sub-variant further cycles VP8/VP8L/VP8X by `id % 3`), dims are
+    * planted as `(id % 640 + 1, id % 480 + 1)` — the DuckDB oracle
+    * recomputes these arithmetically, so the compare proves
+    * construct→parse roundtrips the planted values through real
+    * container bytes on every row. */
   def syntheticImageBlob(id: Long, payload: Array[Byte]): Array[Byte] = {
     val w = (id % 640).toInt + 1
     val h = (id % 480).toInt + 1
-    (id % 3) match {
+    (id % 4) match {
       case 0 => png(w, h, payload)
       case 1 => jpeg(w, h, payload)
-      case _ => gif(w, h, payload)
+      case 2 => gif(w, h, payload)
+      case _ => webp(w, h, (id % 3).toInt, payload)
     }
   }
 }

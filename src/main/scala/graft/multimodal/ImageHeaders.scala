@@ -111,18 +111,60 @@ object ImageHeaders {
     None
   }
 
+  private def le24(a: Array[Byte], i: Int): Int =
+    u8(a, i) | (u8(a, i + 1) << 8) | (u8(a, i + 2) << 16)
+
+  /** WebP (RIFF container, Google's public spec): `RIFF size WEBP`,
+    * then the first chunk decides the variant — `VP8X` (extended:
+    * 24-bit LE canvas dims minus one at payload 4/7), `VP8 ` (lossy:
+    * keyframe start code 9D 01 2A, then 14-bit LE dims), `VP8L`
+    * (lossless: 0x2F signature, then 14+14 bits LSB-first). */
+  private def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 20) return None
+    if (u8(b, 0) != 'R' || u8(b, 1) != 'I' || u8(b, 2) != 'F' ||
+        u8(b, 3) != 'F') return None
+    if (u8(b, 8) != 'W' || u8(b, 9) != 'E' || u8(b, 10) != 'B' ||
+        u8(b, 11) != 'P') return None
+    val p = 20 // first chunk's payload
+    val tag = new String(b, 12, 4, "US-ASCII")
+    tag match {
+      case "VP8X" =>
+        if (b.length < p + 10) return None
+        Some((le24(b, p + 4) + 1, le24(b, p + 7) + 1))
+      case "VP8 " =>
+        // 3-byte frame tag (keyframe has bit0 == 0), start code, dims
+        if (b.length < p + 10) return None
+        if ((u8(b, p) & 1) != 0) return None // interframe can't lead
+        if (u8(b, p + 3) != 0x9d || u8(b, p + 4) != 0x01 ||
+            u8(b, p + 5) != 0x2a) return None
+        val w = le16(b, p + 6) & 0x3fff
+        val h = le16(b, p + 8) & 0x3fff
+        if (w < 1 || h < 1) None else Some((w, h))
+      case "VP8L" =>
+        if (b.length < p + 5) return None
+        if (u8(b, p) != 0x2f) return None
+        val w = 1 + (u8(b, p + 1) | ((u8(b, p + 2) & 0x3f) << 8))
+        val h = 1 + (((u8(b, p + 2) >> 6) & 0x3) | (u8(b, p + 3) << 2) |
+          ((u8(b, p + 4) & 0xf) << 10))
+        Some((w, h))
+      case _ => None
+    }
+  }
+
   /** `(format, width, height)`, or None if the bytes are not a
-    * recognizable PNG/JPEG/GIF header. */
+    * recognizable PNG/JPEG/GIF/WebP header. */
   def decode(bytes: Array[Byte]): Option[(String, Int, Int)] =
     if (bytes == null) None
     else pngDims(bytes).map(d => ("png", d._1, d._2))
       .orElse(jpegDims(bytes).map(d => ("jpeg", d._1, d._2)))
       .orElse(gifDims(bytes).map(d => ("gif", d._1, d._2)))
+      .orElse(webpDims(bytes).map(d => ("webp", d._1, d._2)))
 
   private val fmtUtf8 = Map(
     "png" -> UTF8String.fromString("png"),
     "jpeg" -> UTF8String.fromString("jpeg"),
-    "gif" -> UTF8String.fromString("gif"))
+    "gif" -> UTF8String.fromString("gif"),
+    "webp" -> UTF8String.fromString("webp"))
 
   /** Codegen entry point: null when unrecognized. */
   def decodeRow(bytes: Array[Byte]): InternalRow = decode(bytes) match {

@@ -466,6 +466,21 @@ object TrainingDataPipeline {
   def curateStream(stream: DataFrame, textCol: String, idCol: String,
                    tsCol: String, watermark: String = "10 minutes",
                    cfg: Config = Config()): DataFrame =
+    curateStreamGates(stream, textCol, idCol, tsCol, cfg)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** The per-row gate + annotation stage of [[curateStream]] — pure
+    * expressions only, so it runs identically on batch frames. The
+    * streaming path adds the watermark + within-watermark content-hash
+    * dedup; its BATCH equivalent is a plain
+    * `dropDuplicates("content_hash")` on this stage's output
+    * (`dropDuplicatesWithinWatermark` itself is streaming-only by
+    * Spark contract). Exposed so parity checks and batch backfills can
+    * share the exact gate expressions instead of re-deriving them.
+    */
+  def curateStreamGates(stream: DataFrame, textCol: String, idCol: String,
+                        tsCol: String, cfg: Config = Config()): DataFrame =
     stream.select(col(idCol), col(textCol), col(tsCol),
         graft.text.TextAnalysis.langIdNgramCols(col(textCol))._1.as("lang_pred"),
         graft.text.TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
@@ -479,6 +494,4 @@ object TrainingDataPipeline {
         // thresholds were silently ignored here)
         repetitionOk(col(textCol), cfg))
       .withColumn("content_hash", sha2(col(textCol), 256))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -2024,8 +2024,8 @@ object QueryCatalog {
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,
-        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-             ELSE 'gif' END AS format,
+        CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
         CAST(doc_id % 640 + 1 AS BIGINT) AS width,
         CAST(doc_id % 480 + 1 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""")),

@@ -98,13 +98,43 @@ class ImageHeadersSpec extends SparkSuite {
       "short".getBytes("UTF-8"),
       Array.fill(70000)(0x41.toByte)) // > one JPEG COM segment
     for (id <- 0L until 300L; p <- payloads) {
-      val expectFmt = (id % 3) match {
-        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      val expectFmt = (id % 4) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case _ => "webp"
       }
       val got = ImageHeaders.decode(ImageFixtures.syntheticImageBlob(id, p))
       assert(got === Some((expectFmt, (id % 640).toInt + 1, (id % 480).toInt + 1)),
         s"id=$id payload=${p.length}B")
     }
+  }
+
+  test("WebP: canonical hand-hexed bytes for all three first-chunk variants") {
+    // VP8L 1x1 (the smallest legal lossless stream prefix): signature
+    // 2F, then 14+14 zero bits (w-1 = h-1 = 0) — transcribed from the
+    // public WebP lossless bitstream spec
+    val vp8l1x1 = hex(
+      """52 49 46 46 12 00 00 00 57 45 42 50
+         56 50 38 4C 05 00 00 00 2F 00 00 00 00 00""")
+    assert(ImageHeaders.decode(vp8l1x1) === Some(("webp", 1, 1)))
+    // VP8 lossy keyframe, 2x2: frame tag 00 00 00, start code 9D 01 2A,
+    // dims 14-bit LE
+    val vp8lossy = hex(
+      """52 49 46 46 16 00 00 00 57 45 42 50
+         56 50 38 20 0A 00 00 00 00 00 00 9D 01 2A 02 00 02 00""")
+    assert(ImageHeaders.decode(vp8lossy) === Some(("webp", 2, 2)))
+    // VP8X extended, canvas 258x16: 24-bit LE minus-one fields (01 01 00
+    // = 257 -> 258; a big-endian misread would give a huge width)
+    val vp8x = hex(
+      """52 49 46 46 16 00 00 00 57 45 42 50
+         56 50 38 58 0A 00 00 00 00 00 00 00 01 01 00 0F 00 00""")
+    assert(ImageHeaders.decode(vp8x) === Some(("webp", 258, 16)))
+    // an interframe-first VP8 chunk is not a valid still image
+    val inter = vp8lossy.clone(); inter(20) = 0x01
+    assert(ImageHeaders.decode(inter) === None)
+    // truncation inside the first chunk
+    assert(ImageHeaders.decode(vp8lossy.take(24)) === None)
+    // WAV is RIFF too but not WEBP — families stay disjoint
+    assert(ImageHeaders.decode(
+      AudioFixtures.wav(1, 8000, 8, 1, Array.emptyByteArray)) === None)
   }
 
   test("ImageDims expression: codegen path, null for unrecognized rows") {
