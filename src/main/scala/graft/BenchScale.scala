@@ -261,6 +261,38 @@ object BenchScale {
                sum(col("n")))
           .head().getLong(0)
       },
+      timed("media_header_scan") {
+        // the multimodal header decoders at corpus scale: construct a
+        // REAL container blob per doc (format family cycling by id) and
+        // decode it in the same scan — one pass over 500k docs proves
+        // the "header parse at scan speed" claim (bounded-prefix reads,
+        // codegen static calls, no codec library). The aggregate
+        // touches every decoded field so Catalyst cannot prune the
+        // parse; result = docs whose roundtrip succeeded (must be all).
+        import spark.implicits._
+        val blobs = docs.select(col("doc_id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) =>
+            val payload =
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (id, (id % 3) match {
+              case 0 => graft.multimodal.ImageFixtures
+                .syntheticImageBlob(id, payload)
+              case 1 => graft.multimodal.AudioFixtures
+                .syntheticAudioBlob(id, payload.take(64))
+              case _ => graft.multimodal.VideoFixtures
+                .syntheticVideoBlob(id, payload.take(64))
+            })
+          }
+          .toDF("doc_id", "content")
+        blobs.select(
+            graft.multimodal.ImageDims.col(col("content")).as("i"),
+            graft.multimodal.AudioMeta.col(col("content")).as("a"),
+            graft.multimodal.VideoMeta.col(col("content")).as("v"))
+          .agg(count(when(col("i.width") > 0 || col("a.sample_rate") > 0 ||
+            col("v.timescale") > 0, 1)))
+          .head().getLong(0)
+      },
       timed("dedup_exact") {
         Dedup.exactGroups(docs, "text", "doc_id").filter(col("n_copies") > 1).count()
       },
