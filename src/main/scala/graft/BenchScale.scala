@@ -233,6 +233,21 @@ object BenchScale {
     var annLsh4 = -1L
     var annIvf4 = -1L
     var annCurve = ""
+    // ONE shared IVF index for both stages: ivfIndex's hash-sampled
+    // centroid pick rides a limit() over an unordered filter, so two
+    // independent builds may select different centroid sets — pairing
+    // stage-1 recall with a stage-2 rebuild's scan cost would then mix
+    // indices in the published curve
+    var annCents: DataFrame = null
+    var annLists: DataFrame = null
+    def annIvfIndex(): (DataFrame, DataFrame) = {
+      if (annCents == null) {
+        val (c, l) = Similarity.ivfIndex(em, "vec_id", "embedding", nLists = 64)
+        annCents = c
+        annLists = l.persist()
+      }
+      (annCents, annLists)
+    }
     def annRecallPct(approx: DataFrame): Long =
       annExact.join(crossBaseTop10(approx),
         Seq("probe_id", "neighbor_id"), "left_semi").count() * 100 / annTruth
@@ -273,8 +288,10 @@ object BenchScale {
         val blobs = docs.select(col("doc_id"), col("text"))
           .as[(Long, String)]
           .map { case (id, text) =>
-            val payload =
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            // null text must not kill the scan (decoders never throw;
+            // neither may the fixture construction)
+            val payload = Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
             (id, (id % 3) match {
               case 0 => graft.multimodal.ImageFixtures
                 .syntheticImageBlob(id, payload)
@@ -466,8 +483,11 @@ object BenchScale {
         annTruth = annExact.count()
         annLsh4 = annRecallPct(Similarity.lshTopK(em, annProbes, "vec_id",
           "embedding", k = annKk, bits = 8, dim = 64))
-        annIvf4 = annRecallPct(Similarity.ivfTopK(em, annProbes, "vec_id",
-          "embedding", k = annKk, nLists = 64, nProbe = 4))
+        // ivfIndex + ivfSearchIndex ≡ ivfTopK's internals, but the index
+        // is stashed so the operating-point stage prices THIS index
+        val (cents4, lists4) = annIvfIndex()
+        annIvf4 = annRecallPct(Similarity.ivfSearchIndex(cents4, lists4,
+          annProbes, "vec_id", "embedding", k = annKk, nProbe = 4))
         annLsh4 * 1000 + annIvf4
       },
       timed("ann_operating_points") {
@@ -488,15 +508,15 @@ object BenchScale {
           annTruth = annExact.count()
           annLsh4 = annRecallPct(Similarity.lshTopK(em, annProbes, "vec_id",
             "embedding", k = annKk, bits = 8, dim = 64))
-          annIvf4 = annRecallPct(Similarity.ivfTopK(em, annProbes, "vec_id",
-            "embedding", k = annKk, nLists = 64, nProbe = 4))
+          val (c4, l4) = annIvfIndex()
+          annIvf4 = annRecallPct(Similarity.ivfSearchIndex(c4, l4,
+            annProbes, "vec_id", "embedding", k = annKk, nProbe = 4))
         }
         val lsh8 = annRecallPct(Similarity.lshTopK(em, annProbes, "vec_id",
           "embedding", k = annKk, bits = 8, dim = 64, tables = 8))
-        val (cents, lists) =
-          Similarity.ivfIndex(em, "vec_id", "embedding", nLists = 64)
-        val listsP = lists.persist()
-        val ivf8 = annRecallPct(Similarity.ivfSearchIndex(cents, listsP,
+        // the SAME index stage 1 measured recall on — never a rebuild
+        val (cents, lists) = annIvfIndex()
+        val ivf8 = annRecallPct(Similarity.ivfSearchIndex(cents, lists,
           annProbes, "vec_id", "embedding", k = annKk, nProbe = 8))
         def total(cost: DataFrame): Long =
           cost.agg(sum(col("scanned_rows"))).head().getLong(0)
@@ -504,11 +524,11 @@ object BenchScale {
           "embedding", bits = 8, dim = 64))
         val lc8 = total(Similarity.lshScanCost(em, annProbes, "vec_id",
           "embedding", bits = 8, dim = 64, tables = 8))
-        val ic4 = total(Similarity.ivfScanCost(cents, listsP, annProbes,
+        val ic4 = total(Similarity.ivfScanCost(cents, lists, annProbes,
           "vec_id", "embedding", nProbe = 4))
-        val ic8 = total(Similarity.ivfScanCost(cents, listsP, annProbes,
+        val ic8 = total(Similarity.ivfScanCost(cents, lists, annProbes,
           "vec_id", "embedding", nProbe = 8))
-        listsP.unpersist()
+        lists.unpersist()
         annCurve =
           s"""[{"variant":"lsh","config":"bits=8,tables=4","scanned_rows":$lc4,"recall_pct":$annLsh4},""" +
           s"""{"variant":"lsh","config":"bits=8,tables=8","scanned_rows":$lc8,"recall_pct":$lsh8},""" +

@@ -63,6 +63,23 @@ object Similarity {
     df.withColumn("lsh_bucket",
       graft.functions.LshBucket.col(col(vecCol), bits, table))
 
+  /** Per-table bucket array for the OR-construction — the ONE
+    * definition [[lshTopK]] and [[lshScanCost]] share, so the cost
+    * function prices exactly the fan-out the search scores (pinned by
+    * SimilaritySpec; a silent divergence here would mis-price the
+    * published ann_curve). */
+  private def lshBucketArr(vec: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      graft.functions.LshBucket.col(vec, bits, t)): _*)
+
+  /** Hamming-1 multi-probe fan-out over a probe's own bucket `__b0` —
+    * shared by [[lshTopK]] and [[lshScanCost]] for the same reason. */
+  private def lshProbeBuckets(bits: Int): Column =
+    explode(expr(
+      s"""array_union(array(__b0),
+            transform(sequence(0, ${bits - 1}),
+              b -> __b0 ^ shiftleft(CAST(1 AS BIGINT), b)))"""))
+
   /** Default OR-construction width for [[lshTopK]]: candidates are the
     * union over this many INDEPENDENT hyperplane tables. r5's measured
     * recall ladder at (bits=4, k=5) made the single-table default a trap
@@ -98,20 +115,16 @@ object Similarity {
       multiProbe: Boolean = true,
       tables: Int = DefaultLshTables): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
-    def bucketArr(vec: Column): Column =
-      array((0 until tables).map(t =>
-        graft.functions.LshBucket.col(vec, bits, t)): _*)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .select(col("neighbor_id"), col("__cv"),
-        posexplode(bucketArr(col("__cv"))).as(Seq("__t", "lsh_bucket")))
+        posexplode(lshBucketArr(col("__cv"), bits, tables))
+          .as(Seq("__t", "lsh_bucket")))
     val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
       .select(col("probe_id"), col("__pv"),
-        posexplode(bucketArr(col("__pv"))).as(Seq("__t", "__b0")))
+        posexplode(lshBucketArr(col("__pv"), bits, tables))
+          .as(Seq("__t", "__b0")))
     val p = if (!multiProbe) p0.withColumn("lsh_bucket", col("__b0"))
-      else p0.withColumn("lsh_bucket", explode(expr(
-        s"""array_union(array(__b0),
-              transform(sequence(0, ${bits - 1}),
-                b -> __b0 ^ shiftleft(CAST(1 AS BIGINT), b)))""")))
+      else p0.withColumn("lsh_bucket", lshProbeBuckets(bits))
     val joined = c.join(broadcast(p.select("probe_id", "__pv", "__t", "lsh_bucket")),
       Seq("__t", "lsh_bucket"))
     val scored0 = joined.withColumn("cos", cosine(col("__pv"), col("__cv")))
@@ -420,20 +433,16 @@ object Similarity {
       multiProbe: Boolean = true,
       tables: Int = DefaultLshTables): DataFrame = {
     require(tables >= 1, "tables must be >= 1")
-    def bucketArr(vec: Column): Column =
-      array((0 until tables).map(t =>
-        graft.functions.LshBucket.col(vec, bits, t)): _*)
     val hist = corpus.select(col(vecCol).as("__cv"))
-      .select(posexplode(bucketArr(col("__cv"))).as(Seq("__t", "lsh_bucket")))
+      .select(posexplode(lshBucketArr(col("__cv"), bits, tables))
+        .as(Seq("__t", "lsh_bucket")))
       .groupBy("__t", "lsh_bucket").agg(count(lit(1)).as("__bsz"))
     val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
       .select(col("probe_id"),
-        posexplode(bucketArr(col("__pv"))).as(Seq("__t", "__b0")))
+        posexplode(lshBucketArr(col("__pv"), bits, tables))
+          .as(Seq("__t", "__b0")))
     val p = if (!multiProbe) p0.withColumn("lsh_bucket", col("__b0"))
-      else p0.withColumn("lsh_bucket", explode(expr(
-        s"""array_union(array(__b0),
-              transform(sequence(0, ${bits - 1}),
-                b -> __b0 ^ shiftleft(CAST(1 AS BIGINT), b)))""")))
+      else p0.withColumn("lsh_bucket", lshProbeBuckets(bits))
     p.join(broadcast(hist), Seq("__t", "lsh_bucket"), "left")
       .groupBy("probe_id")
       .agg(sum(coalesce(col("__bsz"), lit(0L))).as("scanned_rows"))

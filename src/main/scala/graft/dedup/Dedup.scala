@@ -423,21 +423,7 @@ object Dedup {
     // prefilter decision, and the count materializes the caller's
     // persisted signature frame before the heavy branches read it).
     val nDocs = sigs.count()
-    val banded = if (maxBucketSize > 0 && nDocs > maxBucketSize) {
-      val fat = bandedAll.groupBy("band_id", "band_hash")
-        .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") > maxBucketSize)
-        .select("band_id", "band_hash")
-      bandedAll.join(broadcast(fat), Seq("band_id", "band_hash"), "left_anti")
-    } else bandedAll
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val candidates = a.join(b,
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val candidates = cappedBucketPairs(bandedAll, nDocs, maxBucketSize)
     // Banding's S-curve has a heavy low-similarity tail (one colliding
     // band admits the pair no matter how dissimilar): on a 500k-doc
     // corpus 90% of distinct candidates had true Jaccard < 0.1. Those
@@ -512,6 +498,26 @@ object Dedup {
         graft.functions.PortableBandHashes.col(col("minhash_sig"), bands))
         .as(Seq("band_id", "band_hash")))
     val nDocs = sigs.count()
+    val candidates = cappedBucketPairs(bandedAll, nDocs, maxBucketSize)
+    val out = verifyPairs(candidates, sigs, minJaccard).localCheckpoint()
+    sigs.unpersist()
+    out
+  }
+
+  /** Fat-bucket liveness cap + within-bucket pairing — the ONE
+    * definition shared by [[minHashCandidates]] and
+    * [[minHashCandidatesPortable]] (and mirrored literally by the
+    * `dedup_minhash` oracle SQL: `HAVING COUNT(*) > cap`, `a.id <
+    * b.id`). Buckets holding more than `maxBucketSize` rows are dropped
+    * via a broadcast anti-join against the fat list (bounded by
+    * |banded| / maxBucketSize rows, usually empty — see the plan notes
+    * at the production call site); `maxBucketSize = 0` disables the
+    * valve, and a corpus of <= maxBucketSize docs skips it outright
+    * (no bucket CAN exceed the cap). A cap change edited here cannot
+    * silently diverge the claimed cross-engine identity.
+    */
+  private def cappedBucketPairs(bandedAll: DataFrame, nDocs: Long,
+      maxBucketSize: Int): DataFrame = {
     val banded = if (maxBucketSize > 0 && nDocs > maxBucketSize) {
       val fat = bandedAll.groupBy("band_id", "band_hash")
         .agg(count(lit(1)).as("__bsz"))
@@ -521,15 +527,12 @@ object Dedup {
     } else bandedAll
     val a = banded.alias("a")
     val b = banded.alias("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val out = verifyPairs(candidates, sigs, minJaccard).localCheckpoint()
-    sigs.unpersist()
-    out
   }
 
   /** Exact-Jaccard verify of candidate pairs against a signature table's

@@ -58,33 +58,36 @@ object AudioHeaders {
         u8(b, 3) != 'F') return None
     if (u8(b, 8) != 'W' || u8(b, 9) != 'A' || u8(b, 10) != 'V' ||
         u8(b, 11) != 'E') return None
-    var i = 12
+    // Long walk index: a chunk may legally declare a multi-GiB size
+    // (full 32-bit field) — the hop must not overflow Int, and a huge
+    // declared size simply ends the walk past the buffer rather than
+    // failing a parse whose fmt/data metadata may already be in hand
+    var i = 12L
     var fmt: Option[(Int, Int, Int, Int)] = None // ch, sr, bits, blockAlign
     var dataSize = -1L
     // walk chunk headers; a data chunk's PAYLOAD may legally be the file
     // tail, so its declared size is read from the header even when the
     // blob is truncated mid-payload
     while (i + 8 <= n && (fmt.isEmpty || dataSize < 0)) {
-      val size = le32(b, i + 4)
-      if (u8(b, i) == 'f' && u8(b, i + 1) == 'm' && u8(b, i + 2) == 't' &&
-          u8(b, i + 3) == ' ') {
+      val j = i.toInt // i + 8 <= n keeps this exact
+      val size = le32(b, j + 4)
+      if (u8(b, j) == 'f' && u8(b, j + 1) == 'm' && u8(b, j + 2) == 't' &&
+          u8(b, j + 3) == ' ') {
         // PCM fmt is 16 bytes; WAVEFORMATEX variants append cbSize etc.
-        if (size < 16 || i + 8 + 16 > n) return None
-        val ch = le16(b, i + 10)
-        val sr = le32(b, i + 12)
-        val ba = le16(b, i + 20)
-        val bits = le16(b, i + 22)
+        if (size < 16 || j + 8 + 16 > n) return None
+        val ch = le16(b, j + 10)
+        val sr = le32(b, j + 12)
+        val ba = le16(b, j + 20)
+        val bits = le16(b, j + 22)
         if (ch < 1 || sr < 1 || sr > Int.MaxValue || bits < 1 || ba < 1)
           return None
         fmt = Some((ch, sr.toInt, bits, ba))
-      } else if (u8(b, i) == 'd' && u8(b, i + 1) == 'a' &&
-          u8(b, i + 2) == 't' && u8(b, i + 3) == 'a') {
+      } else if (u8(b, j) == 'd' && u8(b, j + 1) == 'a' &&
+          u8(b, j + 2) == 't' && u8(b, j + 3) == 'a') {
         dataSize = size
       }
-      // guard BEFORE the hop: a huge declared size would overflow toInt
-      if (size > Int.MaxValue - 16) return None
       // chunks are padded to even length
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     fmt match {
       case Some((ch, sr, bits, ba)) if dataSize >= 0 =>

@@ -92,8 +92,9 @@ object ImageHeaders {
       if (j >= n) return None
       val m = u8(b, j)
       if (isSof(m)) {
-        // len(2) precision(1) height(2) width(2)
-        if (j + 8 >= n) return None
+        // len(2) precision(1) height(2) width(2) — last byte read is
+        // j + 7, so exactly n == j + 8 bytes suffice
+        if (j + 8 > n) return None
         val h = be16(b, j + 4)
         val w = be16(b, j + 6)
         return if (w < 1 || h < 1) None else Some((w, h))

@@ -227,7 +227,11 @@ object QualityFilter {
         "paretoLotteryDiagnostics: scorePct must be an INTEGER PERCENT " +
           "in [0, 100]")))
     scored.select(
-      col(idCol).cast("long").as(idCol),
+      // id passes through UNCAST: the lottery itself keys on
+      // md5(id-as-string) so the API is id-type-generic — a long cast
+      // here would null (or, under ANSI, kill) string-id frames that
+      // every sibling lottery entry point accepts
+      col(idCol),
       (k.cast("long") + guard).as("k"),
       (m + guard).as("m"),
       (quotient + guard).as("quotient"),

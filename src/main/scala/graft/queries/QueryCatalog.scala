@@ -2011,7 +2011,8 @@ object QueryCatalog {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           (id, graft.multimodal.ImageFixtures.syntheticImageBlob(
-            id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            id, Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }
         .toDF("doc_id", "content")
       blobs
@@ -2045,7 +2046,8 @@ object QueryCatalog {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           (id, graft.multimodal.AudioFixtures.syntheticAudioBlob(
-            id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            id, Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }
         .toDF("doc_id", "content")
       blobs
@@ -2082,7 +2084,8 @@ object QueryCatalog {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           (id, graft.multimodal.VideoFixtures.syntheticVideoBlob(
-            id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            id, Option(text).getOrElse("")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         }
         .toDF("doc_id", "content")
       blobs

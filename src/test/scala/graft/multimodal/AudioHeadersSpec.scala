@@ -82,6 +82,13 @@ class AudioHeadersSpec extends SparkSuite {
     lying(40) = 0x7f // data size (LE low byte) -> 127: past the buffer
     assert(AudioHeaders.decode(lying) === Some(("wav", 2, 44100, 16, 31L)),
       "declared size is the metadata of record")
+    // a multi-GiB declared data chunk (full 32-bit size field) must not
+    // abort the parse — the walk index is Long and fmt+data are in hand
+    val huge = canonicalWav.clone()
+    huge(40) = 0x00; huge(41) = 0x00; huge(42) = 0x00
+    huge(43) = 0x80.toByte // data size 0x80000000 = 2 GiB
+    assert(AudioHeaders.decode(huge) ===
+      Some(("wav", 2, 44100, 16, 0x80000000L / 4)))
     // image bytes are not audio
     assert(AudioHeaders.decode(
       ImageFixtures.png(2, 2, Array.emptyByteArray)) === None)

@@ -65,6 +65,10 @@ class ImageHeadersSpec extends SparkSuite {
          FF 01
          FF FF C0 00 0B 08 00 05 00 07 01 01 11 00""")
     assert(ImageHeaders.decode(padded) === Some(("jpeg", 7, 5)))
+    // buffer ending EXACTLY after the SOF width bytes still decodes —
+    // the last byte read is marker+7, so marker+8 == length suffices
+    val exact = hex("FF D8 FF C0 00 0B 08 00 05 00 07")
+    assert(ImageHeaders.decode(exact) === Some(("jpeg", 7, 5)))
     // SOS before any SOF → no dims; EOI immediately → no dims
     assert(ImageHeaders.decode(hex("FF D8 FF DA 00 04 00 00 FF D9")) === None)
     assert(ImageHeaders.decode(hex("FF D8 FF D9")) === None)

@@ -203,4 +203,21 @@ class QualityFilterSpec extends SparkSuite {
     assert(nd.count() === 2L)
     assert(nd.filter(col("doc_id") === 2L && col("kept").isNull).count() === 1L)
   }
+
+  test("paretoLotteryDiagnostics is id-type-generic like its siblings") {
+    // string ids must flow through un-cast (an id->long cast would null
+    // them, or throw under ANSI) and make the SAME decision as the
+    // filter path keyed on the same ids
+    val scored = (0 until 200)
+      .map(i => (s"doc-$i", i % 100)).toDF("doc_id", "k")
+    val diag = QualityFilter.paretoLotteryDiagnostics(scored, "k", "doc_id")
+    assert(diag.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val keptSet = diag.filter(col("kept") === 1L)
+      .select("doc_id").as[String].collect().toSet
+    val filterSet = QualityFilter.paretoLotteryKeepExact(
+        scored, "k", "doc_id")
+      .select("doc_id").as[String].collect().toSet
+    assert(keptSet === filterSet && keptSet.nonEmpty)
+  }
 }
