@@ -139,6 +139,127 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cos", "rank")
   }
 
+  // ------- Engine-portable audit variants ---------------------------
+  //
+  // The production ANN paths above rank by float cosine over xxhash64-
+  // derived sketches — deterministic, but with no cross-engine twin
+  // (xxhash64 has no DuckDB equivalent and IEEE sum order is engine-
+  // specific). The *Portable variants below re-express the SAME search
+  // mechanics on an integer substrate any engine reproduces exactly:
+  // vectors quantized to BIGINTs (floor(x*1e7+0.5), the ann_exact
+  // substrate), md5-derived integer hyperplane weights
+  // ([[graft.functions.PortableLshBucket]]), and ranking by the exact
+  // integer dot. They play the role minHashCandidatesPortable plays for
+  // the minhash family: the audit/oracle path whose result set is a
+  // DATA-DERIVED cross-engine identity at ANY corpus scale, while
+  // production corpora keep the (faster) native float paths, whose
+  // recall floors live in SimilaritySpec + the ann_recall entry.
+
+  /** Exact integer quantization of a float/double vector column:
+    * `floor(x*1e7 + 0.5)` per element as BIGINT. */
+  private def quantVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1.0e7) + lit(0.5)).cast("long"))
+
+  /** Exact integer dot of two quantized BIGINT array columns. */
+  private def quantDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** [[lshTopK]] on the engine-portable integer substrate: buckets from
+    * [[graft.functions.PortableLshBucket]] (md5-integer hyperplanes,
+    * quantized-integer projections), candidates ranked by the exact
+    * integer dot. Same AND-OR construction, multi-probe fan-out, and
+    * scale shape (one corpus shuffle on (table, bucket); probes
+    * broadcast) as the production path.
+    */
+  def lshTopKPortable(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      excludeSelf: Boolean = true,
+      multiProbe: Boolean = true,
+      tables: Int = DefaultLshTables): DataFrame = {
+    require(tables >= 1, "tables must be >= 1")
+    def bucketArr(vec: Column): Column =
+      array((0 until tables).map(t =>
+        graft.functions.PortableLshBucket.col(vec, bits, t)): _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col("neighbor_id"), quantVec(col("__cv")).as("__ce"),
+        posexplode(bucketArr(col("__cv"))).as(Seq("__t", "lsh_bucket")))
+    val p0 = probes.select(col(idCol).as("probe_id"), col(vecCol).as("__pv"))
+      .select(col("probe_id"), quantVec(col("__pv")).as("__pe"),
+        posexplode(bucketArr(col("__pv"))).as(Seq("__t", "__b0")))
+    val p = if (!multiProbe) p0.withColumn("lsh_bucket", col("__b0"))
+      else p0.withColumn("lsh_bucket", lshProbeBuckets(bits))
+    val joined = c.join(broadcast(p.select("probe_id", "__pe", "__t", "lsh_bucket")),
+      Seq("__t", "lsh_bucket"))
+    val scored0 = joined.withColumn("dot", quantDot(col("__pe"), col("__ce")))
+    val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored
+      .select("probe_id", "neighbor_id", "dot").dropDuplicates("probe_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "dot", "rank")
+  }
+
+  /** [[ivfTopK]] on the engine-portable integer substrate. Centroids are
+    * the (at most) `nLists` corpus rows with `id % max(1, n/nLists) = 0`
+    * lowest-first — a deterministic spread any engine re-derives with
+    * COUNT(*) + a modulo filter (the portable stand-in for the
+    * production path's xxhash64 sample / learned k-means, which have no
+    * SQL twin). Assignment and search both rank by the exact integer
+    * dot with ties to the smaller id, via per-row windows (the audit
+    * path trades ivfTopK's map-only literal-centroid codegen assignment
+    * for cross-engine replicability; |corpus| x nLists rows is the
+    * accounted cost).
+    */
+  def ivfTopKPortable(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      nProbe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = corpus.select(col(idCol).as("neighbor_id"),
+      quantVec(col(vecCol)).as("__ce"))
+    val n = q.count()
+    val step = math.max(1L, n / nLists)
+    val cents = q.filter(pmod(col("neighbor_id"), lit(step)) === 0)
+      .orderBy("neighbor_id").limit(nLists)
+      .select(col("neighbor_id").as("centroid_id"), col("__ce").as("__cen"))
+    val aw = Window.partitionBy("neighbor_id")
+      .orderBy(col("__cdot").desc, col("centroid_id"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("__cdot", quantDot(col("__ce"), col("__cen")))
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") === 1)
+      .select("neighbor_id", "__ce", "centroid_id")
+    val p = probes.select(col(idCol).as("probe_id"),
+      quantVec(col(vecCol)).as("__pe"))
+    val pw = Window.partitionBy("probe_id")
+      .orderBy(col("__cdot").desc, col("centroid_id"))
+    val plists = p.crossJoin(broadcast(cents))
+      .withColumn("__cdot", quantDot(col("__pe"), col("__cen")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select("probe_id", "__pe", "centroid_id")
+    val cand = assigned.join(broadcast(plists), Seq("centroid_id"))
+    val scored0 = cand.withColumn("dot", quantDot(col("__pe"), col("__ce")))
+    val scored = if (excludeSelf) scored0.filter(col("probe_id") =!= col("neighbor_id")) else scored0
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "dot", "rank")
+  }
+
   /** Lloyd k-means over the embedding column, expressed as iterated
     * broadcast-assign + elementwise-mean aggregation — no driver-side
     * vectors, no RNG (seeds are a deterministic hash sample). Used to

@@ -2793,15 +2793,23 @@ object QueryCatalog {
              AS BIGINT) AS fp
       FROM h GROUP BY doc_id ORDER BY doc_id""")),
 
-    // The float-cosine ANN family: every input is deterministic
-    // (hash-derived hyperplanes/centroid seeds, id tie-breaks, and the
-    // per-row cosine folds element-wise in a fixed order), so the
-    // NEIGHBOR RANKING is a stable function of the fixture — the oracle
-    // pins it as literal rows (the ann_recall trick; measured at the
-    // driver's sf0.01). The float cosine itself stays out of the compare
-    // (its last ulps are engine-specific; ann_exact carries the
-    // cross-engine exactness anchor on the integer-quantized dot). A
-    // ranking change here = a real behavior change in the ANN path.
+    // The ANN family, r10 (the dedup_minhash lesson applied): every
+    // compared relation is now a DATA-DERIVED cross-engine identity at
+    // any corpus scale, not a literal pin measured at sf0.01.
+    //  - ann_bruteforce keeps the PRODUCTION float-cosine query
+    //    (broadcast probes, native CosineSim codegen) but the oracle
+    //    re-derives the ranking on the integer-quantized dot
+    //    (floor(x*1e7+0.5), the ann_exact substrate): over unit-
+    //    normalized embeddings the two rankings coincide unless two
+    //    candidates sit within the 1e-7 quantum of each other —
+    //    verified to hold at sf0.001 AND sf0.01, and a flip would be a
+    //    real tie, not an engine artifact.
+    //  - ann_lsh / ann_ivf compare the *Portable variants (md5-integer
+    //    hyperplanes / modulo-spread centroids + exact integer dots),
+    //    whose ENTIRE pipeline — buckets, multi-probe fan-out, list
+    //    routing, ranking — the oracle replays in SQL. The production
+    //    xxhash64/float paths keep their coverage in ann_recall's
+    //    ladder, SimilaritySpec's floors, and BenchScale.
     QueryDef("ann_bruteforce", (s, d) => {
       val em = t(s, d, "embeddings")
       Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
@@ -2809,46 +2817,91 @@ object QueryCatalog {
         .select(col("probe_id"), col("neighbor_id"), col("rank"))
         .orderBy("probe_id", "rank")
     }, Some("""
-      SELECT CAST(c0 AS BIGINT) AS probe_id, CAST(c1 AS BIGINT) AS neighbor_id,
-             CAST(c2 AS BIGINT) AS rank
-      FROM (VALUES (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5),
-        (1,386,1), (1,27,2), (1,407,3), (1,195,4), (1,64,5),
-        (2,117,1), (2,450,2), (2,145,3), (2,188,4), (2,320,5),
-        (3,130,1), (3,149,2), (3,343,3), (3,174,4), (3,231,5),
-        (4,114,1), (4,496,2), (4,408,3), (4,482,4), (4,280,5)) t(c0, c1, c2)
-      ORDER BY probe_id, rank"""), bench = true),
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      p AS (SELECT vec_id AS probe_id, e AS pe FROM q WHERE vec_id < 5),
+      scored AS (
+        SELECT p.probe_id, q.vec_id AS neighbor_id,
+          CAST(list_sum(list_transform(generate_series(1, len(q.e)),
+            i -> q.e[i] * p.pe[i])) AS BIGINT) AS dot
+        FROM p CROSS JOIN q WHERE p.probe_id != q.vec_id)
+      SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY dot DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 5 ORDER BY probe_id, rank"""), bench = true),
 
     QueryDef("ann_lsh", (s, d) => {
       val em = t(s, d, "embeddings")
-      Similarity.lshTopK(em, em.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 5, bits = 4, dim = 64)
+      Similarity.lshTopKPortable(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, bits = 4)
         .select(col("probe_id"), col("neighbor_id"), col("rank"))
         .orderBy("probe_id", "rank")
     }, Some("""
-      SELECT CAST(c0 AS BIGINT) AS probe_id, CAST(c1 AS BIGINT) AS neighbor_id,
-             CAST(c2 AS BIGINT) AS rank
-      FROM (VALUES (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5),
-        (1,386,1), (1,27,2), (1,407,3), (1,195,4), (1,64,5),
-        (2,117,1), (2,450,2), (2,188,3), (2,320,4), (2,418,5),
-        (3,130,1), (3,149,2), (3,343,3), (3,174,4), (3,207,5),
-        (4,114,1), (4,496,2), (4,408,3), (4,482,4), (4,280,5)) t(c0, c1, c2)
-      ORDER BY probe_id, rank""")),
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      w AS (SELECT tt.t, pp.p, list_transform(generate_series(0, 63), d ->
+          CAST(concat('0x', substring(md5('lshw_' || tt.t || '_' || pp.p || '_' || d),
+            1, 15)) AS BIGINT) % 2000 - 1000) AS wv
+        FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
+             (SELECT unnest(generate_series(0, 3)) AS p) pp),
+      bits AS (SELECT q.vec_id, w.t, w.p,
+          CASE WHEN list_sum(list_transform(generate_series(1, 64),
+            i -> q.e[i] * w.wv[i])) >= 0 THEN 1 ELSE 0 END AS b
+        FROM q CROSS JOIN w),
+      buck AS (SELECT vec_id, t, CAST(sum(b * (1 << p)) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1, 2),
+      pb AS (SELECT vec_id AS probe_id, t, bucket FROM buck WHERE vec_id < 5),
+      pbm AS (SELECT probe_id, t,
+          unnest(list_append(list_transform(generate_series(0, 3),
+            bb -> xor(bucket, CAST(1 << bb AS BIGINT))), bucket)) AS bucket
+        FROM pb),
+      cand AS (SELECT DISTINCT p.probe_id, c.vec_id AS neighbor_id
+        FROM pbm p JOIN buck c ON c.t = p.t AND c.bucket = p.bucket
+        WHERE c.vec_id != p.probe_id),
+      scored AS (SELECT cand.probe_id, cand.neighbor_id,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> a.e[i] * b.e[i])) AS BIGINT) AS dot
+        FROM cand JOIN q a ON a.vec_id = cand.probe_id
+                  JOIN q b ON b.vec_id = cand.neighbor_id)
+      SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY dot DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 5 ORDER BY probe_id, rank""")),
 
     QueryDef("ann_ivf", (s, d) => {
       val em = t(s, d, "embeddings")
-      Similarity.ivfTopK(em, em.filter(col("vec_id") < 5),
+      Similarity.ivfTopKPortable(em, em.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3)
         .select(col("probe_id"), col("neighbor_id"), col("rank"))
         .orderBy("probe_id", "rank")
     }, Some("""
-      SELECT CAST(c0 AS BIGINT) AS probe_id, CAST(c1 AS BIGINT) AS neighbor_id,
-             CAST(c2 AS BIGINT) AS rank
-      FROM (VALUES (0,365,1), (0,334,2), (0,387,3), (0,423,4), (0,73,5),
-        (1,27,1), (1,195,2), (1,64,3), (1,124,4), (1,402,5),
-        (2,117,1), (2,450,2), (2,145,3), (2,320,4), (2,418,5),
-        (3,130,1), (3,174,2), (3,231,3), (3,207,4), (3,192,5),
-        (4,114,1), (4,408,2), (4,482,3), (4,280,4), (4,249,5)) t(c0, c1, c2)
-      ORDER BY probe_id, rank""")),
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      cents AS (SELECT vec_id AS centroid_id, e AS ce FROM q
+        WHERE vec_id % GREATEST(1, (SELECT COUNT(*) FROM q) // 8) = 0
+        ORDER BY vec_id LIMIT 8),
+      asg AS (SELECT vec_id, e, centroid_id, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cdot DESC, centroid_id) AS rn
+        FROM (SELECT q.vec_id, q.e, c.centroid_id,
+            CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> q.e[i] * c.ce[i])) AS BIGINT) AS cdot
+          FROM q CROSS JOIN cents c)),
+      lists AS (SELECT vec_id AS neighbor_id, e, centroid_id
+        FROM asg WHERE rn = 1),
+      plists AS (SELECT vec_id AS probe_id, e AS pe, centroid_id
+        FROM asg WHERE vec_id < 5 AND rn <= 3),
+      scored AS (SELECT p.probe_id, l.neighbor_id,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> p.pe[i] * l.e[i])) AS BIGINT) AS dot
+        FROM plists p JOIN lists l ON l.centroid_id = p.centroid_id
+        WHERE l.neighbor_id != p.probe_id)
+      SELECT probe_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY dot DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 5 ORDER BY probe_id, rank""")),
 
     // The LSH-bucketed near-dup candidates over the planted-duplicate
     // fixture recover EXACTLY the planted pairs at this SF (measured; 0
@@ -3132,19 +3185,21 @@ object QueryCatalog {
       SELECT doc_id, band_id, band_hash FROM band
       ORDER BY doc_id, band_id""")),
 
-    // ANN quality as a driver-visible row: recall of the LSH and IVF
-    // variants (same hyperparameters as ann_lsh / ann_ivf) against the
-    // float-cosine exact top-k, over 20 probes x k=5 = 100 ground-truth
-    // pairs. Everything is deterministic (hash-derived hyperplanes,
-    // deterministic k-means seeds, id tie-breaks), so the oracle pins the
-    // measured values as literals; the ScalaTest recall floors
-    // (SimilaritySpec) remain the semantic bound. A drop below the pinned
-    // value = a real behavior change in the sketch/centroid path.
-    // REGEN DEPENDENCY: pinned on the embeddings table as generated —
-    // survives a driver testdata regen only while the generator stays
-    // seed-stable; on a content change, re-measure and re-pin (recall
-    // ladders have no data-derived oracle — the pin is unavoidable).
+    // ANN quality as a driver-visible row: recall of the PRODUCTION LSH
+    // and IVF variants (same hyperparameters as the old pinned entries)
+    // against the float-cosine exact top-k, over 20 probes x k=5 = 100
+    // ground-truth pairs. r10 (the dedup_minhash_recall pattern): the
+    // compared relation is now SCALE-ROBUST — per-variant floor-bound
+    // booleans plus the two ladder-ordering claims, not the exact
+    // measured recalls (those are a function of corpus scale: measured
+    // sf0.01 / sf0.001 = ivf 73/78, ivf_learned 66/67, eqcost 89/84,
+    // lsh 94/92, multiprobe_1table 43/50, single 12/15 — every floor
+    // sits a wide margin under BOTH, because a real sketch/centroid
+    // defect collapses recall rather than shaving it; the floors and
+    // ladder stay driver-visible, the exact dial lives in
+    // BENCH_SCALE.json's ann_curve).
     QueryDef("ann_recall", (s, d) => {
+      import s.implicits._
       val em = t(s, d, "embeddings")
       val probes = em.filter(col("vec_id") < 20)
       val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
@@ -3157,18 +3212,17 @@ object QueryCatalog {
           .select(lit(name).as("variant"), col("recall_pct"))
       val learned = Similarity.kmeansCentroids(
         em, "vec_id", "embedding", k = 8, iters = 2)
-      recallRow("ivf", Similarity.ivfTopK(em, probes, "vec_id", "embedding",
-          k = 5, nLists = 8, nProbe = 3))
+      val measured = recallRow("ivf", Similarity.ivfTopK(em, probes,
+          "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3))
         // k-means-learned centroids at the SAME nProbe: recall drops
-        // (66 < 73) because balanced lists scan far less corpus per
-        // probe (37.3% vs the unbalanced sample's 59.8% — see
-        // Similarity.ivfScanCost); the row below is the fair comparison
+        // because balanced lists scan far less corpus per probe (37.3%
+        // vs the unbalanced sample's 59.8% at sf0.01 — see
+        // Similarity.ivfScanCost); the eqcost row is the fair comparison
         .unionByName(recallRow("ivf_learned", Similarity.ivfTopK(em, probes,
           "vec_id", "embedding", k = 5, nLists = 8, nProbe = 3,
           learnedCentroids = Some(learned))))
-        // ...at EQUAL probe cost (learned nProbe=5 scans 62.1% ≈ the
-        // sample's 59.8%) learned centroids WIN, 89 > 73 — the pinned
-        // equal-cost verdict, not the nProbe-vs-nProbe artifact
+        // ...at EQUAL probe cost (learned nProbe=5) learned centroids
+        // WIN — asserted as the z_eqcost_beats_equal_nprobe row below
         .unionByName(recallRow("ivf_learned_eqcost", Similarity.ivfTopK(em,
           probes, "vec_id", "embedding", k = 5, nLists = 8, nProbe = 5,
           learnedCentroids = Some(learned))))
@@ -3176,28 +3230,53 @@ object QueryCatalog {
         // multi-probe) — the row a user's default call delivers
         .unionByName(recallRow("lsh", Similarity.lshTopK(em, probes,
           "vec_id", "embedding", k = 5, bits = 4, dim = 64)))
-        // explicit opt-down ladder, kept pinned so the cost/recall
-        // trade of each lever stays driver-visible
+        // explicit opt-down ladder: each lever's cost/recall trade
         .unionByName(recallRow("lsh_multiprobe_1table", Similarity.lshTopK(em, probes,
           "vec_id", "embedding", k = 5, bits = 4, dim = 64,
           multiProbe = true, tables = 1)))
         .unionByName(recallRow("lsh_single", Similarity.lshTopK(em, probes,
           "vec_id", "embedding", k = 5, bits = 4, dim = 64,
           multiProbe = false, tables = 1)))
-        .orderBy("variant")
+        .localCheckpoint()  // 6 tiny rows feeding 3 consumers below
+      val floors = Seq(
+        ("ivf", 60L), ("ivf_learned", 50L), ("ivf_learned_eqcost", 75L),
+        ("lsh", 85L), ("lsh_multiprobe_1table", 25L), ("lsh_single", 5L))
+        .toDF("variant", "recall_floor_pct")
+      val bounds = measured.join(floors, Seq("variant"))
+        .select(col("variant"), col("recall_floor_pct"),
+          (col("recall_pct") >= col("recall_floor_pct")).as("recall_ok"))
+      def pick(v: String) =
+        max(when(col("variant") === v, col("recall_pct")))
+      val wide = measured.agg(
+        pick("lsh").as("__lsh"), pick("lsh_multiprobe_1table").as("__mp1"),
+        pick("lsh_single").as("__single"),
+        pick("ivf_learned_eqcost").as("__eqcost"),
+        pick("ivf_learned").as("__learned"))
+      val ladder = wide.select(
+        lit("z_ladder_multiprobe").as("variant"),
+        lit(0L).as("recall_floor_pct"),
+        (col("__lsh") >= col("__mp1") && col("__mp1") >= col("__single"))
+          .as("recall_ok"))
+      val eqcost = wide.select(
+        lit("z_eqcost_beats_equal_nprobe").as("variant"),
+        lit(0L).as("recall_floor_pct"),
+        (col("__eqcost") >= col("__learned")).as("recall_ok"))
+      bounds.unionByName(ladder).unionByName(eqcost).orderBy("variant")
     }, Some("""
-      SELECT 'ivf' AS variant, CAST(73 AS BIGINT) AS recall_pct
-      -- at EQUAL nProbe learned centroids measure below the hash sample
-      -- (66 < 73) — but that compares unequal work: k-means balances the
-      -- lists, so nProbe=3/8 scans 37.3% of the corpus vs the unbalanced
-      -- sample's 59.8% (Similarity.ivfScanCost). The eqcost row holds
-      -- scanned rows equal (learned nProbe=5, 62.1%): learned WINS
-      -- 89 > 73. Both pinned so the cost-vs-quality dial stays visible.
-      UNION ALL SELECT 'ivf_learned', 66
-      UNION ALL SELECT 'ivf_learned_eqcost', 89
-      UNION ALL SELECT 'lsh', 94
-      UNION ALL SELECT 'lsh_multiprobe_1table', 43
-      UNION ALL SELECT 'lsh_single', 12
+      SELECT 'ivf' AS variant, CAST(60 AS BIGINT) AS recall_floor_pct,
+             TRUE AS recall_ok
+      -- at EQUAL nProbe learned centroids measure below the hash sample —
+      -- but that compares unequal work: k-means balances the lists, so
+      -- nProbe=3/8 scans far less corpus than the unbalanced sample
+      -- (Similarity.ivfScanCost). The z_eqcost row pins the fair claim:
+      -- at equal scanned rows, learned centroids win.
+      UNION ALL SELECT 'ivf_learned', 50, TRUE
+      UNION ALL SELECT 'ivf_learned_eqcost', 75, TRUE
+      UNION ALL SELECT 'lsh', 85, TRUE
+      UNION ALL SELECT 'lsh_multiprobe_1table', 25, TRUE
+      UNION ALL SELECT 'lsh_single', 5, TRUE
+      UNION ALL SELECT 'z_eqcost_beats_equal_nprobe', 0, TRUE
+      UNION ALL SELECT 'z_ladder_multiprobe', 0, TRUE
       ORDER BY variant""")),
 
     // Embedding EXACT dedup at scale: hash-groupBy on the quantized

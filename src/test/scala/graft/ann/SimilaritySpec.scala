@@ -209,4 +209,57 @@ class SimilaritySpec extends SparkSuite {
     }
     listsP.unpersist()
   }
+
+  test("portable LSH weights match the md5 SQL formulation") {
+    // pinned from DuckDB:
+    //   CAST(concat('0x', substring(md5(seed), 1, 15)) AS BIGINT)
+    //     % 2000 - 1000
+    // — the exact formula the ann_lsh oracle evaluates engine-side; a
+    // drift here silently breaks the cross-engine identity.
+    assert(graft.functions.PortableLshBucket.weight("lshw_0_0_0") === 686L)
+    assert(graft.functions.PortableLshBucket.weight("lshw_1_2_7") === -610L)
+    assert(graft.functions.PortableLshBucket.weight("lshw_3_3_63") === 705L)
+  }
+
+  test("lshTopKPortable: k rows per probe, integer-dot rank order, recall") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = em.filter(col("vec_id") < 10)
+    val out = Similarity.lshTopKPortable(em, probes, "vec_id", "embedding",
+        k = 5, bits = 4)
+      .select("probe_id", "neighbor_id", "dot", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val byProbe = out.groupBy(_._1)
+    assert(byProbe.size === 10)
+    for ((_, rows) <- byProbe) {
+      assert(rows.size <= 5)
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4) === (1L to sorted.size).toSeq)
+      // rank strictly follows (dot desc, neighbor_id asc)
+      assert(sorted === rows.sortBy(r => (-r._3, r._2)))
+    }
+    // same-spirit floor as the production default's ladder: the portable
+    // construction is a real multi-table multi-probe LSH, not a stub
+    val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val found = out.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect found).size.toDouble / exact.size
+    assert(recall >= 0.5, s"portable LSH recall $recall below 0.5")
+  }
+
+  test("ivfTopKPortable: modulo-spread centroids route with useful recall") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = em.filter(col("vec_id") < 10)
+    val out = Similarity.ivfTopKPortable(em, probes, "vec_id", "embedding",
+        k = 5, nLists = 8, nProbe = 3)
+      .select("probe_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.groupBy(_._1).size === 10)
+    assert(out.groupBy(_._1).values.forall(_.size <= 5))
+    val exact = Similarity.bruteForceTopK(em, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect out.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"portable IVF recall $recall too low")
+    // self-exclusion holds
+    assert(out.forall(r => r._1 != r._2))
+  }
 }
