@@ -514,6 +514,75 @@ object QueryCatalog {
         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // The diagnostic that feeds the salted mitigations: per-key
+    // frequency audit of a prospective shuffle key with two integer
+    // dials — skew_ratio_pct (this key's load vs the mean key, x100)
+    // and suggested_salt (the factor saltedJoin/saltedSumCount need so
+    // no reducer sees more than targetRowsPerTask rows of the key).
+    // Pure integer `div` arithmetic; the top-k pick ties (cnt desc,
+    // numeric key) and the presented relation re-sorts on the string
+    // key, both replayed identically by the oracle.
+    QueryDef("skew_audit", (s, d) =>
+      graft.ops.Skew.skewAudit(t(s, d, "orders"), "o_custkey",
+          topK = 10, targetRowsPerTask = 4)
+        .orderBy(col("cnt").desc, col("key")),
+      Some("""
+      WITH c AS (SELECT o_custkey AS k, COUNT(*) AS cnt
+                 FROM orders GROUP BY 1),
+      s AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM c),
+      t AS (SELECT * FROM c ORDER BY cnt DESC, k LIMIT 10)
+      SELECT CAST(t.k AS VARCHAR) AS key, t.cnt, s.n_rows, s.n_keys,
+        (t.cnt * s.n_keys * 100) // s.n_rows AS skew_ratio_pct,
+        (t.cnt + 3) // 4 AS suggested_salt
+      FROM t CROSS JOIN s ORDER BY cnt DESC, key""")),
+
+    // One-pass per-column table profile (ops/Profiling): every stat is
+    // an aggregate expression in a SINGLE agg over a SINGLE scan, then
+    // exploded to tidy rows — no per-column scans, no driver collect.
+    // The entry runs the exact-distinct flavor AND pins the HLL sketch
+    // against it as a 15%-relative-error bound boolean (rsd = 5%), so
+    // the approx path — the 100 TB default — is itself oracle-checked.
+    // Timestamp/double columns are profiled fine by the operator but
+    // kept out of this entry (cast-to-string rendering is
+    // engine-specific for those types; min/max exactness for them is
+    // ProfilingSpec's job).
+    QueryDef("profile_table", (s, d) =>
+      graft.ops.Profiling.profileTable(t(s, d, "lineitem"),
+          Seq("l_orderkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"),
+          exactDistinct = true)
+        .withColumn("approx_ok",
+          abs(col("n_distinct_approx") - col("n_distinct")) * lit(100L)
+            <= col("n_distinct") * lit(15L))
+        .drop("n_distinct_approx")
+        .orderBy("col_name"),
+      Some("""
+      WITH p AS (
+        SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+          COUNT(*) - COUNT(l_orderkey) AS n_null,
+          COUNT(DISTINCT l_orderkey) AS n_distinct,
+          CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+          CAST(MAX(l_orderkey) AS VARCHAR) AS max_value FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', COUNT(*), COUNT(*) - COUNT(l_suppkey),
+          COUNT(DISTINCT l_suppkey), CAST(MIN(l_suppkey) AS VARCHAR),
+          CAST(MAX(l_suppkey) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+          COUNT(DISTINCT l_linenumber), CAST(MIN(l_linenumber) AS VARCHAR),
+          CAST(MAX(l_linenumber) AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+          COUNT(DISTINCT l_returnflag), MIN(l_returnflag),
+          MAX(l_returnflag) FROM lineitem
+        UNION ALL
+        SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+          COUNT(DISTINCT l_linestatus), MIN(l_linestatus),
+          MAX(l_linestatus) FROM lineitem)
+      SELECT col_name, n_rows, n_null, n_distinct, min_value, max_value,
+        TRUE AS approx_ok
+      FROM p ORDER BY col_name""")),
+
     QueryDef("q_cube", (s, d) =>
       t(s, d, "orders")
         .cube("o_orderstatus", "o_orderpriority")
