@@ -310,6 +310,27 @@ object BenchScale {
             col("v.timescale") > 0, 1)))
           .head().getLong(0)
       },
+      timed("profile_skew_scan") {
+        // the pre-shuffle diagnostics at corpus scale: profileTable is
+        // ONE aggregation over ONE scan of the corpus in the HLL flavor
+        // (the 100 TB default — no exact-distinct Expand), and
+        // skewAudit probes a planted 30%-hot domain key, its map-side-
+        // combined count collapsing the corpus to |keys| rows before
+        // any exchange. The sums touch every derived stat so Catalyst
+        // cannot prune the work out of the timed plan.
+        val d = docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          when(pmod(col("doc_id"), lit(10L)) < 3, lit(0L))
+            .otherwise(pmod(col("doc_id"), lit(5000L))).as("domain"))
+        val prof = graft.ops.Profiling
+          .profileTable(d, Seq("doc_id", "n_chars", "domain"))
+          .agg(sum(col("n_null") + col("n_distinct_approx")))
+          .head().getLong(0)
+        val audit = graft.ops.Skew
+          .skewAudit(d, "domain", topK = 10, targetRowsPerTask = 10000L)
+          .agg(sum(col("cnt") + col("suggested_salt"))).head().getLong(0)
+        prof + audit
+      },
       timed("dedup_exact") {
         Dedup.exactGroups(docs, "text", "doc_id").filter(col("n_copies") > 1).count()
       },
