@@ -157,6 +157,21 @@ object BenchScale {
     val bytes = docs.select(sum(length(col("text")))).head().getLong(0)
     System.err.println(s"[scale] corpus: $nDocs docs, $bytes text bytes, $nVecs vectors")
 
+    // ~12-word line paragraphs plus crawl boilerplate: a header line on
+    // EVERY doc and a footer on every 3rd — the realistic multi-line
+    // crawl shape shared by the paragraph-dedup and line-cleaning stages.
+    def paragraphShaped(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w != '')").as("ws"))
+      .select(col("doc_id"), concat_ws("\n",
+        lit("shared boilerplate navigation header common to every page"),
+        expr("""array_join(transform(sequence(0, (size(ws)-1) div 12),
+                  i -> array_join(slice(ws, CAST(i*12+1 AS INT), 12), ' ')),
+                '\n')"""),
+        when(col("doc_id") % 3 === 0,
+          lit("copyright footer boilerplate repeated across the crawl")))
+        .as("text"))
+
     def timed(name: String)(f: => Long): Option[(String, Double, Long)] = {
       if (skip(name)) { System.err.println(s"[scale] $name: SKIPPED"); None }
       else {
@@ -640,25 +655,28 @@ object BenchScale {
       },
       timed("dedup_paragraphs") {
         // the REALISTIC C4 shape: paragraph-granularity dedup over a
-        // multi-line corpus. Each doc is reshaped into ~12-word line
-        // paragraphs plus crawl boilerplate — a header line on EVERY doc
-        // and a footer on every 3rd — so the hottest key repeats nDocs
-        // times: exactly the 10^9-repeat regime the min-struct partial
-        // agg must absorb map-side (a per-segment window would pile it
-        // into one reducer).
-        val multi = docs
-          .select(col("doc_id"),
-            expr("filter(split(text, ' '), w -> w != '')").as("ws"))
-          .select(col("doc_id"), concat_ws("\n",
-            lit("shared boilerplate navigation header common to every page"),
-            expr("""array_join(transform(sequence(0, (size(ws)-1) div 12),
-                      i -> array_join(slice(ws, CAST(i*12+1 AS INT), 12), ' ')),
-                    '\n')"""),
-            when(col("doc_id") % 3 === 0,
-              lit("copyright footer boilerplate repeated across the crawl")))
-            .as("text"))
-        Dedup.dedupSegments(multi, "text", "doc_id", sep = "\n")
+        // multi-line corpus (see paragraphShaped) — the boilerplate
+        // header repeats nDocs times: exactly the 10^9-repeat regime the
+        // min-struct partial agg must absorb map-side (a per-segment
+        // window would pile it into one reducer).
+        Dedup.dedupSegments(paragraphShaped(docs), "text", "doc_id", sep = "\n")
           .agg(sum(col("n_dropped"))).head().getLong(0)
+      },
+      timed("c4_gopher_scan") {
+        // the line/doc-level cleaning rules at corpus scale: C4 line
+        // filtering (3 regexp full-line-deletion passes) + the Gopher
+        // A1.1 flag report over the same multi-line reshape — both are
+        // map-only codegen scans, so the stage pins their linearity and
+        // catches any regex pass that stops being scan-local. Sums touch
+        // every flag plus the cleaned-text length so nothing prunes out.
+        val multi = paragraphShaped(docs)
+        val c4 = TextAnalysis.c4Clean(multi, "text", "doc_id")
+          .agg(sum(col("n_lines_kept") + length(col("clean_text"))))
+          .head().getLong(0)
+        val gopher = TextAnalysis.gopherQualityFlags(multi, "text", "doc_id")
+          .agg(sum(col("gopher_pass") + col("ok_alpha_words") +
+            col("ok_bullet_lines") + col("n_lines"))).head().getLong(0)
+        c4 + gopher
       },
       timed("dedup_substrings") {
         // Lee et al. exact substring dedup at corpus scale: ~44M 16-token

@@ -147,6 +147,28 @@ object TrainingDataPipeline {
       curate(docs, textCol, idCol, cfg).filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi")
 
+  /** C4 pre-cleaning as a pipeline stage (the production ordering: line
+    * cleaning BEFORE curation, so quality scores, shingles, and dedup
+    * keys are computed over the text a model would actually train on).
+    * Documents dropped whole by the C4 doc rules (braces / lorem ipsum)
+    * are removed; survivors get `textCol` REWRITTEN to the line-filtered
+    * text (empty-after-cleaning docs stay, for curate's own length gate
+    * to account under its drop reason) plus (n_lines_kept, n_lines_total)
+    * audit columns. Map-only expression scan — adds no shuffle in front
+    * of curate's annotation pass.
+    */
+  def preCleanC4(docs: DataFrame, textCol: String,
+                 minWordsPerLine: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val clean = graft.text.TextAnalysis.c4CleanCol(t, minWordsPerLine)
+    docs.filter(!graft.text.TextAnalysis.c4DocDropCol(t))
+      .withColumn("n_lines_total", regexp_count(t, lit("[^\n]+")).cast("long"))
+      // duplicate `clean` subtree: codegen subexpression elimination
+      // evaluates the regexp chain once per row
+      .withColumn("n_lines_kept", regexp_count(clean, lit("[^\n]+")).cast("long"))
+      .withColumn(textCol, clean)
+  }
+
   /** [[cleanCorpus]] followed by Lee-et-al exact substring dedup over the
     * SURVIVORS (the standard pipeline order: document-level filters and
     * near-dedup shrink the corpus first, then the passage-level pass

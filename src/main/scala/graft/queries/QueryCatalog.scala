@@ -1843,6 +1843,118 @@ object QueryCatalog {
         CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones
       FROM planted ORDER BY doc_id""")),
 
+    // C4-style cleaning (Raffel et al. 2020 §2.2) over a deterministically
+    // planted multi-line corpus (the synthetic docs are single-line): the
+    // same RE2-subset line-deletion regexes run verbatim in both engines;
+    // md5 of the cleaned text makes the whole line filter hash-exact.
+    QueryDef("c4_clean", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(
+            lit("The opening line carries five words.\n"),
+            substring(col("text"), 1, 60), lit("\n"),
+            lit("short line\n"),
+            lit("Enable JavaScript to continue reading this page.\n"),
+            lit("Line group "), pmod(col("doc_id"), lit(7)),
+            lit(" keeps exactly six words.\n"),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              lit("if (x) { return; }\n")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              lit("Lorem ipsum dolor sit amet.\n")).otherwise(lit("")),
+            lit("A closing line also has words?")).as("text"))
+        .transform(df => TextAnalysis.c4Clean(df, "text", "doc_id"))
+        .select(col("doc_id"), col("kept"),
+          md5(col("clean_text")).as("clean_md5"),
+          col("n_lines_kept"), col("n_lines_total"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          'The opening line carries five words.' || chr(10)
+          || substr(text, 1, 60) || chr(10)
+          || 'short line' || chr(10)
+          || 'Enable JavaScript to continue reading this page.' || chr(10)
+          || 'Line group ' || (doc_id % 7) || ' keeps exactly six words.' || chr(10)
+          || CASE WHEN doc_id % 11 = 0 THEN 'if (x) { return; }' || chr(10) ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.' || chr(10) ELSE '' END
+          || 'A closing line also has words?' AS text
+        FROM documents),
+      cleaned AS (
+        SELECT doc_id, text,
+          (position('{' IN text) > 0 OR position('}' IN text) > 0
+           OR position('lorem ipsum' IN lower(text)) > 0) AS dropped,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '(?m)^[^\n]*(?i:javascript)[^\n]*\n?', '', 'g'),
+            '(?m)^[^\n]*[^.!?"\n]$\n?', '', 'g'),
+            '(?m)^ *(?:[^ \n]+(?: +[^ \n]+){0,3})? *$\n?', '', 'g') AS lf
+        FROM planted)
+      SELECT doc_id,
+        CAST(CASE WHEN dropped THEN 0 ELSE 1 END AS BIGINT) AS kept,
+        md5(CASE WHEN dropped THEN '' ELSE lf END) AS clean_md5,
+        CAST(len(regexp_extract_all(CASE WHEN dropped THEN '' ELSE lf END,
+          '[^\n]+')) AS BIGINT) AS n_lines_kept,
+        CAST(len(regexp_extract_all(text, '[^\n]+')) AS BIGINT) AS n_lines_total
+      FROM cleaned ORDER BY doc_id""")),
+
+    // Gopher A1.1 document-level quality rules as per-rule audit flags:
+    // every ratio gate is an integer cross-multiplication, so the whole
+    // report is BIGINT and hash-exact; planted bullet/ellipsis/symbol
+    // tails exercise each rule both ways across the corpus.
+    QueryDef("gopher_quality", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              lit("\n- a bullet line\n- another bullet line"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              lit("\nThis planted line trails off with an ellipsis..."))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(6)) === 0,
+              lit(" ## # ### 42 7 99")).otherwise(lit(""))).as("text"))
+        .transform(df => TextAnalysis.gopherQualityFlags(df, "text", "doc_id"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          text
+          || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- a bullet line'
+               || chr(10) || '- another bullet line' ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN chr(10)
+               || 'This planted line trails off with an ellipsis...' ELSE '' END
+          || CASE WHEN doc_id % 6 = 0 THEN ' ## # ### 42 7 99' ELSE '' END AS text
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[^ \n]+')) AS BIGINT) AS n_words,
+          CAST(len(regexp_extract_all(text, '[^\n]+')) AS BIGINT) AS n_lines,
+          CAST(length(regexp_replace(text, '[ \n]', '', 'g')) AS BIGINT) AS word_chars,
+          CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+          CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_ellipsis,
+          CAST(len(regexp_extract_all(text, '(?m)^ *[-*]')) AS BIGINT) AS n_bullet,
+          CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS BIGINT) AS n_ell_lines,
+          CAST(len(regexp_extract_all(text, '[^ \n]*[A-Za-z][^ \n]*')) AS BIGINT) AS n_alpha,
+          (CASE WHEN position(' the ' IN text) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN position(' and ' IN text) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN position(' of ' IN text) > 0 THEN 1 ELSE 0 END) AS stop_hits
+        FROM planted)
+      SELECT doc_id, n_words, n_lines,
+        CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS BIGINT) AS ok_word_count,
+        CAST(CASE WHEN word_chars >= 3*n_words AND word_chars <= 10*n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_mean_word_len,
+        CAST(CASE WHEN 10*(n_hash + n_ellipsis) <= n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_symbol_ratio,
+        CAST(CASE WHEN 10*n_bullet <= 9*n_lines THEN 1 ELSE 0 END AS BIGINT) AS ok_bullet_lines,
+        CAST(CASE WHEN 10*n_ell_lines <= 3*n_lines THEN 1 ELSE 0 END AS BIGINT) AS ok_ellipsis_lines,
+        CAST(CASE WHEN 5*n_alpha >= 4*n_words THEN 1 ELSE 0 END AS BIGINT) AS ok_alpha_words,
+        CAST(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS ok_stopwords,
+        CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+          AND word_chars >= 3*n_words AND word_chars <= 10*n_words
+          AND 10*(n_hash + n_ellipsis) <= n_words
+          AND 10*n_bullet <= 9*n_lines
+          AND 10*n_ell_lines <= 3*n_lines
+          AND 5*n_alpha >= 4*n_words
+          AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+      FROM m ORDER BY doc_id""")),
+
     // The Brown-et-al Pareto quality lottery, cross-engine exact on a
     // PURE INTEGER substrate: the keep rule `q > 1 - pareto(u)` with
     // q = k/100 (k = doc_id%100) and u = m/16^15 (m = md5 15-hex-digit

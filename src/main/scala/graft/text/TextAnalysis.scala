@@ -129,7 +129,11 @@ object TextAnalysis {
     * density, word shape) — the usual first-pass filter before expensive
     * model-based scoring.
     */
-  /** The composite score alone, as a column (for single-scan pipelines). */
+  /** The composite score alone, as a column (for single-scan pipelines).
+    * Empty text scores 0.0 up front — under ANSI mode the ratio divisions
+    * would otherwise raise DIVIDE_BY_ZERO and kill the whole annotation
+    * scan (empty docs are routine after line-level cleaning).
+    */
   def qualityScoreCol(t: Column): Column = {
     val nc = length(t).cast("double")
     val words = nWords(t).cast("double")
@@ -138,9 +142,10 @@ object TextAnalysis {
     val avgWordLen = (nc - nSpaces(t).cast("double")) / words
     val lengthScore = when(nc >= 200 && nc <= 100000, lit(1.0))
       .otherwise(nc / lit(200.0))
-    lengthScore * lit(0.5) +
-      when(avgWordLen >= 3 && avgWordLen <= 10, lit(0.3)).otherwise(lit(0.0)) +
-      when(punctRatio <= 0.1, lit(0.2)).otherwise(lit(0.0))
+    when(length(t) === 0, lit(0.0)).otherwise(
+      lengthScore * lit(0.5) +
+        when(avgWordLen >= 3 && avgWordLen <= 10, lit(0.3)).otherwise(lit(0.0)) +
+        when(punctRatio <= 0.1, lit(0.2)).otherwise(lit(0.0)))
   }
 
   def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -148,7 +153,8 @@ object TextAnalysis {
     val nc = length(t).cast("double")
     val words = nWords(t).cast("double")
     val punct = (length(t) - length(regexp_replace(t, "\\.", ""))).cast("double")
-    val punctRatio = punct / nc
+    // empty text: ratio pinned to 0.0 (ANSI would raise DIVIDE_BY_ZERO)
+    val punctRatio = when(length(t) === 0, lit(0.0)).otherwise(punct / nc)
     val avgWordLen = (nc - nSpaces(t).cast("double")) / words
     docs.select(
       col(idCol),
@@ -157,6 +163,54 @@ object TextAnalysis {
       punctRatio.as("punct_ratio"),
       avgWordLen.as("avg_word_len"),
       qualityScoreCol(t).as("quality_score"))
+  }
+
+  /** Gopher/MassiveText document-level quality rules (Rae et al. 2021
+    * A1.1) as per-rule audit flags — the "why was this doc dropped"
+    * report a curation pipeline needs, not just the final boolean.
+    * Every ratio test is an integer cross-multiplication (never a float
+    * division), so the flags are bit-identical across engines and the
+    * whole operator is a map-only codegen scan. Words are space/newline
+    * run tokens; lines are non-empty `[^\n]+` runs. The two repetition
+    * rules of the same appendix live in [[repetitionStats]].
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio (# / …) <= 10%; <= 90% of lines
+    * bullet-led; <= 30% of lines ellipsis-terminated; >= 80% of words
+    * contain an alphabetic character; >= 2 distinct English stopword
+    * hits.
+    */
+  def gopherQualityFlags(docs: DataFrame, textCol: String, idCol: String,
+                         minWords: Long = 50L,
+                         maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val nWordsC = regexp_count(t, lit("[^ \n]+")).cast("long")
+    val nLines = regexp_count(t, lit("[^\n]+")).cast("long")
+    val wordChars =
+      length(regexp_replace(t, "[ \n]", "")).cast("long")
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val nEllipsis = regexp_count(t, lit("\\.\\.\\.")).cast("long")
+    val nBulletLines = regexp_count(t, lit("(?m)^ *[-*]")).cast("long")
+    val nEllipsisLines = regexp_count(t, lit("(?m)\\.\\.\\.$")).cast("long")
+    val nAlphaWords =
+      regexp_count(t, lit("[^ \n]*[A-Za-z][^ \n]*")).cast("long")
+    val stopHits = enStopwords
+      .map(s => when(instr(t, s) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val rules: Seq[(String, Column)] = Seq(
+      "ok_word_count" -> (nWordsC >= minWords && nWordsC <= maxWords),
+      "ok_mean_word_len" -> (wordChars >= lit(3L) * nWordsC &&
+        wordChars <= lit(10L) * nWordsC),
+      "ok_symbol_ratio" -> (lit(10L) * (nHash + nEllipsis) <= nWordsC),
+      "ok_bullet_lines" -> (lit(10L) * nBulletLines <= lit(9L) * nLines),
+      "ok_ellipsis_lines" -> (lit(10L) * nEllipsisLines <= lit(3L) * nLines),
+      "ok_alpha_words" -> (lit(5L) * nAlphaWords >= lit(4L) * nWordsC),
+      "ok_stopwords" -> (stopHits >= 2L))
+    docs.select(
+      (col(idCol) +: nWordsC.as("n_words") +: nLines.as("n_lines") +:
+        rules.map { case (n, c) => flag(c).as(n) }) :+
+        flag(rules.map(_._2).reduce(_ && _)).as("gopher_pass"): _*)
   }
 
   /** Content fingerprint of the normalized document (case/whitespace
@@ -199,6 +253,80 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"))
+
+  // ------------------------- C4-style cleaning -------------------------
+  // Line/document-level corpus cleaning after Raffel et al. 2020 §2.2
+  // (the C4 rules): keep only lines that end in terminal punctuation and
+  // carry a minimum word count, drop lines mentioning javascript, and
+  // drop whole documents containing curly braces (code/markup) or the
+  // "lorem ipsum" placeholder phrase. (C4's remaining rule — the
+  // three-sentence-span global dedup — is the segment/substring dedup
+  // family in graft.dedup.Dedup, composable after this.)
+  //
+  // Each rule is ONE codegen'd regexp_replace pass deleting whole bad
+  // lines (match includes the trailing newline). The patterns stay in
+  // the RE2-compatible subset (no lookahead/backrefs; `(?m)`/`(?i:)`
+  // inline flags; `\n` excluded from every char class so a match can
+  // never leak across lines) — the DuckDB oracle runs them verbatim.
+
+  /** Lines mentioning javascript (case-insensitive), C4's "enable
+    * javascript" boilerplate rule.
+    */
+  val C4JsLineRe = "(?m)^[^\n]*(?i:javascript)[^\n]*\n?"
+
+  /** Non-empty lines whose last character is not terminal punctuation
+    * (`.` `!` `?` `"`). Empty lines are left to the min-words pass.
+    */
+  val C4NoPunctLineRe = "(?m)^[^\n]*[^.!?\"\n]$\n?"
+
+  /** Lines with fewer than minWords space-run words (leading/trailing
+    * spaces allowed, empty lines included). All-optional body, so the
+    * pattern can only complete on genuinely short lines — a line with
+    * >= minWords words has no path to `$`.
+    */
+  def c4ShortLineRe(minWords: Int): String = {
+    require(minWords >= 2, s"minWords must be >= 2, got $minWords")
+    s"(?m)^ *(?:[^ \n]+(?: +[^ \n]+){0,${minWords - 2}})? *$$\n?"
+  }
+
+  /** Line-filtered text: javascript lines, no-terminal-punctuation lines,
+    * then short lines deleted — three sequential full-line deletions, each
+    * a codegen'd scan-local pass.
+    */
+  def c4CleanCol(text: Column, minWords: Int = 5): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, C4JsLineRe, ""),
+        C4NoPunctLineRe, ""),
+      c4ShortLineRe(minWords), "")
+
+  /** Document-level drop: code/markup braces or the lorem-ipsum
+    * placeholder phrase anywhere in the document.
+    */
+  def c4DocDropCol(text: Column): Column =
+    text.contains("{") || text.contains("}") ||
+      lower(text).contains("lorem ipsum")
+
+  /** Per-document C4 cleaning report: `kept` (0 = whole doc dropped by
+    * the brace / lorem-ipsum rules), the line-filtered `clean_text`
+    * (empty when dropped), and kept/total line counts. Pure per-row
+    * expression pipeline — no shuffle, no UDF; at 100 TB this is a
+    * single map-only scan.
+    */
+  def c4Clean(docs: DataFrame, textCol: String, idCol: String,
+              minWords: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val dropped = c4DocDropCol(t)
+    val clean = when(dropped, lit("")).otherwise(c4CleanCol(t, minWords))
+    docs.select(
+      col(idCol),
+      when(dropped, lit(0L)).otherwise(lit(1L)).as("kept"),
+      clean.as("clean_text"),
+      // non-empty maximal [^\n] runs == non-empty lines, unanchored so a
+      // trailing newline never counts as a phantom final line
+      regexp_count(clean, lit("[^\n]+")).cast("long").as("n_lines_kept"),
+      regexp_count(t, lit("[^\n]+")).cast("long").as("n_lines_total"))
+  }
 
   /** Token array with the same semantics as the native space-run
     * tokenizer (graft.functions SpaceTokens): maximal runs of non-space

@@ -117,6 +117,34 @@ class TrainingDataPipelineSpec extends SparkSuite {
     assert(kept.contains(1L) && !kept.contains(2L))
   }
 
+  test("preCleanC4 rewrites lines before curate sees them, map-only") {
+    val docs = Seq(
+      (1L, "This opening line has six words.\nshort frag\n" +
+        "Another full line follows along here."),   // 2 lines survive
+      (2L, "Braces mean code so {drop} the whole doc."), // doc rule
+      (3L, "no line here survives the filters\nat all"), // -> empty text
+      (4L, goodText + ".")).toDF("doc_id", "text")
+    val out = TrainingDataPipeline.preCleanC4(docs, "text")
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L)) // 2 dropped whole
+    val r1 = rows(0)
+    assert(r1.getString(r1.fieldIndex("text")) ===
+      "This opening line has six words.\nAnother full line follows along here.")
+    assert(r1.getLong(r1.fieldIndex("n_lines_kept")) === 2L &&
+      r1.getLong(r1.fieldIndex("n_lines_total")) === 3L)
+    assert(rows(1).getString(rows(1).fieldIndex("text")) === "")
+    // composes: curate over the pre-cleaned frame gates the emptied doc
+    // under its own audit reason (quality precedes length; empty text
+    // scores 0.0 now instead of raising ANSI DIVIDE_BY_ZERO)
+    val d = TrainingDataPipeline.curate(out, "text", "doc_id")
+      .select("doc_id", "keep", "drop_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2)).getOrElse("")).toMap
+    assert(d(3L) === "quality")
+    // the stage is a pure scan: no exchange in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"preCleanC4 must not shuffle:\n$plan")
+  }
+
   test("cleanCorpusWithSubstringDedup scrubs cross-doc passages from survivors") {
     // docs 1 and 6 survive curation; doc 6 gets doc 1's opening passage
     // appended — the passage-level pass must remove it from doc 6 (doc 1

@@ -213,4 +213,71 @@ class TextAnalysisSpec extends SparkSuite {
     val longer = RollingFingerprint.compute(UTF8String.fromString(texts.head + " suffix"), 8)
     assert(longer <= base)
   }
+
+  test("c4Clean: line rules keep punctuated >=minWords lines only") {
+    val doc =
+      "This first line has five words.\n" +    // kept
+      "short line\n" +                          // < 5 words, no punct
+      "Too short but punctuated.\n" +           // 4 words, ends '.'
+      "this line has five words but no terminal punctuation\n" + // no punct
+      "Please enable JavaScript to view comments.\n" + // js rule
+      "\n" +                                    // empty
+      "   \n" +                                 // spaces only
+      "Does a question line with enough words survive?\n" + // kept
+      "Last line stays even without trailing newline, five words plus." // kept
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val row = TextAnalysis.c4Clean(df, "text", "doc_id").head()
+    assert(row.getLong(1) === 1L) // kept
+    assert(row.getString(2) ===
+      "This first line has five words.\n" +
+      "Does a question line with enough words survive?\n" +
+      "Last line stays even without trailing newline, five words plus.")
+    assert(row.getLong(3) === 3L) // n_lines_kept
+    assert(row.getLong(4) === 8L) // n_lines_total (non-empty lines)
+  }
+
+  test("c4Clean: doc-level drops, edge docs, and minWords dial") {
+    val docs = Seq(
+      (1L, "A fine sentence of five words. But then some { code } appears."),
+      (2L, "Lorem Ipsum dolor sit amet consectetur adipiscing elit today."),
+      (3L, ""),
+      (4L, "short only\nno punct here at all\nstill bad"),
+      (5L, "One two three. Four five six.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs, "text", "doc_id", minWords = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 0L && out(0).getString(2) === "") // braces
+    assert(out(1).getLong(1) === 0L)                               // lorem ipsum
+    assert(out(2).getLong(1) === 1L && out(2).getString(2) === ""
+      && out(2).getLong(3) === 0L && out(2).getLong(4) === 0L)     // empty doc
+    assert(out(3).getLong(1) === 1L && out(3).getString(2) === ""
+      && out(3).getLong(3) === 0L && out(3).getLong(4) === 3L)     // all lines bad
+    // minWords=3: the single 6-word punctuated line passes
+    assert(out(4).getString(2) === "One two three. Four five six.")
+  }
+
+  test("gopherQualityFlags: each rule trips on its own fixture") {
+    val good = ("the quick brown fox jumps over the lazy dog and " * 6).trim
+    val docs = Seq(
+      (1L, good),                                       // all rules pass
+      (2L, "too few words of the and"),                 // word-count fail
+      (3L, ("a b c d " * 15).trim + " the and of"),     // mean-word-len < 3
+      (4L, good + " " + ("# " * 20).trim),              // symbol ratio fail
+      (5L, good + "\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j\n- k"), // bullets
+      (6L, good + "\nends with...\nalso ends...\nplain line here"), // ellipsis lines
+      (7L, good + " " + ("123 456 789 " * 20).trim),    // alpha-word frac fail
+      (8L, good.replace(" the ", " xx ").replace(" and ", " yy "))) // stopwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQualityFlags(docs, "text", "doc_id",
+        minWords = 30L).orderBy("doc_id").collect()
+    def f(i: Int, name: String): Long =
+      out(i).getLong(out(i).fieldIndex(name))
+    assert(f(0, "gopher_pass") === 1L)
+    assert(f(1, "ok_word_count") === 0L && f(1, "gopher_pass") === 0L)
+    assert(f(2, "ok_mean_word_len") === 0L)
+    assert(f(3, "ok_symbol_ratio") === 0L && f(0, "ok_symbol_ratio") === 1L)
+    assert(f(4, "ok_bullet_lines") === 0L && f(0, "ok_bullet_lines") === 1L)
+    assert(f(5, "ok_ellipsis_lines") === 0L && f(0, "ok_ellipsis_lines") === 1L)
+    assert(f(6, "ok_alpha_words") === 0L && f(0, "ok_alpha_words") === 1L)
+    assert(f(7, "ok_stopwords") === 0L && f(0, "ok_stopwords") === 1L)
+  }
 }
