@@ -299,24 +299,17 @@ object BenchScale {
         // codegen static calls, no codec library). The aggregate
         // touches every decoded field so Catalyst cannot prune the
         // parse; result = docs whose roundtrip succeeded (must be all).
-        import spark.implicits._
-        val blobs = docs.select(col("doc_id"), col("text"))
-          .as[(Long, String)]
-          .map { case (id, text) =>
-            // null text must not kill the scan (decoders never throw;
-            // neither may the fixture construction)
-            val payload = Option(text).getOrElse("")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            (id, (id % 3) match {
-              case 0 => graft.multimodal.ImageFixtures
-                .syntheticImageBlob(id, payload)
-              case 1 => graft.multimodal.AudioFixtures
-                .syntheticAudioBlob(id, payload.take(64))
-              case _ => graft.multimodal.VideoFixtures
-                .syntheticVideoBlob(id, payload.take(64))
-            })
+        val blobs = graft.multimodal.Multimodal.syntheticBlobs(
+          docs, "doc_id", "text") { (id, payload) =>
+          (id % 3) match {
+            case 0 => graft.multimodal.ImageFixtures
+              .syntheticImageBlob(id, payload)
+            case 1 => graft.multimodal.AudioFixtures
+              .syntheticAudioBlob(id, payload.take(64))
+            case _ => graft.multimodal.VideoFixtures
+              .syntheticVideoBlob(id, payload.take(64))
           }
-          .toDF("doc_id", "content")
+        }
         blobs.select(
             graft.multimodal.ImageDims.col(col("content")).as("i"),
             graft.multimodal.AudioMeta.col(col("content")).as("a"),
@@ -598,9 +591,9 @@ object BenchScale {
         // member survives may differ (first-arrival vs arbitrary).
         // Event times all land inside the 10-minute watermark, so the
         // stream's within-watermark dedup is semantically global — the
-        // same regime the batch comparison runs in. Value encodes
-        // parity: mismatches * 1e9 + kept rows (a clean run reads as
-        // the kept count); docs/sec derives as n_docs / stage seconds.
+        // same regime the batch comparison runs in. This stage times
+        // the STREAM ONLY (docs/sec = n_docs / stage seconds); the
+        // batch-side parity check is the next stage.
         import org.apache.spark.sql.streaming.Trigger
         val dir = s"$work/curate_stream_x$copies"
         val fs = new org.apache.hadoop.fs.Path(dir)
@@ -625,13 +618,26 @@ object BenchScale {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        val s = spark.read.parquet(s"$dir/kept").select("content_hash")
-        // batch equivalent: the same pure gate expressions
+        val kept = spark.read.parquet(s"$dir/kept").count()
+        System.err.println(
+          s"[scale] curate_stream_500k: $nBatches micro-batches, kept $kept")
+        kept
+      },
+      timed("curate_stream_parity") {
+        // parity is a SEPARATE timed stage so the streaming stage's
+        // docs/sec stays honest — this one re-derives the batch
+        // equivalent: the same pure gate expressions
         // (curateStreamGates), a plain dropDuplicates in place of the
         // within-watermark state (the streaming-only operator), and the
         // same contamination gate — filter order vs dedup is immaterial
         // for the HASH set because equal hash means equal text means
-        // equal gate decision
+        // equal gate decision. Value encodes parity: mismatches * 1e9 +
+        // kept rows (a clean run reads as the kept count).
+        def withTs(df: DataFrame) =
+          df.withColumn("ts", timestamp_micros(col("doc_id")))
+        val s = spark.read
+          .parquet(s"$work/curate_stream_x$copies/kept")
+          .select("content_hash")
         val b = TrainingDataPipeline.curateStreamGates(
             withTs(docs), "text", "doc_id", "ts")
           .dropDuplicates("content_hash")
@@ -643,8 +649,8 @@ object BenchScale {
           s.join(b, Seq("content_hash"), "left_anti").count() +
           b.join(s, Seq("content_hash"), "left_anti").count() +
           (kept - s.distinct().count()) // a dup emit is a state failure
-        System.err.println(s"[scale] curate_stream_500k: $nBatches " +
-          s"micro-batches, kept $kept, parity mismatches $mismatches")
+        System.err.println(
+          s"[scale] curate_stream_parity: kept $kept, mismatches $mismatches")
         mismatches * 1000000000L + kept
       },
       timed("dedup_segments") {
@@ -677,6 +683,18 @@ object BenchScale {
           .agg(sum(col("gopher_pass") + col("ok_alpha_words") +
             col("ok_bullet_lines") + col("n_lines"))).head().getLong(0)
         c4 + gopher
+      },
+      timed("cross_source_overlap_500k") {
+        // the slice-audit matrix at corpus scale: 20 synthetic slices
+        // over 500k docs, xxhash64 keys (the production form), n=8
+        // shingles — the (slice, key) distinct is the big shuffle; the
+        // pair fan-out stays slices²-bounded however hot a shingle is.
+        // Sum touches every matrix cell so nothing prunes out.
+        Dedup.crossSourceOverlap(
+            docs.withColumn("source",
+              concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+            "text", "source", n = 8)
+          .agg(sum(col("n_shared") + col("n_a"))).head().getLong(0)
       },
       timed("dedup_substrings") {
         // Lee et al. exact substring dedup at corpus scale: ~44M 16-token

@@ -226,8 +226,12 @@ object Similarity {
       nLists: Int,
       nProbe: Int,
       excludeSelf: Boolean = true): DataFrame = {
+    // persist: the quantized corpus feeds the (already-eager, the list
+    // count fixes `step` at plan time) count, the centroid pick, and the
+    // assignment pass — one quantization scan instead of three
     val q = corpus.select(col(idCol).as("neighbor_id"),
       quantVec(col(vecCol)).as("__ce"))
+      .persist()
     val n = q.count()
     val step = math.max(1L, n / nLists)
     val cents = q.filter(pmod(col("neighbor_id"), lit(step)) === 0)
@@ -412,10 +416,16 @@ object Similarity {
     val centroids = learnedCentroids.getOrElse {
       val n = c.count()
       val step = math.max(1L, n / nLists)
+      // localCheckpoint pins ONE sample: limit() over an unordered filter
+      // is not stable across re-evaluations, and the lists built below
+      // are assigned to THIS pick — a caller re-collecting the returned
+      // frame (ivfSearchIndex, scan-cost audits) must see the same rows,
+      // never a re-executed different subset. nLists rows — cost is nil.
       c.withColumn("__rk", pmod(xxhash64(col("cid_")), lit(step)))
         .filter(col("__rk") === 0)
         .limit(nLists)
         .select(col("cid_").as("centroid_id"), col("cv").as("centroid_vec"))
+        .localCheckpoint()
     }
 
     // Centroid assignment is MAP-ONLY: the centroid table is tiny

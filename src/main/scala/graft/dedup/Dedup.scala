@@ -820,6 +820,52 @@ object Dedup {
         coalesce(sum(col("__seen")), lit(0L)).as("n_seen"))
   }
 
+  /** Pairwise shingle-overlap matrix between corpus slices (source,
+    * domain, crawl snapshot, …) — the corpus-audit view behind "which
+    * slices share content, and how much" that drives mixing and dedup
+    * ordering decisions. One row per unordered slice pair (a < b):
+    * `(source_a, source_b, n_shared, n_a, n_b)` over DISTINCT word
+    * n-gram shingles, zero-overlap pairs included, so Jaccard/containment
+    * ratios derive downstream without a second pass.
+    *
+    * Scale shape: one corpus scan → shingle explode → (slice, key)
+    * distinct (THE big shuffle, the same class as segment dedup), then a
+    * self-join on the key whose fan-out is bounded by |slices|² per key
+    * — slices are few by construction (a mixing config names tens, not
+    * millions), which is what makes the full matrix tractable where a
+    * doc-pair matrix would not be. The distinct frame is persisted: it
+    * feeds the totals and both join sides.
+    *
+    * `hashShingles = true` (default) joins on xxhash64 of the shingle —
+    * right at 100 TB where shingle strings dominate shuffle bytes;
+    * `false` joins on the shingle text itself (the engine-portable form
+    * the `cross_source_overlap` oracle replays verbatim).
+    */
+  def crossSourceOverlap(docs: DataFrame, textCol: String,
+                         sourceCol: String, n: Int = 8,
+                         hashShingles: Boolean = true): DataFrame = {
+    val base = withShingles(
+        docs.select(col(sourceCol).as("source"), col(textCol)), textCol, n)
+      .select(col("source"), explode(col("shingles")).as("__sh"))
+    val keyed = base
+      .withColumn("k",
+        if (hashShingles) xxhash64(col("__sh")) else col("__sh"))
+      .select("source", "k").distinct()
+      .persist()
+    val totals = keyed.groupBy("source").agg(count(lit(1)).as("n"))
+    val shared = keyed.select(col("k"), col("source").as("source_a"))
+      .join(keyed.select(col("k"), col("source").as("source_b")), Seq("k"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    totals.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(totals.select(col("source").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Snapshot diff between two corpus versions — the dataset-governance
     * primitive behind "what changed since the last training set":
     * `(id, status)` with status ∈ added | removed | modified |

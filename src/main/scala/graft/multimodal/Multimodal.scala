@@ -59,6 +59,24 @@ object Multimodal {
       })
   }
 
+  /** (id, text) → (id, content) synthetic container corpus: the shared
+    * scaffold for planting decoder inputs over the documents table (the
+    * oracle queries and the scale bench all ride it). Null text must not
+    * kill the scan — the payload falls back to empty bytes before the
+    * caller's fixture builder sees it.
+    */
+  def syntheticBlobs(df: DataFrame, idCol: String, textCol: String)(
+      blob: (Long, Array[Byte]) => Array[Byte]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, blob(id, Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .toDF(idCol, "content")
+  }
+
   /** Batched feature extraction over partitions — the `mapPartitions`
     * shape a vectorized decoder needs (amortized codec init per batch,
     * no per-row driver involvement).

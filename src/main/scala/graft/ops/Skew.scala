@@ -80,8 +80,12 @@ object Skew {
       targetRowsPerTask: Long = 1000000L): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     require(targetRowsPerTask >= 1, "targetRowsPerTask must be >= 1")
+    // the |keys|-sized count frame feeds BOTH the global stats aggregate
+    // and the top-k pick — persist (lazy) so the corpus-sized groupBy
+    // scan runs once when the audit executes, not once per consumer
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val stats = counts.agg(sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"))
     // integer `div` end to end: exact at any count magnitude, and the

@@ -1896,6 +1896,32 @@ object QueryCatalog {
         CAST(len(regexp_extract_all(text, '[^\n]+')) AS BIGINT) AS n_lines_total
       FROM cleaned ORDER BY doc_id""")),
 
+    // Cross-source shingle-overlap matrix (corpus-slice audit): the
+    // portable (raw-shingle-join) form so DuckDB replays the WHOLE
+    // pipeline — shingling, per-slice distinct, pair join, complete
+    // zero-included matrix. n=3 keeps real overlap present at sf0.01.
+    QueryDef("cross_source_overlap", (s, d) =>
+      Dedup.crossSourceOverlap(t(s, d, "documents"), "text", "source",
+          n = 3, hashShingles = false)
+        .orderBy("source_a", "source_b"),
+      Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT source, s FROM (
+          SELECT source, unnest(${duckShingleList(3)}) AS s
+          FROM (SELECT source, $DuckWords AS words FROM documents))),
+      tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM sh GROUP BY source),
+      ov AS (SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+             FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT ta.source AS source_a, tb.source AS source_b,
+        CAST(COALESCE(ov.n_shared, 0) AS BIGINT) AS n_shared,
+        ta.n AS n_a, tb.n AS n_b
+      FROM tot ta JOIN tot tb ON ta.source < tb.source
+      LEFT JOIN ov ON ov.source_a = ta.source AND ov.source_b = tb.source
+      ORDER BY source_a, source_b""")),
+
     // Gopher A1.1 document-level quality rules as per-rule audit flags:
     // every ratio gate is an integer cross-multiplication, so the whole
     // report is BIGINT and hash-exact; planted bullet/ellipsis/symbol
@@ -2187,15 +2213,9 @@ object QueryCatalog {
     // sensitive, the lottery lesson); the parser's honesty against
     // canonical real-file bytes is ImageHeadersSpec's job.
     QueryDef("multimodal_dims", (s, d) => {
-      import s.implicits._
-      val blobs = t(s, d, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          (id, graft.multimodal.ImageFixtures.syntheticImageBlob(
-            id, Option(text).getOrElse("")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        }
-        .toDF("doc_id", "content")
+      val blobs = graft.multimodal.Multimodal.syntheticBlobs(
+        t(s, d, "documents"), "doc_id", "text")(
+        graft.multimodal.ImageFixtures.syntheticImageBlob)
       blobs
         .select(col("doc_id"),
           graft.multimodal.ImageDims.col(col("content")).as("dims"))
@@ -2222,15 +2242,9 @@ object QueryCatalog {
     // hand-hexed file bytes so construction and parsing cannot share a
     // mirrored bug.
     QueryDef("multimodal_audio_meta", (s, d) => {
-      import s.implicits._
-      val blobs = t(s, d, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          (id, graft.multimodal.AudioFixtures.syntheticAudioBlob(
-            id, Option(text).getOrElse("")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        }
-        .toDF("doc_id", "content")
+      val blobs = graft.multimodal.Multimodal.syntheticBlobs(
+        t(s, d, "documents"), "doc_id", "text")(
+        graft.multimodal.AudioFixtures.syntheticAudioBlob)
       blobs
         .select(col("doc_id"),
           graft.multimodal.AudioMeta.col(col("content")).as("m"))
@@ -2260,15 +2274,9 @@ object QueryCatalog {
     // as above: arithmetic recomputation of the planted parameters;
     // VideoHeadersSpec pins canonical hand-transcribed bytes.
     QueryDef("multimodal_video_meta", (s, d) => {
-      import s.implicits._
-      val blobs = t(s, d, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          (id, graft.multimodal.VideoFixtures.syntheticVideoBlob(
-            id, Option(text).getOrElse("")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        }
-        .toDF("doc_id", "content")
+      val blobs = graft.multimodal.Multimodal.syntheticBlobs(
+        t(s, d, "documents"), "doc_id", "text")(
+        graft.multimodal.VideoFixtures.syntheticVideoBlob)
       blobs
         .select(col("doc_id"),
           graft.multimodal.VideoMeta.col(col("content")).as("m"))

@@ -464,4 +464,25 @@ class DedupSpec extends SparkSuite {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(again === splits)
   }
+
+  test("crossSourceOverlap: complete pair matrix with exact shared counts") {
+    val docs = Seq(
+      (1L, "A", "x y z w"),            // shingles(3): {x y z, y z w}
+      (2L, "A", "x y z w"),            // dup within A: distinct per slice
+      (3L, "B", "x y z q"),            // shares "x y z" with A
+      (4L, "C", "totally different words here"))
+      .toDF("doc_id", "source", "text")
+    def run(hashed: Boolean): Map[(String, String), (Long, Long, Long)] =
+      Dedup.crossSourceOverlap(docs, "text", "source", n = 3,
+          hashShingles = hashed)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val m = run(hashed = false)
+    assert(m.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(m(("A", "B")) === ((1L, 2L, 2L)))
+    assert(m(("A", "C")) === ((0L, 2L, 2L))) // zero-overlap pair present
+    assert(m(("B", "C")) === ((0L, 2L, 2L)))
+    // the production hashed form counts identically on a collision-free set
+    assert(run(hashed = true) === m)
+  }
 }
