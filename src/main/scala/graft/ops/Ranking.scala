@@ -148,6 +148,52 @@ object Ranking {
       .drop(Pid, Mid)
   }
 
+  /** Per-KEY inclusive running sum of `srcCol` by `orderCols` within each
+    * `keyCol` group, without `Window.partitionBy(key)` — the SQL-obvious
+    * form concentrates EVERY row of a key into one reducer, which for
+    * corpus-slice keys (tens of sources over 100 TB) is a guaranteed
+    * straggler. Here the data is range-partitioned on (key, order), so a
+    * hot key spreads over many partitions; the stitch summary is one row
+    * per (partition, key) — and because range partitioning keeps each
+    * key's rows contiguous, that is O(numPartitions + |keys|) driver
+    * rows, the same cost class as the global variant.
+    *
+    * Same contracts as [[globalRunningSum]]: ASCENDING total-order
+    * `orderCols` (per key), integral `srcCol`, ROWS-explicit frame.
+    */
+  def keyedRunningSum(df: DataFrame, keyCol: String, srcCol: String,
+                      orderCols: Seq[Column], as: String,
+                      numPartitions: Int = 0): DataFrame = {
+    val n = resolveN(df, numPartitions)
+    val tagged = ranged(df, col(keyCol) +: orderCols, n)
+    // NUL sentinel keeps a null key addressable in the offset map (and
+    // cannot collide: it is not a value cast-to-string produces)
+    def keyStr(v: Any): String = Option(v).map(_.toString).getOrElse(" ")
+    val totals = tagged.groupBy(col(Pid), col(keyCol))
+      .agg(sum(col(srcCol).cast("long")).as("s"))
+      .collect().map(r => (r.getInt(0), keyStr(r.get(1))) ->
+        (if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+    // per (pid, key) offset = this key's total over earlier pids
+    val offsetMap: Map[String, Long] = totals.keys.map(_._2).toSeq.distinct
+      .flatMap { k =>
+        var acc = 0L
+        (0 until n).flatMap { p =>
+          val entry = totals.get((p, k)).map { t =>
+            val e = s"$p|$k" -> acc; acc += t; e
+          }
+          entry
+        }
+      }.toMap
+    val w = Window.partitionBy(col(Pid), col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lookupKey = concat(col(Pid).cast("string"), lit("|"),
+      coalesce(col(keyCol).cast("string"), lit(" ")))
+    tagged.withColumn(as,
+        sum(col(srcCol).cast("long")).over(w) +
+          coalesce(element_at(typedLit(offsetMap), lookupKey), lit(0L)))
+      .drop(Pid, Mid)
+  }
+
   /** Global lead(srcCol, 1) by `orderCols` without a single-partition
     * window: per-partition lead, with each partition's last row patched
     * from the first value of the next non-empty partition (one row per

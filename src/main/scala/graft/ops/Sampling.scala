@@ -236,6 +236,29 @@ object Sampling {
 
   /** One-call temperature mix: count strata (one bounded aggregate),
     * derive [[temperatureRates]], apply [[upsampledByStratum]]. */
+  /** Token-budget mixing: keep each stratum's rows in deterministic
+    * `orderCol` order until the NEXT row would push the stratum's
+    * cumulative `nTokensCol` past its budget — "take the first B tokens
+    * of every source", the mixing form a fixed training-token recipe
+    * uses (vs [[temperatureMix]]'s rate-based form). A row is kept iff
+    * its INCLUSIVE running token sum stays <= the budget, so one
+    * over-long head doc can close a stratum immediately (deliberate:
+    * budgets are hard caps, not targets).
+    *
+    * The running sum is [[Ranking.keyedRunningSum]], NOT a
+    * `PARTITION BY stratum` window — the latter funnels each source
+    * through one reducer, the classic 100 TB straggler. The audit
+    * column `as` (the inclusive cumulative) stays on survivors.
+    */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, nTokensCol: String,
+                     orderCol: Column, budgetPerStratum: Long,
+                     as: String = "cum_tokens"): DataFrame = {
+    require(budgetPerStratum >= 0, "budget must be >= 0")
+    graft.ops.Ranking.keyedRunningSum(
+        df, stratumCol, nTokensCol, Seq(orderCol), as)
+      .filter(col(as) <= budgetPerStratum)
+  }
+
   def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
                      alpha: Double, copyCol: String = "copy"): DataFrame =
     upsampledByStratum(df, idCol, stratumCol,

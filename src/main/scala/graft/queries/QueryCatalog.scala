@@ -1896,6 +1896,29 @@ object QueryCatalog {
         CAST(len(regexp_extract_all(text, '[^\n]+')) AS BIGINT) AS n_lines_total
       FROM cleaned ORDER BY doc_id""")),
 
+    // Token-budget mixing: per-source prefix under a hard token budget.
+    // The Spark side rides the scalable keyedRunningSum (range-partition
+    // stitch, never a per-source one-reducer window); the oracle is the
+    // SQL-obvious PARTITION BY window — equal output proves the
+    // scalable form implements exactly the textbook semantics.
+    QueryDef("token_budget_mix", (s, d) =>
+      graft.ops.Sampling.tokenBudgetMix(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            size(TextAnalysis.spaceTokens(col("text"))).cast("long")
+              .as("n_tokens")),
+          "source", "n_tokens", col("doc_id"), budgetPerStratum = 1000L)
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id, source, n_tokens, cum_tokens FROM (
+        SELECT doc_id, source, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM (SELECT doc_id, source,
+                CAST(len(list_filter(string_split(text, ' '),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+              FROM documents))
+      WHERE cum_tokens <= 1000 ORDER BY doc_id""")),
+
     // Cross-source shingle-overlap matrix (corpus-slice audit): the
     // portable (raw-shingle-join) form so DuckDB replays the WHOLE
     // pipeline — shingling, per-slice distinct, pair join, complete

@@ -131,4 +131,41 @@ class RankingSpec extends SparkSuite {
     assert(joined.select("id", "pulse_index").as[(Long, Long)].collect().toSet ===
       Set((10L, 0L), (11L, 1L)))
   }
+
+  test("keyedRunningSum equals the per-key window and spreads hot keys") {
+    val src = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) "hot" else s"k${i % 7}", (i * 31) % 17 + 1)
+    }.toDF("id", "key", "v").repartition(6)
+    val expected = src.withColumn("c", sum(col("v")).over(
+        Window.partitionBy("key").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    val out = Ranking.keyedRunningSum(src, "key", "v", Seq(col("id")), "c",
+      numPartitions = 5)
+    assert(out.select("id", "c").as[(Long, Long)].collect().toMap === expected)
+    // the stitched window partitions by (range-partition id, key) — a
+    // key-only partitionSpec would funnel each key through one reducer
+    val keyOnly = out.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.size < 2 => w
+    }
+    assert(keyOnly.isEmpty)
+  }
+
+  test("keyedRunningSum: null values and a null key match the window") {
+    val withNulls = Seq(
+      (1L, Some("a"), Some(5L)), (2L, Some("a"), None),
+      (3L, Some("a"), Some(2L)), (4L, None, Some(7L)), (5L, None, Some(1L)))
+      .toDF("id", "key", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "c").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val expected = asMap(withNulls.withColumn("c", sum(col("v")).over(
+      Window.partitionBy("key").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, 0))))
+    val got = asMap(Ranking.keyedRunningSum(
+      withNulls, "key", "v", Seq(col("id")), "c", numPartitions = 3))
+    assert(got === expected)
+    assert(got(5L) === 8L) // the null-key group accumulated across rows
+  }
 }

@@ -199,4 +199,20 @@ class SamplingSpec extends SparkSuite {
       .select("id", "copy").as[(Long, Long)].collect().sorted.toSeq
     assert(a1 === a2)
   }
+
+  test("tokenBudgetMix keeps each stratum's id-order prefix under the cap") {
+    val docs = Seq(
+      (1L, "a", 400L), (2L, "a", 500L), (3L, "a", 200L), (4L, "a", 50L),
+      (5L, "b", 1500L), (6L, "b", 10L),  // over-long head closes b at once
+      (7L, "c", 1000L), (8L, "c", 1L))   // exact boundary is kept
+      .toDF("doc_id", "source", "n_tokens")
+    val kept = Sampling.tokenBudgetMix(docs, "source", "n_tokens",
+        col("doc_id"), budgetPerStratum = 1000L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // a: 400, 900, then 1100 > 1000 stops doc 3; doc 4 would fit the
+    // remaining budget but prefix semantics (inclusive cumsum) still
+    // exclude it — budgets cut a PREFIX, not a best-fit subset
+    assert(kept.keySet === Set(1L, 2L, 7L))
+    assert(kept(2L) === 900L && kept(7L) === 1000L)
+  }
 }

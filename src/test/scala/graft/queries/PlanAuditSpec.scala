@@ -227,4 +227,46 @@ class PlanAuditSpec extends SparkSuite {
         s"bloom prefilter planned above a join/aggregate:\n${f.treeString}")
     }
   }
+
+  test("c4_clean / gopher_quality: pure scans — the only exchange is the " +
+       "output ORDER BY") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    Seq("c4_clean", "gopher_quality").foreach { name =>
+      val plan = formattedPlan(name)
+      assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+        s"$name must not aggregate:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      // exactly the final sort's range exchange, nothing upstream
+      val exchanges = QueryCatalog.byName(name).fn(spark, dir)
+        .queryExecution.executedPlan.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.length <= 1,
+        s"$name planned more than the output-sort exchange:\n$plan")
+    }
+  }
+
+  test("cross_source_overlap: distinct aggregates keep map-side partials; " +
+       "no cartesian on the data path") {
+    val plan = formattedPlan("cross_source_overlap")
+    // the (slice, key) distinct must partial-aggregate before its
+    // exchange — a shuffle of raw exploded shingles would move the
+    // whole fan-out
+    assert(plan.contains("partial_"),
+      s"distinct lost its map-side partial:\n$plan")
+    // the only cartesian allowed is the slices x slices totals frame
+    // (|slices|^2 rows); the shingle-keyed join must stay an equi-join
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(joins >= 1, s"shingle overlap lost its equi-join:\n$plan")
+  }
+
+  test("token_budget_mix: no key-only window partitioning (the per-source " +
+       "one-reducer funnel) anywhere in the plan") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = QueryCatalog.byName("token_budget_mix").fn(spark, dir)
+    val keyOnly = df.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.size < 2 => w
+    }
+    assert(keyOnly.isEmpty,
+      "token budget mix planned a window partitioned by the source alone")
+  }
 }
