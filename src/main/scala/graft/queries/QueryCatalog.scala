@@ -2191,25 +2191,52 @@ object QueryCatalog {
     // exact token-level semantics are ScalaTest-pinned in BpeSpec.
     // REGEN DEPENDENCY: like ann_recall, the pins assume the documents
     // table's seed-stable generator; re-measure on any content regen.
+    // SCALE-ROBUST (r10): the old oracle pinned corpus-specific literals
+    // (500 docs / 93 merges / 27165 tokens), failing by construction at
+    // any other SF. The compared relation is now data-derived: DuckDB
+    // rederives n_docs and the exact whitespace word count, while the
+    // BPE-specific claims ride as identities a correct encoder satisfies
+    // at ANY scale — losslessness (every doc's token sequence reassembles
+    // to its normalized text, so n_lossless ≡ count(*)), the per-doc
+    // token-count sandwich n_words <= n_bpe_tokens <= non-space chars,
+    // and the structural vocab bound distinct_tokens <= alphabet+merges.
+    // The driver-trained merge loop itself is not SQL-expressible; its
+    // greedy-merge exactness is BpeSpec's classic-fixture job.
     QueryDef("bpe_stats", (s, d) => {
       val docs = t(s, d, "documents")
       val model = graft.text.Bpe.train(
         docs.filter(col("doc_id") % 10 === 0), "text",
         numMerges = 200, maxWords = 5000)
       val enc = graft.text.Bpe.encodeDocs(docs, "text", "doc_id", model)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("bpe_tokens"), col("n_bpe_tokens"),
+          size(TextAnalysis.spaceTokens(col("text"))).cast("long").as("n_words"),
+          length(regexp_replace(col("text"), " +", "")).cast("long")
+            .as("n_word_chars"),
+          (trim(regexp_replace(concat_ws("", col("bpe_tokens")), "</w>", " "))
+            === trim(regexp_replace(col("text"), " +", " "))).as("lossless"))
         .localCheckpoint()
       enc.agg(
           count(lit(1)).as("n_docs"),
-          lit(model.merges.length.toLong).as("n_merges"),
-          sum(col("n_bpe_tokens")).as("total_tokens"),
-          max(col("n_bpe_tokens")).as("max_doc_tokens"))
-        .crossJoin(enc.select(explode(col("bpe_tokens")).as("t"))
-          .agg(countDistinct(col("t")).as("distinct_tokens")))
+          sum(col("n_words")).as("total_words"),
+          sum(when(col("lossless"), 1L).otherwise(0L)).as("n_lossless"),
+          sum(when(col("n_bpe_tokens") < col("n_words") ||
+                   col("n_bpe_tokens") > col("n_word_chars"), 1L)
+            .otherwise(0L)).as("n_bounds_viol"))
+        .crossJoin(enc.select(explode(col("bpe_tokens")).as("tk"))
+          .agg(countDistinct(col("tk")).as("distinct_tokens")))
+        .select(col("n_docs"), col("total_words"), col("n_lossless"),
+          (col("n_bounds_viol") === 0L).as("tokens_within_bounds"),
+          (col("distinct_tokens") <= lit(256L + model.merges.length))
+            .as("vocab_bounded"))
     }, Some("""
-      SELECT CAST(500 AS BIGINT) AS n_docs, CAST(93 AS BIGINT) AS n_merges,
-        CAST(27165 AS BIGINT) AS total_tokens,
-        CAST(99 AS BIGINT) AS max_doc_tokens,
-        CAST(31 AS BIGINT) AS distinct_tokens""")),
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+          AS BIGINT) AS total_words,
+        CAST(count(*) AS BIGINT) AS n_lossless,
+        TRUE AS tokens_within_bounds,
+        TRUE AS vocab_bounded
+      FROM documents""")),
 
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
@@ -2657,17 +2684,52 @@ object QueryCatalog {
     // because the generator is seed-stable; if a regen ever changes the
     // documents table, re-measure and re-pin (the r7 regen burned
     // sketch_stats for exactly this; it is now data-derived instead).
+    // SCALE-ROBUST (r10): the old oracle pinned checksums of the native
+    // xxhash64 simhash relation (DuckDB can't evaluate it), so the row
+    // failed by construction at any other SF. The native pipeline is now
+    // exercised end to end against DATA-DERIVED identities instead:
+    //  - planted EXACT duplicates (Hamming 0 ⇒ all four quadrants agree)
+    //    MUST all surface as candidates ⇒ n_planted_found ≡ the planted
+    //    count DuckDB rederives from the data;
+    //  - every identical-text pair in the union corpus (also Hamming 0)
+    //    MUST surface ⇒ n_exact_text_pairs ≡ DuckDB's Σ C(k,2) over
+    //    text-group sizes — catching any blocking/verify defect;
+    //  - the Hamming verify bound holds on every emitted pair.
+    // Per-row signature exactness is simhash_portable's (md5, cross-
+    // engine exact) job; the bit math is SimHashSigSpec's.
     QueryDef("dedup_simhash", (s, d) => {
-      val h = pmod(col("simhash"), lit(2147483647L))
-      Dedup.withSimHash(t(s, d, "documents").select("doc_id", "text"), "text")
-        .agg(count(lit(1)).as("n_docs"),
-          count_distinct(col("simhash")).as("n_distinct"),
-          sum(h).as("sig_checksum"),
-          sum(h * (col("doc_id") + 1)).as("weighted_checksum"))
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val all = docs.unionByName(planted)
+      val cand = Dedup.simHashCandidates(all, "text", "doc_id",
+          maxHamming = 3).localCheckpoint()
+      val withText = cand
+        .join(all.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(all.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      cand.agg(
+          sum(when(col("id_a") < 50 && col("id_b") === col("id_a") + 10000 &&
+                   col("hamming") === 0, 1L).otherwise(0L))
+            .as("n_planted_found"),
+          sum(when(col("hamming") > 3, 1L).otherwise(0L)).as("n_over_bound"))
+        .crossJoin(withText.agg(
+          sum(when(col("ta") === col("tb"), 1L).otherwise(0L))
+            .as("n_exact_text_pairs")))
+        .select(col("n_planted_found"), col("n_exact_text_pairs"),
+          (col("n_over_bound") === 0L).as("hamming_bound_ok"))
     }, Some("""
-      SELECT CAST(500 AS BIGINT) AS n_docs, CAST(496 AS BIGINT) AS n_distinct,
-             CAST(603174631540 AS BIGINT) AS sig_checksum,
-             CAST(150727500232144 AS BIGINT) AS weighted_checksum""")),
+      WITH alldocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50),
+      g AS (SELECT text, count(*) AS k FROM alldocs GROUP BY text)
+      SELECT
+        CAST((SELECT count(*) FROM documents WHERE doc_id < 50) AS BIGINT)
+          AS n_planted_found,
+        CAST(COALESCE(sum(k * (k - 1) // 2), 0) AS BIGINT)
+          AS n_exact_text_pairs,
+        TRUE AS hamming_bound_ok
+      FROM g""")),
 
     QueryDef("dedup_ngram_jaccard", (s, d) => {
       val docs = t(s, d, "documents").select("doc_id", "text")
