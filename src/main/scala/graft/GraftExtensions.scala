@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lsh_bucket(vec[, bits[, table]]) expects 1-3 args")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[graft.functions.NormalizeText].getName,
+        "graft_normalize_text"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text) => graft.functions.NormalizeText(text)
+        case _ => throw new IllegalArgumentException(
+          "graft_normalize_text(text) expects 1 arg")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_gram_stats"),
       new ExpressionInfo(classOf[graft.functions.GramStats].getName, "graft_gram_stats"),
       (args: Seq[Expression]) => args match {

@@ -2004,6 +2004,141 @@ object QueryCatalog {
           AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
       FROM m ORDER BY doc_id""")),
 
+    // Canonical dedup-key normalization (native NormalizeText codegen
+    // expression: NFD + combining-mark strip, ROOT lowercase, whitespace
+    // collapse). The planted prefix carries DECOMPOSED accent sequences
+    // (e+U+0301, I+U+0308, n+U+0303); the oracle writes their ASCII fold
+    // as literals and replays only the portable lowercase + collapse on
+    // the ASCII remainder — deliberately no DuckDB unicode builtins (the
+    // lottery lesson: version-sensitive oracle constructs are how a
+    // correct operator fails a driver gate). Composed≡decomposed and the
+    // full unicode contract are NormalizeTextSpec's job.
+    QueryDef("text_normalize", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("Cafe\u0301  NAI\u0308VE Mun\u0303oz "),
+            substring(col("text"), 1, 40),
+            lit("   the  END")).as("text"))
+        .transform(df => TextAnalysis.normalizeDocs(df, "text", "doc_id"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH folded AS (
+        SELECT doc_id,
+          'cafe  naive munoz ' || substr(text, 1, 40) || '   the  END' AS t
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(lower(t), ' +', ' ', 'g')) AS norm_text,
+        CAST(length(trim(regexp_replace(lower(t), ' +', ' ', 'g')))
+          AS BIGINT) AS norm_len
+      FROM folded ORDER BY doc_id""")),
+
+    // Normalization-aware exact dedup: case/whitespace variants planted
+    // for doc_id<50 MUST collapse onto their base documents under the
+    // normalized key. The corpus is ASCII, so DuckDB rederives the
+    // normalized key portably (lower + space collapse) and the whole
+    // duplicate-group relation — key, size, survivor — is a full
+    // cross-engine compare at any scale.
+    QueryDef("dedup_normalized", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("   ")).as("text"))
+      TextAnalysis.normalizeDocs(docs.unionByName(variants), "text", "doc_id")
+        .groupBy(md5(col("norm_text")).as("norm_key"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("min_doc_id"))
+        .filter(col("n_members") > 1)
+        .orderBy("norm_key")
+    }, Some("""
+      WITH alldocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, '  ' || upper(text) || '   '
+        FROM documents WHERE doc_id < 50),
+      k AS (SELECT doc_id,
+              trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS nk
+            FROM alldocs)
+      SELECT md5(nk) AS norm_key, CAST(count(*) AS BIGINT) AS n_members,
+             min(doc_id) AS min_doc_id
+      FROM k GROUP BY nk HAVING count(*) > 1 ORDER BY norm_key""")),
+
+    // HTML boilerplate strip over deterministically planted markup (the
+    // synthetic corpus has none): the same RE2-subset regex chain runs
+    // verbatim in both engines — script/style blocks, then tags, then
+    // the five ubiquitous entities (&amp; last, the HTML-correct order),
+    // then whitespace collapse. n_tags audits markup mass.
+    QueryDef("html_strip", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><script type=\"text/javascript\">var x = 1 < 2; </script>"),
+            lit("<style>p { color: red }</style></head><body><h1>Doc "),
+            col("doc_id"),
+            lit("</h1>\n<p class=\"intro\">"),
+            substring(col("text"), 1, 60),
+            lit(" &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</p></body></html>"))
+            .as("text"))
+        .transform(df => TextAnalysis.htmlStrip(df, "text", "doc_id"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          '<html><head><script type="text/javascript">var x = 1 < 2; </script>'
+          || '<style>p { color: red }</style></head><body><h1>Doc ' || doc_id
+          || '</h1>' || chr(10) || '<p class="intro">' || substr(text, 1, 60)
+          || ' &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</p></body></html>'
+          AS text
+        FROM documents),
+      stripped AS (
+        SELECT doc_id, text,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+            '(?s)<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' ', 'g'),
+            '&lt;', '<', 'g'),
+            '&gt;', '>', 'g'),
+            '&quot;', '"', 'g'),
+            '&#39;', '''', 'g'),
+            '&amp;', '&', 'g') AS decoded
+        FROM planted)
+      SELECT doc_id,
+        trim(regexp_replace(decoded, '[ \t\n\r]+', ' ', 'g')) AS clean_text,
+        CAST(len(regexp_extract_all(text, '(?s)<[^>]*>')) AS BIGINT) AS n_tags
+      FROM stripped ORDER BY doc_id""")),
+
+    // C4-style blocklist gate over planted placeholder tokens (word-exact
+    // on lowercased whitespace tokens; the corpus itself is clean, so
+    // hits are planted by doc_id arithmetic and the whole relation is
+    // data-derived at any scale).
+    QueryDef("blocklist_filter", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(" zorblag"))
+              .otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(13)) === 0, lit(" QuxNoise zorblag"))
+              .otherwise(lit(""))).as("text"))
+        .transform(df => TextAnalysis.blocklistFlags(df, "text", "doc_id",
+          Seq("zorblag", "QuxNoise")))
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0 THEN ' zorblag' ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' QuxNoise zorblag' ELSE '' END
+          AS text
+        FROM documents),
+      w AS (SELECT doc_id,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+            FROM planted)
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(len(list_filter(words,
+          x -> list_contains(['zorblag', 'quxnoise'], x))) AS BIGINT) AS n_blocked,
+        len(list_filter(words,
+          x -> list_contains(['zorblag', 'quxnoise'], x))) = 0 AS kept
+      FROM w ORDER BY doc_id""")),
+
     // The Brown-et-al Pareto quality lottery, cross-engine exact on a
     // PURE INTEGER substrate: the keep rule `q > 1 - pareto(u)` with
     // q = k/100 (k = doc_id%100) and u = m/16^15 (m = md5 15-hex-digit

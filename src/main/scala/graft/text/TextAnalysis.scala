@@ -479,6 +479,82 @@ object TextAnalysis {
     * defined; fractions are single divisions of exact integer counts
     * (cross-engine deterministic).
     */
+  /** Canonical normalization for dedup keys (see
+    * [[graft.functions.NormalizeText]] for the exact contract: NFD +
+    * combining-mark strip, locale-independent lowercase, whitespace-run
+    * collapse + trim). Emits the normalized text and its length — feed
+    * `md5(norm_text)` to [[graft.dedup.Dedup.exactDedup]] to collapse
+    * case/accent/whitespace variants the byte-exact key would miss.
+    * Map-only scan work via the native codegen expression.
+    */
+  def normalizeDocs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.NormalizeText.col(col(textCol)).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+
+  // --------------------------------------------- HTML boilerplate strip
+
+  // RE2-subset patterns (run verbatim in both engines): script/style
+  // blocks die first (their content is not prose), then every remaining
+  // tag. Entity decode happens AFTER tag stripping so decoded '<'/'>'
+  // can never resurrect a tag; '&amp;' decodes LAST so '&amp;lt;' yields
+  // the literal '&lt;' (the HTML-correct order).
+  private val HtmlBlockRe = "(?is)<(script|style)[^>]*>.*?</(script|style)>"
+  private val HtmlTagRe = "(?s)<[^>]*>"
+  private val HtmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Tag-stripped text column: blocks, tags, entities, then whitespace
+    * collapse + trim — one codegen'd expression chain inside the scan.
+    */
+  def htmlStripCol(text: Column): Column = {
+    val noTags = regexp_replace(
+      regexp_replace(text, HtmlBlockRe, " "), HtmlTagRe, " ")
+    // entity names contain no regex metacharacters, so the patterns run
+    // verbatim (and identically) as Java and RE2 regexes
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (from, to)) =>
+      regexp_replace(c, from, to)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** HTML boilerplate removal for web-crawl corpora (the step before any
+    * of the text-quality gates can run on markup-bearing sources):
+    * script/style blocks and tags stripped, the five ubiquitous entities
+    * decoded, whitespace normalized. `n_tags` audits how much markup was
+    * removed (a high-tag/low-text page is navigation, not prose). Pure
+    * per-row regexp pipeline — map-only at any corpus size.
+    */
+  def htmlStrip(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      htmlStripCol(col(textCol)).as("clean_text"),
+      regexp_count(col(textCol), lit(HtmlTagRe)).cast("long").as("n_tags"))
+
+  // ------------------------------------------------ blocklist word gate
+
+  /** C4-style blocklist gate (Raffel et al. 2020 kept only pages with
+    * zero "bad word" hits; the list itself is deployment-specific and
+    * passed in by the caller). Matching is word-exact on lowercased
+    * whitespace tokens — the published rule's granularity — so
+    * substring false-positives ("Scunthorpe") are structurally
+    * impossible. The list rides the closure as a literal array (these
+    * lists are hundreds of entries, KB-scale), keeping the whole gate a
+    * map-only codegen scan: per doc the token count, blocklist-hit
+    * count, and `kept` = zero hits.
+    */
+  def blocklistFlags(docs: DataFrame, textCol: String, idCol: String,
+                     blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val listCol = array(blocklist.map(w => lit(w.toLowerCase)): _*)
+    val toks = spaceTokens(lower(col(textCol)))
+    val hits = filter(toks, w => array_contains(listCol, w))
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_words"),
+      size(hits).cast("long").as("n_blocked"),
+      (size(hits) === 0).as("kept"))
+  }
+
   def repetitionStats(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol),
         graft.functions.GramStats.col(col(textCol), 1).as("__w"),
