@@ -291,6 +291,28 @@ object BenchScale {
                sum(col("n")))
           .head().getLong(0)
       },
+      timed("text_hygiene_scan") {
+        // the r10 text-hygiene trio at corpus scale — one map-only pass
+        // over 500k docs wrapped in planted markup: HTML strip, dedup-key
+        // normalization (native NormalizeText), and the blocklist gate,
+        // all inside a single scan. The aggregate touches every derived
+        // column so Catalyst cannot prune any stage out of the plan.
+        val marked = docs.select(col("doc_id"),
+          concat(lit("<html><body><h1>T "), col("doc_id"),
+            lit("</h1><p class=\"c\">"), col("text"),
+            lit(" &amp; tail</p></body></html>")).as("text"))
+        val stripped = TextAnalysis.htmlStrip(marked, "text", "doc_id")
+          .select(col("doc_id"),
+            graft.functions.NormalizeText.col(col("clean_text"))
+              .as("norm_text"),
+            col("n_tags"))
+        TextAnalysis
+          .blocklistFlags(stripped, "norm_text", Seq("zorblag", "quxnoise"))
+          .agg(sum(col("n_words") + col("n_blocked") + col("n_tags") +
+            length(col("norm_text")).cast("long")) +
+            count(when(col("kept"), 1)))
+          .head().getLong(0)
+      },
       timed("media_header_scan") {
         // the multimodal header decoders at corpus scale: construct a
         // REAL container blob per doc (format family cycling by id) and

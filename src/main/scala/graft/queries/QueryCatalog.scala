@@ -2118,8 +2118,9 @@ object QueryCatalog {
               .otherwise(lit("")),
             when(pmod(col("doc_id"), lit(13)) === 0, lit(" QuxNoise zorblag"))
               .otherwise(lit(""))).as("text"))
-        .transform(df => TextAnalysis.blocklistFlags(df, "text", "doc_id",
+        .transform(df => TextAnalysis.blocklistFlags(df, "text",
           Seq("zorblag", "QuxNoise")))
+        .select("doc_id", "n_words", "n_blocked", "kept")
         .orderBy("doc_id"),
       Some("""
       WITH planted AS (
@@ -2138,6 +2139,95 @@ object QueryCatalog {
         len(list_filter(words,
           x -> list_contains(['zorblag', 'quxnoise'], x))) = 0 AS kept
       FROM w ORDER BY doc_id""")),
+
+    // URL parsing + blocked-domain gate over deterministically planted
+    // URLs (the corpus has no URL column): the same RE2-subset regexes
+    // run verbatim in both engines — scheme/host/path extraction,
+    // userinfo/port strip, last-two-label registered domain, exact
+    // domain-blocklist match. Every 11th doc gets a blocked ad-tracker
+    // URL with userinfo+port+fragment to exercise every strip rule.
+    QueryDef("url_filter", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit("http://User@ads.SpamSite.net:8080/track/"),
+              col("doc_id"), lit("?x=1#f")))
+          .otherwise(
+            concat(lit("https://sub"), pmod(col("doc_id"), lit(5)),
+              lit(".Example"), pmod(col("doc_id"), lit(20)),
+              lit(".com/p/"), col("doc_id"), lit("/v?q=1"))).as("url"))
+        .transform(df => graft.text.Web.urlFlags(df, "url",
+          Seq("SpamSite.net")))
+        .select("doc_id", "scheme", "host", "domain", "url_path", "kept")
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0
+            THEN 'http://User@ads.SpamSite.net:8080/track/' || doc_id || '?x=1#f'
+            ELSE 'https://sub' || (doc_id % 5) || '.Example' || (doc_id % 20)
+                 || '.com/p/' || doc_id || '/v?q=1' END AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          lower(regexp_replace(regexp_replace(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '^[^@]*@', ''), ':[0-9]+$', '')) AS host,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+            AS url_path
+        FROM planted),
+      q AS (
+        SELECT doc_id, scheme, host, url_path,
+          CASE WHEN host LIKE '%.%'
+               THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+               ELSE host END AS domain
+        FROM p)
+      SELECT doc_id, scheme, host, domain, url_path,
+        NOT list_contains(['spamsite.net'], domain) AS kept
+      FROM q ORDER BY doc_id""")),
+
+    // Per-domain corpus profile over the same planted URLs: one shuffle
+    // on the registered domain (the natural per-domain-cap key), doc
+    // count + distinct-path count per domain, fully rederived in SQL.
+    QueryDef("domain_stats", (s, d) =>
+      graft.text.Web.domainStats(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(lit("http://User@ads.SpamSite.net:8080/track/"),
+                col("doc_id"), lit("?x=1#f")))
+            .otherwise(
+              concat(lit("https://sub"), pmod(col("doc_id"), lit(5)),
+                lit(".Example"), pmod(col("doc_id"), lit(20)),
+                lit(".com/p/"), col("doc_id"), lit("/v?q=1"))).as("url")),
+        "url")
+        .orderBy("domain"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 11 = 0
+            THEN 'http://User@ads.SpamSite.net:8080/track/' || doc_id || '?x=1#f'
+            ELSE 'https://sub' || (doc_id % 5) || '.Example' || (doc_id % 20)
+                 || '.com/p/' || doc_id || '/v?q=1' END AS url
+        FROM documents),
+      p AS (
+        SELECT doc_id,
+          lower(regexp_replace(regexp_replace(
+            regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+            '^[^@]*@', ''), ':[0-9]+$', '')) AS host,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+            AS url_path
+        FROM planted),
+      q AS (
+        SELECT doc_id, url_path,
+          CASE WHEN host LIKE '%.%'
+               THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+               ELSE host END AS domain
+        FROM p)
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT url_path) AS BIGINT) AS n_paths
+      FROM q GROUP BY domain ORDER BY domain""")),
 
     // The Brown-et-al Pareto quality lottery, cross-engine exact on a
     // PURE INTEGER substrate: the keep rule `q > 1 - pareto(u)` with

@@ -543,13 +543,15 @@ object TextAnalysis {
     * map-only codegen scan: per doc the token count, blocklist-hit
     * count, and `kept` = zero hits.
     */
-  def blocklistFlags(docs: DataFrame, textCol: String, idCol: String,
+  def blocklistFlags(docs: DataFrame, textCol: String,
                      blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "blocklist must be non-empty")
     val listCol = array(blocklist.map(w => lit(w.toLowerCase)): _*)
     val toks = spaceTokens(lower(col(textCol)))
     val hits = filter(toks, w => array_contains(listCol, w))
-    docs.select(col(idCol),
+    // input columns pass through: the gate composes with upstream
+    // annotation stages without a re-join
+    docs.select(col("*"),
       size(toks).cast("long").as("n_words"),
       size(hits).cast("long").as("n_blocked"),
       (size(hits) === 0).as("kept"))

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level curation for web-crawl corpora (C4 §2.2 / RefinedWeb §3.1
+  * shape: URL parsing, registered-domain extraction, and a blocked-domain
+  * gate run BEFORE any text is even fetched/decoded — the cheapest filter
+  * in the pipeline, so it goes first).
+  *
+  * All parsing is RE2-subset `regexp_extract`/`regexp_replace` over the
+  * URL string — pure codegen scan work, no UDF, no java.net.URI (whose
+  * parse failures throw and whose semantics DuckDB cannot replay). The
+  * same patterns run verbatim in the DuckDB oracle.
+  *
+  * At 100 TB: per-URL columns are map-only; per-domain aggregations
+  * (domain counts, per-domain caps via [[graft.ops.Sampling.clusterCapped]]
+  * keyed on `domain`) shuffle on the registered domain — the natural,
+  * low-cardinality key. Hot domains are exactly what
+  * [[graft.ops.Skew.skewAudit]] probes.
+  */
+object Web {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Lowercased scheme, or '' when the string has no scheme prefix. */
+  def scheme(url: Column): Column = lower(regexp_extract(url, SchemeRe, 1))
+
+  /** Lowercased host with any userinfo@ and :port stripped; '' on a
+    * scheme-less string.
+    */
+  def host(url: Column): Column =
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(url, HostRe, 1), "^[^@]*@", ""), ":[0-9]+$", ""))
+
+  /** Path component ('' when absent; query/fragment excluded). */
+  def path(url: Column): Column = regexp_extract(url, PathRe, 1)
+
+  /** Registered domain = the last two dot-labels of the host ("a.b.c.com"
+    * -> "c.com"); a single-label host (e.g. "localhost") is its own
+    * domain. Public-suffix-list awareness ("co.uk") is deliberately out
+    * of scope — the PSL is a versioned external artifact; callers who
+    * need it pass 3-label domains in their blocklists.
+    */
+  def registeredDomain(hostCol: Column): Column =
+    when(hostCol.rlike("\\."),
+      regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(hostCol)
+
+  /** Per-URL parse + blocked-domain gate. Input columns pass through
+    * (composes with annotation stages without a re-join); adds `scheme`,
+    * `host`, `domain`, `url_path`, and `kept` = domain not blocked.
+    * Blocklist matching is exact on the registered domain, lowercased —
+    * subdomains of a blocked domain are blocked (they share its
+    * registered domain), unrelated look-alikes ("notspamsite.net" vs
+    * "spamsite.net") are not.
+    */
+  def urlFlags(docs: DataFrame, urlCol: String,
+               blockedDomains: Seq[String]): DataFrame = {
+    val h = host(col(urlCol))
+    val dom = registeredDomain(h)
+    val blockCol =
+      if (blockedDomains.isEmpty) lit(true)
+      else !array_contains(
+        array(blockedDomains.map(d => lit(d.toLowerCase)): _*), dom)
+    docs.select(col("*"),
+      scheme(col(urlCol)).as("scheme"),
+      h.as("host"),
+      dom.as("domain"),
+      path(col(urlCol)).as("url_path"),
+      blockCol.as("kept"))
+  }
+
+  /** Per-domain corpus profile: doc count + distinct path count — the
+    * fan-in audit that decides which domains need a per-domain cap.
+    * One shuffle on the registered domain; map-side partial aggregation.
+    */
+  def domainStats(docs: DataFrame, urlCol: String): DataFrame =
+    urlFlags(docs, urlCol, Nil)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_path")).as("n_paths"))
+}

@@ -86,7 +86,8 @@ class NormalizeCleanSpec extends SparkSuite {
       (2L, "contains zorblag here"),
       (3L, "Zorblag ZORBLAG zorblag"), // case-insensitive, counted thrice
       (4L, "zorblagged is a different word")).toDF("doc_id", "text")
-    val out = TextAnalysis.blocklistFlags(docs, "text", "doc_id", Seq("Zorblag"))
+    val out = TextAnalysis.blocklistFlags(docs, "text", Seq("Zorblag"))
+      .select("doc_id", "n_words", "n_blocked", "kept")
       .as[(Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> ((r._3, r._4))).toMap
     assert(out(1L) === ((0L, true)))

@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Edge cases for the URL curation family the planted-URL oracles
+  * (url_filter, domain_stats) don't reach: scheme-less strings, bare
+  * hosts, deep subdomains, null propagation, and the subdomain-vs-
+  * look-alike blocklist distinction.
+  */
+class WebSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def flags(urls: (Long, String)*) =
+    Web.urlFlags(urls.toSeq.toDF("id", "url"), "url", Seq("blocked.com"))
+      .select("id", "scheme", "host", "domain", "url_path", "kept")
+      .as[(Long, String, String, String, String, Option[Boolean])]
+      .collect().map(r => r._1 -> r).toMap
+
+  test("parses scheme, host, domain, path; strips userinfo and port") {
+    val out = flags(
+      1L -> "https://Sub.Deep.Example.COM:443/a/b/c?q=1#frag",
+      2L -> "http://user:pw@blocked.com/x",
+      3L -> "ftp://files.example.org")
+    assert(out(1L) === ((1L, "https", "sub.deep.example.com", "example.com",
+      "/a/b/c", Some(true))))
+    assert(out(2L) === ((2L, "http", "blocked.com", "blocked.com", "/x",
+      Some(false))))
+    assert(out(3L) === ((3L, "ftp", "files.example.org", "example.org", "",
+      Some(true))))
+  }
+
+  test("subdomains of a blocked domain are blocked; look-alikes are not") {
+    val out = flags(
+      1L -> "http://ads.blocked.com/t",
+      2L -> "http://notblocked.com/t",
+      3L -> "http://blocked.com.evil.net/t") // registered domain evil.net
+    assert(out(1L)._6 === Some(false))
+    assert(out(2L)._6 === Some(true))
+    assert(out(3L)._6 === Some(true))
+  }
+
+  test("scheme-less strings and bare hosts degrade without throwing") {
+    val out = flags(
+      1L -> "no scheme at all",
+      2L -> "http://localhost:8080/health")
+    assert(out(1L)._2 === "" && out(1L)._3 === "" && out(1L)._5 === "")
+    assert(out(2L)._3 === "localhost" && out(2L)._4 === "localhost")
+  }
+
+  test("null url propagates null columns") {
+    val df = Seq((1L, Option.empty[String])).toDF("id", "url")
+    val row = Web.urlFlags(df, "url", Seq("blocked.com"))
+      .select("scheme", "host", "domain", "kept").collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("domainStats aggregates per registered domain") {
+    val df = Seq(
+      (1L, "http://a.x.com/p1"), (2L, "http://b.x.com/p2"),
+      (3L, "http://x.com/p1"), (4L, "http://y.org/p")).toDF("id", "url")
+    val out = Web.domainStats(df, "url")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("x.com") === ((3L, 2L)))
+    assert(out("y.org") === ((1L, 1L)))
+  }
+
+  test("urlFlags plan is map-only (no exchange before the gate)") {
+    val df = Seq((1L, "http://a.com/p")).toDF("id", "url")
+    val plan = Web.urlFlags(df, "url", Seq("b.com"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Exchange"), s"urlFlags must be map-only:\n$plan")
+  }
+}
