@@ -2229,6 +2229,65 @@ object QueryCatalog {
              CAST(count(DISTINCT url_path) AS BIGINT) AS n_paths
       FROM q GROUP BY domain ORDER BY domain""")),
 
+    // C4's remaining document-level rule — the three-sentence minimum —
+    // over planted terminal punctuation (the synthetic docs are mostly
+    // punctuation-free). Segmentation is the PORTABLE split-on-[.!?]+
+    // definition (RE2 has no lookbehind, so a lookbehind split could
+    // never be oracle-checked); abbreviation-naivety is identical in
+    // both engines by construction.
+    QueryDef("sentence_stats", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 50),
+            lit(". Second sentence here! Third one? "),
+            when(pmod(col("doc_id"), lit(3)) === 0, lit("Fourth sentence."))
+              .otherwise(lit(""))).as("text"))
+        .transform(df => TextAnalysis.sentenceStats(df, "text", "doc_id"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          substr(text, 1, 50) || '. Second sentence here! Third one? '
+          || CASE WHEN doc_id % 3 = 0 THEN 'Fourth sentence.' ELSE '' END AS text
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+            x -> trim(x)), x -> x <> '') AS sents
+        FROM planted)
+      SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+             len(sents) >= 3 AS ok_min_sentences
+      FROM s ORDER BY doc_id""")),
+
+    // Sentence explode with 0-based in-document index (the sentence-
+    // granularity feed for segment dedup): full relation rederived.
+    QueryDef("sentence_explode", (s, d) =>
+      TextAnalysis.explodeSentences(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              concat(substring(col("text"), 1, 50),
+                lit(". Second sentence here! Third one? "),
+                when(pmod(col("doc_id"), lit(3)) === 0, lit("Fourth sentence."))
+                  .otherwise(lit(""))).as("text")),
+          "text", "doc_id")
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"))
+        .orderBy("doc_id", "sent_idx"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          substr(text, 1, 50) || '. Second sentence here! Third one? '
+          || CASE WHEN doc_id % 3 = 0 THEN 'Fourth sentence.' ELSE '' END AS text
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+            x -> trim(x)), x -> x <> '') AS sents
+        FROM planted)
+      SELECT doc_id, i - 1 AS sent_idx, sents[i] AS sentence
+      FROM s, unnest(generate_series(1, len(sents))) AS u(i)
+      ORDER BY doc_id, sent_idx""")),
+
     // The Brown-et-al Pareto quality lottery, cross-engine exact on a
     // PURE INTEGER substrate: the keep rule `q > 1 - pareto(u)` with
     // q = k/100 (k = doc_id%100) and u = m/16^15 (m = md5 15-hex-digit

@@ -531,6 +531,40 @@ object TextAnalysis {
       htmlStripCol(col(textCol)).as("clean_text"),
       regexp_count(col(textCol), lit(HtmlTagRe)).cast("long").as("n_tags"))
 
+  // ------------------------------------------------ sentence segmentation
+
+  /** Portable sentence segmentation: split on terminal-punctuation runs
+    * ([.!?]+), trim each segment, drop blanks. Deliberately NOT a
+    * lookbehind split (RE2 — and thus any RE2-based oracle engine — has
+    * no lookbehind) and deliberately abbreviation-naive: "e.g." counts
+    * two boundaries in EVERY engine identically, which is what a
+    * cross-engine-exact gate needs. Linguistic sentence precision is not
+    * the point — C4's three-sentence rule is a coarse prose-vs-fragment
+    * gate.
+    */
+  def sentencesCol(text: Column): Column =
+    filter(transform(split(text, "[.!?]+"), s => trim(s)), s => s =!= "")
+
+  /** C4 §2.2 document gate: `n_sentences` + `ok_min_sentences`
+    * (>= minSentences, default 3 — the published rule). Map-only.
+    */
+  def sentenceStats(docs: DataFrame, textCol: String, idCol: String,
+                    minSentences: Int = 3): DataFrame = {
+    val sents = sentencesCol(col(textCol))
+    docs.select(col(idCol),
+      coalesce(size(sents), lit(0)).cast("long").as("n_sentences"),
+      (coalesce(size(sents), lit(0)) >= minSentences).as("ok_min_sentences"))
+  }
+
+  /** One row per sentence with its 0-based in-document index — the
+    * sentence-granularity feed for segment-level dedup and citation
+    * span work. NULL/blank docs yield no rows (join back to the doc
+    * table for the one-row-per-doc contract).
+    */
+  def explodeSentences(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(sentencesCol(col(textCol))).as(Seq("sent_idx", "sentence")))
+
   // ------------------------------------------------ blocklist word gate
 
   /** C4-style blocklist gate (Raffel et al. 2020 kept only pages with

@@ -80,6 +80,25 @@ class NormalizeCleanSpec extends SparkSuite {
     assert(out(1L)._2 === 2L) // <p> and </p>
   }
 
+  test("sentence segmentation: portable split, blanks dropped, C4 gate") {
+    val docs = Seq(
+      (1L, "One. Two! Three?"),
+      (2L, "Only one sentence"),
+      (3L, "Trailing... dots. "),
+      (4L, "")).toDF("doc_id", "text")
+    val stats = TextAnalysis.sentenceStats(docs, "text", "doc_id")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats(1L) === ((3L, true)))
+    assert(stats(2L) === ((1L, false)))
+    assert(stats(3L) === ((2L, false))) // "Trailing" + "dots"; blank dropped
+    assert(stats(4L) === ((0L, false)))
+    val ex = TextAnalysis.explodeSentences(docs, "text", "doc_id")
+      .as[(Long, Int, String)].collect()
+    assert(ex.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq ===
+      Seq("One", "Two", "Three"))
+    assert(!ex.exists(_._1 == 4L)) // blank doc explodes to no rows
+  }
+
   test("blocklistFlags is word-exact: no substring false positives") {
     val docs = Seq(
       (1L, "totally fine text"),
