@@ -147,6 +147,95 @@ object TrainingDataPipeline {
       curate(docs, textCol, idCol, cfg).filter(col("keep")).select(idCol),
       Seq(idCol), "left_semi")
 
+  /** Raw web-crawl front end: the r10 hygiene gates composed BEFORE the
+    * standard curation, cheapest first — (1) blocked-domain URL gate
+    * (decided from the URL string alone), (2) HTML strip, then over the
+    * STRIPPED text (3) blocklist word gate, (4) C4 minimum-sentence
+    * gate, and finally [[curate]]'s language/quality/length/repetition/
+    * dedup stages. Stripping before dedup matters: two crawls of the
+    * same page with different markup are exact duplicates only after
+    * the tags are gone.
+    *
+    * One row per input document, same output contract as [[curate]];
+    * drop-reason precedence follows execution order — `blocked_domain`,
+    * `blocked_word`, `too_few_sentences`, then curate's own reasons.
+    * Docs dropped by a web gate never enter curate, so their
+    * lang/quality/token columns are NULL (nothing was computed — the
+    * audit shows exactly how far each doc got). NULL text/url rows fall
+    * through the web gates to curate's own null handling.
+    *
+    * All three web gates are pure column expressions riding one
+    * map-only scan; the only added shuffle vs [[curate]] is the final
+    * id-keyed decision join.
+    */
+  def curateWeb(docs: DataFrame, textCol: String, idCol: String,
+                urlCol: Option[String] = None,
+                blockedDomains: Seq[String] = Nil,
+                wordBlocklist: Seq[String] = Nil,
+                minSentences: Int = 0,
+                cfg: Config = Config()): DataFrame = {
+    val urlOk = (urlCol, blockedDomains) match {
+      case (Some(u), bd) if bd.nonEmpty =>
+        coalesce(!array_contains(
+          array(bd.map(dd => lit(dd.toLowerCase)): _*),
+          graft.text.Web.registeredDomain(graft.text.Web.host(col(u)))),
+          lit(true))
+      case _ => lit(true)
+    }
+    val clean = TextAnalysis.htmlStripCol(col(textCol))
+    val wordsOk =
+      if (wordBlocklist.isEmpty) lit(true)
+      else {
+        val toks = TextAnalysis.spaceTokens(lower(clean))
+        coalesce(size(filter(toks, w => array_contains(
+          array(wordBlocklist.map(w0 => lit(w0.toLowerCase)): _*), w))) === 0,
+          lit(true))
+      }
+    val sentOk =
+      if (minSentences <= 0) lit(true)
+      else coalesce(
+        size(TextAnalysis.sentencesCol(clean)) >= minSentences, lit(true))
+    // checkpoint: feeds both the curate input and the final decision
+    // join (same lineage-truncation argument as curate's own stages)
+    val gated = docs.select(col(idCol),
+        urlOk.as("__url_ok"), wordsOk.as("__words_ok"), sentOk.as("__sent_ok"),
+        clean.as("__clean_text"))
+      .localCheckpoint()
+    val pre = gated
+      .filter(col("__url_ok") && col("__words_ok") && col("__sent_ok"))
+      .select(col(idCol), col("__clean_text").as(textCol))
+    val decisions = curate(pre, textCol, idCol, cfg)
+      .withColumnRenamed("drop_reason", "__c_reason")
+      .drop("keep")
+    gated.join(decisions, Seq(idCol), "left")
+      .withColumn("drop_reason",
+        when(!col("__url_ok"), "blocked_domain")
+          .when(!col("__words_ok"), "blocked_word")
+          .when(!col("__sent_ok"), "too_few_sentences")
+          .otherwise(col("__c_reason")))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("n_ws_tokens"), col("keep"), col("drop_reason"))
+  }
+
+  /** The cleaned web corpus: [[curateWeb]] survivors carrying their
+    * STRIPPED text (the strip recomputes on the survivor set — map-only
+    * scan work, cheaper than materializing every pre-gate doc's clean
+    * text through the decision join).
+    */
+  def cleanWebCorpus(docs: DataFrame, textCol: String, idCol: String,
+                     urlCol: Option[String] = None,
+                     blockedDomains: Seq[String] = Nil,
+                     wordBlocklist: Seq[String] = Nil,
+                     minSentences: Int = 0,
+                     cfg: Config = Config()): DataFrame =
+    docs.select(col(idCol),
+        TextAnalysis.htmlStripCol(col(textCol)).as(textCol))
+      .join(curateWeb(docs, textCol, idCol, urlCol, blockedDomains,
+          wordBlocklist, minSentences, cfg)
+        .filter(col("keep")).select(idCol),
+        Seq(idCol), "left_semi")
+
   /** C4 pre-cleaning as a pipeline stage (the production ordering: line
     * cleaning BEFORE curation, so quality scores, shingles, and dedup
     * keys are computed over the text a model would actually train on).
