@@ -2229,6 +2229,79 @@ object QueryCatalog {
              CAST(count(DISTINCT url_path) AS BIGINT) AS n_paths
       FROM q GROUP BY domain ORDER BY domain""")),
 
+    // URL canonicalization for fetch-list dedup (the cheapest dedup of
+    // all — no text needed): planted URLs carry uppercase scheme/host,
+    // scheme-default ports, userinfo, tracking params, and fragments;
+    // the oracle REDERIVES the expected canonical arithmetically from
+    // doc_id (independent rederivation, not the same regex chain run
+    // twice — the strongest oracle shape, like multimodal_dims). Docs in
+    // the %4==0 and %4==2 families canonicalize onto the SAME URL
+    // whenever their (mod 10, 7, 5) residues agree, so the dedup payoff
+    // is exercised, not just the string rewrite.
+    QueryDef("url_canonical", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(10)),
+              lit(".COM:443/Path/"), pmod(col("doc_id"), lit(7)),
+              lit("?utm_source=x&id="), pmod(col("doc_id"), lit(5)),
+              lit("&utm_campaign=y#frag")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit("http://user@site"), pmod(col("doc_id"), lit(10)),
+              lit(".org:80/a?fbclid=abc")))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            concat(lit("https://www.example"), pmod(col("doc_id"), lit(10)),
+              lit(".com/Path/"), pmod(col("doc_id"), lit(7)),
+              lit("?id="), pmod(col("doc_id"), lit(5))))
+          .otherwise(concat(lit("not a url "), col("doc_id"))).as("url"))
+        .select(col("doc_id"),
+          graft.text.Web.canonicalUrl(col("url")).as("canonical_url"))
+        .orderBy("doc_id"),
+      Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 IN (0, 2)
+               THEN 'https://www.example' || (doc_id % 10) || '.com/Path/'
+                    || (doc_id % 7) || '?id=' || (doc_id % 5)
+             WHEN doc_id % 4 = 1 THEN 'http://site' || (doc_id % 10) || '.org/a'
+             ELSE 'not a url ' || doc_id END AS canonical_url
+      FROM documents ORDER BY doc_id""")),
+
+    // Canonical-URL dedup groups over the same planted fetch list:
+    // min-id survivor per canonical, groups >1 only — the %4==0/%4==2
+    // collision families rederived arithmetically in DuckDB.
+    QueryDef("url_dedup", (s, d) =>
+      graft.text.Web.urlDedupGroups(
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(10)),
+                lit(".COM:443/Path/"), pmod(col("doc_id"), lit(7)),
+                lit("?utm_source=x&id="), pmod(col("doc_id"), lit(5)),
+                lit("&utm_campaign=y#frag")))
+            .when(pmod(col("doc_id"), lit(4)) === 1,
+              concat(lit("http://user@site"), pmod(col("doc_id"), lit(10)),
+                lit(".org:80/a?fbclid=abc")))
+            .when(pmod(col("doc_id"), lit(4)) === 2,
+              concat(lit("https://www.example"), pmod(col("doc_id"), lit(10)),
+                lit(".com/Path/"), pmod(col("doc_id"), lit(7)),
+                lit("?id="), pmod(col("doc_id"), lit(5))))
+            .otherwise(concat(lit("not a url "), col("doc_id"))).as("url")),
+        "url", "doc_id")
+        .orderBy("canonical_url"),
+      Some("""
+      WITH c AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 IN (0, 2)
+                 THEN 'https://www.example' || (doc_id % 10) || '.com/Path/'
+                      || (doc_id % 7) || '?id=' || (doc_id % 5)
+               WHEN doc_id % 4 = 1 THEN 'http://site' || (doc_id % 10) || '.org/a'
+               ELSE 'not a url ' || doc_id END AS canonical_url
+        FROM documents)
+      SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,
+             min(doc_id) AS keep_id
+      FROM c GROUP BY canonical_url HAVING count(*) > 1
+      ORDER BY canonical_url""")),
+
     // C4's remaining document-level rule — the three-sentence minimum —
     // over planted terminal punctuation (the synthetic docs are mostly
     // punctuation-free). Segmentation is the PORTABLE split-on-[.!?]+

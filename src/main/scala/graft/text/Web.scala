@@ -82,4 +82,43 @@ object Web {
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url_path")).as("n_paths"))
+
+  /** Canonical URL for exact URL-level dedup — the cheapest dedup in a
+    * crawl pipeline (no text needed, run at fetch-list time): lowercased
+    * scheme and host, userinfo and scheme-default port (:80 http /
+    * :443 https) stripped, fragment dropped, tracking query parameters
+    * (utm_*, fbclid, gclid) removed with the remaining parameters kept
+    * in their original order, and the bare '?' dropped when nothing
+    * survives. Path case and non-default ports are preserved (they are
+    * semantic); www-stripping is deliberately NOT done (lossy
+    * heuristic). A string with no scheme passes through unchanged.
+    * Pure regexp/array expressions — map-only, oracle-portable.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val sch = scheme(url)
+    val hostPort = lower(regexp_replace(
+      regexp_extract(url, HostRe, 1), "^[^@]*@", ""))
+    val h = when(sch === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(sch === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val p = path(url)
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = array_join(
+      filter(split(q, "&"), kv =>
+        !kv.rlike("^(?i)(utm_[a-z0-9_]*|fbclid|gclid)=") && kv =!= ""), "&")
+    when(sch === "", url).otherwise(
+      concat(sch, lit("://"), h, p,
+        when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams))))
+  }
+
+  /** Canonical-URL dedup groups: (canonical_url, n_copies, keep_id) for
+    * every URL appearing more than once after canonicalization —
+    * min-id survivor, one shuffle on the canonical key. Anti-join the
+    * non-survivors out of the fetch list before any byte is fetched.
+    */
+  def urlDedupGroups(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), canonicalUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_copies") > 1)
 }

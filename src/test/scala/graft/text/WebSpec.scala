@@ -66,6 +66,32 @@ class WebSpec extends SparkSuite {
     assert(out("y.org") === ((1L, 1L)))
   }
 
+  test("canonicalUrl: ports, params, fragments, case, passthrough") {
+    val df = Seq(
+      1L -> "HTTPS://Host.COM:443/Keep/Case?utm_source=a&x=1&gclid=z&y=2#f",
+      2L -> "http://u:p@a.com:80/p",
+      3L -> "https://a.com:8443/p", // non-default port preserved
+      4L -> "https://a.com/p?utm_a=1&UTM_B=2", // all params tracked: no '?'
+      5L -> "no scheme here").toDF("id", "url")
+    val out = df.select(col("id"), Web.canonicalUrl(col("url")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "https://host.com/Keep/Case?x=1&y=2")
+    assert(out(2L) === "http://a.com/p")
+    assert(out(3L) === "https://a.com:8443/p")
+    assert(out(4L) === "https://a.com/p")
+    assert(out(5L) === "no scheme here")
+  }
+
+  test("urlDedupGroups: min-id survivor, singletons excluded") {
+    val df = Seq(
+      (1L, "https://A.com/x?utm_s=1"),
+      (2L, "https://a.com:443/x"),
+      (3L, "https://a.com/y")).toDF("id", "url")
+    val out = Web.urlDedupGroups(df, "url", "id")
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq === Seq(("https://a.com/x", 2L, 1L)))
+  }
+
   test("urlFlags plan is map-only (no exchange before the gate)") {
     val df = Seq((1L, "http://a.com/p")).toDF("id", "url")
     val plan = Web.urlFlags(df, "url", Seq("b.com"))
