@@ -2229,6 +2229,57 @@ object QueryCatalog {
              CAST(count(DISTINCT url_path) AS BIGINT) AS n_paths
       FROM q GROUP BY domain ORDER BY domain""")),
 
+    // Markdown-to-prose strip over planted markdown (htmlStrip's
+    // companion for docs/wiki corpora): both engines run the same
+    // RE2-subset chain; only the link backreference differs in SPELLING
+    // (Spark '$1' vs RE2 '\1' replacement syntax — same semantics).
+    QueryDef("markdown_strip", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("# Title "), pmod(col("doc_id"), lit(5)), lit("\n"),
+            lit("> quoted words\n"),
+            lit("- bullet **bold** and *ital*\n"),
+            lit("See [docs "), pmod(col("doc_id"), lit(3)),
+            lit("](https://e.com/"), col("doc_id"),
+            lit(") and ![logo](x.png)\n"),
+            lit("```scala\n"),
+            lit("code keeps "), pmod(col("doc_id"), lit(7)), lit("\n"),
+            lit("```\n"),
+            substring(col("text"), 1, 40)).as("text"))
+        .transform(df => TextAnalysis.markdownStrip(df, "text", "doc_id"))
+        .orderBy("doc_id"),
+      Some("""
+      WITH planted AS (
+        SELECT doc_id,
+          '# Title ' || (doc_id % 5) || chr(10)
+          || '> quoted words' || chr(10)
+          || '- bullet **bold** and *ital*' || chr(10)
+          || 'See [docs ' || (doc_id % 3) || '](https://e.com/' || doc_id
+          || ') and ![logo](x.png)' || chr(10)
+          || '```scala' || chr(10) || 'code keeps ' || (doc_id % 7) || chr(10)
+          || '```' || chr(10) || substr(text, 1, 40) AS text
+        FROM documents),
+      c AS (
+        SELECT doc_id, text,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '!\[[^\]]*\]\([^)]*\)', ' ', 'g'),
+            '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+            '(?m)^```[^\n]*$', ' ', 'g'),
+            '(?m)^#{1,6} *', '', 'g'),
+            '(?m)^> ?', '', 'g'),
+            '(?m)^[-*+] +', '', 'g'),
+            '\*+', '', 'g'),
+            '`+', '', 'g') AS stripped
+        FROM planted)
+      SELECT doc_id,
+        trim(regexp_replace(stripped, '[ \t\n\r]+', ' ', 'g')) AS clean_text,
+        CAST(len(regexp_extract_all(text, '\[[^\]]*\]\([^)]*\)')) AS BIGINT)
+          AS n_links,
+        CAST(len(regexp_extract_all(text, '!\[[^\]]*\]\([^)]*\)')) AS BIGINT)
+          AS n_images
+      FROM c ORDER BY doc_id""")),
+
     // URL canonicalization for fetch-list dedup (the cheapest dedup of
     // all — no text needed): planted URLs carry uppercase scheme/host,
     // scheme-default ports, userinfo, tracking params, and fragments;

@@ -531,6 +531,42 @@ object TextAnalysis {
       htmlStripCol(col(textCol)).as("clean_text"),
       regexp_count(col(textCol), lit(HtmlTagRe)).cast("long").as("n_tags"))
 
+  // ------------------------------------------------- markdown strip
+
+  /** Markdown-to-prose normalization (the htmlStrip companion for
+    * docs/wiki/code-adjacent corpora, run before prose quality gates):
+    * images dropped, links keep their anchor text, fence marker lines
+    * dropped (fenced CONTENT is kept — it is corpus text), header /
+    * blockquote / bullet line prefixes stripped, emphasis asterisks and
+    * backticks removed (underscores are deliberately left alone —
+    * snake_case identifiers are content), whitespace normalized.
+    * RE2-subset patterns; the only construct needing engine-specific
+    * spelling is the link backreference (Spark `$1` vs RE2/DuckDB `\1`
+    * replacement syntax — same semantics, per-engine literal).
+    * Pure codegen regexp chain — map-only at any corpus size.
+    */
+  def markdownStripCol(text: Column): Column = {
+    val noImages = regexp_replace(text, "!\\[[^\\]]*\\]\\([^)]*\\)", " ")
+    val links = regexp_replace(noImages, "\\[([^\\]]*)\\]\\(([^)]*)\\)", "$1")
+    val noFences = regexp_replace(links, "(?m)^```[^\\n]*$", " ")
+    val noHeaders = regexp_replace(noFences, "(?m)^#{1,6} *", "")
+    val noQuotes = regexp_replace(noHeaders, "(?m)^> ?", "")
+    val noBullets = regexp_replace(noQuotes, "(?m)^[-*+] +", "")
+    val noEmph = regexp_replace(regexp_replace(noBullets, "\\*+", ""), "`+", "")
+    trim(regexp_replace(noEmph, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Per-document markdown strip report: the normalized prose plus the
+    * link/image counts (a high-link/low-text doc is navigation).
+    */
+  def markdownStrip(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      markdownStripCol(col(textCol)).as("clean_text"),
+      regexp_count(col(textCol), lit("\\[[^\\]]*\\]\\([^)]*\\)"))
+        .cast("long").as("n_links"),
+      regexp_count(col(textCol), lit("!\\[[^\\]]*\\]\\([^)]*\\)"))
+        .cast("long").as("n_images"))
+
   // ------------------------------------------------ sentence segmentation
 
   /** Portable sentence segmentation: split on terminal-punctuation runs

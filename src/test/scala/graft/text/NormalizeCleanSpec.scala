@@ -80,6 +80,23 @@ class NormalizeCleanSpec extends SparkSuite {
     assert(out(1L)._2 === 2L) // <p> and </p>
   }
 
+  test("markdownStrip: links keep text, images drop, fences keep content") {
+    val docs = Seq(
+      (1L, "# H1\nSee [the docs](http://e.com) now"),
+      (2L, "![alt](img.png) stays? no"),
+      (3L, "```py\nx = 1\n```\nafter"),
+      (4L, "- a\n- b **bold** `code`"),
+      (5L, "plain snake_case text")).toDF("doc_id", "text")
+    val out = TextAnalysis.markdownStrip(docs, "text", "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("H1 See the docs now", 1L, 0L)))
+    assert(out(2L) === (("stays? no", 1L, 1L))) // image counts as a link too
+    assert(out(3L)._1 === "x = 1 after") // fence markers gone, content kept
+    assert(out(4L)._1 === "a b bold code")
+    assert(out(5L)._1 === "plain snake_case text") // underscores untouched
+  }
+
   test("sentence segmentation: portable split, blanks dropped, C4 gate") {
     val docs = Seq(
       (1L, "One. Two! Three?"),
