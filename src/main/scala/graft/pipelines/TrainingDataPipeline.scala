@@ -168,21 +168,25 @@ object TrainingDataPipeline {
     * map-only scan; the only added shuffle vs [[curate]] is the final
     * id-keyed decision join.
     */
-  def curateWeb(docs: DataFrame, textCol: String, idCol: String,
-                urlCol: Option[String] = None,
-                blockedDomains: Seq[String] = Nil,
-                wordBlocklist: Seq[String] = Nil,
-                minSentences: Int = 0,
-                cfg: Config = Config()): DataFrame = {
-    val urlOk = (urlCol, blockedDomains) match {
+  /** The web-gate expressions shared VERBATIM by [[curateWeb]] (batch)
+    * and [[curateStreamWeb]] (streaming) — pure per-row columns, so
+    * batch/stream parity is structural, not re-derived. Returns
+    * (urlOk, wordsOk, sentOk, strippedText); NULL text/url coalesce to
+    * gate-pass so such rows fall through to curate's own null handling.
+    */
+  private def webGateExprs(text: Column, url: Option[Column],
+                           blockedDomains: Seq[String],
+                           wordBlocklist: Seq[String],
+                           minSentences: Int): (Column, Column, Column, Column) = {
+    val urlOk = (url, blockedDomains) match {
       case (Some(u), bd) if bd.nonEmpty =>
         coalesce(!array_contains(
           array(bd.map(dd => lit(dd.toLowerCase)): _*),
-          graft.text.Web.registeredDomain(graft.text.Web.host(col(u)))),
+          graft.text.Web.registeredDomain(graft.text.Web.host(u))),
           lit(true))
       case _ => lit(true)
     }
-    val clean = TextAnalysis.htmlStripCol(col(textCol))
+    val clean = TextAnalysis.htmlStripCol(text)
     val wordsOk =
       if (wordBlocklist.isEmpty) lit(true)
       else {
@@ -195,6 +199,18 @@ object TrainingDataPipeline {
       if (minSentences <= 0) lit(true)
       else coalesce(
         size(TextAnalysis.sentencesCol(clean)) >= minSentences, lit(true))
+    (urlOk, wordsOk, sentOk, clean)
+  }
+
+  def curateWeb(docs: DataFrame, textCol: String, idCol: String,
+                urlCol: Option[String] = None,
+                blockedDomains: Seq[String] = Nil,
+                wordBlocklist: Seq[String] = Nil,
+                minSentences: Int = 0,
+                cfg: Config = Config()): DataFrame = {
+    val (urlOk, wordsOk, sentOk, clean) = webGateExprs(
+      col(textCol), urlCol.map(col), blockedDomains, wordBlocklist,
+      minSentences)
     // checkpoint: feeds both the curate input and the final decision
     // join (same lineage-truncation argument as curate's own stages)
     val gated = docs.select(col(idCol),
@@ -590,6 +606,31 @@ object TrainingDataPipeline {
     * Spark contract). Exposed so parity checks and batch backfills can
     * share the exact gate expressions instead of re-deriving them.
     */
+  /** Streaming twin of [[curateWeb]]'s web gates: blocked-domain,
+    * blocklist, and sentence gates plus the HTML strip are pure per-row
+    * expressions (the SAME [[webGateExprs]] columns as the batch path,
+    * so parity is structural), applied ahead of [[curateStream]]'s own
+    * gates and within-watermark dedup. As in batch, the stream's text
+    * is REPLACED by the stripped text before curation — so the
+    * content-hash dedup collapses markup variants of one page, and
+    * every downstream annotation sees prose, not tags.
+    */
+  def curateStreamWeb(stream: DataFrame, textCol: String, idCol: String,
+                      tsCol: String,
+                      urlCol: Option[String] = None,
+                      blockedDomains: Seq[String] = Nil,
+                      wordBlocklist: Seq[String] = Nil,
+                      minSentences: Int = 0,
+                      watermark: String = "10 minutes",
+                      cfg: Config = Config()): DataFrame = {
+    val (urlOk, wordsOk, sentOk, clean) = webGateExprs(
+      col(textCol), urlCol.map(col), blockedDomains, wordBlocklist,
+      minSentences)
+    curateStream(
+      stream.filter(urlOk && wordsOk && sentOk).withColumn(textCol, clean),
+      textCol, idCol, tsCol, watermark, cfg)
+  }
+
   def curateStreamGates(stream: DataFrame, textCol: String, idCol: String,
                         tsCol: String, cfg: Config = Config()): DataFrame =
     stream.select(col(idCol), col(textCol), col(tsCol),

@@ -79,6 +79,38 @@ class CurateWebSpec extends SparkSuite {
       .contains(out.head._2.orNull))
   }
 
+  test("curateStreamWeb: stream decisions match the batch web gates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)](spark)
+    val stream = input.toDF().toDF("doc_id", "text", "url", "ts")
+    val query = TrainingDataPipeline.curateStreamWeb(
+        stream, "text", "doc_id", "ts",
+        urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+        wordBlocklist = Seq("zorblag"), minSentences = 2,
+        watermark = "10 seconds", cfg = cfg)
+      .writeStream.format("memory").queryName("csw")
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData(fixture.select("doc_id", "text", "url")
+      .as[(Long, String, String)].collect().toSeq
+      .map(r => (r._1, r._2, r._3, t(r._1))): _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamKept = spark.table("csw").select("doc_id").as[Long]
+      .collect().toSet
+    // batch parity modulo the near-dup stage (streaming has none; the
+    // fixture's only dup pair is an EXACT dup after stripping, which
+    // the within-watermark content-hash dedup does catch — doc 1 wins
+    // arrival order, matching batch's min-id survivor here)
+    val batchKept = TrainingDataPipeline.curateWeb(
+        fixture, "text", "doc_id",
+        urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+        wordBlocklist = Seq("zorblag"), minSentences = 2, cfg = cfg)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(streamKept === batchKept)
+  }
+
   test("cleanWebCorpus carries the stripped text of survivors") {
     val kept = TrainingDataPipeline.cleanWebCorpus(
       fixture, "text", "doc_id",
