@@ -2150,23 +2150,23 @@ object QueryCatalog {
       t(s, d, "documents")
         .select(col("doc_id"),
           when(pmod(col("doc_id"), lit(11)) === 0,
-            concat(lit("http://User@ads.SpamSite.net:8080/track/"),
+            concat(lit("http://User@ads.SpamSite.test:8080/track/"),
               col("doc_id"), lit("?x=1#f")))
           .otherwise(
             concat(lit("https://sub"), pmod(col("doc_id"), lit(5)),
               lit(".Example"), pmod(col("doc_id"), lit(20)),
-              lit(".com/p/"), col("doc_id"), lit("/v?q=1"))).as("url"))
+              lit(".test/p/"), col("doc_id"), lit("/v?q=1"))).as("url"))
         .transform(df => graft.text.Web.urlFlags(df, "url",
-          Seq("SpamSite.net")))
+          Seq("SpamSite.test")))
         .select("doc_id", "scheme", "host", "domain", "url_path", "kept")
         .orderBy("doc_id"),
       Some("""
       WITH planted AS (
         SELECT doc_id,
           CASE WHEN doc_id % 11 = 0
-            THEN 'http://User@ads.SpamSite.net:8080/track/' || doc_id || '?x=1#f'
+            THEN 'http://User@ads.SpamSite.test:8080/track/' || doc_id || '?x=1#f'
             ELSE 'https://sub' || (doc_id % 5) || '.Example' || (doc_id % 20)
-                 || '.com/p/' || doc_id || '/v?q=1' END AS url
+                 || '.test/p/' || doc_id || '/v?q=1' END AS url
         FROM documents),
       p AS (
         SELECT doc_id,
@@ -2184,7 +2184,7 @@ object QueryCatalog {
                ELSE host END AS domain
         FROM p)
       SELECT doc_id, scheme, host, domain, url_path,
-        NOT list_contains(['spamsite.net'], domain) AS kept
+        NOT list_contains(['spamsite.test'], domain) AS kept
       FROM q ORDER BY doc_id""")),
 
     // Per-domain corpus profile over the same planted URLs: one shuffle
@@ -2195,21 +2195,21 @@ object QueryCatalog {
         t(s, d, "documents")
           .select(col("doc_id"),
             when(pmod(col("doc_id"), lit(11)) === 0,
-              concat(lit("http://User@ads.SpamSite.net:8080/track/"),
+              concat(lit("http://User@ads.SpamSite.test:8080/track/"),
                 col("doc_id"), lit("?x=1#f")))
             .otherwise(
               concat(lit("https://sub"), pmod(col("doc_id"), lit(5)),
                 lit(".Example"), pmod(col("doc_id"), lit(20)),
-                lit(".com/p/"), col("doc_id"), lit("/v?q=1"))).as("url")),
+                lit(".test/p/"), col("doc_id"), lit("/v?q=1"))).as("url")),
         "url")
         .orderBy("domain"),
       Some("""
       WITH planted AS (
         SELECT doc_id,
           CASE WHEN doc_id % 11 = 0
-            THEN 'http://User@ads.SpamSite.net:8080/track/' || doc_id || '?x=1#f'
+            THEN 'http://User@ads.SpamSite.test:8080/track/' || doc_id || '?x=1#f'
             ELSE 'https://sub' || (doc_id % 5) || '.Example' || (doc_id % 20)
-                 || '.com/p/' || doc_id || '/v?q=1' END AS url
+                 || '.test/p/' || doc_id || '/v?q=1' END AS url
         FROM documents),
       p AS (
         SELECT doc_id,
@@ -2240,7 +2240,7 @@ object QueryCatalog {
             lit("> quoted words\n"),
             lit("- bullet **bold** and *ital*\n"),
             lit("See [docs "), pmod(col("doc_id"), lit(3)),
-            lit("](https://e.com/"), col("doc_id"),
+            lit("](https://docs.example/"), col("doc_id"),
             lit(") and ![logo](x.png)\n"),
             lit("```scala\n"),
             lit("code keeps "), pmod(col("doc_id"), lit(7)), lit("\n"),
@@ -2254,7 +2254,7 @@ object QueryCatalog {
           '# Title ' || (doc_id % 5) || chr(10)
           || '> quoted words' || chr(10)
           || '- bullet **bold** and *ital*' || chr(10)
-          || 'See [docs ' || (doc_id % 3) || '](https://e.com/' || doc_id
+          || 'See [docs ' || (doc_id % 3) || '](https://docs.example/' || doc_id
           || ') and ![logo](x.png)' || chr(10)
           || '```scala' || chr(10) || 'code keeps ' || (doc_id % 7) || chr(10)
           || '```' || chr(10) || substr(text, 1, 40) AS text
@@ -2294,15 +2294,15 @@ object QueryCatalog {
         .select(col("doc_id"),
           when(pmod(col("doc_id"), lit(4)) === 0,
             concat(lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(10)),
-              lit(".COM:443/Path/"), pmod(col("doc_id"), lit(7)),
+              lit(".TEST:443/Path/"), pmod(col("doc_id"), lit(7)),
               lit("?utm_source=x&id="), pmod(col("doc_id"), lit(5)),
               lit("&utm_campaign=y#frag")))
           .when(pmod(col("doc_id"), lit(4)) === 1,
-            concat(lit("http://user@site"), pmod(col("doc_id"), lit(10)),
-              lit(".org:80/a?fbclid=abc")))
+            concat(lit("http://user@host"), pmod(col("doc_id"), lit(10)),
+              lit(".example:80/a?fbclid=abc")))
           .when(pmod(col("doc_id"), lit(4)) === 2,
             concat(lit("https://www.example"), pmod(col("doc_id"), lit(10)),
-              lit(".com/Path/"), pmod(col("doc_id"), lit(7)),
+              lit(".test/Path/"), pmod(col("doc_id"), lit(7)),
               lit("?id="), pmod(col("doc_id"), lit(5))))
           .otherwise(concat(lit("not a url "), col("doc_id"))).as("url"))
         .select(col("doc_id"),
@@ -2311,9 +2311,9 @@ object QueryCatalog {
       Some("""
       SELECT doc_id,
         CASE WHEN doc_id % 4 IN (0, 2)
-               THEN 'https://www.example' || (doc_id % 10) || '.com/Path/'
+               THEN 'https://www.example' || (doc_id % 10) || '.test/Path/'
                     || (doc_id % 7) || '?id=' || (doc_id % 5)
-             WHEN doc_id % 4 = 1 THEN 'http://site' || (doc_id % 10) || '.org/a'
+             WHEN doc_id % 4 = 1 THEN 'http://host' || (doc_id % 10) || '.example/a'
              ELSE 'not a url ' || doc_id END AS canonical_url
       FROM documents ORDER BY doc_id""")),
 
@@ -2326,15 +2326,15 @@ object QueryCatalog {
           .select(col("doc_id"),
             when(pmod(col("doc_id"), lit(4)) === 0,
               concat(lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(10)),
-                lit(".COM:443/Path/"), pmod(col("doc_id"), lit(7)),
+                lit(".TEST:443/Path/"), pmod(col("doc_id"), lit(7)),
                 lit("?utm_source=x&id="), pmod(col("doc_id"), lit(5)),
                 lit("&utm_campaign=y#frag")))
             .when(pmod(col("doc_id"), lit(4)) === 1,
-              concat(lit("http://user@site"), pmod(col("doc_id"), lit(10)),
-                lit(".org:80/a?fbclid=abc")))
+              concat(lit("http://user@host"), pmod(col("doc_id"), lit(10)),
+                lit(".example:80/a?fbclid=abc")))
             .when(pmod(col("doc_id"), lit(4)) === 2,
               concat(lit("https://www.example"), pmod(col("doc_id"), lit(10)),
-                lit(".com/Path/"), pmod(col("doc_id"), lit(7)),
+                lit(".test/Path/"), pmod(col("doc_id"), lit(7)),
                 lit("?id="), pmod(col("doc_id"), lit(5))))
             .otherwise(concat(lit("not a url "), col("doc_id"))).as("url")),
         "url", "doc_id")
@@ -2343,9 +2343,9 @@ object QueryCatalog {
       WITH c AS (
         SELECT doc_id,
           CASE WHEN doc_id % 4 IN (0, 2)
-                 THEN 'https://www.example' || (doc_id % 10) || '.com/Path/'
+                 THEN 'https://www.example' || (doc_id % 10) || '.test/Path/'
                       || (doc_id % 7) || '?id=' || (doc_id % 5)
-               WHEN doc_id % 4 = 1 THEN 'http://site' || (doc_id % 10) || '.org/a'
+               WHEN doc_id % 4 = 1 THEN 'http://host' || (doc_id % 10) || '.example/a'
                ELSE 'not a url ' || doc_id END AS canonical_url
         FROM documents)
       SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_copies,

@@ -23,7 +23,7 @@ class CurateWebSpec extends SparkSuite {
 
   private def fixture = Seq(
     (1L, s"<html><body><p>$body</p></body></html>", "https://ok.example.com/a"),
-    (2L, s"<p>$body</p>", "http://ads.tracker.net/t"), // blocked domain
+    (2L, s"<p>$body</p>", "http://ads.tracker.test/t"), // blocked domain
     (3L, s"<p>$body zorblag</p>", "https://ok.example.com/b"), // blocked word
     (4L, "<p>just one sentence here.</p>", "https://ok.example.com/c"), // < 2 sents
     (5L, s"<div class=x><p>$body</p></div>", "https://ok.example.com/d") // markup variant of 1
@@ -31,7 +31,7 @@ class CurateWebSpec extends SparkSuite {
 
   private def run() = TrainingDataPipeline.curateWeb(
     fixture, "text", "doc_id",
-    urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+    urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
     wordBlocklist = Seq("zorblag"), minSentences = 2, cfg = cfg)
     .select("doc_id", "keep", "drop_reason")
     .as[(Long, Boolean, Option[String])].collect()
@@ -57,7 +57,7 @@ class CurateWebSpec extends SparkSuite {
   test("web-gated docs never reach curate: annotation columns are null") {
     val rows = TrainingDataPipeline.curateWeb(
       fixture, "text", "doc_id",
-      urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+      urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
       wordBlocklist = Seq("zorblag"), minSentences = 2, cfg = cfg)
       .filter(col("drop_reason") === "blocked_domain")
       .select("lang_pred", "quality_score", "n_ws_tokens").collect()
@@ -70,7 +70,7 @@ class CurateWebSpec extends SparkSuite {
       .toDF("doc_id", "text", "url")
     val out = TrainingDataPipeline.curateWeb(
       docs, "text", "doc_id",
-      urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+      urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
       wordBlocklist = Seq("zorblag"), minSentences = 2, cfg = cfg)
       .select("doc_id", "drop_reason").as[(Long, Option[String])].collect()
     assert(out.length === 1)
@@ -86,7 +86,7 @@ class CurateWebSpec extends SparkSuite {
     val stream = input.toDF().toDF("doc_id", "text", "url", "ts")
     val query = TrainingDataPipeline.curateStreamWeb(
         stream, "text", "doc_id", "ts",
-        urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+        urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
         wordBlocklist = Seq("zorblag"), minSentences = 2,
         watermark = "10 seconds", cfg = cfg)
       .writeStream.format("memory").queryName("csw")
@@ -105,7 +105,7 @@ class CurateWebSpec extends SparkSuite {
     // arrival order, matching batch's min-id survivor here)
     val batchKept = TrainingDataPipeline.curateWeb(
         fixture, "text", "doc_id",
-        urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+        urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
         wordBlocklist = Seq("zorblag"), minSentences = 2, cfg = cfg)
       .filter(col("keep")).select("doc_id").as[Long].collect().toSet
     assert(streamKept === batchKept)
@@ -114,7 +114,7 @@ class CurateWebSpec extends SparkSuite {
   test("cleanWebCorpus carries the stripped text of survivors") {
     val kept = TrainingDataPipeline.cleanWebCorpus(
       fixture, "text", "doc_id",
-      urlCol = Some("url"), blockedDomains = Seq("tracker.net"),
+      urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
       wordBlocklist = Seq("zorblag"), minSentences = 2, cfg = cfg)
       .as[(Long, String)].collect().toMap
     assert(kept.keySet === Set(1L))

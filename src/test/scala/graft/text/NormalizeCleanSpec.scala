@@ -82,7 +82,7 @@ class NormalizeCleanSpec extends SparkSuite {
 
   test("markdownStrip: links keep text, images drop, fences keep content") {
     val docs = Seq(
-      (1L, "# H1\nSee [the docs](http://e.com) now"),
+      (1L, "# H1\nSee [the docs](http://docs.example) now"),
       (2L, "![alt](img.png) stays? no"),
       (3L, "```py\nx = 1\n```\nafter"),
       (4L, "- a\n- b **bold** `code`"),

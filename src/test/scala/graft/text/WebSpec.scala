@@ -13,7 +13,7 @@ class WebSpec extends SparkSuite {
   import spark.implicits._
 
   private def flags(urls: (Long, String)*) =
-    Web.urlFlags(urls.toSeq.toDF("id", "url"), "url", Seq("blocked.com"))
+    Web.urlFlags(urls.toSeq.toDF("id", "url"), "url", Seq("blocked.test"))
       .select("id", "scheme", "host", "domain", "url_path", "kept")
       .as[(Long, String, String, String, String, Option[Boolean])]
       .collect().map(r => r._1 -> r).toMap
@@ -21,11 +21,11 @@ class WebSpec extends SparkSuite {
   test("parses scheme, host, domain, path; strips userinfo and port") {
     val out = flags(
       1L -> "https://Sub.Deep.Example.COM:443/a/b/c?q=1#frag",
-      2L -> "http://user:pw@blocked.com/x",
+      2L -> "http://user:pw@blocked.test/x",
       3L -> "ftp://files.example.org")
     assert(out(1L) === ((1L, "https", "sub.deep.example.com", "example.com",
       "/a/b/c", Some(true))))
-    assert(out(2L) === ((2L, "http", "blocked.com", "blocked.com", "/x",
+    assert(out(2L) === ((2L, "http", "blocked.test", "blocked.test", "/x",
       Some(false))))
     assert(out(3L) === ((3L, "ftp", "files.example.org", "example.org", "",
       Some(true))))
@@ -33,9 +33,9 @@ class WebSpec extends SparkSuite {
 
   test("subdomains of a blocked domain are blocked; look-alikes are not") {
     val out = flags(
-      1L -> "http://ads.blocked.com/t",
-      2L -> "http://notblocked.com/t",
-      3L -> "http://blocked.com.evil.net/t") // registered domain evil.net
+      1L -> "http://ads.blocked.test/t",
+      2L -> "http://notblocked.test/t",
+      3L -> "http://blocked.test.evil.example/t") // registered domain evil.example
     assert(out(1L)._6 === Some(false))
     assert(out(2L)._6 === Some(true))
     assert(out(3L)._6 === Some(true))
@@ -51,50 +51,50 @@ class WebSpec extends SparkSuite {
 
   test("null url propagates null columns") {
     val df = Seq((1L, Option.empty[String])).toDF("id", "url")
-    val row = Web.urlFlags(df, "url", Seq("blocked.com"))
+    val row = Web.urlFlags(df, "url", Seq("blocked.test"))
       .select("scheme", "host", "domain", "kept").collect().head
     assert(row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2))
   }
 
   test("domainStats aggregates per registered domain") {
     val df = Seq(
-      (1L, "http://a.x.com/p1"), (2L, "http://b.x.com/p2"),
-      (3L, "http://x.com/p1"), (4L, "http://y.org/p")).toDF("id", "url")
+      (1L, "http://a.x.test/p1"), (2L, "http://b.x.test/p2"),
+      (3L, "http://x.test/p1"), (4L, "http://y.example/p")).toDF("id", "url")
     val out = Web.domainStats(df, "url")
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(out("x.com") === ((3L, 2L)))
-    assert(out("y.org") === ((1L, 1L)))
+    assert(out("x.test") === ((3L, 2L)))
+    assert(out("y.example") === ((1L, 1L)))
   }
 
   test("canonicalUrl: ports, params, fragments, case, passthrough") {
     val df = Seq(
-      1L -> "HTTPS://Host.COM:443/Keep/Case?utm_source=a&x=1&gclid=z&y=2#f",
-      2L -> "http://u:p@a.com:80/p",
-      3L -> "https://a.com:8443/p", // non-default port preserved
-      4L -> "https://a.com/p?utm_a=1&UTM_B=2", // all params tracked: no '?'
+      1L -> "HTTPS://Host.TEST:443/Keep/Case?utm_source=a&x=1&gclid=z&y=2#f",
+      2L -> "http://u:p@a.test:80/p",
+      3L -> "https://a.test:8443/p", // non-default port preserved
+      4L -> "https://a.test/p?utm_a=1&UTM_B=2", // all params tracked: no '?'
       5L -> "no scheme here").toDF("id", "url")
     val out = df.select(col("id"), Web.canonicalUrl(col("url")).as("c"))
       .as[(Long, String)].collect().toMap
-    assert(out(1L) === "https://host.com/Keep/Case?x=1&y=2")
-    assert(out(2L) === "http://a.com/p")
-    assert(out(3L) === "https://a.com:8443/p")
-    assert(out(4L) === "https://a.com/p")
+    assert(out(1L) === "https://host.test/Keep/Case?x=1&y=2")
+    assert(out(2L) === "http://a.test/p")
+    assert(out(3L) === "https://a.test:8443/p")
+    assert(out(4L) === "https://a.test/p")
     assert(out(5L) === "no scheme here")
   }
 
   test("urlDedupGroups: min-id survivor, singletons excluded") {
     val df = Seq(
-      (1L, "https://A.com/x?utm_s=1"),
-      (2L, "https://a.com:443/x"),
-      (3L, "https://a.com/y")).toDF("id", "url")
+      (1L, "https://A.test/x?utm_s=1"),
+      (2L, "https://a.test:443/x"),
+      (3L, "https://a.test/y")).toDF("id", "url")
     val out = Web.urlDedupGroups(df, "url", "id")
       .as[(String, Long, Long)].collect()
-    assert(out.toSeq === Seq(("https://a.com/x", 2L, 1L)))
+    assert(out.toSeq === Seq(("https://a.test/x", 2L, 1L)))
   }
 
   test("urlFlags plan is map-only (no exchange before the gate)") {
-    val df = Seq((1L, "http://a.com/p")).toDF("id", "url")
-    val plan = Web.urlFlags(df, "url", Seq("b.com"))
+    val df = Seq((1L, "http://a.test/p")).toDF("id", "url")
+    val plan = Web.urlFlags(df, "url", Seq("b.test"))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!plan.contains("Exchange"), s"urlFlags must be map-only:\n$plan")

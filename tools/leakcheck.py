@@ -54,9 +54,20 @@ CHECKS = {
         lambda m: m.group(1).startswith(EXTERNAL_ROOTS)
         and not _allowed_import(m.group(1)),
     ),
+    # URL fixtures are confined to the RFC 2606/6761 reserved namespaces
+    # (.test/.example/.invalid/.localhost TLDs and example.com/org/net) —
+    # names that by IANA contract can never identify a real system, i.e.
+    # the designated fixture namespace. Dotless "hosts" are concat
+    # prefixes of planted fixture URLs ('https://sub' + id + '.test');
+    # a dotless name resolves nowhere public and names nothing.
+    # Anything else is a hit.
     "url": (
         re.compile(r"https?://([\w.-]+)"),
-        lambda m: m.group(1) not in {"localhost", "127.0.0.1"},
+        lambda m: m.group(1).lower() not in {"localhost", "127.0.0.1"}
+        and "." in m.group(1)
+        and not m.group(1).lower().rstrip(".").endswith(
+            (".test", ".example", ".invalid", ".localhost",
+             "example.com", "example.org", "example.net")),
     ),
     "bucket-uri": (re.compile(r"\b(?:s3a?|gs|wasbs?|abfss?)://[\w./-]+"),
                    lambda m: True),
