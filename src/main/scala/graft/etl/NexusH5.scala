@@ -1,0 +1,289 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Hdf5
+import graft.sources.Hdf5.{H5Dataset, H5Group, H5Value}
+
+/** `.nxs.h5` → [[NexusPipeline.RunBundle]]: the NeXus tree walk the
+  * reference performs through h5py (parquet.py:158-530 —
+  * extract_entry_metadata / extract_sample_info / extract_instrument_info /
+  * extract_users / extract_software_info / extract_daslogs /
+  * extract_events), running on the pure-JVM [[Hdf5]] container parser so
+  * the decode itself distributes: `binaryFile` hands each run file's
+  * bytes to an executor task, thousands of runs decode in parallel, and
+  * everything downstream is the existing distributed conversion
+  * ([[NexusPipeline.processRuns]]).
+  *
+  * Scale shape: one file = one task (facility run files are file-per-run
+  * by construction); the decoded frame is checkpointed once so the seven
+  * per-concern projections don't re-decode; at warehouse scale the
+  * decoded frame lands in parquet first (`decodedToParquet`) — the same
+  * first-touch discipline as `CorpusIO.toParquet` — and every later pass
+  * gets column pruning. Attribute/field-name vocabularies (NOT data) are
+  * collected driver-side to shape dynamic columns; they are bounded by
+  * the NeXus dictionary, the same bounded-model argument as the
+  * trigram-profile and BPE-merge-table collects.
+  */
+object NexusH5 {
+
+  /** One decoded DAS log (still array-form; [[NexusEtl.explodeDaslogs]]
+    * turns it into per-point rows with the veto fallback). */
+  final case class H5DasLog(
+      log_name: String,
+      device_name: Option[String], device_id: Option[String],
+      average_value: Option[Double], min_value: Option[Double],
+      max_value: Option[Double],
+      time: Option[Seq[Double]], value: Option[Seq[String]],
+      veto_pulse_time: Option[Seq[Double]])
+
+  /** One decoded event bank (array-form;
+    * [[NexusEtl.explodeEventsWithPulseIndex]] explodes executor-side). */
+  final case class H5EventBank(
+      bank: String,
+      event_ids: Seq[Long], event_offsets: Seq[Double],
+      event_index: Seq[Long], total_counts: Option[Long])
+
+  /** Whole decoded run — one row per `.nxs.h5` file. */
+  final case class DecodedRun(
+      instrument_id: String, run_number: Long,
+      source_file: String, source_path: String,
+      metadata: Map[String, String],
+      file_attrs: Map[String, String], entry_attrs: Map[String, String],
+      sample: Map[String, String], instrument: Map[String, String],
+      users: Seq[Map[String, String]], software: Seq[Map[String, String]],
+      daslogs: Seq[H5DasLog], banks: Seq[H5EventBank])
+
+  /** parquet.py:175-180 — entry-level scalar metadata fields. */
+  val MetadataScalarFields: Seq[String] = Seq(
+    "definition", "duration", "end_time", "entry_identifier",
+    "experiment_identifier", "experiment_title", "notes",
+    "proton_charge", "raw_frames", "run_number", "start_time",
+    "title", "total_counts", "total_other_counts", "total_uncounted_counts")
+
+  // ---- per-file decode (executor-side, pure JVM) -------------------------
+
+  private def str(v: H5Value): Option[String] = H5Value.scalarString(v)
+
+  private def datasetStr(g: H5Group, name: String): Option[String] =
+    g.dataset(name).flatMap(d => str(d.read()))
+
+  private def attrMap(attrs: Map[String, H5Value]): Map[String, String] =
+    attrs.flatMap { case (k, v) => str(v).map(k -> _) }
+
+  private def datasetMap(g: H5Group): Map[String, String] =
+    g.childrenInOrder.collect { case (k, d: H5Dataset) =>
+      str(d.read()).map(k -> _)
+    }.flatten.toMap
+
+  private def valueStrings(v: H5Value): Seq[String] = v match {
+    case Hdf5.H5Strings(a) => a.toSeq
+    case Hdf5.H5Longs(a) => a.map(_.toString).toSeq
+    case Hdf5.H5Doubles(a) => a.map(formatDouble).toSeq
+  }
+
+  /** Keep numerics `try_cast`-able (value_numeric) without float noise:
+    * integral doubles print as integers. */
+  private def formatDouble(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  /** The reference's per-file walk (parquet.py:784-882 ordering), minus
+    * the driver-side loops: arrays stay arrays for the distributed
+    * explodes downstream. */
+  def decodeRun(path: String, bytes: Array[Byte],
+                maxEvents: Option[Int] = None,
+                entryName: String = "entry"): DecodedRun = {
+    val root = Hdf5.open(bytes)
+    val entry = root.group(entryName).getOrElse(
+      sys.error(s"$path: no '$entryName' group — not a NeXus run file"))
+
+    // metadata scalars (parquet.py:175-185)
+    val metadata = MetadataScalarFields.flatMap(f =>
+      datasetStr(entry, f).map(f -> _)).toMap
+
+    // instrument (parquet.py:224-255): datasets, plus one level of
+    // subgroup datasets as '<group>_<field>'
+    val instGroup = entry.group("instrument")
+    val instrument = instGroup.map { g =>
+      g.childrenInOrder.flatMap {
+        case (k, d: H5Dataset) => str(d.read()).map(k -> _).toSeq
+        case (k, sub: H5Group) => sub.childrenInOrder.collect {
+          case (sk, sd: H5Dataset) => str(sd.read()).map(s"${k}_$sk" -> _)
+        }.flatten
+      }.toMap
+    }.getOrElse(Map.empty)
+
+    val instrumentId =
+      instrument.get("name").filter(_.nonEmpty).getOrElse("UNKNOWN")
+    val runNumber = metadata.get("run_number")
+      .flatMap(_.toLongOption).getOrElse(0L)
+
+    // sample (parquet.py:198-222)
+    val sample = entry.group("sample").map(datasetMap).getOrElse(Map.empty)
+
+    // users (parquet.py:257-287): entry/user* groups, name-sorted,
+    // user_id = the group name
+    val users = entry.childrenInOrder.collect {
+      case (k, g: H5Group) if k.startsWith("user") =>
+        Map("user_id" -> k) ++ datasetMap(g)
+    }.sortBy(_("user_id"))
+
+    // software (parquet.py:502-530): entry/Software/<component> groups
+    val software = entry.group("Software").map(_.childrenInOrder.collect {
+      case (k, g: H5Group) => Map("component" -> k) ++ datasetMap(g)
+    }).getOrElse(Nil)
+
+    // DAS logs (parquet.py:288-400): series arrays + device metadata;
+    // minimum_value/maximum_value rename to min_value/max_value
+    val daslogs = entry.group("DASlogs").map(_.childrenInOrder.collect {
+      case (logName, g: H5Group) =>
+        def num(n: String) = g.dataset(n).flatMap(d => H5Value.scalarDouble(d.read()))
+        H5DasLog(
+          log_name = logName,
+          device_name = datasetStr(g, "device_name"),
+          device_id = datasetStr(g, "device_id"),
+          average_value = num("average_value"),
+          min_value = num("minimum_value"),
+          max_value = num("maximum_value"),
+          time = g.dataset("time").map(d => H5Value.doubles(d.read()).toSeq),
+          value = g.dataset("value").map(d => valueStrings(d.read())),
+          veto_pulse_time = g.dataset("veto_pulse_time")
+            .map(d => H5Value.doubles(d.read()).toSeq))
+    }).getOrElse(Nil)
+
+    // event banks (parquet.py:431-441: '_events' in key or monitor*)
+    val banks = entry.childrenInOrder.collect {
+      case (k, g: H5Group)
+          if (k.contains("_events") || k.startsWith("monitor")) &&
+            (g.children.contains("event_id") ||
+              g.children.contains("event_time_offset")) =>
+        var ids = g.dataset("event_id")
+          .map(d => H5Value.longs(d.read())).getOrElse(Array.empty[Long])
+        var offsets = g.dataset("event_time_offset")
+          .map(d => H5Value.doubles(d.read())).getOrElse(Array.empty[Double])
+        var index = g.dataset("event_index")
+          .map(d => H5Value.longs(d.read())).getOrElse(Array.empty[Long])
+        maxEvents.foreach { m =>
+          if (ids.length > m) { // parquet.py:459-461 truncation
+            ids = ids.take(m)
+            offsets = offsets.take(m)
+            // clamp span starts so downstream interval explode stays
+            // within the truncated arrays
+            index = index.map(math.min(_, m.toLong))
+          }
+        }
+        H5EventBank(k, ids.toSeq, offsets.toSeq, index.toSeq,
+          g.dataset("total_counts").flatMap(d => H5Value.scalarLong(d.read())))
+    }
+
+    DecodedRun(
+      instrument_id = instrumentId, run_number = runNumber,
+      source_file = path.split('/').last, source_path = path,
+      metadata = metadata,
+      file_attrs = attrMap(root.attributes),
+      entry_attrs = attrMap(entry.attributes),
+      sample = sample, instrument = instrument,
+      users = users, software = software,
+      daslogs = daslogs, banks = banks)
+  }
+
+  // ---- distributed read --------------------------------------------------
+
+  /** Decode every `*.h5`/`*.nxs` under `dir` — one executor task per run
+    * file. The result is eagerly checkpointed: seven per-concern
+    * projections read it, and re-decoding per projection would be the
+    * exact multi-evaluation the DSIR probe measured. */
+  def readRuns(spark: SparkSession, dir: String,
+               maxEvents: Option[Int] = None): Dataset[DecodedRun] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{h5,nxs}")
+      .load(dir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) => decodeRun(p, bytes, maxEvents) }
+      .localCheckpoint()
+  }
+
+  /** First-touch landing for warehouse-scale corpora: decode once, write
+    * the decoded frame as parquet, and build bundles from the parquet
+    * (column-pruned — a metadata-only query never deserializes event
+    * arrays). */
+  def decodedToParquet(spark: SparkSession, dir: String, outDir: String,
+                       maxEvents: Option[Int] = None): Unit =
+    readRuns(spark, dir, maxEvents).write.mode("overwrite").parquet(outDir)
+
+  /** Dynamic map → prefixed columns, shaping the decoded attribute maps
+    * into the `file_attr_*`/`entry_attr_*`/field columns
+    * [[NexusPipeline]] expects. Key vocabulary (names only, never data)
+    * is collected driver-side — bounded by the NeXus dictionary. */
+  private def mapToColumns(df: DataFrame, mapCol: String, prefix: String,
+                           drop: Boolean = true): DataFrame = {
+    val keys = df.select(explode(map_keys(col(mapCol))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val withCols = keys.foldLeft(df) { (d, k) =>
+      d.withColumn(s"$prefix$k", element_at(col(mapCol), k))
+    }
+    if (drop) withCols.drop(mapCol) else withCols
+  }
+
+  /** Shape a decoded-run frame into the [[NexusPipeline.RunBundle]] the
+    * distributed conversion consumes. */
+  def toRunBundle(runs: Dataset[DecodedRun]): NexusPipeline.RunBundle = {
+    val df = runs.toDF()
+    val keys = Seq(col("instrument_id"), col("run_number"))
+
+    val metadata = {
+      val scalars = MetadataScalarFields.filterNot(_ == "run_number")
+      val base = df.select(keys ++
+        Seq(col("source_file"), col("source_path"),
+          col("file_attrs"), col("entry_attrs")) ++
+        scalars.map(f => element_at(col("metadata"), f).as(f)): _*)
+        .withColumn("ingestion_time",
+          date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"))
+      mapToColumns(mapToColumns(base, "file_attrs", "file_attr_"),
+        "entry_attrs", "entry_attr_")
+    }
+
+    def concernFrame(mapCol: String): DataFrame =
+      mapToColumns(df.select(keys :+ col(mapCol): _*), mapCol, "")
+
+    def explodedFrame(arrCol: String): DataFrame =
+      mapToColumns(
+        df.select(keys :+ explode(col(arrCol)).as("m"): _*), "m", "")
+
+    val daslogs = df
+      .select(keys :+ explode(col("daslogs")).as("l"): _*)
+      .select(keys ++ Seq(
+        col("l.log_name"), col("l.device_name"), col("l.device_id"),
+        col("l.average_value"), col("l.min_value"), col("l.max_value"),
+        col("l.time"), col("l.value"), col("l.veto_pulse_time")): _*)
+
+    val eventBanks = df
+      .select(keys :+ explode(col("banks")).as("b"): _*)
+      .select(keys ++ Seq(
+        col("b.bank"), col("b.event_ids"), col("b.event_offsets"),
+        col("b.event_index"), col("b.total_counts")): _*)
+
+    NexusPipeline.RunBundle(
+      metadata = metadata,
+      sample = concernFrame("sample"),
+      instrument = concernFrame("instrument"),
+      software = explodedFrame("software"),
+      users = explodedFrame("users"),
+      daslogs = NexusEtl.explodeDaslogs(daslogs),
+      eventBanks = eventBanks)
+  }
+
+  /** End to end: a directory of `.nxs.h5` files → the 8 typed tables —
+    * the reference's `process_nexus_file` (parquet.py:784) with the
+    * h5py walk replaced by the in-repo container parser and the
+    * conversion distributed. */
+  def processH5Dir(spark: SparkSession, dir: String,
+                   maxEvents: Option[Int] = None,
+                   timeLog: String = "proton_charge"): Map[String, DataFrame] =
+    NexusPipeline.processRuns(spark, toRunBundle(readRuns(spark, dir, maxEvents)),
+      timeLog)
+}

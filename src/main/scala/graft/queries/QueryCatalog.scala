@@ -4171,7 +4171,143 @@ object QueryCatalog {
       FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
               x -> x <> '')) AS w
             FROM documents)
-      GROUP BY lang ORDER BY lang"""))
+      GROUP BY lang ORDER BY lang""")),
+
+    // ---- HDF5/NeXus ingestion (the reference's raw input format) -------
+    // The graft.sources.Hdf5 pure-JVM container parser reads a
+    // deterministic .nxs.h5 fixture corpus (graft.etl.NexusFixtures —
+    // every value derives from run/bank/position arithmetic, chunked +
+    // shuffle + deflate event datasets, vlen-string notes), the
+    // NexusH5 walk turns the trees into a RunBundle, and
+    // NexusPipeline.processRuns produces the 8 typed tables. The oracle
+    // never parses HDF5: it REPLAYS THE CONTENT FORMULAS in SQL —
+    // an independent rederivation at the far side of the whole
+    // file-format round trip (writer → parser → walk → distributed
+    // pipeline), data-derived at any corpus size. Offsets/pulse times
+    // are exact binary (x/64), so ·64 recovers integers and the compare
+    // is all-BIGINT.
+    QueryDef("nexus_h5_events", (s, _) => {
+      val tables = graft.etl.NexusH5.processH5Dir(
+        s, graft.etl.NexusFixtures.oracleCorpus())
+      tables("events")
+        .groupBy("run_id", "bank")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("event_id")).cast("long").as("sum_event_id"),
+          sum(round(col("time_offset") * 64)).cast("long").as("sum_offset64"),
+          sum(round(col("pulse_time") * 64)).cast("long").as("sum_pulse64"))
+        .orderBy("run_id", "bank")
+    }, Some("""
+      WITH rb AS (
+        SELECT r, b, 32 + 8*(r%4) AS p,
+               CASE WHEN b=3 THEN 1 ELSE 1 + ((r+b)%3) END AS k
+        FROM (SELECT unnest(generate_series(0,5)) AS r),
+             (SELECT unnest(generate_series(0,3)) AS b)),
+      ev AS (SELECT r, b, k, unnest(generate_series(0, p*k - 1)) AS e FROM rb)
+      SELECT 'NXS:' || CAST(1000+r AS VARCHAR) AS run_id,
+        CASE WHEN b=3 THEN 'monitor1'
+             ELSE 'bank' || CAST(b+1 AS VARCHAR) || '_events' END AS bank,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum((7*e + 13*b + r) % 512) AS BIGINT) AS sum_event_id,
+        CAST(sum((31*e + 11*b) % 1000) AS BIGINT) AS sum_offset64,
+        CAST(sum(e // k) AS BIGINT) AS sum_pulse64
+      FROM ev GROUP BY 1, 2 ORDER BY run_id, bank""")),
+
+    // Per-bank event summaries off the same ingestion: counts and pulse
+    // counts per (run, bank) — events_extracted ≡ total_counts ≡ P·k and
+    // n_pulses ≡ P by the fixture formulas.
+    QueryDef("nexus_h5_summary", (s, _) => {
+      val tables = graft.etl.NexusH5.processH5Dir(
+        s, graft.etl.NexusFixtures.oracleCorpus())
+      tables("event_summary")
+        .select(col("run_id"), col("bank"), col("total_counts"),
+          col("n_pulses"), col("events_extracted"))
+        .orderBy("run_id", "bank")
+    }, Some("""
+      WITH rb AS (
+        SELECT r, b, 32 + 8*(r%4) AS p,
+               CASE WHEN b=3 THEN 1 ELSE 1 + ((r+b)%3) END AS k
+        FROM (SELECT unnest(generate_series(0,5)) AS r),
+             (SELECT unnest(generate_series(0,3)) AS b))
+      SELECT 'NXS:' || CAST(1000+r AS VARCHAR) AS run_id,
+        CASE WHEN b=3 THEN 'monitor1'
+             ELSE 'bank' || CAST(b+1 AS VARCHAR) || '_events' END AS bank,
+        CAST(p*k AS BIGINT) AS total_counts,
+        CAST(p AS BIGINT) AS n_pulses,
+        CAST(p*k AS BIGINT) AS events_extracted
+      FROM rb ORDER BY run_id, bank""")),
+
+    // Run-level cross-section of the remaining 6 tables: metadata
+    // scalars + file/entry attribute maps (experiment_runs), sample
+    // fields incl. the additional_fields spill, user/software counts,
+    // DAS-log point counts and value sums (incl. the veto-fallback
+    // ones and the string log's NULL value_numeric), and the
+    // vlen-string notes read straight off the decoded frame. All
+    // numerics are exact binary (x/64, x/4, x/2) so the doubles compare
+    // bit-identically and the sums ride integers.
+    QueryDef("nexus_h5_run_meta", (s, _) => {
+      import graft.etl.{NexusFixtures, NexusH5, NexusPipeline}
+      val runs = NexusH5.readRuns(s, NexusFixtures.oracleCorpus())
+      val tables = NexusPipeline.processRuns(s, NexusH5.toRunBundle(runs))
+      val meta = tables("experiment_runs").select(
+        col("run_id"), col("title"), col("duration"), col("proton_charge"),
+        col("total_counts"), col("experiment_identifier"), col("definition"),
+        element_at(col("file_attributes"), "file_name").as("file_name"),
+        element_at(col("entry_attributes"), "NX_class").as("nx_class"))
+      val sample = tables("sample").select(
+        col("run_id"), col("name").as("sample_name"), col("mass"),
+        col("temperature"),
+        element_at(col("additional_fields"), "container").as("container"))
+      val nUsers = tables("users").groupBy("run_id")
+        .agg(count(lit(1)).as("n_users"))
+      val sw = tables("software").filter(col("component") === "nexus_writer")
+        .select(col("run_id"), col("version").as("writer_version"))
+      val logs = tables("daslogs").groupBy("run_id").agg(
+        count(lit(1)).as("n_log_points"),
+        sum(round(col("value_numeric") * 64)).cast("long").as("sum_value64"),
+        count(when(col("value").isNotNull && col("value_numeric").isNull, 1))
+          .as("n_nonnumeric_points"),
+        max(col("average_value")).as("speed_avg"))
+      val notes = runs.toDF().select(
+        concat_ws(":", col("instrument_id"), col("run_number")).as("run_id"),
+        element_at(col("metadata"), "notes").as("notes"))
+      meta.join(sample, Seq("run_id")).join(nUsers, Seq("run_id"))
+        .join(sw, Seq("run_id")).join(logs, Seq("run_id"))
+        .join(notes, Seq("run_id"))
+        .orderBy("run_id")
+    }, Some("""
+      WITH runs AS (
+        SELECT r, 32 + 8*(r%4) AS p FROM (SELECT unnest(generate_series(0,5)) AS r)),
+      tc AS (
+        SELECT r, CAST(sum(p * (CASE WHEN b=3 THEN 1 ELSE 1 + ((r+b)%3) END)) AS BIGINT) AS total_counts
+        FROM runs, (SELECT unnest(generate_series(0,3)) AS b) GROUP BY r),
+      pcsum AS (
+        SELECT r, sum(10 + e % 5) AS s FROM
+          (SELECT r, unnest(generate_series(0, p-1)) AS e FROM runs) GROUP BY r),
+      spsum AS (SELECT sum(100 + e % 7) AS s FROM
+          (SELECT unnest(generate_series(0, 15)) AS e))
+      SELECT 'NXS:' || CAST(1000+r AS VARCHAR) AS run_id,
+        'Run ' || CAST(1000+r AS VARCHAR) AS title,
+        CAST(3600 + r AS DOUBLE) AS duration,
+        1000 + r/2.0 AS proton_charge,
+        tc.total_counts,
+        'IPTS-' || CAST(2000 + r%5 AS VARCHAR) AS experiment_identifier,
+        'NXsns' AS definition,
+        'run_' || CAST(1000+r AS VARCHAR) || '.nxs.h5' AS file_name,
+        'NXentry' AS nx_class,
+        'SAMPLE_' || CAST(r AS VARCHAR) AS sample_name,
+        1 + r/4.0 AS mass,
+        CAST(300 + r AS DOUBLE) AS temperature,
+        'can' || CAST(r AS VARCHAR) AS container,
+        CAST(1 + r%2 AS BIGINT) AS n_users,
+        '1.2.3' AS writer_version,
+        CAST(p + 16 + 8 + 3 AS BIGINT) AS n_log_points,
+        CAST(64 * (pcsum.s + (SELECT s FROM spsum) + 8) AS BIGINT) AS sum_value64,
+        CAST(3 AS BIGINT) AS n_nonnumeric_points,
+        CAST(103 AS DOUBLE) AS speed_avg,
+        'notes for run ' || CAST(1000+r AS VARCHAR) AS notes
+      FROM runs JOIN tc USING (r) JOIN pcsum USING (r)
+      ORDER BY run_id"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

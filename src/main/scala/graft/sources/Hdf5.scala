@@ -1,0 +1,881 @@
+package graft.sources
+
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+/** Pure-JVM reader for the subset of the HDF5 file format that NeXus run
+  * files use (reference: parquet.py:45,140-530 reads them through h5py; no
+  * HDF5 toolchain exists in this container, so the container format itself
+  * is implemented here from the public HDF5 File Format Specification,
+  * the same way `graft.multimodal.ImageHeaders`/`AudioHeaders`/
+  * `VideoHeaders` implement the PNG/JPEG/WAV/FLAC/MP4 container layouts).
+  *
+  * Supported subset (errors are loud and name the unsupported feature):
+  *   - superblock versions 0/1 (classic) and 2/3 (1.10+ writers)
+  *   - object headers v1 (classic) and v2 (`OHDR`), incl. continuation
+  *     blocks (v1 plain, v2 `OCHK`)
+  *   - groups: classic symbol-table groups (v1 B-tree + local heap +
+  *     `SNOD` nodes) and compact new-style groups (link messages);
+  *     dense link storage (fractal heaps) is out of subset
+  *   - dataspaces v1/v2 (scalar + simple, any rank)
+  *   - datatypes: fixed-point (1/2/4/8 bytes, either sign, LE or BE),
+  *     IEEE float (f32/f64, LE or BE), fixed-length strings
+  *     (null-terminated / null-padded / space-padded), and
+  *     variable-length strings (global-heap `GCOL` collections)
+  *   - data layouts v3: compact, contiguous, chunked (v1 B-tree chunk
+  *     index, any rank, partial edge chunks)
+  *   - filter pipeline: deflate (id 1) and byte-shuffle (id 2)
+  *   - attribute messages v1/v2/v3
+  *
+  * Scale shape: the reader touches only the byte ranges the walk needs —
+  * header blocks, B-tree nodes, and the chunks of datasets actually
+  * `read()` — through the [[Hdf5.ByteSource]] abstraction. Distributed
+  * ingestion feeds array-backed sources from `binaryFile` rows (one task
+  * per run file, executor-side, thousands of runs in parallel — see
+  * [[graft.etl.NexusH5]]); a seekable-channel source serves local
+  * tooling without loading the file.
+  */
+object Hdf5 {
+
+  /** Random-access byte window over a file image. */
+  trait ByteSource {
+    def size: Long
+    /** Copy `len` bytes at `pos`. */
+    def get(pos: Long, len: Int): Array[Byte]
+  }
+
+  final class ArrayByteSource(bytes: Array[Byte]) extends ByteSource {
+    def size: Long = bytes.length.toLong
+    def get(pos: Long, len: Int): Array[Byte] = {
+      require(pos >= 0 && pos + len <= bytes.length,
+        s"read [$pos, ${pos + len}) outside file of ${bytes.length} bytes")
+      java.util.Arrays.copyOfRange(bytes, pos.toInt, pos.toInt + len)
+    }
+  }
+
+  /** Channel-backed source: only the touched ranges are ever read. */
+  final class ChannelByteSource(ch: java.nio.channels.SeekableByteChannel)
+      extends ByteSource {
+    def size: Long = ch.size()
+    def get(pos: Long, len: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(len)
+      var n = 0
+      while (n < len) {
+        val r = ch match {
+          case fc: java.nio.channels.FileChannel => fc.read(buf, pos + n)
+          case other => other.position(pos + n); other.read(buf)
+        }
+        require(r > 0, s"short read at $pos+$n of $len")
+        n += r
+      }
+      buf.array()
+    }
+  }
+
+  /** Address value meaning "undefined" (all bits set). */
+  final val Undef: Long = -1L
+
+  // ---- decoded values ----------------------------------------------------
+
+  /** A dataset's (or attribute's) decoded elements, flattened row-major —
+    * the reference's `read_dataset_value` flattens the same way
+    * (parquet.py:104-117). */
+  sealed trait H5Value { def length: Int }
+  final case class H5Longs(values: Array[Long]) extends H5Value {
+    def length: Int = values.length
+  }
+  final case class H5Doubles(values: Array[Double]) extends H5Value {
+    def length: Int = values.length
+  }
+  final case class H5Strings(values: Array[String]) extends H5Value {
+    def length: Int = values.length
+  }
+
+  object H5Value {
+    /** Mirror of the reference's scalar collapse (parquet.py:100-123):
+      * one element reads as a scalar, empty reads as None. */
+    def scalarString(v: H5Value): Option[String] = v match {
+      case H5Strings(a) => a.headOption
+      case H5Longs(a) => a.headOption.map(_.toString)
+      case H5Doubles(a) => a.headOption.map(d =>
+        if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
+          d.toLong.toString else d.toString)
+    }
+    def scalarDouble(v: H5Value): Option[Double] = v match {
+      case H5Longs(a) => a.headOption.map(_.toDouble)
+      case H5Doubles(a) => a.headOption
+      case H5Strings(a) => a.headOption.flatMap(_.toDoubleOption)
+    }
+    def scalarLong(v: H5Value): Option[Long] = v match {
+      case H5Longs(a) => a.headOption
+      case H5Doubles(a) => a.headOption.map(_.toLong)
+      case H5Strings(a) => a.headOption.flatMap(_.toLongOption)
+    }
+    def longs(v: H5Value): Array[Long] = v match {
+      case H5Longs(a) => a
+      case H5Doubles(a) => a.map(_.toLong)
+      case H5Strings(a) => a.map(_.toLong)
+    }
+    def doubles(v: H5Value): Array[Double] = v match {
+      case H5Longs(a) => a.map(_.toDouble)
+      case H5Doubles(a) => a
+      case H5Strings(a) => a.map(_.toDouble)
+    }
+  }
+
+  // ---- tree nodes --------------------------------------------------------
+
+  sealed trait H5Node {
+    def name: String
+    def attributes: Map[String, H5Value]
+  }
+
+  final case class H5Group(name: String,
+                           childrenInOrder: Seq[(String, H5Node)],
+                           attributes: Map[String, H5Value]) extends H5Node {
+    lazy val children: Map[String, H5Node] = childrenInOrder.toMap
+    def get(path: String): Option[H5Node] = {
+      val parts = path.split('/').filter(_.nonEmpty)
+      parts.foldLeft(Option(this: H5Node)) {
+        case (Some(g: H5Group), p) => g.children.get(p)
+        case _ => None
+      }
+    }
+    def dataset(path: String): Option[H5Dataset] =
+      get(path).collect { case d: H5Dataset => d }
+    def group(path: String): Option[H5Group] =
+      get(path).collect { case g: H5Group => g }
+  }
+
+  /** `read()` decodes lazily — a tree walk that only needs structure and
+    * attributes never touches the raw data chunks. */
+  final case class H5Dataset(name: String,
+                             dims: Array[Long],
+                             read: () => H5Value,
+                             attributes: Map[String, H5Value]) extends H5Node {
+    def elementCount: Long = dims.foldLeft(1L)(_ * _)
+  }
+
+  def open(bytes: Array[Byte]): H5Group = open(new ArrayByteSource(bytes))
+
+  /** Dataset reads are lazy, so the channel stays open for the returned
+    * tree's lifetime (positional reads, thread-safe). Local-tooling
+    * entry point; distributed ingestion uses array sources per file. */
+  def open(path: java.nio.file.Path): H5Group =
+    open(new ChannelByteSource(java.nio.channels.FileChannel.open(path)))
+
+  def open(src: ByteSource): H5Group = new Parser(src).rootGroup()
+
+  // ---- wire-format parsing ----------------------------------------------
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private final case class Dataspace(dims: Array[Long])
+
+  private sealed trait Datatype { def size: Int }
+  private final case class FixedPoint(size: Int, signed: Boolean,
+                                      bigEndian: Boolean) extends Datatype
+  private final case class Ieee754(size: Int, bigEndian: Boolean) extends Datatype
+  /** pad: 0 null-terminate, 1 null-pad, 2 space-pad */
+  private final case class FixedString(size: Int, pad: Int) extends Datatype
+  private final case class VlenString(size: Int) extends Datatype
+
+  private sealed trait Layout
+  private final case class Compact(data: Array[Byte]) extends Layout
+  private final case class Contiguous(addr: Long, byteSize: Long) extends Layout
+  private final case class Chunked(btreeAddr: Long, chunkDims: Array[Int])
+      extends Layout
+
+  private final case class Filter(id: Int, clientValues: Array[Int])
+
+  private final case class HeaderMessage(typ: Int, data: Array[Byte])
+
+  private final class Parser(src: ByteSource) {
+
+    // little-endian primitive readers over a fetched block
+    private def u8(b: Array[Byte], p: Int): Int = b(p) & 0xff
+    private def u16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+    private def u64(b: Array[Byte], p: Int): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(p + i) & 0xffL); i -= 1 }
+      v
+    }
+
+    private var sizeOfOffsets = 8
+    private var sizeOfLengths = 8
+
+    private def readOffset(b: Array[Byte], p: Int): Long = sizeOfOffsets match {
+      case 8 => u64(b, p)
+      case 4 => { val v = u32(b, p); if (v == 0xffffffffL) Undef else v }
+      case n => sys.error(s"unsupported size-of-offsets $n")
+    }
+    private def readLength(b: Array[Byte], p: Int): Long = sizeOfLengths match {
+      case 8 => u64(b, p)
+      case 4 => u32(b, p)
+      case n => sys.error(s"unsupported size-of-lengths $n")
+    }
+
+    /** Superblock location: offset 0, else 512, 1024, ... (spec §II). */
+    private def findSuperblock(): Long = {
+      def sigAt(pos: Long): Boolean =
+        pos + 8 <= src.size && java.util.Arrays.equals(src.get(pos, 8), Signature)
+      if (sigAt(0L)) return 0L
+      var pos = 512L
+      while (pos + 8 <= src.size) {
+        if (sigAt(pos)) return pos
+        pos *= 2
+      }
+      sys.error("not an HDF5 file: superblock signature not found")
+    }
+
+    def rootGroup(): H5Group = {
+      val sbPos = findSuperblock()
+      val head = src.get(sbPos, math.min(160L, src.size - sbPos).toInt)
+      val version = u8(head, 8)
+      val root: H5Node = version match {
+        case 0 | 1 =>
+          sizeOfOffsets = u8(head, 13)
+          sizeOfLengths = u8(head, 14)
+          var p = 24
+          if (version == 1) p += 4 // indexed-storage k + reserved
+          // base, free-space, EOF, driver-info addresses
+          p += 4 * sizeOfOffsets
+          // root group symbol table entry: link name offset, header addr
+          val rootHeader = readOffset(head, p + sizeOfOffsets)
+          parseNode("/", rootHeader)
+        case 2 | 3 =>
+          sizeOfOffsets = u8(head, 9)
+          sizeOfLengths = u8(head, 10)
+          // flags(1), base, extension, EOF, root header address
+          val rootHeader = readOffset(head, 12 + 3 * sizeOfOffsets)
+          parseNode("/", rootHeader)
+        case v => sys.error(s"unsupported HDF5 superblock version $v")
+      }
+      root match {
+        case g: H5Group => g
+        case _ => sys.error("root object is not a group")
+      }
+    }
+
+    // ---- object headers --------------------------------------------------
+
+    private def parseMessagesV1(addr: Long): Seq[HeaderMessage] = {
+      val prefix = src.get(addr, 16)
+      require(u8(prefix, 0) == 1, s"object header at $addr: bad version")
+      val nMessages = u16(prefix, 2)
+      val headerSize = u32(prefix, 8).toInt
+      val out = mutable.ArrayBuffer.empty[HeaderMessage]
+      // (blockStart, blockLen) list, starting with the header block after
+      // the 16-byte prefix (messages are 8-aligned within blocks)
+      var blocks = List((addr + 16, headerSize.toLong))
+      var remaining = nMessages
+      while (remaining > 0 && blocks.nonEmpty) {
+        val (bStart, bLen) = blocks.head
+        blocks = blocks.tail
+        val block = src.get(bStart, bLen.toInt)
+        var p = 0
+        while (remaining > 0 && p + 8 <= bLen) {
+          val typ = u16(block, p)
+          val dataSize = u16(block, p + 2)
+          val data = java.util.Arrays.copyOfRange(block, p + 8, p + 8 + dataSize)
+          if (typ == 0x0010) { // continuation
+            blocks = blocks :+ ((readOffset(data, 0), readLength(data, sizeOfOffsets)))
+          } else if (typ != 0x0000) {
+            out += HeaderMessage(typ, data)
+          }
+          remaining -= 1
+          p += 8 + dataSize
+          // v1 messages are 8-byte aligned; sizes are already multiples of 8
+          val rem = p % 8
+          if (rem != 0) p += 8 - rem
+        }
+      }
+      out.toSeq
+    }
+
+    private def parseMessagesV2(addr: Long): Seq[HeaderMessage] = {
+      val prefix = src.get(addr, 16)
+      require(new String(prefix, 0, 4, "US-ASCII") == "OHDR",
+        s"object header v2 at $addr: bad signature")
+      require(u8(prefix, 4) == 2, "OHDR version must be 2")
+      val flags = u8(prefix, 5)
+      var p = 6
+      if ((flags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      if ((flags & 0x10) != 0) p += 4 // max compact / min dense attrs
+      val chunk0SizeBytes = 1 << (flags & 0x3)
+      val more = src.get(addr + p, chunk0SizeBytes)
+      val chunk0Size = chunk0SizeBytes match {
+        case 1 => u8(more, 0).toLong
+        case 2 => u16(more, 0).toLong
+        case 4 => u32(more, 0)
+        case 8 => u64(more, 0)
+      }
+      val trackOrder = (flags & 0x04) != 0
+      val out = mutable.ArrayBuffer.empty[HeaderMessage]
+      // (start of messages, gross length incl. trailing checksum? no —
+      // chunk size here excludes signature/checksum per spec)
+      var blocks = List((addr + p + chunk0SizeBytes, chunk0Size))
+      while (blocks.nonEmpty) {
+        val (bStart, bLen) = blocks.head
+        blocks = blocks.tail
+        val block = src.get(bStart, bLen.toInt)
+        var q = 0
+        val msgHeadLen = if (trackOrder) 6 else 4
+        while (q + msgHeadLen <= bLen) {
+          val typ = u8(block, q)
+          val dataSize = u16(block, q + 1)
+          val data = java.util.Arrays.copyOfRange(
+            block, q + msgHeadLen, q + msgHeadLen + dataSize)
+          if (typ == 0x10) {
+            // continuation block: starts with "OCHK", ends with checksum
+            val contAddr = readOffset(data, 0)
+            val contLen = readLength(data, sizeOfOffsets)
+            val sig = new String(src.get(contAddr, 4), "US-ASCII")
+            require(sig == "OCHK", s"continuation block at $contAddr: bad signature")
+            blocks = blocks :+ ((contAddr + 4, contLen - 8)) // minus sig+checksum
+          } else if (typ != 0x00) {
+            out += HeaderMessage(typ, data)
+          }
+          q += msgHeadLen + dataSize
+        }
+      }
+      out.toSeq
+    }
+
+    private def parseMessages(addr: Long): Seq[HeaderMessage] = {
+      val probe = src.get(addr, 4)
+      if (new String(probe, "US-ASCII") == "OHDR") parseMessagesV2(addr)
+      else parseMessagesV1(addr)
+    }
+
+    // ---- node assembly ---------------------------------------------------
+
+    private def parseNode(name: String, headerAddr: Long): H5Node = {
+      val msgs = parseMessages(headerAddr)
+      val attrs = msgs.filter(_.typ == 0x000C).map(parseAttribute).toMap
+
+      val symtab = msgs.find(_.typ == 0x0011)
+      val linkInfo = msgs.find(_.typ == 0x0002)
+      val links = msgs.filter(_.typ == 0x0006)
+      val hasDataspace = msgs.exists(_.typ == 0x0001)
+
+      if (symtab.isDefined) {
+        val d = symtab.get.data
+        val btreeAddr = readOffset(d, 0)
+        val heapAddr = readOffset(d, sizeOfOffsets)
+        val entries = readSymbolTable(btreeAddr, heapAddr)
+        H5Group(name, entries.map { case (child, a) => child -> parseNode(child, a) },
+          attrs)
+      } else if (linkInfo.isDefined || links.nonEmpty) {
+        if (linkInfo.isDefined) {
+          val d = linkInfo.get.data
+          // version(1), flags(1), [max creation index(8)], fractal heap
+          // addr, name-index b-tree addr, [creation-order b-tree addr]
+          val flags = u8(d, 1)
+          var p = 2
+          if ((flags & 0x1) != 0) p += 8
+          val fheapAddr = readOffset(d, p)
+          require(fheapAddr == Undef,
+            "dense link storage (fractal heap) is outside the supported HDF5 subset")
+        }
+        val entries = links.map(parseLink)
+        H5Group(name, entries.map { case (child, a) => child -> parseNode(child, a) },
+          attrs)
+      } else if (hasDataspace) {
+        val space = parseDataspace(
+          msgs.find(_.typ == 0x0001).get.data)
+        val dtype = parseDatatype(
+          msgs.find(_.typ == 0x0003)
+            .getOrElse(sys.error(s"dataset $name: missing datatype message")).data, 0)._1
+        val layout = parseLayout(
+          msgs.find(_.typ == 0x0008)
+            .getOrElse(sys.error(s"dataset $name: missing layout message")).data)
+        val filters = msgs.find(_.typ == 0x000B).map(parseFilters).getOrElse(Nil)
+        val dims = space.dims
+        H5Dataset(name, dims,
+          () => readData(name, dims, dtype, layout, filters), attrs)
+      } else {
+        // a group with no links at all (possible for empty new-style groups)
+        H5Group(name, Nil, attrs)
+      }
+    }
+
+    /** Parse one link message → (name, object header address). */
+    private def parseLink(m: HeaderMessage): (String, Long) = {
+      val d = m.data
+      require(u8(d, 0) == 1, "link message version must be 1")
+      val flags = u8(d, 1)
+      var p = 2
+      val linkType = if ((flags & 0x08) != 0) { val t = u8(d, p); p += 1; t } else 0
+      require(linkType == 0, s"only hard links supported (got type $linkType)")
+      if ((flags & 0x04) != 0) p += 8 // creation order
+      if ((flags & 0x10) != 0) p += 1 // charset
+      val nameLen = (flags & 0x3) match {
+        case 0 => val n = u8(d, p); p += 1; n
+        case 1 => val n = u16(d, p); p += 2; n
+        case 2 => val n = u32(d, p).toInt; p += 4; n
+        case 3 => val n = u64(d, p).toInt; p += 8; n
+      }
+      val nm = new String(d, p, nameLen, "UTF-8")
+      p += nameLen
+      (nm, readOffset(d, p))
+    }
+
+    // ---- classic groups: B-tree v1 + local heap + SNOD -------------------
+
+    private def heapString(heapDataAddr: Long, offset: Long): String = {
+      // names are NUL-terminated; read a bounded window and scan
+      val win = math.min(512L, src.size - (heapDataAddr + offset)).toInt
+      val b = src.get(heapDataAddr + offset, win)
+      var i = 0
+      while (i < b.length && b(i) != 0) i += 1
+      new String(b, 0, i, "UTF-8")
+    }
+
+    private def readSymbolTable(btreeAddr: Long, heapAddr: Long): Seq[(String, Long)] = {
+      // local heap header: "HEAP" v0, data segment size, free-list head,
+      // data segment address
+      val hh = src.get(heapAddr, 8 + 2 * sizeOfLengths + sizeOfOffsets)
+      require(new String(hh, 0, 4, "US-ASCII") == "HEAP",
+        s"local heap at $heapAddr: bad signature")
+      val heapData = readOffset(hh, 8 + 2 * sizeOfLengths)
+
+      val out = mutable.ArrayBuffer.empty[(String, Long)]
+
+      def walkBtree(addr: Long): Unit = {
+        val head = src.get(addr, 24)
+        require(new String(head, 0, 4, "US-ASCII") == "TREE",
+          s"B-tree node at $addr: bad signature")
+        require(u8(head, 4) == 0, "B-tree node type must be 0 (group)")
+        val level = u8(head, 5)
+        val entries = u16(head, 6)
+        // keys/children: key(len) child(off) ... key — entries children
+        val body = src.get(addr + 8 + 2 * sizeOfOffsets,
+          (entries + 1) * sizeOfLengths + entries * sizeOfOffsets)
+        var p = sizeOfLengths // skip key 0
+        var i = 0
+        while (i < entries) {
+          val child = readOffset(body, p)
+          if (level == 0) walkSnod(child) else walkBtree(child)
+          p += sizeOfOffsets + sizeOfLengths
+          i += 1
+        }
+      }
+
+      def walkSnod(addr: Long): Unit = {
+        val head = src.get(addr, 8)
+        require(new String(head, 0, 4, "US-ASCII") == "SNOD",
+          s"symbol node at $addr: bad signature")
+        val nSyms = u16(head, 6)
+        val entrySize = 2 * sizeOfOffsets + 8 + 16
+        val body = src.get(addr + 8, nSyms * entrySize)
+        var i = 0
+        while (i < nSyms) {
+          val base = i * entrySize
+          val nameOff = readOffset(body, base)
+          val header = readOffset(body, base + sizeOfOffsets)
+          out += ((heapString(heapData, nameOff), header))
+          i += 1
+        }
+      }
+
+      walkBtree(btreeAddr)
+      out.toSeq
+    }
+
+    // ---- messages --------------------------------------------------------
+
+    private def parseDataspace(d: Array[Byte]): Dataspace = {
+      val version = u8(d, 0)
+      val rank = u8(d, 1)
+      val flags = u8(d, 2)
+      version match {
+        case 1 =>
+          val dims = Array.tabulate(rank)(i => readLength(d, 8 + i * sizeOfLengths))
+          Dataspace(dims)
+        case 2 =>
+          val spaceType = u8(d, 3)
+          if (spaceType == 2) Dataspace(Array(0L)) // null dataspace
+          else Dataspace(Array.tabulate(rank)(i => readLength(d, 4 + i * sizeOfLengths)))
+        case v => sys.error(s"unsupported dataspace version $v")
+      }
+    }
+
+    /** Parse a datatype at offset `p`; returns (datatype, bytes consumed). */
+    private def parseDatatype(d: Array[Byte], p: Int): (Datatype, Int) = {
+      val classAndVersion = u8(d, p)
+      val cls = classAndVersion & 0x0f
+      val bits0 = u8(d, p + 1)
+      val bits8 = u8(d, p + 2)
+      val size = u32(d, p + 4).toInt
+      cls match {
+        case 0 => // fixed-point
+          val bigEndian = (bits0 & 0x1) != 0
+          val signed = (bits0 & 0x8) != 0
+          (FixedPoint(size, signed, bigEndian), 8 + 4)
+        case 1 => // float
+          val bigEndian = (bits0 & 0x1) != 0
+          require(size == 4 || size == 8, s"unsupported float width $size")
+          (Ieee754(size, bigEndian), 8 + 12)
+        case 3 => // string
+          (FixedString(size, bits0 & 0x0f), 8)
+        case 9 => // variable-length
+          val vlenType = bits0 & 0x0f
+          require(vlenType == 1,
+            "only variable-length STRINGS supported (vlen sequences are out of subset)")
+          val (_, baseLen) = parseDatatype(d, p + 8)
+          (VlenString(size), 8 + baseLen)
+        case c =>
+          sys.error(s"unsupported HDF5 datatype class $c " +
+            "(supported: fixed-point, float, string, vlen string)")
+      }
+    }
+
+    private def parseLayout(d: Array[Byte]): Layout = {
+      val version = u8(d, 0)
+      require(version == 3,
+        s"unsupported data layout version $version (only v3 supported)")
+      u8(d, 1) match {
+        case 0 =>
+          val n = u16(d, 2)
+          Compact(java.util.Arrays.copyOfRange(d, 4, 4 + n))
+        case 1 =>
+          Contiguous(readOffset(d, 2), readLength(d, 2 + sizeOfOffsets))
+        case 2 =>
+          val rankPlus1 = u8(d, 2)
+          val btree = readOffset(d, 3)
+          val chunkDims = Array.tabulate(rankPlus1 - 1)(i =>
+            u32(d, 3 + sizeOfOffsets + i * 4).toInt)
+          Chunked(btree, chunkDims)
+        case c => sys.error(s"unsupported layout class $c")
+      }
+    }
+
+    private def parseFilters(m: HeaderMessage): List[Filter] = {
+      val d = m.data
+      val version = u8(d, 0)
+      val nFilters = u8(d, 1)
+      var p = version match {
+        case 1 => 8
+        case 2 => 2
+        case v => sys.error(s"unsupported filter pipeline version $v")
+      }
+      (0 until nFilters).map { _ =>
+        val id = u16(d, p)
+        val nameLen =
+          if (version == 2 && id < 256) 0 else u16(d, p + 2)
+        val flags = u16(d, p + 4)
+        val nValues = u16(d, p + 6)
+        p += 8 + nameLen
+        val values = Array.tabulate(nValues)(i => u32(d, p + i * 4).toInt)
+        p += nValues * 4
+        if (version == 1 && nValues % 2 == 1) p += 4 // pad to 8
+        val _ = flags
+        Filter(id, values)
+      }.toList
+    }
+
+    private def parseAttribute(m: HeaderMessage): (String, H5Value) = {
+      val d = m.data
+      val version = u8(d, 0)
+      val nameSize = u16(d, 2)
+      val dtSize = u16(d, 4)
+      val dsSize = u16(d, 6)
+      def pad8(n: Int): Int = if (n % 8 == 0) n else n + (8 - n % 8)
+      version match {
+        case 1 =>
+          var p = 8
+          val nm = cString(d, p, nameSize)
+          p += pad8(nameSize)
+          val (dtype, _) = parseDatatype(d, p)
+          p += pad8(dtSize)
+          val space = parseDataspace(java.util.Arrays.copyOfRange(d, p, p + dsSize))
+          p += pad8(dsSize)
+          val n = space.dims.foldLeft(1L)(_ * _).toInt
+          (nm, decodeElements(java.util.Arrays.copyOfRange(d, p, d.length), n, dtype))
+        case 2 | 3 =>
+          var p = if (version == 3) 9 else 8 // v3 adds a charset byte
+          val nm = cString(d, p, nameSize)
+          p += nameSize
+          val (dtype, _) = parseDatatype(d, p)
+          p += dtSize
+          val space = parseDataspace(java.util.Arrays.copyOfRange(d, p, p + dsSize))
+          p += dsSize
+          val n = space.dims.foldLeft(1L)(_ * _).toInt
+          (nm, decodeElements(java.util.Arrays.copyOfRange(d, p, d.length), n, dtype))
+        case v => sys.error(s"unsupported attribute message version $v")
+      }
+    }
+
+    private def cString(d: Array[Byte], p: Int, max: Int): String = {
+      var i = 0
+      while (i < max && d(p + i) != 0) i += 1
+      new String(d, p, i, "UTF-8")
+    }
+
+    // ---- raw data --------------------------------------------------------
+
+    private def applyFilters(raw: Array[Byte], filters: List[Filter],
+                             elementSize: Int): Array[Byte] = {
+      // stored order is application order; decoding runs in reverse
+      filters.reverse.foldLeft(raw) { (bytes, f) =>
+        f.id match {
+          case 1 => inflate(bytes)
+          case 2 => unshuffle(bytes, elementSize)
+          case id => sys.error(s"unsupported HDF5 filter id $id " +
+            "(supported: deflate, shuffle)")
+        }
+      }
+    }
+
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) sys.error("truncated deflate stream")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+
+    private def unshuffle(data: Array[Byte], elementSize: Int): Array[Byte] = {
+      if (elementSize <= 1) return data
+      val n = data.length / elementSize
+      val out = new Array[Byte](data.length)
+      var b = 0
+      while (b < elementSize) {
+        var i = 0
+        while (i < n) {
+          out(i * elementSize + b) = data(b * n + i)
+          i += 1
+        }
+        b += 1
+      }
+      // trailing bytes (non-multiple remainder) copy through unchanged
+      var t = n * elementSize
+      while (t < data.length) { out(t) = data(t); t += 1 }
+      out
+    }
+
+    private def readData(name: String, dims: Array[Long], dtype: Datatype,
+                         layout: Layout, filters: List[Filter]): H5Value = {
+      val n = dims.foldLeft(1L)(_ * _)
+      require(n <= Int.MaxValue, s"dataset $name: $n elements exceed array limit")
+      val elems = n.toInt
+      val raw: Array[Byte] = layout match {
+        case Compact(data) => data
+        case Contiguous(addr, byteSize) =>
+          if (addr == Undef || elems == 0) new Array[Byte](elems * dtype.size)
+          else applyFilters(src.get(addr, byteSize.toInt), filters, dtype.size)
+        case Chunked(btreeAddr, chunkDims) =>
+          readChunked(dims, chunkDims, dtype.size, btreeAddr, filters)
+      }
+      decodeElements(raw, elems, dtype)
+    }
+
+    /** Walk the v1 chunk B-tree and assemble the row-major element buffer.
+      * Handles any rank and partial edge chunks. */
+    private def readChunked(dims: Array[Long], chunkDims: Array[Int],
+                            elemSize: Int, btreeAddr: Long,
+                            filters: List[Filter]): Array[Byte] = {
+      val rank = dims.length
+      require(chunkDims.length == rank,
+        s"chunk rank ${chunkDims.length} != dataspace rank $rank")
+      val total = dims.foldLeft(1L)(_ * _).toInt
+      val out = new Array[Byte](total * elemSize)
+      // row-major strides in elements
+      val strides = new Array[Long](rank)
+      var s = 1L
+      var i = rank - 1
+      while (i >= 0) { strides(i) = s; s *= dims(i); i -= 1 }
+
+      def placeChunk(offset: Array[Long], chunkBytes: Array[Byte]): Unit = {
+        // copy the chunk's in-bounds region into the output buffer; the
+        // chunk itself is row-major over chunkDims
+        val copyLens = Array.tabulate(rank)(d =>
+          math.min(chunkDims(d).toLong, dims(d) - offset(d)).toInt)
+        if (copyLens.exists(_ <= 0)) return
+        // iterate over all but the innermost dimension
+        val innerLen = copyLens(rank - 1)
+        val outerDims = copyLens.take(rank - 1)
+        val counters = new Array[Int](math.max(rank - 1, 0))
+        var done = false
+        while (!done) {
+          // compute source and destination offsets for this inner row
+          var srcOff = 0L
+          var dstOff = 0L
+          var d = 0
+          while (d < rank - 1) {
+            var chunkStride = 1L
+            var k = rank - 1
+            while (k > d) { chunkStride *= chunkDims(k); k -= 1 }
+            srcOff += counters(d) * chunkStride
+            dstOff += (offset(d) + counters(d)) * strides(d)
+            d += 1
+          }
+          dstOff += offset(rank - 1) * strides(rank - 1)
+          System.arraycopy(chunkBytes, (srcOff * elemSize).toInt,
+            out, (dstOff * elemSize).toInt, innerLen * elemSize)
+          // increment counters (odometer)
+          if (rank == 1) done = true
+          else {
+            var d2 = rank - 2
+            var carry = true
+            while (carry && d2 >= 0) {
+              counters(d2) += 1
+              if (counters(d2) < outerDims(d2)) carry = false
+              else { counters(d2) = 0; d2 -= 1 }
+            }
+            if (carry) done = true
+          }
+        }
+      }
+
+      def walk(addr: Long): Unit = {
+        if (addr == Undef) return
+        val head = src.get(addr, 8)
+        require(new String(head, 0, 4, "US-ASCII") == "TREE",
+          s"chunk B-tree node at $addr: bad signature")
+        require(u8(head, 4) == 1, "B-tree node type must be 1 (raw data chunks)")
+        val level = u8(head, 5)
+        val entries = u16(head, 6)
+        // key: chunk byte size (4), filter mask (4), rank+1 offsets (8 each)
+        val keySize = 8 + (rank + 1) * 8
+        val body = src.get(addr + 8 + 2 * sizeOfOffsets,
+          (entries + 1) * keySize + entries * sizeOfOffsets)
+        var p = 0
+        var e = 0
+        while (e < entries) {
+          val chunkByteSize = u32(body, p).toInt
+          val offsets = Array.tabulate(rank)(d => u64(body, p + 8 + d * 8))
+          val childAddr = readOffset(body, p + keySize)
+          if (level == 0) {
+            val raw = src.get(childAddr, chunkByteSize)
+            placeChunk(offsets, applyFilters(raw, filters, elemSize))
+          } else {
+            walk(childAddr)
+          }
+          p += keySize + sizeOfOffsets
+          e += 1
+        }
+      }
+
+      walk(btreeAddr)
+      out
+    }
+
+    // ---- element decoding ------------------------------------------------
+
+    private def decodeElements(raw: Array[Byte], n: Int, dtype: Datatype): H5Value =
+      dtype match {
+        case FixedPoint(size, signed, be) =>
+          val out = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            var v = 0L
+            var b = 0
+            while (b < size) {
+              val byteIdx = if (be) i * size + (size - 1 - b) else i * size + b
+              v |= (raw(byteIdx) & 0xffL) << (8 * b)
+              b += 1
+            }
+            if (signed && size < 8) {
+              val shift = 64 - 8 * size
+              v = (v << shift) >> shift
+            }
+            out(i) = v
+            i += 1
+          }
+          H5Longs(out)
+        case Ieee754(size, be) =>
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var bits = 0L
+            var b = 0
+            while (b < size) {
+              val byteIdx = if (be) i * size + (size - 1 - b) else i * size + b
+              bits |= (raw(byteIdx) & 0xffL) << (8 * b)
+              b += 1
+            }
+            out(i) =
+              if (size == 4) java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+              else java.lang.Double.longBitsToDouble(bits)
+            i += 1
+          }
+          H5Doubles(out)
+        case FixedString(size, pad) =>
+          val out = new Array[String](n)
+          var i = 0
+          while (i < n) {
+            val start = i * size
+            var end = start
+            if (pad == 2) {
+              end = start + size
+              while (end > start && (raw(end - 1) == ' '.toByte || raw(end - 1) == 0))
+                end -= 1
+            } else {
+              while (end < start + size && raw(end) != 0) end += 1
+            }
+            out(i) = new String(raw, start, end - start, "UTF-8")
+            i += 1
+          }
+          H5Strings(out)
+        case VlenString(size) =>
+          // each element: length(4) + global heap collection address
+          // (sizeOfOffsets) + object index(4)
+          val out = new Array[String](n)
+          var i = 0
+          while (i < n) {
+            val p = i * size
+            val len = u32(raw, p).toInt
+            val collAddr = readOffset(raw, p + 4)
+            val objIdx = u32(raw, p + 4 + sizeOfOffsets).toInt
+            out(i) =
+              if (collAddr == Undef || len == 0) ""
+              else new String(globalHeapObject(collAddr, objIdx), 0, len, "UTF-8")
+            i += 1
+          }
+          H5Strings(out)
+      }
+
+    private val gheapCache = mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+
+    private def globalHeapObject(collAddr: Long, index: Int): Array[Byte] = {
+      val coll = gheapCache.getOrElseUpdate(collAddr, {
+        val head = src.get(collAddr, 8 + sizeOfLengths)
+        require(new String(head, 0, 4, "US-ASCII") == "GCOL",
+          s"global heap collection at $collAddr: bad signature")
+        val collSize = readLength(head, 8)
+        val body = src.get(collAddr, collSize.toInt)
+        val objs = mutable.Map.empty[Int, Array[Byte]]
+        var p = 8 + sizeOfLengths
+        var run = true
+        while (run && p + 16 <= collSize) {
+          val idx = u16(body, p)
+          val objSize = readLength(body, p + 8)
+          if (idx == 0) run = false // free space object terminates the scan
+          else {
+            objs(idx) = java.util.Arrays.copyOfRange(
+              body, p + 16, p + 16 + objSize.toInt)
+            var adv = 16 + objSize.toInt
+            if (adv % 8 != 0) adv += 8 - adv % 8
+            p += adv
+          }
+        }
+        objs.toMap
+      })
+      coll.getOrElse(index,
+        sys.error(s"global heap object $index not found in collection at $collAddr"))
+    }
+  }
+}

@@ -1,0 +1,456 @@
+package graft.sources
+
+import java.util.zip.Deflater
+import scala.collection.mutable
+
+/** Minimal spec-conformant HDF5 WRITER — the fixture side of [[Hdf5]],
+  * playing the role `ImageFixtures`/`AudioFixtures`/`VideoFixtures` play
+  * for the multimodal decoders: no HDF5 toolchain exists in this
+  * container, so NeXus-shaped `.nxs.h5` test files are built here from
+  * the public HDF5 File Format Specification and read back by the
+  * independent parser in [[Hdf5]].
+  *
+  * Emitted format (the classic layout the HDF5 C library writes by
+  * default, which is what facility NeXus files use): superblock v0,
+  * v1 object headers, symbol-table groups (v1 B-tree + local heap +
+  * `SNOD`), contiguous or chunked-v1-B-tree data layouts with optional
+  * shuffle+deflate filters, fixed-length (null-padded) and
+  * variable-length (global heap) strings, v1 attribute messages.
+  *
+  * Writer-scope bounds (fixtures, not a general library): one `SNOD` per
+  * group (≤ 64 links — superblock leaf-k is set to 32), 1-D or scalar
+  * dataspaces, chunking along the single dimension.
+  */
+object Hdf5Writer {
+
+  sealed trait H5Data { def n: Int }
+  /** Fixed-point column; `width` ∈ {1,2,4,8}. */
+  final case class LongData(values: Array[Long], width: Int = 8,
+                            signed: Boolean = true) extends H5Data {
+    def n: Int = values.length
+  }
+  /** IEEE float column; `width` ∈ {4,8}. */
+  final case class DoubleData(values: Array[Double], width: Int = 8) extends H5Data {
+    def n: Int = values.length
+  }
+  /** Fixed-length null-padded strings; `fixedLen` 0 → longest value. */
+  final case class StringData(values: Array[String], fixedLen: Int = 0) extends H5Data {
+    def n: Int = values.length
+  }
+  /** Variable-length strings through a global heap collection. */
+  final case class VlenStringData(values: Array[String]) extends H5Data {
+    def n: Int = values.length
+  }
+
+  sealed trait Attr
+  final case class AttrStr(v: String) extends Attr
+  final case class AttrLong(v: Long) extends Attr
+  final case class AttrDouble(v: Double) extends Attr
+
+  sealed trait Node { def name: String }
+  final case class Group(name: String, children: Seq[Node],
+                         attrs: Seq[(String, Attr)] = Nil) extends Node
+  /** `scalar` emits a rank-0 dataspace (reference NeXus metadata fields
+    * are scalars); `chunk` > 0 chunks the single dimension with optional
+    * shuffle+deflate. */
+  final case class Dataset(name: String, data: H5Data,
+                           attrs: Seq[(String, Attr)] = Nil,
+                           scalar: Boolean = false,
+                           chunk: Int = 0,
+                           deflate: Boolean = false,
+                           shuffle: Boolean = false) extends Node
+
+  def scalarStr(name: String, v: String, attrs: Seq[(String, Attr)] = Nil): Dataset =
+    Dataset(name, StringData(Array(v)), attrs, scalar = true)
+  def scalarLong(name: String, v: Long, attrs: Seq[(String, Attr)] = Nil): Dataset =
+    Dataset(name, LongData(Array(v)), attrs, scalar = true)
+  def scalarDouble(name: String, v: Double, attrs: Seq[(String, Attr)] = Nil): Dataset =
+    Dataset(name, DoubleData(Array(v)), attrs, scalar = true)
+
+  /** Serialize a file whose root group carries `rootAttrs` and `children`. */
+  def write(children: Seq[Node], rootAttrs: Seq[(String, Attr)] = Nil): Array[Byte] =
+    new Writer().write(Group("/", children, rootAttrs))
+
+  private final val Undef = Array.fill[Byte](8)(0xff.toByte)
+
+  private final class Writer {
+    private val buf = mutable.ArrayBuffer.empty[Byte]
+
+    private def pos: Long = buf.length.toLong
+    private def put(b: Array[Byte]): Long = { val p = pos; buf ++= b; p }
+    private def b1(v: Int): Array[Byte] = Array(v.toByte)
+    private def b2(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    private def b4(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def b8(v: Long): Array[Byte] = {
+      val a = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { a(i) = (v >> (8 * i)).toByte; i += 1 }
+      a
+    }
+    private def zeros(n: Int): Array[Byte] = new Array[Byte](n)
+    private def pad8(b: Array[Byte]): Array[Byte] =
+      if (b.length % 8 == 0) b else b ++ zeros(8 - b.length % 8)
+
+    def write(root: Group): Array[Byte] = {
+      // reserve the 96-byte superblock v0 (8-byte offsets/lengths)
+      put(zeros(96))
+      val rootHeader = writeNode(root)
+      patchSuperblock(rootHeader)
+      buf.toArray
+    }
+
+    private def patchSuperblock(rootHeader: Long): Unit = {
+      val sb = mutable.ArrayBuffer.empty[Byte]
+      sb ++= Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      sb ++= b1(0) // superblock version
+      sb ++= b1(0) // free space version
+      sb ++= b1(0) // root group symbol table version
+      sb ++= b1(0) // reserved
+      sb ++= b1(0) // shared header message version
+      sb ++= b1(8) // size of offsets
+      sb ++= b1(8) // size of lengths
+      sb ++= b1(0) // reserved
+      sb ++= b2(32) // group leaf node k (SNOD capacity 64)
+      sb ++= b2(16) // group internal node k
+      sb ++= b4(0) // file consistency flags
+      sb ++= b8(0) // base address
+      sb ++= Undef // free space info address
+      sb ++= b8(pos) // end of file address
+      sb ++= Undef // driver info block address
+      // root group symbol table entry
+      sb ++= b8(0) // link name offset
+      sb ++= b8(rootHeader)
+      sb ++= b4(0) // cache type (none — reader re-walks the header)
+      sb ++= b4(0) // reserved
+      sb ++= zeros(16) // scratch
+      require(sb.length == 96, s"superblock is ${sb.length} bytes, expected 96")
+      var i = 0
+      while (i < 96) { buf(i) = sb(i); i += 1 }
+    }
+
+    private def writeNode(node: Node): Long = node match {
+      case g: Group => writeGroup(g)
+      case d: Dataset => writeDataset(d)
+    }
+
+    // ---- object header assembly -----------------------------------------
+
+    /** (type, data) pairs → v1 object header; returns header address. */
+    private def writeHeader(messages: Seq[(Int, Array[Byte])]): Long = {
+      val body = mutable.ArrayBuffer.empty[Byte]
+      for ((typ, data) <- messages) {
+        val padded = pad8(data)
+        body ++= b2(typ)
+        body ++= b2(padded.length)
+        body ++= b1(0) // flags
+        body ++= zeros(3)
+        body ++= padded
+      }
+      val header = mutable.ArrayBuffer.empty[Byte]
+      header ++= b1(1) // version
+      header ++= b1(0)
+      header ++= b2(messages.length)
+      header ++= b4(1) // reference count
+      header ++= b4(body.length)
+      header ++= zeros(4) // pad so messages start 8-aligned
+      put(header.toArray ++ body.toArray)
+    }
+
+    // ---- datatype/dataspace/attribute encodings --------------------------
+
+    private def dataspace1d(n: Long): Array[Byte] =
+      b1(1) ++ b1(1) ++ b1(0) ++ zeros(5) ++ b8(n)
+    private def dataspaceScalar: Array[Byte] =
+      b1(1) ++ b1(0) ++ b1(0) ++ zeros(5)
+
+    private def dtFixed(width: Int, signed: Boolean): Array[Byte] =
+      b1(0x10) ++ b1(if (signed) 0x08 else 0x00) ++ b2(0) ++ b4(width) ++
+        b2(0) ++ b2(8 * width)
+
+    private def dtFloat(width: Int): Array[Byte] = {
+      val (prec, expLoc, expSz, manSz, bias, signLoc) =
+        if (width == 4) (32, 23, 8, 23, 127L, 31) else (64, 52, 11, 52, 1023L, 63)
+      b1(0x11) ++ b1(0x20) ++ b1(signLoc) ++ b1(0) ++ b4(width) ++
+        b2(0) ++ b2(prec) ++ b1(expLoc) ++ b1(expSz) ++ b1(0) ++ b1(manSz) ++ b4(bias)
+    }
+
+    /** Fixed string, null-padded (pad type 1), ASCII charset;
+      * class/version byte = (version 1 << 4) | class 3. */
+    private def dtString(len: Int): Array[Byte] =
+      b1(0x13) ++ b1(0x01) ++ b2(0) ++ b4(len)
+
+    /** Vlen string: element = 4-byte length + 8-byte collection address +
+      * 4-byte heap index; base type is a 1-byte null-terminated string. */
+    private def dtVlenString: Array[Byte] =
+      b1(0x19) ++ b1(0x01) ++ b2(0) ++ b4(16) ++
+        (b1(0x13) ++ b1(0x00) ++ b2(0) ++ b4(1))
+
+    private def encodeAttr(name: String, attr: Attr): (Int, Array[Byte]) = {
+      val (dt, space, data) = attr match {
+        case AttrStr(v) =>
+          val bytes = v.getBytes("UTF-8")
+          (dtString(math.max(bytes.length, 1)), dataspaceScalar,
+            if (bytes.isEmpty) zeros(1) else bytes)
+        case AttrLong(v) => (dtFixed(8, signed = true), dataspaceScalar, b8(v))
+        case AttrDouble(v) =>
+          (dtFloat(8), dataspaceScalar, b8(java.lang.Double.doubleToLongBits(v)))
+      }
+      val nameBytes = name.getBytes("UTF-8") ++ zeros(1)
+      val msg = mutable.ArrayBuffer.empty[Byte]
+      msg ++= b1(1) // version
+      msg ++= b1(0)
+      msg ++= b2(nameBytes.length)
+      msg ++= b2(dt.length)
+      msg ++= b2(space.length)
+      msg ++= pad8(nameBytes)
+      msg ++= pad8(dt)
+      msg ++= pad8(space)
+      msg ++= data
+      (0x000C, msg.toArray)
+    }
+
+    // ---- datasets --------------------------------------------------------
+
+    private def elementBytes(data: H5Data): (Array[Byte], Array[Byte], Int) =
+      data match {
+        case LongData(vs, width, signed) =>
+          val out = new Array[Byte](vs.length * width)
+          var i = 0
+          while (i < vs.length) {
+            var b = 0
+            while (b < width) { out(i * width + b) = (vs(i) >> (8 * b)).toByte; b += 1 }
+            i += 1
+          }
+          (out, dtFixed(width, signed), width)
+        case DoubleData(vs, width) =>
+          val out = new Array[Byte](vs.length * width)
+          var i = 0
+          while (i < vs.length) {
+            val bits =
+              if (width == 4) java.lang.Float.floatToIntBits(vs(i).toFloat).toLong & 0xffffffffL
+              else java.lang.Double.doubleToLongBits(vs(i))
+            var b = 0
+            while (b < width) { out(i * width + b) = (bits >> (8 * b)).toByte; b += 1 }
+            i += 1
+          }
+          (out, dtFloat(width), width)
+        case StringData(vs, fixedLen) =>
+          val len = math.max(1,
+            if (fixedLen > 0) fixedLen else vs.map(_.getBytes("UTF-8").length).foldLeft(1)(math.max))
+          val out = new Array[Byte](vs.length * len)
+          var i = 0
+          while (i < vs.length) {
+            val b = vs(i).getBytes("UTF-8")
+            require(b.length <= len, s"string '${vs(i)}' exceeds fixed length $len")
+            System.arraycopy(b, 0, out, i * len, b.length)
+            i += 1
+          }
+          (out, dtString(len), len)
+        case VlenStringData(vs) =>
+          // write the global heap collection first, then 16-byte descriptors
+          // empty strings get a null descriptor (no heap object), as the
+          // C library writes them; non-empty payloads get 1-based indices
+          val payloads = vs.map(_.getBytes("UTF-8"))
+          val indexed = payloads.filter(_.nonEmpty).zipWithIndex
+            .map { case (p, i) => (p, i + 1) }
+          val objSizes = indexed.map { case (p, _) => 16 + pad8len(p.length) }
+          val collSize = 8 + 8 + objSizes.sum + 16 // header + objects + free-space
+          val coll = mutable.ArrayBuffer.empty[Byte]
+          coll ++= "GCOL".getBytes("US-ASCII")
+          coll ++= b1(1)
+          coll ++= zeros(3)
+          coll ++= b8(collSize)
+          indexed.foreach { case (p, idx) =>
+            coll ++= b2(idx)
+            coll ++= b2(1) // reference count
+            coll ++= zeros(4)
+            coll ++= b8(p.length)
+            coll ++= pad8(p)
+          }
+          coll ++= zeros(16) // free-space object (index 0) terminator
+          val collAddr = put(coll.toArray)
+          val out = mutable.ArrayBuffer.empty[Byte]
+          var nextIdx = 1
+          payloads.foreach { p =>
+            if (p.isEmpty) {
+              out ++= b4(0)
+              out ++= Undef
+              out ++= b4(0)
+            } else {
+              out ++= b4(p.length)
+              out ++= b8(collAddr)
+              out ++= b4(nextIdx)
+              nextIdx += 1
+            }
+          }
+          (out.toArray, dtVlenString, 16)
+      }
+
+    private def pad8len(n: Int): Int = if (n % 8 == 0) n else n + (8 - n % 8)
+
+    private def deflateBytes(data: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+      d.setInput(data)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      out.toByteArray
+    }
+
+    private def shuffleBytes(data: Array[Byte], elemSize: Int): Array[Byte] = {
+      if (elemSize <= 1) return data
+      val n = data.length / elemSize
+      val out = new Array[Byte](data.length)
+      var b = 0
+      while (b < elemSize) {
+        var i = 0
+        while (i < n) { out(b * n + i) = data(i * elemSize + b); i += 1 }
+        b += 1
+      }
+      var t = n * elemSize
+      while (t < data.length) { out(t) = data(t); t += 1 }
+      out
+    }
+
+    private def writeDataset(ds: Dataset): Long = {
+      val (raw, dtype, elemSize) = elementBytes(ds.data)
+      val n = ds.data.n
+      require(!ds.scalar || n == 1, s"scalar dataset ${ds.name} must have 1 element")
+      val space = if (ds.scalar) dataspaceScalar else dataspace1d(n.toLong)
+
+      val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      msgs += ((0x0001, space))
+      msgs += ((0x0003, dtype))
+
+      if (ds.chunk > 0) {
+        require(!ds.scalar, "scalar datasets cannot be chunked")
+        require(ds.data.isInstanceOf[LongData] || ds.data.isInstanceOf[DoubleData],
+          "chunking supported for numeric data only")
+        val filters = mutable.ArrayBuffer.empty[Array[Byte]]
+        if (ds.shuffle)
+          filters += (b2(2) ++ b2(0) ++ b2(1) ++ b2(1) ++ b4(elemSize) ++ zeros(4))
+        if (ds.deflate)
+          filters += (b2(1) ++ b2(0) ++ b2(1) ++ b2(1) ++ b4(6) ++ zeros(4))
+        if (filters.nonEmpty) {
+          val fp = b1(1) ++ b1(filters.length) ++ zeros(6) ++ filters.flatten
+          msgs += ((0x000B, fp))
+        }
+        // write chunks, then the type-1 B-tree over them
+        val chunkElems = ds.chunk
+        val chunks = mutable.ArrayBuffer.empty[(Long, Int, Long)] // (offset, nbytes, addr)
+        var start = 0
+        while (start < n) {
+          val len = math.min(chunkElems, n - start)
+          // stored chunks are always whole chunkElems long on the last
+          // chunk too in HDF5? No — partial edge chunks store only the
+          // in-bounds region for v1 B-trees written by the C library when
+          // the dataset is not filter-padded; for filtered chunks the
+          // full chunk is stored. Store the full chunk (zero-padded) —
+          // both forms are legal and the reader clips to the dataspace.
+          val full = new Array[Byte](chunkElems * elemSize)
+          System.arraycopy(raw, start * elemSize, full, 0, len * elemSize)
+          var payload = full
+          if (ds.shuffle) payload = shuffleBytes(payload, elemSize)
+          if (ds.deflate) payload = deflateBytes(payload)
+          val addr = put(payload)
+          chunks += ((start.toLong, payload.length, addr))
+          start += chunkElems
+        }
+        val bt = mutable.ArrayBuffer.empty[Byte]
+        bt ++= "TREE".getBytes("US-ASCII")
+        bt ++= b1(1) // node type: raw data chunks
+        bt ++= b1(0) // level
+        bt ++= b2(chunks.length)
+        bt ++= Undef // left sibling
+        bt ++= Undef // right sibling
+        for ((off, nbytes, addr) <- chunks) {
+          bt ++= b4(nbytes)
+          bt ++= b4(0) // filter mask
+          bt ++= b8(off)
+          bt ++= b8(0) // element-size dimension offset
+          bt ++= b8(addr)
+        }
+        // final key: one-past-the-end chunk offset
+        bt ++= b4(0)
+        bt ++= b4(0)
+        bt ++= b8(n.toLong)
+        bt ++= b8(0)
+        val btreeAddr = put(bt.toArray)
+        val layout = b1(3) ++ b1(2) ++ b1(2) ++ b8(btreeAddr) ++
+          b4(chunkElems.toLong) ++ b4(elemSize.toLong)
+        msgs += ((0x0008, layout))
+      } else {
+        val addr = if (raw.isEmpty) -1L else put(raw)
+        val layout = b1(3) ++ b1(1) ++
+          (if (raw.isEmpty) Undef else b8(addr)) ++ b8(raw.length.toLong)
+        msgs += ((0x0008, layout))
+      }
+
+      ds.attrs.foreach { case (nm, a) => msgs += encodeAttr(nm, a) }
+      writeHeader(msgs.toSeq)
+    }
+
+    // ---- groups ----------------------------------------------------------
+
+    private def writeGroup(g: Group): Long = {
+      require(g.children.size <= 64,
+        s"group ${g.name}: ${g.children.size} links exceed the single-SNOD writer bound")
+      // children first (bottom-up addresses)
+      val childAddrs = g.children.map(c => c.name -> writeNode(c))
+
+      // local heap: names at offsets; offset 0 byte is NUL (empty string)
+      val heapData = mutable.ArrayBuffer.empty[Byte]
+      heapData ++= zeros(8)
+      val nameOffsets = childAddrs.map { case (nm, _) =>
+        val off = heapData.length.toLong
+        heapData ++= nm.getBytes("UTF-8")
+        heapData ++= zeros(1)
+        nm -> off
+      }.toMap
+      while (heapData.length % 8 != 0) heapData += 0
+      val heapDataAddr = put(heapData.toArray)
+      val heapHeader = "HEAP".getBytes("US-ASCII") ++ b1(0) ++ zeros(3) ++
+        b8(heapData.length.toLong) ++ Undef ++ b8(heapDataAddr)
+      val heapAddr = put(heapHeader)
+
+      // one SNOD with name-sorted entries
+      val sorted = childAddrs.sortBy(_._1)
+      val snod = mutable.ArrayBuffer.empty[Byte]
+      snod ++= "SNOD".getBytes("US-ASCII")
+      snod ++= b1(1)
+      snod ++= b1(0)
+      snod ++= b2(sorted.length)
+      for ((nm, addr) <- sorted) {
+        snod ++= b8(nameOffsets(nm))
+        snod ++= b8(addr)
+        snod ++= b4(0) // cache type
+        snod ++= b4(0)
+        snod ++= zeros(16)
+      }
+      val snodAddr = put(snod.toArray)
+
+      // B-tree: single level-0 node with the one SNOD child
+      val bt = mutable.ArrayBuffer.empty[Byte]
+      bt ++= "TREE".getBytes("US-ASCII")
+      bt ++= b1(0) // node type: group
+      bt ++= b1(0) // level
+      bt ++= b2(if (sorted.isEmpty) 0 else 1)
+      bt ++= Undef
+      bt ++= Undef
+      if (sorted.nonEmpty) {
+        bt ++= b8(nameOffsets(sorted.head._1)) // key 0: first name
+        bt ++= b8(snodAddr)
+        bt ++= b8(nameOffsets(sorted.last._1)) // key 1: last name
+      }
+      val btreeAddr = put(bt.toArray)
+
+      val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      msgs += ((0x0011, b8(btreeAddr) ++ b8(heapAddr)))
+      g.attrs.foreach { case (nm, a) => msgs += encodeAttr(nm, a) }
+      writeHeader(msgs.toSeq)
+    }
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Hdf5, Hdf5Writer => W}
+import graft.sources.Hdf5.{H5Group, H5Value}
+
+/** The HDF5 container subset: files emitted by the spec-conformant
+  * fixture writer are decoded by the independent parser ([[Hdf5]]'s
+  * scaladoc lists the subset; reference parquet.py reads the same
+  * structures through h5py). */
+class Hdf5Spec extends AnyFunSuite {
+
+  private def L(v: H5Value): Seq[Long] = H5Value.longs(v).toSeq
+  private def D(v: H5Value): Seq[Double] = H5Value.doubles(v).toSeq
+  private def S(v: H5Value): Seq[String] = v.asInstanceOf[Hdf5.H5Strings].values.toSeq
+
+  private def roundtrip(nodes: Seq[W.Node],
+                        rootAttrs: Seq[(String, W.Attr)] = Nil): H5Group =
+    Hdf5.open(W.write(nodes, rootAttrs))
+
+  test("superblock signature is the spec's 8 magic bytes") {
+    val bytes = W.write(Seq(W.scalarLong("x", 1)))
+    assert(bytes.take(8).toSeq ==
+      Seq(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ex = intercept[RuntimeException](Hdf5.open("not an hdf5 file".getBytes))
+    assert(ex.getMessage.contains("superblock"))
+  }
+
+  test("contiguous numeric datasets roundtrip at every width") {
+    val root = roundtrip(Seq(
+      W.Dataset("i64", W.LongData(Array(-5L, 0L, 1L << 40), 8, signed = true)),
+      W.Dataset("i32", W.LongData(Array(-7L, 123456789L), 4, signed = true)),
+      W.Dataset("u32", W.LongData(Array(0L, 4000000000L), 4, signed = false)),
+      W.Dataset("i16", W.LongData(Array(-300L, 300L), 2, signed = true)),
+      W.Dataset("u8", W.LongData(Array(0L, 255L), 1, signed = false)),
+      W.Dataset("f64", W.DoubleData(Array(0.5, -2.25, 1e300), 8)),
+      W.Dataset("f32", W.DoubleData(Array(1.5, -0.25), 4))))
+    assert(L(root.dataset("i64").get.read()) == Seq(-5L, 0L, 1L << 40))
+    assert(L(root.dataset("i32").get.read()) == Seq(-7L, 123456789L))
+    assert(L(root.dataset("u32").get.read()) == Seq(0L, 4000000000L))
+    assert(L(root.dataset("i16").get.read()) == Seq(-300L, 300L))
+    assert(L(root.dataset("u8").get.read()) == Seq(0L, 255L))
+    assert(D(root.dataset("f64").get.read()) == Seq(0.5, -2.25, 1e300))
+    assert(D(root.dataset("f32").get.read()) == Seq(1.5, -0.25))
+  }
+
+  test("fixed and variable-length strings roundtrip") {
+    val root = roundtrip(Seq(
+      W.Dataset("fixed", W.StringData(Array("alpha", "b", ""))),
+      W.Dataset("vlen", W.VlenStringData(
+        Array("variable", "", "a much longer string value", "x"))),
+      W.scalarStr("scalar", "REF_L")))
+    assert(S(root.dataset("fixed").get.read()) == Seq("alpha", "b", ""))
+    assert(S(root.dataset("vlen").get.read()) ==
+      Seq("variable", "", "a much longer string value", "x"))
+    val s = root.dataset("scalar").get
+    assert(s.dims.isEmpty && S(s.read()) == Seq("REF_L"))
+  }
+
+  test("chunked layout with shuffle+deflate filters and a partial edge chunk") {
+    val values = Array.tabulate(1000)(i => (i.toLong * 37) % 1013)
+    val doubles = Array.tabulate(777)(i => i / 64.0)
+    val root = roundtrip(Seq(
+      W.Dataset("packed", W.LongData(values, 8, signed = true),
+        chunk = 256, deflate = true, shuffle = true),
+      W.Dataset("plainchunks", W.DoubleData(doubles, 8), chunk = 100),
+      W.Dataset("deflated", W.LongData(values, 4, signed = true),
+        chunk = 300, deflate = true)))
+    assert(L(root.dataset("packed").get.read()) == values.toSeq)
+    assert(D(root.dataset("plainchunks").get.read()) == doubles.toSeq)
+    assert(L(root.dataset("deflated").get.read()) == values.toSeq)
+  }
+
+  test("nested symbol-table groups walk by path") {
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(
+        W.scalarLong("run_number", 218386L),
+        W.Group("DASlogs", Seq(
+          W.Group("proton_charge", Seq(
+            W.Dataset("time", W.DoubleData(Array(0.0, 1.0 / 60))),
+            W.Dataset("value", W.DoubleData(Array(12.5, 12.75))))))),
+        W.Group("instrument", Seq(W.scalarStr("name", "REF_L")))))))
+    assert(Hdf5.H5Value.scalarLong(
+      root.dataset("entry/run_number").get.read()) == Some(218386L))
+    assert(D(root.dataset("entry/DASlogs/proton_charge/value").get.read()) ==
+      Seq(12.5, 12.75))
+    assert(Hdf5.H5Value.scalarString(
+      root.dataset("entry/instrument/name").get.read()) == Some("REF_L"))
+    assert(root.group("entry/DASlogs").get.childrenInOrder.map(_._1) ==
+      Seq("proton_charge"))
+  }
+
+  test("attributes decode on groups, datasets, and the root") {
+    val root = roundtrip(
+      Seq(
+        W.Group("entry", Seq(
+          W.scalarStr("title", "t", attrs = Seq("units" -> W.AttrStr("none")))),
+          attrs = Seq("NX_class" -> W.AttrStr("NXentry"),
+            "version" -> W.AttrLong(4L),
+            "weight" -> W.AttrDouble(2.5)))),
+      rootAttrs = Seq("file_name" -> W.AttrStr("run_1.nxs.h5")))
+    assert(Hdf5.H5Value.scalarString(root.attributes("file_name")) ==
+      Some("run_1.nxs.h5"))
+    val entry = root.group("entry").get
+    assert(Hdf5.H5Value.scalarString(entry.attributes("NX_class")) == Some("NXentry"))
+    assert(Hdf5.H5Value.scalarLong(entry.attributes("version")) == Some(4L))
+    assert(Hdf5.H5Value.scalarDouble(entry.attributes("weight")) == Some(2.5))
+    assert(Hdf5.H5Value.scalarString(
+      entry.dataset("title").get.attributes("units")) == Some("none"))
+  }
+
+  test("empty datasets and empty groups are readable") {
+    val root = roundtrip(Seq(
+      W.Dataset("none", W.LongData(Array.empty[Long], 8, signed = true)),
+      W.Group("emptygroup", Nil)))
+    assert(L(root.dataset("none").get.read()).isEmpty)
+    assert(root.group("emptygroup").get.childrenInOrder.isEmpty)
+  }
+
+  test("channel-backed source reads lazily from disk") {
+    val values = Array.tabulate(500)(i => i.toLong * 3)
+    val bytes = W.write(Seq(
+      W.Group("entry", Seq(
+        W.Dataset("data", W.LongData(values, 8, signed = true),
+          chunk = 128, deflate = true)))))
+    val f = java.nio.file.Files.createTempFile("graft_h5_", ".h5")
+    try {
+      java.nio.file.Files.write(f, bytes)
+      val root = Hdf5.open(f)
+      assert(L(root.dataset("entry/data").get.read()) == values.toSeq)
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("unsupported features fail loudly by name") {
+    // a compound datatype (class 6) in a hand-corrupted message: take a
+    // valid file and flip the datatype class byte of the lone dataset
+    val bytes = W.write(Seq(W.Dataset("d", W.LongData(Array(1L, 2L), 8))))
+    // find the fixed-point datatype encoding (0x10 version/class byte,
+    // bit-field 0x08, size 8) and rewrite the class nibble to 6
+    val idx = bytes.sliding(8).indexWhere(w =>
+      w(0) == 0x10.toByte && w(1) == 0x08.toByte && w(4) == 8.toByte)
+    assert(idx >= 0)
+    bytes(idx) = 0x16.toByte
+    val ex = intercept[RuntimeException](
+      Hdf5.open(bytes).dataset("d").get.read())
+    assert(ex.getMessage.contains("datatype class 6"))
+  }
+}
