@@ -340,6 +340,24 @@ object BenchScale {
             col("v.timescale") > 0, 1)))
           .head().getLong(0)
       },
+      timed("nexus_h5_ingest") {
+        // raw .nxs.h5 ingestion at run-file scale: 96 fixture files at
+        // pulseScale 192 (~6k-14k pulses, ~40k-100k events per file,
+        // chunked+shuffle+deflate event datasets — the facility layout)
+        // decode through the pure-JVM HDF5 parser, one executor task
+        // per file, then correlate events to pulses through the full
+        // distributed pipeline. Corpus generation is untimed (it is the
+        // input lake); the timed span is decode -> 8 tables -> events
+        // aggregate.
+        val h5dir = s"$work/nexus_h5_96x192"
+        if (!Files.exists(Paths.get(h5dir)))
+          graft.etl.NexusFixtures.writeRunDir(
+            Paths.get(h5dir), nRuns = 96, pulseScale = 192)
+        val tables = graft.etl.NexusH5.processH5Dir(spark, h5dir)
+        tables("events")
+          .agg(count(lit(1)) + count(when(col("pulse_time").isNotNull, 1)))
+          .head().getLong(0)
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor

@@ -66,24 +66,41 @@ object ConvertCli {
     Right(cfg)
   }
 
+  /** True when the input dir holds raw `.nxs.h5`/`.h5`/`.nxs` run files
+    * (the reference CLI's actual input) rather than pre-decoded
+    * per-concern parquet frames. */
+  def looksLikeH5Dir(dir: String): Boolean = {
+    val f = new java.io.File(dir)
+    f.isDirectory && Option(f.list()).exists(_.exists(n =>
+      n.endsWith(".h5") || n.endsWith(".nxs")))
+  }
+
   /** Run the conversion; returns table -> output path for what was
-    * actually written (events/event_summary/users only when included). */
+    * actually written (events/event_summary/users only when included).
+    * Raw-HDF5 input dirs route through the in-repo container parser
+    * ([[graft.etl.NexusH5]]) — the reference CLI's real input shape;
+    * otherwise the input is a landing zone of per-concern parquet
+    * frames. */
   def run(spark: SparkSession, cfg: Config): Map[String, String] = {
     def in(name: String) = spark.read.parquet(s"${cfg.inputDir}/$name")
 
-    // --max-events: truncate each bank's arrays (cli.py --max-events)
-    val banks0 = in("event_banks")
-    val banks = cfg.maxEvents.fold(banks0) { m =>
-      banks0
-        .withColumn("event_ids", expr(s"slice(event_ids, 1, $m)"))
-        .withColumn("event_offsets", expr(s"slice(event_offsets, 1, $m)"))
-        .withColumn("event_index", expr(s"filter(event_index, x -> x < $m)"))
+    val bundle = if (looksLikeH5Dir(cfg.inputDir)) {
+      graft.etl.NexusH5.toRunBundle(
+        graft.etl.NexusH5.readRuns(spark, cfg.inputDir, cfg.maxEvents))
+    } else {
+      // --max-events: truncate each bank's arrays (cli.py --max-events)
+      val banks0 = in("event_banks")
+      val banks = cfg.maxEvents.fold(banks0) { m =>
+        banks0
+          .withColumn("event_ids", expr(s"slice(event_ids, 1, $m)"))
+          .withColumn("event_offsets", expr(s"slice(event_offsets, 1, $m)"))
+          .withColumn("event_index", expr(s"filter(event_index, x -> x < $m)"))
+      }
+      NexusPipeline.RunBundle(
+        metadata = in("metadata"), sample = in("sample"),
+        instrument = in("instrument"), software = in("software"),
+        users = in("users"), daslogs = in("daslogs"), eventBanks = banks)
     }
-
-    val bundle = NexusPipeline.RunBundle(
-      metadata = in("metadata"), sample = in("sample"),
-      instrument = in("instrument"), software = in("software"),
-      users = in("users"), daslogs = in("daslogs"), eventBanks = banks)
 
     val tables = NexusPipeline.processRuns(spark, bundle)
       .filter { case (name, _) =>

@@ -46,8 +46,13 @@ object NexusFixtures {
   def totalCounts(r: Int): Long =
     (0 until Banks).map(b => nEvents(r, b).toLong).sum
 
-  def runFileBytes(r: Int): Array[Byte] = {
-    val p = pulses(r)
+  /** `pulseScale` multiplies the pulse count (and with it every event
+    * array) without touching the per-position formulas — the same bytes
+    * recipe serves the 6-run oracle corpus (scale 1) and the BenchScale
+    * ingest probe (scale in the hundreds → tens of thousands of pulses
+    * and ~100k events per file, the realistic run-file shape). */
+  def runFileBytes(r: Int, pulseScale: Int = 1): Array[Byte] = {
+    val p = pulses(r) * pulseScale
 
     val bankGroups = (0 until Banks).map { b =>
       val k = eventsPerPulse(r, b)
@@ -133,12 +138,13 @@ object NexusFixtures {
   /** Write `nRuns` fixture files into `dir` (idempotent: existing
     * complete dirs are reused — the bytes are deterministic). Returns the
     * directory path. */
-  def writeRunDir(dir: java.nio.file.Path, nRuns: Int): java.nio.file.Path =
+  def writeRunDir(dir: java.nio.file.Path, nRuns: Int,
+                  pulseScale: Int = 1): java.nio.file.Path =
     synchronized {
       java.nio.file.Files.createDirectories(dir)
       (0 until nRuns).foreach { r =>
         val f = dir.resolve(s"run_${1000 + r}.nxs.h5")
-        val bytes = runFileBytes(r)
+        val bytes = runFileBytes(r, pulseScale)
         if (!java.nio.file.Files.exists(f) ||
             java.nio.file.Files.size(f) != bytes.length)
           java.nio.file.Files.write(f, bytes)

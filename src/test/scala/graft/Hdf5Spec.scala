@@ -132,6 +132,55 @@ class Hdf5Spec extends AnyFunSuite {
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("superblock v2 + OHDR root with compact link messages parses") {
+    // hand-transcribed from the spec (the 1.10+ writer layout the
+    // classic-format fixture writer does not emit): v2 superblock,
+    // v2 `OHDR` root group holding one hard-link message to a dataset
+    // with a v1 header
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(out.write)
+    def le2(v: Int): Unit = b(v & 0xff, (v >> 8) & 0xff)
+    def le4(v: Long): Unit = (0 until 4).foreach(i => b(((v >> (8 * i)) & 0xff).toInt))
+    def le8(v: Long): Unit = (0 until 8).foreach(i => b(((v >> (8 * i)) & 0xff).toInt))
+
+    out.write(new Array[Byte](48)) // superblock v2 placeholder
+
+    val dataAddr = out.size()
+    Seq(11L, 22L, 33L).foreach(le8)
+
+    val dsetAddr = out.size()
+    b(1, 0); le2(3); le4(1); le4(80); le4(0) // v1 prefix + pad
+    b(0x01, 0x00); le2(16); b(0, 0, 0, 0) // dataspace msg header
+    b(1, 1, 0, 0, 0, 0, 0, 0); le8(3) // v1 simple, rank 1, dim 3
+    b(0x03, 0x00); le2(16); b(0, 0, 0, 0) // datatype msg header
+    b(0x10, 0x08, 0, 0); le4(8); le2(0); le2(64); le4(0) // i64 + pad
+    b(0x08, 0x00); le2(24); b(0, 0, 0, 0) // layout msg header
+    b(3, 1); le8(dataAddr); le8(24); b(0, 0, 0, 0, 0, 0) // contiguous + pad
+
+    val rootAddr = out.size()
+    b('O', 'H', 'D', 'R', 2, 0x00) // version 2, flags: 1-byte chunk0 size
+    b(16) // size of chunk 0
+    b(0x06); le2(12); b(0x00) // link message, 12 bytes, flags 0
+    b(1, 0x00, 1, 'd'); le8(dsetAddr) // v1 hard link "d"
+    le4(0) // (unverified) checksum
+
+    val bytes = out.toByteArray
+    def patch8(pos: Int, v: Long): Unit =
+      (0 until 8).foreach(i => bytes(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+    System.arraycopy(
+      Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      0, bytes, 0, 8)
+    bytes(8) = 2; bytes(9) = 8; bytes(10) = 8; bytes(11) = 0
+    patch8(12, 0L) // base address
+    patch8(20, -1L) // superblock extension: undefined
+    patch8(28, bytes.length.toLong) // EOF
+    patch8(36, rootAddr.toLong) // root object header
+
+    val root = Hdf5.open(bytes)
+    assert(root.childrenInOrder.map(_._1) == Seq("d"))
+    assert(L(root.dataset("d").get.read()) == Seq(11L, 22L, 33L))
+  }
+
   test("unsupported features fail loudly by name") {
     // a compound datatype (class 6) in a hand-corrupted message: take a
     // valid file and flip the datatype class byte of the lone dataset

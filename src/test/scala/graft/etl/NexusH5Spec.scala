@@ -136,6 +136,24 @@ class NexusH5Spec extends SparkSuite {
     assert(row.getString(0) == "User 1B" && row.getString(1) == "scientist")
   }
 
+  test("ConvertCli routes a raw .nxs.h5 dir through the container parser") {
+    import graft.cli.ConvertCli
+    assert(ConvertCli.looksLikeH5Dir(dir))
+    val out = java.nio.file.Files.createTempDirectory("graft_nxs_cli").toString
+    val cfg = ConvertCli.Config(dir, out,
+      includeEvents = true, includeUsers = true)
+    val written = ConvertCli.run(spark, cfg)
+    assert(written.keySet.contains("events") && written.keySet.contains("users"))
+    val ev = spark.read.parquet(written("events"))
+    val expected = (0 until 3).map(r =>
+      (0 until NexusFixtures.Banks).map(b => NexusFixtures.nEvents(r, b)).sum)
+      .sum.toLong
+    assert(ev.count() == expected)
+    // partitioned by the composite run key, as the reference writes
+    assert(new java.io.File(written("events"))
+      .list().exists(_.startsWith("instrument_id=")))
+  }
+
   test("decoded frame lands in parquet for first-touch conversion") {
     val out = java.nio.file.Files.createTempDirectory("graft_nxs_pq").toString
     NexusH5.decodedToParquet(spark, dir, out)
