@@ -4307,7 +4307,133 @@ object QueryCatalog {
         CAST(103 AS DOUBLE) AS speed_avg,
         'notes for run ' || CAST(1000+r AS VARCHAR) AS notes
       FROM runs JOIN tc USING (r) JOIN pcsum USING (r)
-      ORDER BY run_id"""))
+      ORDER BY run_id""")),
+
+    // Integer-substrate PageRank over a doc_id-derived domain link graph
+    // (ops/Graph.pageRank — the web-curation domain-quality prior).
+    // 20 'siteN' nodes; sites 17-19 never source an edge (dangling-mass
+    // path exercised). Total mass 10^12 integer units, floor division
+    // at every share, so 3 synchronized power iterations are
+    // bit-identical across engines — the oracle unrolls the SAME three
+    // iterations in SQL. Data-derived at any corpus scale.
+    QueryDef("domain_pagerank", (s, d) => {
+      val edges = t(s, d, "documents")
+        .filter(col("doc_id") % 20 < 17)
+        .select(
+          concat(lit("site"), (col("doc_id") % 20).cast("string")).as("src"),
+          concat(lit("site"),
+            ((col("doc_id") * 7 + 3) % 20).cast("string")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }, Some("""
+      WITH e AS (
+        SELECT DISTINCT 'site' || CAST(doc_id % 20 AS VARCHAR) AS src,
+               'site' || CAST((doc_id*7+3) % 20 AS VARCHAR) AS dst
+        FROM documents
+        WHERE doc_id % 20 < 17
+          AND 'site' || CAST(doc_id % 20 AS VARCHAR)
+              <> 'site' || CAST((doc_id*7+3) % 20 AS VARCHAR)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+      c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS c
+             FROM e JOIN deg ON deg.node = e.src JOIN r0 ON r0.node = e.src
+             GROUP BY 1),
+      g1 AS (SELECT coalesce(sum(r0.r), 0) AS dm FROM r0
+             LEFT JOIN deg ON deg.node = r0.node WHERE deg.d IS NULL),
+      r1 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * (SELECT dm FROM g1)) // (100 * (SELECT n FROM nn))
+               + (85 * coalesce(c1.c, 0)) // 100 AS r
+             FROM nodes LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS c
+             FROM e JOIN deg ON deg.node = e.src JOIN r1 ON r1.node = e.src
+             GROUP BY 1),
+      g2 AS (SELECT coalesce(sum(r1.r), 0) AS dm FROM r1
+             LEFT JOIN deg ON deg.node = r1.node WHERE deg.d IS NULL),
+      r2 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * (SELECT dm FROM g2)) // (100 * (SELECT n FROM nn))
+               + (85 * coalesce(c2.c, 0)) // 100 AS r
+             FROM nodes LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS c
+             FROM e JOIN deg ON deg.node = e.src JOIN r2 ON r2.node = e.src
+             GROUP BY 1),
+      g3 AS (SELECT coalesce(sum(r2.r), 0) AS dm FROM r2
+             LEFT JOIN deg ON deg.node = r2.node WHERE deg.d IS NULL),
+      r3 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+               + (85 * (SELECT dm FROM g3)) // (100 * (SELECT n FROM nn))
+               + (85 * coalesce(c3.c, 0)) // 100 AS r
+             FROM nodes LEFT JOIN c3 USING (node))
+      SELECT node, CAST(r AS BIGINT) AS rank FROM r3 ORDER BY node""")),
+
+    // Data-quality expectation suite (ops/Expectations): the corpus
+    // admission gate as ONE aggregation over ONE scan for every
+    // row-level check (null / unique / accepted values / range / regex)
+    // plus one left-anti join per referential check. The two subset
+    // checks run both directions of orders⋈customer so a PASS and a
+    // FAIL verdict are both exercised (every customer key exists; not
+    // every customer has an order). All counts rederive in SQL.
+    QueryDef("data_expectations", (s, d) => {
+      import graft.ops.Expectations._
+      val docs = t(s, d, "documents")
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      evaluate(docs, Seq(
+          NotNull("text"),
+          Unique(Seq("doc_id")),
+          AcceptedValues("lang", Seq("de", "en", "es", "fr", "zh")),
+          AcceptedValues("lang", Seq("en", "fr")),
+          InRange("n_chars", 1, 500),
+          MatchesRegex("source", "^src[0-9]+$")))
+        .unionByName(evaluate(orders,
+          Seq(SubsetOf("o_custkey", customer, "c_custkey"))))
+        .unionByName(evaluate(customer,
+          Seq(SubsetOf("c_custkey", orders, "o_custkey"))))
+        .orderBy("check", "column", "n_violations")
+    }, Some("""
+      WITH v(chk, col_, n_rows, n_violations) AS (
+        SELECT 'not_null', 'text',
+          (SELECT count(*) FROM documents),
+          (SELECT count(*) FILTER (WHERE text IS NULL) FROM documents)
+        UNION ALL
+        SELECT 'unique', 'doc_id', (SELECT count(*) FROM documents),
+          (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
+        UNION ALL
+        SELECT 'accepted_values', 'lang', (SELECT count(*) FROM documents),
+          (SELECT count(*) FILTER (WHERE lang IS NULL
+             OR lang NOT IN ('de','en','es','fr','zh')) FROM documents)
+        UNION ALL
+        SELECT 'accepted_values', 'lang', (SELECT count(*) FROM documents),
+          (SELECT count(*) FILTER (WHERE lang IS NULL
+             OR lang NOT IN ('en','fr')) FROM documents)
+        UNION ALL
+        SELECT 'in_range', 'n_chars', (SELECT count(*) FROM documents),
+          (SELECT count(*) FILTER (WHERE n_chars IS NULL
+             OR n_chars < 1 OR n_chars > 500) FROM documents)
+        UNION ALL
+        SELECT 'matches_regex', 'source', (SELECT count(*) FROM documents),
+          (SELECT count(*) FILTER (WHERE source IS NULL
+             OR NOT regexp_matches(source, '^src[0-9]+$')) FROM documents)
+        UNION ALL
+        SELECT 'subset_of', 'o_custkey->c_custkey',
+          (SELECT count(*) FROM orders),
+          (SELECT count(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        UNION ALL
+        SELECT 'subset_of', 'c_custkey->o_custkey',
+          (SELECT count(*) FROM customer),
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))
+      SELECT chk AS "check", col_ AS "column",
+        CAST(n_rows AS BIGINT) AS n_rows,
+        CAST(n_violations AS BIGINT) AS n_violations,
+        n_violations = 0 AS passed
+      FROM v ORDER BY 1, 2, 4"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
