@@ -4433,7 +4433,38 @@ object QueryCatalog {
         CAST(n_rows AS BIGINT) AS n_rows,
         CAST(n_violations AS BIGINT) AS n_violations,
         n_violations = 0 AS passed
-      FROM v ORDER BY 1, 2, 4"""))
+      FROM v ORDER BY 1, 2, 4""")),
+
+    // WARC/WET web-crawl ingestion (sources/WarcIO): records framed by
+    // the text source's lineSep (no custom InputFormat, no UDF), header
+    // fields + body split by codegen expressions in the scan. The
+    // fixture corpus is index-derived (WetFixtures), so the oracle
+    // REBUILDS the expected relation arithmetically — urls, dates, byte
+    // lengths, and md5 of the reconstructed text — without ever seeing
+    // a WARC byte. The warcinfo record must be filtered out and every
+    // Content-Length header must equal the body length (ASCII corpus).
+    QueryDef("wet_ingest", (s, _) => {
+      val corpus = graft.sources.WetFixtures.oracleCorpus()
+      graft.sources.WarcIO.wetCorpus(s, corpus)
+        .select(col("url"), col("warc_date"), col("content_length"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("url")
+    }, Some("""
+      WITH t AS (
+        SELECT 'https://site' || CAST(i%7 AS VARCHAR) || '.example.com/page'
+                 || CAST(i AS VARCHAR) AS url,
+               '2024-03-0' || CAST(1 + i%9 AS VARCHAR) || 'T00:00:00Z'
+                 AS warc_date,
+               'Document ' || CAST(i AS VARCHAR) || ' line one.' || chr(10)
+                 || 'Line two with token' || CAST((17*i)%100 AS VARCHAR)
+                 || '.' AS text
+        FROM (SELECT unnest(generate_series(0, 39)) AS i))
+      SELECT url, warc_date,
+        CAST(length(text) AS BIGINT) AS content_length,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        md5(text) AS text_md5
+      FROM t ORDER BY url"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

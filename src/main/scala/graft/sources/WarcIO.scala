@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET web-crawl ingestion — the Common Crawl interchange format,
+  * the raw front door of every web-curation pipeline in this repo
+  * (`TrainingDataPipeline.curateWeb` and the URL/domain family consume
+  * exactly what this source emits).
+  *
+  * Spark-first shape: records are framed by the text source's `lineSep`
+  * option set to the `WARC/1.0` version line — no custom InputFormat,
+  * no UDF; header fields and the body split out as codegen'd
+  * `regexp_extract`/`substring` expressions in the same scan. Gzipped
+  * members read transparently through the codec; a `.wet.gz` member is
+  * one task (gzip is unsplittable), and Common-Crawl-style corpora get
+  * their parallelism from many members per listing — the standard
+  * layout (one segment = tens of thousands of files).
+  *
+  * Body framing note: records are delimiter-framed (everything after the
+  * first blank line, trailing CRLFs stripped) rather than sliced to
+  * `Content-Length` octets — equivalent for well-formed WET output; the
+  * `content_length` header column stays available as an audit of the
+  * framing (`length(text) = content_length` for ASCII bodies).
+  */
+object WarcIO {
+
+  private val CRLF = "\r\n"
+  private val RecordDelim = "WARC/1.0" + CRLF
+
+  /** All records of WET/WARC files under `path` (one row per record,
+    * warcinfo included): `warc_type`, `url`, `warc_date`,
+    * `content_length`, `text`, `source_file`. Malformed records (no
+    * blank line) keep NULL text for a corrupt-record audit, mirroring
+    * `CorpusIO.readJsonlDocs`. */
+  def readWetRecords(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("lineSep", RecordDelim)
+      .text(path)
+      .select(col("value").as("rec"),
+        input_file_name().as("source_file"))
+      .filter(col("rec") =!= "")
+    val bodyStart = locate(CRLF + CRLF, col("rec"))
+    raw.select(
+      regexp_extract(col("rec"), "WARC-Type: ([^\r\n]+)", 1).as("warc_type"),
+      regexp_extract(col("rec"), "WARC-Target-URI: ([^\r\n]+)", 1).as("url"),
+      regexp_extract(col("rec"), "WARC-Date: ([^\r\n]+)", 1).as("warc_date"),
+      regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
+        .cast("long").as("content_length"),
+      when(bodyStart > 0,
+        regexp_replace(col("rec").substr(bodyStart + 4, length(col("rec"))),
+          "[\r\n]+$", ""))
+        .as("text"),
+      col("source_file"))
+  }
+
+  /** Conversion records only (the text documents), with a deterministic
+    * `doc_id` = xxhash64(url, date) for downstream dedup/curation. */
+  def wetCorpus(spark: SparkSession, path: String): DataFrame =
+    readWetRecords(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(xxhash64(col("url"), col("warc_date")).as("doc_id"),
+        col("url"), col("warc_date"), col("content_length"), col("text"))
+
+  // ---- writer (fixtures + interchange export) ---------------------------
+
+  /** Serialize records as a WET member. `records` = (url, date, text);
+    * a leading warcinfo record is emitted like real crawls carry. */
+  def wetBytes(records: Seq[(String, String, String)],
+               warcinfo: String = "software: graft-wet-writer/1.0"): Array[Byte] = {
+    val sb = new StringBuilder
+    def record(headers: Seq[(String, String)], body: String): Unit = {
+      sb.append("WARC/1.0").append(CRLF)
+      headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
+      sb.append("Content-Length: ")
+        .append(body.getBytes("UTF-8").length).append(CRLF)
+      sb.append(CRLF).append(body).append(CRLF).append(CRLF)
+    }
+    record(Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"), warcinfo)
+    records.foreach { case (url, date, text) =>
+      record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> date,
+        "Content-Type" -> "text/plain"), text)
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  def writeWetFile(path: java.nio.file.Path,
+                   records: Seq[(String, String, String)],
+                   gzip: Boolean = false): Unit = {
+    val bytes = wetBytes(records)
+    val out =
+      if (!gzip) bytes
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(bytes); gz.close()
+        bos.toByteArray
+      }
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.write(path, out)
+  }
+}
+
+/** Deterministic WET fixture corpus for the `wet_ingest` oracle — the
+  * NexusFixtures pattern: every record derives from its index, so the
+  * DuckDB oracle REBUILDS the expected relation arithmetically (urls,
+  * byte lengths, md5 of the reconstructed text) without parsing WARC.
+  *
+  * Record i ∈ 0..39:
+  *   url  = https://site{i mod 7}.example.com/page{i}
+  *   date = 2024-03-0{1 + i mod 9}T00:00:00Z
+  *   text = "Document {i} line one." ⏎ "Line two with token{(17i) mod 100}."
+  * (ASCII bodies, so Content-Length = character length.)
+  */
+object WetFixtures {
+  val N = 40
+
+  def url(i: Int): String = s"https://site${i % 7}.example.com/page$i"
+  def date(i: Int): String = s"2024-03-0${1 + i % 9}T00:00:00Z"
+  def text(i: Int): String =
+    s"Document $i line one.\nLine two with token${(17 * i) % 100}."
+
+  def records: Seq[(String, String, String)] =
+    (0 until N).map(i => (url(i), date(i), text(i)))
+
+  /** Fixed path so the oracle SQL can reference nothing but formulas —
+    * the file only exists for Spark's side of the compare. */
+  def oracleCorpus(): String = synchronized {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_wet_oracle", "corpus.wet")
+    if (!java.nio.file.Files.exists(p))
+      WarcIO.writeWetFile(p, records)
+    p.getParent.toString
+  }
+}
