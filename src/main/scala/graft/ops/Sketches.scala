@@ -67,6 +67,36 @@ object Sketches {
         expr("hll_sketch_estimate(hll_union(__u, __u))")
           .as("n_distinct_est"): _*)
   }
+
+  /** Per-group QUANTILE sketch table `(groupCols..., qsk binary)` — the
+    * distribution-shape leg of the sketch algebra
+    * ([[graft.functions.QuantileSketch]]: GK summaries, rank error
+    * ≤ ε·n, KB rows). Same maintained-table shape as [[hllSketchTable]].
+    */
+  def quantileSketchTable(df: DataFrame, valueCol: String,
+                          groupCols: Seq[String],
+                          eps: Double = 0.001): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileSketch.sketch(col(valueCol), eps).as("qsk"))
+  }
+
+  /** Merge quantile-sketch rows back to per-group quantiles at `phis`
+    * `(groupCols..., quantiles array<double>)`. NOTE the returned
+    * values are bound-guaranteed, not replay-deterministic: GK merge
+    * results depend on the (nondeterministic) partial-merge tree, so
+    * two runs may return different values within the same ±ε·n rank
+    * bound — downstream comparisons must compare RANK BOUNDS, never
+    * raw values (the `sketch_quantile_epoch` oracle shape).
+    */
+  def quantileMergeEstimate(sketches: DataFrame, groupCols: Seq[String],
+                            phis: Seq[Double],
+                            eps: Double = 0.001): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileSketch
+        .mergeQuantiles(col("qsk"), phis, eps).as("quantiles"))
+  }
 }
 
 /** Maintained distinct-count sketch table for an append-only corpus:

@@ -4464,7 +4464,53 @@ object QueryCatalog {
         CAST(length(text) AS BIGINT) AS content_length,
         CAST(length(text) AS BIGINT) AS n_chars,
         md5(text) AS text_md5
-      FROM t ORDER BY url"""))
+      FROM t ORDER BY url""")),
+
+    // Mergeable QUANTILE sketch table + epoch merge (the percentile leg
+    // of the sketch algebra, next to sketch_epoch_distinct's HLL and
+    // heavy_hitters' top-k): per-(lang, epoch) GK summaries over
+    // n_chars fold per lang WITHOUT re-scanning the corpus. GK merge
+    // results are bound-guaranteed but not replay-deterministic (the
+    // partial-merge tree varies), so the compare NEVER sees a raw
+    // quantile: the query exports the rank-bound BOOLEANS — with
+    // ε = 1/1000, the merged p50/p90 value's rank interval must
+    // intersect [φn − εn − 1, φn + εn + 1], checked in pure integer
+    // arithmetic in-Spark — plus the per-lang count both engines
+    // rederive. The sketch_stats/regen-proof oracle shape.
+    QueryDef("sketch_quantile_epoch", (s, d) => {
+      import graft.ops.Sketches
+      val vals = t(s, d, "documents")
+        .select(col("lang"), (col("doc_id") % 3).as("epoch"),
+          col("n_chars").cast("double").as("v"))
+      val table = Sketches.quantileSketchTable(
+        vals, "v", Seq("lang", "epoch"), eps = 0.001)
+      val merged = Sketches.quantileMergeEstimate(
+          table, Seq("lang"), Seq(0.5, 0.9), eps = 0.001)
+        .select(col("lang"),
+          element_at(col("quantiles"), 1).as("q50"),
+          element_at(col("quantiles"), 2).as("q90"))
+      vals.join(merged, Seq("lang"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("v") <= col("q50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("v") < col("q50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("v") <= col("q90"), 1L).otherwise(0L)).as("le90"),
+          sum(when(col("v") < col("q90"), 1L).otherwise(0L)).as("lt90"))
+        .select(col("lang"), col("n"),
+          // rank interval [lt+1, le] must intersect [φn−εn−1, φn+εn+1]:
+          // 1000·le ≥ 500n − n − 1000 AND 1000·(lt+1) ≤ 500n + n + 1000
+          (col("le50") * 1000 >= col("n") * 500 - col("n") - 1000 &&
+            (col("lt50") + 1) * 1000 <= col("n") * 500 + col("n") + 1000)
+            .as("p50_ok"),
+          (col("le90") * 1000 >= col("n") * 900 - col("n") - 1000 &&
+            (col("lt90") + 1) * 1000 <= col("n") * 900 + col("n") + 1000)
+            .as("p90_ok"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        TRUE AS p50_ok, TRUE AS p90_ok
+      FROM documents GROUP BY lang ORDER BY lang"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

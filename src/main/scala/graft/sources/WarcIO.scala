@@ -33,34 +33,53 @@ object WarcIO {
     * `content_length`, `text`, `source_file`. Malformed records (no
     * blank line) keep NULL text for a corrupt-record audit, mirroring
     * `CorpusIO.readJsonlDocs`. */
-  def readWetRecords(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read
+  /** The record parse as pure column expressions over a framed-record
+    * frame — ONE definition serving batch and stream (the
+    * `webGateExprs`/`curateStreamGates` structural-parity pattern). */
+  private def parseRecords(framed: DataFrame): DataFrame = {
+    val bodyStart = locate(CRLF + CRLF, col("rec"))
+    framed
+      .filter(col("rec") =!= "")
+      .select(
+        regexp_extract(col("rec"), "WARC-Type: ([^\r\n]+)", 1).as("warc_type"),
+        regexp_extract(col("rec"), "WARC-Target-URI: ([^\r\n]+)", 1).as("url"),
+        regexp_extract(col("rec"), "WARC-Date: ([^\r\n]+)", 1).as("warc_date"),
+        regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
+          .cast("long").as("content_length"),
+        when(bodyStart > 0,
+          regexp_replace(col("rec").substr(bodyStart + 4, length(col("rec"))),
+            "[\r\n]+$", ""))
+          .as("text"),
+        col("source_file"))
+  }
+
+  private def conversionDocs(records: DataFrame): DataFrame =
+    records
+      .filter(col("warc_type") === "conversion")
+      .select(xxhash64(col("url"), col("warc_date")).as("doc_id"),
+        col("url"), col("warc_date"), col("content_length"), col("text"))
+
+  def readWetRecords(spark: SparkSession, path: String): DataFrame =
+    parseRecords(spark.read
       .option("lineSep", RecordDelim)
       .text(path)
-      .select(col("value").as("rec"),
-        input_file_name().as("source_file"))
-      .filter(col("rec") =!= "")
-    val bodyStart = locate(CRLF + CRLF, col("rec"))
-    raw.select(
-      regexp_extract(col("rec"), "WARC-Type: ([^\r\n]+)", 1).as("warc_type"),
-      regexp_extract(col("rec"), "WARC-Target-URI: ([^\r\n]+)", 1).as("url"),
-      regexp_extract(col("rec"), "WARC-Date: ([^\r\n]+)", 1).as("warc_date"),
-      regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
-        .cast("long").as("content_length"),
-      when(bodyStart > 0,
-        regexp_replace(col("rec").substr(bodyStart + 4, length(col("rec"))),
-          "[\r\n]+$", ""))
-        .as("text"),
-      col("source_file"))
-  }
+      .select(col("value").as("rec"), input_file_name().as("source_file")))
 
   /** Conversion records only (the text documents), with a deterministic
     * `doc_id` = xxhash64(url, date) for downstream dedup/curation. */
   def wetCorpus(spark: SparkSession, path: String): DataFrame =
-    readWetRecords(spark, path)
-      .filter(col("warc_type") === "conversion")
-      .select(xxhash64(col("url"), col("warc_date")).as("doc_id"),
-        col("url"), col("warc_date"), col("content_length"), col("text"))
+    conversionDocs(readWetRecords(spark, path))
+
+  /** Unbounded twin: new WET members landing under `path` parse through
+    * the IDENTICAL expressions (structural batch parity) — compose with
+    * `TrainingDataPipeline.curateStreamWeb` for the live crawl front
+    * end. File-source semantics: one member = one atomic unit, so a
+    * half-written member never half-parses. */
+  def streamWetCorpus(spark: SparkSession, path: String): DataFrame =
+    conversionDocs(parseRecords(spark.readStream
+      .option("lineSep", RecordDelim)
+      .text(path)
+      .select(col("value").as("rec"), input_file_name().as("source_file"))))
 
   // ---- writer (fixtures + interchange export) ---------------------------
 

@@ -82,6 +82,24 @@ class WarcIOSpec extends SparkSuite {
     assert(kept == Set("https://a.example.com/1", "https://a.example.com/3"))
   }
 
+  test("streaming twin parses identically to the batch path") {
+    val dir = tempDir()
+    WarcIO.writeWetFile(dir.resolve("p0.wet"), recs.take(2))
+    WarcIO.writeWetFile(dir.resolve("p1.wet"), recs.drop(2))
+    val q = WarcIO.streamWetCorpus(spark, dir.toString)
+      .writeStream.format("memory").queryName("wet_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("wet_stream")
+      .select("url", "warc_date", "content_length", "text")
+      .collect().map(_.toSeq).toSet
+    val batch = WarcIO.wetCorpus(spark, dir.toString)
+      .select("url", "warc_date", "content_length", "text")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.size == 3)
+  }
+
   test("fixture corpus matches its content formulas") {
     val corpus = WarcIO.wetCorpus(spark, WetFixtures.oracleCorpus())
     assert(corpus.count() == WetFixtures.N.toLong)
