@@ -107,6 +107,44 @@ object AsOfMergeJoin {
       keys: Seq[String],
       rightCols: Seq[String]): DataFrame =
     backward(left, right, leftTime, rightTime, keys, rightCols, forward = true)
+
+  /** NEAREST as-of: attach the right row minimizing |rightTime −
+    * leftTime| (sensor sync, closest-calibration lookup — the third
+    * direction next to backward/forward). Composed from the two
+    * O(L+R) directional walks — each left row sees at most its
+    * backward and forward candidate, and the winner is a pure
+    * per-row integer comparison: backward wins ties (deterministic).
+    * Carried right columns keep their names, as in backward/forward;
+    * the matched right time lands in `rightTime` like the directional
+    * forms. */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      leftTime: String,
+      rightTime: String,
+      keys: Seq[String],
+      rightCols: Seq[String]): DataFrame = {
+    // functions._ would shadow the left/right parameters
+    import org.apache.spark.sql.functions.{col, when}
+    val carried = (rightCols :+ rightTime).distinct.filterNot(keys.contains)
+    val bSuffix = "__asof_b_"
+    val fSuffix = "__asof_f_"
+    def renamed(df: DataFrame, suffix: String): DataFrame =
+      carried.foldLeft(df)((d, c) => d.withColumnRenamed(c, suffix + c))
+    val back = renamed(
+      backward(left, right, leftTime, rightTime, keys, rightCols), bSuffix)
+    val both = renamed(
+      forward(back, right, leftTime, rightTime, keys, rightCols), fSuffix)
+    val bt = col(bSuffix + rightTime)
+    val ft = col(fSuffix + rightTime)
+    // backward gap = lt - bt >= 0; forward gap = ft - lt >= 0
+    val useBackward = ft.isNull ||
+      (bt.isNotNull && (col(leftTime) - bt) <= (ft - col(leftTime)))
+    val picked = carried.foldLeft(both)((d, c) =>
+      d.withColumn(c,
+        when(useBackward, col(bSuffix + c)).otherwise(col(fSuffix + c))))
+    picked.select((left.columns.toIndexedSeq ++ carried).map(col): _*)
+  }
 }
 
 /** Logical node: left enriched with the latest right row at-or-before its

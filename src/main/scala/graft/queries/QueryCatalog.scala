@@ -4396,10 +4396,11 @@ object QueryCatalog {
           Seq(SubsetOf("c_custkey", orders, "o_custkey"))))
         .orderBy("check", "column", "n_violations")
     }, Some("""
-      WITH v(chk, col_, n_rows, n_violations) AS (
-        SELECT 'not_null', 'text',
-          (SELECT count(*) FROM documents),
+      WITH v AS (
+        SELECT 'not_null' AS chk, 'text' AS col_,
+          (SELECT count(*) FROM documents) AS n_rows,
           (SELECT count(*) FILTER (WHERE text IS NULL) FROM documents)
+            AS n_violations
         UNION ALL
         SELECT 'unique', 'doc_id', (SELECT count(*) FROM documents),
           (SELECT count(*) - count(DISTINCT doc_id) FROM documents)
@@ -4510,7 +4511,114 @@ object QueryCatalog {
     }, Some("""
       SELECT lang, CAST(count(*) AS BIGINT) AS n,
         TRUE AS p50_ok, TRUE AS p90_ok
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Snapshot distribution drift (ops/Drift): corpus A vs a derived
+    // snapshot B (every 5th doc removed) on n_chars — fixed-width
+    // integer bins with under/overflow edge bins, and total-variation
+    // distance as an EXACT RATIONAL (tv_num/tv_den = Σ|c_a·N_b −
+    // c_b·N_a| / 2·N_a·N_b) — no float anywhere, bit-identical
+    // cross-engine, data-derived at any scale. Bin range 50..500 by 50
+    // deliberately leaves both edge bins populated at this corpus.
+    QueryDef("snapshot_drift", (s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("n_chars").cast("long").as("v"))
+      val b = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("n_chars").cast("long").as("v"))
+      val bins = graft.ops.Drift.binDrift(a, b, "v", lo = 50, width = 50,
+        nBins = 9)
+      val tv = bins.agg(sum(col("drift_num")).as("tv_num"),
+        (sum(col("n_a")) * sum(col("n_b")) * 2).as("tv_den"))
+      bins.crossJoin(tv).orderBy("bin")
+    }, Some("""
+      WITH a AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+      b AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents
+            WHERE doc_id % 5 <> 0),
+      ba AS (SELECT CASE WHEN v < 50 THEN -1 WHEN v >= 500 THEN 9
+                    ELSE (v - 50) // 50 END AS bin,
+               CAST(count(*) AS BIGINT) AS n_a
+             FROM a WHERE v IS NOT NULL GROUP BY 1),
+      bb AS (SELECT CASE WHEN v < 50 THEN -1 WHEN v >= 500 THEN 9
+                    ELSE (v - 50) // 50 END AS bin,
+               CAST(count(*) AS BIGINT) AS n_b
+             FROM b WHERE v IS NOT NULL GROUP BY 1),
+      j AS (SELECT coalesce(ba.bin, bb.bin) AS bin,
+              coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+            FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin),
+      tots AS (SELECT sum(n_a) AS na, sum(n_b) AS nb,
+                 sum(abs(n_a * (SELECT sum(n_b) FROM j)
+                       - n_b * (SELECT sum(n_a) FROM j))) AS tvn
+               FROM j)
+      SELECT j.bin, j.n_a, j.n_b,
+        CAST(abs(j.n_a * t.nb - j.n_b * t.na) AS BIGINT) AS drift_num,
+        CAST(t.tvn AS BIGINT) AS tv_num,
+        CAST(2 * t.na * t.nb AS BIGINT) AS tv_den
+      FROM j, tots t ORDER BY j.bin""")),
+
+    // Gaps-and-islands interval coalescing (ops/Intervals): 10-minute
+    // activity intervals around each event merge into per-type
+    // coverage islands — ONE per-key window pass (running max end over
+    // ROWS UNBOUNDED..1 PRECEDING), no self-join, keys parallelize.
+    // The oracle is the identical window formulation in DuckDB.
+    QueryDef("q_interval_coalesce", (s, d) => {
+      val iv = eventsUs(s, d).select(col("event_type"),
+        col("ts_us").as("s0"), (col("ts_us") + 600000000L).as("e0"))
+      graft.ops.Intervals.coalesceIntervals(
+          iv, Seq("event_type"), "s0", "e0")
+        .select(col("event_type"), col("island"), col("start"),
+          col("end"), col("n_merged"))
+        .orderBy("event_type", "island")
+    }, Some("""
+      WITH iv AS (SELECT event_type, epoch_us(ts) AS s0,
+                    epoch_us(ts) + 600000000 AS e0 FROM events),
+      o AS (SELECT event_type, s0, e0,
+              CASE WHEN s0 > max(e0) OVER (PARTITION BY event_type
+                     ORDER BY s0, e0
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS brk
+            FROM iv),
+      g AS (SELECT event_type, s0, e0,
+              sum(brk) OVER (PARTITION BY event_type ORDER BY s0, e0)
+                AS island
+            FROM o)
+      SELECT event_type, CAST(island AS BIGINT) AS island,
+        min(s0) AS start, max(e0) AS "end",
+        CAST(count(*) AS BIGINT) AS n_merged
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // NEAREST as-of (plans/AsOfMergeJoin.nearest): each event's closest
+    // click of the same user in EITHER direction, backward winning
+    // ties — composed from the two O(L+R) directional merge walks plus
+    // a per-row integer gap compare. The oracle ranks all candidate
+    // clicks by (|gap|, direction).
+    QueryDef("asof_nearest", (s, d) => {
+      val ev = eventsUs(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("ct"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.AsOfMergeJoin.nearest(
+          ev.select("event_id", "user_id", "ts_us"), clicks,
+          leftTime = "ts_us", rightTime = "ct",
+          keys = Seq("user_id"), rightCols = Seq("click_id"))
+        .select(col("event_id"), col("click_id"),
+          col("ct").as("click_time_us"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS ct, max(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+      cand AS (
+        SELECT e.event_id, c.ct, c.click_id,
+          CASE WHEN c.ct <= epoch_us(e.ts) THEN epoch_us(e.ts) - c.ct
+               ELSE c.ct - epoch_us(e.ts) END AS gap,
+          CASE WHEN c.ct <= epoch_us(e.ts) THEN 0 ELSE 1 END AS fwd
+        FROM events e JOIN clicks c ON c.user_id = e.user_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY event_id
+                   ORDER BY gap, fwd) AS rn FROM cand)
+      SELECT e.event_id, r.click_id, r.ct AS click_time_us
+      FROM events e LEFT JOIN ranked r
+        ON r.event_id = e.event_id AND r.rn = 1
+      ORDER BY e.event_id"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
