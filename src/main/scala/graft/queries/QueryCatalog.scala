@@ -4618,7 +4618,39 @@ object QueryCatalog {
       SELECT e.event_id, r.click_id, r.ct AS click_time_us
       FROM events e LEFT JOIN ranked r
         ON r.event_id = e.event_id AND r.rn = 1
-      ORDER BY e.event_id"""))
+      ORDER BY e.event_id""")),
+
+    // Iceberg v1 table format WITHOUT the runtime (sources/IcebergLite
+    // — the Hdf5 move applied to the lakehouse): write a lang-
+    // partitioned table from the documents slice, append a second
+    // snapshot, then read CURRENT and snapshot 1 back purely through
+    // version-hint → metadata json → manifest-list avro → manifest
+    // avro → data files. The per-lang aggregate is wrong if ANY
+    // metadata layer mis-routes; the oracle rederives it from the
+    // documents table arithmetic alone. Data-derived at any scale.
+    QueryDef("iceberg_roundtrip", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 3 =!= 0),
+        dir, partitionBy = Seq("lang"))
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 3 === 0),
+        dir, partitionBy = Seq("lang"))
+      val current = IcebergLite.readTable(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_current"),
+          sum(col("n_chars")).as("sum_chars"))
+      val snap1 = IcebergLite.readTable(s, dir, Some(1L))
+        .groupBy("lang").agg(count(lit(1)).as("n_snap1"))
+      current.join(snap1, Seq("lang")).orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_current,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS n_snap1
+      FROM documents GROUP BY lang ORDER BY lang"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

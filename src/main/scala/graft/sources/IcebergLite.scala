@@ -1,0 +1,400 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Iceberg TABLE-FORMAT read/write without the Iceberg runtime — the
+  * lakehouse leg the reference's `init_neutron_data.py` /
+  * `ingest_neutron_data.py` target (SURVEY §2.3 #24/25 generate the DDL
+  * and the routing; the runtime itself has no jars in this container,
+  * so the TABLE FORMAT is implemented here from the public Iceberg spec
+  * (v1), the `graft.sources.Hdf5` move applied to the lakehouse):
+  *
+  *   table/
+  *     metadata/version-hint.text        → latest metadata version
+  *     metadata/vN.metadata.json         → schema (field-ids), specs,
+  *                                         snapshots, current pointer
+  *     metadata/snap-<id>.avro           → manifest list (avro)
+  *     metadata/manifest-<id>-<k>.avro   → manifest: data-file entries
+  *     data/s<id>/[<k>=<v>/]part-*.parquet
+  *
+  * Supported subset (loud errors outside it): format v1, append-only
+  * snapshots (no deletes/rewrites), identity partition transforms on
+  * string/long columns, and the primitive column types the 8-table
+  * schemas and corpus tables use (boolean/int/long/float/double/
+  * string/binary/timestamp/date). Snapshot ids are sequential (1, 2,
+  * …) so appends are replay-deterministic.
+  *
+  * Scale shape: data files are written and read by Spark (distributed,
+  * column-pruned, partition-dir recovery per snapshot); everything this
+  * object touches directly is METADATA — KB-sized avro/json on the
+  * driver, exactly how the real runtime treats it. Readers never list
+  * the data directory: the file set comes from the manifests, so
+  * concurrent writers/failed writes can't corrupt a read (the Iceberg
+  * contract this format exists for).
+  */
+object IcebergLite {
+
+  // ---- schema mapping ----------------------------------------------------
+
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case TimestampType => "timestamptz"
+    case DateType => "date"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => sys.error(
+      s"unsupported Iceberg column type ${other.simpleString} " +
+        "(supported: primitive types)")
+  }
+
+  private def sparkType(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "timestamptz" | "timestamp" => TimestampType
+    case "date" => DateType
+    case d if d.startsWith("decimal") =>
+      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+        .split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case other => sys.error(s"unsupported Iceberg type '$other'")
+  }
+
+  private def schemaJson(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id": ${i + 1}, "name": ${q(f.name)}, "required": ${!f.nullable}, """ +
+        s""""type": ${q(icebergType(f.dataType))}}"""
+    }
+    s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  private def q(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  // ---- avro manifest schemas (field-ids per the Iceberg v1 spec) ---------
+
+  private def partitionAvroFields(spec: Seq[(String, DataType)]): String =
+    spec.zipWithIndex.map { case ((name, dt), i) =>
+      val avroT = dt match {
+        case LongType => "\"long\""
+        case StringType => "\"string\""
+        case other => sys.error(
+          s"identity partition on ${other.simpleString} not supported " +
+            "(string/long only)")
+      }
+      s"""{"name": ${q(name)}, "type": ["null", $avroT], "default": null,
+          "field-id": ${1000 + i}}"""
+    }.mkString(", ")
+
+  private def manifestEntrySchema(spec: Seq[(String, DataType)]): Schema =
+    new Schema.Parser().parse(s"""
+      {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": null,
+         "field-id": 1},
+        {"name": "data_file", "field-id": 2, "type":
+          {"type": "record", "name": "r2", "fields": [
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "field-id": 102, "type":
+              {"type": "record", "name": "r102",
+               "fields": [${partitionAvroFields(spec)}]}},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+          ]}}
+      ]}""")
+
+  private val ManifestFileSchema: Schema = new Schema.Parser().parse("""
+    {"type": "record", "name": "manifest_file", "fields": [
+      {"name": "manifest_path", "type": "string", "field-id": 500},
+      {"name": "manifest_length", "type": "long", "field-id": 501},
+      {"name": "partition_spec_id", "type": "int", "field-id": 502},
+      {"name": "added_snapshot_id", "type": ["null", "long"],
+       "default": null, "field-id": 503},
+      {"name": "added_data_files_count", "type": ["null", "int"],
+       "default": null, "field-id": 504},
+      {"name": "added_rows_count", "type": ["null", "long"],
+       "default": null, "field-id": 512}
+    ]}""")
+
+  // ---- hadoop-fs helpers (storage-agnostic: local, HDFS, S3A…) -----------
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeBytes(spark: SparkSession, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs(spark, p).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def readBytes(spark: SparkSession, p: Path): Array[Byte] = {
+    val in = fs(spark, p).open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  private def writeAvro(spark: SparkSession, p: Path, schema: Schema,
+                        records: Seq[GenericRecord],
+                        meta: Map[String, String]): Long = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => w.setMeta(k, v) }
+    val out = fs(spark, p).create(p, true)
+    w.create(schema, out)
+    records.foreach(w.append)
+    w.close()
+    fs(spark, p).getFileStatus(p).getLen
+  }
+
+  private def readAvro(spark: SparkSession, p: Path): Seq[GenericRecord] = {
+    val in = new java.io.ByteArrayInputStream(readBytes(spark, p))
+    val r = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toVector finally r.close()
+  }
+
+  // ---- write -------------------------------------------------------------
+
+  /** Create the table with an initial snapshot (overwrites any existing
+    * table dir). `partitionBy` columns use identity transforms. */
+  def createTable(spark: SparkSession, df: DataFrame, tableDir: String,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    val root = new Path(tableDir)
+    fs(spark, root).delete(root, true)
+    appendSnapshot(spark, df, tableDir, partitionBy)
+  }
+
+  /** Append one snapshot: write the batch's data files, a manifest over
+    * them, a manifest list covering ALL live manifests, and the next
+    * metadata version. First call on an empty dir creates the table. */
+  def appendSnapshot(spark: SparkSession, df: DataFrame, tableDir: String,
+                     partitionBy: Seq[String] = Nil): Unit = {
+    val root = new Path(tableDir)
+    val metaDir = new Path(root, "metadata")
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val f = fs(spark, root)
+
+    val prior: Option[TableMeta] =
+      if (f.exists(hintPath)) Some(readMeta(spark, tableDir)) else None
+    prior.foreach { m =>
+      require(m.partitionCols == partitionBy,
+        s"table is partitioned by ${m.partitionCols}, got $partitionBy")
+      require(m.schema == df.schema.fields.map(fl =>
+        fl.name -> icebergType(fl.dataType)).toSeq,
+        "appended schema differs from the table schema")
+    }
+
+    val snapshotId = prior.map(_.currentSnapshotId).getOrElse(0L) + 1
+    val version = prior.map(_.version).getOrElse(0) + 1
+
+    // 1. data files (Spark-distributed write, one subdir per snapshot)
+    val dataDir = new Path(root, s"data/s$snapshotId")
+    val writer = if (partitionBy.nonEmpty)
+      df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode("overwrite").parquet(dataDir.toString)
+
+    // per-file rows via a tiny metadata read of what was just written
+    val perFile = spark.read.parquet(dataDir.toString)
+      .select(org.apache.spark.sql.functions
+        .input_file_name().as("f") +:
+        partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      .groupBy("f", partitionBy: _*).count().collect()
+
+    val spec = partitionBy.map(c => c -> df.schema(c).dataType)
+    val entrySchema = manifestEntrySchema(spec)
+    val fileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = fileSchema.getField("partition").schema()
+
+    val entries = perFile.toSeq.map { row =>
+      val filePath = row.getString(0)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(fileSchema)
+      d.put("file_path", filePath)
+      d.put("file_format", "PARQUET")
+      val part = new GenericData.Record(partSchema)
+      spec.zipWithIndex.foreach { case ((c, _), i) =>
+        part.put(c, row.get(i + 1) match {
+          case s: String => s
+          case l: java.lang.Long => l
+          case other => if (other == null) null else other.toString
+        })
+      }
+      d.put("partition", part)
+      d.put("record_count", row.getLong(row.length - 1))
+      d.put("file_size_in_bytes",
+        f.getFileStatus(new Path(new java.net.URI(filePath))).getLen)
+      e.put("data_file", d)
+      e
+    }
+
+    // 2. manifest for this snapshot's files
+    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
+      Map("schema" -> schemaJson(df.schema), "format-version" -> "1",
+        "content" -> "data"))
+
+    // 3. manifest list = prior live manifests + this one
+    val newRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
+    val priorManifests = prior.toSeq.flatMap(_.manifests)
+    val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
+    val listRecords = (priorManifests :+
+      (manifestPath.toString, manifestLen, entries.size, snapshotId, newRows))
+      .map { case (p2, len, nFiles, addedBy, nRows) =>
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", p2)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("added_snapshot_id", addedBy)
+        r.put("added_data_files_count", nFiles)
+        r.put("added_rows_count", nRows)
+        r
+      }
+    writeAvro(spark, listPath, ManifestFileSchema, listRecords,
+      Map("format-version" -> "1"))
+
+    // 4. next metadata version + hint
+    val specJsonV1 = spec.zipWithIndex.map { case ((c, _), i) =>
+      s"""{"name": ${q(c)}, "transform": "identity",
+          "source-id": ${df.schema.fieldIndex(c) + 1},
+          "field-id": ${1000 + i}}"""
+    }.mkString(", ")
+    val snapshotsJson = (prior.toSeq.flatMap(_.snapshots) :+
+      (snapshotId, listPath.toString))
+      .map { case (id, lp) =>
+        s"""{"snapshot-id": $id,
+             "timestamp-ms": ${System.currentTimeMillis()},
+             "summary": {"operation": "append"},
+             "manifest-list": ${q(lp)}}"""
+      }.mkString(", ")
+    val metaJson = s"""{
+      "format-version": 1,
+      "table-uuid": "00000000-0000-0000-0000-${"%012d".format(version)}",
+      "location": ${q(root.toString)},
+      "last-updated-ms": ${System.currentTimeMillis()},
+      "last-column-id": ${df.schema.fields.length},
+      "schema": ${schemaJson(df.schema)},
+      "partition-spec": [$specJsonV1],
+      "partition-specs": [{"spec-id": 0, "fields": [$specJsonV1]}],
+      "default-spec-id": 0,
+      "last-partition-id": ${999 + spec.size},
+      "properties": {},
+      "current-snapshot-id": $snapshotId,
+      "snapshots": [$snapshotsJson],
+      "snapshot-log": [], "metadata-log": []
+    }"""
+    writeBytes(spark, new Path(metaDir, s"v$version.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+    writeBytes(spark, hintPath, version.toString.getBytes("UTF-8"))
+  }
+
+  // ---- read --------------------------------------------------------------
+
+  private case class TableMeta(
+      version: Int,
+      schema: Seq[(String, String)],
+      partitionCols: Seq[String],
+      currentSnapshotId: Long,
+      snapshots: Seq[(Long, String)],
+      /** (path, length, nFiles, addedSnapshotId, nRows) of the CURRENT
+        * list */
+      manifests: Seq[(String, Long, Int, Long, Long)])
+
+  private def readMeta(spark: SparkSession, tableDir: String,
+                       snapshotId: Option[Long] = None): TableMeta = {
+    val root = new Path(tableDir)
+    val metaDir = new Path(root, "metadata")
+    val version = new String(
+      readBytes(spark, new Path(metaDir, "version-hint.text")), "UTF-8")
+      .trim.toInt
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readBytes(spark, new Path(metaDir, s"v$version.metadata.json")))
+    require(node.get("format-version").asInt() == 1,
+      "only Iceberg format v1 supported")
+    val schema = node.get("schema").get("fields").elements().asScala
+      .map(fl => fl.get("name").asText() -> fl.get("type").asText()).toSeq
+    val partitionCols = node.get("partition-spec").elements().asScala
+      .map { fl =>
+        require(fl.get("transform").asText() == "identity",
+          s"unsupported partition transform ${fl.get("transform").asText()}")
+        fl.get("name").asText()
+      }.toSeq
+    val snapshots = node.get("snapshots").elements().asScala
+      .map(s2 => s2.get("snapshot-id").asLong() ->
+        s2.get("manifest-list").asText()).toSeq
+    val wantId = snapshotId.getOrElse(node.get("current-snapshot-id").asLong())
+    val listPath = snapshots.find(_._1 == wantId).map(_._2).getOrElse(
+      sys.error(s"snapshot $wantId not found (have ${snapshots.map(_._1)})"))
+    val manifests = readAvro(spark, new Path(listPath)).map { r =>
+      (r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        Option(r.get("added_data_files_count"))
+          .map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(r.get("added_snapshot_id"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get("added_rows_count"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    TableMeta(version, schema, partitionCols, wantId, snapshots, manifests)
+  }
+
+  /** Read the table at its current (or a given) snapshot. The data-file
+    * set comes from the manifests, never a directory listing; partition
+    * columns recover per snapshot-group via `basePath`. */
+  def readTable(spark: SparkSession, tableDir: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    val meta = readMeta(spark, tableDir, snapshotId)
+    val files = meta.manifests.flatMap { case (p, _, _, _, _) =>
+      readAvro(spark, new Path(p))
+        .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+    }
+    require(files.nonEmpty, "table has no data files")
+    if (meta.partitionCols.isEmpty)
+      spark.read.parquet(files: _*)
+    else {
+      // group by snapshot data dir so each group gets its basePath
+      val bySnapDir = files.groupBy(fp =>
+        fp.substring(0, fp.indexOf("/data/s") +
+          fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
+      bySnapDir.map { case (base, fs2) =>
+        spark.read.option("basePath", base).parquet(fs2: _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Snapshot ids, oldest first — the time-travel surface. */
+  def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
+    readMeta(spark, tableDir).snapshots.map(_._1)
+
+  /** The table's declared schema (from the metadata json, not from any
+    * data file — the schema-as-contract Iceberg property). */
+  def tableSchema(spark: SparkSession, tableDir: String): StructType =
+    StructType(readMeta(spark, tableDir).schema.map { case (n, t) =>
+      StructField(n, sparkType(t))
+    })
+}

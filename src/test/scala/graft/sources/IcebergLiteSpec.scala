@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Iceberg v1 table format without the runtime (sources/IcebergLite):
+  * snapshot roundtrips, time travel, manifest-driven reads (orphan
+  * files invisible), partition recovery, schema contract. */
+class IcebergLiteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_iceberg").toString + "/t"
+
+  private val batch1 = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+  private val batch2 = Seq((4L, "fr", 40L), (5L, "en", 50L))
+
+  test("create + read roundtrip (unpartitioned)") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    val back = IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(back == batch1.toSet)
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L))
+  }
+
+  test("appends accumulate; time travel reads an old snapshot") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L, 2L))
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    assert(IcebergLite.readTable(spark, dir, Some(1L))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("reads follow manifests, not directory listings") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    // plant an orphan parquet file in the data dir (a failed writer's
+    // leftovers); a manifest-driven read must not see it
+    batch2.toDF("id", "lang", "n").write.mode("append")
+      .parquet(dir + "/data/s1")
+    assert(IcebergLite.readTable(spark, dir).count() == 3L)
+  }
+
+  test("identity-partitioned tables recover partition columns per snapshot") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    val back = IcebergLite.readTable(spark, dir)
+    assert(back.columns.toSet == Set("id", "lang", "n"))
+    assert(back.filter(col("lang") === "en").count() == 3L)
+    assert(back.count() == 5L)
+  }
+
+  test("schema and partitioning are contracts: mismatched appends refuse") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    val exPart = intercept[IllegalArgumentException](
+      IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir))
+    assert(exPart.getMessage.contains("partition"))
+    val exSchema = intercept[IllegalArgumentException](
+      IcebergLite.appendSnapshot(spark,
+        batch2.toDF("id", "lang", "n")
+          .withColumn("extra", lit(1)), dir, partitionBy = Seq("lang")))
+    assert(exSchema.getMessage.contains("schema"))
+  }
+
+  test("declared schema reads from metadata, typed per the spec mapping") {
+    val dir = tmp()
+    IcebergLite.createTable(spark,
+      Seq((1L, "x", 1.5, true)).toDF("id", "s", "d", "b"), dir)
+    val sch = IcebergLite.tableSchema(spark, dir)
+    assert(sch.map(f => f.name -> f.dataType.simpleString) ==
+      Seq("id" -> "bigint", "s" -> "string", "d" -> "double",
+        "b" -> "boolean"))
+  }
+
+  test("metadata versions advance with a version hint per append") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    val metaDir = new java.io.File(dir, "metadata")
+    val names = metaDir.list().toSet
+    assert(names.contains("v1.metadata.json") &&
+      names.contains("v2.metadata.json") &&
+      names.contains("version-hint.text"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      metaDir.toPath.resolve("version-hint.text"))).trim == "2")
+    // one manifest + one manifest list per snapshot
+    assert(names.count(_.startsWith("manifest-")) == 2)
+    assert(names.count(_.startsWith("snap-")) == 2)
+  }
+}
