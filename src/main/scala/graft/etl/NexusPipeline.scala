@@ -166,4 +166,28 @@ object NexusPipeline {
       NexusEtl.writeTable(df, path, table, partitionByRun = true, maxRecordsPerFile)
       table -> path
     }
+
+  /** The lakehouse landing the reference's `init_neutron_data.py` +
+    * `ingest_neutron_data.py` perform against a live catalog, executed
+    * against the in-repo Iceberg v1 format instead
+    * ([[graft.sources.IcebergLite]]): each of the 8 tables becomes an
+    * Iceberg-layout table under `warehouseDir/<routing name>`,
+    * identity-partitioned by (instrument_id, run_number). First call
+    * creates, later calls append a snapshot per table — the same
+    * batch-ingest lifecycle the reference's lakehouse scripts drive.
+    */
+  def processAndWriteIceberg(spark: SparkSession, bundle: RunBundle,
+                             warehouseDir: String): Map[String, String] =
+    processRuns(spark, bundle).map { case (table, df) =>
+      val dir = s"$warehouseDir/$table"
+      val hint = new org.apache.hadoop.fs.Path(dir, "metadata/version-hint.text")
+      val exists = hint.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(hint)
+      val parts = Seq("instrument_id", "run_number")
+      if (exists)
+        graft.sources.IcebergLite.appendSnapshot(spark, df, dir, parts)
+      else
+        graft.sources.IcebergLite.createTable(spark, df, dir, parts)
+      table -> dir
+    }
 }

@@ -26,10 +26,12 @@ import org.apache.spark.sql.types._
   *
   * Supported subset (loud errors outside it): format v1, append-only
   * snapshots (no deletes/rewrites), identity partition transforms on
-  * string/long columns, and the primitive column types the 8-table
-  * schemas and corpus tables use (boolean/int/long/float/double/
-  * string/binary/timestamp/date). Snapshot ids are sequential (1, 2,
-  * …) so appends are replay-deterministic.
+  * string/long columns, primitive column types (boolean/int/long/
+  * float/double/string/binary/timestamp/date/decimal) plus nested
+  * map/list/struct with spec-conformant unique field-id assignment —
+  * everything the 8-table schemas (incl. their map<string,string>
+  * attribute columns) and the corpus tables use. Snapshot ids are
+  * sequential (1, 2, …) so appends are replay-deterministic.
   *
   * Scale shape: data files are written and read by Spark (distributed,
   * column-pruned, partition-dir recovery per snapshot); everything this
@@ -55,33 +57,79 @@ object IcebergLite {
     case DateType => "date"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
     case other => sys.error(
-      s"unsupported Iceberg column type ${other.simpleString} " +
-        "(supported: primitive types)")
+      s"unsupported Iceberg column type ${other.simpleString}")
   }
 
-  private def sparkType(t: String): DataType = t match {
-    case "boolean" => BooleanType
-    case "int" => IntegerType
-    case "long" => LongType
-    case "float" => FloatType
-    case "double" => DoubleType
-    case "string" => StringType
-    case "binary" => BinaryType
-    case "timestamptz" | "timestamp" => TimestampType
-    case "date" => DateType
-    case d if d.startsWith("decimal") =>
-      val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
-        .split(",").map(_.trim.toInt)
-      DecimalType(p, s)
-    case other => sys.error(s"unsupported Iceberg type '$other'")
-  }
+  /** Nested type JSON with spec-conformant unique field-id assignment
+    * (`nextId` allocates ids for nested map/list/struct members). */
+  private def icebergTypeJson(dt: DataType, nextId: () => Int): String =
+    dt match {
+      case MapType(k, v, valueNullable) =>
+        val kid = nextId(); val vid = nextId()
+        s"""{"type": "map", "key-id": $kid,
+            "key": ${icebergTypeJson(k, nextId)},
+            "value-id": $vid,
+            "value": ${icebergTypeJson(v, nextId)},
+            "value-required": ${!valueNullable}}"""
+      case ArrayType(e, containsNull) =>
+        val eid = nextId()
+        s"""{"type": "list", "element-id": $eid,
+            "element": ${icebergTypeJson(e, nextId)},
+            "element-required": ${!containsNull}}"""
+      case st: StructType =>
+        val fields = st.fields.map { f =>
+          val id = nextId()
+          s"""{"id": $id, "name": ${q(f.name)},
+              "required": ${!f.nullable},
+              "type": ${icebergTypeJson(f.dataType, nextId)}}"""
+        }
+        s"""{"type": "struct", "fields": [${fields.mkString(", ")}]}"""
+      case prim => q(icebergType(prim))
+    }
 
-  private def schemaJson(schema: StructType): String = {
+  private def sparkType(node: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (node.isTextual) node.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "timestamptz" | "timestamp" => TimestampType
+      case "date" => DateType
+      case d if d.startsWith("decimal") =>
+        val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, s)
+      case other => sys.error(s"unsupported Iceberg type '$other'")
+    } else node.get("type").asText() match {
+      case "map" =>
+        MapType(sparkType(node.get("key")), sparkType(node.get("value")),
+          !node.get("value-required").asBoolean())
+      case "list" =>
+        ArrayType(sparkType(node.get("element")),
+          !node.get("element-required").asBoolean())
+      case "struct" =>
+        StructType(node.get("fields").elements().asScala.map(f =>
+          StructField(f.get("name").asText(), sparkType(f.get("type")),
+            !f.get("required").asBoolean())).toSeq)
+      case other => sys.error(s"unsupported Iceberg nested type '$other'")
+    }
+
+  /** Returns (schema json, last-column-id). Top-level columns take ids
+    * 1..n, nested members allocate upward from there — deterministic
+    * for a given Spark schema, so append-time schema equality is a
+    * string compare. */
+  private def schemaJson(schema: StructType): (String, Int) = {
+    var id = schema.fields.length
+    val nextId = () => { id += 1; id }
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id": ${i + 1}, "name": ${q(f.name)}, "required": ${!f.nullable}, """ +
-        s""""type": ${q(icebergType(f.dataType))}}"""
+        s""""type": ${icebergTypeJson(f.dataType, nextId)}}"""
     }
-    s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}"""
+    (s"""{"type": "struct", "schema-id": 0, "fields": [${fields.mkString(", ")}]}""",
+      id)
   }
 
   private def q(s: String): String =
@@ -197,11 +245,12 @@ object IcebergLite {
 
     val prior: Option[TableMeta] =
       if (f.exists(hintPath)) Some(readMeta(spark, tableDir)) else None
+    val (schemaJs, lastColumnId) = schemaJson(df.schema)
     prior.foreach { m =>
       require(m.partitionCols == partitionBy,
         s"table is partitioned by ${m.partitionCols}, got $partitionBy")
-      require(m.schema == df.schema.fields.map(fl =>
-        fl.name -> icebergType(fl.dataType)).toSeq,
+      require(m.schemaNode == new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(schemaJs),
         "appended schema differs from the table schema")
     }
 
@@ -235,11 +284,16 @@ object IcebergLite {
       d.put("file_path", filePath)
       d.put("file_format", "PARQUET")
       val part = new GenericData.Record(partSchema)
-      spec.zipWithIndex.foreach { case ((c, _), i) =>
-        part.put(c, row.get(i + 1) match {
-          case s: String => s
-          case l: java.lang.Long => l
-          case other => if (other == null) null else other.toString
+      spec.zipWithIndex.foreach { case ((c, dt), i) =>
+        // partition-dir read-back re-infers types (1001 comes back as
+        // Integer) — coerce to the DECLARED spec type for the avro union
+        val raw = row.get(i + 1)
+        part.put(c, (dt, raw) match {
+          case (_, null) => null
+          case (LongType, n: java.lang.Number) =>
+            java.lang.Long.valueOf(n.longValue())
+          case (StringType, v) => v.toString
+          case (_, v) => v
         })
       }
       d.put("partition", part)
@@ -253,7 +307,7 @@ object IcebergLite {
     // 2. manifest for this snapshot's files
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
-      Map("schema" -> schemaJson(df.schema), "format-version" -> "1",
+      Map("schema" -> schemaJs, "format-version" -> "1",
         "content" -> "data"))
 
     // 3. manifest list = prior live manifests + this one
@@ -295,8 +349,8 @@ object IcebergLite {
       "table-uuid": "00000000-0000-0000-0000-${"%012d".format(version)}",
       "location": ${q(root.toString)},
       "last-updated-ms": ${System.currentTimeMillis()},
-      "last-column-id": ${df.schema.fields.length},
-      "schema": ${schemaJson(df.schema)},
+      "last-column-id": $lastColumnId,
+      "schema": $schemaJs,
       "partition-spec": [$specJsonV1],
       "partition-specs": [{"spec-id": 0, "fields": [$specJsonV1]}],
       "default-spec-id": 0,
@@ -315,7 +369,7 @@ object IcebergLite {
 
   private case class TableMeta(
       version: Int,
-      schema: Seq[(String, String)],
+      schemaNode: com.fasterxml.jackson.databind.JsonNode,
       partitionCols: Seq[String],
       currentSnapshotId: Long,
       snapshots: Seq[(Long, String)],
@@ -334,8 +388,7 @@ object IcebergLite {
       .readTree(readBytes(spark, new Path(metaDir, s"v$version.metadata.json")))
     require(node.get("format-version").asInt() == 1,
       "only Iceberg format v1 supported")
-    val schema = node.get("schema").get("fields").elements().asScala
-      .map(fl => fl.get("name").asText() -> fl.get("type").asText()).toSeq
+    val schemaNode = node.get("schema")
     val partitionCols = node.get("partition-spec").elements().asScala
       .map { fl =>
         require(fl.get("transform").asText() == "identity",
@@ -358,7 +411,7 @@ object IcebergLite {
         Option(r.get("added_rows_count"))
           .map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    TableMeta(version, schema, partitionCols, wantId, snapshots, manifests)
+    TableMeta(version, schemaNode, partitionCols, wantId, snapshots, manifests)
   }
 
   /** Read the table at its current (or a given) snapshot. The data-file
@@ -374,17 +427,31 @@ object IcebergLite {
           .get("file_path").toString)
     }
     require(files.nonEmpty, "table has no data files")
-    if (meta.partitionCols.isEmpty)
-      spark.read.parquet(files: _*)
-    else {
-      // group by snapshot data dir so each group gets its basePath
-      val bySnapDir = files.groupBy(fp =>
-        fp.substring(0, fp.indexOf("/data/s") +
-          fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
-      bySnapDir.map { case (base, fs2) =>
-        spark.read.option("basePath", base).parquet(fs2: _*)
-      }.reduce(_ unionByName _)
-    }
+    val raw =
+      if (meta.partitionCols.isEmpty)
+        spark.read.parquet(files: _*)
+      else {
+        // group by snapshot data dir so each group gets its basePath
+        val bySnapDir = files.groupBy(fp =>
+          fp.substring(0, fp.indexOf("/data/s") +
+            fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
+        bySnapDir.map { case (base, fs2) =>
+          spark.read.option("basePath", base).parquet(fs2: _*)
+        }.reduce(_ unionByName _)
+      }
+    // conform to the DECLARED schema: column order and types come from
+    // the metadata (partition-dir recovery re-infers e.g. long as int)
+    val declared = StructType(meta.schemaNode.get("fields")
+      .elements().asScala.map(f =>
+        StructField(f.get("name").asText(), sparkType(f.get("type")),
+          !f.get("required").asBoolean())).toSeq)
+    raw.select(declared.fields.toIndexedSeq.map { f =>
+      val c = org.apache.spark.sql.functions.col(f.name)
+      // catalogString ignores nullability — cast only on a REAL
+      // difference (nullability-only casts are refused by Catalyst)
+      if (raw.schema(f.name).dataType.catalogString == f.dataType.catalogString) c
+      else c.cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   /** Snapshot ids, oldest first — the time-travel surface. */
@@ -394,7 +461,8 @@ object IcebergLite {
   /** The table's declared schema (from the metadata json, not from any
     * data file — the schema-as-contract Iceberg property). */
   def tableSchema(spark: SparkSession, tableDir: String): StructType =
-    StructType(readMeta(spark, tableDir).schema.map { case (n, t) =>
-      StructField(n, sparkType(t))
-    })
+    StructType(readMeta(spark, tableDir).schemaNode.get("fields")
+      .elements().asScala.map(f =>
+        StructField(f.get("name").asText(), sparkType(f.get("type")),
+          !f.get("required").asBoolean())).toSeq)
 }

@@ -154,6 +154,30 @@ class NexusH5Spec extends SparkSuite {
       .list().exists(_.startsWith("instrument_id=")))
   }
 
+  test("8 tables land as Iceberg-format tables; a second run day appends") {
+    import graft.sources.IcebergLite
+    val wh = java.nio.file.Files.createTempDirectory("graft_nxs_wh").toString
+    val runs = NexusH5.readRuns(spark, dir)
+    val bundle = NexusH5.toRunBundle(runs)
+    val written = NexusPipeline.processAndWriteIceberg(spark, bundle, wh)
+    assert(written.keySet.size == 8)
+    val ev1 = IcebergLite.readTable(spark, written("events"))
+    val expected = (0 until 3).map(r =>
+      (0 until NexusFixtures.Banks).map(b => NexusFixtures.nEvents(r, b)).sum)
+      .sum.toLong
+    assert(ev1.count() == expected)
+    // second ingest appends a snapshot per table
+    NexusPipeline.processAndWriteIceberg(spark, bundle, wh)
+    assert(IcebergLite.snapshotIds(spark, written("events")) == Seq(1L, 2L))
+    assert(IcebergLite.readTable(spark, written("events")).count() ==
+      2 * expected)
+    assert(IcebergLite.readTable(spark, written("events"), Some(1L))
+      .count() == expected)
+    // partition columns survive the format roundtrip
+    assert(ev1.filter(org.apache.spark.sql.functions.col("instrument_id")
+      === "NXS").count() == expected)
+  }
+
   test("decoded frame lands in parquet for first-touch conversion") {
     val out = java.nio.file.Files.createTempDirectory("graft_nxs_pq").toString
     NexusH5.decodedToParquet(spark, dir, out)

@@ -81,6 +81,22 @@ class IcebergLiteSpec extends SparkSuite {
         "b" -> "boolean"))
   }
 
+  test("nested map/array columns roundtrip with field-id schemas") {
+    val dir = tmp()
+    val df = Seq(
+      (1L, Map("a" -> "x", "b" -> "y"), Seq(1L, 2L)),
+      (2L, Map.empty[String, String], Seq.empty[Long]))
+      .toDF("id", "attrs", "vals")
+    IcebergLite.createTable(spark, df, dir)
+    val back = IcebergLite.readTable(spark, dir)
+    assert(back.filter(col("id") === 1L)
+      .select(element_at(col("attrs"), "b"), size(col("vals")))
+      .head().toSeq == Seq("y", 2))
+    val sch = IcebergLite.tableSchema(spark, dir)
+    assert(sch("attrs").dataType.simpleString == "map<string,string>")
+    assert(sch("vals").dataType.simpleString == "array<bigint>")
+  }
+
   test("metadata versions advance with a version hint per append") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
