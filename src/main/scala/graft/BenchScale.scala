@@ -358,6 +358,22 @@ object BenchScale {
           .agg(count(lit(1)) + count(when(col("pulse_time").isNotNull, 1)))
           .head().getLong(0)
       },
+      timed("iceberg_snapshot_cycle") {
+        // the lakehouse lifecycle at corpus scale: land the 500k-doc
+        // corpus as an Iceberg-format table, append a 10% delta
+        // snapshot, then read CURRENT back purely through the metadata
+        // chain. Metadata stays KB-sized; the timed span includes both
+        // snapshot commits and the manifest-driven read.
+        val dir = s"$work/iceberg_docs"
+        val root = new org.apache.hadoop.fs.Path(dir)
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        graft.sources.IcebergLite.createTable(spark,
+          docs.filter(col("doc_id") % 10 =!= 0), dir)
+        graft.sources.IcebergLite.appendSnapshot(spark,
+          docs.filter(col("doc_id") % 10 === 0), dir)
+        graft.sources.IcebergLite.readTable(spark, dir).count()
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor

@@ -24,4 +24,19 @@ object Catalog {
       if (new java.io.File(path).exists())
         spark.read.parquet(path).createOrReplaceTempView(t)
     }
+
+  /** Register an IcebergLite warehouse
+    * ([[graft.etl.NexusPipeline.processAndWriteIceberg]] output) as temp
+    * views — the reference's `spark.read.table` route
+    * (spark_events_by_time.py:49-96) against the in-repo table format:
+    * reads resolve through version-hint → metadata → manifests, so a
+    * registered view always sees the table's CURRENT snapshot as of
+    * registration. */
+  def registerIcebergWarehouse(spark: SparkSession, warehouseDir: String): Unit =
+    graft.etl.NexusSchemas.byTable.keys.foreach { t =>
+      val dir = s"$warehouseDir/$t"
+      if (new java.io.File(s"$dir/metadata/version-hint.text").exists())
+        graft.sources.IcebergLite.readTable(spark, dir)
+          .createOrReplaceTempView(t)
+    }
 }

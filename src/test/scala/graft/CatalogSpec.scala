@@ -19,4 +19,25 @@ class CatalogSpec extends SparkSuite {
       .head().getLong(0)
     assert(fp != 0L)
   }
+
+  test("registerIcebergWarehouse serves the spark.read.table route") {
+    import graft.etl.{NexusFixtures, NexusH5, NexusPipeline}
+    val dir = NexusFixtures.writeRunDir(
+      java.nio.file.Files.createTempDirectory("graft_cat_nxs"), 2).toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+    NexusPipeline.processAndWriteIceberg(spark,
+      NexusH5.toRunBundle(NexusH5.readRuns(spark, dir)), wh)
+    Catalog.registerIcebergWarehouse(spark, wh)
+    // plain SQL over the registered Iceberg-format tables
+    val n = spark.sql("""
+      SELECT COUNT(*) FROM events e
+      JOIN event_summary s ON e.run_id = s.run_id AND e.bank = s.bank""")
+      .head().getLong(0)
+    val expected = (0 until 2).map(r =>
+      (0 until NexusFixtures.Banks).map(b => NexusFixtures.nEvents(r, b)).sum)
+      .sum.toLong
+    assert(n == expected)
+    assert(spark.sql("SELECT COUNT(*) FROM experiment_runs")
+      .head().getLong(0) == 2L)
+  }
 }

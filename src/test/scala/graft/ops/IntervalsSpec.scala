@@ -51,6 +51,32 @@ class IntervalsSpec extends SparkSuite {
       Seq("k"), "s", "e").count() == 0L)
   }
 
+  test("matches a brute-force merge oracle on random interval sets") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 400).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (s"k${i % 6}", s, s + 1 + rnd.nextInt(40))
+    }
+    // brute force: per key, sort and sweep
+    def bruteIslands(iv: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+      val sorted = iv.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      for ((s, e) <- sorted) {
+        if (out.nonEmpty && s <= out.last._2)
+          out(out.size - 1) = (out.last._1, math.max(out.last._2, e),
+            out.last._3 + 1)
+        else out += ((s, e, 1L))
+      }
+      out.toSeq
+    }
+    val got = islands(rows)
+    rows.groupBy(_._1).foreach { case (k, iv) =>
+      val expected = bruteIslands(iv.map(t => (t._2, t._3)))
+      val mine = got.filter(_._1 == k).map(t => (t._3, t._4, t._5))
+      assert(mine == expected, s"key $k")
+    }
+  }
+
   test("a keyless call is refused (single-partition window guard)") {
     val ex = intercept[IllegalArgumentException](
       Intervals.coalesceIntervals(
