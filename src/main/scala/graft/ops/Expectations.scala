@@ -105,4 +105,61 @@ object Expectations {
         .toDF("check", "column", "n_rows", "n_violations"))
     all.withColumn("passed", col("n_violations") === 0L)
   }
+
+  /** Per-ROW violation labels: adds `violations: array<string>` listing
+    * every failed check as `name:column`, in suite order. Scan checks
+    * stay pure column predicates in the same scan; `Unique` marks every
+    * member of a duplicated key group (one groupBy + broadcast-sized
+    * join of the duplicate keys); `SubsetOf` marks misses via a left
+    * join on the (distinct, usually broadcast) dimension keys. */
+  def rowFlags(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val (joined, flags) = checks.zipWithIndex
+      .foldLeft((df, Seq.empty[org.apache.spark.sql.Column])) {
+        case ((d, fs), (c, i)) =>
+          val (nm, cl) = checkName(c)
+          val label = lit(s"$nm:$cl")
+          c match {
+            case NotNull(column) =>
+              (d, fs :+ when(col(column).isNull, label))
+            case AcceptedValues(column, vs) =>
+              (d, fs :+ when(!col(column).isin(vs: _*) ||
+                col(column).isNull, label))
+            case InRange(column, lo, hi) =>
+              (d, fs :+ when(col(column).isNull ||
+                col(column) < lo || col(column) > hi, label))
+            case MatchesRegex(column, p) =>
+              (d, fs :+ when(col(column).isNull ||
+                !col(column).rlike(p), label))
+            case Unique(cols) =>
+              val marker = s"__dup$i"
+              val dupKeys = df.groupBy(cols.map(col): _*)
+                .agg(count(lit(1)).as("__n"))
+                .filter(col("__n") > 1)
+                .select(cols.map(col): _*)
+                .withColumn(marker, lit(true))
+              (d.join(dupKeys, cols, "left"),
+                fs :+ when(col(marker).isNotNull, label))
+            case SubsetOf(column, dim, dimColumn) =>
+              val marker = s"__in$i"
+              val keys = dim.select(col(dimColumn).as(column)).distinct()
+                .withColumn(marker, lit(true))
+              (d.join(keys, Seq(column), "left"),
+                fs :+ when(col(marker).isNull, label))
+          }
+      }
+    joined
+      .withColumn("violations",
+        filter(array(flags: _*), x => x.isNotNull))
+      .drop(joined.columns.filter(c =>
+        c.startsWith("__dup") || c.startsWith("__in")): _*)
+  }
+
+  /** The gate itself: (clean rows, quarantined rows with their
+    * violation labels) — the admission workflow [[evaluate]] reports
+    * on, executed. */
+  def quarantine(df: DataFrame, checks: Seq[Check]): (DataFrame, DataFrame) = {
+    val flagged = rowFlags(df, checks)
+    (flagged.filter(size(col("violations")) === 0).drop("violations"),
+      flagged.filter(size(col("violations")) > 0))
+  }
 }

@@ -4650,7 +4650,50 @@ object QueryCatalog {
         CAST(count(*) AS BIGINT) AS n_current,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         CAST(count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS n_snap1
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
+    // per-row violation labels in suite order over four check
+    // mechanics at once — scan predicates (range, regex), a duplicate
+    // key group (doc_id mod 499 collides exactly once per 500 ids), and
+    // referential misses against a derived lang dimension. The compare
+    // is the quarantined rows with their joined label strings; the
+    // oracle rebuilds the same labels in SQL. Data-derived at any
+    // scale.
+    QueryDef("data_quarantine", (s, d) => {
+      import graft.ops.Expectations._
+      val docs = t(s, d, "documents")
+        .withColumn("k", col("doc_id") % 499)
+      val langDim = t(s, d, "documents")
+        .filter(col("lang").isin("en", "de", "es"))
+        .select("lang").distinct()
+      val (_, quarantined) = quarantine(docs, Seq(
+        InRange("n_chars", 1, 500),
+        MatchesRegex("source", "^src[0-9]$"),
+        Unique(Seq("k")),
+        SubsetOf("lang", langDim, "lang")))
+      quarantined
+        .select(col("doc_id"),
+          array_join(col("violations"), ",").as("violations"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, lang, source, n_chars,
+                   doc_id % 499 AS k FROM documents),
+      dup AS (SELECT k FROM d GROUP BY k HAVING count(*) > 1),
+      flagged AS (
+        SELECT doc_id, list_filter([
+          CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 500
+               THEN 'in_range:n_chars' END,
+          CASE WHEN source IS NULL
+                 OR NOT regexp_matches(source, '^src[0-9]$')
+               THEN 'matches_regex:source' END,
+          CASE WHEN k IN (SELECT k FROM dup) THEN 'unique:k' END,
+          CASE WHEN lang IS NULL OR lang NOT IN ('en', 'de', 'es')
+               THEN 'subset_of:lang->lang' END
+        ], x -> x IS NOT NULL) AS v
+        FROM d)
+      SELECT doc_id, array_to_string(v, ',') AS violations
+      FROM flagged WHERE len(v) > 0 ORDER BY doc_id"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

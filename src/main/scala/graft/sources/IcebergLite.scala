@@ -257,7 +257,36 @@ object IcebergLite {
     val snapshotId = prior.map(_.currentSnapshotId).getOrElse(0L) + 1
     val version = prior.map(_.version).getOrElse(0) + 1
 
-    // 1. data files (Spark-distributed write, one subdir per snapshot)
+    val spec = partitionBy.map(c => c -> df.schema(c).dataType)
+    val entrySchema = manifestEntrySchema(spec)
+
+    // 1. data files + their manifest entries
+    val entries = writeDataFiles(spark, df, root, snapshotId, partitionBy,
+      spec, entrySchema)
+
+    // 2. manifest for this snapshot's files
+    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
+      Map("schema" -> schemaJs, "format-version" -> "1",
+        "content" -> "data"))
+
+    // 3. manifest list = prior live manifests + this one;
+    //    4. next metadata version + hint
+    val newRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
+    commit(spark, root, prior, snapshotId, version,
+      prior.toSeq.flatMap(_.manifests) :+
+        (manifestPath.toString, manifestLen, entries.size, snapshotId, newRows),
+      schemaJs, lastColumnId, spec, operation = "append")
+  }
+
+  /** Spark-distributed data-file write for one snapshot + the manifest
+    * entries describing what landed (status ADDED). */
+  private def writeDataFiles(spark: SparkSession, df: DataFrame, root: Path,
+                             snapshotId: Long, partitionBy: Seq[String],
+                             spec: Seq[(String, DataType)],
+                             entrySchema: Schema): Seq[GenericRecord] = {
+    val f = fs(spark, root)
     val dataDir = new Path(root, s"data/s$snapshotId")
     val writer = if (partitionBy.nonEmpty)
       df.write.partitionBy(partitionBy: _*) else df.write
@@ -270,12 +299,9 @@ object IcebergLite {
         partitionBy.map(org.apache.spark.sql.functions.col): _*)
       .groupBy("f", partitionBy: _*).count().collect()
 
-    val spec = partitionBy.map(c => c -> df.schema(c).dataType)
-    val entrySchema = manifestEntrySchema(spec)
     val fileSchema = entrySchema.getField("data_file").schema()
     val partSchema = fileSchema.getField("partition").schema()
-
-    val entries = perFile.toSeq.map { row =>
+    perFile.toSeq.map { row =>
       val filePath = row.getString(0)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
@@ -303,37 +329,33 @@ object IcebergLite {
       e.put("data_file", d)
       e
     }
+  }
 
-    // 2. manifest for this snapshot's files
-    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
-    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
-      Map("schema" -> schemaJs, "format-version" -> "1",
-        "content" -> "data"))
-
-    // 3. manifest list = prior live manifests + this one
-    val newRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
-      .get("record_count").asInstanceOf[Long]).sum
-    val priorManifests = prior.toSeq.flatMap(_.manifests)
+  /** Write the manifest list + next metadata version + version hint. */
+  private def commit(spark: SparkSession, root: Path, prior: Option[TableMeta],
+                     snapshotId: Long, version: Int,
+                     manifests: Seq[(String, Long, Int, Long, Long)],
+                     schemaJs: String, lastColumnId: Int,
+                     spec: Seq[(String, DataType)],
+                     operation: String): Unit = {
+    val metaDir = new Path(root, "metadata")
     val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
-    val listRecords = (priorManifests :+
-      (manifestPath.toString, manifestLen, entries.size, snapshotId, newRows))
-      .map { case (p2, len, nFiles, addedBy, nRows) =>
-        val r = new GenericData.Record(ManifestFileSchema)
-        r.put("manifest_path", p2)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
-        r.put("added_snapshot_id", addedBy)
-        r.put("added_data_files_count", nFiles)
-        r.put("added_rows_count", nRows)
-        r
-      }
+    val listRecords = manifests.map { case (p2, len, nFiles, addedBy, nRows) =>
+      val r = new GenericData.Record(ManifestFileSchema)
+      r.put("manifest_path", p2)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", addedBy)
+      r.put("added_data_files_count", nFiles)
+      r.put("added_rows_count", nRows)
+      r
+    }
     writeAvro(spark, listPath, ManifestFileSchema, listRecords,
       Map("format-version" -> "1"))
 
-    // 4. next metadata version + hint
     val specJsonV1 = spec.zipWithIndex.map { case ((c, _), i) =>
       s"""{"name": ${q(c)}, "transform": "identity",
-          "source-id": ${df.schema.fieldIndex(c) + 1},
+          "source-id": ${sourceFieldId(schemaJs, c)},
           "field-id": ${1000 + i}}"""
     }.mkString(", ")
     val snapshotsJson = (prior.toSeq.flatMap(_.snapshots) :+
@@ -341,7 +363,8 @@ object IcebergLite {
       .map { case (id, lp) =>
         s"""{"snapshot-id": $id,
              "timestamp-ms": ${System.currentTimeMillis()},
-             "summary": {"operation": "append"},
+             "summary": {"operation": ${q(
+               if (id == snapshotId) operation else "append")}},
              "manifest-list": ${q(lp)}}"""
       }.mkString(", ")
     val metaJson = s"""{
@@ -362,7 +385,19 @@ object IcebergLite {
     }"""
     writeBytes(spark, new Path(metaDir, s"v$version.metadata.json"),
       metaJson.getBytes("UTF-8"))
-    writeBytes(spark, hintPath, version.toString.getBytes("UTF-8"))
+    writeBytes(spark, new Path(metaDir, "version-hint.text"),
+      version.toString.getBytes("UTF-8"))
+  }
+
+  /** Top-level field id of `name` in the generated schema json (the
+    * partition spec's source-id). */
+  private def sourceFieldId(schemaJs: String, name: String): Int = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(schemaJs)
+    node.get("fields").elements().asScala
+      .find(_.get("name").asText() == name)
+      .map(_.get("id").asInt())
+      .getOrElse(sys.error(s"partition column $name not in schema"))
   }
 
   // ---- read --------------------------------------------------------------
@@ -452,6 +487,153 @@ object IcebergLite {
       if (raw.schema(f.name).dataType.catalogString == f.dataType.catalogString) c
       else c.cast(f.dataType).as(f.name)
     }: _*)
+  }
+
+  // ---- copy-on-write maintenance ----------------------------------------
+
+  private def declaredSchema(meta: TableMeta): StructType =
+    StructType(meta.schemaNode.get("fields").elements().asScala.map(f =>
+      StructField(f.get("name").asText(), sparkType(f.get("type")),
+        !f.get("required").asBoolean())).toSeq)
+
+  private def liveFilePaths(spark: SparkSession, meta: TableMeta): Seq[String] =
+    meta.manifests.flatMap { case (p, _, _, _, _) =>
+      readAvro(spark, new Path(p))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+    }
+
+  /** Read a subset of the table's files with a `__file` provenance
+    * column, conformed to the declared schema types. */
+  private def readRaw(spark: SparkSession, meta: TableMeta,
+                      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val raw =
+      if (meta.partitionCols.isEmpty) spark.read.parquet(files: _*)
+      else {
+        val bySnapDir = files.groupBy(fp =>
+          fp.substring(0, fp.indexOf("/data/s") +
+            fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
+        bySnapDir.map { case (base, fs2) =>
+          spark.read.option("basePath", base).parquet(fs2: _*)
+        }.reduce(_ unionByName _)
+      }
+    val declared = declaredSchema(meta)
+    raw.select(declared.fields.toIndexedSeq.map { f =>
+      val c = col(f.name)
+      if (raw.schema(f.name).dataType.catalogString == f.dataType.catalogString) c
+      else c.cast(f.dataType).as(f.name)
+    } :+ input_file_name().as("__file"): _*)
+  }
+
+  /** Copy-on-write row deletion — the corpus REDACTION path (GDPR
+    * erasure, eval-contamination removal): rows matching `predicate`
+    * disappear from the new current snapshot, and the rewrite cost is
+    * proportional to the AFFECTED FILES, never the table — untouched
+    * files carry into the new manifest as EXISTING entries by
+    * reference. Rows where the predicate is NULL are kept (not
+    * matched). Prior snapshots still time-travel to the full data
+    * (physical purge of unreferenced files would be an expireSnapshots
+    * maintenance pass, out of scope). Returns the number of rows
+    * deleted.
+    */
+  def deleteWhere(spark: SparkSession,
+                  tableDir: String,
+                  predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val files = liveFilePaths(spark, meta)
+    require(files.nonEmpty, "table has no data files")
+
+    // one column-pruned scan finds the files that contain matches
+    val hits = readRaw(spark, meta, files)
+      .filter(coalesce(predicate, lit(false)))
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (hits.isEmpty) return 0L
+
+    val schema = declaredSchema(meta)
+    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val entrySchema = manifestEntrySchema(spec)
+    val snapshotId = meta.currentSnapshotId + 1
+
+    // rewrite ONLY the hit files
+    val survivors = readRaw(spark, meta, hits.toSeq)
+      .filter(not(coalesce(predicate, lit(false))))
+      .drop("__file")
+    val survivorCount = survivors.count()
+    val newEntries =
+      if (survivorCount == 0) Seq.empty[GenericRecord]
+      else writeDataFiles(spark, survivors, root, snapshotId,
+        meta.partitionCols, spec, entrySchema)
+
+    // untouched files carry over by reference as EXISTING entries
+    val untouched = meta.manifests.flatMap { case (p, _, _, _, _) =>
+      readAvro(spark, new Path(p))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .filter(e => !hits.contains(e.get("data_file")
+          .asInstanceOf[GenericRecord].get("file_path").toString))
+        .map { e =>
+          val c = GenericData.get()
+            .deepCopy(entrySchema, e).asInstanceOf[GenericRecord]
+          c.put("status", 0) // EXISTING
+          c
+        }
+    }
+
+    val rowsInHits = meta.manifests.flatMap { case (p, _, _, _, _) =>
+      readAvro(spark, new Path(p))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
+        .filter(d => hits.contains(d.get("file_path").toString))
+        .map(_.get("record_count").asInstanceOf[Long])
+    }.sum
+    val nDeleted = rowsInHits - survivorCount
+
+    commitRewrite(spark, root, meta, snapshotId, untouched ++ newEntries,
+      entrySchema, spec, operation = "overwrite")
+    nDeleted
+  }
+
+  /** Rewrite every live file into one fresh snapshot — the small-file
+    * compaction pass after many incremental appends. Content-preserving
+    * (pinned by test); prior snapshots still time-travel. */
+  def compact(spark: SparkSession, tableDir: String): Unit = {
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val files = liveFilePaths(spark, meta)
+    require(files.nonEmpty, "table has no data files")
+    val schema = declaredSchema(meta)
+    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val entrySchema = manifestEntrySchema(spec)
+    val snapshotId = meta.currentSnapshotId + 1
+    val all = readRaw(spark, meta, files).drop("__file")
+    val entries = writeDataFiles(spark, all, root, snapshotId,
+      meta.partitionCols, spec, entrySchema)
+    commitRewrite(spark, root, meta, snapshotId, entries, entrySchema, spec,
+      operation = "replace")
+  }
+
+  /** Commit a rewrite snapshot: ONE manifest holding the given entries
+    * (existing + added), a manifest list referencing only it, and the
+    * next metadata version. */
+  private def commitRewrite(spark: SparkSession, root: Path, meta: TableMeta,
+                            snapshotId: Long, entries: Seq[GenericRecord],
+                            entrySchema: Schema,
+                            spec: Seq[(String, DataType)],
+                            operation: String): Unit = {
+    val metaDir = new Path(root, "metadata")
+    val (schemaJs, lastColumnId) = schemaJson(declaredSchema(meta))
+    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
+      Map("schema" -> schemaJs, "format-version" -> "1", "content" -> "data"))
+    val nRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
+    commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+      Seq((manifestPath.toString, manifestLen, entries.size, snapshotId, nRows)),
+      schemaJs, lastColumnId, spec, operation)
   }
 
   /** Snapshot ids, oldest first — the time-travel surface. */

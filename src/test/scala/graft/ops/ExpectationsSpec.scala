@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.{array_contains, col}
+
 import graft.SparkSuite
 
 /** Data-quality expectations (ops/Expectations): per-check semantics on
@@ -66,5 +68,34 @@ class ExpectationsSpec extends SparkSuite {
 
   test("empty suite yields an empty verdict frame") {
     assert(evaluate(fixture, Nil).count() == 0L)
+  }
+
+  test("rowFlags labels every violated check per row, in suite order") {
+    val dim = Seq("en", "fr").toDF("l")
+    val flagged = rowFlags(fixture, Seq(
+      NotNull("name"),
+      InRange("score", 0, 100),
+      Unique(Seq("id")),
+      SubsetOf("lang", dim, "l")))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name")) ->
+        r.getSeq[String](r.fieldIndex("violations"))).toMap
+    assert(flagged((1L, "alpha")) == Seq())
+    assert(flagged((2L, null)) == Seq("not_null:name"))
+    // both members of the duplicated id group are marked
+    assert(flagged((3L, "gamma")) ==
+      Seq("in_range:score", "unique:id", "subset_of:lang->l"))
+    assert(flagged((3L, "delta")) == Seq("in_range:score", "unique:id"))
+    assert(flagged((5L, "Epsilon7")) == Seq("subset_of:lang->l"))
+  }
+
+  test("quarantine splits clean rows from violators") {
+    val (clean, bad) = quarantine(fixture, Seq(
+      NotNull("name"), InRange("score", 0, 100)))
+    assert(clean.columns.toSeq == fixture.columns.toSeq)
+    assert(clean.collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    assert(bad.count() == 3L)
+    assert(bad.filter(array_contains(col("violations"), "in_range:score"))
+      .count() == 2L)
   }
 }

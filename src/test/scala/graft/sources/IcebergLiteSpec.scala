@@ -97,6 +97,55 @@ class IcebergLiteSpec extends SparkSuite {
     assert(sch("vals").dataType.simpleString == "array<bigint>")
   }
 
+  test("deleteWhere rewrites only affected files; time travel keeps history") {
+    val dir = tmp()
+    // two snapshots -> multiple files; delete hits snapshot 1 only
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    def liveFiles(): Set[String] = {
+      import org.apache.spark.sql.functions.input_file_name
+      IcebergLite.readTable(spark, dir)
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val before = liveFiles()
+    val deleted = IcebergLite.deleteWhere(spark, dir, col("id") === 2L)
+    assert(deleted == 1L)
+    val back = IcebergLite.readTable(spark, dir)
+    assert(back.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    // untouched files carried by REFERENCE: every file not containing
+    // id=2 keeps its exact path in the new snapshot
+    val after = liveFiles()
+    val untouchedBefore = before.filter(_.contains("lang=fr")) // batch2 fr file
+    assert(untouchedBefore.subsetOf(after))
+    // the de-partitioned 'de' file (id=2) was rewritten away
+    assert(back.filter(col("lang") === "de").count() == 0L)
+    // prior snapshots still see the full data
+    assert(IcebergLite.readTable(spark, dir, Some(2L)).count() == 5L)
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L, 2L, 3L))
+    // no match -> no-op, no new snapshot
+    assert(IcebergLite.deleteWhere(spark, dir, col("id") === 999L) == 0L)
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L, 2L, 3L))
+  }
+
+  test("compact folds accumulated snapshots into one, content-preserving") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark,
+      Seq((6L, "de", 60L)).toDF("id", "lang", "n"), dir)
+    val before = IcebergLite.readTable(spark, dir)
+      .collect().map(_.toSeq).toSet
+    IcebergLite.compact(spark, dir)
+    val after = IcebergLite.readTable(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet == before)
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L, 2L, 3L, 4L))
+    // pre-compaction snapshots still read
+    assert(IcebergLite.readTable(spark, dir, Some(2L)).count() == 5L)
+  }
+
   test("metadata versions advance with a version hint per append") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
