@@ -237,7 +237,8 @@ object IcebergLite {
     * them, a manifest list covering ALL live manifests, and the next
     * metadata version. First call on an empty dir creates the table. */
   def appendSnapshot(spark: SparkSession, df: DataFrame, tableDir: String,
-                     partitionBy: Seq[String] = Nil): Unit = {
+                     partitionBy: Seq[String] = Nil,
+                     commitKey: Option[String] = None): Unit = {
     val root = new Path(tableDir)
     val metaDir = new Path(root, "metadata")
     val hintPath = new Path(metaDir, "version-hint.text")
@@ -245,6 +246,9 @@ object IcebergLite {
 
     val prior: Option[TableMeta] =
       if (f.exists(hintPath)) Some(readMeta(spark, tableDir)) else None
+    // exactly-once: a commit key already in the snapshot log means this
+    // batch landed before a checkpoint replay — the fold is a no-op
+    if (commitKey.exists(k => prior.exists(hasCommitKey(_, k)))) return
     val (schemaJs, lastColumnId) = schemaJson(df.schema)
     prior.foreach { m =>
       require(m.partitionCols == partitionBy,
@@ -277,8 +281,28 @@ object IcebergLite {
     commit(spark, root, prior, snapshotId, version,
       prior.toSeq.flatMap(_.manifests) :+
         (manifestPath.toString, manifestLen, entries.size, snapshotId, newRows),
-      schemaJs, lastColumnId, spec, operation = "append")
+      schemaJs, lastColumnId, spec, operation = "append",
+      commitKey = commitKey)
   }
+
+  private def hasCommitKey(m: TableMeta, key: String): Boolean = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.snapshots.exists { case (_, _, summary) =>
+      Option(om.readTree(summary).get("graft-commit-key"))
+        .exists(_.asText() == key)
+    }
+  }
+
+  /** `writeStream.foreachBatch(IcebergLite.sink(dir))`: each micro-batch
+    * appends ONE snapshot whose commit key is the batch id, so a
+    * checkpoint-replayed batch appends nothing — exactly-once on the
+    * table across restarts, the `IncrementalNearDedup`/
+    * `IncrementalIvfIndex` epoch discipline applied to the lakehouse
+    * commit log. */
+  def sink(tableDir: String, partitionBy: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => appendSnapshot(df.sparkSession, df, tableDir,
+      partitionBy, Some(s"batch-$batchId"))
 
   /** Spark-distributed data-file write for one snapshot + the manifest
     * entries describing what landed (status ADDED). */
@@ -337,7 +361,8 @@ object IcebergLite {
                      manifests: Seq[(String, Long, Int, Long, Long)],
                      schemaJs: String, lastColumnId: Int,
                      spec: Seq[(String, DataType)],
-                     operation: String): Unit = {
+                     operation: String,
+                     commitKey: Option[String] = None): Unit = {
     val metaDir = new Path(root, "metadata")
     val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
     val listRecords = manifests.map { case (p2, len, nFiles, addedBy, nRows) =>
@@ -358,13 +383,15 @@ object IcebergLite {
           "source-id": ${sourceFieldId(schemaJs, c)},
           "field-id": ${1000 + i}}"""
     }.mkString(", ")
+    val newSummary = "{\"operation\": " + q(operation) +
+      commitKey.map(k => ", \"graft-commit-key\": " + q(k)).getOrElse("") +
+      "}"
     val snapshotsJson = (prior.toSeq.flatMap(_.snapshots) :+
-      (snapshotId, listPath.toString))
-      .map { case (id, lp) =>
+      ((snapshotId, listPath.toString, newSummary)))
+      .map { case (id, lp, summary) =>
         s"""{"snapshot-id": $id,
              "timestamp-ms": ${System.currentTimeMillis()},
-             "summary": {"operation": ${q(
-               if (id == snapshotId) operation else "append")}},
+             "summary": $summary,
              "manifest-list": ${q(lp)}}"""
       }.mkString(", ")
     val metaJson = s"""{
@@ -407,7 +434,8 @@ object IcebergLite {
       schemaNode: com.fasterxml.jackson.databind.JsonNode,
       partitionCols: Seq[String],
       currentSnapshotId: Long,
-      snapshots: Seq[(Long, String)],
+      /** (snapshot id, manifest-list path, summary json verbatim) */
+      snapshots: Seq[(Long, String, String)],
       /** (path, length, nFiles, addedSnapshotId, nRows) of the CURRENT
         * list */
       manifests: Seq[(String, Long, Int, Long, Long)])
@@ -431,8 +459,10 @@ object IcebergLite {
         fl.get("name").asText()
       }.toSeq
     val snapshots = node.get("snapshots").elements().asScala
-      .map(s2 => s2.get("snapshot-id").asLong() ->
-        s2.get("manifest-list").asText()).toSeq
+      .map(s2 => (s2.get("snapshot-id").asLong(),
+        s2.get("manifest-list").asText(),
+        Option(s2.get("summary")).map(_.toString)
+          .getOrElse("{\"operation\": \"append\"}"))).toSeq
     val wantId = snapshotId.getOrElse(node.get("current-snapshot-id").asLong())
     val listPath = snapshots.find(_._1 == wantId).map(_._2).getOrElse(
       sys.error(s"snapshot $wantId not found (have ${snapshots.map(_._1)})"))
@@ -634,6 +664,84 @@ object IcebergLite {
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
       Seq((manifestPath.toString, manifestLen, entries.size, snapshotId, nRows)),
       schemaJs, lastColumnId, spec, operation)
+  }
+
+  /** Physically purge history: keep the `keepLast` most recent
+    * snapshots, delete every data file, manifest, and manifest list
+    * referenced ONLY by expired ones, and commit a metadata version
+    * whose snapshot log contains the survivors. This is the pass that
+    * makes [[deleteWhere]] a REAL erasure (until then, prior snapshots
+    * still time-travel to the deleted rows — the Iceberg
+    * expire-snapshots contract). */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+                      keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    if (meta.snapshots.size <= keepLast) return
+    val (dropped, kept) = meta.snapshots
+      .splitAt(meta.snapshots.size - keepLast)
+
+    def refs(listPath: String): (Set[String], Set[String]) = {
+      val manifests = readAvro(spark, new Path(listPath))
+        .map(_.get("manifest_path").toString).toSet
+      val files = manifests.flatMap(m => readAvro(spark, new Path(m))
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString))
+      (manifests, files)
+    }
+    // gather ALL references before deleting anything — a manifest can be
+    // shared by several dropped snapshots' lists
+    val keptRefs = kept.map(s2 => refs(s2._2))
+    val keptManifests = keptRefs.flatMap(_._1).toSet
+    val keptFiles = keptRefs.flatMap(_._2).toSet
+    val droppedRefs = dropped.map(s2 => refs(s2._2))
+    val f = fs(spark, root)
+    (droppedRefs.flatMap(_._2).toSet -- keptFiles).foreach(fp =>
+      f.delete(new Path(new java.net.URI(fp)), false))
+    (droppedRefs.flatMap(_._1).toSet -- keptManifests).foreach(m =>
+      f.delete(new Path(m), false))
+    dropped.foreach { case (_, listPath, _) =>
+      f.delete(new Path(listPath), false)
+    }
+
+    // next metadata version: survivors only, current pointer unchanged
+    val metaDir = new Path(root, "metadata")
+    val version = meta.version + 1
+    val (schemaJs, lastColumnId) = schemaJson(declaredSchema(meta))
+    val schema = declaredSchema(meta)
+    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val specJsonV1 = spec.zipWithIndex.map { case ((c, _), i) =>
+      s"""{"name": ${q(c)}, "transform": "identity",
+          "source-id": ${sourceFieldId(schemaJs, c)},
+          "field-id": ${1000 + i}}"""
+    }.mkString(", ")
+    val snapshotsJson = kept.map { case (id, lp, summary) =>
+      s"""{"snapshot-id": $id,
+           "timestamp-ms": ${System.currentTimeMillis()},
+           "summary": $summary,
+           "manifest-list": ${q(lp)}}"""
+    }.mkString(", ")
+    val metaJson = s"""{
+      "format-version": 1,
+      "table-uuid": "00000000-0000-0000-0000-${"%012d".format(version)}",
+      "location": ${q(root.toString)},
+      "last-updated-ms": ${System.currentTimeMillis()},
+      "last-column-id": $lastColumnId,
+      "schema": $schemaJs,
+      "partition-spec": [$specJsonV1],
+      "partition-specs": [{"spec-id": 0, "fields": [$specJsonV1]}],
+      "default-spec-id": 0,
+      "last-partition-id": ${999 + spec.size},
+      "properties": {},
+      "current-snapshot-id": ${meta.currentSnapshotId},
+      "snapshots": [$snapshotsJson],
+      "snapshot-log": [], "metadata-log": []
+    }"""
+    writeBytes(spark, new Path(metaDir, s"v$version.metadata.json"),
+      metaJson.getBytes("UTF-8"))
+    writeBytes(spark, new Path(metaDir, "version-hint.text"),
+      version.toString.getBytes("UTF-8"))
   }
 
   /** Snapshot ids, oldest first — the time-travel surface. */

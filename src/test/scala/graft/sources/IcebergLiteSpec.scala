@@ -146,6 +146,65 @@ class IcebergLiteSpec extends SparkSuite {
     assert(IcebergLite.readTable(spark, dir, Some(2L)).count() == 5L)
   }
 
+  test("expireSnapshots purges history physically; current keeps reading") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.deleteWhere(spark, dir, col("id") === 2L)
+    def dataFiles(): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+        .forEach(p => if (p.toString.endsWith(".parquet")) out += p.toString)
+      out.toSet
+    }
+    val before = dataFiles()
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(3L))
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 5L))
+    // time travel to expired history is gone
+    intercept[RuntimeException](
+      IcebergLite.readTable(spark, dir, Some(1L)))
+    // the file containing the deleted row was physically purged
+    val after = dataFiles()
+    assert(after.subsetOf(before) && after.size < before.size)
+    // every surviving file is still referenced (reads don't break)
+    assert(IcebergLite.readTable(spark, dir).count() == 4L)
+  }
+
+  test("foreachBatch sink is exactly-once across batch replays") {
+    val dir = tmp()
+    val sink = IcebergLite.sink(dir)
+    sink(batch1.toDF("id", "lang", "n"), 0L)
+    sink(batch2.toDF("id", "lang", "n"), 1L)
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    // checkpoint replay of batch 1: the commit key is already in the
+    // snapshot log -> no-op
+    sink(batch2.toDF("id", "lang", "n"), 1L)
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L, 2L))
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    // a NEW batch still lands
+    sink(Seq((9L, "zh", 90L)).toDF("id", "lang", "n"), 2L)
+    assert(IcebergLite.readTable(spark, dir).count() == 6L)
+  }
+
+  test("sink drives a real streaming query end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    stream.addData((1L, "en", 10L), (2L, "de", 20L))
+    stream.addData((3L, "fr", 30L))
+    val q = stream.toDF().toDF("id", "lang", "n")
+      .writeStream
+      .foreachBatch(IcebergLite.sink(dir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
   test("metadata versions advance with a version hint per append") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
