@@ -374,6 +374,18 @@ object BenchScale {
           docs.filter(col("doc_id") % 10 === 0), dir)
         graft.sources.IcebergLite.readTable(spark, dir).count()
       },
+      timed("iceberg_redact_expire") {
+        // redaction cost ∝ affected files: delete ~50 specific docs from
+        // the 500k-row table (hits land in a handful of files), then
+        // expire history so the erasure is physical. Timed span = the
+        // pruned hit scan + rewrite of only the touched files + the
+        // purge; wrong if it scales with the table instead of the hits.
+        val dir = s"$work/iceberg_docs"
+        val nDeleted = graft.sources.IcebergLite.deleteWhere(spark, dir,
+          col("doc_id") % 9973 === 17)
+        graft.sources.IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+        nDeleted + graft.sources.IcebergLite.readTable(spark, dir).count()
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor

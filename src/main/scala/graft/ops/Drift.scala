@@ -43,15 +43,20 @@ object Drift {
       .groupBy("bin").agg(count(lit(1)).as("n"))
     val ca = binned(a)
     val cb = binned(b)
-    val na = ca.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-    val nb = cb.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    // totals ride a broadcast single-row frame, so the whole computation
+    // stays LAZY — nothing runs until the caller acts (unlike an eager
+    // scalar collect at construction time)
+    val totals = ca.agg(coalesce(sum("n"), lit(0L)).as("__na"))
+      .crossJoin(cb.agg(coalesce(sum("n"), lit(0L)).as("__nb")))
     ca.withColumnRenamed("n", "n_a")
       .join(cb.withColumnRenamed("n", "n_b"), Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(totals))
       .withColumn("drift_num",
-        abs(col("n_a") * nb - col("n_b") * na))
+        abs(col("n_a") * col("__nb") - col("n_b") * col("__na")))
+      .drop("__na", "__nb")
   }
 
   /** The snapshot-level verdict: `(n_a, n_b, tv_num, tv_den)` with
