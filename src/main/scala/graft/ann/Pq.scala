@@ -1,0 +1,124 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011) — the MEMORY leg of the ANN
+  * family: where LSH/IVF cut how many vectors a query SCANS, PQ cuts
+  * what each vector COSTS to store and score. The embedding splits into
+  * `m` sub-blocks; each block quantizes to one of `kSub` codebook
+  * centroids; a vector becomes `m` small codes (8 ints instead of 64
+  * floats here — the table that has to live in memory at 10^11 vectors).
+  * Search scores candidates by asymmetric distance (ADC): the probe
+  * stays full-precision and dots against each block's chosen centroid.
+  *
+  * This implementation is the ENGINE-PORTABLE integer form, playing the
+  * `ivfTopKPortable`/`lshTopKPortable` role for the PQ family: vectors
+  * quantize to BIGINTs (`floor(x·1e7 + 0.5)`, the ann_exact substrate),
+  * codebooks derive deterministically from the corpus (the modulo-spread
+  * anchor pick ivfTopKPortable uses — anchor vector c's j-th sub-block
+  * is block-j's c-th centroid), code assignment is exact integer
+  * squared distance with (d², centroid) tie-breaks, and ADC scores are
+  * exact integer sums — so the ENTIRE pipeline replays in SQL and the
+  * `ann_pq` oracle is a data-derived cross-engine identity at any
+  * scale. A production deployment swaps the anchor pick for per-block
+  * k-means (`Similarity.kmeansCentroids` over sliced blocks) and keeps
+  * everything else; recall floors live in PqSpec.
+  *
+  * Scale shape: the codes table is built ONCE (one corpus scan ×
+  * broadcast anchors; `m` rows — or one `m`-array row — per vector, the
+  * 32× compression artifact worth materializing); search broadcasts
+  * probes and anchors, streams the codes table map-side, and shuffles
+  * only the (probe, neighbor) partial ADC sums — never a raw-vector
+  * join. Composing with IVF routing (scan only probed lists' codes) is
+  * the standard IVF-PQ layering and works unchanged on the
+  * `IncrementalIvfIndex` partition pruning.
+  */
+object Pq {
+
+  private def quantVec(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1.0e7) + lit(0.5)).cast("long"))
+
+  /** Integer squared distance between two BIGINT sub-vectors. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic codebook anchors: `kSub` modulo-spread corpus vectors
+    * (quantized), indexed 1..kSub. Anchor c's j-th block is block j's
+    * c-th centroid. */
+  def pqAnchors(corpus: DataFrame, idCol: String, vecCol: String,
+                kSub: Int): DataFrame = {
+    val q = corpus.select(col(idCol).as("__aid"), quantVec(col(vecCol)).as("__ae"))
+      .persist()
+    // eager count fixes `step` at plan time — the ivfTopKPortable pattern
+    val n = q.count()
+    val step = math.max(1L, n / kSub)
+    q.filter(pmod(col("__aid"), lit(step)) === 0)
+      .orderBy("__aid").limit(kSub)
+      // global window over <= kSub rows — bounded by construction
+      .select(row_number().over(Window.orderBy("__aid")).as("cidx"),
+        col("__ae"))
+  }
+
+  /** The PQ INDEX: one row per (vector, block) with the assigned code —
+    * `(neighbor_id, j, cidx)`. At scale this is the materialized table
+    * (m small ints per vector vs d floats). */
+  def pqCodes(corpus: DataFrame, anchors: DataFrame, idCol: String,
+              vecCol: String, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m blocks")
+    val dsub = dim / m
+    val q = corpus.select(col(idCol).as("neighbor_id"),
+      quantVec(col(vecCol)).as("__e"))
+    val w = Window.partitionBy("neighbor_id", "j")
+      .orderBy(col("__d2"), col("cidx"))
+    q.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .crossJoin(broadcast(anchors))
+      .withColumn("__d2", sqDist(
+        slice(col("__e"), col("j") * dsub + 1, lit(dsub)),
+        slice(col("__ae"), col("j") * dsub + 1, lit(dsub))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("neighbor_id", "j", "cidx")
+  }
+
+  /** ADC top-k: probes stay full precision; every candidate's score is
+    * Σ_j dot(probe block j, centroid of its block-j code). */
+  def pqSearch(anchors: DataFrame, codes: DataFrame, probes: DataFrame,
+               idCol: String, vecCol: String, k: Int, m: Int, dim: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    val p = probes.select(col(idCol).as("probe_id"),
+      quantVec(col(vecCol)).as("__pe"))
+    val partial = codes
+      .join(broadcast(anchors), Seq("cidx"))
+      .crossJoin(broadcast(p))
+      .withColumn("__pd", dot(
+        slice(col("__pe"), col("j") * dsub + 1, lit(dsub)),
+        slice(col("__ae"), col("j") * dsub + 1, lit(dsub))))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum(col("__pd")).as("adc"))
+    val scored =
+      if (excludeSelf) partial.filter(col("probe_id") =!= col("neighbor_id"))
+      else partial
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "adc", "rank")
+  }
+
+  /** One-shot: build the index and search it. */
+  def pqTopKPortable(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val anchors = pqAnchors(corpus, idCol, vecCol, kSub)
+      .localCheckpoint() // two consumers (codes + search) + a window pick
+    val codes = pqCodes(corpus, anchors, idCol, vecCol, m, dim)
+    pqSearch(anchors, codes, probes, idCol, vecCol, k, m, dim, excludeSelf)
+  }
+}

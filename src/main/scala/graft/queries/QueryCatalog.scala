@@ -4693,7 +4693,52 @@ object QueryCatalog {
         ], x -> x IS NOT NULL) AS v
         FROM d)
       SELECT doc_id, array_to_string(v, ',') AS violations
-      FROM flagged WHERE len(v) > 0 ORDER BY doc_id"""))
+      FROM flagged WHERE len(v) > 0 ORDER BY doc_id""")),
+
+    // Product quantization on the engine-portable integer substrate
+    // (ann/Pq — the MEMORY leg of the ANN family: 64 floats become 8
+    // small codes; search is asymmetric-distance against codebook
+    // centroids). Deterministic modulo-spread anchors supply all 8
+    // per-block codebooks, code assignment is exact integer squared
+    // distance with (d², centroid) tie-breaks, ADC scores are exact
+    // integer sums — the oracle replays the ENTIRE pipeline (anchor
+    // pick, per-block argmin encoding, ADC top-5) in SQL. Data-derived
+    // at any corpus scale, the ivfTopKPortable pattern.
+    QueryDef("ann_pq", (s, d) => {
+      val em = t(s, d, "embeddings")
+      graft.ann.Pq.pqTopKPortable(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, m = 8, kSub = 16, dim = 64)
+        .select(col("probe_id"), col("neighbor_id"), col("adc"), col("rank"))
+        .orderBy("probe_id", "rank")
+    }, Some("""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      anch AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e AS ae
+        FROM (SELECT vec_id, e FROM q
+          WHERE vec_id % GREATEST(1, (SELECT COUNT(*) FROM q) // 16) = 0
+          ORDER BY vec_id LIMIT 16)),
+      blocks AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cand AS (SELECT v.vec_id, b.j, a.cidx,
+          CAST(list_sum(list_transform(generate_series(1, 8),
+            i -> (v.e[b.j*8+i] - a.ae[b.j*8+i])
+               * (v.e[b.j*8+i] - a.ae[b.j*8+i]))) AS BIGINT) AS d2
+        FROM q v CROSS JOIN blocks b CROSS JOIN anch a),
+      codes AS (SELECT vec_id, j, cidx FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, j
+            ORDER BY d2, cidx) AS rn
+          FROM cand) WHERE rn = 1),
+      probes AS (SELECT vec_id AS probe_id, e AS pe FROM q WHERE vec_id < 5),
+      scored AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+          CAST(SUM(list_sum(list_transform(generate_series(1, 8),
+            i -> p.pe[c.j*8+i] * a.ae[c.j*8+i]))) AS BIGINT) AS adc
+        FROM probes p CROSS JOIN codes c JOIN anch a USING (cidx)
+        WHERE c.vec_id <> p.probe_id
+        GROUP BY 1, 2)
+      SELECT probe_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 5 ORDER BY probe_id, rank"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
