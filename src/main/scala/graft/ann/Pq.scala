@@ -121,4 +121,64 @@ object Pq {
     val codes = pqCodes(corpus, anchors, idCol, vecCol, m, dim)
     pqSearch(anchors, codes, probes, idCol, vecCol, k, m, dim, excludeSelf)
   }
+
+  /** IVF-PQ: the standard layering — IVF routing cuts how many
+    * candidates a probe SCANS (~nProbe/nLists of the corpus), PQ codes
+    * cut what each candidate COSTS; together they are the shape a
+    * 10^11-vector index actually runs. Same modulo-spread integer
+    * routing as `Similarity.ivfTopKPortable`, same codes/ADC as
+    * [[pqSearch]] — semantically ≡ [[pqTopKPortable]] RESTRICTED to the
+    * probed lists' members (the identity PqSpec pins). */
+  def ivfPqTopKPortable(corpus: DataFrame, probes: DataFrame, idCol: String,
+                        vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
+                        nLists: Int, nProbe: Int,
+                        excludeSelf: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    val q = corpus.select(col(idCol).as("neighbor_id"),
+      quantVec(col(vecCol)).as("__e")).persist()
+    val n = q.count()
+    val step = math.max(1L, n / nLists)
+    val cents = q.filter(pmod(col("neighbor_id"), lit(step)) === 0)
+      .orderBy("neighbor_id").limit(nLists)
+      .select(col("neighbor_id").as("centroid_id"), col("__e").as("__cen"))
+      .localCheckpoint()
+    def routed(df: DataFrame, idOut: String, vecName: String,
+               take: Int): DataFrame = {
+      val w = Window.partitionBy(idOut)
+        .orderBy(col("__cdot").desc, col("centroid_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("__cdot", dot(col(vecName), col("__cen")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= take)
+        .select(idOut, "centroid_id")
+    }
+    val lists = routed(q, "neighbor_id", "__e", 1)
+    val p = probes.select(col(idCol).as("probe_id"),
+      quantVec(col(vecCol)).as("__pe")).localCheckpoint()
+    val probeLists = routed(p.withColumnRenamed("__pe", "__e"),
+      "probe_id", "__e", nProbe)
+
+    val anchors = pqAnchors(corpus, idCol, vecCol, kSub).localCheckpoint()
+    val codes = pqCodes(corpus, anchors, idCol, vecCol, m, dim)
+    // candidacy = sharing a probed list; then the ADC scoring of pqSearch
+    val cand = broadcast(probeLists).join(lists, Seq("centroid_id"))
+      .select("probe_id", "neighbor_id").distinct()
+    val partial = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(anchors), Seq("cidx"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("__pd", dot(
+        slice(col("__pe"), col("j") * dsub + 1, lit(dsub)),
+        slice(col("__ae"), col("j") * dsub + 1, lit(dsub))))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum(col("__pd")).as("adc"))
+    val scored =
+      if (excludeSelf) partial.filter(col("probe_id") =!= col("neighbor_id"))
+      else partial
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "adc", "rank")
+  }
 }

@@ -181,6 +181,31 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(root.dataset("d").get.read()) == Seq(11L, 22L, 33L))
   }
 
+  test("big-endian integers decode via the datatype byte-order bit") {
+    // hand-patch a writer file: flip the byte-order bit of the i32
+    // datatype and byte-swap the stored values — the decoded longs must
+    // come out identical
+    val values = Array(0x01020304L, -2L)
+    val le = W.write(Seq(
+      W.Dataset("d", W.LongData(values, 4, signed = true))))
+    val leRoot = Hdf5.open(le.clone())
+    // find the 8 raw data bytes (the values as LE) and swap each word
+    val raw = Array(0x04, 0x03, 0x02, 0x01, 0xfe, 0xff, 0xff, 0xff)
+      .map(_.toByte)
+    val at = le.indexOfSlice(raw)
+    assert(at > 0, "raw data not found")
+    for (w <- 0 until 2; b <- 0 until 2) {
+      val i = at + w * 4
+      val tmp = le(i + b); le(i + b) = le(i + 3 - b); le(i + 3 - b) = tmp
+    }
+    // datatype: class/version 0x10, bits0 0x08 (signed LE) -> 0x09 (BE)
+    val dt = le.indexOfSlice(Array(0x10, 0x08, 0, 0, 4, 0, 0, 0).map(_.toByte))
+    assert(dt > 0, "datatype not found")
+    le(dt + 1) = 0x09.toByte
+    assert(L(Hdf5.open(le).dataset("d").get.read()) ==
+      L(leRoot.dataset("d").get.read()))
+  }
+
   test("unsupported features fail loudly by name") {
     // a compound datatype (class 6) in a hand-corrupted message: take a
     // valid file and flip the datatype class byte of the lone dataset
