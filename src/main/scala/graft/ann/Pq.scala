@@ -58,11 +58,14 @@ object Pq {
     // eager count fixes `step` at plan time — the ivfTopKPortable pattern
     val n = q.count()
     val step = math.max(1L, n / kSub)
-    q.filter(pmod(col("__aid"), lit(step)) === 0)
+    val anchors = q.filter(pmod(col("__aid"), lit(step)) === 0)
       .orderBy("__aid").limit(kSub)
       // global window over <= kSub rows — bounded by construction
       .select(row_number().over(Window.orderBy("__aid")).as("cidx"),
         col("__ae"))
+      .localCheckpoint() // materialize, then release the cached corpus
+    q.unpersist()
+    anchors
   }
 
   /** The PQ INDEX: one row per (vector, block) with the assigned code —
@@ -117,7 +120,6 @@ object Pq {
                      vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
                      excludeSelf: Boolean = true): DataFrame = {
     val anchors = pqAnchors(corpus, idCol, vecCol, kSub)
-      .localCheckpoint() // two consumers (codes + search) + a window pick
     val codes = pqCodes(corpus, anchors, idCol, vecCol, m, dim)
     pqSearch(anchors, codes, probes, idCol, vecCol, k, m, dim, excludeSelf)
   }
@@ -153,12 +155,14 @@ object Pq {
         .select(idOut, "centroid_id")
     }
     val lists = routed(q, "neighbor_id", "__e", 1)
+      .localCheckpoint() // materialize routing, then release the cache
+    q.unpersist()
     val p = probes.select(col(idCol).as("probe_id"),
       quantVec(col(vecCol)).as("__pe")).localCheckpoint()
     val probeLists = routed(p.withColumnRenamed("__pe", "__e"),
       "probe_id", "__e", nProbe)
 
-    val anchors = pqAnchors(corpus, idCol, vecCol, kSub).localCheckpoint()
+    val anchors = pqAnchors(corpus, idCol, vecCol, kSub)
     val codes = pqCodes(corpus, anchors, idCol, vecCol, m, dim)
     // candidacy = sharing a probed list; then the ADC scoring of pqSearch
     val cand = broadcast(probeLists).join(lists, Seq("centroid_id"))

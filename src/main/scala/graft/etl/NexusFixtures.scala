@@ -56,7 +56,10 @@ object NexusFixtures {
 
     val bankGroups = (0 until Banks).map { b =>
       val k = eventsPerPulse(r, b)
-      val n = nEvents(r, b)
+      // n follows the SCALED pulse count — event arrays, event_index,
+      // and total_counts must agree at every pulseScale, or the
+      // interval explode would index past the data
+      val n = p * k
       W.Group(bankName(b), Seq(
         W.Dataset("event_id",
           W.LongData(Array.tabulate(n)(e => ((7L * e + 13L * b + r) % 512)),
@@ -105,7 +108,7 @@ object NexusFixtures {
         W.scalarStr("end_time", "2024-01-01T01:00:00"),
         W.scalarDouble("duration", 3600.0 + r),
         W.scalarDouble("proton_charge", 1000.0 + r / 2.0),
-        W.scalarLong("total_counts", totalCounts(r)),
+        W.scalarLong("total_counts", totalCounts(r) * pulseScale),
         W.scalarStr("experiment_identifier", s"IPTS-${2000 + r % 5}"),
         W.scalarStr("definition", "NXsns"),
         W.Dataset("notes",

@@ -131,13 +131,21 @@ object Expectations {
               (d, fs :+ when(col(column).isNull ||
                 !col(column).rlike(p), label))
             case Unique(cols) =>
+              // NULL-SAFE key join: evaluate() counts a duplicated
+              // NULL-key group as violations, so the row gate must flag
+              // its members too — plain equality would never match them
               val marker = s"__dup$i"
               val dupKeys = df.groupBy(cols.map(col): _*)
                 .agg(count(lit(1)).as("__n"))
                 .filter(col("__n") > 1)
-                .select(cols.map(col): _*)
-                .withColumn(marker, lit(true))
-              (d.join(dupKeys, cols, "left"),
+                .select(cols.zipWithIndex.map { case (c, ci) =>
+                  col(c).as(s"__k${i}_$ci")
+                } :+ lit(true).as(marker): _*)
+              val cond = cols.zipWithIndex.map { case (c, ci) =>
+                col(c) <=> col(s"__k${i}_$ci")
+              }.reduce(_ && _)
+              (d.join(dupKeys, cond, "left")
+                .drop(cols.indices.map(ci => s"__k${i}_$ci"): _*),
                 fs :+ when(col(marker).isNotNull, label))
             case SubsetOf(column, dim, dimColumn) =>
               val marker = s"__in$i"

@@ -858,16 +858,19 @@ object Hdf5 {
         val collSize = readLength(head, 8)
         val body = src.get(collAddr, collSize.toInt)
         val objs = mutable.Map.empty[Int, Array[Byte]]
+        // object header: index(2) + refcount(2) + reserved(4) +
+        // size(sizeOfLengths) — NOT a fixed 16 bytes
+        val objHead = 8 + sizeOfLengths
         var p = 8 + sizeOfLengths
         var run = true
-        while (run && p + 16 <= collSize) {
+        while (run && p + objHead <= collSize) {
           val idx = u16(body, p)
           val objSize = readLength(body, p + 8)
           if (idx == 0) run = false // free space object terminates the scan
           else {
             objs(idx) = java.util.Arrays.copyOfRange(
-              body, p + 16, p + 16 + objSize.toInt)
-            var adv = 16 + objSize.toInt
+              body, p + objHead, p + objHead + objSize.toInt)
+            var adv = objHead + objSize.toInt
             if (adv % 8 != 0) adv += 8 - adv % 8
             p += adv
           }

@@ -249,6 +249,12 @@ object IcebergLite {
     // exactly-once: a commit key already in the snapshot log means this
     // batch landed before a checkpoint replay — the fold is a no-op
     if (commitKey.exists(k => prior.exists(hasCommitKey(_, k)))) return
+    // an empty batch (idle micro-batch, delta filter matching nothing)
+    // appends nothing — writing it would crash the empty-dir read-back
+    if (df.isEmpty) {
+      require(prior.isDefined, "cannot create a table from an empty batch")
+      return
+    }
     val (schemaJs, lastColumnId) = schemaJson(df.schema)
     prior.foreach { m =>
       require(m.partitionCols == partitionBy,
@@ -378,22 +384,35 @@ object IcebergLite {
     writeAvro(spark, listPath, ManifestFileSchema, listRecords,
       Map("format-version" -> "1"))
 
+    val newSummary = "{\"operation\": " + q(operation) +
+      commitKey.map(k => ", \"graft-commit-key\": " + q(k)).getOrElse("") +
+      "}"
+    writeMetadata(spark, root, version, schemaJs, lastColumnId, spec,
+      snapshotId,
+      prior.toSeq.flatMap(_.snapshots) :+
+        ((snapshotId, listPath.toString, newSummary)))
+  }
+
+  /** Write vN.metadata.json + the version hint for the given snapshot
+    * log — the single definition both commits and snapshot expiry use
+    * (summaries are passed through verbatim). */
+  private def writeMetadata(spark: SparkSession, root: Path, version: Int,
+                            schemaJs: String, lastColumnId: Int,
+                            spec: Seq[(String, DataType)],
+                            currentSnapshotId: Long,
+                            snapshots: Seq[(Long, String, String)]): Unit = {
+    val metaDir = new Path(root, "metadata")
     val specJsonV1 = spec.zipWithIndex.map { case ((c, _), i) =>
       s"""{"name": ${q(c)}, "transform": "identity",
           "source-id": ${sourceFieldId(schemaJs, c)},
           "field-id": ${1000 + i}}"""
     }.mkString(", ")
-    val newSummary = "{\"operation\": " + q(operation) +
-      commitKey.map(k => ", \"graft-commit-key\": " + q(k)).getOrElse("") +
-      "}"
-    val snapshotsJson = (prior.toSeq.flatMap(_.snapshots) :+
-      ((snapshotId, listPath.toString, newSummary)))
-      .map { case (id, lp, summary) =>
-        s"""{"snapshot-id": $id,
-             "timestamp-ms": ${System.currentTimeMillis()},
-             "summary": $summary,
-             "manifest-list": ${q(lp)}}"""
-      }.mkString(", ")
+    val snapshotsJson = snapshots.map { case (id, lp, summary) =>
+      s"""{"snapshot-id": $id,
+           "timestamp-ms": ${System.currentTimeMillis()},
+           "summary": $summary,
+           "manifest-list": ${q(lp)}}"""
+    }.mkString(", ")
     val metaJson = s"""{
       "format-version": 1,
       "table-uuid": "00000000-0000-0000-0000-${"%012d".format(version)}",
@@ -406,7 +425,7 @@ object IcebergLite {
       "default-spec-id": 0,
       "last-partition-id": ${999 + spec.size},
       "properties": {},
-      "current-snapshot-id": $snapshotId,
+      "current-snapshot-id": $currentSnapshotId,
       "snapshots": [$snapshotsJson],
       "snapshot-log": [], "metadata-log": []
     }"""
@@ -492,32 +511,9 @@ object IcebergLite {
           .get("file_path").toString)
     }
     require(files.nonEmpty, "table has no data files")
-    val raw =
-      if (meta.partitionCols.isEmpty)
-        spark.read.parquet(files: _*)
-      else {
-        // group by snapshot data dir so each group gets its basePath
-        val bySnapDir = files.groupBy(fp =>
-          fp.substring(0, fp.indexOf("/data/s") +
-            fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
-        bySnapDir.map { case (base, fs2) =>
-          spark.read.option("basePath", base).parquet(fs2: _*)
-        }.reduce(_ unionByName _)
-      }
-    // conform to the DECLARED schema: column order and types come from
-    // the metadata (partition-dir recovery re-infers e.g. long as int)
-    val declared = StructType(meta.schemaNode.get("fields")
-      .elements().asScala.map(f =>
-        StructField(f.get("name").asText(), sparkType(f.get("type")),
-          !f.get("required").asBoolean())).toSeq)
-    raw.select(declared.fields.toIndexedSeq.map { f =>
-      val c = org.apache.spark.sql.functions.col(f.name)
-      // catalogString ignores nullability — cast only on a REAL
-      // difference (nullability-only casts are refused by Catalyst)
-      if (raw.schema(f.name).dataType.catalogString == f.dataType.catalogString) c
-      else c.cast(f.dataType).as(f.name)
-    }: _*)
+    readRaw(spark, meta, files).drop("__file")
   }
+
 
   // ---- copy-on-write maintenance ----------------------------------------
 
@@ -706,42 +702,11 @@ object IcebergLite {
     }
 
     // next metadata version: survivors only, current pointer unchanged
-    val metaDir = new Path(root, "metadata")
-    val version = meta.version + 1
     val (schemaJs, lastColumnId) = schemaJson(declaredSchema(meta))
     val schema = declaredSchema(meta)
     val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
-    val specJsonV1 = spec.zipWithIndex.map { case ((c, _), i) =>
-      s"""{"name": ${q(c)}, "transform": "identity",
-          "source-id": ${sourceFieldId(schemaJs, c)},
-          "field-id": ${1000 + i}}"""
-    }.mkString(", ")
-    val snapshotsJson = kept.map { case (id, lp, summary) =>
-      s"""{"snapshot-id": $id,
-           "timestamp-ms": ${System.currentTimeMillis()},
-           "summary": $summary,
-           "manifest-list": ${q(lp)}}"""
-    }.mkString(", ")
-    val metaJson = s"""{
-      "format-version": 1,
-      "table-uuid": "00000000-0000-0000-0000-${"%012d".format(version)}",
-      "location": ${q(root.toString)},
-      "last-updated-ms": ${System.currentTimeMillis()},
-      "last-column-id": $lastColumnId,
-      "schema": $schemaJs,
-      "partition-spec": [$specJsonV1],
-      "partition-specs": [{"spec-id": 0, "fields": [$specJsonV1]}],
-      "default-spec-id": 0,
-      "last-partition-id": ${999 + spec.size},
-      "properties": {},
-      "current-snapshot-id": ${meta.currentSnapshotId},
-      "snapshots": [$snapshotsJson],
-      "snapshot-log": [], "metadata-log": []
-    }"""
-    writeBytes(spark, new Path(metaDir, s"v$version.metadata.json"),
-      metaJson.getBytes("UTF-8"))
-    writeBytes(spark, new Path(metaDir, "version-hint.text"),
-      version.toString.getBytes("UTF-8"))
+    writeMetadata(spark, root, meta.version + 1, schemaJs, lastColumnId,
+      spec, meta.currentSnapshotId, kept)
   }
 
   /** Snapshot ids, oldest first — the time-travel surface. */

@@ -17,25 +17,30 @@ import org.apache.spark.sql.functions._
   * their parallelism from many members per listing — the standard
   * layout (one segment = tens of thousands of files).
   *
-  * Body framing note: records are delimiter-framed (everything after the
-  * first blank line, trailing CRLFs stripped) rather than sliced to
-  * `Content-Length` octets — equivalent for well-formed WET output; the
-  * `content_length` header column stays available as an audit of the
-  * framing (`length(text) = content_length` for ASCII bodies).
+  * Body framing notes: records are delimiter-framed (everything after
+  * the first blank line, with exactly one trailing CRLF-CRLF record
+  * terminator stripped — body-final newlines survive) rather than
+  * sliced to `Content-Length` octets — equivalent for well-formed WET
+  * output. The one framing failure delimiter splitting cannot detect
+  * on its own is a BODY that itself contains the `WARC/1.0` version
+  * line at a line start (a page quoting a WARC file): the record
+  * splits there and the remainder parses as a phantom record. The
+  * `length_ok` audit column (`octet_length(text) = content_length`)
+  * catches exactly this — both fragments fail the length check — so
+  * corpus builds should quarantine `length_ok = false` records, the
+  * `CorpusIO` corrupt-record discipline.
   */
 object WarcIO {
 
   private val CRLF = "\r\n"
   private val RecordDelim = "WARC/1.0" + CRLF
 
-  /** All records of WET/WARC files under `path` (one row per record,
-    * warcinfo included): `warc_type`, `url`, `warc_date`,
-    * `content_length`, `text`, `source_file`. Malformed records (no
-    * blank line) keep NULL text for a corrupt-record audit, mirroring
-    * `CorpusIO.readJsonlDocs`. */
   /** The record parse as pure column expressions over a framed-record
     * frame — ONE definition serving batch and stream (the
-    * `webGateExprs`/`curateStreamGates` structural-parity pattern). */
+    * `webGateExprs`/`curateStreamGates` structural-parity pattern).
+    * Output: `warc_type`, `url`, `warc_date`, `content_length`, `text`
+    * (NULL when no blank line — the corrupt-record audit, mirroring
+    * `CorpusIO.readJsonlDocs`), `source_file`, `length_ok`. */
   private def parseRecords(framed: DataFrame): DataFrame = {
     val bodyStart = locate(CRLF + CRLF, col("rec"))
     framed
@@ -47,17 +52,22 @@ object WarcIO {
         regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
           .cast("long").as("content_length"),
         when(bodyStart > 0,
+          // strip exactly the record terminator, never body newlines
           regexp_replace(col("rec").substr(bodyStart + 4, length(col("rec"))),
-            "[\r\n]+$", ""))
+            "\r\n\r\n$", ""))
           .as("text"),
         col("source_file"))
+      .withColumn("length_ok",
+        col("text").isNotNull &&
+          octet_length(col("text")) === col("content_length"))
   }
 
   private def conversionDocs(records: DataFrame): DataFrame =
     records
       .filter(col("warc_type") === "conversion")
       .select(xxhash64(col("url"), col("warc_date")).as("doc_id"),
-        col("url"), col("warc_date"), col("content_length"), col("text"))
+        col("url"), col("warc_date"), col("content_length"), col("text"),
+        col("length_ok"))
 
   def readWetRecords(spark: SparkSession, path: String): DataFrame =
     parseRecords(spark.read
