@@ -28,6 +28,9 @@ ALLOWED_IMPORT_ROOTS = (
     "org.apache.arrow", "org.apache.log4j", "org.slf4j",
     "scala", "java", "javax", "graft",
     "org.scalatest", "org.scalacheck", "com.fasterxml.jackson",
+    # avro-core ships in the Spark distribution's jars (IcebergLite's
+    # driver-side manifest read/write) — no added dependency
+    "org.apache.avro",
 )
 
 # Env vars the code may legitimately read (documented in SURVEY/README).
