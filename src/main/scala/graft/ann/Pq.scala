@@ -40,13 +40,15 @@ object Pq {
   private def quantVec(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(1.0e7) + lit(0.5)).cast("long"))
 
-  /** Integer squared distance between two BIGINT sub-vectors. */
-  private def sqDist(a: Column, b: Column): Column =
+  /** Squared distance; `zero` picks the accumulator substrate
+    * (BIGINT for the exact portable path, DOUBLE for learned
+    * codebooks — the integer paths must never ride double sums). */
+  private def sqDist(a: Column, b: Column, zero: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+      zero, (acc, v) => acc + v)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column, zero: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), zero, (acc, v) => acc + v)
 
   /** Deterministic codebook anchors: `kSub` modulo-spread corpus vectors
     * (quantized), indexed 1..kSub. Anchor c's j-th block is block j's
@@ -68,41 +70,41 @@ object Pq {
     anchors
   }
 
-  /** The PQ INDEX: one row per (vector, block) with the assigned code —
-    * `(neighbor_id, j, cidx)`. At scale this is the materialized table
-    * (m small ints per vector vs d floats). */
-  def pqCodes(corpus: DataFrame, anchors: DataFrame, idCol: String,
-              vecCol: String, m: Int, dim: Int): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split into $m blocks")
-    val dsub = dim / m
-    val q = corpus.select(col(idCol).as("neighbor_id"),
-      quantVec(col(vecCol)).as("__e"))
+  /** Full-vector anchors → the per-block codebook frame
+    * `(j, cidx, __cb)` the generic encode/search core consumes (anchor
+    * c's j-th sub-block is block j's c-th centroid). */
+  private def anchorsToCodebooks(anchors: DataFrame, m: Int,
+                                 dsub: Int): DataFrame =
+    anchors
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("j"), col("cidx"),
+        slice(col("__ae"), col("j") * dsub + 1, lit(dsub)).as("__cb"))
+
+  /** Generic per-block argmin encode against a codebook frame — works
+    * for the integer (portable) AND double (learned) substrates, since
+    * the distance expressions are type-generic. */
+  private def encodeAgainst(q: DataFrame, codebooks: DataFrame,
+                            m: Int, dsub: Int, zero: Column): DataFrame = {
     val w = Window.partitionBy("neighbor_id", "j")
       .orderBy(col("__d2"), col("cidx"))
     q.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .crossJoin(broadcast(anchors))
+      .join(broadcast(codebooks), Seq("j"))
       .withColumn("__d2", sqDist(
-        slice(col("__e"), col("j") * dsub + 1, lit(dsub)),
-        slice(col("__ae"), col("j") * dsub + 1, lit(dsub))))
+        slice(col("__e"), col("j") * dsub + 1, lit(dsub)), col("__cb"), zero))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select("neighbor_id", "j", "cidx")
   }
 
-  /** ADC top-k: probes stay full precision; every candidate's score is
-    * Σ_j dot(probe block j, centroid of its block-j code). */
-  def pqSearch(anchors: DataFrame, codes: DataFrame, probes: DataFrame,
-               idCol: String, vecCol: String, k: Int, m: Int, dim: Int,
-               excludeSelf: Boolean = true): DataFrame = {
-    val dsub = dim / m
-    val p = probes.select(col(idCol).as("probe_id"),
-      quantVec(col(vecCol)).as("__pe"))
+  /** Generic ADC scoring core over a codebook frame. */
+  private def adcSearch(codebooks: DataFrame, codes: DataFrame,
+                        p: DataFrame, k: Int, dsub: Int,
+                        excludeSelf: Boolean, zero: Column): DataFrame = {
     val partial = codes
-      .join(broadcast(anchors), Seq("cidx"))
+      .join(broadcast(codebooks), Seq("j", "cidx"))
       .crossJoin(broadcast(p))
       .withColumn("__pd", dot(
-        slice(col("__pe"), col("j") * dsub + 1, lit(dsub)),
-        slice(col("__ae"), col("j") * dsub + 1, lit(dsub))))
+        slice(col("__pe"), col("j") * dsub + 1, lit(dsub)), col("__cb"), zero))
       .groupBy("probe_id", "neighbor_id")
       .agg(sum(col("__pd")).as("adc"))
     val scored =
@@ -113,6 +115,76 @@ object Pq {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "adc", "rank")
+  }
+
+  /** The PQ INDEX: one row per (vector, block) with the assigned code —
+    * `(neighbor_id, j, cidx)`. At scale this is the materialized table
+    * (m small ints per vector vs d floats). */
+  def pqCodes(corpus: DataFrame, anchors: DataFrame, idCol: String,
+              vecCol: String, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m blocks")
+    val dsub = dim / m
+    encodeAgainst(
+      corpus.select(col(idCol).as("neighbor_id"),
+        quantVec(col(vecCol)).as("__e")),
+      anchorsToCodebooks(anchors, m, dsub), m, dsub, lit(0L))
+  }
+
+  /** ADC top-k: probes stay full precision; every candidate's score is
+    * Σ_j dot(probe block j, centroid of its block-j code). */
+  def pqSearch(anchors: DataFrame, codes: DataFrame, probes: DataFrame,
+               idCol: String, vecCol: String, k: Int, m: Int, dim: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    adcSearch(anchorsToCodebooks(anchors, m, dsub), codes,
+      probes.select(col(idCol).as("probe_id"),
+        quantVec(col(vecCol)).as("__pe")),
+      k, dsub, excludeSelf, lit(0L))
+  }
+
+  /** PRODUCTION codebooks: per-block Lloyd k-means
+    * ([[Similarity.kmeansCentroids]] over each block's sub-vectors —
+    * `m` bounded runs, each the documented collect-free iteration
+    * shape), returned as the `(j, cidx, __cb)` codebook frame. Learned
+    * codebooks fit the actual sub-vector distribution instead of
+    * riding corpus picks — the anchors' ScalaTest-pinned quality floor
+    * is the baseline they must beat. */
+  def pqCodebooksKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                        m: Int, kSub: Int, dim: Int,
+                        iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m blocks")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol).as("__sid"),
+        slice(col(vecCol), j * dsub + 1, dsub).as("__sv"))
+      Similarity.kmeansCentroids(sub, "__sid", "__sv", kSub, iters)
+        // stable 1..kSub codes: rank the (bounded, kSub-row) centroid
+        // table by its seed id
+        .select(lit(j).as("j"),
+          row_number().over(Window.orderBy("centroid_id")).as("cidx"),
+          col("centroid_vec").as("__cb"))
+        .localCheckpoint()
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode + search on LEARNED codebooks (double substrate; float-sum
+    * ordering is ScalaTest territory like the other production ANN
+    * paths — the portable integer form above remains the oracle). */
+  def pqTopKLearned(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
+                    iters: Int = 3,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    val codebooks = pqCodebooksKmeans(corpus, idCol, vecCol, m, kSub, dim,
+      iters)
+    def dbl(vec: Column): Column =
+      transform(vec, x => x.cast("double"))
+    val codes = encodeAgainst(
+      corpus.select(col(idCol).as("neighbor_id"), dbl(col(vecCol)).as("__e")),
+      codebooks, m, dsub, lit(0.0))
+    adcSearch(codebooks, codes,
+      probes.select(col(idCol).as("probe_id"), dbl(col(vecCol)).as("__pe")),
+      k, dsub, excludeSelf, lit(0.0))
   }
 
   /** One-shot: build the index and search it. */
@@ -149,7 +221,7 @@ object Pq {
       val w = Window.partitionBy(idOut)
         .orderBy(col("__cdot").desc, col("centroid_id"))
       df.crossJoin(broadcast(cents))
-        .withColumn("__cdot", dot(col(vecName), col("__cen")))
+        .withColumn("__cdot", dot(col(vecName), col("__cen"), lit(0L)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= take)
         .select(idOut, "centroid_id")
@@ -173,7 +245,7 @@ object Pq {
       .join(broadcast(p), Seq("probe_id"))
       .withColumn("__pd", dot(
         slice(col("__pe"), col("j") * dsub + 1, lit(dsub)),
-        slice(col("__ae"), col("j") * dsub + 1, lit(dsub))))
+        slice(col("__ae"), col("j") * dsub + 1, lit(dsub)), lit(0L)))
       .groupBy("probe_id", "neighbor_id")
       .agg(sum(col("__pd")).as("adc"))
     val scored =

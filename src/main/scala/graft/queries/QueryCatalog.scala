@@ -4738,7 +4738,39 @@ object QueryCatalog {
       SELECT probe_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
-      WHERE rank <= 5 ORDER BY probe_id, rank"""))
+      WHERE rank <= 5 ORDER BY probe_id, rank""")),
+
+    // FULL-WARC response parsing (raw Common Crawl captures, not just
+    // WET conversions): the HTTP message inside each response record
+    // splits into status / content-type / payload by the same
+    // expression discipline, and the length_ok audit must hold on the
+    // whole HTTP message. Fixture corpus index-derived (WetFixtures
+    // resp* formulas); the oracle REBUILDS urls, statuses, types, and
+    // payload md5s arithmetically — no WARC byte is ever parsed on the
+    // oracle side.
+    QueryDef("warc_responses", (s, _) => {
+      val corpus = graft.sources.WetFixtures.oracleResponseCorpus()
+      graft.sources.WarcIO.warcResponses(s, corpus)
+        .select(col("url"), col("http_status"), col("content_type"),
+          length(col("payload")).cast("long").as("n_chars"),
+          md5(col("payload").cast("binary")).as("payload_md5"),
+          col("length_ok"))
+        .orderBy("url")
+    }, Some("""
+      WITH t AS (
+        SELECT 'https://cap' || CAST(i%5 AS VARCHAR) || '.example.org/r'
+                 || CAST(i AS VARCHAR) AS url,
+               CASE WHEN i%10 = 0 THEN 404 ELSE 200 END AS http_status,
+               CASE WHEN i%2 = 0 THEN 'text/html' ELSE 'text/plain' END
+                 AS content_type,
+               '<p>Capture ' || CAST(i AS VARCHAR) || ' body '
+                 || CAST((13*i)%97 AS VARCHAR) || '</p>' AS payload
+        FROM (SELECT unnest(generate_series(0, 29)) AS i))
+      SELECT url, http_status, content_type,
+        CAST(length(payload) AS BIGINT) AS n_chars,
+        md5(payload) AS payload_md5,
+        TRUE AS length_ok
+      FROM t ORDER BY url"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

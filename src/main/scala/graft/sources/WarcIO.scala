@@ -49,8 +49,11 @@ object WarcIO {
         regexp_extract(col("rec"), "WARC-Type: ([^\r\n]+)", 1).as("warc_type"),
         regexp_extract(col("rec"), "WARC-Target-URI: ([^\r\n]+)", 1).as("url"),
         regexp_extract(col("rec"), "WARC-Date: ([^\r\n]+)", 1).as("warc_date"),
-        regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
-          .cast("long").as("content_length"),
+        // guarded cast: a delimiter-collision fragment may carry no
+        // Content-Length header at all (ANSI mode errors on '')
+        when(regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1) =!= "",
+          regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1)
+            .cast("long")).as("content_length"),
         when(bodyStart > 0,
           // strip exactly the record terminator, never body newlines
           regexp_replace(col("rec").substr(bodyStart + 4, length(col("rec"))),
@@ -58,8 +61,8 @@ object WarcIO {
           .as("text"),
         col("source_file"))
       .withColumn("length_ok",
-        col("text").isNotNull &&
-          octet_length(col("text")) === col("content_length"))
+        coalesce(col("text").isNotNull &&
+          octet_length(col("text")) === col("content_length"), lit(false)))
   }
 
   private def conversionDocs(records: DataFrame): DataFrame =
@@ -91,30 +94,92 @@ object WarcIO {
       .text(path)
       .select(col("value").as("rec"), input_file_name().as("source_file"))))
 
+  /** FULL-WARC capture parsing: `response` records carry an HTTP
+    * message as their body (status line, headers, blank line, payload).
+    * This splits it with the same expression discipline — `http_status`
+    * (integer), `content_type` (lowercased, parameters stripped), and
+    * `payload` (everything past the HTTP blank line) — turning raw
+    * Common Crawl WARC (not just WET conversions) into rows
+    * `TextAnalysis.htmlStrip` + `curateWeb` can consume directly. Rows
+    * whose body is not an HTTP message (no status line) keep NULL
+    * status and the body as payload. */
+  def warcResponses(spark: SparkSession, path: String): DataFrame = {
+    val records = readWetRecords(spark, path)
+      .filter(col("warc_type") === "response")
+    val httpBlank = locate(CRLF + CRLF, col("text"))
+    val status = regexp_extract(col("text"),
+      "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    records.select(
+      xxhash64(col("url"), col("warc_date")).as("doc_id"),
+      col("url"), col("warc_date"),
+      when(status =!= "", status.cast("int")).as("http_status"),
+      lower(regexp_extract(col("text"),
+        "(?i)\r\nContent-Type: ([^;\r\n]+)", 1)).as("content_type"),
+      when(status =!= "" && httpBlank > 0,
+        col("text").substr(httpBlank + 4, length(col("text"))))
+        .otherwise(when(status === "", col("text")))
+        .as("payload"),
+      col("length_ok"))
+  }
+
   // ---- writer (fixtures + interchange export) ---------------------------
+
+  private def appendRecord(sb: StringBuilder,
+                           headers: Seq[(String, String)],
+                           body: String): Unit = {
+    sb.append("WARC/1.0").append(CRLF)
+    headers.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append(CRLF)
+    }
+    sb.append("Content-Length: ")
+      .append(body.getBytes("UTF-8").length).append(CRLF)
+    sb.append(CRLF).append(body).append(CRLF).append(CRLF)
+  }
 
   /** Serialize records as a WET member. `records` = (url, date, text);
     * a leading warcinfo record is emitted like real crawls carry. */
   def wetBytes(records: Seq[(String, String, String)],
                warcinfo: String = "software: graft-wet-writer/1.0"): Array[Byte] = {
     val sb = new StringBuilder
-    def record(headers: Seq[(String, String)], body: String): Unit = {
-      sb.append("WARC/1.0").append(CRLF)
-      headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
-      sb.append("Content-Length: ")
-        .append(body.getBytes("UTF-8").length).append(CRLF)
-      sb.append(CRLF).append(body).append(CRLF).append(CRLF)
-    }
-    record(Seq("WARC-Type" -> "warcinfo",
+    appendRecord(sb, Seq("WARC-Type" -> "warcinfo",
       "Content-Type" -> "application/warc-fields"), warcinfo)
     records.foreach { case (url, date, text) =>
-      record(Seq(
+      appendRecord(sb, Seq(
         "WARC-Type" -> "conversion",
         "WARC-Target-URI" -> url,
         "WARC-Date" -> date,
         "Content-Type" -> "text/plain"), text)
     }
     sb.toString.getBytes("UTF-8")
+  }
+
+  /** Serialize full-WARC `response` captures: `records` =
+    * (url, date, httpStatus, contentType, payload) — the body is the
+    * HTTP message [[warcResponses]] splits back apart. */
+  def warcResponseBytes(
+      records: Seq[(String, String, Int, String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    appendRecord(sb, Seq("WARC-Type" -> "warcinfo",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc-writer/1.0")
+    records.foreach { case (url, date, status, contentType, payload) =>
+      val http = s"HTTP/1.1 $status OK" + CRLF +
+        s"Content-Type: $contentType; charset=utf-8" + CRLF +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}" + CRLF +
+        CRLF + payload
+      appendRecord(sb, Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> date,
+        "Content-Type" -> "application/http; msgtype=response"), http)
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  def writeWarcFile(path: java.nio.file.Path,
+                    records: Seq[(String, String, Int, String, String)]): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.write(path, warcResponseBytes(records))
   }
 
   def writeWetFile(path: java.nio.file.Path,
@@ -163,6 +228,32 @@ object WetFixtures {
       System.getProperty("java.io.tmpdir"), "graft_wet_oracle", "corpus.wet")
     if (!java.nio.file.Files.exists(p))
       WarcIO.writeWetFile(p, records)
+    p.getParent.toString
+  }
+
+  // ---- full-WARC response fixtures (the warc_responses oracle) ----------
+  // Record i ∈ 0..29:
+  //   url     = https://cap{i mod 5}.example.org/r{i}
+  //   status  = 404 when i mod 10 = 0 else 200
+  //   type    = text/html when i mod 2 = 0 else text/plain
+  //   payload = "<p>Capture {i} body {(13i) mod 97}</p>"
+
+  val NResp = 30
+  def respUrl(i: Int): String = s"https://cap${i % 5}.example.org/r$i"
+  def respStatus(i: Int): Int = if (i % 10 == 0) 404 else 200
+  def respType(i: Int): String = if (i % 2 == 0) "text/html" else "text/plain"
+  def respPayload(i: Int): String =
+    s"<p>Capture $i body ${(13 * i) % 97}</p>"
+
+  def responseRecords: Seq[(String, String, Int, String, String)] =
+    (0 until NResp).map(i =>
+      (respUrl(i), date(i), respStatus(i), respType(i), respPayload(i)))
+
+  def oracleResponseCorpus(): String = synchronized {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_warc_oracle", "corpus.warc")
+    if (!java.nio.file.Files.exists(p))
+      WarcIO.writeWarcFile(p, responseRecords)
     p.getParent.toString
   }
 }

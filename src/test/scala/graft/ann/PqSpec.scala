@@ -120,6 +120,25 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("learned per-block codebooks match or beat the anchor pick") {
+    def clusterHits(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.count(r => clusterOf(r.getAs[Long]("neighbor_id")) ==
+        clusterOf(r.getAs[Long]("probe_id")))
+    val probes = df.filter(col("vec_id") < 8)
+    val anchorHits = clusterHits(Pq.pqTopKPortable(df, probes,
+      "vec_id", "embedding", k = 10, m = 4, kSub = 8, dim = Dim).collect())
+    val learnedHits = clusterHits(Pq.pqTopKLearned(df, probes,
+      "vec_id", "embedding", k = 10, m = 4, kSub = 8, dim = Dim).collect())
+    assert(learnedHits >= anchorHits, s"learned $learnedHits < $anchorHits")
+    assert(learnedHits >= 72, s"learned cluster hits $learnedHits/80")
+    // the codebook frame has m·kSub rows with dsub-wide centroids
+    val cb = Pq.pqCodebooksKmeans(df, "vec_id", "embedding",
+      m = 4, kSub = 8, dim = Dim)
+    assert(cb.count() == 32L)
+    assert(cb.select(org.apache.spark.sql.functions.size(col("__cb")))
+      .distinct().head().getInt(0) == Dim / 4)
+  }
+
   test("results are partitioning-invariant (integer substrate)") {
     def run(parts: Int) = Pq.pqTopKPortable(df.repartition(parts),
         df.filter(col("vec_id") === 0L), "vec_id", "embedding",

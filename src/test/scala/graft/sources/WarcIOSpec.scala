@@ -100,6 +100,52 @@ class WarcIOSpec extends SparkSuite {
     assert(streamed == batch && batch.size == 3)
   }
 
+  test("length_ok audits framing; body-final newlines survive") {
+    val dir = tempDir()
+    WarcIO.writeWetFile(dir.resolve("p.wet"), Seq(
+      ("https://a.example.com/nl", "2024-01-01T00:00:00Z", "line one\n"),
+      // a body quoting a WARC version line at line start: the record
+      // splits there and BOTH fragments must fail the length audit
+      ("https://a.example.com/quote", "2024-01-01T00:00:00Z",
+        "docs about warc:\r\nWARC/1.0\r\nWARC-Type: conversion\r\n\r\nquoted"),
+      ("https://a.example.com/ok", "2024-01-01T00:00:00Z", "fine")))
+    val recs2 = WarcIO.readWetRecords(spark, dir.toString)
+      .filter(col("warc_type") =!= "warcinfo")
+    // the newline-terminated body survives exactly
+    val nl = recs2.filter(col("url") === "https://a.example.com/nl").head()
+    assert(nl.getAs[String]("text") == "line one\n")
+    assert(nl.getAs[Boolean]("length_ok"))
+    assert(recs2.filter(col("url") === "https://a.example.com/ok")
+      .head().getAs[Boolean]("length_ok"))
+    // collision fragments flagged
+    val bad = recs2.filter(!col("length_ok"))
+    assert(bad.count() >= 2)
+  }
+
+  test("full-WARC response records split into status/type/payload") {
+    val dir = tempDir()
+    WarcIO.writeWarcFile(dir.resolve("c.warc"), Seq(
+      ("https://cap.example.org/1", "2024-02-01T00:00:00Z", 200,
+        "text/html", "<html><body>hello\ncrawl</body></html>"),
+      ("https://cap.example.org/2", "2024-02-01T00:00:00Z", 404,
+        "text/plain", "not found")))
+    val got = WarcIO.warcResponses(spark, dir.toString)
+      .collect().map(r => r.getAs[String]("url") -> r).toMap
+    val a = got("https://cap.example.org/1")
+    assert(a.getAs[Int]("http_status") == 200)
+    assert(a.getAs[String]("content_type") == "text/html")
+    assert(a.getAs[String]("payload") == "<html><body>hello\ncrawl</body></html>")
+    assert(a.getAs[Boolean]("length_ok"))
+    assert(got("https://cap.example.org/2").getAs[Int]("http_status") == 404)
+    // composes with the HTML stripper
+    val stripped = graft.text.TextAnalysis.htmlStrip(
+      WarcIO.warcResponses(spark, dir.toString)
+        .filter(col("content_type") === "text/html")
+        .select(col("doc_id"), col("payload").as("text")),
+      "text", "doc_id")
+    assert(stripped.head().getAs[String]("clean_text") == "hello crawl")
+  }
+
   test("fixture corpus matches its content formulas") {
     val corpus = WarcIO.wetCorpus(spark, WetFixtures.oracleCorpus())
     assert(corpus.count() == WetFixtures.N.toLong)
