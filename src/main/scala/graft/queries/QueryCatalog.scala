@@ -4770,7 +4770,50 @@ object QueryCatalog {
         CAST(length(payload) AS BIGINT) AS n_chars,
         md5(payload) AS payload_md5,
         TRUE AS length_ok
-      FROM t ORDER BY url"""))
+      FROM t ORDER BY url""")),
+
+    // Per-group σ-band outlier detection WITHOUT floats: |x − μ| > 1.5σ
+    // rewritten as the integer cross-multiplication
+    // 4·(n·x − S)² > 9·(n·Q − S²) over the exact (n, Σx, Σx²) moments —
+    // the q_stats_agg discipline applied to a per-row verdict. One
+    // moment aggregation per group + a broadcast join back; bit-
+    // identical across engines at any scale.
+    QueryDef("q_outliers", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("q"))
+      val moments = li.groupBy("flag").agg(
+        count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q") * col("q")).as("qq"))
+      li.join(broadcast(moments), Seq("flag"))
+        .withColumn("__dev", col("n") * col("q") - col("s"))
+        .withColumn("__out",
+          lit(4) * col("__dev") * col("__dev") >
+            lit(9) * (col("n") * col("qq") - col("s") * col("s")))
+        .groupBy("flag")
+        .agg(max(col("n")).as("n"),
+          count(when(col("__out"), 1)).as("n_outliers"),
+          min(when(col("__out"), col("q"))).as("min_outlier_qty"),
+          max(when(col("__out"), col("q"))).as("max_outlier_qty"))
+        .orderBy("flag")
+    }, Some("""
+      WITH li AS (SELECT l_returnflag AS flag,
+                    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+      m AS (SELECT flag, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(q) AS BIGINT) AS s, CAST(sum(q*q) AS BIGINT) AS qq
+            FROM li GROUP BY flag)
+      SELECT li.flag, max(m.n) AS n,
+        CAST(count(*) FILTER (WHERE
+          4*(m.n*li.q - m.s)*(m.n*li.q - m.s) > 9*(m.n*m.qq - m.s*m.s))
+          AS BIGINT) AS n_outliers,
+        min(li.q) FILTER (WHERE
+          4*(m.n*li.q - m.s)*(m.n*li.q - m.s) > 9*(m.n*m.qq - m.s*m.s))
+          AS min_outlier_qty,
+        max(li.q) FILTER (WHERE
+          4*(m.n*li.q - m.s)*(m.n*li.q - m.s) > 9*(m.n*m.qq - m.s*m.s))
+          AS max_outlier_qty
+      FROM li JOIN m USING (flag)
+      GROUP BY li.flag ORDER BY li.flag"""))
   )
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
