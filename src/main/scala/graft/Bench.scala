@@ -28,6 +28,24 @@ object Bench {
     // Warm the session once (first query pays JVM/codegen startup).
     try headline.head.fn(spark, sfDir).count() catch { case _: Throwable => }
 
+    // Fixed-work CALIBRATION: a deterministic CPU-bound aggregate over
+    // generated-in-memory data — zero IO, identical work every round.
+    // Driver-host load inflates it by the same factor it inflates the
+    // real queries, so (query / calibration) is load-normalized and a
+    // uniform-looking slowdown becomes arithmetic, not adjudication.
+    def calibrationOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, shiftrightunsigned, sum, xxhash64}
+      val t0 = System.nanoTime()
+      // head(), not count(): count() lets column pruning delete the
+      // hash+sum work and times an empty scan. Shift keeps the ANSI
+      // sum inside Long at 10^9 rows.
+      spark.range(0L, 1000000000L, 1L, cpus.toInt)
+        .select(sum(shiftrightunsigned(xxhash64(col("id")), 34)).as("h")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationOnce() // warm the codegen path itself
+    val calibration = Seq.fill(3)(calibrationOnce()).min
+
     // Three timed runs per query; "queries" reports the MIN (steady-state
     // of a resident cluster, insulated from one-off codegen/broadcast
     // builds and host load spikes) and "queries_median" the median, so
@@ -61,7 +79,7 @@ object Bench {
     val totalMed = results.map(_._2._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMed%.3f,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMed%.3f,"calibration":$calibration%.3f,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     spark.stop()

@@ -91,7 +91,14 @@ object NexusFixtures {
           W.DoubleData(Array.tabulate(8)(i => 0.5 + i))))),
       W.Group("ChopperStatus", Seq(
         W.Dataset("time", W.DoubleData(Array(0.0, 1.0, 2.0))),
-        W.Dataset("value", W.StringData(Array("OPEN", "CLOSED", "OPEN")))))))
+        W.Dataset("value", W.StringData(Array("OPEN", "CLOSED", "OPEN"))))),
+      // wild-writer shape: ONE compound time/value struct table (h5py
+      // struct array) instead of separate series — exercises the
+      // class-6 datatype decode end-to-end through the daslogs walk
+      W.Group("FlowRate", Seq(
+        W.Dataset("time_value", W.CompoundData(Seq(
+          "time" -> W.DoubleData(Array.tabulate(12)(_ / 4.0)),
+          "value" -> W.DoubleData(Array.tabulate(12)(i => 5.0 + i % 3)))))))))
 
     val users = (0 until (1 + r % 2)).map { u =>
       W.Group(s"user${u + 1}", Seq(

@@ -81,6 +81,9 @@ object NexusH5 {
     case Hdf5.H5Strings(a) => a.toSeq
     case Hdf5.H5Longs(a) => a.map(_.toString).toSeq
     case Hdf5.H5Doubles(a) => a.map(formatDouble).toSeq
+    case c: Hdf5.H5Compound => sys.error(
+      s"nested compound log values are out of subset (members: " +
+        s"${c.members.map(_._1).mkString(", ")})")
   }
 
   /** Keep numerics `try_cast`-able (value_numeric) without float noise:
@@ -140,6 +143,12 @@ object NexusH5 {
     val daslogs = entry.group("DASlogs").map(_.childrenInOrder.collect {
       case (logName, g: H5Group) =>
         def num(n: String) = g.dataset(n).flatMap(d => H5Value.scalarDouble(d.read()))
+        // wild-writer variant: a single COMPOUND time/value table
+        // (h5py struct array) instead of separate series datasets —
+        // split it column-wise through the member map
+        val compound = g.dataset("time_value").map(_.read()).collect {
+          case c: Hdf5.H5Compound => c
+        }
         H5DasLog(
           log_name = logName,
           device_name = datasetStr(g, "device_name"),
@@ -147,8 +156,11 @@ object NexusH5 {
           average_value = num("average_value"),
           min_value = num("minimum_value"),
           max_value = num("maximum_value"),
-          time = g.dataset("time").map(d => H5Value.doubles(d.read()).toSeq),
-          value = g.dataset("value").map(d => valueStrings(d.read())),
+          time = g.dataset("time").map(d => H5Value.doubles(d.read()).toSeq)
+            .orElse(compound.flatMap(_.member("time"))
+              .map(H5Value.doubles(_).toSeq)),
+          value = g.dataset("value").map(d => valueStrings(d.read()))
+            .orElse(compound.flatMap(_.member("value")).map(valueStrings)),
           veto_pulse_time = g.dataset("veto_pulse_time")
             .map(d => H5Value.doubles(d.read()).toSeq))
     }).getOrElse(Nil)

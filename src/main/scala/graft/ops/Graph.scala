@@ -82,9 +82,12 @@ object Graph {
       ranks = nodes
         .join(contribExact, Seq("node"), "left")
         .select(col("node"),
+          // integral `div`, not divide+cast: double division is only
+          // exact while dampingPct*contrib < 2^53, and the float-free
+          // bit-identical contract must hold for any caller scale
           (lit(base + dangShare) +
-            (lit(dampingPct.toLong) * coalesce(col("__c"), lit(0L)))
-              .divide(lit(100L)).cast("long")).as("rank"))
+            expr(s"($dampingPct * coalesce(__c, 0L)) div 100"))
+            .as("rank"))
         .localCheckpoint()
       i += 1
     }

@@ -529,10 +529,12 @@ object QueryCatalog {
       Some("""
       WITH c AS (SELECT o_custkey AS k, COUNT(*) AS cnt
                  FROM orders GROUP BY 1),
-      s AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM c),
+      s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_keys FROM c),
       t AS (SELECT * FROM c ORDER BY cnt DESC, k LIMIT 10)
       SELECT CAST(t.k AS VARCHAR) AS key, t.cnt, s.n_rows, s.n_keys,
-        (t.cnt * s.n_keys * 100) // s.n_rows AS skew_ratio_pct,
+        CAST((t.cnt * s.n_keys * 100) // s.n_rows AS BIGINT)
+          AS skew_ratio_pct,
         (t.cnt + 3) // 4 AS suggested_salt
       FROM t CROSS JOIN s ORDER BY cnt DESC, key""")),
 
@@ -1911,8 +1913,8 @@ object QueryCatalog {
       Some("""
       SELECT doc_id, source, n_tokens, cum_tokens FROM (
         SELECT doc_id, source, n_tokens,
-          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         FROM (SELECT doc_id, source,
                 CAST(len(list_filter(string_split(text, ' '),
                   w -> w <> '')) AS BIGINT) AS n_tokens
@@ -4301,8 +4303,9 @@ object QueryCatalog {
         'can' || CAST(r AS VARCHAR) AS container,
         CAST(1 + r%2 AS BIGINT) AS n_users,
         '1.2.3' AS writer_version,
-        CAST(p + 16 + 8 + 3 AS BIGINT) AS n_log_points,
-        CAST(64 * (pcsum.s + (SELECT s FROM spsum) + 8) AS BIGINT) AS sum_value64,
+        CAST(p + 16 + 8 + 3 + 12 AS BIGINT) AS n_log_points,
+        CAST(64 * (pcsum.s + (SELECT s FROM spsum) + 8 + 72) AS BIGINT)
+          AS sum_value64,
         CAST(3 AS BIGINT) AS n_nonnumeric_points,
         CAST(103 AS DOUBLE) AS speed_avg,
         'notes for run ' || CAST(1000+r AS VARCHAR) AS notes
@@ -4652,6 +4655,50 @@ object QueryCatalog {
         CAST(count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS n_snap1
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Schema evolution on the Iceberg v1 metadata (sources/IcebergLite
+    // addColumn/renameColumn): create → evolve (add `quality`, rename
+    // `n_chars`→`length`) → append in the NEW shape → read the CURRENT
+    // snapshot (old + new files mixed) AND snapshot 1 through the
+    // evolved schema. Old files resolve the renamed column BY FIELD ID
+    // and read NULL for the added one, so every aggregate here is
+    // wrong if id-projection mis-maps; the oracle rederives the mixed
+    // result from the documents arithmetic alone. Data-derived at any
+    // scale.
+    QueryDef("iceberg_evolution", (s, d) => {
+      import graft.sources.IcebergLite
+      import org.apache.spark.sql.types.LongType
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_evo_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 3 =!= 0), dir)
+      IcebergLite.addColumn(s, dir, "quality", LongType)
+      IcebergLite.renameColumn(s, dir, "n_chars", "length")
+      IcebergLite.appendSnapshot(s,
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").as("length"),
+            (col("n_chars") % 7).as("quality")), dir)
+      val current = IcebergLite.readTable(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_current"),
+          sum(col("length")).as("sum_len"),
+          count(col("quality")).as("n_quality"),
+          sum(col("quality")).as("sum_quality"))
+      val snap1 = IcebergLite.readTable(s, dir, Some(1L))
+        .groupBy("lang").agg(count(lit(1)).as("n_snap1"))
+      current.join(snap1, Seq("lang")).orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_current,
+        CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_quality,
+        CAST(sum(CASE WHEN doc_id % 3 = 0 THEN n_chars % 7 END) AS BIGINT)
+          AS sum_quality,
+        CAST(count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS n_snap1
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate
@@ -4776,8 +4823,13 @@ object QueryCatalog {
     // rewritten as the integer cross-multiplication
     // 4·(n·x − S)² > 9·(n·Q − S²) over the exact (n, Σx, Σx²) moments —
     // the q_stats_agg discipline applied to a per-row verdict. One
-    // moment aggregation per group + a broadcast join back; bit-
-    // identical across engines at any scale.
+    // moment aggregation per group + a broadcast join back.
+    // EXACTNESS BOUND (the Drift.scala discipline): the cross-products
+    // stay in Long only while n·max|x| and 3·sqrt(n·Q) < 2^31.5, i.e.
+    // per-group n ≲ 10^8 at lineitem's q ≤ 50 — fine for any per-flag
+    // group below ~sf50. Past that, Spark wraps silently while DuckDB
+    // promotes to HUGEINT; recompute the moments in DECIMAL(38,0)
+    // before the cross-multiplication if a caller needs larger groups.
     QueryDef("q_outliers", (s, d) => {
       val li = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),

@@ -53,6 +53,17 @@ object Hdf5 {
     }
   }
 
+  /** View of a source shifted by a base address: HDF5 stores every
+    * address relative to the superblock offset, so a user-block file
+    * (superblock at 512/1024/...) resolves addresses through this view
+    * rather than as absolute file offsets.
+    */
+  final class ShiftedByteSource(under: ByteSource, base: Long)
+      extends ByteSource {
+    def size: Long = under.size - base
+    def get(pos: Long, len: Int): Array[Byte] = under.get(base + pos, len)
+  }
+
   /** Channel-backed source: only the touched ranges are ever read. */
   final class ChannelByteSource(ch: java.nio.channels.SeekableByteChannel)
       extends ByteSource {
@@ -90,6 +101,15 @@ object Hdf5 {
   final case class H5Strings(values: Array[String]) extends H5Value {
     def length: Int = values.length
   }
+  /** A compound-typed dataset decoded column-wise: one named member
+    * value per field, all the same length (DASlogs in the wild carry
+    * compound time/value tables — parquet.py reads them through h5py
+    * struct arrays). */
+  final case class H5Compound(members: Seq[(String, H5Value)]) extends H5Value {
+    def length: Int = members.headOption.map(_._2.length).getOrElse(0)
+    def member(name: String): Option[H5Value] =
+      members.find(_._1 == name).map(_._2)
+  }
 
   object H5Value {
     /** Mirror of the reference's scalar collapse (parquet.py:100-123):
@@ -100,26 +120,35 @@ object Hdf5 {
       case H5Doubles(a) => a.headOption.map(d =>
         if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
           d.toLong.toString else d.toString)
+      case _: H5Compound => None // struct has no scalar rendering
     }
     def scalarDouble(v: H5Value): Option[Double] = v match {
       case H5Longs(a) => a.headOption.map(_.toDouble)
       case H5Doubles(a) => a.headOption
       case H5Strings(a) => a.headOption.flatMap(_.toDoubleOption)
+      case _: H5Compound => None
     }
     def scalarLong(v: H5Value): Option[Long] = v match {
       case H5Longs(a) => a.headOption
       case H5Doubles(a) => a.headOption.map(_.toLong)
       case H5Strings(a) => a.headOption.flatMap(_.toLongOption)
+      case _: H5Compound => None
     }
     def longs(v: H5Value): Array[Long] = v match {
       case H5Longs(a) => a
       case H5Doubles(a) => a.map(_.toLong)
       case H5Strings(a) => a.map(_.toLong)
+      case c: H5Compound => sys.error(
+        s"compound value has no numeric collapse (members: " +
+          s"${c.members.map(_._1).mkString(", ")})")
     }
     def doubles(v: H5Value): Array[Double] = v match {
       case H5Longs(a) => a.map(_.toDouble)
       case H5Doubles(a) => a
       case H5Strings(a) => a.map(_.toDouble)
+      case c: H5Compound => sys.error(
+        s"compound value has no numeric collapse (members: " +
+          s"${c.members.map(_._1).mkString(", ")})")
     }
   }
 
@@ -180,6 +209,9 @@ object Hdf5 {
   /** pad: 0 null-terminate, 1 null-pad, 2 space-pad */
   private final case class FixedString(size: Int, pad: Int) extends Datatype
   private final case class VlenString(size: Int) extends Datatype
+  /** members: (name, byte offset within the struct, member type) */
+  private final case class CompoundType(
+      size: Int, members: Seq[(String, Int, Datatype)]) extends Datatype
 
   private sealed trait Layout
   private final case class Compact(data: Array[Byte]) extends Layout
@@ -191,7 +223,11 @@ object Hdf5 {
 
   private final case class HeaderMessage(typ: Int, data: Array[Byte])
 
-  private final class Parser(src: ByteSource) {
+  private final class Parser(src0: ByteSource) {
+    // Re-bound to a ShiftedByteSource when the superblock sits after a
+    // user block: stored addresses are base-relative (spec §II), so the
+    // shifted view makes every src.get below base-correct unchanged.
+    private var src: ByteSource = src0
 
     // little-endian primitive readers over a fetched block
     private def u8(b: Array[Byte], p: Int): Int = b(p) & 0xff
@@ -235,7 +271,8 @@ object Hdf5 {
 
     def rootGroup(): H5Group = {
       val sbPos = findSuperblock()
-      val head = src.get(sbPos, math.min(160L, src.size - sbPos).toInt)
+      if (sbPos > 0) src = new ShiftedByteSource(src0, sbPos)
+      val head = src.get(0L, math.min(160L, src.size).toInt)
       val version = u8(head, 8)
       val root: H5Node = version match {
         case 0 | 1 =>
@@ -530,9 +567,52 @@ object Hdf5 {
             "only variable-length STRINGS supported (vlen sequences are out of subset)")
           val (_, baseLen) = parseDatatype(d, p + 8)
           (VlenString(size), 8 + baseLen)
+        case 6 => // compound (struct arrays — wild DASlogs time/value tables)
+          val version = (classAndVersion >> 4) & 0x0f
+          val nMembers = bits0 | (bits8 << 8)
+          var mp = p + 8
+          val members = (0 until nMembers).map { _ =>
+            // member name: null-terminated; v1/v2 pad it to 8 bytes,
+            // v3 stores it unpadded (spec §IV, compound properties)
+            var end = mp
+            while (d(end) != 0) end += 1
+            val name = new String(d, mp, end - mp, "UTF-8")
+            val nameBytes = end - mp + 1
+            mp += (if (version >= 3) nameBytes
+                   else { val r = nameBytes % 8
+                          if (r == 0) nameBytes else nameBytes + (8 - r) })
+            // byte offset: v1/v2 fixed 4 bytes; v3 the minimum number
+            // of bytes needed to hold the compound's size
+            val offset = version match {
+              case 3 =>
+                val ob = if (size < 256) 1 else if (size < 65536) 2
+                         else if (size < (1 << 24)) 3 else 4
+                var v = 0L; var b = 0
+                while (b < ob) { v |= (d(mp + b) & 0xffL) << (8 * b); b += 1 }
+                mp += ob
+                v.toInt
+              case 1 | 2 =>
+                val off = u32(d, mp).toInt
+                mp += 4
+                if (version == 1) {
+                  // v1 carries dimensionality(1)+reserved(3)+perm(4)+
+                  // reserved(4)+4 dim sizes(16); array members are out
+                  // of this subset
+                  require(u8(d, mp) == 0,
+                    "compound ARRAY members are out of subset")
+                  mp += 28
+                }
+                off
+              case v2 => sys.error(s"unsupported compound datatype version $v2")
+            }
+            val (mt, consumed) = parseDatatype(d, mp)
+            mp += consumed
+            (name, offset, mt)
+          }
+          (CompoundType(size, members), mp - p)
         case c =>
           sys.error(s"unsupported HDF5 datatype class $c " +
-            "(supported: fixed-point, float, string, vlen string)")
+            "(supported: fixed-point, float, string, vlen string, compound)")
       }
     }
 
@@ -567,11 +647,16 @@ object Hdf5 {
       }
       (0 until nFilters).map { _ =>
         val id = u16(d, p)
-        val nameLen =
-          if (version == 2 && id < 256) 0 else u16(d, p + 2)
-        val flags = u16(d, p + 4)
-        val nValues = u16(d, p + 6)
-        p += 8 + nameLen
+        // v2 with id < 256 omits the Name Length field ENTIRELY, so
+        // Flags / Number of Client Values sit at +2 / +4 and the
+        // fixed head is 6 bytes; every other shape carries the
+        // 2-byte Name Length at +2 (8-byte head + name bytes).
+        val (nameLen, flags, nValues, head) =
+          if (version == 2 && id < 256)
+            (0, u16(d, p + 2), u16(d, p + 4), 6)
+          else
+            (u16(d, p + 2), u16(d, p + 4), u16(d, p + 6), 8)
+        p += head + (if (version == 1) pad8(nameLen) else nameLen)
         val values = Array.tabulate(nValues)(i => u32(d, p + i * 4).toInt)
         p += nValues * 4
         if (version == 1 && nValues % 2 == 1) p += 4 // pad to 8
@@ -580,13 +665,14 @@ object Hdf5 {
       }.toList
     }
 
+    private def pad8(n: Int): Int = if (n % 8 == 0) n else n + (8 - n % 8)
+
     private def parseAttribute(m: HeaderMessage): (String, H5Value) = {
       val d = m.data
       val version = u8(d, 0)
       val nameSize = u16(d, 2)
       val dtSize = u16(d, 4)
       val dsSize = u16(d, 6)
-      def pad8(n: Int): Int = if (n % 8 == 0) n else n + (8 - n % 8)
       version match {
         case 1 =>
           var p = 8
@@ -830,6 +916,18 @@ object Hdf5 {
             i += 1
           }
           H5Strings(out)
+        case CompoundType(size, members) =>
+          // decode column-wise: gather each member's bytes at its
+          // struct offset into a contiguous buffer, then recurse
+          H5Compound(members.map { case (name, off, mt) =>
+            val memberRaw = new Array[Byte](n * mt.size)
+            var i = 0
+            while (i < n) {
+              System.arraycopy(raw, i * size + off, memberRaw, i * mt.size, mt.size)
+              i += 1
+            }
+            name -> decodeElements(memberRaw, n, mt)
+          })
         case VlenString(size) =>
           // each element: length(4) + global heap collection address
           // (sizeOfOffsets) + object index(4)

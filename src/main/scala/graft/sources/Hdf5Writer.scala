@@ -41,6 +41,14 @@ object Hdf5Writer {
   final case class VlenStringData(values: Array[String]) extends H5Data {
     def n: Int = values.length
   }
+  /** Compound (struct) column set: packed members, datatype message v3
+    * (the HDF5 1.8+ writer shape — unpadded member names, minimal-width
+    * offsets). Numeric/fixed-string members only. */
+  final case class CompoundData(members: Seq[(String, H5Data)]) extends H5Data {
+    require(members.nonEmpty && members.map(_._2.n).distinct.size == 1,
+      "compound members must be non-empty and equal-length")
+    def n: Int = members.head._2.n
+  }
 
   sealed trait Attr
   final case class AttrStr(v: String) extends Attr
@@ -58,7 +66,8 @@ object Hdf5Writer {
                            scalar: Boolean = false,
                            chunk: Int = 0,
                            deflate: Boolean = false,
-                           shuffle: Boolean = false) extends Node
+                           shuffle: Boolean = false,
+                           pipelineV2: Boolean = false) extends Node
 
   def scalarStr(name: String, v: String, attrs: Seq[(String, Attr)] = Nil): Dataset =
     Dataset(name, StringData(Array(v)), attrs, scalar = true)
@@ -67,9 +76,18 @@ object Hdf5Writer {
   def scalarDouble(name: String, v: Double, attrs: Seq[(String, Attr)] = Nil): Dataset =
     Dataset(name, DoubleData(Array(v)), attrs, scalar = true)
 
-  /** Serialize a file whose root group carries `rootAttrs` and `children`. */
-  def write(children: Seq[Node], rootAttrs: Seq[(String, Attr)] = Nil): Array[Byte] =
-    new Writer().write(Group("/", children, rootAttrs))
+  /** Serialize a file whose root group carries `rootAttrs` and `children`.
+    * `userBlock` (0 or a power of two ≥ 512, spec §II) prepends that many
+    * zero bytes; stored addresses stay base-relative, as the spec demands.
+    */
+  def write(children: Seq[Node], rootAttrs: Seq[(String, Attr)] = Nil,
+            userBlock: Int = 0): Array[Byte] = {
+    require(userBlock == 0 ||
+      (userBlock >= 512 && Integer.bitCount(userBlock) == 1),
+      s"user block must be 0 or a power of two >= 512, got $userBlock")
+    val body = new Writer().write(Group("/", children, rootAttrs))
+    if (userBlock == 0) body else new Array[Byte](userBlock) ++ body
+  }
 
   private final val Undef = Array.fill[Byte](8)(0xff.toByte)
 
@@ -247,6 +265,42 @@ object Hdf5Writer {
             i += 1
           }
           (out, dtString(len), len)
+        case CompoundData(members) =>
+          // pack member columns row-major at cumulative offsets; the
+          // datatype is compound v3: name NUL-terminated unpadded, byte
+          // offset in the minimum width that holds the struct size
+          val encoded = members.map { case (nm, d2) =>
+            require(!d2.isInstanceOf[VlenStringData] &&
+              !d2.isInstanceOf[CompoundData],
+              "compound members must be numeric or fixed strings")
+            val (bytes, dt, w) = elementBytes(d2)
+            (nm, bytes, dt, w)
+          }
+          val structSize = encoded.map(_._4).sum
+          val offsets = encoded.map(_._4).scanLeft(0)(_ + _)
+          val rows = members.head._2.n
+          val out = new Array[Byte](rows * structSize)
+          encoded.zip(offsets).foreach { case ((_, bytes, _, w), off) =>
+            var i = 0
+            while (i < rows) {
+              System.arraycopy(bytes, i * w, out, i * structSize + off, w)
+              i += 1
+            }
+          }
+          val ob = if (structSize < 256) 1 else if (structSize < 65536) 2
+                   else if (structSize < (1 << 24)) 3 else 4
+          val props = mutable.ArrayBuffer.empty[Byte]
+          encoded.zip(offsets).foreach { case ((nm, _, dt, _), off) =>
+            props ++= nm.getBytes("UTF-8")
+            props ++= b1(0)
+            var b = 0
+            while (b < ob) { props ++= b1((off >> (8 * b)) & 0xff); b += 1 }
+            props ++= dt
+          }
+          val nMembers = members.size
+          val head = b1(0x36) ++ b1(nMembers & 0xff) ++
+            b1((nMembers >> 8) & 0xff) ++ b1(0) ++ b4(structSize)
+          (out, head ++ props.toArray, structSize)
         case VlenStringData(vs) =>
           // write the global heap collection first, then 16-byte descriptors
           // empty strings get a null descriptor (no heap object), as the
@@ -330,13 +384,23 @@ object Hdf5Writer {
         require(ds.data.isInstanceOf[LongData] || ds.data.isInstanceOf[DoubleData],
           "chunking supported for numeric data only")
         val filters = mutable.ArrayBuffer.empty[Array[Byte]]
-        if (ds.shuffle)
-          filters += (b2(2) ++ b2(0) ++ b2(1) ++ b2(1) ++ b4(elemSize) ++ zeros(4))
-        if (ds.deflate)
-          filters += (b2(1) ++ b2(0) ++ b2(1) ++ b2(1) ++ b4(6) ++ zeros(4))
-        if (filters.nonEmpty) {
-          val fp = b1(1) ++ b1(filters.length) ++ zeros(6) ++ filters.flatten
-          msgs += ((0x000B, fp))
+        if (ds.pipelineV2) {
+          // v2 description for ids < 256: NO Name Length field — flags
+          // and client-value count directly follow the id, values
+          // unpadded (the HDF5 1.10+ writer shape).
+          if (ds.shuffle) filters += (b2(2) ++ b2(0) ++ b2(1) ++ b4(elemSize))
+          if (ds.deflate) filters += (b2(1) ++ b2(0) ++ b2(1) ++ b4(6))
+          if (filters.nonEmpty)
+            msgs += ((0x000B, b1(2) ++ b1(filters.length) ++ filters.flatten))
+        } else {
+          if (ds.shuffle)
+            filters += (b2(2) ++ b2(0) ++ b2(1) ++ b2(1) ++ b4(elemSize) ++ zeros(4))
+          if (ds.deflate)
+            filters += (b2(1) ++ b2(0) ++ b2(1) ++ b2(1) ++ b4(6) ++ zeros(4))
+          if (filters.nonEmpty) {
+            val fp = b1(1) ++ b1(filters.length) ++ zeros(6) ++ filters.flatten
+            msgs += ((0x000B, fp))
+          }
         }
         // write chunks, then the type-1 B-tree over them
         val chunkElems = ds.chunk

@@ -1,5 +1,6 @@
 package graft.sources
 
+import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
@@ -24,8 +25,9 @@ import org.apache.spark.sql.types._
   *     metadata/manifest-<id>-<k>.avro   → manifest: data-file entries
   *     data/s<id>/[<k>=<v>/]part-*.parquet
   *
-  * Supported subset (loud errors outside it): format v1, append-only
-  * snapshots (no deletes/rewrites), identity partition transforms on
+  * Supported subset (loud errors outside it): format v1 — appends,
+  * copy-on-write deleteWhere, compaction, snapshot expiry (no v2
+  * merge-on-read delete files), identity partition transforms on
   * string/long columns, primitive column types (boolean/int/long/
   * float/double/string/binary/timestamp/date/decimal) plus nested
   * map/list/struct with spec-conformant unique field-id assignment —
@@ -222,6 +224,20 @@ object IcebergLite {
     try r.iterator().asScala.toVector finally r.close()
   }
 
+  /** Manifest records plus the WRITE-TIME schema recorded in the avro
+    * file metadata — the per-file name↔field-id mapping source that
+    * makes reading old snapshots through an evolved schema possible. */
+  private def readManifest(spark: SparkSession, p: Path)
+      : (Seq[GenericRecord], String) = {
+    val in = new java.io.ByteArrayInputStream(readBytes(spark, p))
+    val r = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try (r.iterator().asScala.toVector,
+      Option(r.getMetaString("schema")).getOrElse(
+        sys.error(s"manifest $p has no schema metadata")))
+    finally r.close()
+  }
+
   // ---- write -------------------------------------------------------------
 
   /** Create the table with an initial snapshot (overwrites any existing
@@ -255,13 +271,22 @@ object IcebergLite {
       require(prior.isDefined, "cannot create a table from an empty batch")
       return
     }
-    val (schemaJs, lastColumnId) = schemaJson(df.schema)
-    prior.foreach { m =>
-      require(m.partitionCols == partitionBy,
-        s"table is partitioned by ${m.partitionCols}, got $partitionBy")
-      require(m.schemaNode == new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(schemaJs),
-        "appended schema differs from the table schema")
+    // Against a live table the batch must match the DECLARED schema
+    // (names + types in order) and the commit re-uses the table's
+    // schema json VERBATIM — evolved field ids are never re-derived
+    // from the Spark schema, which would renumber them.
+    val (schemaJs, lastColumnId) = prior match {
+      case Some(m) =>
+        require(m.partitionCols == partitionBy,
+          s"table is partitioned by ${m.partitionCols}, got $partitionBy")
+        val declared = declaredSchema(m)
+        val got = df.schema
+        require(declared.fields.map(f2 => (f2.name, f2.dataType.catalogString))
+            .sameElements(got.fields.map(f2 => (f2.name, f2.dataType.catalogString))),
+          s"appended schema ${got.simpleString} differs from the table " +
+            s"schema ${declared.simpleString}")
+        (m.schemaJs, m.lastColumnId)
+      case None => schemaJson(df.schema)
     }
 
     val snapshotId = prior.map(_.currentSnapshotId).getOrElse(0L) + 1
@@ -457,7 +482,13 @@ object IcebergLite {
       snapshots: Seq[(Long, String, String)],
       /** (path, length, nFiles, addedSnapshotId, nRows) of the CURRENT
         * list */
-      manifests: Seq[(String, Long, Int, Long, Long)])
+      manifests: Seq[(String, Long, Int, Long, Long)],
+      /** highest allocated field id — evolution allocates ABOVE it */
+      lastColumnId: Int) {
+    /** The table schema json verbatim — committed unchanged by appends
+      * and rewrites so evolved field ids are never re-derived. */
+    def schemaJs: String = schemaNode.toString
+  }
 
   private def readMeta(spark: SparkSession, tableDir: String,
                        snapshotId: Option[Long] = None): TableMeta = {
@@ -495,7 +526,10 @@ object IcebergLite {
         Option(r.get("added_rows_count"))
           .map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    TableMeta(version, schemaNode, partitionCols, wantId, snapshots, manifests)
+    val lastColumnId = Option(node.get("last-column-id")).map(_.asInt())
+      .getOrElse(sys.error("metadata missing last-column-id"))
+    TableMeta(version, schemaNode, partitionCols, wantId, snapshots,
+      manifests, lastColumnId)
   }
 
   /** Read the table at its current (or a given) snapshot. The data-file
@@ -504,12 +538,7 @@ object IcebergLite {
   def readTable(spark: SparkSession, tableDir: String,
                 snapshotId: Option[Long] = None): DataFrame = {
     val meta = readMeta(spark, tableDir, snapshotId)
-    val files = meta.manifests.flatMap { case (p, _, _, _, _) =>
-      readAvro(spark, new Path(p))
-        .filter(_.get("status").asInstanceOf[Int] != 2) // not DELETED
-        .map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
-    }
+    val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
     readRaw(spark, meta, files).drop("__file")
   }
@@ -522,35 +551,60 @@ object IcebergLite {
       StructField(f.get("name").asText(), sparkType(f.get("type")),
         !f.get("required").asBoolean())).toSeq)
 
-  private def liveFilePaths(spark: SparkSession, meta: TableMeta): Seq[String] =
+  /** Live (not-DELETED) data files of the current snapshot, each paired
+    * with the schema json its MANIFEST was written under — rewrites
+    * carry EXISTING entries into per-source-schema manifests, so the
+    * pairing survives deleteWhere/compact across evolutions. */
+  private def liveFileEntries(spark: SparkSession, meta: TableMeta)
+      : Seq[(String, String)] =
     meta.manifests.flatMap { case (p, _, _, _, _) =>
-      readAvro(spark, new Path(p))
-        .filter(_.get("status").asInstanceOf[Int] != 2)
+      val (recs, schemaJs) = readManifest(spark, new Path(p))
+      recs.filter(_.get("status").asInstanceOf[Int] != 2)
         .map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
+          .get("file_path").toString -> schemaJs)
     }
 
+  /** Top-level (field-id, name, type, required) of a schema json. */
+  private def topFields(node: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[(Int, String, DataType, Boolean)] =
+    node.get("fields").elements().asScala.map(f =>
+      (f.get("id").asInt(), f.get("name").asText(),
+        sparkType(f.get("type")), f.get("required").asBoolean())).toSeq
+
   /** Read a subset of the table's files with a `__file` provenance
-    * column, conformed to the declared schema types. */
+    * column, projected to the CURRENT schema BY FIELD ID: files are
+    * grouped by the schema that wrote them, columns resolve through
+    * that schema's id→name mapping (renames), cast to the current type
+    * (widenings), and fields the file predates read as NULL (adds). */
   private def readRaw(spark: SparkSession, meta: TableMeta,
-                      files: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    val raw =
-      if (meta.partitionCols.isEmpty) spark.read.parquet(files: _*)
-      else {
-        val bySnapDir = files.groupBy(fp =>
-          fp.substring(0, fp.indexOf("/data/s") +
-            fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
-        bySnapDir.map { case (base, fs2) =>
-          spark.read.option("basePath", base).parquet(fs2: _*)
-        }.reduce(_ unionByName _)
-      }
-    val declared = declaredSchema(meta)
-    raw.select(declared.fields.toIndexedSeq.map { f =>
-      val c = col(f.name)
-      if (raw.schema(f.name).dataType.catalogString == f.dataType.catalogString) c
-      else c.cast(f.dataType).as(f.name)
-    } :+ input_file_name().as("__file"): _*)
+                      files: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val current = topFields(meta.schemaNode)
+    files.groupBy(_._2).map { case (schemaJs, group) =>
+      val fileFields = topFields(om.readTree(schemaJs))
+      val byId = fileFields.map(f2 => f2._1 -> f2).toMap
+      val paths = group.map(_._1)
+      val raw =
+        if (meta.partitionCols.isEmpty) spark.read.parquet(paths: _*)
+        else {
+          val bySnapDir = paths.groupBy(fp =>
+            fp.substring(0, fp.indexOf("/data/s") +
+              fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
+          bySnapDir.map { case (base, fs2) =>
+            spark.read.option("basePath", base).parquet(fs2: _*)
+          }.reduce(_ unionByName _)
+        }
+      raw.select(current.toIndexedSeq.map { case (id, name, dt, _) =>
+        byId.get(id) match {
+          case Some((_, fileName, fileDt, _)) =>
+            val c = col(fileName)
+            (if (fileDt.catalogString == dt.catalogString) c
+             else c.cast(dt)).as(name)
+          case None => lit(null).cast(dt).as(name)
+        }
+      } :+ input_file_name().as("__file"): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Copy-on-write row deletion — the corpus REDACTION path (GDPR
@@ -567,10 +621,10 @@ object IcebergLite {
   def deleteWhere(spark: SparkSession,
                   tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
-    val files = liveFilePaths(spark, meta)
+    val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
 
     // one column-pruned scan finds the files that contain matches
@@ -585,8 +639,9 @@ object IcebergLite {
     val entrySchema = manifestEntrySchema(spec)
     val snapshotId = meta.currentSnapshotId + 1
 
-    // rewrite ONLY the hit files
-    val survivors = readRaw(spark, meta, hits.toSeq)
+    // rewrite ONLY the hit files (projected to the current schema —
+    // a rewrite is the one moment old-schema rows get rewritten new)
+    val survivors = readRaw(spark, meta, files.filter(e => hits(e._1)))
       .filter(not(coalesce(predicate, lit(false))))
       .drop("__file")
     val survivorCount = survivors.count()
@@ -595,31 +650,33 @@ object IcebergLite {
       else writeDataFiles(spark, survivors, root, snapshotId,
         meta.partitionCols, spec, entrySchema)
 
-    // untouched files carry over by reference as EXISTING entries
-    val untouched = meta.manifests.flatMap { case (p, _, _, _, _) =>
-      readAvro(spark, new Path(p))
-        .filter(_.get("status").asInstanceOf[Int] != 2)
-        .filter(e => !hits.contains(e.get("data_file")
-          .asInstanceOf[GenericRecord].get("file_path").toString))
-        .map { e =>
+    // untouched files carry over by reference as EXISTING entries,
+    // grouped by their SOURCE manifest's schema so an old-schema file
+    // stays readable through its own id→name mapping after evolution
+    val carriedBySchema = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[GenericRecord]]
+    var rowsInHits = 0L
+    meta.manifests.foreach { case (p, _, _, _, _) =>
+      val (recs, manifestSchemaJs) = readManifest(spark, new Path(p))
+      recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        if (hits.contains(d.get("file_path").toString)) {
+          rowsInHits += d.get("record_count").asInstanceOf[Long]
+        } else {
           val c = GenericData.get()
             .deepCopy(entrySchema, e).asInstanceOf[GenericRecord]
           c.put("status", 0) // EXISTING
-          c
+          carriedBySchema.getOrElseUpdate(manifestSchemaJs,
+            mutable.ArrayBuffer.empty) += c
         }
+      }
     }
-
-    val rowsInHits = meta.manifests.flatMap { case (p, _, _, _, _) =>
-      readAvro(spark, new Path(p))
-        .filter(_.get("status").asInstanceOf[Int] != 2)
-        .map(_.get("data_file").asInstanceOf[GenericRecord])
-        .filter(d => hits.contains(d.get("file_path").toString))
-        .map(_.get("record_count").asInstanceOf[Long])
-    }.sum
     val nDeleted = rowsInHits - survivorCount
 
-    commitRewrite(spark, root, meta, snapshotId, untouched ++ newEntries,
-      entrySchema, spec, operation = "overwrite")
+    val groups = carriedBySchema.toSeq.map { case (js, es) => (js, es.toSeq) } ++
+      (if (newEntries.nonEmpty) Seq((meta.schemaJs, newEntries)) else Nil)
+    commitRewrite(spark, root, meta, snapshotId, groups, entrySchema, spec,
+      operation = "overwrite")
     nDeleted
   }
 
@@ -629,7 +686,7 @@ object IcebergLite {
   def compact(spark: SparkSession, tableDir: String): Unit = {
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
-    val files = liveFilePaths(spark, meta)
+    val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
     val schema = declaredSchema(meta)
     val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
@@ -638,28 +695,36 @@ object IcebergLite {
     val all = readRaw(spark, meta, files).drop("__file")
     val entries = writeDataFiles(spark, all, root, snapshotId,
       meta.partitionCols, spec, entrySchema)
-    commitRewrite(spark, root, meta, snapshotId, entries, entrySchema, spec,
+    commitRewrite(spark, root, meta, snapshotId,
+      Seq((meta.schemaJs, entries)), entrySchema, spec,
       operation = "replace")
   }
 
-  /** Commit a rewrite snapshot: ONE manifest holding the given entries
-    * (existing + added), a manifest list referencing only it, and the
-    * next metadata version. */
+  /** Commit a rewrite snapshot: one manifest PER SOURCE SCHEMA holding
+    * its entries (existing + added), a manifest list referencing them,
+    * and the next metadata version. The table's schema json and
+    * last-column-id carry over VERBATIM — a rewrite never renumbers
+    * evolved field ids. */
   private def commitRewrite(spark: SparkSession, root: Path, meta: TableMeta,
-                            snapshotId: Long, entries: Seq[GenericRecord],
+                            snapshotId: Long,
+                            groups: Seq[(String, Seq[GenericRecord])],
                             entrySchema: Schema,
                             spec: Seq[(String, DataType)],
                             operation: String): Unit = {
     val metaDir = new Path(root, "metadata")
-    val (schemaJs, lastColumnId) = schemaJson(declaredSchema(meta))
-    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
-    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
-      Map("schema" -> schemaJs, "format-version" -> "1", "content" -> "data"))
-    val nRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
-      .get("record_count").asInstanceOf[Long]).sum
+    val manifests = groups.zipWithIndex.map {
+      case ((groupSchemaJs, entries), k) =>
+        val manifestPath =
+          new Path(metaDir, f"manifest-$snapshotId%05d-$k.avro")
+        val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
+          Map("schema" -> groupSchemaJs, "format-version" -> "1",
+            "content" -> "data"))
+        val nRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+        (manifestPath.toString, manifestLen, entries.size, snapshotId, nRows)
+    }
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
-      Seq((manifestPath.toString, manifestLen, entries.size, snapshotId, nRows)),
-      schemaJs, lastColumnId, spec, operation)
+      manifests, meta.schemaJs, meta.lastColumnId, spec, operation)
   }
 
   /** Physically purge history: keep the `keepLast` most recent
@@ -701,12 +766,107 @@ object IcebergLite {
       f.delete(new Path(listPath), false)
     }
 
-    // next metadata version: survivors only, current pointer unchanged
-    val (schemaJs, lastColumnId) = schemaJson(declaredSchema(meta))
+    // next metadata version: survivors only, current pointer unchanged;
+    // schema json + last-column-id verbatim (never renumber field ids)
     val schema = declaredSchema(meta)
     val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
-    writeMetadata(spark, root, meta.version + 1, schemaJs, lastColumnId,
-      spec, meta.currentSnapshotId, kept)
+    writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
+      meta.lastColumnId, spec, meta.currentSnapshotId, kept)
+  }
+
+  // ---- schema evolution (v1-legal, metadata-only commits) ----------------
+  //
+  // Evolution changes METADATA only — no snapshot, no data rewrite
+  // (the Iceberg contract). Field ids are the identity: adds allocate
+  // NEW ids above last-column-id, rename/widen keep the id, and the
+  // reader projects every data file through its write-time schema's
+  // id→name mapping, so files from before the evolution read correctly
+  // (NULL for added fields, old name for renamed, cast for widened).
+  // Top-level columns only; partition columns cannot be renamed or
+  // widened in this subset (loud error) — their names anchor the
+  // partition directory layout.
+
+  /** Add a nullable column at the end of the schema. The field (and any
+    * nested members) take fresh ids above last-column-id; files written
+    * before the evolution read NULL for it. */
+  def addColumn(spark: SparkSession, tableDir: String, name: String,
+                dataType: DataType): Unit = {
+    val meta = readMeta(spark, tableDir)
+    require(!topFields(meta.schemaNode).exists(_._2 == name),
+      s"column $name already exists")
+    var id = meta.lastColumnId
+    val nextId = () => { id += 1; id }
+    val fieldId = nextId()
+    val fieldJson = s"""{"id": $fieldId, "name": ${q(name)},
+      "required": false, "type": ${icebergTypeJson(dataType, nextId)}}"""
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = meta.schemaNode.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    schema.withArray("fields").add(om.readTree(fieldJson))
+    commitEvolution(spark, tableDir, meta, schema, id)
+  }
+
+  /** Rename a column; its field id (and every data file) is unchanged —
+    * old files keep resolving through the id. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Unit = {
+    val meta = readMeta(spark, tableDir)
+    require(!meta.partitionCols.contains(from),
+      s"renaming partition column $from is not supported " +
+        "(partition directory layout is keyed by name)")
+    require(!topFields(meta.schemaNode).exists(_._2 == to),
+      s"column $to already exists")
+    val schema = meta.schemaNode.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val field = schema.withArray("fields").elements().asScala
+      .find(_.get("name").asText() == from)
+      .getOrElse(sys.error(s"column $from not found"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    field.put("name", to)
+    commitEvolution(spark, tableDir, meta, schema, meta.lastColumnId)
+  }
+
+  /** Widen a column's type along a v1-legal promotion (int→long,
+    * float→double, decimal(p,s)→decimal(p',s) with p'≥p); the field id
+    * is unchanged and old files are cast at read. */
+  def widenColumn(spark: SparkSession, tableDir: String,
+                  name: String, to: DataType): Unit = {
+    val meta = readMeta(spark, tableDir)
+    require(!meta.partitionCols.contains(name),
+      s"widening partition column $name is not supported")
+    val schema = meta.schemaNode.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val field = schema.withArray("fields").elements().asScala
+      .find(_.get("name").asText() == name)
+      .getOrElse(sys.error(s"column $name not found"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val from = sparkType(field.get("type"))
+    val legal = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+    require(legal, s"illegal type promotion ${from.catalogString} → " +
+      s"${to.catalogString} (v1 allows int→long, float→double, " +
+      "decimal precision widening)")
+    field.put("type", icebergType(to))
+    commitEvolution(spark, tableDir, meta, schema, meta.lastColumnId)
+  }
+
+  /** Commit an evolved schema: next metadata version, snapshot log and
+    * current pointer untouched. */
+  private def commitEvolution(spark: SparkSession, tableDir: String,
+                              meta: TableMeta,
+                              schema: com.fasterxml.jackson.databind.JsonNode,
+                              lastColumnId: Int): Unit = {
+    val root = new Path(tableDir)
+    val declared = StructType(topFields(schema).map { case (_, n, dt, req) =>
+      StructField(n, dt, !req) })
+    val spec = meta.partitionCols.map(c => c -> declared(c).dataType)
+    writeMetadata(spark, root, meta.version + 1, schema.toString,
+      lastColumnId, spec, meta.currentSnapshotId, meta.snapshots)
   }
 
   /** Snapshot ids, oldest first — the time-travel surface. */

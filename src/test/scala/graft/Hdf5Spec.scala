@@ -72,6 +72,36 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(root.dataset("deflated").get.read()) == values.toSeq)
   }
 
+  test("v2 filter pipeline message (no Name Length for ids < 256) parses") {
+    // HDF5 1.10+ writers emit pipeline message v2, whose filter
+    // descriptions for ids < 256 OMIT the Name Length field entirely:
+    // flags and client-value count sit at +2/+4, values unpadded.
+    val values = Array.tabulate(900)(i => (i.toLong * 41) % 997)
+    val root = roundtrip(Seq(
+      W.Dataset("v2packed", W.LongData(values, 8, signed = true),
+        chunk = 256, deflate = true, shuffle = true, pipelineV2 = true),
+      W.Dataset("v2deflate", W.LongData(values, 4, signed = true),
+        chunk = 300, deflate = true, pipelineV2 = true)))
+    assert(L(root.dataset("v2packed").get.read()) == values.toSeq)
+    assert(L(root.dataset("v2deflate").get.read()) == values.toSeq)
+  }
+
+  test("user-block file resolves addresses relative to the superblock") {
+    // Superblock at 512 (then 1024): every stored address is relative
+    // to that base, not an absolute file offset (spec §II).
+    for (ub <- Seq(512, 1024)) {
+      val values = Array.tabulate(500)(i => i.toLong * 3)
+      val bytes = W.write(Seq(
+        W.Dataset("d", W.LongData(values, 8, signed = true),
+          chunk = 128, deflate = true),
+        W.Group("g", Seq(W.scalarStr("name", "blocked")))), userBlock = ub)
+      assert(bytes.take(8).forall(_ == 0))
+      val root = Hdf5.open(bytes)
+      assert(L(root.dataset("d").get.read()) == values.toSeq)
+      assert(S(root.group("g").get.dataset("name").get.read()) == Seq("blocked"))
+    }
+  }
+
   test("nested symbol-table groups walk by path") {
     val root = roundtrip(Seq(
       W.Group("entry", Seq(
@@ -181,6 +211,37 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(root.dataset("d").get.read()) == Seq(11L, 22L, 33L))
   }
 
+  test("fractal-heap dense groups refuse loudly") {
+    // 1.10+ writers switch wide groups to DENSE link storage: a Link
+    // Info message with a DEFINED fractal heap address. Out of subset —
+    // must refuse by name, not read an empty group.
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(out.write)
+    def le2(v: Int): Unit = b(v & 0xff, (v >> 8) & 0xff)
+    def le8(v: Long): Unit = (0 until 8).foreach(i => b(((v >> (8 * i)) & 0xff).toInt))
+    out.write(new Array[Byte](48)) // superblock v2 placeholder
+    val rootAddr = out.size()
+    b('O', 'H', 'D', 'R', 2, 0x00)
+    b(22) // size of chunk 0
+    b(0x02); le2(18); b(0x00) // link info message
+    b(0, 0) // version, flags (no creation index)
+    le8(0x1000L) // fractal heap address: DEFINED → dense storage
+    le8(-1L) // name-index b-tree
+    le8(0) // (unverified) checksum + slack
+    val bytes = out.toByteArray
+    def patch8(pos: Int, v: Long): Unit =
+      (0 until 8).foreach(i => bytes(pos + i) = ((v >> (8 * i)) & 0xff).toByte)
+    System.arraycopy(
+      Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      0, bytes, 0, 8)
+    bytes(8) = 2; bytes(9) = 8; bytes(10) = 8; bytes(11) = 0
+    patch8(12, 0L); patch8(20, -1L)
+    patch8(28, bytes.length.toLong)
+    patch8(36, rootAddr.toLong)
+    val ex = intercept[RuntimeException](Hdf5.open(bytes))
+    assert(ex.getMessage.contains("fractal heap"))
+  }
+
   test("big-endian integers decode via the datatype byte-order bit") {
     // hand-patch a writer file: flip the byte-order bit of the i32
     // datatype and byte-swap the stored values — the decoded longs must
@@ -206,18 +267,56 @@ class Hdf5Spec extends AnyFunSuite {
       L(leRoot.dataset("d").get.read()))
   }
 
+  test("compound datatype (struct array) decodes column-wise") {
+    val times = Array.tabulate(200)(i => i.toLong * 100)
+    val vals = Array.tabulate(200)(i => i / 64.0)
+    val flags = Array.tabulate(200)(i => (i % 3).toLong)
+    val root = roundtrip(Seq(
+      W.Dataset("tv", W.CompoundData(Seq(
+        "time" -> W.LongData(times, 8, signed = true),
+        "value" -> W.DoubleData(vals, 8),
+        "flag" -> W.LongData(flags, 2, signed = false)))),
+      W.Dataset("mixed", W.CompoundData(Seq(
+        "name" -> W.StringData(Array("a", "bb", "ccc")),
+        "k" -> W.LongData(Array(1L, 2L, 3L), 4, signed = true))))))
+    val tv = root.dataset("tv").get.read().asInstanceOf[Hdf5.H5Compound]
+    assert(tv.members.map(_._1) == Seq("time", "value", "flag"))
+    assert(L(tv.member("time").get) == times.toSeq)
+    assert(D(tv.member("value").get) == vals.toSeq)
+    assert(L(tv.member("flag").get) == flags.toSeq)
+    val mx = root.dataset("mixed").get.read().asInstanceOf[Hdf5.H5Compound]
+    assert(S(mx.member("name").get) == Seq("a", "bb", "ccc"))
+    assert(L(mx.member("k").get) == Seq(1L, 2L, 3L))
+  }
+
+  test("out-of-subset layouts fail loudly by name") {
+    // v2 b-tree chunk indexes arrive via DATA LAYOUT v4 (HDF5 1.10+):
+    // flip the layout version byte of a chunked dataset and expect the
+    // named refusal, not garbage
+    val bytes = W.write(Seq(W.Dataset("d",
+      W.LongData(Array.tabulate(64)(_.toLong), 8), chunk = 16)))
+    // layout message data for chunked v3: [3, 2, rank+1, btree addr…]
+    val idx = bytes.sliding(3).indexWhere(w =>
+      w(0) == 3.toByte && w(1) == 2.toByte && w(2) == 2.toByte)
+    assert(idx >= 0)
+    bytes(idx) = 4.toByte
+    val ex = intercept[RuntimeException](
+      Hdf5.open(bytes).dataset("d").get.read())
+    assert(ex.getMessage.contains("layout version 4"))
+  }
+
   test("unsupported features fail loudly by name") {
-    // a compound datatype (class 6) in a hand-corrupted message: take a
+    // a reference datatype (class 7) in a hand-corrupted message: take a
     // valid file and flip the datatype class byte of the lone dataset
     val bytes = W.write(Seq(W.Dataset("d", W.LongData(Array(1L, 2L), 8))))
     // find the fixed-point datatype encoding (0x10 version/class byte,
-    // bit-field 0x08, size 8) and rewrite the class nibble to 6
+    // bit-field 0x08, size 8) and rewrite the class nibble to 7
     val idx = bytes.sliding(8).indexWhere(w =>
       w(0) == 0x10.toByte && w(1) == 0x08.toByte && w(4) == 8.toByte)
     assert(idx >= 0)
-    bytes(idx) = 0x16.toByte
+    bytes(idx) = 0x17.toByte
     val ex = intercept[RuntimeException](
       Hdf5.open(bytes).dataset("d").get.read())
-    assert(ex.getMessage.contains("datatype class 6"))
+    assert(ex.getMessage.contains("datatype class 7"))
   }
 }

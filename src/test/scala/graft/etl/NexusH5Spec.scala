@@ -43,13 +43,18 @@ class NexusH5Spec extends SparkSuite {
       (7 + r) % 512, (14 + r) % 512))
     assert(b0.event_offsets(1) == 31.0 / 64)
     assert(b0.total_counts.contains(NexusFixtures.nEvents(r, 0).toLong))
-    // das logs incl. the veto-only and string-valued ones
+    // das logs incl. the veto-only, string-valued, and compound ones
     assert(run.daslogs.map(_.log_name).toSet ==
-      Set("proton_charge", "Speed1", "Veto_pulse", "ChopperStatus"))
+      Set("proton_charge", "Speed1", "Veto_pulse", "ChopperStatus", "FlowRate"))
     val veto = run.daslogs.find(_.log_name == "Veto_pulse").get
     assert(veto.time.isEmpty && veto.veto_pulse_time.get.length == 8)
     val speed = run.daslogs.find(_.log_name == "Speed1").get
     assert(speed.average_value.contains(103.0) && speed.min_value.contains(100.0))
+    // the compound time/value struct table splits column-wise into the
+    // same series shape the separate-dataset logs produce
+    val flow = run.daslogs.find(_.log_name == "FlowRate").get
+    assert(flow.time.get == Seq.tabulate(12)(_ / 4.0))
+    assert(flow.value.get == Seq.tabulate(12)(i => (5 + i % 3).toString))
   }
 
   test("maxEvents truncation clamps the pulse spans") {

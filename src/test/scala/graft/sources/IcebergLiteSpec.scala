@@ -205,6 +205,79 @@ class IcebergLiteSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
   }
 
+  test("schema evolution: add/rename/widen read old files by field id") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    // evolve: add a column, rename one, widen n int-family → stays long
+    IcebergLite.addColumn(spark, dir, "score", org.apache.spark.sql.types.LongType)
+    IcebergLite.renameColumn(spark, dir, "lang", "language")
+    assert(IcebergLite.tableSchema(spark, dir).fieldNames.toSeq ==
+      Seq("id", "language", "n", "score"))
+    // old snapshot reads THROUGH the new schema: renamed column resolves
+    // by id, added column reads NULL
+    val s1 = IcebergLite.readTable(spark, dir, Some(1L))
+    assert(s1.columns.toSeq == Seq("id", "language", "n", "score"))
+    assert(s1.filter(col("language") === "en").count() == 2L)
+    assert(s1.filter(col("score").isNotNull).count() == 0L)
+    // appends must come in the NEW shape and coexist with old files
+    IcebergLite.appendSnapshot(spark,
+      Seq((6L, "it", 60L, 7L)).toDF("id", "language", "n", "score"), dir)
+    val all = IcebergLite.readTable(spark, dir)
+    assert(all.count() == 4L)
+    assert(all.filter(col("score").isNotNull)
+      .collect().map(_.getLong(0)).toSeq == Seq(6L))
+    // an old-shape append now refuses
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir))
+    assert(ex.getMessage.contains("differs from the table schema"))
+  }
+
+  test("schema evolution: widening promotes int→long; illegal refuses") {
+    val dir = tmp()
+    IcebergLite.createTable(spark,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), dir)
+    IcebergLite.widenColumn(spark, dir, "k", org.apache.spark.sql.types.LongType)
+    val back = IcebergLite.readTable(spark, dir)
+    assert(back.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    IcebergLite.appendSnapshot(spark,
+      Seq((3L, "c")).toDF("k", "v"), dir)
+    assert(IcebergLite.readTable(spark, dir).count() == 3L)
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.widenColumn(spark, dir, "v",
+        org.apache.spark.sql.types.LongType))
+    assert(ex.getMessage.contains("illegal type promotion"))
+  }
+
+  test("schema evolution survives deleteWhere and compact (carried manifests)") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.renameColumn(spark, dir, "n", "weight")
+    IcebergLite.appendSnapshot(spark,
+      batch2.toDF("id", "lang", "weight"), dir)
+    // delete from the NEW-schema file only: old-schema file must carry
+    // over as EXISTING with its own write-schema mapping intact
+    val nDel = IcebergLite.deleteWhere(spark, dir, col("id") === 4L)
+    assert(nDel == 1L)
+    val afterDel = IcebergLite.readTable(spark, dir)
+    assert(afterDel.columns.toSeq == Seq("id", "lang", "weight"))
+    assert(afterDel.select("weight").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(10L, 20L, 30L, 50L))
+    // compact rewrites everything into the current schema
+    IcebergLite.compact(spark, dir)
+    val afterCompact = IcebergLite.readTable(spark, dir)
+    assert(afterCompact.select("weight").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(10L, 20L, 30L, 50L))
+    // partition-column evolution refuses loudly
+    val pdir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), pdir,
+      partitionBy = Seq("lang"))
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.renameColumn(spark, pdir, "lang", "language"))
+    assert(ex.getMessage.contains("partition column"))
+  }
+
   test("metadata versions advance with a version hint per append") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)

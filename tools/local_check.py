@@ -54,6 +54,7 @@ def main():
         spark_rel = con.sql(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         spark_cols = list(spark_rel.columns)
+        spark_types = [str(t) for t in spark_rel.types]
         spark_rows = spark_rel.fetchall()
         if name not in oracle:
             results[name] = {
@@ -65,6 +66,7 @@ def main():
         try:
             oracle_rel = con.sql(oracle[name])
             o_cols = list(oracle_rel.columns)
+            o_types = [str(t) for t in oracle_rel.types]
             o_rows = oracle_rel.fetchall()
         except Exception as e:
             results[name] = {"status": "oracle_error", "error": str(e)[:300], "ok": False}
@@ -80,6 +82,18 @@ def main():
             entry["ok"] = False
             results[name] = entry
             continue
+        # Oracle-side column TYPES must match the Spark parquet types:
+        # the driver hashes typed values, so an un-cast HUGEINT (any
+        # SUM over BIGINT DuckDB promotes) hash-mismatches even when
+        # every Python int compares equal below. Compare DuckDB's view
+        # of both relations per column name so that class fails HERE.
+        s_tmap = dict(zip(spark_cols, spark_types))
+        o_tmap = dict(zip(o_cols, o_types))
+        type_diffs = {c: {"spark": s_tmap[c], "oracle": o_tmap[c]}
+                      for c in s_tmap if s_tmap[c] != o_tmap[c]}
+        entry["types_match"] = not type_diffs
+        if type_diffs:
+            entry["type_diffs"] = type_diffs
         # reorder columns by sorted name, like the driver
         s_idx = [spark_cols.index(c) for c in sorted(spark_cols)]
         o_idx = [o_cols.index(c) for c in sorted(o_cols)]
@@ -88,7 +102,8 @@ def main():
         entry["rows_match"] = len(s_vals) == len(o_vals)
         entry["values_in_order"] = s_vals == o_vals
         entry["values_as_set"] = sorted(map(repr, s_vals)) == sorted(map(repr, o_vals))
-        entry["ok"] = entry["rows_match"] and entry["values_in_order"]
+        entry["ok"] = (entry["rows_match"] and entry["values_in_order"]
+                       and entry["types_match"])
         if not entry["ok"] and entry["rows_match"]:
             # show first mismatching row
             for i, (a, b) in enumerate(zip(s_vals, o_vals)):
