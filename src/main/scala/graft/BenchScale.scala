@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.Similarity
+import graft.ann.{Pq, Similarity}
 import graft.dedup.Dedup
 import graft.ops.Selection
 import graft.pipelines.TrainingDataPipeline
@@ -248,6 +248,7 @@ object BenchScale {
     var annLsh4 = -1L
     var annIvf4 = -1L
     var annCurve = ""
+    var annPqCurve = ""
     // ONE shared IVF index for both stages: ivfIndex's hash-sampled
     // centroid pick rides a limit() over an unordered filter, so two
     // independent builds may select different centroid sets — pairing
@@ -276,6 +277,41 @@ object BenchScale {
     val evalBloom = if (skip("curate_stream_500k")) null
       else Dedup.evalShingleBloom(
         docs.filter(col("doc_id") % 4999 === 7), "text", "doc_id")
+
+    // Raw-WARC corpus for the end-to-end web front door (setup,
+    // untimed — the input lake): 100k deterministic response captures
+    // across 16 .warc members. English-like payloads so the curation
+    // gates do real work; statuses, content types, and blocked domains
+    // vary so every front-door filter fires.
+    val warcDir = s"$work/warc_100k"
+    val warcN = 100000
+    val warcVocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "and", "runs", "through", "green", "fields", "while",
+      "birds", "sing", "in", "morning", "light", "with", "great", "joy",
+      "it", "was", "a", "clear", "day", "for", "walking", "home")
+    def warcRec(i: Int): (String, String, Int, String, String) = {
+      // every 4th token unique to the doc: a diverse crawl, so this
+      // stage prices the end-to-end machinery, not the pathological
+      // all-near-dup corpus the dedicated dedup stages already price
+      val words = (0 until 60)
+        .map(j => if (j % 4 == 0) s"u${(i * 61 + j) % 99991}t$j"
+                  else warcVocab((i * 31 + j * 7) % warcVocab.size)).mkString(" ")
+      (s"https://w${i % 50}.example.org/p$i",
+        f"2024-05-${1 + i % 28}%02dT00:00:00Z",
+        if (i % 17 == 0) 404 else 200,
+        if (i % 13 == 0) "application/pdf" else "text/html",
+        s"<html><head><title>Page $i</title></head><body><p>$words</p>" +
+          s"<p>content block ${i % 53} of segment ${i % 11}</p></body></html>")
+    }
+    if (!skip("warc_curate_100k") && !Files.exists(Paths.get(warcDir))) {
+      val per = warcN / 16
+      (0 until 16).foreach { f =>
+        graft.sources.WarcIO.writeWarcFile(
+          Paths.get(warcDir, f"part-$f%02d.warc"),
+          (f * per until (f + 1) * per).map(warcRec))
+      }
+    }
+    val warcBlocked = Seq("w0.example.org", "w1.example.org")
 
     val results = Seq(
       timed("annotate_scan") {
@@ -627,11 +663,55 @@ object BenchScale {
           "vec_id", "embedding", nProbe = 8))
         lists.unpersist()
         annCurve =
-          s"""[{"variant":"lsh","config":"bits=8,tables=4","scanned_rows":$lc4,"recall_pct":$annLsh4},""" +
-          s"""{"variant":"lsh","config":"bits=8,tables=8","scanned_rows":$lc8,"recall_pct":$lsh8},""" +
-          s"""{"variant":"ivf","config":"nLists=64,nProbe=4","scanned_rows":$ic4,"recall_pct":$annIvf4},""" +
-          s"""{"variant":"ivf","config":"nLists=64,nProbe=8","scanned_rows":$ic8,"recall_pct":$ivf8}]"""
+          s"""[{"variant":"lsh","config":"bits=8,tables=4","scanned_rows":$lc4,"recall_pct":$annLsh4,"bytes_per_vector":256},""" +
+          s"""{"variant":"lsh","config":"bits=8,tables=8","scanned_rows":$lc8,"recall_pct":$lsh8,"bytes_per_vector":256},""" +
+          s"""{"variant":"ivf","config":"nLists=64,nProbe=4","scanned_rows":$ic4,"recall_pct":$annIvf4,"bytes_per_vector":256},""" +
+          s"""{"variant":"ivf","config":"nLists=64,nProbe=8","scanned_rows":$ic8,"recall_pct":$ivf8,"bytes_per_vector":256}]"""
         lsh8 * 1000 + ivf8
+      },
+      timed("ann_pq_points") {
+        // PQ operating points at the 200k corpus — the MEMORY axis the
+        // LSH/IVF points don't price: full-precision vectors cost
+        // dim×4 = 256 bytes each, PQ codes cost m bytes (one byte per
+        // block code at kSub ≤ 256), so m=8 is the 32× leg a
+        // 10^11-vector index needs. Two dials per variant:
+        //   pq     m=8 vs m=16 (bytes/vector halves recall pressure;
+        //          cost is the full corpus per probe — ADC scans all)
+        //   ivfpq  nLists=64, nProbe=4 vs 8 (scanned rows from the SAME
+        //          routing the search uses, via ivfPqRouting)
+        // Recall on the same cross-base ground truth as the LSH/IVF
+        // points, so all eight curve entries are comparable.
+        if (annExact == null) {
+          annExact = crossBaseTop10(Similarity.bruteForceTopK(em, annProbes,
+            "vec_id", "embedding", k = annKk)).localCheckpoint()
+          annTruth = annExact.count()
+        }
+        val nVecsAll = em.count()
+        val nProbesN = annProbes.count()
+        val pq8 = annRecallPct(Pq.pqTopKPortable(em, annProbes,
+          "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64))
+        val pq16 = annRecallPct(Pq.pqTopKPortable(em, annProbes,
+          "vec_id", "embedding", k = annKk, m = 16, kSub = 16, dim = 64))
+        val ivfpq4 = annRecallPct(Pq.ivfPqTopKPortable(em, annProbes,
+          "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64,
+          nLists = 64, nProbe = 4))
+        val ivfpq8 = annRecallPct(Pq.ivfPqTopKPortable(em, annProbes,
+          "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64,
+          nLists = 64, nProbe = 8))
+        def ivfPqCost(nProbe: Int): Long = {
+          val (lists, probeLists) = Pq.ivfPqRouting(em, annProbes,
+            "vec_id", "embedding", nLists = 64, nProbe = nProbe)
+          probeLists.join(lists, Seq("centroid_id")).count()
+        }
+        val ic4 = ivfPqCost(4)
+        val ic8 = ivfPqCost(8)
+        val pqScan = nVecsAll * nProbesN // ADC scores every code row
+        annPqCurve =
+          s"""{"variant":"pq","config":"m=8,kSub=16","scanned_rows":$pqScan,"recall_pct":$pq8,"bytes_per_vector":8},""" +
+          s"""{"variant":"pq","config":"m=16,kSub=16","scanned_rows":$pqScan,"recall_pct":$pq16,"bytes_per_vector":16},""" +
+          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=4","scanned_rows":$ic4,"recall_pct":$ivfpq4,"bytes_per_vector":8},""" +
+          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8","scanned_rows":$ic8,"recall_pct":$ivfpq8,"bytes_per_vector":8}"""
+        pq8 * 1000 + ivfpq8
       },
       timed("curate_pipeline") {
         TrainingDataPipeline.curate(docs, "text", "doc_id")
@@ -720,6 +800,44 @@ object BenchScale {
         System.err.println(
           s"[scale] curate_stream_parity: kept $kept, mismatches $mismatches")
         mismatches * 1000000000L + kept
+      },
+      timed("warc_curate_100k") {
+        // Raw WARC → curated corpus END TO END at 100k captures: full-
+        // WARC HTTP parse → status/content-type gate → html strip →
+        // curateWeb (url/word/sentence gates + language, quality,
+        // length, exact-dedup stages). docs/sec = this stage's
+        // rows / seconds; the kept ids land for the parity stage.
+        val corpus = graft.sources.WarcIO.warcResponses(spark, warcDir)
+          .filter(col("http_status") === 200 &&
+            col("content_type") === "text/html")
+          .select(col("url"), col("payload"))
+          .withColumn("doc_id", xxhash64(col("url")))
+        TrainingDataPipeline.cleanWebCorpus(corpus, "payload", "doc_id",
+            urlCol = Some("url"), blockedDomains = warcBlocked)
+          .select("doc_id")
+          .write.mode("overwrite").parquet(s"$work/warc_kept")
+        spark.read.parquet(s"$work/warc_kept").count()
+      },
+      timed("warc_curate_parity") {
+        // The same 100k records BYPASS WARC serialization: an in-memory
+        // frame through the same gates — serialize → parse → curate must
+        // change nothing. Value: mismatches * 1e9 + kept (a clean run
+        // reads as the kept count).
+        val direct = spark.createDataFrame((0 until warcN).map(warcRec))
+          .toDF("url", "date", "http_status", "content_type", "payload")
+          .filter(col("http_status") === 200 &&
+            col("content_type") === "text/html")
+          .withColumn("doc_id", xxhash64(col("url")))
+        val keptB = TrainingDataPipeline.cleanWebCorpus(direct, "payload",
+            "doc_id", urlCol = Some("url"), blockedDomains = warcBlocked)
+          .select("doc_id")
+        val keptA = spark.read.parquet(s"$work/warc_kept")
+        val mismatches =
+          keptA.join(keptB, Seq("doc_id"), "left_anti").count() +
+          keptB.join(keptA, Seq("doc_id"), "left_anti").count()
+        System.err.println(s"[scale] warc_curate_parity: " +
+          s"kept ${keptA.count()}, mismatches $mismatches")
+        mismatches * 1000000000L + keptA.count()
       },
       timed("dedup_segments") {
         // corpus-wide first-occurrence segment dedup at word granularity:
@@ -877,7 +995,12 @@ object BenchScale {
     val rows = results.map { case (k, _, n) => "\"" + k + s"\":$n" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val curve = if (annCurve.nonEmpty) annCurve else "[]"
+    val curve = (annCurve, annPqCurve) match {
+      case ("", "") => "[]"
+      case (c, "") => c
+      case ("", p) => "[" + p + "]"
+      case (c, p) => c.dropRight(1) + "," + p + "]"
+    }
     val json =
       f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rows,"ann_curve":$curve,"n_docs":$nDocs,"text_bytes":$bytes,"n_vectors":$nVecs,"n_events":$nEvents,"copies":$copies,"sf":"$sfDir"}"""
     println(json)

@@ -203,11 +203,15 @@ object Pq {
     * routing as `Similarity.ivfTopKPortable`, same codes/ADC as
     * [[pqSearch]] — semantically ≡ [[pqTopKPortable]] RESTRICTED to the
     * probed lists' members (the identity PqSpec pins). */
-  def ivfPqTopKPortable(corpus: DataFrame, probes: DataFrame, idCol: String,
-                        vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
-                        nLists: Int, nProbe: Int,
-                        excludeSelf: Boolean = true): DataFrame = {
-    val dsub = dim / m
+  /** The IVF layer of [[ivfPqTopKPortable]] exposed on its own (for
+    * operating-point cost accounting): modulo-spread integer centroids,
+    * every corpus vector routed to its top list, probes to their top
+    * `nProbe` — `(lists(neighbor_id, centroid_id),
+    * probeLists(probe_id, centroid_id))`. Candidate count = the
+    * size of `probeLists ⋈ lists` on `centroid_id`. */
+  def ivfPqRouting(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   vecCol: String, nLists: Int, nProbe: Int)
+      : (DataFrame, DataFrame) = {
     val q = corpus.select(col(idCol).as("neighbor_id"),
       quantVec(col(vecCol)).as("__e")).persist()
     val n = q.count()
@@ -216,23 +220,33 @@ object Pq {
       .orderBy("neighbor_id").limit(nLists)
       .select(col("neighbor_id").as("centroid_id"), col("__e").as("__cen"))
       .localCheckpoint()
-    def routed(df: DataFrame, idOut: String, vecName: String,
-               take: Int): DataFrame = {
+    def routed(df: DataFrame, idOut: String, take: Int): DataFrame = {
       val w = Window.partitionBy(idOut)
         .orderBy(col("__cdot").desc, col("centroid_id"))
       df.crossJoin(broadcast(cents))
-        .withColumn("__cdot", dot(col(vecName), col("__cen"), lit(0L)))
+        .withColumn("__cdot", dot(col("__e"), col("__cen"), lit(0L)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= take)
         .select(idOut, "centroid_id")
     }
-    val lists = routed(q, "neighbor_id", "__e", 1)
+    val lists = routed(q, "neighbor_id", 1)
       .localCheckpoint() // materialize routing, then release the cache
     q.unpersist()
     val p = probes.select(col(idCol).as("probe_id"),
+      quantVec(col(vecCol)).as("__e"))
+    val probeLists = routed(p, "probe_id", nProbe).localCheckpoint()
+    (lists, probeLists)
+  }
+
+  def ivfPqTopKPortable(corpus: DataFrame, probes: DataFrame, idCol: String,
+                        vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
+                        nLists: Int, nProbe: Int,
+                        excludeSelf: Boolean = true): DataFrame = {
+    val dsub = dim / m
+    val (lists, probeLists) =
+      ivfPqRouting(corpus, probes, idCol, vecCol, nLists, nProbe)
+    val p = probes.select(col(idCol).as("probe_id"),
       quantVec(col(vecCol)).as("__pe")).localCheckpoint()
-    val probeLists = routed(p.withColumnRenamed("__pe", "__e"),
-      "probe_id", "__e", nProbe)
 
     val anchors = pqAnchors(corpus, idCol, vecCol, kSub)
     val codes = pqCodes(corpus, anchors, idCol, vecCol, m, dim)

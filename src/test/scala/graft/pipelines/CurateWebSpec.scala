@@ -111,6 +111,85 @@ class CurateWebSpec extends SparkSuite {
     assert(streamKept === batchKept)
   }
 
+  test("curateStreamWeb → IcebergLite.sink: exactly-once Iceberg table " +
+      "across a kill/restart replay, ≡ the batch twin") {
+    import graft.sources.IcebergLite
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_web_iceberg").toString
+    val inDir = s"$base/in"
+    val tableDir = s"$base/table"
+    val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
+      "a", "lazy", "dog", "and", "then", "sings")
+    // per-doc UNIQUE tokens every 3rd word so the batch twin's
+    // NEAR-dedup stage (absent in streaming) has no cross-doc pairs to
+    // drop — parity must hold on the exact-dup + gate decisions alone
+    def docText(i: Long): String = {
+      val words = (0 until 24).map(j =>
+        if (j % 3 == 0) s"tag${i}x$j"
+        else vocab(((i * 7 + j * 5) % vocab.size).toInt)).mkString(" ")
+      s"<html><body><p>$words.</p><p>closing line number five!</p></body></html>"
+    }
+    def doc(i: Long): (Long, String, String, java.sql.Timestamp) = (i,
+      if (i == 6) docText(5) else docText(i), // 6 strips ≡ 5 → dedup drop
+      if (i == 4) "http://ads.tracker.test/x" else s"https://ok.example.com/p$i",
+      new java.sql.Timestamp(i * 1000))
+    def writeFile(ids: Seq[Long]): Unit =
+      spark.createDataFrame(ids.map(doc))
+        .toDF("doc_id", "text", "url", "ts")
+        .repartition(1).write.mode("append").parquet(inDir)
+
+    def runStream(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, url STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = TrainingDataPipeline.curateStreamWeb(
+          stream, "text", "doc_id", "ts",
+          urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
+          minSentences = 2, watermark = "10 seconds", cfg = cfg)
+        .drop("url")
+        .writeStream
+        .foreachBatch(IcebergLite.sink(tableDir))
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    // phase A: two input files → two micro-batches → two snapshots
+    writeFile(Seq(1L, 2L, 3L))
+    writeFile(Seq(4L, 5L, 6L))
+    runStream()
+    val snapsA = IcebergLite.snapshotIds(spark, tableDir)
+    assert(snapsA.size == 2)
+    // kill/replay: a crash after commit re-delivers the last batch —
+    // the sink's commit key makes the replay a structural no-op
+    val replay = IcebergLite.readTable(spark, tableDir)
+    IcebergLite.sink(tableDir)(replay, 1L)
+    assert(IcebergLite.snapshotIds(spark, tableDir) == snapsA)
+    // phase B: restart from the SAME checkpoint with one more file —
+    // only the new batch lands, as the next snapshot
+    writeFile(Seq(7L, 8L, 9L))
+    runStream()
+    assert(IcebergLite.snapshotIds(spark, tableDir).size == 3)
+
+    // the stream-ingested table ≡ the batch twin, read back purely
+    // through the Iceberg metadata chain
+    val streamed = IcebergLite.readTable(spark, tableDir)
+    val streamKept = streamed.select("doc_id").as[Long].collect().toSet
+    val batchKept = TrainingDataPipeline.curateWeb(
+        spark.createDataFrame((1L to 9L).map(doc))
+          .toDF("doc_id", "text", "url", "ts"),
+        "text", "doc_id", urlCol = Some("url"),
+        blockedDomains = Seq("tracker.test"), minSentences = 2, cfg = cfg)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(streamKept === batchKept)
+    assert(!streamKept.contains(4L) && !streamKept.contains(6L))
+    // the landed schema is the curation annotation contract
+    assert(streamed.columns.toSet.contains("content_hash") &&
+      streamed.columns.toSet.contains("quality_score"))
+  }
+
   test("cleanWebCorpus carries the stripped text of survivors") {
     val kept = TrainingDataPipeline.cleanWebCorpus(
       fixture, "text", "doc_id",
