@@ -65,9 +65,13 @@ object NexusFixtures {
           W.LongData(Array.tabulate(n)(e => ((7L * e + 13L * b + r) % 512)),
             width = 4, signed = false),
           chunk = math.max(16, n / 4), deflate = true, shuffle = true),
+        // bank 1 stores its offsets behind the 1.10+ FIXED-ARRAY chunk
+        // index (layout v4), the rest classic v1-b-tree v3 — both index
+        // generations ride the oracle corpus end to end
         W.Dataset("event_time_offset",
           W.DoubleData(Array.tabulate(n)(e => ((31L * e + 11L * b) % 1000) / 64.0)),
-          chunk = math.max(16, n / 4), deflate = true),
+          chunk = math.max(16, n / 4), deflate = true,
+          layoutV4 = if (b == 1) 3 else 0),
         W.Dataset("event_index",
           W.LongData(Array.tabulate(p)(pi => pi.toLong * k))),
         W.scalarLong("total_counts", n.toLong)),

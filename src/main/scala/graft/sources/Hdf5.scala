@@ -20,12 +20,18 @@ import scala.collection.mutable
   *   - dataspaces v1/v2 (scalar + simple, any rank)
   *   - datatypes: fixed-point (1/2/4/8 bytes, either sign, LE or BE),
   *     IEEE float (f32/f64, LE or BE), fixed-length strings
-  *     (null-terminated / null-padded / space-padded), and
-  *     variable-length strings (global-heap `GCOL` collections)
-  *   - data layouts v3: compact, contiguous, chunked (v1 B-tree chunk
-  *     index, any rank, partial edge chunks)
-  *   - filter pipeline: deflate (id 1) and byte-shuffle (id 2)
+  *     (null-terminated / null-padded / space-padded), variable-length
+  *     strings (global-heap `GCOL` collections), and compound (struct
+  *     arrays, v1/v3 member encodings, decoded column-wise)
+  *   - data layouts v3 (compact, contiguous, chunked v1-B-tree index,
+  *     any rank, partial edge chunks) and v4 (1.10+: compact,
+  *     contiguous, chunked with Single Chunk / Implicit / Fixed Array
+  *     `FAHD`/`FADB` indexes incl. paged data blocks; extensible-array
+  *     and v2-b-tree indexes are out of subset)
+  *   - filter pipeline messages v1 and v2 (deflate id 1, shuffle id 2)
   *   - attribute messages v1/v2/v3
+  *   - user-block files (superblock at 512/1024/…, base-relative
+  *     addressing per spec §II)
   *
   * Scale shape: the reader touches only the byte ranges the walk needs —
   * header blocks, B-tree nodes, and the chunks of datasets actually
@@ -218,6 +224,14 @@ object Hdf5 {
   private final case class Contiguous(addr: Long, byteSize: Long) extends Layout
   private final case class Chunked(btreeAddr: Long, chunkDims: Array[Int])
       extends Layout
+  /** Data layout message v4 (HDF5 1.10+): `indexType` 1 = Single Chunk,
+    * 2 = Implicit, 3 = Fixed Array (extensible array / v2 b-tree are out
+    * of subset, refused by name at parse). `chunkDims` is stored as
+    * encoded; the reader tolerates both the rank and rank+1 (trailing
+    * element-size dimension) encodings. */
+  private final case class ChunkedV4(
+      indexType: Int, addr: Long, chunkDims: Array[Int], filtered: Boolean,
+      singleChunkSize: Long) extends Layout
 
   private final case class Filter(id: Int, clientValues: Array[Int])
 
@@ -618,9 +632,9 @@ object Hdf5 {
 
     private def parseLayout(d: Array[Byte]): Layout = {
       val version = u8(d, 0)
-      require(version == 3,
-        s"unsupported data layout version $version (only v3 supported)")
-      u8(d, 1) match {
+      require(version == 3 || version == 4,
+        s"unsupported data layout version $version (v3/v4 supported)")
+      if (version == 3) u8(d, 1) match {
         case 0 =>
           val n = u16(d, 2)
           Compact(java.util.Arrays.copyOfRange(d, 4, 4 + n))
@@ -633,6 +647,46 @@ object Hdf5 {
             u32(d, 3 + sizeOfOffsets + i * 4).toInt)
           Chunked(btree, chunkDims)
         case c => sys.error(s"unsupported layout class $c")
+      } else u8(d, 1) match { // version 4 (the 1.10+ writer generation)
+        case 0 =>
+          val n = u16(d, 2)
+          Compact(java.util.Arrays.copyOfRange(d, 4, 4 + n))
+        case 1 =>
+          Contiguous(readOffset(d, 2), readLength(d, 2 + sizeOfOffsets))
+        case 2 =>
+          var p = 2
+          val flags = u8(d, p); p += 1
+          val nDims = u8(d, p); p += 1
+          val encLen = u8(d, p); p += 1
+          require(encLen >= 1 && encLen <= 8,
+            s"bad v4 chunk dimension encoding length $encLen")
+          val chunkDims = Array.tabulate(nDims) { i =>
+            var v = 0L; var b = 0
+            while (b < encLen) {
+              v |= (d(p + i * encLen + b) & 0xffL) << (8 * b); b += 1
+            }
+            v.toInt
+          }
+          p += nDims * encLen
+          val indexType = u8(d, p); p += 1
+          var singleSize = -1L
+          indexType match {
+            case 1 => // single chunk; filtered variant carries size+mask
+              if ((flags & 0x2) != 0) {
+                singleSize = readLength(d, p); p += sizeOfLengths
+                p += 4 // filter mask (mask-out bits unsupported → whole pipeline)
+              }
+            case 2 => // implicit: no index info (unfiltered by contract)
+            case 3 => p += 1 // fixed array: page bits live in the FAHD too
+            case 4 => sys.error(
+              "extensible-array chunk index is out of subset (v4 layout)")
+            case 5 => sys.error(
+              "v2 b-tree chunk index is out of subset (v4 layout)")
+            case t => sys.error(s"unknown v4 chunk index type $t")
+          }
+          ChunkedV4(indexType, readOffset(d, p), chunkDims,
+            filtered = (flags & 0x2) != 0, singleChunkSize = singleSize)
+        case c => sys.error(s"unsupported v4 layout class $c")
       }
     }
 
@@ -764,27 +818,31 @@ object Hdf5 {
           else applyFilters(src.get(addr, byteSize.toInt), filters, dtype.size)
         case Chunked(btreeAddr, chunkDims) =>
           readChunked(dims, chunkDims, dtype.size, btreeAddr, filters)
+        case c: ChunkedV4 =>
+          readChunkedV4(name, dims, c, dtype.size, filters)
       }
       decodeElements(raw, elems, dtype)
     }
 
-    /** Walk the v1 chunk B-tree and assemble the row-major element buffer.
-      * Handles any rank and partial edge chunks. */
-    private def readChunked(dims: Array[Long], chunkDims: Array[Int],
-                            elemSize: Int, btreeAddr: Long,
-                            filters: List[Filter]): Array[Byte] = {
-      val rank = dims.length
+    /** Row-major element-buffer assembly shared by every chunk index:
+      * `place` copies one chunk's in-bounds region (any rank, partial
+      * edge chunks clipped). */
+    private final class ChunkAssembler(dims: Array[Long],
+                                       val chunkDims: Array[Int],
+                                       elemSize: Int) {
+      private val rank = dims.length
       require(chunkDims.length == rank,
         s"chunk rank ${chunkDims.length} != dataspace rank $rank")
-      val total = dims.foldLeft(1L)(_ * _).toInt
-      val out = new Array[Byte](total * elemSize)
-      // row-major strides in elements
-      val strides = new Array[Long](rank)
-      var s = 1L
-      var i = rank - 1
-      while (i >= 0) { strides(i) = s; s *= dims(i); i -= 1 }
+      val out = new Array[Byte](dims.foldLeft(1L)(_ * _).toInt * elemSize)
+      private val strides = {
+        val st = new Array[Long](rank)
+        var s = 1L
+        var i = rank - 1
+        while (i >= 0) { st(i) = s; s *= dims(i); i -= 1 }
+        st
+      }
 
-      def placeChunk(offset: Array[Long], chunkBytes: Array[Byte]): Unit = {
+      def place(offset: Array[Long], chunkBytes: Array[Byte]): Unit = {
         // copy the chunk's in-bounds region into the output buffer; the
         // chunk itself is row-major over chunkDims
         val copyLens = Array.tabulate(rank)(d =>
@@ -826,6 +884,34 @@ object Hdf5 {
         }
       }
 
+      /** Row-major chunk-grid offsets (the storage order of the
+        * implicit index and the fixed-array element list). */
+      def gridOffsets: Iterator[Array[Long]] = {
+        val nPer = Array.tabulate(rank)(d =>
+          ((dims(d) + chunkDims(d) - 1) / chunkDims(d)).toInt)
+        val total = nPer.product
+        (0 until total).iterator.map { idx =>
+          val off = new Array[Long](rank)
+          var rem = idx
+          var d = rank - 1
+          while (d >= 0) {
+            off(d) = (rem % nPer(d)).toLong * chunkDims(d)
+            rem /= nPer(d)
+            d -= 1
+          }
+          off
+        }
+      }
+    }
+
+    /** Walk the v1 chunk B-tree and assemble the row-major element buffer.
+      * Handles any rank and partial edge chunks. */
+    private def readChunked(dims: Array[Long], chunkDims: Array[Int],
+                            elemSize: Int, btreeAddr: Long,
+                            filters: List[Filter]): Array[Byte] = {
+      val rank = dims.length
+      val asm = new ChunkAssembler(dims, chunkDims, elemSize)
+
       def walk(addr: Long): Unit = {
         if (addr == Undef) return
         val head = src.get(addr, 8)
@@ -846,7 +932,7 @@ object Hdf5 {
           val childAddr = readOffset(body, p + keySize)
           if (level == 0) {
             val raw = src.get(childAddr, chunkByteSize)
-            placeChunk(offsets, applyFilters(raw, filters, elemSize))
+            asm.place(offsets, applyFilters(raw, filters, elemSize))
           } else {
             walk(childAddr)
           }
@@ -856,7 +942,115 @@ object Hdf5 {
       }
 
       walk(btreeAddr)
-      out
+      asm.out
+    }
+
+    /** Layout v4 chunk indexes (HDF5 1.10+ writers): Single Chunk,
+      * Implicit, and Fixed Array (FAHD/FADB, paged or not) — the index
+      * shapes a current h5py/libhdf5 writes for fixed-shape chunked
+      * datasets. Chunk placement reuses [[ChunkAssembler]]. */
+    private def readChunkedV4(name: String, dims: Array[Long], c: ChunkedV4,
+                              elemSize: Int,
+                              filters: List[Filter]): Array[Byte] = {
+      val rank = dims.length
+      // tolerate both dimension encodings: rank, or rank+1 with the
+      // trailing element-size dimension (the v3 heritage)
+      val chunkDims =
+        if (c.chunkDims.length == rank + 1) c.chunkDims.dropRight(1)
+        else c.chunkDims
+      val asm = new ChunkAssembler(dims, chunkDims, elemSize)
+      val chunkBytes = chunkDims.foldLeft(1L)(_ * _) * elemSize
+      if (c.addr == Undef) return asm.out // never-written dataset → zeros
+
+      c.indexType match {
+        case 1 => // single chunk: the address IS the chunk
+          val stored =
+            if (c.filtered) c.singleChunkSize
+            else chunkBytes
+          val raw = src.get(c.addr, stored.toInt)
+          asm.place(new Array[Long](rank),
+            if (c.filtered) applyFilters(raw, filters, elemSize) else raw)
+        case 2 => // implicit: full chunks back-to-back in grid order
+          require(filters.isEmpty,
+            "implicit chunk index cannot carry filters (spec contract)")
+          var i = 0L
+          asm.gridOffsets.foreach { off =>
+            asm.place(off, src.get(c.addr + i * chunkBytes, chunkBytes.toInt))
+            i += 1
+          }
+        case 3 => // fixed array: FAHD header → FADB data block → elements
+          val head = src.get(c.addr, 12 + sizeOfLengths + sizeOfOffsets)
+          require(new String(head, 0, 4, "US-ASCII") == "FAHD",
+            s"dataset $name: bad fixed-array header signature")
+          // filtered-ness is the CLIENT ID (the layout's 0x2 flag is the
+          // single-chunk signal only — libhdf5 leaves it 0 here)
+          val clientId = u8(head, 5)
+          require(clientId <= 1,
+            s"dataset $name: unsupported fixed-array client $clientId")
+          val faFiltered = clientId == 1
+          val entrySize = u8(head, 6)
+          val pageBits = u8(head, 7)
+          val nElmts = readLength(head, 8).toInt
+          val dbAddr = readOffset(head, 8 + sizeOfLengths)
+          val pageSize = 1 << pageBits
+          val nPages = (nElmts + pageSize - 1) / pageSize
+          val dbHead = 6 + sizeOfOffsets
+          val elems: Array[Byte] =
+            if (nPages <= 1) {
+              val db = src.get(dbAddr, dbHead + nElmts * entrySize + 4)
+              require(new String(db, 0, 4, "US-ASCII") == "FADB",
+                s"dataset $name: bad fixed-array data block signature")
+              java.util.Arrays.copyOfRange(db, dbHead,
+                dbHead + nElmts * entrySize)
+            } else {
+              // paged: page bitmap, then pages of 2^pageBits elements,
+              // each followed by its own 4-byte checksum
+              val bitmapLen = (nPages + 7) / 8
+              val lastPage = nElmts - (nPages - 1) * pageSize
+              val totalLen = dbHead + 4 + bitmapLen +
+                (nPages - 1) * (pageSize * entrySize + 4) +
+                lastPage * entrySize + 4
+              val db = src.get(dbAddr, totalLen)
+              require(new String(db, 0, 4, "US-ASCII") == "FADB",
+                s"dataset $name: bad fixed-array data block signature")
+              val out = new Array[Byte](nElmts * entrySize)
+              var p = dbHead + 4 + bitmapLen // block checksum + bitmap
+              var pg = 0
+              while (pg < nPages) {
+                val inPage = if (pg == nPages - 1) lastPage else pageSize
+                System.arraycopy(db, p, out, pg * pageSize * entrySize,
+                  inPage * entrySize)
+                p += inPage * entrySize + 4 // + page checksum
+                pg += 1
+              }
+              out
+            }
+          var i = 0
+          asm.gridOffsets.foreach { off =>
+            require(i < nElmts,
+              s"dataset $name: chunk grid exceeds fixed-array entries")
+            val base = i * entrySize
+            val addr = readOffset(elems, base)
+            if (addr != Undef) {
+              if (faFiltered) {
+                val szBytes = entrySize - sizeOfOffsets - 4
+                var sz = 0L
+                var b = 0
+                while (b < szBytes) {
+                  sz |= (elems(base + sizeOfOffsets + b) & 0xffL) << (8 * b)
+                  b += 1
+                }
+                asm.place(off,
+                  applyFilters(src.get(addr, sz.toInt), filters, elemSize))
+              } else {
+                asm.place(off, src.get(addr, chunkBytes.toInt))
+              }
+            }
+            i += 1
+          }
+        case t => sys.error(s"unsupported v4 chunk index type $t")
+      }
+      asm.out
     }
 
     // ---- element decoding ------------------------------------------------

@@ -67,7 +67,13 @@ object Hdf5Writer {
                            chunk: Int = 0,
                            deflate: Boolean = false,
                            shuffle: Boolean = false,
-                           pipelineV2: Boolean = false) extends Node
+                           pipelineV2: Boolean = false,
+                           /** 0 = v3 layout (v1 b-tree); 1/2/3 = v4
+                             * layout with the Single Chunk / Implicit /
+                             * Fixed Array chunk index (the HDF5 1.10+
+                             * writer shapes). */
+                           layoutV4: Int = 0,
+                           faPageBits: Int = 10) extends Node
 
   def scalarStr(name: String, v: String, attrs: Seq[(String, Attr)] = Nil): Dataset =
     Dataset(name, StringData(Array(v)), attrs, scalar = true)
@@ -442,10 +448,72 @@ object Hdf5Writer {
         bt ++= b4(0)
         bt ++= b8(n.toLong)
         bt ++= b8(0)
-        val btreeAddr = put(bt.toArray)
-        val layout = b1(3) ++ b1(2) ++ b1(2) ++ b8(btreeAddr) ++
-          b4(chunkElems.toLong) ++ b4(elemSize.toLong)
-        msgs += ((0x0008, layout))
+        if (ds.layoutV4 > 0) {
+          // ---- layout message v4 (the 1.10+ writer generation) ----
+          val filtered = ds.deflate || ds.shuffle
+          // nDims(1) + dim-size encoding length(1) + the one dim (8 LE)
+          val dimsV4 = b1(1) ++ b1(8) ++ b8(chunkElems.toLong)
+          ds.layoutV4 match {
+            case 1 => // single chunk: the whole dataset is one chunk
+              require(chunks.length == 1,
+                s"single-chunk v4 layout needs chunk >= n (${ds.name})")
+              val (_, nbytes, addr) = chunks.head
+              val flags = if (filtered) 0x2 else 0x0
+              val info =
+                if (filtered) b8(nbytes.toLong) ++ b4(0) else Array.empty[Byte]
+              msgs += ((0x0008, b1(4) ++ b1(2) ++ b1(flags) ++ dimsV4 ++
+                b1(1) ++ info ++ b8(addr)))
+            case 2 => // implicit: full chunks back-to-back, no filters
+              require(!filtered,
+                "implicit chunk index cannot carry filters (spec contract)")
+              msgs += ((0x0008, b1(4) ++ b1(2) ++ b1(0) ++ dimsV4 ++
+                b1(2) ++ b8(chunks.head._3)))
+            case 3 => // fixed array: FAHD header -> FADB data block
+              val entrySize = if (filtered) 16 else 8
+              val pageBits = ds.faPageBits
+              val pageSize = 1 << pageBits
+              val nPages = (chunks.length + pageSize - 1) / pageSize
+              val fahdAddr = pos
+              val dbAddr = fahdAddr + 28
+              val fahd = "FAHD".getBytes("US-ASCII") ++ b1(0) ++
+                b1(if (filtered) 1 else 0) ++ b1(entrySize) ++ b1(pageBits) ++
+                b8(chunks.length.toLong) ++ b8(dbAddr) ++ b4(0)
+              require(fahd.length == 28, s"FAHD is ${fahd.length} bytes")
+              put(fahd)
+              def entry(c: (Long, Int, Long)): Array[Byte] =
+                if (filtered) b8(c._3) ++ b4(c._2.toLong) ++ b4(0)
+                else b8(c._3)
+              val db = mutable.ArrayBuffer.empty[Byte]
+              db ++= "FADB".getBytes("US-ASCII")
+              db ++= b1(0)
+              db ++= b1(if (filtered) 1 else 0)
+              db ++= b8(fahdAddr)
+              if (nPages <= 1) {
+                chunks.foreach(c => db ++= entry(c))
+                db ++= b4(0) // checksum (unverified by the reader)
+              } else {
+                db ++= new Array[Byte]((nPages + 7) / 8)
+                  .map(_ => 0xff.toByte) // page bitmap: all pages present
+                db ++= b4(0) // data-block checksum
+                chunks.grouped(pageSize).foreach { page =>
+                  page.foreach(c => db ++= entry(c))
+                  db ++= b4(0) // per-page checksum
+                }
+              }
+              put(db.toArray)
+              // flags stay 0: bit 1 (index-with-filter) is the SINGLE
+              // CHUNK signal only — fixed-array filtered-ness is the
+              // FAHD client id, as libhdf5 writes it
+              msgs += ((0x0008, b1(4) ++ b1(2) ++ b1(0) ++ dimsV4 ++
+                b1(3) ++ b1(pageBits) ++ b8(fahdAddr)))
+            case v => sys.error(s"unknown v4 layout variant $v")
+          }
+        } else {
+          val btreeAddr = put(bt.toArray)
+          val layout = b1(3) ++ b1(2) ++ b1(2) ++ b8(btreeAddr) ++
+            b4(chunkElems.toLong) ++ b4(elemSize.toLong)
+          msgs += ((0x0008, layout))
+        }
       } else {
         val addr = if (raw.isEmpty) -1L else put(raw)
         val layout = b1(3) ++ b1(1) ++

@@ -289,20 +289,49 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(mx.member("k").get) == Seq(1L, 2L, 3L))
   }
 
-  test("out-of-subset layouts fail loudly by name") {
-    // v2 b-tree chunk indexes arrive via DATA LAYOUT v4 (HDF5 1.10+):
-    // flip the layout version byte of a chunked dataset and expect the
-    // named refusal, not garbage
+  test("layout v4 chunk indexes: single chunk, implicit, fixed array") {
+    val values = Array.tabulate(1000)(i => (i.toLong * 37) % 1013)
+    val root = roundtrip(Seq(
+      W.Dataset("single", W.LongData(values, 8), chunk = 1000, layoutV4 = 1),
+      W.Dataset("single_z", W.LongData(values, 8), chunk = 1000,
+        deflate = true, shuffle = true, layoutV4 = 1),
+      W.Dataset("implicit", W.LongData(values, 8), chunk = 128, layoutV4 = 2),
+      W.Dataset("fixedarr", W.LongData(values, 8), chunk = 100, layoutV4 = 3),
+      W.Dataset("fixedarr_z", W.LongData(values, 4), chunk = 100,
+        deflate = true, layoutV4 = 3)))
+    for (n <- Seq("single", "single_z", "implicit", "fixedarr", "fixedarr_z"))
+      assert(L(root.dataset(n).get.read()) == values.toSeq, n)
+  }
+
+  test("layout v4 fixed array pages when entries exceed the page size") {
+    // 40 chunks at pageBits=3 (8 entries/page) → 5 pages with bitmap +
+    // per-page checksums — the wide-dataset shape of the 1.10 index
+    val values = Array.tabulate(640)(i => i.toLong * 7 - 100)
+    val root = roundtrip(Seq(
+      W.Dataset("paged", W.LongData(values, 8), chunk = 16, layoutV4 = 3,
+        faPageBits = 3),
+      W.Dataset("paged_z", W.LongData(values, 8), chunk = 16, layoutV4 = 3,
+        faPageBits = 3, deflate = true)))
+    assert(L(root.dataset("paged").get.read()) == values.toSeq)
+    assert(L(root.dataset("paged_z").get.read()) == values.toSeq)
+  }
+
+  test("out-of-subset chunk indexes fail loudly by name") {
+    // flip a fixed-array layout's index-type byte to 5 (v2 b-tree) and
+    // expect the named refusal, not garbage
     val bytes = W.write(Seq(W.Dataset("d",
-      W.LongData(Array.tabulate(64)(_.toLong), 8), chunk = 16)))
-    // layout message data for chunked v3: [3, 2, rank+1, btree addr…]
-    val idx = bytes.sliding(3).indexWhere(w =>
-      w(0) == 3.toByte && w(1) == 2.toByte && w(2) == 2.toByte)
+      W.LongData(Array.tabulate(64)(_.toLong), 8), chunk = 16, layoutV4 = 3)))
+    // v4 chunked layout message data: [4, 2, flags, 1, 8, dim…, type]
+    val idx = bytes.sliding(5).indexWhere(w =>
+      w(0) == 4.toByte && w(1) == 2.toByte && w(2) == 0.toByte &&
+        w(3) == 1.toByte && w(4) == 8.toByte)
     assert(idx >= 0)
-    bytes(idx) = 4.toByte
+    val typeAt = idx + 5 + 8
+    assert(bytes(typeAt) == 3.toByte)
+    bytes(typeAt) = 5.toByte
     val ex = intercept[RuntimeException](
       Hdf5.open(bytes).dataset("d").get.read())
-    assert(ex.getMessage.contains("layout version 4"))
+    assert(ex.getMessage.contains("v2 b-tree chunk index"))
   }
 
   test("unsupported features fail loudly by name") {
