@@ -4699,6 +4699,46 @@ object QueryCatalog {
         CAST(count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS n_snap1
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Manifest-bounds FILE SKIPPING (sources/IcebergLite per-file
+    // column bounds, spec fields 125/128): three range-disjoint
+    // appends segment the doc_id space across files, then a ranged
+    // read plans through readTableWhere — files whose bounds exclude
+    // the range never scan (files_skipped pins that the planner
+    // actually skipped, the recall-floor boolean pattern), and the
+    // result must equal the plain SQL filter. Data-derived at any
+    // scale.
+    QueryDef("iceberg_prune", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_prune_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      IcebergLite.createTable(s, docs.filter(col("doc_id") <= cut1), dir)
+      IcebergLite.appendSnapshot(s,
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") > cut2), dir)
+      val (kept, total) = IcebergLite.scanFileCount(s, dir,
+        Seq(IcebergLite.GtEq("doc_id", cut2 + 1)))
+      IcebergLite.readTableWhere(s, dir, Seq(IcebergLite.GtEq("doc_id", cut2 + 1)))
+        .filter(col("doc_id") > cut2)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("files_skipped", lit(kept < total))
+        .orderBy("lang")
+    }, Some("""
+      WITH cut AS (SELECT 2 * max(doc_id) // 3 AS c2 FROM documents)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS files_skipped
+      FROM documents WHERE doc_id > (SELECT c2 FROM cut)
+      GROUP BY lang ORDER BY lang""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate

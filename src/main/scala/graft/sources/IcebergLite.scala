@@ -166,9 +166,72 @@ object IcebergLite {
               {"type": "record", "name": "r102",
                "fields": [${partitionAvroFields(spec)}]}},
             {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104}
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "lower_bounds", "field-id": 125, "default": null,
+             "type": ["null", {"type": "array", "items":
+               {"type": "record", "name": "k126_v127", "fields": [
+                 {"name": "key", "type": "int", "field-id": 126},
+                 {"name": "value", "type": "bytes", "field-id": 127}]}}]},
+            {"name": "upper_bounds", "field-id": 128, "default": null,
+             "type": ["null", {"type": "array", "items":
+               {"type": "record", "name": "k129_v130", "fields": [
+                 {"name": "key", "type": "int", "field-id": 129},
+                 {"name": "value", "type": "bytes", "field-id": 130}]}}]}
           ]}}
       ]}""")
+
+  /** Iceberg single-value serialization for the bound maps (spec
+    * Appendix D: little-endian fixed width numerics, UTF-8 strings). */
+  private def boundBytes(dt: DataType, v: Any): Option[Array[Byte]] =
+    Option(v).flatMap { value =>
+      def le(n: Long, w: Int): Array[Byte] =
+        Array.tabulate(w)(i => ((n >> (8 * i)) & 0xff).toByte)
+      (dt, value) match {
+        case (IntegerType, n: java.lang.Number) => Some(le(n.longValue(), 4))
+        case (LongType, n: java.lang.Number) => Some(le(n.longValue(), 8))
+        case (FloatType, n: java.lang.Number) =>
+          Some(le(java.lang.Float.floatToIntBits(n.floatValue()).toLong & 0xffffffffL, 4))
+        case (DoubleType, n: java.lang.Number) =>
+          Some(le(java.lang.Double.doubleToLongBits(n.doubleValue()), 8))
+        case (StringType, s: String) => Some(s.getBytes("UTF-8"))
+        case _ => None
+      }
+    }
+
+  /** Decode a stored bound against the CURRENT column type. The byte
+    * LENGTH carries the width the value was written at, so bounds
+    * recorded before an int→long / float→double widening still decode
+    * correctly (sign-extended / float-promoted). */
+  private def boundValue(dt: DataType, b: Array[Byte]): Option[Any] = {
+    def le(w: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < w) { v |= (b(i) & 0xffL) << (8 * i); i += 1 }
+      v
+    }
+    dt match {
+      case IntegerType | LongType =>
+        var v = le(b.length)
+        val shift = 64 - 8 * b.length
+        if (shift > 0) v = (v << shift) >> shift
+        Some(if (dt == IntegerType) v.toInt else v)
+      case FloatType | DoubleType =>
+        val d =
+          if (b.length == 4) java.lang.Float.intBitsToFloat(le(4).toInt).toDouble
+          else java.lang.Double.longBitsToDouble(le(8))
+        Some(if (dt == FloatType) d.toFloat else d)
+      case StringType => Some(new String(b, "UTF-8"))
+      case _ => None
+    }
+  }
+
+  private def cmpBound(dt: DataType, a: Any, b: Any): Int = dt match {
+    case IntegerType | LongType => java.lang.Long.compare(
+      a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+    case FloatType | DoubleType => java.lang.Double.compare(
+      a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
+    case StringType => a.toString.compareTo(b.toString)
+    case other => sys.error(s"no bound ordering for ${other.simpleString}")
+  }
 
   private val ManifestFileSchema: Schema = new Schema.Parser().parse("""
     {"type": "record", "name": "manifest_file", "fields": [
@@ -296,8 +359,10 @@ object IcebergLite {
     val entrySchema = manifestEntrySchema(spec)
 
     // 1. data files + their manifest entries
+    val fieldIds = topFields(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(schemaJs)).map(f2 => f2._2 -> f2._1).toMap
     val entries = writeDataFiles(spark, df, root, snapshotId, partitionBy,
-      spec, entrySchema)
+      spec, entrySchema, fieldIds)
 
     // 2. manifest for this snapshot's files
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
@@ -336,26 +401,50 @@ object IcebergLite {
       partitionBy, Some(s"batch-$batchId"))
 
   /** Spark-distributed data-file write for one snapshot + the manifest
-    * entries describing what landed (status ADDED). */
+    * entries describing what landed (status ADDED), including per-file
+    * COLUMN BOUNDS (spec fields 125/128) for scan pruning — one extra
+    * min/max pair per primitive column in the same per-file aggregate
+    * that was already computing record counts. `fieldIds` maps column
+    * name → field id in the TABLE schema (evolution-stable). */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, root: Path,
                              snapshotId: Long, partitionBy: Seq[String],
                              spec: Seq[(String, DataType)],
-                             entrySchema: Schema): Seq[GenericRecord] = {
+                             entrySchema: Schema,
+                             fieldIds: Map[String, Int]): Seq[GenericRecord] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val f = fs(spark, root)
     val dataDir = new Path(root, s"data/s$snapshotId")
     val writer = if (partitionBy.nonEmpty)
       df.write.partitionBy(partitionBy: _*) else df.write
     writer.mode("overwrite").parquet(dataDir.toString)
 
-    // per-file rows via a tiny metadata read of what was just written
-    val perFile = spark.read.parquet(dataDir.toString)
-      .select(org.apache.spark.sql.functions
-        .input_file_name().as("f") +:
-        partitionBy.map(org.apache.spark.sql.functions.col): _*)
-      .groupBy("f", partitionBy: _*).count().collect()
+    // boundable columns: primitive types with a total order the spec's
+    // single-value serialization covers
+    val bounded = df.schema.fields.toSeq
+      .filter(fd => fieldIds.contains(fd.name))
+      .filter(fd => fd.dataType match {
+        case IntegerType | LongType | FloatType | DoubleType | StringType => true
+        case _ => false
+      })
+
+    // per-file rows + bounds via a tiny metadata read of what was written
+    val back = spark.read.parquet(dataDir.toString)
+    val aggs = count(lit(1)).as("__n") +:
+      bounded.flatMap(fd => Seq(min(col(fd.name)).as(s"__lo_${fd.name}"),
+        max(col(fd.name)).as(s"__hi_${fd.name}")))
+    val touched = (partitionBy ++ bounded.map(_.name)).distinct
+    val perFile = back
+      .select(input_file_name().as("f") +: touched.map(col): _*)
+      .groupBy("f", partitionBy: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
 
     val fileSchema = entrySchema.getField("data_file").schema()
     val partSchema = fileSchema.getField("partition").schema()
+    val boundsItemSchemaLo = fileSchema.getField("lower_bounds").schema()
+      .getTypes.get(1).getElementType
+    val boundsItemSchemaHi = fileSchema.getField("upper_bounds").schema()
+      .getTypes.get(1).getElementType
     perFile.toSeq.map { row =>
       val filePath = row.getString(0)
       val e = new GenericData.Record(entrySchema)
@@ -378,9 +467,25 @@ object IcebergLite {
         })
       }
       d.put("partition", part)
-      d.put("record_count", row.getLong(row.length - 1))
+      val nIdx = 1 + partitionBy.size
+      d.put("record_count", row.getLong(nIdx))
       d.put("file_size_in_bytes",
         f.getFileStatus(new Path(new java.net.URI(filePath))).getLen)
+      def kvs(loNotHi: Boolean, itemSchema: Schema) = {
+        val out = new java.util.ArrayList[GenericRecord]()
+        bounded.zipWithIndex.foreach { case (fd, bi) =>
+          val v = row.get(nIdx + 1 + bi * 2 + (if (loNotHi) 0 else 1))
+          boundBytes(fd.dataType, v).foreach { bytes =>
+            val r = new GenericData.Record(itemSchema)
+            r.put("key", fieldIds(fd.name))
+            r.put("value", java.nio.ByteBuffer.wrap(bytes))
+            out.add(r)
+          }
+        }
+        out
+      }
+      d.put("lower_bounds", kvs(loNotHi = true, boundsItemSchemaLo))
+      d.put("upper_bounds", kvs(loNotHi = false, boundsItemSchemaHi))
       e.put("data_file", d)
       e
     }
@@ -648,7 +753,8 @@ object IcebergLite {
     val newEntries =
       if (survivorCount == 0) Seq.empty[GenericRecord]
       else writeDataFiles(spark, survivors, root, snapshotId,
-        meta.partitionCols, spec, entrySchema)
+        meta.partitionCols, spec, entrySchema,
+        topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
 
     // untouched files carry over by reference as EXISTING entries,
     // grouped by their SOURCE manifest's schema so an old-schema file
@@ -694,7 +800,8 @@ object IcebergLite {
     val snapshotId = meta.currentSnapshotId + 1
     val all = readRaw(spark, meta, files).drop("__file")
     val entries = writeDataFiles(spark, all, root, snapshotId,
-      meta.partitionCols, spec, entrySchema)
+      meta.partitionCols, spec, entrySchema,
+      topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
     commitRewrite(spark, root, meta, snapshotId,
       Seq((meta.schemaJs, entries)), entrySchema, spec,
       operation = "replace")
@@ -772,6 +879,98 @@ object IcebergLite {
     val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
     writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
       meta.lastColumnId, spec, meta.currentSnapshotId, kept)
+  }
+
+  // ---- scan pruning via manifest column bounds ---------------------------
+
+  /** File-skipping predicates evaluated against the per-file column
+    * bounds the manifests record (spec fields 125/128). Pruning is
+    * CONSERVATIVE: a file is skipped only when its bounds PROVE no row
+    * can match; files without bounds for the column always scan. The
+    * caller still applies the real row filter — pruning only shrinks
+    * the file set, exactly like the runtime's scan planning. */
+  sealed trait Pred { def col: String }
+  /** rows with `col >= v` may exist */
+  final case class GtEq(col: String, v: Any) extends Pred
+  /** rows with `col <= v` may exist */
+  final case class LtEq(col: String, v: Any) extends Pred
+  /** rows with `col = v` may exist */
+  final case class EqTo(col: String, v: Any) extends Pred
+
+  private def entryBounds(d: GenericRecord, key: String): Map[Int, Array[Byte]] =
+    Option(d.get(key)).map { arr =>
+      arr.asInstanceOf[java.util.Collection[GenericRecord]].asScala.map { r =>
+        val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val out = new Array[Byte](bb.remaining())
+        bb.get(out)
+        r.get("key").asInstanceOf[Int] -> out
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Live files surviving bounds pruning, paired with their manifest
+    * schema, plus the total live-file count (for skip accounting). */
+  private def pruneFiles(spark: SparkSession, meta: TableMeta,
+                         preds: Seq[Pred])
+      : (Seq[(String, String)], Int) = {
+    val byName = topFields(meta.schemaNode).map(f2 => f2._2 -> f2).toMap
+    val resolved = preds.map { p =>
+      val (id, _, dt, _) = byName.getOrElse(p.col,
+        sys.error(s"predicate column ${p.col} not in the table schema"))
+      (p, id, dt)
+    }
+    var total = 0
+    val kept = meta.manifests.flatMap { case (mp, _, _, _, _) =>
+      val (recs, schemaJs) = readManifest(spark, new Path(mp))
+      recs.filter(_.get("status").asInstanceOf[Int] != 2).flatMap { e =>
+        total += 1
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        val lower = entryBounds(d, "lower_bounds")
+        val upper = entryBounds(d, "upper_bounds")
+        def lo(id: Int, dt: DataType) =
+          lower.get(id).flatMap(boundValue(dt, _))
+        def hi(id: Int, dt: DataType) =
+          upper.get(id).flatMap(boundValue(dt, _))
+        val excluded = resolved.exists {
+          case (GtEq(_, v), id, dt) =>
+            hi(id, dt).exists(u => cmpBound(dt, u, v) < 0)
+          case (LtEq(_, v), id, dt) =>
+            lo(id, dt).exists(l => cmpBound(dt, l, v) > 0)
+          case (EqTo(_, v), id, dt) =>
+            hi(id, dt).exists(u => cmpBound(dt, u, v) < 0) ||
+              lo(id, dt).exists(l => cmpBound(dt, l, v) > 0)
+        }
+        if (excluded) None
+        else Some(d.get("file_path").toString -> schemaJs)
+      }
+    }
+    (kept, total)
+  }
+
+  /** [[readTable]] with manifest-bounds FILE SKIPPING: only files whose
+    * recorded column bounds may satisfy every predicate are scanned —
+    * the scan-planning move that makes a time/key-ranged query on a
+    * 100 TB table read its slice instead of the table. The returned
+    * frame still contains every row of the surviving files; apply the
+    * real filter on top (pruning is a superset guarantee). An empty
+    * surviving set returns an empty frame of the declared schema. */
+  def readTableWhere(spark: SparkSession, tableDir: String,
+                     preds: Seq[Pred],
+                     snapshotId: Option[Long] = None): DataFrame = {
+    val meta = readMeta(spark, tableDir, snapshotId)
+    val (files, _) = pruneFiles(spark, meta, preds)
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        declaredSchema(meta))
+    else readRaw(spark, meta, files).drop("__file")
+  }
+
+  /** (files surviving pruning, total live files) for the predicate set —
+    * the skip-accounting diagnostic tests and audits read. */
+  def scanFileCount(spark: SparkSession, tableDir: String,
+                    preds: Seq[Pred]): (Int, Int) = {
+    val meta = readMeta(spark, tableDir)
+    val (files, total) = pruneFiles(spark, meta, preds)
+    (files.size, total)
   }
 
   // ---- schema evolution (v1-legal, metadata-only commits) ----------------

@@ -278,6 +278,59 @@ class IcebergLiteSpec extends SparkSuite {
     assert(ex.getMessage.contains("partition column"))
   }
 
+  test("manifest column bounds prune files at scan planning") {
+    val dir = tmp()
+    // three snapshots with disjoint id ranges → bounds segment the space
+    IcebergLite.createTable(spark,
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark,
+      Seq((10L, "b", 30L), (11L, "b", 40L)).toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark,
+      Seq((20L, "c", 50L)).toDF("id", "lang", "n"), dir)
+    val (kept, total) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.GtEq("id", 15L)))
+    assert(kept < total, s"expected pruning, kept $kept of $total")
+    val rows = IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.GtEq("id", 15L)))
+      .filter(col("id") >= 15L).select("id").as[Long].collect().toSet
+    assert(rows == Set(20L))
+    // string bounds prune too
+    val (keptS, totalS) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("lang", "b")))
+    assert(keptS < totalS)
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("lang", "b")))
+      .filter(col("lang") === "b").count() == 2L)
+    // nothing can match → empty frame, declared schema intact
+    val none = IcebergLite.readTableWhere(spark, dir,
+      Seq(IcebergLite.GtEq("id", 100L)))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "lang", "n"))
+    // conservative on the unmatchable-by-bounds-only: LtEq keeps lows
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.LtEq("id", 2L)))
+      .filter(col("id") <= 2L).count() == 2L)
+  }
+
+  test("bounds prune by FIELD ID across renames and widenings") {
+    val dir = tmp()
+    IcebergLite.createTable(spark,
+      Seq((1, "x"), (2, "y")).toDF("k", "v"), dir) // k is INT here
+    IcebergLite.widenColumn(spark, dir, "k", org.apache.spark.sql.types.LongType)
+    IcebergLite.renameColumn(spark, dir, "k", "key")
+    IcebergLite.appendSnapshot(spark,
+      Seq((100L, "z")).toDF("key", "v"), dir)
+    // old files' bounds were written as 4-byte ints under the old name;
+    // the pred resolves by field id and the decode sign-extends by the
+    // stored width
+    val (kept, total) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.GtEq("key", 50L)))
+    assert(kept < total)
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.GtEq("key", 50L)))
+      .filter(col("key") >= 50L).select("key").as[Long].collect().toSeq ==
+      Seq(100L))
+  }
+
   test("metadata versions advance with a version hint per append") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
