@@ -303,7 +303,8 @@ object BenchScale {
         s"<html><head><title>Page $i</title></head><body><p>$words</p>" +
           s"<p>content block ${i % 53} of segment ${i % 11}</p></body></html>")
     }
-    if (!skip("warc_curate_100k") && !Files.exists(Paths.get(warcDir))) {
+    if ((!skip("warc_curate_100k") || !skip("warc_curate_parity")) &&
+        !Files.exists(Paths.get(warcDir))) {
       val per = warcN / 16
       (0 until 16).foreach { f =>
         graft.sources.WarcIO.writeWarcFile(
@@ -312,6 +313,18 @@ object BenchScale {
       }
     }
     val warcBlocked = Seq("w0.example.org", "w1.example.org")
+    // the WARC-path kept set, shared by the throughput stage and the
+    // parity stage (which must not depend on the other having RUN)
+    def warcKeptIds(): DataFrame = {
+      val corpus = graft.sources.WarcIO.warcResponses(spark, warcDir)
+        .filter(col("http_status") === 200 &&
+          col("content_type") === "text/html")
+        .select(col("url"), col("payload"))
+        .withColumn("doc_id", xxhash64(col("url")))
+      TrainingDataPipeline.cleanWebCorpus(corpus, "payload", "doc_id",
+          urlCol = Some("url"), blockedDomains = warcBlocked)
+        .select("doc_id")
+    }
 
     val results = Seq(
       timed("annotate_scan") {
@@ -421,6 +434,30 @@ object BenchScale {
           col("doc_id") % 9973 === 17)
         graft.sources.IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
         nDeleted + graft.sources.IcebergLite.readTable(spark, dir).count()
+      },
+      timed("iceberg_prune_scan") {
+        // the SORTED-TABLE + FILE-SKIPPING discipline at corpus scale:
+        // land the 500k docs range-clustered on doc_id (32 disjoint-
+        // bounds files), then a ranged read must PLAN to ~1/32 of the
+        // files and return exactly the slice. Value encodes the skip
+        // accounting: kept * 1e9 + slice rows (a regression to
+        // scan-everything shows as kept == total, i.e. 32e9).
+        import graft.sources.IcebergLite
+        val dir = s"$work/iceberg_sorted_docs"
+        IcebergLite.createTable(spark,
+          docs.select(col("doc_id"), col("text")),
+          dir, sortBy = Seq("doc_id"), sortFiles = 32)
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val lo = maxId / 2
+        val hi = maxId / 2 + maxId / 64
+        val preds = Seq(IcebergLite.GtEq("doc_id", lo),
+          IcebergLite.LtEq("doc_id", hi))
+        val (kept, total) = IcebergLite.scanFileCount(spark, dir, preds)
+        require(kept < total / 4,
+          s"pruning regressed: kept $kept of $total files")
+        val sliceRows = IcebergLite.readTableWhere(spark, dir, preds)
+          .filter(col("doc_id").between(lo, hi)).count()
+        kept * 1000000000L + sliceRows
       },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
@@ -672,15 +709,18 @@ object BenchScale {
       timed("ann_pq_points") {
         // PQ operating points at the 200k corpus — the MEMORY axis the
         // LSH/IVF points don't price: full-precision vectors cost
-        // dim×4 = 256 bytes each, PQ codes cost m bytes (one byte per
-        // block code at kSub ≤ 256), so m=8 is the 32× leg a
-        // 10^11-vector index needs. Two dials per variant:
-        //   pq     m=8 vs m=16 (bytes/vector halves recall pressure;
-        //          cost is the full corpus per probe — ADC scans all)
-        //   ivfpq  nLists=64, nProbe=4 vs 8 (scanned rows from the SAME
-        //          routing the search uses, via ivfPqRouting)
+        // dim×4 = 256 bytes each, PQ codes cost m = 8 bytes (one byte
+        // per block code at kSub ≤ 256), the 32× leg a 10^11-vector
+        // index needs. LEARNED (per-block k-means) codebooks over the
+        // L2-NORMALIZED corpus — the production cosine-search shape;
+        // one m=8 training + one nProbe=8 routing serve all points.
+        // Two points per variant, on the deployment dial:
+        //   pq     adc-only (the honest codes-only floor) vs
+        //          adc + exact rerank of a 2·k shortlist
+        //   ivfpq  the same pair behind nLists=64/nProbe=8 routing
         // Recall on the same cross-base ground truth as the LSH/IVF
-        // points, so all eight curve entries are comparable.
+        // points (cosine is scale-invariant — normalization does not
+        // move the truth), so all eight curve entries are comparable.
         if (annExact == null) {
           annExact = crossBaseTop10(Similarity.bruteForceTopK(em, annProbes,
             "vec_id", "embedding", k = annKk)).localCheckpoint()
@@ -688,30 +728,47 @@ object BenchScale {
         }
         val nVecsAll = em.count()
         val nProbesN = annProbes.count()
-        val pq8 = annRecallPct(Pq.pqTopKPortable(em, annProbes,
-          "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64))
-        val pq16 = annRecallPct(Pq.pqTopKPortable(em, annProbes,
-          "vec_id", "embedding", k = annKk, m = 16, kSub = 16, dim = 64))
-        val ivfpq4 = annRecallPct(Pq.ivfPqTopKPortable(em, annProbes,
+        // L2-NORMALIZE the PQ input (the standard cosine-search
+        // deployment: after normalization dot ≡ cosine, so ADC targets
+        // the family's metric; the cross-base ground truth is cosine
+        // and cosine is scale-invariant — the truth is unchanged)
+        val l2 = "sqrt(aggregate(embedding, 0D, " +
+          "(a, y) -> a + cast(y as double) * cast(y as double)))"
+        val emN = em.withColumn("embedding",
+          expr(s"transform(embedding, x -> cast(x / $l2 as float))"))
+          .localCheckpoint()
+        val probesN = emN.filter(pmod(col("vec_id"), lit(annFamWidth)) === 0 &&
+          col("vec_id") < 20L * annFamWidth)
+        val cb8 = Pq.pqCodebooksKmeans(emN, "vec_id", "embedding",
+          m = 8, kSub = 16, dim = 64).localCheckpoint()
+        // ONE routing build serves both ivfpq searches AND the cost
+        // accounting — never a rebuild inside the timed stage
+        val routing = Pq.ivfPqRouting(emN, probesN, "vec_id", "embedding",
+          nLists = 64, nProbe = 8)
+        val shortlist = annKk * 2
+        val pq8 = annRecallPct(Pq.pqTopKLearned(emN, probesN,
           "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64,
-          nLists = 64, nProbe = 4))
-        val ivfpq8 = annRecallPct(Pq.ivfPqTopKPortable(em, annProbes,
+          codebooks0 = Some(cb8)))
+        val pq8r = annRecallPct(Pq.pqTopKLearnedRerank(emN, probesN,
           "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64,
-          nLists = 64, nProbe = 8))
-        def ivfPqCost(nProbe: Int): Long = {
-          val (lists, probeLists) = Pq.ivfPqRouting(em, annProbes,
-            "vec_id", "embedding", nLists = 64, nProbe = nProbe)
-          probeLists.join(lists, Seq("centroid_id")).count()
-        }
-        val ic4 = ivfPqCost(4)
-        val ic8 = ivfPqCost(8)
+          shortlist = shortlist, codebooks0 = Some(cb8)))
+        val ivfpq8 = annRecallPct(Pq.ivfPqTopKLearned(emN, probesN,
+          "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64,
+          nLists = 64, nProbe = 8, codebooks0 = Some(cb8),
+          routing0 = Some(routing)))
+        val ivfpq8r = annRecallPct(Pq.ivfPqTopKLearnedRerank(emN, probesN,
+          "vec_id", "embedding", k = annKk, m = 8, kSub = 16, dim = 64,
+          nLists = 64, nProbe = 8, shortlist = shortlist,
+          codebooks0 = Some(cb8), routing0 = Some(routing)))
+        val ic8 = routing._2.join(routing._1, Seq("centroid_id")).count()
         val pqScan = nVecsAll * nProbesN // ADC scores every code row
+        val rerankFetch = shortlist.toLong * nProbesN // full-vector reads
         annPqCurve =
-          s"""{"variant":"pq","config":"m=8,kSub=16","scanned_rows":$pqScan,"recall_pct":$pq8,"bytes_per_vector":8},""" +
-          s"""{"variant":"pq","config":"m=16,kSub=16","scanned_rows":$pqScan,"recall_pct":$pq16,"bytes_per_vector":16},""" +
-          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=4","scanned_rows":$ic4,"recall_pct":$ivfpq4,"bytes_per_vector":8},""" +
-          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8","scanned_rows":$ic8,"recall_pct":$ivfpq8,"bytes_per_vector":8}"""
-        pq8 * 1000 + ivfpq8
+          s"""{"variant":"pq","config":"m=8,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq8,"bytes_per_vector":8},""" +
+          s"""{"variant":"pq","config":"m=8,kSub=16,learned,rerank=$shortlist","scanned_rows":${pqScan + rerankFetch},"recall_pct":$pq8r,"bytes_per_vector":8},""" +
+          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8,learned,adc-only","scanned_rows":$ic8,"recall_pct":$ivfpq8,"bytes_per_vector":8},""" +
+          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8,learned,rerank=$shortlist","scanned_rows":${ic8 + rerankFetch},"recall_pct":$ivfpq8r,"bytes_per_vector":8}"""
+        pq8r * 1000 + ivfpq8r
       },
       timed("curate_pipeline") {
         TrainingDataPipeline.curate(docs, "text", "doc_id")
@@ -807,15 +864,7 @@ object BenchScale {
         // curateWeb (url/word/sentence gates + language, quality,
         // length, exact-dedup stages). docs/sec = this stage's
         // rows / seconds; the kept ids land for the parity stage.
-        val corpus = graft.sources.WarcIO.warcResponses(spark, warcDir)
-          .filter(col("http_status") === 200 &&
-            col("content_type") === "text/html")
-          .select(col("url"), col("payload"))
-          .withColumn("doc_id", xxhash64(col("url")))
-        TrainingDataPipeline.cleanWebCorpus(corpus, "payload", "doc_id",
-            urlCol = Some("url"), blockedDomains = warcBlocked)
-          .select("doc_id")
-          .write.mode("overwrite").parquet(s"$work/warc_kept")
+        warcKeptIds().write.mode("overwrite").parquet(s"$work/warc_kept")
         spark.read.parquet(s"$work/warc_kept").count()
       },
       timed("warc_curate_parity") {
@@ -831,7 +880,11 @@ object BenchScale {
         val keptB = TrainingDataPipeline.cleanWebCorpus(direct, "payload",
             "doc_id", urlCol = Some("url"), blockedDomains = warcBlocked)
           .select("doc_id")
-        val keptA = spark.read.parquet(s"$work/warc_kept")
+        // self-sufficient when the producer stage was skipped
+        val keptA =
+          if (Files.exists(Paths.get(s"$work/warc_kept")))
+            spark.read.parquet(s"$work/warc_kept")
+          else warcKeptIds().localCheckpoint()
         val mismatches =
           keptA.join(keptB, Seq("doc_id"), "left_anti").count() +
           keptB.join(keptA, Seq("doc_id"), "left_anti").count()

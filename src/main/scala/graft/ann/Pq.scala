@@ -173,10 +173,11 @@ object Pq {
   def pqTopKLearned(corpus: DataFrame, probes: DataFrame, idCol: String,
                     vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
                     iters: Int = 3,
-                    excludeSelf: Boolean = true): DataFrame = {
+                    excludeSelf: Boolean = true,
+                    codebooks0: Option[DataFrame] = None): DataFrame = {
     val dsub = dim / m
-    val codebooks = pqCodebooksKmeans(corpus, idCol, vecCol, m, kSub, dim,
-      iters)
+    val codebooks = codebooks0.getOrElse(
+      pqCodebooksKmeans(corpus, idCol, vecCol, m, kSub, dim, iters))
     def dbl(vec: Column): Column =
       transform(vec, x => x.cast("double"))
     val codes = encodeAgainst(
@@ -186,6 +187,102 @@ object Pq {
       probes.select(col(idCol).as("probe_id"), dbl(col(vecCol)).as("__pe")),
       k, dsub, excludeSelf, lit(0.0))
   }
+
+  /** LEARNED IVF-PQ: the production layering — the same integer IVF
+    * routing as [[ivfPqTopKPortable]] restricts candidacy to the probed
+    * lists, and the ADC runs on k-means codebooks
+    * ([[pqCodebooksKmeans]], reusable via `codebooks0` so one training
+    * serves several operating points). */
+  def ivfPqTopKLearned(corpus: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,
+                       nLists: Int, nProbe: Int, iters: Int = 3,
+                       excludeSelf: Boolean = true,
+                       codebooks0: Option[DataFrame] = None,
+                       routing0: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    val dsub = dim / m
+    val (lists, probeLists) = routing0.getOrElse(
+      ivfPqRouting(corpus, probes, idCol, vecCol, nLists, nProbe))
+    val codebooks = codebooks0.getOrElse(
+      pqCodebooksKmeans(corpus, idCol, vecCol, m, kSub, dim, iters))
+    def dbl(vec: Column): Column =
+      transform(vec, x => x.cast("double"))
+    val codes = encodeAgainst(
+      corpus.select(col(idCol).as("neighbor_id"), dbl(col(vecCol)).as("__e")),
+      codebooks, m, dsub, lit(0.0))
+    val p = probes.select(col(idCol).as("probe_id"),
+      dbl(col(vecCol)).as("__pe")).localCheckpoint()
+    val cand = broadcast(probeLists).join(lists, Seq("centroid_id"))
+      .select("probe_id", "neighbor_id").distinct()
+    val partial = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(codebooks), Seq("j", "cidx"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("__pd", dot(
+        slice(col("__pe"), col("j") * dsub + 1, lit(dsub)), col("__cb"),
+        lit(0.0)))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum(col("__pd")).as("adc"))
+    val scored =
+      if (excludeSelf) partial.filter(col("probe_id") =!= col("neighbor_id"))
+      else partial
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "adc", "rank")
+  }
+
+  /** Exact re-scoring of a candidate shortlist — the second half of the
+    * production PQ deployment: ADC ranks cheaply over codes, then the
+    * FULL vectors (cold storage at scale — only `shortlist` rows per
+    * probe are ever fetched) re-score the survivors exactly on the
+    * integer substrate, so the final ordering is the brute-force one
+    * RESTRICTED to the shortlist. */
+  def rerankExact(pairs: DataFrame, corpus: DataFrame, probes: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__ce"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("__pe2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pairs.select("probe_id", "neighbor_id")
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      // cosine, the ANN family's metric — so rerank output is exactly
+      // the brute-force ordering restricted to the shortlist
+      .withColumn("score", Similarity.cosine(col("__pe2"), col("__ce")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "score", "rank")
+  }
+
+  /** [[pqTopKLearned]] shortlist + [[rerankExact]]: ADC retrieves
+    * `shortlist` candidates per probe, exact dots pick the final top-k. */
+  def pqTopKLearnedRerank(corpus: DataFrame, probes: DataFrame,
+                          idCol: String, vecCol: String, k: Int, m: Int,
+                          kSub: Int, dim: Int, shortlist: Int,
+                          iters: Int = 3, excludeSelf: Boolean = true,
+                          codebooks0: Option[DataFrame] = None): DataFrame =
+    rerankExact(
+      pqTopKLearned(corpus, probes, idCol, vecCol, shortlist, m, kSub, dim,
+        iters, excludeSelf, codebooks0),
+      corpus, probes, idCol, vecCol, k)
+
+  /** [[ivfPqTopKLearned]] shortlist + [[rerankExact]]. */
+  def ivfPqTopKLearnedRerank(corpus: DataFrame, probes: DataFrame,
+                             idCol: String, vecCol: String, k: Int, m: Int,
+                             kSub: Int, dim: Int, nLists: Int, nProbe: Int,
+                             shortlist: Int, iters: Int = 3,
+                             excludeSelf: Boolean = true,
+                             codebooks0: Option[DataFrame] = None,
+                             routing0: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame =
+    rerankExact(
+      ivfPqTopKLearned(corpus, probes, idCol, vecCol, shortlist, m, kSub,
+        dim, nLists, nProbe, iters, excludeSelf, codebooks0, routing0),
+      corpus, probes, idCol, vecCol, k)
 
   /** One-shot: build the index and search it. */
   def pqTopKPortable(corpus: DataFrame, probes: DataFrame, idCol: String,

@@ -4647,7 +4647,12 @@ object QueryCatalog {
           sum(col("n_chars")).as("sum_chars"))
       val snap1 = IcebergLite.readTable(s, dir, Some(1L))
         .groupBy("lang").agg(count(lit(1)).as("n_snap1"))
-      current.join(snap1, Seq("lang")).orderBy("lang")
+      // left + coalesce(0): a lang whose docs all land in the appended
+      // snapshot is absent from snapshot 1 — the oracle still emits it
+      // (count FILTER → 0), so an inner join would be scale-fragile
+      current.join(snap1, Seq("lang"), "left")
+        .withColumn("n_snap1", coalesce(col("n_snap1"), lit(0L)))
+        .orderBy("lang")
     }, Some("""
       SELECT lang,
         CAST(count(*) AS BIGINT) AS n_current,
@@ -4688,7 +4693,12 @@ object QueryCatalog {
           sum(col("quality")).as("sum_quality"))
       val snap1 = IcebergLite.readTable(s, dir, Some(1L))
         .groupBy("lang").agg(count(lit(1)).as("n_snap1"))
-      current.join(snap1, Seq("lang")).orderBy("lang")
+      // left + coalesce(0): a lang whose docs all land in the appended
+      // snapshot is absent from snapshot 1 — the oracle still emits it
+      // (count FILTER → 0), so an inner join would be scale-fragile
+      current.join(snap1, Seq("lang"), "left")
+        .withColumn("n_snap1", coalesce(col("n_snap1"), lit(0L)))
+        .orderBy("lang")
     }, Some("""
       SELECT lang,
         CAST(count(*) AS BIGINT) AS n_current,

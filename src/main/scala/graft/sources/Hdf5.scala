@@ -1003,23 +1003,29 @@ object Hdf5 {
               java.util.Arrays.copyOfRange(db, dbHead,
                 dbHead + nElmts * entrySize)
             } else {
-              // paged: page bitmap, then pages of 2^pageBits elements,
-              // each followed by its own 4-byte checksum
+              // paged: page bitmap (then block checksum), then pages of
+              // 2^pageBits elements, each followed by its own checksum
               val bitmapLen = (nPages + 7) / 8
               val lastPage = nElmts - (nPages - 1) * pageSize
-              val totalLen = dbHead + 4 + bitmapLen +
+              val totalLen = dbHead + bitmapLen + 4 +
                 (nPages - 1) * (pageSize * entrySize + 4) +
                 lastPage * entrySize + 4
               val db = src.get(dbAddr, totalLen)
               require(new String(db, 0, 4, "US-ASCII") == "FADB",
                 s"dataset $name: bad fixed-array data block signature")
-              val out = new Array[Byte](nElmts * entrySize)
-              var p = dbHead + 4 + bitmapLen // block checksum + bitmap
+              // uninitialized pages (bitmap bit CLEAR — chunks never
+              // written) must read as Undef addresses, not whatever
+              // bytes occupy the unwritten region
+              val out = Array.fill[Byte](nElmts * entrySize)(0xff.toByte)
+              var p = dbHead + bitmapLen + 4
               var pg = 0
               while (pg < nPages) {
                 val inPage = if (pg == nPages - 1) lastPage else pageSize
-                System.arraycopy(db, p, out, pg * pageSize * entrySize,
-                  inPage * entrySize)
+                val initialized =
+                  (db(dbHead + (pg >> 3)) & (1 << (pg & 7))) != 0
+                if (initialized)
+                  System.arraycopy(db, p, out, pg * pageSize * entrySize,
+                    inPage * entrySize)
                 p += inPage * entrySize + 4 // + page checksum
                 pg += 1
               }

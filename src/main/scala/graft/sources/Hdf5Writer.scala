@@ -429,25 +429,6 @@ object Hdf5Writer {
           chunks += ((start.toLong, payload.length, addr))
           start += chunkElems
         }
-        val bt = mutable.ArrayBuffer.empty[Byte]
-        bt ++= "TREE".getBytes("US-ASCII")
-        bt ++= b1(1) // node type: raw data chunks
-        bt ++= b1(0) // level
-        bt ++= b2(chunks.length)
-        bt ++= Undef // left sibling
-        bt ++= Undef // right sibling
-        for ((off, nbytes, addr) <- chunks) {
-          bt ++= b4(nbytes)
-          bt ++= b4(0) // filter mask
-          bt ++= b8(off)
-          bt ++= b8(0) // element-size dimension offset
-          bt ++= b8(addr)
-        }
-        // final key: one-past-the-end chunk offset
-        bt ++= b4(0)
-        bt ++= b4(0)
-        bt ++= b8(n.toLong)
-        bt ++= b8(0)
         if (ds.layoutV4 > 0) {
           // ---- layout message v4 (the 1.10+ writer generation) ----
           val filtered = ds.deflate || ds.shuffle
@@ -509,6 +490,26 @@ object Hdf5Writer {
             case v => sys.error(s"unknown v4 layout variant $v")
           }
         } else {
+          // classic v3 layout: type-1 B-tree over the chunks
+          val bt = mutable.ArrayBuffer.empty[Byte]
+          bt ++= "TREE".getBytes("US-ASCII")
+          bt ++= b1(1) // node type: raw data chunks
+          bt ++= b1(0) // level
+          bt ++= b2(chunks.length)
+          bt ++= Undef // left sibling
+          bt ++= Undef // right sibling
+          for ((off, nbytes, addr) <- chunks) {
+            bt ++= b4(nbytes)
+            bt ++= b4(0) // filter mask
+            bt ++= b8(off)
+            bt ++= b8(0) // element-size dimension offset
+            bt ++= b8(addr)
+          }
+          // final key: one-past-the-end chunk offset
+          bt ++= b4(0)
+          bt ++= b4(0)
+          bt ++= b8(n.toLong)
+          bt ++= b8(0)
           val btreeAddr = put(bt.toArray)
           val layout = b1(3) ++ b1(2) ++ b1(2) ++ b8(btreeAddr) ++
             b4(chunkElems.toLong) ++ b4(elemSize.toLong)

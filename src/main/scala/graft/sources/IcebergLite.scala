@@ -180,6 +180,33 @@ object IcebergLite {
           ]}}
       ]}""")
 
+  /** First `n` CODE POINTS of `s` (never splits a surrogate pair —
+    * splitting would corrupt the UTF-8 bound bytes). */
+  private def cpTake(s: String, n: Int): String = {
+    val cps = s.codePointCount(0, s.length)
+    if (cps <= n) s else s.substring(0, s.offsetByCodePoints(0, n))
+  }
+
+  /** A string strictly greater than every string sharing `prefix`:
+    * the last incrementable code point +1, the tail dropped. None when
+    * no code point can be incremented to a valid scalar (then the
+    * column simply gets no upper bound — conservative). */
+  private def incrementPrefix(prefix: String): Option[String] = {
+    var end = prefix.length
+    while (end > 0) {
+      val cp = prefix.codePointBefore(end)
+      val start = end - Character.charCount(cp)
+      val next = cp + 1
+      val valid = next <= 0x10FFFF &&
+        !(next >= 0xD800 && next <= 0xDFFF)
+      if (valid)
+        return Some(prefix.substring(0, start) +
+          new String(Character.toChars(next)))
+      end = start
+    }
+    None
+  }
+
   /** Iceberg single-value serialization for the bound maps (spec
     * Appendix D: little-endian fixed width numerics, UTF-8 strings). */
   private def boundBytes(dt: DataType, v: Any): Option[Array[Byte]] =
@@ -229,7 +256,21 @@ object IcebergLite {
       a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
     case FloatType | DoubleType => java.lang.Double.compare(
       a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
-    case StringType => a.toString.compareTo(b.toString)
+    case StringType =>
+      // UNSIGNED UTF-8 byte order — the order Spark's min/max computed
+      // the stored bounds in. String.compareTo is UTF-16 code-unit
+      // order, which disagrees above U+E000 vs supplementary planes
+      // (emoji) and would prune files that contain matching rows.
+      val x = a.toString.getBytes("UTF-8")
+      val y = b.toString.getBytes("UTF-8")
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
     case other => sys.error(s"no bound ordering for ${other.simpleString}")
   }
 
@@ -304,20 +345,46 @@ object IcebergLite {
   // ---- write -------------------------------------------------------------
 
   /** Create the table with an initial snapshot (overwrites any existing
-    * table dir). `partitionBy` columns use identity transforms. */
+    * table dir). `partitionBy` columns use identity transforms;
+    * `sortBy` range-clusters the batch (see [[appendSnapshot]]). */
   def createTable(spark: SparkSession, df: DataFrame, tableDir: String,
-                  partitionBy: Seq[String] = Nil): Unit = {
+                  partitionBy: Seq[String] = Nil,
+                  sortBy: Seq[String] = Nil,
+                  sortFiles: Int = 0): Unit = {
     val root = new Path(tableDir)
     fs(spark, root).delete(root, true)
-    appendSnapshot(spark, df, tableDir, partitionBy)
+    appendSnapshot(spark, df, tableDir, partitionBy, sortBy = sortBy,
+      sortFiles = sortFiles)
   }
 
   /** Append one snapshot: write the batch's data files, a manifest over
     * them, a manifest list covering ALL live manifests, and the next
-    * metadata version. First call on an empty dir creates the table. */
-  def appendSnapshot(spark: SparkSession, df: DataFrame, tableDir: String,
+    * metadata version. First call on an empty dir creates the table.
+    *
+    * `sortBy` range-clusters the batch before writing
+    * (`repartitionByRange` + `sortWithinPartitions`): data files get
+    * DISJOINT bound ranges on the sort columns, which is what turns
+    * the manifest-bounds file skipping ([[readTableWhere]]) from
+    * best-effort into ~1/N — the sorted-table discipline a 100 TB
+    * time-series or keyed table lives on. */
+  def appendSnapshot(spark: SparkSession, df0: DataFrame, tableDir: String,
                      partitionBy: Seq[String] = Nil,
-                     commitKey: Option[String] = None): Unit = {
+                     commitKey: Option[String] = None,
+                     sortBy: Seq[String] = Nil,
+                     sortFiles: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{col => c0}
+    // sortFiles > 0 pins the range-partition count (a user-specified
+    // repartition is exempt from AQE coalescing — without it, a small
+    // batch collapses to one file and the disjoint-bounds property
+    // this clustering exists for never materializes)
+    val df =
+      if (sortBy.isEmpty) df0
+      else {
+        val ranged =
+          if (sortFiles > 0) df0.repartitionByRange(sortFiles, sortBy.map(c0): _*)
+          else df0.repartitionByRange(sortBy.map(c0): _*)
+        ranged.sortWithinPartitions(sortBy.map(c0): _*)
+      }
     val root = new Path(tableDir)
     val metaDir = new Path(root, "metadata")
     val hintPath = new Path(metaDir, "version-hint.text")
@@ -338,14 +405,26 @@ object IcebergLite {
     // (names + types in order) and the commit re-uses the table's
     // schema json VERBATIM — evolved field ids are never re-derived
     // from the Spark schema, which would renumber them.
+    // canonical type rendering: narrow integers (smallint/tinyint)
+    // canonicalize to "int" exactly as schemaJson maps them at CREATE,
+    // so a frame that could create the table can always append to it
+    def canon(dt: DataType): String = dt match {
+      case ShortType | ByteType => "int"
+      case MapType(k2, v2, n2) => s"map<${canon(k2)},${canon(v2)},$n2>"
+      case ArrayType(e2, n2) => s"array<${canon(e2)},$n2>"
+      case st: StructType => st.fields
+        .map(f2 => s"${f2.name}:${canon(f2.dataType)}")
+        .mkString("struct<", ",", ">")
+      case other => other.catalogString
+    }
     val (schemaJs, lastColumnId) = prior match {
       case Some(m) =>
         require(m.partitionCols == partitionBy,
           s"table is partitioned by ${m.partitionCols}, got $partitionBy")
         val declared = declaredSchema(m)
         val got = df.schema
-        require(declared.fields.map(f2 => (f2.name, f2.dataType.catalogString))
-            .sameElements(got.fields.map(f2 => (f2.name, f2.dataType.catalogString))),
+        require(declared.fields.map(f2 => (f2.name, canon(f2.dataType)))
+            .sameElements(got.fields.map(f2 => (f2.name, canon(f2.dataType)))),
           s"appended schema ${got.simpleString} differs from the table " +
             s"schema ${declared.simpleString}")
         (m.schemaJs, m.lastColumnId)
@@ -395,10 +474,10 @@ object IcebergLite {
     * table across restarts, the `IncrementalNearDedup`/
     * `IncrementalIvfIndex` epoch discipline applied to the lakehouse
     * commit log. */
-  def sink(tableDir: String, partitionBy: Seq[String] = Nil)
-      : (DataFrame, Long) => Unit =
+  def sink(tableDir: String, partitionBy: Seq[String] = Nil,
+           sortBy: Seq[String] = Nil): (DataFrame, Long) => Unit =
     (df, batchId) => appendSnapshot(df.sparkSession, df, tableDir,
-      partitionBy, Some(s"batch-$batchId"))
+      partitionBy, Some(s"batch-$batchId"), sortBy)
 
   /** Spark-distributed data-file write for one snapshot + the manifest
     * entries describing what landed (status ADDED), including per-file
@@ -427,11 +506,21 @@ object IcebergLite {
         case _ => false
       })
 
-    // per-file rows + bounds via a tiny metadata read of what was written
+    // per-file rows + bounds via a tiny metadata read of what was
+    // written. Strings aggregate as 17-CODE-POINT prefixes (truncation
+    // is monotone in UTF-8 binary order, so min/max over prefixes
+    // still bound the column) — the Iceberg truncate(16) discipline:
+    // manifests stay KB-sized even over document columns, and the
+    // 17th point tells the driver whether the top value was truncated.
     val back = spark.read.parquet(dataDir.toString)
+    def boundCol(fd: StructField) = fd.dataType match {
+      case StringType =>
+        org.apache.spark.sql.functions.substring(col(fd.name), 1, 17)
+      case _ => col(fd.name)
+    }
     val aggs = count(lit(1)).as("__n") +:
-      bounded.flatMap(fd => Seq(min(col(fd.name)).as(s"__lo_${fd.name}"),
-        max(col(fd.name)).as(s"__hi_${fd.name}")))
+      bounded.flatMap(fd => Seq(min(boundCol(fd)).as(s"__lo_${fd.name}"),
+        max(boundCol(fd)).as(s"__hi_${fd.name}")))
     val touched = (partitionBy ++ bounded.map(_.name)).distinct
     val perFile = back
       .select(input_file_name().as("f") +: touched.map(col): _*)
@@ -474,8 +563,20 @@ object IcebergLite {
       def kvs(loNotHi: Boolean, itemSchema: Schema) = {
         val out = new java.util.ArrayList[GenericRecord]()
         bounded.zipWithIndex.foreach { case (fd, bi) =>
-          val v = row.get(nIdx + 1 + bi * 2 + (if (loNotHi) 0 else 1))
-          boundBytes(fd.dataType, v).foreach { bytes =>
+          val v0 = row.get(nIdx + 1 + bi * 2 + (if (loNotHi) 0 else 1))
+          val v: Option[Any] = (fd.dataType, v0) match {
+            case (_, null) => None
+            case (StringType, s: String) =>
+              // lower: the 16-point prefix (≤ every value). upper: the
+              // exact value when nothing was truncated, else the
+              // incremented prefix (> every prefix-sharing value);
+              // no safe increment → no upper bound (conservative).
+              if (loNotHi) Some(cpTake(s, 16))
+              else if (s.codePointCount(0, s.length) <= 16) Some(s)
+              else incrementPrefix(cpTake(s, 16)).map(identity[Any])
+            case (_, other) => Some(other)
+          }
+          v.flatMap(boundBytes(fd.dataType, _)).foreach { bytes =>
             val r = new GenericData.Record(itemSchema)
             r.put("key", fieldIds(fd.name))
             r.put("value", java.nio.ByteBuffer.wrap(bytes))
@@ -702,9 +803,13 @@ object IcebergLite {
         }
       raw.select(current.toIndexedSeq.map { case (id, name, dt, _) =>
         byId.get(id) match {
-          case Some((_, fileName, fileDt, _)) =>
+          case Some((_, fileName, _, _)) =>
+            // cast off the ACTUAL read-back type, not the manifest-
+            // declared one: partition-dir inference re-types values
+            // (a long partition value reads back as int) and narrow
+            // physical types (smallint) canonicalize to int
             val c = col(fileName)
-            (if (fileDt.catalogString == dt.catalogString) c
+            (if (raw.schema(fileName).dataType.catalogString == dt.catalogString) c
              else c.cast(dt)).as(name)
           case None => lit(null).cast(dt).as(name)
         }

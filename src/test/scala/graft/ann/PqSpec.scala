@@ -139,6 +139,78 @@ class PqSpec extends SparkSuite {
       .distinct().head().getInt(0) == Dim / 4)
   }
 
+  test("learned IVF-PQ ≡ learned PQ restricted to the probed lists") {
+    // the layering identity on the LEARNED substrate: with one shared
+    // codebook training, ivfPqTopKLearned must equal pqTopKLearned
+    // filtered to the probed lists' members (same routing as the
+    // portable identity above)
+    val nLists = 6
+    val nProbe = 2
+    def quant(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong)
+    val n = vectors.size
+    val step = math.max(1L, n.toLong / nLists)
+    val cents = vectors.filter(_._1 % step == 0).sortBy(_._1).take(nLists)
+      .map { case (id, v) => (id, quant(v)) }
+    def routeTop(v: Seq[Float], take: Int): Seq[Long] =
+      cents.map { case (cid, ce) =>
+        (quant(v).zip(ce).map { case (a, b) => a * b }.sum, cid) }
+        .sortBy { case (d, cid) => (-d, cid) }.take(take).map(_._2)
+    val listOf = vectors.map { case (id, v) => id -> routeTop(v, 1).head }.toMap
+
+    val probes = df.filter(col("vec_id") < 6)
+    val cb = Pq.pqCodebooksKmeans(df, "vec_id", "embedding",
+      m = 4, kSub = 8, dim = Dim).localCheckpoint()
+    val full = Pq.pqTopKLearned(df, probes, "vec_id", "embedding",
+        k = vectors.size, m = 4, kSub = 8, dim = Dim, codebooks0 = Some(cb))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc")))
+    val got = Pq.ivfPqTopKLearned(df, probes, "vec_id", "embedding",
+        k = 5, m = 4, kSub = 8, dim = Dim, nLists = nLists, nProbe = nProbe,
+        codebooks0 = Some(cb))
+      .collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc")))
+        .toSeq).toMap
+    (0L until 6L).foreach { pid =>
+      val probedLists = routeTop(vectors.find(_._1 == pid).get._2, nProbe).toSet
+      val expected = full.filter { case (p, nb, _) =>
+        p == pid && probedLists.contains(listOf(nb)) }
+        .map { case (_, nb, adc) => (adc, nb) }
+        .sortBy { case (adc, nb) => (-adc, nb) }
+        .take(5).map { case (adc, nb) => (nb, adc) }.toSeq
+      // ids exact; adc to 1e-9 relative — the restricted plan sums the
+      // same doubles in a different order (the documented float-sum
+      // caveat of the learned substrate; the portable identity above
+      // is the bit-exact one)
+      assert(got(pid).map(_._1) == expected.map(_._1), s"probe $pid ids")
+      got(pid).zip(expected).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"probe $pid adc $a vs $b")
+      }
+    }
+  }
+
+  test("ADC shortlist + exact rerank ≡ brute force at full shortlist") {
+    // with the shortlist covering the whole corpus, the rerank's exact
+    // cosine ordering must reproduce brute force verbatim — pins that
+    // the production deployment (codes retrieve, full vectors re-score)
+    // degrades ONLY through shortlist misses, never through scoring
+    val probes = df.filter(col("vec_id") < 4)
+    def ids(rows: Array[org.apache.spark.sql.Row]): Map[Long, Seq[Long]] =
+      rows.groupBy(_.getAs[Long]("probe_id"))
+        .view.mapValues(_.sortBy(_.getAs[Long]("rank"))
+          .map(_.getAs[Long]("neighbor_id")).toSeq).toMap
+    val exact = ids(Similarity.bruteForceTopK(df, probes,
+      "vec_id", "embedding", k = 5).collect())
+    val reranked = ids(Pq.pqTopKLearnedRerank(df, probes,
+      "vec_id", "embedding", k = 5, m = 4, kSub = 8, dim = Dim,
+      shortlist = vectors.size).collect())
+    assert(reranked == exact)
+  }
+
   test("results are partitioning-invariant (integer substrate)") {
     def run(parts: Int) = Pq.pqTopKPortable(df.repartition(parts),
         df.filter(col("vec_id") === 0L), "vec_id", "embedding",

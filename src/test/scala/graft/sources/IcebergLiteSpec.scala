@@ -311,6 +311,48 @@ class IcebergLiteSpec extends SparkSuite {
       .filter(col("id") <= 2L).count() == 2L)
   }
 
+  test("sorted writes make bounds disjoint: point queries prune to ~1/N") {
+    val dir = tmp()
+    val rows = (0L until 1024L).map(i => (i, s"s${i % 5}", i * 3))
+    IcebergLite.createTable(spark,
+      spark.createDataFrame(rows).toDF("id", "src", "n")
+        .repartition(8), // scrambled input
+      dir, sortBy = Seq("id"), sortFiles = 8)
+    val (keptAll, total) = IcebergLite.scanFileCount(spark, dir, Nil)
+    assert(total >= 4, s"expected several files, got $total")
+    assert(keptAll == total)
+    // a point/range query on the sort key hits a single range file
+    // ≤ 2: an 11-id range can straddle one sampled range boundary
+    val (kept, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.GtEq("id", 1000L), IcebergLite.LtEq("id", 1010L)))
+    assert(kept <= 2, s"expected ≤2 files for the point range, got $kept")
+    val got = IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.GtEq("id", 1000L), IcebergLite.LtEq("id", 1010L)))
+      .filter(col("id").between(1000L, 1010L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (1000L to 1010L))
+  }
+
+  test("string bounds truncate to 16 code points; pruning stays conservative") {
+    val dir = tmp()
+    // two long documents sharing a 16-point prefix, one short outlier —
+    // the stored bounds are prefix(16)/incremented-prefix, so equality
+    // predicates on the full values must still find their files
+    val doc1 = "prefixAAAAAAAAAA-this-is-a-very-long-document-one"
+    val doc2 = "prefixAAAAAAAAAA-this-is-a-very-long-document-two"
+    IcebergLite.createTable(spark, Seq((1L, doc1)).toDF("id", "txt"), dir)
+    IcebergLite.appendSnapshot(spark, Seq((2L, doc2)).toDF("id", "txt"), dir)
+    IcebergLite.appendSnapshot(spark, Seq((3L, "zz")).toDF("id", "txt"), dir)
+    val hit = IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("txt", doc2)))
+      .filter(col("txt") === doc2).select("id").as[Long].collect().toSeq
+    assert(hit == Seq(2L))
+    // the disjoint short-string file still prunes away
+    val (kept, total) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("txt", doc1)))
+    assert(kept < total)
+  }
+
   test("bounds prune by FIELD ID across renames and widenings") {
     val dir = tmp()
     IcebergLite.createTable(spark,
