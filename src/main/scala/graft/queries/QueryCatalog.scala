@@ -4749,6 +4749,38 @@ object QueryCatalog {
       FROM documents WHERE doc_id > (SELECT c2 FROM cut)
       GROUP BY lang ORDER BY lang""")),
 
+    // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
+    // the v2 position-delete mechanism): rows are deleted by writing
+    // (file_path, pos) delete files, NOT by rewriting data; the read
+    // anti-joins the delete set through the content=1 manifest. The
+    // aggregate is wrong if the delete set over- or under-reaches, and
+    // n_deleted pins the O(matches) count; oracle rederives both from
+    // the documents arithmetic. Data-derived at any scale.
+    QueryDef("iceberg_mor_delete", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_mor_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 2 === 1), dir)
+      val nDel = IcebergLite.deleteWhereMOR(s, dir, col("doc_id") % 7 === 3)
+      IcebergLite.readTable(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_deleted", lit(nDel))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id % 7 = 3) AS n_deleted
+      FROM documents WHERE doc_id % 7 <> 3
+      GROUP BY lang ORDER BY lang""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate

@@ -26,8 +26,12 @@ import org.apache.spark.sql.types._
   *     data/s<id>/[<k>=<v>/]part-*.parquet
   *
   * Supported subset (loud errors outside it): format v1 — appends,
-  * copy-on-write deleteWhere, compaction, snapshot expiry (no v2
-  * merge-on-read delete files), identity partition transforms on
+  * copy-on-write deleteWhere, compaction, snapshot expiry, schema
+  * evolution (add/rename/widen), manifest column bounds + file-skipping
+  * reads, plus the v2 MERGE-ON-READ position-delete mechanism
+  * (deleteWhereMOR: content=1 delete manifests over (file_path, pos)
+  * parquet; readers anti-join, compact applies physically) carried on
+  * the v1-lite metadata chain, identity partition transforms on
   * string/long columns, primitive column types (boolean/int/long/
   * float/double/string/binary/timestamp/date/decimal) plus nested
   * map/list/struct with spec-conformant unique field-id assignment —
@@ -279,6 +283,8 @@ object IcebergLite {
       {"name": "manifest_path", "type": "string", "field-id": 500},
       {"name": "manifest_length", "type": "long", "field-id": 501},
       {"name": "partition_spec_id", "type": "int", "field-id": 502},
+      {"name": "content", "type": ["null", "int"], "default": null,
+       "field-id": 517},
       {"name": "added_snapshot_id", "type": ["null", "long"],
        "default": null, "field-id": 503},
       {"name": "added_data_files_count", "type": ["null", "int"],
@@ -455,7 +461,8 @@ object IcebergLite {
       .get("record_count").asInstanceOf[Long]).sum
     commit(spark, root, prior, snapshotId, version,
       prior.toSeq.flatMap(_.manifests) :+
-        (manifestPath.toString, manifestLen, entries.size, snapshotId, newRows),
+        MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
+          newRows, content = 0),
       schemaJs, lastColumnId, spec, operation = "append",
       commitKey = commitKey)
   }
@@ -595,21 +602,22 @@ object IcebergLite {
   /** Write the manifest list + next metadata version + version hint. */
   private def commit(spark: SparkSession, root: Path, prior: Option[TableMeta],
                      snapshotId: Long, version: Int,
-                     manifests: Seq[(String, Long, Int, Long, Long)],
+                     manifests: Seq[MRef],
                      schemaJs: String, lastColumnId: Int,
                      spec: Seq[(String, DataType)],
                      operation: String,
                      commitKey: Option[String] = None): Unit = {
     val metaDir = new Path(root, "metadata")
     val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
-    val listRecords = manifests.map { case (p2, len, nFiles, addedBy, nRows) =>
+    val listRecords = manifests.map { m =>
       val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", p2)
-      r.put("manifest_length", len)
+      r.put("manifest_path", m.path)
+      r.put("manifest_length", m.len)
       r.put("partition_spec_id", 0)
-      r.put("added_snapshot_id", addedBy)
-      r.put("added_data_files_count", nFiles)
-      r.put("added_rows_count", nRows)
+      r.put("content", m.content)
+      r.put("added_snapshot_id", m.addedBy)
+      r.put("added_data_files_count", m.nFiles)
+      r.put("added_rows_count", m.nRows)
       r
     }
     writeAvro(spark, listPath, ManifestFileSchema, listRecords,
@@ -679,6 +687,11 @@ object IcebergLite {
 
   // ---- read --------------------------------------------------------------
 
+  /** One manifest of the current list: `content` 0 = data files,
+    * 1 = position-delete files (the v2 merge-on-read leg). */
+  private case class MRef(path: String, len: Long, nFiles: Int,
+                          addedBy: Long, nRows: Long, content: Int)
+
   private case class TableMeta(
       version: Int,
       schemaNode: com.fasterxml.jackson.databind.JsonNode,
@@ -686,9 +699,8 @@ object IcebergLite {
       currentSnapshotId: Long,
       /** (snapshot id, manifest-list path, summary json verbatim) */
       snapshots: Seq[(Long, String, String)],
-      /** (path, length, nFiles, addedSnapshotId, nRows) of the CURRENT
-        * list */
-      manifests: Seq[(String, Long, Int, Long, Long)],
+      /** manifests of the CURRENT list (data AND delete) */
+      manifests: Seq[MRef],
       /** highest allocated field id — evolution allocates ABOVE it */
       lastColumnId: Int) {
     /** The table schema json verbatim — committed unchanged by appends
@@ -723,14 +735,15 @@ object IcebergLite {
     val listPath = snapshots.find(_._1 == wantId).map(_._2).getOrElse(
       sys.error(s"snapshot $wantId not found (have ${snapshots.map(_._1)})"))
     val manifests = readAvro(spark, new Path(listPath)).map { r =>
-      (r.get("manifest_path").toString,
+      MRef(r.get("manifest_path").toString,
         r.get("manifest_length").asInstanceOf[Long],
         Option(r.get("added_data_files_count"))
           .map(_.asInstanceOf[Int]).getOrElse(0),
         Option(r.get("added_snapshot_id"))
           .map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(r.get("added_rows_count"))
-          .map(_.asInstanceOf[Long]).getOrElse(0L))
+          .map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
     }
     val lastColumnId = Option(node.get("last-column-id")).map(_.asInt())
       .getOrElse(sys.error("metadata missing last-column-id"))
@@ -746,7 +759,21 @@ object IcebergLite {
     val meta = readMeta(spark, tableDir, snapshotId)
     val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
-    readRaw(spark, meta, files).drop("__file")
+    applyDeletes(spark, meta, readRaw(spark, meta, files))
+      .drop("__file", "__pos")
+  }
+
+  /** Merge-on-read: anti-join the frame's (__file, __pos) provenance
+    * against the live position-delete files. A no-op (no join in the
+    * plan at all) when the snapshot carries no deletes. */
+  private def applyDeletes(spark: SparkSession, meta: TableMeta,
+                           df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val deletes = liveDeleteFiles(spark, meta)
+    if (deletes.isEmpty) df
+    else df.join(spark.read.parquet(deletes: _*),
+      col("__file") === col("file_path") && col("__pos") === col("pos"),
+      "left_anti")
   }
 
 
@@ -763,11 +790,22 @@ object IcebergLite {
     * pairing survives deleteWhere/compact across evolutions. */
   private def liveFileEntries(spark: SparkSession, meta: TableMeta)
       : Seq[(String, String)] =
-    meta.manifests.flatMap { case (p, _, _, _, _) =>
-      val (recs, schemaJs) = readManifest(spark, new Path(p))
+    meta.manifests.filter(_.content == 0).flatMap { m =>
+      val (recs, schemaJs) = readManifest(spark, new Path(m.path))
       recs.filter(_.get("status").asInstanceOf[Int] != 2)
         .map(_.get("data_file").asInstanceOf[GenericRecord]
           .get("file_path").toString -> schemaJs)
+    }
+
+  /** Live POSITION-DELETE files (merge-on-read): parquet files of
+    * (file_path, pos) rows committed through content=1 manifests. */
+  private def liveDeleteFiles(spark: SparkSession, meta: TableMeta)
+      : Seq[String] =
+    meta.manifests.filter(_.content == 1).flatMap { m =>
+      readManifest(spark, new Path(m.path))._1
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
     }
 
   /** Top-level (field-id, name, type, required) of a schema json. */
@@ -777,11 +815,13 @@ object IcebergLite {
       (f.get("id").asInt(), f.get("name").asText(),
         sparkType(f.get("type")), f.get("required").asBoolean())).toSeq
 
-  /** Read a subset of the table's files with a `__file` provenance
-    * column, projected to the CURRENT schema BY FIELD ID: files are
-    * grouped by the schema that wrote them, columns resolve through
-    * that schema's id→name mapping (renames), cast to the current type
-    * (widenings), and fields the file predates read as NULL (adds). */
+  /** Read a subset of the table's files with `__file`/`__pos`
+    * provenance columns (file path + within-file row position — the
+    * address a position delete names), projected to the CURRENT schema
+    * BY FIELD ID: files are grouped by the schema that wrote them,
+    * columns resolve through that schema's id→name mapping (renames),
+    * cast to the current type (widenings), and fields the file
+    * predates read as NULL (adds). */
   private def readRaw(spark: SparkSession, meta: TableMeta,
                       files: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit}
@@ -813,7 +853,8 @@ object IcebergLite {
              else c.cast(dt)).as(name)
           case None => lit(null).cast(dt).as(name)
         }
-      } :+ input_file_name().as("__file"): _*)
+      } :+ input_file_name().as("__file")
+        :+ col("_metadata.row_index").as("__pos"): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -831,17 +872,31 @@ object IcebergLite {
   def deleteWhere(spark: SparkSession,
                   tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not, sum => sum0}
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
 
-    // one column-pruned scan finds the files that contain matches
-    val hits = readRaw(spark, meta, files)
+    // one column-pruned scan finds the files containing LIVE matches
+    // (merge-on-read deletes applied first — a row already deleted by
+    // position cannot match again) and the matched count per file
+    val hitAgg = applyDeletes(spark, meta, readRaw(spark, meta, files))
       .filter(coalesce(predicate, lit(false)))
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
+      .groupBy("__file").agg(sum0(lit(1L)).as("__m"))
+      .collect()
+    val nDeleted = hitAgg.map(_.getLong(1)).sum
+    // files referenced by outstanding position deletes rewrite too —
+    // after this snapshot every delete is physically applied, so the
+    // new manifest list legitimately drops the delete manifests
+    val deleteRefs: Set[String] = {
+      val dels = liveDeleteFiles(spark, meta)
+      if (dels.isEmpty) Set.empty
+      else spark.read.parquet(dels: _*).select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val liveSet = files.map(_._1).toSet
+    val hits = hitAgg.map(_.getString(0)).toSet ++ (deleteRefs & liveSet)
     if (hits.isEmpty) return 0L
 
     val schema = declaredSchema(meta)
@@ -851,9 +906,10 @@ object IcebergLite {
 
     // rewrite ONLY the hit files (projected to the current schema —
     // a rewrite is the one moment old-schema rows get rewritten new)
-    val survivors = readRaw(spark, meta, files.filter(e => hits(e._1)))
+    val survivors = applyDeletes(spark, meta,
+        readRaw(spark, meta, files.filter(e => hits(e._1))))
       .filter(not(coalesce(predicate, lit(false))))
-      .drop("__file")
+      .drop("__file", "__pos")
     val survivorCount = survivors.count()
     val newEntries =
       if (survivorCount == 0) Seq.empty[GenericRecord]
@@ -866,14 +922,11 @@ object IcebergLite {
     // stays readable through its own id→name mapping after evolution
     val carriedBySchema = mutable.LinkedHashMap
       .empty[String, mutable.ArrayBuffer[GenericRecord]]
-    var rowsInHits = 0L
-    meta.manifests.foreach { case (p, _, _, _, _) =>
-      val (recs, manifestSchemaJs) = readManifest(spark, new Path(p))
+    meta.manifests.filter(_.content == 0).foreach { m =>
+      val (recs, manifestSchemaJs) = readManifest(spark, new Path(m.path))
       recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
         val d = e.get("data_file").asInstanceOf[GenericRecord]
-        if (hits.contains(d.get("file_path").toString)) {
-          rowsInHits += d.get("record_count").asInstanceOf[Long]
-        } else {
+        if (!hits.contains(d.get("file_path").toString)) {
           val c = GenericData.get()
             .deepCopy(entrySchema, e).asInstanceOf[GenericRecord]
           c.put("status", 0) // EXISTING
@@ -882,12 +935,76 @@ object IcebergLite {
         }
       }
     }
-    val nDeleted = rowsInHits - survivorCount
 
     val groups = carriedBySchema.toSeq.map { case (js, es) => (js, es.toSeq) } ++
       (if (newEntries.nonEmpty) Seq((meta.schemaJs, newEntries)) else Nil)
     commitRewrite(spark, root, meta, snapshotId, groups, entrySchema, spec,
       operation = "overwrite")
+    nDeleted
+  }
+
+  /** MERGE-ON-READ row deletion (the v2 position-delete mechanism on
+    * the lite metadata chain): matching rows are named by
+    * (file_path, pos) in position-delete parquet files committed
+    * through a content=1 manifest — write cost ∝ MATCHES, zero data
+    * files rewritten (vs [[deleteWhere]]'s cost ∝ affected files).
+    * Readers anti-join the delete set; [[compact]] applies deletes
+    * physically and [[deleteWhere]] force-rewrites delete-referenced
+    * files, so the two deletion paths compose. Returns rows deleted. */
+  def deleteWhereMOR(spark: SparkSession,
+                     tableDir: String,
+                     predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val files = liveFileEntries(spark, meta)
+    require(files.nonEmpty, "table has no data files")
+    val snapshotId = meta.currentSnapshotId + 1
+    val delDir = new Path(root, s"data/deletes-s$snapshotId")
+
+    val matches = applyDeletes(spark, meta, readRaw(spark, meta, files))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__file").as("file_path"), col("__pos").as("pos"))
+      .localCheckpoint() // one scan serves the count and the write
+    if (matches.isEmpty) return 0L
+    matches.write.mode("overwrite").parquet(delDir.toString)
+
+    val perFile = spark.read.parquet(delDir.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    val nDeleted = perFile.map(_.getLong(1)).sum
+
+    // one content=1 manifest over the delete files; entries reuse the
+    // unpartitioned entry record (a delete file belongs to no partition)
+    val delEntrySchema = manifestEntrySchema(Nil)
+    val fileSchema = delEntrySchema.getField("data_file").schema()
+    val partSchema = fileSchema.getField("partition").schema()
+    val f = fs(spark, root)
+    val entries = perFile.toSeq.map { row =>
+      val e = new GenericData.Record(delEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(fileSchema)
+      d.put("file_path", row.getString(0))
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(partSchema))
+      d.put("record_count", row.getLong(1))
+      d.put("file_size_in_bytes", f.getFileStatus(
+        new Path(new java.net.URI(row.getString(0)))).getLen)
+      e.put("data_file", d)
+      e
+    }
+    val metaDir = new Path(root, "metadata")
+    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-del.avro")
+    val manifestLen = writeAvro(spark, manifestPath, delEntrySchema, entries,
+      Map("schema" -> meta.schemaJs, "format-version" -> "1",
+        "content" -> "deletes"))
+    commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+      meta.manifests :+ MRef(manifestPath.toString, manifestLen,
+        entries.size, snapshotId, nDeleted, content = 1),
+      meta.schemaJs, meta.lastColumnId,
+      meta.partitionCols.map(c => c -> declaredSchema(meta)(c).dataType),
+      operation = "delete")
     nDeleted
   }
 
@@ -903,7 +1020,10 @@ object IcebergLite {
     val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
     val entrySchema = manifestEntrySchema(spec)
     val snapshotId = meta.currentSnapshotId + 1
-    val all = readRaw(spark, meta, files).drop("__file")
+    // merge-on-read deletes apply HERE — compaction is the pass that
+    // makes them physical (the new list carries no delete manifests)
+    val all = applyDeletes(spark, meta, readRaw(spark, meta, files))
+      .drop("__file", "__pos")
     val entries = writeDataFiles(spark, all, root, snapshotId,
       meta.partitionCols, spec, entrySchema,
       topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
@@ -933,7 +1053,8 @@ object IcebergLite {
             "content" -> "data"))
         val nRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
           .get("record_count").asInstanceOf[Long]).sum
-        (manifestPath.toString, manifestLen, entries.size, snapshotId, nRows)
+        MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
+          nRows, content = 0)
     }
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
       manifests, meta.schemaJs, meta.lastColumnId, spec, operation)
@@ -1024,8 +1145,8 @@ object IcebergLite {
       (p, id, dt)
     }
     var total = 0
-    val kept = meta.manifests.flatMap { case (mp, _, _, _, _) =>
-      val (recs, schemaJs) = readManifest(spark, new Path(mp))
+    val kept = meta.manifests.filter(_.content == 0).flatMap { m =>
+      val (recs, schemaJs) = readManifest(spark, new Path(m.path))
       recs.filter(_.get("status").asInstanceOf[Int] != 2).flatMap { e =>
         total += 1
         val d = e.get("data_file").asInstanceOf[GenericRecord]
@@ -1066,7 +1187,8 @@ object IcebergLite {
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         declaredSchema(meta))
-    else readRaw(spark, meta, files).drop("__file")
+    else applyDeletes(spark, meta, readRaw(spark, meta, files))
+      .drop("__file", "__pos")
   }
 
   /** (files surviving pruning, total live files) for the predicate set —

@@ -278,6 +278,55 @@ class IcebergLiteSpec extends SparkSuite {
     assert(ex.getMessage.contains("partition column"))
   }
 
+  test("merge-on-read deletes: O(matches) write, anti-join read, compact applies") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    val dataFilesBefore = IcebergLite.scanFileCount(spark, dir, Nil)._2
+    val n1 = IcebergLite.deleteWhereMOR(spark, dir,
+      col("id") === 2L || col("id") === 4L)
+    assert(n1 == 2L)
+    // the delete wrote NO data files — same live data-file set
+    assert(IcebergLite.scanFileCount(spark, dir, Nil)._2 == dataFilesBefore)
+    assert(IcebergLite.readTable(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    // time travel: the pre-delete snapshot still shows every row
+    assert(IcebergLite.readTable(spark, dir, Some(2L)).count() == 5L)
+    // a second MOR delete composes — already-deleted rows can't rematch
+    assert(IcebergLite.deleteWhereMOR(spark, dir, col("id") < 3L) == 1L)
+    assert(IcebergLite.readTable(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(3L, 5L))
+    // nothing matches → no snapshot
+    val snaps = IcebergLite.snapshotIds(spark, dir)
+    assert(IcebergLite.deleteWhereMOR(spark, dir, col("id") === 99L) == 0L)
+    assert(IcebergLite.snapshotIds(spark, dir) == snaps)
+    // compaction applies the deletes physically, content preserved
+    IcebergLite.compact(spark, dir)
+    assert(IcebergLite.readTable(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(3L, 5L))
+  }
+
+  test("COW deleteWhere composes with outstanding MOR deletes") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 2L)
+    // the COW pass force-rewrites delete-referenced files, so its
+    // count is the NEW matches only and the deletes become physical
+    val n = IcebergLite.deleteWhere(spark, dir, col("id") === 5L)
+    assert(n == 1L)
+    assert(IcebergLite.readTable(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+    // time travel through the MOR snapshot still applies its deletes?
+    // No — a PAST snapshot read reflects THAT snapshot's manifest list
+    assert(IcebergLite.readTable(spark, dir, Some(3L))
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+    // expire purges the orphaned delete files physically
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    assert(IcebergLite.readTable(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
   test("manifest column bounds prune files at scan planning") {
     val dir = tmp()
     // three snapshots with disjoint id ranges → bounds segment the space
