@@ -1032,6 +1032,108 @@ object IcebergLite {
       operation = "replace")
   }
 
+  /** Size-TARGETED compaction — the production bin-pack shape: only
+    * files smaller than `smallerThanBytes` (plus any file referenced by
+    * outstanding position deletes, so deletes go physical) rewrite into
+    * fresh right-sized files; everything else carries BY REFERENCE as
+    * EXISTING entries. Rewrite cost ∝ the small-file tail, never the
+    * table — on a 100 TB table the difference between a nightly
+    * maintenance pass and an impossible one. Returns the number of
+    * files rewritten. */
+  def compactSmallFiles(spark: SparkSession, tableDir: String,
+                        smallerThanBytes: Long): Long = {
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val files = liveFileEntries(spark, meta)
+    require(files.nonEmpty, "table has no data files")
+    val schema = declaredSchema(meta)
+    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val entrySchema = manifestEntrySchema(spec)
+    val snapshotId = meta.currentSnapshotId + 1
+
+    // small files from the MANIFEST metadata (no file-system stats) +
+    // the position-delete-referenced ones
+    val small = mutable.LinkedHashSet.empty[String]
+    meta.manifests.filter(_.content == 0).foreach { m =>
+      readManifest(spark, new Path(m.path))._1
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord])
+        .filter(_.get("file_size_in_bytes").asInstanceOf[Long] < smallerThanBytes)
+        .foreach(d => small += d.get("file_path").toString)
+    }
+    val dels = liveDeleteFiles(spark, meta)
+    if (dels.nonEmpty)
+      spark.read.parquet(dels: _*).select("file_path").distinct()
+        .collect().map(_.getString(0))
+        .filter(files.map(_._1).toSet).foreach(small += _)
+    if (small.isEmpty) return 0L
+
+    val packed = applyDeletes(spark, meta,
+        readRaw(spark, meta, files.filter(e => small.contains(e._1))))
+      .drop("__file", "__pos")
+    val newEntries =
+      if (packed.isEmpty) Seq.empty[GenericRecord]
+      else writeDataFiles(spark, packed.coalesce(
+          math.max(1, spark.sparkContext.defaultParallelism / 4)),
+        root, snapshotId, meta.partitionCols, spec, entrySchema,
+        topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
+
+    val carriedBySchema = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[GenericRecord]]
+    meta.manifests.filter(_.content == 0).foreach { m =>
+      val (recs, manifestSchemaJs) = readManifest(spark, new Path(m.path))
+      recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        if (!small.contains(d.get("file_path").toString)) {
+          val c = GenericData.get()
+            .deepCopy(entrySchema, e).asInstanceOf[GenericRecord]
+          c.put("status", 0) // EXISTING
+          carriedBySchema.getOrElseUpdate(manifestSchemaJs,
+            mutable.ArrayBuffer.empty) += c
+        }
+      }
+    }
+    val groups = carriedBySchema.toSeq.map { case (js, es) => (js, es.toSeq) } ++
+      (if (newEntries.nonEmpty) Seq((meta.schemaJs, newEntries)) else Nil)
+    commitRewrite(spark, root, meta, snapshotId, groups, entrySchema, spec,
+      operation = "replace")
+    small.size.toLong
+  }
+
+  /** Orphan-file GC: delete files under `data/` that NO snapshot's
+    * manifests reference — a failed writer's leftovers (manifest-driven
+    * reads never see them, but they cost storage forever). Walks every
+    * snapshot in the log, data AND delete manifests, so time travel
+    * stays intact. Returns the paths removed. */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String): Seq[String] = {
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val f = fs(spark, root)
+    // every file referenced by ANY snapshot (the expireSnapshots refs
+    // discipline: gather all references before deleting anything)
+    val referenced = meta.snapshots.flatMap { case (_, listPath, _) =>
+      readAvro(spark, new Path(listPath))
+        .map(_.get("manifest_path").toString)
+        .flatMap(m => readAvro(spark, new Path(m))
+          .map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString))
+    }.map(p2 => new Path(new java.net.URI(p2)).toUri.getPath).toSet
+    val dataDir = new Path(root, "data")
+    if (!f.exists(dataDir)) return Nil
+    val it = f.listFiles(dataDir, true)
+    val orphans = mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val p2 = st.getPath
+      val isDataFile = st.isFile && !p2.getName.startsWith("_") &&
+        !p2.getName.startsWith(".")
+      if (isDataFile && !referenced.contains(p2.toUri.getPath))
+        orphans += p2.toString
+    }
+    orphans.foreach(o => f.delete(new Path(o), false))
+    orphans.toSeq
+  }
+
   /** Commit a rewrite snapshot: one manifest PER SOURCE SCHEMA holding
     * its entries (existing + added), a manifest list referencing them,
     * and the next metadata version. The table's schema json and

@@ -327,6 +327,57 @@ class IcebergLiteSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
 
+  test("compactSmallFiles rewrites only the small tail, carries the rest") {
+    val dir = tmp()
+    // snapshot 1: one chunky file; snapshots 2..4: tiny single-row files
+    IcebergLite.createTable(spark,
+      spark.createDataFrame((0L until 500L).map(i => (i, s"v$i")))
+        .toDF("id", "v").coalesce(1), dir)
+    (500L until 503L).foreach(i =>
+      IcebergLite.appendSnapshot(spark,
+        Seq((i, s"v$i")).toDF("id", "v").coalesce(1), dir))
+    val (_, totalBefore) = IcebergLite.scanFileCount(spark, dir, Nil)
+    assert(totalBefore == 4)
+    val bigSize = {
+      // the chunky file is comfortably above the small threshold
+      val d = new java.io.File(dir, "data/s1")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).max
+    }
+    val rewritten = IcebergLite.compactSmallFiles(spark, dir,
+      smallerThanBytes = bigSize)
+    assert(rewritten == 3L)
+    val (_, totalAfter) = IcebergLite.scanFileCount(spark, dir, Nil)
+    assert(totalAfter < totalBefore)
+    assert(IcebergLite.readTable(spark, dir).count() == 503L)
+    // the chunky file carried BY REFERENCE: its path is still live
+    val live = IcebergLite.readTable(spark, dir)
+      .select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .as[String].collect()
+    assert(live.exists(_.contains("/data/s1/")))
+    // with outstanding MOR deletes, small-file compaction applies them
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 0L)
+    IcebergLite.compactSmallFiles(spark, dir, smallerThanBytes = 1L << 30)
+    assert(IcebergLite.readTable(spark, dir).count() == 502L)
+  }
+
+  test("removeOrphanFiles deletes only unreferenced files; reads intact") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    // plant orphans: a failed writer's leftovers in an existing and a
+    // brand-new snapshot dir
+    batch2.toDF("id", "lang", "n").coalesce(1)
+      .write.mode("append").parquet(dir + "/data/s1")
+    batch1.toDF("id", "lang", "n").coalesce(1)
+      .write.mode("append").parquet(dir + "/data/s99")
+    val removed = IcebergLite.removeOrphanFiles(spark, dir)
+    assert(removed.size >= 2)
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    assert(IcebergLite.readTable(spark, dir, Some(1L)).count() == 3L)
+    // idempotent: second pass removes nothing
+    assert(IcebergLite.removeOrphanFiles(spark, dir).isEmpty)
+  }
+
   test("manifest column bounds prune files at scan planning") {
     val dir = tmp()
     // three snapshots with disjoint id ranges → bounds segment the space
