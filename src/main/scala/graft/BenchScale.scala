@@ -435,6 +435,51 @@ object BenchScale {
         graft.sources.IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
         nDeleted + graft.sources.IcebergLite.readTable(spark, dir).count()
       },
+      timed("image_phash_dedup_50k") {
+        // REAL pixel path at scale: 50k zlib-compressed PNGs generated
+        // map-side (10k families of 5 identical images), decoded by
+        // PngCodec (inflate + unfilter), perceptual-hashed (32×32 DCT
+        // pHash), and near-dup'd through the banded hash join — the
+        // image leg of the dedup family, never all-pairs. Value =
+        // candidate pairs found (10 per family → 100k) + a decode
+        // checksum term so Catalyst can't prune the pixel work.
+        import graft.multimodal.{Multimodal, PngCodec}
+        import spark.implicits._
+        val blobs = spark.range(0L, 50000L).as[Long].map { id =>
+          val seed = id / 5 // 5 identical images per family
+          val w = 24; val h = 16
+          // per-family NOISE content (mixed bits, not a gradient): a
+          // constant-offset gradient is invisible to the DC-excluded
+          // pHash, which would glue every family together; noise makes
+          // cross-family hashes ~uniform, so Hamming ≤ 3 cross hits
+          // are (provably, 2^-40-ish) absent and the pinned count is
+          // exactly the within-family pairs
+          def mix(z0: Long): Long = { // splitmix64 finalizer: avalanche,
+            var z = z0 + 0x9E3779B97F4A7C15L // so families decorrelate
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z ^ (z >>> 31)
+          }
+          (id, PngCodec.encode(PngCodec.Image(w, h, 3,
+            Array.tabulate(w * h * 3) { i =>
+              (mix(seed * 1536L + i) & 0xff).toByte
+            })))
+        }.toDF("media_id", "content")
+        val decoded = Multimodal.decodeImages(spark, blobs,
+          "media_id", "content").localCheckpoint()
+        val pixelWork = decoded.agg(sum(col("sum_c0"))).head().getLong(0)
+        val pairs = Multimodal.imageNearDups(decoded, "media_id")
+          .localCheckpoint()
+        // COMPLETENESS is the pin: every identical (within-family) pair
+        // must surface through the banding — exactly 10 per family.
+        // Cross-family hits are legitimate data-dependent near-dups,
+        // reported in the total, never a failure.
+        val familyPairs = pairs
+          .filter(expr("media_id_a div 5 = media_id_b div 5")).count()
+        require(familyPairs == 100000L,
+          s"banding missed family pairs: $familyPairs of 100000")
+        pairs.count() + pixelWork % 1000
+      },
       timed("iceberg_prune_scan") {
         // the SORTED-TABLE + FILE-SKIPPING discipline at corpus scale:
         // land the 500k docs range-clustered on doc_id (32 disjoint-

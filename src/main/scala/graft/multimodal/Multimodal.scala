@@ -166,4 +166,91 @@ object Multimodal {
       col("meta.width").as("width"),
       col("meta.height").as("height"),
       col("meta.nFrames").as("n_frames"))
+
+  // ---- REAL pixel path (PNG — the de-stubbed codec boundary) -------------
+
+  /** Decode a PNG binary column to pixel-level facts: dims, channels,
+    * per-channel byte sums (the oracle substrate — rederivable from a
+    * generator's pixel formula), and the three perceptual hashes.
+    * Non-PNG payloads yield a NULL-width row (the caller's filter
+    * decides); decode runs map-side in the same batched
+    * `mapPartitions` shape as the stub path — the plumbing was always
+    * real, now the PNG pixels are too ([[PngCodec]]). */
+  def decodeImages(spark: SparkSession, df: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes != null && PngCodec.isPng(bytes)) {
+          val img = PngCodec.decode(bytes)
+          val sums = new Array[Long](math.min(img.channels, 3))
+          var i = 0
+          val n = img.width * img.height
+          while (i < n) {
+            var c = 0
+            while (c < sums.length) {
+              sums(c) += img.pixels(i * img.channels + c) & 0xff
+              c += 1
+            }
+            i += 1
+          }
+          (id, img.width, img.height, img.channels,
+            sums.lift(0), sums.lift(1), sums.lift(2),
+            Some(PngCodec.aHash(img)), Some(PngCodec.dHash(img)),
+            Some(PngCodec.pHash(img)))
+        } else
+          (id, 0, 0, 0, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long])
+      })
+      .toDF(idCol, "width", "height", "channels",
+        "sum_c0", "sum_c1", "sum_c2", "ahash", "dhash", "phash")
+  }
+
+  /** PNG resize as a REAL pixel transform: decode → nearest-neighbor →
+    * re-encode, map-side. */
+  def resizeImages(spark: SparkSession, df: DataFrame, idCol: String,
+                   contentCol: String, targetWidth: Int,
+                   targetHeight: Int): DataFrame = {
+    import spark.implicits._
+    require(targetWidth > 0 && targetHeight > 0)
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, PngCodec.encode(PngCodec.resizeNearest(
+          PngCodec.decode(bytes), targetWidth, targetHeight)))
+      })
+      .toDF(idCol, contentCol)
+  }
+
+  /** Image NEAR-dup candidates at scale: the 64-bit perceptual hash
+    * splits into four 16-bit bands — by pigeonhole, any pair within
+    * Hamming distance 3 shares at least one exact band, so candidacy
+    * is a shuffle on (band_idx, band_value) keys (the minhash-LSH
+    * discipline on pixels) and the verify is `bit_count(h1 ^ h2)`.
+    * Never all-pairs. Returns (media_id_a, media_id_b, hamming) with
+    * a < b, hamming ≤ `maxHamming` (≤ 3 guaranteed complete; larger
+    * thresholds are best-effort candidates, documented). */
+  def imageNearDups(decoded: DataFrame, idCol: String,
+                    hashCol: String = "phash",
+                    maxHamming: Int = 3): DataFrame = {
+    val h = decoded.filter(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(hashCol).as("__h"))
+    val banded = h.select(col("__id"), col("__h"),
+        explode(sequence(lit(0), lit(3))).as("__band"))
+      .withColumn("__bv",
+        expr("(__h >> (__band * 16)) & 65535"))
+    val a = banded
+    val b = banded.select(col("__id").as("__id2"), col("__h").as("__h2"),
+      col("__band"), col("__bv"))
+    a.join(b, Seq("__band", "__bv"))
+      .filter(col("__id") < col("__id2"))
+      .select(col("__id"), col("__id2"), col("__h"), col("__h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("__h").bitwiseXOR(col("__h2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("__id").as("media_id_a"), col("__id2").as("media_id_b"),
+        col("hamming"))
+  }
 }

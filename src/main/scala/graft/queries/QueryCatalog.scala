@@ -4781,6 +4781,46 @@ object QueryCatalog {
       FROM documents WHERE doc_id % 7 <> 3
       GROUP BY lang ORDER BY lang""")),
 
+    // REAL PNG pixel decode end to end (multimodal/PngCodec — the
+    // de-stubbed codec boundary): every doc gets a real zlib-
+    // compressed, filter-framed PNG whose pixels follow a formula;
+    // Multimodal.decodeImages inflates, unfilters, and sums each
+    // channel. Any error anywhere in the container walk, the inflate,
+    // or the filter inversion corrupts a sum; the oracle rederives the
+    // sums from the pixel formula ALONE (it never sees a PNG byte).
+    // Data-derived at any scale.
+    QueryDef("image_decode", (s, d) => {
+      import graft.multimodal.{Multimodal, PngCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 24; val h = 16
+          (id, PngCodec.encode(PngCodec.Image(w, h, 3,
+            Array.tabulate(w * h * 3) { i =>
+              val pix = i / 3; val c = i % 3
+              ((id * 7 + (pix % w) * 3 + (pix / w) * 5 + c * 11) % 256).toByte
+            })))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeImages(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH px AS (
+        SELECT d.doc_id, c.c,
+          (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 23)) AS x) x,
+             (SELECT unnest(generate_series(0, 15)) AS y) y,
+             (SELECT unnest(generate_series(0, 2)) AS c) c)
+      SELECT doc_id,
+        CAST(24 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_c0,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
+      FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate
