@@ -224,6 +224,33 @@ object Multimodal {
       .toDF(idCol, contentCol)
   }
 
+  /** Decode a WAV PCM binary column to sample-level facts: stream
+    * shape, exact integer features (total energy, zero crossings,
+    * peak), and the energy-delta fingerprint — map-side, same batched
+    * shape as [[decodeImages]]; non-WAV payloads yield a NULL-featured
+    * row. */
+  def decodeAudio(spark: SparkSession, df: DataFrame, idCol: String,
+                  contentCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes != null && WavCodec.isWav(bytes)) {
+          val p = WavCodec.decode(bytes)
+          val frames = p.samples.length / math.max(1, p.channels)
+          (id, p.channels, p.sampleRate, p.bitsPerSample, frames.toLong,
+            Some(WavCodec.windowEnergies(p, 1).head),
+            Some(WavCodec.zeroCrossings(p)),
+            Some(WavCodec.peak(p).toLong),
+            Some(WavCodec.fingerprint(p)))
+        } else
+          (id, 0, 0, 0, 0L, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+      })
+      .toDF(idCol, "channels", "sample_rate", "bits_per_sample", "n_frames",
+        "energy", "zero_crossings", "peak", "afingerprint")
+  }
+
   /** Image NEAR-dup candidates at scale: the 64-bit perceptual hash
     * splits into four 16-bit bands — by pigeonhole, any pair within
     * Hamming distance 3 shares at least one exact band, so candidacy

@@ -4821,6 +4821,49 @@ object QueryCatalog {
         CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
       FROM px GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL WAV PCM sample decode end to end (multimodal/WavCodec):
+    // every doc gets a real RIFF/fmt/data 16-bit PCM stream whose
+    // samples follow a formula; decodeAudio walks the chunks, decodes
+    // the samples, and derives EXACT integer features. The oracle
+    // rederives energy (Σ s²), zero crossings (sign-change count via
+    // LAG), and peak from the formula alone — it never sees a WAV
+    // byte. Data-derived at any scale.
+    QueryDef("audio_decode", (s, d) => {
+      import graft.multimodal.{Multimodal, WavCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, WavCodec.encode(WavCodec.Pcm(1, 8000, 16,
+            Array.tabulate(256) { tt =>
+              ((id * 31 + tt.toLong * tt * 7) % 2000 - 1000).toInt
+            })))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeAudio(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("bits_per_sample"), col("n_frames"), col("energy"),
+          col("zero_crossings"), col("peak"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sm AS (
+        SELECT d.doc_id, t.t,
+          (d.doc_id * 31 + t.t * t.t * 7) % 2000 - 1000 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 255)) AS t) t),
+      lagged AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        FROM sm)
+      SELECT doc_id,
+        CAST(1 AS INTEGER) AS channels,
+        CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(16 AS INTEGER) AS bits_per_sample,
+        CAST(256 AS BIGINT) AS n_frames,
+        CAST(sum(v * v) AS BIGINT) AS energy,
+        CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND (v < 0) <> (pv < 0)) AS BIGINT) AS zero_crossings,
+        CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate
