@@ -65,13 +65,22 @@ object NexusFixtures {
           W.LongData(Array.tabulate(n)(e => ((7L * e + 13L * b + r) % 512)),
             width = 4, signed = false),
           chunk = math.max(16, n / 4), deflate = true, shuffle = true),
-        // bank 1 stores its offsets behind the 1.10+ FIXED-ARRAY chunk
-        // index (layout v4), the rest classic v1-b-tree v3 — both index
-        // generations ride the oracle corpus end to end
+        // the offsets datasets spread across the chunk-index generations
+        // so EVERY index rides the oracle corpus end to end: bank 1 =
+        // 1.10+ FIXED ARRAY, bank 2 = EXTENSIBLE ARRAY (enough chunks to
+        // overflow the index block into data blocks — the appendable
+        // event-stream shape), bank 3 = VERSION-2 B-TREE (node size
+        // forced small → a depth-1 tree), the rest classic v1-b-tree v3
         W.Dataset("event_time_offset",
           W.DoubleData(Array.tabulate(n)(e => ((31L * e + 11L * b) % 1000) / 64.0)),
-          chunk = math.max(16, n / 4), deflate = true,
-          layoutV4 = if (b == 1) 3 else 0),
+          chunk = b match {
+            case 2 => math.max(8, n / 24)
+            case 3 => math.max(8, n / 10)
+            case _ => math.max(16, n / 4)
+          },
+          deflate = true,
+          layoutV4 = b match { case 1 => 3; case 2 => 4; case 3 => 5; case _ => 0 },
+          btNodeSize = 128),
         W.Dataset("event_index",
           W.LongData(Array.tabulate(p)(pi => pi.toLong * k))),
         W.scalarLong("total_counts", n.toLong)),

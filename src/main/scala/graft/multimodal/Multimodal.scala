@@ -169,43 +169,92 @@ object Multimodal {
 
   // ---- REAL pixel path (PNG — the de-stubbed codec boundary) -------------
 
-  /** Decode a PNG binary column to pixel-level facts: dims, channels,
-    * per-channel byte sums (the oracle substrate — rederivable from a
-    * generator's pixel formula), and the three perceptual hashes.
-    * Non-PNG payloads yield a NULL-width row (the caller's filter
-    * decides); decode runs map-side in the same batched
-    * `mapPartitions` shape as the stub path — the plumbing was always
-    * real, now the PNG pixels are too ([[PngCodec]]). */
+  /** Decode an image binary column (PNG via [[PngCodec]], GIF via
+    * [[GifCodec]] — format sniffed per row, mixed corpora welcome) to
+    * pixel-level facts: dims, channels, frame count (real for animated
+    * GIF), per-channel byte sums over ALL frames (the oracle
+    * substrate — rederivable from a generator's pixel formula), and the
+    * three perceptual hashes of the FIRST frame. Undecodable payloads
+    * yield a NULL-featured row (the caller's filter decides); decode
+    * runs map-side in the same batched `mapPartitions` shape as the
+    * stub path. */
   def decodeImages(spark: SparkSession, df: DataFrame, idCol: String,
                    contentCol: String): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        if (bytes != null && PngCodec.isPng(bytes)) {
-          val img = PngCodec.decode(bytes)
-          val sums = new Array[Long](math.min(img.channels, 3))
+        def sumsOf(pixels: Array[Byte], channels: Int,
+                   acc: Array[Long]): Unit = {
+          val n = pixels.length / channels
           var i = 0
-          val n = img.width * img.height
           while (i < n) {
             var c = 0
-            while (c < sums.length) {
-              sums(c) += img.pixels(i * img.channels + c) & 0xff
+            while (c < acc.length) {
+              acc(c) += pixels(i * channels + c) & 0xff
               c += 1
             }
             i += 1
           }
-          (id, img.width, img.height, img.channels,
+        }
+        if (bytes != null && PngCodec.isPng(bytes)) {
+          val img = PngCodec.decode(bytes)
+          val sums = new Array[Long](math.min(img.channels, 3))
+          sumsOf(img.pixels, img.channels, sums)
+          (id, img.width, img.height, img.channels, 1,
+            sums.lift(0), sums.lift(1), sums.lift(2),
+            Some(PngCodec.aHash(img)), Some(PngCodec.dHash(img)),
+            Some(PngCodec.pHash(img)))
+        } else if (bytes != null && GifCodec.isGif(bytes)) {
+          val gif = GifCodec.decode(bytes)
+          val sums = new Array[Long](3)
+          gif.frames.foreach(f => sumsOf(f.rgb, 3, sums))
+          val first = gif.frames.head
+          val img = PngCodec.Image(first.width, first.height, 3, first.rgb)
+          (id, gif.width, gif.height, 3, gif.frames.length,
             sums.lift(0), sums.lift(1), sums.lift(2),
             Some(PngCodec.aHash(img)), Some(PngCodec.dHash(img)),
             Some(PngCodec.pHash(img)))
         } else
-          (id, 0, 0, 0, None: Option[Long], None: Option[Long],
+          (id, 0, 0, 0, 0, None: Option[Long], None: Option[Long],
             None: Option[Long], None: Option[Long], None: Option[Long],
             None: Option[Long])
       })
-      .toDF(idCol, "width", "height", "channels",
+      .toDF(idCol, "width", "height", "channels", "n_frames",
         "sum_c0", "sum_c1", "sum_c2", "ahash", "dhash", "phash")
+  }
+
+  /** REAL frame sampling for animated GIF: one row per decoded frame
+    * with its logical-screen placement and exact per-channel sums plus
+    * a position-weighted channel-0 sum (order-sensitive — catches a
+    * mis-deinterlaced raster that plain sums cannot). Map-side explode,
+    * frames inherit the parent's partitioning — the [[sampleFrames]]
+    * plumbing with the codec boundary de-stubbed. */
+  def gifFrames(spark: SparkSession, df: DataFrame, idCol: String,
+                contentCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null || !GifCodec.isGif(bytes)) Iterator.empty
+        else GifCodec.decode(bytes).frames.iterator.zipWithIndex.map {
+          case (f, idx) =>
+            val sums = new Array[Long](3)
+            var wsum0 = 0L
+            val n = f.width * f.height
+            var i = 0
+            while (i < n) {
+              var c = 0
+              while (c < 3) { sums(c) += f.rgb(i * 3 + c) & 0xff; c += 1 }
+              wsum0 += i.toLong * (f.rgb(i * 3) & 0xff)
+              i += 1
+            }
+            (id, idx, f.left, f.top, f.width, f.height,
+              sums(0), sums(1), sums(2), wsum0)
+        }
+      }
+      .toDF(idCol, "frame_idx", "left", "top", "width", "height",
+        "sum_r", "sum_g", "sum_b", "wsum_r")
   }
 
   /** PNG resize as a REAL pixel transform: decode → nearest-neighbor →

@@ -4864,6 +4864,54 @@ object QueryCatalog {
         CAST(max(abs(v)) AS BIGINT) AS peak
       FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL animated-GIF pixel decode end to end (multimodal/GifCodec):
+    // every doc gets a 3-frame GIF89a — formula palette (64 colors),
+    // formula indices, frame 1 INTERLACED, frames offset on the
+    // logical screen — and gifFrames LZW-decompresses, deinterlaces,
+    // palette-maps, and emits per-frame placement + exact channel sums
+    // + a position-weighted sum (order-sensitive: a mis-deinterlace
+    // keeps the plain sums but breaks wsum_r). The oracle rederives
+    // everything from the index/palette formulas alone — it never sees
+    // a GIF byte. Data-derived at any scale.
+    QueryDef("gif_decode", (s, d) => {
+      import graft.multimodal.{GifCodec, Multimodal}
+      import s.implicits._
+      val palette = Array.tabulate(64)(j =>
+        (((j * 5) % 256) << 16) | (((j * 7) % 256) << 8) | ((j * 11) % 256))
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val fw = 16; val fh = 12
+          val frames = (0 until 3).map { f =>
+            GifCodec.IndexedFrame(f * 2, f, fw, fh,
+              Array.tabulate(fw * fh)(pix =>
+                ((id * 3 + f * 17 + pix) % 64).toByte),
+              interlace = f == 1)
+          }
+          (id, GifCodec.encode(20, 14, palette, frames))
+        }.toDF("doc_id", "content")
+      Multimodal.gifFrames(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("frame_idx"),
+          col("left").as("f_left"), col("top").as("f_top"),
+          col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("wsum_r"))
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""
+      WITH px AS (
+        SELECT d.doc_id, f.f, p.p,
+          (d.doc_id * 3 + f.f * 17 + p.p) % 64 AS idx
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 2)) AS f) f,
+             (SELECT unnest(generate_series(0, 191)) AS p) p)
+      SELECT doc_id,
+        CAST(f AS INTEGER) AS frame_idx,
+        CAST(f * 2 AS INTEGER) AS f_left, CAST(f AS INTEGER) AS f_top,
+        CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        CAST(sum((idx * 5) % 256) AS BIGINT) AS sum_r,
+        CAST(sum((idx * 7) % 256) AS BIGINT) AS sum_g,
+        CAST(sum((idx * 11) % 256) AS BIGINT) AS sum_b,
+        CAST(sum(p * ((idx * 5) % 256)) AS BIGINT) AS wsum_r
+      FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate

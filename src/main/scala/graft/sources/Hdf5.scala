@@ -25,9 +25,12 @@ import scala.collection.mutable
   *     arrays, v1/v3 member encodings, decoded column-wise)
   *   - data layouts v3 (compact, contiguous, chunked v1-B-tree index,
   *     any rank, partial edge chunks) and v4 (1.10+: compact,
-  *     contiguous, chunked with Single Chunk / Implicit / Fixed Array
-  *     `FAHD`/`FADB` indexes incl. paged data blocks; extensible-array
-  *     and v2-b-tree indexes are out of subset)
+  *     contiguous, chunked with ALL FIVE chunk indexes — Single Chunk,
+  *     Implicit, Fixed Array `FAHD`/`FADB` incl. paged data blocks,
+  *     Extensible Array `EAHD`/`EAIB`/`EASB`/`EADB` (the
+  *     one-unlimited-dim appendable shape; paged EA data blocks are out
+  *     of subset), and Version-2 B-tree `BTHD`/`BTIN`/`BTLF` chunk
+  *     records, any depth)
   *   - filter pipeline messages v1 and v2 (deflate id 1, shuffle id 2)
   *   - attribute messages v1/v2/v3
   *   - user-block files (superblock at 512/1024/…, base-relative
@@ -225,13 +228,17 @@ object Hdf5 {
   private final case class Chunked(btreeAddr: Long, chunkDims: Array[Int])
       extends Layout
   /** Data layout message v4 (HDF5 1.10+): `indexType` 1 = Single Chunk,
-    * 2 = Implicit, 3 = Fixed Array (extensible array / v2 b-tree are out
-    * of subset, refused by name at parse). `chunkDims` is stored as
-    * encoded; the reader tolerates both the rank and rank+1 (trailing
-    * element-size dimension) encodings. */
+    * 2 = Implicit, 3 = Fixed Array, 4 = Extensible Array (the
+    * one-unlimited-dimension appendable shape — h5py `maxshape=(None,)`
+    * event streams), 5 = Version-2 B-tree (multiple unlimited dims).
+    * `chunkDims` is stored as encoded; the reader tolerates both the
+    * rank and rank+1 (trailing element-size dimension) encodings.
+    * `idxParams` carries the index-specific layout-message properties:
+    * EA (maxBits, idxBlkElmts, minPtrs, minElmts, pageBits); v2 b-tree
+    * (nodeSize, splitPct, mergePct). */
   private final case class ChunkedV4(
       indexType: Int, addr: Long, chunkDims: Array[Int], filtered: Boolean,
-      singleChunkSize: Long) extends Layout
+      singleChunkSize: Long, idxParams: Array[Int] = Array.empty) extends Layout
 
   private final case class Filter(id: Int, clientValues: Array[Int])
 
@@ -670,6 +677,7 @@ object Hdf5 {
           p += nDims * encLen
           val indexType = u8(d, p); p += 1
           var singleSize = -1L
+          var idxParams = Array.empty[Int]
           indexType match {
             case 1 => // single chunk; filtered variant carries size+mask
               if ((flags & 0x2) != 0) {
@@ -678,14 +686,18 @@ object Hdf5 {
               }
             case 2 => // implicit: no index info (unfiltered by contract)
             case 3 => p += 1 // fixed array: page bits live in the FAHD too
-            case 4 => sys.error(
-              "extensible-array chunk index is out of subset (v4 layout)")
-            case 5 => sys.error(
-              "v2 b-tree chunk index is out of subset (v4 layout)")
+            case 4 => // extensible array: creation parameters ride the message
+              idxParams = Array(u8(d, p), u8(d, p + 1), u8(d, p + 2),
+                u8(d, p + 3), u8(d, p + 4))
+              p += 5
+            case 5 => // v2 b-tree: node size + split/merge percents
+              idxParams = Array(u32(d, p).toInt, u8(d, p + 4), u8(d, p + 5))
+              p += 6
             case t => sys.error(s"unknown v4 chunk index type $t")
           }
           ChunkedV4(indexType, readOffset(d, p), chunkDims,
-            filtered = (flags & 0x2) != 0, singleChunkSize = singleSize)
+            filtered = (flags & 0x2) != 0, singleChunkSize = singleSize,
+            idxParams = idxParams)
         case c => sys.error(s"unsupported v4 layout class $c")
       }
     }
@@ -1054,9 +1066,291 @@ object Hdf5 {
             }
             i += 1
           }
+        case 4 => // extensible array: EAHD → EAIB (+EASB) → EADB chains
+          readExtensibleArray(name, c.addr, asm, chunkBytes, elemSize, filters)
+        case 5 => // version-2 b-tree: BTHD → BTIN/BTLF record walk
+          readV2BtreeChunks(name, c.addr, asm, chunkDims, chunkBytes,
+            elemSize, filters)
         case t => sys.error(s"unsupported v4 chunk index type $t")
       }
       asm.out
+    }
+
+    /** Extensible-array chunk index (HDF5 1.10+, the index libhdf5 picks
+      * for datasets with exactly ONE unlimited dimension — the appendable
+      * event-stream shape h5py `maxshape=(None,)` produces). Walks
+      * EAHD header → EAIB index block (inline elements + direct
+      * data-block pointers + secondary-block pointers) → EASB secondary
+      * blocks → EADB data blocks, decoding elements in index order.
+      * Super-block geometry per the public spec / H5EA: super block `s`
+      * holds `2^(s/2)` data blocks of `minElmts·2^((s+1)/2)` elements;
+      * the index block directly addresses the first `2·(minPtrs−1)` data
+      * blocks (super blocks `0 … 2·log2(minPtrs)−1`). Element order is
+      * the row-major chunk grid — exact when the unlimited dimension is
+      * dimension 0 (libhdf5 swizzles the unlimited dim to slot 0, an
+      * identity move for that shape; rank-1 event streams trivially
+      * qualify). Paged data blocks (> `2^pageBits` elements, reached only
+      * past tens of thousands of chunks under library defaults) are out
+      * of subset and refuse by name. */
+    private def readExtensibleArray(name: String, hdrAddr: Long,
+                                    asm: ChunkAssembler, chunkBytes: Long,
+                                    elemSize: Int,
+                                    filters: List[Filter]): Unit = {
+      def log2(v: Int): Int = {
+        require(v > 0 && (v & (v - 1)) == 0,
+          s"dataset $name: extensible-array parameter $v is not a power of 2")
+        java.lang.Integer.numberOfTrailingZeros(v)
+      }
+      val head = src.get(hdrAddr, 12 + 6 * sizeOfLengths + sizeOfOffsets + 4)
+      require(new String(head, 0, 4, "US-ASCII") == "EAHD",
+        s"dataset $name: bad extensible-array header signature")
+      require(u8(head, 4) == 0,
+        s"dataset $name: unsupported extensible-array version ${u8(head, 4)}")
+      val clientId = u8(head, 5)
+      require(clientId <= 1,
+        s"dataset $name: unsupported extensible-array client $clientId")
+      val eaFiltered = clientId == 1
+      val eaElemSize = u8(head, 6)
+      val maxNelmtsBits = u8(head, 7)
+      val idxBlkElmts = u8(head, 8)
+      val minElmts = u8(head, 9)
+      val minPtrs = u8(head, 10)
+      val pageBits = u8(head, 11)
+      val iblkAddr = readOffset(head, 12 + 6 * sizeOfLengths)
+      if (iblkAddr == Undef) return // never-written dataset → zeros
+      val blockOffBytes = (maxNelmtsBits + 7) / 8
+
+      // super-block geometry (shared by reader and writer)
+      def nDblks(s: Int): Int = 1 << (s / 2)
+      def dblkNelmts(s: Int): Int = minElmts << ((s + 1) / 2)
+      val iblkSblks = 2 * log2(minPtrs) // super blocks addressed directly
+      val nsblksTotal = 1 + (maxNelmtsBits - log2(minElmts))
+      val nDblkAddrs = 2 * (minPtrs - 1)
+      val nSblkAddrs = math.max(0, nsblksTotal - iblkSblks)
+
+      val iblkLen = 6 + sizeOfOffsets + idxBlkElmts * eaElemSize +
+        (nDblkAddrs + nSblkAddrs) * sizeOfOffsets + 4
+      val iblk = src.get(iblkAddr, iblkLen)
+      require(new String(iblk, 0, 4, "US-ASCII") == "EAIB",
+        s"dataset $name: bad extensible-array index block signature")
+      val elemsBase = 6 + sizeOfOffsets
+      val dblkAddrBase = elemsBase + idxBlkElmts * eaElemSize
+      val sblkAddrBase = dblkAddrBase + nDblkAddrs * sizeOfOffsets
+
+      // cache of loaded blocks: secondary-block dblk-address arrays and
+      // data-block element payloads (both KB-scale)
+      val sblkCache = scala.collection.mutable.Map.empty[Int, Array[Long]]
+      val dblkCache = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+
+      def dataBlockElems(addr: Long, nelmts: Int): Array[Byte] =
+        dblkCache.getOrElseUpdate(addr, {
+          require(nelmts <= (1 << pageBits),
+            s"dataset $name: paged extensible-array data block " +
+              s"($nelmts elements > 2^$pageBits/page) is out of subset")
+          val dbHead = 6 + sizeOfOffsets + blockOffBytes
+          val db = src.get(addr, dbHead + nelmts * eaElemSize + 4)
+          require(new String(db, 0, 4, "US-ASCII") == "EADB",
+            s"dataset $name: bad extensible-array data block signature")
+          java.util.Arrays.copyOfRange(db, dbHead, dbHead + nelmts * eaElemSize)
+        })
+
+      def sblkDblkAddrs(s: Int): Array[Long] =
+        sblkCache.getOrElseUpdate(s, {
+          val sAddr = readOffset(iblk,
+            sblkAddrBase + (s - iblkSblks) * sizeOfOffsets)
+          if (sAddr == Undef) Array.fill(nDblks(s))(Undef)
+          else {
+            val sbHead = 6 + sizeOfOffsets + blockOffBytes
+            val sb = src.get(sAddr, sbHead + nDblks(s) * sizeOfOffsets + 4)
+            require(new String(sb, 0, 4, "US-ASCII") == "EASB",
+              s"dataset $name: bad extensible-array secondary block signature")
+            Array.tabulate(nDblks(s))(i =>
+              readOffset(sb, sbHead + i * sizeOfOffsets))
+          }
+        })
+
+      // prefix sums over super blocks: first element index / first dblk
+      val startIdx = new Array[Long](nsblksTotal + 1)
+      val startDblk = new Array[Int](nsblksTotal + 1)
+      var s = 0
+      while (s < nsblksTotal) {
+        startIdx(s + 1) = startIdx(s) + nDblks(s).toLong * dblkNelmts(s)
+        startDblk(s + 1) = startDblk(s) + nDblks(s)
+        s += 1
+      }
+
+      // element i (in index order = row-major chunk grid) → raw bytes,
+      // or null when its storage was never allocated (chunk unwritten)
+      def element(i: Long): Array[Byte] = {
+        if (i < idxBlkElmts)
+          return java.util.Arrays.copyOfRange(iblk,
+            elemsBase + i.toInt * eaElemSize,
+            elemsBase + (i.toInt + 1) * eaElemSize)
+        val u = i - idxBlkElmts
+        var sb = 0
+        while (sb + 1 < nsblksTotal && startIdx(sb + 1) <= u) sb += 1
+        val blockIdx = ((u - startIdx(sb)) / dblkNelmts(sb)).toInt
+        val within = ((u - startIdx(sb)) % dblkNelmts(sb)).toInt
+        val dAddr =
+          if (sb < iblkSblks)
+            readOffset(iblk,
+              dblkAddrBase + (startDblk(sb) + blockIdx) * sizeOfOffsets)
+          else sblkDblkAddrs(sb)(blockIdx)
+        if (dAddr == Undef) return null
+        val elems = dataBlockElems(dAddr, dblkNelmts(sb))
+        java.util.Arrays.copyOfRange(elems, within * eaElemSize,
+          (within + 1) * eaElemSize)
+      }
+
+      var i = 0L
+      asm.gridOffsets.foreach { off =>
+        val e = element(i)
+        if (e != null) {
+          val addr = readOffset(e, 0)
+          if (addr != Undef) {
+            if (eaFiltered) {
+              val szBytes = eaElemSize - sizeOfOffsets - 4
+              var sz = 0L
+              var b = 0
+              while (b < szBytes) {
+                sz |= (e(sizeOfOffsets + b) & 0xffL) << (8 * b); b += 1
+              }
+              asm.place(off,
+                applyFilters(src.get(addr, sz.toInt), filters, elemSize))
+            } else {
+              asm.place(off, src.get(addr, chunkBytes.toInt))
+            }
+          }
+        }
+        i += 1
+      }
+    }
+
+    /** Version-2 b-tree chunk index (HDF5 1.10+, the index libhdf5 picks
+      * for datasets with MORE THAN ONE unlimited dimension). Record type
+      * 10 = non-filtered chunks (address + per-dim scaled offsets),
+      * type 11 = filtered (address + variable-width chunk size + filter
+      * mask + scaled offsets). Internal nodes carry records then
+      * `nrec+1` child pointers whose field widths follow the spec's
+      * capacity arithmetic: the nrec field is sized for the maximum
+      * leaf-record count, the total-records field (present when the
+      * child is internal) for the cumulative subtree maximum at the
+      * child's depth. Chunk placement = scaled offset × chunk dims. */
+    private def readV2BtreeChunks(name: String, hdrAddr: Long,
+                                  asm: ChunkAssembler, chunkDims: Array[Int],
+                                  chunkBytes: Long, elemSize: Int,
+                                  filters: List[Filter]): Unit = {
+      val rank = chunkDims.length
+      val head = src.get(hdrAddr,
+        12 + 2 + 2 + sizeOfOffsets + 2 + sizeOfLengths + 4)
+      require(new String(head, 0, 4, "US-ASCII") == "BTHD",
+        s"dataset $name: bad v2 b-tree header signature")
+      require(u8(head, 4) == 0,
+        s"dataset $name: unsupported v2 b-tree version ${u8(head, 4)}")
+      val btType = u8(head, 5)
+      require(btType == 10 || btType == 11,
+        s"dataset $name: v2 b-tree record type $btType is not a chunk index")
+      val btFiltered = btType == 11
+      val nodeSize = u32(head, 6).toInt
+      val recordSize = u16(head, 10)
+      val depth = u16(head, 12)
+      // split(1) + merge(1) percents at 14/15
+      val rootAddr = readOffset(head, 16)
+      val rootNrec = u16(head, 16 + sizeOfOffsets)
+      if (rootAddr == Undef) return
+
+      // capacity arithmetic (spec III.A.2 / H5B2): sizes of the child
+      // pointers' nrec / total-nrec fields
+      def encSize(v: Long): Int = (63 - java.lang.Long.numberOfLeadingZeros(
+        math.max(v, 1L))).toInt / 8 + 1
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      require(maxLeafRec > 0,
+        s"dataset $name: v2 b-tree node size $nodeSize too small")
+      val maxNrecSize = encSize(maxLeafRec.toLong)
+      // cumulative subtree maxima per depth
+      val cumMaxNrec = new Array[Long](depth + 1)
+      val cumMaxNrecSize = new Array[Int](depth + 1)
+      cumMaxNrec(0) = maxLeafRec.toLong
+      cumMaxNrecSize(0) = encSize(cumMaxNrec(0))
+      var d = 1
+      while (d <= depth) {
+        val ptrSize = sizeOfOffsets + maxNrecSize + cumMaxNrecSize(d - 1)
+        val maxIntRec = (nodeSize - (10 + ptrSize)) / (recordSize + ptrSize)
+        cumMaxNrec(d) = (maxIntRec.toLong + 1) * cumMaxNrec(d - 1) +
+          maxIntRec.toLong
+        cumMaxNrecSize(d) = encSize(cumMaxNrec(d))
+        d += 1
+      }
+
+      val szBytes = recordSize - sizeOfOffsets - 4 - 8 * rank // type 11 only
+      if (btFiltered)
+        require(szBytes >= 1 && szBytes <= 8,
+          s"dataset $name: v2 b-tree filtered record size $recordSize " +
+            s"inconsistent with rank $rank")
+      else
+        require(recordSize == sizeOfOffsets + 8 * rank,
+          s"dataset $name: v2 b-tree record size $recordSize " +
+            s"inconsistent with rank $rank")
+
+      def placeRecord(rec: Array[Byte], p: Int): Unit = {
+        val addr = readOffset(rec, p)
+        var q = p + sizeOfOffsets
+        var storedSize = chunkBytes
+        if (btFiltered) {
+          var sz = 0L
+          var b = 0
+          while (b < szBytes) { sz |= (rec(q + b) & 0xffL) << (8 * b); b += 1 }
+          storedSize = sz
+          q += szBytes + 4 // + filter mask
+        }
+        val off = new Array[Long](rank)
+        var dd = 0
+        while (dd < rank) {
+          off(dd) = u64(rec, q + dd * 8) * chunkDims(dd); dd += 1
+        }
+        if (addr != Undef) {
+          val raw = src.get(addr, storedSize.toInt)
+          asm.place(off,
+            if (btFiltered) applyFilters(raw, filters, elemSize)
+            else raw)
+        }
+      }
+
+      def walk(addr: Long, nrec: Int, nodeDepth: Int): Unit = {
+        if (addr == Undef) return
+        if (nodeDepth == 0) {
+          val node = src.get(addr, 6 + nrec * recordSize + 4)
+          require(new String(node, 0, 4, "US-ASCII") == "BTLF",
+            s"dataset $name: bad v2 b-tree leaf signature")
+          var r = 0
+          while (r < nrec) { placeRecord(node, 6 + r * recordSize); r += 1 }
+        } else {
+          val childPtrSize = sizeOfOffsets + maxNrecSize +
+            (if (nodeDepth > 1) cumMaxNrecSize(nodeDepth - 1) else 0)
+          val node = src.get(addr,
+            6 + nrec * recordSize + (nrec + 1) * childPtrSize + 4)
+          require(new String(node, 0, 4, "US-ASCII") == "BTIN",
+            s"dataset $name: bad v2 b-tree internal signature")
+          var r = 0
+          while (r < nrec) { placeRecord(node, 6 + r * recordSize); r += 1 }
+          val ptrBase = 6 + nrec * recordSize
+          var c = 0
+          while (c <= nrec) {
+            val p = ptrBase + c * childPtrSize
+            val childAddr = readOffset(node, p)
+            var childNrec = 0L
+            var b = 0
+            while (b < maxNrecSize) {
+              childNrec |= (node(p + sizeOfOffsets + b) & 0xffL) << (8 * b)
+              b += 1
+            }
+            walk(childAddr, childNrec.toInt, nodeDepth - 1)
+            c += 1
+          }
+        }
+      }
+
+      walk(rootAddr, rootNrec, depth)
     }
 
     // ---- element decoding ------------------------------------------------

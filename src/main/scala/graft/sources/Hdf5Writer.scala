@@ -68,12 +68,23 @@ object Hdf5Writer {
                            deflate: Boolean = false,
                            shuffle: Boolean = false,
                            pipelineV2: Boolean = false,
-                           /** 0 = v3 layout (v1 b-tree); 1/2/3 = v4
+                           /** 0 = v3 layout (v1 b-tree); 1/2/3/4/5 = v4
                              * layout with the Single Chunk / Implicit /
-                             * Fixed Array chunk index (the HDF5 1.10+
+                             * Fixed Array / Extensible Array / Version-2
+                             * B-tree chunk index (the HDF5 1.10+
                              * writer shapes). */
                            layoutV4: Int = 0,
-                           faPageBits: Int = 10) extends Node
+                           faPageBits: Int = 10,
+                           /** Extensible-array creation parameters
+                             * (idxBlkElmts, dataBlkMinElmts,
+                             * supBlkMinDataPtrs, maxDblkPageNelmtsBits) —
+                             * libhdf5's chunk-index defaults; tests
+                             * shrink them to reach secondary blocks with
+                             * few chunks. */
+                           eaParams: (Int, Int, Int, Int) = (4, 16, 4, 10),
+                           /** v2 b-tree node size; small values force
+                             * depth > 0 with few chunks. */
+                           btNodeSize: Int = 2048) extends Node
 
   def scalarStr(name: String, v: String, attrs: Seq[(String, Attr)] = Nil): Dataset =
     Dataset(name, StringData(Array(v)), attrs, scalar = true)
@@ -96,6 +107,11 @@ object Hdf5Writer {
   }
 
   private final val Undef = Array.fill[Byte](8)(0xff.toByte)
+
+  /** Max-element-bits written for extensible-array chunk indexes (fixes
+    * the 4-byte block-offset field width; libhdf5 derives it from the
+    * dataset's max dims — 32 bits covers every fixture scale). */
+  private final val EaMaxBits = 32
 
   private final class Writer {
     private val buf = mutable.ArrayBuffer.empty[Byte]
@@ -487,6 +503,19 @@ object Hdf5Writer {
               // FAHD client id, as libhdf5 writes it
               msgs += ((0x0008, b1(4) ++ b1(2) ++ b1(0) ++ dimsV4 ++
                 b1(3) ++ b1(pageBits) ++ b8(fahdAddr)))
+            case 4 => // extensible array: EADB/EASB/EAIB/EAHD chain
+              val eahdAddr = writeExtensibleArray(chunks.toSeq, filtered,
+                ds.eaParams)
+              val (idxE, minE, minP, pgBits) = ds.eaParams
+              msgs += ((0x0008, b1(4) ++ b1(2) ++ b1(0) ++ dimsV4 ++
+                b1(4) ++ b1(EaMaxBits) ++ b1(idxE) ++ b1(minP) ++ b1(minE) ++
+                b1(pgBits) ++ b8(eahdAddr)))
+            case 5 => // v2 b-tree: BTLF leaves (+BTIN root) + BTHD header
+              val bthdAddr = writeV2BtreeIndex(chunks.toSeq, filtered,
+                ds.btNodeSize, chunkElems)
+              msgs += ((0x0008, b1(4) ++ b1(2) ++ b1(0) ++ dimsV4 ++
+                b1(5) ++ b4(ds.btNodeSize.toLong) ++ b1(100) ++ b1(40) ++
+                b8(bthdAddr)))
             case v => sys.error(s"unknown v4 layout variant $v")
           }
         } else {
@@ -524,6 +553,248 @@ object Hdf5Writer {
 
       ds.attrs.foreach { case (nm, a) => msgs += encodeAttr(nm, a) }
       writeHeader(msgs.toSeq)
+    }
+
+    /** Emit the extensible-array index chain for `chunks` (already in
+      * grid order): data blocks, secondary blocks, index block, header —
+      * addresses planned up front so the forward header references are
+      * exact. Returns the `EAHD` address. Geometry per the spec / H5EA:
+      * super block `s` holds `2^(s/2)` data blocks of
+      * `minElmts·2^((s+1)/2)` elements; the index block inlines the
+      * first `idxBlkElmts` elements and directly addresses the first
+      * `2·(minPtrs−1)` data blocks. */
+    private def writeExtensibleArray(chunks: Seq[(Long, Int, Long)],
+                                     filtered: Boolean,
+                                     params: (Int, Int, Int, Int)): Long = {
+      val (idxBlkElmts, minElmts, minPtrs, pageBits) = params
+      def log2(v: Int): Int = {
+        require(v > 0 && (v & (v - 1)) == 0,
+          s"extensible-array parameter $v must be a power of 2")
+        Integer.numberOfTrailingZeros(v)
+      }
+      val elemSize = if (filtered) 16 else 8
+      val blockOffBytes = (EaMaxBits + 7) / 8
+      def nDblks(s: Int): Int = 1 << (s / 2)
+      def dblkNelmts(s: Int): Int = minElmts << ((s + 1) / 2)
+      val iblkSblks = 2 * log2(minPtrs)
+      val nsblksTotal = 1 + (EaMaxBits - log2(minElmts))
+      val nDblkAddrs = 2 * (minPtrs - 1)
+      val nSblkAddrs = math.max(0, nsblksTotal - iblkSblks)
+
+      val undefElem = Array.fill[Byte](elemSize)(0xff.toByte)
+      def elemBytes(c: (Long, Int, Long)): Array[Byte] =
+        if (filtered) b8(c._3) ++ b4(c._2.toLong) ++ b4(0) else b8(c._3)
+
+      val inline = chunks.take(idxBlkElmts)
+      var rest = chunks.drop(idxBlkElmts)
+
+      // assign overflow chunks to data blocks per the super-block schedule
+      final case class DBlkPlan(s: Int, firstElem: Long,
+                                elems: Seq[(Long, Int, Long)])
+      val dblkPlans = mutable.ArrayBuffer.empty[DBlkPlan]
+      var s = 0
+      var elemCursor = idxBlkElmts.toLong
+      while (rest.nonEmpty) {
+        require(s < nsblksTotal,
+          s"extensible array overflow: ${chunks.length} chunks exceed " +
+            s"2^$EaMaxBits elements")
+        require(dblkNelmts(s) <= (1 << pageBits),
+          "fixture writer: paged extensible-array data blocks unsupported " +
+            s"(super block $s needs ${dblkNelmts(s)} > 2^$pageBits/page)")
+        var d = 0
+        while (d < nDblks(s) && rest.nonEmpty) {
+          val take = math.min(dblkNelmts(s), rest.length)
+          dblkPlans += DBlkPlan(s, elemCursor, rest.take(take))
+          rest = rest.drop(take)
+          elemCursor += dblkNelmts(s)
+          d += 1
+        }
+        // skip the super block's unused data blocks in element space
+        elemCursor = idxBlkElmts.toLong + {
+          var acc = 0L
+          var t = 0
+          while (t <= s) { acc += nDblks(t).toLong * dblkNelmts(t); t += 1 }
+          acc
+        }
+        s += 1
+      }
+      val sblksUsed = dblkPlans.map(_.s).distinct.filter(_ >= iblkSblks)
+
+      // address plan: [data blocks][secondary blocks][index block][EAHD]
+      def dblkSize(s0: Int): Long =
+        6L + 8 + blockOffBytes + dblkNelmts(s0).toLong * elemSize + 4
+      def sblkSize(s0: Int): Long =
+        6L + 8 + blockOffBytes + nDblks(s0).toLong * 8 + 4
+      val iblkSize = 6L + 8 + idxBlkElmts.toLong * elemSize +
+        (nDblkAddrs + nSblkAddrs).toLong * 8 + 4
+      var cursor = pos
+      val dblkAddr = dblkPlans.map { p =>
+        val a = cursor; cursor += dblkSize(p.s); (p, a)
+      }
+      val sblkAddr = sblksUsed.map { s0 =>
+        val a = cursor; cursor += sblkSize(s0); (s0, a)
+      }.toMap
+      val iblkAddr = cursor
+      val eahdAddr = iblkAddr + iblkSize
+
+      def bVar(v: Long, n: Int): Array[Byte] =
+        Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+      // data blocks: elements at capacity, unwritten slots Undef
+      for ((p, _) <- dblkAddr) {
+        val db = mutable.ArrayBuffer.empty[Byte]
+        db ++= "EADB".getBytes("US-ASCII")
+        db ++= b1(0)
+        db ++= b1(if (filtered) 1 else 0)
+        db ++= b8(eahdAddr)
+        db ++= bVar(p.firstElem, blockOffBytes)
+        p.elems.foreach(c => db ++= elemBytes(c))
+        (p.elems.length until dblkNelmts(p.s)).foreach(_ => db ++= undefElem)
+        db ++= b4(0) // checksum (unverified by the reader)
+        put(db.toArray)
+      }
+      // secondary blocks: this super block's data-block addresses
+      val plansBySblk = dblkPlans.zip(dblkAddr.map(_._2))
+        .groupBy(_._1.s)
+      for (s0 <- sblksUsed) {
+        val sb = mutable.ArrayBuffer.empty[Byte]
+        sb ++= "EASB".getBytes("US-ASCII")
+        sb ++= b1(0)
+        sb ++= b1(if (filtered) 1 else 0)
+        sb ++= b8(eahdAddr)
+        sb ++= bVar(plansBySblk(s0).head._1.firstElem, blockOffBytes)
+        val addrs = plansBySblk(s0).map(_._2)
+        addrs.foreach(a => sb ++= b8(a))
+        (addrs.length until nDblks(s0)).foreach(_ => sb ++= Undef)
+        sb ++= b4(0)
+        put(sb.toArray)
+      }
+      // index block: inline elements, direct dblk addresses, sblk addresses
+      val ib = mutable.ArrayBuffer.empty[Byte]
+      ib ++= "EAIB".getBytes("US-ASCII")
+      ib ++= b1(0)
+      ib ++= b1(if (filtered) 1 else 0)
+      ib ++= b8(eahdAddr)
+      inline.foreach(c => ib ++= elemBytes(c))
+      (inline.length until idxBlkElmts).foreach(_ => ib ++= undefElem)
+      val directAddrs = dblkAddr.filter(_._1.s < iblkSblks).map(_._2)
+      directAddrs.foreach(a => ib ++= b8(a))
+      (directAddrs.length until nDblkAddrs).foreach(_ => ib ++= Undef)
+      (0 until nSblkAddrs).foreach { i =>
+        val s0 = iblkSblks + i
+        if (sblkAddr.contains(s0)) ib ++= b8(sblkAddr(s0)) else ib ++= Undef
+      }
+      ib ++= b4(0)
+      val gotIblk = put(ib.toArray)
+      require(gotIblk == iblkAddr, "EA address plan drift (index block)")
+      // header
+      val hd = mutable.ArrayBuffer.empty[Byte]
+      hd ++= "EAHD".getBytes("US-ASCII")
+      hd ++= b1(0)
+      hd ++= b1(if (filtered) 1 else 0)
+      hd ++= b1(elemSize)
+      hd ++= b1(EaMaxBits)
+      hd ++= b1(idxBlkElmts)
+      hd ++= b1(minElmts)
+      hd ++= b1(minPtrs)
+      hd ++= b1(pageBits)
+      hd ++= b8(sblksUsed.length.toLong) // num secondary blocks
+      hd ++= b8(if (sblksUsed.nonEmpty) sblkSize(sblksUsed.last) else 0L)
+      hd ++= b8(dblkPlans.length.toLong) // num data blocks
+      hd ++= b8(if (dblkPlans.nonEmpty) dblkSize(dblkPlans.last.s) else 0L)
+      hd ++= b8(chunks.length.toLong) // max index set
+      hd ++= b8(chunks.length.toLong) // num elements
+      hd ++= b8(iblkAddr)
+      hd ++= b4(0)
+      val gotHdr = put(hd.toArray)
+      require(gotHdr == eahdAddr, "EA address plan drift (header)")
+      eahdAddr
+    }
+
+    /** Emit a version-2 b-tree chunk index over `chunks` (grid order =
+      * ascending scaled offset, the record sort order). Depth 0 when the
+      * records fit one leaf; depth 1 otherwise (leaves + one internal
+      * root whose records are the separators). Returns the `BTHD`
+      * address. */
+    private def writeV2BtreeIndex(chunks: Seq[(Long, Int, Long)],
+                                  filtered: Boolean, nodeSize: Int,
+                                  chunkElems: Int): Long = {
+      val btType = if (filtered) 11 else 10
+      val recSize = if (filtered) 8 + 4 + 4 + 8 else 8 + 8
+      def record(c: (Long, Int, Long)): Array[Byte] = {
+        val scaled = c._1 / chunkElems
+        if (filtered) b8(c._3) ++ b4(c._2.toLong) ++ b4(0) ++ b8(scaled)
+        else b8(c._3) ++ b8(scaled)
+      }
+      val maxLeafRec = (nodeSize - 10) / recSize
+      require(maxLeafRec >= 2,
+        s"v2 b-tree node size $nodeSize too small for record size $recSize")
+      def encSize(v: Long): Int =
+        (63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))) / 8 + 1
+      val maxNrecSize = encSize(maxLeafRec.toLong)
+      val n = chunks.length
+
+      val (rootAddr, rootNrec, depth) =
+        if (n <= maxLeafRec) {
+          val leaf = mutable.ArrayBuffer.empty[Byte]
+          leaf ++= "BTLF".getBytes("US-ASCII")
+          leaf ++= b1(0)
+          leaf ++= b1(btType)
+          chunks.foreach(c => leaf ++= record(c))
+          leaf ++= b4(0)
+          (put(leaf.toArray), n, 0)
+        } else {
+          // depth 1: k leaves separated by k-1 internal records
+          val k = ((n + 1) + maxLeafRec) / (maxLeafRec + 1) // ceil
+          val leafTotal = n - (k - 1)
+          require(leafTotal <= k * maxLeafRec && leafTotal >= k,
+            s"v2 b-tree fixture shape unreachable: $n records, " +
+              s"$maxLeafRec/leaf — raise btNodeSize")
+          val base = leafTotal / k
+          val extra = leafTotal % k
+          var idx = 0
+          val leafAddrs = mutable.ArrayBuffer.empty[(Long, Int)]
+          val seps = mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          (0 until k).foreach { i =>
+            val cnt = base + (if (i < extra) 1 else 0)
+            val leaf = mutable.ArrayBuffer.empty[Byte]
+            leaf ++= "BTLF".getBytes("US-ASCII")
+            leaf ++= b1(0)
+            leaf ++= b1(btType)
+            chunks.slice(idx, idx + cnt).foreach(c => leaf ++= record(c))
+            leaf ++= b4(0)
+            leafAddrs += ((put(leaf.toArray), cnt))
+            idx += cnt
+            if (i < k - 1) { seps += chunks(idx); idx += 1 }
+          }
+          val root = mutable.ArrayBuffer.empty[Byte]
+          root ++= "BTIN".getBytes("US-ASCII")
+          root ++= b1(0)
+          root ++= b1(btType)
+          seps.foreach(c => root ++= record(c))
+          leafAddrs.foreach { case (a, cnt) =>
+            root ++= b8(a)
+            (0 until maxNrecSize).foreach(b =>
+              root += ((cnt >> (8 * b)) & 0xff).toByte)
+          }
+          root ++= b4(0)
+          (put(root.toArray), k - 1, 1)
+        }
+
+      val hd = mutable.ArrayBuffer.empty[Byte]
+      hd ++= "BTHD".getBytes("US-ASCII")
+      hd ++= b1(0)
+      hd ++= b1(btType)
+      hd ++= b4(nodeSize.toLong)
+      hd ++= b2(recSize)
+      hd ++= b2(depth)
+      hd ++= b1(100) // split percent
+      hd ++= b1(40) // merge percent
+      hd ++= b8(rootAddr)
+      hd ++= b2(rootNrec)
+      hd ++= b8(n.toLong)
+      hd ++= b4(0)
+      put(hd.toArray)
     }
 
     // ---- groups ----------------------------------------------------------

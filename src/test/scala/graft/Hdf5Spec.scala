@@ -316,8 +316,52 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(root.dataset("paged_z").get.read()) == values.toSeq)
   }
 
+  test("layout v4 extensible array: inline, direct and secondary blocks") {
+    val values = Array.tabulate(3000)(i => (i.toLong * 41) % 2027 - 500)
+    val root = roundtrip(Seq(
+      // 4 chunks → all elements inline in the index block
+      W.Dataset("ea_inline", W.LongData(values, 8), chunk = 750, layoutV4 = 4),
+      // 30 chunks at library defaults (idx 4, min 16) → index block +
+      // two direct data blocks (super blocks 0 and 1)
+      W.Dataset("ea_direct", W.LongData(values, 8), chunk = 100, layoutV4 = 4),
+      W.Dataset("ea_direct_z", W.LongData(values, 4), chunk = 100,
+        deflate = true, shuffle = true, layoutV4 = 4),
+      // tiny creation parameters (idx 2, min 2, ptrs 2) → the index
+      // block covers super blocks 0-1 only; 60 chunks reach SECONDARY
+      // blocks several super-block generations deep
+      W.Dataset("ea_sblk", W.LongData(values, 8), chunk = 50, layoutV4 = 4,
+        eaParams = (2, 2, 2, 10)),
+      W.Dataset("ea_sblk_z", W.LongData(values, 8), chunk = 50,
+        deflate = true, layoutV4 = 4, eaParams = (2, 2, 2, 10)),
+      // partial trailing chunk
+      W.Dataset("ea_edge", W.LongData(values, 8), chunk = 77, layoutV4 = 4)))
+    for (n <- Seq("ea_inline", "ea_direct", "ea_direct_z", "ea_sblk",
+      "ea_sblk_z", "ea_edge"))
+      assert(L(root.dataset(n).get.read()) == values.toSeq, n)
+  }
+
+  test("layout v4 version-2 b-tree: depth 0 and depth 1 trees") {
+    val values = Array.tabulate(2000)(i => (i.toLong * 53) % 3001 - 700)
+    val root = roundtrip(Seq(
+      // 4 records fit one leaf → depth 0 (root is the leaf)
+      W.Dataset("bt_leaf", W.LongData(values, 8), chunk = 500, layoutV4 = 5),
+      W.Dataset("bt_leaf_z", W.LongData(values, 8), chunk = 500,
+        deflate = true, layoutV4 = 5),
+      // node size 128 → 7 records/leaf (type 10) — 40 chunks force a
+      // depth-1 tree: BTIN root with separator records + BTLF leaves
+      W.Dataset("bt_deep", W.LongData(values, 8), chunk = 50, layoutV4 = 5,
+        btNodeSize = 128),
+      W.Dataset("bt_deep_z", W.LongData(values, 4), chunk = 50,
+        deflate = true, shuffle = true, layoutV4 = 5, btNodeSize = 128),
+      // partial trailing chunk through the deep tree
+      W.Dataset("bt_edge", W.LongData(values, 8), chunk = 77, layoutV4 = 5,
+        btNodeSize = 128)))
+    for (n <- Seq("bt_leaf", "bt_leaf_z", "bt_deep", "bt_deep_z", "bt_edge"))
+      assert(L(root.dataset(n).get.read()) == values.toSeq, n)
+  }
+
   test("out-of-subset chunk indexes fail loudly by name") {
-    // flip a fixed-array layout's index-type byte to 5 (v2 b-tree) and
+    // flip a fixed-array layout's index-type byte to 6 (unknown) and
     // expect the named refusal, not garbage
     val bytes = W.write(Seq(W.Dataset("d",
       W.LongData(Array.tabulate(64)(_.toLong), 8), chunk = 16, layoutV4 = 3)))
@@ -328,10 +372,25 @@ class Hdf5Spec extends AnyFunSuite {
     assert(idx >= 0)
     val typeAt = idx + 5 + 8
     assert(bytes(typeAt) == 3.toByte)
-    bytes(typeAt) = 5.toByte
+    bytes(typeAt) = 6.toByte
     val ex = intercept[RuntimeException](
       Hdf5.open(bytes).dataset("d").get.read())
-    assert(ex.getMessage.contains("v2 b-tree chunk index"))
+    assert(ex.getMessage.contains("unknown v4 chunk index type 6"))
+  }
+
+  test("paged extensible-array data blocks refuse by name") {
+    // pageBits 2 (4 elements/page) with min-elements 16 → the first
+    // data block would need paging; the reader must refuse, named
+    val bytes = W.write(Seq(W.Dataset("d",
+      W.LongData(Array.tabulate(64)(_.toLong), 8), chunk = 8, layoutV4 = 4)))
+    // rewrite the EAHD's page-bits byte (offset 11) to 2
+    val sig = "EAHD".getBytes("US-ASCII")
+    val at = bytes.sliding(4).indexWhere(_.sameElements(sig))
+    assert(at >= 0)
+    bytes(at + 11) = 2.toByte
+    val ex = intercept[RuntimeException](
+      Hdf5.open(bytes).dataset("d").get.read())
+    assert(ex.getMessage.contains("paged extensible-array data block"))
   }
 
   test("unsupported features fail loudly by name") {

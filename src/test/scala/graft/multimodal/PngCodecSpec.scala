@@ -147,13 +147,13 @@ class MultimodalPixelSpec extends SparkSuite {
     val out = Multimodal.decodeImages(spark, blobs, "media_id", "content")
       .orderBy("media_id").collect()
     assert(out(0).getInt(1) == 24 && out(0).getInt(2) == 16 &&
-      out(0).getInt(3) == 3)
+      out(0).getInt(3) == 3 && out(0).getInt(4) == 1)
     // channel-0 sum rederived from the generator formula
     val expect = (for (x <- 0 until 24; y <- 0 until 16)
       yield (1L * 7 + x * 3 + y * 5) % 256).sum
-    assert(out(0).getLong(4) == expect)
-    assert(!out(0).isNullAt(9) && !out(1).isNullAt(9))
-    assert(out(2).isNullAt(9) && out(2).getInt(1) == 0)
+    assert(out(0).getLong(5) == expect)
+    assert(!out(0).isNullAt(10) && !out(1).isNullAt(10))
+    assert(out(2).isNullAt(10) && out(2).getInt(1) == 0)
   }
 
   test("imageNearDups: banded join finds close hashes, never all-pairs") {
