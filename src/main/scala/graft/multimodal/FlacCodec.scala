@@ -1,0 +1,643 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** REAL FLAC sample codec, pure JVM — de-stubs the "compressed audio"
+  * boundary the WAV codec left declared. FLAC (xiph.org spec / RFC
+  * 9639) is losslessly decodable without codec libraries: a `fLaC`
+  * magic, metadata blocks (STREAMINFO first, mandatory), then frames
+  * of bit-packed subframes whose residuals are Rice-coded.
+  *
+  * Decoder subset (loud named errors outside it):
+  *   - fixed blocking strategy (variable blocking refuses by name)
+  *   - 8/16/24-bit streams, any channel count; all four channel
+  *     assignments — independent, left/side, right/side, mid/side
+  *     (side channels carry bps+1 bits per spec)
+  *   - subframe types CONSTANT, VERBATIM, FIXED orders 0–4, and LPC
+  *     any order (precision 1–15, signed shift ≥ 0)
+  *   - Rice residual methods 0 (4-bit params) and 1 (5-bit params),
+  *     any partition order, escaped (raw-binary) partitions, wasted
+  *     bits
+  *   - integrity is VERIFIED, not assumed: frame-header CRC-8, whole-
+  *     frame CRC-16, and the STREAMINFO MD5 over the decoded PCM all
+  *     checked (a single corrupt residual bit fails loudly)
+  *
+  * Encoder (the fixtures side, [[Hdf5Writer]] pattern — no codec
+  * toolchain in-container, so streams are built from the public spec
+  * and decoded by the independent decoder): 16-bit PCM, CONSTANT /
+  * FIXED(0–4) subframe search by minimum summed residual magnitude,
+  * optimal-cost Rice parameter per partition with raw-binary escape,
+  * independent or left/side / right/side / mid/side stereo
+  * decorrelation, spec CRCs and the PCM MD5.
+  *
+  * Decode returns [[WavCodec.Pcm]], so every exact integer feature and
+  * the energy-delta fingerprint ([[WavCodec.windowEnergies]] /
+  * [[WavCodec.fingerprint]]) applies to FLAC payloads unchanged.
+  *
+  * Reference behavior anchor: the reference pipeline treats audio
+  * attachments as opaque blobs with typed metadata
+  * (nexus-processor src/parquet.py attribute walk); sample-exact
+  * decode is this engine's extension surface.
+  */
+object FlacCodec {
+
+  def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C'
+
+  // ---- bit IO (FLAC is MSB-first) ---------------------------------------
+
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def unary(q: Int): Unit = { // q zeros then a terminating one
+      var i = 0
+      while (i < q) { bit(0); i += 1 }
+      bit(1)
+    }
+    def alignZero(): Unit = while (nBits != 0) bit(0)
+    /** Non-destructive snapshot; caller must be byte-aligned. */
+    def toBytes: Array[Byte] = { require(nBits == 0); out.toByteArray }
+  }
+
+  private final class BitReader(b: Array[Byte], startByte: Int) {
+    private var pos = startByte.toLong * 8
+    def bytePos: Int = { require((pos & 7) == 0); (pos >>> 3).toInt }
+    def bit(): Int = {
+      require(pos < b.length.toLong * 8, "flac: bitstream truncated")
+      val v = (b((pos >>> 3).toInt) >> (7 - (pos & 7)).toInt) & 1
+      pos += 1; v
+    }
+    def bits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def sbits(n: Int): Long = { // sign-extended
+      val v = bits(n)
+      if (n > 0 && (v & (1L << (n - 1))) != 0) v - (1L << n) else v
+    }
+    def unary(): Int = {
+      var q = 0
+      while (bit() == 0) q += 1
+      q
+    }
+    def align(): Unit = pos = (pos + 7) & ~7L
+  }
+
+  // ---- CRCs (frame-header CRC-8 poly 0x07, frame CRC-16 poly 0x8005) ----
+
+  private[multimodal] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+              else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private[multimodal] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+              else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MD5 of the raw PCM the stream encodes: interleaved samples,
+    * little-endian, bps/8 bytes each — the STREAMINFO integrity field. */
+  private def pcmMd5(samples: Array[Int], bps: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytesPer = bps / 8
+    val buf = new Array[Byte](samples.length * bytesPer)
+    var i = 0
+    while (i < samples.length) {
+      var k = 0
+      while (k < bytesPer) {
+        buf(i * bytesPer + k) = ((samples(i) >> (8 * k)) & 0xff).toByte
+        k += 1
+      }
+      i += 1
+    }
+    md.digest(buf)
+  }
+
+  // ---- fixed predictors (shared) ----------------------------------------
+
+  /** In-place one difference pass; returns the new logical length. */
+  private def diffOnce(a: Array[Long], len: Int): Int = {
+    var i = len - 1
+    while (i >= 1) { a(i) = a(i) - a(i - 1); i -= 1 }
+    len // warmup handling is positional: residuals start at `order`
+  }
+
+  // ---- encode ------------------------------------------------------------
+
+  /** Stereo decorrelation for the encoder. */
+  sealed trait StereoMode
+  case object Independent extends StereoMode
+  case object LeftSide extends StereoMode
+  case object RightSide extends StereoMode
+  case object MidSide extends StereoMode
+
+  def encode(p: WavCodec.Pcm, blockSize: Int = 4096,
+             stereo: StereoMode = Independent): Array[Byte] = {
+    require(p.bitsPerSample == 16,
+      s"flac encoder subset is 16-bit PCM, got ${p.bitsPerSample}")
+    require(p.channels >= 1 && p.channels <= 8, "flac: 1..8 channels")
+    require(blockSize >= 16 && blockSize <= 65535, "flac: block size 16..65535")
+    require(p.samples.length % p.channels == 0, "flac: ragged interleave")
+    require(stereo == Independent || p.channels == 2,
+      "flac: stereo decorrelation needs exactly 2 channels")
+    val nFrames = p.samples.length / p.channels
+    val out = new ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+
+    // STREAMINFO (last-metadata-block flag set, type 0, 34 bytes)
+    val si = new BitWriter
+    si.bits(1, 1); si.bits(0, 7); si.bits(34, 24)
+    si.bits(blockSize, 16); si.bits(blockSize, 16) // min/max block size
+    si.bits(0, 24); si.bits(0, 24) // min/max frame size unknown
+    si.bits(p.sampleRate, 20)
+    si.bits(p.channels - 1, 3)
+    si.bits(p.bitsPerSample - 1, 5)
+    si.bits(nFrames, 36)
+    val md5 = pcmMd5(p.samples, p.bitsPerSample)
+    md5.foreach(b => si.bits(b & 0xffL, 8))
+    out.write(si.toBytes)
+
+    var frameNo = 0L
+    var start = 0
+    while (start < nFrames) {
+      val bs = math.min(blockSize, nFrames - start)
+      locally {
+        val w = new BitWriter
+        // frame header: sync(14)=0x3FFE, reserved 0, fixed blocking 0
+        w.bits(0x3ffe, 14); w.bits(0, 1); w.bits(0, 1)
+        w.bits(0x7, 4) // block size: 16-bit value-1 follows
+        w.bits(0x0, 4) // sample rate: from STREAMINFO
+        val asgn = stereo match {
+          case Independent => p.channels - 1
+          case LeftSide    => 8
+          case RightSide   => 9
+          case MidSide     => 10
+        }
+        w.bits(asgn, 4)
+        w.bits(0x4, 3) // sample size: 16-bit
+        w.bits(0, 1)
+        // coded frame number, UTF-8 style
+        utf8Coded(w, frameNo)
+        w.bits(bs - 1, 16)
+        val headBytes = w.toBytes // byte-aligned here by construction
+        w.bits(crc8(headBytes, 0, headBytes.length), 8)
+
+        // channel planes after decorrelation
+        val planes: Array[(Array[Long], Int)] = stereo match {
+          case Independent =>
+            Array.tabulate(p.channels) { c =>
+              (Array.tabulate(bs)(i =>
+                p.samples((start + i) * p.channels + c).toLong), 16)
+            }
+          case _ =>
+            val l = Array.tabulate(bs)(i => p.samples((start + i) * 2).toLong)
+            val r = Array.tabulate(bs)(i =>
+              p.samples((start + i) * 2 + 1).toLong)
+            val side = Array.tabulate(bs)(i => l(i) - r(i))
+            stereo match {
+              case LeftSide => Array((l, 16), (side, 17))
+              case RightSide => Array((side, 17), (r, 16))
+              case MidSide =>
+                val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+                Array((mid, 16), (side, 17))
+              case Independent => throw new IllegalStateException
+            }
+        }
+        planes.foreach { case (plane, bps) => writeSubframe(w, plane, bps) }
+        w.alignZero()
+        val frameBytes = w.toBytes
+        val c16 = crc16(frameBytes, 0, frameBytes.length)
+        out.write(frameBytes)
+        out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      }
+      frameNo += 1
+      start += bs
+    }
+    out.toByteArray
+  }
+
+  /** The spec's UTF-8-style coded number (frame/sample index):
+    * `nBytes`-byte encodings carry 7 / 11 / 16 / 21 / 26 / 31 / 36
+    * payload bits. */
+  private val utf8Capacity = Array(0, 7, 11, 16, 21, 26, 31, 36)
+
+  private def utf8Coded(w: BitWriter, v: Long): Unit = {
+    var nBytes = 1
+    while (nBytes < 7 && v >= (1L << utf8Capacity(nBytes))) nBytes += 1
+    require(v < (1L << utf8Capacity(nBytes)),
+      "flac: coded number out of range")
+    if (nBytes == 1) { w.bits(v, 8); return }
+    // leading byte: nBytes ones, a zero, then the top payload bits
+    val leadPayload = 7 - nBytes
+    var i = 0
+    while (i < nBytes) { w.bit(1); i += 1 }
+    w.bit(0)
+    w.bits(v >>> (6 * (nBytes - 1)), leadPayload)
+    var k = nBytes - 2
+    while (k >= 0) {
+      w.bits(0x80L | ((v >>> (6 * k)) & 0x3f), 8)
+      k -= 1
+    }
+  }
+
+  /** CONSTANT when flat, else the FIXED order 0–4 minimizing summed
+    * |residual|, residuals Rice-coded (partition order 0, optimal
+    * 4-bit parameter, raw-binary escape when cheaper or required). */
+  private def writeSubframe(w: BitWriter, plane: Array[Long],
+                            bps: Int): Unit = {
+    val n = plane.length
+    var flat = true
+    var i = 1
+    while (flat && i < n) { flat = plane(i) == plane(0); i += 1 }
+    w.bits(0, 1) // mandatory zero pad bit
+    if (flat) {
+      w.bits(0, 6); w.bits(0, 1) // CONSTANT, no wasted bits
+      w.bits(plane(0) & ((1L << bps) - 1), bps)
+      return
+    }
+    // pick the fixed order with minimal summed residual magnitude
+    val work = plane.clone()
+    var bestOrder = 0
+    var bestCost = sumAbs(work, 0, n)
+    var order = 0
+    val maxOrder = math.min(4, n - 1)
+    while (order < maxOrder) {
+      diffOnce(work, n)
+      order += 1
+      val c = sumAbs(work, order, n)
+      if (c < bestCost) { bestCost = c; bestOrder = order }
+    }
+    val res = plane.clone()
+    var o = 0
+    while (o < bestOrder) { diffOnce(res, n); o += 1 }
+    w.bits(8 + bestOrder, 6) // FIXED, order in the low bits
+    w.bits(0, 1) // no wasted bits
+    var k = 0
+    while (k < bestOrder) { // warmup samples, unencoded
+      w.bits(plane(k) & ((1L << bps) - 1), bps); k += 1
+    }
+    // residual: method 0 (4-bit rice params), partition order 0
+    w.bits(0, 2); w.bits(0, 4)
+    writeRicePartition(w, res, bestOrder, n)
+  }
+
+  private def sumAbs(a: Array[Long], from: Int, until: Int): Long = {
+    var s = 0L; var i = from
+    while (i < until) { s += math.abs(a(i)); i += 1 }
+    s
+  }
+
+  private def writeRicePartition(w: BitWriter, res: Array[Long],
+                                 from: Int, until: Int): Unit = {
+    val n = until - from
+    // zigzag fold, then exact cost search over parameters 0..14
+    val zz = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = res(from + i)
+      zz(i) = if (r >= 0) r << 1 else ((-r) << 1) - 1
+      i += 1
+    }
+    var bestP = -1
+    var bestCost = Long.MaxValue
+    var pTry = 0
+    while (pTry < 15) {
+      var c = n.toLong * (pTry + 1)
+      var j = 0
+      while (j < n && c < bestCost) { c += zz(j) >>> pTry; j += 1 }
+      if (j == n && c < bestCost) { bestCost = c; bestP = pTry }
+      pTry += 1
+    }
+    // raw escape: signed width able to hold every residual
+    var width = 1
+    i = 0
+    while (i < n) {
+      val r = res(from + i)
+      val need = 65 - java.lang.Long.numberOfLeadingZeros(
+        if (r >= 0) r else -(r + 1))
+      width = math.max(width, need.toInt)
+      i += 1
+    }
+    val escCost = 5L + n.toLong * width
+    if (bestP < 0 || escCost < bestCost) {
+      require(width <= 31, s"flac: residual needs $width bits (> 31)")
+      w.bits(0xf, 4) // escape marker
+      w.bits(width, 5)
+      i = 0
+      while (i < n) { w.bits(res(from + i) & ((1L << width) - 1), width)
+        i += 1 }
+    } else {
+      w.bits(bestP, 4)
+      i = 0
+      while (i < n) {
+        val u = zz(i)
+        val q = (u >>> bestP).toInt
+        w.unary(q)
+        w.bits(u & ((1L << bestP) - 1), bestP)
+        i += 1
+      }
+    }
+  }
+
+  // ---- decode ------------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): WavCodec.Pcm = {
+    require(isFlac(bytes), "not a FLAC stream (bad magic)")
+    // metadata block walk; STREAMINFO must come first
+    var p = 4
+    var last = false
+    var channels = -1; var sampleRate = -1; var bps = -1
+    var totalSamples = -1L
+    var md5 = Array.empty[Byte]
+    var first = true
+    while (!last) {
+      require(p + 4 <= bytes.length, "flac: truncated metadata header")
+      val flags = bytes(p) & 0xff
+      last = (flags & 0x80) != 0
+      val btype = flags & 0x7f
+      val len = ((bytes(p + 1) & 0xff) << 16) | ((bytes(p + 2) & 0xff) << 8) |
+        (bytes(p + 3) & 0xff)
+      require(p + 4 + len <= bytes.length, "flac: truncated metadata block")
+      if (first) {
+        require(btype == 0, s"flac: first metadata block type $btype, " +
+          "STREAMINFO (0) is mandatory first")
+        require(len == 34, s"flac: STREAMINFO length $len != 34")
+        val r = new BitReader(bytes, p + 4)
+        r.bits(16); r.bits(16); r.bits(24); r.bits(24)
+        sampleRate = r.bits(20).toInt
+        channels = r.bits(3).toInt + 1
+        bps = r.bits(5).toInt + 1
+        totalSamples = r.bits(36)
+        md5 = java.util.Arrays.copyOfRange(bytes, p + 4 + 18, p + 4 + 34)
+        require(Set(8, 16, 24).contains(bps),
+          s"flac: bits-per-sample $bps is out of subset (8/16/24)")
+      }
+      first = false
+      p += 4 + len
+    }
+    require(channels > 0, "flac: no STREAMINFO")
+    val out = new Array[Int]((totalSamples * channels).toInt)
+    var written = 0L
+
+    while (written < totalSamples) {
+      require(p + 2 <= bytes.length, "flac: truncated at frame boundary")
+      val frameStart = p
+      val r = new BitReader(bytes, p)
+      val sync = r.bits(14)
+      require(sync == 0x3ffe, f"flac: bad frame sync $sync%x")
+      require(r.bit() == 0, "flac: reserved frame-header bit set")
+      val variableBlocking = r.bit() == 1
+      require(!variableBlocking,
+        "flac: variable blocking strategy is out of subset")
+      val bsBits = r.bits(4).toInt
+      val srBits = r.bits(4).toInt
+      val asgn = r.bits(4).toInt
+      val ssBits = r.bits(3).toInt
+      require(r.bit() == 0, "flac: reserved frame-header bit set")
+      readUtf8Coded(r) // frame number (fixed blocking)
+      val bs = bsBits match {
+        case 0 => sys.error("flac: reserved block size 0")
+        case 1 => 192
+        case b if b >= 2 && b <= 5 => 576 << (b - 2)
+        case 6 => r.bits(8).toInt + 1
+        case 7 => r.bits(16).toInt + 1
+        case b => 256 << (b - 8)
+      }
+      srBits match {
+        case 0 => // STREAMINFO
+        case 12 => r.bits(8)
+        case 13 | 14 => r.bits(16)
+        case 15 => sys.error("flac: invalid sample-rate code 15")
+        case _ => // table rates; frame must agree with STREAMINFO anyway
+      }
+      val frameBps = ssBits match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case b => sys.error(s"flac: reserved sample-size code $b")
+      }
+      require(frameBps == bps,
+        s"flac: frame bps $frameBps disagrees with STREAMINFO $bps")
+      val headEnd = { r.align(); r.bytePos }
+      val declaredCrc8 = r.bits(8).toInt
+      val gotCrc8 = crc8(bytes, frameStart, headEnd)
+      require(declaredCrc8 == gotCrc8,
+        f"flac: frame header CRC-8 mismatch ($declaredCrc8%02x vs $gotCrc8%02x)")
+
+      val nCh = if (asgn <= 7) asgn + 1 else 2
+      require(nCh == channels,
+        s"flac: frame channel count $nCh disagrees with STREAMINFO $channels")
+      val planes = Array.tabulate(nCh) { c =>
+        val planeBps = asgn match {
+          case 8 => if (c == 1) bps + 1 else bps // left/side
+          case 9 => if (c == 0) bps + 1 else bps // side/right
+          case 10 => if (c == 1) bps + 1 else bps // mid/side
+          case _ => bps
+        }
+        readSubframe(r, bs, planeBps)
+      }
+      // undo decorrelation
+      val chans: Array[Array[Long]] = asgn match {
+        case 8 =>
+          val l = planes(0); val s = planes(1)
+          Array(l, Array.tabulate(bs)(i => l(i) - s(i)))
+        case 9 =>
+          val s = planes(0); val rt = planes(1)
+          Array(Array.tabulate(bs)(i => rt(i) + s(i)), rt)
+        case 10 =>
+          val mid = planes(0); val s = planes(1)
+          Array(
+            Array.tabulate(bs) { i =>
+              (((mid(i) << 1) | (s(i) & 1)) + s(i)) >> 1
+            },
+            Array.tabulate(bs) { i =>
+              (((mid(i) << 1) | (s(i) & 1)) - s(i)) >> 1
+            })
+        case a if a <= 7 => planes
+        case a => sys.error(s"flac: reserved channel assignment $a")
+      }
+      r.align()
+      val frameEnd = r.bytePos
+      val declaredCrc16 = r.bits(16).toInt
+      val gotCrc16 = crc16(bytes, frameStart, frameEnd)
+      require(declaredCrc16 == gotCrc16,
+        f"flac: frame CRC-16 mismatch ($declaredCrc16%04x vs $gotCrc16%04x)")
+      p = frameEnd + 2
+
+      var i = 0
+      while (i < bs) {
+        var c = 0
+        while (c < channels) {
+          val v = chans(c)(i)
+          require(written + i < totalSamples,
+            "flac: stream carries more samples than STREAMINFO declares")
+          out(((written + i) * channels + c).toInt) = v.toInt
+          c += 1
+        }
+        i += 1
+      }
+      written += bs
+    }
+    val pcm = WavCodec.Pcm(channels, sampleRate, bps, out)
+    if (md5.exists(_ != 0)) {
+      val got = pcmMd5(out, bps)
+      require(java.util.Arrays.equals(md5, got),
+        "flac: decoded PCM fails the STREAMINFO MD5 integrity check")
+    }
+    pcm
+  }
+
+  private def readUtf8Coded(r: BitReader): Long = {
+    val b0 = r.bits(8).toInt
+    if ((b0 & 0x80) == 0) return b0
+    var nCont = 0
+    var mask = 0x40
+    while ((b0 & mask) != 0) { nCont += 1; mask >>= 1 }
+    require(nCont >= 1 && nCont <= 6, "flac: malformed coded number")
+    var v = (b0 & (mask - 1)).toLong
+    var i = 0
+    while (i < nCont) {
+      val b = r.bits(8).toInt
+      require((b & 0xc0) == 0x80, "flac: malformed coded-number continuation")
+      v = (v << 6) | (b & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  /** One subframe → the decoded plane (length `bs`, signed Longs). */
+  private def readSubframe(r: BitReader, bs: Int, bps: Int): Array[Long] = {
+    require(r.bit() == 0, "flac: subframe pad bit set")
+    val ty = r.bits(6).toInt
+    var wasted = 0
+    if (r.bit() == 1) wasted = r.unary() + 1
+    val effBps = bps - wasted
+    val plane: Array[Long] =
+      if (ty == 0) { // CONSTANT
+        val v = r.sbits(effBps)
+        Array.fill(bs)(v)
+      } else if (ty == 1) { // VERBATIM
+        Array.fill(bs)(r.sbits(effBps))
+      } else if (ty >= 8 && ty <= 12) { // FIXED order 0..4
+        val order = ty - 8
+        val out = new Array[Long](bs)
+        var i = 0
+        while (i < order) { out(i) = r.sbits(effBps); i += 1 }
+        readResidual(r, out, order, bs)
+        // reconstruct through the fixed-predictor recurrences
+        order match {
+          case 0 =>
+          case 1 => var j = 1
+            while (j < bs) { out(j) += out(j - 1); j += 1 }
+          case 2 => var j = 2
+            while (j < bs) { out(j) += 2 * out(j - 1) - out(j - 2); j += 1 }
+          case 3 => var j = 3
+            while (j < bs) {
+              out(j) += 3 * out(j - 1) - 3 * out(j - 2) + out(j - 3); j += 1 }
+          case 4 => var j = 4
+            while (j < bs) {
+              out(j) += 4 * out(j - 1) - 6 * out(j - 2) + 4 * out(j - 3) -
+                out(j - 4)
+              j += 1 }
+        }
+        out
+      } else if (ty >= 32) { // LPC, order = ty - 31
+        val order = ty - 31
+        val out = new Array[Long](bs)
+        var i = 0
+        while (i < order) { out(i) = r.sbits(effBps); i += 1 }
+        val precRaw = r.bits(4).toInt
+        require(precRaw != 15, "flac: invalid LPC precision code 15")
+        val precision = precRaw + 1
+        val shift = r.sbits(5).toInt
+        require(shift >= 0, "flac: negative LPC shift is out of subset")
+        val coefs = Array.fill(order)(r.sbits(precision))
+        readResidual(r, out, order, bs)
+        var j = order
+        while (j < bs) {
+          var acc = 0L
+          var k = 0
+          while (k < order) { acc += coefs(k) * out(j - 1 - k); k += 1 }
+          out(j) += acc >> shift
+          j += 1
+        }
+        out
+      } else sys.error(s"flac: reserved subframe type $ty")
+    if (wasted > 0) {
+      var i = 0
+      while (i < bs) { plane(i) = plane(i) << wasted; i += 1 }
+    }
+    plane
+  }
+
+  /** Rice-partitioned residual into `out(order until bs)`. */
+  private def readResidual(r: BitReader, out: Array[Long], order: Int,
+                           bs: Int): Unit = {
+    val method = r.bits(2).toInt
+    require(method <= 1, s"flac: reserved residual method $method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xf else 0x1f
+    val partOrder = r.bits(4).toInt
+    val nParts = 1 << partOrder
+    require(bs % nParts == 0, "flac: partition count does not divide block")
+    var idx = order
+    var part = 0
+    while (part < nParts) {
+      val cnt = (bs >> partOrder) - (if (part == 0) order else 0)
+      require(cnt >= 0, "flac: predictor order exceeds first partition")
+      val param = r.bits(paramBits).toInt
+      if (param == escape) {
+        val width = r.bits(5).toInt
+        var i = 0
+        while (i < cnt) {
+          out(idx) = if (width == 0) 0 else r.sbits(width); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < cnt) {
+          val q = r.unary().toLong
+          val u = (q << param) | r.bits(param)
+          out(idx) = (u >>> 1) ^ -(u & 1) // zigzag unfold
+          idx += 1; i += 1
+        }
+      }
+      part += 1
+    }
+  }
+}

@@ -273,28 +273,37 @@ object Multimodal {
       .toDF(idCol, contentCol)
   }
 
-  /** Decode a WAV PCM binary column to sample-level facts: stream
-    * shape, exact integer features (total energy, zero crossings,
-    * peak), and the energy-delta fingerprint — map-side, same batched
-    * shape as [[decodeImages]]; non-WAV payloads yield a NULL-featured
-    * row. */
+  /** Decode an audio binary column (WAV PCM via [[WavCodec]], FLAC via
+    * [[FlacCodec]] — format sniffed per row, mixed corpora welcome) to
+    * sample-level facts: stream shape, exact integer features (total
+    * energy, zero crossings, peak), and the energy-delta fingerprint —
+    * map-side, same batched shape as [[decodeImages]]; undecodable
+    * payloads yield a NULL-featured row. The two formats land on ONE
+    * [[WavCodec.Pcm]] substrate, so every feature is bit-identical
+    * across a WAV and its FLAC encoding of the same samples. */
   def decodeAudio(spark: SparkSession, df: DataFrame, idCol: String,
                   contentCol: String): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        if (bytes != null && WavCodec.isWav(bytes)) {
-          val p = WavCodec.decode(bytes)
-          val frames = p.samples.length / math.max(1, p.channels)
-          (id, p.channels, p.sampleRate, p.bitsPerSample, frames.toLong,
-            Some(WavCodec.windowEnergies(p, 1).head),
-            Some(WavCodec.zeroCrossings(p)),
-            Some(WavCodec.peak(p).toLong),
-            Some(WavCodec.fingerprint(p)))
-        } else
-          (id, 0, 0, 0, 0L, None: Option[Long], None: Option[Long],
-            None: Option[Long], None: Option[Long])
+        val pcm: Option[WavCodec.Pcm] =
+          if (bytes == null) None
+          else if (WavCodec.isWav(bytes)) Some(WavCodec.decode(bytes))
+          else if (FlacCodec.isFlac(bytes)) Some(FlacCodec.decode(bytes))
+          else None
+        pcm match {
+          case Some(p) =>
+            val frames = p.samples.length / math.max(1, p.channels)
+            (id, p.channels, p.sampleRate, p.bitsPerSample, frames.toLong,
+              Some(WavCodec.windowEnergies(p, 1).head),
+              Some(WavCodec.zeroCrossings(p)),
+              Some(WavCodec.peak(p).toLong),
+              Some(WavCodec.fingerprint(p)))
+          case None =>
+            (id, 0, 0, 0, 0L, None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[Long])
+        }
       })
       .toDF(idCol, "channels", "sample_rate", "bits_per_sample", "n_frames",
         "energy", "zero_crossings", "peak", "afingerprint")

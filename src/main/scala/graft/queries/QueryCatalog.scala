@@ -4864,6 +4864,52 @@ object QueryCatalog {
         CAST(max(abs(v)) AS BIGINT) AS peak
       FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL FLAC compressed-audio decode end to end (multimodal/
+    // FlacCodec): every doc gets a real multi-frame FLAC stream
+    // (blockSize 96 → 3 frames incl. a partial tail) of formula
+    // samples; decodeAudio sniffs FLAC, Rice-decodes the residuals
+    // through the fixed-predictor recurrences, verifies CRC-8/CRC-16/
+    // MD5, and derives the same exact integer features as the WAV
+    // path. The oracle rederives energy/zero-crossings/peak from the
+    // sample formula alone — it never sees a FLAC byte, so any error
+    // in the whole compress→decompress chain corrupts a sum.
+    // Data-derived at any scale.
+    QueryDef("flac_decode", (s, d) => {
+      import graft.multimodal.{FlacCodec, Multimodal, WavCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, FlacCodec.encode(WavCodec.Pcm(1, 8000, 16,
+            Array.tabulate(256) { tt =>
+              ((id * 37 + tt.toLong * tt * 5) % 3000 - 1500).toInt
+            }), blockSize = 96))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeAudio(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("bits_per_sample"), col("n_frames"), col("energy"),
+          col("zero_crossings"), col("peak"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sm AS (
+        SELECT d.doc_id, t.t,
+          (d.doc_id * 37 + t.t * t.t * 5) % 3000 - 1500 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 255)) AS t) t),
+      lagged AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        FROM sm)
+      SELECT doc_id,
+        CAST(1 AS INTEGER) AS channels,
+        CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(16 AS INTEGER) AS bits_per_sample,
+        CAST(256 AS BIGINT) AS n_frames,
+        CAST(sum(v * v) AS BIGINT) AS energy,
+        CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND (v < 0) <> (pv < 0)) AS BIGINT) AS zero_crossings,
+        CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
+
     // REAL animated-GIF pixel decode end to end (multimodal/GifCodec):
     // every doc gets a 3-frame GIF89a — formula palette (64 colors),
     // formula indices, frame 1 INTERLACED, frames offset on the
