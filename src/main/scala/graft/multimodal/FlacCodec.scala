@@ -409,6 +409,11 @@ object FlacCodec {
       p += 4 + len
     }
     require(channels > 0, "flac: no STREAMINFO")
+    // total-samples = 0 is the spec's legal "unknown length" encoding; the
+    // sample loop below is length-driven, so refuse loudly instead of
+    // silently decoding an empty stream.
+    require(totalSamples > 0,
+      "flac: unknown stream length (STREAMINFO total-samples = 0) is out of subset")
     val out = new Array[Int]((totalSamples * channels).toInt)
     var written = 0L
 

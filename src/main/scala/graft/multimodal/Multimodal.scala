@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus batch decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The decode step is a clearly-marked deterministic FAKE (this container
-  * has no image/audio codecs); everything around it — schema, batched
+  * The pixel/sample decode boundary is REAL for PNG, GIF, WAV and FLAC:
+  * `decodeImages`/`gifFrames`/`resizeImages` wire [[PngCodec]]/[[GifCodec]]
+  * and `decodeAudio` wires [[WavCodec]]/[[FlacCodec]] — pure-JVM spec codecs
+  * with oracle-checked output. Formats without a codec yet (JPEG/WebP
+  * pixels, lossy audio) null through or refuse by name; `toMediaBlobs`
+  * keeps a deterministic `FakeCodec` payload generator purely for fixture
+  * synthesis. Everything around the codec call — schema, batched
   * `mapPartitions` execution, partitioning, frame explode — is the real
-  * Spark-side design. Swapping `FakeCodec.decode` for a JNI/codec call
-  * changes nothing structurally.
+  * Spark-side design.
   *
   * Scale notes: payloads never pass through a shuffle here (decode is
   * map-side); metadata-only queries prune the binary column at the parquet

@@ -712,15 +712,23 @@ object Hdf5Writer {
     }
 
     /** Emit a version-2 b-tree chunk index over `chunks` (grid order =
-      * ascending scaled offset, the record sort order). Depth 0 when the
-      * records fit one leaf; depth 1 otherwise (leaves + one internal
-      * root whose records are the separators). Returns the `BTHD`
+      * ascending scaled offset, the record sort order). The tree is built
+      * to the minimal depth whose subtree capacity holds all records, and
+      * every node — leaf, internal, root — honors the record capacity its
+      * declared `nodeSize` admits (spec III.A.2 pointer-size arithmetic,
+      * mirrored from the reader), so small node sizes yield conformant
+      * depth-2+ trees instead of an over-full root. Returns the `BTHD`
       * address. */
     private def writeV2BtreeIndex(chunks: Seq[(Long, Int, Long)],
                                   filtered: Boolean, nodeSize: Int,
                                   chunkElems: Int): Long = {
       val btType = if (filtered) 11 else 10
       val recSize = if (filtered) 8 + 4 + 4 + 8 else 8 + 8
+      // records carry ONE scaled offset: this writer's chunked layout is
+      // rank-1 by construction (`dimsV4` above emits a single dimension),
+      // so a rank>1 grid can never reach here; chunkElems>0 guards the
+      // scaling division all the same.
+      require(chunkElems > 0, "v2 b-tree: chunkElems must be positive")
       def record(c: (Long, Int, Long)): Array[Byte] = {
         val scaled = c._1 / chunkElems
         if (filtered) b8(c._3) ++ b4(c._2.toLong) ++ b4(0) ++ b8(scaled)
@@ -734,52 +742,77 @@ object Hdf5Writer {
       val maxNrecSize = encSize(maxLeafRec.toLong)
       val n = chunks.length
 
-      val (rootAddr, rootNrec, depth) =
-        if (n <= maxLeafRec) {
+      // capacity tables per depth, same arithmetic as the reader's walk:
+      // cumMaxNrec(d) = records a depth-d subtree can hold, maxIntRec(d) =
+      // record capacity of a depth-d internal node.
+      val cumMaxNrec = mutable.ArrayBuffer[Long](maxLeafRec.toLong)
+      val cumMaxNrecSize = mutable.ArrayBuffer[Int](encSize(maxLeafRec.toLong))
+      val maxIntRec = mutable.ArrayBuffer[Int](0) // depth 0 has no internal
+      def growTables(depth: Int): Unit =
+        while (cumMaxNrec.length <= depth) {
+          val d = cumMaxNrec.length
+          val ptrSize = 8 + maxNrecSize + cumMaxNrecSize(d - 1)
+          val mir = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
+          require(mir >= 1,
+            s"v2 b-tree node size $nodeSize cannot hold an internal record" +
+              s" at depth $d — raise btNodeSize")
+          maxIntRec += mir
+          cumMaxNrec += (mir.toLong + 1) * cumMaxNrec(d - 1) + mir.toLong
+          cumMaxNrecSize += encSize(cumMaxNrec(d))
+        }
+      var depth = 0
+      while (cumMaxNrec(depth) < n) { growTables(depth + 1); depth += 1 }
+
+      // bottom-up: write a depth-d subtree over recs, return (addr, nrec)
+      def build(recs: Seq[(Long, Int, Long)], d: Int): (Long, Int) =
+        if (d == 0) {
           val leaf = mutable.ArrayBuffer.empty[Byte]
           leaf ++= "BTLF".getBytes("US-ASCII")
           leaf ++= b1(0)
           leaf ++= b1(btType)
-          chunks.foreach(c => leaf ++= record(c))
+          recs.foreach(c => leaf ++= record(c))
           leaf ++= b4(0)
-          (put(leaf.toArray), n, 0)
+          (put(leaf.toArray), recs.length)
         } else {
-          // depth 1: k leaves separated by k-1 internal records
-          val k = ((n + 1) + maxLeafRec) / (maxLeafRec + 1) // ceil
-          val leafTotal = n - (k - 1)
-          require(leafTotal <= k * maxLeafRec && leafTotal >= k,
-            s"v2 b-tree fixture shape unreachable: $n records, " +
-              s"$maxLeafRec/leaf — raise btNodeSize")
-          val base = leafTotal / k
-          val extra = leafTotal % k
+          val cap = cumMaxNrec(d - 1)
+          val m = recs.length
+          // minimal child count: (k-1) separators + k subtrees of cap
+          val k = math.max(1, ((m + 1) + cap) / (cap + 1)).toInt // ceil
+          require(k - 1 <= maxIntRec(d),
+            s"v2 b-tree internal overflow at depth $d: ${k - 1} records," +
+              s" capacity ${maxIntRec(d)}")
+          val childTotal = m - (k - 1)
+          val base = childTotal / k
+          val extra = childTotal % k
           var idx = 0
-          val leafAddrs = mutable.ArrayBuffer.empty[(Long, Int)]
+          val children = mutable.ArrayBuffer.empty[(Long, Int, Long)]
           val seps = mutable.ArrayBuffer.empty[(Long, Int, Long)]
           (0 until k).foreach { i =>
             val cnt = base + (if (i < extra) 1 else 0)
-            val leaf = mutable.ArrayBuffer.empty[Byte]
-            leaf ++= "BTLF".getBytes("US-ASCII")
-            leaf ++= b1(0)
-            leaf ++= b1(btType)
-            chunks.slice(idx, idx + cnt).foreach(c => leaf ++= record(c))
-            leaf ++= b4(0)
-            leafAddrs += ((put(leaf.toArray), cnt))
+            val sub = recs.slice(idx, idx + cnt)
+            val (addr, nrec) = build(sub, d - 1)
+            children += ((addr, nrec, cnt.toLong))
             idx += cnt
-            if (i < k - 1) { seps += chunks(idx); idx += 1 }
+            if (i < k - 1) { seps += recs(idx); idx += 1 }
           }
-          val root = mutable.ArrayBuffer.empty[Byte]
-          root ++= "BTIN".getBytes("US-ASCII")
-          root ++= b1(0)
-          root ++= b1(btType)
-          seps.foreach(c => root ++= record(c))
-          leafAddrs.foreach { case (a, cnt) =>
-            root ++= b8(a)
+          val node = mutable.ArrayBuffer.empty[Byte]
+          node ++= "BTIN".getBytes("US-ASCII")
+          node ++= b1(0)
+          node ++= b1(btType)
+          seps.foreach(c => node ++= record(c))
+          children.foreach { case (a, nrec, total) =>
+            node ++= b8(a)
             (0 until maxNrecSize).foreach(b =>
-              root += ((cnt >> (8 * b)) & 0xff).toByte)
+              node += ((nrec >> (8 * b)) & 0xff).toByte)
+            if (d > 1) // child-subtree total, present below internal nodes
+              (0 until cumMaxNrecSize(d - 1)).foreach(b =>
+                node += ((total >> (8 * b)) & 0xff).toByte)
           }
-          root ++= b4(0)
-          (put(root.toArray), k - 1, 1)
+          node ++= b4(0)
+          (put(node.toArray), k - 1)
         }
+
+      val (rootAddr, rootNrec) = build(chunks, depth)
 
       val hd = mutable.ArrayBuffer.empty[Byte]
       hd ++= "BTHD".getBytes("US-ASCII")

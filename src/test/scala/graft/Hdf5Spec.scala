@@ -347,8 +347,11 @@ class Hdf5Spec extends AnyFunSuite {
       W.Dataset("bt_leaf", W.LongData(values, 8), chunk = 500, layoutV4 = 5),
       W.Dataset("bt_leaf_z", W.LongData(values, 8), chunk = 500,
         deflate = true, layoutV4 = 5),
-      // node size 128 → 7 records/leaf (type 10) — 40 chunks force a
-      // depth-1 tree: BTIN root with separator records + BTLF leaves
+      // node size 128 → 7 records/leaf, 4 records/internal (type 10) —
+      // a depth-1 subtree caps at 39 records, so 40 chunks force a
+      // depth-2 tree: BTIN root → BTIN internals (child pointers carry
+      // the subtree-total field) → BTLF leaves; bt_edge (26 chunks)
+      // stays depth 1
       W.Dataset("bt_deep", W.LongData(values, 8), chunk = 50, layoutV4 = 5,
         btNodeSize = 128),
       W.Dataset("bt_deep_z", W.LongData(values, 4), chunk = 50,
