@@ -126,6 +126,10 @@ object BenchScale {
     // on a copies>=400 corpus whose fat buckets wedge a single JVM)
     val skip = sys.env.getOrElse("SPARK_GRAFT_SCALE_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // comma-separated allow-list (local iteration on one stage); empty
+    // = run everything not skipped
+    val only = sys.env.getOrElse("SPARK_GRAFT_SCALE_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -173,7 +177,8 @@ object BenchScale {
         .as("text"))
 
     def timed(name: String)(f: => Long): Option[(String, Double, Long)] = {
-      if (skip(name)) { System.err.println(s"[scale] $name: SKIPPED"); None }
+      if (skip(name) || (only.nonEmpty && !only(name))) {
+        System.err.println(s"[scale] $name: SKIPPED"); None }
       else {
         val t0 = System.nanoTime()
         val n = f
@@ -194,7 +199,9 @@ object BenchScale {
     // DIRECTLY (signatureTable + banding projection) — folding the base
     // through ingest() would also run a full self-dedup whose pairs are
     // discarded.
-    if (!skip("incremental_ingest_10pct")) {
+    def runs(name: String): Boolean =
+      !skip(name) && (only.isEmpty || only(name))
+    if (runs("incremental_ingest_10pct")) {
       val incDir = s"$work/inc_sigs_x$copies"
       val fs = new org.apache.hadoop.fs.Path(incDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -216,7 +223,7 @@ object BenchScale {
     // maintained lists table a daily embedding fold runs against);
     // rebuilt fresh per run so stale epochs from a prior run cannot
     // double the lists.
-    if (!skip("ann_incremental_ingest_10pct")) {
+    if (runs("ann_incremental_ingest_10pct")) {
       val ivfDir = s"$work/inc_ivf_x$copies"
       val fs = new org.apache.hadoop.fs.Path(ivfDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -436,14 +443,16 @@ object BenchScale {
         nDeleted + graft.sources.IcebergLite.readTable(spark, dir).count()
       },
       timed("image_phash_dedup_50k") {
-        // REAL pixel path at scale: 50k zlib-compressed PNGs generated
-        // map-side (10k families of 5 identical images), decoded by
-        // PngCodec (inflate + unfilter), perceptual-hashed (32×32 DCT
-        // pHash), and near-dup'd through the banded hash join — the
-        // image leg of the dedup family, never all-pairs. Value =
-        // candidate pairs found (10 per family → 100k) + a decode
-        // checksum term so Catalyst can't prune the pixel work.
-        import graft.multimodal.{Multimodal, PngCodec}
+        // REAL pixel path at scale over a MIXED-FORMAT corpus: 50k
+        // images generated map-side — 10k families of 5 identical
+        // blobs, family f encoded as PNG / baseline JPEG / GIF by
+        // f mod 3, so one pass sniffs and drives all three codecs —
+        // decoded, perceptual-hashed (32×32 DCT pHash), and near-dup'd
+        // through the banded hash join — the image leg of the dedup
+        // family, never all-pairs. Value = candidate pairs found (10
+        // per family → 100k) + a decode checksum term so Catalyst
+        // can't prune the pixel work.
+        import graft.multimodal.{GifCodec, JpegCodec, Multimodal, PngCodec}
         import spark.implicits._
         val blobs = spark.range(0L, 50000L).as[Long].map { id =>
           val seed = id / 5 // 5 identical images per family
@@ -453,17 +462,31 @@ object BenchScale {
           // pHash, which would glue every family together; noise makes
           // cross-family hashes ~uniform, so Hamming ≤ 3 cross hits
           // are (provably, 2^-40-ish) absent and the pinned count is
-          // exactly the within-family pairs
+          // exactly the within-family pairs. Members of a family share
+          // ONE format (identical bytes → identical hash), so the pin
+          // is format-agnostic while the corpus is mixed.
           def mix(z0: Long): Long = { // splitmix64 finalizer: avalanche,
             var z = z0 + 0x9E3779B97F4A7C15L // so families decorrelate
             z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
             z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
             z ^ (z >>> 31)
           }
-          (id, PngCodec.encode(PngCodec.Image(w, h, 3,
-            Array.tabulate(w * h * 3) { i =>
-              (mix(seed * 1536L + i) & 0xff).toByte
-            })))
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            (mix(seed * 1536L + i) & 0xff).toByte
+          }
+          val bytes = (seed % 3) match {
+            case 0 => PngCodec.encode(PngCodec.Image(w, h, 3, rgb))
+            case 1 => JpegCodec.encode(PngCodec.Image(w, h, 3, rgb),
+              quality = 100)
+            case _ =>
+              val palette = Array.tabulate(64)(j =>
+                (mix(seed * 97L + j) & 0xffffff).toInt)
+              GifCodec.encode(w, h, palette, Seq(GifCodec.IndexedFrame(
+                0, 0, w, h, Array.tabulate(w * h)(pix =>
+                  (mix(seed * 1536L + pix) & 0x3f).toByte),
+                interlace = false)))
+          }
+          (id, bytes)
         }.toDF("media_id", "content")
         val decoded = Multimodal.decodeImages(spark, blobs,
           "media_id", "content").localCheckpoint()
@@ -479,6 +502,46 @@ object BenchScale {
         require(familyPairs == 100000L,
           s"banding missed family pairs: $familyPairs of 100000")
         pairs.count() + pixelWork % 1000
+      },
+      timed("audio_fp_dedup") {
+        // the AUDIO twin of the image stage: 20k streams generated
+        // map-side — 4k families of 5 identical sample sequences, even
+        // families packaged as RIFF/WAV PCM, odd families FLAC-
+        // compressed (Rice/FIXED/LPC) — decodeAudio sniffs the
+        // container, lands both on the one Pcm substrate, derives the
+        // 64-bit energy-delta fingerprint, and the SAME banded near-
+        // dup join (imageNearDups is hash-generic) surfaces the
+        // candidates. Noise samples decorrelate families, so the
+        // within-family pair count is pinned complete: 10 per family
+        // → 40k. Value = pairs + an energy checksum term so the
+        // decode can't be pruned.
+        import graft.multimodal.{FlacCodec, Multimodal, WavCodec}
+        import spark.implicits._
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val blobs = spark.range(0L, 20000L).as[Long].map { id =>
+          val seed = id / 5 // 5 identical streams per family
+          val pcm = WavCodec.Pcm(1, 8000, 16, Array.tabulate(512)(tt =>
+            ((mix(seed * 911L + tt) & 0xffffL) - 32768L).toInt))
+          val bytes =
+            if (seed % 2 == 0) WavCodec.encode(pcm)
+            else FlacCodec.encode(pcm, blockSize = 128)
+          (id, bytes)
+        }.toDF("media_id", "content")
+        val decoded = Multimodal.decodeAudio(spark, blobs,
+          "media_id", "content").localCheckpoint()
+        val energyWork = decoded.agg(sum(col("energy"))).head().getLong(0)
+        val pairs = Multimodal.imageNearDups(decoded, "media_id",
+          hashCol = "afingerprint").localCheckpoint()
+        val familyPairs = pairs
+          .filter(expr("media_id_a div 5 = media_id_b div 5")).count()
+        require(familyPairs == 40000L,
+          s"banding missed audio family pairs: $familyPairs of 40000")
+        pairs.count() + energyWork % 1000
       },
       timed("iceberg_prune_scan") {
         // the SORTED-TABLE + FILE-SKIPPING discipline at corpus scale:

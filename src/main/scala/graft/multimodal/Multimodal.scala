@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus batch decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The pixel/sample decode boundary is REAL for PNG, GIF, WAV and FLAC:
-  * `decodeImages`/`gifFrames`/`resizeImages` wire [[PngCodec]]/[[GifCodec]]
-  * and `decodeAudio` wires [[WavCodec]]/[[FlacCodec]] — pure-JVM spec codecs
-  * with oracle-checked output. Formats without a codec yet (JPEG/WebP
-  * pixels, lossy audio) null through or refuse by name; `toMediaBlobs`
+  * The pixel/sample decode boundary is REAL for PNG, JPEG, GIF, WAV and
+  * FLAC: `decodeImages`/`gifFrames`/`resizeImages` wire
+  * [[PngCodec]]/[[JpegCodec]]/[[GifCodec]] and `decodeAudio` wires
+  * [[WavCodec]]/[[FlacCodec]] — pure-JVM spec codecs with oracle-checked
+  * output. Formats without a codec yet (WebP pixels, lossy audio) null
+  * through or refuse by name; `toMediaBlobs`
   * keeps a deterministic `FakeCodec` payload generator purely for fixture
   * synthesis. Everything around the codec call — schema, batched
   * `mapPartitions` execution, partitioning, frame explode — is the real
@@ -173,8 +174,9 @@ object Multimodal {
 
   // ---- REAL pixel path (PNG — the de-stubbed codec boundary) -------------
 
-  /** Decode an image binary column (PNG via [[PngCodec]], GIF via
-    * [[GifCodec]] — format sniffed per row, mixed corpora welcome) to
+  /** Decode an image binary column (PNG via [[PngCodec]], baseline JPEG
+    * via [[JpegCodec]], GIF via [[GifCodec]] — format sniffed per row,
+    * mixed corpora welcome) to
     * pixel-level facts: dims, channels, frame count (real for animated
     * GIF), per-channel byte sums over ALL frames (the oracle
     * substrate — rederivable from a generator's pixel formula), and the
@@ -201,8 +203,10 @@ object Multimodal {
             i += 1
           }
         }
-        if (bytes != null && PngCodec.isPng(bytes)) {
-          val img = PngCodec.decode(bytes)
+        if (bytes != null &&
+          (PngCodec.isPng(bytes) || JpegCodec.isJpeg(bytes))) {
+          val img = if (PngCodec.isPng(bytes)) PngCodec.decode(bytes)
+          else JpegCodec.decode(bytes)
           val sums = new Array[Long](math.min(img.channels, 3))
           sumsOf(img.pixels, img.channels, sums)
           (id, img.width, img.height, img.channels, 1,

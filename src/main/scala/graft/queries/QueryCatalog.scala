@@ -4958,6 +4958,70 @@ object QueryCatalog {
         CAST(sum(p * ((idx * 5) % 256)) AS BIGINT) AS wsum_r
       FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
 
+    // REAL baseline JPEG pixel decode end to end (multimodal/
+    // JpegCodec): every doc gets a real 4:2:0 color JPEG — formula
+    // YCbCr planes, constant per 8×8 luma block / per 16×16 chroma
+    // macroblock, encoded at quality 100 where every quantizer is 1,
+    // so the DCT→Huffman→decode chain is EXACT (only DC survives and
+    // divides by 1). decodeImages Huffman-decodes, dequantizes,
+    // IDCTs, upsamples the subsampled chroma, and color-converts with
+    // the fixed-point BT.601 inverse; the oracle rederives the RGB
+    // channel sums from the block formulas + the same integer
+    // conversion ALONE (it never sees a JPEG byte). Any error in the
+    // marker walk, entropy decode, dequant, IDCT, upsampling, or
+    // color transform corrupts a sum. Data-derived at any scale.
+    QueryDef("jpeg_decode", (s, d) => {
+      import graft.multimodal.{JpegCodec, Multimodal}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 32; val h = 16
+          val yP = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            (((id * 13 + bx * 17 + by * 29) % 216) + 20).toInt
+          }
+          val cbP = Array.tabulate(w * h) { i =>
+            val mx = (i % w) / 16
+            (((id * 7 + mx * 31) % 200) + 28).toInt
+          }
+          val crP = Array.tabulate(w * h) { i =>
+            val mx = (i % w) / 16
+            (((id * 11 + mx * 23) % 200) + 30).toInt
+          }
+          (id, JpegCodec.encodePlanes(Array(yP, cbP, crP), w, h,
+            quality = 100, subsample420 = true))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeImages(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH blk AS (
+        SELECT d.doc_id,
+          ((d.doc_id * 13 + bx.bx * 17 + yb.yb * 29) % 216) + 20 AS yv,
+          ((d.doc_id * 7 + (bx.bx // 2) * 31) % 200) + 28 AS cb,
+          ((d.doc_id * 11 + (bx.bx // 2) * 23) % 200) + 30 AS cr
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 3)) AS bx) bx,
+             (SELECT unnest(generate_series(0, 1)) AS yb) yb),
+      conv AS (
+        SELECT doc_id,
+          LEAST(255, GREATEST(0, yv + CAST(floor(
+            (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          LEAST(255, GREATEST(0, yv - CAST(floor(
+            (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0)
+            AS BIGINT))) AS g,
+          LEAST(255, GREATEST(0, yv + CAST(floor(
+            (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM blk)
+      SELECT doc_id,
+        CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels,
+        CAST(sum(r) * 64 AS BIGINT) AS sum_c0,
+        CAST(sum(g) * 64 AS BIGINT) AS sum_c1,
+        CAST(sum(b) * 64 AS BIGINT) AS sum_c2
+      FROM conv GROUP BY doc_id ORDER BY doc_id""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate
