@@ -4781,6 +4781,52 @@ object QueryCatalog {
       FROM documents WHERE doc_id % 7 <> 3
       GROUP BY lang ORDER BY lang""")),
 
+    // Iceberg v2 EQUALITY deletes, the CDC/streaming-upsert shape
+    // (sources/IcebergLite.equalityDeleteMOR): create even docs,
+    // equality-delete the doc_id%10=4 keys (write ∝ keys — no file/
+    // position naming, no scan), then re-append NEW VERSIONS of those
+    // keys (+1000 chars). Sequence semantics must drop only the OLD
+    // versions: rows written before the delete match and vanish, the
+    // re-appended rows postdate it and survive — an upsert through
+    // the real metadata chain (content=2 manifest, key parquet,
+    // per-file snapshot provenance). The aggregate is over the
+    // merge-on-read result; the oracle rebuilds the upsert
+    // relationally. Data-derived at any scale.
+    QueryDef("iceberg_eq_delete", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_eq_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val upd = docs.filter(col("doc_id") % 10 === 4)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      IcebergLite.createTable(s, base, dir)
+      val nKeys = IcebergLite.equalityDeleteMOR(s, dir,
+        upd.select(col("doc_id")))
+      IcebergLite.appendSnapshot(s, upd, dir)
+      IcebergLite.readTable(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_keys", lit(nKeys))
+        .orderBy("lang")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      upd AS (
+        SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+        WHERE doc_id % 10 = 4),
+      final AS (
+        SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        UNION ALL SELECT * FROM upd)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM upd) AS n_keys
+      FROM final GROUP BY lang ORDER BY lang""")),
+
     // REAL PNG pixel decode end to end (multimodal/PngCodec — the
     // de-stubbed codec boundary): every doc gets a real zlib-
     // compressed, filter-framed PNG whose pixels follow a formula;

@@ -28,10 +28,15 @@ import org.apache.spark.sql.types._
   * Supported subset (loud errors outside it): format v1 — appends,
   * copy-on-write deleteWhere, compaction, snapshot expiry, schema
   * evolution (add/rename/widen), manifest column bounds + file-skipping
-  * reads, plus the v2 MERGE-ON-READ position-delete mechanism
-  * (deleteWhereMOR: content=1 delete manifests over (file_path, pos)
-  * parquet; readers anti-join, compact applies physically) carried on
-  * the v1-lite metadata chain, identity partition transforms on
+  * reads, plus the v2 MERGE-ON-READ delete mechanisms — position
+  * deletes (deleteWhereMOR: content=1 delete manifests over
+  * (file_path, pos) parquet; readers anti-join) and EQUALITY deletes
+  * (equalityDeleteMOR: content=2 manifests whose key-row parquet drops
+  * matches from files predating the delete — the CDC/upsert shape;
+  * compact applies both physically) carried on the v1-lite metadata
+  * chain, persisted sort-order metadata (identity asc; appendSnapshot/
+  * sink inherit the table's clustering when the caller names none),
+  * identity partition transforms on
   * string/long columns, primitive column types (boolean/int/long/
   * float/double/string/binary/timestamp/date/decimal) plus nested
   * map/list/struct with spec-conformant unique field-id assignment —
@@ -379,18 +384,6 @@ object IcebergLite {
                      sortBy: Seq[String] = Nil,
                      sortFiles: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{col => c0}
-    // sortFiles > 0 pins the range-partition count (a user-specified
-    // repartition is exempt from AQE coalescing — without it, a small
-    // batch collapses to one file and the disjoint-bounds property
-    // this clustering exists for never materializes)
-    val df =
-      if (sortBy.isEmpty) df0
-      else {
-        val ranged =
-          if (sortFiles > 0) df0.repartitionByRange(sortFiles, sortBy.map(c0): _*)
-          else df0.repartitionByRange(sortBy.map(c0): _*)
-        ranged.sortWithinPartitions(sortBy.map(c0): _*)
-      }
     val root = new Path(tableDir)
     val metaDir = new Path(root, "metadata")
     val hintPath = new Path(metaDir, "version-hint.text")
@@ -398,6 +391,26 @@ object IcebergLite {
 
     val prior: Option[TableMeta] =
       if (f.exists(hintPath)) Some(readMeta(spark, tableDir)) else None
+    // the table's persisted sort order is the default: a caller that
+    // names no sortBy still clusters the way the table contract says
+    // (a second writer inherits the discipline); an explicit sortBy
+    // becomes the NEW persisted order
+    val effectiveSort =
+      if (sortBy.nonEmpty) sortBy
+      else prior.map(_.sortOrderCols).getOrElse(Nil)
+    // sortFiles > 0 pins the range-partition count (a user-specified
+    // repartition is exempt from AQE coalescing — without it, a small
+    // batch collapses to one file and the disjoint-bounds property
+    // this clustering exists for never materializes)
+    val df =
+      if (effectiveSort.isEmpty) df0
+      else {
+        val ranged =
+          if (sortFiles > 0)
+            df0.repartitionByRange(sortFiles, effectiveSort.map(c0): _*)
+          else df0.repartitionByRange(effectiveSort.map(c0): _*)
+        ranged.sortWithinPartitions(effectiveSort.map(c0): _*)
+      }
     // exactly-once: a commit key already in the snapshot log means this
     // batch landed before a checkpoint replay — the fold is a no-op
     if (commitKey.exists(k => prior.exists(hasCommitKey(_, k)))) return
@@ -464,7 +477,7 @@ object IcebergLite {
         MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
           newRows, content = 0),
       schemaJs, lastColumnId, spec, operation = "append",
-      commitKey = commitKey)
+      commitKey = commitKey, sortCols = effectiveSort)
   }
 
   private def hasCommitKey(m: TableMeta, key: String): Boolean = {
@@ -606,7 +619,8 @@ object IcebergLite {
                      schemaJs: String, lastColumnId: Int,
                      spec: Seq[(String, DataType)],
                      operation: String,
-                     commitKey: Option[String] = None): Unit = {
+                     commitKey: Option[String] = None,
+                     sortCols: Seq[String] = Nil): Unit = {
     val metaDir = new Path(root, "metadata")
     val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
     val listRecords = manifests.map { m =>
@@ -629,7 +643,7 @@ object IcebergLite {
     writeMetadata(spark, root, version, schemaJs, lastColumnId, spec,
       snapshotId,
       prior.toSeq.flatMap(_.snapshots) :+
-        ((snapshotId, listPath.toString, newSummary)))
+        ((snapshotId, listPath.toString, newSummary)), sortCols)
   }
 
   /** Write vN.metadata.json + the version hint for the given snapshot
@@ -639,13 +653,31 @@ object IcebergLite {
                             schemaJs: String, lastColumnId: Int,
                             spec: Seq[(String, DataType)],
                             currentSnapshotId: Long,
-                            snapshots: Seq[(Long, String, String)]): Unit = {
+                            snapshots: Seq[(Long, String, String)],
+                            sortCols: Seq[String] = Nil): Unit = {
     val metaDir = new Path(root, "metadata")
     val specJsonV1 = spec.zipWithIndex.map { case ((c, _), i) =>
       s"""{"name": ${q(c)}, "transform": "identity",
           "source-id": ${sourceFieldId(schemaJs, c)},
           "field-id": ${1000 + i}}"""
     }.mkString(", ")
+    // persisted sort order: the table-level clustering CONTRACT — any
+    // writer (a second engine, a later sink) inherits it instead of
+    // depending on a caller argument; order-id 0 = unsorted (the spec's
+    // reserved id)
+    val sortOrderJson =
+      if (sortCols.isEmpty)
+        """"sort-orders": [{"order-id": 0, "fields": []}],
+           "default-sort-order-id": 0,"""
+      else {
+        val fields = sortCols.map(c =>
+          s"""{"transform": "identity",
+               "source-id": ${sourceFieldId(schemaJs, c)},
+               "direction": "asc", "null-order": "nulls-first"}""")
+          .mkString(", ")
+        s""""sort-orders": [{"order-id": 1, "fields": [$fields]}],
+            "default-sort-order-id": 1,"""
+      }
     val snapshotsJson = snapshots.map { case (id, lp, summary) =>
       s"""{"snapshot-id": $id,
            "timestamp-ms": ${System.currentTimeMillis()},
@@ -663,6 +695,7 @@ object IcebergLite {
       "partition-specs": [{"spec-id": 0, "fields": [$specJsonV1]}],
       "default-spec-id": 0,
       "last-partition-id": ${999 + spec.size},
+      $sortOrderJson
       "properties": {},
       "current-snapshot-id": $currentSnapshotId,
       "snapshots": [$snapshotsJson],
@@ -702,7 +735,10 @@ object IcebergLite {
       /** manifests of the CURRENT list (data AND delete) */
       manifests: Seq[MRef],
       /** highest allocated field id — evolution allocates ABOVE it */
-      lastColumnId: Int) {
+      lastColumnId: Int,
+      /** the persisted default sort order's identity columns (empty =
+        * unsorted) — the clustering contract every writer inherits */
+      sortOrderCols: Seq[String]) {
     /** The table schema json verbatim — committed unchanged by appends
       * and rewrites so evolved field ids are never re-derived. */
     def schemaJs: String = schemaNode.toString
@@ -747,8 +783,28 @@ object IcebergLite {
     }
     val lastColumnId = Option(node.get("last-column-id")).map(_.asInt())
       .getOrElse(sys.error("metadata missing last-column-id"))
+    // persisted sort order (identity transforms only in this subset);
+    // resolve source-ids back to current column NAMES so the order
+    // survives renames
+    val sortOrderCols: Seq[String] = {
+      val orderId = Option(node.get("default-sort-order-id"))
+        .map(_.asInt()).getOrElse(0)
+      if (orderId == 0) Nil
+      else {
+        val idToName = schemaNode.get("fields").elements().asScala
+          .map(f2 => f2.get("id").asInt() -> f2.get("name").asText()).toMap
+        Option(node.get("sort-orders")).toSeq
+          .flatMap(_.elements().asScala)
+          .filter(_.get("order-id").asInt() == orderId)
+          .flatMap(_.get("fields").elements().asScala.map { sf =>
+            require(sf.get("transform").asText() == "identity",
+              s"unsupported sort transform ${sf.get("transform").asText()}")
+            idToName(sf.get("source-id").asInt())
+          }).toSeq
+      }
+    }
     TableMeta(version, schemaNode, partitionCols, wantId, snapshots,
-      manifests, lastColumnId)
+      manifests, lastColumnId, sortOrderCols)
   }
 
   /** Read the table at its current (or a given) snapshot. The data-file
@@ -764,16 +820,95 @@ object IcebergLite {
   }
 
   /** Merge-on-read: anti-join the frame's (__file, __pos) provenance
-    * against the live position-delete files. A no-op (no join in the
-    * plan at all) when the snapshot carries no deletes. */
+    * against the live position-delete files, then apply EQUALITY
+    * deletes with sequence semantics — an equality-delete file drops
+    * matching rows only from data files written BEFORE it (entry
+    * snapshot < delete snapshot), so a later re-append of the same key
+    * survives: the upsert contract. A no-op (no join in the plan at
+    * all) when the snapshot carries no deletes of either kind. */
   private def applyDeletes(spark: SparkSession, meta: TableMeta,
                            df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
     val deletes = liveDeleteFiles(spark, meta)
-    if (deletes.isEmpty) df
-    else df.join(spark.read.parquet(deletes: _*),
-      col("__file") === col("file_path") && col("__pos") === col("pos"),
-      "left_anti")
+    val pos =
+      if (deletes.isEmpty) df
+      else df.join(spark.read.parquet(deletes: _*),
+        col("__file") === col("file_path") && col("__pos") === col("pos"),
+        "left_anti")
+    val eqs = liveEqualityDeletes(spark, meta)
+    if (eqs.isEmpty) pos
+    else {
+      // per-row provenance: the snapshot that wrote the row's file —
+      // KB-scale manifest arithmetic, broadcast as a two-column dim
+      val snapDf = spark.createDataFrame(
+        dataFileSnapshots(spark, meta).toSeq).toDF("__fp", "__fsnap")
+      var out = pos.join(broadcast(snapDf),
+        col("__file") === col("__fp"), "left").drop("__fp")
+      eqs.sortBy(_._1).foreach { case (delSnap, keyCols, paths) =>
+        // plain (AQE-broadcastable) left join marks hits; the filter
+        // keeps a hit only when its file predates the delete. NULL key
+        // values never match (left-join null semantics) — documented.
+        val keys = spark.read.parquet(paths: _*).distinct()
+          .withColumn("__eqhit", lit(1))
+        out = out.join(keys, keyCols, "left")
+          .filter(col("__eqhit").isNull || col("__fsnap") >= lit(delSnap))
+          .drop("__eqhit")
+      }
+      out.drop("__fsnap")
+    }
+  }
+
+  /** Live EQUALITY-delete manifests: (delete snapshot, key columns,
+    * delete-file paths), oldest first. */
+  private def liveEqualityDeletes(spark: SparkSession, meta: TableMeta)
+      : Seq[(Long, Seq[String], Seq[String])] =
+    meta.manifests.filter(_.content == 2).map { m =>
+      val p = new Path(m.path)
+      val cols = manifestMetaString(spark, p, "equality-cols")
+        .getOrElse(sys.error(s"equality manifest ${m.path} has no " +
+          "equality-cols metadata")).split(",").toSeq
+      val paths = readManifest(spark, p)._1
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+      (m.addedBy, cols, paths)
+    }
+
+  /** data-file path → the snapshot that ADDED it (entry snapshot_id —
+    * stable across rewrites that carry entries as EXISTING). */
+  private def dataFileSnapshots(spark: SparkSession, meta: TableMeta)
+      : Map[String, Long] =
+    meta.manifests.filter(_.content == 0).flatMap { m =>
+      readManifest(spark, new Path(m.path))._1
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(e => e.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString ->
+          e.get("snapshot_id").asInstanceOf[Long])
+    }.toMap
+
+  /** Data files an outstanding EQUALITY delete still applies to (entry
+    * snapshot predates a live equality-delete manifest). Any rewrite
+    * that drops delete manifests (deleteWhere, compactSmallFiles) must
+    * rewrite these with the deletes applied, or dropped rows would
+    * resurrect. */
+  private def eqAffectedFiles(spark: SparkSession,
+                              meta: TableMeta): Set[String] = {
+    val eqs = liveEqualityDeletes(spark, meta)
+    if (eqs.isEmpty) Set.empty
+    else {
+      val maxEq = eqs.map(_._1).max
+      dataFileSnapshots(spark, meta).collect {
+        case (p2, s2) if s2 < maxEq => p2
+      }.toSet
+    }
+  }
+
+  private def manifestMetaString(spark: SparkSession, p: Path,
+                                 key: String): Option[String] = {
+    val in = new java.io.ByteArrayInputStream(readBytes(spark, p))
+    val r = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try Option(r.getMetaString(key)) finally r.close()
   }
 
 
@@ -896,7 +1031,8 @@ object IcebergLite {
         .collect().map(_.getString(0)).toSet
     }
     val liveSet = files.map(_._1).toSet
-    val hits = hitAgg.map(_.getString(0)).toSet ++ (deleteRefs & liveSet)
+    val hits = hitAgg.map(_.getString(0)).toSet ++ (deleteRefs & liveSet) ++
+      (eqAffectedFiles(spark, meta) & liveSet)
     if (hits.isEmpty) return 0L
 
     val schema = declaredSchema(meta)
@@ -1004,8 +1140,80 @@ object IcebergLite {
         entries.size, snapshotId, nDeleted, content = 1),
       meta.schemaJs, meta.lastColumnId,
       meta.partitionCols.map(c => c -> declaredSchema(meta)(c).dataType),
-      operation = "delete")
+      operation = "delete", sortCols = meta.sortOrderCols)
     nDeleted
+  }
+
+  /** v2 merge-on-read EQUALITY delete — the CDC/streaming-upsert
+    * deletion shape deleteWhereMOR cannot express: drop every row whose
+    * values on the key frame's columns match ANY key row, across data
+    * files written BEFORE this delete. Sequence semantics make
+    * `append → equalityDeleteMOR(keys) → append(new versions)` an
+    * UPSERT: the re-appended rows postdate the delete and survive.
+    * Write cost ∝ |keys| — no file/position naming, no data scan, no
+    * rewrite; readers merge on read, [[compact]]/[[compactSmallFiles]]
+    * make it physical. Key columns must exist in the table schema; NULL
+    * key values never match. Returns the distinct key count. */
+  def equalityDeleteMOR(spark: SparkSession, tableDir: String,
+                        keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    require(liveFileEntries(spark, meta).nonEmpty, "table has no data files")
+    val declared = declaredSchema(meta)
+    val keyCols = keys.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    keyCols.foreach(c => require(declared.fieldNames.contains(c),
+      s"equality column $c not in the table schema"))
+    val snapshotId = meta.currentSnapshotId + 1
+    val delDir = new Path(root, s"data/eqdel-s$snapshotId")
+    // cast to the DECLARED types so the MOR join is type-exact even if
+    // the caller hands narrower literals
+    val casted = keys.select(keyCols.map(c =>
+      col(c).cast(declared(c).dataType).as(c)): _*).distinct()
+    casted.write.mode("overwrite").parquet(delDir.toString)
+
+    val perFile = spark.read.parquet(delDir.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect()
+    val nKeys = perFile.map(_.getLong(1)).sum
+    if (nKeys == 0) return 0L
+
+    val delEntrySchema = manifestEntrySchema(Nil)
+    val fileSchema = delEntrySchema.getField("data_file").schema()
+    val partSchema = fileSchema.getField("partition").schema()
+    val f = fs(spark, root)
+    val entries = perFile.toSeq.map { row =>
+      val e = new GenericData.Record(delEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(fileSchema)
+      d.put("file_path", row.getString(0))
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(partSchema))
+      d.put("record_count", row.getLong(1))
+      d.put("file_size_in_bytes", f.getFileStatus(
+        new Path(new java.net.URI(row.getString(0)))).getLen)
+      e.put("data_file", d)
+      e
+    }
+    val metaDir = new Path(root, "metadata")
+    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-eqdel.avro")
+    // key columns ride the manifest metadata by NAME + field id (ids are
+    // the evolution-stable identity; names are what the MOR join uses)
+    val fieldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
+    val manifestLen = writeAvro(spark, manifestPath, delEntrySchema, entries,
+      Map("schema" -> meta.schemaJs, "format-version" -> "1",
+        "content" -> "deletes",
+        "equality-cols" -> keyCols.mkString(","),
+        "equality-ids" -> keyCols.map(fieldIds).mkString(",")))
+    commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+      meta.manifests :+ MRef(manifestPath.toString, manifestLen,
+        entries.size, snapshotId, nKeys, content = 2),
+      meta.schemaJs, meta.lastColumnId,
+      meta.partitionCols.map(c => c -> declared(c).dataType),
+      operation = "delete", sortCols = meta.sortOrderCols)
+    nKeys
   }
 
   /** Rewrite every live file into one fresh snapshot — the small-file
@@ -1066,6 +1274,10 @@ object IcebergLite {
       spark.read.parquet(dels: _*).select("file_path").distinct()
         .collect().map(_.getString(0))
         .filter(files.map(_._1).toSet).foreach(small += _)
+    // files a live EQUALITY delete still applies to rewrite too (the
+    // new list drops the delete manifests, so the merge goes physical)
+    (eqAffectedFiles(spark, meta) & files.map(_._1).toSet)
+      .foreach(small += _)
     if (small.isEmpty) return 0L
 
     val packed = applyDeletes(spark, meta,
@@ -1159,7 +1371,8 @@ object IcebergLite {
           nRows, content = 0)
     }
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
-      manifests, meta.schemaJs, meta.lastColumnId, spec, operation)
+      manifests, meta.schemaJs, meta.lastColumnId, spec, operation,
+      sortCols = meta.sortOrderCols)
   }
 
   /** Physically purge history: keep the `keepLast` most recent
@@ -1206,7 +1419,8 @@ object IcebergLite {
     val schema = declaredSchema(meta)
     val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
     writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
-      meta.lastColumnId, spec, meta.currentSnapshotId, kept)
+      meta.lastColumnId, spec, meta.currentSnapshotId, kept,
+      meta.sortOrderCols)
   }
 
   // ---- scan pruning via manifest column bounds ---------------------------
@@ -1393,13 +1607,25 @@ object IcebergLite {
     val declared = StructType(topFields(schema).map { case (_, n, dt, req) =>
       StructField(n, dt, !req) })
     val spec = meta.partitionCols.map(c => c -> declared(c).dataType)
+    // sort order is held as NAMES; a rename changes the name, so route
+    // old-name → field-id (old schema) → new-name (new schema)
+    val oldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
+    val newNames = topFields(schema).map(f2 => f2._1 -> f2._2).toMap
+    val sortCols = meta.sortOrderCols.map(c => newNames(oldIds(c)))
     writeMetadata(spark, root, meta.version + 1, schema.toString,
-      lastColumnId, spec, meta.currentSnapshotId, meta.snapshots)
+      lastColumnId, spec, meta.currentSnapshotId, meta.snapshots,
+      sortCols)
   }
 
   /** Snapshot ids, oldest first — the time-travel surface. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
     readMeta(spark, tableDir).snapshots.map(_._1)
+
+  /** The table's persisted default sort order (identity columns; empty
+    * = unsorted) — the clustering contract [[appendSnapshot]]/[[sink]]
+    * apply when the caller names no sortBy. */
+  def tableSortOrder(spark: SparkSession, tableDir: String): Seq[String] =
+    readMeta(spark, tableDir).sortOrderCols
 
   /** The table's declared schema (from the metadata json, not from any
     * data file — the schema-as-contract Iceberg property). */

@@ -488,4 +488,126 @@ class IcebergLiteSpec extends SparkSuite {
     assert(names.count(_.startsWith("manifest-")) == 2)
     assert(names.count(_.startsWith("snap-")) == 2)
   }
+
+  // ---- v2 equality deletes (merge-on-read upsert shape) ------------------
+
+  test("equality delete drops matching rows merge-on-read") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    val nKeys = IcebergLite.equalityDeleteMOR(spark, dir,
+      Seq(1L, 3L, 99L).toDF("id")) // 99 matches nothing — harmless
+    assert(nKeys == 3L)
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+    // time travel to before the delete still sees everything
+    assert(IcebergLite.readTable(spark, dir, Some(1L)).count() == 3L)
+  }
+
+  test("append after equality delete survives: the upsert contract") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    // upsert ids 1 and 3: delete old versions, append new ones
+    IcebergLite.equalityDeleteMOR(spark, dir, Seq(1L, 3L).toDF("id"))
+    IcebergLite.appendSnapshot(spark,
+      Seq((1L, "en", 1000L), (3L, "en", 3000L)).toDF("id", "lang", "n"), dir)
+    val back = IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(back == Map(1L -> 1000L, 2L -> 20L, 3L -> 3000L))
+    // a SECOND delete round hits the re-appended versions too
+    IcebergLite.equalityDeleteMOR(spark, dir, Seq(1L).toDF("id"))
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("composite-key equality delete matches on ALL key columns") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.equalityDeleteMOR(spark, dir,
+      Seq((1L, "en"), (2L, "xx")).toDF("id", "lang")) // (2,xx) misses
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("equality + position deletes compose; compact makes both physical") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    assert(IcebergLite.deleteWhereMOR(spark, dir, col("id") === 4L) == 1L)
+    IcebergLite.equalityDeleteMOR(spark, dir, Seq(2L).toDF("id"))
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    IcebergLite.compact(spark, dir)
+    val after = IcebergLite.readTable(spark, dir)
+    assert(after.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    // post-compaction current snapshot carries no delete manifests:
+    // a fresh append then a read must not re-apply anything
+    IcebergLite.appendSnapshot(spark,
+      Seq((2L, "de", 21L)).toDF("id", "lang", "n"), dir)
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("compactSmallFiles rewrites equality-affected files (no resurrection)") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.equalityDeleteMOR(spark, dir, Seq(1L).toDF("id"))
+    // every data file is tiny → all rewrite; the eq delete goes physical
+    val rewritten = IcebergLite.compactSmallFiles(spark, dir,
+      smallerThanBytes = 1L << 30)
+    assert(rewritten >= 1L)
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("deleteWhere (COW) after an equality delete does not resurrect") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.equalityDeleteMOR(spark, dir, Seq(3L).toDF("id"))
+    assert(IcebergLite.deleteWhere(spark, dir, col("id") === 2L) == 1L)
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("equality delete refuses unknown key columns") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.equalityDeleteMOR(spark, dir, Seq(1L).toDF("nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  // ---- persisted sort-order metadata -------------------------------------
+
+  test("sort order persists in table metadata and appends inherit it") {
+    val dir = tmp()
+    val wide = (0L until 400L).map(i => (i, s"l${i % 4}", i * 2))
+    IcebergLite.createTable(spark, wide.toDF("id", "lang", "n"), dir,
+      sortBy = Seq("id"), sortFiles = 4)
+    assert(IcebergLite.tableSortOrder(spark, dir) == Seq("id"))
+    // a second writer appends WITHOUT naming the sort — the persisted
+    // order clusters its batch anyway, so ranged file skipping holds
+    val more = (400L until 800L).map(i => (i, s"l${i % 4}", i * 2))
+    IcebergLite.appendSnapshot(spark, more.toDF("id", "lang", "n"), dir,
+      sortFiles = 4)
+    assert(IcebergLite.tableSortOrder(spark, dir) == Seq("id"))
+    val (kept, total) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.GtEq("id", 0L), IcebergLite.LtEq("id", 60L)))
+    assert(total == 8, s"expected 8 files, got $total")
+    // the slice lives in snapshot 1's low range file(s) only; snapshot
+    // 2's files (ids 400-799) must all prune on bounds
+    assert(kept <= 2, s"kept $kept of $total — inherited clustering broken")
+    assert(IcebergLite.readTable(spark, dir).count() == 800L)
+  }
+
+  test("maintenance commits carry the sort order; rename follows it") {
+    val dir = tmp()
+    IcebergLite.createTable(spark,
+      batch1.toDF("id", "lang", "n"), dir, sortBy = Seq("id"))
+    IcebergLite.compact(spark, dir)
+    assert(IcebergLite.tableSortOrder(spark, dir) == Seq("id"))
+    IcebergLite.renameColumn(spark, dir, "id", "doc_id")
+    assert(IcebergLite.tableSortOrder(spark, dir) == Seq("doc_id"))
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    assert(IcebergLite.tableSortOrder(spark, dir) == Seq("doc_id"))
+  }
 }
