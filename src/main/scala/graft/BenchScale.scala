@@ -879,14 +879,40 @@ object BenchScale {
         val ic8 = routing._2.join(routing._1, Seq("centroid_id")).count()
         val pqScan = nVecsAll * nProbesN // ADC scores every code row
         def fetched(sl: Int): Long = sl.toLong * nProbesN
+        // the MID-RANGE of the memory dial (r12 verdict: the adc-only
+        // m=8 floor is honest but near-zero — give the curve readings
+        // between "32× compressed, blind" and "rerank against cold
+        // storage"): m=16 (16 B/vector, 4 dims/block) and m=32
+        // (32 B/vector, 2 dims/block) learned codebooks, adc-only, for
+        // both the flat and the routed variant. Same training path,
+        // same routing build (IVF lists are independent of m), same
+        // ground truth — directly comparable entries.
+        def adcOnly(m: Int): (Long, Long) = {
+          val cb = Pq.pqCodebooksKmeans(emN, "vec_id", "embedding",
+            m = m, kSub = 16, dim = 64).localCheckpoint()
+          val flat = annRecallPct(Pq.pqTopKLearned(emN, probesN,
+            "vec_id", "embedding", k = annKk, m = m, kSub = 16, dim = 64,
+            codebooks0 = Some(cb)).filter(col("rank") <= annKk))
+          val routed = annRecallPct(Pq.ivfPqTopKLearned(emN, probesN,
+            "vec_id", "embedding", k = annKk, m = m, kSub = 16, dim = 64,
+            nLists = 64, nProbe = 8, codebooks0 = Some(cb),
+            routing0 = Some(routing)).filter(col("rank") <= annKk))
+          (flat, routed)
+        }
+        val (pq16, ivfpq16) = adcOnly(16)
+        val (pq32, ivfpq32) = adcOnly(32)
         annPqCurve =
           s"""{"variant":"pq","config":"m=8,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq8,"bytes_per_vector":8},""" +
+          s"""{"variant":"pq","config":"m=16,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq16,"bytes_per_vector":16},""" +
+          s"""{"variant":"pq","config":"m=32,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq32,"bytes_per_vector":32},""" +
           s"""{"variant":"pq","config":"m=8,kSub=16,learned,rerank=$sl1","scanned_rows":${pqScan + fetched(sl1)},"recall_pct":$pq8r1,"bytes_per_vector":8},""" +
           s"""{"variant":"pq","config":"m=8,kSub=16,learned,rerank=$sl2","scanned_rows":${pqScan + fetched(sl2)},"recall_pct":$pq8r2,"bytes_per_vector":8},""" +
           s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8,learned,adc-only","scanned_rows":$ic8,"recall_pct":$ivfpq8,"bytes_per_vector":8},""" +
+          s"""{"variant":"ivfpq","config":"m=16,nLists=64,nProbe=8,learned,adc-only","scanned_rows":$ic8,"recall_pct":$ivfpq16,"bytes_per_vector":16},""" +
+          s"""{"variant":"ivfpq","config":"m=32,nLists=64,nProbe=8,learned,adc-only","scanned_rows":$ic8,"recall_pct":$ivfpq32,"bytes_per_vector":32},""" +
           s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8,learned,rerank=$sl1","scanned_rows":${ic8 + fetched(sl1)},"recall_pct":$ivfpq8r1,"bytes_per_vector":8},""" +
           s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8,learned,rerank=$sl2","scanned_rows":${ic8 + fetched(sl2)},"recall_pct":$ivfpq8r2,"bytes_per_vector":8}"""
-        pq8r2 * 1000 + ivfpq8r2
+        pq8r2 * 1000 + ivfpq8r2 + pq32
       },
       timed("curate_pipeline") {
         TrainingDataPipeline.curate(docs, "text", "doc_id")

@@ -87,7 +87,11 @@ object NexusFixtures {
         attrs = Seq("NX_class" -> W.AttrStr("NXevent_data")))
     }
 
-    val daslogs = W.Group("DASlogs", Seq(
+    // DASlogs is written DENSE (fractal heap + name-index v2 b-tree —
+    // the libhdf5-1.8+ layout for device-log groups, which routinely
+    // exceed the 8-link compact bound), so every nexus_h5_* oracle and
+    // the daslogs_stats walk ride dense-link decoding end to end
+    val daslogs = W.Group("DASlogs", dense = true, children = Seq(
       W.Group("proton_charge", Seq(
         W.Dataset("time", W.DoubleData(Array.tabulate(p)(_ / 64.0))),
         W.Dataset("value", W.DoubleData(Array.tabulate(p)(i => 10.0 + i % 5))),
@@ -151,7 +155,11 @@ object NexusFixtures {
             W.scalarStr("name", "nwriter"),
             W.scalarStr("version", "1.2.3"))))),
         daslogs) ++ users ++ bankGroups,
-      attrs = Seq("NX_class" -> W.AttrStr("NXentry")))
+      attrs = Seq("NX_class" -> W.AttrStr("NXentry")),
+      // the entry group's ~15+ links overflow one 256-byte heap block,
+      // so the oracle corpus also exercises the root-INDIRECT fractal
+      // heap generation (FHIB + multiple direct blocks)
+      dense = true)
 
     W.write(Seq(entry), rootAttrs = Seq(
       "file_name" -> W.AttrStr(s"run_${1000 + r}.nxs.h5"),

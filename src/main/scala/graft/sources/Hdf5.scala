@@ -430,18 +430,23 @@ object Hdf5 {
         H5Group(name, entries.map { case (child, a) => child -> parseNode(child, a) },
           attrs)
       } else if (linkInfo.isDefined || links.nonEmpty) {
-        if (linkInfo.isDefined) {
-          val d = linkInfo.get.data
+        // new-style groups: COMPACT links live in 0x0006 messages; DENSE
+        // links (libhdf5 switches beyond 8 links) live as link-message
+        // bodies in a FRACTAL HEAP indexed by a name-hash v2 b-tree,
+        // both addressed from the Link Info message
+        val denseEntries: Option[Seq[(String, Long)]] = linkInfo.flatMap { li =>
+          val d = li.data
           // version(1), flags(1), [max creation index(8)], fractal heap
           // addr, name-index b-tree addr, [creation-order b-tree addr]
           val flags = u8(d, 1)
           var p = 2
           if ((flags & 0x1) != 0) p += 8
           val fheapAddr = readOffset(d, p)
-          require(fheapAddr == Undef,
-            "dense link storage (fractal heap) is outside the supported HDF5 subset")
+          if (fheapAddr == Undef) None
+          else Some(readDenseLinks(name, fheapAddr,
+            readOffset(d, p + sizeOfOffsets)))
         }
-        val entries = links.map(parseLink)
+        val entries = denseEntries.getOrElse(links.map(parseLink))
         H5Group(name, entries.map { case (child, a) => child -> parseNode(child, a) },
           attrs)
       } else if (hasDataspace) {
@@ -482,6 +487,209 @@ object Hdf5 {
       val nm = new String(d, p, nameLen, "UTF-8")
       p += nameLen
       (nm, readOffset(d, p))
+    }
+
+    // ---- dense groups: fractal heap + name-index v2 b-tree ---------------
+
+    /** Dense link storage (spec III.G; libhdf5 1.8+ switches groups to
+      * dense beyond 8 links): link-message bodies live as MANAGED
+      * objects in a fractal heap; the name-index v2 b-tree's type-5
+      * records carry (name hash, 7-byte heap ID) and enumerate every
+      * link. Returns (name, object header address) pairs. */
+    private def readDenseLinks(name: String, fheapAddr: Long,
+                               btAddr: Long): Seq[(String, Long)] = {
+      require(btAddr != Undef,
+        s"group $name: dense links without a name-index b-tree")
+      val heap = new FractalHeap(name, fheapAddr)
+      readV2BtreeRecords(name, btAddr, expectType = 5).map { rec =>
+        // type-5 record: name hash (4 bytes) + managed heap ID (7 bytes)
+        parseLink(HeaderMessage(0x0006, heap.get(rec, 4)))
+      }
+    }
+
+    /** Fractal heap (spec III.G): doubling-table managed blocks. The
+      * supported subset is what link storage uses — managed objects
+      * (tiny/huge refuse by name), unfiltered blocks, root either a
+      * single direct block or one indirect block of direct children. */
+    private final class FractalHeap(owner: String, hdrAddr: Long) {
+      private val fixed = 4 + 1 + 2 + 2 + 1 + 4
+      private val head = src.get(hdrAddr,
+        fixed + 2 * sizeOfOffsets + 10 * sizeOfLengths + 2 +
+          2 * sizeOfLengths + 2 + 2 + sizeOfOffsets + 2 + 4)
+      require(new String(head, 0, 4, "US-ASCII") == "FRHP",
+        s"group $owner: bad fractal heap signature")
+      require(u8(head, 4) == 0,
+        s"group $owner: unsupported fractal heap version ${u8(head, 4)}")
+      private val heapIdLen = u16(head, 5)
+      require(u16(head, 7) == 0,
+        s"group $owner: filtered fractal heap is out of subset")
+      // flags (bit1 = checksummed direct blocks) only shift free space
+      // inside blocks; heap IDs address objects absolutely, so reads
+      // are flag-independent
+      private var p = fixed // past max-managed-size(4)
+      p += sizeOfLengths // next huge object id
+      require(readOffset(head, p) == Undef,
+        s"group $owner: huge fractal-heap objects are out of subset")
+      p += sizeOfOffsets
+      p += sizeOfLengths // free space amount
+      p += sizeOfOffsets // free-space manager (ignored: reads don't care)
+      p += 4 * sizeOfLengths // managed space/alloc/iterator/object count
+      p += 4 * sizeOfLengths // huge size/count, tiny size/count
+      private val tableWidth = u16(head, p); p += 2
+      private val startBlockSize = readLength(head, p); p += sizeOfLengths
+      private val maxDirectSize = readLength(head, p); p += sizeOfLengths
+      private val maxHeapBits = u16(head, p); p += 2
+      p += 2 // starting rows in root indirect block
+      private val rootAddr = readOffset(head, p); p += sizeOfOffsets
+      private val curRows = u16(head, p)
+      private val offsetSize = (maxHeapBits + 7) / 8
+      private val lengthSize = heapIdLen - 1 - offsetSize
+      require(offsetSize >= 1 && offsetSize <= 8 && lengthSize >= 1 &&
+        lengthSize <= 8,
+        s"group $owner: fractal heap ID geometry $heapIdLen/$offsetSize")
+      require(rootAddr != Undef, s"group $owner: fractal heap has no blocks")
+
+      /** doubling table: rows 0 and 1 use the starting size, row r ≥ 2
+        * doubles — size = start << (r-1). */
+      private def rowSize(r: Int): Long =
+        if (r < 2) startBlockSize else startBlockSize << (r - 1)
+      private val maxDirectRows = {
+        var r = 0
+        while (rowSize(r) < maxDirectSize) r += 1
+        r + 1
+      }
+
+      /** (heap-space offset, size, file address) of every allocated
+        * direct block, from the root geometry. */
+      private val blocks: Seq[(Long, Long, Long)] =
+        if (curRows == 0) Seq((0L, startBlockSize, rootAddr))
+        else {
+          require(curRows <= maxDirectRows,
+            s"group $owner: nested indirect fractal-heap blocks " +
+              s"($curRows rows > direct $maxDirectRows) are out of subset")
+          val n = curRows * tableWidth
+          val ib = src.get(rootAddr,
+            4 + 1 + sizeOfOffsets + offsetSize + n * sizeOfOffsets + 4)
+          require(new String(ib, 0, 4, "US-ASCII") == "FHIB",
+            s"group $owner: bad fractal heap indirect block signature")
+          var off = 0L
+          (0 until n).flatMap { i =>
+            val sz = rowSize(i / tableWidth)
+            val addr = readOffset(ib,
+              4 + 1 + sizeOfOffsets + offsetSize + i * sizeOfOffsets)
+            val here = off
+            off += sz
+            if (addr == Undef) None else Some((here, sz, addr))
+          }
+        }
+
+      private def leN(b: Array[Byte], at: Int, n: Int): Long = {
+        var v = 0L
+        var i = 0
+        while (i < n) { v |= (b(at + i) & 0xffL) << (8 * i); i += 1 }
+        v
+      }
+
+      /** Resolve a managed heap ID (1 flag byte + offset + length) at
+        * `at` inside `id` to the object's bytes. */
+      def get(id: Array[Byte], at: Int): Array[Byte] = {
+        val flags = id(at) & 0xff
+        require((flags & 0xc0) == 0,
+          s"group $owner: unsupported heap ID version ${flags >> 6}")
+        require((flags & 0x30) == 0, s"group $owner: tiny/huge fractal-" +
+          s"heap objects (type ${(flags >> 4) & 3}) are out of subset")
+        val heapOff = leN(id, at + 1, offsetSize)
+        val objLen = leN(id, at + 1 + offsetSize, lengthSize).toInt
+        val blk = blocks.find(b => heapOff >= b._1 && heapOff + objLen <= b._1 + b._2)
+          .getOrElse(sys.error(
+            s"group $owner: heap offset $heapOff outside allocated blocks"))
+        val bytes = src.get(blk._3 + (heapOff - blk._1), objLen)
+        bytes
+      }
+    }
+
+    /** Generic version-2 b-tree record walk (BTHD → BTIN/BTLF, spec
+      * III.A.2 capacity arithmetic — the same walk the chunk indexes
+      * use, record-agnostic): returns every record's raw bytes in tree
+      * order. */
+    private def readV2BtreeRecords(name: String, hdrAddr: Long,
+                                   expectType: Int): Seq[Array[Byte]] = {
+      val head = src.get(hdrAddr,
+        12 + 2 + 2 + sizeOfOffsets + 2 + sizeOfLengths + 4)
+      require(new String(head, 0, 4, "US-ASCII") == "BTHD",
+        s"group $name: bad v2 b-tree header signature")
+      require(u8(head, 4) == 0,
+        s"group $name: unsupported v2 b-tree version ${u8(head, 4)}")
+      require(u8(head, 5) == expectType,
+        s"group $name: v2 b-tree record type ${u8(head, 5)}, expected $expectType")
+      val nodeSize = u32(head, 6).toInt
+      val recordSize = u16(head, 10)
+      val depth = u16(head, 12)
+      val rootAddr = readOffset(head, 16)
+      val rootNrec = u16(head, 16 + sizeOfOffsets)
+      if (rootAddr == Undef) return Nil
+
+      def encSize(v: Long): Int = (63 - java.lang.Long.numberOfLeadingZeros(
+        math.max(v, 1L))).toInt / 8 + 1
+      val maxLeafRec = (nodeSize - 10) / recordSize
+      require(maxLeafRec > 0,
+        s"group $name: v2 b-tree node size $nodeSize too small")
+      val maxNrecSize = encSize(maxLeafRec.toLong)
+      val cumMaxNrec = new Array[Long](depth + 1)
+      val cumMaxNrecSize = new Array[Int](depth + 1)
+      cumMaxNrec(0) = maxLeafRec.toLong
+      cumMaxNrecSize(0) = encSize(cumMaxNrec(0))
+      var d = 1
+      while (d <= depth) {
+        val ptrSize = sizeOfOffsets + maxNrecSize + cumMaxNrecSize(d - 1)
+        val maxIntRec = (nodeSize - (10 + ptrSize)) / (recordSize + ptrSize)
+        cumMaxNrec(d) = (maxIntRec.toLong + 1) * cumMaxNrec(d - 1) +
+          maxIntRec.toLong
+        cumMaxNrecSize(d) = encSize(cumMaxNrec(d))
+        d += 1
+      }
+
+      val out = mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(addr: Long, nrec: Int, nodeDepth: Int): Unit = {
+        if (addr == Undef) return
+        if (nodeDepth == 0) {
+          val node = src.get(addr, 6 + nrec * recordSize + 4)
+          require(new String(node, 0, 4, "US-ASCII") == "BTLF",
+            s"group $name: bad v2 b-tree leaf signature")
+          var r = 0
+          while (r < nrec) {
+            out += java.util.Arrays.copyOfRange(node,
+              6 + r * recordSize, 6 + (r + 1) * recordSize)
+            r += 1
+          }
+        } else {
+          val childPtrSize = sizeOfOffsets + maxNrecSize +
+            (if (nodeDepth > 1) cumMaxNrecSize(nodeDepth - 1) else 0)
+          val node = src.get(addr,
+            6 + nrec * recordSize + (nrec + 1) * childPtrSize + 4)
+          require(new String(node, 0, 4, "US-ASCII") == "BTIN",
+            s"group $name: bad v2 b-tree internal signature")
+          val ptrBase = 6 + nrec * recordSize
+          var c = 0
+          while (c <= nrec) {
+            val pp = ptrBase + c * childPtrSize
+            val childAddr = readOffset(node, pp)
+            var childNrec = 0L
+            var b = 0
+            while (b < maxNrecSize) {
+              childNrec |= (node(pp + sizeOfOffsets + b) & 0xffL) << (8 * b)
+              b += 1
+            }
+            walk(childAddr, childNrec.toInt, nodeDepth - 1)
+            if (c < nrec)
+              out += java.util.Arrays.copyOfRange(node,
+                6 + c * recordSize, 6 + (c + 1) * recordSize)
+            c += 1
+          }
+        }
+      }
+      walk(rootAddr, rootNrec, depth)
+      out.toSeq
     }
 
     // ---- classic groups: B-tree v1 + local heap + SNOD -------------------

@@ -56,8 +56,13 @@ object Hdf5Writer {
   final case class AttrDouble(v: Double) extends Attr
 
   sealed trait Node { def name: String }
+  /** `dense = true` stores the links the libhdf5-1.8+ DENSE way — link
+    * messages as managed fractal-heap objects indexed by a name-hash
+    * v2 b-tree — instead of a classic SNOD symbol table; it is how a
+    * modern writer lays out any group beyond 8 links (banks, DASlogs). */
   final case class Group(name: String, children: Seq[Node],
-                         attrs: Seq[(String, Attr)] = Nil) extends Node
+                         attrs: Seq[(String, Attr)] = Nil,
+                         dense: Boolean = false) extends Node
   /** `scalar` emits a rank-0 dataspace (reference NeXus metadata fields
     * are scalars); `chunk` > 0 chunks the single dimension with optional
     * shuffle+deflate. */
@@ -734,13 +739,21 @@ object Hdf5Writer {
         if (filtered) b8(c._3) ++ b4(c._2.toLong) ++ b4(0) ++ b8(scaled)
         else b8(c._3) ++ b8(scaled)
       }
+      writeV2BtreeRecords(chunks.map(record), btType, recSize, nodeSize)
+    }
+
+    /** Emit a version-2 b-tree over pre-encoded fixed-size records (in
+      * the record type's sort order) — shared by the chunk indexes and
+      * the dense-group name index. Returns the `BTHD` address. */
+    private def writeV2BtreeRecords(records: Seq[Array[Byte]], btType: Int,
+                                    recSize: Int, nodeSize: Int): Long = {
       val maxLeafRec = (nodeSize - 10) / recSize
       require(maxLeafRec >= 2,
         s"v2 b-tree node size $nodeSize too small for record size $recSize")
       def encSize(v: Long): Int =
         (63 - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))) / 8 + 1
       val maxNrecSize = encSize(maxLeafRec.toLong)
-      val n = chunks.length
+      val n = records.length
 
       // capacity tables per depth, same arithmetic as the reader's walk:
       // cumMaxNrec(d) = records a depth-d subtree can hold, maxIntRec(d) =
@@ -764,13 +777,13 @@ object Hdf5Writer {
       while (cumMaxNrec(depth) < n) { growTables(depth + 1); depth += 1 }
 
       // bottom-up: write a depth-d subtree over recs, return (addr, nrec)
-      def build(recs: Seq[(Long, Int, Long)], d: Int): (Long, Int) =
+      def build(recs: Seq[Array[Byte]], d: Int): (Long, Int) =
         if (d == 0) {
           val leaf = mutable.ArrayBuffer.empty[Byte]
           leaf ++= "BTLF".getBytes("US-ASCII")
           leaf ++= b1(0)
           leaf ++= b1(btType)
-          recs.foreach(c => leaf ++= record(c))
+          recs.foreach(leaf ++= _)
           leaf ++= b4(0)
           (put(leaf.toArray), recs.length)
         } else {
@@ -786,7 +799,7 @@ object Hdf5Writer {
           val extra = childTotal % k
           var idx = 0
           val children = mutable.ArrayBuffer.empty[(Long, Int, Long)]
-          val seps = mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          val seps = mutable.ArrayBuffer.empty[Array[Byte]]
           (0 until k).foreach { i =>
             val cnt = base + (if (i < extra) 1 else 0)
             val sub = recs.slice(idx, idx + cnt)
@@ -799,7 +812,7 @@ object Hdf5Writer {
           node ++= "BTIN".getBytes("US-ASCII")
           node ++= b1(0)
           node ++= b1(btType)
-          seps.foreach(c => node ++= record(c))
+          seps.foreach(node ++= _)
           children.foreach { case (a, nrec, total) =>
             node ++= b8(a)
             (0 until maxNrecSize).foreach(b =>
@@ -812,7 +825,7 @@ object Hdf5Writer {
           (put(node.toArray), k - 1)
         }
 
-      val (rootAddr, rootNrec) = build(chunks, depth)
+      val (rootAddr, rootNrec) = build(records, depth)
 
       val hd = mutable.ArrayBuffer.empty[Byte]
       hd ++= "BTHD".getBytes("US-ASCII")
@@ -832,7 +845,176 @@ object Hdf5Writer {
 
     // ---- groups ----------------------------------------------------------
 
+    /** Jenkins lookup3 (hashlittle, initval 0) — the hash HDF5 uses for
+      * dense-link name indexing (and v2-header checksums). Public-domain
+      * algorithm per Bob Jenkins' lookup3.c. */
+    private def lookup3(key: Array[Byte]): Int = {
+      @inline def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+      def le32(at: Int, n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v |= (key(at + i) & 0xff) << (8 * i); i += 1 }
+        v
+      }
+      var a = 0xdeadbeef + key.length
+      var b = a
+      var c = a
+      var i = 0
+      var len = key.length
+      while (len > 12) {
+        a += le32(i, 4); b += le32(i + 4, 4); c += le32(i + 8, 4)
+        a -= c; a ^= rot(c, 4); c += b
+        b -= a; b ^= rot(a, 6); a += c
+        c -= b; c ^= rot(b, 8); b += a
+        a -= c; a ^= rot(c, 16); c += b
+        b -= a; b ^= rot(a, 19); a += c
+        c -= b; c ^= rot(b, 4); b += a
+        i += 12; len -= 12
+      }
+      if (len > 0) {
+        a += le32(i, math.min(len, 4))
+        if (len > 4) b += le32(i + 4, math.min(len - 4, 4))
+        if (len > 8) c += le32(i + 8, len - 8)
+        c ^= b; c -= rot(b, 14)
+        a ^= c; a -= rot(c, 11)
+        b ^= a; b -= rot(a, 25)
+        c ^= b; c -= rot(b, 16)
+        a ^= c; a -= rot(c, 4)
+        b ^= a; b -= rot(a, 14)
+        c ^= b; c -= rot(b, 24)
+      }
+      c
+    }
+
+    /** Dense-link group (libhdf5 1.8+ beyond 8 links): link-message
+      * bodies land as MANAGED objects in a fractal heap (doubling table
+      * W=4, 256-byte starting blocks, heap IDs 1+4+2 = the 7-byte
+      * link-heap shape), indexed by a type-5 name-hash v2 b-tree; the
+      * object header carries a Link Info message naming both. Root is a
+      * single direct block when the links fit, else one indirect block
+      * of direct children (nested indirects exceed fixture scope and
+      * refuse at write time). */
+    private def writeDenseGroup(g: Group): Long = {
+      val childAddrs = g.children.map(c => c.name -> writeNode(c))
+      val bodies = childAddrs.map { case (nm, addr) =>
+        val nb = nm.getBytes("UTF-8")
+        require(nb.length <= 255, s"link name too long: $nm")
+        nm -> (b1(1) ++ b1(0) ++ b1(nb.length) ++ nb ++ b8(addr))
+      }
+      val W = 4
+      val S = 256L
+      val maxDirect = 4096L
+      val hdrSize = 4 + 1 + 8 + 4 // FHDB header (flags 0: no checksum)
+      def rowSize(r: Int): Long = if (r < 2) S else S << (r - 1)
+      val maxDirectRows = {
+        var r = 0
+        while (rowSize(r) < maxDirect) r += 1
+        r + 1
+      }
+
+      // pack link bodies into consecutive doubling-grid blocks
+      final case class Blk(heapOff: Long, size: Long,
+                           objs: mutable.ArrayBuffer[(Long, Array[Byte])])
+      val blocks = mutable.ArrayBuffer.empty[Blk]
+      def newBlock(): Blk = {
+        val idx = blocks.length
+        require(idx / W < maxDirectRows,
+          s"dense group ${g.name}: links exceed the single-indirect bound")
+        val off = (0 until idx).map(i => rowSize(i / W)).sum
+        val blk = Blk(off, rowSize(idx / W), mutable.ArrayBuffer.empty)
+        blocks += blk
+        blk
+      }
+      var cur = newBlock()
+      var used = hdrSize.toLong
+      val heapIds = bodies.map { case (nm, body) =>
+        if (used + body.length > cur.size) { cur = newBlock(); used = hdrSize.toLong }
+        require(used + body.length <= cur.size,
+          s"dense group ${g.name}: link body larger than a heap block")
+        val objOff = cur.heapOff + used
+        cur.objs += ((objOff, body))
+        used += body.length
+        nm -> (b1(0) ++ b4(objOff) ++ b2(body.length)) // managed heap ID
+      }.toMap
+      val singleDirect = blocks.length == 1
+      val curRows = if (singleDirect) 0 else (blocks.length + W - 1) / W
+
+      // address plan: direct blocks, then FHIB (if any), then FRHP
+      val base = pos
+      val blockAddrs = blocks.scanLeft(base)((a, blk) => a + blk.size).init
+      val fhibAddr = base + blocks.map(_.size).sum
+      val fhibSize =
+        if (singleDirect) 0L else (4 + 1 + 8 + 4 + curRows * W * 8 + 4).toLong
+      val frhpAddr = fhibAddr + fhibSize
+
+      blocks.zip(blockAddrs).foreach { case (blk, addr) =>
+        val out = mutable.ArrayBuffer.empty[Byte]
+        out ++= "FHDB".getBytes("US-ASCII")
+        out ++= b1(0)
+        out ++= b8(frhpAddr)
+        out ++= b4(blk.heapOff)
+        blk.objs.foreach { case (objOff, body) =>
+          require(blk.heapOff + out.length == objOff, "heap packing drift")
+          out ++= body
+        }
+        while (out.length < blk.size) out += 0
+        require(put(out.toArray) == addr, "fractal heap address plan drift (block)")
+      }
+      if (!singleDirect) {
+        val ib = mutable.ArrayBuffer.empty[Byte]
+        ib ++= "FHIB".getBytes("US-ASCII")
+        ib ++= b1(0)
+        ib ++= b8(frhpAddr)
+        ib ++= b4(0) // root indirect block sits at heap offset 0
+        (0 until curRows * W).foreach { i =>
+          if (i < blocks.length) ib ++= b8(blockAddrs(i)) else ib ++= Undef
+        }
+        ib ++= b4(0)
+        require(put(ib.toArray) == fhibAddr, "fractal heap address plan drift (FHIB)")
+      }
+      val hd = mutable.ArrayBuffer.empty[Byte]
+      hd ++= "FRHP".getBytes("US-ASCII")
+      hd ++= b1(0)
+      hd ++= b2(7) // heap ID length: 1 flag + 4 offset + 2 length
+      hd ++= b2(0) // no I/O filters
+      hd ++= b1(0) // flags: direct blocks not checksummed
+      hd ++= b4(maxDirect) // max size of managed objects
+      hd ++= b8(0) // next huge object id
+      hd ++= Undef // huge-object v2 b-tree
+      hd ++= b8(0) // free space
+      hd ++= Undef // free-space manager
+      val managed = blocks.map(_.size).sum
+      hd ++= b8(managed) // managed space
+      hd ++= b8(managed) // allocated managed space
+      hd ++= b8(managed) // iterator offset
+      hd ++= b8(bodies.length.toLong) // managed object count
+      hd ++= b8(0) ++ b8(0) ++ b8(0) ++ b8(0) // huge/tiny size + count
+      hd ++= b2(W)
+      hd ++= b8(S)
+      hd ++= b8(maxDirect)
+      hd ++= b2(32) // maximum heap size (bits) → 4-byte offsets
+      hd ++= b2(1) // starting rows in root indirect block
+      hd ++= b8(if (singleDirect) blockAddrs.head else fhibAddr)
+      hd ++= b2(curRows) // 0 = root is a direct block
+      hd ++= b4(0)
+      require(put(hd.toArray) == frhpAddr, "fractal heap address plan drift (FRHP)")
+
+      // name-index v2 b-tree: type-5 records (hash, heap ID), unsigned
+      // hash sort order
+      val records = bodies.map { case (nm, _) =>
+        (lookup3(nm.getBytes("UTF-8")).toLong & 0xffffffffL, heapIds(nm))
+      }.sortBy(_._1).map { case (h, id) => b4(h) ++ id }
+      val bthdAddr = writeV2BtreeRecords(records, btType = 5,
+        recSize = 4 + 7, nodeSize = 512)
+
+      val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      msgs += ((0x0002, b1(0) ++ b1(0) ++ b8(frhpAddr) ++ b8(bthdAddr)))
+      g.attrs.foreach { case (nm, a) => msgs += encodeAttr(nm, a) }
+      writeHeader(msgs.toSeq)
+    }
+
     private def writeGroup(g: Group): Long = {
+      if (g.dense) return writeDenseGroup(g)
       require(g.children.size <= 64,
         s"group ${g.name}: ${g.children.size} links exceed the single-SNOD writer bound")
       // children first (bottom-up addresses)

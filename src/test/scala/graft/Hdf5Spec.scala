@@ -211,10 +211,57 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(root.dataset("d").get.read()) == Seq(11L, 22L, 33L))
   }
 
-  test("fractal-heap dense groups refuse loudly") {
-    // 1.10+ writers switch wide groups to DENSE link storage: a Link
-    // Info message with a DEFINED fractal heap address. Out of subset —
-    // must refuse by name, not read an empty group.
+  test("fractal-heap dense groups decode: single direct block") {
+    // ≤ 8-ish links still fitting one 256-byte starting block: root
+    // block address IS the direct block (current rows = 0)
+    val children = (0 until 6).map(i =>
+      W.Dataset(s"d$i", W.LongData(Array.tabulate(7)(j => j.toLong * 3 + i))))
+    val root = roundtrip(Seq(W.Group("dense", children, dense = true)))
+    val g = root.group("dense").get
+    assert(g.childrenInOrder.map(_._1).sorted == (0 until 6).map(i => s"d$i"))
+    for (i <- 0 until 6)
+      assert(L(g.dataset(s"d$i").get.read()) ==
+        Array.tabulate(7)(j => j.toLong * 3 + i).toSeq, s"d$i")
+  }
+
+  test("fractal-heap dense groups decode: root indirect block, doubling " +
+    "rows, deep name b-tree") {
+    // 150 links → link bodies overflow rows 0-1 (4×256 + 4×256) into
+    // the doubled row-2 blocks, and the 150 type-5 records overflow a
+    // single 512-byte b-tree leaf (45 records/leaf → depth 1). This is
+    // the modern facility-file shape: a DASlogs group with dozens of
+    // devices, written dense by libhdf5.
+    val names = (0 until 150).map(i => f"device_log_$i%03d")
+    val children = names.zipWithIndex.map { case (nm, i) =>
+      W.scalarLong(nm, i.toLong * 17 - 5)
+    }
+    val root = roundtrip(Seq(W.Group("DASlogs", children, dense = true)))
+    val g = root.group("DASlogs").get
+    assert(g.childrenInOrder.map(_._1).sorted == names.sorted)
+    names.zipWithIndex.foreach { case (nm, i) =>
+      assert(L(g.dataset(nm).get.read()) == Seq(i.toLong * 17 - 5), nm)
+    }
+  }
+
+  test("dense groups nest with classic groups and carry attributes") {
+    val inner = (0 until 12).map(i =>
+      W.Dataset(s"bank$i", W.LongData(Array(i.toLong, i * 2L))))
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(
+        W.Group("instrument", inner,
+          attrs = Seq("NX_class" -> W.AttrStr("NXinstrument")),
+          dense = true),
+        W.scalarStr("title", "dense fixture")))))
+    val inst = root.group("entry").get.group("instrument").get
+    assert(inst.attributes.get("NX_class").map(S(_).head)
+      .contains("NXinstrument"))
+    assert(inst.childrenInOrder.size == 12)
+    assert(L(inst.dataset("bank7").get.read()) == Seq(7L, 14L))
+  }
+
+  test("dense-link refusals stay loud: missing name index") {
+    // a Link Info message with a DEFINED fractal heap but an UNDEFINED
+    // name-index b-tree cannot enumerate links — named refusal
     val out = new java.io.ByteArrayOutputStream()
     def b(vs: Int*): Unit = vs.foreach(out.write)
     def le2(v: Int): Unit = b(v & 0xff, (v >> 8) & 0xff)
@@ -226,7 +273,7 @@ class Hdf5Spec extends AnyFunSuite {
     b(0x02); le2(18); b(0x00) // link info message
     b(0, 0) // version, flags (no creation index)
     le8(0x1000L) // fractal heap address: DEFINED → dense storage
-    le8(-1L) // name-index b-tree
+    le8(-1L) // name-index b-tree: UNDEFINED
     le8(0) // (unverified) checksum + slack
     val bytes = out.toByteArray
     def patch8(pos: Int, v: Long): Unit =
@@ -239,7 +286,7 @@ class Hdf5Spec extends AnyFunSuite {
     patch8(28, bytes.length.toLong)
     patch8(36, rootAddr.toLong)
     val ex = intercept[RuntimeException](Hdf5.open(bytes))
-    assert(ex.getMessage.contains("fractal heap"))
+    assert(ex.getMessage.contains("name-index b-tree"))
   }
 
   test("big-endian integers decode via the datatype byte-order bit") {
