@@ -28,8 +28,8 @@ import scala.collection.mutable
   *     contiguous, chunked with ALL FIVE chunk indexes — Single Chunk,
   *     Implicit, Fixed Array `FAHD`/`FADB` incl. paged data blocks,
   *     Extensible Array `EAHD`/`EAIB`/`EASB`/`EADB` (the
-  *     one-unlimited-dim appendable shape; paged EA data blocks are out
-  *     of subset), and Version-2 B-tree `BTHD`/`BTIN`/`BTLF` chunk
+  *     one-unlimited-dim appendable shape, incl. paged data blocks),
+  *     and Version-2 B-tree `BTHD`/`BTIN`/`BTLF` chunk
   *     records, any depth)
   *   - filter pipeline messages v1 and v2 (deflate id 1, shuffle id 2)
   *   - attribute messages v1/v2/v3
@@ -1352,14 +1352,45 @@ object Hdf5 {
 
       def dataBlockElems(addr: Long, nelmts: Int): Array[Byte] =
         dblkCache.getOrElseUpdate(addr, {
-          require(nelmts <= (1 << pageBits),
-            s"dataset $name: paged extensible-array data block " +
-              s"($nelmts elements > 2^$pageBits/page) is out of subset")
           val dbHead = 6 + sizeOfOffsets + blockOffBytes
-          val db = src.get(addr, dbHead + nelmts * eaElemSize + 4)
-          require(new String(db, 0, 4, "US-ASCII") == "EADB",
-            s"dataset $name: bad extensible-array data block signature")
-          java.util.Arrays.copyOfRange(db, dbHead, dbHead + nelmts * eaElemSize)
+          val pageSize = 1 << pageBits
+          if (nelmts <= pageSize) {
+            val db = src.get(addr, dbHead + nelmts * eaElemSize + 4)
+            require(new String(db, 0, 4, "US-ASCII") == "EADB",
+              s"dataset $name: bad extensible-array data block signature")
+            java.util.Arrays.copyOfRange(db, dbHead, dbHead + nelmts * eaElemSize)
+          } else {
+            // PAGED data block (nelmts > 2^pageBits): header, page-init
+            // bitmap, block checksum, then pages of 2^pageBits elements
+            // each followed by its own checksum — the large-data-block
+            // shape libhdf5 switches to past the page bound (same
+            // discipline as the paged fixed-array blocks above)
+            val nPages = (nelmts + pageSize - 1) / pageSize
+            val bitmapLen = (nPages + 7) / 8
+            val lastPage = nelmts - (nPages - 1) * pageSize
+            val totalLen = dbHead + bitmapLen + 4 +
+              (nPages - 1) * (pageSize * eaElemSize + 4) +
+              lastPage * eaElemSize + 4
+            val db = src.get(addr, totalLen)
+            require(new String(db, 0, 4, "US-ASCII") == "EADB",
+              s"dataset $name: bad extensible-array data block signature")
+            // uninitialized pages (bitmap bit clear — chunks never
+            // written) must read as Undef addresses
+            val out = Array.fill[Byte](nelmts * eaElemSize)(0xff.toByte)
+            var p = dbHead + bitmapLen + 4
+            var pg = 0
+            while (pg < nPages) {
+              val inPage = if (pg == nPages - 1) lastPage else pageSize
+              val initialized =
+                (db(dbHead + (pg >> 3)) & (1 << (pg & 7))) != 0
+              if (initialized)
+                System.arraycopy(db, p, out, pg * pageSize * eaElemSize,
+                  inPage * eaElemSize)
+              p += inPage * eaElemSize + 4 // + page checksum
+              pg += 1
+            }
+            out
+          }
         })
 
       def sblkDblkAddrs(s: Int): Array[Long] =

@@ -603,9 +603,6 @@ object Hdf5Writer {
         require(s < nsblksTotal,
           s"extensible array overflow: ${chunks.length} chunks exceed " +
             s"2^$EaMaxBits elements")
-        require(dblkNelmts(s) <= (1 << pageBits),
-          "fixture writer: paged extensible-array data blocks unsupported " +
-            s"(super block $s needs ${dblkNelmts(s)} > 2^$pageBits/page)")
         var d = 0
         while (d < nDblks(s) && rest.nonEmpty) {
           val take = math.min(dblkNelmts(s), rest.length)
@@ -626,8 +623,17 @@ object Hdf5Writer {
       val sblksUsed = dblkPlans.map(_.s).distinct.filter(_ >= iblkSblks)
 
       // address plan: [data blocks][secondary blocks][index block][EAHD]
-      def dblkSize(s0: Int): Long =
-        6L + 8 + blockOffBytes + dblkNelmts(s0).toLong * elemSize + 4
+      def dblkSize(s0: Int): Long = {
+        val nel = dblkNelmts(s0).toLong
+        val pageSize = 1L << pageBits
+        if (nel <= pageSize) 6L + 8 + blockOffBytes + nel * elemSize + 4
+        else {
+          // paged: bitmap + block checksum + per-page checksums
+          val nPages = nel / pageSize // both powers of two → exact
+          6L + 8 + blockOffBytes + (nPages + 7) / 8 + 4 +
+            nPages * (pageSize * elemSize + 4)
+        }
+      }
       def sblkSize(s0: Int): Long =
         6L + 8 + blockOffBytes + nDblks(s0).toLong * 8 + 4
       val iblkSize = 6L + 8 + idxBlkElmts.toLong * elemSize +
@@ -645,7 +651,10 @@ object Hdf5Writer {
       def bVar(v: Long, n: Int): Array[Byte] =
         Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
 
-      // data blocks: elements at capacity, unwritten slots Undef
+      // data blocks: elements at capacity, unwritten slots Undef; a
+      // block whose capacity exceeds 2^pageBits elements is PAGED —
+      // header, page-init bitmap (a page is initialized iff it holds a
+      // real element), block checksum, then pages with page checksums
       for ((p, _) <- dblkAddr) {
         val db = mutable.ArrayBuffer.empty[Byte]
         db ++= "EADB".getBytes("US-ASCII")
@@ -653,9 +662,33 @@ object Hdf5Writer {
         db ++= b1(if (filtered) 1 else 0)
         db ++= b8(eahdAddr)
         db ++= bVar(p.firstElem, blockOffBytes)
-        p.elems.foreach(c => db ++= elemBytes(c))
-        (p.elems.length until dblkNelmts(p.s)).foreach(_ => db ++= undefElem)
-        db ++= b4(0) // checksum (unverified by the reader)
+        val nel = dblkNelmts(p.s)
+        val pageSize = 1 << pageBits
+        if (nel <= pageSize) {
+          p.elems.foreach(c => db ++= elemBytes(c))
+          (p.elems.length until nel).foreach(_ => db ++= undefElem)
+          db ++= b4(0) // checksum (unverified by the reader)
+        } else {
+          val nPages = nel / pageSize
+          val nReal = p.elems.length
+          val bitmap = new Array[Byte]((nPages + 7) / 8)
+          (0 until nPages).foreach { pg =>
+            if (pg * pageSize < nReal)
+              bitmap(pg >> 3) = (bitmap(pg >> 3) | (1 << (pg & 7))).toByte
+          }
+          db ++= bitmap
+          db ++= b4(0) // block checksum
+          (0 until nPages).foreach { pg =>
+            val pageInit = pg * pageSize < nReal
+            (0 until pageSize).foreach { j =>
+              val idx = pg * pageSize + j
+              if (!pageInit) db ++= zeros(elemSize) // bytes never read
+              else if (idx < nReal) db ++= elemBytes(p.elems(idx))
+              else db ++= undefElem
+            }
+            db ++= b4(0) // page checksum
+          }
+        }
         put(db.toArray)
       }
       // secondary blocks: this super block's data-block addresses

@@ -381,9 +381,18 @@ class Hdf5Spec extends AnyFunSuite {
       W.Dataset("ea_sblk_z", W.LongData(values, 8), chunk = 50,
         deflate = true, layoutV4 = 4, eaParams = (2, 2, 2, 10)),
       // partial trailing chunk
-      W.Dataset("ea_edge", W.LongData(values, 8), chunk = 77, layoutV4 = 4)))
+      W.Dataset("ea_edge", W.LongData(values, 8), chunk = 77, layoutV4 = 4),
+      // PAGED data blocks: page bound 2^2 = 4 elements, min block 16 →
+      // every data block past the index block is paged (bitmap + page
+      // checksums); 60 chunks also leave trailing pages uninitialized
+      // in the last block (bitmap-clear bits must read as Undef)
+      W.Dataset("ea_paged", W.LongData(values, 8), chunk = 50, layoutV4 = 4,
+        eaParams = (4, 16, 4, 2)),
+      W.Dataset("ea_paged_z", W.LongData(values, 4), chunk = 50,
+        deflate = true, shuffle = true, layoutV4 = 4,
+        eaParams = (4, 16, 4, 2))))
     for (n <- Seq("ea_inline", "ea_direct", "ea_direct_z", "ea_sblk",
-      "ea_sblk_z", "ea_edge"))
+      "ea_sblk_z", "ea_edge", "ea_paged", "ea_paged_z"))
       assert(L(root.dataset(n).get.read()) == values.toSeq, n)
   }
 
@@ -426,21 +435,6 @@ class Hdf5Spec extends AnyFunSuite {
     val ex = intercept[RuntimeException](
       Hdf5.open(bytes).dataset("d").get.read())
     assert(ex.getMessage.contains("unknown v4 chunk index type 6"))
-  }
-
-  test("paged extensible-array data blocks refuse by name") {
-    // pageBits 2 (4 elements/page) with min-elements 16 → the first
-    // data block would need paging; the reader must refuse, named
-    val bytes = W.write(Seq(W.Dataset("d",
-      W.LongData(Array.tabulate(64)(_.toLong), 8), chunk = 8, layoutV4 = 4)))
-    // rewrite the EAHD's page-bits byte (offset 11) to 2
-    val sig = "EAHD".getBytes("US-ASCII")
-    val at = bytes.sliding(4).indexWhere(_.sameElements(sig))
-    assert(at >= 0)
-    bytes(at + 11) = 2.toByte
-    val ex = intercept[RuntimeException](
-      Hdf5.open(bytes).dataset("d").get.read())
-    assert(ex.getMessage.contains("paged extensible-array data block"))
   }
 
   test("unsupported features fail loudly by name") {
