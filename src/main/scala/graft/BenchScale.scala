@@ -445,14 +445,16 @@ object BenchScale {
       timed("image_phash_dedup_50k") {
         // REAL pixel path at scale over a MIXED-FORMAT corpus: 50k
         // images generated map-side — 10k families of 5 identical
-        // blobs, family f encoded as PNG / baseline JPEG / GIF by
-        // f mod 3, so one pass sniffs and drives all three codecs —
+        // blobs, family f encoded as PNG / baseline JPEG / GIF / WebP-
+        // lossless by f mod 4, so one pass sniffs and drives all four
+        // codecs —
         // decoded, perceptual-hashed (32×32 DCT pHash), and near-dup'd
         // through the banded hash join — the image leg of the dedup
         // family, never all-pairs. Value = candidate pairs found (10
         // per family → 100k) + a decode checksum term so Catalyst
         // can't prune the pixel work.
-        import graft.multimodal.{GifCodec, JpegCodec, Multimodal, PngCodec}
+        import graft.multimodal.{GifCodec, JpegCodec, Multimodal, PngCodec,
+          WebpCodec}
         import spark.implicits._
         val blobs = spark.range(0L, 50000L).as[Long].map { id =>
           val seed = id / 5 // 5 identical images per family
@@ -474,10 +476,12 @@ object BenchScale {
           val rgb = Array.tabulate(w * h * 3) { i =>
             (mix(seed * 1536L + i) & 0xff).toByte
           }
-          val bytes = (seed % 3) match {
+          val bytes = (seed % 4) match {
             case 0 => PngCodec.encode(PngCodec.Image(w, h, 3, rgb))
             case 1 => JpegCodec.encode(PngCodec.Image(w, h, 3, rgb),
               quality = 100)
+            case 2 => WebpCodec.encode(PngCodec.Image(w, h, 3, rgb),
+              subtractGreen = true, cacheBits = 4)
             case _ =>
               val palette = Array.tabulate(64)(j =>
                 (mix(seed * 97L + j) & 0xffffff).toInt)

@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus batch decode / feature-extract /
   * frame-sample plumbing.
   *
-  * The pixel/sample decode boundary is REAL for PNG, JPEG, GIF, WAV and
-  * FLAC: `decodeImages`/`gifFrames`/`resizeImages` wire
-  * [[PngCodec]]/[[JpegCodec]]/[[GifCodec]] and `decodeAudio` wires
-  * [[WavCodec]]/[[FlacCodec]] — pure-JVM spec codecs with oracle-checked
-  * output. Formats without a codec yet (WebP pixels, lossy audio) null
-  * through or refuse by name; `toMediaBlobs`
+  * The pixel/sample decode boundary is REAL for PNG, JPEG, GIF,
+  * WebP-lossless, WAV and FLAC: `decodeImages`/`gifFrames`/
+  * `resizeImages` wire [[PngCodec]]/[[JpegCodec]]/[[GifCodec]]/
+  * [[WebpCodec]] and `decodeAudio` wires [[WavCodec]]/[[FlacCodec]] —
+  * pure-JVM spec codecs with oracle-checked output. Formats without a
+  * codec yet (lossy WebP/VP8, lossy audio) null through or refuse by
+  * name; `toMediaBlobs`
   * keeps a deterministic `FakeCodec` payload generator purely for fixture
   * synthesis. Everything around the codec call — schema, batched
   * `mapPartitions` execution, partitioning, frame explode — is the real
@@ -175,8 +176,8 @@ object Multimodal {
   // ---- REAL pixel path (PNG — the de-stubbed codec boundary) -------------
 
   /** Decode an image binary column (PNG via [[PngCodec]], baseline JPEG
-    * via [[JpegCodec]], GIF via [[GifCodec]] — format sniffed per row,
-    * mixed corpora welcome) to
+    * via [[JpegCodec]], GIF via [[GifCodec]], WebP-lossless via
+    * [[WebpCodec]] — format sniffed per row, mixed corpora welcome) to
     * pixel-level facts: dims, channels, frame count (real for animated
     * GIF), per-channel byte sums over ALL frames (the oracle
     * substrate — rederivable from a generator's pixel formula), and the
@@ -203,10 +204,11 @@ object Multimodal {
             i += 1
           }
         }
-        if (bytes != null &&
-          (PngCodec.isPng(bytes) || JpegCodec.isJpeg(bytes))) {
+        if (bytes != null && (PngCodec.isPng(bytes) ||
+          JpegCodec.isJpeg(bytes) || WebpCodec.isWebpLossless(bytes))) {
           val img = if (PngCodec.isPng(bytes)) PngCodec.decode(bytes)
-          else JpegCodec.decode(bytes)
+          else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes)
+          else WebpCodec.decode(bytes)
           val sums = new Array[Long](math.min(img.channels, 3))
           sumsOf(img.pixels, img.channels, sums)
           (id, img.width, img.height, img.channels, 1,

@@ -5068,6 +5068,49 @@ object QueryCatalog {
         CAST(sum(b) * 64 AS BIGINT) AS sum_c2
       FROM conv GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL WebP-lossless (VP8L) pixel decode end to end (multimodal/
+    // WebpCodec): every doc gets a real VP8L stream of formula RGBA
+    // pixels, encoded through the WHOLE toolbox — subtract-green +
+    // predictor transforms, color cache, dist-1 back-references,
+    // two-length canonical prefix codes — and decodeImages sniffs the
+    // RIFF container, entropy-decodes, and inverts the transforms.
+    // VP8L is lossless, so the oracle rederives the channel sums from
+    // the pixel formula ALONE (it never sees a WebP byte); any error
+    // anywhere in the bit-reader/prefix/LZ77/cache/transform chain
+    // corrupts a sum. Data-derived at any scale.
+    QueryDef("webp_decode", (s, d) => {
+      import graft.multimodal.{Multimodal, PngCodec, WebpCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 20; val h = 14
+          (id, WebpCodec.encode(PngCodec.Image(w, h, 4,
+            Array.tabulate(w * h * 4) { i =>
+              val pix = i / 4; val c = i % 4
+              ((id * 7 + (pix % w) * 3 + (pix / w) * 5 + c * 11) % 256).toByte
+            }), subtractGreen = true, predictorMode = Some(7),
+            cacheBits = 4, rle = true))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeImages(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH px AS (
+        SELECT d.doc_id, c.c,
+          (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 19)) AS x) x,
+             (SELECT unnest(generate_series(0, 13)) AS y) y,
+             (SELECT unnest(generate_series(0, 2)) AS c) c)
+      SELECT doc_id,
+        CAST(20 AS INTEGER) AS width, CAST(14 AS INTEGER) AS height,
+        CAST(4 AS INTEGER) AS channels,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_c0,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
+      FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate
