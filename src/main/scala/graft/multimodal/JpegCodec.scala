@@ -2,16 +2,23 @@ package graft.multimodal
 
 import java.io.ByteArrayOutputStream
 
-/** REAL baseline JPEG pixel codec, pure JVM, from the public ITU-T T.81
-  * spec — the de-stubbing of the majority image format of any web crawl
-  * (reference ingests media blobs opaquely; this engine decodes them,
-  * cf. reference multimodal handling. Supported subset, loud
-  * errors outside it: baseline/extended sequential Huffman (SOF0/SOF1)
-  * at 8-bit precision, 1 (grayscale) or 3 (YCbCr) components, any
-  * sampling factors where the max/component ratio is integral (covers
-  * 4:4:4, 4:2:2, 4:4:0, 4:2:0), 8/16-bit quantization tables, restart
-  * markers. Progressive (SOF2), arithmetic coding (SOF9+), lossless,
-  * hierarchical, 12-bit, and DNL refuse by name.
+import scala.collection.mutable
+
+/** REAL JPEG pixel codec, pure JVM, from the public ITU-T T.81 spec —
+  * the de-stubbing of the majority image format of any web crawl
+  * (the reference ingests media blobs opaquely; this engine decodes
+  * them). Supported subset, loud errors outside it: baseline/extended
+  * sequential Huffman (SOF0/SOF1) AND progressive (SOF2 — multi-scan
+  * spectral selection + successive approximation, DC/AC first and
+  * refinement passes, EOB runs, per-scan DHT redefinition) at 8-bit
+  * precision, 1 (grayscale) or 3 (YCbCr) components, any sampling
+  * factors where the max/component ratio is integral (covers 4:4:4,
+  * 4:2:2, 4:4:0, 4:2:0), 8/16-bit quantization tables, restart
+  * markers. Arithmetic coding (SOF9+), lossless, hierarchical, 12-bit,
+  * and DNL refuse by name. All scans accumulate into per-component
+  * quantized-coefficient buffers; dequant + IDCT run once at the end,
+  * so a progressive and a sequential encoding of the same quantized
+  * coefficients decode IDENTICALLY (pinned by test).
   *
   * The encoder writes spec-conformant streams (Annex K quantization
   * tables under libjpeg-style quality scaling, the Annex K.3 typical
@@ -310,13 +317,18 @@ object JpegCodec {
                                     acId: Int)
 
   /** Encode planar samples (one full-resolution w×h plane per component,
-    * values 0-255) as baseline JPEG. 1 plane → grayscale; 3 planes →
-    * taken as Y,Cb,Cr verbatim (callers converting from RGB use
-    * [[encode]]). `subsample420` downsamples chroma 2×2 by rounded
-    * average. `restartInterval` > 0 emits DRI + RSTn markers. */
+    * values 0-255) as JPEG. 1 plane → grayscale; 3 planes → taken as
+    * Y,Cb,Cr verbatim (callers converting from RGB use [[encode]]).
+    * `subsample420` downsamples chroma 2×2 by rounded average.
+    * `restartInterval` > 0 emits DRI + RSTn markers (sequential only).
+    * `progressive` emits SOF2 with the standard spectral-selection +
+    * successive-approximation scan script (per-scan optimal Huffman
+    * tables, real EOB runs) — the same quantized coefficients as the
+    * sequential path, so both decode identically. */
   def encodePlanes(planes: Array[Array[Int]], w: Int, h: Int,
                    quality: Int = 90, subsample420: Boolean = false,
-                   restartInterval: Int = 0): Array[Byte] = {
+                   restartInterval: Int = 0,
+                   progressive: Boolean = false): Array[Byte] = {
     require(planes.length == 1 || planes.length == 3,
       s"jpeg: ${planes.length} planes (1 gray / 3 YCbCr)")
     require(w > 0 && h > 0 && planes.forall(_.length == w * h),
@@ -393,6 +405,14 @@ object JpegCodec {
       out.write(qi)
       (0 until 64).foreach(k => out.write(qTabs(qi)(Zigzag(k))))
     }
+    if (progressive) {
+      require(restartInterval == 0,
+        "jpeg: restart markers unsupported in progressive encode")
+      emitProgressive(out, specs, comp, compW, w, h, mcusX, mcusY, qTabs, nc,
+        hMax, vMax)
+      return out.toByteArray
+    }
+
     // SOF0
     marker(0xc0); u16(8 + 3 * nc)
     out.write(8); u16(h); u16(w); out.write(nc)
@@ -507,12 +527,304 @@ object JpegCodec {
     out.toByteArray
   }
 
+  // ---- progressive emission (SOF2 scan script, G.1.2) --------------------
+
+  private sealed trait Tok
+  private final case class Sym(s: Int) extends Tok
+  private final case class Raw(v: Int, n: Int) extends Tok
+
+  /** Progressive stream: the libjpeg-style scan script — DC first at
+    * Al=1 (interleaved) → luma AC 1-5 → chroma AC full → luma AC 6-63
+    * (all Al=1 first passes) → AC refinements → DC refinement. Each
+    * entropy scan gets an optimal-ish per-scan Huffman table (all live
+    * symbols at one canonical length, all-ones codeword left unused),
+    * so EOB runs > 1 are exercised for real. */
+  private def emitProgressive(out: ByteArrayOutputStream,
+                              specs: Array[CompSpec],
+                              comp: Array[Array[Int]], compW: Array[Int],
+                              w: Int, h: Int, mcusX: Int, mcusY: Int,
+                              qTabs: Array[Array[Int]], nc: Int,
+                              hMax: Int, vMax: Int): Unit = {
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xc2); u16(8 + 3 * nc)
+    out.write(8); u16(h); u16(w); out.write(nc)
+    specs.zipWithIndex.foreach { case (sp, ci) =>
+      out.write(ci + 1); out.write((sp.h << 4) | sp.v); out.write(sp.qId)
+    }
+
+    // quantized coefficient buffers over the padded block grids
+    val blocksWc = specs.map(sp => mcusX * sp.h)
+    val blocksHc = specs.map(sp => mcusY * sp.v)
+    val bufs = Array.tabulate(nc) { ci =>
+      val sp = specs(ci)
+      val qt = qTabs(sp.qId)
+      val cw = compW(ci)
+      val buf = new Array[Int](blocksWc(ci) * blocksHc(ci) * 64)
+      val block = new Array[Double](64)
+      val coefF = new Array[Double](64)
+      var by = 0
+      while (by < blocksHc(ci)) {
+        var bx = 0
+        while (bx < blocksWc(ci)) {
+          var i = 0
+          while (i < 64) {
+            block(i) = comp(ci)((by * 8 + i / 8) * cw + bx * 8 + i % 8) - 128.0
+            i += 1
+          }
+          fdct(block, coefF)
+          val base = (by * blocksWc(ci) + bx) * 64
+          i = 0
+          while (i < 64) {
+            buf(base + i) = math.round(coefF(i) / qt(i)).toInt
+            i += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      buf
+    }
+    // real (unpadded) block grid per component — non-interleaved scans
+    // iterate exactly these
+    val realBW = specs.map(sp => ((w * sp.h + hMax - 1) / hMax + 7) / 8)
+    val realBH = specs.map(sp => ((h * sp.v + vMax - 1) / vMax + 7) / 8)
+
+    def flushEobInto(t: mutable.ArrayBuffer[Tok], cnt: Int,
+                     br: mutable.ArrayBuffer[Int]): Unit = {
+      if (cnt > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(cnt)
+        t += Sym(n << 4)
+        if (n > 0) t += Raw(cnt - (1 << n), n)
+        br.foreach(b => t += Raw(b, 1))
+        br.clear()
+      }
+    }
+
+    def dcFirstTokens(al: Int): mutable.ArrayBuffer[Tok] = {
+      val t = mutable.ArrayBuffer.empty[Tok]
+      val dcPred = new Array[Int](nc)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < nc) {
+            val sp = specs(ci)
+            var bv = 0
+            while (bv < sp.v) {
+              var bh = 0
+              while (bh < sp.h) {
+                val base = (((my * sp.v + bv) * blocksWc(ci)) +
+                  (mx * sp.h + bh)) * 64
+                val v = bufs(ci)(base) >> al
+                val diff = v - dcPred(ci)
+                dcPred(ci) = v
+                val sz = magnitudeSize(diff)
+                t += Sym(sz)
+                if (sz > 0)
+                  t += Raw(if (diff < 0) diff + (1 << sz) - 1 else diff, sz)
+                bh += 1
+              }
+              bv += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      t
+    }
+
+    def dcRefineTokens(al: Int): mutable.ArrayBuffer[Tok] = {
+      val t = mutable.ArrayBuffer.empty[Tok]
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < nc) {
+            val sp = specs(ci)
+            var bv = 0
+            while (bv < sp.v) {
+              var bh = 0
+              while (bh < sp.h) {
+                val base = (((my * sp.v + bv) * blocksWc(ci)) +
+                  (mx * sp.h + bh)) * 64
+                t += Raw((bufs(ci)(base) >> al) & 1, 1)
+                bh += 1
+              }
+              bv += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      t
+    }
+
+    def acFirstTokens(ci: Int, ss: Int, se: Int,
+                      al: Int): mutable.ArrayBuffer[Tok] = {
+      val t = mutable.ArrayBuffer.empty[Tok]
+      val noBr = mutable.ArrayBuffer.empty[Int]
+      var eobCnt = 0
+      var by = 0
+      while (by < realBH(ci)) {
+        var bx = 0
+        while (bx < realBW(ci)) {
+          val base = (by * blocksWc(ci) + bx) * 64
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val c = bufs(ci)(base + Zigzag(k))
+            val mag = math.abs(c) >> al
+            if (mag == 0) r += 1
+            else {
+              flushEobInto(t, eobCnt, noBr); eobCnt = 0
+              while (r > 15) { t += Sym(0xf0); r -= 16 }
+              val sz = magnitudeSize(mag)
+              t += Sym((r << 4) | sz)
+              val v = if (c < 0) -mag else mag
+              t += Raw(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) {
+            eobCnt += 1
+            if (eobCnt == 32767) { flushEobInto(t, eobCnt, noBr); eobCnt = 0 }
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEobInto(t, eobCnt, noBr)
+      t
+    }
+
+    def acRefineTokens(ci: Int, ss: Int, se: Int,
+                       al: Int): mutable.ArrayBuffer[Tok] = {
+      val t = mutable.ArrayBuffer.empty[Tok]
+      // two correction-bit accumulations, as the scheme requires: bits
+      // OWNED by the pending cross-block EOB run (flushed with its EOBn)
+      // vs bits of the current block since its last symbol (flushed
+      // right after that symbol) — one shared buffer would leak a later
+      // block's corrections into the run's flush
+      val runBr = mutable.ArrayBuffer.empty[Int]
+      val br = mutable.ArrayBuffer.empty[Int]
+      var eobCnt = 0
+      def flushEob(): Unit = { flushEobInto(t, eobCnt, runBr); eobCnt = 0 }
+      var by = 0
+      while (by < realBH(ci)) {
+        var bx = 0
+        while (bx < realBW(ci)) {
+          val base = (by * blocksWc(ci) + bx) * 64
+          // last newly-significant position (magnitude exactly 1 at
+          // this approximation) — zeros beyond it fold into EOB runs
+          var eobPos = ss - 1
+          var k = ss
+          while (k <= se) {
+            if (math.abs(bufs(ci)(base + Zigzag(k))) >> al == 1) eobPos = k
+            k += 1
+          }
+          var r = 0
+          k = ss
+          while (k <= se) {
+            val c = bufs(ci)(base + Zigzag(k))
+            val mag = math.abs(c) >> al
+            if (mag == 0) r += 1
+            else {
+              while (r > 15 && k <= eobPos) {
+                flushEob()
+                t += Sym(0xf0)
+                br.foreach(b => t += Raw(b, 1)); br.clear()
+                r -= 16
+              }
+              if (mag > 1) br += (mag & 1)
+              else {
+                flushEob()
+                t += Sym((r << 4) | 1)
+                t += Raw(if (c < 0) 0 else 1, 1)
+                br.foreach(b => t += Raw(b, 1)); br.clear()
+                r = 0
+              }
+            }
+            k += 1
+          }
+          if (r > 0 || br.nonEmpty) {
+            eobCnt += 1
+            runBr ++= br
+            br.clear()
+            if (eobCnt == 32767) flushEob()
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob()
+      t
+    }
+
+    /** DHT (when the scan has symbols) + SOS + entropy data. */
+    def writeScan(scanComps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int,
+                  toks: mutable.ArrayBuffer[Tok]): Unit = {
+      val syms = toks.collect { case Sym(s) => s }.distinct.sorted
+      val codeOf = new Array[Int](256)
+      var codeLen = 0
+      if (syms.nonEmpty) {
+        // one canonical length for every live symbol; the all-ones
+        // codeword stays unused (2^L ≥ n+1), as the spec requires
+        codeLen = 1
+        while ((1 << codeLen) < syms.length + 1) codeLen += 1
+        syms.zipWithIndex.foreach { case (s, i) => codeOf(s) = i }
+        val tc = if (ss == 0) 0 else 1
+        marker(0xc4); u16(2 + 1 + 16 + syms.length)
+        out.write(tc << 4) // class, table id 0
+        (1 to 16).foreach(l => out.write(if (l == codeLen) syms.length else 0))
+        syms.foreach(out.write)
+      }
+      marker(0xda); u16(6 + 2 * scanComps.length)
+      out.write(scanComps.length)
+      scanComps.foreach { ci => out.write(ci + 1); out.write(0) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      val bw = new BitWriter(out)
+      toks.foreach {
+        case Sym(s) => bw.put(codeOf(s), codeLen)
+        case Raw(v, n) => bw.put(v, n)
+      }
+      bw.flush()
+    }
+
+    val all = (0 until nc).toSeq
+    writeScan(all, 0, 0, 0, 1, dcFirstTokens(1))
+    if (nc == 1) {
+      writeScan(Seq(0), 1, 63, 0, 1, acFirstTokens(0, 1, 63, 1))
+      writeScan(Seq(0), 1, 63, 1, 0, acRefineTokens(0, 1, 63, 0))
+    } else {
+      writeScan(Seq(0), 1, 5, 0, 1, acFirstTokens(0, 1, 5, 1))
+      writeScan(Seq(1), 1, 63, 0, 1, acFirstTokens(1, 1, 63, 1))
+      writeScan(Seq(2), 1, 63, 0, 1, acFirstTokens(2, 1, 63, 1))
+      writeScan(Seq(0), 6, 63, 0, 1, acFirstTokens(0, 6, 63, 1))
+      writeScan(Seq(0), 1, 63, 1, 0, acRefineTokens(0, 1, 63, 0))
+    }
+    writeScan(all, 0, 0, 1, 0, dcRefineTokens(0))
+    if (nc == 3) {
+      writeScan(Seq(1), 1, 63, 1, 0, acRefineTokens(1, 1, 63, 0))
+      writeScan(Seq(2), 1, 63, 1, 0, acRefineTokens(2, 1, 63, 0))
+    }
+    marker(0xd9) // EOI
+  }
+
   /** Encode an interleaved raster ([[PngCodec.Image]], 1 or 3 channels;
     * RGB is converted to YCbCr with the fixed-point BT.601 forward
     * transform). */
   def encode(img: PngCodec.Image, quality: Int = 90,
              subsample420: Boolean = false,
-             restartInterval: Int = 0): Array[Byte] = {
+             restartInterval: Int = 0,
+             progressive: Boolean = false): Array[Byte] = {
     require(img.channels == 1 || img.channels == 3,
       s"jpeg: ${img.channels} channels (1/3)")
     val n = img.width * img.height
@@ -535,7 +847,7 @@ object JpegCodec {
         Array(y, cb, cr)
       }
     encodePlanes(planes, img.width, img.height, quality, subsample420,
-      restartInterval)
+      restartInterval, progressive)
   }
 
   @inline private def clamp(v: Int): Int =
@@ -564,12 +876,21 @@ object JpegCodec {
     var restartInterval = 0
 
     var sofSeen = false
+    var progressive = false
     var scanDone = false
-    var planes: Array[Array[Int]] = null
     var compW: Array[Int] = null
     var compH: Array[Int] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    // per-component QUANTIZED coefficient buffers (block-raster layout:
+    // blockIndex*64 + raster index) — scans accumulate here (progressive
+    // scans refine across passes), dequant + IDCT happen once at the end
+    var coefs: Array[Array[Int]] = null
+    var mcusX = 0
+    var mcusY = 0
     var hMax = 0
     var vMax = 0
+    var anyScan = false
 
     while (!scanDone) {
       require(p + 1 < bytes.length, "jpeg: truncated before marker")
@@ -580,8 +901,10 @@ object JpegCodec {
         case 0xd8 => // stray SOI
           sys.error("jpeg: unexpected SOI")
         case 0xd9 =>
-          sys.error("jpeg: EOI before scan data")
-        case 0xc0 | 0xc1 => // baseline / extended sequential, Huffman
+          require(anyScan, "jpeg: EOI before scan data")
+          scanDone = true // progressive: all scans consumed
+        case 0xc0 | 0xc1 | 0xc2 => // baseline / ext. sequential / progressive
+          progressive = m == 0xc2
           val len = u16at(p)
           require(u8(p + 2) == 8,
             s"jpeg: ${u8(p + 2)}-bit precision is out of subset (8)")
@@ -606,8 +929,15 @@ object JpegCodec {
                 s"${hMax}x$vMax is out of subset")
           }
           sofSeen = true
+          mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+          compW = comps.map(c => mcusX * 8 * c.h)
+          compH = comps.map(c => mcusY * 8 * c.v)
+          blocksW = comps.map(c => mcusX * c.h)
+          blocksH = comps.map(c => mcusY * c.v)
+          coefs = Array.tabulate(comps.length)(i =>
+            new Array[Int](blocksW(i) * blocksH(i) * 64))
           p += len
-        case 0xc2 => sys.error("jpeg: progressive DCT (SOF2) is out of subset")
         case 0xc3 => sys.error("jpeg: lossless (SOF3) is out of subset")
         case 0xc5 | 0xc6 | 0xc7 | 0xce | 0xcf =>
           sys.error(f"jpeg: hierarchical/differential SOF$m%02x is out of subset")
@@ -656,113 +986,275 @@ object JpegCodec {
         case 0xdc => sys.error("jpeg: DNL is out of subset")
         case a if a >= 0xe0 && a <= 0xef => p += u16at(p) // APPn
         case 0xfe => p += u16at(p) // COM
-        case 0xda => // SOS — decode the single baseline scan
+        case 0xda => // SOS — one scan (baseline: the only one;
+          // progressive: one of several spectral/approximation passes)
           require(sofSeen, "jpeg: SOS before SOF")
           val len = u16at(p)
           val ns = u8(p + 2)
-          require(ns == comps.length,
-            s"jpeg: scan components $ns != frame ${comps.length} " +
-              "(multi-scan is out of subset)")
+          require(ns >= 1 && ns <= comps.length, s"jpeg: scan components $ns")
+          // (component index in frame, DC table id, AC table id)
           val scanSel = Array.tabulate(ns) { i =>
             val b = p + 3 + 2 * i
-            (u8(b), u8(b + 1) >> 4, u8(b + 1) & 0xf)
+            val ci = comps.indexWhere(_.id == u8(b))
+            require(ci >= 0, s"jpeg: scan names unknown component ${u8(b)}")
+            (ci, u8(b + 1) >> 4, u8(b + 1) & 0xf)
           }
-          require(u8(p + 3 + 2 * ns) == 0 && u8(p + 4 + 2 * ns) == 63 &&
-            u8(p + 5 + 2 * ns) == 0,
-            "jpeg: non-baseline spectral selection / successive approximation")
-          scanSel.zip(comps).foreach { case ((id, _, _), c) =>
-            require(id == c.id, "jpeg: scan order differs from frame order")
+          val ss = u8(p + 3 + 2 * ns)
+          val se = u8(p + 4 + 2 * ns)
+          val ah = u8(p + 5 + 2 * ns) >> 4
+          val al = u8(p + 5 + 2 * ns) & 0xf
+          if (!progressive) {
+            require(ns == comps.length,
+              "jpeg: partial sequential scans are out of subset")
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "jpeg: sequential scan must cover the full band")
+          } else {
+            require(ss <= 63 && se <= 63 && ss <= se && ah <= 13 && al <= 13,
+              s"jpeg: bad progressive scan band $ss..$se/$ah/$al")
+            if (ss == 0)
+              require(se == 0, "jpeg: progressive DC scan must have Se=0")
+            else
+              require(ns == 1,
+                "jpeg: progressive AC scans must be single-component")
           }
           p += len
 
-          val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-          val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-          compW = comps.map(c => mcusX * 8 * c.h)
-          compH = comps.map(c => mcusY * 8 * c.v)
-          planes = Array.tabulate(comps.length)(i =>
-            new Array[Int](compW(i) * compH(i)))
-
           val r = new BitReader(bytes, p)
           val dcPred = new Array[Int](comps.length)
-          val coef = new Array[Int](64)
-          val px = new Array[Int](64)
-          var mcu = 0
+          var eobrun = 0
           var restartIdx = 0
-          var my = 0
-          while (my < mcusY) {
-            var mx = 0
-            while (mx < mcusX) {
-              if (restartInterval > 0 && mcu > 0 &&
-                mcu % restartInterval == 0) {
-                r.alignAndExpectRestart(restartIdx)
-                restartIdx += 1
-                java.util.Arrays.fill(dcPred, 0)
-              }
-              var ci = 0
-              while (ci < comps.length) {
-                val c = comps(ci)
-                val (_, td, ta) = scanSel(ci)
-                val dcT = dcTabs(td); val acT = acTabs(ta)
-                require(dcT != null && acT != null,
-                  s"jpeg: missing Huffman table $td/$ta")
-                val qt = qTabs(c.qId)
-                require(qt != null, s"jpeg: missing quant table ${c.qId}")
-                var bv = 0
-                while (bv < c.v) {
-                  var bh = 0
-                  while (bh < c.h) {
-                    java.util.Arrays.fill(coef, 0)
-                    val dsz = dcT.decode(r)
-                    require(dsz <= 15, "jpeg: DC size out of range")
-                    val diff = extend(r.bits(dsz), dsz)
-                    dcPred(ci) += diff
-                    coef(0) = dcPred(ci) * qt(0)
-                    var k = 1
-                    var eob = false
-                    while (k < 64 && !eob) {
-                      val rs = acT.decode(r)
-                      val run = rs >> 4
-                      val sz = rs & 0xf
-                      if (sz == 0) {
-                        if (run == 15) k += 16 // ZRL
-                        else eob = true
-                      } else {
-                        k += run
-                        require(k < 64, "jpeg: AC index overflow")
-                        coef(Zigzag(k)) = extend(r.bits(sz), sz) * qt(Zigzag(k))
-                        k += 1
-                      }
-                    }
-                    idct(coef, px)
-                    val bx = (mx * c.h + bh) * 8
-                    val by = (my * c.v + bv) * 8
-                    val cw = compW(ci)
-                    var i = 0
-                    while (i < 64) {
-                      planes(ci)((by + i / 8) * cw + bx + i % 8) = px(i)
-                      i += 1
-                    }
-                    bh += 1
-                  }
-                  bv += 1
-                }
-                ci += 1
-              }
-              mcu += 1
-              mx += 1
+          var mcu = 0
+          def restartIfDue(): Unit =
+            if (restartInterval > 0 && mcu > 0 &&
+              mcu % restartInterval == 0) {
+              r.alignAndExpectRestart(restartIdx)
+              restartIdx += 1
+              java.util.Arrays.fill(dcPred, 0)
+              eobrun = 0
             }
-            my += 1
+
+          // -- per-block scan pieces, all writing QUANTIZED values ----
+          def fullBlock(base: Int, ci: Int, dcT: HuffDecoder,
+                        acT: HuffDecoder): Unit = {
+            val buf = coefs(ci)
+            val dsz = dcT.decode(r)
+            require(dsz <= 15, "jpeg: DC size out of range")
+            dcPred(ci) += extend(r.bits(dsz), dsz)
+            buf(base) = dcPred(ci)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acT.decode(r)
+              val run = rs >> 4
+              val sz = rs & 0xf
+              if (sz == 0) {
+                if (run == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += run
+                require(k < 64, "jpeg: AC index overflow")
+                buf(base + Zigzag(k)) = extend(r.bits(sz), sz)
+                k += 1
+              }
+            }
+          }
+          def dcScan(base: Int, ci: Int, dcT: HuffDecoder): Unit =
+            if (ah == 0) {
+              val dsz = dcT.decode(r)
+              require(dsz <= 15, "jpeg: DC size out of range")
+              dcPred(ci) += extend(r.bits(dsz), dsz)
+              coefs(ci)(base) = dcPred(ci) << al
+            } else {
+              if (r.bit() == 1) coefs(ci)(base) |= 1 << al
+            }
+          def acFirst(base: Int, ci: Int, acT: HuffDecoder): Unit =
+            if (eobrun > 0) eobrun -= 1
+            else {
+              val buf = coefs(ci)
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                val rs = acT.decode(r)
+                val run = rs >> 4
+                val sz = rs & 0xf
+                if (sz == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << run) - 1
+                    if (run > 0) eobrun += r.bits(run)
+                    done = true
+                  }
+                } else {
+                  k += run
+                  require(k <= se, "jpeg: AC index overflow")
+                  buf(base + Zigzag(k)) = extend(r.bits(sz), sz) << al
+                  k += 1
+                }
+              }
+            }
+          def acRefine(base: Int, ci: Int, acT: HuffDecoder): Unit = {
+            // T.81 G.1.2.3 / the classic refinement walk: correction
+            // bits ride along as the run skips over already-nonzero
+            // coefficients; EOB runs carry corrections for the rest
+            val buf = coefs(ci)
+            val p1 = 1 << al
+            @inline def correct(idx: Int): Unit =
+              if (r.bit() == 1 && (buf(idx) & p1) == 0)
+                buf(idx) += (if (buf(idx) >= 0) p1 else -p1)
+            var k = ss
+            if (eobrun == 0) {
+              var done = false
+              while (k <= se && !done) {
+                val rs = acT.decode(r)
+                var run = rs >> 4
+                val sz = rs & 0xf
+                var newval = 0
+                if (sz != 0) {
+                  require(sz == 1, "jpeg: AC refinement size must be 1")
+                  newval = if (r.bit() == 1) p1 else -p1
+                } else if (run != 15) {
+                  eobrun = 1 << run
+                  if (run > 0) eobrun += r.bits(run)
+                  done = true
+                }
+                if (!done) {
+                  // advance past `run` still-zero slots (correcting the
+                  // nonzero ones), then drop the new value (if any)
+                  var advanced = false
+                  while (k <= se && !advanced) {
+                    val idx = base + Zigzag(k)
+                    if (buf(idx) != 0) correct(idx)
+                    else if (run == 0) {
+                      if (newval != 0) buf(idx) = newval
+                      advanced = true
+                    } else run -= 1
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) {
+                val idx = base + Zigzag(k)
+                if (buf(idx) != 0) correct(idx)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+
+          def tables(i: Int): (HuffDecoder, HuffDecoder) = {
+            val (_, td, ta) = scanSel(i)
+            val needDc = ss == 0
+            val needAc = !progressive || ss > 0
+            val dcT = dcTabs(td)
+            val acT = acTabs(ta)
+            require(!needDc || ah > 0 || dcT != null,
+              s"jpeg: missing DC Huffman table $td")
+            require(!needAc || acT != null,
+              s"jpeg: missing AC Huffman table $ta")
+            (dcT, acT)
+          }
+
+          if (ns > 1 || !progressive) {
+            // interleaved MCU order (whole frame for sequential; the
+            // multi-component DC pass for progressive)
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                restartIfDue()
+                var i = 0
+                while (i < ns) {
+                  val ci = scanSel(i)._1
+                  val c = comps(ci)
+                  val (dcT, acT) = tables(i)
+                  var bv = 0
+                  while (bv < c.v) {
+                    var bh = 0
+                    while (bh < c.h) {
+                      val base = (((my * c.v + bv) * blocksW(ci)) +
+                        (mx * c.h + bh)) * 64
+                      if (!progressive) fullBlock(base, ci, dcT, acT)
+                      else dcScan(base, ci, dcT)
+                      bh += 1
+                    }
+                    bv += 1
+                  }
+                  i += 1
+                }
+                mcu += 1
+                mx += 1
+              }
+              my += 1
+            }
+          } else {
+            // non-interleaved single-component scan: block raster over
+            // the component's REAL (unpadded) block grid
+            val ci = scanSel(0)._1
+            val c = comps(ci)
+            val (dcT, acT) = tables(0)
+            val bw = ((w * c.h + hMax - 1) / hMax + 7) / 8
+            val bh = ((h * c.v + vMax - 1) / vMax + 7) / 8
+            var by = 0
+            while (by < bh) {
+              var bx = 0
+              while (bx < bw) {
+                restartIfDue()
+                val base = (by * blocksW(ci) + bx) * 64
+                if (ss == 0) dcScan(base, ci, dcT)
+                else if (ah == 0) acFirst(base, ci, acT)
+                else acRefine(base, ci, acT)
+                mcu += 1
+                bx += 1
+              }
+              by += 1
+            }
           }
           p = r.pos
-          // EOI (tolerate pad FFs before it, as emitted by some writers)
-          while (p + 1 < bytes.length && u8(p) == 0xff && u8(p + 1) == 0xff)
-            p += 1
-          require(p + 1 < bytes.length && u8(p) == 0xff && u8(p + 1) == 0xd9,
-            "jpeg: missing EOI after scan")
-          scanDone = true
+          anyScan = true
+          if (!progressive) {
+            // EOI (tolerate pad FFs, as emitted by some writers)
+            while (p + 1 < bytes.length && u8(p) == 0xff && u8(p + 1) == 0xff)
+              p += 1
+            require(p + 1 < bytes.length && u8(p) == 0xff && u8(p + 1) == 0xd9,
+              "jpeg: missing EOI after scan")
+            scanDone = true
+          }
         case other =>
           sys.error(f"jpeg: unsupported marker FF$other%02x")
       }
+    }
+
+    // dequantize + IDCT every block of every component into its plane
+    val planes = Array.tabulate(comps.length)(i =>
+      new Array[Int](compW(i) * compH(i)))
+    val deq = new Array[Int](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = qTabs(comps(ci).qId)
+      require(qt != null, s"jpeg: missing quant table ${comps(ci).qId}")
+      val buf = coefs(ci)
+      val cw = compW(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val base = (by * blocksW(ci) + bx) * 64
+          var i = 0
+          while (i < 64) { deq(i) = buf(base + i) * qt(i); i += 1 }
+          idct(deq, px)
+          var j = 0
+          while (j < 64) {
+            planes(ci)((by * 8 + j / 8) * cw + bx * 8 + j % 8) = px(j)
+            j += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
     }
 
     // upsample (replication) + color convert to the output raster

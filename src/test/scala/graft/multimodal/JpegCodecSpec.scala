@@ -161,9 +161,9 @@ class JpegCodecSpec extends AnyFunSuite {
       assert(done, f"marker $find%02x not found")
       b
     }
-    // SOF0 → SOF2 (progressive)
-    val e1 = intercept[RuntimeException](decode(mutated(0xc0, 0xc2)))
-    assert(e1.getMessage.contains("progressive"))
+    // SOF0 → SOF3 (lossless)
+    val e1 = intercept[RuntimeException](decode(mutated(0xc0, 0xc3)))
+    assert(e1.getMessage.contains("lossless"))
     // SOF0 → SOF9 (arithmetic)
     val e2 = intercept[RuntimeException](decode(mutated(0xc0, 0xc9)))
     assert(e2.getMessage.contains("arithmetic"))
@@ -182,6 +182,83 @@ class JpegCodecSpec extends AnyFunSuite {
     val e5 = intercept[IllegalArgumentException](
       decode(Array[Byte](1, 2, 3, 4)))
     assert(e5.getMessage.contains("SOI"))
+  }
+
+  test("progressive decode ≡ sequential decode (same coefficients)") {
+    // both emission paths quantize identically, so the multi-scan
+    // spectral-selection + successive-approximation reassembly must
+    // reproduce the sequential decode BIT-EXACTLY — any slip in the
+    // DC/AC first/refinement passes or EOB-run accounting breaks this
+    val rnd = new scala.util.Random(777)
+    val w = 40; val h = 24
+    val px = Array.tabulate(w * h * 3) { i =>
+      val pix = i / 3; val x = pix % w; val y = pix / w
+      ((x * 5 + y * 7 + (i % 3) * 13 + rnd.nextInt(17)) % 256).toByte
+    }
+    val img = PngCodec.Image(w, h, 3, px)
+    for ((q, sub) <- Seq((85, false), (60, true), (100, false))) {
+      val seqDec = decode(encode(img, quality = q, subsample420 = sub))
+      val proDec = decode(encode(img, quality = q, subsample420 = sub,
+        progressive = true))
+      assert(seqDec.pixels.toSeq == proDec.pixels.toSeq, s"q=$q sub=$sub")
+    }
+  }
+
+  test("progressive gray ≡ sequential gray; q100 block-constant exact") {
+    val w = 32; val h = 16
+    val plane = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      (bx * 43 + by * 59 + 11) % 256
+    }
+    val pro = decode(encodePlanes(Array(plane), w, h, quality = 100,
+      progressive = true))
+    assert(pro.pixels.map(_ & 0xff).toSeq == plane.toSeq)
+    val sq = decode(encodePlanes(Array(plane), w, h, quality = 60))
+    val pr = decode(encodePlanes(Array(plane), w, h, quality = 60,
+      progressive = true))
+    assert(sq.pixels.toSeq == pr.pixels.toSeq)
+  }
+
+  test("progressive exercises EOB runs > 1 (smooth low-detail image)") {
+    // a flat image quantized at low quality leaves whole AC bands zero
+    // across many consecutive blocks → the encoder must emit EOBn
+    // symbols with n ≥ 1 and the decoder must skip runs correctly
+    val w = 64; val h = 32
+    val px = Array.tabulate(w * h * 3)(i => (120 + (i % 3)).toByte)
+    val img = PngCodec.Image(w, h, 3, px)
+    val pro = encode(img, quality = 50, progressive = true)
+    val seqDec = decode(encode(img, quality = 50))
+    assert(decode(pro).pixels.toSeq == seqDec.pixels.toSeq)
+    // EOBn (n≥1) symbols appear in some scan's Huffman table: the DHT
+    // value list contains 0x10..0xE0 entries only progressive emits
+    val hasEobN = pro.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc4) &&
+      (0 until pro.length - 1).exists { i =>
+        (pro(i) & 0xff) == 0xff && (pro(i + 1) & 0xff) == 0xc4 && {
+          val len = ((pro(i + 2) & 0xff) << 8) | (pro(i + 3) & 0xff)
+          val vals = (i + 4 + 17) until (i + 2 + len)
+          vals.exists { j =>
+            val v = pro(j) & 0xff
+            v >= 0x10 && v <= 0xe0 && (v & 0xf) == 0
+          }
+        }
+      }
+    assert(hasEobN, "no EOBn symbol in any progressive DHT")
+  }
+
+  test("progressive 4:2:0 with odd dims roundtrips within float tolerance") {
+    val w = 37; val h = 23
+    val plane = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      (bx * 67 + by * 29 + 40) % 256
+    }
+    val cb = Array.fill(w * h)(100)
+    val cr = Array.fill(w * h)(140)
+    val seqDec = decode(encodePlanes(Array(plane, cb, cr), w, h,
+      quality = 100, subsample420 = true))
+    val proDec = decode(encodePlanes(Array(plane, cb, cr), w, h,
+      quality = 100, subsample420 = true, progressive = true))
+    assert(seqDec.pixels.toSeq == proDec.pixels.toSeq)
   }
 
   test("decoder consumes APPn/COM and 16-bit DQT segments") {
