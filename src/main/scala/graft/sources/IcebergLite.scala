@@ -499,6 +499,40 @@ object IcebergLite {
     (df, batchId) => appendSnapshot(df.sparkSession, df, tableDir,
       partitionBy, Some(s"batch-$batchId"), sortBy)
 
+  /** `writeStream.foreachBatch(IcebergLite.upsertSink(dir, Seq("id")))`:
+    * the CDC/streaming-UPSERT sink. Each micro-batch equality-deletes
+    * its own key set (dropping any prior versions merge-on-read — write
+    * ∝ keys, no rewrite) and appends the new rows; sequence semantics
+    * guarantee the appended rows survive their own delete. Exactly-once
+    * across checkpoint replays at BOTH commits (distinct commit keys for
+    * the delete and the append legs, so a crash between them replays
+    * only the missing leg). The first batch on an empty dir creates the
+    * table; the table's persisted sort order applies to every append.
+    * The batch is persisted for the two passes — foreachBatch frames
+    * may re-evaluate per action, and the delete and append legs must
+    * see the SAME rows. */
+  def upsertSink(tableDir: String, keyCols: Seq[String],
+                 partitionBy: Seq[String] = Nil,
+                 sortBy: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (df0, batchId) => {
+      require(keyCols.nonEmpty, "upsert needs at least one key column")
+      val spark = df0.sparkSession
+      val df = df0.persist()
+      try {
+        if (!df.isEmpty) {
+          val root = new Path(tableDir)
+          val exists = fs(spark, root)
+            .exists(new Path(root, "metadata/version-hint.text"))
+          if (exists)
+            equalityDeleteMOR(spark, tableDir,
+              df.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+              commitKey = Some(s"upsert-$batchId-del"))
+          appendSnapshot(spark, df, tableDir, partitionBy,
+            Some(s"upsert-$batchId-add"), sortBy)
+        }
+      } finally df.unpersist()
+    }
+
   /** Spark-distributed data-file write for one snapshot + the manifest
     * entries describing what landed (status ADDED), including per-file
     * COLUMN BOUNDS (spec fields 125/128) for scan pruning — one extra
@@ -1155,10 +1189,15 @@ object IcebergLite {
     * make it physical. Key columns must exist in the table schema; NULL
     * key values never match. Returns the distinct key count. */
   def equalityDeleteMOR(spark: SparkSession, tableDir: String,
-                        keys: DataFrame): Long = {
+                        keys: DataFrame,
+                        commitKey: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
+    // exactly-once: a commit key already in the snapshot log means this
+    // delete landed before a checkpoint replay — no-op (the upsertSink
+    // contract)
+    if (commitKey.exists(k => hasCommitKey(meta, k))) return 0L
     require(liveFileEntries(spark, meta).nonEmpty, "table has no data files")
     val declared = declaredSchema(meta)
     val keyCols = keys.schema.fieldNames.toSeq
@@ -1212,7 +1251,8 @@ object IcebergLite {
         entries.size, snapshotId, nKeys, content = 2),
       meta.schemaJs, meta.lastColumnId,
       meta.partitionCols.map(c => c -> declared(c).dataType),
-      operation = "delete", sortCols = meta.sortOrderCols)
+      operation = "delete", commitKey = commitKey,
+      sortCols = meta.sortOrderCols)
     nKeys
   }
 

@@ -576,6 +576,70 @@ class IcebergLiteSpec extends SparkSuite {
     assert(e.getMessage.contains("nope"))
   }
 
+  // ---- streaming upsert sink (CDC shape) ---------------------------------
+
+  test("upsertSink: per-batch equality-delete + append is an upsert") {
+    val dir = tmp()
+    val sink = IcebergLite.upsertSink(dir, Seq("id"))
+    sink(batch1.toDF("id", "lang", "n"), 0L) // first batch creates
+    sink(Seq((2L, "de", 2000L), (4L, "fr", 40L)).toDF("id", "lang", "n"), 1L)
+    val back = IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(back == Map(1L -> 10L, 2L -> 2000L, 3L -> 30L, 4L -> 40L))
+  }
+
+  test("upsertSink is exactly-once across full batch replays") {
+    val dir = tmp()
+    val sink = IcebergLite.upsertSink(dir, Seq("id"))
+    sink(batch1.toDF("id", "lang", "n"), 0L)
+    val up = Seq((1L, "en", 111L)).toDF("id", "lang", "n")
+    sink(up, 1L)
+    val snaps = IcebergLite.snapshotIds(spark, dir).size
+    sink(up, 1L) // checkpoint replay: both legs must no-op
+    assert(IcebergLite.snapshotIds(spark, dir).size == snaps)
+    val back = IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(back == Map(1L -> 111L, 2L -> 20L, 3L -> 30L))
+  }
+
+  test("upsertSink replays only the missing leg after a mid-batch crash") {
+    val dir = tmp()
+    val sink = IcebergLite.upsertSink(dir, Seq("id"))
+    sink(batch1.toDF("id", "lang", "n"), 0L)
+    // simulate a crash between the two legs: the delete committed with
+    // its leg key, the append never landed
+    IcebergLite.equalityDeleteMOR(spark, dir, Seq(3L).toDF("id"),
+      commitKey = Some("upsert-1-del"))
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val before = IcebergLite.snapshotIds(spark, dir).size
+    sink(Seq((3L, "en", 333L)).toDF("id", "lang", "n"), 1L) // replay
+    // only the append leg commits on replay
+    assert(IcebergLite.snapshotIds(spark, dir).size == before + 1)
+    val back = IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(back == Map(1L -> 10L, 2L -> 20L, 3L -> 333L))
+  }
+
+  test("upsertSink drives a real streaming CDC query end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp()
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    // two versions of id 2 arrive across micro-batches
+    stream.addData((1L, "en", 10L), (2L, "de", 20L))
+    stream.addData((2L, "de", 2000L), (3L, "fr", 30L))
+    val q = stream.toDF().toDF("id", "lang", "n")
+      .writeStream
+      .foreachBatch(IcebergLite.upsertSink(dir, Seq("id")))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val back = IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(back == Map(1L -> 10L, 2L -> 2000L, 3L -> 30L))
+  }
+
   // ---- persisted sort-order metadata -------------------------------------
 
   test("sort order persists in table metadata and appends inherit it") {
