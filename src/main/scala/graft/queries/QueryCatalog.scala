@@ -4827,6 +4827,87 @@ object QueryCatalog {
         (SELECT CAST(count(*) AS BIGINT) FROM upd) AS n_keys
       FROM final GROUP BY lang ORDER BY lang""")),
 
+    // Iceberg METADATA TABLES (sources/IcebergLite.metaTable — the
+    // table$snapshots/table$files operational surface): three
+    // doc_id%3 appends then a MOR delete; the snapshots table must
+    // show the commit log in order and the files table must account
+    // every live row to the snapshot that ADDED it — including the
+    // content=1 delete file whose record_count is the match count.
+    // All driver-side KB-scale metadata arithmetic (no data file is
+    // opened); the oracle rebuilds the ledger from documents
+    // arithmetic. Data-derived at any scale.
+    QueryDef("iceberg_meta_tables", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_meta_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 3 === 0), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 3 === 1), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 3 === 2), dir)
+      IcebergLite.deleteWhereMOR(s, dir, col("doc_id") % 5 === 2)
+      val snaps = IcebergLite.metaTable(s, dir, "snapshots")
+        .select(col("snapshot_id"), col("operation"))
+      IcebergLite.metaTable(s, dir, "files")
+        .groupBy("content", "added_snapshot_id")
+        .agg(sum(col("record_count")).as("n_rows"))
+        .join(snaps, col("added_snapshot_id") === col("snapshot_id"))
+        .select(col("snapshot_id"), col("operation"), col("content"),
+          col("n_rows"))
+        .orderBy("snapshot_id")
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS snapshot_id, 'append' AS operation,
+          CAST(0 AS INTEGER) AS content,
+          (SELECT CAST(count(*) AS BIGINT) FROM documents
+           WHERE doc_id % 3 = 0) AS n_rows
+        UNION ALL
+        SELECT 2, 'append', 0,
+          (SELECT count(*) FROM documents WHERE doc_id % 3 = 1)
+        UNION ALL
+        SELECT 3, 'append', 0,
+          (SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
+        UNION ALL
+        SELECT 4, 'delete', 1,
+          (SELECT count(*) FROM documents WHERE doc_id % 5 = 2))
+      ORDER BY snapshot_id""")),
+
+    // Iceberg INCREMENTAL append scan (sources/IcebergLite
+    // .readIncremental — "everything since the snapshot I processed
+    // last", the downstream-consumer change-capture surface): three
+    // doc_id%3 appends; the (1, 3] range must return EXACTLY the rows
+    // of appends 2 and 3, each carrying its _added_snapshot_id
+    // provenance — cost ∝ the new data (the file set is manifest
+    // arithmetic), never the table. The per-lang aggregate is wrong if
+    // the range over- or under-reaches; sum_snap pins the provenance.
+    // Oracle rederives both from documents arithmetic. Data-derived at
+    // any scale.
+    QueryDef("iceberg_incremental", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_inc_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 3 === 0), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 3 === 1), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 3 === 2), dir)
+      IcebergLite.readIncremental(s, dir, 1L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("_added_snapshot_id")).as("sum_snap"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(sum(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 3 END) AS BIGINT)
+          AS sum_snap
+      FROM documents WHERE doc_id % 3 <> 0
+      GROUP BY lang ORDER BY lang""")),
+
     // REAL PNG pixel decode end to end (multimodal/PngCodec — the
     // de-stubbed codec boundary): every doc gets a real zlib-
     // compressed, filter-framed PNG whose pixels follow a formula;

@@ -1674,4 +1674,158 @@ object IcebergLite {
       .elements().asScala.map(f =>
         StructField(f.get("name").asText(), sparkType(f.get("type")),
           !f.get("required").asBoolean())).toSeq)
+
+  // ---- metadata tables (the operational surface) --------------------------
+
+  /** Iceberg-style METADATA TABLES — the `table$snapshots` /
+    * `table$manifests` / `table$files` / `table$partitions` operational
+    * surface every lakehouse user queries to answer "what happened to
+    * this table and what does it physically look like": commit log with
+    * operations and exactly-once commit keys, the current snapshot's
+    * manifest inventory, the live file set with row counts / sizes /
+    * provenance, and per-partition physical stats. All of it derives
+    * from the KB-scale driver-side metadata chain (json + avro) — no
+    * data file is opened, which is what keeps these queries instant on
+    * a 100 TB table. `snapshotId` time-travels the manifest-backed
+    * kinds; `snapshots` always shows the full retained log. */
+  def metaTable(spark: SparkSession, tableDir: String, kind: String,
+                snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    val meta = readMeta(spark, tableDir, snapshotId)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def frame(schema: StructType, rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+    kind match {
+      case "snapshots" =>
+        frame(StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("operation", StringType, nullable = false),
+          StructField("commit_key", StringType, nullable = true),
+          StructField("manifest_list", StringType, nullable = false))),
+          meta.snapshots.map { case (id, listPath, summary) =>
+            val node = om.readTree(summary)
+            Row(id, node.get("operation").asText(),
+              Option(node.get("graft-commit-key")).map(_.asText()).orNull,
+              listPath)
+          })
+      case "manifests" =>
+        frame(StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("length", LongType, nullable = false),
+          StructField("content", IntegerType, nullable = false),
+          StructField("added_snapshot_id", LongType, nullable = false),
+          StructField("added_data_files_count", IntegerType, nullable = false),
+          StructField("added_rows_count", LongType, nullable = false))),
+          meta.manifests.map(m =>
+            Row(m.path, m.len, m.content, m.addedBy, m.nFiles, m.nRows)))
+      case "files" | "partitions" =>
+        // live entries of the (possibly time-traveled) snapshot across
+        // data AND delete manifests; partition values render as a
+        // name→string map (transform-agnostic)
+        val entries = meta.manifests.flatMap { m =>
+          readManifest(spark, new Path(m.path))._1
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val d = e.get("data_file").asInstanceOf[GenericRecord]
+              val part = d.get("partition").asInstanceOf[GenericRecord]
+              val partMap = part.getSchema.getFields.asScala.map { pf =>
+                pf.name() -> Option(part.get(pf.name())).map(_.toString).orNull
+              }.toMap
+              (m.content, d.get("file_path").toString, partMap,
+                d.get("record_count").asInstanceOf[Long],
+                d.get("file_size_in_bytes").asInstanceOf[Long],
+                e.get("snapshot_id").asInstanceOf[Long])
+            }
+        }
+        if (kind == "files")
+          frame(StructType(Seq(
+            StructField("content", IntegerType, nullable = false),
+            StructField("file_path", StringType, nullable = false),
+            StructField("partition", MapType(StringType, StringType),
+              nullable = false),
+            StructField("record_count", LongType, nullable = false),
+            StructField("file_size_in_bytes", LongType, nullable = false),
+            StructField("added_snapshot_id", LongType, nullable = false))),
+            entries.map(t => Row(t._1, t._2, t._3, t._4, t._5, t._6)))
+        else
+          frame(StructType(Seq(
+            StructField("partition", MapType(StringType, StringType),
+              nullable = false),
+            StructField("n_files", LongType, nullable = false),
+            StructField("record_count", LongType, nullable = false),
+            StructField("total_bytes", LongType, nullable = false))),
+            entries.filter(_._1 == 0).groupBy(_._3).toSeq.map {
+              case (partMap, es) =>
+                Row(partMap, es.size.toLong, es.map(_._4).sum,
+                  es.map(_._5).sum)
+            })
+      case other => sys.error(
+        s"unknown metadata table '$other' " +
+          "(snapshots|manifests|files|partitions)")
+    }
+  }
+
+  // ---- incremental (snapshot-range) reads ---------------------------------
+
+  /** INCREMENTAL append scan: the rows added by snapshots in
+    * `(fromSnapshotExclusive, toSnapshotInclusive]` — the
+    * change-capture surface a downstream consumer polls instead of
+    * re-reading the table ("give me everything since the snapshot I
+    * processed last"). Cost ∝ the new data, never the table: the file
+    * set is the manifests ADDED in the range (KB-scale driver
+    * arithmetic), so a 100 TB table with a 1 GB day hands the consumer
+    * 1 GB. Every snapshot in the range must be an `append` (loud error
+    * otherwise — after a rewrite or delete the per-row "is this new"
+    * question has no manifest-level answer) and must still be retained
+    * (expired history refuses). Rows carry `_added_snapshot_id`
+    * provenance. Deletes never apply here: in-range appends postdate
+    * any retained delete (sequence semantics), and delete operations
+    * inside the range are refused. An empty range returns an empty
+    * frame of the declared schema. */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      fromSnapshotExclusive: Long,
+                      toSnapshot: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val meta = readMeta(spark, tableDir, toSnapshot)
+    val to = meta.currentSnapshotId
+    require(fromSnapshotExclusive >= 0 && fromSnapshotExclusive <= to,
+      s"invalid incremental range ($fromSnapshotExclusive, $to]")
+    val inRange = meta.snapshots
+      .filter { case (id, _, _) => id > fromSnapshotExclusive && id <= to }
+    require(inRange.size == (to - fromSnapshotExclusive).toInt,
+      s"incremental range ($fromSnapshotExclusive, $to] spans expired " +
+        s"snapshots (retained: ${meta.snapshots.map(_._1).mkString(", ")})")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    inRange.foreach { case (id, _, summary) =>
+      val op = om.readTree(summary).get("operation").asText()
+      require(op == "append",
+        s"incremental read supports append-only ranges; snapshot $id " +
+          s"is '$op' (read the table at a snapshot instead)")
+    }
+    val declared = declaredSchema(meta)
+    val withProv = StructType(declared.fields :+
+      StructField("_added_snapshot_id", LongType, nullable = false))
+    if (inRange.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), withProv)
+    val files = meta.manifests
+      .filter(m => m.content == 0 && m.addedBy > fromSnapshotExclusive)
+      .flatMap { m =>
+        val (recs, schemaJs) = readManifest(spark, new Path(m.path))
+        recs.filter(e => e.get("status").asInstanceOf[Int] == 1 &&
+            e.get("snapshot_id").asInstanceOf[Long] > fromSnapshotExclusive)
+          .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString -> schemaJs,
+            e.get("snapshot_id").asInstanceOf[Long]))
+      }
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), withProv)
+    val snapDf = spark.createDataFrame(
+      files.map { case ((p, _), s2) => (p, s2) }).toDF("__fp", "__fsnap")
+    readRaw(spark, meta, files.map(_._1))
+      .join(broadcast(snapDf), col("__file") === col("__fp"))
+      .drop("__file", "__pos", "__fp")
+      .withColumnRenamed("__fsnap", "_added_snapshot_id")
+  }
 }

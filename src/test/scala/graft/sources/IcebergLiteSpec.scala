@@ -674,4 +674,107 @@ class IcebergLiteSpec extends SparkSuite {
     IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
     assert(IcebergLite.tableSortOrder(spark, dir) == Seq("doc_id"))
   }
+
+  // ---- metadata tables ----------------------------------------------------
+
+  test("snapshots metadata table: operations and commit keys in order") {
+    val dir = tmp()
+    val sink = IcebergLite.sink(dir)
+    sink(batch1.toDF("id", "lang", "n"), 0L)
+    sink(batch2.toDF("id", "lang", "n"), 1L)
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 2L)
+    val snaps = IcebergLite.metaTable(spark, dir, "snapshots")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    assert(snaps == Seq((1L, "append", Some("batch-0")),
+      (2L, "append", Some("batch-1")), (3L, "delete", None)))
+  }
+
+  test("files/manifests/partitions metadata tables agree with the data") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    val files = IcebergLite.metaTable(spark, dir, "files").collect()
+    assert(files.forall(_.getInt(0) == 0)) // data content only
+    assert(files.map(r => r.getLong(3)).sum == 5L)
+    // per-file provenance: every file names the snapshot that added it
+    assert(files.map(r => r.getLong(5)).toSet == Set(1L, 2L))
+    val manifests = IcebergLite.metaTable(spark, dir, "manifests")
+      .collect().map(r => (r.getLong(3), r.getLong(5))).toSet
+    assert(manifests == Set((1L, 3L), (2L, 2L))) // addedBy -> rows
+    val parts = IcebergLite.metaTable(spark, dir, "partitions")
+      .collect().map(r =>
+        (r.getMap[String, String](0).get("lang").get, r.getLong(2))).toMap
+    assert(parts == Map("en" -> 3L, "de" -> 1L, "fr" -> 1L))
+    // delete files surface with their content kind
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 1L)
+    assert(IcebergLite.metaTable(spark, dir, "files")
+      .collect().map(_.getInt(0)).toSet == Set(0, 1))
+    val e = intercept[RuntimeException](
+      IcebergLite.metaTable(spark, dir, "nope"))
+    assert(e.getMessage.contains("unknown metadata table"))
+  }
+
+  // ---- incremental (snapshot-range) reads ---------------------------------
+
+  test("incremental read returns exactly the appended range with provenance") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark,
+      Seq((6L, "it", 60L)).toDF("id", "lang", "n"), dir)
+    val inc = IcebergLite.readIncremental(spark, dir, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(inc == Set((4L, 2L), (5L, 2L), (6L, 3L)))
+    // bounded upper end: (0, 1] is just the first batch
+    val first = IcebergLite.readIncremental(spark, dir, 0L, Some(1L))
+    assert(first.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // empty range → empty frame, declared schema + provenance column
+    val empty = IcebergLite.readIncremental(spark, dir, 3L)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("id", "lang", "n", "_added_snapshot_id"))
+  }
+
+  test("incremental read refuses non-append ranges and expired history") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.deleteWhere(spark, dir, col("id") === 1L)
+    val exOp = intercept[IllegalArgumentException](
+      IcebergLite.readIncremental(spark, dir, 1L))
+    assert(exOp.getMessage.contains("append-only"))
+    // a range ending before the rewrite is still fine
+    assert(IcebergLite.readIncremental(spark, dir, 1L, Some(2L))
+      .collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    // time-traveling to an expired upper end fails at snapshot lookup;
+    // a CURRENT-snapshot read over expired LOWER history hits the
+    // expired-range guard
+    val exExp = intercept[RuntimeException](
+      IcebergLite.readIncremental(spark, dir, 1L, Some(2L)))
+    assert(exExp.getMessage.contains("not found"))
+    val exGap = intercept[IllegalArgumentException](
+      IcebergLite.readIncremental(spark, dir, 0L))
+    assert(exGap.getMessage.contains("expired"))
+  }
+
+  test("incremental read projects through schema evolution") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.renameColumn(spark, dir, "n", "chars")
+    IcebergLite.addColumn(spark, dir,
+      "score", org.apache.spark.sql.types.LongType)
+    IcebergLite.appendSnapshot(spark,
+      Seq((7L, "pt", 70L, 1L)).toDF("id", "lang", "chars", "score"), dir)
+    // range spans files written under BOTH schemas: old files resolve
+    // by field id (renamed column, NULL for the added one)
+    val inc = IcebergLite.readIncremental(spark, dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        Option(r.get(3)), r.getLong(4))).toSet
+    assert(inc == Set((1L, 10L, None, 1L), (2L, 20L, None, 1L),
+      (3L, 30L, None, 1L), (7L, 70L, Some(1L), 2L)))
+  }
 }
