@@ -4908,6 +4908,38 @@ object QueryCatalog {
       FROM documents WHERE doc_id % 3 <> 0
       GROUP BY lang ORDER BY lang""")),
 
+    // Iceberg PARTITION TRANSFORMS / hidden partitioning (sources/
+    // IcebergTransforms + IcebergLite): the table is laid out by
+    // bucket[8](doc_id) — spec murmur3 over the 8-byte little-endian
+    // key, the cross-engine placement contract — but the QUERY only
+    // ever names doc_id: scan planning maps the equality predicate
+    // through the transform and must read ~1/8 of the files
+    // (files_skipped pins it), and the row that comes back must be the
+    // right one (a murmur3/layout disagreement between write and plan
+    // sides loses the row entirely). Oracle rebuilds the lookup
+    // relationally. Data-derived at any scale.
+    QueryDef("iceberg_transforms", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_tf_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs, dir,
+        partitionBy = Seq("bucket[8]:doc_id"))
+      val key = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (kept, total) = IcebergLite.scanFileCount(s, dir,
+        Seq(IcebergLite.EqTo("doc_id", key)))
+      IcebergLite.readTableWhere(s, dir, Seq(IcebergLite.EqTo("doc_id", key)))
+        .filter(col("doc_id") === key)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("files_skipped", lit(kept < total))
+    }, Some("""
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        TRUE AS files_skipped
+      FROM documents
+      WHERE doc_id = (SELECT max(doc_id) FROM documents)""")),
+
     // REAL PNG pixel decode end to end (multimodal/PngCodec — the
     // de-stubbed codec boundary): every doc gets a real zlib-
     // compressed, filter-framed PNG whose pixels follow a formula;

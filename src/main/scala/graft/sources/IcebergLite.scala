@@ -36,8 +36,11 @@ import org.apache.spark.sql.types._
   * compact applies both physically) carried on the v1-lite metadata
   * chain, persisted sort-order metadata (identity asc; appendSnapshot/
   * sink inherit the table's clustering when the caller names none),
-  * identity partition transforms on
-  * string/long columns, primitive column types (boolean/int/long/
+  * PARTITION TRANSFORMS incl. hidden partitioning — identity plus
+  * `bucket[N]` (spec murmur3), `truncate[W]`, `day`/`month`/`year`/
+  * `hour`, written as derived directory keys, pruned through
+  * source-column predicates ([[IcebergTransforms]]) —
+  * primitive column types (boolean/int/long/
   * float/double/string/binary/timestamp/date/decimal) plus nested
   * map/list/struct with spec-conformant unique field-id assignment —
   * everything the 8-table schemas (incl. their map<string,string>
@@ -146,22 +149,44 @@ object IcebergLite {
   private def q(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  private def renderSpec(pf: IcebergTransforms.PartField): String =
+    if (pf.transform == "identity") pf.sourceCol
+    else s"${pf.transform}:${pf.sourceCol}"
+
   // ---- avro manifest schemas (field-ids per the Iceberg v1 spec) ---------
 
-  private def partitionAvroFields(spec: Seq[(String, DataType)]): String =
-    spec.zipWithIndex.map { case ((name, dt), i) =>
+  /** One spec entry: the partition field + the VALUE type its transform
+    * produces over the current source type (what the avro partition
+    * record and the pruning comparisons use). */
+  private type TypedSpec = Seq[(IcebergTransforms.PartField, DataType)]
+
+  /** Resolve a spec's partition-value types against a schema — also the
+    * transform/source-type compatibility gate (loud error outside the
+    * supported subset, at write/commit time rather than mid-scan). */
+  private def typedSpec(spec: Seq[IcebergTransforms.PartField],
+                        schema: StructType): TypedSpec =
+    spec.map { pf =>
+      require(schema.fieldNames.contains(pf.sourceCol),
+        s"partition source column ${pf.sourceCol} not in schema")
+      pf -> IcebergTransforms.resultType(pf.transform,
+        schema(pf.sourceCol).dataType)
+    }
+
+  private def partitionAvroFields(spec: TypedSpec): String =
+    spec.zipWithIndex.map { case ((pf, dt), i) =>
       val avroT = dt match {
+        case IntegerType => "\"int\""
         case LongType => "\"long\""
         case StringType => "\"string\""
         case other => sys.error(
-          s"identity partition on ${other.simpleString} not supported " +
-            "(string/long only)")
+          s"partition value type ${other.simpleString} not supported " +
+            "(int/long/string only)")
       }
-      s"""{"name": ${q(name)}, "type": ["null", $avroT], "default": null,
+      s"""{"name": ${q(pf.name)}, "type": ["null", $avroT], "default": null,
           "field-id": ${1000 + i}}"""
     }.mkString(", ")
 
-  private def manifestEntrySchema(spec: Seq[(String, DataType)]): Schema =
+  private def manifestEntrySchema(spec: TypedSpec): Schema =
     new Schema.Parser().parse(s"""
       {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int", "field-id": 0},
@@ -356,8 +381,11 @@ object IcebergLite {
   // ---- write -------------------------------------------------------------
 
   /** Create the table with an initial snapshot (overwrites any existing
-    * table dir). `partitionBy` columns use identity transforms;
-    * `sortBy` range-clusters the batch (see [[appendSnapshot]]). */
+    * table dir). `partitionBy` items are plain column names (identity)
+    * or transform specs — `"bucket[16]:id"`, `"truncate[8]:name"`,
+    * `"day:ts"`, `"month:ts"`, `"year:ts"`, `"hour:ts"` (see
+    * [[IcebergTransforms]]); `sortBy` range-clusters the batch (see
+    * [[appendSnapshot]]). */
   def createTable(spark: SparkSession, df: DataFrame, tableDir: String,
                   partitionBy: Seq[String] = Nil,
                   sortBy: Seq[String] = Nil,
@@ -436,10 +464,12 @@ object IcebergLite {
         .mkString("struct<", ",", ">")
       case other => other.catalogString
     }
+    val reqSpec = partitionBy.map(IcebergTransforms.parse)
     val (schemaJs, lastColumnId) = prior match {
       case Some(m) =>
-        require(m.partitionCols == partitionBy,
-          s"table is partitioned by ${m.partitionCols}, got $partitionBy")
+        require(m.partitionSpec == reqSpec,
+          s"table is partitioned by ${m.partitionSpec.map(renderSpec)}, " +
+            s"got ${reqSpec.map(renderSpec)}")
         val declared = declaredSchema(m)
         val got = df.schema
         require(declared.fields.map(f2 => (f2.name, canon(f2.dataType)))
@@ -453,14 +483,14 @@ object IcebergLite {
     val snapshotId = prior.map(_.currentSnapshotId).getOrElse(0L) + 1
     val version = prior.map(_.version).getOrElse(0) + 1
 
-    val spec = partitionBy.map(c => c -> df.schema(c).dataType)
+    val spec = typedSpec(reqSpec, df.schema)
     val entrySchema = manifestEntrySchema(spec)
 
     // 1. data files + their manifest entries
     val fieldIds = topFields(new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(schemaJs)).map(f2 => f2._2 -> f2._1).toMap
-    val entries = writeDataFiles(spark, df, root, snapshotId, partitionBy,
-      spec, entrySchema, fieldIds)
+    val entries = writeDataFiles(spark, df, root, snapshotId,
+      spec, entrySchema, fieldIds, distribute = effectiveSort.isEmpty)
 
     // 2. manifest for this snapshot's files
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
@@ -540,15 +570,42 @@ object IcebergLite {
     * that was already computing record counts. `fieldIds` maps column
     * name → field id in the TABLE schema (evolution-stable). */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, root: Path,
-                             snapshotId: Long, partitionBy: Seq[String],
-                             spec: Seq[(String, DataType)],
+                             snapshotId: Long,
+                             spec: TypedSpec,
                              entrySchema: Schema,
-                             fieldIds: Map[String, Int]): Seq[GenericRecord] = {
+                             fieldIds: Map[String, Int],
+                             distribute: Boolean = false): Seq[GenericRecord] = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val f = fs(spark, root)
     val dataDir = new Path(root, s"data/s$snapshotId")
-    val writer = if (partitionBy.nonEmpty)
-      df.write.partitionBy(partitionBy: _*) else df.write
+    // HIDDEN partitioning: non-identity transforms derive their
+    // partition value as an extra column (computed inside the scan —
+    // bucket is a native codegen expression), which Spark's partitionBy
+    // then moves OUT of the files into the directory key; the source
+    // column stays in the files, the derived one never enters the
+    // table schema
+    val partNames = spec.map(_._1.name)
+    val withDerived = spec.foldLeft(df) { case (acc, (pf, _)) =>
+      if (pf.transform == "identity") acc
+      else {
+        require(!df.schema.fieldNames.contains(pf.name),
+          s"partition field ${pf.name} collides with a data column")
+        acc.withColumn(pf.name, IcebergTransforms.column(spark, pf.transform,
+          col(pf.sourceCol), df.schema(pf.sourceCol).dataType))
+      }
+    }
+    // HASH distribution mode (the Iceberg default for partitioned
+    // writes): cluster the batch by its partition key so each
+    // partition is written by ONE task — without it every task writes
+    // a file into every partition dir and a 1000-executor append
+    // explodes into files × executors small files. Range-clustered
+    // (sorted) appends skip it: they are already distributed.
+    val distributed =
+      if (distribute && partNames.nonEmpty)
+        withDerived.repartition(partNames.map(col): _*)
+      else withDerived
+    val writer = if (partNames.nonEmpty)
+      distributed.write.partitionBy(partNames: _*) else distributed.write
     writer.mode("overwrite").parquet(dataDir.toString)
 
     // boundable columns: primitive types with a total order the spec's
@@ -575,10 +632,10 @@ object IcebergLite {
     val aggs = count(lit(1)).as("__n") +:
       bounded.flatMap(fd => Seq(min(boundCol(fd)).as(s"__lo_${fd.name}"),
         max(boundCol(fd)).as(s"__hi_${fd.name}")))
-    val touched = (partitionBy ++ bounded.map(_.name)).distinct
+    val touched = (partNames ++ bounded.map(_.name)).distinct
     val perFile = back
       .select(input_file_name().as("f") +: touched.map(col): _*)
-      .groupBy("f", partitionBy: _*)
+      .groupBy("f", partNames: _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
 
@@ -597,12 +654,14 @@ object IcebergLite {
       d.put("file_path", filePath)
       d.put("file_format", "PARQUET")
       val part = new GenericData.Record(partSchema)
-      spec.zipWithIndex.foreach { case ((c, dt), i) =>
+      spec.zipWithIndex.foreach { case ((pf, dt), i) =>
         // partition-dir read-back re-infers types (1001 comes back as
         // Integer) — coerce to the DECLARED spec type for the avro union
         val raw = row.get(i + 1)
-        part.put(c, (dt, raw) match {
+        part.put(pf.name, (dt, raw) match {
           case (_, null) => null
+          case (IntegerType, n: java.lang.Number) =>
+            java.lang.Integer.valueOf(n.intValue())
           case (LongType, n: java.lang.Number) =>
             java.lang.Long.valueOf(n.longValue())
           case (StringType, v) => v.toString
@@ -610,7 +669,7 @@ object IcebergLite {
         })
       }
       d.put("partition", part)
-      val nIdx = 1 + partitionBy.size
+      val nIdx = 1 + partNames.size
       d.put("record_count", row.getLong(nIdx))
       d.put("file_size_in_bytes",
         f.getFileStatus(new Path(new java.net.URI(filePath))).getLen)
@@ -651,7 +710,7 @@ object IcebergLite {
                      snapshotId: Long, version: Int,
                      manifests: Seq[MRef],
                      schemaJs: String, lastColumnId: Int,
-                     spec: Seq[(String, DataType)],
+                     spec: TypedSpec,
                      operation: String,
                      commitKey: Option[String] = None,
                      sortCols: Seq[String] = Nil): Unit = {
@@ -685,14 +744,14 @@ object IcebergLite {
     * (summaries are passed through verbatim). */
   private def writeMetadata(spark: SparkSession, root: Path, version: Int,
                             schemaJs: String, lastColumnId: Int,
-                            spec: Seq[(String, DataType)],
+                            spec: TypedSpec,
                             currentSnapshotId: Long,
                             snapshots: Seq[(Long, String, String)],
                             sortCols: Seq[String] = Nil): Unit = {
     val metaDir = new Path(root, "metadata")
-    val specJsonV1 = spec.zipWithIndex.map { case ((c, _), i) =>
-      s"""{"name": ${q(c)}, "transform": "identity",
-          "source-id": ${sourceFieldId(schemaJs, c)},
+    val specJsonV1 = spec.zipWithIndex.map { case ((pf, _), i) =>
+      s"""{"name": ${q(pf.name)}, "transform": ${q(pf.transform)},
+          "source-id": ${sourceFieldId(schemaJs, pf.sourceCol)},
           "field-id": ${1000 + i}}"""
     }.mkString(", ")
     // persisted sort order: the table-level clustering CONTRACT — any
@@ -762,7 +821,7 @@ object IcebergLite {
   private case class TableMeta(
       version: Int,
       schemaNode: com.fasterxml.jackson.databind.JsonNode,
-      partitionCols: Seq[String],
+      partitionSpec: Seq[IcebergTransforms.PartField],
       currentSnapshotId: Long,
       /** (snapshot id, manifest-list path, summary json verbatim) */
       snapshots: Seq[(Long, String, String)],
@@ -790,11 +849,15 @@ object IcebergLite {
     require(node.get("format-version").asInt() == 1,
       "only Iceberg format v1 supported")
     val schemaNode = node.get("schema")
-    val partitionCols = node.get("partition-spec").elements().asScala
+    // source columns resolve by FIELD ID (evolution-stable); the
+    // partition field name is the directory key and stays verbatim
+    val idToName = schemaNode.get("fields").elements().asScala
+      .map(f2 => f2.get("id").asInt() -> f2.get("name").asText()).toMap
+    val partitionSpec = node.get("partition-spec").elements().asScala
       .map { fl =>
-        require(fl.get("transform").asText() == "identity",
-          s"unsupported partition transform ${fl.get("transform").asText()}")
-        fl.get("name").asText()
+        IcebergTransforms.PartField(fl.get("name").asText(),
+          fl.get("transform").asText(),
+          idToName(fl.get("source-id").asInt()))
       }.toSeq
     val snapshots = node.get("snapshots").elements().asScala
       .map(s2 => (s2.get("snapshot-id").asLong(),
@@ -825,8 +888,6 @@ object IcebergLite {
         .map(_.asInt()).getOrElse(0)
       if (orderId == 0) Nil
       else {
-        val idToName = schemaNode.get("fields").elements().asScala
-          .map(f2 => f2.get("id").asInt() -> f2.get("name").asText()).toMap
         Option(node.get("sort-orders")).toSeq
           .flatMap(_.elements().asScala)
           .filter(_.get("order-id").asInt() == orderId)
@@ -837,7 +898,7 @@ object IcebergLite {
           }).toSeq
       }
     }
-    TableMeta(version, schemaNode, partitionCols, wantId, snapshots,
+    TableMeta(version, schemaNode, partitionSpec, wantId, snapshots,
       manifests, lastColumnId, sortOrderCols)
   }
 
@@ -1001,7 +1062,7 @@ object IcebergLite {
       val byId = fileFields.map(f2 => f2._1 -> f2).toMap
       val paths = group.map(_._1)
       val raw =
-        if (meta.partitionCols.isEmpty) spark.read.parquet(paths: _*)
+        if (meta.partitionSpec.isEmpty) spark.read.parquet(paths: _*)
         else {
           val bySnapDir = paths.groupBy(fp =>
             fp.substring(0, fp.indexOf("/data/s") +
@@ -1070,7 +1131,7 @@ object IcebergLite {
     if (hits.isEmpty) return 0L
 
     val schema = declaredSchema(meta)
-    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val spec = typedSpec(meta.partitionSpec, schema)
     val entrySchema = manifestEntrySchema(spec)
     val snapshotId = meta.currentSnapshotId + 1
 
@@ -1084,7 +1145,7 @@ object IcebergLite {
     val newEntries =
       if (survivorCount == 0) Seq.empty[GenericRecord]
       else writeDataFiles(spark, survivors, root, snapshotId,
-        meta.partitionCols, spec, entrySchema,
+        spec, entrySchema,
         topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
 
     // untouched files carry over by reference as EXISTING entries,
@@ -1173,7 +1234,7 @@ object IcebergLite {
       meta.manifests :+ MRef(manifestPath.toString, manifestLen,
         entries.size, snapshotId, nDeleted, content = 1),
       meta.schemaJs, meta.lastColumnId,
-      meta.partitionCols.map(c => c -> declaredSchema(meta)(c).dataType),
+      typedSpec(meta.partitionSpec, declaredSchema(meta)),
       operation = "delete", sortCols = meta.sortOrderCols)
     nDeleted
   }
@@ -1250,7 +1311,7 @@ object IcebergLite {
       meta.manifests :+ MRef(manifestPath.toString, manifestLen,
         entries.size, snapshotId, nKeys, content = 2),
       meta.schemaJs, meta.lastColumnId,
-      meta.partitionCols.map(c => c -> declared(c).dataType),
+      typedSpec(meta.partitionSpec, declared),
       operation = "delete", commitKey = commitKey,
       sortCols = meta.sortOrderCols)
     nKeys
@@ -1265,7 +1326,7 @@ object IcebergLite {
     val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
     val schema = declaredSchema(meta)
-    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val spec = typedSpec(meta.partitionSpec, schema)
     val entrySchema = manifestEntrySchema(spec)
     val snapshotId = meta.currentSnapshotId + 1
     // merge-on-read deletes apply HERE — compaction is the pass that
@@ -1273,7 +1334,7 @@ object IcebergLite {
     val all = applyDeletes(spark, meta, readRaw(spark, meta, files))
       .drop("__file", "__pos")
     val entries = writeDataFiles(spark, all, root, snapshotId,
-      meta.partitionCols, spec, entrySchema,
+      spec, entrySchema,
       topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
     commitRewrite(spark, root, meta, snapshotId,
       Seq((meta.schemaJs, entries)), entrySchema, spec,
@@ -1295,7 +1356,7 @@ object IcebergLite {
     val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
     val schema = declaredSchema(meta)
-    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val spec = typedSpec(meta.partitionSpec, schema)
     val entrySchema = manifestEntrySchema(spec)
     val snapshotId = meta.currentSnapshotId + 1
 
@@ -1327,7 +1388,7 @@ object IcebergLite {
       if (packed.isEmpty) Seq.empty[GenericRecord]
       else writeDataFiles(spark, packed.coalesce(
           math.max(1, spark.sparkContext.defaultParallelism / 4)),
-        root, snapshotId, meta.partitionCols, spec, entrySchema,
+        root, snapshotId, spec, entrySchema,
         topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
 
     val carriedBySchema = mutable.LinkedHashMap
@@ -1395,7 +1456,7 @@ object IcebergLite {
                             snapshotId: Long,
                             groups: Seq[(String, Seq[GenericRecord])],
                             entrySchema: Schema,
-                            spec: Seq[(String, DataType)],
+                            spec: TypedSpec,
                             operation: String): Unit = {
     val metaDir = new Path(root, "metadata")
     val manifests = groups.zipWithIndex.map {
@@ -1457,7 +1518,7 @@ object IcebergLite {
     // next metadata version: survivors only, current pointer unchanged;
     // schema json + last-column-id verbatim (never renumber field ids)
     val schema = declaredSchema(meta)
-    val spec = meta.partitionCols.map(c => c -> schema(c).dataType)
+    val spec = typedSpec(meta.partitionSpec, schema)
     writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
       meta.lastColumnId, spec, meta.currentSnapshotId, kept,
       meta.sortOrderCols)
@@ -1489,8 +1550,18 @@ object IcebergLite {
       }.toMap
     }.getOrElse(Map.empty)
 
-  /** Live files surviving bounds pruning, paired with their manifest
-    * schema, plus the total live-file count (for skip accounting). */
+  /** Live files surviving pruning, paired with their manifest schema,
+    * plus the total live-file count (for skip accounting). Two pruning
+    * legs, both conservative (a file is excluded only when PROVEN
+    * row-free; anything missing always scans):
+    *   - column BOUNDS (spec fields 125/128) against the predicate,
+    *   - PARTITION values mapped through the spec's transforms: a
+    *     predicate on a SOURCE column prunes by the file's partition
+    *     value — equality through any transform, ranges through the
+    *     monotone ones (identity/truncate/day/month/year/hour; bucket
+    *     scrambles order, so it prunes equality only). This is the
+    *     HIDDEN-partitioning payoff: the query names `ts >= X` and the
+    *     `day(ts)`-keyed layout answers with ~1/N of the files. */
   private def pruneFiles(spark: SparkSession, meta: TableMeta,
                          preds: Seq[Pred])
       : (Seq[(String, String)], Int) = {
@@ -1499,6 +1570,16 @@ object IcebergLite {
       val (id, _, dt, _) = byName.getOrElse(p.col,
         sys.error(s"predicate column ${p.col} not in the table schema"))
       (p, id, dt)
+    }
+    // predicate → (partition field, result type, transformed value,
+    // monotone?) for every spec field derived from the predicate column
+    val partPreds = resolved.flatMap { case (p, _, dt) =>
+      meta.partitionSpec.filter(_.sourceCol == p.col).map { pf =>
+        val rt = IcebergTransforms.resultType(pf.transform, dt)
+        (p, pf.name, rt,
+          IcebergTransforms.applyValue(pf.transform, dt, predValue(p)),
+          IcebergTransforms.isMonotone(pf.transform))
+      }
     }
     var total = 0
     val kept = meta.manifests.filter(_.content == 0).flatMap { m =>
@@ -1521,11 +1602,35 @@ object IcebergLite {
             hi(id, dt).exists(u => cmpBound(dt, u, v) < 0) ||
               lo(id, dt).exists(l => cmpBound(dt, l, v) > 0)
         }
-        if (excluded) None
+        val part = d.get("partition").asInstanceOf[GenericRecord]
+        def pv(name: String): Option[Any] =
+          if (part.getSchema.getField(name) == null) None
+          else Option(part.get(name)).map {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case x => x
+          }
+        val excludedByPart = partPreds.exists {
+          case (pred, name, rt, tv, monotone) =>
+            pv(name).exists { pval =>
+              pred match {
+                case EqTo(_, _) => cmpBound(rt, pval, tv) != 0
+                case GtEq(_, _) if monotone => cmpBound(rt, pval, tv) < 0
+                case LtEq(_, _) if monotone => cmpBound(rt, pval, tv) > 0
+                case _ => false
+              }
+            }
+        }
+        if (excluded || excludedByPart) None
         else Some(d.get("file_path").toString -> schemaJs)
       }
     }
     (kept, total)
+  }
+
+  private def predValue(p: Pred): Any = p match {
+    case GtEq(_, v) => v
+    case LtEq(_, v) => v
+    case EqTo(_, v) => v
   }
 
   /** [[readTable]] with manifest-bounds FILE SKIPPING: only files whose
@@ -1593,9 +1698,9 @@ object IcebergLite {
   def renameColumn(spark: SparkSession, tableDir: String,
                    from: String, to: String): Unit = {
     val meta = readMeta(spark, tableDir)
-    require(!meta.partitionCols.contains(from),
-      s"renaming partition column $from is not supported " +
-        "(partition directory layout is keyed by name)")
+    require(!meta.partitionSpec.exists(_.sourceCol == from),
+      s"renaming partition source column $from is not supported " +
+        "(partition directory layout and spec are keyed by it)")
     require(!topFields(meta.schemaNode).exists(_._2 == to),
       s"column $to already exists")
     val schema = meta.schemaNode.deepCopy()
@@ -1614,8 +1719,8 @@ object IcebergLite {
   def widenColumn(spark: SparkSession, tableDir: String,
                   name: String, to: DataType): Unit = {
     val meta = readMeta(spark, tableDir)
-    require(!meta.partitionCols.contains(name),
-      s"widening partition column $name is not supported")
+    require(!meta.partitionSpec.exists(_.sourceCol == name),
+      s"widening partition source column $name is not supported")
     val schema = meta.schemaNode.deepCopy()
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val field = schema.withArray("fields").elements().asScala
@@ -1646,7 +1751,7 @@ object IcebergLite {
     val root = new Path(tableDir)
     val declared = StructType(topFields(schema).map { case (_, n, dt, req) =>
       StructField(n, dt, !req) })
-    val spec = meta.partitionCols.map(c => c -> declared(c).dataType)
+    val spec = typedSpec(meta.partitionSpec, declared)
     // sort order is held as NAMES; a rename changes the name, so route
     // old-name → field-id (old schema) → new-name (new schema)
     val oldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap

@@ -275,7 +275,7 @@ class IcebergLiteSpec extends SparkSuite {
       partitionBy = Seq("lang"))
     val ex = intercept[IllegalArgumentException](
       IcebergLite.renameColumn(spark, pdir, "lang", "language"))
-    assert(ex.getMessage.contains("partition column"))
+    assert(ex.getMessage.contains("partition source column"))
   }
 
   test("merge-on-read deletes: O(matches) write, anti-join read, compact applies") {
