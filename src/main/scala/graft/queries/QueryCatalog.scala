@@ -5069,6 +5069,83 @@ object QueryCatalog {
         CAST(max(abs(v)) AS BIGINT) AS peak
       FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL G.711 LOSSY audio decode end to end (multimodal/WavCodec
+    // .G711 — µ-law AND A-law, the telephony companding formats whose
+    // expansion is fully formula-defined, ITU-T G.711): every doc gets
+    // a real tag-7 (even doc_id, µ-law) or tag-6 (odd, A-law) WAV
+    // whose companded codes follow a formula; decodeAudio sniffs the
+    // RIFF, expands the codes through the segmented-companding chain
+    // to 16-bit linear, and derives the exact integer features. The
+    // oracle REPLAYS THE EXPANSION ITSELF in SQL (sign/segment/
+    // mantissa arithmetic from the code formula — it never sees a WAV
+    // byte), so any error in the compress→container→expand chain
+    // corrupts a sum. Data-derived at any scale.
+    QueryDef("g711_decode", (s, d) => {
+      import graft.multimodal.{Multimodal, WavCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val mu = id % 2 == 0
+          val samples = Array.tabulate(256) { tt =>
+            val c = ((id * 13 + tt.toLong * tt * 3) % 256).toInt
+            if (mu) WavCodec.G711.mulawDecode(c)
+            else WavCodec.G711.alawDecode(c)
+          }
+          (id, WavCodec.encodeG711(WavCodec.Pcm(1, 8000, 16, samples),
+            if (mu) "mu" else "a"))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeAudio(s, blobs, "doc_id", "content")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "mu").otherwise("a").as("law"),
+          col("channels"), col("sample_rate"), col("bits_per_sample"),
+          col("n_frames"), col("energy"), col("zero_crossings"),
+          col("peak"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sm AS (
+        SELECT d.doc_id, t.t,
+          (d.doc_id * 13 + t.t * t.t * 3) % 256 AS c
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 255)) AS t) t),
+      expanded AS (
+        SELECT doc_id, t,
+          CASE WHEN doc_id % 2 = 0 THEN
+            -- mu-law: u = ~c; midpoint expansion, sign bit negative
+            CASE WHEN (255 - c) >= 128 THEN
+              -((((255 - c) % 16) * 8 + 132)
+                * CAST(power(2, ((255 - c) // 16) % 8) AS BIGINT) - 132)
+            ELSE
+              ((((255 - c) % 16) * 8 + 132)
+                * CAST(power(2, ((255 - c) // 16) % 8) AS BIGINT) - 132)
+            END
+          ELSE
+            -- A-law: a = c XOR 0x55; sign bit POSITIVE
+            CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+            CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                 THEN (xor(c, 85) % 16) * 16 + 8
+                 WHEN (xor(c, 85) // 16) % 8 = 1
+                 THEN (xor(c, 85) % 16) * 16 + 264
+                 ELSE ((xor(c, 85) % 16) * 16 + 264)
+                   * CAST(power(2, (xor(c, 85) // 16) % 8 - 1) AS BIGINT)
+            END
+          END AS v
+        FROM sm),
+      lagged AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        FROM expanded)
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'mu' ELSE 'a' END AS law,
+        CAST(1 AS INTEGER) AS channels,
+        CAST(8000 AS INTEGER) AS sample_rate,
+        CAST(16 AS INTEGER) AS bits_per_sample,
+        CAST(256 AS BIGINT) AS n_frames,
+        CAST(sum(v * v) AS BIGINT) AS energy,
+        CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND (v < 0) <> (pv < 0)) AS BIGINT) AS zero_crossings,
+        CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
+
     // REAL animated-GIF pixel decode end to end (multimodal/GifCodec):
     // every doc gets a 3-frame GIF89a — formula palette (64 colors),
     // formula indices, frame 1 INTERLACED, frames offset on the

@@ -100,4 +100,65 @@ class MultimodalAudioSpec extends SparkSuite {
     assert(dups.length == 1 && dups.head.getLong(0) == 1L &&
       dups.head.getLong(1) == 2L && dups.head.getInt(2) == 0)
   }
+
+  // ---- G.711 µ-law / A-law -------------------------------------------------
+
+  test("G.711: encode is the exact inverse of decode on all 256 codes") {
+    for (c <- 0 until 256) {
+      // one inherent exception: µ-law has TWO zero codes (0x7f is
+      // "negative zero") — encode(0) returns the canonical 0xff
+      val expectMu = if (c == 0x7f) 0xff else c
+      assert(G711.mulawEncode(G711.mulawDecode(c)) == expectMu, s"mu code $c")
+      assert(G711.alawEncode(G711.alawDecode(c)) == c, s"a code $c")
+    }
+  }
+
+  test("G.711 anchors and shape (the ITU-T table corners)") {
+    assert(G711.mulawDecode(0x00) == -32124) // full negative scale
+    assert(G711.mulawDecode(0x80) == 32124) // full positive scale
+    assert(G711.mulawDecode(0xff) == 0) // µ-law has a true zero
+    assert(G711.alawDecode(0x55) == -8) // A-law has none: min magnitudes
+    assert(G711.alawDecode(0xd5) == 8)
+    assert(G711.alawDecode(0x2a) == -32256) // full scale
+    assert(G711.alawDecode(0xaa) == 32256)
+    // decode is strictly monotone over each law's magnitude ramp
+    val muPos = (0 until 128).map(c => G711.mulawDecode(0xff - c))
+    assert(muPos == muPos.sorted && muPos.distinct.size == 128)
+    val aPos = (0 until 128).map(c => G711.alawDecode((c | 0x80) ^ 0x55))
+    assert(aPos == aPos.sorted && aPos.distinct.size == 128)
+  }
+
+  test("G.711 quantization error is bounded across the 16-bit range") {
+    var s = -32124
+    while (s <= 32124) {
+      val mu = G711.mulawDecode(G711.mulawEncode(s))
+      assert(math.abs(mu - s) <= 512, s"mu err at $s: $mu")
+      val a = G711.alawDecode(G711.alawEncode(s))
+      assert(math.abs(a - s) <= 512, s"a err at $s: $a")
+      s += 7
+    }
+  }
+
+  test("G.711 WAV roundtrip: tags 7/6 decode to the expansion lattice") {
+    for (law <- Seq("mu", "a")) {
+      // lattice samples (decode outputs) survive the full WAV chain
+      // exactly — the property the SQL oracle rides
+      val codes = Array.tabulate(300)(i => (i * 7 + 3) % 256)
+      val lattice = codes.map(c =>
+        if (law == "mu") G711.mulawDecode(c) else G711.alawDecode(c))
+      val bytes = encodeG711(Pcm(1, 8000, 16, lattice), law)
+      assert(isWav(bytes))
+      val back = decode(bytes)
+      assert(back.bitsPerSample == 16 && back.sampleRate == 8000)
+      assert(back.samples.toSeq == lattice.toSeq, s"law $law")
+    }
+    // non-lattice input: decodes to the nearest lattice point, stereo
+    val p = Pcm(2, 16000, 16, Array.tabulate(64)(i => i * 997 - 31000))
+    val back = decode(encodeG711(p, "mu"))
+    assert(back.channels == 2)
+    assert(p.samples.zip(back.samples).forall {
+      case (x, y) => math.abs(x - y) <= 512
+    })
+    intercept[RuntimeException](encodeG711(p, "alaw"))
+  }
 }
