@@ -571,6 +571,39 @@ object BenchScale {
           .filter(col("doc_id").between(lo, hi)).count()
         kept * 1000000000L + sliceRows
       },
+      timed("iceberg_hidden_prune") {
+        // HIDDEN partitioning at corpus scale — the 100 TB keyed
+        // time-series layout: day(ts) × bucket[8](doc_id) dirs (the
+        // query never names either derived key), hash-distributed
+        // writes (one file per live partition), then a one-day +
+        // one-key query must plan through BOTH transforms to a handful
+        // of ~256 files. Value encodes kept * 1e9 + slice rows.
+        import graft.sources.IcebergLite
+        val dir = s"$work/iceberg_hidden_docs"
+        val daySecs = 86400L
+        val days = 32L
+        val epoch0 = 1704067200L // 2024-01-01T00:00:00Z
+        val laid = docs.select(col("doc_id"), col("text"))
+          .withColumn("ts", (lit(epoch0) +
+            pmod(col("doc_id"), lit(days * daySecs))).cast("timestamp"))
+        IcebergLite.createTable(spark, laid, dir,
+          partitionBy = Seq("day:ts", "bucket[8]:doc_id"))
+        val key = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val keyDay = (key % (days * daySecs)) / daySecs
+        val dayStart = new java.sql.Timestamp(
+          (epoch0 + keyDay * daySecs) * 1000L)
+        val dayEnd = new java.sql.Timestamp(
+          (epoch0 + (keyDay + 1) * daySecs - 1) * 1000L)
+        val preds = Seq(IcebergLite.EqTo("doc_id", key),
+          IcebergLite.GtEq("ts", dayStart), IcebergLite.LtEq("ts", dayEnd))
+        val (kept, total) = IcebergLite.scanFileCount(spark, dir, preds)
+        require(total > 64 && kept <= math.max(3, total / 64),
+          s"hidden-partition pruning regressed: kept $kept of $total")
+        val got = IcebergLite.readTableWhere(spark, dir, preds)
+          .filter(col("doc_id") === key).count()
+        require(got == 1L, s"keyed day slice lost the row: $got")
+        kept * 1000000000L + got
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor
