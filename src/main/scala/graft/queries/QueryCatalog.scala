@@ -5069,6 +5069,43 @@ object QueryCatalog {
         CAST(max(abs(v)) AS BIGINT) AS peak
       FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Iceberg WRITE-AUDIT-PUBLISH over branch refs (sources/IcebergLite
+    // .createBranch/appendSnapshot(toBranch)/fastForward): the staging
+    // workflow a production lakehouse ingest runs — land the new batch
+    // on an audit branch (main's readers see NOTHING), validate it,
+    // then publish by fast-forwarding main, atomically. The oracle
+    // pins both sides of the gate: n_before (main while staged) must
+    // be the pre-batch count, and the per-lang aggregate (after
+    // publish) must cover everything — wrong if branch commits leak
+    // into main early or the fast-forward loses staged snapshots.
+    // Rebuilt relationally by DuckDB. Data-derived at any scale.
+    QueryDef("iceberg_wap", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_wap_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir)
+      IcebergLite.createBranch(s, dir, "audit")
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 2 === 1),
+        dir, toBranch = "audit")
+      val before = IcebergLite.readTable(s, dir).count()
+      IcebergLite.fastForward(s, dir, "main", "audit")
+      IcebergLite.readTable(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_before", lit(before))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id % 2 = 0) AS n_before
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
     // REAL G.711 LOSSY audio decode end to end (multimodal/WavCodec
     // .G711 — µ-law AND A-law, the telephony companding formats whose
     // expansion is fully formula-defined, ITU-T G.711): every doc gets

@@ -410,15 +410,34 @@ object IcebergLite {
                      partitionBy: Seq[String] = Nil,
                      commitKey: Option[String] = None,
                      sortBy: Seq[String] = Nil,
-                     sortFiles: Int = 0): Unit = {
+                     sortFiles: Int = 0,
+                     toBranch: String = "main"): Unit = {
     import org.apache.spark.sql.functions.{col => c0}
     val root = new Path(tableDir)
     val metaDir = new Path(root, "metadata")
     val hintPath = new Path(metaDir, "version-hint.text")
     val f = fs(spark, root)
 
+    // a branch append stacks on the BRANCH HEAD's manifest list, not
+    // main's (the write-audit-publish staging shape); tags are
+    // immutable and refuse writes
     val prior: Option[TableMeta] =
-      if (f.exists(hintPath)) Some(readMeta(spark, tableDir)) else None
+      if (!f.exists(hintPath)) {
+        require(toBranch == "main",
+          s"cannot create a table on branch $toBranch")
+        None
+      } else {
+        val m = readMeta(spark, tableDir)
+        if (toBranch == "main") Some(m)
+        else {
+          val (head, typ) = m.refs.getOrElse(toBranch,
+            sys.error(s"unknown ref $toBranch " +
+              s"(have ${m.refs.keys.toSeq.sorted.mkString(", ")})"))
+          require(typ == "branch", s"cannot append to tag $toBranch")
+          Some(if (head == m.currentSnapshotId) m
+          else readMeta(spark, tableDir, Some(head)))
+        }
+      }
     // the table's persisted sort order is the default: a caller that
     // names no sortBy still clusters the way the table contract says
     // (a second writer inherits the discipline); an explicit sortBy
@@ -480,7 +499,7 @@ object IcebergLite {
       case None => schemaJson(df.schema)
     }
 
-    val snapshotId = prior.map(_.currentSnapshotId).getOrElse(0L) + 1
+    val snapshotId = prior.map(_.nextSnapshotId).getOrElse(1L)
     val version = prior.map(_.version).getOrElse(0) + 1
 
     val spec = typedSpec(reqSpec, df.schema)
@@ -507,7 +526,7 @@ object IcebergLite {
         MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
           newRows, content = 0),
       schemaJs, lastColumnId, spec, operation = "append",
-      commitKey = commitKey, sortCols = effectiveSort)
+      commitKey = commitKey, sortCols = effectiveSort, toBranch = toBranch)
   }
 
   private def hasCommitKey(m: TableMeta, key: String): Boolean = {
@@ -525,9 +544,10 @@ object IcebergLite {
     * `IncrementalIvfIndex` epoch discipline applied to the lakehouse
     * commit log. */
   def sink(tableDir: String, partitionBy: Seq[String] = Nil,
-           sortBy: Seq[String] = Nil): (DataFrame, Long) => Unit =
+           sortBy: Seq[String] = Nil,
+           toBranch: String = "main"): (DataFrame, Long) => Unit =
     (df, batchId) => appendSnapshot(df.sparkSession, df, tableDir,
-      partitionBy, Some(s"batch-$batchId"), sortBy)
+      partitionBy, Some(s"batch-$batchId"), sortBy, toBranch = toBranch)
 
   /** `writeStream.foreachBatch(IcebergLite.upsertSink(dir, Seq("id")))`:
     * the CDC/streaming-UPSERT sink. Each micro-batch equality-deletes
@@ -713,7 +733,8 @@ object IcebergLite {
                      spec: TypedSpec,
                      operation: String,
                      commitKey: Option[String] = None,
-                     sortCols: Seq[String] = Nil): Unit = {
+                     sortCols: Seq[String] = Nil,
+                     toBranch: String = "main"): Unit = {
     val metaDir = new Path(root, "metadata")
     val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
     val listRecords = manifests.map { m =>
@@ -730,13 +751,25 @@ object IcebergLite {
     writeAvro(spark, listPath, ManifestFileSchema, listRecords,
       Map("format-version" -> "1"))
 
+    // parent = the head this commit extends (ancestry for fastForward)
+    val parent = prior.map(_.currentSnapshotId).getOrElse(0L)
     val newSummary = "{\"operation\": " + q(operation) +
       commitKey.map(k => ", \"graft-commit-key\": " + q(k)).getOrElse("") +
+      s", \"graft-parent\": $parent" +
       "}"
+    // the written branch advances to the new snapshot; main's head is
+    // the current pointer (unchanged by a staging-branch commit)
+    val priorRefs = prior.map(_.refs).getOrElse(Map.empty)
+    val newRefs = priorRefs + (toBranch -> (snapshotId, "branch"))
+    val mainHead =
+      if (toBranch == "main") snapshotId
+      else priorRefs.get("main").map(_._1)
+        .getOrElse(sys.error("branch commit on a table with no main head"))
     writeMetadata(spark, root, version, schemaJs, lastColumnId, spec,
-      snapshotId,
+      mainHead,
       prior.toSeq.flatMap(_.snapshots) :+
-        ((snapshotId, listPath.toString, newSummary)), sortCols)
+        ((snapshotId, listPath.toString, newSummary)), sortCols,
+      newRefs)
   }
 
   /** Write vN.metadata.json + the version hint for the given snapshot
@@ -747,7 +780,8 @@ object IcebergLite {
                             spec: TypedSpec,
                             currentSnapshotId: Long,
                             snapshots: Seq[(Long, String, String)],
-                            sortCols: Seq[String] = Nil): Unit = {
+                            sortCols: Seq[String] = Nil,
+                            refs: Map[String, (Long, String)] = Map.empty): Unit = {
     val metaDir = new Path(root, "metadata")
     val specJsonV1 = spec.zipWithIndex.map { case ((pf, _), i) =>
       s"""{"name": ${q(pf.name)}, "transform": ${q(pf.transform)},
@@ -789,6 +823,11 @@ object IcebergLite {
       "default-spec-id": 0,
       "last-partition-id": ${999 + spec.size},
       $sortOrderJson
+      "refs": {${
+        (refs + ("main" -> (currentSnapshotId, "branch"))).toSeq.sortBy(_._1)
+          .map { case (n, (id, t)) =>
+            s"${q(n)}: {\"snapshot-id\": $id, \"type\": ${q(t)}}"
+          }.mkString(", ")}},
       "properties": {},
       "current-snapshot-id": $currentSnapshotId,
       "snapshots": [$snapshotsJson],
@@ -831,7 +870,13 @@ object IcebergLite {
       lastColumnId: Int,
       /** the persisted default sort order's identity columns (empty =
         * unsorted) — the clustering contract every writer inherits */
-      sortOrderCols: Seq[String]) {
+      sortOrderCols: Seq[String],
+      /** named refs: name → (snapshot id, "branch"|"tag"). `main` is
+        * always present and mirrors current-snapshot-id. */
+      refs: Map[String, (Long, String)]) {
+    /** Next snapshot id — GLOBAL across branches (ids stay unique and
+      * monotone even when branch heads run ahead of main). */
+    def nextSnapshotId: Long = snapshots.map(_._1).max + 1
     /** The table schema json verbatim — committed unchanged by appends
       * and rewrites so evolved field ids are never re-derived. */
     def schemaJs: String = schemaNode.toString
@@ -898,8 +943,16 @@ object IcebergLite {
           }).toSeq
       }
     }
+    val mainId = node.get("current-snapshot-id").asLong()
+    val refs: Map[String, (Long, String)] =
+      Option(node.get("refs")).map { r =>
+        r.fieldNames().asScala.map { n =>
+          n -> (r.get(n).get("snapshot-id").asLong(),
+            r.get(n).get("type").asText())
+        }.toMap
+      }.getOrElse(Map.empty) + ("main" -> (mainId, "branch"))
     TableMeta(version, schemaNode, partitionSpec, wantId, snapshots,
-      manifests, lastColumnId, sortOrderCols)
+      manifests, lastColumnId, sortOrderCols, refs)
   }
 
   /** Read the table at its current (or a given) snapshot. The data-file
@@ -1133,7 +1186,7 @@ object IcebergLite {
     val schema = declaredSchema(meta)
     val spec = typedSpec(meta.partitionSpec, schema)
     val entrySchema = manifestEntrySchema(spec)
-    val snapshotId = meta.currentSnapshotId + 1
+    val snapshotId = meta.nextSnapshotId
 
     // rewrite ONLY the hit files (projected to the current schema —
     // a rewrite is the one moment old-schema rows get rewritten new)
@@ -1190,7 +1243,7 @@ object IcebergLite {
     val meta = readMeta(spark, tableDir)
     val files = liveFileEntries(spark, meta)
     require(files.nonEmpty, "table has no data files")
-    val snapshotId = meta.currentSnapshotId + 1
+    val snapshotId = meta.nextSnapshotId
     val delDir = new Path(root, s"data/deletes-s$snapshotId")
 
     val matches = applyDeletes(spark, meta, readRaw(spark, meta, files))
@@ -1265,7 +1318,7 @@ object IcebergLite {
     require(keyCols.nonEmpty, "equality delete needs at least one key column")
     keyCols.foreach(c => require(declared.fieldNames.contains(c),
       s"equality column $c not in the table schema"))
-    val snapshotId = meta.currentSnapshotId + 1
+    val snapshotId = meta.nextSnapshotId
     val delDir = new Path(root, s"data/eqdel-s$snapshotId")
     // cast to the DECLARED types so the MOR join is type-exact even if
     // the caller hands narrower literals
@@ -1328,7 +1381,7 @@ object IcebergLite {
     val schema = declaredSchema(meta)
     val spec = typedSpec(meta.partitionSpec, schema)
     val entrySchema = manifestEntrySchema(spec)
-    val snapshotId = meta.currentSnapshotId + 1
+    val snapshotId = meta.nextSnapshotId
     // merge-on-read deletes apply HERE — compaction is the pass that
     // makes them physical (the new list carries no delete manifests)
     val all = applyDeletes(spark, meta, readRaw(spark, meta, files))
@@ -1358,7 +1411,7 @@ object IcebergLite {
     val schema = declaredSchema(meta)
     val spec = typedSpec(meta.partitionSpec, schema)
     val entrySchema = manifestEntrySchema(spec)
-    val snapshotId = meta.currentSnapshotId + 1
+    val snapshotId = meta.nextSnapshotId
 
     // small files from the MANIFEST metadata (no file-system stats) +
     // the position-delete-referenced ones
@@ -1488,9 +1541,12 @@ object IcebergLite {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
-    if (meta.snapshots.size <= keepLast) return
-    val (dropped, kept) = meta.snapshots
-      .splitAt(meta.snapshots.size - keepLast)
+    // every ref'd snapshot (branch heads, tags) survives regardless of
+    // age — expiring a named pointer's target would corrupt the ref
+    val keepIds = meta.snapshots.takeRight(keepLast).map(_._1).toSet ++
+      meta.refs.values.map(_._1)
+    val (kept, dropped) = meta.snapshots.partition(s2 => keepIds(s2._1))
+    if (dropped.isEmpty) return
 
     def refs(listPath: String): (Set[String], Set[String]) = {
       val manifests = readAvro(spark, new Path(listPath))
@@ -1521,7 +1577,7 @@ object IcebergLite {
     val spec = typedSpec(meta.partitionSpec, schema)
     writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
       meta.lastColumnId, spec, meta.currentSnapshotId, kept,
-      meta.sortOrderCols)
+      meta.sortOrderCols, meta.refs)
   }
 
   // ---- scan pruning via manifest column bounds ---------------------------
@@ -1759,12 +1815,105 @@ object IcebergLite {
     val sortCols = meta.sortOrderCols.map(c => newNames(oldIds(c)))
     writeMetadata(spark, root, meta.version + 1, schema.toString,
       lastColumnId, spec, meta.currentSnapshotId, meta.snapshots,
-      sortCols)
+      sortCols, meta.refs)
   }
 
   /** Snapshot ids, oldest first — the time-travel surface. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
     readMeta(spark, tableDir).snapshots.map(_._1)
+
+  // ---- refs: branches, tags, write-audit-publish ---------------------------
+
+  /** Named refs: name → (snapshot id, "branch"|"tag"). `main` is always
+    * present. */
+  def tableRefs(spark: SparkSession, tableDir: String): Map[String, (Long, String)] =
+    readMeta(spark, tableDir).refs
+
+  /** Read the table at a named ref (branch head or tag). */
+  def readTableRef(spark: SparkSession, tableDir: String,
+                   ref: String): DataFrame = {
+    val meta = readMeta(spark, tableDir)
+    val (id, _) = meta.refs.getOrElse(ref, sys.error(
+      s"unknown ref $ref (have ${meta.refs.keys.toSeq.sorted.mkString(", ")})"))
+    readTable(spark, tableDir, Some(id))
+  }
+
+  private def commitRefs(spark: SparkSession, tableDir: String,
+                         meta: TableMeta,
+                         refs: Map[String, (Long, String)],
+                         mainHead: Long): Unit = {
+    val declared = declaredSchema(meta)
+    writeMetadata(spark, new Path(tableDir), meta.version + 1,
+      meta.schemaJs, meta.lastColumnId,
+      typedSpec(meta.partitionSpec, declared), mainHead,
+      meta.snapshots, meta.sortOrderCols, refs)
+  }
+
+  private def makeRef(spark: SparkSession, tableDir: String, name: String,
+                      at: Option[Long], kind: String): Unit = {
+    require(name != "main", "main is the table itself")
+    val meta = readMeta(spark, tableDir)
+    require(!meta.refs.contains(name), s"ref $name already exists")
+    val id = at.getOrElse(meta.currentSnapshotId)
+    require(meta.snapshots.exists(_._1 == id),
+      s"snapshot $id not found (have ${meta.snapshots.map(_._1)})")
+    commitRefs(spark, tableDir, meta, meta.refs + (name -> (id, kind)),
+      meta.currentSnapshotId)
+  }
+
+  /** Create a BRANCH at a snapshot (default: current main head) — the
+    * staging leg of write-audit-publish: `appendSnapshot(toBranch =
+    * name)` / `sink(toBranch = name)` stack commits on it without
+    * touching what main's readers see, and [[fastForward]] publishes. */
+  def createBranch(spark: SparkSession, tableDir: String, name: String,
+                   at: Option[Long] = None): Unit =
+    makeRef(spark, tableDir, name, at, "branch")
+
+  /** Create an immutable TAG at a snapshot (default: current main
+    * head) — a named time-travel point ("training-run-17 read THIS")
+    * that [[expireSnapshots]] will never purge. */
+  def createTag(spark: SparkSession, tableDir: String, name: String,
+                at: Option[Long] = None): Unit =
+    makeRef(spark, tableDir, name, at, "tag")
+
+  /** Drop a ref (the pointer only — snapshots stay until expiry). */
+  def dropRef(spark: SparkSession, tableDir: String, name: String): Unit = {
+    require(name != "main", "cannot drop main")
+    val meta = readMeta(spark, tableDir)
+    require(meta.refs.contains(name), s"unknown ref $name")
+    commitRefs(spark, tableDir, meta, meta.refs - name,
+      meta.currentSnapshotId)
+  }
+
+  /** PUBLISH: fast-forward `toBranch` to `fromRef`'s head. Requires the
+    * target's head to be an ANCESTOR of the source head (walked through
+    * each snapshot's recorded parent) — a diverged target refuses, the
+    * git discipline. Fast-forwarding `main` is the write-audit-publish
+    * commit: main's readers see every staged snapshot atomically. */
+  def fastForward(spark: SparkSession, tableDir: String,
+                  toBranch: String, fromRef: String): Unit = {
+    val meta = readMeta(spark, tableDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (fromHead, _) = meta.refs.getOrElse(fromRef,
+      sys.error(s"unknown ref $fromRef"))
+    val (toHead, toType) = meta.refs.getOrElse(toBranch,
+      sys.error(s"unknown ref $toBranch"))
+    require(toType == "branch", s"cannot fast-forward tag $toBranch")
+    if (fromHead == toHead) return
+    val parentOf: Map[Long, Long] = meta.snapshots.map {
+      case (id, _, summary) =>
+        id -> Option(om.readTree(summary).get("graft-parent"))
+          .map(_.asLong()).getOrElse(id - 1)
+    }.toMap
+    var cur = fromHead
+    while (cur > toHead) cur = parentOf.getOrElse(cur, 0L)
+    require(cur == toHead,
+      s"$toBranch (head $toHead) is not an ancestor of $fromRef " +
+        s"(head $fromHead) — not a fast-forward")
+    commitRefs(spark, tableDir, meta,
+      meta.refs + (toBranch -> (fromHead, "branch")),
+      if (toBranch == "main") fromHead else meta.currentSnapshotId)
+  }
 
   /** The table's persisted default sort order (identity columns; empty
     * = unsorted) — the clustering contract [[appendSnapshot]]/[[sink]]
@@ -1864,9 +2013,17 @@ object IcebergLite {
                 Row(partMap, es.size.toLong, es.map(_._4).sum,
                   es.map(_._5).sum)
             })
+      case "refs" =>
+        frame(StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("type", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false))),
+          meta.refs.toSeq.sortBy(_._1).map { case (n, (id, t)) =>
+            Row(n, t, id)
+          })
       case other => sys.error(
         s"unknown metadata table '$other' " +
-          "(snapshots|manifests|files|partitions)")
+          "(snapshots|manifests|files|partitions|refs)")
     }
   }
 

@@ -761,6 +761,87 @@ class IcebergLiteSpec extends SparkSuite {
     assert(exGap.getMessage.contains("expired"))
   }
 
+  // ---- refs: branches, tags, write-audit-publish ---------------------------
+
+  test("write-audit-publish: stage on a branch, validate, fast-forward main") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.createBranch(spark, dir, "audit")
+    // staged commits stack on the branch; main's readers see nothing
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir,
+      toBranch = "audit")
+    IcebergLite.appendSnapshot(spark,
+      Seq((6L, "it", 60L)).toDF("id", "lang", "n"), dir, toBranch = "audit")
+    assert(IcebergLite.readTable(spark, dir).count() == 3L)
+    assert(IcebergLite.readTableRef(spark, dir, "audit").count() == 6L)
+    assert(IcebergLite.readTableRef(spark, dir, "main").count() == 3L)
+    // the audit passes → publish: main sees all staged rows atomically
+    IcebergLite.fastForward(spark, dir, "main", "audit")
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // and later main commits continue normally
+    IcebergLite.appendSnapshot(spark,
+      Seq((7L, "pt", 70L)).toDF("id", "lang", "n"), dir)
+    assert(IcebergLite.readTable(spark, dir).count() == 7L)
+  }
+
+  test("diverged branches refuse fast-forward; tags are immutable") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.createBranch(spark, dir, "stage")
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir,
+      toBranch = "stage")
+    // main moves independently → stage's head no longer descends from it
+    IcebergLite.appendSnapshot(spark,
+      Seq((9L, "it", 90L)).toDF("id", "lang", "n"), dir)
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.fastForward(spark, dir, "main", "stage"))
+    assert(ex.getMessage.contains("not a fast-forward"))
+    IcebergLite.createTag(spark, dir, "v1", at = Some(1L))
+    val exTag = intercept[RuntimeException](
+      IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir,
+        toBranch = "v1"))
+    assert(exTag.getMessage.contains("tag"))
+    val exFf = intercept[IllegalArgumentException](
+      IcebergLite.fastForward(spark, dir, "v1", "main"))
+    assert(exFf.getMessage.contains("tag"))
+    assert(IcebergLite.readTableRef(spark, dir, "v1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("expire keeps ref'd snapshots; refs survive maintenance + sink") {
+    val dir = tmp()
+    val sink = IcebergLite.sink(dir, toBranch = "main")
+    sink(batch1.toDF("id", "lang", "n"), 0L)
+    IcebergLite.createTag(spark, dir, "raw")
+    sink(batch2.toDF("id", "lang", "n"), 1L)
+    IcebergLite.compact(spark, dir)
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    // the tagged snapshot survived expiry; untagged history is gone
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L, 3L))
+    assert(IcebergLite.readTableRef(spark, dir, "raw").count() == 3L)
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    // refs metadata table shows the pointers
+    val refs = IcebergLite.metaTable(spark, dir, "refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(refs.toSet == Set(("main", "branch", 3L), ("raw", "tag", 1L)))
+    IcebergLite.dropRef(spark, dir, "raw")
+    assert(IcebergLite.tableRefs(spark, dir).keySet == Set("main"))
+  }
+
+  test("branch sink is exactly-once and publishes atomically") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.createBranch(spark, dir, "staging")
+    val sink = IcebergLite.sink(dir, toBranch = "staging")
+    sink(batch2.toDF("id", "lang", "n"), 7L)
+    sink(batch2.toDF("id", "lang", "n"), 7L) // checkpoint replay: no-op
+    assert(IcebergLite.readTableRef(spark, dir, "staging").count() == 5L)
+    assert(IcebergLite.readTable(spark, dir).count() == 3L)
+    IcebergLite.fastForward(spark, dir, "main", "staging")
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+  }
+
   test("incremental read projects through schema evolution") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
