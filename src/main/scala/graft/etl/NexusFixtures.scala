@@ -155,7 +155,21 @@ object NexusFixtures {
             W.scalarStr("name", "nwriter"),
             W.scalarStr("version", "1.2.3"))))),
         daslogs) ++ users ++ bankGroups,
-      attrs = Seq("NX_class" -> W.AttrStr("NXentry")),
+      // 10 attributes written DENSE (Attribute Info + fractal heap +
+      // type-8 name index — the libhdf5 layout beyond 8 attrs): the
+      // oracles read NX_class THROUGH the dense path, so a silent
+      // dense-attribute miss turns nx_class NULL and goes red
+      attrs = Seq("NX_class" -> W.AttrStr("NXentry"),
+        "facility" -> W.AttrStr("NXS"),
+        "proposal" -> W.AttrStr(s"IPTS-${2000 + r % 5}"),
+        "cycle" -> W.AttrLong(2024L),
+        "revision" -> W.AttrLong(r.toLong),
+        "operator_shift" -> W.AttrStr(s"shift${r % 3}"),
+        "calibration" -> W.AttrDouble(1.0 + r / 8.0),
+        "schema" -> W.AttrStr("NXsns"),
+        "station" -> W.AttrStr(s"ST${r % 2}"),
+        "archived" -> W.AttrLong(0L)),
+      denseAttrs = true,
       // the entry group's ~15+ links overflow one 256-byte heap block,
       // so the oracle corpus also exercises the root-INDIRECT fractal
       // heap generation (FHIB + multiple direct blocks)
@@ -186,7 +200,7 @@ object NexusFixtures {
   /** Shared 6-run corpus for the `nexus_h5_*` oracle queries. */
   def oracleCorpus(): String = {
     val dir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_nexus_oracle_r6")
+      System.getProperty("java.io.tmpdir"), "graft_nexus_oracle_r13b")
     writeRunDir(dir, 6).toString
   }
 }

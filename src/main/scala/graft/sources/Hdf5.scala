@@ -415,7 +415,23 @@ object Hdf5 {
 
     private def parseNode(name: String, headerAddr: Long): H5Node = {
       val msgs = parseMessages(headerAddr)
-      val attrs = msgs.filter(_.typ == 0x000C).map(parseAttribute).toMap
+      // DENSE attributes (libhdf5 beyond 8 attrs): bodies live as
+      // fractal-heap objects behind an Attribute Info message + type-8
+      // name-hash v2 b-tree — without this leg a modern file's attrs
+      // would read as silently MISSING (not even a refusal)
+      val denseAttrs: Map[String, H5Value] =
+        msgs.find(_.typ == 0x0015).map { ai =>
+          val d = ai.data
+          val flags = u8(d, 1)
+          var p = 2
+          if ((flags & 0x1) != 0) p += 2 // max creation index
+          val fheapAddr = readOffset(d, p)
+          if (fheapAddr == Undef) Map.empty[String, H5Value]
+          else readDenseAttrs(name, fheapAddr,
+            readOffset(d, p + sizeOfOffsets))
+        }.getOrElse(Map.empty)
+      val attrs = msgs.filter(_.typ == 0x000C).map(parseAttribute).toMap ++
+        denseAttrs
 
       val symtab = msgs.find(_.typ == 0x0011)
       val linkInfo = msgs.find(_.typ == 0x0002)
@@ -505,6 +521,22 @@ object Hdf5 {
         // type-5 record: name hash (4 bytes) + managed heap ID (7 bytes)
         parseLink(HeaderMessage(0x0006, heap.get(rec, 4)))
       }
+    }
+
+    /** Dense attribute storage (spec IV.A.2.f Attribute Info): the
+      * type-8 name-index records carry (heap ID(8), message flags,
+      * creation order, name hash); each heap object is an attribute
+      * message body. Shared dense attributes are out of subset. */
+    private def readDenseAttrs(name: String, fheapAddr: Long,
+                               btAddr: Long): Map[String, H5Value] = {
+      require(btAddr != Undef,
+        s"$name: dense attributes without a name-index b-tree")
+      val heap = new FractalHeap(name, fheapAddr)
+      readV2BtreeRecords(name, btAddr, expectType = 8).map { rec =>
+        require((rec(8) & 1) == 0,
+          s"$name: shared dense attribute is out of subset")
+        parseAttribute(HeaderMessage(0x000C, heap.get(rec, 0)))
+      }.toMap
     }
 
     /** Fractal heap (spec III.G): doubling-table managed blocks. The

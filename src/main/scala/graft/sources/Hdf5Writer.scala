@@ -62,7 +62,11 @@ object Hdf5Writer {
     * modern writer lays out any group beyond 8 links (banks, DASlogs). */
   final case class Group(name: String, children: Seq[Node],
                          attrs: Seq[(String, Attr)] = Nil,
-                         dense: Boolean = false) extends Node
+                         dense: Boolean = false,
+                         /** store attributes DENSE (libhdf5 beyond 8
+                           * attrs): bodies in a fractal heap behind an
+                           * Attribute Info message + type-8 name index */
+                         denseAttrs: Boolean = false) extends Node
   /** `scalar` emits a rank-0 dataspace (reference NeXus metadata fields
     * are scalars); `chunk` > 0 chunks the single dimension with optional
     * shuffle+deflate. */
@@ -927,13 +931,15 @@ object Hdf5Writer {
       * single direct block when the links fit, else one indirect block
       * of direct children (nested indirects exceed fixture scope and
       * refuse at write time). */
-    private def writeDenseGroup(g: Group): Long = {
-      val childAddrs = g.children.map(c => c.name -> writeNode(c))
-      val bodies = childAddrs.map { case (nm, addr) =>
-        val nb = nm.getBytes("UTF-8")
-        require(nb.length <= 255, s"link name too long: $nm")
-        nm -> (b1(1) ++ b1(0) ++ b1(nb.length) ++ nb ++ b8(addr))
-      }
+    /** Pack object bodies into a fractal heap (doubling table W=4,
+      * 256-byte starting blocks, 4096-byte max direct size; root is a
+      * single direct block when the bodies fit, else one indirect block
+      * of direct children — nested indirects exceed fixture scope and
+      * refuse at write time). `idLenBytes` picks the heap-ID length
+      * field width: links use 2 (7-byte IDs), attributes 3 (8-byte).
+      * Returns (FRHP address, managed heap ID per body, in order). */
+    private def writeFractalHeap(owner: String, bodies: Seq[Array[Byte]],
+                                 idLenBytes: Int): (Long, Seq[Array[Byte]]) = {
       val W = 4
       val S = 256L
       val maxDirect = 4096L
@@ -944,15 +950,17 @@ object Hdf5Writer {
         while (rowSize(r) < maxDirect) r += 1
         r + 1
       }
+      def bN(v: Long, n: Int): Array[Byte] =
+        Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
 
-      // pack link bodies into consecutive doubling-grid blocks
+      // pack bodies into consecutive doubling-grid blocks
       final case class Blk(heapOff: Long, size: Long,
                            objs: mutable.ArrayBuffer[(Long, Array[Byte])])
       val blocks = mutable.ArrayBuffer.empty[Blk]
       def newBlock(): Blk = {
         val idx = blocks.length
         require(idx / W < maxDirectRows,
-          s"dense group ${g.name}: links exceed the single-indirect bound")
+          s"fractal heap $owner: bodies exceed the single-indirect bound")
         val off = (0 until idx).map(i => rowSize(i / W)).sum
         val blk = Blk(off, rowSize(idx / W), mutable.ArrayBuffer.empty)
         blocks += blk
@@ -960,15 +968,15 @@ object Hdf5Writer {
       }
       var cur = newBlock()
       var used = hdrSize.toLong
-      val heapIds = bodies.map { case (nm, body) =>
+      val heapIds = bodies.map { body =>
         if (used + body.length > cur.size) { cur = newBlock(); used = hdrSize.toLong }
         require(used + body.length <= cur.size,
-          s"dense group ${g.name}: link body larger than a heap block")
+          s"fractal heap $owner: body larger than a heap block")
         val objOff = cur.heapOff + used
         cur.objs += ((objOff, body))
         used += body.length
-        nm -> (b1(0) ++ b4(objOff) ++ b2(body.length)) // managed heap ID
-      }.toMap
+        b1(0) ++ b4(objOff) ++ bN(body.length.toLong, idLenBytes)
+      }
       val singleDirect = blocks.length == 1
       val curRows = if (singleDirect) 0 else (blocks.length + W - 1) / W
 
@@ -1008,7 +1016,7 @@ object Hdf5Writer {
       val hd = mutable.ArrayBuffer.empty[Byte]
       hd ++= "FRHP".getBytes("US-ASCII")
       hd ++= b1(0)
-      hd ++= b2(7) // heap ID length: 1 flag + 4 offset + 2 length
+      hd ++= b2(1 + 4 + idLenBytes) // heap ID: 1 flag + 4 offset + length
       hd ++= b2(0) // no I/O filters
       hd ++= b1(0) // flags: direct blocks not checksummed
       hd ++= b4(maxDirect) // max size of managed objects
@@ -1031,6 +1039,49 @@ object Hdf5Writer {
       hd ++= b2(curRows) // 0 = root is a direct block
       hd ++= b4(0)
       require(put(hd.toArray) == frhpAddr, "fractal heap address plan drift (FRHP)")
+      (frhpAddr, heapIds)
+    }
+
+    /** DENSE attribute storage (libhdf5 beyond 8 attributes): attribute-
+      * message bodies land as managed fractal-heap objects (8-byte heap
+      * IDs) indexed by a type-8 name-hash v2 b-tree; returns the
+      * Attribute Info message naming both. Without this leg a modern
+      * file's attributes would read as silently MISSING, not as a
+      * refusal — the worst failure class. */
+    private def denseAttrMessage(owner: String,
+                                 attrs: Seq[(String, Attr)]): (Int, Array[Byte]) = {
+      val bodies = attrs.map { case (nm, a) => nm -> encodeAttr(nm, a)._2 }
+      val (frhpAddr, heapIds) =
+        writeFractalHeap(s"$owner (attrs)", bodies.map(_._2), idLenBytes = 3)
+      val records = bodies.zip(heapIds).map { case ((nm, _), id) =>
+        (lookup3(nm.getBytes("UTF-8")).toLong & 0xffffffffL, id)
+      }.sortBy(_._1).map { case (h, id) =>
+        id ++ b1(0) ++ b4(0) ++ b4(h) // heap ID, msg flags, corder, hash
+      }
+      val bthdAddr = writeV2BtreeRecords(records, btType = 8,
+        recSize = 8 + 1 + 4 + 4, nodeSize = 512)
+      (0x0015, b1(0) ++ b1(0) ++ b8(frhpAddr) ++ b8(bthdAddr))
+    }
+
+    private def attrMessages(owner: String, attrs: Seq[(String, Attr)],
+                             dense: Boolean): Seq[(Int, Array[Byte])] =
+      if (dense && attrs.nonEmpty) Seq(denseAttrMessage(owner, attrs))
+      else attrs.map { case (nm, a) => encodeAttr(nm, a) }
+
+    /** Dense-link group (libhdf5 1.8+ beyond 8 links): link-message
+      * bodies land as MANAGED objects in a fractal heap (7-byte heap
+      * IDs), indexed by a type-5 name-hash v2 b-tree; the object header
+      * carries a Link Info message naming both. */
+    private def writeDenseGroup(g: Group): Long = {
+      val childAddrs = g.children.map(c => c.name -> writeNode(c))
+      val bodies = childAddrs.map { case (nm, addr) =>
+        val nb = nm.getBytes("UTF-8")
+        require(nb.length <= 255, s"link name too long: $nm")
+        nm -> (b1(1) ++ b1(0) ++ b1(nb.length) ++ nb ++ b8(addr))
+      }
+      val (frhpAddr, heapIdSeq) =
+        writeFractalHeap(s"group ${g.name}", bodies.map(_._2), idLenBytes = 2)
+      val heapIds = bodies.map(_._1).zip(heapIdSeq).toMap
 
       // name-index v2 b-tree: type-5 records (hash, heap ID), unsigned
       // hash sort order
@@ -1042,7 +1093,7 @@ object Hdf5Writer {
 
       val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x0002, b1(0) ++ b1(0) ++ b8(frhpAddr) ++ b8(bthdAddr)))
-      g.attrs.foreach { case (nm, a) => msgs += encodeAttr(nm, a) }
+      msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs)
       writeHeader(msgs.toSeq)
     }
 
@@ -1101,7 +1152,7 @@ object Hdf5Writer {
 
       val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x0011, b8(btreeAddr) ++ b8(heapAddr)))
-      g.attrs.foreach { case (nm, a) => msgs += encodeAttr(nm, a) }
+      msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs)
       writeHeader(msgs.toSeq)
     }
   }

@@ -259,6 +259,43 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(inst.dataset("bank7").get.read()) == Seq(7L, 14L))
   }
 
+  test("dense ATTRIBUTE storage decodes (libhdf5 beyond 8 attrs)") {
+    // the silent-gap class: attrs behind an Attribute Info message +
+    // type-8 name index would read as MISSING without this leg. 30
+    // attrs of every value kind; enough bodies to exercise heap packing
+    // and the hash-sorted record walk; on a CLASSIC group
+    val attrs = (0 until 30).flatMap { i =>
+      Seq(f"as_$i%02d" -> (W.AttrStr(s"value $i"): W.Attr),
+        f"al_$i%02d" -> (W.AttrLong(i.toLong * 31 - 7): W.Attr),
+        f"ad_$i%02d" -> (W.AttrDouble(i * 2.5): W.Attr))
+    }
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true)))
+    val g = root.group("entry").get
+    assert(g.attributes.size == 90)
+    for (i <- 0 until 30) {
+      assert(S(g.attributes(f"as_$i%02d")).head == s"value $i")
+      assert(L(g.attributes(f"al_$i%02d")).head == i.toLong * 31 - 7)
+      assert(D(g.attributes(f"ad_$i%02d")).head == i * 2.5)
+    }
+  }
+
+  test("dense attributes compose with dense links (the full modern shape)") {
+    val children = (0 until 20).map(i =>
+      W.scalarLong(f"log_$i%02d", i.toLong * 3))
+    val attrs = (0 until 12).map(i =>
+      f"meta_$i%02d" -> (W.AttrStr(s"m$i"): W.Attr))
+    val root = roundtrip(Seq(
+      W.Group("DASlogs", children, attrs = attrs,
+        dense = true, denseAttrs = true)))
+    val g = root.group("DASlogs").get
+    assert(g.childrenInOrder.size == 20)
+    assert(g.attributes.size == 12)
+    assert(S(g.attributes("meta_05")).head == "m5")
+    assert(L(g.dataset("log_13").get.read()) == Seq(39L))
+  }
+
   test("dense-link refusals stay loud: missing name index") {
     // a Link Info message with a DEFINED fractal heap but an UNDEFINED
     // name-index b-tree cannot enumerate links — named refusal
