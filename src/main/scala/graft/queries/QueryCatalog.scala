@@ -5069,6 +5069,47 @@ object QueryCatalog {
         CAST(max(abs(v)) AS BIGINT) AS peak
       FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Iceberg INCREMENTAL table-to-table REPLICATION (sources/
+    // IcebergLite.replicateIncremental — the downstream-sync shape):
+    // mirror a 2-append source into a destination, one destination
+    // commit per source snapshot, the consumed watermark riding the
+    // destination's own commit-key log (no side state). n_copied pins
+    // cost ∝ the new data; n_second pins the exactly-once no-op on
+    // re-run; the aggregate is wrong if any snapshot is lost or
+    // double-applied. Rebuilt relationally by DuckDB. Data-derived at
+    // any scale.
+    QueryDef("iceberg_replicate", (s, d) => {
+      import graft.sources.IcebergLite
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_repl_oracle")
+      val src = base.resolve("src").toString
+      val dst = base.resolve("dst").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), src)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 2 === 1), src)
+      // a fresh destination every run (the oracle is deterministic)
+      val fsPath = new org.apache.hadoop.fs.Path(dst)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(fsPath, true)
+      val nCopied = IcebergLite.replicateIncremental(s, src, dst)
+      val nSecond = IcebergLite.replicateIncremental(s, src, dst)
+      IcebergLite.readTable(s, dst)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_copied", lit(nCopied))
+        .withColumn("n_second", lit(nSecond))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_copied,
+        CAST(0 AS BIGINT) AS n_second
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Iceberg WRITE-AUDIT-PUBLISH over branch refs (sources/IcebergLite
     // .createBranch/appendSnapshot(toBranch)/fastForward): the staging
     // workflow a production lakehouse ingest runs — land the new batch

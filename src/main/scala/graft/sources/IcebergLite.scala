@@ -2090,4 +2090,54 @@ object IcebergLite {
       .drop("__file", "__pos", "__fp")
       .withColumnRenamed("__fsnap", "_added_snapshot_id")
   }
+
+  /** Incremental TABLE-TO-TABLE replication — the downstream-sync shape
+    * ("mirror the curated table into the serving region, only what's
+    * new"): append every source snapshot newer than what the
+    * destination has consumed, one destination commit per source
+    * snapshot. The consumed watermark IS the destination's commit-key
+    * log (`sync-<source snapshot>`), so replication is exactly-once
+    * with NO side state: resumable after any crash, idempotent under
+    * re-runs, and cost ∝ the new data (the source file set is manifest
+    * arithmetic). Appends-only, per [[readIncremental]]'s contract — a
+    * source rewrite/delete requires a full resync, loudly. The first
+    * sync creates the destination (`partitionBy`/`sortBy` apply then;
+    * later syncs inherit the destination's own contracts). Returns rows
+    * copied. */
+  def replicateIncremental(spark: SparkSession, srcDir: String,
+                           dstDir: String,
+                           partitionBy: Seq[String] = Nil,
+                           sortBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    val dstRoot = new Path(dstDir)
+    val dstExists = fs(spark, dstRoot)
+      .exists(new Path(dstRoot, "metadata/version-hint.text"))
+    val consumed: Long =
+      if (!dstExists) 0L
+      else readMeta(spark, dstDir).snapshots.flatMap { case (_, _, summary) =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        Option(om.readTree(summary).get("graft-commit-key")).map(_.asText())
+          .filter(_.startsWith("sync-")).map(_.stripPrefix("sync-").toLong)
+      }.foldLeft(0L)(math.max)
+    val srcHead = readMeta(spark, srcDir).currentSnapshotId
+    if (srcHead <= consumed) return 0L
+    val inc = readIncremental(spark, srcDir, consumed).persist()
+    try {
+      var copied = 0L
+      // one destination commit per source snapshot: the replay unit is
+      // a snapshot, so a crash mid-sync resumes at the next one
+      ((consumed + 1) to srcHead).foreach { sid =>
+        val batch = inc.filter(col("_added_snapshot_id") === sid)
+          .drop("_added_snapshot_id")
+        copied += batch.count()
+        appendSnapshot(spark, batch, dstDir,
+          partitionBy = if (dstExists || sid > consumed + 1) {
+            val m = readMeta(spark, dstDir)
+            m.partitionSpec.map(renderSpec)
+          } else partitionBy,
+          commitKey = Some(s"sync-$sid"), sortBy = sortBy)
+      }
+      copied
+    } finally inc.unpersist()
+  }
 }

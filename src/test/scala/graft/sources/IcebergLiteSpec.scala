@@ -842,6 +842,35 @@ class IcebergLiteSpec extends SparkSuite {
     assert(IcebergLite.readTable(spark, dir).count() == 5L)
   }
 
+  test("incremental replication mirrors appends exactly-once, resumably") {
+    val src = tmp()
+    val dst = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), src)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), src)
+    assert(IcebergLite.replicateIncremental(spark, src, dst) == 5L)
+    assert(IcebergLite.readTable(spark, dst)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    // nothing new → no-op, no new destination snapshots
+    val snaps = IcebergLite.snapshotIds(spark, dst).size
+    assert(IcebergLite.replicateIncremental(spark, src, dst) == 0L)
+    assert(IcebergLite.snapshotIds(spark, dst).size == snaps)
+    // new source appends flow; already-consumed ones never re-copy
+    IcebergLite.appendSnapshot(spark,
+      Seq((6L, "it", 60L)).toDF("id", "lang", "n"), src)
+    assert(IcebergLite.replicateIncremental(spark, src, dst) == 1L)
+    assert(IcebergLite.readTable(spark, dst).count() == 6L)
+    // destination snapshot log IS the watermark: per-source-snapshot
+    // commit keys, in order
+    val keys = IcebergLite.metaTable(spark, dst, "snapshots")
+      .collect().map(r => Option(r.getString(2))).toSeq
+    assert(keys == Seq(Some("sync-1"), Some("sync-2"), Some("sync-3")))
+    // a source rewrite breaks the appends-only contract loudly
+    IcebergLite.deleteWhere(spark, src, col("id") === 1L)
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.replicateIncremental(spark, src, dst))
+    assert(ex.getMessage.contains("append-only"))
+  }
+
   test("incremental read projects through schema evolution") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
