@@ -319,6 +319,98 @@ object Multimodal {
         "energy", "zero_crossings", "peak", "afingerprint")
   }
 
+  // ---- REAL video path (MJPEG-in-AVI — frames ride JpegCodec) ------------
+
+  /** Decode a video binary column (MJPEG AVI via [[AviCodec]] — every
+    * `00dc` chunk is a complete JPEG, decoded through [[JpegCodec]]) to
+    * video-level facts: container dims, frame count, frame duration,
+    * per-channel byte sums over ALL frames, and a 64-bit TEMPORAL
+    * fingerprint (bit i = frame i's total channel mass > frame i+1's —
+    * the audio energy-delta discipline on the time axis: order-sensitive,
+    * so a frame-order bug breaks it while plain sums survive, and
+    * brightness-scale-invariant by construction). The fingerprint rides
+    * the same banded near-dup join as the image/audio hashes
+    * ([[imageNearDups]] is hash-generic). Undecodable payloads yield a
+    * NULL-featured row; decode is map-side in the batched
+    * `mapPartitions` shape — payloads never shuffle. */
+  def decodeVideos(spark: SparkSession, df: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        if (bytes != null && AviCodec.isAvi(bytes)) {
+          val avi = AviCodec.decode(bytes)
+          val sums = new Array[Long](3)
+          val frameMass = avi.frames.map { fj =>
+            val img = JpegCodec.decode(fj)
+            val ch = math.min(img.channels, 3)
+            var mass = 0L
+            val n = img.pixels.length / img.channels
+            var i = 0
+            while (i < n) {
+              var c = 0
+              while (c < ch) {
+                val v = img.pixels(i * img.channels + c) & 0xff
+                sums(c) += v; mass += v; c += 1
+              }
+              i += 1
+            }
+            mass
+          }
+          var fp = 0L
+          var i = 0
+          while (i < frameMass.length - 1 && i < 64) {
+            if (frameMass(i) > frameMass(i + 1)) fp |= (1L << i)
+            i += 1
+          }
+          (id, avi.width, avi.height, avi.frames.length, avi.usPerFrame,
+            Some(sums(0)), Some(sums(1)), Some(sums(2)), Some(fp))
+        } else
+          (id, 0, 0, 0, 0L, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long])
+      })
+      .toDF(idCol, "width", "height", "n_frames", "us_per_frame",
+        "sum_c0", "sum_c1", "sum_c2", "vfingerprint")
+  }
+
+  /** REAL frame sampling for MJPEG video: every `stride`-th frame
+    * decodes to one row with exact per-channel sums and the frame's
+    * perceptual hash — the [[sampleFrames]] plumbing with the codec
+    * boundary de-stubbed (the [[gifFrames]] twin for video). Map-side
+    * explode; only sampled frames pay JPEG decode. */
+  def videoFrames(spark: SparkSession, df: DataFrame, idCol: String,
+                  contentCol: String, stride: Int = 1): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null || !AviCodec.isAvi(bytes)) Iterator.empty
+        else {
+          val avi = AviCodec.decode(bytes)
+          (0 until avi.frames.length by stride).iterator.map { idx =>
+            val img = JpegCodec.decode(avi.frames(idx))
+            val ch = math.min(img.channels, 3)
+            val sums = new Array[Long](3)
+            val n = img.pixels.length / img.channels
+            var i = 0
+            while (i < n) {
+              var c = 0
+              while (c < ch) {
+                sums(c) += img.pixels(i * img.channels + c) & 0xff; c += 1
+              }
+              i += 1
+            }
+            (id, idx, img.width, img.height,
+              sums(0), sums(1), sums(2), PngCodec.pHash(img))
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "width", "height",
+        "sum_c0", "sum_c1", "sum_c2", "phash")
+  }
+
   /** Image NEAR-dup candidates at scale: the 64-bit perceptual hash
     * splits into four 16-bit bands — by pigeonhole, any pair within
     * Hamming distance 3 shares at least one exact band, so candidacy

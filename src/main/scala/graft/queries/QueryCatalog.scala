@@ -4827,6 +4827,53 @@ object QueryCatalog {
         (SELECT CAST(count(*) AS BIGINT) FROM upd) AS n_keys
       FROM final GROUP BY lang ORDER BY lang""")),
 
+    // Iceberg CHANGELOG scan (sources/IcebergLite.readChangelog — the
+    // CDC read surface): append evens, MOR position-delete the %10=2
+    // slice, equality-delete the %10∈{2,4} keys (the %10=2 rows are
+    // ALREADY deleted — the pre-image semantics must exclude them, so
+    // snapshot 3 emits only the %10=4 rows), then re-append updated
+    // versions. The per-snapshot (change_type, rows, Σchars) ledger is
+    // wrong if any leg over- or under-emits; DuckDB rebuilds it from
+    // documents arithmetic replaying the same upsert history.
+    // Data-derived at any scale.
+    QueryDef("iceberg_changelog", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_cdc_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      val touched = docs.filter(
+        col("doc_id") % 10 === 2 || col("doc_id") % 10 === 4)
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir)
+      IcebergLite.deleteWhereMOR(s, dir, col("doc_id") % 10 === 2)
+      IcebergLite.equalityDeleteMOR(s, dir, touched.select(col("doc_id")))
+      IcebergLite.appendSnapshot(s,
+        touched.withColumn("n_chars", col("n_chars") + 1000L), dir)
+      IcebergLite.readChangelog(s, dir, 0L)
+        .groupBy(col("_commit_snapshot_id").as("snapshot_id"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("snapshot_id", "change_type")
+    }, Some("""
+      WITH evens AS (
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 2 = 0),
+      legs AS (
+        SELECT 1 AS snapshot_id, 'insert' AS change_type,
+               count(*) AS n, sum(n_chars) AS sc FROM evens
+        UNION ALL
+        SELECT 2, 'delete', count(*), sum(n_chars)
+        FROM evens WHERE doc_id % 10 = 2
+        UNION ALL
+        SELECT 3, 'delete', count(*), sum(n_chars)
+        FROM evens WHERE doc_id % 10 = 4
+        UNION ALL
+        SELECT 4, 'insert', count(*), sum(n_chars + 1000)
+        FROM documents WHERE doc_id % 10 IN (2, 4))
+      SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, change_type,
+        CAST(n AS BIGINT) AS n_rows, CAST(sc AS BIGINT) AS sum_chars
+      FROM legs ORDER BY snapshot_id, change_type""")),
+
     // Iceberg METADATA TABLES (sources/IcebergLite.metaTable — the
     // table$snapshots/table$files operational surface): three
     // doc_id%3 appends then a MOR delete; the snapshots table must
@@ -5439,6 +5486,194 @@ object QueryCatalog {
         CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
         CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
       FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
+    // REAL MJPEG VIDEO decode end to end (multimodal/AviCodec +
+    // JpegCodec): every doc gets a real AVI of 2-4 MJPEG frames, each
+    // frame a quality-100 4:2:0 block-constant formula JPEG (the
+    // jpeg_decode exactness regime, extended with a frame axis), and
+    // decodeVideos walks the RIFF container, JPEG-decodes every frame,
+    // sums channels across frames and derives the 64-bit TEMPORAL
+    // fingerprint (bit i = frame i heavier than frame i+1). DuckDB
+    // rederives dims, frame count, channel sums AND the fingerprint
+    // from the block formulas alone — a frame-order or container-walk
+    // error breaks the fingerprint even where plain sums survive.
+    // Data-derived at any scale.
+    QueryDef("video_decode", (s, d) => {
+      import graft.multimodal.{AviCodec, JpegCodec, Multimodal}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 32; val h = 16
+          val frames = (0 until (2 + (id % 3)).toInt).map { f =>
+            val yP = Array.tabulate(w * h) { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              (((id * 13 + f * 37 + bx * 17 + by * 29) % 216) + 20).toInt
+            }
+            val cbP = Array.tabulate(w * h) { i =>
+              val mx = (i % w) / 16
+              (((id * 7 + f * 5 + mx * 31) % 200) + 28).toInt
+            }
+            val crP = Array.tabulate(w * h) { i =>
+              val mx = (i % w) / 16
+              (((id * 11 + f * 3 + mx * 23) % 200) + 30).toInt
+            }
+            JpegCodec.encodePlanes(Array(yP, cbP, crP), w, h,
+              quality = 100, subsample420 = true)
+          }
+          (id, AviCodec.encodeMjpeg(frames, w, h, usPerFrame = 40000L))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeVideos(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames").cast("long").as("n_frames"), col("us_per_frame"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"), col("vfingerprint"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH blk AS (
+        SELECT d.doc_id, f.f,
+          ((d.doc_id * 13 + f.f * 37 + bx.bx * 17 + yb.yb * 29) % 216) + 20 AS yv,
+          ((d.doc_id * 7 + f.f * 5 + (bx.bx // 2) * 31) % 200) + 28 AS cb,
+          ((d.doc_id * 11 + f.f * 3 + (bx.bx // 2) * 23) % 200) + 30 AS cr
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 3)) AS f) f,
+             (SELECT unnest(generate_series(0, 3)) AS bx) bx,
+             (SELECT unnest(generate_series(0, 1)) AS yb) yb
+        WHERE f.f <= 1 + d.doc_id % 3),
+      conv AS (
+        SELECT doc_id, f,
+          LEAST(255, GREATEST(0, yv + CAST(floor(
+            (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          LEAST(255, GREATEST(0, yv - CAST(floor(
+            (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0)
+            AS BIGINT))) AS g,
+          LEAST(255, GREATEST(0, yv + CAST(floor(
+            (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM blk),
+      per_frame AS (
+        SELECT doc_id, f, sum(r) * 64 AS sr, sum(g) * 64 AS sg,
+               sum(b) * 64 AS sb, sum(r + g + b) * 64 AS mass
+        FROM conv GROUP BY doc_id, f),
+      stepped AS (
+        SELECT doc_id, f, sr, sg, sb, mass,
+               lead(mass) OVER (PARTITION BY doc_id ORDER BY f) AS next_mass
+        FROM per_frame)
+      SELECT doc_id,
+        CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        CAST(count(*) AS BIGINT) AS n_frames,
+        CAST(40000 AS BIGINT) AS us_per_frame,
+        CAST(sum(sr) AS BIGINT) AS sum_c0,
+        CAST(sum(sg) AS BIGINT) AS sum_c1,
+        CAST(sum(sb) AS BIGINT) AS sum_c2,
+        CAST(COALESCE(sum(CASE WHEN next_mass IS NOT NULL AND mass > next_mass
+          THEN CAST(1 AS BIGINT) << f ELSE 0 END), 0) AS BIGINT)
+          AS vfingerprint
+      FROM stepped GROUP BY doc_id ORDER BY doc_id""")),
+
+    // REAL per-frame video sampling (Multimodal.videoFrames — the
+    // gifFrames twin for MJPEG): one row per decoded frame with exact
+    // channel sums; stride=2 exercises the sample-every-kth shape (only
+    // sampled frames pay JPEG decode). Same fixture formulas as
+    // video_decode; DuckDB enumerates the sampled frame indexes and
+    // rederives each frame's sums from the block formulas alone.
+    QueryDef("video_frames", (s, d) => {
+      import graft.multimodal.{AviCodec, JpegCodec, Multimodal}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 32; val h = 16
+          val frames = (0 until (2 + (id % 3)).toInt).map { f =>
+            val yP = Array.tabulate(w * h) { i =>
+              val bx = (i % w) / 8; val by = (i / w) / 8
+              (((id * 13 + f * 37 + bx * 17 + by * 29) % 216) + 20).toInt
+            }
+            val cbP = Array.tabulate(w * h) { i =>
+              val mx = (i % w) / 16
+              (((id * 7 + f * 5 + mx * 31) % 200) + 28).toInt
+            }
+            val crP = Array.tabulate(w * h) { i =>
+              val mx = (i % w) / 16
+              (((id * 11 + f * 3 + mx * 23) % 200) + 30).toInt
+            }
+            JpegCodec.encodePlanes(Array(yP, cbP, crP), w, h,
+              quality = 100, subsample420 = true)
+          }
+          (id, AviCodec.encodeMjpeg(frames, w, h, usPerFrame = 40000L))
+        }.toDF("doc_id", "content")
+      Multimodal.videoFrames(s, blobs, "doc_id", "content", stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width"), col("height"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"))
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""
+      WITH blk AS (
+        SELECT d.doc_id, f.f,
+          ((d.doc_id * 13 + f.f * 37 + bx.bx * 17 + yb.yb * 29) % 216) + 20 AS yv,
+          ((d.doc_id * 7 + f.f * 5 + (bx.bx // 2) * 31) % 200) + 28 AS cb,
+          ((d.doc_id * 11 + f.f * 3 + (bx.bx // 2) * 23) % 200) + 30 AS cr
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 3)) AS f) f,
+             (SELECT unnest(generate_series(0, 3)) AS bx) bx,
+             (SELECT unnest(generate_series(0, 1)) AS yb) yb
+        WHERE f.f <= 1 + d.doc_id % 3 AND f.f % 2 = 0),
+      conv AS (
+        SELECT doc_id, f,
+          LEAST(255, GREATEST(0, yv + CAST(floor(
+            (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+          LEAST(255, GREATEST(0, yv - CAST(floor(
+            (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0)
+            AS BIGINT))) AS g,
+          LEAST(255, GREATEST(0, yv + CAST(floor(
+            (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM blk)
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        CAST(sum(r) * 64 AS BIGINT) AS sum_c0,
+        CAST(sum(g) * 64 AS BIGINT) AS sum_c1,
+        CAST(sum(b) * 64 AS BIGINT) AS sum_c2
+      FROM conv GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
+
+    // WebDataset tar-shard ingest end to end (sources/TarIO — the
+    // multimodal training interchange format; Spark has no tar source,
+    // so the ustar container is implemented from the POSIX spec): every
+    // doc becomes a two-file sample ({id}.txt formula text + {id}.cls
+    // formula label), the corpus writes as xxhash64-deterministic tar
+    // shards, reads back one-task-per-shard with TASK-LOCAL sample
+    // grouping (no shuffle anywhere), and DuckDB rederives key, file
+    // count, text length and label from documents arithmetic — any
+    // header/checksum/padding/grouping error loses or corrupts a
+    // sample. Data-derived at any scale.
+    QueryDef("webdataset_ingest", (s, d) => {
+      import graft.sources.TarIO
+      import s.implicits._
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_wds_oracle")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val it = java.nio.file.Files.list(dir)
+        try it.forEach(p => java.nio.file.Files.delete(p))
+        finally it.close()
+      }
+      val samples = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id.toString, Map(
+            "txt" -> s"doc $id body ${(id * 7) % 97}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "cls" -> ((id * 13) % 10).toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }.toDF("key", "files")
+      TarIO.writeWebDatasetShards(samples, dir.toString, nShards = 8)
+      TarIO.readWebDataset(s, dir.toString)
+        .select(col("key").cast("long").as("doc_id"),
+          col("n_files").cast("long").as("n_files"),
+          length(element_at(col("files"), "txt").cast("string"))
+            .cast("long").as("txt_len"),
+          element_at(col("files"), "cls").cast("string")
+            .cast("long").as("cls"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(2 AS BIGINT) AS n_files,
+        CAST(length('doc ' || CAST(doc_id AS VARCHAR) || ' body '
+          || CAST((doc_id * 7) % 97 AS VARCHAR)) AS BIGINT) AS txt_len,
+        CAST((doc_id * 13) % 10 AS BIGINT) AS cls
+      FROM documents ORDER BY doc_id""")),
 
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check

@@ -2091,6 +2091,147 @@ object IcebergLite {
       .withColumnRenamed("__fsnap", "_added_snapshot_id")
   }
 
+  /** CHANGELOG scan (CDC read): the row-level changes committed by
+    * snapshots in `(fromSnapshotExclusive, toSnapshot]` as one frame
+    * with `_change_type` ('insert' | 'delete') and
+    * `_commit_snapshot_id` — the surface a downstream CDC consumer
+    * polls to mirror upserts ("replay every change since the snapshot
+    * I processed last"), generalizing [[readIncremental]] (appends
+    * only) to ranges that contain merge-on-read deletes:
+    *
+    *  - `append` snapshots emit their new rows as inserts (manifest
+    *    arithmetic names the files; cost ∝ the new data);
+    *  - POSITION deletes ([[deleteWhereMOR]]) emit exactly the rows
+    *    their delete files name — only the named data files are read
+    *    and inner-joined on (file, pos), so cost ∝ the matches;
+    *  - EQUALITY deletes ([[equalityDeleteMOR]]) emit the PRE-IMAGE
+    *    rows the keys hit: the table as of the preceding snapshot
+    *    (earlier deletes of both kinds already applied — a row deleted
+    *    twice never emits twice) inner-joined on the key columns. This
+    *    leg reads the pre-image's candidate files, the one changelog
+    *    cost that is not ∝ the change — exactly the cost a real engine
+    *    pays to resolve equality deletes to rows;
+    *  - copy-on-write rewrites (`deleteWhere`, `compact`,
+    *    `compactSmallFiles`) REFUSE BY NAME: after a rewrite the
+    *    manifest level has no row-identity answer (an upsert written
+    *    as delete+rewrite looks like a whole-file churn). CDC tables
+    *    should maintain with MOR deletes and compact between
+    *    changelog consumptions.
+    *
+    * An upsert batch (equality-delete + append at consecutive
+    * snapshots) therefore reads back as delete-rows-then-insert-rows —
+    * apply in `_commit_snapshot_id` order and the mirror converges.
+    * Expired history refuses (the per-snapshot manifest lists are
+    * gone). Empty ranges return an empty frame of the declared shape.
+    */
+  def readChangelog(spark: SparkSession, tableDir: String,
+                    fromSnapshotExclusive: Long,
+                    toSnapshot: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val metaTo = readMeta(spark, tableDir, toSnapshot)
+    val to = metaTo.currentSnapshotId
+    require(fromSnapshotExclusive >= 0 && fromSnapshotExclusive <= to,
+      s"invalid changelog range ($fromSnapshotExclusive, $to]")
+    val inRange = metaTo.snapshots
+      .filter { case (id, _, _) => id > fromSnapshotExclusive && id <= to }
+      .sortBy(_._1)
+    require(inRange.size == (to - fromSnapshotExclusive).toInt,
+      s"changelog range ($fromSnapshotExclusive, $to] spans expired " +
+        s"snapshots (retained: ${metaTo.snapshots.map(_._1).mkString(", ")})")
+
+    val declared = declaredSchema(metaTo)
+    val outSchema = StructType(declared.fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_snapshot_id", LongType, nullable = false)))
+    def empty(): DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    if (inRange.isEmpty) return empty()
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dataEntries = liveFileEntries(spark, metaTo)
+    val entrySnaps = dataFileSnapshots(spark, metaTo)
+
+    val legs = inRange.map { case (sid, _, summary) =>
+      val op = om.readTree(summary).get("operation").asText()
+      val posManifests = metaTo.manifests
+        .filter(m => m.content == 1 && m.addedBy == sid)
+      val eqManifests = metaTo.manifests
+        .filter(m => m.content == 2 && m.addedBy == sid)
+      op match {
+        case "append" =>
+          val files = dataEntries.filter { case (p, _) =>
+            entrySnaps.get(p).contains(sid)
+          }
+          if (files.isEmpty) empty()
+          else readRaw(spark, metaTo, files).drop("__file", "__pos")
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_snapshot_id", lit(sid))
+        case "delete" =>
+          require(posManifests.nonEmpty || eqManifests.nonEmpty,
+            s"changelog: snapshot $sid is a copy-on-write delete (no " +
+              "delete manifests) — no row-level change answer; maintain " +
+              "CDC tables with deleteWhereMOR/equalityDeleteMOR")
+          val posLeg: Option[DataFrame] = if (posManifests.isEmpty) None else {
+            val delPaths = posManifests.flatMap { m =>
+              readManifest(spark, new Path(m.path))._1
+                .filter(_.get("status").asInstanceOf[Int] != 2)
+                .map(_.get("data_file").asInstanceOf[GenericRecord]
+                  .get("file_path").toString)
+            }
+            val dels = spark.read.parquet(delPaths: _*)
+            val named = dels.select("file_path").distinct()
+              .collect().map(_.getString(0)).toSet
+            val files = dataEntries.filter(f => named.contains(f._1))
+            if (files.isEmpty) None
+            else Some(readRaw(spark, metaTo, files)
+              .join(dels, col("__file") === col("file_path") &&
+                col("__pos") === col("pos"))
+              .drop("__file", "__pos", "file_path", "pos"))
+          }
+          val eqLeg: Option[DataFrame] = if (eqManifests.isEmpty) None else {
+            // pre-image: the table as of the preceding snapshot, with
+            // every earlier delete already applied
+            val metaPrev = readMeta(spark, tableDir, Some(sid - 1))
+            val prevFiles = liveFileEntries(spark, metaPrev)
+            if (prevFiles.isEmpty) None
+            else {
+              val pre = applyDeletes(spark, metaPrev,
+                readRaw(spark, metaPrev, prevFiles)).drop("__file", "__pos")
+              val hit = eqManifests.foldLeft(Option.empty[DataFrame]) {
+                (acc, m) =>
+                  val p = new Path(m.path)
+                  val keyCols = manifestMetaString(spark, p, "equality-cols")
+                    .getOrElse(sys.error(s"equality manifest ${m.path} " +
+                      "has no equality-cols metadata")).split(",").toSeq
+                  val keys = readManifest(spark, p)._1
+                    .filter(_.get("status").asInstanceOf[Int] != 2)
+                    .map(_.get("data_file").asInstanceOf[GenericRecord]
+                      .get("file_path").toString)
+                  val matched = pre.join(
+                    spark.read.parquet(keys: _*).distinct(), keyCols)
+                  Some(acc.map(_.unionByName(matched)).getOrElse(matched))
+              }
+              hit
+            }
+          }
+          (posLeg.toSeq ++ eqLeg.toSeq) match {
+            case Nil => empty()
+            case dfs => dfs.reduce(_.unionByName(_))
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_snapshot_id", lit(sid))
+          }
+        case other =>
+          throw new IllegalArgumentException(
+            s"changelog supports append and merge-on-read delete " +
+              s"snapshots; snapshot $sid is '$other' (a copy-on-write " +
+              "rewrite has no row-level change answer — maintain CDC " +
+              "tables with MOR deletes and compact between consumptions)")
+      }
+    }
+    legs.map(_.select(outSchema.fieldNames.map(col).toSeq: _*))
+      .reduce(_.unionByName(_))
+  }
+
   /** Incremental TABLE-TO-TABLE replication — the downstream-sync shape
     * ("mirror the curated table into the serving region, only what's
     * new"): append every source snapshot newer than what the

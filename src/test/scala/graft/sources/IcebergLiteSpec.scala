@@ -842,6 +842,72 @@ class IcebergLiteSpec extends SparkSuite {
     assert(IcebergLite.readTable(spark, dir).count() == 5L)
   }
 
+  test("changelog: inserts + both MOR delete shapes, in commit order") {
+    val dir = tmp()
+    IcebergLite.createTable(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L),
+        (4L, "fr", 40L)).toDF("id", "lang", "n"), dir)      // snap 1
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 2L) // snap 2
+    // keys 2 and 3: 2 is ALREADY deleted — pre-image must exclude it
+    IcebergLite.equalityDeleteMOR(spark, dir,
+      Seq(2L, 3L).toDF("id"))                                // snap 3
+    IcebergLite.appendSnapshot(spark,
+      Seq((2L, "de", 21L), (3L, "en", 31L)).toDF("id", "lang", "n"),
+      dir)                                                   // snap 4
+    val log = IcebergLite.readChangelog(spark, dir, 0L)
+      .collect().map(r => (r.getLong(4), r.getString(3), r.getLong(0)))
+      .toSet
+    assert(log == Set(
+      (1L, "insert", 1L), (1L, "insert", 2L), (1L, "insert", 3L),
+      (1L, "insert", 4L),
+      (2L, "delete", 2L),
+      (3L, "delete", 3L), // NOT id 2: it was gone before the eq delete
+      (4L, "insert", 2L), (4L, "insert", 3L)))
+    // replaying the changelog converges on the table
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 10L), (4L, 40L), (2L, 21L), (3L, 31L)))
+    // bounded sub-range: just the delete snapshots
+    val mid = IcebergLite.readChangelog(spark, dir, 1L, Some(3L))
+      .collect().map(r => (r.getLong(4), r.getLong(0))).toSet
+    assert(mid == Set((2L, 2L), (3L, 3L)))
+    // empty range → declared shape
+    val empty = IcebergLite.readChangelog(spark, dir, 4L)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("id", "lang", "n", "_change_type", "_commit_snapshot_id"))
+  }
+
+  test("changelog refuses copy-on-write rewrites by name") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.deleteWhere(spark, dir, col("id") === 1L) // COW delete
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.readChangelog(spark, dir, 0L).collect()
+    }
+    assert(e.getMessage.contains("copy-on-write"))
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.compact(spark, dir)
+    val e2 = intercept[Exception] {
+      IcebergLite.readChangelog(spark, dir, 2L).collect()
+    }
+    assert(e2.getMessage.contains("changelog"))
+    // a clean sub-range after the rewrite still reads
+    val tail2 = IcebergLite.readChangelog(spark, dir, 2L, Some(3L))
+    assert(tail2.collect().map(_.getLong(0)).toSet == Set(4L, 5L))
+  }
+
+  test("changelog insert legs agree with readIncremental on append-only ranges") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    val viaLog = IcebergLite.readChangelog(spark, dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSet
+    val viaInc = IcebergLite.readIncremental(spark, dir, 0L)
+      .collect().map(r => (r.getLong(0), "insert", r.getLong(3))).toSet
+    assert(viaLog == viaInc)
+  }
+
   test("incremental replication mirrors appends exactly-once, resumably") {
     val src = tmp()
     val dst = tmp()
