@@ -547,6 +547,76 @@ object BenchScale {
           s"banding missed audio family pairs: $familyPairs of 40000")
         pairs.count() + energyWork % 1000
       },
+      timed("video_fp_dedup") {
+        // the VIDEO twin: 8k MJPEG AVIs (1.6k families of 5), each 65
+        // uniform-gray 16×16 grayscale JPEG frames whose brightness
+        // follows a per-family pseudorandom up/down pattern; family
+        // members shift ALL frames by a constant offset, so the
+        // 64-frame temporal fingerprint (63 meaningful bits — enough
+        // that the four 16-bit bands discriminate) is IDENTICAL within
+        // a family by gain-invariance and pseudorandom across families.
+        // ~520k frame encodes+decodes through the whole AVI+JPEG chain,
+        // then the same banded near-dup join; within-family pair count
+        // pinned complete: 10 per family → 16,000.
+        import graft.multimodal.{AviCodec, JpegCodec, Multimodal}
+        import spark.implicits._
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val blobs = spark.range(0L, 8000L).as[Long].map { id =>
+          val fam = id / 5
+          val off = (id % 5).toInt * 10
+          val frames = (0 until 65).map { f =>
+            val v = 40 + (math.floorMod(mix(fam * 131L + f), 150L)).toInt + off
+            JpegCodec.encodePlanes(Array(Array.fill(16 * 16)(v)), 16, 16,
+              quality = 100)
+          }
+          (id, AviCodec.encodeMjpeg(frames, 16, 16))
+        }.toDF("media_id", "content")
+        val decoded = Multimodal.decodeVideos(spark, blobs,
+          "media_id", "content").localCheckpoint()
+        val sumWork = decoded.agg(sum(col("sum_c0"))).head().getLong(0)
+        val pairs = Multimodal.imageNearDups(decoded, "media_id",
+          hashCol = "vfingerprint").localCheckpoint()
+        val familyPairs = pairs
+          .filter(expr("media_id_a div 5 = media_id_b div 5")).count()
+        require(familyPairs == 16000L,
+          s"banding missed video family pairs: $familyPairs of 16000")
+        pairs.count() + sumWork % 1000
+      },
+      timed("webdataset_rw") {
+        // WebDataset shard lifecycle at corpus scale: the full 500k-doc
+        // corpus lands as 64 deterministic tar shards (one shuffle on
+        // the xxhash64 shard key), then reads back one-task-per-shard
+        // with task-local sample grouping — the ingest path a
+        // multimodal training corpus takes. Sample count and total text
+        // octets pinned against the source frame.
+        import graft.sources.TarIO
+        val dir = s"$work/webdataset_shards"
+        val p = Paths.get(dir)
+        if (Files.isDirectory(p)) {
+          val it = Files.list(p)
+          try it.forEach(f => Files.delete(f)) finally it.close()
+        }
+        val samples = docs
+          .select(col("doc_id").cast("string").as("key"),
+            map(lit("txt"), col("text").cast("binary")).as("files"))
+        TarIO.writeWebDatasetShards(samples, dir, nShards = 64)
+        val back = TarIO.readWebDataset(spark, dir)
+          .select(col("key"),
+            length(element_at(col("files"), "txt")).cast("long").as("len"))
+          .agg(count(lit(1)).as("n"), sum(col("len")).as("octets"))
+          .head()
+        val wantOctets = docs
+          .select(sum(length(col("text").cast("binary")))).head().getLong(0)
+        require(back.getLong(0) == nDocs && back.getLong(1) == wantOctets,
+          s"webdataset roundtrip lost data: ${back.getLong(0)}/$nDocs " +
+            s"samples, ${back.getLong(1)}/$wantOctets octets")
+        back.getLong(0)
+      },
       timed("iceberg_prune_scan") {
         // the SORTED-TABLE + FILE-SKIPPING discipline at corpus scale:
         // land the 500k docs range-clustered on doc_id (32 disjoint-
