@@ -4874,6 +4874,62 @@ object QueryCatalog {
         CAST(n AS BIGINT) AS n_rows, CAST(sc AS BIGINT) AS sum_chars
       FROM legs ORDER BY snapshot_id, change_type""")),
 
+    // CDC TABLE MIRROR over the changelog (IcebergLite.syncViaChangelog
+    // — the consumer side): the same upsert history as
+    // iceberg_changelog syncs into a SECOND table keyed on doc_id —
+    // deletes replay as equality deletes on the mirror, inserts append,
+    // each leg exactly-once by commit key. The compare reads the
+    // MIRROR (not the source) through its own metadata chain, plus the
+    // pinned delete/insert row accounting; DuckDB rebuilds the final
+    // relational state and the ledger from documents arithmetic.
+    // Data-derived at any scale.
+    QueryDef("iceberg_cdc_mirror", (s, d) => {
+      import graft.sources.IcebergLite
+      val src = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_cdcsrc_oracle").toString
+      val dst = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_iceberg_cdcdst_oracle")
+      if (java.nio.file.Files.isDirectory(dst)) {
+        val it = java.nio.file.Files.walk(dst)
+        try it.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+        finally it.close()
+      }
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      val touched = docs.filter(
+        col("doc_id") % 10 === 2 || col("doc_id") % 10 === 4)
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), src)
+      IcebergLite.deleteWhereMOR(s, src, col("doc_id") % 10 === 2)
+      IcebergLite.equalityDeleteMOR(s, src, touched.select(col("doc_id")))
+      IcebergLite.appendSnapshot(s,
+        touched.withColumn("n_chars", col("n_chars") + 1000L), src)
+      val (nDel, nIns) = IcebergLite.syncViaChangelog(
+        s, src, dst.toString, keyCols = Seq("doc_id"))
+      IcebergLite.readTable(s, dst.toString)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_del", lit(nDel)).withColumn("n_ins", lit(nIns))
+        .orderBy("lang")
+    }, Some("""
+      WITH evens AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0),
+      touched AS (
+        SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+        WHERE doc_id % 10 IN (2, 4)),
+      final AS (
+        SELECT * FROM evens WHERE doc_id % 10 NOT IN (2, 4)
+        UNION ALL SELECT * FROM touched)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM evens
+          WHERE doc_id % 10 IN (2, 4)) AS n_del,
+        (SELECT CAST(count(*) AS BIGINT) FROM evens) +
+          (SELECT CAST(count(*) AS BIGINT) FROM touched) AS n_ins
+      FROM final GROUP BY lang ORDER BY lang""")),
+
     // Iceberg METADATA TABLES (sources/IcebergLite.metaTable — the
     // table$snapshots/table$files operational surface): three
     // doc_id%3 appends then a MOR delete; the snapshots table must

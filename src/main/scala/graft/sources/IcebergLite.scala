@@ -2245,6 +2245,81 @@ object IcebergLite {
     * sync creates the destination (`partitionBy`/`sortBy` apply then;
     * later syncs inherit the destination's own contracts). Returns rows
     * copied. */
+  /** CDC TABLE MIRROR via the changelog — the consumer side of
+    * [[readChangelog]] and the delete-capable twin of
+    * [[replicateIncremental]] (which refuses delete-bearing
+    * histories): apply every change the source committed since the
+    * last sync to the mirror, keyed on `keyCols`. Per source snapshot,
+    * IN COMMIT ORDER: the delete rows become ONE equality delete on
+    * the mirror's key columns, then the insert rows append — each leg
+    * exactly-once through its own commit key (`cdc-<sid>-del` /
+    * `cdc-<sid>-ins`), so a crash between the legs replays only the
+    * missing one and re-running is always safe. The consumed watermark
+    * is the mirror's own commit-key log (no side state); the first
+    * sync creates the mirror (its first insert leg carries
+    * `partitionBy`/`sortBy`). Source COW rewrites refuse through
+    * [[readChangelog]]'s contract — a rewritten source needs a full
+    * resync. Returns (rows deleted by key on the mirror, rows
+    * inserted). */
+  def syncViaChangelog(spark: SparkSession, srcDir: String, dstDir: String,
+                       keyCols: Seq[String],
+                       partitionBy: Seq[String] = Nil,
+                       sortBy: Seq[String] = Nil): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "syncViaChangelog needs key columns")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dstRoot = new Path(dstDir)
+    val dstExists0 = fs(spark, dstRoot)
+      .exists(new Path(dstRoot, "metadata/version-hint.text"))
+    val CdcKey = "cdc-(\\d+)-(del|ins)".r
+    val maxSeen: Long =
+      if (!dstExists0) 0L
+      else readMeta(spark, dstDir).snapshots.flatMap { case (_, _, summary) =>
+        Option(om.readTree(summary).get("graft-commit-key"))
+          .map(_.asText()).collect { case CdcKey(sid, _) => sid.toLong }
+      }.foldLeft(0L)(math.max)
+    val srcHead = readMeta(spark, srcDir).currentSnapshotId
+    // re-process maxSeen itself (a crash may have landed only one of
+    // its legs; committed legs no-op on their commit keys), then
+    // everything after it
+    val fromEx = math.max(0L, maxSeen - 1)
+    if (srcHead <= fromEx) return (0L, 0L)
+    val log = readChangelog(spark, srcDir, fromEx).persist()
+    try {
+      var dstExists = dstExists0
+      var nDel = 0L; var nIns = 0L
+      ((fromEx + 1) to srcHead).foreach { sid =>
+        val dels = log.filter(col("_commit_snapshot_id") === sid &&
+            col("_change_type") === "delete")
+          .select(keyCols.map(col): _*).distinct()
+        if (!dels.isEmpty) {
+          require(dstExists,
+            "changelog has deletes before the mirror's first insert")
+          nDel += equalityDeleteMOR(spark, dstDir, dels,
+            commitKey = Some(s"cdc-$sid-del"))
+        }
+        val ins = log.filter(col("_commit_snapshot_id") === sid &&
+            col("_change_type") === "insert")
+          .drop("_change_type", "_commit_snapshot_id")
+        if (!ins.isEmpty) {
+          val replayed = dstExists &&
+            hasCommitKey(readMeta(spark, dstDir), s"cdc-$sid-ins")
+          if (!replayed) {
+            appendSnapshot(spark, ins, dstDir,
+              partitionBy =
+                if (dstExists) readMeta(spark, dstDir).partitionSpec.map(renderSpec)
+                else partitionBy,
+              commitKey = Some(s"cdc-$sid-ins"),
+              sortBy = if (dstExists) Nil else sortBy)
+            nIns += ins.count()
+          }
+          dstExists = true
+        }
+      }
+      (nDel, nIns)
+    } finally log.unpersist()
+  }
+
   def replicateIncremental(spark: SparkSession, srcDir: String,
                            dstDir: String,
                            partitionBy: Seq[String] = Nil,

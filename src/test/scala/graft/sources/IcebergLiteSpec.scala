@@ -908,6 +908,56 @@ class IcebergLiteSpec extends SparkSuite {
     assert(viaLog == viaInc)
   }
 
+  test("syncViaChangelog mirrors an upsert history; resync is a no-op") {
+    val src = tmp(); val dst = tmp()
+    IcebergLite.createTable(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L),
+        (4L, "fr", 40L)).toDF("id", "lang", "n"), src)
+    IcebergLite.deleteWhereMOR(spark, src, col("id") === 2L)
+    IcebergLite.equalityDeleteMOR(spark, src, Seq(2L, 3L).toDF("id"))
+    IcebergLite.appendSnapshot(spark,
+      Seq((2L, "de", 21L), (3L, "en", 31L)).toDF("id", "lang", "n"), src)
+    val (nDel, nIns) = IcebergLite.syncViaChangelog(spark, src, dst,
+      keyCols = Seq("id"))
+    assert((nDel, nIns) == (2L, 6L)) // keys {2}, {3}; inserts 4 + 2
+    def state(dir: String) = IcebergLite.readTable(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(state(dst) == state(src))
+    assert(state(dst) == Set((1L, "en", 10L), (4L, "fr", 40L),
+      (2L, "de", 21L), (3L, "en", 31L)))
+    // nothing new → no-op, no new mirror snapshots
+    val before = IcebergLite.snapshotIds(spark, dst)
+    assert(IcebergLite.syncViaChangelog(spark, src, dst, Seq("id")) == (0L, 0L))
+    assert(IcebergLite.snapshotIds(spark, dst) == before)
+    // more source history → only the delta applies
+    IcebergLite.equalityDeleteMOR(spark, src, Seq(1L).toDF("id"))
+    IcebergLite.appendSnapshot(spark,
+      Seq((5L, "it", 50L)).toDF("id", "lang", "n"), src)
+    assert(IcebergLite.syncViaChangelog(spark, src, dst, Seq("id")) == (1L, 1L))
+    assert(state(dst) == state(src))
+  }
+
+  test("syncViaChangelog replays only the missing leg after a crash") {
+    val src = tmp(); val dst = tmp()
+    IcebergLite.createTable(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("id", "lang", "n"), src)
+    IcebergLite.equalityDeleteMOR(spark, src, Seq(1L).toDF("id"))
+    IcebergLite.appendSnapshot(spark,
+      Seq((1L, "en", 11L)).toDF("id", "lang", "n"), src)
+    // sync snapshot 1, then simulate a crash mid-snapshot-2: the del
+    // leg of snapshot 2 landed, the rest never ran
+    IcebergLite.appendSnapshot(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("id", "lang", "n"),
+      dst, commitKey = Some("cdc-1-ins"))
+    IcebergLite.equalityDeleteMOR(spark, dst, Seq(1L).toDF("id"),
+      commitKey = Some("cdc-2-del"))
+    val (nDel, nIns) = IcebergLite.syncViaChangelog(spark, src, dst, Seq("id"))
+    assert((nDel, nIns) == (0L, 1L)) // both committed legs no-op'd
+    assert(IcebergLite.readTable(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 11L), (2L, 20L)))
+  }
+
   test("incremental replication mirrors appends exactly-once, resumably") {
     val src = tmp()
     val dst = tmp()
