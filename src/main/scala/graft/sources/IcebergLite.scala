@@ -1915,6 +1915,40 @@ object IcebergLite {
       if (toBranch == "main") fromHead else meta.currentSnapshotId)
   }
 
+  /** ROLLBACK: move main's head (and the table's current snapshot)
+    * back to an ANCESTOR — the operational undo for a bad commit.
+    * Metadata-only (one version flip, the fastForward primitive run
+    * backwards): no data file moves, the rolled-back snapshots stay
+    * retained for time travel / forensics until [[expireSnapshots]],
+    * and the next append stacks on the restored head (its recorded
+    * parent is the rollback target, so ancestry walks stay sound —
+    * the abandoned commits become a dead branch nothing points at).
+    * Rolling back to a non-ancestor (a staging branch's head) refuses:
+    * that is [[fastForward]]'s job, not an undo. Incremental/changelog
+    * consumers never see rolled-back rows (the restored head's
+    * manifest list simply does not contain them). */
+  def rollbackTo(spark: SparkSession, tableDir: String,
+                 snapshotId: Long): Unit = {
+    val meta = readMeta(spark, tableDir)
+    require(meta.snapshots.exists(_._1 == snapshotId),
+      s"unknown snapshot $snapshotId " +
+        s"(retained: ${meta.snapshots.map(_._1).mkString(", ")})")
+    if (snapshotId == meta.currentSnapshotId) return
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parentOf: Map[Long, Long] = meta.snapshots.map {
+      case (id, _, summary) =>
+        id -> Option(om.readTree(summary).get("graft-parent"))
+          .map(_.asLong()).getOrElse(id - 1)
+    }.toMap
+    var cur = meta.currentSnapshotId
+    while (cur > snapshotId) cur = parentOf.getOrElse(cur, 0L)
+    require(cur == snapshotId,
+      s"snapshot $snapshotId is not an ancestor of main's head " +
+        s"${meta.currentSnapshotId} — cannot roll back to it")
+    commitRefs(spark, tableDir, meta,
+      meta.refs + ("main" -> (snapshotId, "branch")), snapshotId)
+  }
+
   /** The table's persisted default sort order (identity columns; empty
     * = unsorted) — the clustering contract [[appendSnapshot]]/[[sink]]
     * apply when the caller names no sortBy. */

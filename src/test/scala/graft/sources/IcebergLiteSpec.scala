@@ -908,6 +908,35 @@ class IcebergLiteSpec extends SparkSuite {
     assert(viaLog == viaInc)
   }
 
+  test("rollback restores an ancestor head; appends stack on it") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark,
+      Seq((9L, "xx", 90L)).toDF("id", "lang", "n"), dir) // the bad commit
+    IcebergLite.rollbackTo(spark, dir, 2L)
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    // abandoned snapshot still time-travels until expiry
+    assert(IcebergLite.readTable(spark, dir, Some(3L)).count() == 6L)
+    // the next append stacks on the restored head, skipping the orphan
+    IcebergLite.appendSnapshot(spark,
+      Seq((6L, "it", 60L)).toDF("id", "lang", "n"), dir)
+    assert(IcebergLite.readTable(spark, dir)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // changelog from the restored lineage never shows the orphan rows
+    val ids = IcebergLite.readChangelog(spark, dir, 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(4L, 5L, 6L))
+    // non-ancestor target refuses: a staged branch head is not an undo
+    IcebergLite.createBranch(spark, dir, "stage", at = Some(2L))
+    IcebergLite.appendSnapshot(spark,
+      Seq((7L, "pt", 70L)).toDF("id", "lang", "n"), dir, toBranch = "stage")
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.rollbackTo(spark, dir, 5L)
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+  }
+
   test("syncViaChangelog mirrors an upsert history; resync is a no-op") {
     val src = tmp(); val dst = tmp()
     IcebergLite.createTable(spark,
