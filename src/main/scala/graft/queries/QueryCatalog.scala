@@ -5731,6 +5731,54 @@ object QueryCatalog {
         CAST((doc_id * 13) % 10 AS BIGINT) AS cls
       FROM documents ORDER BY doc_id""")),
 
+    // ZIP archive ingest end to end (sources/ZipIO — the other dataset
+    // interchange container, implemented from the PKWARE APPNOTE; reads
+    // walk the END OF CENTRAL DIRECTORY, the archive's authoritative
+    // index): every doc contributes a highly-compressible .txt (the
+    // writer picks DEFLATE) and an incompressible md5-hex .bin (STORED),
+    // sharded deterministically and read back one task per archive with
+    // per-entry CRC verification. DuckDB rederives lengths AND payload
+    // md5s from doc_id arithmetic alone — a header, inflate, or CRC
+    // error corrupts a hash. Data-derived at any scale.
+    QueryDef("zip_ingest", (s, d) => {
+      import graft.sources.ZipIO
+      import s.implicits._
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_zip_oracle")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val it = java.nio.file.Files.list(dir)
+        try it.forEach(p => java.nio.file.Files.delete(p))
+        finally it.close()
+      }
+      val entries = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val txt = "word " * (50 + (id % 7)).toInt
+          val bin = java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          Iterator((s"$id.txt", txt.getBytes("UTF-8")),
+            (s"$id.bin", bin.getBytes("UTF-8")))
+        }.toDF("name", "content")
+      ZipIO.writeZipShards(entries, dir.toString, nShards = 8)
+      ZipIO.readZipEntries(s, dir.toString)
+        .withColumn("doc_id",
+          regexp_extract(col("name"), "(\\d+)\\.", 1).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_files"),
+          sum(when(col("name").endsWith(".txt"), length(col("content"))))
+            .cast("long").as("txt_len"),
+          max(when(col("name").endsWith(".txt"), md5(col("content"))))
+            .as("txt_md5"),
+          max(when(col("name").endsWith(".bin"), md5(col("content"))))
+            .as("bin_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(2 AS BIGINT) AS n_files,
+        CAST(5 * (50 + doc_id % 7) AS BIGINT) AS txt_len,
+        md5(repeat('word ', CAST(50 + doc_id % 7 AS INTEGER))) AS txt_md5,
+        md5(md5(CAST(doc_id AS VARCHAR))) AS bin_md5
+      FROM documents ORDER BY doc_id""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate
