@@ -150,6 +150,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_sig_agreement(a, b) expects 2 args")
       }))
+    // charset sniff + decode for raw web payload bytes (WHATWG-shaped:
+    // BOM, strict UTF-8 scan, windows-1252 fallback)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sniff_decode"),
+      new ExpressionInfo(
+        classOf[graft.functions.SniffDecode].getName, "graft_sniff_decode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(bin) => graft.functions.SniffDecode(bin)
+        case _ => throw new IllegalArgumentException(
+          "graft_sniff_decode(content) expects 1 arg")
+      }))
     // multimodal header decoders (pure-JVM container parsing; null on
     // unrecognized bytes) — SQL surface for the binary media columns
     ext.injectFunction((

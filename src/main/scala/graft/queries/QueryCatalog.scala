@@ -5779,6 +5779,58 @@ object QueryCatalog {
         md5(md5(CAST(doc_id AS VARCHAR))) AS bin_md5
       FROM documents ORDER BY doc_id""")),
 
+    // Charset sniff + decode over RAW payload bytes (functions/
+    // SniffDecode, SQL-registered graft_sniff_decode — the step before
+    // htmlStrip when the crawl hands you bytes: a wrong decode turns
+    // every é into Ã© and silently poisons dedup/langID downstream).
+    // Five planted byte classes by doc_id arithmetic — pure ASCII,
+    // real UTF-8 multibyte, a bare 0xE9 (windows-1252 fallback with the
+    // rejected-byte evidence counted), a UTF-8 BOM, and cp1252 smart
+    // quotes 0x93/0x94 — and DuckDB rederives charset, evidence counts
+    // and the md5 OF THE DECODED TEXT from the same arithmetic (the
+    // smart-quote class pins the JDK windows-1252 table against
+    // literal U+201C/U+201D). Data-derived at any scale.
+    QueryDef("charset_sniff", (s, d) => {
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes: Array[Byte] = (id % 5) match {
+            case 0 => s"plain doc $id".getBytes("UTF-8")
+            case 1 => s"café doc $id".getBytes("UTF-8")
+            case 2 => ("caf".getBytes("UTF-8") :+ 0xe9.toByte) ++
+              s" doc $id".getBytes("UTF-8")
+            case 3 => Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+              s"bom doc $id".getBytes("UTF-8")
+            case _ => (0x93.toByte +: s"doc $id".getBytes("UTF-8")) :+
+              0x94.toByte
+          }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+      blobs.select(col("doc_id"),
+          expr("graft_sniff_decode(content)").as("s"))
+        .select(col("doc_id"), col("s.charset").as("charset"),
+          col("s.n_bad").cast("long").as("n_bad"),
+          col("s.n_multibyte").cast("long").as("n_multibyte"),
+          md5(col("s.text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 5 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+          WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'utf-8-bom'
+          ELSE 'windows-1252' END AS charset,
+        CAST(CASE doc_id % 5 WHEN 2 THEN 1 WHEN 4 THEN 2 ELSE 0 END
+          AS BIGINT) AS n_bad,
+        CAST(CASE doc_id % 5 WHEN 1 THEN 1 ELSE 0 END AS BIGINT)
+          AS n_multibyte,
+        CASE doc_id % 5
+          WHEN 0 THEN md5('plain doc ' || CAST(doc_id AS VARCHAR))
+          WHEN 1 THEN md5('café doc ' || CAST(doc_id AS VARCHAR))
+          WHEN 2 THEN md5('café doc ' || CAST(doc_id AS VARCHAR))
+          WHEN 3 THEN md5('bom doc ' || CAST(doc_id AS VARCHAR))
+          ELSE md5('“doc ' || CAST(doc_id AS VARCHAR) || '”')
+        END AS text_md5
+      FROM documents ORDER BY doc_id""")),
+
     // The admission gate EXECUTED (Expectations.rowFlags/quarantine):
     // per-row violation labels in suite order over four check
     // mechanics at once — scan predicates (range, regex), a duplicate
