@@ -806,6 +806,17 @@ object BenchScale {
             model.merges, countOnly = true).as("n"))
           .agg(sum(col("n"))).head().getLong(0)
       },
+      timed("unigram_encode_count") {
+        // the unigram twin of bpe_encode_count: bounded seed-and-prune
+        // EM training on the 1% slice, then the native log-domain
+        // Viterbi countOnly encode over the full corpus — map-only
+        val model = graft.text.Unigram.train(
+          docs.filter(col("doc_id") % 100 === 0), "text",
+          vocabSize = 2000, maxWords = 20000, emIters = 2)
+        docs.select(graft.functions.UnigramEncode.col(col("text"),
+            model.pieces, model.maxPieceLen, countOnly = true).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      },
       timed("ann_bruteforce") {
         Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10).count()

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (Viterbi) encoding as a native codegen expression: space-
+  * run words, then per word the globally most probable segmentation
+  * under a LITERAL piece→log-prob table carried as a codegen reference
+  * object (the [[BpeEncode]] pattern). Viterbi runs in the LOG domain
+  * — sums, never products — so any word length encodes without
+  * underflow. Characters outside the vocabulary segment as single-char
+  * UNK pieces at a floor score (strictly below every real piece), so
+  * encoding is lossless on arbitrary input. Ties break
+  * deterministically: higher score, then FEWER pieces, then the longer
+  * trailing piece.
+  */
+case class UnigramEncode(child: Expression, pieces: Array[(String, Double)],
+                         maxPieceLen: Int, countOnly: Boolean)
+    extends UnaryExpression {
+
+  @transient private lazy val scores = UnigramEncode.scoreMap(pieces)
+  @transient private lazy val unk = UnigramEncode.unkScoreOf(pieces)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_unigram expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    if (countOnly) IntegerType else ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    if (countOnly) UnigramEncode.countTokens(t, scores, maxPieceLen, unk)
+    else UnigramEncode.computeTokens(t, scores, maxPieceLen, unk)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scores", scores, "java.util.HashMap")
+    if (countOnly)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.UnigramEncode.countTokens($c, $ref, $maxPieceLen, ${unk}D)")
+    else
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.UnigramEncode.computeTokens($c, $ref, $maxPieceLen, ${unk}D)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+    copy(child = newChild)
+}
+
+object UnigramEncode {
+
+  def scoreMap(pieces: Array[(String, Double)]): java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      m.put(pieces(i)._1, java.lang.Double.valueOf(pieces(i)._2))
+      i += 1
+    }
+    m
+  }
+
+  /** UNK floor: strictly below the worst real piece, so a real piece
+    * always beats an UNK fallback of the same span. */
+  def unkScoreOf(pieces: Array[(String, Double)]): Double =
+    if (pieces.isEmpty) -100.0
+    else pieces.iterator.map(_._2).min - 10.0
+
+  /** Viterbi segmentation of one word. Deterministic tie-breaks:
+    * score, then fewer pieces, then the longer trailing piece. */
+  def encodeWord(word: String,
+                 scores: java.util.HashMap[String, java.lang.Double],
+                 maxPieceLen: Int, unkScore: Double): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty[String]
+    val best = new Array[Double](n + 1)
+    val cnt = new Array[Int](n + 1)
+    val back = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var chosen = Double.NegativeInfinity
+      var chosenCnt = Int.MaxValue
+      var chosenBack = -1
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val s = scores.get(word.substring(i, j))
+        val pieceScore: Double =
+          if (s != null) s.doubleValue()
+          else if (j - i == 1) unkScore
+          else Double.NaN
+        if (!pieceScore.isNaN && back(i) != -2) {
+          val sc = best(i) + pieceScore
+          val c = cnt(i) + 1
+          // better score; or equal score with fewer pieces; or equal
+          // both with a longer trailing piece (smaller i)
+          val better = sc > chosen ||
+            (sc == chosen && (c < chosenCnt ||
+              (c == chosenCnt && i < chosenBack)))
+          if (chosenBack == -1 || better) {
+            chosen = sc; chosenCnt = c; chosenBack = i
+          }
+        }
+        i += 1
+      }
+      if (chosenBack == -1) { back(j) = -2 } // unreachable (cannot happen
+      else {                                  // with single-char UNKs)
+        best(j) = chosen; cnt(j) = chosenCnt; back(j) = chosenBack
+      }
+      j += 1
+    }
+    val out = new Array[String](cnt(n))
+    var pos = n
+    var k = cnt(n) - 1
+    while (pos > 0) {
+      val i = back(pos)
+      out(k) = word.substring(i, pos)
+      pos = i; k -= 1
+    }
+    out
+  }
+
+  def computeTokens(text: UTF8String,
+                    scores: java.util.HashMap[String, java.lang.Double],
+                    maxPieceLen: Int, unkScore: Double): GenericArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    eachWord(text) { w =>
+      val toks = encodeWord(w, scores, maxPieceLen, unkScore)
+      var i = 0
+      while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def countTokens(text: UTF8String,
+                  scores: java.util.HashMap[String, java.lang.Double],
+                  maxPieceLen: Int, unkScore: Double): Int = {
+    var n = 0
+    eachWord(text) { w => n += encodeWord(w, scores, maxPieceLen, unkScore).length }
+    n
+  }
+
+  private def eachWord(text: UTF8String)(f: String => Unit): Unit = {
+    val s = text.toString
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && s.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && s.charAt(i) != ' ') i += 1
+        f(s.substring(start, i))
+      }
+    }
+  }
+
+  def col(c: Column, pieces: Array[(String, Double)], maxPieceLen: Int,
+          countOnly: Boolean): Column =
+    GraftColumnShim.column(UnigramEncode(
+      GraftColumnShim.expression(c), pieces, maxPieceLen, countOnly))
+}

@@ -2612,6 +2612,58 @@ object QueryCatalog {
     // and the structural vocab bound distinct_tokens <= alphabet+merges.
     // The driver-trained merge loop itself is not SQL-expressible; its
     // greedy-merge exactness is BpeSpec's classic-fixture job.
+    // Unigram-LM tokenizer (text/Unigram — SentencePiece's other
+    // algorithm next to BPE: seed-and-PRUNE EM training, Viterbi
+    // most-probable segmentation): trained on the %10 slice, encoding
+    // ALL docs through the native log-domain Viterbi expression. The
+    // bpe_stats oracle discipline — DuckDB rederives doc and word
+    // counts, and the per-doc identities ride as in-Spark booleans:
+    // losslessness (every token stream reassembles to the de-spaced
+    // text, OOV chars included via the UNK floor), the word ≤ tokens ≤
+    // non-space-chars sandwich, and the vocab bound (distinct tokens ≤
+    // pieces + OOV alphabet). Data-derived at any scale; the EM/Viterbi
+    // algebra itself is UnigramSpec's fixture job.
+    QueryDef("unigram_stats", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.text.Unigram.train(
+        docs.filter(col("doc_id") % 10 === 0), "text",
+        vocabSize = 400, maxWords = 5000, emIters = 2)
+      val enc = graft.text.Unigram.encodeDocs(docs, "text", "doc_id", model)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("uni_tokens"), col("n_uni_tokens"),
+          size(TextAnalysis.spaceTokens(col("text"))).cast("long").as("n_words"),
+          length(regexp_replace(col("text"), " +", "")).cast("long")
+            .as("n_word_chars"),
+          (concat_ws("", col("uni_tokens")) ===
+            regexp_replace(col("text"), " +", "")).as("lossless"))
+        .localCheckpoint()
+      val distinctChars = docs.select(
+          explode(split(regexp_replace(col("text"), " +", ""), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .agg(countDistinct(col("ch"))).head().getLong(0)
+      enc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(when(col("lossless"), 1L).otherwise(0L)).as("n_lossless"),
+          sum(when(col("n_uni_tokens") < col("n_words") ||
+                   col("n_uni_tokens") > col("n_word_chars"), 1L)
+            .otherwise(0L)).as("n_bounds_viol"))
+        .crossJoin(enc.select(explode(col("uni_tokens")).as("tk"))
+          .agg(countDistinct(col("tk")).as("distinct_tokens")))
+        .select(col("n_docs"), col("total_words"), col("n_lossless"),
+          (col("n_bounds_viol") === 0L).as("tokens_within_bounds"),
+          (col("distinct_tokens") <=
+            lit(model.pieces.length.toLong) + lit(distinctChars))
+            .as("vocab_bounded"))
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+          AS BIGINT) AS total_words,
+        CAST(count(*) AS BIGINT) AS n_lossless,
+        TRUE AS tokens_within_bounds,
+        TRUE AS vocab_bounded
+      FROM documents""")),
+
     QueryDef("bpe_stats", (s, d) => {
       val docs = t(s, d, "documents")
       val model = graft.text.Bpe.train(
