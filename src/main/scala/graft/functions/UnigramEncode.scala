@@ -97,11 +97,11 @@ object UnigramEncode {
         if (!pieceScore.isNaN && back(i) != -2) {
           val sc = best(i) + pieceScore
           val c = cnt(i) + 1
-          // better score; or equal score with fewer pieces; or equal
-          // both with a longer trailing piece (smaller i)
+          // better score, or equal score with fewer pieces; on a full
+          // tie the FIRST candidate (smallest i = longest trailing
+          // piece) was kept, since i only ascends here
           val better = sc > chosen ||
-            (sc == chosen && (c < chosenCnt ||
-              (c == chosenCnt && i < chosenBack)))
+            (sc == chosen && c < chosenCnt)
           if (chosenBack == -1 || better) {
             chosen = sc; chosenCnt = c; chosenBack = i
           }

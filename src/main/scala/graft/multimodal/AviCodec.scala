@@ -184,8 +184,12 @@ object AviCodec {
       var p = from
       while (p + 8 <= to) {
         val id = fourCc(bytes, p)
-        val sz = le32(bytes, p + 4).toInt
-        require(p + 8 + sz <= to, s"avi: chunk '$id' overruns its list")
+        val szL = le32(bytes, p + 4)
+        // guard BEFORE toInt: a crafted 0xFFFFFFF8 size would go
+        // negative and stall or reverse the walk instead of refusing
+        require(szL <= (to - p - 8).toLong,
+          s"avi: chunk '$id' overruns its list")
+        val sz = szL.toInt
         id match {
           case "LIST" =>
             val typ = fourCc(bytes, p + 8)

@@ -51,6 +51,37 @@ object QueryCatalog {
   private def eventsUs(s: SparkSession, d: String): DataFrame =
     Tables.eventsUs(s, d)
 
+  /** The MJPEG/AVI oracle fixture shared by video_decode and
+    * video_frames: per doc an AVI of 2-4 quality-100 4:2:0 block-
+    * constant JPEG frames whose planes follow (id, frame) formulas the
+    * SQL oracles replay. One definition — the Scala side and both SQL
+    * strings must agree on these formulas. */
+  private def mjpegOracleBlobs(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.{AviCodec, JpegCodec}
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = 32; val h = 16
+        val frames = (0 until (2 + (id % 3)).toInt).map { f =>
+          val yP = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            (((id * 13 + f * 37 + bx * 17 + by * 29) % 216) + 20).toInt
+          }
+          val cbP = Array.tabulate(w * h) { i =>
+            val mx = (i % w) / 16
+            (((id * 7 + f * 5 + mx * 31) % 200) + 28).toInt
+          }
+          val crP = Array.tabulate(w * h) { i =>
+            val mx = (i % w) / 16
+            (((id * 11 + f * 3 + mx * 23) % 200) + 30).toInt
+          }
+          JpegCodec.encodePlanes(Array(yP, cbP, crP), w, h,
+            quality = 100, subsample420 = true)
+        }
+        (id, AviCodec.encodeMjpeg(frames, w, h, usPerFrame = 40000L))
+      }.toDF("doc_id", "content")
+  }
+
   // -------- DuckDB-oracle generators for the text/dedup family ----------
   // These mirror graft's Scala-side semantics in DuckDB's dialect so even
   // the LSH paths get EXACT oracles instead of rows-only checks:
@@ -5607,29 +5638,8 @@ object QueryCatalog {
     // error breaks the fingerprint even where plain sums survive.
     // Data-derived at any scale.
     QueryDef("video_decode", (s, d) => {
-      import graft.multimodal.{AviCodec, JpegCodec, Multimodal}
-      import s.implicits._
-      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = 32; val h = 16
-          val frames = (0 until (2 + (id % 3)).toInt).map { f =>
-            val yP = Array.tabulate(w * h) { i =>
-              val bx = (i % w) / 8; val by = (i / w) / 8
-              (((id * 13 + f * 37 + bx * 17 + by * 29) % 216) + 20).toInt
-            }
-            val cbP = Array.tabulate(w * h) { i =>
-              val mx = (i % w) / 16
-              (((id * 7 + f * 5 + mx * 31) % 200) + 28).toInt
-            }
-            val crP = Array.tabulate(w * h) { i =>
-              val mx = (i % w) / 16
-              (((id * 11 + f * 3 + mx * 23) % 200) + 30).toInt
-            }
-            JpegCodec.encodePlanes(Array(yP, cbP, crP), w, h,
-              quality = 100, subsample420 = true)
-          }
-          (id, AviCodec.encodeMjpeg(frames, w, h, usPerFrame = 40000L))
-        }.toDF("doc_id", "content")
+      import graft.multimodal.Multimodal
+      val blobs = mjpegOracleBlobs(s, d)
       Multimodal.decodeVideos(s, blobs, "doc_id", "content")
         .select(col("doc_id"), col("width"), col("height"),
           col("n_frames").cast("long").as("n_frames"), col("us_per_frame"),
@@ -5683,29 +5693,8 @@ object QueryCatalog {
     // video_decode; DuckDB enumerates the sampled frame indexes and
     // rederives each frame's sums from the block formulas alone.
     QueryDef("video_frames", (s, d) => {
-      import graft.multimodal.{AviCodec, JpegCodec, Multimodal}
-      import s.implicits._
-      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .map { id =>
-          val w = 32; val h = 16
-          val frames = (0 until (2 + (id % 3)).toInt).map { f =>
-            val yP = Array.tabulate(w * h) { i =>
-              val bx = (i % w) / 8; val by = (i / w) / 8
-              (((id * 13 + f * 37 + bx * 17 + by * 29) % 216) + 20).toInt
-            }
-            val cbP = Array.tabulate(w * h) { i =>
-              val mx = (i % w) / 16
-              (((id * 7 + f * 5 + mx * 31) % 200) + 28).toInt
-            }
-            val crP = Array.tabulate(w * h) { i =>
-              val mx = (i % w) / 16
-              (((id * 11 + f * 3 + mx * 23) % 200) + 30).toInt
-            }
-            JpegCodec.encodePlanes(Array(yP, cbP, crP), w, h,
-              quality = 100, subsample420 = true)
-          }
-          (id, AviCodec.encodeMjpeg(frames, w, h, usPerFrame = 40000L))
-        }.toDF("doc_id", "content")
+      import graft.multimodal.Multimodal
+      val blobs = mjpegOracleBlobs(s, d)
       Multimodal.videoFrames(s, blobs, "doc_id", "content", stride = 2)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("width"), col("height"),

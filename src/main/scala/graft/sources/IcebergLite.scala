@@ -1893,26 +1893,65 @@ object IcebergLite {
   def fastForward(spark: SparkSession, tableDir: String,
                   toBranch: String, fromRef: String): Unit = {
     val meta = readMeta(spark, tableDir)
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val (fromHead, _) = meta.refs.getOrElse(fromRef,
       sys.error(s"unknown ref $fromRef"))
     val (toHead, toType) = meta.refs.getOrElse(toBranch,
       sys.error(s"unknown ref $toBranch"))
     require(toType == "branch", s"cannot fast-forward tag $toBranch")
     if (fromHead == toHead) return
-    val parentOf: Map[Long, Long] = meta.snapshots.map {
-      case (id, _, summary) =>
-        id -> Option(om.readTree(summary).get("graft-parent"))
-          .map(_.asLong()).getOrElse(id - 1)
-    }.toMap
-    var cur = fromHead
-    while (cur > toHead) cur = parentOf.getOrElse(cur, 0L)
-    require(cur == toHead,
+    require(isAncestor(parentMap(meta), toHead, fromHead),
       s"$toBranch (head $toHead) is not an ancestor of $fromRef " +
         s"(head $fromHead) — not a fast-forward")
     commitRefs(spark, tableDir, meta,
       meta.refs + (toBranch -> (fromHead, "branch")),
       if (toBranch == "main") fromHead else meta.currentSnapshotId)
+  }
+
+  /** snapshot id → its recorded parent (graft-parent; id-1 for pre-
+    * ancestry metadata) — the primitive behind fastForward, rollback
+    * and the lineage-aware incremental/changelog scans. */
+  private def parentMap(meta: TableMeta): Map[Long, Long] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    meta.snapshots.map { case (id, _, summary) =>
+      id -> Option(om.readTree(summary).get("graft-parent"))
+        .map(_.asLong()).getOrElse(id - 1)
+    }.toMap
+  }
+
+  /** Walk `descendant`'s recorded parents down to `ancestor` (0 = the
+    * empty table). Ids are globally monotone, so the walk is bounded. */
+  private def isAncestor(parentOf: Map[Long, Long], ancestor: Long,
+                         descendant: Long): Boolean = {
+    var cur = descendant
+    while (cur > ancestor) cur = parentOf.getOrElse(cur, 0L)
+    cur == ancestor
+  }
+
+  /** The ids on the CURRENT lineage in `(fromExclusive, head]`, oldest
+    * first — a rollback or a staging branch leaves RETAINED snapshots
+    * that are NOT ancestors of the head, and no incremental consumer
+    * should ever see them. Refuses when `fromExclusive` itself is not
+    * on the lineage (nothing meaningful to resume from) or when the
+    * walk crosses an expired snapshot. */
+  private def lineageRange(meta: TableMeta, fromExclusive: Long)
+      : Seq[Long] = {
+    val parentOf = parentMap(meta)
+    val retained = meta.snapshots.map(_._1).toSet
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cur = meta.currentSnapshotId
+    while (cur > fromExclusive) {
+      require(retained.contains(cur),
+        s"range ($fromExclusive, ${meta.currentSnapshotId}] spans the " +
+          s"expired snapshot $cur (retained: " +
+          s"${meta.snapshots.map(_._1).mkString(", ")})")
+      ids += cur
+      cur = parentOf.getOrElse(cur, 0L)
+    }
+    require(cur == fromExclusive || fromExclusive == 0L,
+      s"snapshot $fromExclusive is not on the current lineage of head " +
+        s"${meta.currentSnapshotId} (a rollback moved past it) — " +
+        "resume from a lineage snapshot or resync from 0")
+    ids.reverse.toSeq
   }
 
   /** ROLLBACK: move main's head (and the table's current snapshot)
@@ -1934,15 +1973,7 @@ object IcebergLite {
       s"unknown snapshot $snapshotId " +
         s"(retained: ${meta.snapshots.map(_._1).mkString(", ")})")
     if (snapshotId == meta.currentSnapshotId) return
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val parentOf: Map[Long, Long] = meta.snapshots.map {
-      case (id, _, summary) =>
-        id -> Option(om.readTree(summary).get("graft-parent"))
-          .map(_.asLong()).getOrElse(id - 1)
-    }.toMap
-    var cur = meta.currentSnapshotId
-    while (cur > snapshotId) cur = parentOf.getOrElse(cur, 0L)
-    require(cur == snapshotId,
+    require(isAncestor(parentMap(meta), snapshotId, meta.currentSnapshotId),
       s"snapshot $snapshotId is not an ancestor of main's head " +
         s"${meta.currentSnapshotId} — cannot roll back to it")
     commitRefs(spark, tableDir, meta,
@@ -2086,12 +2117,12 @@ object IcebergLite {
     val to = meta.currentSnapshotId
     require(fromSnapshotExclusive >= 0 && fromSnapshotExclusive <= to,
       s"invalid incremental range ($fromSnapshotExclusive, $to]")
-    val inRange = meta.snapshots
-      .filter { case (id, _, _) => id > fromSnapshotExclusive && id <= to }
-    require(inRange.size == (to - fromSnapshotExclusive).toInt,
-      s"incremental range ($fromSnapshotExclusive, $to] spans expired " +
-        s"snapshots (retained: ${meta.snapshots.map(_._1).mkString(", ")})")
+    // only LINEAGE snapshots count: a rollback's abandoned commits (or
+    // a staging branch's) are retained in metadata but must neither
+    // contribute rows nor trip the append-only check
+    val lineage = lineageRange(meta, fromSnapshotExclusive).toSet
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val inRange = meta.snapshots.filter(s2 => lineage.contains(s2._1))
     inRange.foreach { case (id, _, summary) =>
       val op = om.readTree(summary).get("operation").asText()
       require(op == "append",
@@ -2109,7 +2140,7 @@ object IcebergLite {
       .flatMap { m =>
         val (recs, schemaJs) = readManifest(spark, new Path(m.path))
         recs.filter(e => e.get("status").asInstanceOf[Int] == 1 &&
-            e.get("snapshot_id").asInstanceOf[Long] > fromSnapshotExclusive)
+            lineage.contains(e.get("snapshot_id").asInstanceOf[Long]))
           .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
             .get("file_path").toString -> schemaJs,
             e.get("snapshot_id").asInstanceOf[Long]))
@@ -2166,12 +2197,14 @@ object IcebergLite {
     val to = metaTo.currentSnapshotId
     require(fromSnapshotExclusive >= 0 && fromSnapshotExclusive <= to,
       s"invalid changelog range ($fromSnapshotExclusive, $to]")
-    val inRange = metaTo.snapshots
-      .filter { case (id, _, _) => id > fromSnapshotExclusive && id <= to }
-      .sortBy(_._1)
-    require(inRange.size == (to - fromSnapshotExclusive).toInt,
-      s"changelog range ($fromSnapshotExclusive, $to] spans expired " +
-        s"snapshots (retained: ${metaTo.snapshots.map(_._1).mkString(", ")})")
+    // LINEAGE snapshots only (oldest first): a rollback's abandoned
+    // commits are retained for time travel but are not changes any
+    // consumer should replay — and their recorded parents, not numeric
+    // adjacency, define each delete's pre-image
+    val parentOf = parentMap(metaTo)
+    val lineage = lineageRange(metaTo, fromSnapshotExclusive)
+    val byId = metaTo.snapshots.map(s2 => s2._1 -> s2).toMap
+    val inRange = lineage.map(byId)
 
     val declared = declaredSchema(metaTo)
     val outSchema = StructType(declared.fields ++ Seq(
@@ -2223,12 +2256,19 @@ object IcebergLite {
               .drop("__file", "__pos", "file_path", "pos"))
           }
           val eqLeg: Option[DataFrame] = if (eqManifests.isEmpty) None else {
-            // pre-image: the table as of the preceding snapshot, with
-            // every earlier delete already applied
-            val metaPrev = readMeta(spark, tableDir, Some(sid - 1))
-            val prevFiles = liveFileEntries(spark, metaPrev)
+            // pre-image: the table as of this snapshot's RECORDED
+            // parent (not numeric adjacency — a rollback or staging
+            // branch can own the adjacent id), with every earlier
+            // delete already applied
+            val parentId = parentOf.getOrElse(sid, 0L)
+            val metaPrevOpt =
+              if (parentId == 0L) None
+              else Some(readMeta(spark, tableDir, Some(parentId)))
+            val prevFiles = metaPrevOpt
+              .map(liveFileEntries(spark, _)).getOrElse(Nil)
             if (prevFiles.isEmpty) None
             else {
+              val metaPrev = metaPrevOpt.get
               val pre = applyDeletes(spark, metaPrev,
                 readRaw(spark, metaPrev, prevFiles)).drop("__file", "__pos")
               val hit = eqManifests.foldLeft(Option.empty[DataFrame]) {
@@ -2312,17 +2352,24 @@ object IcebergLite {
         Option(om.readTree(summary).get("graft-commit-key"))
           .map(_.asText()).collect { case CdcKey(sid, _) => sid.toLong }
       }.foldLeft(0L)(math.max)
-    val srcHead = readMeta(spark, srcDir).currentSnapshotId
+    val srcMeta = readMeta(spark, srcDir)
+    val srcHead = srcMeta.currentSnapshotId
     // re-process maxSeen itself (a crash may have landed only one of
     // its legs; committed legs no-op on their commit keys), then
-    // everything after it
-    val fromEx = math.max(0L, maxSeen - 1)
+    // everything after it — the resume point is maxSeen's RECORDED
+    // parent on the source lineage (numeric adjacency can name a
+    // rolled-back orphan)
+    val fromEx =
+      if (maxSeen == 0L) 0L else parentMap(srcMeta).getOrElse(maxSeen, 0L)
     if (srcHead <= fromEx) return (0L, 0L)
     val log = readChangelog(spark, srcDir, fromEx).persist()
     try {
       var dstExists = dstExists0
+      var dstMeta = if (dstExists0) Some(readMeta(spark, dstDir)) else None
       var nDel = 0L; var nIns = 0L
-      ((fromEx + 1) to srcHead).foreach { sid =>
+      val sids = log.select(col("_commit_snapshot_id")).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded: one per snapshot
+      sids.foreach { sid =>
         val dels = log.filter(col("_commit_snapshot_id") === sid &&
             col("_change_type") === "delete")
           .select(keyCols.map(col): _*).distinct()
@@ -2336,16 +2383,20 @@ object IcebergLite {
             col("_change_type") === "insert")
           .drop("_change_type", "_commit_snapshot_id")
         if (!ins.isEmpty) {
-          val replayed = dstExists &&
-            hasCommitKey(readMeta(spark, dstDir), s"cdc-$sid-ins")
+          // pre-run mirror metadata decides replay; keys committed by
+          // THIS run are for other sids, so the cached meta is enough
+          val replayed = dstMeta.exists(hasCommitKey(_, s"cdc-$sid-ins"))
           if (!replayed) {
             appendSnapshot(spark, ins, dstDir,
               partitionBy =
-                if (dstExists) readMeta(spark, dstDir).partitionSpec.map(renderSpec)
+                if (dstExists)
+                  dstMeta.map(_.partitionSpec.map(renderSpec))
+                    .getOrElse(partitionBy)
                 else partitionBy,
               commitKey = Some(s"cdc-$sid-ins"),
               sortBy = if (dstExists) Nil else sortBy)
             nIns += ins.count()
+            if (dstMeta.isEmpty) dstMeta = Some(readMeta(spark, dstDir))
           }
           dstExists = true
         }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 import java.nio.file.{Files, Paths}
 
 import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
@@ -47,7 +47,9 @@ object TarIO {
   }
 
   private def headerFor(name: String, size: Long): Array[Byte] = {
-    val nameBytes = name.getBytes(US_ASCII)
+    // names are UTF-8 (the GNU/pax de-facto; US_ASCII getBytes would
+    // SILENTLY mangle non-ASCII keys to '?') and parsed back as UTF-8
+    val nameBytes = name.getBytes(UTF_8)
     require(nameBytes.length <= 100,
       s"tar: entry name longer than 100 bytes is out of subset ($name)")
     require(!name.contains("\u0000"), "tar: NUL in entry name")
@@ -102,7 +104,7 @@ object TarIO {
       var end = p + off
       val max = p + off + len
       while (end < max && bytes(end) != 0) end += 1
-      new String(bytes, p + off, end - (p + off), US_ASCII)
+      new String(bytes, p + off, end - (p + off), UTF_8)
     }
     def oct(off: Int, len: Int): Long = {
       require((bytes(p + off) & 0x80) == 0,

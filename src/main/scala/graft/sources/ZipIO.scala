@@ -110,6 +110,12 @@ object ZipIO {
       count += 1
     }
     val cdOffset = out.length.toLong
+    // all EOCD fields are 16/32-bit: beyond these limits is zip64
+    require(count <= 0xffff,
+      s"zip: $count entries exceed the 16-bit EOCD count (zip64 is out " +
+        "of subset) — use more shards")
+    require(cdOffset <= 0xfffffffeL && central.length <= 0xfffffffeL,
+      "zip: archive exceeds 32-bit offsets (zip64 is out of subset)")
     out ++= central
     putLe32(out, EocdSig)
     putLe16(out, 0); putLe16(out, 0)     // disk numbers

@@ -123,6 +123,15 @@ class AviCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       AviCodec.encodeMjpeg(Seq(Array[Byte](1, 2, 3)), w, h)
     }.getMessage.contains("not JPEG"))
+
+    // a crafted near-2^32 chunk size must refuse, not stall the walk
+    val huge = good.clone()
+    val dcAt2 = findSeq(huge, "00dc")
+    huge(dcAt2 + 4) = 0xf8.toByte; huge(dcAt2 + 5) = 0xff.toByte
+    huge(dcAt2 + 6) = 0xff.toByte; huge(dcAt2 + 7) = 0xff.toByte
+    assert(intercept[IllegalArgumentException] {
+      AviCodec.decode(huge)
+    }.getMessage.contains("overruns"))
   }
 }
 

@@ -937,6 +937,39 @@ class IcebergLiteSpec extends SparkSuite {
     assert(e.getMessage.contains("not an ancestor"))
   }
 
+  test("changelog walks the lineage: rolled-back snapshots are skipped " +
+      "and the eq-delete pre-image is the recorded parent") {
+    val dir = tmp()
+    IcebergLite.createTable(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("id", "lang", "n"), dir)
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 2L) // snap 2
+    IcebergLite.rollbackTo(spark, dir, 1L) // snap 2 is now an orphan
+    // eq delete commits as snap 3 with RECORDED parent 1: its
+    // pre-image must be snap 1 (both rows live), NOT orphan snap 2
+    // (where id 2 is already gone) — numeric adjacency would pick 2
+    IcebergLite.equalityDeleteMOR(spark, dir, Seq(2L).toDF("id"))
+    IcebergLite.appendSnapshot(spark,
+      Seq((2L, "de", 21L)).toDF("id", "lang", "n"), dir) // snap 4
+    val log = IcebergLite.readChangelog(spark, dir, 0L)
+      .collect().map(r => (r.getLong(4), r.getString(3), r.getLong(0),
+        r.getLong(2))).toSet
+    assert(log == Set(
+      (1L, "insert", 1L, 10L), (1L, "insert", 2L, 20L),
+      (3L, "delete", 2L, 20L), // present ONLY via the snap-1 pre-image
+      (4L, "insert", 2L, 21L)))
+    // incremental refuses a resume point that a rollback moved past
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.readIncremental(spark, dir, 2L).collect()
+    }
+    assert(e.getMessage.contains("not on the current lineage"))
+    // the full mirror converges through the same history
+    val dst = tmp()
+    IcebergLite.syncViaChangelog(spark, dir, dst, Seq("id"))
+    assert(IcebergLite.readTable(spark, dst)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      Set((1L, 10L), (2L, 21L)))
+  }
+
   test("syncViaChangelog mirrors an upsert history; resync is a no-op") {
     val src = tmp(); val dst = tmp()
     IcebergLite.createTable(spark,

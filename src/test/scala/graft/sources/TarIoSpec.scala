@@ -78,6 +78,13 @@ class TarIoSpec extends SparkSuite {
     }.getMessage.contains("100 bytes"))
   }
 
+  test("non-ASCII entry names roundtrip as UTF-8, never mangled") {
+    val entries = Seq("café.txt" -> "x".getBytes("UTF-8"),
+      "日本語.bin" -> Array[Byte](1, 2))
+    val back = TarIO.parseTar(TarIO.writeTar(entries))
+    assert(back.map(_.name) == Vector("café.txt", "日本語.bin"))
+  }
+
   test("splitKey: first dot of the basename, directories in the key") {
     assert(TarIO.splitKey("000123.jpg") == ("000123", "jpg"))
     assert(TarIO.splitKey("d/000123.seg.txt") == ("d/000123", "seg.txt"))

@@ -66,6 +66,13 @@ class ZipIoSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException] {
       ZipIO.parseZip(good.dropRight(22))
     }.getMessage.contains("end-of-central-directory"))
+
+    // more entries than the 16-bit EOCD count can hold → loud, never
+    // a silently-truncated read-back
+    val many = (0 until 65536).map(i => (s"e$i", Array.empty[Byte]))
+    assert(intercept[IllegalArgumentException] {
+      ZipIO.writeZip(many)
+    }.getMessage.contains("16-bit"))
   }
 
   test("sharded write is deterministic; read is one task per archive") {
