@@ -2643,6 +2643,54 @@ object QueryCatalog {
     // and the structural vocab bound distinct_tokens <= alphabet+merges.
     // The driver-trained merge loop itself is not SQL-expressible; its
     // greedy-merge exactness is BpeSpec's classic-fixture job.
+    // T5-style span corruption (text/SpanCorruption — the pretraining-
+    // example generator): deterministic md5-seeded span masking over
+    // whitespace tokens, sentinel inputs + span targets. The per-doc
+    // RECONSTRUCTION IDENTITY (inputs with every sentinel re-expanded
+    // ≡ the original tokens — a masking bug cannot survive it), the
+    // terminator convention, and the corruption-fraction band ride as
+    // in-Spark booleans folded to counts; DuckDB rederives doc and
+    // token totals. Data-derived at any scale.
+    QueryDef("span_corruption", (s, d) => {
+      import graft.text.SpanCorruption
+      import s.implicits._
+      val rows = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.spaceTokens(col("text")).as("tokens"))
+        .as[(Long, Array[String])]
+        .map { case (id, toks0) =>
+          val toks = if (toks0 == null) Array.empty[String] else toks0
+          val (in, tgt) = SpanCorruption.corruptTokens(
+            toks, seed = 17L, docKey = id.toString,
+            corruptRate = 0.15, meanSpanLen = 3)
+          val ok = SpanCorruption.reconstruct(in, tgt).sameElements(toks)
+          val nSpans = in.count(_.startsWith("<extra_id_"))
+          val corrupted = toks.length - (in.length - nSpans)
+          (id, toks.length.toLong, nSpans.toLong, corrupted.toLong, ok,
+            tgt.lastOption.exists(_.startsWith("<extra_id_")))
+        }.toDF("doc_id", "n_tokens", "n_spans", "n_corrupted", "ok", "term")
+      rows.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_reconstruct_ok"),
+          (sum(when(col("term"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("all_terminated"),
+          // corpus-level corruption mass: CLT-tight at tens of
+          // thousands of tokens, unlike any per-doc band
+          (sum(col("n_corrupted")) * 100L > sum(col("n_tokens")) * 10L &&
+            sum(col("n_corrupted")) * 100L < sum(col("n_tokens")) * 20L)
+            .as("rate_in_band"),
+          (sum(col("n_spans")) > 0L).as("spans_nonzero"))
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+          AS BIGINT) AS total_tokens,
+        CAST(count(*) AS BIGINT) AS n_reconstruct_ok,
+        TRUE AS all_terminated,
+        TRUE AS rate_in_band,
+        TRUE AS spans_nonzero
+      FROM documents""")),
+
     // Unigram-LM tokenizer (text/Unigram — SentencePiece's other
     // algorithm next to BPE: seed-and-PRUNE EM training, Viterbi
     // most-probable segmentation): trained on the %10 slice, encoding
