@@ -36,7 +36,8 @@ ALLOWED_IMPORT_ROOTS = (
 # Env vars the code may legitimately read (documented in SURVEY/README).
 ALLOWED_ENV = {"SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_OUT",
                "SPARK_GRAFT_SCALE_DIR", "SPARK_GRAFT_SCALE_COPIES",
-               "SPARK_GRAFT_SCALE_SKIP", "SPARK_MASTER", "SPARK_DRIVER_MEM",
+               "SPARK_GRAFT_SCALE_SKIP", "SPARK_GRAFT_SCALE_ONLY",
+               "SPARK_MASTER", "SPARK_DRIVER_MEM",
                "JAVA_HOME", "SPARK_HOME", "HOME", "PATH", "TMPDIR"}
 
 # Local imports (`import spark.implicits._`, `import MinHashSig.P`) have
