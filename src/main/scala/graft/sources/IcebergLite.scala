@@ -1541,10 +1541,38 @@ object IcebergLite {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
-    // every ref'd snapshot (branch heads, tags) survives regardless of
-    // age — expiring a named pointer's target would corrupt the ref
-    val keepIds = meta.snapshots.takeRight(keepLast).map(_._1).toSet ++
-      meta.refs.values.map(_._1)
+    // retention is LINEAGE-aware, not id-recency: after a rollback the
+    // abandoned commits hold the HIGHEST ids, and an id-ordered
+    // keepLast would retain the dead orphans while purging the live
+    // head's own ancestors. Keep: the last `keepLast` ancestors of
+    // main's head; every ref'd snapshot (expiring a named pointer's
+    // target would corrupt the ref); and each BRANCH ref's private
+    // ancestry (its recorded-parent walk must stay intact for
+    // fastForward's ancestor check). Non-ref'd snapshots on no kept
+    // lineage — rollback orphans, dropped staging branches — expire
+    // NOW, which is what makes `rollbackTo` + expire (or `dropRef` +
+    // expire) reclaim space.
+    val parentOf = parentMap(meta)
+    def lineageOf(head: Long): Seq[Long] = {
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cur = head
+      val retained = meta.snapshots.map(_._1).toSet
+      while (cur > 0 && retained.contains(cur)) {
+        ids += cur
+        cur = parentOf.getOrElse(cur, 0L)
+      }
+      ids.toSeq // newest first
+    }
+    val mainLineage = lineageOf(meta.refs("main")._1)
+    val mainKeep = mainLineage.take(keepLast)
+    val onMain = mainLineage.toSet
+    // a branch keeps only its PRIVATE segment (above the fork) — its
+    // shared prefix is main history, governed by keepLast like any
+    val branchKeep = meta.refs.collect {
+      case (name, (head, "branch")) if name != "main" =>
+        lineageOf(head).takeWhile(id => !onMain.contains(id))
+    }.flatten
+    val keepIds = mainKeep.toSet ++ branchKeep ++ meta.refs.values.map(_._1)
     val (kept, dropped) = meta.snapshots.partition(s2 => keepIds(s2._1))
     if (dropped.isEmpty) return
 

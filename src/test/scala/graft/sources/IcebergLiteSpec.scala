@@ -937,6 +937,33 @@ class IcebergLiteSpec extends SparkSuite {
     assert(e.getMessage.contains("not an ancestor"))
   }
 
+  test("expire is lineage-aware: orphans purge, live ancestors survive") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark,
+      Seq((8L, "xx", 80L)).toDF("id", "lang", "n"), dir) // snap 2 (bad)
+    IcebergLite.rollbackTo(spark, dir, 1L)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    // lineage is 1 → 3; snap 2 is a dead orphan with a HIGHER id than 1
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 2)
+    // id-recency retention would have kept {2, 3} and purged 1; the
+    // lineage rule keeps {1, 3} and reclaims the orphan
+    assert(IcebergLite.snapshotIds(spark, dir) == Seq(1L, 3L))
+    assert(IcebergLite.readTable(spark, dir, Some(1L)).count() == 3L)
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    assert(intercept[Exception] {
+      IcebergLite.readTable(spark, dir, Some(2L)).collect()
+    }.getMessage.contains("not found"))
+    // a staged branch's private commits survive main's expiry and the
+    // publish still works afterwards
+    IcebergLite.createBranch(spark, dir, "stage")
+    IcebergLite.appendSnapshot(spark,
+      Seq((9L, "it", 90L)).toDF("id", "lang", "n"), dir, toBranch = "stage")
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    IcebergLite.fastForward(spark, dir, "main", "stage")
+    assert(IcebergLite.readTable(spark, dir).count() == 6L)
+  }
+
   test("changelog walks the lineage: rolled-back snapshots are skipped " +
       "and the eq-delete pre-image is the recorded parent") {
     val dir = tmp()
