@@ -617,6 +617,42 @@ object BenchScale {
             s"samples, ${back.getLong(1)}/$wantOctets octets")
         back.getLong(0)
       },
+      timed("iceberg_cdc_sync") {
+        // the CDC loop at corpus scale: land the 500k docs, upsert 5%
+        // (equality-delete the keys + re-append new versions), then
+        // syncViaChangelog mirrors the WHOLE history into a second
+        // table — deletes replay as one equality delete per source
+        // snapshot, inserts append, all exactly-once by commit key.
+        // Value pins the mirror's row count ≡ the source's; the delete
+        // leg's cost is the pre-image scan, the insert legs' the new
+        // data (the documented changelog cost model).
+        import graft.sources.IcebergLite
+        val src = s"$work/iceberg_cdc_src"
+        val dst = s"$work/iceberg_cdc_dst"
+        val dstP = Paths.get(dst)
+        if (Files.isDirectory(dstP)) {
+          val it = Files.walk(dstP)
+          try it.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f2 => Files.delete(f2))
+          finally it.close()
+        }
+        val base = docs.select(col("doc_id"), col("text"))
+        val upd = base.filter(col("doc_id") % 20 === 0)
+          .withColumn("text", concat(col("text"), lit(" v2")))
+        IcebergLite.createTable(spark, base, src)
+        IcebergLite.equalityDeleteMOR(spark, src,
+          upd.select(col("doc_id")))
+        IcebergLite.appendSnapshot(spark, upd, src)
+        val (nDel, nIns) = IcebergLite.syncViaChangelog(
+          spark, src, dst, keyCols = Seq("doc_id"))
+        val srcCount = IcebergLite.readTable(spark, src).count()
+        val dstCount = IcebergLite.readTable(spark, dst).count()
+        require(srcCount == dstCount && dstCount == nDocs,
+          s"cdc mirror diverged: src $srcCount dst $dstCount docs $nDocs")
+        require(nDel > 0 && nIns > nDocs,
+          s"cdc legs off: nDel=$nDel nIns=$nIns")
+        dstCount
+      },
       timed("iceberg_prune_scan") {
         // the SORTED-TABLE + FILE-SKIPPING discipline at corpus scale:
         // land the 500k docs range-clustered on doc_id (32 disjoint-
