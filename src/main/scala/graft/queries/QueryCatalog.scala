@@ -2643,6 +2643,70 @@ object QueryCatalog {
     // and the structural vocab bound distinct_tokens <= alphabet+merges.
     // The driver-trained merge loop itself is not SQL-expressible; its
     // greedy-merge exactness is BpeSpec's classic-fixture job.
+    // End-to-end IMAGE-TEXT curation (pipelines/MultimodalPipeline —
+    // the multimodal twin of the text curation pipeline): six planted
+    // sample classes by doc_id arithmetic — a good PNG+caption, a
+    // byte-identical copy of the PREVIOUS doc's image (must drop as
+    // near_dup with the smaller key surviving), a 2×2 image
+    // (too_small), junk bytes (decode_failed), a missing image, and a
+    // short caption — flow through decode gates, caption gates and the
+    // banded-pHash near-dup clustering (maxHamming=0: candidacy is
+    // exact hash equality, guaranteed for the planted copies). DuckDB
+    // rederives every sample's keep/reason decision from the
+    // arithmetic alone. Data-derived at any scale.
+    QueryDef("multimodal_curation", (s, d) => {
+      import graft.multimodal.PngCodec
+      import graft.pipelines.MultimodalPipeline
+      import s.implicits._
+      // per-block PSEUDORANDOM pixels (splitmix-style) — images that
+      // differ only by a constant offset or a uniform scale share their
+      // DCT sign structure and thus their pHash, so a linear formula
+      // would alias distinct seeds into one hash bucket; the decisions,
+      // not the pixels, are what the SQL oracle rederives
+      def png(seed: Long, w: Int, h: Int): Array[Byte] = {
+        def mix(z0: Long): Long = {
+          var z = z0 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        PngCodec.encode(PngCodec.Image(w, h, 3,
+          Array.tabulate(w * h * 3) { i =>
+            val pix = i / 3
+            val block = ((pix % w) / 4) * 64 + ((pix / w) / 4)
+            ((mix(seed * 4099 + block) >>> (8 * (i % 3))) & 0xff).toByte
+          }))
+      }
+      val samples = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val cls = id % 6
+          val img: Option[Array[Byte]] = cls match {
+            case 0 | 5 => Some(png(id, 16, 16))
+            case 1 => Some(png(id - 1, 16, 16)) // copy of the previous doc
+            case 2 => Some(png(id, 2, 2))
+            case 3 => Some("not a png".getBytes("UTF-8"))
+            case _ => None
+          }
+          val caption =
+            if (cls == 5) "hi" else s"caption text for doc $id"
+          (id, img.map("png" -> _).toMap +
+            ("txt" -> caption.getBytes("UTF-8")))
+        }.toDF("key", "files")
+      MultimodalPipeline.curateImageText(s, samples, maxHamming = 0)
+        .select(col("key").as("doc_id"), col("keep"), col("reason"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        doc_id % 6 = 0 AS keep,
+        CASE doc_id % 6
+          WHEN 0 THEN NULL
+          WHEN 1 THEN 'near_dup'
+          WHEN 2 THEN 'too_small'
+          WHEN 3 THEN 'decode_failed'
+          WHEN 4 THEN 'image_missing'
+          ELSE 'caption_short' END AS reason
+      FROM documents ORDER BY doc_id""")),
+
     // T5-style span corruption (text/SpanCorruption — the pretraining-
     // example generator): deterministic md5-seeded span masking over
     // whitespace tokens, sentinel inputs + span targets. The per-doc
