@@ -284,13 +284,14 @@ object Multimodal {
   }
 
   /** Decode an audio binary column (WAV PCM via [[WavCodec]], FLAC via
-    * [[FlacCodec]] — format sniffed per row, mixed corpora welcome) to
+    * [[FlacCodec]], AIFF via [[AiffCodec]] — format sniffed per row,
+    * mixed corpora welcome) to
     * sample-level facts: stream shape, exact integer features (total
     * energy, zero crossings, peak), and the energy-delta fingerprint —
     * map-side, same batched shape as [[decodeImages]]; undecodable
-    * payloads yield a NULL-featured row. The two formats land on ONE
+    * payloads yield a NULL-featured row. The three formats land on ONE
     * [[WavCodec.Pcm]] substrate, so every feature is bit-identical
-    * across a WAV and its FLAC encoding of the same samples. */
+    * across a WAV, FLAC or AIFF encoding of the same samples. */
   def decodeAudio(spark: SparkSession, df: DataFrame, idCol: String,
                   contentCol: String): DataFrame = {
     import spark.implicits._
@@ -301,6 +302,7 @@ object Multimodal {
           if (bytes == null) None
           else if (WavCodec.isWav(bytes)) Some(WavCodec.decode(bytes))
           else if (FlacCodec.isFlac(bytes)) Some(FlacCodec.decode(bytes))
+          else if (AiffCodec.isAiff(bytes)) Some(AiffCodec.decode(bytes))
           else None
         pcm match {
           case Some(p) =>

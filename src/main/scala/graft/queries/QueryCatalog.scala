@@ -5321,6 +5321,53 @@ object QueryCatalog {
         CAST(max(abs(v)) AS BIGINT) AS peak
       FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL AIFF decode end to end (multimodal/AiffCodec — the
+    // big-endian cousin of WAV, incl. the 80-bit EXTENDED-float sample
+    // rate whose mis-parse is the classic AIFF bug): every doc gets a
+    // real FORM/COMM/SSND stream of formula samples at a per-doc
+    // sample RATE (8000/11025/22050/44100 by doc_id — the extended
+    // float exercised across corners); decodeAudio sniffs AIFF onto
+    // the shared Pcm substrate and DuckDB rederives rate, frames,
+    // energy, zero crossings and peak from the formulas alone.
+    // Data-derived at any scale.
+    QueryDef("aiff_decode", (s, d) => {
+      import graft.multimodal.{AiffCodec, Multimodal, WavCodec}
+      import s.implicits._
+      val rates = Array(8000, 11025, 22050, 44100)
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, AiffCodec.encode(WavCodec.Pcm(1, rates((id % 4).toInt), 16,
+            Array.tabulate(200) { tt =>
+              ((id * 37 + tt.toLong * tt * 11) % 2400 - 1200).toInt
+            })))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeAudio(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("bits_per_sample"), col("n_frames"), col("energy"),
+          col("zero_crossings"), col("peak"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sm AS (
+        SELECT d.doc_id, t.t,
+          (d.doc_id * 37 + t.t * t.t * 11) % 2400 - 1200 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 199)) AS t) t),
+      lagged AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        FROM sm)
+      SELECT doc_id,
+        CAST(1 AS INTEGER) AS channels,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+          WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+        CAST(16 AS INTEGER) AS bits_per_sample,
+        CAST(200 AS BIGINT) AS n_frames,
+        CAST(sum(v * v) AS BIGINT) AS energy,
+        CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND (v < 0) <> (pv < 0)) AS BIGINT) AS zero_crossings,
+        CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
+
     // REAL FLAC compressed-audio decode end to end (multimodal/
     // FlacCodec): every doc gets a real multi-frame FLAC stream
     // (blockSize 96 → 3 frames incl. a partial tail) of formula
