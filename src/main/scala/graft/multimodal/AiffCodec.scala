@@ -172,6 +172,9 @@ object AiffCodec {
       s"aiff: $bits-bit samples are out of subset (8/16/24)")
     require(data != null, "aiff: missing SSND")
     val bytesPer = bits / 8
+    require(data.length % bytesPer == 0,
+      s"aiff: SSND length ${data.length} not a multiple of the " +
+        s"$bytesPer-byte sample size")
     val n = data.length / bytesPer
     require(n.toLong == frames * channels,
       s"aiff: COMM declares $frames frames × $channels ch, " +

@@ -242,6 +242,12 @@ object TarIO {
           entries = new ArrayBuffer[(String, Array[Byte])]()
         }
         it.foreach { case (key, files, shard) =>
+          // a '.' in the basename would read back as a shorter key +
+          // longer ext (splitKey cuts at the FIRST dot after the last
+          // slash), silently merging distinct samples — refuse by name
+          require(!key.substring(key.lastIndexOf('/') + 1).contains('.'),
+            s"webdataset: sample key '$key' has a '.' in its basename " +
+              "(would be misread as an extension on read-back)")
           if (shard != current) { flush(); current = shard }
           files.toSeq.sortBy(_._1).foreach { case (ext, bytes) =>
             entries += ((if (ext.isEmpty) key else s"$key.$ext") -> bytes)

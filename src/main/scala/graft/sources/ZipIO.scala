@@ -163,16 +163,25 @@ object ZipIO {
         "zip: streaming data descriptors are out of subset")
       val method = le16(bytes, p + 10)
       val crcWant = le32(bytes, p + 16)
-      val csize = le32(bytes, p + 20).toInt
-      val usize = le32(bytes, p + 24).toInt
       require(le32(bytes, p + 20) != 0xffffffffL &&
         le32(bytes, p + 24) != 0xffffffffL, "zip: zip64 is out of subset")
+      // entries ≥2 GiB are legal non-zip64 but overflow the Int
+      // narrowing below — refuse by name, never wrap negative
+      require(le32(bytes, p + 20) <= Int.MaxValue &&
+        le32(bytes, p + 24) <= Int.MaxValue,
+        "zip: entries over 2 GiB are out of subset")
+      val csize = le32(bytes, p + 20).toInt
+      val usize = le32(bytes, p + 24).toInt
       val nameLen = le16(bytes, p + 28)
       val extraLen = le16(bytes, p + 30)
       val commentLen = le16(bytes, p + 32)
+      require(le32(bytes, p + 42) <= Int.MaxValue,
+        "zip: local-header offsets over 2 GiB are out of subset")
       val lho = le32(bytes, p + 42).toInt
       val name = new String(bytes, p + 46, nameLen, UTF_8)
 
+      require(lho + 30 <= bytes.length,
+        s"zip: central entry '$name' local header overruns the archive")
       require(le32(bytes, lho) == LocalSig,
         s"zip: central entry '$name' points at a bad local header")
       val lNameLen = le16(bytes, lho + 26)

@@ -51,6 +51,7 @@ object SpanCorruption {
     val targets = scala.collection.mutable.ArrayBuffer.empty[String]
     var sentinel = 0
     var i = 0
+    var lastSpanEnd = -1 // position right after the previous span, or -1
     val n = tokens.length
     while (i < n) {
       val starts =
@@ -59,18 +60,23 @@ object SpanCorruption {
         val len = 1 + (h64(s"$seed:$docKey:$i:len") %
           (2L * meanSpanLen - 1)).toInt
         val end = math.min(n, i + len)
-        val tag = s"<extra_id_$sentinel>"
-        inputs += tag
-        targets += tag
-        var j = i
-        while (j < end) { targets += tokens(j); j += 1 }
-        sentinel += 1
+        if (i == lastSpanEnd) {
+          // Adjacent span: contiguous noise tokens are ONE span in T5
+          // (noise_span_to_unique_sentinel assigns sentinels per
+          // contiguous noise run) — extend the previous sentinel's
+          // targets, emit no new input sentinel.
+          var j = i
+          while (j < end) { targets += tokens(j); j += 1 }
+        } else {
+          val tag = s"<extra_id_$sentinel>"
+          inputs += tag
+          targets += tag
+          var j = i
+          while (j < end) { targets += tokens(j); j += 1 }
+          sentinel += 1
+        }
+        lastSpanEnd = end
         i = end
-        // adjacent span starting immediately? T5 merges: swallow any
-        // span that would begin at the next position into this one by
-        // simply letting the loop re-evaluate — a new sentinel at i is
-        // correct T5 behavior only if i was eligible; positions inside
-        // the span were consumed above, so no overlap is possible.
       } else {
         inputs += tokens(i)
         i += 1

@@ -37,10 +37,11 @@ object Unigram {
                                 maxPieceLen: Int) {
     @transient lazy val unkScore: Double =
       graft.functions.UnigramEncode.unkScoreOf(pieces)
+    @transient private lazy val scores =
+      graft.functions.UnigramEncode.scoreMap(pieces)
     def encodeWord(word: String): Seq[String] =
       graft.functions.UnigramEncode.encodeWord(
-        word, graft.functions.UnigramEncode.scoreMap(pieces),
-        maxPieceLen, unkScore).toSeq
+        word, scores, maxPieceLen, unkScore).toSeq
   }
 
   /** Train on the corpus' word-frequency table (one shuffle; the

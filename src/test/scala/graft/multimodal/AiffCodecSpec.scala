@@ -62,6 +62,26 @@ class AiffCodecSpec extends AnyFunSuite {
       AiffCodec.decode(frac)
     }.getMessage.contains("non-integral"))
   }
+
+  test("SSND length not a sample multiple refuses, never truncates") {
+    // craft: +1 byte in SSND (16-bit → odd payload), sizes kept
+    // consistent (SSND sz += 1, pad byte appended, FORM sz += 2) so
+    // the only violation is the sample-multiple one
+    val good = AiffCodec.encode(pcm(16))
+    val bad = new Array[Byte](good.length + 2)
+    System.arraycopy(good, 0, bad, 0, good.length)
+    def bumpBe32(at: Int, by: Int): Unit = {
+      val v = (((bad(at) & 0xffL) << 24) | ((bad(at + 1) & 0xffL) << 16) |
+        ((bad(at + 2) & 0xffL) << 8) | (bad(at + 3) & 0xffL)) + by
+      bad(at) = ((v >> 24) & 0xff).toByte; bad(at + 1) = ((v >> 16) & 0xff).toByte
+      bad(at + 2) = ((v >> 8) & 0xff).toByte; bad(at + 3) = (v & 0xff).toByte
+    }
+    bumpBe32(4, 2)  // FORM size: +1 data byte +1 IFF pad
+    bumpBe32(42, 1) // SSND chunk size (COMM is 12+8+18 → SSND hdr at 38)
+    assert(intercept[IllegalArgumentException] {
+      AiffCodec.decode(bad)
+    }.getMessage.contains("not a multiple"))
+  }
 }
 
 /** decodeAudio sniffs AIFF next to WAV/FLAC; all three land on one Pcm

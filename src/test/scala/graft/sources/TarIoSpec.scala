@@ -136,6 +136,23 @@ class TarIoSpec extends SparkSuite {
     assert(back.select("key").distinct().count() == 40)
   }
 
+  test("sharded write refuses a dotted-basename key (read-back ambiguity)") {
+    // key 'a.b' + ext 'txt' would read back as key 'a', ext 'b.txt' —
+    // splitKey cuts at the FIRST dot after the last slash
+    val dir = tmpDir("dotkey")
+    val bad = Seq(("a.b", Map("txt" -> "x".getBytes("UTF-8"))))
+    val e = intercept[Exception] {
+      TarIO.writeWebDatasetShards(bad.toDF("key", "files"), dir, 1)
+    }
+    assert(e.toString.contains("basename") ||
+      Option(e.getCause).exists(_.toString.contains("basename")))
+    // dots in DIRECTORY components are fine — only the basename splits
+    val ok = Seq(("v1.2/doc0", Map("txt" -> "x".getBytes("UTF-8"))))
+    TarIO.writeWebDatasetShards(ok.toDF("key", "files"), dir, 1)
+    val back = TarIO.readWebDataset(spark, dir).select("key").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("v1.2/doc0"))
+  }
+
   test("composition: PNG payloads in shards feed the codec boundary") {
     val dir = tmpDir("png")
     def png(id: Int): Array[Byte] = PngCodec.encode(PngCodec.Image(8, 4, 3,

@@ -75,6 +75,32 @@ class ZipIoSpec extends SparkSuite {
     }.getMessage.contains("16-bit"))
   }
 
+  test("refusals: 2 GiB+ sizes and out-of-range local offsets are named, never wrapped") {
+    val good = ZipIO.writeZip(Seq("f.txt" -> ("repeat " * 40).getBytes("UTF-8")))
+    def findCentral(b: Array[Byte]): Int =
+      b.indices.find(i => i + 4 <= b.length &&
+        (b(i) & 0xff) == 0x50 && (b(i + 1) & 0xff) == 0x4b &&
+        (b(i + 2) & 0xff) == 0x01 && (b(i + 3) & 0xff) == 0x02).get
+
+    // csize = 0x80000000 (legal non-zip64, overflows Int) → named
+    // refusal, never a NegativeArraySizeException
+    val big = good.clone(); val cd = findCentral(big)
+    big(cd + 20) = 0; big(cd + 21) = 0; big(cd + 22) = 0
+    big(cd + 23) = 0x80.toByte // little-endian 0x80000000
+    assert(intercept[IllegalArgumentException] {
+      ZipIO.parseZip(big)
+    }.getMessage.contains("2 GiB"))
+
+    // local-header offset beyond the archive → overrun refusal, never
+    // an ArrayIndexOutOfBounds from reading the signature there
+    val far = good.clone(); val cd2 = findCentral(far)
+    far(cd2 + 42) = 0xff.toByte; far(cd2 + 43) = 0xff.toByte
+    far(cd2 + 44) = 0x7f.toByte; far(cd2 + 45) = 0
+    assert(intercept[IllegalArgumentException] {
+      ZipIO.parseZip(far)
+    }.getMessage.contains("overruns"))
+  }
+
   test("sharded write is deterministic; read is one task per archive") {
     val docs = (0L until 30L).map(i =>
       (s"doc$i.txt", s"content $i ".repeat(20).getBytes("UTF-8")))

@@ -52,6 +52,30 @@ class SpanCorruptionSpec extends SparkSuite {
     assert(corrupted > 0.08 && corrupted < 0.25, s"fraction $corrupted")
   }
 
+  test("adjacent spans merge into ONE sentinel (the T5 contract)") {
+    // inputs must never hold two consecutive sentinels — contiguous
+    // noise runs are one span in T5's noise_span_to_unique_sentinel
+    var sawMerge = false
+    val maxSingle = 2 * 3 - 1 // longest single span at meanSpanLen=3
+    for (seed <- 1L to 40L) {
+      val t = toks(400)
+      val (in, tgt) = SpanCorruption.corruptTokens(t, seed, "d", 0.3, 3)
+      in.sliding(2).foreach { w =>
+        assert(!(w.length == 2 && w.forall(_.startsWith("<extra_id_"))),
+          s"seed=$seed: consecutive sentinels in inputs")
+      }
+      assert(SpanCorruption.reconstruct(in, tgt).toSeq == t.toSeq)
+      // a target span longer than any single draw proves a merge ran
+      var cur = 0
+      tgt.foreach { x =>
+        if (x.startsWith("<extra_id_")) {
+          if (cur > maxSingle) sawMerge = true; cur = 0
+        } else cur += 1
+      }
+    }
+    assert(sawMerge, "no seed in 1..40 exercised the merge path")
+  }
+
   test("Spark frame: map-only, reconstruction holds corpus-wide") {
     val docs = (0L until 50L).map(id =>
       (id, Array.tabulate(20 + (id % 30).toInt)(i => s"w${id}_$i")))
