@@ -4,13 +4,21 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.queries.QueryCatalog
+import graft.queries.Headline
 
 /** Benchmark main: runs the headline query set on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON line on stdout (plus BENCH_LOCAL.json as a file-based
   * fallback — round 1 lost the bench signal to sbt log interleaving).
   * Timings measure full materialization via count() after a warm-up of the
   * session (JVM + codegen warm, as a long-lived cluster would be).
+  *
+  * ISOLATION (r13 verdict task 1): the headline set lives in
+  * [[graft.queries.Headline]] — a FIXED 17-query object — and this main
+  * never touches [[graft.queries.QueryCatalog]], whose class init
+  * (one closure classload per registry entry) grew the measured idle
+  * total ~11% in one round purely from catalog growth. Warmup now runs
+  * EVERY headline query once, so JIT/codegen warm work is constant
+  * per round regardless of what the registry gains.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,8 +32,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline = QueryCatalog.all.filter(_.bench)
-    // Warm the session once (first query pays JVM/codegen startup).
+    val headline = Headline.all
+    // Warm the session with ONE query first (Spark hot paths JIT), then
+    // calibrate — the exact conditions the r12 idle reference (0.296)
+    // was measured under, keeping the calibration series comparable.
     try headline.head.fn(spark, sfDir).count() catch { case _: Throwable => }
 
     // Fixed-work CALIBRATION: a deterministic CPU-bound aggregate over
@@ -33,6 +43,8 @@ object Bench {
     // Driver-host load inflates it by the same factor it inflates the
     // real queries, so (query / calibration) is load-normalized and a
     // uniform-looking slowdown becomes arithmetic, not adjudication.
+    // Measured BEFORE the full warmup loop so it probes the machine,
+    // not this process's own JIT backlog over 17 queries.
     def calibrationOnce(): Double = {
       import org.apache.spark.sql.functions.{col, shiftrightunsigned, sum, xxhash64}
       val t0 = System.nanoTime()
@@ -45,6 +57,12 @@ object Bench {
     }
     calibrationOnce() // warm the codegen path itself
     val calibration = Seq.fill(3)(calibrationOnce()).min
+
+    // Warm EVERY headline query once (JVM + per-query codegen settle
+    // before any timing; fixed work — the set never grows).
+    headline.foreach { q =>
+      try q.fn(spark, sfDir).count() catch { case _: Throwable => }
+    }
 
     // Three timed runs per query; "queries" reports the MIN (steady-state
     // of a resident cluster, insulated from one-off codegen/broadcast
