@@ -4609,6 +4609,77 @@ object QueryCatalog {
       FROM documents
       WHERE doc_id = (SELECT max(doc_id) FROM documents)""")),
 
+    // Iceberg PARTITION-SPEC EVOLUTION (r13 verdict task 2): a
+    // day(ts)-partitioned table evolves to day(ts)+bucket[8](doc_id)
+    // as a METADATA-ONLY commit; the second generation appends under
+    // the new spec. A ranged read must prune BOTH generations through
+    // their own specs (per-manifest spec ids), a keyed read must
+    // bucket-prune the new generation without losing the gen-1 row,
+    // and every row of both generations must come back. The oracle
+    // rederives counts/sums from the same ts := 2024-01-01 + (doc_id
+    // mod 16) days formula; the pruning claims ride as pinned
+    // booleans (files-kept arithmetic is asserted in
+    // IcebergTransformsSpec). Data-derived at any scale.
+    QueryDef("iceberg_spec_evolution", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_specevo_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          date_add(lit("2024-01-01").cast("date"),
+            (col("doc_id") % 16).cast("int")).as("ts"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir,
+        partitionBy = Seq("day:ts"))
+      val specId = IcebergLite.evolveSpec(s, dir,
+        Seq("day:ts", "bucket[8]:doc_id"))
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 2 === 1), dir,
+        partitionBy = Seq("day:ts", "bucket[8]:doc_id"))
+      val cut = java.sql.Date.valueOf("2024-01-09")
+      val (keptT, total) = IcebergLite.scanFileCount(s, dir,
+        Seq(IcebergLite.GtEq("ts", cut)))
+      val key = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (keptK, _) = IcebergLite.scanFileCount(s, dir,
+        Seq(IcebergLite.EqTo("doc_id", key)))
+      val keyRow = IcebergLite.readTableWhere(s, dir,
+          Seq(IcebergLite.EqTo("doc_id", key)))
+        .filter(col("doc_id") === key)
+        .agg(count(lit(1)).as("k_rows"), sum(col("n_chars")).as("k_chars"))
+      IcebergLite.readTableWhere(s, dir, Seq(IcebergLite.GtEq("ts", cut)))
+        .filter(col("ts") >= cut)
+        .agg(count(lit(1)).as("n_range"),
+          sum(col("n_chars")).as("sum_range_chars"),
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_gen1"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("n_gen2"))
+        .crossJoin(keyRow)
+        .withColumn("evolved_spec_id", lit(specId))
+        .withColumn("ranged_skips", lit(keptT < total))
+        .withColumn("keyed_skips", lit(keptK < total))
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+          DATE '2024-01-01' + CAST(doc_id % 16 AS INTEGER) AS ts,
+          CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents)
+      SELECT
+        CAST(count(*) FILTER (WHERE ts >= DATE '2024-01-09')
+          AS BIGINT) AS n_range,
+        CAST(sum(n_chars) FILTER (WHERE ts >= DATE '2024-01-09')
+          AS BIGINT) AS sum_range_chars,
+        CAST(count(*) FILTER (WHERE ts >= DATE '2024-01-09'
+          AND doc_id % 2 = 0) AS BIGINT) AS n_gen1,
+        CAST(count(*) FILTER (WHERE ts >= DATE '2024-01-09'
+          AND doc_id % 2 = 1) AS BIGINT) AS n_gen2,
+        CAST(1 AS BIGINT) AS k_rows,
+        CAST((SELECT n_chars FROM base
+              WHERE doc_id = (SELECT max(doc_id) FROM base))
+          AS BIGINT) AS k_chars,
+        CAST(1 AS INTEGER) AS evolved_spec_id,
+        TRUE AS ranged_skips,
+        TRUE AS keyed_skips
+      FROM base""")),
+
     // REAL PNG pixel decode end to end (multimodal/PngCodec — the
     // de-stubbed codec boundary): every doc gets a real zlib-
     // compressed, filter-framed PNG whose pixels follow a formula;

@@ -501,6 +501,8 @@ object IcebergLite {
 
     val snapshotId = prior.map(_.nextSnapshotId).getOrElse(1L)
     val version = prior.map(_.version).getOrElse(0) + 1
+    val specs = prior.map(_.specs).getOrElse(Seq(0 -> reqSpec))
+    val defaultSpecId = prior.map(_.defaultSpecId).getOrElse(0)
 
     val spec = typedSpec(reqSpec, df.schema)
     val entrySchema = manifestEntrySchema(spec)
@@ -515,7 +517,8 @@ object IcebergLite {
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
       Map("schema" -> schemaJs, "format-version" -> "1",
-        "content" -> "data"))
+        "content" -> "data",
+        "partition-spec-id" -> defaultSpecId.toString))
 
     // 3. manifest list = prior live manifests + this one;
     //    4. next metadata version + hint
@@ -524,8 +527,8 @@ object IcebergLite {
     commit(spark, root, prior, snapshotId, version,
       prior.toSeq.flatMap(_.manifests) :+
         MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
-          newRows, content = 0),
-      schemaJs, lastColumnId, spec, operation = "append",
+          newRows, content = 0, specId = defaultSpecId),
+      schemaJs, lastColumnId, specs, defaultSpecId, operation = "append",
       commitKey = commitKey, sortCols = effectiveSort, toBranch = toBranch)
   }
 
@@ -730,7 +733,8 @@ object IcebergLite {
                      snapshotId: Long, version: Int,
                      manifests: Seq[MRef],
                      schemaJs: String, lastColumnId: Int,
-                     spec: TypedSpec,
+                     specs: Seq[(Int, Seq[IcebergTransforms.PartField])],
+                     defaultSpecId: Int,
                      operation: String,
                      commitKey: Option[String] = None,
                      sortCols: Seq[String] = Nil,
@@ -741,7 +745,7 @@ object IcebergLite {
       val r = new GenericData.Record(ManifestFileSchema)
       r.put("manifest_path", m.path)
       r.put("manifest_length", m.len)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", m.specId)
       r.put("content", m.content)
       r.put("added_snapshot_id", m.addedBy)
       r.put("added_data_files_count", m.nFiles)
@@ -765,8 +769,8 @@ object IcebergLite {
       if (toBranch == "main") snapshotId
       else priorRefs.get("main").map(_._1)
         .getOrElse(sys.error("branch commit on a table with no main head"))
-    writeMetadata(spark, root, version, schemaJs, lastColumnId, spec,
-      mainHead,
+    writeMetadata(spark, root, version, schemaJs, lastColumnId,
+      specs, defaultSpecId, mainHead,
       prior.toSeq.flatMap(_.snapshots) :+
         ((snapshotId, listPath.toString, newSummary)), sortCols,
       newRefs)
@@ -777,16 +781,26 @@ object IcebergLite {
     * (summaries are passed through verbatim). */
   private def writeMetadata(spark: SparkSession, root: Path, version: Int,
                             schemaJs: String, lastColumnId: Int,
-                            spec: TypedSpec,
+                            specs: Seq[(Int, Seq[IcebergTransforms.PartField])],
+                            defaultSpecId: Int,
                             currentSnapshotId: Long,
                             snapshots: Seq[(Long, String, String)],
                             sortCols: Seq[String] = Nil,
                             refs: Map[String, (Long, String)] = Map.empty): Unit = {
     val metaDir = new Path(root, "metadata")
-    val specJsonV1 = spec.zipWithIndex.map { case ((pf, _), i) =>
-      s"""{"name": ${q(pf.name)}, "transform": ${q(pf.transform)},
-          "source-id": ${sourceFieldId(schemaJs, pf.sourceCol)},
-          "field-id": ${1000 + i}}"""
+    def specFieldsJson(spec: Seq[IcebergTransforms.PartField]): String =
+      spec.zipWithIndex.map { case (pf, i) =>
+        s"""{"name": ${q(pf.name)}, "transform": ${q(pf.transform)},
+            "source-id": ${sourceFieldId(schemaJs, pf.sourceCol)},
+            "field-id": ${1000 + i}}"""
+      }.mkString(", ")
+    // the v1 legacy single-spec field renders the DEFAULT spec; the
+    // full history lives in partition-specs (what evolved readers use)
+    val specJsonV1 = specFieldsJson(
+      specs.find(_._1 == defaultSpecId).map(_._2).getOrElse(
+        sys.error(s"default spec $defaultSpecId missing")))
+    val specsJson = specs.map { case (id, sp) =>
+      s"""{"spec-id": $id, "fields": [${specFieldsJson(sp)}]}"""
     }.mkString(", ")
     // persisted sort order: the table-level clustering CONTRACT — any
     // writer (a second engine, a later sink) inherits it instead of
@@ -819,9 +833,9 @@ object IcebergLite {
       "last-column-id": $lastColumnId,
       "schema": $schemaJs,
       "partition-spec": [$specJsonV1],
-      "partition-specs": [{"spec-id": 0, "fields": [$specJsonV1]}],
-      "default-spec-id": 0,
-      "last-partition-id": ${999 + spec.size},
+      "partition-specs": [$specsJson],
+      "default-spec-id": $defaultSpecId,
+      "last-partition-id": ${999 + specs.map(_._2.size).max},
       $sortOrderJson
       "refs": {${
         (refs + ("main" -> (currentSnapshotId, "branch"))).toSeq.sortBy(_._1)
@@ -853,14 +867,21 @@ object IcebergLite {
   // ---- read --------------------------------------------------------------
 
   /** One manifest of the current list: `content` 0 = data files,
-    * 1 = position-delete files (the v2 merge-on-read leg). */
+    * 1 = position-delete files (the v2 merge-on-read leg). `specId` is
+    * the partition spec the manifest's files were written under — after
+    * spec evolution a list legitimately mixes manifests of different
+    * generations, and every reader resolves each through ITS spec. */
   private case class MRef(path: String, len: Long, nFiles: Int,
-                          addedBy: Long, nRows: Long, content: Int)
+                          addedBy: Long, nRows: Long, content: Int,
+                          specId: Int = 0)
 
   private case class TableMeta(
       version: Int,
       schemaNode: com.fasterxml.jackson.databind.JsonNode,
-      partitionSpec: Seq[IcebergTransforms.PartField],
+      /** every partition spec the table has ever had, by spec id
+        * (ordered; `default-spec-id` names the one new writes use) */
+      specs: Seq[(Int, Seq[IcebergTransforms.PartField])],
+      defaultSpecId: Int,
       currentSnapshotId: Long,
       /** (snapshot id, manifest-list path, summary json verbatim) */
       snapshots: Seq[(Long, String, String)],
@@ -874,6 +895,13 @@ object IcebergLite {
       /** named refs: name → (snapshot id, "branch"|"tag"). `main` is
         * always present and mirrors current-snapshot-id. */
       refs: Map[String, (Long, String)]) {
+    /** The DEFAULT spec — what new writes partition by. */
+    def partitionSpec: Seq[IcebergTransforms.PartField] =
+      specOf(defaultSpecId)
+    def specOf(id: Int): Seq[IcebergTransforms.PartField] =
+      specs.find(_._1 == id).map(_._2).getOrElse(
+        sys.error(s"partition spec $id not in table metadata " +
+          s"(have ${specs.map(_._1).mkString(", ")})"))
     /** Next snapshot id — GLOBAL across branches (ids stay unique and
       * monotone even when branch heads run ahead of main). */
     def nextSnapshotId: Long = snapshots.map(_._1).max + 1
@@ -898,12 +926,22 @@ object IcebergLite {
     // partition field name is the directory key and stays verbatim
     val idToName = schemaNode.get("fields").elements().asScala
       .map(f2 => f2.get("id").asInt() -> f2.get("name").asText()).toMap
-    val partitionSpec = node.get("partition-spec").elements().asScala
-      .map { fl =>
+    def parseFields(fields: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[IcebergTransforms.PartField] =
+      fields.elements().asScala.map { fl =>
         IcebergTransforms.PartField(fl.get("name").asText(),
           fl.get("transform").asText(),
           idToName(fl.get("source-id").asInt()))
       }.toSeq
+    val specs: Seq[(Int, Seq[IcebergTransforms.PartField])] =
+      Option(node.get("partition-specs"))
+        .map(_.elements().asScala.map(sp =>
+          sp.get("spec-id").asInt() -> parseFields(sp.get("fields"))).toSeq)
+        .getOrElse(Seq(0 -> parseFields(node.get("partition-spec"))))
+    val defaultSpecId = Option(node.get("default-spec-id"))
+      .map(_.asInt()).getOrElse(0)
+    require(specs.exists(_._1 == defaultSpecId),
+      s"default-spec-id $defaultSpecId not among partition-specs")
     val snapshots = node.get("snapshots").elements().asScala
       .map(s2 => (s2.get("snapshot-id").asLong(),
         s2.get("manifest-list").asText(),
@@ -921,7 +959,9 @@ object IcebergLite {
           .map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(r.get("added_rows_count"))
           .map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+        Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(r.get("partition_spec_id"))
+          .map(_.asInstanceOf[Int]).getOrElse(0))
     }
     val lastColumnId = Option(node.get("last-column-id")).map(_.asInt())
       .getOrElse(sys.error("metadata missing last-column-id"))
@@ -951,7 +991,7 @@ object IcebergLite {
             r.get(n).get("type").asText())
         }.toMap
       }.getOrElse(Map.empty) + ("main" -> (mainId, "branch"))
-    TableMeta(version, schemaNode, partitionSpec, wantId, snapshots,
+    TableMeta(version, schemaNode, specs, defaultSpecId, wantId, snapshots,
       manifests, lastColumnId, sortOrderCols, refs)
   }
 
@@ -1114,15 +1154,27 @@ object IcebergLite {
       val fileFields = topFields(om.readTree(schemaJs))
       val byId = fileFields.map(f2 => f2._1 -> f2).toMap
       val paths = group.map(_._1)
+      // `_metadata` resolves only on the file-source relation — capture
+      // the provenance columns per branch, BEFORE any union
+      def withProv(df: DataFrame): DataFrame = df
+        .withColumn("__file", input_file_name())
+        .withColumn("__pos", col("_metadata.row_index"))
       val raw =
-        if (meta.partitionSpec.isEmpty) spark.read.parquet(paths: _*)
+        if (meta.specs.forall(_._2.isEmpty))
+          withProv(spark.read.parquet(paths: _*))
         else {
           val bySnapDir = paths.groupBy(fp =>
             fp.substring(0, fp.indexOf("/data/s") +
               fp.substring(fp.indexOf("/data/s")).indexOf('/', 7)))
+          // allowMissingColumns: after SPEC evolution, snapshot groups
+          // carry different partition-dir columns (a derived bucket/day
+          // column exists only in its generation's directories); the
+          // projection below reads only schema columns, so a NULL-filled
+          // derived column is dropped, and identity partition columns
+          // exist in every group (dir or file)
           bySnapDir.map { case (base, fs2) =>
-            spark.read.option("basePath", base).parquet(fs2: _*)
-          }.reduce(_ unionByName _)
+            withProv(spark.read.option("basePath", base).parquet(fs2: _*))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
         }
       raw.select(current.toIndexedSeq.map { case (id, name, dt, _) =>
         byId.get(id) match {
@@ -1136,8 +1188,7 @@ object IcebergLite {
              else c.cast(dt)).as(name)
           case None => lit(null).cast(dt).as(name)
         }
-      } :+ input_file_name().as("__file")
-        :+ col("_metadata.row_index").as("__pos"): _*)
+      } :+ col("__file") :+ col("__pos"): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -1202,29 +1253,42 @@ object IcebergLite {
         topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
 
     // untouched files carry over by reference as EXISTING entries,
-    // grouped by their SOURCE manifest's schema so an old-schema file
-    // stays readable through its own id→name mapping after evolution
-    val carriedBySchema = mutable.LinkedHashMap
-      .empty[String, mutable.ArrayBuffer[GenericRecord]]
+    // grouped by their SOURCE manifest's schema AND spec so an
+    // old-generation file stays readable through its own id→name
+    // mapping and prunable through its own partition shape
+    val groups = carryExisting(spark, meta, p => !hits.contains(p)) ++
+      (if (newEntries.nonEmpty)
+        Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
+          newEntries))
+      else Nil)
+    commitRewrite(spark, root, meta, snapshotId, groups,
+      operation = "overwrite")
+    nDeleted
+  }
+
+  /** EXISTING-entry carry groups for a rewrite: every live data-file
+    * entry whose path passes `keep`, deep-copied under its OWN entry
+    * schema, grouped by (write-time schema, partition-spec id). */
+  private def carryExisting(spark: SparkSession, meta: TableMeta,
+                            keep: String => Boolean): Seq[RewriteGroup] = {
+    val carried = mutable.LinkedHashMap
+      .empty[(String, Int), (Schema, mutable.ArrayBuffer[GenericRecord])]
     meta.manifests.filter(_.content == 0).foreach { m =>
       val (recs, manifestSchemaJs) = readManifest(spark, new Path(m.path))
       recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
         val d = e.get("data_file").asInstanceOf[GenericRecord]
-        if (!hits.contains(d.get("file_path").toString)) {
+        if (keep(d.get("file_path").toString)) {
           val c = GenericData.get()
-            .deepCopy(entrySchema, e).asInstanceOf[GenericRecord]
+            .deepCopy(e.getSchema, e).asInstanceOf[GenericRecord]
           c.put("status", 0) // EXISTING
-          carriedBySchema.getOrElseUpdate(manifestSchemaJs,
-            mutable.ArrayBuffer.empty) += c
+          carried.getOrElseUpdate((manifestSchemaJs, m.specId),
+            (e.getSchema, mutable.ArrayBuffer.empty))._2 += c
         }
       }
     }
-
-    val groups = carriedBySchema.toSeq.map { case (js, es) => (js, es.toSeq) } ++
-      (if (newEntries.nonEmpty) Seq((meta.schemaJs, newEntries)) else Nil)
-    commitRewrite(spark, root, meta, snapshotId, groups, entrySchema, spec,
-      operation = "overwrite")
-    nDeleted
+    carried.toSeq.map { case ((js, specId), (es, recs)) =>
+      RewriteGroup(js, specId, es, recs.toSeq)
+    }
   }
 
   /** MERGE-ON-READ row deletion (the v2 position-delete mechanism on
@@ -1285,9 +1349,9 @@ object IcebergLite {
         "content" -> "deletes"))
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
       meta.manifests :+ MRef(manifestPath.toString, manifestLen,
-        entries.size, snapshotId, nDeleted, content = 1),
-      meta.schemaJs, meta.lastColumnId,
-      typedSpec(meta.partitionSpec, declaredSchema(meta)),
+        entries.size, snapshotId, nDeleted, content = 1,
+        specId = meta.defaultSpecId),
+      meta.schemaJs, meta.lastColumnId, meta.specs, meta.defaultSpecId,
       operation = "delete", sortCols = meta.sortOrderCols)
     nDeleted
   }
@@ -1362,9 +1426,9 @@ object IcebergLite {
         "equality-ids" -> keyCols.map(fieldIds).mkString(",")))
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
       meta.manifests :+ MRef(manifestPath.toString, manifestLen,
-        entries.size, snapshotId, nKeys, content = 2),
-      meta.schemaJs, meta.lastColumnId,
-      typedSpec(meta.partitionSpec, declared),
+        entries.size, snapshotId, nKeys, content = 2,
+        specId = meta.defaultSpecId),
+      meta.schemaJs, meta.lastColumnId, meta.specs, meta.defaultSpecId,
       operation = "delete", commitKey = commitKey,
       sortCols = meta.sortOrderCols)
     nKeys
@@ -1390,7 +1454,8 @@ object IcebergLite {
       spec, entrySchema,
       topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
     commitRewrite(spark, root, meta, snapshotId,
-      Seq((meta.schemaJs, entries)), entrySchema, spec,
+      Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
+        entries)),
       operation = "replace")
   }
 
@@ -1444,24 +1509,12 @@ object IcebergLite {
         root, snapshotId, spec, entrySchema,
         topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
 
-    val carriedBySchema = mutable.LinkedHashMap
-      .empty[String, mutable.ArrayBuffer[GenericRecord]]
-    meta.manifests.filter(_.content == 0).foreach { m =>
-      val (recs, manifestSchemaJs) = readManifest(spark, new Path(m.path))
-      recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
-        val d = e.get("data_file").asInstanceOf[GenericRecord]
-        if (!small.contains(d.get("file_path").toString)) {
-          val c = GenericData.get()
-            .deepCopy(entrySchema, e).asInstanceOf[GenericRecord]
-          c.put("status", 0) // EXISTING
-          carriedBySchema.getOrElseUpdate(manifestSchemaJs,
-            mutable.ArrayBuffer.empty) += c
-        }
-      }
-    }
-    val groups = carriedBySchema.toSeq.map { case (js, es) => (js, es.toSeq) } ++
-      (if (newEntries.nonEmpty) Seq((meta.schemaJs, newEntries)) else Nil)
-    commitRewrite(spark, root, meta, snapshotId, groups, entrySchema, spec,
+    val groups = carryExisting(spark, meta, p => !small.contains(p)) ++
+      (if (newEntries.nonEmpty)
+        Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
+          newEntries))
+      else Nil)
+    commitRewrite(spark, root, meta, snapshotId, groups,
       operation = "replace")
     small.size.toLong
   }
@@ -1500,32 +1553,41 @@ object IcebergLite {
     orphans.toSeq
   }
 
-  /** Commit a rewrite snapshot: one manifest PER SOURCE SCHEMA holding
-    * its entries (existing + added), a manifest list referencing them,
-    * and the next metadata version. The table's schema json and
+  /** One manifest-to-be of a rewrite snapshot: entries sharing a
+    * write-time schema AND partition spec (after spec evolution, carried
+    * entries keep their generation's partition record shape — its avro
+    * entry schema rides along so old-spec records never deep-copy into
+    * a mismatched shape). */
+  private case class RewriteGroup(schemaJs: String, specId: Int,
+                                  entrySchema: Schema,
+                                  entries: Seq[GenericRecord])
+
+  /** Commit a rewrite snapshot: one manifest PER (SOURCE SCHEMA, SPEC)
+    * holding its entries (existing + added), a manifest list referencing
+    * them, and the next metadata version. The table's schema json and
     * last-column-id carry over VERBATIM — a rewrite never renumbers
     * evolved field ids. */
   private def commitRewrite(spark: SparkSession, root: Path, meta: TableMeta,
                             snapshotId: Long,
-                            groups: Seq[(String, Seq[GenericRecord])],
-                            entrySchema: Schema,
-                            spec: TypedSpec,
+                            groups: Seq[RewriteGroup],
                             operation: String): Unit = {
     val metaDir = new Path(root, "metadata")
-    val manifests = groups.zipWithIndex.map {
-      case ((groupSchemaJs, entries), k) =>
+    val manifests = groups.zipWithIndex.map { case (g, k) =>
         val manifestPath =
           new Path(metaDir, f"manifest-$snapshotId%05d-$k.avro")
-        val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
-          Map("schema" -> groupSchemaJs, "format-version" -> "1",
-            "content" -> "data"))
-        val nRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+        val manifestLen = writeAvro(spark, manifestPath, g.entrySchema,
+          g.entries,
+          Map("schema" -> g.schemaJs, "format-version" -> "1",
+            "content" -> "data",
+            "partition-spec-id" -> g.specId.toString))
+        val nRows = g.entries.map(_.get("data_file").asInstanceOf[GenericRecord]
           .get("record_count").asInstanceOf[Long]).sum
-        MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
-          nRows, content = 0)
+        MRef(manifestPath.toString, manifestLen, g.entries.size, snapshotId,
+          nRows, content = 0, specId = g.specId)
     }
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
-      manifests, meta.schemaJs, meta.lastColumnId, spec, operation,
+      manifests, meta.schemaJs, meta.lastColumnId,
+      meta.specs, meta.defaultSpecId, operation,
       sortCols = meta.sortOrderCols)
   }
 
@@ -1601,10 +1663,9 @@ object IcebergLite {
 
     // next metadata version: survivors only, current pointer unchanged;
     // schema json + last-column-id verbatim (never renumber field ids)
-    val schema = declaredSchema(meta)
-    val spec = typedSpec(meta.partitionSpec, schema)
     writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
-      meta.lastColumnId, spec, meta.currentSnapshotId, kept,
+      meta.lastColumnId, meta.specs, meta.defaultSpecId,
+      meta.currentSnapshotId, kept,
       meta.sortOrderCols, meta.refs)
   }
 
@@ -1656,17 +1717,23 @@ object IcebergLite {
       (p, id, dt)
     }
     // predicate → (partition field, result type, transformed value,
-    // monotone?) for every spec field derived from the predicate column
-    val partPreds = resolved.flatMap { case (p, _, dt) =>
-      meta.partitionSpec.filter(_.sourceCol == p.col).map { pf =>
-        val rt = IcebergTransforms.resultType(pf.transform, dt)
-        (p, pf.name, rt,
-          IcebergTransforms.applyValue(pf.transform, dt, predValue(p)),
-          IcebergTransforms.isMonotone(pf.transform))
+    // monotone?) for every spec field derived from the predicate
+    // column — computed PER SPEC GENERATION: after spec evolution each
+    // manifest prunes through the spec its files were written under,
+    // so a ranged/keyed read prunes correctly across generations
+    val partPredsBySpec = meta.specs.map { case (specId, spec) =>
+      specId -> resolved.flatMap { case (p, _, dt) =>
+        spec.filter(_.sourceCol == p.col).map { pf =>
+          val rt = IcebergTransforms.resultType(pf.transform, dt)
+          (p, pf.name, rt,
+            IcebergTransforms.applyValue(pf.transform, dt, predValue(p)),
+            IcebergTransforms.isMonotone(pf.transform))
+        }
       }
-    }
+    }.toMap
     var total = 0
     val kept = meta.manifests.filter(_.content == 0).flatMap { m =>
+      val partPreds = partPredsBySpec.getOrElse(m.specId, Nil)
       val (recs, schemaJs) = readManifest(spark, new Path(m.path))
       recs.filter(_.get("status").asInstanceOf[Int] != 2).flatMap { e =>
         total += 1
@@ -1833,18 +1900,61 @@ object IcebergLite {
                               schema: com.fasterxml.jackson.databind.JsonNode,
                               lastColumnId: Int): Unit = {
     val root = new Path(tableDir)
-    val declared = StructType(topFields(schema).map { case (_, n, dt, req) =>
-      StructField(n, dt, !req) })
-    val spec = typedSpec(meta.partitionSpec, declared)
     // sort order is held as NAMES; a rename changes the name, so route
     // old-name → field-id (old schema) → new-name (new schema)
     val oldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
     val newNames = topFields(schema).map(f2 => f2._1 -> f2._2).toMap
     val sortCols = meta.sortOrderCols.map(c => newNames(oldIds(c)))
     writeMetadata(spark, root, meta.version + 1, schema.toString,
-      lastColumnId, spec, meta.currentSnapshotId, meta.snapshots,
+      lastColumnId, meta.specs, meta.defaultSpecId,
+      meta.currentSnapshotId, meta.snapshots,
       sortCols, meta.refs)
   }
+
+  /** PARTITION-SPEC evolution — the metadata-only commit that changes
+    * how FUTURE writes are keyed (day→hour as volume grows, adding a
+    * bucket dimension for a hot key) without touching a byte of data:
+    * the new spec is appended to `partition-specs` under a fresh
+    * spec-id and becomes `default-spec-id`. Existing files stay under
+    * the spec they were written with (each manifest records its
+    * `partition_spec_id`); readers resolve every manifest through ITS
+    * spec, scan planning prunes each generation through its own
+    * partition shape, and maintenance rewrites ([[compact]],
+    * [[compactSmallFiles]], [[deleteWhere]]) re-key rewritten files
+    * through the NEW spec while carrying untouched ones unchanged —
+    * the Iceberg spec-evolution contract. Appends after this call must
+    * pass the NEW `partitionBy`. Items use [[createTable]]'s transform
+    * syntax; the new spec must differ from the current default. */
+  def evolveSpec(spark: SparkSession, tableDir: String,
+                 partitionBy: Seq[String]): Int = {
+    val meta = readMeta(spark, tableDir)
+    val newSpec = partitionBy.map(IcebergTransforms.parse)
+    require(newSpec != meta.partitionSpec,
+      s"new spec ${newSpec.map(renderSpec)} is already the default")
+    val declared = declaredSchema(meta)
+    // the same write-time gates appendSnapshot would hit, but at
+    // evolution time: transforms resolve against the CURRENT schema,
+    // derived field names must not shadow data columns
+    typedSpec(newSpec, declared)
+    newSpec.filter(_.transform != "identity").foreach { pf =>
+      require(!declared.fieldNames.contains(pf.name),
+        s"partition field ${pf.name} collides with a data column")
+    }
+    require(newSpec.map(_.name).distinct.size == newSpec.size,
+      "duplicate partition field names in the new spec")
+    val newId = meta.specs.map(_._1).max + 1
+    writeMetadata(spark, new Path(tableDir), meta.version + 1,
+      meta.schemaJs, meta.lastColumnId,
+      meta.specs :+ (newId -> newSpec), newId,
+      meta.currentSnapshotId, meta.snapshots,
+      meta.sortOrderCols, meta.refs)
+    newId
+  }
+
+  /** The current default partition spec, rendered in [[createTable]]'s
+    * transform syntax (what appends must pass as `partitionBy`). */
+  def tablePartitionSpec(spark: SparkSession, tableDir: String): Seq[String] =
+    readMeta(spark, tableDir).partitionSpec.map(renderSpec)
 
   /** Snapshot ids, oldest first — the time-travel surface. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
@@ -1870,10 +1980,9 @@ object IcebergLite {
                          meta: TableMeta,
                          refs: Map[String, (Long, String)],
                          mainHead: Long): Unit = {
-    val declared = declaredSchema(meta)
     writeMetadata(spark, new Path(tableDir), meta.version + 1,
       meta.schemaJs, meta.lastColumnId,
-      typedSpec(meta.partitionSpec, declared), mainHead,
+      meta.specs, meta.defaultSpecId, mainHead,
       meta.snapshots, meta.sortOrderCols, refs)
   }
 
@@ -2060,11 +2169,13 @@ object IcebergLite {
           StructField("path", StringType, nullable = false),
           StructField("length", LongType, nullable = false),
           StructField("content", IntegerType, nullable = false),
+          StructField("partition_spec_id", IntegerType, nullable = false),
           StructField("added_snapshot_id", LongType, nullable = false),
           StructField("added_data_files_count", IntegerType, nullable = false),
           StructField("added_rows_count", LongType, nullable = false))),
           meta.manifests.map(m =>
-            Row(m.path, m.len, m.content, m.addedBy, m.nFiles, m.nRows)))
+            Row(m.path, m.len, m.content, m.specId, m.addedBy, m.nFiles,
+              m.nRows)))
       case "files" | "partitions" =>
         // live entries of the (possibly time-traveled) snapshot across
         // data AND delete manifests; partition values render as a

@@ -702,8 +702,11 @@ class IcebergLiteSpec extends SparkSuite {
     // per-file provenance: every file names the snapshot that added it
     assert(files.map(r => r.getLong(5)).toSet == Set(1L, 2L))
     val manifests = IcebergLite.metaTable(spark, dir, "manifests")
-      .collect().map(r => (r.getLong(3), r.getLong(5))).toSet
+      .collect().map(r => (r.getLong(4), r.getLong(6))).toSet
     assert(manifests == Set((1L, 3L), (2L, 2L))) // addedBy -> rows
+    // both manifests written under the original spec 0
+    assert(IcebergLite.metaTable(spark, dir, "manifests")
+      .collect().map(_.getInt(3)).toSet == Set(0))
     val parts = IcebergLite.metaTable(spark, dir, "partitions")
       .collect().map(r =>
         (r.getMap[String, String](0).get("lang").get, r.getLong(2))).toMap

@@ -207,4 +207,146 @@ class IcebergTransformsSpec extends SparkSuite {
         partitionBy = Seq("truncate[4]:missing")))
     assert(ex2.getMessage.contains("not in schema"))
   }
+
+  // ---- partition-spec evolution --------------------------------------------
+
+  /** 96 hourly rows over 4 days of March 2024, ids 0..95. */
+  private def hourly96 = (0 until 96).map { h =>
+    (h.toLong, java.sql.Timestamp.valueOf(
+      f"2024-03-${5 + h / 24}%02d ${h % 24}%02d:30:00"), s"d$h")
+  }.toDF("id", "ts", "s")
+
+  test("evolveSpec: metadata-only commit; appends re-key; reads span generations") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, hourly96, dir, partitionBy = Seq("day:ts"))
+    val snapsBefore = IcebergLite.snapshotIds(spark, dir)
+    val specId = IcebergLite.evolveSpec(spark, dir,
+      Seq("day:ts", "bucket[8]:id"))
+    assert(specId == 1)
+    // metadata-only: no new snapshot, data untouched
+    assert(IcebergLite.snapshotIds(spark, dir) == snapsBefore)
+    assert(IcebergLite.tablePartitionSpec(spark, dir) ==
+      Seq("day:ts", "bucket[8]:id"))
+    // the OLD partitionBy now refuses; the NEW one appends
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.appendSnapshot(spark,
+        hourly96.withColumn("id", col("id") + 100L), dir,
+        partitionBy = Seq("day:ts")))
+    assert(ex.getMessage.contains("partitioned by"))
+    IcebergLite.appendSnapshot(spark,
+      hourly96.withColumn("id", col("id") + 100L), dir,
+      partitionBy = Seq("day:ts", "bucket[8]:id"))
+    val back = IcebergLite.readTable(spark, dir)
+    assert(back.columns.toSeq == Seq("id", "ts", "s"))
+    assert(back.count() == 192L)
+    assert(back.select("id").as[Long].collect().toSet ==
+      ((0L until 96L) ++ (100L until 196L)).toSet)
+    // manifests carry their write-time spec ids
+    assert(IcebergLite.metaTable(spark, dir, "manifests")
+      .collect().map(_.getInt(3)).sorted.toSeq == Seq(0, 1))
+  }
+
+  test("pruning resolves each generation through ITS spec") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, hourly96, dir, partitionBy = Seq("day:ts"))
+    IcebergLite.evolveSpec(spark, dir, Seq("day:ts", "bucket[8]:id"))
+    IcebergLite.appendSnapshot(spark,
+      hourly96.withColumn("id", col("id") + 100L), dir,
+      partitionBy = Seq("day:ts", "bucket[8]:id"))
+    val (_, total) = IcebergLite.scanFileCount(spark, dir, Nil)
+    // gen-1: 4 day files; gen-2: a file per POPULATED (day, bucket)
+    assert(total > 4 + 8, s"expected both generations' files, got $total")
+    // a RANGED read on ts prunes BOTH generations via their day fields:
+    // 1 gen-1 file + at most the last day's 8 buckets survive
+    val cut = java.sql.Timestamp.valueOf("2024-03-08 00:00:00")
+    val (keptT, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.GtEq("ts", cut)))
+    assert(keptT <= 1 + 8, s"kept $keptT — day pruning must span specs")
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.GtEq("ts", cut)))
+      .filter(col("ts") >= cut).count() == 48L)
+    // a KEYED read prunes gen-2 via bucket; gen-1 keeps only what its
+    // column bounds allow (conservative, never row-losing)
+    val (keptK, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("id", 150L)))
+    assert(keptK <= 4 + 4, s"kept $keptK of $total on id=150")
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("id", 150L)))
+      .filter(col("id") === 150L).count() == 1L)
+    // ranged + keyed TOGETHER prune across both dimensions
+    val (keptB, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.GtEq("ts", cut), IcebergLite.EqTo("id", 150L)))
+    assert(keptB <= 2, s"kept $keptB — combined pruning broken")
+  }
+
+  test("maintenance re-keys rewrites through the CURRENT spec; carries keep theirs") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, hourly96, dir, partitionBy = Seq("day:ts"))
+    IcebergLite.evolveSpec(spark, dir, Seq("bucket[4]:id"))
+    IcebergLite.appendSnapshot(spark,
+      hourly96.withColumn("id", col("id") + 100L), dir,
+      partitionBy = Seq("bucket[4]:id"))
+    // COW delete touches files in BOTH generations: survivors of hit
+    // files rewrite under the NEW spec, untouched files carry under
+    // their own
+    assert(IcebergLite.deleteWhere(spark, dir, col("id") % 24 === 1L) == 8L)
+    val specIds = IcebergLite.metaTable(spark, dir, "manifests")
+      .collect().map(_.getInt(3)).toSet
+    assert(specIds.contains(1), s"rewrite not under the new spec: $specIds")
+    assert(IcebergLite.readTable(spark, dir).count() == 184L)
+    // full compact folds everything into the current spec
+    IcebergLite.compact(spark, dir)
+    assert(IcebergLite.metaTable(spark, dir, "manifests")
+      .collect().map(_.getInt(3)).toSet == Set(1))
+    assert(IcebergLite.readTable(spark, dir).count() == 184L)
+    val (keptK, totalK) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("id", 150L)))
+    assert(keptK < totalK, s"kept $keptK of $totalK after re-key")
+  }
+
+  test("spec evolution composes with schema evolution and MOR deletes") {
+    val dir = tmp()
+    val rows = hourly96.withColumn("n", (col("id") * 2).cast("int"))
+    IcebergLite.createTable(spark, rows, dir, partitionBy = Seq("day:ts"))
+    IcebergLite.renameColumn(spark, dir, "s", "label")
+    IcebergLite.evolveSpec(spark, dir, Seq("day:ts", "truncate[50]:id"))
+    IcebergLite.appendSnapshot(spark,
+      rows.toDF("id", "ts", "label", "n")
+        .withColumn("id", col("id") + 100L), dir,
+      partitionBy = Seq("day:ts", "truncate[50]:id"))
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 5L)
+    // widening a NON-partition column composes (partition sources are
+    // guarded — their directory encoding anchors the layout)
+    IcebergLite.widenColumn(spark, dir, "n",
+      org.apache.spark.sql.types.LongType)
+    val back = IcebergLite.readTable(spark, dir)
+    assert(back.columns.toSeq == Seq("id", "ts", "label", "n"))
+    assert(back.count() == 191L)
+    assert(back.schema("n").dataType.typeName == "long")
+    IcebergLite.compactSmallFiles(spark, dir, Long.MaxValue)
+    assert(IcebergLite.readTable(spark, dir).count() == 191L)
+    // n was derived BEFORE the append's id shift: both generations
+    // carry n = orig_id * 2; the deleted row (id 5) had n = 10
+    assert(IcebergLite.readTable(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0) ==
+      2L * (0L until 96L).map(_ * 2).sum - 10L)
+  }
+
+  test("evolveSpec refusals: no-op spec, bad source, name collision") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, hourly96, dir, partitionBy = Seq("day:ts"))
+    val ex0 = intercept[IllegalArgumentException](
+      IcebergLite.evolveSpec(spark, dir, Seq("day:ts")))
+    assert(ex0.getMessage.contains("already the default"))
+    val ex1 = intercept[RuntimeException](
+      IcebergLite.evolveSpec(spark, dir, Seq("bucket[8]:missing")))
+    assert(ex1.getMessage.contains("not in schema"))
+    val dir2 = tmp()
+    IcebergLite.createTable(spark,
+      hourly96.withColumnRenamed("s", "id_bucket"), dir2,
+      partitionBy = Seq("day:ts"))
+    val ex2 = intercept[IllegalArgumentException](
+      IcebergLite.evolveSpec(spark, dir2, Seq("bucket[8]:id")))
+    assert(ex2.getMessage.contains("collides"))
+  }
 }
