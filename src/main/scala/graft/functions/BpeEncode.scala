@@ -23,7 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * sentinel glued to each word's last symbol.
   */
 case class BpeEncode(child: Expression, merges: Array[(String, String)],
-                     countOnly: Boolean) extends UnaryExpression {
+                     countOnly: Boolean, byteLevel: Boolean = false)
+    extends UnaryExpression {
 
   @transient private lazy val ranks = BpeEncode.rankMap(merges)
 
@@ -37,16 +38,18 @@ case class BpeEncode(child: Expression, merges: Array[(String, String)],
 
   override protected def nullSafeEval(input: Any): Any = {
     val t = input.asInstanceOf[UTF8String]
-    if (countOnly) BpeEncode.countTokens(t, ranks)
-    else BpeEncode.computeTokens(t, ranks)
+    if (countOnly) BpeEncode.countTokens(t, ranks, byteLevel)
+    else BpeEncode.computeTokens(t, ranks, byteLevel)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
     if (countOnly)
-      defineCodeGen(ctx, ev, c => s"graft.functions.BpeEncode.countTokens($c, $ref)")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.BpeEncode.countTokens($c, $ref, $byteLevel)")
     else
-      defineCodeGen(ctx, ev, c => s"graft.functions.BpeEncode.computeTokens($c, $ref)")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.BpeEncode.computeTokens($c, $ref, $byteLevel)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
@@ -113,9 +116,11 @@ object BpeEncode {
   }
 
   def computeTokens(text: UTF8String,
-                    ranks: java.util.HashMap[String, Integer]): GenericArrayData = {
+                    ranks: java.util.HashMap[String, Integer],
+                    byteLevel: Boolean): GenericArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    eachWord(text) { w =>
+    eachWord(text) { w0 =>
+      val w = if (byteLevel) graft.text.ByteLevel.encode(w0) else w0
       val toks = encodeWord(w, ranks)
       var i = 0
       while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
@@ -124,9 +129,13 @@ object BpeEncode {
   }
 
   def countTokens(text: UTF8String,
-                  ranks: java.util.HashMap[String, Integer]): Int = {
+                  ranks: java.util.HashMap[String, Integer],
+                  byteLevel: Boolean): Int = {
     var n = 0
-    eachWord(text) { w => n += encodeWord(w, ranks).length }
+    eachWord(text) { w0 =>
+      val w = if (byteLevel) graft.text.ByteLevel.encode(w0) else w0
+      n += encodeWord(w, ranks).length
+    }
     n
   }
 
@@ -148,7 +157,7 @@ object BpeEncode {
   }
 
   def col(c: Column, merges: Array[(String, String)],
-          countOnly: Boolean): Column =
+          countOnly: Boolean, byteLevel: Boolean = false): Column =
     GraftColumnShim.column(
-      BpeEncode(GraftColumnShim.expression(c), merges, countOnly))
+      BpeEncode(GraftColumnShim.expression(c), merges, countOnly, byteLevel))
 }

@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * trailing piece.
   */
 case class UnigramEncode(child: Expression, pieces: Array[(String, Double)],
-                         maxPieceLen: Int, countOnly: Boolean)
+                         maxPieceLen: Int, countOnly: Boolean,
+                         byteFallback: Boolean = false)
     extends UnaryExpression {
 
   @transient private lazy val scores = UnigramEncode.scoreMap(pieces)
@@ -36,18 +37,20 @@ case class UnigramEncode(child: Expression, pieces: Array[(String, Double)],
 
   override protected def nullSafeEval(input: Any): Any = {
     val t = input.asInstanceOf[UTF8String]
-    if (countOnly) UnigramEncode.countTokens(t, scores, maxPieceLen, unk)
-    else UnigramEncode.computeTokens(t, scores, maxPieceLen, unk)
+    if (countOnly)
+      UnigramEncode.countTokens(t, scores, maxPieceLen, unk, byteFallback)
+    else
+      UnigramEncode.computeTokens(t, scores, maxPieceLen, unk, byteFallback)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("scores", scores, "java.util.HashMap")
     if (countOnly)
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.UnigramEncode.countTokens($c, $ref, $maxPieceLen, ${unk}D)")
+        s"graft.functions.UnigramEncode.countTokens($c, $ref, $maxPieceLen, ${unk}D, $byteFallback)")
     else
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.UnigramEncode.computeTokens($c, $ref, $maxPieceLen, ${unk}D)")
+        s"graft.functions.UnigramEncode.computeTokens($c, $ref, $maxPieceLen, ${unk}D, $byteFallback)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
@@ -71,6 +74,47 @@ object UnigramEncode {
   def unkScoreOf(pieces: Array[(String, Double)]): Double =
     if (pieces.isEmpty) -100.0
     else pieces.iterator.map(_._2).min - 10.0
+
+  /** The 256 byte-fallback piece literals, `<0x00>`..`<0xFF>` — the
+    * SentencePiece byte_fallback convention (Kudo 2018 §4 + the
+    * sentencepiece `--byte_fallback` flag). */
+  val BytePieces: Array[String] =
+    Array.tabulate(256)(b => f"<0x$b%02X>")
+
+  /** Expand every maximal RUN of out-of-vocabulary single-UTF-16-unit
+    * tokens into its UTF-8 bytes as `<0xNN>` pieces. Runs (not units)
+    * so a surrogate PAIR reunites before byte conversion — converting
+    * a lone surrogate would mojibake to '?'. In-vocabulary tokens pass
+    * through untouched. */
+  private def byteExpand(toks: Array[String],
+                         scores: java.util.HashMap[String, java.lang.Double])
+      : Array[String] = {
+    var any = false
+    var k = 0
+    while (k < toks.length && !any) {
+      if (toks(k).length == 1 && scores.get(toks(k)) == null) any = true
+      k += 1
+    }
+    if (!any) return toks
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).length == 1 && scores.get(toks(i)) == null) {
+        val run = new java.lang.StringBuilder()
+        while (i < toks.length && toks(i).length == 1 &&
+               scores.get(toks(i)) == null) {
+          run.append(toks(i)); i += 1
+        }
+        val bytes = run.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        var b = 0
+        while (b < bytes.length) {
+          out += BytePieces(bytes(b) & 0xff); b += 1
+        }
+      } else { out += toks(i); i += 1 }
+    }
+    out.toArray
+  }
 
   /** Viterbi segmentation of one word. Deterministic tie-breaks:
     * score, then fewer pieces, then the longer trailing piece. */
@@ -125,12 +169,22 @@ object UnigramEncode {
     out
   }
 
+  /** [[encodeWord]] plus byte-fallback expansion when requested. */
+  def encodeWordFb(word: String,
+                   scores: java.util.HashMap[String, java.lang.Double],
+                   maxPieceLen: Int, unkScore: Double,
+                   byteFallback: Boolean): Array[String] = {
+    val toks = encodeWord(word, scores, maxPieceLen, unkScore)
+    if (byteFallback) byteExpand(toks, scores) else toks
+  }
+
   def computeTokens(text: UTF8String,
                     scores: java.util.HashMap[String, java.lang.Double],
-                    maxPieceLen: Int, unkScore: Double): GenericArrayData = {
+                    maxPieceLen: Int, unkScore: Double,
+                    byteFallback: Boolean): GenericArrayData = {
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     eachWord(text) { w =>
-      val toks = encodeWord(w, scores, maxPieceLen, unkScore)
+      val toks = encodeWordFb(w, scores, maxPieceLen, unkScore, byteFallback)
       var i = 0
       while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
     }
@@ -139,9 +193,12 @@ object UnigramEncode {
 
   def countTokens(text: UTF8String,
                   scores: java.util.HashMap[String, java.lang.Double],
-                  maxPieceLen: Int, unkScore: Double): Int = {
+                  maxPieceLen: Int, unkScore: Double,
+                  byteFallback: Boolean): Int = {
     var n = 0
-    eachWord(text) { w => n += encodeWord(w, scores, maxPieceLen, unkScore).length }
+    eachWord(text) { w =>
+      n += encodeWordFb(w, scores, maxPieceLen, unkScore, byteFallback).length
+    }
     n
   }
 
@@ -160,7 +217,8 @@ object UnigramEncode {
   }
 
   def col(c: Column, pieces: Array[(String, Double)], maxPieceLen: Int,
-          countOnly: Boolean): Column =
+          countOnly: Boolean, byteFallback: Boolean = false): Column =
     GraftColumnShim.column(UnigramEncode(
-      GraftColumnShim.expression(c), pieces, maxPieceLen, countOnly))
+      GraftColumnShim.expression(c), pieces, maxPieceLen, countOnly,
+      byteFallback))
 }

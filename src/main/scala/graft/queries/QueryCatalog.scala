@@ -2465,6 +2465,131 @@ object QueryCatalog {
         TRUE AS vocab_bounded
       FROM documents""")),
 
+    // BYTE-LEVEL BPE (r14 — the GPT-2 discipline: words pass the
+    // byte↔unicode bijection before merging, so the base alphabet is
+    // CLOSED at 256 symbols and production tokenizers never emit UNK):
+    // trained on the %10 ASCII slice only, then encoding a corpus with
+    // PLANTED out-of-alphabet docs (accents, CJK, emoji the training
+    // never saw). Per-doc identities ride as in-Spark booleans:
+    // losslessness through the byte-level DECODE (every token stream
+    // restores the exact de-spaced text, planted docs included) and
+    // alphabet closure (every token spells only byte-alphabet chars —
+    // the zero-UNK claim); DuckDB rederives doc/word counts incl. the
+    // planted suffix arithmetic. Data-derived at any scale.
+    QueryDef("bpe_byte_stats", (s, d) => {
+      import graft.text.{Bpe, ByteLevel}
+      import s.implicits._
+      val plantedSuffix = "héllo wörld " +
+        "日本語テキスト " +
+        "🚀🌍 café"
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(col("text"), lit(" " + plantedSuffix)).as("text"))
+      val corpus = docs.unionByName(planted)
+      val model = Bpe.train(docs.filter(col("doc_id") % 10 === 0), "text",
+        numMerges = 200, maxWords = 5000, byteLevel = true)
+      val image = ByteLevel.byteToCp.map(_.toChar).toSet
+      val enc = Bpe.encodeDocs(corpus, "text", "doc_id", model)
+        .join(corpus, "doc_id")
+        .select(col("doc_id"), col("bpe_tokens"), col("text"))
+        .as[(Long, Seq[String], String)]
+        .map { case (id, toks, text) =>
+          val lossless =
+            Bpe.decodeTokens(model, toks) == text.replaceAll(" +", "")
+          val inAlpha =
+            toks.forall(_.stripSuffix("</w>").forall(image))
+          val nWords = text.split(" +").count(_.nonEmpty).toLong
+          (id, lossless, inAlpha, nWords, id >= 50000L)
+        }.toDF("doc_id", "lossless", "in_alpha", "n_words", "planted")
+      enc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(when(col("lossless"), 1L).otherwise(0L)).as("n_lossless"),
+          (sum(when(col("in_alpha"), 0L).otherwise(1L)) === 0L)
+            .as("alphabet_closed"),
+          sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+          (sum(when(col("planted") && !col("lossless"), 1L).otherwise(0L))
+            === 0L).as("planted_all_lossless"))
+    }, Some("""
+      WITH corpus AS (
+        SELECT doc_id, text, FALSE AS planted FROM documents
+        UNION ALL
+        SELECT doc_id + 50000,
+          text || ' héllo wörld 日本語テキスト 🚀🌍 café',
+          TRUE
+        FROM documents WHERE doc_id < 200)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+          AS BIGINT) AS total_words,
+        CAST(count(*) AS BIGINT) AS n_lossless,
+        TRUE AS alphabet_closed,
+        CAST(count(*) FILTER (WHERE planted) AS BIGINT) AS n_planted,
+        TRUE AS planted_all_lossless
+      FROM corpus""")),
+
+    // Unigram BYTE FALLBACK (r14 — SentencePiece --byte_fallback:
+    // out-of-alphabet characters emit their UTF-8 bytes as <0xNN>
+    // pieces, surrogate pairs reunited first, so the vocabulary is
+    // CLOSED and nothing ever maps to UNK): trained on the %10 ASCII
+    // slice, encoding planted accents/CJK/emoji docs. Booleans:
+    // losslessness through decodeTokens and vocabulary closure (every
+    // emitted piece ∈ trained pieces ∪ the 256 byte pieces). DuckDB
+    // rederives doc/word counts. Data-derived at any scale.
+    QueryDef("unigram_byte_stats", (s, d) => {
+      import graft.text.Unigram
+      import s.implicits._
+      val plantedSuffix = "héllo wörld " +
+        "日本語テキスト " +
+        "🚀🌍 café"
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(col("text"), lit(" " + plantedSuffix)).as("text"))
+      val corpus = docs.unionByName(planted)
+      val model = Unigram.train(docs.filter(col("doc_id") % 10 === 0),
+        "text", vocabSize = 400, maxWords = 5000, emIters = 2,
+        byteFallback = true)
+      val vocab = model.vocabPieces.map(_._1).toSet
+      val enc = Unigram.encodeDocs(corpus, "text", "doc_id", model)
+        .join(corpus, "doc_id")
+        .select(col("doc_id"), col("uni_tokens"), col("text"))
+        .as[(Long, Seq[String], String)]
+        .map { case (id, toks, text) =>
+          val lossless =
+            Unigram.decodeTokens(toks) == text.replaceAll(" +", "")
+          val inVocab = toks.forall(vocab)
+          val nWords = text.split(" +").count(_.nonEmpty).toLong
+          (id, lossless, inVocab, nWords, id >= 50000L,
+            toks.exists(_.startsWith("<0x")))
+        }.toDF("doc_id", "lossless", "in_vocab", "n_words", "planted",
+          "used_bytes")
+      enc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(when(col("lossless"), 1L).otherwise(0L)).as("n_lossless"),
+          (sum(when(col("in_vocab"), 0L).otherwise(1L)) === 0L)
+            .as("vocab_closed"),
+          sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+          (sum(when(col("planted") && !col("used_bytes"), 1L).otherwise(0L))
+            === 0L).as("planted_all_hit_fallback"))
+    }, Some("""
+      WITH corpus AS (
+        SELECT doc_id, text, FALSE AS planted FROM documents
+        UNION ALL
+        SELECT doc_id + 50000,
+          text || ' héllo wörld 日本語テキスト 🚀🌍 café',
+          TRUE
+        FROM documents WHERE doc_id < 200)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+          AS BIGINT) AS total_words,
+        CAST(count(*) AS BIGINT) AS n_lossless,
+        TRUE AS vocab_closed,
+        CAST(count(*) FILTER (WHERE planted) AS BIGINT) AS n_planted,
+        TRUE AS planted_all_hit_fallback
+      FROM corpus""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

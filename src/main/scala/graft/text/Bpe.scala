@@ -28,15 +28,24 @@ object Bpe {
     * sentinel `</w>` is attached to each word's last symbol before
     * merging, per the classic formulation (so "low" as a whole word and
     * "low" as a prefix of "lower" are distinct merge contexts).
+    *
+    * `byteLevel = true` is the GPT-2 discipline ([[ByteLevel]]): words
+    * pass through the byte↔unicode bijection before merging, so the
+    * base alphabet is CLOSED at 256 symbols — any input (emoji, CJK
+    * unseen at train time) encodes losslessly with zero UNKs, and
+    * [[decodeTokens]] restores the exact bytes.
     */
-  final case class BpeModel(merges: Array[(String, String)]) {
+  final case class BpeModel(merges: Array[(String, String)],
+                            byteLevel: Boolean = false) {
+    @transient private lazy val ranks =
+      graft.functions.BpeEncode.rankMap(merges)
     /** tokens of `word` (no whitespace) under this model, driver-side —
       * the same algorithm the native expression runs; exposed for tests
       * and ad-hoc use.
       */
     def encodeWord(word: String): Seq[String] =
       graft.functions.BpeEncode.encodeWord(
-        word, graft.functions.BpeEncode.rankMap(merges)).toSeq
+        if (byteLevel) ByteLevel.encode(word) else word, ranks).toSeq
   }
 
   /** Train on the corpus' word-frequency table.
@@ -47,7 +56,8 @@ object Bpe {
     * @param minCount  drop words rarer than this before training
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            maxWords: Int = 50000, minCount: Long = 1L): BpeModel = {
+            maxWords: Int = 50000, minCount: Long = 1L,
+            byteLevel: Boolean = false): BpeModel = {
     require(numMerges > 0, "numMerges must be positive")
     val counts = docs
       .select(explode(TextAnalysis.spaceTokens(col(textCol))).as("word"))
@@ -57,8 +67,12 @@ object Bpe {
       if (maxWords > 0)
         counts.orderBy(col("n").desc, col("word")).limit(maxWords)
       else counts
-    val table = capped.collect().map(r => (r.getString(0), r.getLong(1)))
-    BpeModel(trainOnTable(table, numMerges))
+    // byte-level maps the BOUNDED word table, not the corpus (the
+    // bijection is injective, so mapped counts never collide)
+    val table = capped.collect().map(r =>
+      ((if (byteLevel) ByteLevel.encode(r.getString(0)) else r.getString(0)),
+        r.getLong(1)))
+    BpeModel(trainOnTable(table, numMerges), byteLevel)
   }
 
   /** The classic merge loop over a (word, count) table — driver-side,
@@ -114,13 +128,28 @@ object Bpe {
 
   /** Tokens of every document as `array<string>`, map-only in the scan. */
   def tokensCol(model: BpeModel, text: Column): Column =
-    graft.functions.BpeEncode.col(text, model.merges, countOnly = false)
+    graft.functions.BpeEncode.col(text, model.merges, countOnly = false,
+      byteLevel = model.byteLevel)
 
   /** BPE token COUNT per document — the cheap path for token budgeting /
     * sequence packing (no token array materialized).
     */
   def tokenCountCol(model: BpeModel, text: Column): Column =
-    graft.functions.BpeEncode.col(text, model.merges, countOnly = true)
+    graft.functions.BpeEncode.col(text, model.merges, countOnly = true,
+      byteLevel = model.byteLevel)
+
+  /** Reassemble a token stream to the original DE-SPACED text — the
+    * executable half of the losslessness identity (`</w>` marks word
+    * ends; byte-level tokens pass back through the [[ByteLevel]]
+    * inverse). Oracles/tests pin `decodeTokens(encode(x)) ==
+    * x.replaceAll(" +", "")`. */
+  def decodeTokens(model: BpeModel, tokens: Seq[String]): String = {
+    // the sentinel is always token-FINAL (glued to the last symbol,
+    // merges only concatenate) — stripSuffix, never a global replace,
+    // so literal "</w>" text survives
+    val joined = tokens.map(_.stripSuffix("</w>")).mkString("")
+    if (model.byteLevel) ByteLevel.decode(joined) else joined
+  }
 
   /** Per-document encoding frame: `(idCol, bpe_tokens, n_bpe_tokens)`. */
   def encodeDocs(docs: DataFrame, textCol: String, idCol: String,

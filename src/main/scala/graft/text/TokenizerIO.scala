@@ -36,7 +36,8 @@ object TokenizerIO {
     val body = model.merges
       .map { case (a, b) => s"[${q(a)}, ${q(b)}]" }
       .mkString("[", ", ", "]")
-    write(path, s"""{"type": "bpe", "merges": $body}""")
+    write(path,
+      s"""{"type": "bpe", "byte_level": ${model.byteLevel}, "merges": $body}""")
   }
 
   def loadBpe(path: String): Bpe.BpeModel = {
@@ -49,7 +50,8 @@ object TokenizerIO {
       val p = it.next()
       merges += ((p.get(0).asText(), p.get(1).asText()))
     }
-    Bpe.BpeModel(merges.toArray)
+    Bpe.BpeModel(merges.toArray,
+      Option(node.get("byte_level")).exists(_.asBoolean()))
   }
 
   def saveUnigram(model: Unigram.UnigramModel, path: String): Unit = {
@@ -57,6 +59,7 @@ object TokenizerIO {
       .map { case (p, lp) => s"[${q(p)}, ${q(lp.toString)}]" }
       .mkString("[", ", ", "]")
     write(path, s"""{"type": "unigram", "max_piece_len": ${model.maxPieceLen},
+      "byte_fallback": ${model.byteFallback},
       "pieces": $body}""")
   }
 
@@ -74,7 +77,8 @@ object TokenizerIO {
       pieces += ((p.get(0).asText(),
         java.lang.Double.parseDouble(p.get(1).asText())))
     }
-    Unigram.UnigramModel(pieces.toArray, node.get("max_piece_len").asInt())
+    Unigram.UnigramModel(pieces.toArray, node.get("max_piece_len").asInt(),
+      Option(node.get("byte_fallback")).exists(_.asBoolean()))
   }
 
   private def write(path: String, body: String): Unit = {

@@ -32,16 +32,51 @@ import org.apache.spark.sql.functions._
 object Unigram {
 
   /** A trained tokenizer: piece → log probability (natural log),
-    * single chars of the training alphabet all present. */
+    * single chars of the training alphabet all present.
+    *
+    * `byteFallback = true` is the SentencePiece `--byte_fallback`
+    * discipline: characters outside the training alphabet emit their
+    * UTF-8 bytes as `<0xNN>` pieces (surrogate pairs reunited first)
+    * instead of floor-scored raw-char UNKs — so ANY input encodes
+    * with ZERO out-of-vocabulary tokens and [[decodeTokens]] restores
+    * the exact text. `vocabPieces` lists the full closed vocabulary
+    * (trained pieces + the 256 byte pieces) for artifact export. */
   final case class UnigramModel(pieces: Array[(String, Double)],
-                                maxPieceLen: Int) {
+                                maxPieceLen: Int,
+                                byteFallback: Boolean = false) {
     @transient lazy val unkScore: Double =
       graft.functions.UnigramEncode.unkScoreOf(pieces)
     @transient private lazy val scores =
       graft.functions.UnigramEncode.scoreMap(pieces)
     def encodeWord(word: String): Seq[String] =
-      graft.functions.UnigramEncode.encodeWord(
-        word, scores, maxPieceLen, unkScore).toSeq
+      graft.functions.UnigramEncode.encodeWordFb(
+        word, scores, maxPieceLen, unkScore, byteFallback).toSeq
+    /** The closed vocabulary: trained pieces, plus (with byteFallback)
+      * the 256 byte pieces at a floor score below every real piece. */
+    def vocabPieces: Array[(String, Double)] =
+      if (!byteFallback) pieces
+      else pieces ++ graft.functions.UnigramEncode.BytePieces
+        .map(_ -> (unkScore - 10.0))
+  }
+
+  /** Reassemble a token stream to the original DE-SPACED text — the
+    * executable half of the losslessness identity: `<0xNN>` runs map
+    * back through UTF-8, every other piece passes verbatim. */
+  def decodeTokens(tokens: Seq[String]): String = {
+    val sb = new java.lang.StringBuilder()
+    val buf = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (buf.size() > 0) {
+      sb.append(new String(buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      buf.reset()
+    }
+    tokens.foreach { t =>
+      if (t.length == 6 && t.startsWith("<0x") && t.endsWith(">"))
+        buf.write(Integer.parseInt(t.substring(3, 5), 16))
+      else { flush(); sb.append(t) }
+    }
+    flush()
+    sb.toString
   }
 
   /** Train on the corpus' word-frequency table (one shuffle; the
@@ -57,7 +92,8 @@ object Unigram {
   def train(docs: DataFrame, textCol: String, vocabSize: Int,
             maxWords: Int = 50000, minCount: Long = 1L,
             maxPieceLen: Int = 8, seedFactor: Int = 4,
-            emIters: Int = 2, pruneFrac: Double = 0.25): UnigramModel = {
+            emIters: Int = 2, pruneFrac: Double = 0.25,
+            byteFallback: Boolean = false): UnigramModel = {
     require(vocabSize > 0, "vocabSize must be positive")
     val counts = docs
       .select(explode(TextAnalysis.spaceTokens(col(textCol))).as("word"))
@@ -69,7 +105,7 @@ object Unigram {
       else counts
     val table = capped.collect().map(r => (r.getString(0), r.getLong(1)))
     trainOnTable(table, vocabSize, maxPieceLen, seedFactor, emIters,
-      pruneFrac)._1
+      pruneFrac)._1.copy(byteFallback = byteFallback)
   }
 
   /** Driver-side EM + prune loop. Returns (model, per-E-step corpus
@@ -224,12 +260,12 @@ object Unigram {
   /** Tokens of every document as `array<string>`, map-only in the scan. */
   def tokensCol(model: UnigramModel, text: Column): Column =
     graft.functions.UnigramEncode.col(text, model.pieces, model.maxPieceLen,
-      countOnly = false)
+      countOnly = false, byteFallback = model.byteFallback)
 
   /** Unigram token COUNT per document (no array materialized). */
   def tokenCountCol(model: UnigramModel, text: Column): Column =
     graft.functions.UnigramEncode.col(text, model.pieces, model.maxPieceLen,
-      countOnly = true)
+      countOnly = true, byteFallback = model.byteFallback)
 
   /** Per-document encoding frame: `(idCol, uni_tokens, n_uni_tokens)`. */
   def encodeDocs(docs: DataFrame, textCol: String, idCol: String,
