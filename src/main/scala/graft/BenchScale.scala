@@ -710,6 +710,32 @@ object BenchScale {
         require(got == 1L, s"keyed day slice lost the row: $got")
         kept * 1000000000L + got
       },
+      timed("iceberg_bloom_lookup") {
+        // per-file BLOOM filters at corpus scale (r14): the table is
+        // TIME-sorted (manifest bounds cluster on ts) and doc_id is
+        // interleaved across that order, so every file's doc_id bounds
+        // span ~the whole id range — an equality probe on the NON-sort
+        // column proves nothing by bounds and would scan all 32 files;
+        // the Bloom leg must plan it to a handful. Value encodes
+        // kept * 1e9 + rows (a regression to scan-everything shows as
+        // kept == total, 32e9).
+        import graft.sources.IcebergLite
+        val dir = s"$work/iceberg_bloom_docs"
+        val laid = docs.select(col("doc_id"), col("text"))
+          .withColumn("ts", pmod(col("doc_id") * 2654435761L,
+            lit(10000000L)))
+        IcebergLite.createTable(spark, laid, dir,
+          sortBy = Seq("ts"), sortFiles = 32, bloomFor = Seq("doc_id"))
+        val key = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val preds = Seq(IcebergLite.EqTo("doc_id", key))
+        val (kept, total) = IcebergLite.scanFileCount(spark, dir, preds)
+        require(total >= 16 && kept <= math.max(4, total / 8),
+          s"bloom pruning regressed: kept $kept of $total")
+        val got = IcebergLite.readTableWhere(spark, dir, preds)
+          .filter(col("doc_id") === key).count()
+        require(got == 1L, s"bloom point lookup lost the row: $got")
+        kept * 1000000000L + got
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor

@@ -4805,6 +4805,40 @@ object QueryCatalog {
         TRUE AS keyed_skips
       FROM base""")),
 
+    // Iceberg per-file BLOOM FILTERS (r14 verdict task 4 — point
+    // lookups beyond min/max): the table is TIME-sorted (manifest
+    // bounds cluster on ts), and doc_id is INTERLEAVED across that
+    // order, so every file's doc_id bounds span ~the whole range and
+    // an equality probe on the NON-sort column proves nothing by
+    // bounds — without the Bloom leg it scans everything. The probe
+    // must BOTH skip most files (pinned boolean; the exact kept≪total
+    // arithmetic is IcebergLiteSpec's and BenchScale's job) and return
+    // exactly the right row — a build/probe hash disagreement loses
+    // the row entirely. Oracle rebuilds the lookup relationally.
+    QueryDef("iceberg_bloom_lookup", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_bloom_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          pmod(col("doc_id") * 2654435761L, lit(100000L)).as("ts"))
+      IcebergLite.createTable(s, docs, dir,
+        sortBy = Seq("ts"), sortFiles = 8, bloomFor = Seq("doc_id"))
+      val key = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (kept, total) = IcebergLite.scanFileCount(s, dir,
+        Seq(IcebergLite.EqTo("doc_id", key)))
+      IcebergLite.readTableWhere(s, dir, Seq(IcebergLite.EqTo("doc_id", key)))
+        .filter(col("doc_id") === key)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("files_skipped", lit(kept < total))
+    }, Some("""
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        TRUE AS files_skipped
+      FROM documents
+      WHERE doc_id = (SELECT max(doc_id) FROM documents)""")),
+
     // REAL PNG pixel decode end to end (multimodal/PngCodec — the
     // de-stubbed codec boundary): every doc gets a real zlib-
     // compressed, filter-framed PNG whose pixels follow a formula;

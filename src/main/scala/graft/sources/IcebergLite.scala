@@ -389,11 +389,12 @@ object IcebergLite {
   def createTable(spark: SparkSession, df: DataFrame, tableDir: String,
                   partitionBy: Seq[String] = Nil,
                   sortBy: Seq[String] = Nil,
-                  sortFiles: Int = 0): Unit = {
+                  sortFiles: Int = 0,
+                  bloomFor: Seq[String] = Nil): Unit = {
     val root = new Path(tableDir)
     fs(spark, root).delete(root, true)
     appendSnapshot(spark, df, tableDir, partitionBy, sortBy = sortBy,
-      sortFiles = sortFiles)
+      sortFiles = sortFiles, bloomFor = bloomFor)
   }
 
   /** Append one snapshot: write the batch's data files, a manifest over
@@ -411,7 +412,8 @@ object IcebergLite {
                      commitKey: Option[String] = None,
                      sortBy: Seq[String] = Nil,
                      sortFiles: Int = 0,
-                     toBranch: String = "main"): Unit = {
+                     toBranch: String = "main",
+                     bloomFor: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col => c0}
     val root = new Path(tableDir)
     val metaDir = new Path(root, "metadata")
@@ -513,12 +515,22 @@ object IcebergLite {
     val entries = writeDataFiles(spark, df, root, snapshotId,
       spec, entrySchema, fieldIds, distribute = effectiveSort.isEmpty)
 
+    // bloom filters: an explicit bloomFor becomes the NEW persisted
+    // contract; callers that name none inherit the table property
+    // (the sortBy discipline)
+    val effectiveBloom =
+      if (bloomFor.nonEmpty) bloomFor
+      else prior.map(_.bloomCols).getOrElse(Nil)
+    val bloomPath = writeBloomSidecar(spark, root, snapshotId,
+      effectiveBloom, df.schema, fieldIds)
+
     // 2. manifest for this snapshot's files
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
       Map("schema" -> schemaJs, "format-version" -> "1",
         "content" -> "data",
-        "partition-spec-id" -> defaultSpecId.toString))
+        "partition-spec-id" -> defaultSpecId.toString) ++
+        bloomPath.map("bloom-paths" -> _))
 
     // 3. manifest list = prior live manifests + this one;
     //    4. next metadata version + hint
@@ -529,7 +541,11 @@ object IcebergLite {
         MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
           newRows, content = 0, specId = defaultSpecId),
       schemaJs, lastColumnId, specs, defaultSpecId, operation = "append",
-      commitKey = commitKey, sortCols = effectiveSort, toBranch = toBranch)
+      commitKey = commitKey, sortCols = effectiveSort, toBranch = toBranch,
+      props = prior.map(_.props).getOrElse(Map.empty) ++
+        (if (effectiveBloom.nonEmpty)
+          Map(BloomColsProp -> effectiveBloom.mkString(","))
+        else Map.empty))
   }
 
   private def hasCommitKey(m: TableMeta, key: String): Boolean = {
@@ -738,7 +754,8 @@ object IcebergLite {
                      operation: String,
                      commitKey: Option[String] = None,
                      sortCols: Seq[String] = Nil,
-                     toBranch: String = "main"): Unit = {
+                     toBranch: String = "main",
+                     props: Map[String, String] = Map.empty): Unit = {
     val metaDir = new Path(root, "metadata")
     val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
     val listRecords = manifests.map { m =>
@@ -773,7 +790,7 @@ object IcebergLite {
       specs, defaultSpecId, mainHead,
       prior.toSeq.flatMap(_.snapshots) :+
         ((snapshotId, listPath.toString, newSummary)), sortCols,
-      newRefs)
+      newRefs, props)
   }
 
   /** Write vN.metadata.json + the version hint for the given snapshot
@@ -786,7 +803,8 @@ object IcebergLite {
                             currentSnapshotId: Long,
                             snapshots: Seq[(Long, String, String)],
                             sortCols: Seq[String] = Nil,
-                            refs: Map[String, (Long, String)] = Map.empty): Unit = {
+                            refs: Map[String, (Long, String)] = Map.empty,
+                            props: Map[String, String] = Map.empty): Unit = {
     val metaDir = new Path(root, "metadata")
     def specFieldsJson(spec: Seq[IcebergTransforms.PartField]): String =
       spec.zipWithIndex.map { case (pf, i) =>
@@ -842,7 +860,8 @@ object IcebergLite {
           .map { case (n, (id, t)) =>
             s"${q(n)}: {\"snapshot-id\": $id, \"type\": ${q(t)}}"
           }.mkString(", ")}},
-      "properties": {},
+      "properties": {${props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")}},
       "current-snapshot-id": $currentSnapshotId,
       "snapshots": [$snapshotsJson],
       "snapshot-log": [], "metadata-log": []
@@ -894,7 +913,14 @@ object IcebergLite {
       sortOrderCols: Seq[String],
       /** named refs: name → (snapshot id, "branch"|"tag"). `main` is
         * always present and mirrors current-snapshot-id. */
-      refs: Map[String, (Long, String)]) {
+      refs: Map[String, (Long, String)],
+      /** table properties (graft-bloom-cols etc.) — carried verbatim
+        * across commits. */
+      props: Map[String, String] = Map.empty) {
+    /** Bloom-filtered columns (a persisted contract, like sort order). */
+    def bloomCols: Seq[String] =
+      props.get(BloomColsProp).toSeq
+        .flatMap(_.split(',')).filter(_.nonEmpty)
     /** The DEFAULT spec — what new writes partition by. */
     def partitionSpec: Seq[IcebergTransforms.PartField] =
       specOf(defaultSpecId)
@@ -991,8 +1017,12 @@ object IcebergLite {
             r.get(n).get("type").asText())
         }.toMap
       }.getOrElse(Map.empty) + ("main" -> (mainId, "branch"))
+    val props: Map[String, String] =
+      Option(node.get("properties")).map { p =>
+        p.fieldNames().asScala.map(n => n -> p.get(n).asText()).toMap
+      }.getOrElse(Map.empty)
     TableMeta(version, schemaNode, specs, defaultSpecId, wantId, snapshots,
-      manifests, lastColumnId, sortOrderCols, refs)
+      manifests, lastColumnId, sortOrderCols, refs, props)
   }
 
   /** Read the table at its current (or a given) snapshot. The data-file
@@ -1256,10 +1286,15 @@ object IcebergLite {
     // grouped by their SOURCE manifest's schema AND spec so an
     // old-generation file stays readable through its own id→name
     // mapping and prunable through its own partition shape
+    val newBloom =
+      if (newEntries.nonEmpty)
+        writeBloomSidecar(spark, root, snapshotId, meta.bloomCols, schema,
+          topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap).toSeq
+      else Nil
     val groups = carryExisting(spark, meta, p => !hits.contains(p)) ++
       (if (newEntries.nonEmpty)
         Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
-          newEntries))
+          newEntries, newBloom))
       else Nil)
     commitRewrite(spark, root, meta, snapshotId, groups,
       operation = "overwrite")
@@ -1273,8 +1308,14 @@ object IcebergLite {
                             keep: String => Boolean): Seq[RewriteGroup] = {
     val carried = mutable.LinkedHashMap
       .empty[(String, Int), (Schema, mutable.ArrayBuffer[GenericRecord])]
+    val bloomsByGroup = mutable.LinkedHashMap
+      .empty[(String, Int), mutable.LinkedHashSet[String]]
     meta.manifests.filter(_.content == 0).foreach { m =>
       val (recs, manifestSchemaJs) = readManifest(spark, new Path(m.path))
+      // bloom sidecars ride along BY REFERENCE (keyed by file path, so
+      // entries for rewritten-away files are simply never consulted)
+      val srcBlooms = manifestMetaString(spark, new Path(m.path),
+        "bloom-paths").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
       recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
         val d = e.get("data_file").asInstanceOf[GenericRecord]
         if (keep(d.get("file_path").toString)) {
@@ -1283,11 +1324,14 @@ object IcebergLite {
           c.put("status", 0) // EXISTING
           carried.getOrElseUpdate((manifestSchemaJs, m.specId),
             (e.getSchema, mutable.ArrayBuffer.empty))._2 += c
+          bloomsByGroup.getOrElseUpdate((manifestSchemaJs, m.specId),
+            mutable.LinkedHashSet.empty) ++= srcBlooms
         }
       }
     }
     carried.toSeq.map { case ((js, specId), (es, recs)) =>
-      RewriteGroup(js, specId, es, recs.toSeq)
+      RewriteGroup(js, specId, es, recs.toSeq,
+        bloomsByGroup.get((js, specId)).map(_.toSeq).getOrElse(Nil))
     }
   }
 
@@ -1352,7 +1396,8 @@ object IcebergLite {
         entries.size, snapshotId, nDeleted, content = 1,
         specId = meta.defaultSpecId),
       meta.schemaJs, meta.lastColumnId, meta.specs, meta.defaultSpecId,
-      operation = "delete", sortCols = meta.sortOrderCols)
+      operation = "delete", sortCols = meta.sortOrderCols,
+      props = meta.props)
     nDeleted
   }
 
@@ -1430,7 +1475,7 @@ object IcebergLite {
         specId = meta.defaultSpecId),
       meta.schemaJs, meta.lastColumnId, meta.specs, meta.defaultSpecId,
       operation = "delete", commitKey = commitKey,
-      sortCols = meta.sortOrderCols)
+      sortCols = meta.sortOrderCols, props = meta.props)
     nKeys
   }
 
@@ -1453,9 +1498,12 @@ object IcebergLite {
     val entries = writeDataFiles(spark, all, root, snapshotId,
       spec, entrySchema,
       topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
+    val newBloom = writeBloomSidecar(spark, root, snapshotId,
+      meta.bloomCols, schema,
+      topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap).toSeq
     commitRewrite(spark, root, meta, snapshotId,
       Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
-        entries)),
+        entries, newBloom)),
       operation = "replace")
   }
 
@@ -1509,10 +1557,15 @@ object IcebergLite {
         root, snapshotId, spec, entrySchema,
         topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
 
+    val newBloom =
+      if (newEntries.nonEmpty)
+        writeBloomSidecar(spark, root, snapshotId, meta.bloomCols, schema,
+          topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap).toSeq
+      else Nil
     val groups = carryExisting(spark, meta, p => !small.contains(p)) ++
       (if (newEntries.nonEmpty)
         Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
-          newEntries))
+          newEntries, newBloom))
       else Nil)
     commitRewrite(spark, root, meta, snapshotId, groups,
       operation = "replace")
@@ -1560,7 +1613,8 @@ object IcebergLite {
     * a mismatched shape). */
   private case class RewriteGroup(schemaJs: String, specId: Int,
                                   entrySchema: Schema,
-                                  entries: Seq[GenericRecord])
+                                  entries: Seq[GenericRecord],
+                                  bloomPaths: Seq[String] = Nil)
 
   /** Commit a rewrite snapshot: one manifest PER (SOURCE SCHEMA, SPEC)
     * holding its entries (existing + added), a manifest list referencing
@@ -1579,7 +1633,10 @@ object IcebergLite {
           g.entries,
           Map("schema" -> g.schemaJs, "format-version" -> "1",
             "content" -> "data",
-            "partition-spec-id" -> g.specId.toString))
+            "partition-spec-id" -> g.specId.toString) ++
+            (if (g.bloomPaths.nonEmpty)
+              Map("bloom-paths" -> g.bloomPaths.mkString(","))
+            else Map.empty))
         val nRows = g.entries.map(_.get("data_file").asInstanceOf[GenericRecord]
           .get("record_count").asInstanceOf[Long]).sum
         MRef(manifestPath.toString, manifestLen, g.entries.size, snapshotId,
@@ -1588,7 +1645,7 @@ object IcebergLite {
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
       manifests, meta.schemaJs, meta.lastColumnId,
       meta.specs, meta.defaultSpecId, operation,
-      sortCols = meta.sortOrderCols)
+      sortCols = meta.sortOrderCols, props = meta.props)
   }
 
   /** Physically purge history: keep the `keepLast` most recent
@@ -1646,17 +1703,27 @@ object IcebergLite {
           .get("file_path").toString))
       (manifests, files)
     }
+    def bloomsOf(manifests: Set[String]): Set[String] =
+      manifests.flatMap(m => manifestMetaString(spark, new Path(m),
+        "bloom-paths").toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
     // gather ALL references before deleting anything — a manifest can be
     // shared by several dropped snapshots' lists
     val keptRefs = kept.map(s2 => refs(s2._2))
     val keptManifests = keptRefs.flatMap(_._1).toSet
     val keptFiles = keptRefs.flatMap(_._2).toSet
     val droppedRefs = dropped.map(s2 => refs(s2._2))
+    // bloom sidecars expire with their last referencing manifest (the
+    // same gather-before-delete discipline); headers read BEFORE any
+    // manifest deletion
+    val keptBlooms = bloomsOf(keptManifests)
+    val droppedBlooms = bloomsOf(droppedRefs.flatMap(_._1).toSet)
     val f = fs(spark, root)
     (droppedRefs.flatMap(_._2).toSet -- keptFiles).foreach(fp =>
       f.delete(new Path(new java.net.URI(fp)), false))
     (droppedRefs.flatMap(_._1).toSet -- keptManifests).foreach(m =>
       f.delete(new Path(m), false))
+    (droppedBlooms -- keptBlooms).foreach(b =>
+      f.delete(new Path(b), false))
     dropped.foreach { case (_, listPath, _) =>
       f.delete(new Path(listPath), false)
     }
@@ -1666,8 +1733,141 @@ object IcebergLite {
     writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
       meta.lastColumnId, meta.specs, meta.defaultSpecId,
       meta.currentSnapshotId, kept,
-      meta.sortOrderCols, meta.refs)
+      meta.sortOrderCols, meta.refs, meta.props)
   }
+
+  // ---- per-file Bloom filters (puffin-style sidecar) ----------------------
+  //
+  // Manifest MIN/MAX bounds prune RANGES on clustered columns; an
+  // equality probe on a high-cardinality NON-sort column (doc_id lookup
+  // in a time-sorted table) proves nothing by bounds and scans
+  // everything. Per-file Bloom filters close that gap: for each data
+  // file and each declared bloom column, a fixed-parameter Bloom filter
+  // over the file's values lands in a SIDECAR avro next to the
+  // manifest (puffin-style — filters are 10-100 KB each, far too big
+  // for manifest entries at 100 TB file counts), referenced from the
+  // manifest avro header ("bloom-paths"). readTableWhere's EqTo leg
+  // consults them lazily (only when an equality predicate names a
+  // bloom column), CONSERVATIVELY: a file with no filter always scans,
+  // and a positive filter only ever ADDS the file. The column set is a
+  // persisted table property (graft-bloom-cols) like the sort order,
+  // so every later writer inherits the contract.
+
+  /** Table property naming the Bloom-filtered columns. */
+  private val BloomColsProp = "graft-bloom-cols"
+  // fixed across all writers of a table: mergeInPlace requires
+  // identical parameters, and probes must hash identically
+  private val BloomExpectedItems = 100000L
+  private val BloomFpp = 0.03
+
+  private val BloomSidecarSchema: Schema = new Schema.Parser().parse("""
+    {"type": "record", "name": "bloom_entry", "fields": [
+      {"name": "file_path", "type": "string"},
+      {"name": "field_id", "type": "int"},
+      {"name": "bits", "type": "bytes"}
+    ]}""")
+
+  /** Build per-(file, column) Bloom filters over the data files of
+    * `data/s<snapshotId>` in ONE distributed pass and write the sidecar
+    * avro. Returns the sidecar path, or None when no column qualifies.
+    * Columns must be int/long/string (the bound-type subset). */
+  private def writeBloomSidecar(spark: SparkSession, root: Path,
+                                snapshotId: Long, cols: Seq[String],
+                                schema: StructType,
+                                fieldIds: Map[String, Int],
+                                suffix: String = ""): Option[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    if (cols.isEmpty) return None
+    val typed = cols.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"bloom column $c not in schema")
+      val dt = schema(c).dataType
+      require(dt == IntegerType || dt == LongType || dt == StringType,
+        s"bloom column $c has type ${dt.simpleString} (int/long/string only)")
+      (c, dt, fieldIds(c))
+    }
+    val dataDir = new Path(root, s"data/s$snapshotId")
+    val back = spark.read.parquet(dataDir.toString)
+      .select(input_file_name().as("__f") +: typed.map(t => col(t._1)): _*)
+    val nCols = typed.size
+    val merged: Array[(String, Array[Array[Byte]])] = back.rdd
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[String, Array[org.apache.spark.util.sketch.BloomFilter]]
+        it.foreach { row =>
+          val f = row.getString(0)
+          val bfs = acc.getOrElseUpdate(f, Array.fill(nCols)(
+            org.apache.spark.util.sketch.BloomFilter
+              .create(BloomExpectedItems, BloomFpp)))
+          var i = 0
+          while (i < nCols) {
+            if (!row.isNullAt(i + 1)) typed(i)._2 match {
+              case LongType => bfs(i).putLong(row.getLong(i + 1))
+              case IntegerType => bfs(i).putLong(row.getInt(i + 1).toLong)
+              case _ => bfs(i).putString(row.getString(i + 1))
+            }
+            i += 1
+          }
+        }
+        acc.iterator.map { case (f, bfs) =>
+          f -> bfs.map { bf =>
+            val bo = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bo); bo.toByteArray
+          }
+        }
+      }
+      .reduceByKey { (a, b) =>
+        a.zip(b).map { case (ab, bb) =>
+          val x = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(ab))
+          x.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bb)))
+          val bo = new java.io.ByteArrayOutputStream()
+          x.writeTo(bo); bo.toByteArray
+        }
+      }
+      .collect()
+    if (merged.isEmpty) return None
+    val records = merged.toSeq.sortBy(_._1).flatMap { case (f, bfs) =>
+      bfs.zipWithIndex.map { case (bytes, i) =>
+        val r = new GenericData.Record(BloomSidecarSchema)
+        r.put("file_path", f)
+        r.put("field_id", typed(i)._3)
+        r.put("bits", java.nio.ByteBuffer.wrap(bytes))
+        r
+      }
+    }
+    val p = new Path(new Path(root, "metadata"),
+      f"bloom-$snapshotId%05d$suffix.avro")
+    writeAvro(spark, p, BloomSidecarSchema, records,
+      Map("bloom-cols" -> cols.mkString(",")))
+    Some(p.toString)
+  }
+
+  /** Load sidecars into (file_path, field_id) → filter. */
+  private def loadBlooms(spark: SparkSession, paths: Seq[String])
+      : Map[(String, Int), org.apache.spark.util.sketch.BloomFilter] =
+    paths.flatMap { p =>
+      readAvro(spark, new Path(p)).map { r =>
+        val bb = r.get("bits").asInstanceOf[java.nio.ByteBuffer].duplicate()
+        val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+        (r.get("file_path").toString,
+          r.get("field_id").asInstanceOf[Int]) ->
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+      }
+    }.toMap
+
+  /** Does the filter possibly contain the probe value? (type-aligned
+    * with the build-side puts). */
+  private def bloomMightContain(
+      bf: org.apache.spark.util.sketch.BloomFilter, v: Any): Boolean =
+    v match {
+      case n: java.lang.Long => bf.mightContainLong(n.longValue())
+      case n: java.lang.Integer => bf.mightContainLong(n.longValue())
+      case s: String => bf.mightContainString(s)
+      case other => true // unknown probe type: conservative
+    }
 
   // ---- scan pruning via manifest column bounds ---------------------------
 
@@ -1731,9 +1931,27 @@ object IcebergLite {
         }
       }
     }.toMap
+    // the Bloom leg: equality probes on bloom-filtered columns, loaded
+    // LAZILY (only when an EqTo names a filtered column) and cached per
+    // sidecar within this planning call — always conservative (no
+    // filter for a (file, column) → the file scans)
+    val eqPreds = resolved.collect { case (EqTo(_, v), id, _) => (id, v) }
+    val bloomCache = mutable.HashMap
+      .empty[String, Map[(String, Int),
+        org.apache.spark.util.sketch.BloomFilter]]
+    def manifestBlooms(m: MRef)
+        : Map[(String, Int), org.apache.spark.util.sketch.BloomFilter] =
+      if (eqPreds.isEmpty) Map.empty
+      else manifestMetaString(spark, new Path(m.path), "bloom-paths")
+        .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+        .map(p => bloomCache.getOrElseUpdate(p, loadBlooms(spark, Seq(p))))
+        .foldLeft(Map.empty[(String, Int),
+          org.apache.spark.util.sketch.BloomFilter])(_ ++ _)
+
     var total = 0
     val kept = meta.manifests.filter(_.content == 0).flatMap { m =>
       val partPreds = partPredsBySpec.getOrElse(m.specId, Nil)
+      val blooms = manifestBlooms(m)
       val (recs, schemaJs) = readManifest(spark, new Path(m.path))
       recs.filter(_.get("status").asInstanceOf[Int] != 2).flatMap { e =>
         total += 1
@@ -1771,8 +1989,13 @@ object IcebergLite {
               }
             }
         }
-        if (excluded || excludedByPart) None
-        else Some(d.get("file_path").toString -> schemaJs)
+        val fp = d.get("file_path").toString
+        val excludedByBloom = blooms.nonEmpty && eqPreds.exists {
+          case (id, v) =>
+            blooms.get((fp, id)).exists(bf => !bloomMightContain(bf, v))
+        }
+        if (excluded || excludedByPart || excludedByBloom) None
+        else Some(fp -> schemaJs)
       }
     }
     (kept, total)
@@ -1900,15 +2123,21 @@ object IcebergLite {
                               schema: com.fasterxml.jackson.databind.JsonNode,
                               lastColumnId: Int): Unit = {
     val root = new Path(tableDir)
-    // sort order is held as NAMES; a rename changes the name, so route
-    // old-name → field-id (old schema) → new-name (new schema)
+    // sort order and bloom columns are held as NAMES; a rename changes
+    // the name, so route old-name → field-id (old schema) → new-name
     val oldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
     val newNames = topFields(schema).map(f2 => f2._1 -> f2._2).toMap
     val sortCols = meta.sortOrderCols.map(c => newNames(oldIds(c)))
+    val props = meta.props.map {
+      case (BloomColsProp, v) => BloomColsProp ->
+        v.split(',').filter(_.nonEmpty)
+          .map(c => newNames(oldIds(c))).mkString(",")
+      case kv => kv
+    }
     writeMetadata(spark, root, meta.version + 1, schema.toString,
       lastColumnId, meta.specs, meta.defaultSpecId,
       meta.currentSnapshotId, meta.snapshots,
-      sortCols, meta.refs)
+      sortCols, meta.refs, props)
   }
 
   /** PARTITION-SPEC evolution — the metadata-only commit that changes
@@ -1947,7 +2176,7 @@ object IcebergLite {
       meta.schemaJs, meta.lastColumnId,
       meta.specs :+ (newId -> newSpec), newId,
       meta.currentSnapshotId, meta.snapshots,
-      meta.sortOrderCols, meta.refs)
+      meta.sortOrderCols, meta.refs, meta.props)
     newId
   }
 
@@ -1983,7 +2212,7 @@ object IcebergLite {
     writeMetadata(spark, new Path(tableDir), meta.version + 1,
       meta.schemaJs, meta.lastColumnId,
       meta.specs, meta.defaultSpecId, mainHead,
-      meta.snapshots, meta.sortOrderCols, refs)
+      meta.snapshots, meta.sortOrderCols, refs, meta.props)
   }
 
   private def makeRef(spark: SparkSession, tableDir: String, name: String,

@@ -1095,4 +1095,119 @@ class IcebergLiteSpec extends SparkSuite {
     assert(inc == Set((1L, 10L, None, 1L), (2L, 20L, None, 1L),
       (3L, 30L, None, 1L), (7L, 70L, Some(1L), 2L)))
   }
+
+  // ---- per-file Bloom filters (off-sort-key point lookups) -----------------
+
+  /** ts-sorted rows whose doc_id is INTERLEAVED across the ts order, so
+    * every file's doc_id min/max bounds span ~the whole range — bounds
+    * prove nothing for an id probe; only the Bloom leg can skip. */
+  private def interleaved(n: Int, shift: Long = 0L) =
+    (0 until n).map { i =>
+      val id = shift + i
+      (id, (id * 2654435761L) % 100000L, s"d$id")
+    }.toDF("doc_id", "ts", "s")
+
+  test("bloom sidecar prunes an off-sort-key equality probe; bounds could not") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, interleaved(4000), dir,
+      sortBy = Seq("ts"), sortFiles = 8, bloomFor = Seq("doc_id"))
+    val (_, total) = IcebergLite.scanFileCount(spark, dir, Nil)
+    assert(total == 8, s"expected 8 sorted files, got $total")
+    // the ts-sorted layout makes doc_id bounds useless: an id probe
+    // without blooms would keep every file; with them it keeps ~1
+    val (kept, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 1234L)))
+    assert(kept <= 3, s"kept $kept of $total — bloom leg not pruning")
+    val row = IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("doc_id", 1234L)))
+      .filter(col("doc_id") === 1234L).collect()
+    assert(row.map(_.getString(2)).toSeq == Seq("d1234"))
+    // an absent key keeps ~0 files and returns nothing
+    val (keptAbsent, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 999999L)))
+    assert(keptAbsent <= 2, s"kept $keptAbsent for an absent key")
+    // RANGE predicates never consult blooms (equality only): all rows back
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.GtEq("doc_id", 0L))).count() == 4000L)
+    // string bloom columns work too, same table contract
+    val dir2 = tmp()
+    IcebergLite.createTable(spark, interleaved(1000), dir2,
+      sortBy = Seq("ts"), sortFiles = 4, bloomFor = Seq("s"))
+    val (keptS, totalS) = IcebergLite.scanFileCount(spark, dir2,
+      Seq(IcebergLite.EqTo("s", "d77")))
+    assert(totalS == 4 && keptS <= 2, s"kept $keptS of $totalS")
+  }
+
+  test("bloom contract persists: appends inherit, readers stay conservative") {
+    val dir = tmp()
+    // first snapshot WITHOUT blooms, then the contract is declared:
+    // old files have no filter and must always scan (conservative)
+    IcebergLite.createTable(spark, interleaved(1000), dir,
+      sortBy = Seq("ts"), sortFiles = 4)
+    IcebergLite.appendSnapshot(spark, interleaved(1000, shift = 10000L),
+      dir, bloomFor = Seq("doc_id"))
+    // third append names nothing — inherits the property
+    IcebergLite.appendSnapshot(spark, interleaved(1000, shift = 20000L), dir)
+    val (kept, total) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 20500L)))
+    // gen-1 pruned by id BOUNDS (range-disjoint generations), gen-2/3
+    // by their blooms: the legs compose
+    assert(kept < total, s"kept $kept of $total")
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("doc_id", 20500L)))
+      .filter(col("doc_id") === 20500L).count() == 1L)
+    // a probe INSIDE the unfiltered generation: its interleaved ids
+    // make every gen-1 file's bounds span the range and there are no
+    // filters — all 4 must scan (conservative), and the row comes back
+    val (keptOld, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 500L)))
+    assert(keptOld >= 4, s"kept $keptOld — unfiltered gen-1 must scan whole")
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("doc_id", 500L)))
+      .filter(col("doc_id") === 500L).count() == 1L)
+  }
+
+  test("blooms survive rewrites, rename, and expiry GC's orphaned sidecars") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, interleaved(2000), dir,
+      sortBy = Seq("ts"), sortFiles = 4, bloomFor = Seq("doc_id"))
+    IcebergLite.appendSnapshot(spark, interleaved(2000, shift = 10000L), dir)
+    // COW delete: rewritten files get FRESH filters, carried keep theirs
+    IcebergLite.deleteWhere(spark, dir, col("doc_id") % 100 === 7L)
+    val (k1, t1) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 11234L)))
+    assert(k1 < t1, s"kept $k1 of $t1 after deleteWhere")
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("doc_id", 11234L)))
+      .filter(col("doc_id") === 11234L).count() == 1L)
+    // rename the bloom column: the property follows (field ids stable),
+    // filters still consulted through the NEW name
+    IcebergLite.renameColumn(spark, dir, "doc_id", "uid")
+    val (k2, t2) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("uid", 11234L)))
+    assert(k2 < t2, s"kept $k2 of $t2 after rename")
+    // full compact rebuilds filters over the new files
+    IcebergLite.compact(spark, dir)
+    val (k3, t3) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("uid", 11234L)))
+    assert(k3 < t3, s"kept $k3 of $t3 after compact")
+    // expiry purges sidecars no retained manifest references
+    val metaDir = new java.io.File(dir, "metadata")
+    val bloomsBefore = metaDir.list().count(_.startsWith("bloom-"))
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    val bloomsAfter = metaDir.list().count(_.startsWith("bloom-"))
+    assert(bloomsAfter < bloomsBefore,
+      s"expiry left $bloomsAfter of $bloomsBefore sidecars")
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("uid", 11234L)))
+      .filter(col("uid") === 11234L).count() == 1L)
+  }
+
+  test("bloom refusals: unknown and non-scalar columns refuse at write time") {
+    val dir = tmp()
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.createTable(spark, interleaved(10), dir,
+        bloomFor = Seq("missing")))
+    assert(ex.getMessage.contains("not in schema"))
+  }
 }
