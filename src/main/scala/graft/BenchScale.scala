@@ -1182,6 +1182,81 @@ object BenchScale {
           s"[scale] curate_stream_parity: kept $kept, mismatches $mismatches")
         mismatches * 1000000000L + kept
       },
+      timed("curate_stream_neardedup") {
+        // In-stream NEAR-dup flagging at corpus scale (r14): the 500k
+        // docs stream in bounded micro-batches through
+        // curateStreamNearDedup — each batch folds into the maintained
+        // IncrementalNearDedup table and is delivered with is_near_dup
+        // flags against everything ingested so far. Every doc with
+        // doc_id % 50 == 1 is a planted near-dup of its % 50 == 0
+        // predecessor (same corpus trick as the dedup stages: suffix
+        // variation keeps jaccard ≥ 0.5), so ~2% of the kept corpus
+        // must flag. Value encodes flagged * 1e6 + micro-batches (a
+        // flagging regression reads as a flagged-count collapse).
+        import org.apache.spark.sql.streaming.Trigger
+        val dir = s"$work/curate_stream_nd"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dirP = new org.apache.hadoop.fs.Path(dir)
+        if (fs.exists(dirP)) fs.delete(dirP, true)
+        // plant: each % 50 == 1 doc becomes a near-dup of its % 50 == 0
+        // predecessor (predecessor text + suffix keeps jaccard ≥ 0.5) —
+        // one equi-join on the shifted id, setup not claim
+        val pred = docs.select((col("doc_id") + 1).as("doc_id"),
+          concat(col("text"), lit(" planted stream near duplicate"))
+            .as("ptext"))
+        val laid = docs.join(pred, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 50 === 1 && col("ptext").isNotNull,
+              col("ptext")).otherwise(col("text")).as("text"))
+        val laidPath = s"$dir/laid"
+        // arrival is ID-ORDERED (the monotone crawl shape the flagging
+        // contract documents: the LATER member of a pair is the flagged
+        // side, so the predecessor must not arrive after it) — range-
+        // partitioned files stream in listing order = id order
+        laid.repartitionByRange(64, col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(laidPath)
+        val inc = new graft.dedup.IncrementalNearDedup(spark,
+          s"$dir/sigs", minJaccard = 0.5)
+        def withTs(df: DataFrame) =
+          df.withColumn("ts", timestamp_micros(col("doc_id")))
+        val stream = withTs(spark.readStream
+          .schema(spark.read.parquet(laidPath).schema)
+          .option("maxFilesPerTrigger", "16").parquet(laidPath))
+        var nBatches = 0L
+        val q = stream.writeStream
+          .foreachBatch(TrainingDataPipeline.curateStreamNearDedup(
+            "text", "doc_id", "ts", inc) { (annotated, _) =>
+            nBatches += 1
+            annotated.filter(col("is_near_dup"))
+              .select("doc_id")
+              .write.mode("append").parquet(s"$dir/flagged")
+          })
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val flagged = spark.read.parquet(s"$dir/flagged")
+        val nFlagged = flagged.count()
+        val plantedFlagged = flagged.filter(col("doc_id") % 50 === 1).count()
+        // a planted pair is FLAGGABLE only when BOTH members survive
+        // the curation gates (~52% of this corpus passes them); among
+        // those the banded fold must flag the later member
+        val keptIds = TrainingDataPipeline.curateStreamGates(
+            withTs(spark.read.parquet(laidPath)), "text", "doc_id", "ts")
+          .select("doc_id")
+        val flaggable = keptIds.filter(col("doc_id") % 50 === 1)
+          .join(keptIds.select((col("doc_id") + 1).as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .count()
+        require(plantedFlagged * 10 >= flaggable * 9,
+          s"flag recall collapsed: $plantedFlagged of $flaggable flaggable")
+        System.err.println(s"[scale] curate_stream_neardedup: " +
+          s"$nBatches batches, flagged $nFlagged " +
+          s"($plantedFlagged/$flaggable flaggable planted)")
+        nFlagged * 1000000L + nBatches
+      },
       timed("warc_curate_100k") {
         // Raw WARC → curated corpus END TO END at 100k captures: full-
         // WARC HTTP parse → status/content-type gate → html strip →

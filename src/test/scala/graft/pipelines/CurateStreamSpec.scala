@@ -150,6 +150,85 @@ class CurateStreamSpec extends SparkSuite {
       "fixture must exercise within-batch AND cross-batch near-dup pairs")
   }
 
+  test("curateStreamNearDedup FLAGS near-dups on arrival; flags ⊆ batch drops") {
+    // r13 verdict task 5: the stream no longer just defers near-dedup
+    // to compaction — each micro-batch folds into the maintained table
+    // and the delivered batch carries is_near_dup on arrival.
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("curate_flag").toString + "/sigs"
+    val inc = new graft.dedup.IncrementalNearDedup(spark, sigDir,
+      minJaccard = 0.5)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val query = input.toDF().toDF("doc_id", "text", "ts").writeStream
+      .foreachBatch(TrainingDataPipeline.curateStreamNearDedup(
+        "text", "doc_id", "ts", inc) { (annotated, _) =>
+        seen ++= annotated.select("doc_id", "is_near_dup")
+          .as[(Long, Boolean)].collect()
+      })
+      .outputMode(OutputMode.Append).start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val other =
+      "we walked along the river while the evening light was fading " +
+        "and it felt like the whole town had gone quiet for a moment " * 4
+    // batch 1: a near-dup family within the batch + a length reject
+    input.addData(
+      (1L, goodText, t(1)),
+      (2L, "tiny", t(2)),
+      (3L, goodText + " tail", t(3)))
+    query.processAllAvailable()
+    // batch 2: a CROSS-batch near-dup of doc 1 (flagged on arrival,
+    // against the maintained corpus) + an unrelated keeper
+    input.addData(
+      (4L, goodText + " coda", t(20)),
+      (5L, other, t(21)))
+    query.processAllAvailable()
+    query.stop()
+    val flags = seen.toMap
+    // min-id-wins: 1 keeps, 3 flags (within batch 1); 4 flags against
+    // the CORPUS (cross-batch); 5 unique; 2 never reaches the fold
+    assert(flags === Map(1L -> false, 3L -> true, 4L -> true, 5L -> false))
+    // the documented bound: stream-flagged ⊆ the batch pipeline's
+    // near-dup drop set over the same kept corpus
+    val batchDrops = TrainingDataPipeline.curate(
+        Seq((1L, goodText), (3L, goodText + " tail"),
+          (4L, goodText + " coda"), (5L, other)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .filter(col("drop_reason") === "near_dup")
+      .select("doc_id").as[Long].collect().toSet
+    val streamFlagged = flags.filter(_._2).keySet
+    assert(streamFlagged.subsetOf(batchDrops),
+      s"stream flagged $streamFlagged, batch drops $batchDrops")
+    // the maintained table still holds every kept doc's signatures —
+    // flagging composes with (does not replace) the fold
+    assert(inc.corpusSignatures.get.select("id").as[Long]
+      .collect().toSet === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("curateStreamNearDedup replays deliver the same flags (epoch-keyed fold)") {
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("curate_flag_rp").toString + "/sigs"
+    val inc = new graft.dedup.IncrementalNearDedup(spark, sigDir,
+      minJaccard = 0.5)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val sink = TrainingDataPipeline.curateStreamNearDedup(
+      "text", "doc_id", "ts", inc) { (annotated, epoch) =>
+      seen ++= annotated.select("doc_id", "is_near_dup")
+        .as[(Long, Boolean)].collect().map(x => (epoch, x._1, x._2))
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val b1 = Seq((1L, goodText, t(1)), (3L, goodText + " tail", t(3)))
+      .toDF("doc_id", "text", "ts")
+    sink(b1, 0L)
+    sink(b1, 0L) // checkpoint replay of the same epoch
+    // the fold is exactly-once on the table; onBatch is at-least-once
+    // with IDENTICAL flags on the replay
+    assert(seen.filter(_._1 == 0L).toSet ===
+      Set((0L, 1L, false), (0L, 3L, true)))
+    assert(seen.size == 4 && seen.toSet.size == 2)
+    assert(inc.corpusSignatures.get.count() == 2L)
+  }
+
   test("streaming decisions agree with the batch front end") {
     val docs = Seq(
       (1L, goodText), (2L, "x"), (3L, goodText + " more words here"))
