@@ -49,6 +49,47 @@ object Web {
       regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1))
       .otherwise(hostCol)
 
+  /** Registered domain with a caller-supplied PUBLIC-SUFFIX table (r14
+    * — the PSL hook: the real list is a versioned external artifact the
+    * engine deliberately doesn't pin; a crawl curator loads a snapshot
+    * and passes it here). Semantics are the PSL algorithm on the plain-
+    * rule subset (no wildcard/exception rules): the LONGEST suffix the
+    * host ends with (on label boundaries) wins, and the registered
+    * domain is that suffix plus ONE more label — so "shop.example.co.uk"
+    * with "co.uk" in the table yields "example.co.uk", where the
+    * two-label default would yield "co.uk" and a blocklist entry could
+    * never name the real registrant. A host that IS a public suffix, or
+    * matches nothing, falls back to [[registeredDomain]]'s two-label
+    * rule (conservative: never empty).
+    *
+    * Still pure column expressions — the table renders as literal
+    * arrays grouped by label count (the PSL is ~9k entries, KBs; the
+    * per-row cost is a linear membership scan per label depth, fine for
+    * scan-side gating). An empty table is exactly the default rule.
+    */
+  def registeredDomain(hostCol: Column,
+                       publicSuffixes: Seq[String]): Column = {
+    val norm = publicSuffixes.map(_.toLowerCase.stripPrefix(".").trim)
+      .filter(_.nonEmpty).distinct
+    if (norm.isEmpty) registeredDomain(hostCol)
+    else {
+      val byLabels = norm.groupBy(_.count(_ == '.') + 1)
+      def lastLabels(k: Int): Column =
+        regexp_extract(hostCol,
+          "((?:[^.]+\\.){" + (k - 1) + "}[^.]+)$", 1)
+      // fold from the SHORTEST suffix length up, so longer matches
+      // override (longest-match-wins, the PSL rule)
+      byLabels.keys.toSeq.sorted.foldLeft(registeredDomain(hostCol)) {
+        (acc, k) =>
+          val hit = array_contains(
+            array(byLabels(k).sorted.map(lit): _*), lastLabels(k))
+          // ...and the host must HAVE a label beyond the suffix
+          val hasMore = hostCol.rlike("(?:[^.]+\\.){" + k + "}[^.]+$")
+          when(hit && hasMore, lastLabels(k + 1)).otherwise(acc)
+      }
+    }
+  }
+
   /** Per-URL parse + blocked-domain gate. Input columns pass through
     * (composes with annotation stages without a re-join); adds `scheme`,
     * `host`, `domain`, `url_path`, and `kept` = domain not blocked.
@@ -58,9 +99,10 @@ object Web {
     * "spamsite.net") are not.
     */
   def urlFlags(docs: DataFrame, urlCol: String,
-               blockedDomains: Seq[String]): DataFrame = {
+               blockedDomains: Seq[String],
+               publicSuffixes: Seq[String] = Nil): DataFrame = {
     val h = host(col(urlCol))
-    val dom = registeredDomain(h)
+    val dom = registeredDomain(h, publicSuffixes)
     val blockCol =
       if (blockedDomains.isEmpty) lit(true)
       else !array_contains(

@@ -99,4 +99,57 @@ class WebSpec extends SparkSuite {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!plan.contains("Exchange"), s"urlFlags must be map-only:\n$plan")
   }
+
+  test("PSL hook: longest-suffix-wins registered domains, default unchanged") {
+    import spark.implicits._
+    val psl = Seq("co.uk", "com.au", "com", "uk")
+    val hosts = Seq(
+      (1L, "shop.example.co.uk"),
+      (2L, "example.co.uk"),
+      (3L, "co.uk"),                 // IS a public suffix: falls back
+      (4L, "a.b.example.com"),
+      (5L, "foo.internal"),          // matches nothing: two-label rule
+      (6L, "localhost"),
+      (7L, "x.parliament.uk"))       // "uk" matches, "co.uk" does not
+      .toDF("id", "h")
+    val got = hosts.select(col("id"),
+        Web.registeredDomain(col("h"), psl).as("dom"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "example.co.uk",   // NOT "co.uk" (the two-label default)
+      2L -> "example.co.uk",
+      3L -> "co.uk",
+      4L -> "example.com",
+      5L -> "foo.internal",
+      6L -> "localhost",
+      7L -> "parliament.uk"))
+    // label-boundary discipline: "xco.uk" must NOT match suffix "co.uk"
+    val edge = Seq((1L, "xco.uk")).toDF("id", "h")
+      .select(Web.registeredDomain(col("h"), psl).as("dom"))
+      .as[String].head()
+    assert(edge == "xco.uk")
+    // the empty table IS the default rule
+    val same = hosts.select(
+        (Web.registeredDomain(col("h"), Nil) ===
+          Web.registeredDomain(col("h"))).as("eq"))
+      .as[Boolean].collect()
+    assert(same.forall(identity))
+  }
+
+  test("PSL-aware blocklist: the real registrant becomes nameable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://shop.example.co.uk/a"),
+      (2L, "https://other.co.uk/b"),
+      (3L, "https://example.com/c")).toDF("id", "url")
+    // without the PSL, "example.co.uk" never matches (domain = "co.uk")
+    val without = Web.urlFlags(docs, "url", Seq("example.co.uk"))
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(without === Map(1L -> true, 2L -> true, 3L -> true))
+    // with it, the registrant blocks and its co.uk neighbor survives
+    val withPsl = Web.urlFlags(docs, "url", Seq("example.co.uk"),
+        publicSuffixes = Seq("co.uk", "com"))
+      .select("id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(withPsl === Map(1L -> false, 2L -> true, 3L -> true))
+  }
 }
