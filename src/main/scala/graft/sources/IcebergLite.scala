@@ -786,11 +786,18 @@ object IcebergLite {
       if (toBranch == "main") snapshotId
       else priorRefs.get("main").map(_._1)
         .getOrElse(sys.error("branch commit on a table with no main head"))
+    val nowMs = System.currentTimeMillis()
+    // main-head changes enter the snapshot-log (branch commits leave
+    // main's pointer alone, so they don't — the Iceberg history rule)
+    val newLog = prior.toSeq.flatMap(_.snapshotLog) ++
+      (if (toBranch == "main") Seq((nowMs, snapshotId)) else Nil)
     writeMetadata(spark, root, version, schemaJs, lastColumnId,
       specs, defaultSpecId, mainHead,
       prior.toSeq.flatMap(_.snapshots) :+
         ((snapshotId, listPath.toString, newSummary)), sortCols,
-      newRefs, props)
+      newRefs, props,
+      prior.map(_.snapshotTs).getOrElse(Map.empty) + (snapshotId -> nowMs),
+      newLog)
   }
 
   /** Write vN.metadata.json + the version hint for the given snapshot
@@ -804,7 +811,9 @@ object IcebergLite {
                             snapshots: Seq[(Long, String, String)],
                             sortCols: Seq[String] = Nil,
                             refs: Map[String, (Long, String)] = Map.empty,
-                            props: Map[String, String] = Map.empty): Unit = {
+                            props: Map[String, String] = Map.empty,
+                            snapshotTs: Map[Long, Long] = Map.empty,
+                            snapshotLog: Seq[(Long, Long)] = Nil): Unit = {
     val metaDir = new Path(root, "metadata")
     def specFieldsJson(spec: Seq[IcebergTransforms.PartField]): String =
       spec.zipWithIndex.map { case (pf, i) =>
@@ -837,11 +846,18 @@ object IcebergLite {
         s""""sort-orders": [{"order-id": 1, "fields": [$fields]}],
             "default-sort-order-id": 1,"""
       }
+    // commit timestamps are written ONCE and preserved verbatim by
+    // later rewrites (regenerating them would corrupt the AS OF
+    // TIMESTAMP surface and the history table)
+    val nowMs = System.currentTimeMillis()
     val snapshotsJson = snapshots.map { case (id, lp, summary) =>
       s"""{"snapshot-id": $id,
-           "timestamp-ms": ${System.currentTimeMillis()},
+           "timestamp-ms": ${snapshotTs.getOrElse(id, nowMs)},
            "summary": $summary,
            "manifest-list": ${q(lp)}}"""
+    }.mkString(", ")
+    val snapshotLogJson = snapshotLog.map { case (ts, id) =>
+      s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
     }.mkString(", ")
     val metaJson = s"""{
       "format-version": 1,
@@ -864,7 +880,7 @@ object IcebergLite {
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")}},
       "current-snapshot-id": $currentSnapshotId,
       "snapshots": [$snapshotsJson],
-      "snapshot-log": [], "metadata-log": []
+      "snapshot-log": [$snapshotLogJson], "metadata-log": []
     }"""
     writeBytes(spark, new Path(metaDir, s"v$version.metadata.json"),
       metaJson.getBytes("UTF-8"))
@@ -916,7 +932,13 @@ object IcebergLite {
       refs: Map[String, (Long, String)],
       /** table properties (graft-bloom-cols etc.) — carried verbatim
         * across commits. */
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      /** snapshot id → commit wall-clock (ms) — written once at commit
+        * and PRESERVED verbatim by every later metadata rewrite. */
+      snapshotTs: Map[Long, Long] = Map.empty,
+      /** the `snapshot-log`: (timestamp-ms, snapshot-id) entries, one
+        * per change of main's head — the AS OF TIMESTAMP surface. */
+      snapshotLog: Seq[(Long, Long)] = Nil) {
     /** Bloom-filtered columns (a persisted contract, like sort order). */
     def bloomCols: Seq[String] =
       props.get(BloomColsProp).toSeq
@@ -973,6 +995,16 @@ object IcebergLite {
         s2.get("manifest-list").asText(),
         Option(s2.get("summary")).map(_.toString)
           .getOrElse("{\"operation\": \"append\"}"))).toSeq
+    val snapshotTs: Map[Long, Long] =
+      node.get("snapshots").elements().asScala.flatMap { s2 =>
+        Option(s2.get("timestamp-ms")).map(ts =>
+          s2.get("snapshot-id").asLong() -> ts.asLong())
+      }.toMap
+    val snapshotLog: Seq[(Long, Long)] =
+      Option(node.get("snapshot-log")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(e => (e.get("timestamp-ms").asLong(),
+          e.get("snapshot-id").asLong()))
     val wantId = snapshotId.getOrElse(node.get("current-snapshot-id").asLong())
     val listPath = snapshots.find(_._1 == wantId).map(_._2).getOrElse(
       sys.error(s"snapshot $wantId not found (have ${snapshots.map(_._1)})"))
@@ -1022,7 +1054,8 @@ object IcebergLite {
         p.fieldNames().asScala.map(n => n -> p.get(n).asText()).toMap
       }.getOrElse(Map.empty)
     TableMeta(version, schemaNode, specs, defaultSpecId, wantId, snapshots,
-      manifests, lastColumnId, sortOrderCols, refs, props)
+      manifests, lastColumnId, sortOrderCols, refs, props,
+      snapshotTs, snapshotLog)
   }
 
   /** Read the table at its current (or a given) snapshot. The data-file
@@ -1730,10 +1763,13 @@ object IcebergLite {
 
     // next metadata version: survivors only, current pointer unchanged;
     // schema json + last-column-id verbatim (never renumber field ids)
+    val keptIdSet = kept.map(_._1).toSet
     writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
       meta.lastColumnId, meta.specs, meta.defaultSpecId,
       meta.currentSnapshotId, kept,
-      meta.sortOrderCols, meta.refs, meta.props)
+      meta.sortOrderCols, meta.refs, meta.props,
+      meta.snapshotTs.filter(kv => keptIdSet(kv._1)),
+      meta.snapshotLog.filter(e => keptIdSet(e._2)))
   }
 
   // ---- per-file Bloom filters (puffin-style sidecar) ----------------------
@@ -2137,7 +2173,7 @@ object IcebergLite {
     writeMetadata(spark, root, meta.version + 1, schema.toString,
       lastColumnId, meta.specs, meta.defaultSpecId,
       meta.currentSnapshotId, meta.snapshots,
-      sortCols, meta.refs, props)
+      sortCols, meta.refs, props, meta.snapshotTs, meta.snapshotLog)
   }
 
   /** PARTITION-SPEC evolution — the metadata-only commit that changes
@@ -2176,7 +2212,8 @@ object IcebergLite {
       meta.schemaJs, meta.lastColumnId,
       meta.specs :+ (newId -> newSpec), newId,
       meta.currentSnapshotId, meta.snapshots,
-      meta.sortOrderCols, meta.refs, meta.props)
+      meta.sortOrderCols, meta.refs, meta.props,
+      meta.snapshotTs, meta.snapshotLog)
     newId
   }
 
@@ -2188,6 +2225,38 @@ object IcebergLite {
   /** Snapshot ids, oldest first — the time-travel surface. */
   def snapshotIds(spark: SparkSession, tableDir: String): Seq[Long] =
     readMeta(spark, tableDir).snapshots.map(_._1)
+
+  /** AS OF TIMESTAMP time travel (r14): read the table as of a
+    * wall-clock instant — the snapshot-log's LATEST entry at-or-before
+    * `timestampMs` (the log records every change of main's head:
+    * commits, fast-forward publishes, rollbacks — so a rollback
+    * correctly makes later reads resolve to the RESTORED head). An
+    * instant before the table existed refuses by name; an instant past
+    * the last change reads the current head. Tables written before the
+    * log existed fall back to commit timestamps along main's lineage
+    * (conservative, same at-or-before rule). */
+  def readTableAsOf(spark: SparkSession, tableDir: String,
+                    timestampMs: Long): DataFrame = {
+    val meta = readMeta(spark, tableDir)
+    val log =
+      if (meta.snapshotLog.nonEmpty) meta.snapshotLog
+      else {
+        // legacy fallback: main-lineage ancestors by commit timestamp
+        val parentOf = parentMap(meta)
+        val onMain = Iterator.iterate(meta.refs("main")._1)(
+            id => parentOf.getOrElse(id, 0L))
+          .takeWhile(_ > 0L).toSeq.toSet
+        meta.snapshots.map(_._1).filter(onMain)
+          .flatMap(id => meta.snapshotTs.get(id).map(ts => (ts, id)))
+      }
+    val at = log.filter(_._1 <= timestampMs)
+    require(at.nonEmpty,
+      s"no snapshot as of $timestampMs (earliest known change: " +
+        s"${log.map(_._1).minOption.getOrElse(-1L)})")
+    // the log is append-ordered: same-millisecond changes resolve to
+    // the latest APPLIED one, not an arbitrary max
+    readTable(spark, tableDir, Some(at.last._2))
+  }
 
   // ---- refs: branches, tags, write-audit-publish ---------------------------
 
@@ -2209,10 +2278,17 @@ object IcebergLite {
                          meta: TableMeta,
                          refs: Map[String, (Long, String)],
                          mainHead: Long): Unit = {
+    // fastForward/rollback MOVE main's head: that is a history event
+    // (the snapshot-log records every change of the current pointer)
+    val log =
+      if (mainHead != meta.refs("main")._1)
+        meta.snapshotLog :+ ((System.currentTimeMillis(), mainHead))
+      else meta.snapshotLog
     writeMetadata(spark, new Path(tableDir), meta.version + 1,
       meta.schemaJs, meta.lastColumnId,
       meta.specs, meta.defaultSpecId, mainHead,
-      meta.snapshots, meta.sortOrderCols, refs, meta.props)
+      meta.snapshots, meta.sortOrderCols, refs, meta.props,
+      meta.snapshotTs, log)
   }
 
   private def makeRef(spark: SparkSession, tableDir: String, name: String,
@@ -2454,9 +2530,24 @@ object IcebergLite {
           meta.refs.toSeq.sortBy(_._1).map { case (n, (id, t)) =>
             Row(n, t, id)
           })
+      case "history" =>
+        // the Iceberg history table: every change of main's head, with
+        // is_current_ancestor distinguishing the LIVE lineage from
+        // rolled-back orphans (the log keeps both)
+        val parentOf = parentMap(meta)
+        val ancestors = Iterator.iterate(meta.refs("main")._1)(
+            id => parentOf.getOrElse(id, 0L))
+          .takeWhile(_ > 0L).toSeq.toSet
+        frame(StructType(Seq(
+          StructField("made_current_at", LongType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("is_current_ancestor", BooleanType, nullable = false))),
+          meta.snapshotLog.map { case (ts, id) =>
+            Row(ts, id, ancestors.contains(id))
+          })
       case other => sys.error(
         s"unknown metadata table '$other' " +
-          "(snapshots|manifests|files|partitions|refs)")
+          "(snapshots|manifests|files|partitions|refs|history)")
     }
   }
 

@@ -1203,6 +1203,84 @@ class IcebergLiteSpec extends SparkSuite {
       .filter(col("uid") === 11234L).count() == 1L)
   }
 
+  // ---- snapshot timestamps, snapshot-log, AS OF TIMESTAMP -------------------
+
+  test("AS OF TIMESTAMP resolves through the snapshot-log; timestamps persist") {
+    val dir = tmp()
+    val t0 = System.currentTimeMillis() - 1
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    Thread.sleep(5)
+    val t2 = System.currentTimeMillis()
+    // before the table existed: loud
+    val ex = intercept[IllegalArgumentException](
+      IcebergLite.readTableAsOf(spark, dir, t0))
+    assert(ex.getMessage.contains("no snapshot as of"))
+    // between the commits: snapshot 1; after both: the head
+    assert(IcebergLite.readTableAsOf(spark, dir, t1).count() == 3L)
+    assert(IcebergLite.readTableAsOf(spark, dir, t2).count() == 5L)
+    // commit timestamps survive later metadata rewrites VERBATIM
+    // (evolution + expiry rewrite vN.metadata.json; regenerating
+    // timestamps would corrupt the as-of surface)
+    val histBefore = IcebergLite.metaTable(spark, dir, "history")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    IcebergLite.addColumn(spark, dir, "x",
+      org.apache.spark.sql.types.LongType)
+    val histAfter = IcebergLite.metaTable(spark, dir, "history")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(histBefore == histAfter)
+    assert(IcebergLite.readTableAsOf(spark, dir, t1).count() == 3L)
+  }
+
+  test("history table + as-of across rollback: the restored head wins") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    Thread.sleep(5)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    Thread.sleep(5)
+    IcebergLite.rollbackTo(spark, dir, 1L)
+    Thread.sleep(5)
+    val tAfterRollback = System.currentTimeMillis()
+    // the log records commit, commit, rollback — three head changes
+    val hist = IcebergLite.metaTable(spark, dir, "history")
+      .collect().map(r => (r.getLong(1), r.getBoolean(2))).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 1L))
+    // snapshot 2 is a rolled-back orphan, not a current ancestor
+    assert(hist.map(_._2) == Seq(true, false, true))
+    // as-of NOW resolves to the RESTORED head, not the orphan
+    assert(IcebergLite.readTableAsOf(spark, dir, tAfterRollback)
+      .count() == 3L)
+    // branch commits never enter the history (main's pointer unmoved)
+    IcebergLite.createBranch(spark, dir, "audit")
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir,
+      toBranch = "audit")
+    assert(IcebergLite.metaTable(spark, dir, "history").count() == 3L)
+    // ...until a fast-forward PUBLISHES: that is a head change
+    IcebergLite.fastForward(spark, dir, "main", "audit")
+    val hist2 = IcebergLite.metaTable(spark, dir, "history")
+      .collect().map(_.getLong(1)).toSeq
+    assert(hist2.size == 4 && hist2.last == 3L)
+    assert(IcebergLite.readTableAsOf(spark, dir,
+      System.currentTimeMillis()).count() == 5L)
+  }
+
+  test("expiry prunes history entries of purged snapshots; as-of stays sound") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    Thread.sleep(5)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    Thread.sleep(5)
+    val tHead = System.currentTimeMillis()
+    IcebergLite.expireSnapshots(spark, dir, keepLast = 1)
+    val hist = IcebergLite.metaTable(spark, dir, "history")
+      .collect().map(_.getLong(1)).toSeq
+    assert(hist == Seq(2L), s"expired entries must leave the log: $hist")
+    assert(IcebergLite.readTableAsOf(spark, dir, tHead).count() == 5L)
+  }
+
   test("bloom refusals: unknown and non-scalar columns refuse at write time") {
     val dir = tmp()
     val ex = intercept[IllegalArgumentException](
