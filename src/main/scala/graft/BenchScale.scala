@@ -508,22 +508,23 @@ object BenchScale {
         pairs.count() + pixelWork % 1000
       },
       timed("audio_fp_dedup") {
-        // the AUDIO twin of the image stage, now over ALL FOUR audio
+        // the AUDIO twin of the image stage, now over ALL FIVE audio
         // containers (r14, the verdict's task 6): 20k streams generated
         // map-side — 4k families of 5 identical sample sequences,
-        // family format by seed % 4: RIFF/WAV PCM, FLAC (Rice/FIXED/
+        // family format by seed % 5: RIFF/WAV PCM, FLAC (Rice/FIXED/
         // LPC), AIFF (big-endian + 80-bit extended rate), G.711 µ-law
         // WAV (lossy companding — family members share the SAME
-        // quantized samples, so their fingerprints still agree) —
+        // quantized samples, so their fingerprints still agree), and
+        // Sun AU (16-bit big-endian) —
         // decodeAudio sniffs each container, lands everything on the
         // one Pcm substrate, derives the 64-bit energy-delta
         // fingerprint, and the SAME banded near-dup join
         // (imageNearDups is hash-generic) surfaces the candidates.
         // Noise samples decorrelate families, so the within-family
         // pair count is pinned complete PER FORMAT: 10 per family →
-        // 10k per container, 40k total. Value = pairs + an energy
+        // 8k per container, 40k total. Value = pairs + an energy
         // checksum term so the decode can't be pruned.
-        import graft.multimodal.{AiffCodec, FlacCodec, Multimodal, WavCodec}
+        import graft.multimodal.{AiffCodec, AuCodec, FlacCodec, Multimodal, WavCodec}
         import spark.implicits._
         def mix(z0: Long): Long = {
           var z = z0 + 0x9E3779B97F4A7C15L
@@ -535,31 +536,32 @@ object BenchScale {
           val seed = id / 5 // 5 identical streams per family
           val pcm = WavCodec.Pcm(1, 8000, 16, Array.tabulate(512)(tt =>
             ((mix(seed * 911L + tt) & 0xffffL) - 32768L).toInt))
-          val bytes = (seed % 4) match {
+          val bytes = (seed % 5) match {
             case 0 => WavCodec.encode(pcm)
             case 1 => FlacCodec.encode(pcm, blockSize = 128)
             case 2 => AiffCodec.encode(pcm)
-            case _ => WavCodec.encodeG711(pcm, "mu")
+            case 3 => WavCodec.encodeG711(pcm, "mu")
+            case _ => AuCodec.encode(pcm, encoding = 3)
           }
           (id, bytes)
         }.toDF("media_id", "content")
         val decoded = Multimodal.decodeAudio(spark, blobs,
           "media_id", "content").localCheckpoint()
         val energyWork = decoded.agg(sum(col("energy"))).head().getLong(0)
-        // every container decodes: 5k fingerprinted rows per format
+        // every container decodes: 4k fingerprinted rows per format
         val perFormat = decoded.filter(col("afingerprint").isNotNull)
-          .groupBy(expr("media_id div 5 % 4").as("fmt")).count()
+          .groupBy(expr("media_id div 5 % 5").as("fmt")).count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        require((0L to 3L).forall(f => perFormat.getOrElse(f, 0L) == 5000L),
+        require((0L to 4L).forall(f => perFormat.getOrElse(f, 0L) == 4000L),
           s"a container failed to decode: $perFormat")
         val pairs = Multimodal.imageNearDups(decoded, "media_id",
           hashCol = "afingerprint").localCheckpoint()
-        // per-format family-pair completeness: 1k families × 10 pairs
+        // per-format family-pair completeness: 800 families × 10 pairs
         val famPerFormat = pairs
           .filter(expr("media_id_a div 5 = media_id_b div 5"))
-          .groupBy(expr("media_id_a div 5 % 4").as("fmt")).count()
+          .groupBy(expr("media_id_a div 5 % 5").as("fmt")).count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        require((0L to 3L).forall(f => famPerFormat.getOrElse(f, 0L) == 10000L),
+        require((0L to 4L).forall(f => famPerFormat.getOrElse(f, 0L) == 8000L),
           s"banding missed family pairs per format: $famPerFormat")
         pairs.count() + energyWork % 1000
       },

@@ -303,6 +303,7 @@ object Multimodal {
           else if (WavCodec.isWav(bytes)) Some(WavCodec.decode(bytes))
           else if (FlacCodec.isFlac(bytes)) Some(FlacCodec.decode(bytes))
           else if (AiffCodec.isAiff(bytes)) Some(AiffCodec.decode(bytes))
+          else if (AuCodec.isAu(bytes)) Some(AuCodec.decode(bytes))
           else None
         pcm match {
           case Some(p) =>
@@ -341,6 +342,15 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
+        def fingerprint(frameMass: Seq[Long]): Long = {
+          var fp = 0L
+          var i = 0
+          while (i < frameMass.length - 1 && i < 64) {
+            if (frameMass(i) > frameMass(i + 1)) fp |= (1L << i)
+            i += 1
+          }
+          fp
+        }
         if (bytes != null && AviCodec.isAvi(bytes)) {
           val avi = AviCodec.decode(bytes)
           val sums = new Array[Long](3)
@@ -360,14 +370,30 @@ object Multimodal {
             }
             mass
           }
-          var fp = 0L
-          var i = 0
-          while (i < frameMass.length - 1 && i < 64) {
-            if (frameMass(i) > frameMass(i + 1)) fp |= (1L << i)
-            i += 1
-          }
           (id, avi.width, avi.height, avi.frames.length, avi.usPerFrame,
-            Some(sums(0)), Some(sums(1)), Some(sums(2)), Some(fp))
+            Some(sums(0)), Some(sums(1)), Some(sums(2)),
+            Some(fingerprint(frameMass)))
+        } else if (bytes != null && Y4mCodec.isY4m(bytes)) {
+          // raw planar YUV lands on the SAME features: per-plane byte
+          // sums as the channel sums, total mass per frame feeding the
+          // identical temporal fingerprint
+          val v = Y4mCodec.decode(bytes)
+          val sums = new Array[Long](3)
+          val frameMass = v.frames.map { f =>
+            var mass = 0L
+            var i = 0
+            while (i < f.length) {
+              val px = f(i) & 0xff
+              val c = if (i < v.ySize) 0
+                      else if (i < v.ySize + v.cSize) 1 else 2
+              sums(c) += px; mass += px; i += 1
+            }
+            mass
+          }
+          val usPerFrame = 1000000L * v.fpsDen / v.fpsNum
+          (id, v.width, v.height, v.frames.length, usPerFrame,
+            Some(sums(0)), Some(sums(1)), Some(sums(2)),
+            Some(fingerprint(frameMass)))
         } else
           (id, 0, 0, 0, 0L, None: Option[Long], None: Option[Long],
             None: Option[Long], None: Option[Long])
@@ -388,8 +414,7 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(contentCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        if (bytes == null || !AviCodec.isAvi(bytes)) Iterator.empty
-        else {
+        if (bytes != null && AviCodec.isAvi(bytes)) {
           val avi = AviCodec.decode(bytes)
           (0 until avi.frames.length by stride).iterator.map { idx =>
             val img = JpegCodec.decode(avi.frames(idx))
@@ -407,7 +432,25 @@ object Multimodal {
             (id, idx, img.width, img.height,
               sums(0), sums(1), sums(2), PngCodec.pHash(img))
           }
-        }
+        } else if (bytes != null && Y4mCodec.isY4m(bytes)) {
+          val v = Y4mCodec.decode(bytes)
+          (0 until v.frames.length by stride).iterator.map { idx =>
+            val f = v.frames(idx)
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < f.length) {
+              val c = if (i < v.ySize) 0
+                      else if (i < v.ySize + v.cSize) 1 else 2
+              sums(c) += f(i) & 0xff; i += 1
+            }
+            // perceptual hash over the LUMA plane (the frame's
+            // structure lives there; chroma is subsampled anyway)
+            val y = PngCodec.Image(v.width, v.height, 1,
+              java.util.Arrays.copyOfRange(f, 0, v.ySize))
+            (id, idx, v.width, v.height,
+              sums(0), sums(1), sums(2), PngCodec.pHash(y))
+          }
+        } else Iterator.empty
       }
       .toDF(idCol, "frame_idx", "width", "height",
         "sum_c0", "sum_c1", "sum_c2", "phash")

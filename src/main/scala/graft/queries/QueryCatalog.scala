@@ -5488,6 +5488,113 @@ object QueryCatalog {
         CAST(sum(b) * 64 AS BIGINT) AS sum_c2
       FROM conv GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")),
 
+    // REAL YUV4MPEG2 raw-video decode end to end (multimodal/Y4mCodec
+    // r14 — the uncompressed interchange container next to MJPEG-AVI):
+    // every doc gets a real `YUV4MPEG2 …` stream of 2-4 C420 frames
+    // whose PLANE bytes follow (id, frame, index) formulas;
+    // decodeVideos walks the FRAME markers, splits planes, and derives
+    // per-plane sums + the temporal fingerprint. The oracle rederives
+    // everything from the formulas alone — it never sees a y4m byte.
+    // Data-derived at any scale.
+    QueryDef("y4m_decode", (s, d) => {
+      import graft.multimodal.{Multimodal, Y4mCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val frames = (0 until (2 + (id % 3)).toInt).map { f =>
+            val y = Array.tabulate(16 * 8)(i =>
+              ((id * 7 + f * 13 + i * 3) % 251).toByte)
+            val cb = Array.tabulate(32)(i =>
+              ((id * 5 + f * 17 + i * 11) % 251).toByte)
+            val cr = Array.tabulate(32)(i =>
+              ((id * 3 + f * 19 + i * 13) % 251).toByte)
+            y ++ cb ++ cr
+          }
+          (id, Y4mCodec.encode(Y4mCodec.Y4m(16, 8, 25, 1, c420 = true,
+            frames)))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeVideos(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames").cast("long").as("n_frames"), col("us_per_frame"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"), col("vfingerprint"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH yv AS (
+        SELECT d.doc_id, f.f,
+          sum((d.doc_id * 7 + f.f * 13 + i.i * 3) % 251) AS sy
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 3)) AS f) f,
+             (SELECT unnest(generate_series(0, 127)) AS i) i
+        WHERE f.f <= 1 + d.doc_id % 3 GROUP BY 1, 2),
+      cv AS (
+        SELECT d.doc_id, f.f,
+          sum((d.doc_id * 5 + f.f * 17 + i.i * 11) % 251) AS scb,
+          sum((d.doc_id * 3 + f.f * 19 + i.i * 13) % 251) AS scr
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 3)) AS f) f,
+             (SELECT unnest(generate_series(0, 31)) AS i) i
+        WHERE f.f <= 1 + d.doc_id % 3 GROUP BY 1, 2),
+      per_frame AS (
+        SELECT yv.doc_id, yv.f, sy, scb, scr, sy + scb + scr AS mass
+        FROM yv JOIN cv ON yv.doc_id = cv.doc_id AND yv.f = cv.f),
+      stepped AS (
+        SELECT doc_id, f, sy, scb, scr, mass,
+               lead(mass) OVER (PARTITION BY doc_id ORDER BY f) AS next_mass
+        FROM per_frame)
+      SELECT doc_id,
+        CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        CAST(count(*) AS BIGINT) AS n_frames,
+        CAST(40000 AS BIGINT) AS us_per_frame,
+        CAST(sum(sy) AS BIGINT) AS sum_c0,
+        CAST(sum(scb) AS BIGINT) AS sum_c1,
+        CAST(sum(scr) AS BIGINT) AS sum_c2,
+        CAST(COALESCE(sum(CASE WHEN next_mass IS NOT NULL AND mass > next_mass
+          THEN CAST(1 AS BIGINT) << f ELSE 0 END), 0) AS BIGINT)
+          AS vfingerprint
+      FROM stepped GROUP BY doc_id ORDER BY doc_id""")),
+
+    // REAL Sun AU decode end to end (multimodal/AuCodec r14 — the
+    // fifth audio container: 24-byte big-endian header + raw 16-bit BE
+    // samples here): formula samples per doc; decodeAudio sniffs the
+    // .snd magic onto the shared Pcm substrate. The oracle rederives
+    // energy / zero crossings / peak from the formula alone.
+    // Data-derived at any scale.
+    QueryDef("au_decode", (s, d) => {
+      import graft.multimodal.{AuCodec, Multimodal, WavCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, AuCodec.encode(WavCodec.Pcm(1, 11025, 16,
+            Array.tabulate(200) { tt =>
+              ((id * 17 + tt.toLong * tt * 5) % 2400 - 1200).toInt
+            }), encoding = 3))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeAudio(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("channels"), col("sample_rate"),
+          col("bits_per_sample"), col("n_frames"), col("energy"),
+          col("zero_crossings"), col("peak"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sm AS (
+        SELECT d.doc_id, t.t,
+          (d.doc_id * 17 + t.t * t.t * 5) % 2400 - 1200 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 199)) AS t) t),
+      lagged AS (
+        SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        FROM sm)
+      SELECT doc_id,
+        CAST(1 AS INTEGER) AS channels,
+        CAST(11025 AS INTEGER) AS sample_rate,
+        CAST(16 AS INTEGER) AS bits_per_sample,
+        CAST(200 AS BIGINT) AS n_frames,
+        CAST(sum(v * v) AS BIGINT) AS energy,
+        CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND (v < 0) <> (pv < 0)) AS BIGINT) AS zero_crossings,
+        CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM lagged GROUP BY doc_id ORDER BY doc_id""")),
+
     // WebDataset tar-shard ingest end to end (sources/TarIO — the
     // multimodal training interchange format; Spark has no tar source,
     // so the ustar container is implemented from the POSIX spec): every
