@@ -566,17 +566,18 @@ object BenchScale {
         pairs.count() + energyWork % 1000
       },
       timed("video_fp_dedup") {
-        // the VIDEO twin: 8k MJPEG AVIs (1.6k families of 5), each 65
-        // uniform-gray 16×16 grayscale JPEG frames whose brightness
-        // follows a per-family pseudorandom up/down pattern; family
-        // members shift ALL frames by a constant offset, so the
-        // 64-frame temporal fingerprint (63 meaningful bits — enough
-        // that the four 16-bit bands discriminate) is IDENTICAL within
-        // a family by gain-invariance and pseudorandom across families.
-        // ~520k frame encodes+decodes through the whole AVI+JPEG chain,
-        // then the same banded near-dup join; within-family pair count
-        // pinned complete: 10 per family → 16,000.
-        import graft.multimodal.{AviCodec, JpegCodec, Multimodal}
+        // the VIDEO twin over BOTH video containers (r14): 8k streams
+        // (1.6k families of 5), each 65 uniform 16×16 frames whose
+        // brightness follows a per-family pseudorandom up/down
+        // pattern; EVEN families are MJPEG AVIs (the whole AVI+JPEG
+        // chain), ODD families raw-frame YUV4MPEG2 — family members
+        // shift ALL frames by a constant offset, so the 64-frame
+        // temporal fingerprint (63 meaningful bits) is IDENTICAL
+        // within a family by gain-invariance and pseudorandom across
+        // families AND containers. Then the same banded near-dup join;
+        // within-family pair count pinned complete PER CONTAINER:
+        // 8k pairs each, 16k total.
+        import graft.multimodal.{AviCodec, JpegCodec, Multimodal, Y4mCodec}
         import spark.implicits._
         def mix(z0: Long): Long = {
           var z = z0 + 0x9E3779B97F4A7C15L
@@ -587,22 +588,35 @@ object BenchScale {
         val blobs = spark.range(0L, 8000L).as[Long].map { id =>
           val fam = id / 5
           val off = (id % 5).toInt * 10
-          val frames = (0 until 65).map { f =>
-            val v = 40 + (math.floorMod(mix(fam * 131L + f), 150L)).toInt + off
-            JpegCodec.encodePlanes(Array(Array.fill(16 * 16)(v)), 16, 16,
-              quality = 100)
-          }
-          (id, AviCodec.encodeMjpeg(frames, 16, 16))
+          def v(f: Int) =
+            40 + (math.floorMod(mix(fam * 131L + f), 150L)).toInt + off
+          val bytes =
+            if (fam % 2 == 0) {
+              val frames = (0 until 65).map { f =>
+                JpegCodec.encodePlanes(Array(Array.fill(16 * 16)(v(f))),
+                  16, 16, quality = 100)
+              }
+              AviCodec.encodeMjpeg(frames, 16, 16)
+            } else {
+              val frames = (0 until 65).map { f =>
+                Array.fill(16 * 16)(v(f).toByte) ++ Array.fill(128)(128.toByte)
+              }
+              Y4mCodec.encode(Y4mCodec.Y4m(16, 16, 25, 1, c420 = true,
+                frames))
+            }
+          (id, bytes)
         }.toDF("media_id", "content")
         val decoded = Multimodal.decodeVideos(spark, blobs,
           "media_id", "content").localCheckpoint()
         val sumWork = decoded.agg(sum(col("sum_c0"))).head().getLong(0)
         val pairs = Multimodal.imageNearDups(decoded, "media_id",
           hashCol = "vfingerprint").localCheckpoint()
-        val familyPairs = pairs
-          .filter(expr("media_id_a div 5 = media_id_b div 5")).count()
-        require(familyPairs == 16000L,
-          s"banding missed video family pairs: $familyPairs of 16000")
+        val famPerFormat = pairs
+          .filter(expr("media_id_a div 5 = media_id_b div 5"))
+          .groupBy(expr("media_id_a div 5 % 2").as("fmt")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        require((0L to 1L).forall(f => famPerFormat.getOrElse(f, 0L) == 8000L),
+          s"banding missed video family pairs per container: $famPerFormat")
         pairs.count() + sumWork % 1000
       },
       timed("webdataset_rw") {

@@ -1281,6 +1281,35 @@ class IcebergLiteSpec extends SparkSuite {
     assert(IcebergLite.readTableAsOf(spark, dir, tHead).count() == 5L)
   }
 
+  test("blooms compose with partition-spec evolution across generations") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, interleaved(1000), dir,
+      sortBy = Seq("ts"), sortFiles = 4, bloomFor = Seq("doc_id"))
+    IcebergLite.evolveSpec(spark, dir, Seq("bucket[4]:s"))
+    IcebergLite.appendSnapshot(spark, interleaved(1000, shift = 10000L),
+      dir, partitionBy = Seq("bucket[4]:s"))
+    // gen-2 probe: its files prune by BOTH the bucket transform (on s)
+    // and the doc_id bloom; gen-1 files prune by doc_id bounds
+    val (kept, total) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 10500L)))
+    assert(kept < total, s"kept $kept of $total across generations")
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("doc_id", 10500L)))
+      .filter(col("doc_id") === 10500L).count() == 1L)
+    // a gen-1 probe still bloom-prunes within its generation
+    val (kept1, _) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 500L)))
+    assert(kept1 <= 2 + 4, s"kept $kept1 — gen-1 bloom leg lost")
+    // maintenance re-keys + refreshes filters under the NEW spec
+    IcebergLite.compact(spark, dir)
+    assert(IcebergLite.readTableWhere(spark, dir,
+        Seq(IcebergLite.EqTo("doc_id", 10500L)))
+      .filter(col("doc_id") === 10500L).count() == 1L)
+    val (kept2, total2) = IcebergLite.scanFileCount(spark, dir,
+      Seq(IcebergLite.EqTo("doc_id", 10500L)))
+    assert(kept2 < total2, s"kept $kept2 of $total2 after compact")
+  }
+
   test("bloom refusals: unknown and non-scalar columns refuse at write time") {
     val dir = tmp()
     val ex = intercept[IllegalArgumentException](
