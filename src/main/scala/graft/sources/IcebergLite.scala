@@ -774,9 +774,19 @@ object IcebergLite {
 
     // parent = the head this commit extends (ancestry for fastForward)
     val parent = prior.map(_.currentSnapshotId).getOrElse(0L)
+    // operational metrics (the summary fields every engine's UI reads):
+    // added-* from THIS snapshot's manifests, total-* over the live set
+    val newData = manifests.filter(m => m.content == 0 &&
+      m.addedBy == snapshotId)
+    val liveData = manifests.filter(_.content == 0)
     val newSummary = "{\"operation\": " + q(operation) +
       commitKey.map(k => ", \"graft-commit-key\": " + q(k)).getOrElse("") +
       s", \"graft-parent\": $parent" +
+      s", \"added-data-files\": ${q(newData.map(_.nFiles.toLong).sum.toString)}" +
+      s", \"added-records\": ${q(newData.map(_.nRows).sum.toString)}" +
+      s", \"total-data-files\": ${q(liveData.map(_.nFiles.toLong).sum.toString)}" +
+      s", \"total-records\": ${q(liveData.map(_.nRows).sum.toString)}" +
+      s", \"total-delete-files\": ${q(manifests.count(_.content != 0).toString)}" +
       "}"
     // the written branch advances to the new snapshot; main's head is
     // the current pointer (unchanged by a staging-branch commit)
@@ -859,6 +869,29 @@ object IcebergLite {
     val snapshotLogJson = snapshotLog.map { case (ts, id) =>
       s"""{"timestamp-ms": $ts, "snapshot-id": $id}"""
     }.mkString(", ")
+    // metadata-log: the chain of superseded metadata files (the spec's
+    // previous-versions audit trail, capped like
+    // write.metadata.previous-versions-max). Self-contained: the prior
+    // version's own log is read back and extended with the prior file —
+    // one KB-scale read per commit, zero caller threading.
+    val metadataLogJson = {
+      val prevPath = new Path(metaDir, s"v${version - 1}.metadata.json")
+      if (version <= 1 || !fs(spark, prevPath).exists(prevPath)) ""
+      else {
+        val prev = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readBytes(spark, prevPath))
+        val prevLog = Option(prev.get("metadata-log")).toSeq
+          .flatMap(_.elements().asScala)
+          .map(e => (e.get("timestamp-ms").asLong(),
+            e.get("metadata-file").asText()))
+        val prevTs = Option(prev.get("last-updated-ms"))
+          .map(_.asLong()).getOrElse(System.currentTimeMillis())
+        (prevLog :+ ((prevTs, prevPath.toString))).takeRight(100)
+          .map { case (ts, f) =>
+            s"""{"timestamp-ms": $ts, "metadata-file": ${q(f)}}"""
+          }.mkString(", ")
+      }
+    }
     val metaJson = s"""{
       "format-version": 1,
       "table-uuid": "00000000-0000-0000-0000-${"%012d".format(version)}",
@@ -880,7 +913,8 @@ object IcebergLite {
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString(", ")}},
       "current-snapshot-id": $currentSnapshotId,
       "snapshots": [$snapshotsJson],
-      "snapshot-log": [$snapshotLogJson], "metadata-log": []
+      "snapshot-log": [$snapshotLogJson],
+      "metadata-log": [$metadataLogJson]
     }"""
     writeBytes(spark, new Path(metaDir, s"v$version.metadata.json"),
       metaJson.getBytes("UTF-8"))
@@ -2462,12 +2496,21 @@ object IcebergLite {
           StructField("snapshot_id", LongType, nullable = false),
           StructField("operation", StringType, nullable = false),
           StructField("commit_key", StringType, nullable = true),
-          StructField("manifest_list", StringType, nullable = false))),
+          StructField("manifest_list", StringType, nullable = false),
+          StructField("committed_at", LongType, nullable = true),
+          StructField("added_data_files", LongType, nullable = true),
+          StructField("added_records", LongType, nullable = true),
+          StructField("total_records", LongType, nullable = true))),
           meta.snapshots.map { case (id, listPath, summary) =>
             val node = om.readTree(summary)
+            def metric(k: String): Any =
+              Option(node.get(k)).map(v => v.asText().toLong).orNull
             Row(id, node.get("operation").asText(),
               Option(node.get("graft-commit-key")).map(_.asText()).orNull,
-              listPath)
+              listPath,
+              meta.snapshotTs.get(id).map(Long.box).orNull,
+              metric("added-data-files"), metric("added-records"),
+              metric("total-records"))
           })
       case "manifests" =>
         frame(StructType(Seq(

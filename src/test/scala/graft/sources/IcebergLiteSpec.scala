@@ -1267,6 +1267,32 @@ class IcebergLiteSpec extends SparkSuite {
       System.currentTimeMillis()).count() == 5L)
   }
 
+  test("snapshot summaries carry operational metrics; metadata-log chains versions") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") === 1L)
+    val snaps = IcebergLite.metaTable(spark, dir, "snapshots")
+      .orderBy("snapshot_id").collect()
+    def m(i: Int, c: String) = snaps(i).getLong(snaps(i).fieldIndex(c))
+    assert(m(0, "added_records") == 3L && m(0, "total_records") == 3L)
+    assert(m(1, "added_records") == 2L && m(1, "total_records") == 5L)
+    assert(m(0, "added_data_files") > 0L)
+    // the MOR delete adds no data files; totals hold, a delete manifest
+    // appears (total_records counts DATA rows only)
+    assert(m(2, "added_data_files") == 0L && m(2, "total_records") == 5L)
+    assert(snaps.forall(r => !r.isNullAt(r.fieldIndex("committed_at"))))
+    // metadata-log: v3 names v1 and v2 as superseded, in order
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "metadata", "v3.metadata.json")))
+    val logged = node.get("metadata-log").elements()
+    val files = Iterator.continually(logged)
+      .takeWhile(_.hasNext).map(_.next().get("metadata-file").asText()).toSeq
+    assert(files.map(_.split('/').last) ==
+      Seq("v1.metadata.json", "v2.metadata.json"))
+  }
+
   test("expiry prunes history entries of purged snapshots; as-of stays sound") {
     val dir = tmp()
     IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
