@@ -446,15 +446,16 @@ object BenchScale {
         // REAL pixel path at scale over a MIXED-FORMAT corpus: 50k
         // images generated map-side — 10k families of 5 identical
         // blobs, family f encoded as PNG / baseline JPEG / GIF / WebP-
-        // lossless by f mod 4, so one pass sniffs and drives all four
-        // codecs —
+        // lossless / BMP / netpbm-P6 by f mod 6 (r14 adds the two
+        // uncompressed containers), so one pass sniffs and drives all
+        // six codecs —
         // decoded, perceptual-hashed (32×32 DCT pHash), and near-dup'd
         // through the banded hash join — the image leg of the dedup
         // family, never all-pairs. Value = candidate pairs found (10
         // per family → 100k) + a decode checksum term so Catalyst
         // can't prune the pixel work.
-        import graft.multimodal.{GifCodec, JpegCodec, Multimodal, PngCodec,
-          WebpCodec}
+        import graft.multimodal.{BmpCodec, GifCodec, JpegCodec, Multimodal,
+          PngCodec, PnmCodec, WebpCodec}
         import spark.implicits._
         val blobs = spark.range(0L, 50000L).as[Long].map { id =>
           val seed = id / 5 // 5 identical images per family
@@ -476,12 +477,14 @@ object BenchScale {
           val rgb = Array.tabulate(w * h * 3) { i =>
             (mix(seed * 1536L + i) & 0xff).toByte
           }
-          val bytes = (seed % 4) match {
+          val bytes = (seed % 6) match {
             case 0 => PngCodec.encode(PngCodec.Image(w, h, 3, rgb))
             case 1 => JpegCodec.encode(PngCodec.Image(w, h, 3, rgb),
               quality = 100)
             case 2 => WebpCodec.encode(PngCodec.Image(w, h, 3, rgb),
               subtractGreen = true, cacheBits = 4)
+            case 4 => BmpCodec.encode(PngCodec.Image(w, h, 3, rgb))
+            case 5 => PnmCodec.encode(PngCodec.Image(w, h, 3, rgb))
             case _ =>
               val palette = Array.tabulate(64)(j =>
                 (mix(seed * 97L + j) & 0xffffff).toInt)

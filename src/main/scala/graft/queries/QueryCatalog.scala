@@ -4879,6 +4879,82 @@ object QueryCatalog {
         CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
       FROM px GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL BMP pixel decode end to end (multimodal/BmpCodec r14 — the
+    // uncompressed Windows DIB container): every doc gets a real
+    // 24-bit BI_RGB bottom-up BMP whose pixels follow a formula;
+    // decodeImages walks the headers, un-pads the 4-byte rows,
+    // reorders BGR→RGB and bottom-up→top-down, and sums each channel.
+    // The oracle rederives the sums from the formula alone — a row-
+    // order or channel-order bug corrupts them. Width 11 forces a
+    // nonzero row pad. Data-derived at any scale.
+    QueryDef("bmp_decode", (s, d) => {
+      import graft.multimodal.{BmpCodec, Multimodal, PngCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 11; val h = 7
+          (id, BmpCodec.encode(PngCodec.Image(w, h, 3,
+            Array.tabulate(w * h * 3) { i =>
+              val pix = i / 3; val c = i % 3
+              ((id * 11 + (pix % w) * 5 + (pix / w) * 7 + c * 13) % 256).toByte
+            })))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeImages(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH px AS (
+        SELECT d.doc_id, c.c,
+          (d.doc_id * 11 + x.x * 5 + y.y * 7 + c.c * 13) % 256 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 10)) AS x) x,
+             (SELECT unnest(generate_series(0, 6)) AS y) y,
+             (SELECT unnest(generate_series(0, 2)) AS c) c)
+      SELECT doc_id,
+        CAST(11 AS INTEGER) AS width, CAST(7 AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_c0,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
+      FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
+    // REAL netpbm P6 decode end to end (multimodal/PnmCodec r14): the
+    // zero-compression interchange image; the oracle rederives the
+    // channel sums from the pixel formula alone. Data-derived at any
+    // scale.
+    QueryDef("pnm_decode", (s, d) => {
+      import graft.multimodal.{Multimodal, PngCodec, PnmCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 9; val h = 5
+          (id, PnmCodec.encode(PngCodec.Image(w, h, 3,
+            Array.tabulate(w * h * 3) { i =>
+              val pix = i / 3; val c = i % 3
+              ((id * 19 + (pix % w) * 3 + (pix / w) * 17 + c * 7) % 256).toByte
+            })))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeImages(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH px AS (
+        SELECT d.doc_id, c.c,
+          (d.doc_id * 19 + x.x * 3 + y.y * 17 + c.c * 7) % 256 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 8)) AS x) x,
+             (SELECT unnest(generate_series(0, 4)) AS y) y,
+             (SELECT unnest(generate_series(0, 2)) AS c) c)
+      SELECT doc_id,
+        CAST(9 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_c0,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
+      FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
     // REAL WAV PCM sample decode end to end (multimodal/WavCodec):
     // every doc gets a real RIFF/fmt/data 16-bit PCM stream whose
     // samples follow a formula; decodeAudio walks the chunks, decodes
