@@ -446,16 +446,16 @@ object BenchScale {
         // REAL pixel path at scale over a MIXED-FORMAT corpus: 50k
         // images generated map-side — 10k families of 5 identical
         // blobs, family f encoded as PNG / baseline JPEG / GIF / WebP-
-        // lossless / BMP / netpbm-P6 by f mod 6 (r14 adds the two
-        // uncompressed containers), so one pass sniffs and drives all
-        // six codecs —
+        // lossless / BMP / netpbm-P6 / baseline-TIFF by f mod 7 (r14
+        // adds the three uncompressed containers), so one pass sniffs
+        // and drives all seven codecs —
         // decoded, perceptual-hashed (32×32 DCT pHash), and near-dup'd
         // through the banded hash join — the image leg of the dedup
         // family, never all-pairs. Value = candidate pairs found (10
         // per family → 100k) + a decode checksum term so Catalyst
         // can't prune the pixel work.
         import graft.multimodal.{BmpCodec, GifCodec, JpegCodec, Multimodal,
-          PngCodec, PnmCodec, WebpCodec}
+          PngCodec, PnmCodec, TiffCodec, WebpCodec}
         import spark.implicits._
         val blobs = spark.range(0L, 50000L).as[Long].map { id =>
           val seed = id / 5 // 5 identical images per family
@@ -477,7 +477,7 @@ object BenchScale {
           val rgb = Array.tabulate(w * h * 3) { i =>
             (mix(seed * 1536L + i) & 0xff).toByte
           }
-          val bytes = (seed % 6) match {
+          val bytes = (seed % 7) match {
             case 0 => PngCodec.encode(PngCodec.Image(w, h, 3, rgb))
             case 1 => JpegCodec.encode(PngCodec.Image(w, h, 3, rgb),
               quality = 100)
@@ -485,6 +485,7 @@ object BenchScale {
               subtractGreen = true, cacheBits = 4)
             case 4 => BmpCodec.encode(PngCodec.Image(w, h, 3, rgb))
             case 5 => PnmCodec.encode(PngCodec.Image(w, h, 3, rgb))
+            case 6 => TiffCodec.encode(PngCodec.Image(w, h, 3, rgb))
             case _ =>
               val palette = Array.tabulate(64)(j =>
                 (mix(seed * 97L + j) & 0xffffff).toInt)

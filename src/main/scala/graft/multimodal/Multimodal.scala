@@ -206,11 +206,13 @@ object Multimodal {
         }
         if (bytes != null && (PngCodec.isPng(bytes) ||
           JpegCodec.isJpeg(bytes) || WebpCodec.isWebpLossless(bytes) ||
-          BmpCodec.isBmp(bytes) || PnmCodec.isPnm(bytes))) {
+          BmpCodec.isBmp(bytes) || PnmCodec.isPnm(bytes) ||
+          TiffCodec.isTiff(bytes))) {
           val img = if (PngCodec.isPng(bytes)) PngCodec.decode(bytes)
           else if (JpegCodec.isJpeg(bytes)) JpegCodec.decode(bytes)
           else if (BmpCodec.isBmp(bytes)) BmpCodec.decode(bytes)
           else if (PnmCodec.isPnm(bytes)) PnmCodec.decode(bytes)
+          else if (TiffCodec.isTiff(bytes)) TiffCodec.decode(bytes)
           else WebpCodec.decode(bytes)
           val sums = new Array[Long](math.min(img.channels, 3))
           sumsOf(img.pixels, img.channels, sums)

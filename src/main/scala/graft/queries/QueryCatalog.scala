@@ -4955,6 +4955,46 @@ object QueryCatalog {
         CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
       FROM px GROUP BY doc_id ORDER BY doc_id""")),
 
+    // REAL baseline-TIFF pixel decode end to end (multimodal/TiffCodec
+    // r14): every doc gets a real little-endian two-strip uncompressed
+    // RGB TIFF of formula pixels; decodeImages walks the IFD, follows
+    // offset-stored BitsPerSample/strip arrays, reassembles the strips
+    // and sums each channel. The oracle rederives the sums from the
+    // formula alone — a strip-order or value-offset bug corrupts them.
+    // Height 5 makes the strips UNEQUAL (3+2 rows). Data-derived at
+    // any scale.
+    QueryDef("tiff_decode", (s, d) => {
+      import graft.multimodal.{Multimodal, PngCodec, TiffCodec}
+      import s.implicits._
+      val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 10; val h = 5
+          (id, TiffCodec.encode(PngCodec.Image(w, h, 3,
+            Array.tabulate(w * h * 3) { i =>
+              val pix = i / 3; val c = i % 3
+              ((id * 23 + (pix % w) * 7 + (pix / w) * 11 + c * 5) % 256).toByte
+            })))
+        }.toDF("doc_id", "content")
+      Multimodal.decodeImages(s, blobs, "doc_id", "content")
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("sum_c0"), col("sum_c1"), col("sum_c2"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH px AS (
+        SELECT d.doc_id, c.c,
+          (d.doc_id * 23 + x.x * 7 + y.y * 11 + c.c * 5) % 256 AS v
+        FROM documents d,
+             (SELECT unnest(generate_series(0, 9)) AS x) x,
+             (SELECT unnest(generate_series(0, 4)) AS y) y,
+             (SELECT unnest(generate_series(0, 2)) AS c) c)
+      SELECT doc_id,
+        CAST(10 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels,
+        CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_c0,
+        CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_c1,
+        CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_c2
+      FROM px GROUP BY doc_id ORDER BY doc_id""")),
+
     // REAL WAV PCM sample decode end to end (multimodal/WavCodec):
     // every doc gets a real RIFF/fmt/data 16-bit PCM stream whose
     // samples follow a formula; decodeAudio walks the chunks, decodes
