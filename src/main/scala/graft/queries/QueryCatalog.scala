@@ -1845,6 +1845,58 @@ object QueryCatalog {
     // Per-domain corpus profile over the same planted URLs: one shuffle
     // on the registered domain (the natural per-domain-cap key), doc
     // count + distinct-path count per domain, fully rederived in SQL.
+    // robots.txt crawl gating (text/Robots + the native RobotsAllowed
+    // expression, r14 — RFC 9309, the first etiquette gate a crawl
+    // applies): planted per-domain robots bodies exercise prefix
+    // rules, longest-match allow-over-disallow, and wildcard+anchor
+    // patterns; URLs join their domain's parsed rules and the gate
+    // evaluates per row in codegen. Domains with NO robots row allow
+    // (the RFC default — the %11 spam domain here). DuckDB replays the
+    // rule arithmetic with LIKE algebra. Data-derived at any scale.
+    QueryDef("robots_gate", (s, d) => {
+      import graft.text.Robots
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit("https://norobots.test/p/"), col("doc_id"),
+              lit("/v")))
+          .otherwise(
+            concat(lit("https://example"), pmod(col("doc_id"), lit(20)),
+              lit(".test/p/"), col("doc_id"), lit("/v"))).as("url"))
+      def body(k: Int): String = k % 3 match {
+        case 0 => "User-agent: graftbot\nDisallow: /p/1\n" +
+          "User-agent: *\nDisallow: /"
+        case 1 => "User-agent: *\nDisallow: /p/\nAllow: /p/2"
+        case _ => "User-agent: *\nDisallow: /*/v$"
+      }
+      val robots = (0 until 20)
+        .map(k => (s"example$k.test", body(k)))
+        .toDF("domain", "txt")
+      val rules = Robots.rulesTable(robots, "domain", "txt",
+        agent = "graftbot/2.0")
+      Robots.gate(docs, "url", rules)
+        .select("doc_id", "domain", "url_path", "robots_allowed", "kept")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN 'norobots.test'
+             ELSE 'example' || (doc_id % 20) || '.test' END AS domain,
+        '/p/' || doc_id || '/v' AS url_path,
+        allowed AS robots_allowed,
+        allowed AS kept
+      FROM (
+        SELECT doc_id,
+          CASE
+            WHEN doc_id % 11 = 0 THEN TRUE
+            WHEN (doc_id % 20) % 3 = 0
+              THEN NOT (CAST(doc_id AS VARCHAR) LIKE '1%')
+            WHEN (doc_id % 20) % 3 = 1
+              THEN CAST(doc_id AS VARCHAR) LIKE '2%'
+            ELSE FALSE END AS allowed
+        FROM documents)
+      ORDER BY doc_id""")),
+
     QueryDef("domain_stats", (s, d) =>
       graft.text.Web.domainStats(
         t(s, d, "documents")
