@@ -138,17 +138,20 @@ class WebSpec extends SparkSuite {
 
   test("PSL-aware blocklist: the real registrant becomes nameable") {
     import spark.implicits._
+    // co.test plays the co.uk role: the suffix TABLE drives the
+    // semantics, and reserved .test hosts keep fixtures synthetic
     val docs = Seq(
-      (1L, "https://shop.example.co.uk/a"),
-      (2L, "https://other.co.uk/b"),
+      (1L, "https://shop.registrant.co.test/a"),
+      (2L, "https://other.co.test/b"),
       (3L, "https://example.com/c")).toDF("id", "url")
-    // without the PSL, "example.co.uk" never matches (domain = "co.uk")
-    val without = Web.urlFlags(docs, "url", Seq("example.co.uk"))
+    // without the PSL, "registrant.co.test" never matches (domain =
+    // "co.test")
+    val without = Web.urlFlags(docs, "url", Seq("registrant.co.test"))
       .select("id", "kept").as[(Long, Boolean)].collect().toMap
     assert(without === Map(1L -> true, 2L -> true, 3L -> true))
-    // with it, the registrant blocks and its co.uk neighbor survives
-    val withPsl = Web.urlFlags(docs, "url", Seq("example.co.uk"),
-        publicSuffixes = Seq("co.uk", "com"))
+    // with it, the registrant blocks and its co.test neighbor survives
+    val withPsl = Web.urlFlags(docs, "url", Seq("registrant.co.test"),
+        publicSuffixes = Seq("co.test", "com"))
       .select("id", "kept").as[(Long, Boolean)].collect().toMap
     assert(withPsl === Map(1L -> false, 2L -> true, 3L -> true))
   }
