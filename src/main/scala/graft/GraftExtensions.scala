@@ -64,6 +64,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_normalize_text(text) expects 1 arg")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_robots_allowed"),
+      new ExpressionInfo(classOf[graft.functions.RobotsAllowed].getName,
+        "graft_robots_allowed"),
+      (args: Seq[Expression]) => args match {
+        case Seq(path, rules) => graft.functions.RobotsAllowed(path, rules)
+        case _ => throw new IllegalArgumentException(
+          "graft_robots_allowed(path, rules) expects 2 args")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_gram_stats"),
       new ExpressionInfo(classOf[graft.functions.GramStats].getName, "graft_gram_stats"),
       (args: Seq[Expression]) => args match {

@@ -332,6 +332,30 @@ class IcebergTransformsSpec extends SparkSuite {
       2L * (0L until 96L).map(_ * 2).sum - 10L)
   }
 
+  test("incremental and changelog reads span a spec evolution") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, hourly96, dir, partitionBy = Seq("day:ts"))
+    IcebergLite.evolveSpec(spark, dir, Seq("day:ts", "bucket[8]:id"))
+    IcebergLite.appendSnapshot(spark,
+      hourly96.withColumn("id", col("id") + 100L), dir,
+      partitionBy = Seq("day:ts", "bucket[8]:id"))
+    // the (0, 2] range crosses the evolution: both generations' files
+    // read through their own partition-dir layouts
+    val inc = IcebergLite.readIncremental(spark, dir, 0L)
+    assert(inc.count() == 192L)
+    assert(inc.select("id").as[Long].collect().toSet ==
+      ((0L until 96L) ++ (100L until 196L)).toSet)
+    val chg = IcebergLite.readChangelog(spark, dir, 0L)
+    assert(chg.filter(col("_change_type") === "insert").count() == 192L)
+    // a SQL route over the gate's native function also works end to end
+    import spark.implicits._
+    val rules = Seq(("x", Seq("D:/p/"))).toDF("d", "rules")
+    rules.createOrReplaceTempView("rb")
+    assert(spark.sql(
+      "SELECT graft_robots_allowed('/p/x', rules) AS a FROM rb")
+      .head().getBoolean(0) == false)
+  }
+
   test("evolveSpec refusals: no-op spec, bad source, name collision") {
     val dir = tmp()
     IcebergLite.createTable(spark, hourly96, dir, partitionBy = Seq("day:ts"))
