@@ -93,7 +93,10 @@ object BmpCodec {
         val declared = le32(bytes, 46)
         if (declared == 0) 256 else declared
       } else 0
-    require(paletteN <= 256, s"bmp: palette of $paletteN entries")
+    require(paletteN > 0 || bpp == 24,
+      s"bmp: palette count $paletteN out of range")
+    require(paletteN >= 0 && paletteN <= 256,
+      s"bmp: palette of $paletteN entries")
     val palette = new Array[Int](paletteN) // 0xRRGGBB
     var i = 0
     val palAt = 14 + headerSize

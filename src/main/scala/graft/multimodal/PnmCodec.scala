@@ -71,10 +71,13 @@ object PnmCodec {
        bytes(p) == '\n' || bytes(p) == '\r'),
       "pnm: missing raster separator")
     p += 1
-    val n = width * height * channels
+    // Long arithmetic: a crafted 65536x65536 header would overflow Int
+    // to 0 and slip past the truncation check with bogus features
+    val n = width.toLong * height * channels
+    require(n <= Int.MaxValue, s"pnm: geometry ${width}x$height too large")
     require(p + n <= bytes.length,
       s"pnm: truncated raster (need $n bytes, have ${bytes.length - p})")
     PngCodec.Image(width, height, channels,
-      java.util.Arrays.copyOfRange(bytes, p, p + n))
+      java.util.Arrays.copyOfRange(bytes, p, p + n.toInt))
   }
 }

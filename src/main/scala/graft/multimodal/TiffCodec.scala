@@ -113,7 +113,12 @@ object TiffCodec {
     var e = ifdAt.toInt + 2
     (0 until n).foreach { _ =>
       val tag = u16(e); val typ = u16(e + 2)
-      val count = u32(e + 4).toInt
+      val countL = u32(e + 4)
+      // a crafted 0xFFFFFFFF count would overflow Int negative, read
+      // garbage "inline", and crash .head unnamed — bound it loudly
+      require(countL >= 1 && countL <= 65536,
+        s"tiff: tag $tag declares $countL values (1..65536)")
+      val count = countL.toInt
       val vAt = e + 8
       tag match {
         case 256 => width = values(typ, count, vAt).head.toInt

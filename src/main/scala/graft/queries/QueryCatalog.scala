@@ -2609,7 +2609,7 @@ object QueryCatalog {
         .as[(Long, Seq[String], String)]
         .map { case (id, toks, text) =>
           val lossless =
-            Unigram.decodeTokens(toks) == text.replaceAll(" +", "")
+            Unigram.decodeTokens(toks, model) == text.replaceAll(" +", "")
           val inVocab = toks.forall(vocab)
           val nWords = text.split(" +").count(_.nonEmpty).toLong
           (id, lossless, inVocab, nWords, id >= 50000L,

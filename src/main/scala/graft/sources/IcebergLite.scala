@@ -320,7 +320,11 @@ object IcebergLite {
       {"name": "added_data_files_count", "type": ["null", "int"],
        "default": null, "field-id": 504},
       {"name": "added_rows_count", "type": ["null", "long"],
-       "default": null, "field-id": 512}
+       "default": null, "field-id": 512},
+      {"name": "existing_data_files_count", "type": ["null", "int"],
+       "default": null, "field-id": 505},
+      {"name": "existing_rows_count", "type": ["null", "long"],
+       "default": null, "field-id": 513}
     ]}""")
 
   // ---- hadoop-fs helpers (storage-agnostic: local, HDFS, S3A…) -----------
@@ -767,6 +771,8 @@ object IcebergLite {
       r.put("added_snapshot_id", m.addedBy)
       r.put("added_data_files_count", m.nFiles)
       r.put("added_rows_count", m.nRows)
+      r.put("existing_data_files_count", m.existingFiles)
+      r.put("existing_rows_count", m.existingRows)
       r
     }
     writeAvro(spark, listPath, ManifestFileSchema, listRecords,
@@ -784,9 +790,10 @@ object IcebergLite {
       s", \"graft-parent\": $parent" +
       s", \"added-data-files\": ${q(newData.map(_.nFiles.toLong).sum.toString)}" +
       s", \"added-records\": ${q(newData.map(_.nRows).sum.toString)}" +
-      s", \"total-data-files\": ${q(liveData.map(_.nFiles.toLong).sum.toString)}" +
-      s", \"total-records\": ${q(liveData.map(_.nRows).sum.toString)}" +
-      s", \"total-delete-files\": ${q(manifests.count(_.content != 0).toString)}" +
+      s", \"total-data-files\": ${q(liveData.map(_.totalFiles).sum.toString)}" +
+      s", \"total-records\": ${q(liveData.map(_.totalRows).sum.toString)}" +
+      s", \"total-delete-files\": ${q(manifests.filter(_.content != 0)
+        .map(_.totalFiles).sum.toString)}" +
       "}"
     // the written branch advances to the new snapshot; main's head is
     // the current pointer (unchanged by a staging-branch commit)
@@ -942,7 +949,15 @@ object IcebergLite {
     * generations, and every reader resolves each through ITS spec. */
   private case class MRef(path: String, len: Long, nFiles: Int,
                           addedBy: Long, nRows: Long, content: Int,
-                          specId: Int = 0)
+                          specId: Int = 0,
+                          /** EXISTING (carried) entries — nonzero only
+                            * on rewrite manifests; nFiles/nRows count
+                            * ADDED entries per the spec field names. */
+                          existingFiles: Int = 0,
+                          existingRows: Long = 0L) {
+    def totalFiles: Long = nFiles.toLong + existingFiles
+    def totalRows: Long = nRows + existingRows
+  }
 
   private case class TableMeta(
       version: Int,
@@ -1053,7 +1068,11 @@ object IcebergLite {
           .map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0),
         Option(r.get("partition_spec_id"))
-          .map(_.asInstanceOf[Int]).getOrElse(0))
+          .map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(r.get("existing_data_files_count"))
+          .map(_.asInstanceOf[Int]).getOrElse(0),
+        Option(r.get("existing_rows_count"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
     }
     val lastColumnId = Option(node.get("last-column-id")).map(_.asInt())
       .getOrElse(sys.error("metadata missing last-column-id"))
@@ -1704,10 +1723,17 @@ object IcebergLite {
             (if (g.bloomPaths.nonEmpty)
               Map("bloom-paths" -> g.bloomPaths.mkString(","))
             else Map.empty))
-        val nRows = g.entries.map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("record_count").asInstanceOf[Long]).sum
-        MRef(manifestPath.toString, manifestLen, g.entries.size, snapshotId,
-          nRows, content = 0, specId = g.specId)
+        // the spec's added_* fields count ADDED entries; carried
+        // EXISTING entries ride the existing_* fields — so the summary
+        // metrics stay honest for rewrite snapshots
+        def rows(es: Seq[GenericRecord]): Long =
+          es.map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("record_count").asInstanceOf[Long]).sum
+        val (added, existing) = g.entries.partition(
+          _.get("status").asInstanceOf[Int] == 1)
+        MRef(manifestPath.toString, manifestLen, added.size, snapshotId,
+          rows(added), content = 0, specId = g.specId,
+          existingFiles = existing.size, existingRows = rows(existing))
     }
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
       manifests, meta.schemaJs, meta.lastColumnId,
@@ -1840,7 +1866,14 @@ object IcebergLite {
   /** Build per-(file, column) Bloom filters over the data files of
     * `data/s<snapshotId>` in ONE distributed pass and write the sidecar
     * avro. Returns the sidecar path, or None when no column qualifies.
-    * Columns must be int/long/string (the bound-type subset). */
+    * Columns must be int/long/string (the bound-type subset).
+    *
+    * Cost note: this is a SECOND read-back of the snapshot's files on
+    * top of the bounds pass in [[writeDataFiles]] — both ∝ the BATCH,
+    * never the table, and the files are page-cache-warm right after the
+    * write. Folding the filter build into the bounds aggregate (one
+    * custom Aggregator serving min/max AND bloom bits) is the known
+    * follow-up if ingest profiling ever shows this pass. */
   private def writeBloomSidecar(spark: SparkSession, root: Path,
                                 snapshotId: Long, cols: Seq[String],
                                 schema: StructType,
@@ -2011,7 +2044,11 @@ object IcebergLite {
         org.apache.spark.util.sketch.BloomFilter]]
     def manifestBlooms(m: MRef)
         : Map[(String, Int), org.apache.spark.util.sketch.BloomFilter] =
-      if (eqPreds.isEmpty) Map.empty
+      // gate on the TABLE contract too: without declared bloom columns
+      // no manifest has a sidecar header, and reading every manifest a
+      // second time just to confirm that would double planning I/O on
+      // exactly the high-file-count tables this leg exists for
+      if (eqPreds.isEmpty || meta.bloomCols.isEmpty) Map.empty
       else manifestMetaString(spark, new Path(m.path), "bloom-paths")
         .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
         .map(p => bloomCache.getOrElseUpdate(p, loadBlooms(spark, Seq(p))))

@@ -85,8 +85,7 @@ object Robots {
     if (scored.isEmpty) Array.empty
     else {
       val top = scored.map(_._1).max
-      if (top == 0 && !scored.exists(_._1 == 0)) Array.empty
-      else scored.filter(_._1 == top).flatMap(_._2).toArray
+      scored.filter(_._1 == top).flatMap(_._2).toArray
     }
   }
 

@@ -61,8 +61,35 @@ object Unigram {
 
   /** Reassemble a token stream to the original DE-SPACED text — the
     * executable half of the losslessness identity: `<0xNN>` runs map
-    * back through UTF-8, every other piece passes verbatim. */
-  def decodeTokens(tokens: Seq[String]): String = {
+    * back through UTF-8, every other piece passes verbatim.
+    *
+    * The model-aware overload is the CORRECT decoder: a TRAINED piece
+    * that literally spells `<0x41>` stays verbatim (byte pieces are a
+    * namespace decision, not a shape — SentencePiece resolves this by
+    * piece id); the model-less overload assumes every well-formed
+    * `<0xNN>` is a byte piece (fine for streams from byteFallback
+    * models whose corpus lacks such literals) and passes MALFORMED
+    * lookalikes (`<0xzg>`) through verbatim rather than crashing. */
+  def decodeTokens(tokens: Seq[String], model: UnigramModel): String = {
+    val trained: String => Boolean =
+      if (!model.byteFallback) _ => true
+      else {
+        val set = model.pieces.iterator.map(_._1).toSet
+        set.contains _
+      }
+    decodeWith(tokens, t => !trained(t))
+  }
+
+  def decodeTokens(tokens: Seq[String]): String =
+    decodeWith(tokens, _ => true)
+
+  private def isByteShape(t: String): Boolean =
+    t.length == 6 && t.startsWith("<0x") && t.endsWith(">") &&
+      t.substring(3, 5).forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F'))
+
+  private def decodeWith(tokens: Seq[String],
+                         byteEligible: String => Boolean): String = {
     val sb = new java.lang.StringBuilder()
     val buf = new java.io.ByteArrayOutputStream()
     def flush(): Unit = if (buf.size() > 0) {
@@ -71,7 +98,7 @@ object Unigram {
       buf.reset()
     }
     tokens.foreach { t =>
-      if (t.length == 6 && t.startsWith("<0x") && t.endsWith(">"))
+      if (isByteShape(t) && byteEligible(t))
         buf.write(Integer.parseInt(t.substring(3, 5), 16))
       else { flush(); sb.append(t) }
     }

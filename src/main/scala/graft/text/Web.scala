@@ -69,7 +69,7 @@ object Web {
     */
   def registeredDomain(hostCol: Column,
                        publicSuffixes: Seq[String]): Column = {
-    val norm = publicSuffixes.map(_.toLowerCase.stripPrefix(".").trim)
+    val norm = publicSuffixes.map(_.trim.toLowerCase.stripPrefix("."))
       .filter(_.nonEmpty).distinct
     if (norm.isEmpty) registeredDomain(hostCol)
     else {

@@ -78,6 +78,29 @@ class BmpPnmCodecSpec extends AnyFunSuite {
     assert(PnmCodec.decode(wild).pixels.toSeq == gray.pixels.toSeq)
   }
 
+  test("crafted geometry/palette overflows refuse by name (review r14)") {
+    // P6 65536x65536 would overflow Int to 0 and slip the raster check
+    assert(intercept[IllegalArgumentException] {
+      PnmCodec.decode("P6\n65536 65536\n255\n".getBytes("US-ASCII"))
+    }.getMessage.contains("too large"))
+    // 8-bit BMP with biClrUsed = 0x80000000: named refusal, never a
+    // NegativeArraySizeException
+    val img8 = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+      def le16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      out += 'B'.toByte; out += 'M'.toByte
+      le32(54 + 8 + 8); le16(0); le16(0); le32(54 + 8)
+      le32(40); le32(2); le32(2); le16(1); le16(8); le32(0); le32(8)
+      le32(0); le32(0); le32(0x80000000); le32(0) // poisoned biClrUsed
+      out ++= new Array[Byte](16)
+      out.toArray
+    }
+    assert(intercept[IllegalArgumentException] {
+      BmpCodec.decode(img8)
+    }.getMessage.contains("palette"))
+  }
+
   test("pnm refusals are loud and named") {
     assert(intercept[RuntimeException] {
       PnmCodec.decode("P3\n1 1\n255\n1 2 3".getBytes("US-ASCII"))

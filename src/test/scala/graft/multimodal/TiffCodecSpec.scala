@@ -71,6 +71,15 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       TiffCodec.decode(multi)
     }.getMessage.contains("multi-IFD"))
+    // a 0xFFFFFFFF value count refuses by name (review r14: it used
+    // to overflow negative and crash .head unnamed)
+    val badCount = good.clone()
+    val ifd2 = ifdAt // first entry's count field at ifdAt+2+4
+    badCount(ifd2 + 2 + 4) = 0xff.toByte; badCount(ifd2 + 2 + 5) = 0xff.toByte
+    badCount(ifd2 + 2 + 6) = 0xff.toByte; badCount(ifd2 + 2 + 7) = 0xff.toByte
+    assert(intercept[IllegalArgumentException] {
+      TiffCodec.decode(badCount)
+    }.getMessage.contains("values"))
     // chopping the tail removes the offset-stored strip arrays: loud
     assert(intercept[IllegalArgumentException] {
       TiffCodec.decode(good.dropRight(1))

@@ -1291,6 +1291,16 @@ class IcebergLiteSpec extends SparkSuite {
       .takeWhile(_.hasNext).map(_.next().get("metadata-file").asText()).toSeq
     assert(files.map(_.split('/').last) ==
       Seq("v1.metadata.json", "v2.metadata.json"))
+    // a REWRITE snapshot's metrics count ADDED entries, never the
+    // carried EXISTING ones (review r14: added-* used to report the
+    // whole table after a one-file deleteWhere)
+    IcebergLite.deleteWhere(spark, dir, col("id") === 2L)
+    val rw = IcebergLite.metaTable(spark, dir, "snapshots")
+      .orderBy("snapshot_id").collect().last
+    def rm(c: String) = rw.getLong(rw.fieldIndex(c))
+    assert(rm("added_records") < 4L,
+      s"rewrite added_records counts carried entries: ${rm("added_records")}")
+    assert(rm("total_records") == 3L) // 5 - id1 (MOR) - id2 (COW)
   }
 
   test("expiry prunes history entries of purged snapshots; as-of stays sound") {
