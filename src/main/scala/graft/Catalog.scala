@@ -28,15 +28,33 @@ object Catalog {
   /** Register an IcebergLite warehouse
     * ([[graft.etl.NexusPipeline.processAndWriteIceberg]] output) as temp
     * views — the reference's `spark.read.table` route
-    * (spark_events_by_time.py:49-96) against the in-repo table format:
-    * reads resolve through version-hint → metadata → manifests, so a
-    * registered view always sees the table's CURRENT snapshot as of
-    * registration. */
+    * (spark_events_by_time.py:49-96) against the in-repo table format. */
   def registerIcebergWarehouse(spark: SparkSession, warehouseDir: String): Unit =
     graft.etl.NexusSchemas.byTable.keys.foreach { t =>
       val dir = s"$warehouseDir/$t"
       if (new java.io.File(s"$dir/metadata/version-hint.text").exists())
-        graft.sources.IcebergLite.readTable(spark, dir)
-          .createOrReplaceTempView(t)
+        registerIcebergTable(spark, t, dir)
     }
+
+  /** Register ONE IcebergLite table as a SQL name. In a session built
+    * with `spark.sql.extensions=graft.GraftExtensions` the view is a
+    * planning-time scan node ([[graft.plans.IcebergScanNode]]): a SQL
+    * `WHERE` file-skips through manifest bounds / partition transforms /
+    * Bloom sidecars exactly like the [[graft.sources.IcebergLite.readTableWhere]]
+    * API, every query reads the table's CURRENT snapshot, and
+    * `FOR VERSION AS OF` / `FOR TIMESTAMP AS OF` time-travel. Without
+    * the extensions the view falls back to a materialized full read of
+    * the snapshot as of registration (no file skipping, no time travel
+    * — the pre-r15 behavior). */
+  def registerIcebergTable(spark: SparkSession, name: String,
+                           tableDir: String): Unit =
+    if (spark.conf.get("spark.sql.extensions", "")
+        .contains("graft.GraftExtensions")) {
+      org.apache.spark.sql.GraftPlanShim
+        .ofRows(spark, graft.plans.IcebergScanNode.forTable(spark, tableDir))
+        .createOrReplaceTempView(name)
+      graft.plans.IcebergSqlTables.put(spark, name, tableDir)
+    } else
+      graft.sources.IcebergLite.readTable(spark, tableDir)
+        .createOrReplaceTempView(name)
 }

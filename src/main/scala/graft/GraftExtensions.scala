@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new graft.sql.GraftSqlParser(session, delegate))
     // whole-operator as-of join (logical node -> sort-merge SparkPlan)
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // IcebergLite SQL scan planning: after the pushdown fixpoints have
+    // moved filters to the leaves, map them onto manifest-bounds /
+    // partition-transform / Bloom file skipping (plans/IcebergScan.scala)
+    ext.injectPreCBORule(session => new graft.plans.IcebergScanRule(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rolling_fingerprint"),

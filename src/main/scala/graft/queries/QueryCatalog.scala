@@ -4492,6 +4492,48 @@ object QueryCatalog {
       FROM documents WHERE doc_id > (SELECT c2 FROM cut)
       GROUP BY lang ORDER BY lang""")),
 
+    // SQL-route scan planning (plans/IcebergScan.scala — r15): the SAME
+    // ranged read as iceberg_prune, but issued as `spark.sql` over a
+    // REGISTERED table name. The pre-CBO rule must map the SQL WHERE
+    // onto manifest-bounds file skipping; files_skipped pins — via the
+    // optimized plan's actual file count, never an assumption — that
+    // the SQL route planned fewer files than the table holds, and the
+    // aggregate must equal the plain filter (the oracle rederives it
+    // from documents alone). Data-derived at any scale.
+    QueryDef("iceberg_sql_prune", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_sqlprune_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut1 = n / 3
+      val cut2 = 2 * n / 3
+      IcebergLite.createTable(s, docs.filter(col("doc_id") <= cut1), dir)
+      IcebergLite.appendSnapshot(s,
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") > cut2), dir)
+      graft.Catalog.registerIcebergTable(s, "iceberg_sql_prune_docs", dir)
+      val total = graft.plans.IcebergSqlAudit.scannedFiles(
+        s.sql("SELECT * FROM iceberg_sql_prune_docs"))
+      val q = s.sql(
+        s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM iceberg_sql_prune_docs WHERE doc_id >= ${cut2 + 1}
+            GROUP BY lang""")
+      q.withColumn("files_skipped",
+          lit(graft.plans.IcebergSqlAudit.scannedFiles(q) < total))
+        .orderBy("lang")
+    }, Some("""
+      WITH cut AS (SELECT 2 * max(doc_id) // 3 AS c2 FROM documents)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS files_skipped
+      FROM documents WHERE doc_id > (SELECT c2 FROM cut)
+      GROUP BY lang ORDER BY lang""")),
+
     // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
     // the v2 position-delete mechanism): rows are deleted by writing
     // (file_path, pos) delete files, NOT by rewriting data; the read

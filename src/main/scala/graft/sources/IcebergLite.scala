@@ -516,17 +516,16 @@ object IcebergLite {
     // 1. data files + their manifest entries
     val fieldIds = topFields(new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(schemaJs)).map(f2 => f2._2 -> f2._1).toMap
-    val entries = writeDataFiles(spark, df, root, snapshotId,
-      spec, entrySchema, fieldIds, distribute = effectiveSort.isEmpty)
-
     // bloom filters: an explicit bloomFor becomes the NEW persisted
     // contract; callers that name none inherit the table property
-    // (the sortBy discipline)
+    // (the sortBy discipline). The filters ride writeDataFiles' bounds
+    // pass — one read-back serves both.
     val effectiveBloom =
       if (bloomFor.nonEmpty) bloomFor
       else prior.map(_.bloomCols).getOrElse(Nil)
-    val bloomPath = writeBloomSidecar(spark, root, snapshotId,
-      effectiveBloom, df.schema, fieldIds)
+    val (entries, bloomPath) = writeDataFiles(spark, df, root, snapshotId,
+      spec, entrySchema, fieldIds, distribute = effectiveSort.isEmpty,
+      bloomCols = effectiveBloom)
 
     // 2. manifest for this snapshot's files
     val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d.avro")
@@ -612,12 +611,21 @@ object IcebergLite {
     * min/max pair per primitive column in the same per-file aggregate
     * that was already computing record counts. `fieldIds` maps column
     * name → field id in the TABLE schema (evolution-stable). */
+  /** Write the batch's parquet files and derive their manifest entries
+    * (per-file row counts + column bounds) from ONE read-back pass.
+    * When `bloomCols` is nonempty the per-file Bloom filters ride the
+    * SAME groupBy as aggregate columns ([[BloomLongAgg]]/
+    * [[BloomStringAgg]]) and the sidecar avro is written here — the
+    * batch is never read back a second time. Returns (manifest entries,
+    * bloom sidecar path if one was written). */
   private def writeDataFiles(spark: SparkSession, df: DataFrame, root: Path,
                              snapshotId: Long,
                              spec: TypedSpec,
                              entrySchema: Schema,
                              fieldIds: Map[String, Int],
-                             distribute: Boolean = false): Seq[GenericRecord] = {
+                             distribute: Boolean = false,
+                             bloomCols: Seq[String] = Nil)
+      : (Seq[GenericRecord], Option[String]) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val f = fs(spark, root)
     val dataDir = new Path(root, s"data/s$snapshotId")
@@ -672,15 +680,51 @@ object IcebergLite {
         org.apache.spark.sql.functions.substring(col(fd.name), 1, 17)
       case _ => col(fd.name)
     }
+    // bloom columns ride the same per-file aggregation (one read-back
+    // serves bounds AND filters); int casts to long so build-side
+    // putLong matches the probe's mightContainLong
+    val bloomTyped = bloomCols.map { c =>
+      require(df.schema.fieldNames.contains(c),
+        s"bloom column $c not in schema")
+      val dt = df.schema(c).dataType
+      require(dt == IntegerType || dt == LongType || dt == StringType,
+        s"bloom column $c has type ${dt.simpleString} (int/long/string only)")
+      (c, dt, fieldIds(c))
+    }
+    val bloomAggs = bloomTyped.map { case (c, dt, _) =>
+      (if (dt == StringType) bloomStringUdaf(col(c))
+       else bloomLongUdaf(col(c).cast(LongType))).as(s"__bf_$c")
+    }
     val aggs = count(lit(1)).as("__n") +:
-      bounded.flatMap(fd => Seq(min(boundCol(fd)).as(s"__lo_${fd.name}"),
-        max(boundCol(fd)).as(s"__hi_${fd.name}")))
-    val touched = (partNames ++ bounded.map(_.name)).distinct
+      (bounded.flatMap(fd => Seq(min(boundCol(fd)).as(s"__lo_${fd.name}"),
+        max(boundCol(fd)).as(s"__hi_${fd.name}"))) ++ bloomAggs)
+    val touched = (partNames ++ bounded.map(_.name) ++ bloomCols).distinct
     val perFile = back
       .select(input_file_name().as("f") +: touched.map(col): _*)
       .groupBy("f", partNames: _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect()
+
+    val bloomPath =
+      if (bloomTyped.isEmpty || perFile.isEmpty) None
+      else {
+        val bloomAt = 2 + partNames.size + bounded.size * 2
+        val records = perFile.toSeq.sortBy(_.getString(0)).flatMap { row =>
+          bloomTyped.zipWithIndex.map { case ((_, _, fid), i) =>
+            val r = new GenericData.Record(BloomSidecarSchema)
+            r.put("file_path", row.getString(0))
+            r.put("field_id", fid)
+            r.put("bits", java.nio.ByteBuffer.wrap(
+              row.getAs[Array[Byte]](bloomAt + i)))
+            r
+          }
+        }
+        val p = new Path(new Path(root, "metadata"),
+          f"bloom-$snapshotId%05d.avro")
+        writeAvro(spark, p, BloomSidecarSchema, records,
+          Map("bloom-cols" -> bloomCols.mkString(",")))
+        Some(p.toString)
+      }
 
     val fileSchema = entrySchema.getField("data_file").schema()
     val partSchema = fileSchema.getField("partition").schema()
@@ -688,7 +732,7 @@ object IcebergLite {
       .getTypes.get(1).getElementType
     val boundsItemSchemaHi = fileSchema.getField("upper_bounds").schema()
       .getTypes.get(1).getElementType
-    perFile.toSeq.map { row =>
+    val entries = perFile.toSeq.map { row =>
       val filePath = row.getString(0)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
@@ -746,6 +790,7 @@ object IcebergLite {
       e.put("data_file", d)
       e
     }
+    (entries, bloomPath)
   }
 
   /** Write the manifest list + next metadata version + version hint. */
@@ -1362,21 +1407,18 @@ object IcebergLite {
       .filter(not(coalesce(predicate, lit(false))))
       .drop("__file", "__pos")
     val survivorCount = survivors.count()
-    val newEntries =
-      if (survivorCount == 0) Seq.empty[GenericRecord]
+    val (newEntries, newBloomPath) =
+      if (survivorCount == 0) (Seq.empty[GenericRecord], None)
       else writeDataFiles(spark, survivors, root, snapshotId,
         spec, entrySchema,
-        topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
+        topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap,
+        bloomCols = meta.bloomCols)
 
     // untouched files carry over by reference as EXISTING entries,
     // grouped by their SOURCE manifest's schema AND spec so an
     // old-generation file stays readable through its own id→name
     // mapping and prunable through its own partition shape
-    val newBloom =
-      if (newEntries.nonEmpty)
-        writeBloomSidecar(spark, root, snapshotId, meta.bloomCols, schema,
-          topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap).toSeq
-      else Nil
+    val newBloom = newBloomPath.toSeq
     val groups = carryExisting(spark, meta, p => !hits.contains(p)) ++
       (if (newEntries.nonEmpty)
         Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
@@ -1581,12 +1623,11 @@ object IcebergLite {
     // makes them physical (the new list carries no delete manifests)
     val all = applyDeletes(spark, meta, readRaw(spark, meta, files))
       .drop("__file", "__pos")
-    val entries = writeDataFiles(spark, all, root, snapshotId,
+    val (entries, newBloomPath) = writeDataFiles(spark, all, root, snapshotId,
       spec, entrySchema,
-      topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
-    val newBloom = writeBloomSidecar(spark, root, snapshotId,
-      meta.bloomCols, schema,
-      topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap).toSeq
+      topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap,
+      bloomCols = meta.bloomCols)
+    val newBloom = newBloomPath.toSeq
     commitRewrite(spark, root, meta, snapshotId,
       Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
         entries, newBloom)),
@@ -1636,18 +1677,15 @@ object IcebergLite {
     val packed = applyDeletes(spark, meta,
         readRaw(spark, meta, files.filter(e => small.contains(e._1))))
       .drop("__file", "__pos")
-    val newEntries =
-      if (packed.isEmpty) Seq.empty[GenericRecord]
+    val (newEntries, newBloomPath) =
+      if (packed.isEmpty) (Seq.empty[GenericRecord], None)
       else writeDataFiles(spark, packed.coalesce(
           math.max(1, spark.sparkContext.defaultParallelism / 4)),
         root, snapshotId, spec, entrySchema,
-        topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap)
+        topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap,
+        bloomCols = meta.bloomCols)
 
-    val newBloom =
-      if (newEntries.nonEmpty)
-        writeBloomSidecar(spark, root, snapshotId, meta.bloomCols, schema,
-          topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap).toSeq
-      else Nil
+    val newBloom = newBloomPath.toSeq
     val groups = carryExisting(spark, meta, p => !small.contains(p)) ++
       (if (newEntries.nonEmpty)
         Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
@@ -1863,89 +1901,77 @@ object IcebergLite {
       {"name": "bits", "type": "bytes"}
     ]}""")
 
-  /** Build per-(file, column) Bloom filters over the data files of
-    * `data/s<snapshotId>` in ONE distributed pass and write the sidecar
-    * avro. Returns the sidecar path, or None when no column qualifies.
-    * Columns must be int/long/string (the bound-type subset).
-    *
-    * Cost note: this is a SECOND read-back of the snapshot's files on
-    * top of the bounds pass in [[writeDataFiles]] — both ∝ the BATCH,
-    * never the table, and the files are page-cache-warm right after the
-    * write. Folding the filter build into the bounds aggregate (one
-    * custom Aggregator serving min/max AND bloom bits) is the known
-    * follow-up if ingest profiling ever shows this pass. */
-  private def writeBloomSidecar(spark: SparkSession, root: Path,
-                                snapshotId: Long, cols: Seq[String],
-                                schema: StructType,
-                                fieldIds: Map[String, Int],
-                                suffix: String = ""): Option[String] = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    if (cols.isEmpty) return None
-    val typed = cols.map { c =>
-      require(schema.fieldNames.contains(c),
-        s"bloom column $c not in schema")
-      val dt = schema(c).dataType
-      require(dt == IntegerType || dt == LongType || dt == StringType,
-        s"bloom column $c has type ${dt.simpleString} (int/long/string only)")
-      (c, dt, fieldIds(c))
+  /** Bloom bits as an AGGREGATE (r15 — the builder's documented
+    * follow-up, VERDICT r14 task 3): the filter build rides the SAME
+    * groupBy-per-file pass that computes the manifest min/max bounds in
+    * [[writeDataFiles]], so an append with bloom columns reads its
+    * batch back ONCE instead of twice. Typed `Aggregator`s (a genuine
+    * can't-express-with-builtins case): the buffer is the live
+    * BloomFilter object (serialized only at partial/merge boundaries),
+    * the output its spec serialization — byte-identical probe semantics
+    * to the old two-pass build (putLong/putString ↔
+    * mightContainLong/mightContainString). NULL inputs are skipped,
+    * matching the old pass. */
+  private class BloomLongAgg extends org.apache.spark.sql.expressions
+      .Aggregator[java.lang.Long,
+        org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    def zero: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter
+        .create(BloomExpectedItems, BloomFpp)
+    def reduce(b: org.apache.spark.util.sketch.BloomFilter,
+               a: java.lang.Long): org.apache.spark.util.sketch.BloomFilter = {
+      if (a != null) b.putLong(a.longValue())
+      b
     }
-    val dataDir = new Path(root, s"data/s$snapshotId")
-    val back = spark.read.parquet(dataDir.toString)
-      .select(input_file_name().as("__f") +: typed.map(t => col(t._1)): _*)
-    val nCols = typed.size
-    val merged: Array[(String, Array[Array[Byte]])] = back.rdd
-      .mapPartitions { it =>
-        val acc = scala.collection.mutable.HashMap
-          .empty[String, Array[org.apache.spark.util.sketch.BloomFilter]]
-        it.foreach { row =>
-          val f = row.getString(0)
-          val bfs = acc.getOrElseUpdate(f, Array.fill(nCols)(
-            org.apache.spark.util.sketch.BloomFilter
-              .create(BloomExpectedItems, BloomFpp)))
-          var i = 0
-          while (i < nCols) {
-            if (!row.isNullAt(i + 1)) typed(i)._2 match {
-              case LongType => bfs(i).putLong(row.getLong(i + 1))
-              case IntegerType => bfs(i).putLong(row.getInt(i + 1).toLong)
-              case _ => bfs(i).putString(row.getString(i + 1))
-            }
-            i += 1
-          }
-        }
-        acc.iterator.map { case (f, bfs) =>
-          f -> bfs.map { bf =>
-            val bo = new java.io.ByteArrayOutputStream()
-            bf.writeTo(bo); bo.toByteArray
-          }
-        }
-      }
-      .reduceByKey { (a, b) =>
-        a.zip(b).map { case (ab, bb) =>
-          val x = org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(ab))
-          x.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bb)))
-          val bo = new java.io.ByteArrayOutputStream()
-          x.writeTo(bo); bo.toByteArray
-        }
-      }
-      .collect()
-    if (merged.isEmpty) return None
-    val records = merged.toSeq.sortBy(_._1).flatMap { case (f, bfs) =>
-      bfs.zipWithIndex.map { case (bytes, i) =>
-        val r = new GenericData.Record(BloomSidecarSchema)
-        r.put("file_path", f)
-        r.put("field_id", typed(i)._3)
-        r.put("bits", java.nio.ByteBuffer.wrap(bytes))
-        r
-      }
+    def merge(x: org.apache.spark.util.sketch.BloomFilter,
+              y: org.apache.spark.util.sketch.BloomFilter)
+        : org.apache.spark.util.sketch.BloomFilter = {
+      x.mergeInPlace(y); x
     }
-    val p = new Path(new Path(root, "metadata"),
-      f"bloom-$snapshotId%05d$suffix.avro")
-    writeAvro(spark, p, BloomSidecarSchema, records,
-      Map("bloom-cols" -> cols.mkString(",")))
-    Some(p.toString)
+    def finish(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      b.writeTo(bo); bo.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[
+        org.apache.spark.util.sketch.BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization(
+        classOf[org.apache.spark.util.sketch.BloomFilter])
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
   }
+
+  private class BloomStringAgg extends org.apache.spark.sql.expressions
+      .Aggregator[String,
+        org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    def zero: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter
+        .create(BloomExpectedItems, BloomFpp)
+    def reduce(b: org.apache.spark.util.sketch.BloomFilter,
+               a: String): org.apache.spark.util.sketch.BloomFilter = {
+      if (a != null) b.putString(a)
+      b
+    }
+    def merge(x: org.apache.spark.util.sketch.BloomFilter,
+              y: org.apache.spark.util.sketch.BloomFilter)
+        : org.apache.spark.util.sketch.BloomFilter = {
+      x.mergeInPlace(y); x
+    }
+    def finish(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      b.writeTo(bo); bo.toByteArray
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[
+        org.apache.spark.util.sketch.BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization(
+        classOf[org.apache.spark.util.sketch.BloomFilter])
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private lazy val bloomLongUdaf = org.apache.spark.sql.functions.udaf(
+    new BloomLongAgg, org.apache.spark.sql.Encoders.LONG)
+  private lazy val bloomStringUdaf = org.apache.spark.sql.functions.udaf(
+    new BloomStringAgg, org.apache.spark.sql.Encoders.STRING)
 
   /** Load sidecars into (file_path, field_id) → filter. */
   private def loadBlooms(spark: SparkSession, paths: Seq[String])
@@ -2142,6 +2168,13 @@ object IcebergLite {
     (files.size, total)
   }
 
+  /** Live row count of the current snapshot from manifest-list
+    * accounting alone (no data read) — the stats hint the SQL scan
+    * node reports to the optimizer. */
+  def tableRowCount(spark: SparkSession, tableDir: String): Long =
+    readMeta(spark, tableDir).manifests.filter(_.content == 0)
+      .map(_.totalRows).sum
+
   // ---- schema evolution (v1-legal, metadata-only commits) ----------------
   //
   // Evolution changes METADATA only — no snapshot, no data rewrite
@@ -2307,7 +2340,14 @@ object IcebergLite {
     * log existed fall back to commit timestamps along main's lineage
     * (conservative, same at-or-before rule). */
   def readTableAsOf(spark: SparkSession, tableDir: String,
-                    timestampMs: Long): DataFrame = {
+                    timestampMs: Long): DataFrame =
+    readTable(spark, tableDir, Some(snapshotIdAsOf(spark, tableDir, timestampMs)))
+
+  /** The snapshot id a wall-clock instant resolves to (the
+    * [[readTableAsOf]] rule, shared with the SQL `TIMESTAMP AS OF`
+    * route). */
+  def snapshotIdAsOf(spark: SparkSession, tableDir: String,
+                     timestampMs: Long): Long = {
     val meta = readMeta(spark, tableDir)
     val log =
       if (meta.snapshotLog.nonEmpty) meta.snapshotLog
@@ -2326,7 +2366,7 @@ object IcebergLite {
         s"${log.map(_._1).minOption.getOrElse(-1L)})")
     // the log is append-ordered: same-millisecond changes resolve to
     // the latest APPLIED one, not an arbitrary max
-    readTable(spark, tableDir, Some(at.last._2))
+    at.last._2
   }
 
   // ---- refs: branches, tags, write-audit-publish ---------------------------

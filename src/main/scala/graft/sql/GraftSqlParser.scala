@@ -47,10 +47,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rewrite(sqlText: String): String =
     AsofSqlRewrite(session, sqlText)
 
+  // time travel over registered IcebergLite names resolves at parse
+  // time (Spark's analyzer refuses RelationTimeTravel on temp views);
+  // see graft.plans.IcebergTimeTravelRewrite
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(rewrite(sqlText))
+    graft.plans.IcebergTimeTravelRewrite(session,
+      delegate.parsePlan(rewrite(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(rewrite(sqlText))
+    graft.plans.IcebergTimeTravelRewrite(session,
+      delegate.parseQuery(rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
