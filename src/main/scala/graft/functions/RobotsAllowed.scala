@@ -75,7 +75,11 @@ object RobotsAllowed {
     false
   }
 
-  /** Longest-match evaluation; allow wins ties; no match → allowed. */
+  /** Longest-match evaluation; allow wins ties; no match → allowed.
+    * Precedence counts the pattern's MATCHED octets: a trailing `$`
+    * anchor matches nothing, so it's excluded — `Disallow: /foo$` and
+    * `Allow: /foo` tie (and allow wins) rather than the anchor octet
+    * outranking the allow. */
   def allowed(path: UTF8String, rules: ArrayData): Boolean = {
     val p = path.toString
     var bestLen = -1
@@ -90,9 +94,12 @@ object RobotsAllowed {
           val pat = r.substring(2)
           if (matches(pat, p)) {
             val isAllow = r.charAt(0) == 'A'
-            if (pat.length > bestLen ||
-                (pat.length == bestLen && isAllow && !bestAllow)) {
-              if (pat.length > bestLen) { bestLen = pat.length; bestAllow = isAllow }
+            val eff =
+              if (pat.nonEmpty && pat.last == '$') pat.length - 1
+              else pat.length
+            if (eff > bestLen ||
+                (eff == bestLen && isAllow && !bestAllow)) {
+              if (eff > bestLen) { bestLen = eff; bestAllow = isAllow }
               else bestAllow = true
             }
           }

@@ -73,8 +73,12 @@ object BmpCodec {
     require(isBmp(bytes), "bmp: bad BM signature")
     val dataOffset = le32(bytes, 10)
     val headerSize = le32(bytes, 14)
-    require(headerSize >= 40,
-      s"bmp: OS/2 core headers ($headerSize bytes) are out of subset")
+    // upper bound keeps 14 + headerSize in Int range AND inside the
+    // buffer — a crafted headerSize near 2^31 would otherwise wrap the
+    // palette offset negative and die uncontrolled instead of refusing
+    require(headerSize >= 40 && headerSize <= bytes.length - 14,
+      s"bmp: info header of $headerSize bytes is out of subset " +
+        s"(40..${bytes.length - 14})")
     val width = le32(bytes, 18)
     val rawHeight = le32(bytes, 22)
     val topDown = rawHeight < 0

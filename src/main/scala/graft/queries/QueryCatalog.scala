@@ -1870,10 +1870,11 @@ object QueryCatalog {
         case 1 => "User-agent: *\nDisallow: /p/\nAllow: /p/2"
         case _ => "User-agent: *\nDisallow: /*/v$"
       }
+      // keyed by HOST — the RFC authority scope the gate joins on
       val robots = (0 until 20)
         .map(k => (s"example$k.test", body(k)))
-        .toDF("domain", "txt")
-      val rules = Robots.rulesTable(robots, "domain", "txt",
+        .toDF("host", "txt")
+      val rules = Robots.rulesTable(robots, "host", "txt",
         agent = "graftbot/2.0")
       Robots.gate(docs, "url", rules)
         .select("doc_id", "domain", "url_path", "robots_allowed", "kept")

@@ -38,6 +38,17 @@ object Web {
   /** Path component ('' when absent; query/fragment excluded). */
   def path(url: Column): Column = regexp_extract(url, PathRe, 1)
 
+  /** Path + '?' + query ('' query → just the path; fragment excluded) —
+    * what robots.txt rules match against (RFC 9309 §2.2.2), where
+    * query-targeting rules like a disallow of `*?sessionid=` must see the
+    * query string [[path]] deliberately strips. */
+  def pathQuery(url: Column): Column = {
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    concat(path(url),
+      when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^#]*\\?"),
+        concat(lit("?"), q)).otherwise(lit("")))
+  }
+
   /** Registered domain = the last two dot-labels of the host ("a.b.c.com"
     * -> "c.com"); a single-label host (e.g. "localhost") is its own
     * domain. Public-suffix-list awareness ("co.uk") is deliberately out
