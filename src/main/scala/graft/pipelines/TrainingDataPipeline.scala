@@ -658,7 +658,13 @@ object TrainingDataPipeline {
   def curateStreamNearDedup(
       textCol: String, idCol: String, tsCol: String,
       dedup: graft.dedup.IncrementalNearDedup,
-      cfg: Config = Config())(
+      cfg: Config = Config(),
+      /** each batch's verified pairs, BEFORE the flag join — accumulate
+        * them (a parquet append, a pair-table upsert) to drive
+        * [[reconcileNearDupFlags]] at compaction. At-least-once on
+        * replays like `onBatch`; the reconcile drop set is a distinct,
+        * so re-emitted pairs are harmless. */
+      onPairs: (DataFrame, Long) => Unit = (_, _) => ())(
       onBatch: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch0, epochId) => {
       // one materialization: the fold and the flag join must see the
@@ -668,6 +674,7 @@ object TrainingDataPipeline {
         .localCheckpoint()
       if (!gated.isEmpty) {
         val inner = dedup.sink(textCol, idCol) { (pairs, _) =>
+          onPairs(pairs, epochId)
           // min-id-wins pairwise: the LARGER id of each verified pair
           // flags; restricted to this batch by the join with `gated`
           val flagged = pairs
@@ -683,6 +690,31 @@ object TrainingDataPipeline {
         inner(gated, epochId)
       }
     }
+
+  /** COMPACTION-TIME retro-flag (r15 — closes the stream≡batch gap the
+    * r14 verdict named): [[curateStreamNearDedup]] flags the pair side
+    * that is both the LARGER id and in the ARRIVING batch, so when ids
+    * are not monotone with arrival (late data, multi-source ingest)
+    * the larger id may already be delivered unflagged — the documented
+    * ⊆ bound. Given the delivered corpus and the accumulated verified-
+    * pair table (the `onPairs` unions; any frame with `id_a`/`id_b`),
+    * ONE join re-derives the batch drop set {greatest(id_a, id_b) per
+    * pair} and ORs it into `is_near_dup`: after this pass the flags
+    * equal the batch pipeline's pairwise near-dup drops over the same
+    * corpus (same LSH banding recall, same bucket caps). One shuffle
+    * keyed on the id; the pair table is ∝ duplicates found, never the
+    * corpus. */
+  def reconcileNearDupFlags(delivered: DataFrame, idCol: String,
+                            pairs: DataFrame): DataFrame = {
+    val drops = pairs
+      .select(greatest(col("id_a"), col("id_b")).as(idCol))
+      .distinct()
+      .withColumn("__retro_dup", lit(true))
+    delivered.join(drops, Seq(idCol), "left")
+      .withColumn("is_near_dup",
+        col("is_near_dup") || coalesce(col("__retro_dup"), lit(false)))
+      .drop("__retro_dup")
+  }
 
   def curateStreamGates(stream: DataFrame, textCol: String, idCol: String,
                         tsCol: String, cfg: Config = Config()): DataFrame =

@@ -205,6 +205,63 @@ class CurateStreamSpec extends SparkSuite {
       .collect().toSet === Set(1L, 3L, 4L, 5L))
   }
 
+  test("reconcileNearDupFlags: stream + compaction ≡ batch drops exactly") {
+    // r14 verdict task 4: with NON-monotone arrival (a smaller-id doc
+    // arrives after its larger-id near-dup partner) the stream cannot
+    // flag the already-delivered larger id — the ⊆ bound. The
+    // compaction-time reconcile against the accumulated pair table
+    // must close it to set EQUALITY with the batch drop set.
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("curate_retro").toString + "/sigs"
+    val inc = new graft.dedup.IncrementalNearDedup(spark, sigDir,
+      minJaccard = 0.5)
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val pairRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val sink = TrainingDataPipeline.curateStreamNearDedup(
+      "text", "doc_id", "ts", inc,
+      onPairs = (p, _) =>
+        pairRows ++= p.select("id_a", "id_b").as[(Long, Long)].collect()) {
+      (annotated, _) =>
+        delivered ++= annotated.select("doc_id", "is_near_dup")
+          .as[(Long, Boolean)].collect()
+    }
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val other =
+      "we walked along the river while the evening light was fading " +
+        "and it felt like the whole town had gone quiet for a moment " * 4
+    // batch 1 delivers the LARGER id of a future pair, unflagged
+    sink(Seq((10L, goodText, t(1)), (5L, other, t(2)))
+      .toDF("doc_id", "text", "ts"), 0L)
+    // batch 2: the smaller-id near-dup arrives — min-id-wins keeps it,
+    // and the stream has no way to retro-flag 10
+    sink(Seq((4L, goodText + " tail", t(20)))
+      .toDF("doc_id", "text", "ts"), 1L)
+    val flags = delivered.toMap
+    assert(flags === Map(10L -> false, 5L -> false, 4L -> false),
+      "fixture must exercise the lost-flag shape (no flags in-stream)")
+    // compaction: one join against the accumulated pair table
+    val deliveredDf = delivered.toSeq.toDF("doc_id", "is_near_dup")
+    val reconciled = TrainingDataPipeline.reconcileNearDupFlags(
+        deliveredDf, "doc_id", pairRows.toSeq.toDF("id_a", "id_b"))
+      .select("doc_id", "is_near_dup").as[(Long, Boolean)].collect().toMap
+    val batchDrops = TrainingDataPipeline.curate(
+        Seq((10L, goodText), (5L, other), (4L, goodText + " tail"))
+          .toDF("doc_id", "text"),
+        "text", "doc_id")
+      .filter(col("drop_reason") === "near_dup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(reconciled.filter(_._2).keySet === batchDrops,
+      s"reconciled ${reconciled.filter(_._2).keySet} vs batch $batchDrops")
+    assert(batchDrops === Set(10L),
+      "fixture must make the batch drop exactly the stream-missed id")
+    // idempotent under replayed (duplicated) pair emissions
+    val twice = TrainingDataPipeline.reconcileNearDupFlags(
+        deliveredDf, "doc_id",
+        (pairRows.toSeq ++ pairRows.toSeq).toDF("id_a", "id_b"))
+      .select("doc_id", "is_near_dup").as[(Long, Boolean)].collect().toMap
+    assert(twice === reconciled)
+  }
+
   test("curateStreamNearDedup replays deliver the same flags (epoch-keyed fold)") {
     val sigDir = java.nio.file.Files
       .createTempDirectory("curate_flag_rp").toString + "/sigs"
