@@ -15,8 +15,13 @@ import scala.collection.mutable
   *   - object headers v1 (classic) and v2 (`OHDR`), incl. continuation
   *     blocks (v1 plain, v2 `OCHK`)
   *   - groups: classic symbol-table groups (v1 B-tree + local heap +
-  *     `SNOD` nodes) and compact new-style groups (link messages);
-  *     dense link storage (fractal heaps) is out of subset
+  *     `SNOD` nodes), compact new-style groups (link messages), and
+  *     DENSE link/attribute storage (fractal heaps `FRHP`/`FHDB`/`FHIB`
+  *     + name-index v2 b-trees) — managed, TINY (normal and extended
+  *     12-bit forms), and HUGE (type-1 huge-object b-tree) heap IDs,
+  *     deflate-FILTERED direct blocks, and committed SHARED dense
+  *     attributes (shared-message v2 / v3 type 2; SOHM-table residents
+  *     refuse by name)
   *   - dataspaces v1/v2 (scalar + simple, any rank)
   *   - datatypes: fixed-point (1/2/4/8 bytes, either sign, LE or BE),
   *     IEEE float (f32/f64, LE or BE), fixed-length strings
@@ -524,44 +529,75 @@ object Hdf5 {
     }
 
     /** Dense attribute storage (spec IV.A.2.f Attribute Info): the
-      * type-8 name-index records carry (heap ID(8), message flags,
+      * type-8 name-index records carry (heap ID, message flags,
       * creation order, name hash); each heap object is an attribute
-      * message body. Shared dense attributes are out of subset. */
+      * message body — or, when the record's SHARED flag is set (r15),
+      * a Shared Message encoding resolving to the attribute message in
+      * another object's header (the "committed" form; version 2, or
+      * version 3 type 2). SOHM-table-resident shared attributes
+      * (version 3 type 1) remain out of subset and refuse by name. */
     private def readDenseAttrs(name: String, fheapAddr: Long,
                                btAddr: Long): Map[String, H5Value] = {
       require(btAddr != Undef,
         s"$name: dense attributes without a name-index b-tree")
       val heap = new FractalHeap(name, fheapAddr)
       readV2BtreeRecords(name, btAddr, expectType = 8).map { rec =>
-        require((rec(8) & 1) == 0,
-          s"$name: shared dense attribute is out of subset")
-        parseAttribute(HeaderMessage(0x000C, heap.get(rec, 0)))
+        val body = heap.get(rec, 0)
+        if ((rec(heap.idLen) & 1) == 0)
+          parseAttribute(HeaderMessage(0x000C, body))
+        else {
+          // shared message: {version, type, location}
+          val ver = u8(body, 0)
+          val addr = ver match {
+            case 2 => readOffset(body, 2)
+            case 3 =>
+              require(u8(body, 1) == 2,
+                s"$name: shared attribute in the SOHM table (type " +
+                  s"${u8(body, 1)}) is out of subset; committed (type 2) " +
+                  "is supported")
+              readOffset(body, 2)
+            case v =>
+              sys.error(s"$name: unsupported shared-message version $v")
+          }
+          val shared = parseMessages(addr)
+          parseAttribute(shared.find(_.typ == 0x000C).getOrElse(sys.error(
+            s"$name: shared attribute header at $addr carries no " +
+              "attribute message")))
+        }
       }.toMap
     }
 
-    /** Fractal heap (spec III.G): doubling-table managed blocks. The
-      * supported subset is what link storage uses — managed objects
-      * (tiny/huge refuse by name), unfiltered blocks, root either a
-      * single direct block or one indirect block of direct children. */
+    /** Fractal heap (spec III.G): doubling-table blocks holding MANAGED
+      * objects, plus the three storage classes a modern libhdf5 file
+      * can also emit (all supported since r15): TINY objects (data
+      * packed into the heap ID itself — normal ≤16-byte form for heap
+      * IDs ≤ 18 bytes, the 12-bit extended form beyond), HUGE objects
+      * (larger than the max managed size — stored standalone, resolved
+      * through the heap's type-1 huge-object v2 b-tree records), and
+      * FILTERED heaps (direct blocks deflate-compressed as a whole;
+      * per-block stored sizes from the header / indirect-block
+      * entries). Root is a single direct block or one indirect block of
+      * direct children. */
     private final class FractalHeap(owner: String, hdrAddr: Long) {
       private val fixed = 4 + 1 + 2 + 2 + 1 + 4
-      private val head = src.get(hdrAddr,
-        fixed + 2 * sizeOfOffsets + 10 * sizeOfLengths + 2 +
-          2 * sizeOfLengths + 2 + 2 + sizeOfOffsets + 2 + 4)
+      private val baseLen = fixed + 2 * sizeOfOffsets + 10 * sizeOfLengths +
+        2 + 2 * sizeOfLengths + 2 + 2 + sizeOfOffsets + 2
+      private val head = src.get(hdrAddr, baseLen + 4)
       require(new String(head, 0, 4, "US-ASCII") == "FRHP",
         s"group $owner: bad fractal heap signature")
       require(u8(head, 4) == 0,
         s"group $owner: unsupported fractal heap version ${u8(head, 4)}")
-      private val heapIdLen = u16(head, 5)
-      require(u16(head, 7) == 0,
-        s"group $owner: filtered fractal heap is out of subset")
+      /** heap ID length — exposed so record layouts that embed an ID
+        * (type-8 attribute records) can find the fields after it. */
+      val idLen: Int = u16(head, 5)
+      private val heapIdLen = idLen
+      private val ioFilterLen = u16(head, 7)
       // flags (bit1 = checksummed direct blocks) only shift free space
       // inside blocks; heap IDs address objects absolutely, so reads
       // are flag-independent
       private var p = fixed // past max-managed-size(4)
       p += sizeOfLengths // next huge object id
-      require(readOffset(head, p) == Undef,
-        s"group $owner: huge fractal-heap objects are out of subset")
+      private val hugeBtAddr = readOffset(head, p)
       p += sizeOfOffsets
       p += sizeOfLengths // free space amount
       p += sizeOfOffsets // free-space manager (ignored: reads don't care)
@@ -575,11 +611,25 @@ object Hdf5 {
       private val rootAddr = readOffset(head, p); p += sizeOfOffsets
       private val curRows = u16(head, p)
       private val offsetSize = (maxHeapBits + 7) / 8
-      private val lengthSize = heapIdLen - 1 - offsetSize
-      require(offsetSize >= 1 && offsetSize <= 8 && lengthSize >= 1 &&
-        lengthSize <= 8,
+      // IDs wider than offset+length carry zero padding (the tiny-ID
+      // headroom); length reads cap at 8 bytes
+      private val lengthSize = math.min(heapIdLen - 1 - offsetSize, 8)
+      require(offsetSize >= 1 && offsetSize <= 8 && lengthSize >= 1,
         s"group $owner: fractal heap ID geometry $heapIdLen/$offsetSize")
       require(rootAddr != Undef, s"group $owner: fractal heap has no blocks")
+      // filtered heap: [size of filtered root direct block (L) + filter
+      // mask (4) — present only when the ROOT is a direct block] +
+      // the encoded filter pipeline message (same body as message 0x000B)
+      private val (filteredRootSize, heapFilters) =
+        if (ioFilterLen == 0) (0L, List.empty[Filter])
+        else {
+          val extraFixed = if (curRows == 0) sizeOfLengths + 4 else 0
+          val ext = src.get(hdrAddr + baseLen, extraFixed + ioFilterLen)
+          val sz = if (curRows == 0) readLength(ext, 0) else 0L
+          val msg = java.util.Arrays.copyOfRange(
+            ext, extraFixed, extraFixed + ioFilterLen)
+          (sz, parseFilters(HeaderMessage(0x000B, msg)))
+        }
 
       /** doubling table: rows 0 and 1 use the starting size, row r ≥ 2
         * doubles — size = start << (r-1). */
@@ -591,29 +641,53 @@ object Hdf5 {
         r + 1
       }
 
-      /** (heap-space offset, size, file address) of every allocated
-        * direct block, from the root geometry. */
-      private val blocks: Seq[(Long, Long, Long)] =
-        if (curRows == 0) Seq((0L, startBlockSize, rootAddr))
+      /** (heap-space offset, LOGICAL size, file address, STORED size)
+        * of every allocated direct block, from the root geometry;
+        * stored == logical when the heap is unfiltered. */
+      private val blocks: Seq[(Long, Long, Long, Long)] =
+        if (curRows == 0)
+          Seq((0L, startBlockSize, rootAddr,
+            if (ioFilterLen > 0) filteredRootSize else startBlockSize))
         else {
           require(curRows <= maxDirectRows,
             s"group $owner: nested indirect fractal-heap blocks " +
               s"($curRows rows > direct $maxDirectRows) are out of subset")
           val n = curRows * tableWidth
+          // filtered heaps carry (stored size, filter mask) per child
+          val entrySize = sizeOfOffsets +
+            (if (ioFilterLen > 0) sizeOfLengths + 4 else 0)
           val ib = src.get(rootAddr,
-            4 + 1 + sizeOfOffsets + offsetSize + n * sizeOfOffsets + 4)
+            4 + 1 + sizeOfOffsets + offsetSize + n * entrySize + 4)
           require(new String(ib, 0, 4, "US-ASCII") == "FHIB",
             s"group $owner: bad fractal heap indirect block signature")
+          val entriesAt = 4 + 1 + sizeOfOffsets + offsetSize
           var off = 0L
           (0 until n).flatMap { i =>
             val sz = rowSize(i / tableWidth)
-            val addr = readOffset(ib,
-              4 + 1 + sizeOfOffsets + offsetSize + i * sizeOfOffsets)
+            val at = entriesAt + i * entrySize
+            val addr = readOffset(ib, at)
+            val stored =
+              if (ioFilterLen > 0) readLength(ib, at + sizeOfOffsets)
+              else sz
             val here = off
             off += sz
-            if (addr == Undef) None else Some((here, sz, addr))
+            if (addr == Undef) None else Some((here, sz, addr, stored))
           }
         }
+
+      // decompressed-block cache: one inflate per block per heap walk
+      private val blockCache =
+        scala.collection.mutable.HashMap.empty[Long, Array[Byte]]
+      private def blockBytes(b: (Long, Long, Long, Long)): Array[Byte] =
+        blockCache.getOrElseUpdate(b._3, {
+          val raw = src.get(b._3, b._4.toInt)
+          val out =
+            if (ioFilterLen > 0) applyFilters(raw, heapFilters, 1) else raw
+          require(out.length >= 4 &&
+            new String(out, 0, 4, "US-ASCII") == "FHDB",
+            s"group $owner: bad fractal heap direct block signature")
+          out
+        })
 
       private def leN(b: Array[Byte], at: Int, n: Int): Long = {
         var v = 0L
@@ -622,21 +696,53 @@ object Hdf5 {
         v
       }
 
-      /** Resolve a managed heap ID (1 flag byte + offset + length) at
-        * `at` inside `id` to the object's bytes. */
+      /** Huge-object directory: the heap's v2 b-tree of type-1 records
+        * (huge objects indirectly accessed, unfiltered) — id → (file
+        * address, length). Loaded lazily, only when a huge ID appears. */
+      private lazy val hugeObjects: Map[Long, (Long, Long)] =
+        readV2BtreeRecords(owner, hugeBtAddr, expectType = 1).map { rec =>
+          val addr = readOffset(rec, 0)
+          val len = readLength(rec, sizeOfOffsets)
+          val idNum = readLength(rec, sizeOfOffsets + sizeOfLengths)
+          idNum -> ((addr, len))
+        }.toMap
+
+      /** Resolve a heap ID at `at` inside `id` to the object's bytes:
+        * managed (offset+length into the blocks), tiny (data in the ID
+        * itself), or huge (standalone via the type-1 b-tree). */
       def get(id: Array[Byte], at: Int): Array[Byte] = {
         val flags = id(at) & 0xff
         require((flags & 0xc0) == 0,
           s"group $owner: unsupported heap ID version ${flags >> 6}")
-        require((flags & 0x30) == 0, s"group $owner: tiny/huge fractal-" +
-          s"heap objects (type ${(flags >> 4) & 3}) are out of subset")
-        val heapOff = leN(id, at + 1, offsetSize)
-        val objLen = leN(id, at + 1 + offsetSize, lengthSize).toInt
-        val blk = blocks.find(b => heapOff >= b._1 && heapOff + objLen <= b._1 + b._2)
-          .getOrElse(sys.error(
-            s"group $owner: heap offset $heapOff outside allocated blocks"))
-        val bytes = src.get(blk._3 + (heapOff - blk._1), objLen)
-        bytes
+        ((flags >> 4) & 3) match {
+          case 0 => // managed
+            val heapOff = leN(id, at + 1, offsetSize)
+            val objLen = leN(id, at + 1 + offsetSize, lengthSize).toInt
+            val blk = blocks
+              .find(b => heapOff >= b._1 && heapOff + objLen <= b._1 + b._2)
+              .getOrElse(sys.error(
+                s"group $owner: heap offset $heapOff outside allocated blocks"))
+            val bytes = blockBytes(blk)
+            java.util.Arrays.copyOfRange(bytes,
+              (heapOff - blk._1).toInt, (heapOff - blk._1).toInt + objLen)
+          case 2 => // tiny: data lives in the ID; two length encodings
+            if (heapIdLen > 18) {
+              // extended: 12-bit length, high nibble in the flag byte
+              val len = (((flags & 0x0f) << 8) | (id(at + 1) & 0xff)) + 1
+              java.util.Arrays.copyOfRange(id, at + 2, at + 2 + len)
+            } else {
+              val len = (flags & 0x0f) + 1
+              java.util.Arrays.copyOfRange(id, at + 1, at + 1 + len)
+            }
+          case 1 => // huge: standalone object via the type-1 b-tree
+            require(hugeBtAddr != Undef,
+              s"group $owner: huge heap ID but no huge-object b-tree")
+            val idNum = leN(id, at + 1, math.min(8, heapIdLen - 1))
+            val (addr, len) = hugeObjects.getOrElse(idNum, sys.error(
+              s"group $owner: huge object $idNum not in the b-tree"))
+            src.get(addr, len.toInt)
+          case t => sys.error(s"group $owner: reserved heap ID type $t")
+        }
       }
     }
 

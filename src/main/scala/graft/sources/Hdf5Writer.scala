@@ -66,7 +66,23 @@ object Hdf5Writer {
                          /** store attributes DENSE (libhdf5 beyond 8
                            * attrs): bodies in a fractal heap behind an
                            * Attribute Info message + type-8 name index */
-                         denseAttrs: Boolean = false) extends Node
+                         denseAttrs: Boolean = false,
+                         /** extra bytes on the dense heaps' ID length
+                           * (r15): widening past 18 switches tiny IDs
+                           * to the 12-bit extended form; any width lets
+                           * small bodies pack into the ID itself —
+                           * libhdf5's tiny-object rule. */
+                         heapIdExtra: Int = 0,
+                         /** deflate-filter the dense heaps' direct
+                           * blocks (r15 — the filtered-fractal-heap
+                           * shape libhdf5 writes for compressed dense
+                           * storage). */
+                         heapFiltered: Boolean = false,
+                         /** store dense attributes SHARED (r15): each
+                           * heap object is a committed Shared Message
+                           * (v3 type 2) pointing at a standalone object
+                           * header carrying the attribute. */
+                         sharedAttrs: Boolean = false) extends Node
   /** `scalar` emits a rank-0 dataspace (reference NeXus metadata fields
     * are scalars); `chunk` > 0 chunks the single dimension with optional
     * shuffle+deflate. */
@@ -936,14 +952,30 @@ object Hdf5Writer {
       * single direct block when the bodies fit, else one indirect block
       * of direct children — nested indirects exceed fixture scope and
       * refuse at write time). `idLenBytes` picks the heap-ID length
-      * field width: links use 2 (7-byte IDs), attributes 3 (8-byte).
-      * Returns (FRHP address, managed heap ID per body, in order). */
+      * field width: links use 2 (7-byte IDs), attributes 3 (8-byte);
+      * `idExtra` widens it further (past 18 bytes tiny IDs switch to
+      * the extended 12-bit form). Storage class per body follows
+      * libhdf5's rule: TINY when the data fits in the ID itself, HUGE
+      * (standalone + type-1 v2 b-tree record) when it exceeds the max
+      * direct-block payload, MANAGED otherwise. `filtered` deflates
+      * every direct block as a whole (the filtered-heap layout: stored
+      * sizes in the header / indirect-block entries).
+      * Returns (FRHP address, heap ID per body, in order). */
     private def writeFractalHeap(owner: String, bodies: Seq[Array[Byte]],
-                                 idLenBytes: Int): (Long, Seq[Array[Byte]]) = {
+                                 idLenBytes: Int, idExtra: Int = 0,
+                                 filtered: Boolean = false)
+        : (Long, Seq[Array[Byte]]) = {
       val W = 4
       val S = 256L
       val maxDirect = 4096L
       val hdrSize = 4 + 1 + 8 + 4 // FHDB header (flags 0: no checksum)
+      val lenBytes = idLenBytes + idExtra
+      val heapIdLen = 1 + 4 + lenBytes
+      // tiny capacity: normal form carries ≤ 16 bytes in (idLen-1);
+      // the extended form (idLen > 18) has a 12-bit length field
+      val tinyCap =
+        if (heapIdLen > 18) math.min(heapIdLen - 2, 4096)
+        else math.min(heapIdLen - 1, 16)
       def rowSize(r: Int): Long = if (r < 2) S else S << (r - 1)
       val maxDirectRows = {
         var r = 0
@@ -952,8 +984,11 @@ object Hdf5Writer {
       }
       def bN(v: Long, n: Int): Array[Byte] =
         Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+      def padId(id: Array[Byte]): Array[Byte] =
+        id ++ zeros(heapIdLen - id.length)
 
-      // pack bodies into consecutive doubling-grid blocks
+      // pack MANAGED bodies into consecutive doubling-grid blocks;
+      // tiny bodies ride in their IDs, huge ones write standalone
       final case class Blk(heapOff: Long, size: Long,
                            objs: mutable.ArrayBuffer[(Long, Array[Byte])])
       val blocks = mutable.ArrayBuffer.empty[Blk]
@@ -968,27 +1003,54 @@ object Hdf5Writer {
       }
       var cur = newBlock()
       var used = hdrSize.toLong
+      // huge objects: (file address, length, huge id), 1-based ids
+      val hugeRecs = mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var managedCount = 0L
+      var tinyCount = 0L
+      var tinySize = 0L
       val heapIds = bodies.map { body =>
-        if (used + body.length > cur.size) { cur = newBlock(); used = hdrSize.toLong }
-        require(used + body.length <= cur.size,
-          s"fractal heap $owner: body larger than a heap block")
-        val objOff = cur.heapOff + used
-        cur.objs += ((objOff, body))
-        used += body.length
-        b1(0) ++ b4(objOff) ++ bN(body.length.toLong, idLenBytes)
+        if (body.length <= tinyCap) {
+          tinyCount += 1
+          tinySize += body.length
+          if (heapIdLen > 18)
+            padId(b1(0x20 | ((body.length - 1) >> 8)) ++
+              b1((body.length - 1) & 0xff) ++ body)
+          else padId(b1(0x20 | (body.length - 1)) ++ body)
+        } else if (body.length > maxDirect - hdrSize) {
+          val addr = put(body)
+          val id = hugeRecs.length + 1L
+          hugeRecs += ((addr, body.length.toLong, id))
+          padId(b1(0x10) ++ bN(id, math.min(8, heapIdLen - 1)))
+        } else {
+          managedCount += 1
+          if (used + body.length > cur.size) {
+            cur = newBlock(); used = hdrSize.toLong
+          }
+          val objOff = cur.heapOff + used
+          cur.objs += ((objOff, body))
+          used += body.length
+          // length field caps at 8 bytes; wider IDs are zero padding
+          padId(b1(0) ++ b4(objOff) ++
+            bN(body.length.toLong, math.min(lenBytes, 8)))
+        }
       }
+      val hugeBtAddr =
+        if (hugeRecs.isEmpty) -1L
+        else writeV2BtreeRecords(
+          hugeRecs.toSeq.map { case (a, l, i) => b8(a) ++ b8(l) ++ b8(i) },
+          btType = 1, recSize = 24, nodeSize = 512)
       val singleDirect = blocks.length == 1
       val curRows = if (singleDirect) 0 else (blocks.length + W - 1) / W
 
-      // address plan: direct blocks, then FHIB (if any), then FRHP
-      val base = pos
-      val blockAddrs = blocks.scanLeft(base)((a, blk) => a + blk.size).init
-      val fhibAddr = base + blocks.map(_.size).sum
-      val fhibSize =
-        if (singleDirect) 0L else (4 + 1 + 8 + 4 + curRows * W * 8 + 4).toLong
-      val frhpAddr = fhibAddr + fhibSize
+      // deflate-filter pipeline message (the 0x000B body), v2 encoding
+      val pipelineMsg: Array[Byte] =
+        if (!filtered) Array.empty
+        else b1(2) ++ b1(1) ++ (b2(1) ++ b2(0) ++ b2(1) ++ b4(6))
 
-      blocks.zip(blockAddrs).foreach { case (blk, addr) =>
+      // render every direct block now (the filtered plan needs stored
+      // sizes before addresses; frhpAddr is patched into each block
+      // after the plan, so build with a placeholder and fix up)
+      def renderBlock(blk: Blk, frhpAddr: Long): Array[Byte] = {
         val out = mutable.ArrayBuffer.empty[Byte]
         out ++= "FHDB".getBytes("US-ASCII")
         out ++= b1(0)
@@ -999,7 +1061,42 @@ object Hdf5Writer {
           out ++= body
         }
         while (out.length < blk.size) out += 0
-        require(put(out.toArray) == addr, "fractal heap address plan drift (block)")
+        out.toArray
+      }
+
+      // address plan: direct blocks (stored size when filtered), then
+      // FHIB (if any), then FRHP. The FHDB embeds the heap-header
+      // address, which depends on stored sizes — and stored (deflated)
+      // sizes depend on block content. Resolve by fixpoint: deflate
+      // with a candidate frhpAddr, recompute, repeat until stable
+      // (an 8-byte field change moves sizes by at most a few bytes;
+      // two rounds settle in practice, the loop is bounded anyway).
+      val base = pos
+      var frhpAddr = base
+      var rendered: Seq[Array[Byte]] = Nil
+      var storedSizes: Seq[Long] = Nil
+      var settled = false
+      var rounds = 0
+      while (!settled) {
+        rounds += 1
+        require(rounds <= 8, s"fractal heap $owner: filtered plan did not settle")
+        rendered = blocks.toSeq.map(blk => renderBlock(blk, frhpAddr))
+        storedSizes =
+          if (filtered) rendered.map(r => deflateBytes(r).length.toLong)
+          else blocks.toSeq.map(_.size)
+        val fhibEntry = if (filtered) 8 + 8 + 4 else 8
+        val fhibSize =
+          if (singleDirect) 0L
+          else (4 + 1 + 8 + 4 + curRows * W * fhibEntry + 4).toLong
+        val next = base + storedSizes.sum + fhibSize
+        if (next == frhpAddr) settled = true else frhpAddr = next
+      }
+      val blockAddrs = storedSizes.scanLeft(base)(_ + _).init
+      val fhibAddr = base + storedSizes.sum
+
+      rendered.zip(blockAddrs).foreach { case (raw, addr) =>
+        val out = if (filtered) deflateBytes(raw) else raw
+        require(put(out) == addr, "fractal heap address plan drift (block)")
       }
       if (!singleDirect) {
         val ib = mutable.ArrayBuffer.empty[Byte]
@@ -1008,7 +1105,13 @@ object Hdf5Writer {
         ib ++= b8(frhpAddr)
         ib ++= b4(0) // root indirect block sits at heap offset 0
         (0 until curRows * W).foreach { i =>
-          if (i < blocks.length) ib ++= b8(blockAddrs(i)) else ib ++= Undef
+          if (i < blocks.length) {
+            ib ++= b8(blockAddrs(i))
+            if (filtered) ib ++= b8(storedSizes(i)) ++ b4(0)
+          } else {
+            ib ++= Undef
+            if (filtered) ib ++= b8(0) ++ b4(0)
+          }
         }
         ib ++= b4(0)
         require(put(ib.toArray) == fhibAddr, "fractal heap address plan drift (FHIB)")
@@ -1016,20 +1119,21 @@ object Hdf5Writer {
       val hd = mutable.ArrayBuffer.empty[Byte]
       hd ++= "FRHP".getBytes("US-ASCII")
       hd ++= b1(0)
-      hd ++= b2(1 + 4 + idLenBytes) // heap ID: 1 flag + 4 offset + length
-      hd ++= b2(0) // no I/O filters
+      hd ++= b2(heapIdLen)
+      hd ++= b2(pipelineMsg.length) // I/O filter info length (0 = none)
       hd ++= b1(0) // flags: direct blocks not checksummed
       hd ++= b4(maxDirect) // max size of managed objects
-      hd ++= b8(0) // next huge object id
-      hd ++= Undef // huge-object v2 b-tree
+      hd ++= b8(hugeRecs.length + 1L) // next huge object id
+      hd ++= (if (hugeRecs.isEmpty) Undef else b8(hugeBtAddr))
       hd ++= b8(0) // free space
       hd ++= Undef // free-space manager
       val managed = blocks.map(_.size).sum
       hd ++= b8(managed) // managed space
       hd ++= b8(managed) // allocated managed space
       hd ++= b8(managed) // iterator offset
-      hd ++= b8(bodies.length.toLong) // managed object count
-      hd ++= b8(0) ++ b8(0) ++ b8(0) ++ b8(0) // huge/tiny size + count
+      hd ++= b8(managedCount) // managed object count
+      hd ++= b8(hugeRecs.map(_._2).sum) ++ b8(hugeRecs.length.toLong)
+      hd ++= b8(tinySize) ++ b8(tinyCount)
       hd ++= b2(W)
       hd ++= b8(S)
       hd ++= b8(maxDirect)
@@ -1037,6 +1141,10 @@ object Hdf5Writer {
       hd ++= b2(1) // starting rows in root indirect block
       hd ++= b8(if (singleDirect) blockAddrs.head else fhibAddr)
       hd ++= b2(curRows) // 0 = root is a direct block
+      if (filtered) {
+        if (singleDirect) hd ++= b8(storedSizes.head) ++ b4(0)
+        hd ++= pipelineMsg
+      }
       hd ++= b4(0)
       require(put(hd.toArray) == frhpAddr, "fractal heap address plan drift (FRHP)")
       (frhpAddr, heapIds)
@@ -1048,24 +1156,38 @@ object Hdf5Writer {
       * Attribute Info message naming both. Without this leg a modern
       * file's attributes would read as silently MISSING, not as a
       * refusal — the worst failure class. */
-    private def denseAttrMessage(owner: String,
-                                 attrs: Seq[(String, Attr)]): (Int, Array[Byte]) = {
-      val bodies = attrs.map { case (nm, a) => nm -> encodeAttr(nm, a)._2 }
-      val (frhpAddr, heapIds) =
-        writeFractalHeap(s"$owner (attrs)", bodies.map(_._2), idLenBytes = 3)
+    private def denseAttrMessage(owner: String, attrs: Seq[(String, Attr)],
+                                 idExtra: Int = 0, filtered: Boolean = false,
+                                 shared: Boolean = false): (Int, Array[Byte]) = {
+      // shared (r15): the heap object is a committed Shared Message
+      // (version 3, type 2) naming a standalone object header that
+      // carries the real attribute message — the encoding the reader's
+      // shared-flag leg resolves
+      val bodies = attrs.map { case (nm, a) =>
+        val msg = encodeAttr(nm, a)._2
+        if (!shared) nm -> msg
+        else nm -> (b1(3) ++ b1(2) ++ b8(writeHeader(Seq((0x000C, msg)))))
+      }
+      val (frhpAddr, heapIds) = writeFractalHeap(
+        s"$owner (attrs)", bodies.map(_._2), idLenBytes = 3, idExtra, filtered)
+      val heapIdLen = 1 + 4 + 3 + idExtra
+      val flagByte = if (shared) 1 else 0
       val records = bodies.zip(heapIds).map { case ((nm, _), id) =>
         (lookup3(nm.getBytes("UTF-8")).toLong & 0xffffffffL, id)
       }.sortBy(_._1).map { case (h, id) =>
-        id ++ b1(0) ++ b4(0) ++ b4(h) // heap ID, msg flags, corder, hash
+        id ++ b1(flagByte) ++ b4(0) ++ b4(h) // heap ID, msg flags, corder, hash
       }
       val bthdAddr = writeV2BtreeRecords(records, btType = 8,
-        recSize = 8 + 1 + 4 + 4, nodeSize = 512)
+        recSize = heapIdLen + 1 + 4 + 4, nodeSize = 512)
       (0x0015, b1(0) ++ b1(0) ++ b8(frhpAddr) ++ b8(bthdAddr))
     }
 
     private def attrMessages(owner: String, attrs: Seq[(String, Attr)],
-                             dense: Boolean): Seq[(Int, Array[Byte])] =
-      if (dense && attrs.nonEmpty) Seq(denseAttrMessage(owner, attrs))
+                             dense: Boolean, idExtra: Int = 0,
+                             filtered: Boolean = false,
+                             shared: Boolean = false): Seq[(Int, Array[Byte])] =
+      if (dense && attrs.nonEmpty)
+        Seq(denseAttrMessage(owner, attrs, idExtra, filtered, shared))
       else attrs.map { case (nm, a) => encodeAttr(nm, a) }
 
     /** Dense-link group (libhdf5 1.8+ beyond 8 links): link-message
@@ -1079,8 +1201,9 @@ object Hdf5Writer {
         require(nb.length <= 255, s"link name too long: $nm")
         nm -> (b1(1) ++ b1(0) ++ b1(nb.length) ++ nb ++ b8(addr))
       }
-      val (frhpAddr, heapIdSeq) =
-        writeFractalHeap(s"group ${g.name}", bodies.map(_._2), idLenBytes = 2)
+      val (frhpAddr, heapIdSeq) = writeFractalHeap(
+        s"group ${g.name}", bodies.map(_._2), idLenBytes = 2,
+        g.heapIdExtra, g.heapFiltered)
       val heapIds = bodies.map(_._1).zip(heapIdSeq).toMap
 
       // name-index v2 b-tree: type-5 records (hash, heap ID), unsigned
@@ -1089,11 +1212,12 @@ object Hdf5Writer {
         (lookup3(nm.getBytes("UTF-8")).toLong & 0xffffffffL, heapIds(nm))
       }.sortBy(_._1).map { case (h, id) => b4(h) ++ id }
       val bthdAddr = writeV2BtreeRecords(records, btType = 5,
-        recSize = 4 + 7, nodeSize = 512)
+        recSize = 4 + 7 + g.heapIdExtra, nodeSize = 512)
 
       val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x0002, b1(0) ++ b1(0) ++ b8(frhpAddr) ++ b8(bthdAddr)))
-      msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs)
+      msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs,
+        g.heapIdExtra, g.heapFiltered, g.sharedAttrs)
       writeHeader(msgs.toSeq)
     }
 
@@ -1152,7 +1276,8 @@ object Hdf5Writer {
 
       val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x0011, b8(btreeAddr) ++ b8(heapAddr)))
-      msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs)
+      msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs,
+        g.heapIdExtra, g.heapFiltered, g.sharedAttrs)
       writeHeader(msgs.toSeq)
     }
   }

@@ -296,6 +296,122 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(g.dataset("log_13").get.read()) == Seq(39L))
   }
 
+  test("TINY heap IDs decode: link data packed into the ID (normal form)") {
+    // heapIdExtra 6 → 13-byte link heap IDs: an 11+1-byte link body
+    // (single-char name) packs into the ID itself — libhdf5's tiny-
+    // object rule; longer names stay managed, so both classes mix in
+    // one heap
+    val children = ('a' to 'f').map(c =>
+      W.scalarLong(c.toString, c.toLong)) ++
+      (0 until 4).map(i => W.scalarLong(f"managed_name_$i%02d", i * 7L))
+    val root = roundtrip(Seq(
+      W.Group("mix", children, dense = true, heapIdExtra = 6)))
+    val g = root.group("mix").get
+    assert(g.childrenInOrder.size == 10)
+    ('a' to 'f').foreach(c =>
+      assert(L(g.dataset(c.toString).get.read()) == Seq(c.toLong), c))
+    (0 until 4).foreach(i =>
+      assert(L(g.dataset(f"managed_name_$i%02d").get.read()) == Seq(i * 7L)))
+  }
+
+  test("TINY heap IDs decode: extended 12-bit form for wide IDs (attrs)") {
+    // heapIdExtra 56 → 64-byte attribute heap IDs (> 18 → the extended
+    // tiny encoding); whole attribute bodies ride inside the IDs
+    val attrs = (0 until 10).flatMap { i =>
+      Seq(f"t_$i%02d" -> (W.AttrLong(i.toLong * 13 - 4): W.Attr),
+        f"s_$i%02d" -> (W.AttrStr(s"v$i"): W.Attr))
+    }
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true, heapIdExtra = 56)))
+    val g = root.group("entry").get
+    assert(g.attributes.size == 20)
+    for (i <- 0 until 10) {
+      assert(L(g.attributes(f"t_$i%02d")).head == i.toLong * 13 - 4)
+      assert(S(g.attributes(f"s_$i%02d")).head == s"v$i")
+    }
+  }
+
+  test("HUGE heap objects decode through the type-1 v2 b-tree") {
+    // an attribute body beyond the 4 KiB max direct-block payload goes
+    // standalone, resolved via the heap's huge-object b-tree — plus
+    // ordinary managed attrs in the same heap
+    val big1 = "A" * 6000
+    val big2 = (0 until 5000).map(i => ('a' + i % 26).toChar).mkString
+    val attrs = Seq(
+      "huge_a" -> (W.AttrStr(big1): W.Attr),
+      "huge_b" -> (W.AttrStr(big2): W.Attr),
+      "small" -> (W.AttrLong(42L): W.Attr))
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true)))
+    val g = root.group("entry").get
+    assert(S(g.attributes("huge_a")).head == big1)
+    assert(S(g.attributes("huge_b")).head == big2)
+    assert(L(g.attributes("small")).head == 42L)
+  }
+
+  test("FILTERED fractal heaps decode: deflated direct blocks, both roots") {
+    // single-direct-block root (stored size in the heap header)…
+    val few = (0 until 6).map(i => W.scalarLong(s"d$i", i.toLong * 3))
+    val r1 = roundtrip(Seq(
+      W.Group("small", few, dense = true, heapFiltered = true)))
+    val g1 = r1.group("small").get
+    (0 until 6).foreach(i =>
+      assert(L(g1.dataset(s"d$i").get.read()) == Seq(i.toLong * 3)))
+    // …and an indirect root (per-child stored sizes in the FHIB)
+    val names = (0 until 150).map(i => f"device_log_$i%03d")
+    val many = names.zipWithIndex.map { case (nm, i) =>
+      W.scalarLong(nm, i.toLong * 17 - 5)
+    }
+    val r2 = roundtrip(Seq(
+      W.Group("DASlogs", many, dense = true, heapFiltered = true)))
+    val g2 = r2.group("DASlogs").get
+    assert(g2.childrenInOrder.map(_._1).sorted == names.sorted)
+    names.zipWithIndex.foreach { case (nm, i) =>
+      assert(L(g2.dataset(nm).get.read()) == Seq(i.toLong * 17 - 5), nm)
+    }
+    // filtered attr heap too (shares the same block machinery)
+    val attrs = (0 until 20).map(i =>
+      f"m_$i%02d" -> (W.AttrStr(s"val $i"): W.Attr))
+    val r3 = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true, heapFiltered = true)))
+    (0 until 20).foreach(i =>
+      assert(S(r3.group("entry").get.attributes(f"m_$i%02d")).head == s"val $i"))
+  }
+
+  test("SHARED dense attributes resolve through committed shared messages") {
+    val attrs = (0 until 12).flatMap { i =>
+      Seq(f"sa_$i%02d" -> (W.AttrStr(s"shared $i"): W.Attr),
+        f"sl_$i%02d" -> (W.AttrLong(i.toLong * 5): W.Attr))
+    }
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true, sharedAttrs = true)))
+    val g = root.group("entry").get
+    assert(g.attributes.size == 24)
+    for (i <- 0 until 12) {
+      assert(S(g.attributes(f"sa_$i%02d")).head == s"shared $i")
+      assert(L(g.attributes(f"sl_$i%02d")).head == i.toLong * 5)
+    }
+  }
+
+  test("tiny + huge + filtered compose in one heap") {
+    val attrs = Seq(
+      "huge" -> (W.AttrStr("Z" * 5000): W.Attr),
+      "mid" -> (W.AttrStr("m" * 100): W.Attr),
+      "x" -> (W.AttrLong(7L): W.Attr))
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true, heapIdExtra = 56,
+        heapFiltered = true)))
+    val g = root.group("entry").get
+    assert(S(g.attributes("huge")).head == "Z" * 5000)
+    assert(S(g.attributes("mid")).head == "m" * 100)
+    assert(L(g.attributes("x")).head == 7L)
+  }
+
   test("dense-link refusals stay loud: missing name index") {
     // a Link Info message with a DEFINED fractal heap but an UNDEFINED
     // name-index b-tree cannot enumerate links — named refusal
