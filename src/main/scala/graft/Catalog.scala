@@ -54,6 +54,16 @@ object Catalog {
         .ofRows(spark, graft.plans.IcebergScanNode.forTable(spark, tableDir))
         .createOrReplaceTempView(name)
       graft.plans.IcebergSqlTables.put(spark, name, tableDir)
+      // the operational metadata tables ride along as `<name>__<kind>`
+      // views (temp-view names can't carry Iceberg's `$`), resolved
+      // per query like the data view
+      Seq("snapshots", "manifests", "files", "partitions", "refs",
+          "history").foreach { kind =>
+        org.apache.spark.sql.GraftPlanShim
+          .ofRows(spark,
+            graft.plans.IcebergScanNode.forMetaTable(spark, tableDir, kind))
+          .createOrReplaceTempView(s"${name}__$kind")
+      }
     } else
       graft.sources.IcebergLite.readTable(spark, tableDir)
         .createOrReplaceTempView(name)

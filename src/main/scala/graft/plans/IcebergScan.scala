@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{GraftPlanShim, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{MultiInstanceRelation, RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -48,7 +48,14 @@ case class IcebergScanNode(
     tableDir: String,
     snapshotId: Option[Long],
     output: Seq[Attribute],
-    rowCountHint: Long) extends LeafNode with MultiInstanceRelation {
+    rowCountHint: Long,
+    /** a metadata-table kind ("snapshots", "manifests", "files",
+      * "partitions", "refs", "history") makes the leaf resolve through
+      * [[IcebergLite.metaTable]] instead of the data read — the SQL
+      * surface for the operational tables, current AS OF EACH QUERY
+      * like the data view. */
+    metaKind: Option[String] = None) extends LeafNode
+    with MultiInstanceRelation {
   override def newInstance(): IcebergScanNode =
     copy(output = output.map(_.newInstance()))
   // manifest-accounted rows × declared row width: enough signal for
@@ -73,6 +80,15 @@ object IcebergScanNode {
       DataTypeUtils.toAttributes(schema),
       IcebergLite.tableRowCount(spark, tableDir))
   }
+
+  /** A leaf for one of the table's METADATA tables; schema fixed at
+    * registration, rows resolved per query. */
+  def forMetaTable(spark: SparkSession, tableDir: String,
+                   kind: String): IcebergScanNode =
+    IcebergScanNode(tableDir, None,
+      DataTypeUtils.toAttributes(
+        IcebergLite.metaTable(spark, tableDir, kind).schema),
+      rowCountHint = 64, metaKind = Some(kind))
 }
 
 /** Replaces every [[IcebergScanNode]] with the pruned-file read plan
@@ -90,12 +106,18 @@ class IcebergScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // the filters); the spliced result contains no IcebergScanNode,
       // so descendants of a rewrite never re-match
       case PhysicalOperation(projects, filters, scan: IcebergScanNode) =>
-        val preds = filters.flatMap(IcebergScanRule.extract(_, scan))
-        val read =
-          if (preds.nonEmpty)
+        val preds =
+          if (scan.metaKind.isDefined) Nil
+          else filters.flatMap(IcebergScanRule.extract(_, scan))
+        val read = scan.metaKind match {
+          case Some(kind) =>
+            IcebergLite.metaTable(spark, scan.tableDir, kind, scan.snapshotId)
+          case None if preds.nonEmpty =>
             IcebergLite.readTableWhere(spark, scan.tableDir, preds,
               scan.snapshotId)
-          else IcebergLite.readTable(spark, scan.tableDir, scan.snapshotId)
+          case None =>
+            IcebergLite.readTable(spark, scan.tableDir, scan.snapshotId)
+        }
         val resolved = GraftPlanShim.analyzedPlan(read)
         val byName = resolved.output.map(a => a.name -> a).toMap
         // re-key the fresh relation's columns onto the leaf's exprIds so
@@ -161,11 +183,66 @@ object IcebergScanRule {
         value(a, v).map(IcebergLite.GtEq(a.name, _)).toSeq
       case LessThan(Literal(v, _), a: AttributeReference) =>
         value(a, v).map(IcebergLite.GtEq(a.name, _)).toSeq
-      // a one-element IN is an equality; wider INs would need
-      // disjunctive pruning the Pred surface doesn't carry
-      case In(a: AttributeReference, Seq(Literal(v, _))) =>
-        value(a, v).map(IcebergLite.EqTo(a.name, _)).toSeq
+      // IN lists / OR-of-equalities map onto AnyOf: a file skips only
+      // when EVERY listed value is excluded for it (bounds, partition,
+      // or Bloom). NULL list members can't match a row, so they drop;
+      // an inconvertible member abandons the pred (conservative).
+      case in: In => eqSet(in, scan)
+        .map { case (c, vs) => IcebergLite.AnyOf(c, vs) }.toSeq
+      case in: InSet => eqSet(in, scan)
+        .map { case (c, vs) => IcebergLite.AnyOf(c, vs) }.toSeq
+      case or: Or => eqSet(or, scan)
+        .map { case (c, vs) => IcebergLite.AnyOf(c, vs) }.toSeq
+      // LIKE 'prefix%' → [prefix, nextPrefix) on the string bounds
+      case StartsWith(a: AttributeReference, Literal(v, _))
+          if a.dataType == StringType && scan.outputSet.contains(a) &&
+            v != null =>
+        IcebergLite.prefixPreds(a.name, v.asInstanceOf[UTF8String].toString)
       case _ => Nil
+    }
+  }
+
+  /** An expression as a set of equality alternatives on ONE column —
+    * In/InSet values, a single equality, or an Or tree of those.
+    * None when any branch doesn't reduce (never prune on a guess).
+    * Capped at 1000 values to bound planning cost. */
+  private def eqSet(e: Expression,
+                    scan: IcebergScanNode): Option[(String, Seq[Any])] = {
+    def value(a: AttributeReference, v: Any): Option[Any] =
+      if (!scan.outputSet.contains(a)) None
+      else (a.dataType, v) match {
+        case (StringType, s: UTF8String) => Some(s.toString)
+        case (IntegerType | LongType | FloatType | DoubleType, n) => Some(n)
+        case (TimestampType, micros) => Some(micros)
+        case (DateType, days) => Some(days)
+        case _ => None
+      }
+    def values(a: AttributeReference, vs: Iterable[Any])
+        : Option[(String, Seq[Any])] = {
+      val nonNull = vs.filter(_ != null).toSeq
+      if (nonNull.size > 1000) None
+      else {
+        val conv = nonNull.map(value(a, _))
+        if (conv.exists(_.isEmpty)) None
+        else Some(a.name -> conv.flatten)
+      }
+    }
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        values(a, Seq(v))
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        values(a, Seq(v))
+      case In(a: AttributeReference, list)
+          if list.forall(_.isInstanceOf[Literal]) =>
+        values(a, list.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, hset) => values(a, hset)
+      case Or(l, r) =>
+        for {
+          (cl, vl) <- eqSet(l, scan)
+          (cr, vr) <- eqSet(r, scan)
+          if cl == cr && vl.size + vr.size <= 1000
+        } yield (cl, vl ++ vr)
+      case _ => None
     }
   }
 }

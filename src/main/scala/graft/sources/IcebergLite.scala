@@ -2013,6 +2013,20 @@ object IcebergLite {
   final case class LtEq(col: String, v: Any) extends Pred
   /** rows with `col = v` may exist */
   final case class EqTo(col: String, v: Any) extends Pred
+  /** rows with `col` equal to ANY of `vs` may exist (the IN-list /
+    * OR-of-equalities shape): a file skips only when EVERY value is
+    * excluded — by bounds, partition value, or Bloom — for that file.
+    * An empty list prunes nothing (conservative). */
+  final case class AnyOf(col: String, vs: Seq[Any]) extends Pred
+
+  /** Predicates for `col LIKE 'prefix%'`: `[prefix, nextPrefix)` as
+    * GtEq + LtEq when a byte-safe upper bound exists (the same
+    * increment discipline the manifest string bounds use), GtEq alone
+    * otherwise. An empty prefix prunes nothing. */
+  def prefixPreds(col: String, prefix: String): Seq[Pred] =
+    if (prefix.isEmpty) Nil
+    else GtEq(col, prefix) +:
+      incrementPrefix(prefix).map(LtEq(col, _)).toSeq
 
   private def entryBounds(d: GenericRecord, key: String): Map[Int, Array[Byte]] =
     Option(d.get(key)).map { arr =>
@@ -2055,16 +2069,20 @@ object IcebergLite {
         spec.filter(_.sourceCol == p.col).map { pf =>
           val rt = IcebergTransforms.resultType(pf.transform, dt)
           (p, pf.name, rt,
-            IcebergTransforms.applyValue(pf.transform, dt, predValue(p)),
+            predValues(p).map(
+              IcebergTransforms.applyValue(pf.transform, dt, _)),
             IcebergTransforms.isMonotone(pf.transform))
         }
       }
     }.toMap
     // the Bloom leg: equality probes on bloom-filtered columns, loaded
-    // LAZILY (only when an EqTo names a filtered column) and cached per
-    // sidecar within this planning call — always conservative (no
-    // filter for a (file, column) → the file scans)
-    val eqPreds = resolved.collect { case (EqTo(_, v), id, _) => (id, v) }
+    // LAZILY (only when an EqTo/AnyOf names a filtered column) and
+    // cached per sidecar within this planning call — always
+    // conservative (no filter for a (file, column) → the file scans)
+    val eqPreds = resolved.collect {
+      case (EqTo(_, v), id, _) => (id, Seq(v))
+      case (AnyOf(_, vs), id, _) if vs.nonEmpty => (id, vs)
+    }
     val bloomCache = mutable.HashMap
       .empty[String, Map[(String, Int),
         org.apache.spark.util.sketch.BloomFilter]]
@@ -2103,6 +2121,10 @@ object IcebergLite {
           case (EqTo(_, v), id, dt) =>
             hi(id, dt).exists(u => cmpBound(dt, u, v) < 0) ||
               lo(id, dt).exists(l => cmpBound(dt, l, v) > 0)
+          case (AnyOf(_, vs), id, dt) =>
+            vs.nonEmpty && vs.forall(v =>
+              hi(id, dt).exists(u => cmpBound(dt, u, v) < 0) ||
+                lo(id, dt).exists(l => cmpBound(dt, l, v) > 0))
         }
         val part = d.get("partition").asInstanceOf[GenericRecord]
         def pv(name: String): Option[Any] =
@@ -2112,20 +2134,23 @@ object IcebergLite {
             case x => x
           }
         val excludedByPart = partPreds.exists {
-          case (pred, name, rt, tv, monotone) =>
+          case (pred, name, rt, tvs, monotone) =>
             pv(name).exists { pval =>
               pred match {
-                case EqTo(_, _) => cmpBound(rt, pval, tv) != 0
-                case GtEq(_, _) if monotone => cmpBound(rt, pval, tv) < 0
-                case LtEq(_, _) if monotone => cmpBound(rt, pval, tv) > 0
+                case EqTo(_, _) => cmpBound(rt, pval, tvs.head) != 0
+                case AnyOf(_, _) => tvs.nonEmpty &&
+                  tvs.forall(tv => cmpBound(rt, pval, tv) != 0)
+                case GtEq(_, _) if monotone => cmpBound(rt, pval, tvs.head) < 0
+                case LtEq(_, _) if monotone => cmpBound(rt, pval, tvs.head) > 0
                 case _ => false
               }
             }
         }
         val fp = d.get("file_path").toString
         val excludedByBloom = blooms.nonEmpty && eqPreds.exists {
-          case (id, v) =>
-            blooms.get((fp, id)).exists(bf => !bloomMightContain(bf, v))
+          case (id, vs) =>
+            blooms.get((fp, id))
+              .exists(bf => vs.forall(v => !bloomMightContain(bf, v)))
         }
         if (excluded || excludedByPart || excludedByBloom) None
         else Some(fp -> schemaJs)
@@ -2134,10 +2159,11 @@ object IcebergLite {
     (kept, total)
   }
 
-  private def predValue(p: Pred): Any = p match {
-    case GtEq(_, v) => v
-    case LtEq(_, v) => v
-    case EqTo(_, v) => v
+  private def predValues(p: Pred): Seq[Any] = p match {
+    case GtEq(_, v) => Seq(v)
+    case LtEq(_, v) => Seq(v)
+    case EqTo(_, v) => Seq(v)
+    case AnyOf(_, vs) => vs
   }
 
   /** [[readTable]] with manifest-bounds FILE SKIPPING: only files whose

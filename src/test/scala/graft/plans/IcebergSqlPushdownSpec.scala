@@ -73,6 +73,88 @@ class IcebergSqlPushdownSpec extends SparkSuite {
     assert(df.count() == 10L)
   }
 
+  test("IN lists, OR-of-equalities and InSet prune disjunctively") {
+    val dir = rangedTable()
+    Catalog.registerIcebergTable(spark, "sql_in_t", dir)
+    def files(where: String): Int = IcebergSqlAudit.scannedFiles(
+      spark.sql(s"SELECT count(*) AS c FROM sql_in_t WHERE $where"))
+    // both values in file 1 → only file 1 scans
+    assert(files("id IN (2, 7)") == 1)
+    // values straddling files 1 and 3 → file 2 skips
+    assert(files("id IN (2, 25)") == 2)
+    assert(files("id = 2 OR id = 25") == 2)
+    // a big IN (optimizer converts to InSet past the threshold)
+    val big = (1 to 9).map(_.toString).mkString(", ")
+    assert(files(s"id IN ($big, 10)") == 1)
+    // NULL members drop (they can't match rows); pruning still holds
+    assert(files("id IN (2, NULL, 7)") == 1)
+    // results stay correct
+    assert(spark.sql("SELECT count(*) AS c FROM sql_in_t WHERE id IN (2, 25)")
+      .head().getLong(0) == 2L)
+    // string IN through the tag column (bounds on truncated prefixes)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM sql_in_t WHERE tag IN ('d2', 'd25')")
+      .head().getLong(0) == 2L)
+  }
+
+  test("LIKE 'prefix%' prunes through the string bounds") {
+    val dir = tmp()
+    // three files with disjoint tag prefixes: aXX / mXX / zXX
+    def batch(p: String, lo: Int) =
+      (lo until lo + 10).map(i => (i.toLong, s"$p$i")).toDF("id", "tag")
+        .coalesce(1)
+    IcebergLite.createTable(spark, batch("a", 0), dir)
+    IcebergLite.appendSnapshot(spark, batch("m", 10), dir)
+    IcebergLite.appendSnapshot(spark, batch("z", 20), dir)
+    Catalog.registerIcebergTable(spark, "sql_like_t", dir)
+    val q = spark.sql("SELECT count(*) AS c FROM sql_like_t WHERE tag LIKE 'm%'")
+    assert(IcebergSqlAudit.scannedFiles(q) == 1,
+      "prefix LIKE must plan only the m-file")
+    assert(q.head().getLong(0) == 10L)
+    // a mid-string wildcard cannot prune — and must stay correct
+    val noPrune = spark.sql(
+      "SELECT count(*) AS c FROM sql_like_t WHERE tag LIKE '%5'")
+    assert(IcebergSqlAudit.scannedFiles(noPrune) == 3)
+    assert(noPrune.head().getLong(0) == 3L) // a5, m15, z25
+  }
+
+  test("metadata tables register as __-suffixed SQL views, current per query") {
+    val dir = rangedTable()
+    Catalog.registerIcebergTable(spark, "sql_meta_t", dir)
+    assert(spark.sql("SELECT count(*) AS c FROM sql_meta_t__snapshots")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) AS c FROM sql_meta_t__files")
+      .head().getLong(0) == 3L)
+    val refs = spark.sql(
+      "SELECT name FROM sql_meta_t__refs ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(refs.contains("main"))
+    // a new commit is visible without re-registration
+    IcebergLite.appendSnapshot(spark,
+      Seq((99L, "d99", 990L)).toDF("id", "tag", "n").coalesce(1), dir)
+    assert(spark.sql("SELECT count(*) AS c FROM sql_meta_t__snapshots")
+      .head().getLong(0) == 4L)
+    // joins between the data view and a metadata view resolve
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM sql_meta_t t
+         JOIN sql_meta_t__files f ON f.record_count > 0""").head().getLong(0) > 0)
+  }
+
+  test("AnyOf prunes through the bloom leg on a non-sort column") {
+    val dir = tmp()
+    val n = 8000L
+    val laid = spark.range(1, n + 1).toDF("doc_id")
+      .withColumn("ts", pmod(col("doc_id") * 2654435761L, lit(100000L)))
+    IcebergLite.createTable(spark, laid, dir,
+      sortBy = Seq("ts"), sortFiles = 8, bloomFor = Seq("doc_id"))
+    Catalog.registerIcebergTable(spark, "sql_bloom_in_t", dir)
+    val q = spark.sql(
+      s"SELECT count(*) AS c FROM sql_bloom_in_t WHERE doc_id IN ($n, ${n - 1})")
+    val kept = IcebergSqlAudit.scannedFiles(q)
+    assert(kept <= 4, s"bloom IN-pruning lost: planned $kept of 8")
+    assert(q.head().getLong(0) == 2L)
+  }
+
   test("a registered view reads the CURRENT snapshot each query") {
     val dir = tmp()
     IcebergLite.createTable(spark,
