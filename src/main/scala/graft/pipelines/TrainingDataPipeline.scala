@@ -207,25 +207,43 @@ object TrainingDataPipeline {
                 blockedDomains: Seq[String] = Nil,
                 wordBlocklist: Seq[String] = Nil,
                 minSentences: Int = 0,
-                cfg: Config = Config()): DataFrame = {
+                cfg: Config = Config(),
+                /** per-authority robots rules ([[graft.text.Robots.rulesTable]])
+                  * — when present (needs `urlCol`), the RFC 9309 gate
+                  * runs FIRST (the legal/etiquette gate precedes every
+                  * content gate; one join keyed on the host — the same
+                  * shuffle class as domainStats) and disallowed docs
+                  * carry drop_reason "robots_disallowed". */
+                robotsRules: Option[DataFrame] = None): DataFrame = {
+    require(robotsRules.isEmpty || urlCol.isDefined,
+      "robots gating needs a urlCol")
+    val withRobots = robotsRules match {
+      case Some(rules) =>
+        graft.text.Robots.gate(docs, urlCol.get, rules)
+          .select(docs.columns.map(col) :+ col("robots_allowed"): _*)
+      case None => docs.withColumn("robots_allowed", lit(true))
+    }
     val (urlOk, wordsOk, sentOk, clean) = webGateExprs(
       col(textCol), urlCol.map(col), blockedDomains, wordBlocklist,
       minSentences)
     // checkpoint: feeds both the curate input and the final decision
     // join (same lineage-truncation argument as curate's own stages)
-    val gated = docs.select(col(idCol),
+    val gated = withRobots.select(col(idCol),
+        col("robots_allowed").as("__robots_ok"),
         urlOk.as("__url_ok"), wordsOk.as("__words_ok"), sentOk.as("__sent_ok"),
         clean.as("__clean_text"))
       .localCheckpoint()
     val pre = gated
-      .filter(col("__url_ok") && col("__words_ok") && col("__sent_ok"))
+      .filter(col("__robots_ok") && col("__url_ok") && col("__words_ok") &&
+        col("__sent_ok"))
       .select(col(idCol), col("__clean_text").as(textCol))
     val decisions = curate(pre, textCol, idCol, cfg)
       .withColumnRenamed("drop_reason", "__c_reason")
       .drop("keep")
     gated.join(decisions, Seq(idCol), "left")
       .withColumn("drop_reason",
-        when(!col("__url_ok"), "blocked_domain")
+        when(!col("__robots_ok"), "robots_disallowed")
+          .when(!col("__url_ok"), "blocked_domain")
           .when(!col("__words_ok"), "blocked_word")
           .when(!col("__sent_ok"), "too_few_sentences")
           .otherwise(col("__c_reason")))
@@ -622,12 +640,25 @@ object TrainingDataPipeline {
                       wordBlocklist: Seq[String] = Nil,
                       minSentences: Int = 0,
                       watermark: String = "10 minutes",
-                      cfg: Config = Config()): DataFrame = {
+                      cfg: Config = Config(),
+                      /** static per-authority robots rules — a
+                        * stream-static left join ahead of the content
+                        * gates (the batch path's ordering). */
+                      robotsRules: Option[DataFrame] = None): DataFrame = {
+    require(robotsRules.isEmpty || urlCol.isDefined,
+      "robots gating needs a urlCol")
+    val base = robotsRules match {
+      case Some(rules) =>
+        graft.text.Robots.gate(stream, urlCol.get, rules)
+          .filter(col("robots_allowed"))
+          .select(stream.columns.map(col): _*)
+      case None => stream
+    }
     val (urlOk, wordsOk, sentOk, clean) = webGateExprs(
       col(textCol), urlCol.map(col), blockedDomains, wordBlocklist,
       minSentences)
     curateStream(
-      stream.filter(urlOk && wordsOk && sentOk).withColumn(textCol, clean),
+      base.filter(urlOk && wordsOk && sentOk).withColumn(textCol, clean),
       textCol, idCol, tsCol, watermark, cfg)
   }
 

@@ -190,6 +190,54 @@ class CurateWebSpec extends SparkSuite {
       streamed.columns.toSet.contains("quality_score"))
   }
 
+  test("robots gating composes as the FIRST gate (batch + stream parity)") {
+    // r15: the RFC 9309 gate precedes every content gate. Doc 2 is on
+    // a blocked domain AND robots-disallowed — robots wins the reason.
+    val rules = graft.text.Robots.rulesTable(
+      Seq(("ads.tracker.test", "User-agent: *\nDisallow: /"),
+        ("ok.example.com", "User-agent: *\nDisallow: /b"))
+        .toDF("host", "txt"), "host", "txt")
+    val out = TrainingDataPipeline.curateWeb(
+        fixture, "text", "doc_id",
+        urlCol = Some("url"), blockedDomains = Seq("tracker.test"),
+        wordBlocklist = Seq("zorblag"), minSentences = 2, cfg = cfg,
+        robotsRules = Some(rules))
+      .select("doc_id", "keep", "drop_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === true)
+    assert(out(2L) === ((false, Some("robots_disallowed"))),
+      "robots outranks the domain blocklist")
+    assert(out(3L) === ((false, Some("robots_disallowed"))),
+      "per-path disallow gates /b before the word blocklist sees it")
+    assert(out(4L) === ((false, Some("too_few_sentences"))))
+    assert(out.size == 5)
+
+    // streaming twin: stream-static join, same survivors
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)](spark)
+    val query = TrainingDataPipeline.curateStreamWeb(
+        input.toDF().toDF("doc_id", "text", "url", "ts"),
+        "text", "doc_id", "ts", urlCol = Some("url"),
+        blockedDomains = Seq("tracker.test"),
+        wordBlocklist = Seq("zorblag"), minSentences = 2,
+        watermark = "10 seconds", cfg = cfg,
+        robotsRules = Some(rules))
+      .writeStream.format("memory").queryName("cwr")
+      .outputMode(OutputMode.Append).start()
+    val rows = fixture.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2),
+        new java.sql.Timestamp(r.getLong(0) * 1000)))
+    input.addData(rows.toIndexedSeq: _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamKept = spark.table("cwr").select("doc_id")
+      .as[Long].collect().toSet
+    val batchKept = out.filter(_._2._1).keySet
+    assert(streamKept === batchKept)
+  }
+
   test("cleanWebCorpus carries the stripped text of survivors") {
     val kept = TrainingDataPipeline.cleanWebCorpus(
       fixture, "text", "doc_id",
