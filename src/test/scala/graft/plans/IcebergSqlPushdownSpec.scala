@@ -235,6 +235,25 @@ class IcebergSqlPushdownSpec extends SparkSuite {
       "SELECT count(*) AS c FROM sql_mor_t WHERE id >= 21").head().getLong(0) == 5L)
   }
 
+  test("the retained filter reaches the parquet scan: PushedFilters + pruned columns") {
+    // the splice keeps the row filter ABOVE the pruned relation; the
+    // later pushdown batch + FileSourceStrategy must still land it in
+    // the scan (row-group skipping) and prune the read schema to the
+    // projected columns — otherwise the SQL route pays full-width IO
+    // inside each surviving file
+    val dir = rangedTable()
+    Catalog.registerIcebergTable(spark, "sql_pushed_t", dir)
+    val df = spark.sql("SELECT n FROM sql_pushed_t WHERE id >= 21")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") &&
+      physical.contains("GreaterThanOrEqual(id,21)"),
+      s"filter not pushed into the scan:\n$physical")
+    assert(!physical.contains("tag"),
+      s"unprojected column survived into the scan:\n$physical")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (21 to 30).map(_ * 10L))
+  }
+
   test("unregistered names and non-iceberg views are untouched") {
     Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("sql_plain_v")
     assert(spark.sql("SELECT a FROM sql_plain_v").count() == 1L)
