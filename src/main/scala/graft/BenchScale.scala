@@ -1293,16 +1293,22 @@ object BenchScale {
         var nBatches = 0L
         val q = stream.writeStream
           .foreachBatch(TrainingDataPipeline.curateStreamNearDedup(
-            "text", "doc_id", "ts", inc) { (annotated, _) =>
-            nBatches += 1
-            annotated.filter(col("is_near_dup"))
-              .select("doc_id")
-              .write.mode("append").parquet(s"$dir/flagged")
+            "text", "doc_id", "ts", inc,
+            // accumulate the verified pairs — the compaction-time
+            // reconcile input (r15)
+            onPairs = (p, _) => p.select("id_a", "id_b")
+              .write.mode("append").parquet(s"$dir/pairs")) {
+            (annotated, _) =>
+              nBatches += 1
+              annotated.select("doc_id", "is_near_dup")
+                .write.mode("append").parquet(s"$dir/delivered")
           })
           .option("checkpointLocation", s"$dir/ckpt")
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        spark.read.parquet(s"$dir/delivered").filter(col("is_near_dup"))
+          .select("doc_id").write.mode("overwrite").parquet(s"$dir/flagged")
         val flagged = spark.read.parquet(s"$dir/flagged")
         val nFlagged = flagged.count()
         val plantedFlagged = flagged.filter(col("doc_id") % 50 === 1).count()
@@ -1318,9 +1324,28 @@ object BenchScale {
           .count()
         require(plantedFlagged * 10 >= flaggable * 9,
           s"flag recall collapsed: $plantedFlagged of $flaggable flaggable")
+        // r15: compaction-time reconcile against the accumulated pair
+        // table must close stream flags to EXACT equality with a batch
+        // near-dedup's pairwise drop set over the delivered corpus —
+        // not just the ≥90% recall band
+        val delivered = spark.read.parquet(s"$dir/delivered")
+        val reconciled = TrainingDataPipeline.reconcileNearDupFlags(
+            delivered, "doc_id", spark.read.parquet(s"$dir/pairs"))
+          .filter(col("is_near_dup")).select("doc_id").distinct()
+        val corpus = spark.read.parquet(laidPath)
+          .join(delivered.select("doc_id"), Seq("doc_id"), "left_semi")
+        val batchDrops = graft.dedup.Dedup.minHashCandidates(
+            corpus, "text", "doc_id", minJaccard = 0.5)
+          .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+          .distinct()
+        val mism = reconciled.exceptAll(batchDrops).count() +
+          batchDrops.exceptAll(reconciled).count()
+        require(mism == 0,
+          s"stream+reconcile != batch drops: $mism ids differ")
         System.err.println(s"[scale] curate_stream_neardedup: " +
           s"$nBatches batches, flagged $nFlagged " +
-          s"($plantedFlagged/$flaggable flaggable planted)")
+          s"($plantedFlagged/$flaggable flaggable planted), " +
+          s"reconcile ≡ batch (${reconciled.count()} drops)")
         nFlagged * 1000000L + nBatches
       },
       timed("warc_curate_100k") {

@@ -1853,6 +1853,39 @@ object QueryCatalog {
     // evaluates per row in codegen. Domains with NO robots row allow
     // (the RFC default — the %11 spam domain here). DuckDB replays the
     // rule arithmetic with LIKE algebra. Data-derived at any scale.
+    // robots.txt OPERATIONAL surface (text/Robots.rulesTable r15 —
+    // what a crawl scheduler reads beyond allow/deny): the winning
+    // group's crawl-delay (most-specific agent group, NOT the `*`
+    // fallback's decoy value) and the file-global sitemap URLs as
+    // audit columns. Bodies follow k-arithmetic; DuckDB rederives
+    // delay/sitemap-count/rule-count from the formulas alone — a
+    // group-selection or directive-parse bug corrupts a column.
+    QueryDef("robots_audit", (s, d) => {
+      import graft.text.Robots
+      import s.implicits._
+      val robots = (0 until 20).map { k =>
+        val sm2 = if (k % 2 == 0) s"\nSitemap: https://example$k.test/s2.xml"
+                  else ""
+        (s"example$k.test",
+          s"User-agent: graftbot\nDisallow: /p/\nCrawl-delay: $k.5\n" +
+            s"User-agent: *\nCrawl-delay: 99\n" +
+            s"Sitemap: https://example$k.test/s1.xml$sm2")
+      }.toDF("host", "txt")
+      Robots.rulesTable(robots, "host", "txt", agent = "graftbot/2.0")
+        .select(col("host"),
+          size(col("robots_rules")).as("n_rules"),
+          col("crawl_delay"),
+          size(col("sitemaps")).as("n_sitemaps"))
+        .orderBy("host")
+    }, Some("""
+      SELECT 'example' || k || '.test' AS host,
+        CAST(1 AS INTEGER) AS n_rules,
+        CAST(k + 0.5 AS DOUBLE) AS crawl_delay,
+        CAST(1 + (CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS INTEGER)
+          AS n_sitemaps
+      FROM (SELECT unnest(generate_series(0, 19)) AS k)
+      ORDER BY host""")),
+
     QueryDef("robots_gate", (s, d) => {
       import graft.text.Robots
       import s.implicits._
