@@ -305,10 +305,16 @@ object IcebergTimeTravelRewrite {
         val dir = IcebergSqlTables.get(spark, u.multipartIdentifier.head).get
         val snap = version match {
           case Some(v) =>
-            try v.toLong catch {
-              case _: NumberFormatException => throw new IllegalArgumentException(
-                s"VERSION AS OF on ${u.multipartIdentifier.head}: snapshot " +
-                  s"ids are integers, got '$v'")
+            // numeric = snapshot id; otherwise a named ref (branch or
+            // tag head — the Iceberg `VERSION AS OF 'audit'` surface)
+            v.toLongOption.getOrElse {
+              IcebergLite.tableRefs(spark, dir).get(v)
+                .map(_._1)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"VERSION AS OF on ${u.multipartIdentifier.head}: '$v' " +
+                    "is neither a snapshot id nor a named ref (have " +
+                    IcebergLite.tableRefs(spark, dir).keys.toSeq.sorted
+                      .mkString(", ") + ")"))
             }
           case None =>
             IcebergLite.snapshotIdAsOf(spark, dir, evalTimestampMs(ts.get))

@@ -1023,7 +1023,11 @@ object Hdf5Writer {
           padId(b1(0x10) ++ bN(id, math.min(8, heapIdLen - 1)))
         } else {
           managedCount += 1
-          if (used + body.length > cur.size) {
+          // grid blocks double by row: advance (skipping runt blocks —
+          // they stay allocated and empty, which is valid free space)
+          // until the body fits; the maxDirectRows bound in newBlock
+          // keeps this loud if it ever cannot
+          while (used + body.length > cur.size) {
             cur = newBlock(); used = hdrSize.toLong
           }
           val objOff = cur.heapOff + used

@@ -381,6 +381,26 @@ class Hdf5Spec extends AnyFunSuite {
       assert(S(r3.group("entry").get.attributes(f"m_$i%02d")).head == s"val $i"))
   }
 
+  test("mid-size managed bodies advance to a doubled block (regression)") {
+    // a body too big for the 256-byte starting blocks but under the
+    // huge threshold must keep advancing through the doubling grid —
+    // the r15 packing loop (a single advance corrupted the address
+    // plan; before r15 this shape refused)
+    val mid1 = "M" * 3000 // needs a row-5 (4096) block
+    val mid2 = "N" * 600  // needs a row-2 (512) block
+    val attrs = Seq(
+      "mid1" -> (W.AttrStr(mid1): W.Attr),
+      "mid2" -> (W.AttrStr(mid2): W.Attr),
+      "small" -> (W.AttrLong(5L): W.Attr))
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true)))
+    val g = root.group("entry").get
+    assert(S(g.attributes("mid1")).head == mid1)
+    assert(S(g.attributes("mid2")).head == mid2)
+    assert(L(g.attributes("small")).head == 5L)
+  }
+
   test("SHARED dense attributes resolve through committed shared messages") {
     val attrs = (0 until 12).flatMap { i =>
       Seq(f"sa_$i%02d" -> (W.AttrStr(s"shared $i"): W.Attr),

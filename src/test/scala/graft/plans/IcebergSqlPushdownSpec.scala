@@ -188,6 +188,13 @@ class IcebergSqlPushdownSpec extends SparkSuite {
     val e = intercept[Exception](spark.sql(
       "SELECT * FROM sql_tt_t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
     assert(e.getMessage.contains("no snapshot as of"))
+    // named refs: VERSION AS OF 'tag' / 'branch' reads that head
+    IcebergLite.createTag(spark, dir, "v1", Some(1L))
+    assert(spark.sql("SELECT count(*) AS c FROM sql_tt_t VERSION AS OF 'v1'")
+      .head().getLong(0) == 1L)
+    val e2 = intercept[IllegalArgumentException](spark.sql(
+      "SELECT * FROM sql_tt_t VERSION AS OF 'nope'"))
+    assert(e2.getMessage.contains("neither a snapshot id nor a named ref"))
   }
 
   test("self-join of a registered view resolves (MultiInstanceRelation)") {
