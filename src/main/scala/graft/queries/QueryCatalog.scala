@@ -4568,6 +4568,46 @@ object QueryCatalog {
       FROM documents WHERE doc_id > (SELECT c2 FROM cut)
       GROUP BY lang ORDER BY lang""")),
 
+    // SQL TIME TRAVEL on the registered route (plans/IcebergScan r15):
+    // `TIMESTAMP AS OF <wall-clock between the commits>` and
+    // `VERSION AS OF 1` must BOTH resolve to the first snapshot — the
+    // timestamp captured at run time (so the oracle needs no clock:
+    // DuckDB rederives the first append's aggregate from documents
+    // arithmetic), and ts_equals_v1 pins the two routes returning the
+    // same rows. Data-derived at any scale.
+    QueryDef("iceberg_sql_time_travel", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_sqltt_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir)
+      Thread.sleep(5)
+      val between = System.currentTimeMillis()
+      Thread.sleep(5)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 2 === 1), dir)
+      graft.Catalog.registerIcebergTable(s, "iceberg_sql_tt_docs", dir)
+      val asOfTs = s.sql(
+        s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM iceberg_sql_tt_docs TIMESTAMP AS OF $between
+            GROUP BY lang""")
+      val asOfV1 = s.sql(
+        """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+           FROM iceberg_sql_tt_docs VERSION AS OF 1
+           GROUP BY lang""")
+      val same = asOfTs.exceptAll(asOfV1).count() == 0 &&
+        asOfV1.exceptAll(asOfTs).count() == 0
+      asOfTs.withColumn("ts_equals_v1", lit(same)).orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS ts_equals_v1
+      FROM documents WHERE doc_id % 2 = 0
+      GROUP BY lang ORDER BY lang""")),
+
     // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
     // the v2 position-delete mechanism): rows are deleted by writing
     // (file_path, pos) delete files, NOT by rewriting data; the read
