@@ -2463,6 +2463,55 @@ object QueryCatalog {
         TRUE AS spans_nonzero
       FROM documents""")),
 
+    // FIM fill-in-the-middle transformation (text/Infill r15 — the
+    // code-model infilling example generator, Bavarian et al. 2022):
+    // deterministic md5-driven selection/cuts/mode over whitespace
+    // tokens; the per-doc reconstruction identity (original ≡
+    // reassembled from the PSM/SPM output) and the sentinel/token-mass
+    // conservation ride as in-Spark booleans, with corpus-level rate
+    // bands (CLT-tight at corpus scale); DuckDB rederives doc and
+    // token counts. Data-derived at any scale.
+    QueryDef("fim_transform", (s, d) => {
+      import graft.text.Infill
+      import s.implicits._
+      val rows = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.spaceTokens(col("text")).as("tokens"))
+        .as[(Long, Array[String])]
+        .map { case (id, toks0) =>
+          val toks = if (toks0 == null) Array.empty[String] else toks0
+          val (mode, out) = Infill.fimTokens(
+            toks, seed = 23L, docKey = id.toString,
+            fimRate = 0.5, spmRate = 0.5)
+          val ok = Infill.reconstruct(out).sameElements(toks)
+          val massOk =
+            if (mode == "ar") out.length == toks.length
+            else out.length == toks.length + 3
+          (id, toks.length.toLong, mode, ok, massOk)
+        }.toDF("doc_id", "n_tokens", "mode", "ok", "mass_ok")
+      rows.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("ok") && col("mass_ok"), 1L).otherwise(0L))
+            .as("n_reconstruct_ok"),
+          // selection and mode rates: CLT-tight bands at corpus scale
+          (sum(when(col("mode") =!= "ar", 1L).otherwise(0L)) * 100L >
+            count(lit(1)) * 40L &&
+            sum(when(col("mode") =!= "ar", 1L).otherwise(0L)) * 100L <
+              count(lit(1)) * 60L).as("fim_rate_in_band"),
+          (sum(when(col("mode") === "spm", 1L).otherwise(0L)) * 100L >
+            count(lit(1)) * 15L &&
+            sum(when(col("mode") === "spm", 1L).otherwise(0L)) * 100L <
+              count(lit(1)) * 35L).as("spm_rate_in_band"))
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+          AS BIGINT) AS total_tokens,
+        CAST(count(*) AS BIGINT) AS n_reconstruct_ok,
+        TRUE AS fim_rate_in_band,
+        TRUE AS spm_rate_in_band
+      FROM documents""")),
+
     // Unigram-LM tokenizer (text/Unigram — SentencePiece's other
     // algorithm next to BPE: seed-and-PRUNE EM training, Viterbi
     // most-probable segmentation): trained on the %10 slice, encoding
