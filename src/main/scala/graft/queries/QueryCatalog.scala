@@ -2512,6 +2512,70 @@ object QueryCatalog {
         TRUE AS spm_rate_in_band
       FROM documents""")),
 
+    // Source-code quality gates (text/CodeFilters r15 — The Stack /
+    // StarCoder preprocessing: long-line + mean-line caps, the
+    // alphanumeric floor, the base64/hex data-blob cap, the
+    // auto-generated-header gate). Five planted classes by doc_id
+    // arithmetic (clean, long line, autogen header, blob-dominated,
+    // alnum-stripped); DuckDB REPLAYS EVERY RULE — line math, both
+    // fractions, the header scan — so the per-class keep ledger is an
+    // independent rederivation, not a rubber stamp. Data-derived at
+    // any scale.
+    QueryDef("code_quality", (s, d) => {
+      import graft.text.CodeFilters
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(col("text"), lit("\n"), repeat(lit("y"), 1200)))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit("// auto-generated. do not edit\n"), col("text")))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          concat(substring(col("text"), 1, 20), repeat(lit("ab12"), 40)))
+        .when(pmod(col("doc_id"), lit(5)) === 4,
+          regexp_replace(col("text"), "[A-Za-z0-9]", "."))
+        .otherwise(col("text")).as("text"))
+      CodeFilters.codeGate(docs, "text")
+        .groupBy(pmod(col("doc_id"), lit(5)).as("cls"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("max_line_len").cast("long")).as("sum_max_line"),
+          sum(when(col("auto_generated"), 1L).otherwise(0L)).as("n_autogen"))
+        .orderBy("cls")
+    }, Some("""
+      WITH planted AS (
+        SELECT doc_id, doc_id % 5 AS cls,
+          CASE doc_id % 5
+            WHEN 1 THEN text || chr(10) || repeat('y', 1200)
+            WHEN 2 THEN '// auto-generated. do not edit' || chr(10) || text
+            WHEN 3 THEN substr(text, 1, 20) || repeat('ab12', 40)
+            WHEN 4 THEN regexp_replace(text, '[A-Za-z0-9]', '.', 'g')
+            ELSE text END AS t
+        FROM documents),
+      f AS (
+        SELECT cls,
+          list_max(list_transform(string_split(t, chr(10)),
+            l -> len(l))) AS maxl,
+          CAST(len(t) AS DOUBLE) /
+            len(string_split(t, chr(10))) AS avgl,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            CAST(len(t) - len(regexp_replace(t, '[A-Za-z0-9]', '', 'g'))
+              AS DOUBLE) / len(t) END AS af,
+          CASE WHEN len(t) = 0 THEN 0.0 ELSE
+            CAST(coalesce(list_sum(list_transform(
+              regexp_extract_all(t, '[0-9A-Fa-f+/=]{16,}'),
+              m -> len(m))), 0) AS DOUBLE) / len(t) END AS bf,
+          (lower(substr(t, 1, 300)) LIKE '%auto-generated%' OR
+           lower(substr(t, 1, 300)) LIKE '%autogenerated%' OR
+           lower(substr(t, 1, 300)) LIKE '%generated by%' OR
+           lower(substr(t, 1, 300)) LIKE '%do not edit%') AS ag
+        FROM planted)
+      SELECT cls,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN maxl <= 1000 AND avgl <= 100.0 AND af >= 0.25
+          AND bf <= 0.5 AND NOT ag THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(maxl) AS BIGINT) AS sum_max_line,
+        CAST(sum(CASE WHEN ag THEN 1 ELSE 0 END) AS BIGINT) AS n_autogen
+      FROM f GROUP BY cls ORDER BY cls""")),
+
     // Unigram-LM tokenizer (text/Unigram — SentencePiece's other
     // algorithm next to BPE: seed-and-PRUNE EM training, Viterbi
     // most-probable segmentation): trained on the %10 slice, encoding
