@@ -2789,6 +2789,72 @@ object QueryCatalog {
         TRUE AS planted_all_hit_fallback
       FROM corpus""")),
 
+    // WORDPIECE tokenizer (text/WordPiece r15 — BERT's family, the
+    // third next to BPE and unigram: likelihood-scored merge training
+    // freq(ab)/(freq(a)·freq(b)), greedy longest-match-first inference
+    // with ##-continuations and whole-word [UNK] collapse): trained on
+    // the %10 slice, encoding a corpus with PLANTED docs carrying an
+    // out-of-alphabet word (the 'ø' the ASCII training never saw) that
+    // MUST collapse to [UNK]. Per-doc identities ride as in-Spark
+    // booleans: encode CONSISTENCY (every word is spelled exactly by
+    // its pieces or consumed by exactly one [UNK], the stream exhausts
+    // — WordPiece.consistent, the identity that holds even with UNKs),
+    // vocabulary closure (every token ∈ vocab ∪ {[UNK]}), and the
+    // words ≤ tokens ≤ non-space-chars sandwich ([UNK] words emit one
+    // token). DuckDB rederives doc/word counts incl. the planted
+    // arithmetic. Data-derived at any scale.
+    QueryDef("wordpiece_stats", (s, d) => {
+      import graft.text.WordPiece
+      import s.implicits._
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val planted = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(col("text"), lit(" zøq")).as("text"))
+      val corpus = docs.unionByName(planted)
+      val model = WordPiece.train(docs.filter(col("doc_id") % 10 === 0),
+        "text", vocabSize = 500, maxWords = 5000)
+      val vocab = model.vocab.toSet + model.unk
+      val enc = WordPiece.encodeDocs(corpus, "text", "doc_id", model)
+        .join(corpus, "doc_id")
+        .select(col("doc_id"), col("wp_tokens"), col("text"))
+        .as[(Long, Seq[String], String)]
+        .map { case (id, toks, text) =>
+          val words = text.split(" +").filter(_.nonEmpty).toSeq
+          val ok = WordPiece.consistent(words, toks, model)
+          val inVocab = toks.forall(vocab)
+          val nChars = words.map(_.length.toLong).sum
+          val bounds = toks.length >= words.length && toks.length <= nChars
+          (id, ok, inVocab, bounds, words.length.toLong, id >= 50000L,
+            toks.contains(model.unk))
+        }.toDF("doc_id", "ok", "in_vocab", "bounds", "n_words", "planted",
+          "has_unk")
+      enc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("total_words"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_consistent"),
+          (sum(when(col("in_vocab"), 0L).otherwise(1L)) === 0L)
+            .as("vocab_closed"),
+          (sum(when(col("bounds"), 0L).otherwise(1L)) === 0L)
+            .as("tokens_within_bounds"),
+          sum(when(col("planted"), 1L).otherwise(0L)).as("n_planted"),
+          (sum(when(col("planted") && !col("has_unk"), 1L).otherwise(0L))
+            === 0L).as("planted_all_unk"))
+    }, Some("""
+      WITH corpus AS (
+        SELECT doc_id, text, FALSE AS planted FROM documents
+        UNION ALL
+        SELECT doc_id + 50000, text || ' zøq', TRUE
+        FROM documents WHERE doc_id < 200)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+          AS BIGINT) AS total_words,
+        CAST(count(*) AS BIGINT) AS n_consistent,
+        TRUE AS vocab_closed,
+        TRUE AS tokens_within_bounds,
+        CAST(count(*) FILTER (WHERE planted) AS BIGINT) AS n_planted,
+        TRUE AS planted_all_unk
+      FROM corpus""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

@@ -9,7 +9,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * step between the corpus job that fits a tokenizer and every later
   * job (packing, budgeting, encoding, streaming curation) that applies
   * it. Models serialize to a single JSON file: merges in priority order
-  * for BPE, (piece, log-prob) pairs for unigram — log-probs as Java
+  * for BPE, the vocabulary for WordPiece, (piece, log-prob) pairs for
+  * unigram — log-probs as Java
   * `Double.toString` round-trip text, so a loaded model encodes
   * BIT-IDENTICALLY to the trained one (pinned by tests). A type tag
   * refuses cross-loading by name.
@@ -79,6 +80,26 @@ object TokenizerIO {
     }
     Unigram.UnigramModel(pieces.toArray, node.get("max_piece_len").asInt(),
       Option(node.get("byte_fallback")).exists(_.asBoolean()))
+  }
+
+  def saveWordPiece(model: WordPiece.WpModel, path: String): Unit = {
+    val body = model.vocab.map(q).mkString("[", ", ", "]")
+    write(path,
+      s"""{"type": "wordpiece", "unk": ${q(model.unk)},
+      "max_chars_per_word": ${model.maxCharsPerWord},
+      "vocab": $body}""")
+  }
+
+  def loadWordPiece(path: String): WordPiece.WpModel = {
+    val node = om.readTree(read(path))
+    val typ = Option(node.get("type")).map(_.asText()).getOrElse("?")
+    require(typ == "wordpiece",
+      s"tokenizer file at $path is '$typ', not wordpiece")
+    val it = node.get("vocab").elements()
+    val vocab = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) vocab += it.next().asText()
+    WordPiece.WpModel(vocab.toArray, node.get("unk").asText(),
+      node.get("max_chars_per_word").asInt())
   }
 
   private def write(path: String, body: String): Unit = {
