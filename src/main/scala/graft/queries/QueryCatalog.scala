@@ -64,6 +64,71 @@ object QueryCatalog {
       }.toDF("doc_id", "content")
   }
 
+  /** The turns-frame synthesis shared by the chat_* oracles: a
+    * deterministic multi-turn conversation per document — arithmetic on
+    * `srcCol` picks the shape (src%2 → leading system turn, src%3 →
+    * 1-3 user/assistant pairs), content is 4-word slices of the source
+    * text (fallback 'ok'+t when the text runs out). The SQL oracles
+    * replay the same arithmetic; ONE definition — the Scala side and
+    * every chat_* SQL string must agree on these formulas. `keyCol` is
+    * the conversation key (differs from `srcCol` only in chat_dedup's
+    * planted-duplicate synthesis, where the donor's conversation is
+    * rebuilt under the copy's key).
+    */
+  private def chatTurns(df: DataFrame, keyCol: String, srcCol: String,
+                        textCol: String): DataFrame = {
+    val src = col(srcCol)
+    val base = df.select(col(keyCol).as("doc_id"),
+      TextAnalysis.spaceTokens(col(textCol)).as("ws"),
+      when(pmod(src, lit(2)) === 0, 1).otherwise(0).as("sys"),
+      ((pmod(src, lit(3)) + 1) * 2).cast("int").as("nn"))
+    base.select(col("doc_id"), col("ws"), col("sys"), col("nn"),
+        explode(sequence(lit(0), col("nn") + col("sys") - 1)).as("k"))
+      .withColumn("t", (col("k") - col("sys")).cast("int"))
+      .withColumn("role",
+        when(col("k") === 0 && col("sys") === 1, "system")
+          .when(pmod(col("t"), lit(2)) === 0, "user")
+          .otherwise("assistant"))
+      .withColumn("content",
+        when(col("role") === "system", lit("be helpful"))
+          .otherwise({
+            val c = array_join(
+              slice(col("ws"), col("t") * 4 + 1, lit(4)), " ")
+            when(c === "", concat(lit("ok"), col("t").cast("string")))
+              .otherwise(c)
+          }))
+      .withColumn("total", (col("nn") + col("sys")).cast("int"))
+      .select(col("doc_id"), col("k").cast("int").as("idx"),
+        col("role"), col("content"), col("sys"), col("total"))
+  }
+
+  /** The DuckDB twin of [[chatTurns]] as CTE text; the caller's prior
+    * CTE `d0` must provide (key, src, text). */
+  private val chatTurnsSql: String = """
+    base AS (
+      SELECT key AS doc_id,
+        list_filter(string_split(text, ' '), w -> w <> '') AS ws,
+        CASE WHEN src % 2 = 0 THEN 1 ELSE 0 END AS sys,
+        CAST((src % 3 + 1) * 2 AS INTEGER) AS nn
+      FROM d0),
+    t0 AS (
+      SELECT doc_id, ws, sys, nn + sys AS total,
+        CAST(u.k AS INTEGER) AS k, CAST(u.k - sys AS INTEGER) AS t
+      FROM base, UNNEST(range(0, nn + sys)) AS u(k)),
+    turns AS (
+      SELECT doc_id, k AS idx, sys, total,
+        CASE WHEN k = 0 AND sys = 1 THEN 'system'
+             WHEN t % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        -- array_to_string over an out-of-range slice is NULL in DuckDB,
+        -- not '' — coalesce so the fallback arm fires like Spark's
+        CASE WHEN k = 0 AND sys = 1 THEN 'be helpful'
+             WHEN coalesce(array_to_string(
+                 list_slice(ws, t*4+1, t*4+4), ' '), '') = ''
+               THEN 'ok' || t
+             ELSE array_to_string(list_slice(ws, t*4+1, t*4+4), ' ')
+        END AS content
+      FROM t0)"""
+
   /** RollingFingerprint oracle terms: Java's wrap-around long arithmetic
     * is mod-2^64 ring arithmetic, so each window hash is the polynomial
     * sum with HUGEINT pow-mod constants, reduced once, then mapped back to
@@ -2854,6 +2919,251 @@ object QueryCatalog {
         CAST(count(*) FILTER (WHERE planted) AS BIGINT) AS n_planted,
         TRUE AS planted_all_unk
       FROM corpus""")),
+
+    // Conversation VALIDATION (text/Chat r15 — the SFT front gate:
+    // role-alternation, system-position, termination, empty-turn
+    // checks with first-failure-wins reasons): five planted defect
+    // classes by doc_id%7 arithmetic (alternation break, emptied
+    // first turn, dropped final turn, misplaced system, unknown
+    // role); DuckDB REPLAYS the synthesis, the planting, and EVERY
+    // rule incl. the reason precedence — the per-class reason ledger
+    // is an independent rederivation. Data-derived at any scale.
+    QueryDef("chat_validate", (s, d) => {
+      import graft.text.Chat
+      val docs = t(s, d, "documents").select(col("doc_id").as("key"),
+        col("doc_id").as("src"), col("text"))
+      val base = chatTurns(docs, "key", "src", "text")
+      val cls = pmod(col("doc_id"), lit(7))
+      val planted = base
+        .withColumn("role",
+          when(cls === 1 && col("idx") === col("sys") + 1, "user")
+            .when(cls === 4 && col("idx") === col("sys") + 2, "system")
+            .when(cls === 5 && col("idx") === col("sys"), "narrator")
+            .otherwise(col("role")))
+        .withColumn("content",
+          when(cls === 2 && col("idx") === col("sys"), "")
+            .otherwise(col("content")))
+        .filter(!(cls === 3 && col("idx") === col("total") - 1))
+      Chat.validate(planted, "doc_id", "idx", "role", "content")
+        .groupBy(pmod(col("doc"), lit(7)).as("cls"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("reason") === "bad_role", 1L).otherwise(0L))
+            .as("n_bad_role"),
+          sum(when(col("reason") === "system_position", 1L).otherwise(0L))
+            .as("n_sys_pos"),
+          sum(when(col("reason") === "alternation", 1L).otherwise(0L))
+            .as("n_alternation"),
+          sum(when(col("reason") === "ends_with_user", 1L).otherwise(0L))
+            .as("n_ends_user"),
+          sum(when(col("reason") === "empty_turn", 1L).otherwise(0L))
+            .as("n_empty"),
+          sum(col("n_turns")).as("total_turns"))
+        .orderBy("cls")
+    }, Some(s"""
+      WITH d0 AS (
+        SELECT doc_id AS key, doc_id AS src, text FROM documents),
+      $chatTurnsSql,
+      planted AS (
+        SELECT doc_id, idx, sys,
+          CASE WHEN doc_id % 7 = 1 AND idx = sys + 1 THEN 'user'
+               WHEN doc_id % 7 = 4 AND idx = sys + 2 THEN 'system'
+               WHEN doc_id % 7 = 5 AND idx = sys THEN 'narrator'
+               ELSE role END AS role,
+          CASE WHEN doc_id % 7 = 2 AND idx = sys THEN ''
+               ELSE content END AS content
+        FROM turns
+        WHERE NOT (doc_id % 7 = 3 AND idx = total - 1)),
+      flags AS (
+        SELECT doc_id, idx, role, content,
+          max(CASE WHEN idx = 0 AND role = 'system' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id) AS lead_sys
+        FROM planted),
+      v AS (
+        SELECT doc_id,
+          count(*) AS n_turns,
+          max(lead_sys) AS sys_lead,
+          max(CASE WHEN role NOT IN ('system','user','assistant')
+            THEN 1 ELSE 0 END) AS any_bad,
+          max(CASE WHEN role = 'system' AND idx <> 0 THEN 1 ELSE 0 END)
+            AS any_syspos,
+          max(CASE WHEN role IN ('user','assistant') AND role <>
+              (CASE WHEN (idx - lead_sys) % 2 = 0
+                THEN 'user' ELSE 'assistant' END)
+            THEN 1 ELSE 0 END) AS any_alt,
+          max(CASE WHEN len(trim(content)) = 0 THEN 1 ELSE 0 END)
+            AS any_empty,
+          arg_max(role, idx) AS last_role
+        FROM flags GROUP BY doc_id),
+      r AS (
+        SELECT doc_id, n_turns,
+          CASE WHEN any_bad = 1 THEN 'bad_role'
+               WHEN any_syspos = 1 THEN 'system_position'
+               WHEN n_turns - sys_lead = 0 THEN 'no_turns'
+               WHEN any_alt = 1 THEN 'alternation'
+               WHEN last_role <> 'assistant' THEN 'ends_with_user'
+               WHEN any_empty = 1 THEN 'empty_turn'
+               ELSE 'ok' END AS reason
+        FROM v)
+      SELECT doc_id % 7 AS cls,
+        CAST(count(*) AS BIGINT) AS n_convs,
+        CAST(sum(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_valid,
+        CAST(sum(CASE WHEN reason = 'bad_role' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_bad_role,
+        CAST(sum(CASE WHEN reason = 'system_position' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_sys_pos,
+        CAST(sum(CASE WHEN reason = 'alternation' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_alternation,
+        CAST(sum(CASE WHEN reason = 'ends_with_user' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ends_user,
+        CAST(sum(CASE WHEN reason = 'empty_turn' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_empty,
+        CAST(sum(n_turns) AS BIGINT) AS total_turns
+      FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // Chat-template RENDERING + assistant LOSS SPANS (text/Chat r15 —
+    // ChatML markers, the generation-prompt variant, and the character
+    // ranges a trainer masks loss to): the extraction identity
+    // (substring(rendered, start, end) ≡ the assistant turn's content,
+    // for EVERY span) rides as an in-Spark boolean; DuckDB
+    // independently rederives doc counts, total rendered mass, the
+    // generation-prompt delta (+22 chars/doc = '<|im_start|>' + (9)
+    // 'assistant' + newline), span counts and span mass from the same
+    // synthesis. Data-derived at any scale.
+    QueryDef("chat_render_mask", (s, d) => {
+      import graft.text.Chat
+      val docs = t(s, d, "documents").select(col("doc_id").as("key"),
+        col("doc_id").as("src"), col("text"))
+      val turns = chatTurns(docs, "key", "src", "text")
+      val rendered = Chat.render(turns, "doc_id", "idx", "role", "content")
+      val renderedGen = Chat.render(turns, "doc_id", "idx", "role",
+        "content", addGenerationPrompt = true)
+      val spans = Chat.lossSpans(turns, "doc_id", "idx", "role", "content")
+      val spanChk = spans
+        .join(rendered.withColumnRenamed("doc", "rdoc"),
+          col("doc") === col("rdoc"))
+        .join(turns.select(col("doc_id").as("tdoc"), col("idx").as("tidx"),
+            col("content")),
+          col("doc") === col("tdoc") && col("idx") === col("tidx"))
+        .select(col("doc"),
+          (col("rendered").substr((col("start_char") + 1).cast("int"),
+            (col("end_char") - col("start_char")).cast("int"))
+            === col("content")).as("span_ok"),
+          (col("end_char") - col("start_char")).as("mass"))
+      val agg1 = rendered.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      val agg2 = renderedGen.agg(sum(col("n_chars")).as("total_chars_gen"))
+      val agg3 = spanChk.agg(count(lit(1)).as("n_spans"),
+        sum(col("mass")).as("span_mass"),
+        (sum(when(col("span_ok"), 0L).otherwise(1L)) === 0L)
+          .as("extract_ok"))
+      agg1.crossJoin(agg2).crossJoin(agg3)
+    }, Some(s"""
+      WITH d0 AS (
+        SELECT doc_id AS key, doc_id AS src, text FROM documents),
+      $chatTurnsSql,
+      pieces AS (
+        SELECT doc_id, idx, role, content,
+          '<|im_start|>' || role || chr(10) || content ||
+            '<|im_end|>' || chr(10) AS piece
+        FROM turns),
+      per_doc AS (
+        SELECT doc_id, sum(len(piece)) AS n_chars,
+          count(*) FILTER (WHERE role = 'assistant') AS n_spans,
+          coalesce(sum(len(content)) FILTER (WHERE role = 'assistant'), 0)
+            AS span_mass
+        FROM pieces GROUP BY doc_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(n_chars) + 22 * count(*) AS BIGINT) AS total_chars_gen,
+        CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        CAST(sum(span_mass) AS BIGINT) AS span_mass,
+        TRUE AS extract_ok
+      FROM per_doc""")),
+
+    // Conversation-level EXACT DEDUP (text/Chat r15 — hash the ordered
+    // role/content stream with control-char separators, keep the
+    // smallest id per group): docs with doc_id%10=7 get the
+    // conversation of doc_id-7 PLANTED verbatim (synthesis keyed on
+    // the donor), so each collides with its donor and must lose to
+    // it; DuckDB replays synthesis, hashing (portable md5 substrate)
+    // and the min-id winner rule. The cohort ledger pins that every
+    // class-7 conversation is dropped and its donor kept.
+    QueryDef("chat_dedup", (s, d) => {
+      import graft.text.Chat
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val donors = docs.select(col("doc_id").as("key"),
+        when(pmod(col("doc_id"), lit(10)) === 7, col("doc_id") - 7)
+          .otherwise(col("doc_id")).as("src"))
+        .join(docs.select(col("doc_id").as("src2"), col("text")),
+          col("src") === col("src2"))
+      val turns = chatTurns(donors, "key", "src", "text")
+      Chat.dedupConversations(turns, "doc_id", "idx", "role", "content",
+          hashOf = md5)
+        .groupBy(pmod(col("doc"), lit(10)).as("cohort"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("cohort")
+    }, Some(s"""
+      WITH d0 AS (
+        SELECT d.doc_id AS key,
+          CASE WHEN d.doc_id % 10 = 7 THEN d.doc_id - 7
+               ELSE d.doc_id END AS src,
+          dd.text
+        FROM documents d
+        JOIN documents dd ON dd.doc_id =
+          CASE WHEN d.doc_id % 10 = 7 THEN d.doc_id - 7 ELSE d.doc_id END),
+      $chatTurnsSql,
+      hashes AS (
+        SELECT doc_id,
+          md5(string_agg(role || chr(1) || content, chr(2) ORDER BY idx))
+            AS h
+        FROM turns GROUP BY doc_id),
+      k AS (
+        SELECT doc_id, h,
+          doc_id = min(doc_id) OVER (PARTITION BY h) AS kept
+        FROM hashes)
+      SELECT doc_id % 10 AS cohort,
+        CAST(count(*) AS BIGINT) AS n_convs,
+        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM k GROUP BY 1 ORDER BY 1""")),
+
+    // Repo-context concatenation (text/CodeFilters.repoConcat r15 —
+    // StarCoder2's repo-level grouping: files ordered by path inside
+    // one <repo_name>/<file_sep>-framed training doc): repos and paths
+    // derived from doc_id arithmetic; DuckDB replays the grouping, the
+    // path ordering, and the exact framing — the md5 of every repo
+    // document is the cross-engine identity, so one misplaced
+    // separator or a wrong sort order flips the hash. Data-derived at
+    // any scale.
+    QueryDef("code_repo_concat", (s, d) => {
+      import graft.text.CodeFilters
+      val files = t(s, d, "documents").select(
+        pmod(col("doc_id"), lit(97)).as("repo"),
+        concat(lit("src/f"), col("doc_id").cast("string"), lit(".txt"))
+          .as("path"),
+        col("text"))
+      CodeFilters.repoConcat(files, "repo", "path", "text")
+        .select(col("repo"), col("n_files"), col("n_chars"),
+          md5(col("repo_text")).as("repo_md5"))
+        .orderBy("repo")
+    }, Some("""
+      WITH files AS (
+        SELECT doc_id % 97 AS repo,
+          'src/f' || doc_id || '.txt' AS path, text
+        FROM documents),
+      repos AS (
+        SELECT repo,
+          '<repo_name>' || repo || '<file_sep>' ||
+            string_agg(path || chr(10) || text, '<file_sep>'
+              ORDER BY path) AS repo_text,
+          count(*) AS n_files
+        FROM files GROUP BY repo)
+      SELECT repo, CAST(n_files AS BIGINT) AS n_files,
+        CAST(len(repo_text) AS BIGINT) AS n_chars,
+        md5(repo_text) AS repo_md5
+      FROM repos ORDER BY repo""")),
 
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(

@@ -1,0 +1,169 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation (SFT/chat) data preparation — the supervised-finetuning
+  * half of a training-data pipeline, next to the pretraining operators:
+  * structural validation of multi-turn conversations, chat-template
+  * rendering, assistant-span LOSS MASKS (the character ranges a trainer
+  * computes loss over), and conversation-level exact dedup.
+  *
+  * The input shape is the TURNS FRAME: one row per turn,
+  * `(doc, idx, role, content)` — the natural distributed representation
+  * (conversations are rows, never driver-side objects). Every operator
+  * here is window/groupBy composition over that frame: one shuffle keyed
+  * by the conversation id, bounded per-key state (real conversations
+  * have bounded turns), pure built-in column functions — no UDFs, no
+  * collect. The 100 TB shape: conversations hash-partition by id and
+  * every check/render/mask is per-key local after that one exchange.
+  *
+  * The default rendering template is the public ChatML convention
+  * (`<|im_start|>role\ncontent<|im_end|>\n`), parameterized so other
+  * published templates express the same way.
+  */
+object Chat {
+
+  /** A chat template: each turn renders as
+    * `pre + role + mid + content + post`; a generation prompt appends
+    * `pre + assistantRole + mid`. Defaults are the ChatML markers.
+    */
+  final case class Template(pre: String = "<|im_start|>",
+                            mid: String = "\n",
+                            post: String = "<|im_end|>\n",
+                            assistantRole: String = "assistant",
+                            userRole: String = "user",
+                            systemRole: String = "system")
+
+  /** Structural validation — one row per conversation:
+    * `(doc, n_turns, valid, reason)`. Reasons, first failure in fixed
+    * precedence wins:
+    *   - `bad_role`: a role outside {system, user, assistant}
+    *   - `system_position`: a system turn anywhere but index 0
+    *   - `no_turns`: no non-system turns at all
+    *   - `alternation`: after the optional leading system turn, roles
+    *     must be user, assistant, user, assistant, … (first is user)
+    *   - `ends_with_user`: the last turn is not the assistant's
+    *   - `empty_turn`: a turn with empty (or all-space) content
+    * Valid conversations get reason `ok`.
+    */
+  def validate(turns: DataFrame, docCol: String, idxCol: String,
+               roleCol: String, contentCol: String,
+               tpl: Template = Template()): DataFrame = {
+    val doc = col(docCol); val idx = col(idxCol); val role = col(roleCol)
+    val content = col(contentCol)
+    val w = Window.partitionBy(doc)
+    // does a system turn lead? (alternation parity starts after it)
+    val sysLead = max(when(idx === 0 && role === tpl.systemRole, 1)
+      .otherwise(0)).over(w)
+    val expected = when(pmod(idx - sysLead, lit(2)) === 0, tpl.userRole)
+      .otherwise(tpl.assistantRole)
+    val perTurn = turns.select(
+      doc.as("doc"), idx.as("idx"), role.as("role"),
+      when(!role.isin(tpl.systemRole, tpl.userRole, tpl.assistantRole), 1)
+        .otherwise(0).as("bad_role"),
+      when(role === tpl.systemRole && idx =!= 0, 1).otherwise(0)
+        .as("sys_pos"),
+      when(role =!= tpl.systemRole && role =!= expected &&
+          role.isin(tpl.userRole, tpl.assistantRole), 1).otherwise(0)
+        .as("alt_viol"),
+      when(length(trim(content)) === 0, 1).otherwise(0).as("empty_turn"),
+      sysLead.as("sys_lead"))
+    val agg = perTurn.groupBy(col("doc")).agg(
+      count(lit(1)).as("n_turns"),
+      max(col("bad_role")).as("any_bad_role"),
+      max(col("sys_pos")).as("any_sys_pos"),
+      max(col("alt_viol")).as("any_alt"),
+      max(col("empty_turn")).as("any_empty"),
+      first(col("sys_lead")).as("sys_lead"),
+      max_by(col("role"), col("idx")).as("last_role"))
+    agg.select(col("doc"), col("n_turns"),
+        when(col("any_bad_role") === 1, "bad_role")
+          .when(col("any_sys_pos") === 1, "system_position")
+          .when(col("n_turns") - col("sys_lead") === 0, "no_turns")
+          .when(col("any_alt") === 1, "alternation")
+          .when(col("last_role") =!= tpl.assistantRole, "ends_with_user")
+          .when(col("any_empty") === 1, "empty_turn")
+          .otherwise("ok").as("reason"))
+      .withColumn("valid", col("reason") === "ok")
+      .select(col("doc"), col("n_turns"), col("valid"), col("reason"))
+  }
+
+  /** The per-turn rendered piece under `tpl`. */
+  private def pieceCol(role: Column, content: Column, tpl: Template): Column =
+    concat(lit(tpl.pre), role, lit(tpl.mid), content, lit(tpl.post))
+
+  /** Chat-template rendering — one row per conversation:
+    * `(doc, rendered, n_chars)`. `addGenerationPrompt` appends the open
+    * assistant header (`pre + assistantRole + mid`) the way inference
+    * serving does.
+    */
+  def render(turns: DataFrame, docCol: String, idxCol: String,
+             roleCol: String, contentCol: String,
+             tpl: Template = Template(),
+             addGenerationPrompt: Boolean = false): DataFrame = {
+    val piece = pieceCol(col(roleCol), col(contentCol), tpl)
+    val genSuffix =
+      if (addGenerationPrompt) tpl.pre + tpl.assistantRole + tpl.mid else ""
+    turns
+      .select(col(docCol).as("doc"),
+        struct(col(idxCol).cast("long").as("idx"), piece.as("piece")).as("tp"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(col("tp"))).as("tps"))
+      .select(col("doc"),
+        concat(array_join(transform(col("tps"),
+          tp => tp.getField("piece")), ""), lit(genSuffix)).as("rendered"))
+      .withColumn("n_chars", length(col("rendered")).cast("long"))
+  }
+
+  /** Assistant LOSS SPANS — one row per assistant turn:
+    * `(doc, idx, start_char, end_char)`, 0-based character offsets into
+    * the [[render]] output (exclusive end), such that
+    * `substring(rendered, start_char + 1, end_char - start_char)` is
+    * exactly the turn's content. One window over (doc, idx) — the same
+    * single exchange as render.
+    */
+  def lossSpans(turns: DataFrame, docCol: String, idxCol: String,
+                roleCol: String, contentCol: String,
+                tpl: Template = Template()): DataFrame = {
+    val doc = col(docCol); val idx = col(idxCol); val role = col(roleCol)
+    val content = col(contentCol)
+    val piece = pieceCol(role, content, tpl)
+    val before = Window.partitionBy(doc).orderBy(idx)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(length(piece).cast("long")).over(before),
+      lit(0L))
+    val start = cumBefore + lit(tpl.pre.length.toLong) +
+      length(role).cast("long") + lit(tpl.mid.length.toLong)
+    turns
+      .select(doc.as("doc"), idx.as("idx"), role.as("role"),
+        start.as("start_char"),
+        (start + length(content).cast("long")).as("end_char"))
+      .filter(col("role") === tpl.assistantRole)
+      .select(col("doc"), col("idx"), col("start_char"), col("end_char"))
+  }
+
+  /** Conversation-level exact dedup: hash the ordered
+    * `role:content` stream (fields joined by `\u0001`, turns by
+    * `\u0002` — neither occurs in text), keep the smallest doc key per
+    * hash group. Returns `(doc, conv_hash, keep)`. `hashOf` defaults to
+    * sha2-256; pass md5 for oracle portability.
+    */
+  def dedupConversations(turns: DataFrame, docCol: String, idxCol: String,
+                         roleCol: String, contentCol: String,
+                         hashOf: Column => Column = sha2(_, 256)): DataFrame = {
+    val key = turns
+      .select(col(docCol).as("doc"),
+        struct(col(idxCol).cast("long").as("idx"),
+          concat(col(roleCol), lit("\u0001"), col(contentCol)).as("rc"))
+          .as("tp"))
+      .groupBy(col("doc"))
+      .agg(array_sort(collect_list(col("tp"))).as("tps"))
+      .select(col("doc"),
+        hashOf(array_join(transform(col("tps"), tp => tp.getField("rc")),
+          "\u0002")).as("conv_hash"))
+    key.withColumn("keep",
+      col("doc") === min(col("doc")).over(Window.partitionBy(col("conv_hash"))))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class ChatSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def turns(rows: (Long, Int, String, String)*) =
+    rows.toDF("doc", "idx", "role", "content")
+
+  test("validate: the reason matrix, first failure wins") {
+    val t = turns(
+      // 0: valid with system lead
+      (0L, 0, "system", "be helpful"), (0L, 1, "user", "hi"),
+      (0L, 2, "assistant", "hello"),
+      // 1: valid without system
+      (1L, 0, "user", "q"), (1L, 1, "assistant", "a"),
+      // 2: bad role (and also empty turn — bad_role wins)
+      (2L, 0, "narrator", ""), (2L, 1, "assistant", "a"),
+      // 3: system not first
+      (3L, 0, "user", "q"), (3L, 1, "system", "s"),
+      // 4: alternation broken (user, user)
+      (4L, 0, "user", "q"), (4L, 1, "user", "q2"),
+      // 5: ends with user
+      (5L, 0, "user", "q"), (5L, 1, "assistant", "a"), (5L, 2, "user", "q2"),
+      // 6: empty assistant turn (structure fine)
+      (6L, 0, "user", "q"), (6L, 1, "assistant", "  "),
+      // 7: system only — no turns
+      (7L, 0, "system", "s"))
+    val got = Chat.validate(t, "doc", "idx", "role", "content")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3)))
+    assert(got(0) === ((0L, true, "ok")))
+    assert(got(1) === ((1L, true, "ok")))
+    assert(got(2) === ((2L, false, "bad_role")))
+    assert(got(3) === ((3L, false, "system_position")))
+    assert(got(4) === ((4L, false, "alternation")))
+    assert(got(5) === ((5L, false, "ends_with_user")))
+    assert(got(6) === ((6L, false, "empty_turn")))
+    assert(got(7) === ((7L, false, "no_turns")))
+  }
+
+  test("render: ChatML markers in turn order; generation prompt appends") {
+    val t = turns(
+      (0L, 0, "system", "s"), (0L, 1, "user", "q"), (0L, 2, "assistant", "a"))
+    val r = Chat.render(t, "doc", "idx", "role", "content")
+      .select("rendered").as[String].head()
+    assert(r ===
+      "<|im_start|>system\ns<|im_end|>\n" +
+      "<|im_start|>user\nq<|im_end|>\n" +
+      "<|im_start|>assistant\na<|im_end|>\n")
+    val g = Chat.render(t, "doc", "idx", "role", "content",
+      addGenerationPrompt = true).select("rendered").as[String].head()
+    assert(g === r + "<|im_start|>assistant\n")
+    // out-of-order input rows still render by idx
+    val shuffled = turns(
+      (1L, 2, "assistant", "a"), (1L, 0, "user", "q"),
+      (1L, 1, "assistant", "m"))
+    val r2 = Chat.render(shuffled, "doc", "idx", "role", "content")
+      .select("rendered").as[String].head()
+    assert(r2.startsWith("<|im_start|>user\nq"))
+  }
+
+  test("lossSpans: extraction identity over every assistant turn") {
+    val t = turns(
+      (0L, 0, "system", "sys prompt"), (0L, 1, "user", "hello there"),
+      (0L, 2, "assistant", "hi! how can I help"),
+      (0L, 3, "user", "add 2+2"), (0L, 4, "assistant", "4"),
+      (1L, 0, "user", "q"), (1L, 1, "assistant", ""))
+    val rendered = Chat.render(t, "doc", "idx", "role", "content")
+    val spans = Chat.lossSpans(t, "doc", "idx", "role", "content")
+    val chk = spans
+      .join(rendered, "doc")
+      .join(t.toDF("doc", "idx", "role", "content"), Seq("doc", "idx"))
+      .select(col("doc"), col("idx"),
+        col("rendered").substr(col("start_char") + 1,
+          col("end_char") - col("start_char")).as("got"),
+        col("content"))
+      .collect()
+    assert(chk.length === 3) // assistant turns only
+    chk.foreach { r =>
+      assert(r.getString(2) === r.getString(3),
+        s"span mismatch at ${r.getLong(0)}/${r.getInt(1)}")
+    }
+  }
+
+  test("dedupConversations: identical role:content streams collapse") {
+    val t = turns(
+      (0L, 0, "user", "q"), (0L, 1, "assistant", "a"),
+      (5L, 0, "user", "q"), (5L, 1, "assistant", "a"),   // dup of 0
+      (7L, 0, "user", "q"), (7L, 1, "assistant", "b"),   // differs
+      // same concatenation trap: role 'user' + content 'x:a' vs 'userx' + ':a'
+      (8L, 0, "user", "x:a"), (8L, 1, "assistant", "a"),
+      (9L, 0, "userx", ":a"), (9L, 1, "assistant", "a"))
+    val got = Chat.dedupConversations(t, "doc", "idx", "role", "content")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(got.toSeq === Seq((0L, true), (5L, false), (7L, true),
+      (8L, true), (9L, true)))
+  }
+
+  test("plans: validate/render/dedup shuffle once on the doc key") {
+    val t = turns((0L, 0, "user", "q"), (0L, 1, "assistant", "a"))
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    // one hash exchange for the groupBy/window (AQE may add reads but
+    // no second shuffle of the turns)
+    assert(nExchanges(Chat.render(t, "doc", "idx", "role", "content")) <= 2)
+    assert(nExchanges(Chat.validate(t, "doc", "idx", "role", "content")) <= 2)
+  }
+}
