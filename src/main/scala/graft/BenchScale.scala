@@ -922,6 +922,48 @@ object BenchScale {
         graft.ops.QualityFilter.paretoLotteryKeep(
           scored, "quality_prob", "doc_id").count()
       },
+      timed("wordpiece_encode_count") {
+        // the WordPiece twin of bpe_encode_count: bounded
+        // likelihood-scored training on the 1% slice, then the native
+        // longest-match countOnly encode over the full corpus — map-only
+        val model = graft.text.WordPiece.train(
+          docs.filter(col("doc_id") % 100 === 0), "text",
+          vocabSize = 2000, maxWords = 20000)
+        docs.select(graft.functions.WpEncode.col(col("text"),
+            model.vocab, countOnly = true).as("n"))
+          .agg(sum(col("n"))).head().getLong(0)
+      },
+      timed("chat_sft_pipeline") {
+        // the SFT front end at corpus scale: synthesize a turns frame
+        // (4 turns/doc — 2M turns), then validation + ChatML render +
+        // loss spans + conversation dedup — each one shuffle on the
+        // conversation key. The agg consumes reasons, rendered mass,
+        // span mass, and the dedup keep ledger so nothing prunes away.
+        import graft.text.Chat
+        val turns = docs.select(col("doc_id"),
+            graft.text.TextAnalysis.spaceTokens(col("text")).as("ws"))
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(0), lit(3))).as("idx"))
+          .select(col("doc_id"), col("idx"),
+            when(col("idx") % 2 === 0, "user").otherwise("assistant")
+              .as("role"),
+            {
+              val c = array_join(
+                slice(col("ws"), col("idx") * 5 + 1, lit(5)), " ")
+              when(c === "", concat(lit("ok"), col("idx").cast("string")))
+                .otherwise(c).as("content")
+            })
+        val v = Chat.validate(turns, "doc_id", "idx", "role", "content")
+          .agg(sum(when(col("valid"), 1L).otherwise(0L))).head().getLong(0)
+        val r = Chat.render(turns, "doc_id", "idx", "role", "content")
+          .agg(sum(col("n_chars"))).head().getLong(0)
+        val m = Chat.lossSpans(turns, "doc_id", "idx", "role", "content")
+          .agg(sum(col("end_char") - col("start_char"))).head().getLong(0)
+        val k = Chat.dedupConversations(turns, "doc_id", "idx", "role",
+            "content")
+          .agg(sum(when(col("keep"), 1L).otherwise(0L))).head().getLong(0)
+        v + r % 1000 + m % 1000 + k % 1000
+      },
       timed("bpe_encode_count") {
         // BPE over the full corpus: bounded training (word-count shuffle
         // on the 1% slice + driver merge loop) then the native countOnly

@@ -3165,6 +3165,56 @@ object QueryCatalog {
         md5(repo_text) AS repo_md5
       FROM repos ORDER BY repo""")),
 
+    // Preference-PAIR construction (text/Chat.preferencePairs r15 —
+    // the DPO/RLHF-data shape: among completions sharing a prompt,
+    // best-vs-worst by score with deterministic tie-breaks): prompt
+    // groups of five by doc_id div 5, scores from modular arithmetic
+    // (ties INCLUDED — (doc_id*7)%13 collides inside groups, so the
+    // tie-break rule is exercised, not dodged); DuckDB replays
+    // grouping, ranking, tie-breaks, and the margin. Data-derived at
+    // any scale.
+    QueryDef("preference_pairs", (s, d) => {
+      import graft.text.Chat
+      val comps = t(s, d, "documents").select(
+        expr("doc_id div 5").as("g"),
+        col("doc_id"),
+        pmod(col("doc_id") * 7, lit(13)).as("score"),
+        array_join(slice(TextAnalysis.spaceTokens(col("text")), 1, 6), " ")
+          .as("completion"))
+      Chat.preferencePairs(comps, "g", "doc_id", "score", "completion")
+        .select(col("prompt_hash").as("g"), col("chosen_doc"),
+          col("rejected_doc"), col("margin"),
+          length(col("chosen_text")).cast("long").as("chosen_len"),
+          length(col("rejected_text")).cast("long").as("rejected_len"))
+        .orderBy("g")
+    }, Some("""
+      WITH comps AS (
+        SELECT doc_id // 5 AS g, doc_id,
+          (doc_id * 7) % 13 AS score,
+          coalesce(array_to_string(list_slice(
+            list_filter(string_split(text, ' '), w -> w <> ''),
+            1, 6), ' '), '') AS completion
+        FROM documents),
+      ranked AS (
+        SELECT g, doc_id, score, completion,
+          row_number() OVER (PARTITION BY g
+            ORDER BY score DESC, doc_id ASC) AS rb,
+          row_number() OVER (PARTITION BY g
+            ORDER BY score ASC, doc_id DESC) AS rw,
+          count(*) OVER (PARTITION BY g) AS n
+        FROM comps),
+      chosen AS (SELECT g, doc_id AS chosen_doc, score AS cs,
+          completion AS ct FROM ranked WHERE rb = 1 AND n >= 2),
+      rejected AS (SELECT g, doc_id AS rejected_doc, score AS rs,
+          completion AS rt FROM ranked WHERE rw = 1 AND n >= 2)
+      SELECT c.g, chosen_doc, rejected_doc,
+        CAST(cs - rs AS BIGINT) AS margin,
+        CAST(len(ct) AS BIGINT) AS chosen_len,
+        CAST(len(rt) AS BIGINT) AS rejected_len
+      FROM chosen c JOIN rejected r ON c.g = r.g
+      WHERE chosen_doc <> rejected_doc
+      ORDER BY c.g""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

@@ -166,4 +166,76 @@ object Chat {
     key.withColumn("keep",
       col("doc") === min(col("doc")).over(Window.partitionBy(col("conv_hash"))))
   }
+
+  /** The PROMPT key of each conversation: the hash of the ordered
+    * role/content stream EXCLUDING the final assistant turn — the part
+    * two completions must share to be comparable. Returns
+    * `(doc, prompt_hash, completion)` where `completion` is the final
+    * assistant turn's content; conversations whose last turn is not the
+    * assistant's emit no row (nothing to compare). Same separators as
+    * [[dedupConversations]].
+    */
+  def promptKeys(turns: DataFrame, docCol: String, idxCol: String,
+                 roleCol: String, contentCol: String,
+                 tpl: Template = Template(),
+                 hashOf: Column => Column = sha2(_, 256)): DataFrame = {
+    val doc = col(docCol); val idx = col(idxCol)
+    val w = Window.partitionBy(doc)
+    val lastIdx = max(idx).over(w)
+    val lastRole = max_by(col(roleCol), idx).over(w)
+    val marked = turns.select(doc.as("doc"), idx.as("idx"),
+      col(roleCol).as("role"), col(contentCol).as("content"),
+      (idx === lastIdx).as("is_last"),
+      (lastRole === tpl.assistantRole).as("comparable"))
+    marked.filter(col("comparable"))
+      .groupBy(col("doc"))
+      .agg(
+        // collect_list drops nulls, so the when() excises the final turn
+        array_sort(collect_list(when(!col("is_last"),
+          struct(col("idx").cast("long").as("idx"),
+            concat(col("role"), lit("\u0001"), col("content")).as("rc"))))
+        ).as("tps"),
+        max_by(col("content"), col("idx")).as("completion"))
+      .select(col("doc"),
+        hashOf(array_join(transform(col("tps"), t => t.getField("rc")),
+          "\u0002")).as("prompt_hash"),
+        col("completion"))
+  }
+
+  /** Preference-PAIR construction (the DPO/RLHF-data shape): among
+    * completions sharing a prompt key, pair the best-scored against the
+    * worst-scored (deterministic tie-breaks: smaller doc key wins the
+    * chosen side, larger the rejected side); groups with fewer than two
+    * completions emit nothing. Two windows + one join, all on the
+    * prompt key — one shuffle of the completions frame. Returns
+    * `(prompt_hash, chosen_doc, rejected_doc, chosen_text,
+    * rejected_text, margin)`.
+    */
+  def preferencePairs(completions: DataFrame, promptCol: String,
+                      docCol: String, scoreCol: String,
+                      textCol: String): DataFrame = {
+    val p = col(promptCol)
+    val byBest = Window.partitionBy(p)
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    val byWorst = Window.partitionBy(p)
+      .orderBy(col(scoreCol).asc, col(docCol).desc)
+    val ranked = completions.select(p.as("prompt_hash"),
+        col(docCol).as("doc"), col(scoreCol).as("score"),
+        col(textCol).as("text"),
+        row_number().over(byBest).as("rb"),
+        row_number().over(byWorst).as("rw"),
+        count(lit(1)).over(Window.partitionBy(p)).as("n"))
+      .filter(col("n") >= 2 && (col("rb") === 1 || col("rw") === 1))
+    val chosen = ranked.filter(col("rb") === 1)
+      .select(col("prompt_hash"), col("doc").as("chosen_doc"),
+        col("score").as("chosen_score"), col("text").as("chosen_text"))
+    val rejected = ranked.filter(col("rw") === 1)
+      .select(col("prompt_hash"), col("doc").as("rejected_doc"),
+        col("score").as("rejected_score"), col("text").as("rejected_text"))
+    chosen.join(rejected, "prompt_hash")
+      .filter(col("chosen_doc") =!= col("rejected_doc"))
+      .select(col("prompt_hash"), col("chosen_doc"), col("rejected_doc"),
+        col("chosen_text"), col("rejected_text"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+  }
 }

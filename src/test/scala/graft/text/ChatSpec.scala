@@ -101,6 +101,41 @@ class ChatSpec extends SparkSuite {
       (8L, true), (9L, true)))
   }
 
+  test("promptKeys: shared prompt, distinct completions; no-assistant drops") {
+    val t = turns(
+      (0L, 0, "user", "q"), (0L, 1, "assistant", "a1"),
+      (1L, 0, "user", "q"), (1L, 1, "assistant", "a2"),
+      (2L, 0, "user", "other"), (2L, 1, "assistant", "a1"),
+      // multi-turn: prompt = everything before the final assistant turn
+      (3L, 0, "user", "q"), (3L, 1, "assistant", "m"), (3L, 2, "user", "q2"),
+      (3L, 3, "assistant", "a3"),
+      // ends with user: not comparable, no row
+      (4L, 0, "user", "q"))
+    val got = Chat.promptKeys(t, "doc", "idx", "role", "content")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length === 4)
+    assert(got(0)._2 === got(1)._2, "same prompt must share the key")
+    assert(got(0)._3 === "a1" && got(1)._3 === "a2")
+    assert(got(0)._2 !== got(2)._2, "different prompt, different key")
+    assert(got(0)._2 !== got(3)._2, "longer prompt, different key")
+  }
+
+  test("preferencePairs: best vs worst with deterministic tie-breaks") {
+    val comps = Seq(
+      // group A: clear best (9) and worst (1)
+      ("A", 10L, 9L, "best"), ("A", 11L, 5L, "mid"), ("A", 12L, 1L, "worst"),
+      // group B: all tied — chosen = smallest doc, rejected = largest
+      ("B", 20L, 3L, "t0"), ("B", 21L, 3L, "t1"), ("B", 22L, 3L, "t2"),
+      // group C: singleton — no pair
+      ("C", 30L, 7L, "solo"))
+      .toDF("p", "doc", "score", "text")
+    val got = Chat.preferencePairs(comps, "p", "doc", "score", "text")
+      .orderBy("prompt_hash").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.toSeq === Seq(("A", 10L, 12L, 8L), ("B", 20L, 22L, 0L)))
+  }
+
   test("plans: validate/render/dedup shuffle once on the doc key") {
     val t = turns((0L, 0, "user", "q"), (0L, 1, "assistant", "a"))
     def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
