@@ -3215,6 +3215,104 @@ object QueryCatalog {
       WHERE chosen_doc <> rejected_doc
       ORDER BY c.g""")),
 
+    // TOKEN-level loss masks (text/Chat.tokenLossMask r15 — the "pack
+    // then mask" shape: per-conversation running token offsets, loss
+    // only on assistant ranges): whitespace-token substrate so DuckDB
+    // replays offsets EXACTLY (window prefix sums over the same
+    // synthesis); per-turn start/end are cross-engine VALUES, not
+    // booleans. Data-derived at any scale.
+    QueryDef("sft_token_mask", (s, d) => {
+      import graft.text.Chat
+      val docs = t(s, d, "documents").select(col("doc_id").as("key"),
+        col("doc_id").as("src"), col("text"))
+      val turns = chatTurns(docs, "key", "src", "text")
+      Chat.tokenLossMask(turns, "doc_id", "idx", "role", "content")
+        .select(col("doc").as("doc_id"), col("idx").cast("long").as("idx"),
+          col("tok_start"), col("tok_end"))
+        .orderBy("doc_id", "idx")
+    }, Some(s"""
+      WITH d0 AS (
+        SELECT doc_id AS key, doc_id AS src, text FROM documents),
+      $chatTurnsSql,
+      counted AS (
+        SELECT doc_id, idx, role,
+          CAST(len(list_filter(string_split(content, ' '), w -> w <> ''))
+            AS BIGINT) AS n
+        FROM turns),
+      offs AS (
+        SELECT doc_id, idx, role, n,
+          coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS tok_start
+        FROM counted)
+      SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        CAST(tok_start AS BIGINT) AS tok_start,
+        CAST(tok_start + n AS BIGINT) AS tok_end
+      FROM offs WHERE role = 'assistant'
+      ORDER BY doc_id, idx""")),
+
+    // PACKED loss masks (r15 — the ops SNAP TOGETHER: tokenLossMask's
+    // per-conversation assistant ranges lifted into packSequences'
+    // global packed stream, max 64 tokens/sequence): abs offsets =
+    // conversation stream start + local mask; seq_first/seq_last name
+    // the training sequences each span touches. packSequences' prefix
+    // sum is the scalable globalRunningSum (range partition + stitch);
+    // DuckDB replays it as a plain window sum over the same synthesis.
+    // Every output is a cross-engine VALUE. Data-derived at any scale.
+    QueryDef("sft_pack_mask", (s, d) => {
+      import graft.text.Chat
+      val docs = t(s, d, "documents").select(col("doc_id").as("key"),
+        col("doc_id").as("src"), col("text"))
+      val turns = chatTurns(docs, "key", "src", "text")
+      val perConv = turns.groupBy(col("doc_id")).agg(
+        sum(size(TextAnalysis.spaceTokens(col("content"))).cast("long"))
+          .as("nt"))
+      val packed = TextAnalysis.packSequences(perConv, "doc_id", "nt",
+        maxTokens = 64L)
+      val mask = Chat.tokenLossMask(turns, "doc_id", "idx", "role",
+        "content")
+      mask.join(packed.select(col("doc_id").as("pdoc"),
+          col("tok_start").as("conv_start")), col("doc") === col("pdoc"))
+        .select(col("doc").as("doc_id"), col("idx").cast("long").as("idx"),
+          (col("conv_start") + col("tok_start")).as("abs_start"),
+          (col("conv_start") + col("tok_end")).as("abs_end"))
+        .select(col("doc_id"), col("idx"), col("abs_start"), col("abs_end"),
+          expr("abs_start div 64").as("seq_first"),
+          expr("(abs_end - 1) div 64").as("seq_last"))
+        .orderBy("doc_id", "idx")
+    }, Some(s"""
+      WITH d0 AS (
+        SELECT doc_id AS key, doc_id AS src, text FROM documents),
+      $chatTurnsSql,
+      counted AS (
+        SELECT doc_id, idx, role,
+          CAST(len(list_filter(string_split(content, ' '), w -> w <> ''))
+            AS BIGINT) AS n
+        FROM turns),
+      conv AS (
+        SELECT doc_id, sum(n) AS nt FROM counted GROUP BY doc_id),
+      cum AS (
+        SELECT doc_id,
+          coalesce(sum(nt) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS conv_start
+        FROM conv WHERE nt > 0),
+      offs AS (
+        SELECT doc_id, idx, role, n,
+          coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS tok_start
+        FROM counted)
+      SELECT o.doc_id, CAST(idx AS BIGINT) AS idx,
+        CAST(c.conv_start + o.tok_start AS BIGINT) AS abs_start,
+        CAST(c.conv_start + o.tok_start + o.n AS BIGINT) AS abs_end,
+        CAST((c.conv_start + o.tok_start) // 64 AS BIGINT) AS seq_first,
+        CAST((c.conv_start + o.tok_start + o.n - 1) // 64 AS BIGINT)
+          AS seq_last
+      FROM offs o JOIN cum c ON o.doc_id = c.doc_id
+      WHERE o.role = 'assistant'
+      ORDER BY o.doc_id, idx""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

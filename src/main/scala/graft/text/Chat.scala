@@ -167,6 +167,34 @@ object Chat {
       col("doc") === min(col("doc")).over(Window.partitionBy(col("conv_hash"))))
   }
 
+  /** TOKEN-level loss masks over the concatenated per-turn content
+    * stream (the "pack then mask" training shape: the sample's token
+    * sequence is the turns' content tokens in order; the trainer
+    * computes loss only on assistant-turn token ranges). `nTokens` maps
+    * a content column to its token count — pass
+    * `Bpe.tokenCountCol(model, _)` / `WordPiece.tokenCountCol(model, _)`
+    * for real budgets; the default is the engine's canonical
+    * whitespace count. One window over (doc, idx) — token offsets are
+    * running sums, never a collect. Returns one row per assistant turn:
+    * `(doc, idx, tok_start, tok_end)`, 0-based, exclusive end.
+    */
+  def tokenLossMask(turns: DataFrame, docCol: String, idxCol: String,
+                    roleCol: String, contentCol: String,
+                    nTokens: Column => Column =
+                      c => size(TextAnalysis.spaceTokens(c)),
+                    tpl: Template = Template()): DataFrame = {
+    val doc = col(docCol); val idx = col(idxCol)
+    val n = nTokens(col(contentCol)).cast("long")
+    val before = Window.partitionBy(doc).orderBy(idx)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = coalesce(sum(n).over(before), lit(0L))
+    turns
+      .select(doc.as("doc"), idx.as("idx"), col(roleCol).as("role"),
+        start.as("tok_start"), (start + n).as("tok_end"))
+      .filter(col("role") === tpl.assistantRole)
+      .select(col("doc"), col("idx"), col("tok_start"), col("tok_end"))
+  }
+
   /** The PROMPT key of each conversation: the hash of the ordered
     * role/content stream EXCLUDING the final assistant turn — the part
     * two completions must share to be comparable. Returns
@@ -200,6 +228,43 @@ object Chat {
         hashOf(array_join(transform(col("tps"), t => t.getField("rc")),
           "\u0002")).as("prompt_hash"),
         col("completion"))
+  }
+
+  /** The SFT curation pipeline, composed: structural gate FIRST, exact
+    * dedup among the gate's survivors (the engine's gates-then-dedup
+    * discipline — an invalid conversation must never outrank a valid
+    * duplicate), then rendering and span accounting for the delivered
+    * set. One row per conversation with the full audit trail:
+    * `(doc, valid, reason, keep, delivered, rendered, n_chars, n_spans,
+    * mask_tokens)` — `keep` is null for invalid conversations (they
+    * never entered dedup), `delivered = valid AND keep`.
+    */
+  def curateSft(turns: DataFrame, docCol: String, idxCol: String,
+                roleCol: String, contentCol: String,
+                tpl: Template = Template(),
+                hashOf: Column => Column = sha2(_, 256)): DataFrame = {
+    val v = validate(turns, docCol, idxCol, roleCol, contentCol, tpl)
+    val validDocs = v.filter(col("valid")).select(col("doc"))
+    val validTurns = turns.join(
+      validDocs.withColumnRenamed("doc", "__vdoc"),
+      col(docCol) === col("__vdoc"), "left_semi")
+    val k = dedupConversations(validTurns, docCol, idxCol, roleCol,
+      contentCol, hashOf).select(col("doc"), col("keep"))
+    val r = render(turns, docCol, idxCol, roleCol, contentCol, tpl)
+    val m = tokenLossMask(turns, docCol, idxCol, roleCol, contentCol,
+        tpl = tpl)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("tok_end") - col("tok_start")).as("mask_tokens"))
+    v.join(k, Seq("doc"), "left")
+      .join(r, Seq("doc"), "left")
+      .join(m, Seq("doc"), "left")
+      .select(col("doc"), col("valid"), col("reason"), col("keep"),
+        (col("valid") && coalesce(col("keep"), lit(false)))
+          .as("delivered"),
+        col("rendered"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("mask_tokens"), lit(0L)).as("mask_tokens"))
   }
 
   /** Preference-PAIR construction (the DPO/RLHF-data shape): among

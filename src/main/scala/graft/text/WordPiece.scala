@@ -167,9 +167,12 @@ object WordPiece {
 
   /** The per-document encode identity that holds even with UNKs: walk
     * the original words and the token stream together — every word is
-    * either spelled exactly by its pieces (first plain, rest `##`) or
-    * consumed by exactly one `unk` token — and both must exhaust
-    * together.
+    * either spelled exactly by its pieces or consumed by exactly one
+    * `unk` token — and both must exhaust together. A word's FIRST piece
+    * is taken verbatim (it may itself begin with a literal `##` when
+    * the word does — the surface-form ambiguity the published
+    * convention shares); every later piece must carry the `##`
+    * continuation prefix, which is stripped.
     */
   def consistent(words: Seq[String], tokens: Seq[String],
                  model: WpModel): Boolean = {
@@ -189,14 +192,9 @@ object WordPiece {
             if (ti >= toks.length) ok = false
             else {
               val t = toks(ti)
-              val cont = t.startsWith("##")
-              if (first && cont) ok = false
-              else if (!first && !cont) ok = false
-              else {
-                sb.append(if (cont) t.substring(2) else t)
-                first = false
-                ti += 1
-              }
+              if (first) { sb.append(t); first = false; ti += 1 }
+              else if (t.startsWith("##")) { sb.append(t.substring(2)); ti += 1 }
+              else ok = false
             }
           }
           if (!ok || sb.toString != w) return false

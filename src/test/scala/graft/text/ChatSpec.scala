@@ -101,6 +101,24 @@ class ChatSpec extends SparkSuite {
       (8L, true), (9L, true)))
   }
 
+  test("tokenLossMask: running offsets over the content stream; custom counter") {
+    val t = turns(
+      (0L, 0, "system", "be helpful"),        // 2 tokens
+      (0L, 1, "user", "what is two plus two"), // 5
+      (0L, 2, "assistant", "it is four"),      // 3 -> [7, 10)
+      (0L, 3, "user", "thanks"),               // 1
+      (0L, 4, "assistant", "sure"))            // 1 -> [11, 12)
+    val got = Chat.tokenLossMask(t, "doc", "idx", "role", "content")
+      .orderBy("idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((2, 7L, 10L), (4, 11L, 12L)))
+    // a custom token counter shifts the offsets accordingly (chars here)
+    val chars = Chat.tokenLossMask(t, "doc", "idx", "role", "content",
+      nTokens = c => length(c)).orderBy("idx").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(chars.head === ((2, 30L, 40L))) // 10 + 20 chars before
+  }
+
   test("promptKeys: shared prompt, distinct completions; no-assistant drops") {
     val t = turns(
       (0L, 0, "user", "q"), (0L, 1, "assistant", "a1"),
@@ -134,6 +152,37 @@ class ChatSpec extends SparkSuite {
       .orderBy("prompt_hash").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(5)))
     assert(got.toSeq === Seq(("A", 10L, 12L, 8L), ("B", 20L, 22L, 0L)))
+  }
+
+  test("curateSft: gate first, dedup among survivors, full audit trail") {
+    val t = turns(
+      // 0 and 5: valid duplicates — 0 wins, 5 drops
+      (0L, 0, "user", "q"), (0L, 1, "assistant", "a"),
+      (5L, 0, "user", "q"), (5L, 1, "assistant", "a"),
+      // 3: INVALID duplicate of the same conversation content plus a
+      // trailing user turn — must not enter dedup at all
+      (3L, 0, "user", "q"), (3L, 1, "assistant", "a"), (3L, 2, "user", "x"),
+      // 7: valid, unique
+      (7L, 0, "user", "w"), (7L, 1, "assistant", "b"))
+    val got = Chat.curateSft(t, "doc", "idx", "role", "content")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getBoolean(4), r.getLong(7), r.getLong(8)))
+    assert(got(0) === ((0L, true, "ok", true, 1L, 1L)))
+    // span accounting is computed for every conversation (doc 3 has an
+    // assistant turn even though the conversation is invalid)
+    assert(got(1) === ((3L, false, "ends_with_user", false, 1L, 1L)))
+    assert(got(2) === ((5L, true, "ok", false, 1L, 1L)))
+    assert(got(3) === ((7L, true, "ok", true, 1L, 1L)))
+    // invalid rows carry a null keep (never entered dedup)
+    val keep3 = Chat.curateSft(t, "doc", "idx", "role", "content")
+      .filter(col("doc") === 3L).select("keep").head()
+    assert(keep3.isNullAt(0))
+    // rendered text present for every row, spans only where assistants
+    val r0 = Chat.curateSft(t, "doc", "idx", "role", "content")
+      .filter(col("doc") === 0L).select("rendered").as[String].head()
+    assert(r0 === "<|im_start|>user\nq<|im_end|>\n" +
+      "<|im_start|>assistant\na<|im_end|>\n")
   }
 
   test("plans: validate/render/dedup shuffle once on the doc key") {

@@ -68,6 +68,18 @@ class WordPieceSpec extends SparkSuite {
     assert(!WordPiece.consistent(Seq("hugs"), Seq("h", "hug", "##s"), m))
   }
 
+  test("consistent: a word starting with literal ## takes its first piece verbatim") {
+    // the surface-form ambiguity the published convention shares: an
+    // INITIAL piece may itself begin with '##' when the word does; the
+    // walker must take a word's first piece verbatim, not reject it as
+    // a misplaced continuation
+    val m = WordPiece.WpModel(Array("##x", "##y", "a"))
+    assert(m.encodeWord("##x") === Seq("##x"))
+    assert(WordPiece.consistent(Seq("##x", "a"), Seq("##x", "a"), m))
+    // a continuation-shaped token is still required after the first
+    assert(!WordPiece.consistent(Seq("ax"), Seq("a", "x"), m))
+  }
+
   test("corpus-trained model encodes distributed; identities hold") {
     val docs = (0L until 200L).map { i =>
       (i, Seq("low", "lower", "newest", "widest", "new", "wide")
