@@ -3313,6 +3313,56 @@ object QueryCatalog {
       WHERE o.role = 'assistant'
       ORDER BY o.doc_id, idx""")),
 
+    // JSONL conversation ingestion (text/Chat.fromJsonConversations
+    // r15 — the interchange shape SFT data ships in: a messages array
+    // of {role, content} objects per row): the synthesis builds each
+    // conversation's JSON string (contents sanitized of quote/backslash
+    // via translate so serialization is plain concat), Spark PARSES it
+    // back with from_json + posexplode, and the round-trip ledger
+    // (n_turns + the md5 of the ordered role/content stream) must
+    // equal DuckDB's DIRECT derivation from the same synthesis — the
+    // parse is the only thing that can break the match. Data-derived
+    // at any scale.
+    QueryDef("chat_from_json", (s, d) => {
+      import graft.text.Chat
+      val docs = t(s, d, "documents").select(col("doc_id").as("key"),
+        col("doc_id").as("src"), col("text"))
+      val turns = chatTurns(docs, "key", "src", "text")
+        .withColumn("content", translate(col("content"), "\"\\", ""))
+      val json = turns
+        .select(col("doc_id"),
+          struct(col("idx").cast("long").as("idx"),
+            concat(lit("{\"role\":\""), col("role"),
+              lit("\",\"content\":\""), col("content"), lit("\"}"))
+              .as("m")).as("tp"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(col("tp"))).as("tps"))
+        .select(col("doc_id"),
+          concat(lit("{\"messages\":["),
+            array_join(transform(col("tps"), tp => tp.getField("m")), ","),
+            lit("]}")).as("j"))
+      val parsed = Chat.fromJsonConversations(json, "doc_id", "j")
+      parsed
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_turns"),
+          collect_list(struct(col("idx").cast("long").as("idx"),
+            col("role"), col("content"))).as("turns"))
+        .select(col("doc").as("doc_id"), col("n_turns"),
+          Chat.convHashCol(col("turns"), md5).as("conv_md5"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH d0 AS (
+        SELECT doc_id AS key, doc_id AS src, text FROM documents),
+      $chatTurnsSql,
+      clean AS (
+        SELECT doc_id, idx, role,
+          translate(content, '"' || chr(92), '') AS content
+        FROM turns)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
+        md5(string_agg(role || chr(1) || content, chr(2) ORDER BY idx))
+          AS conv_md5
+      FROM clean GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * computes loss over), and conversation-level exact dedup.
   *
   * The input shape is the TURNS FRAME: one row per turn,
-  * `(doc, idx, role, content)` — the natural distributed representation
+  * `(doc, idx, role, content)` with `idx` 0-BASED AND CONTIGUOUS per
+  * conversation (the shape [[fromJsonConversations]] produces; the
+  * alternation parity and the array/frame validation twins both assume
+  * it) — the natural distributed representation
   * (conversations are rows, never driver-side objects). Every operator
   * here is window/groupBy composition over that frame: one shuffle keyed
   * by the conversation id, bounded per-key state (real conversations
@@ -229,6 +232,99 @@ object Chat {
           "\u0002")).as("prompt_hash"),
         col("completion"))
   }
+
+  /** Parse JSONL-shaped conversations — the interchange format SFT data
+    * actually ships in: one JSON object per row with a `messages` array
+    * of `{role, content}` objects — into the TURNS FRAME
+    * `(doc, idx, role, content)`, idx = the message's array position.
+    * Map-only (`from_json` + posexplode inside the scan, no UDF);
+    * malformed rows and rows without a messages array parse to null and
+    * emit NO turns (posexplode drops them) — recover the rejected ids
+    * with an anti-join when the audit matters.
+    */
+  def fromJsonConversations(df: DataFrame, idCol: String,
+                            jsonCol: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "struct<messages: array<struct<role: string, content: string>>>")
+    df.select(col(idCol).as("doc"),
+        from_json(col(jsonCol), schema).getField("messages").as("msgs"))
+      .select(col("doc"), posexplode(col("msgs")))
+      .select(col("doc"), col("pos").as("idx"),
+        col("col").getField("role").as("role"),
+        col("col").getField("content").as("content"))
+  }
+
+  /** The validation REASON as a pure array expression over a
+    * `array<struct<idx,role,content>>` column — the streaming twin of
+    * [[validate]] (same rules, same first-failure precedence), usable
+    * on batch and streaming frames alike because nothing shuffles:
+    * per-row expressions only. Parity with the frame-based validate is
+    * pinned by ChatSpec. Turn order is the `idx` struct field
+    * (array_sort orders by the first struct field).
+    */
+  def reasonCol(turns: Column, tpl: Template = Template()): Column = {
+    val sorted = array_sort(turns)
+    val n = size(sorted)
+    // get() (0-based) is null-safe out of bounds — element_at would
+    // throw under ANSI on an empty turns array
+    val sysLead = when(n > 0 &&
+      get(sorted, lit(0)).getField("role") === tpl.systemRole, 1)
+      .otherwise(0)
+    val roles = transform(sorted, t => t.getField("role"))
+    val anyBad = exists(roles, r =>
+      !r.isin(tpl.systemRole, tpl.userRole, tpl.assistantRole))
+    val anySysPos = exists(
+      zip_with(roles, sequence(lit(0), greatest(n - 1, lit(0))), (r, i) =>
+        r === tpl.systemRole && i =!= 0),
+      identity)
+    val anyAlt = exists(
+      zip_with(roles, sequence(lit(0), greatest(n - 1, lit(0))), (r, i) =>
+        r.isin(tpl.userRole, tpl.assistantRole) &&
+          r =!= when(pmod(i - sysLead, lit(2)) === 0, tpl.userRole)
+            .otherwise(tpl.assistantRole)),
+      identity)
+    val anyEmpty = exists(sorted, t =>
+      length(trim(t.getField("content"))) === 0)
+    val lastRole = get(sorted, n - 1).getField("role")
+    when(anyBad, "bad_role")
+      .when(anySysPos, "system_position")
+      .when(n - sysLead === 0, "no_turns")
+      .when(anyAlt, "alternation")
+      .when(lastRole =!= tpl.assistantRole, "ends_with_user")
+      .when(anyEmpty, "empty_turn")
+      .otherwise("ok")
+  }
+
+  /** The conversation hash as a pure array expression — the streaming
+    * twin of [[dedupConversations]]' key (same separators, same
+    * ordering), so a stream's within-watermark dedup collapses exactly
+    * the conversations the batch dedup would group.
+    */
+  def convHashCol(turns: Column,
+                  hashOf: Column => Column = sha2(_, 256)): Column =
+    hashOf(array_join(transform(array_sort(turns), t =>
+      concat(t.getField("role"), lit("\u0001"), t.getField("content"))),
+      "\u0002"))
+
+  /** Streaming SFT curation: per-row structural gate (the SAME rules as
+    * [[validate]], as pure expressions) then within-watermark exact
+    * conversation dedup on [[convHashCol]] — the streaming twin of
+    * [[curateSft]]'s gate→dedup front. Input: one row per conversation
+    * with an `array<struct<idx,role,content>>` column. The batch
+    * equivalent of the dedup leg is a plain `dropDuplicates(conv_hash)`
+    * (within-watermark dedup is streaming-only by Spark contract);
+    * min-id-wins reconciliation stays a compaction concern, as in the
+    * web pipeline.
+    */
+  def curateSftStream(stream: DataFrame, turnsCol: String, idCol: String,
+                      tsCol: String, watermark: String = "10 minutes",
+                      tpl: Template = Template()): DataFrame =
+    stream
+      .withColumn("reason", reasonCol(col(turnsCol), tpl))
+      .filter(col("reason") === "ok")
+      .withColumn("conv_hash", convHashCol(col(turnsCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("conv_hash")
 
   /** The SFT curation pipeline, composed: structural gate FIRST, exact
     * dedup among the gate's survivors (the engine's gates-then-dedup

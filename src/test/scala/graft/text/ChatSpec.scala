@@ -185,6 +185,91 @@ class ChatSpec extends SparkSuite {
       "<|im_start|>assistant\na<|im_end|>\n")
   }
 
+  test("fromJsonConversations: messages arrays parse to turns; malformed emit none") {
+    val df = Seq(
+      (1L, """{"messages":[{"role":"user","content":"hi"},
+               {"role":"assistant","content":"hello there"}]}"""),
+      (2L, """{"messages":[]}"""),
+      (3L, """not json at all"""),
+      (4L, """{"other": 1}"""),
+      (5L, """{"messages":[{"role":"user"}]}""")) // content absent -> null
+      .toDF("doc_id", "j")
+    val got = Chat.fromJsonConversations(df, "doc_id", "j")
+      .orderBy("doc", "idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0, "user", "hi"),
+      (1L, 1, "assistant", "hello there"),
+      (5L, 0, "user", null)))
+    // parsed turns flow straight into validate
+    val v = Chat.validate(
+      Chat.fromJsonConversations(df, "doc_id", "j").filter(col("doc") === 1L),
+      "doc", "idx", "role", "content").head()
+    assert(v.getBoolean(2) === true)
+  }
+
+  test("reasonCol parity: the array expression agrees with validate on every class") {
+    val t = turns(
+      (0L, 0, "system", "s"), (0L, 1, "user", "hi"), (0L, 2, "assistant", "a"),
+      (1L, 0, "user", "q"), (1L, 1, "assistant", "a"),
+      (2L, 0, "narrator", ""), (2L, 1, "assistant", "a"),
+      (3L, 0, "user", "q"), (3L, 1, "system", "s"),
+      (4L, 0, "user", "q"), (4L, 1, "user", "q2"),
+      (5L, 0, "user", "q"), (5L, 1, "assistant", "a"), (5L, 2, "user", "q2"),
+      (6L, 0, "user", "q"), (6L, 1, "assistant", "  "),
+      (7L, 0, "system", "s"),
+      (8L, 0, "system", "s"), (8L, 1, "user", "u"), (8L, 2, "system", "s2"),
+      (8L, 3, "assistant", "a"))
+    val byFrame = Chat.validate(t, "doc", "idx", "role", "content")
+      .select(col("doc"), col("reason")).as[(Long, String)].collect().toMap
+    val byArray = t
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("idx"), col("role"), col("content")))
+        .as("turns"))
+      .select(col("doc"), Chat.reasonCol(col("turns")).as("reason"))
+      .as[(Long, String)].collect().toMap
+    assert(byArray === byFrame)
+    // and the conv hash agrees with the frame-based dedup key
+    val hFrame = Chat.dedupConversations(t, "doc", "idx", "role", "content")
+      .select(col("doc"), col("conv_hash")).as[(Long, String)].collect().toMap
+    val hArray = t
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("idx"), col("role"), col("content")))
+        .as("turns"))
+      .select(col("doc"), Chat.convHashCol(col("turns")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(hArray === hFrame)
+  }
+
+  test("curateSftStream: gate per row, dedup within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val input =
+      MemoryStream[(Long, Seq[(Int, String, String)], java.sql.Timestamp)](spark)
+    val stream = input.toDF().toDF("doc_id", "turns", "ts")
+      .withColumn("turns", col("turns")
+        .cast("array<struct<idx:int,role:string,content:string>>"))
+    val kept = Chat.curateSftStream(stream, "turns", "doc_id", "ts",
+      watermark = "10 seconds")
+    val query = kept.writeStream.format("memory").queryName("sft")
+      .outputMode(OutputMode.Append).start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val good = Seq((0, "user", "q"), (1, "assistant", "a"))
+    val bad = Seq((0, "user", "q"))                      // ends with user
+    val other = Seq((0, "user", "w"), (1, "assistant", "b"))
+    input.addData(
+      (1L, good, ts(1)),
+      (2L, bad, ts(2)),
+      (3L, other, ts(3)),
+      (4L, good, ts(4)))                                 // dup of 1
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("sft").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 3L))
+    assert(spark.table("sft").columns.contains("conv_hash"))
+  }
+
   test("plans: validate/render/dedup shuffle once on the doc key") {
     val t = turns((0L, 0, "user", "q"), (0L, 1, "assistant", "a"))
     def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
