@@ -3363,6 +3363,46 @@ object QueryCatalog {
           AS conv_md5
       FROM clean GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Per-sequence DOCUMENT BOUNDARIES (TextAnalysis.sequenceBoundaries
+    // r15 — the trainer metadata block-diagonal attention masks and
+    // position-id resets are built from when packed documents straddle
+    // sequence cuts): packSequences at 64 tokens over the whitespace
+    // counts, then each document's within-sequence [start, end) ranges;
+    // DuckDB replays the prefix sum, the cut arithmetic, and the range
+    // tiling — every row a cross-engine VALUE. Data-derived at any
+    // scale.
+    QueryDef("pack_boundaries", (s, d) => {
+      val counted = t(s, d, "documents").select(col("doc_id"),
+        size(TextAnalysis.spaceTokens(col("text"))).cast("long").as("n_ws"))
+      val packed = TextAnalysis.packSequences(counted, "doc_id", "n_ws",
+        maxTokens = 64L)
+      TextAnalysis.sequenceBoundaries(packed, "doc_id", 64L)
+        .orderBy("seq_id", "doc_id")
+    }, Some("""
+      WITH counted AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS BIGINT) AS n
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n,
+          coalesce(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM counted WHERE n > 0),
+      spans AS (
+        -- windowed sum() is HUGEINT in DuckDB: pin the cut indices back
+        -- to BIGINT so range() binds
+        SELECT doc_id, s AS tok_start, s + n AS tok_end,
+          CAST(s // 64 AS BIGINT) AS f,
+          CAST((s + n - 1) // 64 AS BIGINT) AS l
+        FROM cum)
+      SELECT CAST(u.q AS BIGINT) AS seq_id, doc_id,
+        CAST(greatest(tok_start, u.q*64) - u.q*64 AS BIGINT)
+          AS start_in_seq,
+        CAST(least(tok_end, (u.q+1)*64) - u.q*64 AS BIGINT) AS end_in_seq
+      FROM spans, UNNEST(range(f, l+1)) AS u(q)
+      ORDER BY seq_id, doc_id""")),
+
     QueryDef("multimodal_meta", (s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),

@@ -457,6 +457,32 @@ object TextAnalysis {
       (seqLast - seqFirst + 1).as("n_seqs")): _*)
   }
 
+  /** Per-SEQUENCE document boundaries over [[packSequences]]' output —
+    * the metadata a trainer needs when packed documents straddle
+    * sequence cuts: block-diagonal attention masks and position-id
+    * resets are built from exactly these ranges (each sequence's rows
+    * say which documents occupy which 0-based token positions inside
+    * it). One explode over each document's seq span (documents span
+    * `n_seqs` sequences — amortized ~1 row per document plus one per
+    * cut), no shuffle beyond what the caller already has. Returns
+    * `(seq_id, idCol, start_in_seq, end_in_seq)`, end exclusive;
+    * within a sequence the ranges tile it without gaps (the last
+    * sequence ends early at the stream's end).
+    */
+  def sequenceBoundaries(packed: DataFrame, idCol: String,
+                         maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val seqBase = col("seq_id") * maxTokens
+    packed
+      .select(col(idCol), col("tok_start"),
+        (col("tok_start") + col("n_tokens")).as("tok_end"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"), col(idCol),
+        (greatest(col("tok_start"), seqBase) - seqBase).as("start_in_seq"),
+        (least(col("tok_end"), seqBase + maxTokens) - seqBase)
+          .as("end_in_seq"))
+  }
+
   /** Gopher/MassiveText-style repetition statistics, the standard quality
     * gate against degenerate (template/boilerplate/babble) documents:
     * fraction of duplicate words, fraction of the most common word, and

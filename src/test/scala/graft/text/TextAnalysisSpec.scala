@@ -116,6 +116,31 @@ class TextAnalysisSpec extends SparkSuite {
       (5L, 2500L, 2L, 2L, 1L)))  // zero-token doc 4 dropped
   }
 
+  test("sequenceBoundaries: within-seq ranges tile every cut sequence") {
+    // stream (maxTokens=4): doc1 [0,5) seqs 0-1; doc2 [5,8) seq 1;
+    // doc3 [8,12) seq 2
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 4L)).toDF("doc_id", "n")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "n", 4L)
+    val got = TextAnalysis.sequenceBoundaries(packed, "doc_id", 4L)
+      .orderBy("seq_id", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 0L, 4L),   // doc1 fills seq 0
+      (1L, 1L, 0L, 1L),   // doc1's tail
+      (1L, 2L, 1L, 4L),   // doc2 completes seq 1
+      (2L, 3L, 0L, 4L)))  // doc3 alone in seq 2
+    // the ranges tile each sequence: contiguous, gap-free, full-width
+    // (the last sequence here happens to end exactly at the cut)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 === 0L)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, e), (_, _, s2, _)) => assert(e === s2)
+        case _ =>
+      }
+    }
+  }
+
   test("packSequences with copy tie-breakers packs upsampled epochs distinctly") {
     // two copies of doc 1 (500 tokens each), one of doc 2: stream is
     // (1,c0)[0,500) (1,c1)[500,1000) (2,c0)[1000,1300)
