@@ -280,4 +280,48 @@ class ChatSpec extends SparkSuite {
     assert(nExchanges(Chat.render(t, "doc", "idx", "role", "content")) <= 2)
     assert(nExchanges(Chat.validate(t, "doc", "idx", "role", "content")) <= 2)
   }
+
+  test("plans: no UDFs, no cartesian products anywhere in the family") {
+    val t = turns((0L, 0, "user", "q"), (0L, 1, "assistant", "a"),
+      (1L, 0, "user", "w"), (1L, 1, "assistant", "b"))
+    val comps = Seq(("p", 1L, 2L, "x"), ("p", 2L, 1L, "y"))
+      .toDF("p", "doc", "score", "text")
+    val plans = Seq(
+      Chat.validate(t, "doc", "idx", "role", "content"),
+      Chat.render(t, "doc", "idx", "role", "content"),
+      Chat.lossSpans(t, "doc", "idx", "role", "content"),
+      Chat.tokenLossMask(t, "doc", "idx", "role", "content"),
+      Chat.dedupConversations(t, "doc", "idx", "role", "content"),
+      Chat.promptKeys(t, "doc", "idx", "role", "content"),
+      Chat.curateSft(t, "doc", "idx", "role", "content"),
+      Chat.preferencePairs(comps, "p", "doc", "score", "text"))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("ScalaUDF"), "family must stay UDF-free")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "family must never plan an unkeyed join")
+    }
+  }
+
+  test("lossSpans and tokenLossMask agree on per-turn mass (chars vs counter)") {
+    val t = turns(
+      (0L, 0, "system", "be helpful"), (0L, 1, "user", "a bb ccc"),
+      (0L, 2, "assistant", "dd e"), (0L, 3, "user", "f"),
+      (0L, 4, "assistant", "ggg hh i"))
+    // with a character counter, token masks ARE the content char spans
+    val chars = Chat.tokenLossMask(t, "doc", "idx", "role", "content",
+        nTokens = c => length(c))
+      .select(col("idx"), (col("tok_end") - col("tok_start")).as("m"))
+      .as[(Int, Long)].collect().toMap
+    val spans = Chat.lossSpans(t, "doc", "idx", "role", "content")
+      .select(col("idx"), (col("end_char") - col("start_char")).as("m"))
+      .as[(Int, Long)].collect().toMap
+    assert(chars === spans)
+    // with the default whitespace counter, mass = word counts
+    val words = Chat.tokenLossMask(t, "doc", "idx", "role", "content")
+      .select(col("idx"), (col("tok_end") - col("tok_start")).as("m"))
+      .as[(Int, Long)].collect().toMap
+    assert(words === Map(2 -> 2L, 4 -> 3L))
+  }
 }
