@@ -99,7 +99,13 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMed%.3f,"calibration":$calibration%.3f,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
+    // BENCH_LOCAL.json is the COMMITTED idle reading — only a run that
+    // explicitly opts in (SPARK_GRAFT_WRITE_LOCAL=1, the builder's idle
+    // closing run) may write it. Driver/gate invocations read stdout
+    // into BENCH_rN.json and must never clobber the committed artifact
+    // (r13-r15 recurring dirty-HEAD finding, r15 verdict task 2).
+    if (sys.env.get("SPARK_GRAFT_WRITE_LOCAL").contains("1"))
+      Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

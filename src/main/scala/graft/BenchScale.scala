@@ -130,6 +130,15 @@ object BenchScale {
     // = run everything not skipped
     val only = sys.env.getOrElse("SPARK_GRAFT_SCALE_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_SCALE_FAST=1 trims the ann_pq_points operating-point
+    // sweep (421.8 s of the r15 908.9 s suite) to its two EXTREME
+    // points per variant — the m=8 adc-only floor and the m=8
+    // rerank=20k ceiling — skipping the m=16/m=32 codebook trainings
+    // and the mid shortlist. Iteration aid only (r15 verdict task 7);
+    // the COMMITTED BENCH_SCALE artifact stays the full sweep.
+    // NOTE: env only reaches the forked JVM from `sbt -batch` (a
+    // long-lived `sbt -client` server keeps its launch-time env).
+    val scaleFast = sys.env.get("SPARK_GRAFT_SCALE_FAST").contains("1")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -1159,10 +1168,10 @@ object BenchScale {
           annRecallPct(Pq.rerankExact(adc.filter(col("rank") <= shortlist),
             emN, probesN, "vec_id", "embedding", k = annKk))
         val pq8 = annRecallPct(adcPq.filter(col("rank") <= annKk))
-        val pq8r1 = rr(adcPq, sl1)
+        val pq8r1 = if (scaleFast) -1L else rr(adcPq, sl1)
         val pq8r2 = rr(adcPq, sl2)
         val ivfpq8 = annRecallPct(adcIvf.filter(col("rank") <= annKk))
-        val ivfpq8r1 = rr(adcIvf, sl1)
+        val ivfpq8r1 = if (scaleFast) -1L else rr(adcIvf, sl1)
         val ivfpq8r2 = rr(adcIvf, sl2)
         val ic8 = routing._2.join(routing._1, Seq("centroid_id")).count()
         val pqScan = nVecsAll * nProbesN // ADC scores every code row
@@ -1187,9 +1196,16 @@ object BenchScale {
             routing0 = Some(routing)).filter(col("rank") <= annKk))
           (flat, routed)
         }
-        val (pq16, ivfpq16) = adcOnly(16)
-        val (pq32, ivfpq32) = adcOnly(32)
-        annPqCurve =
+        // fast mode keeps only the extremes: the adc-only floor and the
+        // widest-shortlist rerank ceiling (no mid-dial trainings)
+        val (pq16, ivfpq16) = if (scaleFast) (-1L, -1L) else adcOnly(16)
+        val (pq32, ivfpq32) = if (scaleFast) (-1L, -1L) else adcOnly(32)
+        annPqCurve = if (scaleFast)
+          s"""{"variant":"pq","config":"m=8,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq8,"bytes_per_vector":8},""" +
+          s"""{"variant":"pq","config":"m=8,kSub=16,learned,rerank=$sl2","scanned_rows":${pqScan + fetched(sl2)},"recall_pct":$pq8r2,"bytes_per_vector":8},""" +
+          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8,learned,adc-only","scanned_rows":$ic8,"recall_pct":$ivfpq8,"bytes_per_vector":8},""" +
+          s"""{"variant":"ivfpq","config":"m=8,nLists=64,nProbe=8,learned,rerank=$sl2","scanned_rows":${ic8 + fetched(sl2)},"recall_pct":$ivfpq8r2,"bytes_per_vector":8}"""
+        else
           s"""{"variant":"pq","config":"m=8,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq8,"bytes_per_vector":8},""" +
           s"""{"variant":"pq","config":"m=16,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq16,"bytes_per_vector":16},""" +
           s"""{"variant":"pq","config":"m=32,kSub=16,learned,adc-only","scanned_rows":$pqScan,"recall_pct":$pq32,"bytes_per_vector":32},""" +

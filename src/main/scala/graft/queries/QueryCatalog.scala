@@ -3117,7 +3117,8 @@ object QueryCatalog {
       $chatTurnsSql,
       hashes AS (
         SELECT doc_id,
-          md5(string_agg(role || chr(1) || content, chr(2) ORDER BY idx))
+          md5(string_agg(coalesce('v' || role, chr(0)) || chr(1) ||
+            coalesce('v' || content, chr(0)), chr(2) ORDER BY idx))
             AS h
         FROM turns GROUP BY doc_id),
       k AS (
@@ -3359,7 +3360,8 @@ object QueryCatalog {
           translate(content, '"' || chr(92), '') AS content
         FROM turns)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_turns,
-        md5(string_agg(role || chr(1) || content, chr(2) ORDER BY idx))
+        md5(string_agg(coalesce('v' || role, chr(0)) || chr(1) ||
+            coalesce('v' || content, chr(0)), chr(2) ORDER BY idx))
           AS conv_md5
       FROM clean GROUP BY doc_id ORDER BY doc_id""")),
 

@@ -64,14 +64,21 @@ object Chat {
       .otherwise(tpl.assistantRole)
     val perTurn = turns.select(
       doc.as("doc"), idx.as("idx"), role.as("role"),
-      when(!role.isin(tpl.systemRole, tpl.userRole, tpl.assistantRole), 1)
+      // null role/content must gate EXPLICITLY: `!isin` and `length===0`
+      // are three-valued-NULL on null inputs, so without the isNull arms
+      // a null-field turn (the shape fromJsonConversations produces from
+      // a partial message) would validate `ok` and then silently vanish
+      // from render/lossSpans
+      when(role.isNull ||
+          !role.isin(tpl.systemRole, tpl.userRole, tpl.assistantRole), 1)
         .otherwise(0).as("bad_role"),
       when(role === tpl.systemRole && idx =!= 0, 1).otherwise(0)
         .as("sys_pos"),
       when(role =!= tpl.systemRole && role =!= expected &&
           role.isin(tpl.userRole, tpl.assistantRole), 1).otherwise(0)
         .as("alt_viol"),
-      when(length(trim(content)) === 0, 1).otherwise(0).as("empty_turn"),
+      when(content.isNull || length(trim(content)) === 0, 1).otherwise(0)
+        .as("empty_turn"),
       sysLead.as("sys_lead"))
     val agg = perTurn.groupBy(col("doc")).agg(
       count(lit(1)).as("n_turns"),
@@ -147,11 +154,25 @@ object Chat {
       .select(col("doc"), col("idx"), col("start_char"), col("end_char"))
   }
 
+  /** A hash-input field that cannot be confused across null/non-null:
+    * a non-null value encodes as `"v" + value`, a null as `"\u0000"` —
+    * no non-null encoding starts with `\u0000`, so a null-content turn
+    * never hashes equal to an absent or empty turn (and `concat` never
+    * yields a null piece for `array_join`/`string_agg` to silently
+    * drop). PRECONDITION carried by the `\u0001`/`\u0002` separators
+    * below: they must not occur in role/content — corpus text never
+    * contains C0 controls, and the engine's validate gate rejects the
+    * null/malformed turns that could otherwise smuggle ambiguity
+    * through.
+    */
+  private def nullSafeField(c: Column): Column =
+    coalesce(concat(lit("v"), c), lit("\u0000"))
+
   /** Conversation-level exact dedup: hash the ordered
-    * `role:content` stream (fields joined by `\u0001`, turns by
-    * `\u0002` — neither occurs in text), keep the smallest doc key per
-    * hash group. Returns `(doc, conv_hash, keep)`. `hashOf` defaults to
-    * sha2-256; pass md5 for oracle portability.
+    * `role:content` stream (null-safe-encoded fields joined by
+    * `\u0001`, turns by `\u0002` — see [[nullSafeField]]), keep the
+    * smallest doc key per hash group. Returns `(doc, conv_hash, keep)`.
+    * `hashOf` defaults to sha2-256; pass md5 for oracle portability.
     */
   def dedupConversations(turns: DataFrame, docCol: String, idxCol: String,
                          roleCol: String, contentCol: String,
@@ -159,7 +180,8 @@ object Chat {
     val key = turns
       .select(col(docCol).as("doc"),
         struct(col(idxCol).cast("long").as("idx"),
-          concat(col(roleCol), lit("\u0001"), col(contentCol)).as("rc"))
+          concat(nullSafeField(col(roleCol)), lit("\u0001"),
+            nullSafeField(col(contentCol))).as("rc"))
           .as("tp"))
       .groupBy(col("doc"))
       .agg(array_sort(collect_list(col("tp"))).as("tps"))
@@ -224,7 +246,8 @@ object Chat {
         // collect_list drops nulls, so the when() excises the final turn
         array_sort(collect_list(when(!col("is_last"),
           struct(col("idx").cast("long").as("idx"),
-            concat(col("role"), lit("\u0001"), col("content")).as("rc"))))
+            concat(nullSafeField(col("role")), lit("\u0001"),
+              nullSafeField(col("content"))).as("rc"))))
         ).as("tps"),
         max_by(col("content"), col("idx")).as("completion"))
       .select(col("doc"),
@@ -238,9 +261,13 @@ object Chat {
     * of `{role, content}` objects — into the TURNS FRAME
     * `(doc, idx, role, content)`, idx = the message's array position.
     * Map-only (`from_json` + posexplode inside the scan, no UDF);
-    * malformed rows and rows without a messages array parse to null and
+    * rows that are not JSON or lack a messages array parse to null and
     * emit NO turns (posexplode drops them) — recover the rejected ids
-    * with an anti-join when the audit matters.
+    * with an anti-join when the audit matters. A messages ENTRY missing
+    * role or content, however, still emits a turn with that field null
+    * (the entry parsed; its shape is the corruption) — [[validate]]
+    * gates exactly those as `bad_role`/`empty_turn`, so route parsed
+    * turns through the gate before anything downstream.
     */
   def fromJsonConversations(df: DataFrame, idCol: String,
                             jsonCol: String): DataFrame = {
@@ -271,8 +298,9 @@ object Chat {
       get(sorted, lit(0)).getField("role") === tpl.systemRole, 1)
       .otherwise(0)
     val roles = transform(sorted, t => t.getField("role"))
+    // isNull arms mirror validate's (null-field turns gate, never pass)
     val anyBad = exists(roles, r =>
-      !r.isin(tpl.systemRole, tpl.userRole, tpl.assistantRole))
+      r.isNull || !r.isin(tpl.systemRole, tpl.userRole, tpl.assistantRole))
     val anySysPos = exists(
       zip_with(roles, sequence(lit(0), greatest(n - 1, lit(0))), (r, i) =>
         r === tpl.systemRole && i =!= 0),
@@ -284,7 +312,8 @@ object Chat {
             .otherwise(tpl.assistantRole)),
       identity)
     val anyEmpty = exists(sorted, t =>
-      length(trim(t.getField("content"))) === 0)
+      t.getField("content").isNull ||
+        length(trim(t.getField("content"))) === 0)
     val lastRole = get(sorted, n - 1).getField("role")
     when(anyBad, "bad_role")
       .when(anySysPos, "system_position")
@@ -303,7 +332,8 @@ object Chat {
   def convHashCol(turns: Column,
                   hashOf: Column => Column = sha2(_, 256)): Column =
     hashOf(array_join(transform(array_sort(turns), t =>
-      concat(t.getField("role"), lit("\u0001"), t.getField("content"))),
+      concat(nullSafeField(t.getField("role")), lit("\u0001"),
+        nullSafeField(t.getField("content")))),
       "\u0002"))
 
   /** Streaming SFT curation: per-row structural gate (the SAME rules as

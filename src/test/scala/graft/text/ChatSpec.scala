@@ -304,6 +304,58 @@ class ChatSpec extends SparkSuite {
     }
   }
 
+  test("validate: null role and null content gate explicitly (never ok)") {
+    val t = Seq[(Long, Int, Option[String], Option[String])](
+      // null assistant content — the fromJsonConversations partial-
+      // message shape; must gate as empty_turn, not fail open to ok
+      (0L, 0, Some("user"), Some("q")), (0L, 1, Some("assistant"), None),
+      // null role — must gate as bad_role
+      (1L, 0, None, Some("q")), (1L, 1, Some("assistant"), Some("a")),
+      // control: intact conversation stays ok
+      (2L, 0, Some("user"), Some("q")), (2L, 1, Some("assistant"), Some("a")))
+      .toDF("doc", "idx", "role", "content")
+    val got = Chat.validate(t, "doc", "idx", "role", "content")
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getString(3)))
+    assert(got(0) === ((0L, false, "empty_turn")))
+    assert(got(1) === ((1L, false, "bad_role")))
+    assert(got(2) === ((2L, true, "ok")))
+    // the streaming twin agrees on null-field turns (parity pin)
+    val byArray = t.groupBy(col("doc"))
+      .agg(collect_list(struct(col("idx"), col("role"), col("content")))
+        .as("turns"))
+      .select(col("doc"), Chat.reasonCol(col("turns")).as("reason"))
+      .as[(Long, String)].collect().toMap
+    assert(byArray === Map(0L -> "empty_turn", 1L -> "bad_role", 2L -> "ok"))
+    // and the JSONL ingest shape flows through the gate end-to-end
+    val parsed = Chat.fromJsonConversations(
+      Seq((9L, """{"messages":[{"role":"user","content":"hi"},
+                   {"role":"assistant"}]}""")).toDF("doc_id", "j"),
+      "doc_id", "j")
+    val v = Chat.validate(parsed, "doc", "idx", "role", "content").head()
+    assert(v.getString(3) === "empty_turn")
+  }
+
+  test("dedup hashing: null fields never collapse with absent or empty turns") {
+    val t = Seq[(Long, Int, Option[String], Option[String])](
+      (0L, 0, Some("user"), Some("q")), (0L, 1, Some("assistant"), None),
+      (1L, 0, Some("user"), Some("q")), // second turn absent entirely
+      (2L, 0, Some("user"), Some("q")), (2L, 1, Some("assistant"), Some("")),
+      (3L, 0, Some("user"), Some("q")), (3L, 1, None, Some("")))
+      .toDF("doc", "idx", "role", "content")
+    val hashes = Chat.dedupConversations(t, "doc", "idx", "role", "content")
+      .select(col("doc"), col("conv_hash")).as[(Long, String)].collect().toMap
+    assert(hashes.values.toSet.size === 4,
+      "null/absent/empty variants must all hash distinct")
+    // the expression twin agrees hash-for-hash on null-field turns too
+    val hArray = t.groupBy(col("doc"))
+      .agg(collect_list(struct(col("idx"), col("role"), col("content")))
+        .as("turns"))
+      .select(col("doc"), Chat.convHashCol(col("turns")).as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(hArray === hashes)
+  }
+
   test("lossSpans and tokenLossMask agree on per-turn mass (chars vs counter)") {
     val t = turns(
       (0L, 0, "system", "be helpful"), (0L, 1, "user", "a bb ccc"),
