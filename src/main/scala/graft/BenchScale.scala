@@ -1104,12 +1104,42 @@ object BenchScale {
         val ic8 = total(Similarity.ivfScanCost(cents, lists, annProbes,
           "vec_id", "embedding", nProbe = 8))
         lists.unpersist()
+        // TWO-STAGE production point (r16 verdict task 3): IVF-PQ coarse
+        // at nProbe=16 over 8-byte kSub=256 codes + exact rerank of a
+        // 2400 shortlist. Measured first: kSub=16 plateaued at recall 43
+        // whether nProbe was 16 or 32 — the ADC ORDERING, not the
+        // routing, was the bottleneck; 256-centroid blocks at the SAME
+        // 8 bytes/vector lift the shortlist capture to ~76% at ~1.0M
+        // scanned rows — above lsh8's ~68% at ~1.2M rows AND 256
+        // bytes/vector, so the point dominates the single-stage curve
+        // on rows and bytes simultaneously (the judge-tasked shape).
+        val l2n = "sqrt(aggregate(embedding, 0D, " +
+          "(a, y) -> a + cast(y as double) * cast(y as double)))"
+        val emN2 = em.withColumn("embedding",
+          expr(s"transform(embedding, x -> cast(x / $l2n as float))"))
+          .localCheckpoint()
+        val probesN2 = emN2.filter(pmod(col("vec_id"), lit(annFamWidth)) === 0 &&
+          col("vec_id") < 20L * annFamWidth)
+        val cb256 = Pq.pqCodebooksKmeans(emN2, "vec_id", "embedding",
+          m = 8, kSub = 256, dim = 64).localCheckpoint()
+        val routing16 = Pq.ivfPqRouting(emN2, probesN2, "vec_id",
+          "embedding", nLists = 64, nProbe = 16)
+        val sl16 = annKk * 20
+        val adc16 = Pq.ivfPqTopKLearned(emN2, probesN2, "vec_id",
+          "embedding", k = sl16, m = 8, kSub = 256, dim = 64, nLists = 64,
+          nProbe = 16, codebooks0 = Some(cb256), routing0 = Some(routing16))
+          .localCheckpoint()
+        val rr16 = annRecallPct(Pq.rerankExact(adc16, emN2, probesN2,
+          "vec_id", "embedding", k = annKk))
+        val ic16 = routing16._2.join(routing16._1, Seq("centroid_id"))
+          .count() + sl16.toLong * probesN2.count()
         annCurve =
           s"""[{"variant":"lsh","config":"bits=8,tables=4","scanned_rows":$lc4,"recall_pct":$annLsh4,"bytes_per_vector":256},""" +
           s"""{"variant":"lsh","config":"bits=8,tables=8","scanned_rows":$lc8,"recall_pct":$lsh8,"bytes_per_vector":256},""" +
           s"""{"variant":"ivf","config":"nLists=64,nProbe=4","scanned_rows":$ic4,"recall_pct":$annIvf4,"bytes_per_vector":256},""" +
-          s"""{"variant":"ivf","config":"nLists=64,nProbe=8","scanned_rows":$ic8,"recall_pct":$ivf8,"bytes_per_vector":256}]"""
-        lsh8 * 1000 + ivf8
+          s"""{"variant":"ivf","config":"nLists=64,nProbe=8","scanned_rows":$ic8,"recall_pct":$ivf8,"bytes_per_vector":256},""" +
+          s"""{"variant":"ivfpq","config":"m=8,kSub=256,nLists=64,nProbe=16,learned,rerank=$sl16","scanned_rows":$ic16,"recall_pct":$rr16,"bytes_per_vector":8}]"""
+        lsh8 * 1000 + ivf8 + rr16 * 1000000
       },
       timed("ann_pq_points") {
         // PQ operating points at the 200k corpus — the MEMORY axis the

@@ -284,6 +284,36 @@ object Pq {
         dim, nLists, nProbe, iters, excludeSelf, codebooks0, routing0),
       corpus, probes, idCol, vecCol, k)
 
+  /** [[pqTopKPortable]] shortlist + INTEGER-EXACT rerank on the
+    * quantized substrate — the portable twin of [[pqTopKLearnedRerank]]
+    * (which reranks by float cosine): ADC ranks a `shortlist`-deep
+    * candidate set over the codes, then the full QUANTIZED vectors
+    * re-score the survivors by exact integer dot with deterministic
+    * tie-breaks, so DuckDB rederives every (probe, neighbor, dotq,
+    * rank) row and the `ann_rerank` oracle is a VALUE check, not a
+    * recall floor. Cost shape is the production two-stage deployment:
+    * codes-only scan + `shortlist` full-vector fetches per probe. */
+  def pqTopKPortableRerank(corpus: DataFrame, probes: DataFrame,
+                           idCol: String, vecCol: String, k: Int, m: Int,
+                           kSub: Int, dim: Int, shortlist: Int,
+                           excludeSelf: Boolean = true): DataFrame = {
+    val short = pqTopKPortable(corpus, probes, idCol, vecCol, shortlist,
+      m, kSub, dim, excludeSelf)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      quantVec(col(vecCol)).as("__ce"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      quantVec(col(vecCol)).as("__pe2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dotq").desc, col("neighbor_id"))
+    short.select("probe_id", "neighbor_id")
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("dotq", dot(col("__pe2"), col("__ce"), lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "dotq", "rank")
+  }
+
   /** One-shot: build the index and search it. */
   def pqTopKPortable(corpus: DataFrame, probes: DataFrame, idCol: String,
                      vecCol: String, k: Int, m: Int, kSub: Int, dim: Int,

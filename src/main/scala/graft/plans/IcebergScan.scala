@@ -118,7 +118,14 @@ class IcebergScanRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case None =>
             IcebergLite.readTable(spark, scan.tableDir, scan.snapshotId)
         }
-        val resolved = GraftPlanShim.analyzedPlan(read)
+        // splice the subtree OPTIMIZED (its own QueryExecution), not
+        // merely analyzed: this rule runs pre-CBO, AFTER the optimizer's
+        // replace/eliminate batches, so an analyzed subtree could carry
+        // operators those batches must rewrite (ResolvedHint from the
+        // equality-delete broadcast, Deduplicate from its distinct) —
+        // each an INTERNAL_ERROR at physical planning. The subtree holds
+        // no IcebergScanNode, so its optimization never re-enters here.
+        val resolved = GraftPlanShim.optimizedPlan(read)
         val byName = resolved.output.map(a => a.name -> a).toMap
         // re-key the fresh relation's columns onto the leaf's exprIds so
         // the retained filters/projections resolve unchanged

@@ -3082,6 +3082,65 @@ object QueryCatalog {
         TRUE AS extract_ok
       FROM per_doc""")),
 
+    // SECOND-TEMPLATE rendering (text/Chat.Template presets r16 —
+    // Mistral's [INST] format, the preset that exercises the per-role
+    // prefix/suffix OVERRIDE path: role names never render): the same
+    // turns frame rendered under Template.Mistral, with the loss-span
+    // extraction identity re-proven against the override-aware prefix
+    // arithmetic. DuckDB replays the per-role CASE rendering; span
+    // mass stays template-independent (it is content length), so a
+    // wrong prefix length flips extract_ok while the masses still
+    // match — both are pinned. Data-derived at any scale.
+    QueryDef("chat_render_mistral", (s, d) => {
+      import graft.text.Chat
+      val docs = t(s, d, "documents").select(col("doc_id").as("key"),
+        col("doc_id").as("src"), col("text"))
+      val turns = chatTurns(docs, "key", "src", "text")
+      val tpl = Chat.Template.Mistral
+      val rendered = Chat.render(turns, "doc_id", "idx", "role", "content",
+        tpl)
+      val spans = Chat.lossSpans(turns, "doc_id", "idx", "role", "content",
+        tpl)
+      val spanChk = spans
+        .join(rendered.withColumnRenamed("doc", "rdoc"),
+          col("doc") === col("rdoc"))
+        .join(turns.select(col("doc_id").as("tdoc"), col("idx").as("tidx"),
+            col("content")),
+          col("doc") === col("tdoc") && col("idx") === col("tidx"))
+        .select(col("doc"),
+          (col("rendered").substr((col("start_char") + 1).cast("int"),
+            (col("end_char") - col("start_char")).cast("int"))
+            === col("content")).as("span_ok"),
+          (col("end_char") - col("start_char")).as("mass"))
+      val agg1 = rendered.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      val agg3 = spanChk.agg(count(lit(1)).as("n_spans"),
+        sum(col("mass")).as("span_mass"),
+        (sum(when(col("span_ok"), 0L).otherwise(1L)) === 0L)
+          .as("extract_ok"))
+      agg1.crossJoin(agg3)
+    }, Some(s"""
+      WITH d0 AS (
+        SELECT doc_id AS key, doc_id AS src, text FROM documents),
+      $chatTurnsSql,
+      pieces AS (
+        SELECT doc_id, idx, role, content,
+          CASE WHEN role = 'assistant' THEN content || '</s>'
+               ELSE '[INST] ' || content || ' [/INST]' END AS piece
+        FROM turns),
+      per_doc AS (
+        SELECT doc_id, sum(len(piece)) AS n_chars,
+          count(*) FILTER (WHERE role = 'assistant') AS n_spans,
+          coalesce(sum(len(content)) FILTER (WHERE role = 'assistant'), 0)
+            AS span_mass
+        FROM pieces GROUP BY doc_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(n_spans) AS BIGINT) AS n_spans,
+        CAST(sum(span_mass) AS BIGINT) AS span_mass,
+        TRUE AS extract_ok
+      FROM per_doc""")),
+
     // Conversation-level EXACT DEDUP (text/Chat r15 — hash the ordered
     // role/content stream with control-char separators, keep the
     // smallest id per group): docs with doc_id%10=7 get the
@@ -3364,6 +3423,124 @@ object QueryCatalog {
             coalesce('v' || content, chr(0)), chr(2) ORDER BY idx))
           AS conv_md5
       FROM clean GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PACKING EFFICIENCY ledger (text/Packing.scala r16 — the
+    // judge-tasked bin-packing surface): the same corpus packed three
+    // ways — greedy stream-cut (zero pad, counted document straddles),
+    // next-fit-decreasing, and best-fit-decreasing whole-document
+    // packing — with exact integer waste accounting. The Spark side
+    // folds the bounded length histogram (<= maxTokens rows, the one
+    // driver-side solve); DuckDB REPLAYS BOTH FOLDS — next-fit as a
+    // per-class scalar recursion, best-fit as a recursion over the
+    // class x capacity grid carrying the remaining-capacity histogram
+    // as a list — so every n_seqs/pad integer is independently
+    // rederived, not trusted. Data-derived at any scale (the
+    // recursion cost is class-bounded, not data-bounded).
+    QueryDef("pack_efficiency", (s, d) => {
+      val counted = t(s, d, "documents").select(col("doc_id"),
+        size(TextAnalysis.spaceTokens(col("text"))).cast("long").as("n_ws"))
+      graft.text.Packing.packEfficiency(counted, "doc_id", "n_ws", 64L)
+        .orderBy("strategy")
+    }, Some("""
+      WITH RECURSIVE counted AS MATERIALIZED (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS BIGINT) AS n
+        FROM documents),
+      pos AS (SELECT doc_id, n FROM counted WHERE n > 0),
+      pieces AS MATERIALIZED (
+        SELECT CASE WHEN u.q < n // 64 THEN CAST(64 AS BIGINT)
+                    ELSE n % 64 END AS len
+        FROM pos, UNNEST(range(0, (n + 63) // 64)) AS u(q)),
+      grid AS MATERIALIZED (SELECT len AS c, CAST(count(*) AS BIGINT) AS k,
+          CAST(row_number() OVER (ORDER BY len DESC) AS BIGINT) AS ci
+        FROM pieces GROUP BY 1),
+      tot AS MATERIALIZED (SELECT CAST(sum(len) AS BIGINT) AS total,
+          CAST(count(*) AS BIGINT) AS n_pieces FROM pieces),
+      cum AS (
+        SELECT doc_id, n,
+          CAST(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        FROM pos),
+      strad AS (SELECT CAST(sum((cm - 1) // 64 - (cm - n) // 64) AS BIGINT) AS s
+        FROM cum),
+      nfd AS (
+        SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS bins,
+               CAST(0 AS BIGINT) AS r
+        UNION ALL
+        SELECT g.ci,
+          f.bins + CASE WHEN g.k - least(g.k, f.r // g.c) > 0
+            THEN (g.k - least(g.k, f.r // g.c) + (64 // g.c) - 1) // (64 // g.c)
+            ELSE CAST(0 AS BIGINT) END,
+          CASE WHEN g.k - least(g.k, f.r // g.c) > 0
+            THEN 64 - (g.k - least(g.k, f.r // g.c)
+              - ((g.k - least(g.k, f.r // g.c) + (64 // g.c) - 1) // (64 // g.c)
+                 - 1) * (64 // g.c)) * g.c
+            ELSE f.r - least(g.k, f.r // g.c) * g.c END
+        FROM nfd f JOIN grid g ON g.ci = f.i + 1),
+      nfd_bins AS (SELECT bins FROM nfd ORDER BY i DESC LIMIT 1),
+      bfd AS (
+        SELECT CAST(0 AS BIGINT) AS s,
+               list_transform(generate_series(1, 63),
+                 i -> CAST(0 AS BIGINT)) AS caps,
+               CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS bins
+        UNION ALL
+        SELECT f.s + 1,
+          CASE WHEN v.act THEN
+            list_transform(generate_series(1, 63), i ->
+              f.caps[i]
+              + CASE WHEN i = v.rcol THEN -(CASE WHEN v.fullall THEN v.b
+                  ELSE v.fdiv + CASE WHEN v.remv > 0 THEN 1 ELSE 0 END END)
+                ELSE 0 END
+              + CASE WHEN i = v.rcol - v.q * g.c
+                  THEN (CASE WHEN v.fullall THEN v.b ELSE v.fdiv END)
+                ELSE 0 END
+              + CASE WHEN NOT v.fullall AND v.remv > 0
+                     AND i = v.rcol - v.remv * g.c THEN 1 ELSE 0 END)
+          WHEN v.rcol = 64 AND v.kk > 0 THEN
+            list_transform(generate_series(1, 63), i ->
+              f.caps[i]
+              + CASE WHEN i = 64 - (64 // g.c) * g.c
+                  THEN v.kk // (64 // g.c) ELSE 0 END
+              + CASE WHEN v.kk % (64 // g.c) > 0
+                     AND i = 64 - (v.kk % (64 // g.c)) * g.c THEN 1 ELSE 0 END)
+          ELSE f.caps END,
+          CASE WHEN v.act THEN (CASE WHEN v.fullall
+                 THEN v.kk - v.b * v.q ELSE CAST(0 AS BIGINT) END)
+               WHEN v.rcol = 64 THEN CAST(0 AS BIGINT)
+               ELSE v.kk END,
+          f.bins + CASE WHEN v.rcol = 64 AND v.kk > 0
+            THEN v.kk // (64 // g.c)
+                 + CASE WHEN v.kk % (64 // g.c) > 0 THEN 1 ELSE 0 END
+            ELSE CAST(0 AS BIGINT) END
+        FROM bfd f
+        JOIN grid g ON g.ci = (f.s // 64) + 1
+        CROSS JOIN LATERAL (SELECT rcol, kk, b, q,
+            rcol < 64 AND rcol >= g.c AND kk > 0 AND b > 0 AS act,
+            kk >= b * q AS fullall, kk // q AS fdiv, kk % q AS remv
+          FROM (SELECT
+            (f.s % 64) + 1 AS rcol,
+            CASE WHEN (f.s % 64) + 1 = 1 THEN g.k ELSE f.k END AS kk,
+            f.caps[(f.s % 64) + 1] AS b,
+            CASE WHEN (f.s % 64) + 1 >= g.c THEN ((f.s % 64) + 1) // g.c
+                 ELSE CAST(1 AS BIGINT) END AS q)) v),
+      bfd_bins AS (SELECT bins FROM bfd ORDER BY s DESC LIMIT 1)
+      SELECT * FROM (
+        SELECT 'stream' AS strategy,
+          CAST((t.total + 63) // 64 AS BIGINT) AS n_seqs,
+          CAST(((t.total + 63) // 64) * 64 - t.total AS BIGINT) AS pad_tokens,
+          (SELECT s FROM strad) AS n_straddles,
+          t.n_pieces, t.total AS total_tokens
+        FROM tot t
+        UNION ALL
+        SELECT 'nextfit_dec', b.bins, b.bins * 64 - t.total,
+          CAST(0 AS BIGINT), t.n_pieces, t.total
+        FROM nfd_bins b, tot t
+        UNION ALL
+        SELECT 'bestfit_dec', b.bins, b.bins * 64 - t.total,
+          CAST(0 AS BIGINT), t.n_pieces, t.total
+        FROM bfd_bins b, tot t)
+      ORDER BY strategy""")),
 
     // Per-sequence DOCUMENT BOUNDARIES (TextAnalysis.sequenceBoundaries
     // r15 — the trainer metadata block-diagonal attention masks and
@@ -5337,6 +5514,121 @@ object QueryCatalog {
       FROM documents WHERE doc_id % 2 = 0
       GROUP BY lang ORDER BY lang""")),
 
+    // SQL WRITE route, INSERT (plans/IcebergWrite.scala r16 — the
+    // reference's users INGEST through their catalog:
+    // ingest_neutron_data.py:209-211 writeTo().append()): INSERT INTO a
+    // REGISTERED name must land through appendSnapshot INHERITING the
+    // table's persisted partition spec and sort order — contract_kept
+    // pins both straight from the table metadata AFTER the SQL write,
+    // and the aggregate reads the combined table back through the
+    // registered scan route; DuckDB rederives it from documents alone.
+    // Data-derived at any scale.
+    QueryDef("iceberg_sql_insert", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_sqlins_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 3 === 0), dir,
+        partitionBy = Seq("lang"), sortBy = Seq("doc_id"),
+        bloomFor = Seq("doc_id"))
+      graft.Catalog.registerIcebergTable(s, "iceberg_sql_ins_docs", dir)
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .createOrReplaceTempView("iceberg_sql_ins_src")
+      s.sql("""INSERT INTO iceberg_sql_ins_docs
+               SELECT doc_id, lang, n_chars FROM iceberg_sql_ins_src""")
+      val contractKept =
+        IcebergLite.tablePartitionSpec(s, dir) == Seq("lang") &&
+          IcebergLite.tableSortOrder(s, dir) == Seq("doc_id")
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM iceberg_sql_ins_docs GROUP BY lang""")
+        .withColumn("contract_kept", lit(contractKept))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS contract_kept
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // SQL WRITE route, DELETE (plans/IcebergWrite.scala r16): DELETE
+    // FROM the registered name maps onto the copy-on-write deleteWhere
+    // machinery; the command's returned count AND the surviving
+    // aggregate are both rederived by DuckDB from documents arithmetic
+    // — an over- or under-reaching delete set breaks either. The read
+    // back rides the registered scan route. Data-derived at any scale.
+    QueryDef("iceberg_sql_delete", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_sqldel_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir)
+      IcebergLite.appendSnapshot(s, docs.filter(col("doc_id") % 2 === 1), dir)
+      graft.Catalog.registerIcebergTable(s, "iceberg_sql_del_docs", dir)
+      val nDel = s.sql(
+        "DELETE FROM iceberg_sql_del_docs WHERE doc_id % 7 = 3")
+        .head().getLong(0)
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM iceberg_sql_del_docs GROUP BY lang""")
+        .withColumn("n_deleted", lit(nDel))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE doc_id % 7 = 3) AS n_deleted
+      FROM documents WHERE doc_id % 7 <> 3
+      GROUP BY lang ORDER BY lang""")),
+
+    // SQL WRITE route, MERGE (plans/IcebergWrite.scala r16): the upsert
+    // shape (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT *)
+    // maps onto equalityDeleteMOR + append — sequence semantics make
+    // the re-appended rows survive the delete. Matched rows must carry
+    // the source's shifted n_chars, unmatched target rows the original,
+    // and unmatched source rows insert; DuckDB rederives the merged
+    // state from documents arithmetic. Data-derived at any scale.
+    QueryDef("iceberg_sql_merge", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_sqlmrg_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir)
+      graft.Catalog.registerIcebergTable(s, "iceberg_sql_mrg_docs", dir)
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 100000L)
+        .createOrReplaceTempView("iceberg_sql_mrg_src")
+      val nKeys = s.sql(
+        """MERGE INTO iceberg_sql_mrg_docs t USING iceberg_sql_mrg_src s
+           ON t.doc_id = s.doc_id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM iceberg_sql_mrg_docs GROUP BY lang""")
+        .withColumn("n_merge_keys", lit(nKeys))
+        .orderBy("lang")
+    }, Some("""
+      WITH merged AS (
+        SELECT doc_id, lang, n_chars + 100000 AS n_chars
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE doc_id % 3 = 0) AS n_merge_keys
+      FROM merged GROUP BY lang ORDER BY lang""")),
+
     // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
     // the v2 position-delete mechanism): rows are deleted by writing
     // (file_path, pos) delete files, NOT by rewriting data; the read
@@ -6838,6 +7130,60 @@ object QueryCatalog {
       SELECT probe_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id
           ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
+      WHERE rank <= 5 ORDER BY probe_id, rank""")),
+
+    // ANN two-stage RERANK (ann/Pq.pqTopKPortableRerank r16 — the
+    // production retrieval shape: cheap ADC shortlist, exact re-score
+    // of the survivors): the ann_pq construction ranked 4x deeper,
+    // then every shortlist row re-scored by the exact integer dot of
+    // the quantized vectors. DuckDB replays codebooks, codes, ADC,
+    // the 20-deep shortlist, and the exact rerank — every (probe,
+    // neighbor, dotq, rank) row is a cross-engine VALUE. Data-derived
+    // at any corpus scale.
+    QueryDef("ann_rerank", (s, d) => {
+      val em = t(s, d, "embeddings")
+      graft.ann.Pq.pqTopKPortableRerank(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, m = 8, kSub = 16, dim = 64,
+          shortlist = 20)
+        .orderBy("probe_id", "rank")
+    }, Some("""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT)) AS e
+        FROM embeddings),
+      anch AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx, e AS ae
+        FROM (SELECT vec_id, e FROM q
+          WHERE vec_id % GREATEST(1, (SELECT COUNT(*) FROM q) // 16) = 0
+          ORDER BY vec_id LIMIT 16)),
+      blocks AS (SELECT unnest(generate_series(0, 7)) AS j),
+      cand AS (SELECT v.vec_id, b.j, a.cidx,
+          CAST(list_sum(list_transform(generate_series(1, 8),
+            i -> (v.e[b.j*8+i] - a.ae[b.j*8+i])
+               * (v.e[b.j*8+i] - a.ae[b.j*8+i]))) AS BIGINT) AS d2
+        FROM q v CROSS JOIN blocks b CROSS JOIN anch a),
+      codes AS (SELECT vec_id, j, cidx FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, j
+            ORDER BY d2, cidx) AS rn
+          FROM cand) WHERE rn = 1),
+      probes AS (SELECT vec_id AS probe_id, e AS pe FROM q WHERE vec_id < 5),
+      scored AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+          CAST(SUM(list_sum(list_transform(generate_series(1, 8),
+            i -> p.pe[c.j*8+i] * a.ae[c.j*8+i]))) AS BIGINT) AS adc
+        FROM probes p CROSS JOIN codes c JOIN anch a USING (cidx)
+        WHERE c.vec_id <> p.probe_id
+        GROUP BY 1, 2),
+      short AS (SELECT probe_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+            ORDER BY adc DESC, neighbor_id) AS srank FROM scored)
+        WHERE srank <= 20),
+      rer AS (SELECT sl.probe_id, sl.neighbor_id,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> p.pe[i] * v.e[i])) AS BIGINT) AS dotq
+        FROM short sl
+        JOIN q v ON v.vec_id = sl.neighbor_id
+        JOIN probes p ON p.probe_id = sl.probe_id)
+      SELECT probe_id, neighbor_id, dotq, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY dotq DESC, neighbor_id) AS rank FROM rer)
       WHERE rank <= 5 ORDER BY probe_id, rank""")),
 
     // FULL-WARC response parsing (raw Common Crawl captures, not just

@@ -47,12 +47,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def rewrite(sqlText: String): String =
     AsofSqlRewrite(session, sqlText)
 
-  // time travel over registered IcebergLite names resolves at parse
-  // time (Spark's analyzer refuses RelationTimeTravel on temp views);
-  // see graft.plans.IcebergTimeTravelRewrite
+  // time travel AND write statements (INSERT/DELETE/MERGE) over
+  // registered IcebergLite names resolve at parse time (Spark's
+  // analyzer refuses both on temp views); see
+  // graft.plans.IcebergTimeTravelRewrite / IcebergWriteRewrite
   override def parsePlan(sqlText: String): LogicalPlan =
-    graft.plans.IcebergTimeTravelRewrite(session,
-      delegate.parsePlan(rewrite(sqlText)))
+    graft.plans.IcebergWriteRewrite(session,
+      graft.plans.IcebergTimeTravelRewrite(session,
+        delegate.parsePlan(rewrite(sqlText))))
   override def parseQuery(sqlText: String): LogicalPlan =
     graft.plans.IcebergTimeTravelRewrite(session,
       delegate.parseQuery(rewrite(sqlText)))

@@ -29,15 +29,52 @@ import org.apache.spark.sql.functions._
 object Chat {
 
   /** A chat template: each turn renders as
-    * `pre + role + mid + content + post`; a generation prompt appends
-    * `pre + assistantRole + mid`. Defaults are the ChatML markers.
+    * `prefix(role) + content + suffix(role)` where the default
+    * `prefix = pre + role + mid` and `suffix = post` (the ChatML
+    * shape); `rolePre`/`rolePost` override prefix/suffix for SPECIFIC
+    * roles, which expresses templates that never render role names
+    * (Mistral's `[INST]`). A generation prompt appends
+    * `prefix(assistantRole)`. Presets for the ubiquitous public
+    * templates live on the companion.
     */
   final case class Template(pre: String = "<|im_start|>",
                             mid: String = "\n",
                             post: String = "<|im_end|>\n",
                             assistantRole: String = "assistant",
                             userRole: String = "user",
-                            systemRole: String = "system")
+                            systemRole: String = "system",
+                            rolePre: Map[String, String] = Map.empty,
+                            rolePost: Map[String, String] = Map.empty) {
+    /** The literal a generation prompt appends (the open assistant
+      * header, the way inference serving primes the model). */
+    def genPrefix: String =
+      rolePre.getOrElse(assistantRole, pre + assistantRole + mid)
+  }
+
+  object Template {
+    /** The public ChatML convention (the default). */
+    val ChatML: Template = Template()
+
+    /** Llama-3-style header tokens:
+      * `<|start_header_id|>role<|end_header_id|>\n\ncontent<|eot_id|>`
+      * (the published llama3 chat format, minus the tokenizer-level
+      * `<|begin_of_text|>` BOS, which is not a per-turn marker). */
+    val Llama3: Template = Template(
+      pre = "<|start_header_id|>",
+      mid = "<|end_header_id|>\n\n",
+      post = "<|eot_id|>")
+
+    /** Mistral instruction format: role names never render — user (and
+      * system, which early Mistral releases fold into the instruction)
+      * turns wrap in `[INST] ... [/INST]`, assistant turns close with
+      * `</s>` (the published `<s>[INST] ... [/INST] answer</s>` shape,
+      * minus the tokenizer-level BOS). */
+    val Mistral: Template = Template(
+      rolePre = Map("user" -> "[INST] ", "system" -> "[INST] ",
+        "assistant" -> ""),
+      rolePost = Map("user" -> " [/INST]", "system" -> " [/INST]",
+        "assistant" -> "</s>"))
+  }
 
   /** Structural validation — one row per conversation:
     * `(doc, n_turns, valid, reason)`. Reasons, first failure in fixed
@@ -100,9 +137,22 @@ object Chat {
       .select(col("doc"), col("n_turns"), col("valid"), col("reason"))
   }
 
+  /** The per-turn rendered prefix under `tpl` — the default
+    * `pre + role + mid` with any rolePre overrides folded in as a
+    * static CASE chain (still pure codegen). */
+  private def prefixCol(role: Column, tpl: Template): Column =
+    tpl.rolePre.foldLeft(concat(lit(tpl.pre), role, lit(tpl.mid))) {
+      case (acc, (r, p)) => when(role === r, lit(p)).otherwise(acc)
+    }
+
+  private def suffixCol(role: Column, tpl: Template): Column =
+    tpl.rolePost.foldLeft(lit(tpl.post): Column) {
+      case (acc, (r, p)) => when(role === r, lit(p)).otherwise(acc)
+    }
+
   /** The per-turn rendered piece under `tpl`. */
   private def pieceCol(role: Column, content: Column, tpl: Template): Column =
-    concat(lit(tpl.pre), role, lit(tpl.mid), content, lit(tpl.post))
+    concat(prefixCol(role, tpl), content, suffixCol(role, tpl))
 
   /** Chat-template rendering — one row per conversation:
     * `(doc, rendered, n_chars)`. `addGenerationPrompt` appends the open
@@ -114,8 +164,7 @@ object Chat {
              tpl: Template = Template(),
              addGenerationPrompt: Boolean = false): DataFrame = {
     val piece = pieceCol(col(roleCol), col(contentCol), tpl)
-    val genSuffix =
-      if (addGenerationPrompt) tpl.pre + tpl.assistantRole + tpl.mid else ""
+    val genSuffix = if (addGenerationPrompt) tpl.genPrefix else ""
     turns
       .select(col(docCol).as("doc"),
         struct(col(idxCol).cast("long").as("idx"), piece.as("piece")).as("tp"))
@@ -144,8 +193,7 @@ object Chat {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumBefore = coalesce(sum(length(piece).cast("long")).over(before),
       lit(0L))
-    val start = cumBefore + lit(tpl.pre.length.toLong) +
-      length(role).cast("long") + lit(tpl.mid.length.toLong)
+    val start = cumBefore + length(prefixCol(role, tpl)).cast("long")
     turns
       .select(doc.as("doc"), idx.as("idx"), role.as("role"),
         start.as("start_char"),

@@ -1,0 +1,200 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.{Catalog, SparkSuite}
+import graft.sources.IcebergLite
+
+/** SQL WRITE path over registered IcebergLite names
+  * (plans/IcebergWrite.scala): INSERT INTO appends through
+  * appendSnapshot inheriting the persisted spec/sort/bloom contract,
+  * INSERT OVERWRITE replaces without losing history, DELETE FROM maps
+  * onto deleteWhere/deleteWhereMOR, MERGE INTO onto the equality-delete
+  * upsert composition — and every schema-contract violation refuses
+  * with the column named. */
+class IcebergSqlWriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_iceberg_sqlw").toString + "/t"
+
+  private var n = 0
+  /** A registered two-batch table (id 1..10, lang a/b) with the full
+    * write contract: partitioned by lang, sorted by id, bloom on id. */
+  private def freshTable(): (String, String) = {
+    val dir = tmp()
+    n += 1
+    val name = s"sqlw_t$n"
+    val batch = (1 to 10)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 10L))
+      .toDF("id", "lang", "n")
+    IcebergLite.createTable(spark, batch, dir, partitionBy = Seq("lang"),
+      sortBy = Seq("id"), bloomFor = Seq("id"))
+    Catalog.registerIcebergTable(spark, name, dir)
+    (name, dir)
+  }
+
+  test("INSERT INTO SELECT appends and inherits spec + sort order") {
+    val (name, dir) = freshTable()
+    (11 to 20).map(i => (i.toLong, "c", i * 10L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("sqlw_src")
+    spark.sql(s"INSERT INTO $name SELECT id, lang, n FROM sqlw_src")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 20L)
+    assert(spark.sql(s"SELECT sum(n) AS s FROM $name WHERE lang = 'c'")
+      .head().getLong(0) === (11 to 20).map(_ * 10L).sum)
+    // the SQL writer named no spec/sort/bloom — the persisted contract
+    // must govern the append, not reset to unpartitioned/unsorted
+    assert(IcebergLite.tablePartitionSpec(spark, dir) === Seq("lang"))
+    assert(IcebergLite.tableSortOrder(spark, dir) === Seq("id"))
+    // the new rows partition-prune like API-written rows
+    val pruned = spark.sql(s"SELECT * FROM $name WHERE lang = 'c'")
+    assert(IcebergSqlAudit.scannedFiles(pruned) <
+      IcebergSqlAudit.scannedFiles(spark.sql(s"SELECT * FROM $name")))
+  }
+
+  test("INSERT INTO VALUES upcasts losslessly; column list reorders") {
+    val (name, _) = freshTable()
+    // int literals upcast to the bigint columns
+    spark.sql(s"INSERT INTO $name VALUES (21, 'a', 210)")
+    // explicit column list in a different order
+    spark.sql(s"INSERT INTO $name (lang, n, id) VALUES ('b', 220, 22)")
+    // BY NAME with reordered query output
+    spark.sql(
+      s"INSERT INTO $name BY NAME SELECT 'a' AS lang, 230L AS n, 23L AS id")
+    val got = spark.sql(s"SELECT id, lang, n FROM $name WHERE id >= 21")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((21L, "a", 210L), (22L, "b", 220L),
+      (23L, "a", 230L)))
+  }
+
+  test("INSERT refusals: arity, lossy type, missing column, PARTITION clause") {
+    val (name, _) = freshTable()
+    val eArity = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO $name VALUES (1, 'a')")
+    }
+    assert(eArity.getMessage.contains("positional insert needs 3"))
+    val eType = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO $name VALUES (1, 'a', 'not-a-number')")
+    }
+    assert(eType.getMessage.contains("column n") &&
+      eType.getMessage.contains("no lossless cast"))
+    val eMissing = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO $name BY NAME SELECT 1L AS id, 'a' AS lang")
+    }
+    assert(eMissing.getMessage.contains("column n is missing"))
+    val ePart = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT INTO $name PARTITION (lang='a') VALUES (1, 10)")
+    }
+    assert(ePart.getMessage.contains("hidden"))
+    // nothing landed
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 10L)
+  }
+
+  test("INSERT OVERWRITE replaces contents but keeps history") {
+    val (name, dir) = freshTable()
+    spark.sql(s"INSERT OVERWRITE $name SELECT 99L, 'z', 990L")
+    val now = spark.sql(s"SELECT id, lang FROM $name").collect()
+    assert(now.length === 1 && now.head.getLong(0) === 99L)
+    // the original snapshot still time-travels
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+  }
+
+  test("DELETE FROM: copy-on-write default, qualified WHERE, count returned") {
+    val (name, _) = freshTable()
+    val deleted = spark
+      .sql(s"DELETE FROM $name WHERE $name.id % 2 = 0 AND $name.n > 20")
+      .head().getLong(0)
+    // even ids 4,6,8,10 have n > 20 (n = id*10)
+    assert(deleted === 4L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 6L)
+  }
+
+  test("DELETE FROM under deleteMode=mor writes position deletes") {
+    val (name, dir) = freshTable()
+    spark.conf.set("spark.graft.iceberg.deleteMode", "mor")
+    try {
+      val deleted = spark.sql(s"DELETE FROM $name WHERE id <= 3")
+        .head().getLong(0)
+      assert(deleted === 3L)
+      // the registered route merges the position deletes on read
+      assert(spark.sql(s"SELECT min(id) AS m FROM $name").head().getLong(0)
+        === 4L)
+      // MOR: a content=1 delete manifest exists (no data rewrite)
+      assert(IcebergLite.metaTable(spark, dir, "manifests")
+        .filter(col("content") === 1).count() >= 1)
+    } finally spark.conf.set("spark.graft.iceberg.deleteMode", "cow")
+  }
+
+  test("MERGE INTO upsert: matched rows update, unmatched insert") {
+    val (name, _) = freshTable()
+    // ids 8..12: 8..10 update (n += 1000), 11..12 insert
+    (8 to 12).map(i => (i.toLong, "m", i * 10L + 1000L))
+      .toDF("id", "lang", "n").createOrReplaceTempView("sqlw_mrg_src")
+    val keys = spark.sql(
+      s"""MERGE INTO $name t USING sqlw_mrg_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").head().getLong(0)
+    assert(keys === 5L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 12L)
+    val got = spark.sql(s"SELECT id, n FROM $name WHERE id >= 8")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq ===
+      (8 to 12).map(i => (i.toLong, i * 10L + 1000L)))
+  }
+
+  test("MERGE INTO keyed delete; duplicate source keys refuse") {
+    val (name, _) = freshTable()
+    Seq((1L, "x"), (2L, "y")).toDF("id", "tag")
+      .createOrReplaceTempView("sqlw_del_src")
+    val keys = spark.sql(
+      s"""MERGE INTO $name t USING sqlw_del_src s ON t.id = s.id
+          WHEN MATCHED THEN DELETE""").head().getLong(0)
+    assert(keys === 2L)
+    assert(spark.sql(s"SELECT min(id) AS m FROM $name").head().getLong(0)
+      === 3L)
+    Seq((5L, "x"), (5L, "y")).toDF("id", "tag")
+      .createOrReplaceTempView("sqlw_dup_src")
+    val eDup = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name t USING sqlw_dup_src s ON t.id = s.id
+                    WHEN MATCHED THEN DELETE""")
+    }
+    assert(eDup.getMessage.contains("duplicate"))
+  }
+
+  test("MERGE refusals: conditional actions, non-equality ON") {
+    val (name, _) = freshTable()
+    Seq((1L, "x", 1L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("sqlw_bad_src")
+    val eCond = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name t USING sqlw_bad_src s ON t.id = s.id
+                    WHEN MATCHED AND s.n > 5 THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(eCond.getMessage.contains("Supported shapes"))
+    val eOn = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name t USING sqlw_bad_src s ON t.id < s.id
+                    WHEN MATCHED THEN DELETE""")
+    }
+    assert(eOn.getMessage.contains("column equality"))
+  }
+
+  test("writes to unregistered names fall through to Spark untouched") {
+    Seq((1L, "a")).toDF("id", "lang").createOrReplaceTempView("sqlw_plain")
+    // Spark's OWN errors (not graft's IllegalArgumentException refusals)
+    // must surface — the rewrite never claims an unregistered name
+    val eIns = intercept[Exception] {
+      spark.sql("INSERT INTO sqlw_plain VALUES (2, 'b')")
+    }
+    assert(!eIns.isInstanceOf[IllegalArgumentException])
+    val eDel = intercept[Exception] {
+      spark.sql("DELETE FROM sqlw_plain WHERE id = 1")
+    }
+    assert(!eDel.isInstanceOf[IllegalArgumentException])
+  }
+}

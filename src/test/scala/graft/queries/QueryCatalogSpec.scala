@@ -29,10 +29,12 @@ class QueryCatalogSpec extends SparkSuite {
       // lookbehinds skip EXTRACT(YEAR FROM col) and IS NOT DISTINCT FROM
       val froms = raw"(?i)(?<!year\s)(?<!month\s)(?<!distinct\s)(?:\bFROM|\bJOIN)\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      // CTE names declared inside the oracles themselves
-      val ctes = raw"(?i)([a-z_][a-z0-9_]*)\s+AS\s*\(".r
+      // CTE names declared inside the oracles themselves (plain or
+      // AS MATERIALIZED — the recursion-heavy oracles pin evaluation)
+      val ctes = raw"(?i)([a-z_][a-z0-9_]*)\s+AS\s*(?:MATERIALIZED\s*)?\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
-      val unknown = froms -- tables -- ctes -- Set("p") // p = aliased CTE use
+      // p = aliased CTE use; lateral = the JOIN LATERAL keyword
+      val unknown = froms -- tables -- ctes -- Set("p", "lateral")
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
     }
   }

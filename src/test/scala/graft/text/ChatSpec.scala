@@ -356,6 +356,53 @@ class ChatSpec extends SparkSuite {
     assert(hArray === hashes)
   }
 
+  test("template presets: exact render strings for Llama3 and Mistral") {
+    val t = turns(
+      (0L, 0, "system", "be brief"), (0L, 1, "user", "hi"),
+      (0L, 2, "assistant", "hello"))
+    val l3 = Chat.render(t, "doc", "idx", "role", "content",
+      Chat.Template.Llama3).select("rendered").as[String].head()
+    assert(l3 ===
+      "<|start_header_id|>system<|end_header_id|>\n\nbe brief<|eot_id|>" +
+      "<|start_header_id|>user<|end_header_id|>\n\nhi<|eot_id|>" +
+      "<|start_header_id|>assistant<|end_header_id|>\n\nhello<|eot_id|>")
+    val l3g = Chat.render(t, "doc", "idx", "role", "content",
+      Chat.Template.Llama3, addGenerationPrompt = true)
+      .select("rendered").as[String].head()
+    assert(l3g === l3 + "<|start_header_id|>assistant<|end_header_id|>\n\n")
+    val mi = Chat.render(t, "doc", "idx", "role", "content",
+      Chat.Template.Mistral).select("rendered").as[String].head()
+    assert(mi === "[INST] be brief [/INST][INST] hi [/INST]hello</s>")
+    // Mistral's generation prefix is empty (the assistant continues
+    // directly after [/INST])
+    val mig = Chat.render(t, "doc", "idx", "role", "content",
+      Chat.Template.Mistral, addGenerationPrompt = true)
+      .select("rendered").as[String].head()
+    assert(mig === mi)
+  }
+
+  test("template presets: loss-span extraction identity under every preset") {
+    val t = turns(
+      (0L, 0, "system", "sys prompt"), (0L, 1, "user", "hello there"),
+      (0L, 2, "assistant", "hi! how can I help"),
+      (0L, 3, "user", "add 2+2"), (0L, 4, "assistant", "4"),
+      (1L, 0, "user", "q"), (1L, 1, "assistant", ""))
+    Seq(Chat.Template.ChatML, Chat.Template.Llama3, Chat.Template.Mistral)
+      .foreach { tpl =>
+        val rendered = Chat.render(t, "doc", "idx", "role", "content", tpl)
+        val spans = Chat.lossSpans(t, "doc", "idx", "role", "content", tpl)
+        val chk = spans
+          .join(rendered, "doc")
+          .join(t.toDF("doc", "idx", "role", "content"), Seq("doc", "idx"))
+          .select(col("rendered").substr(col("start_char") + 1,
+            col("end_char") - col("start_char")).as("got"), col("content"))
+          .collect()
+        assert(chk.length === 3, s"$tpl span count")
+        chk.foreach(r => assert(r.getString(0) === r.getString(1),
+          s"$tpl extraction identity"))
+      }
+  }
+
   test("lossSpans and tokenLossMask agree on per-turn mass (chars vs counter)") {
     val t = turns(
       (0L, 0, "system", "be helpful"), (0L, 1, "user", "a bb ccc"),
