@@ -1571,6 +1571,25 @@ object BenchScale {
         TextAnalysis.packSequences(toks, "doc_id", "n_ws_tokens", 2048L)
           .count()
       },
+      timed("pack_whole_docs") {
+        // whole-document bin packing at corpus scale (r16): the ledger's
+        // histogram folds collect <= maxTokens rows regardless of corpus
+        // size, and the NFD assignment is one rank window + a broadcast
+        // class-table join — both must stay corpus-linear. Value encodes
+        // the BFD ledger row (seqs) + the assignment's distinct-seq
+        // count (must agree with the NFD ledger row — cross-checked).
+        val toks = TextAnalysis.tokenCounts(docs, "text", "doc_id")
+          .select(col("doc_id"), col("n_ws_tokens"))
+        val ledger = graft.text.Packing
+          .packEfficiency(toks, "doc_id", "n_ws_tokens", 2048L)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val assigned = graft.text.Packing
+          .packWholeDocs(toks, "doc_id", "n_ws_tokens", 2048L)
+          .agg(countDistinct(col("seq_id"))).head().getLong(0)
+        require(assigned == ledger("nextfit_dec"),
+          s"assignment seqs $assigned != ledger ${ledger("nextfit_dec")}")
+        ledger("bestfit_dec") * 100000 + assigned
+      },
       timed("events_asof_pulse_join") {
         // the reference's flagship path at stream scale: per-run pulse
         // timelines (click events) indexed with a run-partitioned window,

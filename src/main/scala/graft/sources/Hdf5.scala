@@ -270,6 +270,48 @@ object Hdf5 {
 
     private var sizeOfOffsets = 8
     private var sizeOfLengths = 8
+    /** file-level shared-message indexes from the superblock-v2
+      * extension (r16): (message-type flags, fractal heap address) —
+      * the table SOHM-resident shared messages (v3 type 1) resolve
+      * through. Empty when the file has no extension / no 0x000F. */
+    private var sohmIndexes: Seq[(Int, Long)] = Nil
+    private val sohmHeapCache =
+      scala.collection.mutable.HashMap.empty[Long, FractalHeap]
+    private def sohmHeapFor(owner: String, typeFlag: Int): FractalHeap = {
+      val addr = sohmIndexes.collectFirst {
+        case (flags, heapAddr) if (flags & typeFlag) != 0 => heapAddr
+      }.getOrElse(sys.error(
+        s"$owner: SOHM-resident shared message but no shared-message " +
+          s"index covers type flag 0x${typeFlag.toHexString} (file has " +
+          s"${sohmIndexes.size} indexes)"))
+      sohmHeapCache.getOrElseUpdate(addr, new FractalHeap(owner, addr))
+    }
+
+    /** Superblock-v2 EXTENSION (r16): an object header whose 0x000F
+      * message names the Shared Object Header Message table (spec
+      * III.H) — version(1), table address(O), #indexes(1); each table
+      * index: version(1), index type(1), message-type flags(2), min
+      * size(4), list cutoff(2), btree cutoff(2), #messages(2), index
+      * address(O), fractal heap address(O). Only the type flags and
+      * the heap address matter to reads: v3 type-1 shared messages
+      * carry a heap ID, never an index lookup. */
+    private def parseSohmTable(extAddr: Long): Unit = {
+      val msg = parseMessages(extAddr).find(_.typ == 0x000F).getOrElse(return)
+      val body = msg.data
+      val tableAddr = readOffset(body, 1)
+      val nIdx = u8(body, 1 + sizeOfOffsets)
+      if (tableAddr == Undef || nIdx == 0) return
+      val per = 14 + 2 * sizeOfOffsets
+      val tbl = src.get(tableAddr, 4 + nIdx * per + 4)
+      require(new String(tbl, 0, 4, "US-ASCII") == "SMTB",
+        "bad shared-message table signature")
+      sohmIndexes = (0 until nIdx).map { i =>
+        val at = 4 + i * per
+        val flags = u16(tbl, at + 2)
+        val heapAddr = readOffset(tbl, at + 14 + sizeOfOffsets)
+        (flags, heapAddr)
+      }
+    }
 
     private def readOffset(b: Array[Byte], p: Int): Long = sizeOfOffsets match {
       case 8 => u64(b, p)
@@ -315,6 +357,8 @@ object Hdf5 {
           sizeOfOffsets = u8(head, 9)
           sizeOfLengths = u8(head, 10)
           // flags(1), base, extension, EOF, root header address
+          val extAddr = readOffset(head, 12 + sizeOfOffsets)
+          if (extAddr != Undef) parseSohmTable(extAddr)
           val rootHeader = readOffset(head, 12 + 3 * sizeOfOffsets)
           parseNode("/", rootHeader)
         case v => sys.error(s"unsupported HDF5 superblock version $v")
@@ -534,8 +578,9 @@ object Hdf5 {
       * message body — or, when the record's SHARED flag is set (r15),
       * a Shared Message encoding resolving to the attribute message in
       * another object's header (the "committed" form; version 2, or
-      * version 3 type 2). SOHM-table-resident shared attributes
-      * (version 3 type 1) remain out of subset and refuse by name. */
+      * version 3 type 2) — or, r16, a SOHM-TABLE-RESIDENT shared
+      * message (version 3 type 1) resolving through the file-level
+      * shared-message fractal heap the superblock extension names. */
     private def readDenseAttrs(name: String, fheapAddr: Long,
                                btAddr: Long): Map[String, H5Value] = {
       require(btAddr != Undef,
@@ -545,16 +590,24 @@ object Hdf5 {
         val body = heap.get(rec, 0)
         if ((rec(heap.idLen) & 1) == 0)
           parseAttribute(HeaderMessage(0x000C, body))
-        else {
+        else if (u8(body, 0) == 3 && u8(body, 1) == 1) {
+          // SOHM-TABLE-RESIDENT shared message (v3 type 1, r16 — the
+          // last shared-attribute refusal): the field is an 8-byte ID
+          // into the file-level shared-message fractal heap named by
+          // the superblock-extension table; the heap object is the
+          // attribute message body itself
+          parseAttribute(HeaderMessage(0x000C,
+            sohmHeapFor(name, 0x10).get(body, 2)))
+        } else {
           // shared message: {version, type, location}
           val ver = u8(body, 0)
           val addr = ver match {
             case 2 => readOffset(body, 2)
             case 3 =>
               require(u8(body, 1) == 2,
-                s"$name: shared attribute in the SOHM table (type " +
-                  s"${u8(body, 1)}) is out of subset; committed (type 2) " +
-                  "is supported")
+                s"$name: shared-message type ${u8(body, 1)} is out of " +
+                  "subset; SOHM-resident (type 1) and committed (type 2) " +
+                  "are supported")
               readOffset(body, 2)
             case v =>
               sys.error(s"$name: unsupported shared-message version $v")
@@ -576,8 +629,9 @@ object Hdf5 {
       * through the heap's type-1 huge-object v2 b-tree records), and
       * FILTERED heaps (direct blocks deflate-compressed as a whole;
       * per-block stored sizes from the header / indirect-block
-      * entries). Root is a single direct block or one indirect block of
-      * direct children. */
+      * entries). Root is a single direct block or an indirect block
+      * whose rows past maxDirectRows hold NESTED indirect children
+      * (each restarting the doubling table — r16). */
     private final class FractalHeap(owner: String, hdrAddr: Long) {
       private val fixed = 4 + 1 + 2 + 2 + 1 + 4
       private val baseLen = fixed + 2 * sizeOfOffsets + 10 * sizeOfLengths +
@@ -641,6 +695,56 @@ object Hdf5 {
         r + 1
       }
 
+      /** nrows of a CHILD indirect block covering `span` bytes of heap
+        * space — children RESTART the doubling table, so
+        * nrows = log2(span) - log2(start * width) + 1 (spec III.G). */
+      private def childIndirectRows(span: Long): Int = {
+        def lg(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        lg(span) - lg(startBlockSize * tableWidth) + 1
+      }
+
+      /** DFS over the indirect-block TREE (r16 — retires the
+        * nested-indirect refusal): row-major within each block; rows
+        * past maxDirectRows hold child INDIRECT blocks, each restarting
+        * the doubling table over the span its row assigns it. Entries
+        * are VARIABLE width — filtered heaps carry (stored size,
+        * filter mask) for DIRECT children only — so the walk keeps a
+        * cursor instead of indexing. Emits every allocated direct
+        * block in heap order. */
+      private def walkIndirect(addr: Long, nrows: Int, baseOff: Long)
+          : Seq[(Long, Long, Long, Long)] = {
+        val directEntry = sizeOfOffsets +
+          (if (ioFilterLen > 0) sizeOfLengths + 4 else 0)
+        val nDirect = math.min(nrows, maxDirectRows) * tableWidth
+        val nIndirect = nrows * tableWidth - nDirect
+        val bodyLen = nDirect * directEntry + nIndirect * sizeOfOffsets
+        val ib = src.get(addr,
+          4 + 1 + sizeOfOffsets + offsetSize + bodyLen + 4)
+        require(new String(ib, 0, 4, "US-ASCII") == "FHIB",
+          s"group $owner: bad fractal heap indirect block signature")
+        var at = 4 + 1 + sizeOfOffsets + offsetSize
+        var off = baseOff
+        (0 until nrows * tableWidth).flatMap { i =>
+          val row = i / tableWidth
+          val span = rowSize(row)
+          val here = off
+          off += span
+          if (row < maxDirectRows) {
+            val a = readOffset(ib, at)
+            val stored =
+              if (ioFilterLen > 0) readLength(ib, at + sizeOfOffsets)
+              else span
+            at += directEntry
+            if (a == Undef) Nil else Seq((here, span, a, stored))
+          } else {
+            val a = readOffset(ib, at)
+            at += sizeOfOffsets
+            if (a == Undef) Nil
+            else walkIndirect(a, childIndirectRows(span), here)
+          }
+        }
+      }
+
       /** (heap-space offset, LOGICAL size, file address, STORED size)
         * of every allocated direct block, from the root geometry;
         * stored == logical when the heap is unfiltered. */
@@ -648,32 +752,7 @@ object Hdf5 {
         if (curRows == 0)
           Seq((0L, startBlockSize, rootAddr,
             if (ioFilterLen > 0) filteredRootSize else startBlockSize))
-        else {
-          require(curRows <= maxDirectRows,
-            s"group $owner: nested indirect fractal-heap blocks " +
-              s"($curRows rows > direct $maxDirectRows) are out of subset")
-          val n = curRows * tableWidth
-          // filtered heaps carry (stored size, filter mask) per child
-          val entrySize = sizeOfOffsets +
-            (if (ioFilterLen > 0) sizeOfLengths + 4 else 0)
-          val ib = src.get(rootAddr,
-            4 + 1 + sizeOfOffsets + offsetSize + n * entrySize + 4)
-          require(new String(ib, 0, 4, "US-ASCII") == "FHIB",
-            s"group $owner: bad fractal heap indirect block signature")
-          val entriesAt = 4 + 1 + sizeOfOffsets + offsetSize
-          var off = 0L
-          (0 until n).flatMap { i =>
-            val sz = rowSize(i / tableWidth)
-            val at = entriesAt + i * entrySize
-            val addr = readOffset(ib, at)
-            val stored =
-              if (ioFilterLen > 0) readLength(ib, at + sizeOfOffsets)
-              else sz
-            val here = off
-            off += sz
-            if (addr == Undef) None else Some((here, sz, addr, stored))
-          }
-        }
+        else walkIndirect(rootAddr, curRows, 0L)
 
       // decompressed-block cache: one inflate per block per heap walk
       private val blockCache =

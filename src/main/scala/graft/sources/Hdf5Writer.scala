@@ -82,7 +82,15 @@ object Hdf5Writer {
                            * heap object is a committed Shared Message
                            * (v3 type 2) pointing at a standalone object
                            * header carrying the attribute. */
-                         sharedAttrs: Boolean = false) extends Node
+                         sharedAttrs: Boolean = false,
+                         /** store dense attributes in the FILE-LEVEL
+                           * SOHM table (r16): each heap object is a
+                           * v3 TYPE-1 Shared Message carrying an 8-byte
+                           * ID into the shared-message fractal heap the
+                           * superblock-v2 extension names — libhdf5's
+                           * H5Pset_shared_mesg_* shape. Forces a v2
+                           * superblock. */
+                         sohmAttrs: Boolean = false) extends Node
   /** `scalar` emits a rank-0 dataspace (reference NeXus metadata fields
     * are scalars); `chunk` > 0 chunks the single dimension with optional
     * shuffle+deflate. */
@@ -157,12 +165,94 @@ object Hdf5Writer {
     private def pad8(b: Array[Byte]): Array[Byte] =
       if (b.length % 8 == 0) b else b ++ zeros(8 - b.length % 8)
 
+    // file-level shared-message (SOHM) state: the heap is written
+    // FIRST (a pre-pass collects every sohmAttrs group's attribute
+    // bodies), so traversal-time dense records can embed its IDs;
+    // identical bodies share one heap object — the dedup SOHM exists
+    // for
+    private var sohmHeapAddr = -1L
+    private var sohmIdByBody = Map.empty[Seq[Byte], Array[Byte]]
+    private var sohmBodies: Seq[Array[Byte]] = Nil
+
+    private def collectSohmBodies(n: Node): Seq[Array[Byte]] = n match {
+      case g: Group =>
+        val own = if (g.sohmAttrs)
+          g.attrs.map { case (nm, a) => encodeAttr(nm, a)._2 }
+        else Nil
+        own ++ g.children.flatMap(collectSohmBodies)
+      case _ => Nil
+    }
+
     def write(root: Group): Array[Byte] = {
-      // reserve the 96-byte superblock v0 (8-byte offsets/lengths)
+      // reserve the 96-byte superblock region (v0, or v2 + padding
+      // when a SOHM table forces the extension-capable form)
       put(zeros(96))
+      val bodies = collectSohmBodies(root)
+        .map(_.toSeq).distinct.map(_.toArray)
+      if (bodies.nonEmpty) {
+        val (fh, ids) = writeFractalHeap("SOHM", bodies, idLenBytes = 3)
+        sohmHeapAddr = fh
+        sohmBodies = bodies
+        sohmIdByBody = bodies.map(_.toSeq).zip(ids).toMap
+      }
       val rootHeader = writeNode(root)
-      patchSuperblock(rootHeader)
+      if (sohmHeapAddr != -1L) {
+        val extAddr = writeSohmTable()
+        patchSuperblockV2(rootHeader, extAddr)
+      } else patchSuperblock(rootHeader)
       buf.toArray
+    }
+
+    /** SMLI list + SMTB table + the superblock-extension object header
+      * carrying message 0x000F (spec III.H) — returns the extension
+      * header address. One index, list form, covering attribute
+      * messages (type flag 0x10). */
+    private def writeSohmTable(): Long = {
+      val n = sohmBodies.length
+      val li = mutable.ArrayBuffer.empty[Byte]
+      li ++= "SMLI".getBytes("US-ASCII")
+      sohmBodies.foreach { body =>
+        li ++= b1(0) // location 0: message in the SOHM heap
+        li ++= b4(lookup3(body).toLong & 0xffffffffL)
+        li ++= b4(1) // reference count (informational)
+        li ++= sohmIdByBody(body.toSeq)
+      }
+      li ++= b4(0) // checksum (reader resolves by heap ID, never here)
+      val smliAddr = put(li.toArray)
+      val tb = mutable.ArrayBuffer.empty[Byte]
+      tb ++= "SMTB".getBytes("US-ASCII")
+      tb ++= b1(0) // index version
+      tb ++= b1(0) // index type: list
+      tb ++= b2(0x10) // message type flags: attribute messages
+      tb ++= b4(0) // minimum message size
+      tb ++= b2((n + 1).max(50)) // list cutoff (stay in list form)
+      tb ++= b2((n + 2).max(60)) // v2 b-tree cutoff
+      tb ++= b2(n)
+      tb ++= b8(smliAddr)
+      tb ++= b8(sohmHeapAddr)
+      tb ++= b4(0) // checksum
+      val smtbAddr = put(tb.toArray)
+      writeHeader(Seq((0x000F, b1(0) ++ b8(smtbAddr) ++ b1(1))))
+    }
+
+    /** Superblock VERSION 2 (48 bytes + zero padding to the reserved
+      * 96): the extension-capable form SOHM storage requires; the root
+      * object header is addressed directly (no symbol-table entry). */
+    private def patchSuperblockV2(rootHeader: Long, extAddr: Long): Unit = {
+      val sb = mutable.ArrayBuffer.empty[Byte]
+      sb ++= Array(0x89, 'H', 'D', 'F', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      sb ++= b1(2) // superblock version
+      sb ++= b1(8) // size of offsets
+      sb ++= b1(8) // size of lengths
+      sb ++= b1(0) // file consistency flags
+      sb ++= b8(0) // base address
+      sb ++= b8(extAddr)
+      sb ++= b8(pos) // end of file address
+      sb ++= b8(rootHeader)
+      sb ++= b4(0) // checksum (reader does not verify)
+      require(sb.length == 48, s"superblock v2 is ${sb.length} bytes")
+      var i = 0
+      while (i < 48) { buf(i) = sb(i); i += 1 }
     }
 
     private def patchSuperblock(rootHeader: Long): Unit = {
@@ -987,17 +1077,53 @@ object Hdf5Writer {
       def padId(id: Array[Byte]): Array[Byte] =
         id ++ zeros(heapIdLen - id.length)
 
-      // pack MANAGED bodies into consecutive doubling-grid blocks;
-      // tiny bodies ride in their IDs, huge ones write standalone
+      // pack MANAGED bodies into doubling-grid direct-block SLOTS,
+      // planned over the full indirect TREE (r16 — rows past
+      // maxDirectRows hold child indirect blocks, each RESTARTING the
+      // doubling table over the span its row assigns; before r16 the
+      // plan stopped at one indirect level and refused). Slot order is
+      // the DFS heap order the reader walks.
+      def lgW(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      def childRowsOf(span: Long): Int = lgW(span) - lgW(S * W) + 1
+      sealed trait PNode
+      final case class PDirect(slot: Int, off: Long, size: Long)
+          extends PNode
+      final case class PIndirect(off: Long, span: Long, nrows: Int,
+                                 entries: Seq[PNode]) extends PNode
+      var nextSlot = 0
+      def planEntries(nrows: Int, base: Long): Seq[PNode] = {
+        var off = base
+        (0 until nrows).flatMap { r =>
+          (0 until W).map { _ =>
+            val span = rowSize(r)
+            val here = off
+            off += span
+            if (r < maxDirectRows) {
+              val n = PDirect(nextSlot, here, span); nextSlot += 1; n
+            } else PIndirect(here, span, childRowsOf(span),
+              planEntries(childRowsOf(span), here))
+          }
+        }
+      }
+      // 12 root rows plan megabytes of managed space — far above any
+      // fixture; the require below stays loud if ever exceeded
+      val maxRootRows = 12
+      val rootEntries = planEntries(maxRootRows, 0L)
+      def directsUnder(n: PNode): Seq[PDirect] = n match {
+        case d: PDirect => Seq(d)
+        case i: PIndirect => i.entries.flatMap(directsUnder)
+      }
+      val slotPlan: Vector[PDirect] =
+        rootEntries.flatMap(directsUnder).toVector
       final case class Blk(heapOff: Long, size: Long,
                            objs: mutable.ArrayBuffer[(Long, Array[Byte])])
       val blocks = mutable.ArrayBuffer.empty[Blk]
       def newBlock(): Blk = {
         val idx = blocks.length
-        require(idx / W < maxDirectRows,
-          s"fractal heap $owner: bodies exceed the single-indirect bound")
-        val off = (0 until idx).map(i => rowSize(i / W)).sum
-        val blk = Blk(off, rowSize(idx / W), mutable.ArrayBuffer.empty)
+        require(idx < slotPlan.length,
+          s"fractal heap $owner: bodies exceed the $maxRootRows-row plan")
+        val sl = slotPlan(idx)
+        val blk = Blk(sl.off, sl.size, mutable.ArrayBuffer.empty)
         blocks += blk
         blk
       }
@@ -1025,8 +1151,8 @@ object Hdf5Writer {
           managedCount += 1
           // grid blocks double by row: advance (skipping runt blocks —
           // they stay allocated and empty, which is valid free space)
-          // until the body fits; the maxDirectRows bound in newBlock
-          // keeps this loud if it ever cannot
+          // until the body fits; the slot-plan bound in newBlock keeps
+          // this loud if it ever cannot
           while (used + body.length > cur.size) {
             cur = newBlock(); used = hdrSize.toLong
           }
@@ -1044,16 +1170,67 @@ object Hdf5Writer {
           hugeRecs.toSeq.map { case (a, l, i) => b8(a) ++ b8(l) ++ b8(i) },
           btType = 1, recSize = 24, nodeSize = 512)
       val singleDirect = blocks.length == 1
-      val curRows = if (singleDirect) 0 else (blocks.length + W - 1) / W
+      // root rows touched by the last allocated slot (rootEntries is
+      // row-major, W entries per row)
+      val curRows =
+        if (singleDirect) 0
+        else {
+          var count = 0
+          var row = 0
+          rootEntries.zipWithIndex.foreach { case (e, i) =>
+            val ds = directsUnder(e).size
+            if (blocks.length - 1 >= count && blocks.length - 1 < count + ds)
+              row = i / W
+            count += ds
+          }
+          row + 1
+        }
 
       // deflate-filter pipeline message (the 0x000B body), v2 encoding
       val pipelineMsg: Array[Byte] =
         if (!filtered) Array.empty
         else b1(2) ++ b1(1) ++ (b2(1) ++ b2(0) ++ b2(1) ++ b4(6))
 
-      // render every direct block now (the filtered plan needs stored
-      // sizes before addresses; frhpAddr is patched into each block
-      // after the plan, so build with a placeholder and fix up)
+      // the FRHP header rendered for a given root address + (filtered
+      // single-direct) stored size — length is value-independent, so
+      // the caller can reserve the header region up front
+      def renderFrhpHeader(rootField: Long, singleStored: Long)
+          : Array[Byte] = {
+        val hd = mutable.ArrayBuffer.empty[Byte]
+        hd ++= "FRHP".getBytes("US-ASCII")
+        hd ++= b1(0)
+        hd ++= b2(heapIdLen)
+        hd ++= b2(pipelineMsg.length) // I/O filter info length (0 = none)
+        hd ++= b1(0) // flags: direct blocks not checksummed
+        hd ++= b4(maxDirect) // max size of managed objects
+        hd ++= b8(hugeRecs.length + 1L) // next huge object id
+        hd ++= (if (hugeRecs.isEmpty) Undef else b8(hugeBtAddr))
+        hd ++= b8(0) // free space
+        hd ++= Undef // free-space manager
+        val managed = blocks.map(_.size).sum
+        hd ++= b8(managed) // managed space
+        hd ++= b8(managed) // allocated managed space
+        hd ++= b8(managed) // iterator offset
+        hd ++= b8(managedCount) // managed object count
+        hd ++= b8(hugeRecs.map(_._2).sum) ++ b8(hugeRecs.length.toLong)
+        hd ++= b8(tinySize) ++ b8(tinyCount)
+        hd ++= b2(W)
+        hd ++= b8(S)
+        hd ++= b8(maxDirect)
+        hd ++= b2(32) // maximum heap size (bits) -> 4-byte offsets
+        hd ++= b2(1) // starting rows in root indirect block
+        hd ++= b8(rootField)
+        hd ++= b2(curRows) // 0 = root is a direct block
+        if (filtered) {
+          if (singleDirect) hd ++= b8(singleStored) ++ b4(0)
+          hd ++= pipelineMsg
+        }
+        hd ++= b4(0)
+        hd.toArray
+      }
+
+      // render every direct block (the header address is fixed at base
+      // before any block renders — no fixpoint)
       def renderBlock(blk: Blk, frhpAddr: Long): Array[Byte] = {
         val out = mutable.ArrayBuffer.empty[Byte]
         out ++= "FHDB".getBytes("US-ASCII")
@@ -1075,82 +1252,92 @@ object Hdf5Writer {
       // with a candidate frhpAddr, recompute, repeat until stable
       // (an 8-byte field change moves sizes by at most a few bytes;
       // two rounds settle in practice, the loop is bounded anyway).
-      val base = pos
-      var frhpAddr = base
-      var rendered: Seq[Array[Byte]] = Nil
-      var storedSizes: Seq[Long] = Nil
-      var settled = false
-      var rounds = 0
-      while (!settled) {
-        rounds += 1
-        require(rounds <= 8, s"fractal heap $owner: filtered plan did not settle")
-        rendered = blocks.toSeq.map(blk => renderBlock(blk, frhpAddr))
-        storedSizes =
-          if (filtered) rendered.map(r => deflateBytes(r).length.toLong)
-          else blocks.toSeq.map(_.size)
-        val fhibEntry = if (filtered) 8 + 8 + 4 else 8
-        val fhibSize =
-          if (singleDirect) 0L
-          else (4 + 1 + 8 + 4 + curRows * W * fhibEntry + 4).toLong
-        val next = base + storedSizes.sum + fhibSize
-        if (next == frhpAddr) settled = true else frhpAddr = next
+      // child FHIBs to emit: every indirect node covering an allocated
+      // slot, POST-ORDER (children before parents — parents embed their
+      // addresses); the root FHIB is emitted last, after the children
+      val nBlocks = blocks.length
+      def usedIndirects(n: PNode): Seq[PIndirect] = n match {
+        case _: PDirect => Nil
+        case i: PIndirect =>
+          if (!directsUnder(i).exists(_.slot < nBlocks)) Nil
+          else i.entries.flatMap(usedIndirects) :+ i
       }
-      val blockAddrs = storedSizes.scanLeft(base)(_ + _).init
-      val fhibAddr = base + storedSizes.sum
+      val childIbs: Seq[PIndirect] =
+        if (singleDirect) Nil else rootEntries.flatMap(usedIndirects)
+      def fhibSizeOf(nrows: Int): Long = {
+        val nDirect = math.min(nrows, maxDirectRows) * W
+        val nInd = nrows * W - nDirect
+        val dEntry = if (filtered) 8 + 8 + 4 else 8
+        (4 + 1 + 8 + 4 + nDirect * dEntry + nInd * 8 + 4).toLong
+      }
+      val childSizes = childIbs.map(i => fhibSizeOf(i.nrows))
+      val rootIbSize = if (singleDirect) 0L else fhibSizeOf(curRows)
+
+      // the FRHP header is RESERVED at base and patched at the end, so
+      // its address is known before any FHDB renders — the r15 deflate
+      // fixpoint (stored sizes depend on the embedded header address,
+      // which depends on stored sizes) oscillated once nesting put
+      // hundreds of filtered blocks in play; with the header first the
+      // plan is single-pass
+      val base = pos
+      val frhpAddr = base
+      val headerLen = renderFrhpHeader(0L, 0L).length
+      put(zeros(headerLen))
+      val rendered = blocks.toSeq.map(blk => renderBlock(blk, frhpAddr))
+      val storedSizes =
+        if (filtered) rendered.map(r => deflateBytes(r).length.toLong)
+        else blocks.toSeq.map(_.size)
+      val blockAddrs = storedSizes.scanLeft(base + headerLen)(_ + _).init
+      val childAddrs: Map[Long, Long] = childIbs
+        .zip(childSizes.scanLeft(base + headerLen + storedSizes.sum)(_ + _)
+          .init)
+        .map { case (n, a) => n.off -> a }.toMap
+      val rootIbAddr = base + headerLen + storedSizes.sum + childSizes.sum
 
       rendered.zip(blockAddrs).foreach { case (raw, addr) =>
         val out = if (filtered) deflateBytes(raw) else raw
         require(put(out) == addr, "fractal heap address plan drift (block)")
       }
-      if (!singleDirect) {
+      // entry renderers: direct entries carry (stored size, mask) when
+      // filtered; INDIRECT entries are address-only in either mode
+      def renderFhib(off: Long, nrows: Int, entries: Seq[PNode])
+          : Array[Byte] = {
         val ib = mutable.ArrayBuffer.empty[Byte]
         ib ++= "FHIB".getBytes("US-ASCII")
         ib ++= b1(0)
         ib ++= b8(frhpAddr)
-        ib ++= b4(0) // root indirect block sits at heap offset 0
-        (0 until curRows * W).foreach { i =>
-          if (i < blocks.length) {
-            ib ++= b8(blockAddrs(i))
-            if (filtered) ib ++= b8(storedSizes(i)) ++ b4(0)
-          } else {
-            ib ++= Undef
-            if (filtered) ib ++= b8(0) ++ b4(0)
-          }
+        ib ++= b4(off)
+        entries.take(nrows * W).foreach {
+          case PDirect(slot, _, _) =>
+            if (slot < nBlocks) {
+              ib ++= b8(blockAddrs(slot))
+              if (filtered) ib ++= b8(storedSizes(slot)) ++ b4(0)
+            } else {
+              ib ++= Undef
+              if (filtered) ib ++= b8(0) ++ b4(0)
+            }
+          case pi: PIndirect =>
+            childAddrs.get(pi.off) match {
+              case Some(a) => ib ++= b8(a)
+              case None => ib ++= Undef
+            }
         }
         ib ++= b4(0)
-        require(put(ib.toArray) == fhibAddr, "fractal heap address plan drift (FHIB)")
+        ib.toArray
       }
-      val hd = mutable.ArrayBuffer.empty[Byte]
-      hd ++= "FRHP".getBytes("US-ASCII")
-      hd ++= b1(0)
-      hd ++= b2(heapIdLen)
-      hd ++= b2(pipelineMsg.length) // I/O filter info length (0 = none)
-      hd ++= b1(0) // flags: direct blocks not checksummed
-      hd ++= b4(maxDirect) // max size of managed objects
-      hd ++= b8(hugeRecs.length + 1L) // next huge object id
-      hd ++= (if (hugeRecs.isEmpty) Undef else b8(hugeBtAddr))
-      hd ++= b8(0) // free space
-      hd ++= Undef // free-space manager
-      val managed = blocks.map(_.size).sum
-      hd ++= b8(managed) // managed space
-      hd ++= b8(managed) // allocated managed space
-      hd ++= b8(managed) // iterator offset
-      hd ++= b8(managedCount) // managed object count
-      hd ++= b8(hugeRecs.map(_._2).sum) ++ b8(hugeRecs.length.toLong)
-      hd ++= b8(tinySize) ++ b8(tinyCount)
-      hd ++= b2(W)
-      hd ++= b8(S)
-      hd ++= b8(maxDirect)
-      hd ++= b2(32) // maximum heap size (bits) → 4-byte offsets
-      hd ++= b2(1) // starting rows in root indirect block
-      hd ++= b8(if (singleDirect) blockAddrs.head else fhibAddr)
-      hd ++= b2(curRows) // 0 = root is a direct block
-      if (filtered) {
-        if (singleDirect) hd ++= b8(storedSizes.head) ++ b4(0)
-        hd ++= pipelineMsg
+      childIbs.foreach { ci =>
+        require(put(renderFhib(ci.off, ci.nrows, ci.entries)) ==
+          childAddrs(ci.off), "fractal heap address plan drift (child FHIB)")
       }
-      hd ++= b4(0)
-      require(put(hd.toArray) == frhpAddr, "fractal heap address plan drift (FRHP)")
+      if (!singleDirect)
+        require(put(renderFhib(0L, curRows, rootEntries)) == rootIbAddr,
+          "fractal heap address plan drift (FHIB)")
+      val hd = renderFrhpHeader(
+        if (singleDirect) blockAddrs.head else rootIbAddr,
+        if (filtered && singleDirect) storedSizes.head else 0L)
+      require(hd.length == headerLen, "FRHP header length drift")
+      var hi = 0
+      while (hi < hd.length) { buf((base + hi).toInt) = hd(hi); hi += 1 }
       (frhpAddr, heapIds)
     }
 
@@ -1162,20 +1349,25 @@ object Hdf5Writer {
       * refusal — the worst failure class. */
     private def denseAttrMessage(owner: String, attrs: Seq[(String, Attr)],
                                  idExtra: Int = 0, filtered: Boolean = false,
-                                 shared: Boolean = false): (Int, Array[Byte]) = {
+                                 shared: Boolean = false,
+                                 sohm: Boolean = false): (Int, Array[Byte]) = {
       // shared (r15): the heap object is a committed Shared Message
       // (version 3, type 2) naming a standalone object header that
       // carries the real attribute message — the encoding the reader's
-      // shared-flag leg resolves
+      // shared-flag leg resolves. sohm (r16): a v3 TYPE-1 Shared
+      // Message instead — an 8-byte ID into the file-level SOHM heap
+      // (written up front by write()'s pre-pass)
       val bodies = attrs.map { case (nm, a) =>
         val msg = encodeAttr(nm, a)._2
-        if (!shared) nm -> msg
+        if (sohm) nm -> (b1(3) ++ b1(1) ++ sohmIdByBody.getOrElse(msg.toSeq,
+          sys.error(s"$owner: attribute $nm missing from the SOHM pre-pass")))
+        else if (!shared) nm -> msg
         else nm -> (b1(3) ++ b1(2) ++ b8(writeHeader(Seq((0x000C, msg)))))
       }
       val (frhpAddr, heapIds) = writeFractalHeap(
         s"$owner (attrs)", bodies.map(_._2), idLenBytes = 3, idExtra, filtered)
       val heapIdLen = 1 + 4 + 3 + idExtra
-      val flagByte = if (shared) 1 else 0
+      val flagByte = if (shared || sohm) 1 else 0
       val records = bodies.zip(heapIds).map { case ((nm, _), id) =>
         (lookup3(nm.getBytes("UTF-8")).toLong & 0xffffffffL, id)
       }.sortBy(_._1).map { case (h, id) =>
@@ -1189,9 +1381,10 @@ object Hdf5Writer {
     private def attrMessages(owner: String, attrs: Seq[(String, Attr)],
                              dense: Boolean, idExtra: Int = 0,
                              filtered: Boolean = false,
-                             shared: Boolean = false): Seq[(Int, Array[Byte])] =
+                             shared: Boolean = false,
+                             sohm: Boolean = false): Seq[(Int, Array[Byte])] =
       if (dense && attrs.nonEmpty)
-        Seq(denseAttrMessage(owner, attrs, idExtra, filtered, shared))
+        Seq(denseAttrMessage(owner, attrs, idExtra, filtered, shared, sohm))
       else attrs.map { case (nm, a) => encodeAttr(nm, a) }
 
     /** Dense-link group (libhdf5 1.8+ beyond 8 links): link-message
@@ -1221,7 +1414,7 @@ object Hdf5Writer {
       val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x0002, b1(0) ++ b1(0) ++ b8(frhpAddr) ++ b8(bthdAddr)))
       msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs,
-        g.heapIdExtra, g.heapFiltered, g.sharedAttrs)
+        g.heapIdExtra, g.heapFiltered, g.sharedAttrs, g.sohmAttrs)
       writeHeader(msgs.toSeq)
     }
 
@@ -1281,7 +1474,7 @@ object Hdf5Writer {
       val msgs = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
       msgs += ((0x0011, b8(btreeAddr) ++ b8(heapAddr)))
       msgs ++= attrMessages(g.name, g.attrs, g.denseAttrs,
-        g.heapIdExtra, g.heapFiltered, g.sharedAttrs)
+        g.heapIdExtra, g.heapFiltered, g.sharedAttrs, g.sohmAttrs)
       writeHeader(msgs.toSeq)
     }
   }

@@ -401,6 +401,66 @@ class Hdf5Spec extends AnyFunSuite {
     assert(L(g.attributes("small")).head == 5L)
   }
 
+  test("NESTED indirect fractal-heap blocks roundtrip (r16: beyond one level)") {
+    // ~700 managed bodies (~40 KB) overflow the 32 KB the direct rows
+    // of a W=4/S=256/maxDirect=4096 heap cover — rows >= 6 of the root
+    // indirect block then hold CHILD indirect blocks that restart the
+    // doubling table; before r16 this shape refused by name
+    val attrs = (0 until 700).map(i =>
+      f"an_$i%04d" -> (W.AttrStr(s"payload value number $i"): W.Attr))
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true)))
+    val g = root.group("entry").get
+    assert(g.attributes.size == 700)
+    for (i <- Seq(0, 95, 367, 511, 699)) {
+      assert(S(g.attributes(f"an_$i%04d")).head == s"payload value number $i")
+    }
+  }
+
+  test("NESTED indirect blocks compose with FILTERED heaps") {
+    // same overflow with deflate-filtered direct blocks: child FHIB
+    // entries carry (stored size, mask) for DIRECT children only —
+    // the variable-width entry walk is what this pins
+    val attrs = (0 until 650).map(i =>
+      f"zf_$i%04d" -> (W.AttrStr(s"compressible body $i " + "x" * 16): W.Attr))
+    val root = roundtrip(Seq(
+      W.Group("entry", Seq(W.scalarLong("n", 1L)),
+        attrs = attrs, denseAttrs = true, heapFiltered = true)))
+    val g = root.group("entry").get
+    assert(g.attributes.size == 650)
+    for (i <- Seq(1, 333, 649)) {
+      assert(S(g.attributes(f"zf_$i%04d")).head ==
+        s"compressible body $i " + "x" * 16)
+    }
+  }
+
+  test("SOHM-TABLE-RESIDENT shared attributes roundtrip (r16: v3 type 1)") {
+    // the file-level shared-message form: a v2 superblock's extension
+    // names an SMTB whose index points at the shared-message fractal
+    // heap; each dense record's heap object is a v3 TYPE-1 shared
+    // message carrying an 8-byte ID into that heap. Two groups SHARE
+    // identical attribute bodies — the dedup SOHM exists for — and one
+    // carries non-shared values too.
+    val shared = (0 until 10).map(i =>
+      f"c_$i%02d" -> (W.AttrStr(s"common $i"): W.Attr))
+    val own = Seq("mine" -> (W.AttrLong(42L): W.Attr))
+    val root = roundtrip(Seq(
+      W.Group("a", Seq(W.scalarLong("n", 1L)),
+        attrs = shared ++ own, denseAttrs = true, sohmAttrs = true),
+      W.Group("b", Seq(W.scalarLong("m", 2L)),
+        attrs = shared, denseAttrs = true, sohmAttrs = true)))
+    val ga = root.group("a").get
+    val gb = root.group("b").get
+    assert(ga.attributes.size == 11)
+    assert(gb.attributes.size == 10)
+    for (i <- 0 until 10) {
+      assert(S(ga.attributes(f"c_$i%02d")).head == s"common $i")
+      assert(S(gb.attributes(f"c_$i%02d")).head == s"common $i")
+    }
+    assert(L(ga.attributes("mine")).head == 42L)
+  }
+
   test("SHARED dense attributes resolve through committed shared messages") {
     val attrs = (0 until 12).flatMap { i =>
       Seq(f"sa_$i%02d" -> (W.AttrStr(s"shared $i"): W.Attr),
