@@ -811,6 +811,54 @@ object BenchScale {
           s"SQL-route bounds pruning regressed: planned $keptRange of $total")
         keptPoint * 1000000L + keptRange * 1000L + rows
       },
+      timed("iceberg_sql_write") {
+        // the SQL WRITE path at corpus scale (r16): INSERT INTO the
+        // registered bloom table inherits the persisted sort order and
+        // bloom columns — so a point probe on a row THE SQL ROUTE
+        // WROTE must still plan a handful of files through the bloom
+        // leg — and DELETE FROM must report and remove exactly its
+        // slice (COW cost ∝ the delta's files, never the table).
+        // Value encodes probeFiles * 1e9 + deleted.
+        import graft.plans.IcebergSqlAudit
+        val before = spark
+          .sql("SELECT count(*) AS c FROM bench_iceberg_docs")
+          .head().getLong(0)
+        val idBase = docs.agg(max(col("doc_id"))).head().getLong(0) +
+          1000000L
+        docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+          .select((col("doc_id") + idBase).as("doc_id"), col("text"),
+            pmod((col("doc_id") + idBase) * 2654435761L,
+              lit(10000000L)).as("ts"))
+          .createOrReplaceTempView("bench_iceberg_delta")
+        val nDelta = spark.table("bench_iceberg_delta").count()
+        spark.sql("""INSERT INTO bench_iceberg_docs
+                     SELECT doc_id, text, ts FROM bench_iceberg_delta""")
+        val after = spark
+          .sql("SELECT count(*) AS c FROM bench_iceberg_docs")
+          .head().getLong(0)
+        require(after == before + nDelta,
+          s"SQL INSERT lost rows: $before + $nDelta != $after")
+        val total = IcebergSqlAudit.scannedFiles(
+          spark.sql("SELECT * FROM bench_iceberg_docs"))
+        // probe a key KNOWN to be in the delta (the amplified corpus
+        // does not guarantee any particular raw doc_id exists)
+        val probeKey = spark.table("bench_iceberg_delta")
+          .agg(min(col("doc_id"))).head().getLong(0)
+        val probe = spark.sql("SELECT count(*) AS c FROM " +
+          s"bench_iceberg_docs WHERE doc_id = $probeKey")
+        val keptIns = IcebergSqlAudit.scannedFiles(probe)
+        require(probe.head().getLong(0) == 1L,
+          "SQL-inserted row lost from the point probe")
+        require(keptIns <= math.max(4, total / 8),
+          s"bloom inheritance regressed: planned $keptIns of $total " +
+            "for an SQL-inserted key")
+        val deleted = spark.sql(
+          s"DELETE FROM bench_iceberg_docs WHERE doc_id >= $idBase")
+          .head().getLong(0)
+        require(deleted == nDelta,
+          s"SQL DELETE removed $deleted of $nDelta delta rows")
+        keptIns * 1000000000L + deleted
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor

@@ -7132,6 +7132,86 @@ object QueryCatalog {
           ORDER BY adc DESC, neighbor_id) AS rank FROM scored)
       WHERE rank <= 5 ORDER BY probe_id, rank""")),
 
+    // INT8 scalar quantization LEDGER (ann/Quantize r16 — the 4x
+    // storage leg between fp32 and PQ's 32x: per-dimension symmetric
+    // int8 on the exact 1e7 integer substrate): per-dim max-|q|
+    // calibration, sign-split integer encode, and the exact
+    // reconstruction-error accounting. DuckDB rebuilds the scale
+    // vector, every code, and every |error| integer — the per-cohort
+    // ledger is a full cross-engine value check of the quantizer.
+    // Data-derived at any scale.
+    QueryDef("embed_int8", (s, d) => {
+      val em = t(s, d, "embeddings")
+      val scales = graft.ann.Quantize.int8CalibrateDims(em, "embedding", 64)
+      graft.ann.Quantize.int8EncodeDims(em, "vec_id", "embedding", scales)
+        .groupBy(pmod(col("vec_id"), lit(8)).as("cohort"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("abs_err")).as("sum_abs_err"),
+          max(array_max(col("codes"))).as("max_code"),
+          min(array_min(col("codes"))).as("min_code"))
+        .orderBy("cohort")
+    }, Some("""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT))
+          AS e
+        FROM embeddings),
+      cal AS (SELECT list(m ORDER BY d) AS c FROM (
+          SELECT t.d AS d,
+            GREATEST(CAST(1 AS BIGINT), max(abs(e[CAST(t.d AS INT)]))) AS m
+          FROM q, UNNEST(range(1, 65)) AS t(d) GROUP BY 1)),
+      enc AS (SELECT vec_id,
+          list_transform(generate_series(1, 64), i ->
+            CASE WHEN e[i] < 0 THEN -((-e[i]) * 127 // cal.c[i])
+                 ELSE (e[i] * 127) // cal.c[i] END) AS codes, e
+        FROM q, cal),
+      err AS (SELECT vec_id, codes,
+          CAST(list_sum(list_transform(generate_series(1, 64), i ->
+            abs(e[i] - (CASE WHEN codes[i] < 0
+              THEN -((-codes[i]) * cal.c[i] // 127)
+              ELSE (codes[i] * cal.c[i]) // 127 END)))) AS BIGINT)
+            AS abs_err
+        FROM enc, cal)
+      SELECT vec_id % 8 AS cohort,
+        CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(abs_err) AS BIGINT) AS sum_abs_err,
+        CAST(max(list_max(codes)) AS BIGINT) AS max_code,
+        CAST(min(list_min(codes)) AS BIGINT) AS min_code
+      FROM err GROUP BY 1 ORDER BY 1""")),
+
+    // INT8 DOT top-k (ann/Quantize.int8TopK r16 — the search the
+    // codes store serves, per-TENSOR scale so the integer dot is
+    // rank-faithful): every (probe, neighbor, dot8, rank) row is a
+    // cross-engine VALUE — DuckDB rebuilds the global scale, the
+    // codes, the dots, and the deterministic ranking. Composes with
+    // Pq.rerankExact for exact-recall deployments. Data-derived at
+    // any scale.
+    QueryDef("embed_int8_topk", (s, d) => {
+      val em = t(s, d, "embeddings")
+      val g = graft.ann.Quantize.int8CalibrateTensor(em, "embedding")
+      graft.ann.Quantize.int8TopK(em, em.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, scale = g)
+        .orderBy("probe_id", "rank")
+    }, Some("""
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE)*10000000.0 + 0.5) AS BIGINT))
+          AS e
+        FROM embeddings),
+      g AS (SELECT GREATEST(CAST(1 AS BIGINT),
+          max(list_max(list_transform(e, x -> abs(x))))) AS m FROM q),
+      c AS (SELECT vec_id, list_transform(e, x ->
+          CASE WHEN x < 0 THEN -((-x) * 127 // g.m)
+               ELSE (x * 127) // g.m END) AS cd
+        FROM q, g),
+      p AS (SELECT vec_id AS probe_id, cd AS pc FROM c WHERE vec_id < 5),
+      sc AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            i -> c.cd[i] * p.pc[i])) AS BIGINT) AS dot8
+        FROM c CROSS JOIN p WHERE c.vec_id <> p.probe_id)
+      SELECT probe_id, neighbor_id, dot8, CAST(rank AS BIGINT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY dot8 DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank <= 5 ORDER BY probe_id, rank""")),
+
     // ANN two-stage RERANK (ann/Pq.pqTopKPortableRerank r16 — the
     // production retrieval shape: cheap ADC shortlist, exact re-score
     // of the survivors): the ann_pq construction ranked 4x deeper,
