@@ -37,6 +37,7 @@ ALLOWED_IMPORT_ROOTS = (
 ALLOWED_ENV = {"SPARK_GRAFT_SF_DIR", "SPARK_GRAFT_CPUS", "SPARK_GRAFT_OUT",
                "SPARK_GRAFT_SCALE_DIR", "SPARK_GRAFT_SCALE_COPIES",
                "SPARK_GRAFT_SCALE_SKIP", "SPARK_GRAFT_SCALE_ONLY",
+               "SPARK_GRAFT_SCALE_FAST", "SPARK_GRAFT_WRITE_LOCAL",
                "SPARK_MASTER", "SPARK_DRIVER_MEM",
                "JAVA_HOME", "SPARK_HOME", "HOME", "PATH", "TMPDIR"}
 
