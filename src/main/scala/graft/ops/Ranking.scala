@@ -168,7 +168,7 @@ object Ranking {
     val tagged = ranged(df, col(keyCol) +: orderCols, n)
     // NUL sentinel keeps a null key addressable in the offset map (and
     // cannot collide: it is not a value cast-to-string produces)
-    def keyStr(v: Any): String = Option(v).map(_.toString).getOrElse(" ")
+    def keyStr(v: Any): String = Option(v).map(_.toString).getOrElse("\u0000")
     val totals = tagged.groupBy(col(Pid), col(keyCol))
       .agg(sum(col(srcCol).cast("long")).as("s"))
       .collect().map(r => (r.getInt(0), keyStr(r.get(1))) ->
@@ -187,7 +187,7 @@ object Ranking {
     val w = Window.partitionBy(col(Pid), col(keyCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lookupKey = concat(col(Pid).cast("string"), lit("|"),
-      coalesce(col(keyCol).cast("string"), lit(" ")))
+      coalesce(col(keyCol).cast("string"), lit("\u0000")))
     tagged.withColumn(as,
         sum(col(srcCol).cast("long")).over(w) +
           coalesce(element_at(typedLit(offsetMap), lookupKey), lit(0L)))

@@ -29,9 +29,14 @@ import graft.sources.IcebergLite
   *     ANSI store-assignment rule); anything else refuses with the
   *     column named. `PARTITION (...)` clauses refuse: partitioning is
   *     hidden (spec-derived), never writer-addressed.
-  *   - `INSERT OVERWRITE <name> <query>` → delete-all + append (two
-  *     snapshots: a `delete` then an `append`, both time-travelable —
-  *     the createOrReplace shape without losing table history).
+  *   - `INSERT OVERWRITE <name> <query>` → metadata-only truncate +
+  *     append (two snapshots: a `delete` with an EMPTY manifest list —
+  *     zero data files read or written — then an `append`, both
+  *     time-travelable — the createOrReplace shape without losing
+  *     table history). The source is materialized BEFORE the truncate,
+  *     so a self-referencing `OVERWRITE t SELECT ... FROM t` reads the
+  *     pre-write snapshot and a mid-scan source failure leaves the
+  *     table untouched.
   *   - `DELETE FROM <name> WHERE <cond>` → [[IcebergLite.deleteWhere]]
   *     (copy-on-write, default) or [[IcebergLite.deleteWhereMOR]]
   *     (position deletes) under `spark.graft.iceberg.deleteMode=mor`.
@@ -181,9 +186,21 @@ case class IcebergInsertCommand(name: String, tableDir: String,
             s"(${target.fieldNames.mkString(", ")}), got ${df0.schema.size}")
         df0.toDF(target.fieldNames: _*)
       }
-    val aligned = IcebergWriteAlign.byName(name, renamed.toDF(), target)
+    val aligned0 = IcebergWriteAlign.byName(name, renamed.toDF(), target)
+    // OVERWRITE pins the source BEFORE the table empties: a
+    // self-referencing `INSERT OVERWRITE t SELECT ... FROM t` must read
+    // the pre-write snapshot (the real Iceberg contract), and a source
+    // that fails mid-scan must not leave the table already truncated —
+    // localCheckpoint materializes the source rows eagerly, so the
+    // truncate below happens only after the source has fully evaluated.
+    val aligned =
+      if (overwrite) aligned0.localCheckpoint(eager = true) else aligned0
     if (overwrite && IcebergLite.tableRowCount(session, tableDir) > 0)
-      IcebergLite.deleteWhere(session, tableDir, lit(true))
+      // metadata-only: one empty-manifest-list snapshot drops every
+      // live file — zero data files read or written (deleteWhere(true)
+      // would scan the full table twice to produce nothing); history
+      // still time-travels to the pre-overwrite data
+      IcebergLite.truncateTable(session, tableDir)
     IcebergLite.appendSnapshot(session, aligned, tableDir,
       partitionBy = IcebergLite.tablePartitionSpec(session, tableDir))
     Seq.empty
@@ -233,22 +250,40 @@ case class IcebergMergeCommand(name: String, tableDir: String,
     Seq(AttributeReference("merged_keys", LongType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
+    // materialize the source ONCE: the key audit, the equality delete,
+    // and the final append must all see the same rows — a
+    // non-deterministic source (or one reading the target table)
+    // re-evaluated per consumer could delete one key set and append
+    // another, losing or duplicating rows
     val src = GraftPlanShim.ofRows(session, source)
+      .localCheckpoint(eager = true)
     val keys = src.select(pairs.map { case (t, s) =>
       col(s.mkString(".")).as(t)
     }: _*)
     // real MERGE refuses multiple source rows per key; silently
-    // appending duplicates would diverge from it
-    val (nKeys, nRows) = {
+    // appending duplicates would diverge from it. NULL merge keys are
+    // audited separately: countDistinct drops them (understating the
+    // distinct count with a misleading duplicate message), and a NULL
+    // key can never match under SQL equality anyway.
+    val (nKeys, nRows, nNullKeys) = {
+      val anyNull = keys.columns.map(col(_).isNull)
+        .reduce(_ || _)
       val r = keys.agg(countDistinct(struct_all(keys)).as("k"),
-        count(lit(1)).as("n")).head()
-      (r.getLong(0), r.getLong(1))
+        count(lit(1)).as("n"),
+        count(org.apache.spark.sql.functions.when(anyNull, 1)).as("nulls"))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    if (nKeys != nRows)
+    if (nNullKeys > 0)
       throw new IllegalArgumentException(
-        s"MERGE INTO $name: the source has ${nRows - nKeys} duplicate " +
-          "rows on the ON key — MERGE requires at most one source row " +
-          "per target row")
+        s"MERGE INTO $name: $nNullKeys source row(s) carry a NULL ON-key " +
+          "column — a NULL key matches no target row under SQL equality; " +
+          "filter them out (or fix the key) before merging")
+    if (nKeys != nRows - nNullKeys)
+      throw new IllegalArgumentException(
+        s"MERGE INTO $name: the source has ${nRows - nNullKeys - nKeys} " +
+          "duplicate rows on the ON key — MERGE requires at most one " +
+          "source row per target row")
     val n = IcebergLite.equalityDeleteMOR(session, tableDir, keys)
     if (upsert) {
       val target = IcebergLite.tableSchema(session, tableDir)

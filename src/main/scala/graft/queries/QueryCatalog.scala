@@ -3125,7 +3125,7 @@ object QueryCatalog {
       $chatTurnsSql,
       pieces AS (
         SELECT doc_id, idx, role, content,
-          CASE WHEN role = 'assistant' THEN content || '</s>'
+          CASE WHEN role = 'assistant' THEN ' ' || content || '</s>'
                ELSE '[INST] ' || content || ' [/INST]' END AS piece
         FROM turns),
       per_doc AS (

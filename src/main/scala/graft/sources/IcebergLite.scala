@@ -401,6 +401,103 @@ object IcebergLite {
       sortFiles = sortFiles, bloomFor = bloomFor)
   }
 
+  /** Create the table from a SCHEMA alone — snapshot 1 carries an empty
+    * manifest list, so the table reads back as zero rows of the
+    * declared shape and the first [[appendSnapshot]] stacks on it like
+    * any other commit. The plain `CREATE TABLE` (no AS SELECT) shape a
+    * catalog needs; metadata-only, no data IO. Overwrites any existing
+    * table dir (the createTable contract). */
+  def createEmptyTable(spark: SparkSession, schema: StructType,
+                       tableDir: String,
+                       partitionBy: Seq[String] = Nil,
+                       sortBy: Seq[String] = Nil,
+                       bloomFor: Seq[String] = Nil): Unit = {
+    val root = new Path(tableDir)
+    fs(spark, root).delete(root, true)
+    val reqSpec = partitionBy.map(IcebergTransforms.parse)
+    (reqSpec.map(_.sourceCol) ++ sortBy ++ bloomFor).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"column $c (partition/sort/bloom contract) not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    val (schemaJs, lastColumnId) = schemaJson(schema)
+    commit(spark, root, None, snapshotId = 1L, version = 1,
+      manifests = Seq.empty, schemaJs, lastColumnId,
+      specs = Seq(0 -> reqSpec), defaultSpecId = 0,
+      operation = "append", sortCols = sortBy,
+      props = if (bloomFor.nonEmpty)
+        Map(BloomColsProp -> bloomFor.mkString(",")) else Map.empty)
+  }
+
+  /** REPLACE the table's contents and contract WITHOUT losing history —
+    * the Iceberg `CREATE OR REPLACE TABLE` semantics (vs
+    * [[createTable]], which deletes the directory): one commit empties
+    * the manifest list and swaps in the new schema / partition spec /
+    * sort order / bloom contract (operation `replace`), then the data
+    * (if any) appends as the following snapshot. Every prior snapshot
+    * still time-travels. Schema identity: a new column whose (name,
+    * type) matches an existing one KEEPS its field id (old files read
+    * through it after time travel); anything else allocates fresh ids
+    * above last-column-id — the Iceberg REPLACE rule. Old partition
+    * specs are retained while their source columns survive the
+    * replace, so historical manifests keep resolving. */
+  def replaceTable(spark: SparkSession, tableDir: String,
+                   schema: StructType, df: Option[DataFrame],
+                   partitionBy: Seq[String] = Nil,
+                   sortBy: Seq[String] = Nil,
+                   sortFiles: Int = 0,
+                   bloomFor: Seq[String] = Nil): Unit = {
+    val root = new Path(tableDir)
+    val hint = new Path(new Path(root, "metadata"), "version-hint.text")
+    if (!fs(spark, root).exists(hint)) {
+      createEmptyTable(spark, schema, tableDir, partitionBy, sortBy, bloomFor)
+    } else {
+      val meta = readMeta(spark, tableDir)
+      val reqSpec = partitionBy.map(IcebergTransforms.parse)
+      (reqSpec.map(_.sourceCol) ++ sortBy ++ bloomFor).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"column $c (partition/sort/bloom contract) not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      // id-stable schema swap: same (name, type) reuses the old field's
+      // json subtree verbatim (id AND nested ids); new/changed columns
+      // allocate above the old last-column-id
+      val oldByName = meta.schemaNode.get("fields").elements().asScala
+        .map(f2 => f2.get("name").asText() -> f2).toMap
+      var id = meta.lastColumnId
+      val nextId = () => { id += 1; id }
+      val fieldJs = schema.fields.map { f =>
+        oldByName.get(f.name) match {
+          case Some(old) if sparkType(old.get("type")) == f.dataType =>
+            s"""{"id": ${old.get("id").asInt()}, "name": ${q(f.name)}, """ +
+              s""""required": ${!f.nullable}, "type": ${old.get("type")}}"""
+          case _ =>
+            val fid = nextId()
+            s"""{"id": $fid, "name": ${q(f.name)}, "required": ${!f.nullable}, """ +
+              s""""type": ${icebergTypeJson(f.dataType, nextId)}}"""
+        }
+      }
+      val schemaJs =
+        s"""{"type": "struct", "schema-id": 0, "fields": [${
+          fieldJs.mkString(", ")}]}"""
+      val retained = meta.specs.filter(_._2.forall(pf =>
+        schema.fieldNames.contains(pf.sourceCol)))
+      val (specs, defaultSpecId) = retained.find(_._2 == reqSpec) match {
+        case Some((sid, _)) => (retained, sid)
+        case None =>
+          val nid = meta.specs.map(_._1).max + 1
+          (retained :+ (nid -> reqSpec), nid)
+      }
+      commit(spark, root, Some(meta), meta.nextSnapshotId, meta.version + 1,
+        manifests = Seq.empty, schemaJs, id, specs, defaultSpecId,
+        operation = "replace", sortCols = sortBy,
+        props = if (bloomFor.nonEmpty)
+          Map(BloomColsProp -> bloomFor.mkString(",")) else Map.empty)
+    }
+    df.foreach { d =>
+      appendSnapshot(spark, d, tableDir, partitionBy, sortBy = sortBy,
+        sortFiles = sortFiles, bloomFor = bloomFor)
+    }
+  }
+
   /** Append one snapshot: write the batch's data files, a manifest over
     * them, a manifest list covering ALL live manifests, and the next
     * metadata version. First call on an empty dir creates the table.
@@ -1163,8 +1260,15 @@ object IcebergLite {
                 snapshotId: Option[Long] = None): DataFrame = {
     val meta = readMeta(spark, tableDir, snapshotId)
     val files = liveFileEntries(spark, meta)
-    require(files.nonEmpty, "table has no data files")
-    applyDeletes(spark, meta, readRaw(spark, meta, files))
+    // a snapshot with no live data files (fresh CREATE TABLE, a
+    // metadata-only truncate) reads as an EMPTY frame of the declared
+    // schema — refusing here would make every read-after-create and
+    // read-after-overwrite path special-case emptiness
+    if (files.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        declaredSchema(meta))
+    else applyDeletes(spark, meta, readRaw(spark, meta, files))
       .drop("__file", "__pos")
   }
 
@@ -1364,6 +1468,24 @@ object IcebergLite {
     * maintenance pass, out of scope). Returns the number of rows
     * deleted.
     */
+  /** Metadata-only TRUNCATE: commit a snapshot whose manifest list is
+    * empty — every live file drops in one KB-scale metadata write, ZERO
+    * data files are read or written (vs routing `DELETE WHERE true`
+    * through [[deleteWhere]], which scans the full table twice to
+    * produce nothing). History intact: prior snapshots still
+    * time-travel to the full data. Returns the manifest-accounted live
+    * row count that was dropped. */
+  def truncateTable(spark: SparkSession, tableDir: String): Long = {
+    val meta = readMeta(spark, tableDir)
+    val n = meta.manifests.filter(_.content == 0).map(_.totalRows).sum
+    commit(spark, new Path(tableDir), Some(meta), meta.nextSnapshotId,
+      meta.version + 1, manifests = Seq.empty, meta.schemaJs,
+      meta.lastColumnId, meta.specs, meta.defaultSpecId,
+      operation = "delete", sortCols = meta.sortOrderCols,
+      props = meta.props)
+    n
+  }
+
   def deleteWhere(spark: SparkSession,
                   tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
@@ -1371,7 +1493,7 @@ object IcebergLite {
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val files = liveFileEntries(spark, meta)
-    require(files.nonEmpty, "table has no data files")
+    if (files.isEmpty) return 0L // empty table: nothing to delete
 
     // one column-pruned scan finds the files containing LIVE matches
     // (merge-on-read deletes applied first — a row already deleted by
@@ -1478,7 +1600,7 @@ object IcebergLite {
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val files = liveFileEntries(spark, meta)
-    require(files.nonEmpty, "table has no data files")
+    if (files.isEmpty) return 0L // empty table: nothing to delete
     val snapshotId = meta.nextSnapshotId
     val delDir = new Path(root, s"data/deletes-s$snapshotId")
 
@@ -1549,7 +1671,20 @@ object IcebergLite {
     // delete landed before a checkpoint replay — no-op (the upsertSink
     // contract)
     if (commitKey.exists(k => hasCommitKey(meta, k))) return 0L
-    require(liveFileEntries(spark, meta).nonEmpty, "table has no data files")
+    if (liveFileEntries(spark, meta).isEmpty) {
+      // empty table: nothing to delete — but a keyed call (upsertSink's
+      // batch replay protection) must still RECORD its key, else a
+      // replayed batch would re-run this delete against the rows its
+      // own append landed and silently lose them
+      commitKey.foreach { _ =>
+        commit(spark, root, Some(meta), meta.nextSnapshotId,
+          meta.version + 1, meta.manifests, meta.schemaJs,
+          meta.lastColumnId, meta.specs, meta.defaultSpecId,
+          operation = "delete", commitKey = commitKey,
+          sortCols = meta.sortOrderCols, props = meta.props)
+      }
+      return 0L
+    }
     val declared = declaredSchema(meta)
     val keyCols = keys.schema.fieldNames.toSeq
     require(keyCols.nonEmpty, "equality delete needs at least one key column")

@@ -66,12 +66,14 @@ object Chat {
 
     /** Mistral instruction format: role names never render — user (and
       * system, which early Mistral releases fold into the instruction)
-      * turns wrap in `[INST] ... [/INST]`, assistant turns close with
-      * `</s>` (the published `<s>[INST] ... [/INST] answer</s>` shape,
-      * minus the tokenizer-level BOS). */
+      * turns wrap in `[INST] ... [/INST]`, assistant turns open with a
+      * single space and close with `</s>` (the published
+      * `<s>[INST] q [/INST] answer</s>` shape, minus the
+      * tokenizer-level BOS — the space between `[/INST]` and the reply
+      * is part of the template, so the generation prefix is `" "`). */
     val Mistral: Template = Template(
       rolePre = Map("user" -> "[INST] ", "system" -> "[INST] ",
-        "assistant" -> ""),
+        "assistant" -> " "),
       rolePost = Map("user" -> " [/INST]", "system" -> " [/INST]",
         "assistant" -> "</s>"))
   }

@@ -147,9 +147,26 @@ object Packing {
     * inside one sequence, sequences 0-based in bin-open order. One
     * shuffle (the per-class rank window); placement itself is
     * arithmetic against the broadcast class table. */
+  /** Largest accepted sequence length: the histogram folds allocate
+    * O(maxTokens) driver state (bfdFold a dense capacity array), so an
+    * absurd value (a token COUNT passed where a sequence LENGTH goes)
+    * must refuse loudly instead of allocating gigabytes or overflowing
+    * the array size. 16M tokens covers every published context length
+    * with an order of magnitude to spare. */
+  val MaxSeqTokens: Long = 1L << 24
+
+  private def checkMaxTokens(maxTokens: Long): Unit = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(maxTokens <= MaxSeqTokens,
+      s"maxTokens=$maxTokens exceeds the $MaxSeqTokens sequence-length " +
+        "bound — the packing folds hold O(maxTokens) driver state; a " +
+        "value this large is almost certainly a corpus token count " +
+        "passed where the per-sequence length belongs")
+  }
+
   def packWholeDocs(docs: DataFrame, idCol: String, nTokensCol: String,
                     maxTokens: Long): DataFrame = {
-    require(maxTokens > 0, "maxTokens must be positive")
+    checkMaxTokens(maxTokens)
     val spark = docs.sparkSession
     val p = pieces(docs, idCol, nTokensCol, maxTokens).localCheckpoint()
     val (classes, _) = nfdFold(histogram(p), maxTokens)
@@ -178,7 +195,7 @@ object Packing {
     * (`n_seqs * maxTokens - total`) and never straddle. */
   def packEfficiency(docs: DataFrame, idCol: String, nTokensCol: String,
                      maxTokens: Long): DataFrame = {
-    require(maxTokens > 0, "maxTokens must be positive")
+    checkMaxTokens(maxTokens)
     val spark = docs.sparkSession
     val p = pieces(docs, idCol, nTokensCol, maxTokens).localCheckpoint()
     val hist = histogram(p)

@@ -103,6 +103,49 @@ class IcebergSqlWriteSpec extends SparkSuite {
       .head().getLong(0) === 10L)
   }
 
+  test("INSERT OVERWRITE truncates metadata-only: zero Spark jobs read the old data") {
+    val (name, dir) = freshTable()
+    // the truncate leg itself must launch NO Spark job at all (an
+    // empty-manifest-list snapshot is a KB-scale metadata write); pin
+    // it on the API primitive the command routes through
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dropped = IcebergLite.truncateTable(spark, dir)
+      // listener delivery is async — poll briefly for any stray job
+      var spins = 0
+      while (jobs == 0 && spins < 10) { spins += 1; Thread.sleep(50) }
+      assert(dropped === 10L)
+      assert(jobs === 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the table reads back empty; history still time-travels
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 0L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+    // an append after the truncate stacks normally
+    spark.sql(s"INSERT INTO $name VALUES (50, 'a', 500)")
+    assert(spark.sql(s"SELECT sum(n) AS s FROM $name").head().getLong(0)
+      === 500L)
+  }
+
+  test("INSERT OVERWRITE self-reference reads the pre-write snapshot") {
+    val (name, _) = freshTable()
+    // the advice scenario: OVERWRITE t SELECT ... FROM t must transform
+    // the table's own contents, not read the post-truncate emptiness
+    spark.sql(
+      s"INSERT OVERWRITE $name SELECT id + 100, lang, n + 1000 FROM $name")
+    val got = spark.sql(s"SELECT count(*) AS c, sum(id) AS si FROM $name")
+      .head()
+    assert(got.getLong(0) === 10L)
+    assert(got.getLong(1) === (1 to 10).map(_ + 100L).sum)
+  }
+
   test("DELETE FROM: copy-on-write default, qualified WHERE, count returned") {
     val (name, _) = freshTable()
     val deleted = spark
@@ -165,6 +208,19 @@ class IcebergSqlWriteSpec extends SparkSuite {
                     WHEN MATCHED THEN DELETE""")
     }
     assert(eDup.getMessage.contains("duplicate"))
+  }
+
+  test("MERGE refuses NULL ON-key source rows with their own message") {
+    val (name, _) = freshTable()
+    Seq((Some(5L), "x", 50L), (None, "y", 60L))
+      .toDF("id", "lang", "n").createOrReplaceTempView("sqlw_null_src")
+    val eNull = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name t USING sqlw_null_src s ON t.id = s.id
+                    WHEN MATCHED THEN UPDATE SET *
+                    WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(eNull.getMessage.contains("NULL ON-key"))
+    assert(!eNull.getMessage.contains("duplicate"))
   }
 
   test("MERGE refusals: conditional actions, non-equality ON") {

@@ -1402,4 +1402,69 @@ class IcebergLiteSpec extends SparkSuite {
       Seq(IcebergLite.EqTo("s", "v1")))
     assert(keptS <= 2, s"string bloom leg lost: kept $keptS")
   }
+  test("createEmptyTable: schema-only create reads empty, first append stacks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceb_empty")
+      .toString + "/t"
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("lang", StringType), StructField("n", LongType)))
+    IcebergLite.createEmptyTable(spark, schema, dir,
+      partitionBy = Seq("lang"), sortBy = Seq("id"), bloomFor = Seq("id"))
+    // reads back as zero rows OF THE DECLARED SHAPE
+    val empty = IcebergLite.readTable(spark, dir)
+    assert(empty.count() === 0L)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "lang", "n"))
+    assert(IcebergLite.tableRowCount(spark, dir) === 0L)
+    // the contract persisted at create governs the first append
+    assert(IcebergLite.tablePartitionSpec(spark, dir) === Seq("lang"))
+    assert(IcebergLite.tableSortOrder(spark, dir) === Seq("id"))
+    IcebergLite.appendSnapshot(spark,
+      (1 to 6).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 10L))
+        .toDF("id", "lang", "n"),
+      dir, partitionBy = Seq("lang"))
+    assert(IcebergLite.readTable(spark, dir).count() === 6L)
+    // snapshot 1 (the empty create) still time-travels
+    assert(IcebergLite.readTable(spark, dir, Some(1L)).count() === 0L)
+    // contract refusal: a partition column absent from the schema
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.createEmptyTable(spark, schema, dir + "2",
+        partitionBy = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("replaceTable keeps history: truncate + schema swap + append in-chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceb_repl")
+      .toString + "/t"
+    val v1 = (1 to 8).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 10L))
+      .toDF("id", "lang", "n")
+    IcebergLite.createTable(spark, v1, dir, partitionBy = Seq("lang"),
+      sortBy = Seq("id"), bloomFor = Seq("id"))
+    // replace with a DIFFERENT schema (drop n, add score) + new contract
+    val v2 = (1 to 4).map(i => (i.toLong, "c", i * 1.5)).toDF("id", "lang", "score")
+    IcebergLite.replaceTable(spark, dir, v2.schema, Some(v2),
+      partitionBy = Seq("lang"), sortBy = Seq("id"))
+    val now = IcebergLite.readTable(spark, dir)
+    assert(now.schema.fieldNames.toSeq === Seq("id", "lang", "score"))
+    assert(now.count() === 4L)
+    // history: snapshot 1 (pre-replace) still reads the ORIGINAL data
+    assert(IcebergLite.readTable(spark, dir, Some(1L)).count() === 8L)
+    // id stability: `id`/`lang` kept their field ids across the replace
+    // (same name+type), so the pre-replace snapshot's files still
+    // resolve those columns by id
+    assert(IcebergLite.readTable(spark, dir, Some(1L))
+      .agg(sum(col("id"))).head().getLong(0) === (1 to 8).map(_.toLong).sum)
+    // the new contract persisted
+    assert(IcebergLite.tablePartitionSpec(spark, dir) === Seq("lang"))
+    assert(IcebergLite.tableSortOrder(spark, dir) === Seq("id"))
+    // a second append under the new shape stacks normally
+    IcebergLite.appendSnapshot(spark,
+      Seq((9L, "d", 9.5)).toDF("id", "lang", "score"), dir,
+      partitionBy = Seq("lang"))
+    assert(IcebergLite.readTable(spark, dir).count() === 5L)
+    // replace on a MISSING table degrades to create
+    val dir2 = dir + "_fresh"
+    IcebergLite.replaceTable(spark, dir2, v2.schema, Some(v2))
+    assert(IcebergLite.readTable(spark, dir2).count() === 4L)
+  }
 }

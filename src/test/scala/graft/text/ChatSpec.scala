@@ -372,13 +372,13 @@ class ChatSpec extends SparkSuite {
     assert(l3g === l3 + "<|start_header_id|>assistant<|end_header_id|>\n\n")
     val mi = Chat.render(t, "doc", "idx", "role", "content",
       Chat.Template.Mistral).select("rendered").as[String].head()
-    assert(mi === "[INST] be brief [/INST][INST] hi [/INST]hello</s>")
-    // Mistral's generation prefix is empty (the assistant continues
-    // directly after [/INST])
+    assert(mi === "[INST] be brief [/INST][INST] hi [/INST] hello</s>")
+    // Mistral's generation prefix is the single space the published
+    // template places between [/INST] and the assistant's reply
     val mig = Chat.render(t, "doc", "idx", "role", "content",
       Chat.Template.Mistral, addGenerationPrompt = true)
       .select("rendered").as[String].head()
-    assert(mig === mi)
+    assert(mig === mi + " ")
   }
 
   test("template presets: loss-span extraction identity under every preset") {
