@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{Pq, Similarity}
+import graft.ann.{Pq, Quantize, Similarity}
 import graft.dedup.Dedup
 import graft.ops.Selection
 import graft.pipelines.TrainingDataPipeline
@@ -1188,6 +1188,34 @@ object BenchScale {
           s"""{"variant":"ivf","config":"nLists=64,nProbe=8","scanned_rows":$ic8,"recall_pct":$ivf8,"bytes_per_vector":256},""" +
           s"""{"variant":"ivfpq","config":"m=8,kSub=256,nLists=64,nProbe=16,learned,rerank=$sl16","scanned_rows":$ic16,"recall_pct":$rr16,"bytes_per_vector":8}]"""
         lsh8 * 1000 + ivf8 + rr16 * 1000000
+      },
+      timed("ann_int8_rerank") {
+        // INT8 leg of the deployment curve (r16 verdict task 4): the
+        // 64 B/vector operating point between full fp32 (256 B) and PQ
+        // codes (8 B) — per-TENSOR int8 quantization (the rank-faithful
+        // calibration), a brute int8-dot scan for a 2x-deep shortlist,
+        // then exact rerank of the survivors. Same cross-base ground
+        // truth as every other curve point. Expectation on the record:
+        // the int8 scan visits every row (scanned_rows = corpus x
+        // probes, the brute dial) but at 1/4 the bytes of fp32 LSH with
+        // near-exact recall — the memory-axis point a 10^11-vector
+        // deployment prices first.
+        if (annExact == null) {
+          annExact = crossBaseTop10(Similarity.bruteForceTopK(em, annProbes,
+            "vec_id", "embedding", k = annKk)).localCheckpoint()
+          annTruth = annExact.count()
+        }
+        val scale8 = Quantize.int8CalibrateTensor(em, "embedding")
+        val sl8 = annKk * 2
+        val short8 = Quantize.int8TopK(em, annProbes, "vec_id", "embedding",
+          k = sl8, scale = scale8)
+        val rr8 = annRecallPct(Pq.rerankExact(short8, em, annProbes,
+          "vec_id", "embedding", k = annKk))
+        val cost8 = em.count() * annProbes.count()
+        if (annCurve.nonEmpty)
+          annCurve = annCurve.dropRight(1) + "," +
+            s"""{"variant":"int8","config":"per-tensor,brute,rerank=$sl8","scanned_rows":$cost8,"recall_pct":$rr8,"bytes_per_vector":64}]"""
+        rr8
       },
       timed("ann_pq_points") {
         // PQ operating points at the 200k corpus — the MEMORY axis the

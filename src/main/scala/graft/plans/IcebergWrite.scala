@@ -1,12 +1,14 @@
 package graft.plans
 
-import org.apache.spark.sql.{GraftColumnShim, GraftPlanShim, Row, SparkSession}
+import org.apache.spark.sql.{Column, GraftColumnShim, GraftPlanShim, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, max, when}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.sources.IcebergLite
 
@@ -37,22 +39,40 @@ import graft.sources.IcebergLite
   *     so a self-referencing `OVERWRITE t SELECT ... FROM t` reads the
   *     pre-write snapshot and a mid-scan source failure leaves the
   *     table untouched.
+  *   - `TRUNCATE TABLE <name>` → [[IcebergLite.truncateTable]] — the
+  *     metadata-only empty-manifest-list snapshot (zero data IO),
+  *     returning the dropped-row count.
   *   - `DELETE FROM <name> WHERE <cond>` → [[IcebergLite.deleteWhere]]
   *     (copy-on-write, default) or [[IcebergLite.deleteWhereMOR]]
   *     (position deletes) under `spark.graft.iceberg.deleteMode=mor`.
   *     Returns the deleted-row count as the command result.
-  *   - `MERGE INTO <name> t USING <src> s ON t.k = s.k ...` for the two
-  *     shapes the table format has native machinery for:
-  *     UPSERT (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-  *     INSERT *`) → [[IcebergLite.equalityDeleteMOR]] on the source
-  *     keys followed by an append of the full source (sequence
-  *     semantics: the re-appended rows postdate the delete and
-  *     survive — the documented upsert composition), and KEYED DELETE
-  *     (`WHEN MATCHED THEN DELETE`) → the equality delete alone.
+  *   - `UPDATE <name> SET c = expr, ... [WHERE p]` →
+  *     [[IcebergLite.updateWhere]]: copy-on-write — ONLY the files
+  *     containing matching rows rewrite (untouched files carry by
+  *     reference), assignment expressions read the PRE-update row
+  *     (simultaneous assignment), and partition/sort-column updates
+  *     re-cluster the rewritten rows under the table contract. Returns
+  *     the updated-row count.
+  *   - `MERGE INTO <name> t USING <src> s ON t.k = s.k ...` in its
+  *     GENERAL conditional form: any ordered mix of
+  *     `WHEN MATCHED [AND c] THEN UPDATE SET *|assignments` /
+  *     `WHEN MATCHED [AND c] THEN DELETE` and
+  *     `WHEN NOT MATCHED [AND c] THEN INSERT *|assignments` (first
+  *     satisfied clause wins, per the SQL rule; partial assignments
+  *     keep the target's other columns, unassigned INSERT columns are
+  *     NULL). Execution composes the table format's native machinery:
+  *     the matched frame (target ⋈ source on the ON keys, ONE shuffle)
+  *     computes each row's outcome, keys with at least one affected row
+  *     equality-delete ([[IcebergLite.equalityDeleteMOR]]), and the
+  *     surviving/updated/inserted rows re-append — sequence semantics
+  *     make the re-appended rows postdate the delete. Both frames are
+  *     materialized BEFORE the delete commits, so the source and the
+  *     target are read exactly once from the pre-merge snapshot.
   *     Duplicate source keys refuse (real MERGE errors on multiple
-  *     matches; silently appending both would diverge from it).
-  *     Conditional/partial-assignment actions refuse with a message
-  *     naming the supported shapes.
+  *     matches); NULL source keys refuse with their own message;
+  *     `WHEN NOT MATCHED BY SOURCE` and schema evolution refuse.
+  *     Returns the count of source rows that took effect (updated +
+  *     deleted + inserted coverage).
   *
   * 100 TB shape: nothing here adds a driver-side pass — the writes ARE
   * the existing distributed appendSnapshot/delete machinery; the
@@ -81,6 +101,35 @@ object IcebergWriteRewrite {
             ExprBox(stripQualifier(condition, aliasesOf(rel, name))))
         case None => plan
       }
+    case UpdateTable(rel, assignments, condition) =>
+      registered(spark, rel) match {
+        case Some((name, dir)) =>
+          val quals = aliasesOf(rel, name)
+          val assigns = assignments.map { a =>
+            val key = a.key match {
+              case ua: UnresolvedAttribute if ua.nameParts.size == 1 =>
+                ua.nameParts.head
+              case ua: UnresolvedAttribute
+                  if ua.nameParts.size == 2 &&
+                    quals.contains(ua.nameParts.head) =>
+                ua.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"UPDATE $name: SET target ${other.sql} is not a column " +
+                  "of the table")
+            }
+            key -> ExprBox(stripQualifier(a.value, quals))
+          }
+          IcebergUpdateCommand(name, dir, assigns,
+            condition.map(c => ExprBox(stripQualifier(c, quals))))
+        case None => plan
+      }
+    case TruncateTable(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable) =>
+      // TRUNCATE wraps an UnresolvedTable (an analysis node, not a
+      // relation) — resolve its name through the same two routes
+      byIdentifier(spark, u.multipartIdentifier) match {
+        case Some((name, dir)) => IcebergTruncateCommand(name, dir)
+        case None => plan
+      }
     case m: MergeIntoTable =>
       registered(spark, m.targetTable) match {
         case Some((name, dir)) => mergeCommand(name, dir, m)
@@ -89,33 +138,72 @@ object IcebergWriteRewrite {
     case _ => plan
   }
 
-  /** The (registered-name, table-dir) of a single-part relation name
-    * registered through the Iceberg catalog route, seen through any
-    * alias. */
+  /** The (registered-name, table-dir) of a relation name this rewrite
+    * owns, seen through any alias: a single-part name registered via
+    * [[graft.Catalog.registerIcebergTable]], or a catalog-qualified
+    * name under a configured [[graft.sources.GraftTableCatalog]]
+    * (`<cat>.<table>` / `<cat>.<ns>.<table>`) — UPDATE and MERGE have
+    * no native V2 path without SupportsRowLevelOperations, so catalog
+    * names route through the SAME commands as registered views. */
   private def registered(spark: SparkSession,
                          plan: LogicalPlan): Option[(String, String)] =
     plan match {
       case u: UnresolvedRelation if u.multipartIdentifier.size == 1 =>
         val n = u.multipartIdentifier.head
         IcebergSqlTables.get(spark, n).map(dir => (n, dir))
+      case u: UnresolvedRelation if u.multipartIdentifier.size <= 3 =>
+        graftCatalogDir(spark, u.multipartIdentifier.head,
+          u.multipartIdentifier.tail)
+          .map(dir => (u.multipartIdentifier.mkString("."), dir))
       case SubqueryAlias(_, child) => registered(spark, child)
       case _ => None
     }
 
+  /** A bare multipart identifier through the same two routes
+    * [[registered]] resolves relations by. */
+  private def byIdentifier(spark: SparkSession,
+                           parts: Seq[String]): Option[(String, String)] =
+    parts match {
+      case Seq(n) => IcebergSqlTables.get(spark, n).map(dir => (n, dir))
+      case _ if parts.size <= 3 =>
+        graftCatalogDir(spark, parts.head, parts.tail)
+          .map(dir => (parts.mkString("."), dir))
+      case _ => None
+    }
+
+  /** The table dir of `<cat>.<path...>` when `<cat>` is configured as a
+    * [[graft.sources.GraftTableCatalog]] and the table exists. */
+  private def graftCatalogDir(spark: SparkSession, cat: String,
+                              path: Seq[String]): Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$cat")
+      .filter(_ == classOf[graft.sources.GraftTableCatalog].getName)
+      .flatMap(_ => spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse"))
+      .map(w => (w +: path).mkString("/"))
+      .filter { dir =>
+        val hint = new org.apache.hadoop.fs.Path(dir,
+          "metadata/version-hint.text")
+        hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hint)
+      }
+
   /** Table name + any alias wrapped around the relation — the
-    * qualifiers a WHERE may legally carry. */
+    * qualifiers a WHERE may legally carry. For catalog-qualified names
+    * both the full dotted name and the bare table name qualify. */
   private def aliasesOf(rel: LogicalPlan, name: String): Set[String] =
     rel match {
-      case SubqueryAlias(id, _) => Set(name, id.name)
-      case _ => Set(name)
+      case SubqueryAlias(id, _) => Set(name, name.split('.').last, id.name)
+      case _ => Set(name, name.split('.').last)
     }
 
   /** `t.x` → `x` for qualifiers naming the target table (the pruned
-    * read the predicate later resolves against carries no alias). */
+    * read the predicate later resolves against carries no alias);
+    * multi-part qualifiers (`cat.tbl.x`, `cat.ns.tbl.x`) strip when
+    * their dotted prefix names the table. */
   private def stripQualifier(e: Expression, quals: Set[String]): Expression =
     e.transformUp {
       case ua: UnresolvedAttribute
-          if ua.nameParts.size == 2 && quals.contains(ua.nameParts.head) =>
+          if ua.nameParts.size >= 2 &&
+            quals.contains(ua.nameParts.init.mkString(".")) =>
         UnresolvedAttribute(Seq(ua.nameParts.last))
     }
 
@@ -123,20 +211,58 @@ object IcebergWriteRewrite {
                            m: MergeIntoTable): LogicalPlan = {
     def unsupported(why: String): Nothing =
       throw new IllegalArgumentException(
-        s"MERGE INTO $name: $why. Supported shapes: " +
-          "ON <conjunction of t.col = s.col> with either " +
-          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
-          "(upsert) or WHEN MATCHED THEN DELETE (keyed delete), " +
-          "unconditional, no schema evolution")
+        s"MERGE INTO $name: $why. Supported: ON <conjunction of " +
+          "t.col = s.col>, any ordered mix of WHEN MATCHED [AND c] THEN " +
+          "UPDATE SET *|assignments / DELETE and WHEN NOT MATCHED [AND c] " +
+          "THEN INSERT *|assignments; no NOT MATCHED BY SOURCE, no " +
+          "schema evolution")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE actions")
-    val upsert = (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) => true
-      case (Seq(DeleteAction(None)), Seq()) => false
-      case _ => unsupported("this WHEN-action combination")
-    }
+    if (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty)
+      unsupported("no WHEN clauses")
     val targetQuals = aliasesOf(m.targetTable, name)
+    // the INNERMOST visible qualifier of each side (an alias hides the
+    // table name, per SQL scoping)
+    val targetQual = m.targetTable match {
+      case SubqueryAlias(id, _) => id.name
+      case _ => name
+    }
+    val sourceQual = m.sourceTable match {
+      case SubqueryAlias(id, _) => id.name
+      case u: UnresolvedRelation => u.multipartIdentifier.last
+      case _ => unsupported("the source relation needs an alias " +
+        "(`USING (...) s`)")
+    }
+    def keyName(e: Expression): String = e match {
+      case ua: UnresolvedAttribute if ua.nameParts.size == 1 =>
+        ua.nameParts.head
+      case ua: UnresolvedAttribute
+          if ua.nameParts.size == 2 && targetQuals.contains(ua.nameParts.head) =>
+        ua.nameParts.last
+      case other =>
+        unsupported(s"assignment target ${other.sql} is not a target column")
+    }
+    def boxAssigns(assigns: Seq[Assignment]): Seq[(String, ExprBox)] = {
+      val named = assigns.map(a => keyName(a.key) -> ExprBox(a.value))
+      val dup = named.map(_._1).diff(named.map(_._1).distinct).distinct
+      if (dup.nonEmpty)
+        unsupported(s"duplicate assignment to ${dup.mkString(", ")}")
+      named
+    }
+    val matched: Seq[MergeMatched] = m.matchedActions.map {
+      case UpdateStarAction(c) => MergeUpdate(c.map(ExprBox), None)
+      case UpdateAction(c, assigns, _) =>
+        MergeUpdate(c.map(ExprBox), Some(boxAssigns(assigns)))
+      case DeleteAction(c) => MergeDelete(c.map(ExprBox))
+      case other => unsupported(s"matched action $other")
+    }
+    val notMatched: Seq[MergeInsert] = m.notMatchedActions.map {
+      case InsertStarAction(c) => MergeInsert(c.map(ExprBox), None)
+      case InsertAction(c, assigns) =>
+        MergeInsert(c.map(ExprBox), Some(boxAssigns(assigns)))
+      case other => unsupported(s"not-matched action $other")
+    }
     // ON: a conjunction of target-col = source-col equalities; each
     // side must carry a qualifier so the pairing is unambiguous
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -158,8 +284,11 @@ object IcebergWriteRewrite {
         unsupported(s"ON conjunct ${other.sql} is not a qualified " +
           "column equality")
     }
-    IcebergMergeCommand(name, dir, m.sourceTable, pairs, upsert)
+    IcebergMergeCommand(name, dir, m.targetTable, m.sourceTable,
+      targetQual, sourceQual, ExprBox(m.mergeCondition), pairs,
+      matched, notMatched)
   }
+
 }
 
 /** `INSERT INTO` / `INSERT OVERWRITE` over a registered IcebergLite
@@ -216,6 +345,18 @@ case class IcebergInsertCommand(name: String, tableDir: String,
   * the table's own scan. */
 final case class ExprBox(e: Expression)
 
+/** `TRUNCATE TABLE <name>` — the metadata-only empty-manifest-list
+  * snapshot ([[IcebergLite.truncateTable]]): every live file drops in
+  * one KB-scale metadata write, zero data files read; history still
+  * time-travels. Result is the manifest-accounted dropped-row count. */
+case class IcebergTruncateCommand(name: String, tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("dropped_rows", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(IcebergLite.truncateTable(session, tableDir)))
+}
+
 /** `DELETE FROM <name> WHERE <cond>` — copy-on-write by default,
   * merge-on-read under `spark.graft.iceberg.deleteMode=mor`. The
   * command's result set is the deleted-row count. */
@@ -237,41 +378,86 @@ case class IcebergDeleteCommand(name: String, tableDir: String,
   }
 }
 
-/** `MERGE INTO` upsert / keyed delete — see [[IcebergWriteRewrite]].
-  * `pairs` maps each target key column to the source-side qualified
-  * name it equates to in the ON clause. */
+/** One `WHEN MATCHED` clause: UPDATE (with `None` assignments = the
+  * `SET *` by-name star) or DELETE, each optionally conditional. */
+sealed trait MergeMatched { def cond: Option[ExprBox] }
+final case class MergeUpdate(cond: Option[ExprBox],
+                             assigns: Option[Seq[(String, ExprBox)]])
+    extends MergeMatched
+final case class MergeDelete(cond: Option[ExprBox]) extends MergeMatched
+/** One `WHEN NOT MATCHED` clause (`None` assignments = `INSERT *`). */
+final case class MergeInsert(cond: Option[ExprBox],
+                             assigns: Option[Seq[(String, ExprBox)]])
+
+/** `UPDATE <name> SET ... [WHERE p]` — copy-on-write through
+  * [[IcebergLite.updateWhere]]; result is the updated-row count. */
+case class IcebergUpdateCommand(name: String, tableDir: String,
+                                assigns: Seq[(String, ExprBox)],
+                                condition: Option[ExprBox])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("updated_rows", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val pred = condition.map(b => GraftColumnShim.column(b.e))
+      .getOrElse(lit(true))
+    val n = IcebergLite.updateWhere(session, tableDir, pred,
+      assigns.map { case (k, b) => k -> GraftColumnShim.column(b.e) })
+    Seq(Row(n))
+  }
+}
+
+/** General conditional `MERGE INTO` — see [[IcebergWriteRewrite]] for
+  * the contract. `pairs` maps each target ON-key column to the
+  * source-side qualified name it equates to. Result is the count of
+  * source rows that took effect (updated + deleted + inserted).
+  *
+  * 100 TB shape: one shuffle join (target ⋈ source on the ON keys), one
+  * key-partitioned window over the matched frame, one anti join for the
+  * inserts — no driver-side data pass; the two frames materialize via
+  * localCheckpoint BEFORE the equality-delete commits so every read
+  * sees the pre-merge snapshot exactly once. */
 case class IcebergMergeCommand(name: String, tableDir: String,
-                               source: LogicalPlan,
+                               targetRel: LogicalPlan, source: LogicalPlan,
+                               targetQual: String, sourceQual: String,
+                               mergeCond: ExprBox,
                                pairs: Seq[(String, Seq[String])],
-                               upsert: Boolean)
+                               matched: Seq[MergeMatched],
+                               notMatched: Seq[MergeInsert])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("merged_keys", LongType, nullable = false)())
 
+  private def tcol(n: String) = col(s"`$targetQual`.`$n`")
+  private def scol(n: String) = col(s"`$sourceQual`.`$n`")
+  private def condOf(c: Option[ExprBox]): Column =
+    c.map(b => coalesce(GraftColumnShim.column(b.e), lit(false)))
+      .getOrElse(lit(true))
+
   override def run(session: SparkSession): Seq[Row] = {
-    // materialize the source ONCE: the key audit, the equality delete,
-    // and the final append must all see the same rows — a
-    // non-deterministic source (or one reading the target table)
-    // re-evaluated per consumer could delete one key set and append
-    // another, losing or duplicating rows
-    val src = GraftPlanShim.ofRows(session, source)
+    // materialize the source ONCE: the key audit, the matched frame,
+    // the anti join, and the equality delete must all see the same
+    // rows (a non-deterministic source re-evaluated per consumer could
+    // delete one key set and append another)
+    val srcMat = GraftPlanShim.ofRows(session, source)
       .localCheckpoint(eager = true)
-    val keys = src.select(pairs.map { case (t, s) =>
-      col(s.mkString(".")).as(t)
+    val srcPlan = SubqueryAlias(sourceQual,
+      GraftPlanShim.analyzedPlan(srcMat))
+    val srcAliased = GraftPlanShim.ofRows(session, srcPlan)
+    val keys = srcAliased.select(pairs.map { case (t, s) =>
+      col(s.map(p => s"`$p`").mkString(".")).as(t)
     }: _*)
-    // real MERGE refuses multiple source rows per key; silently
-    // appending duplicates would diverge from it. NULL merge keys are
-    // audited separately: countDistinct drops them (understating the
-    // distinct count with a misleading duplicate message), and a NULL
-    // key can never match under SQL equality anyway.
+    // real MERGE refuses multiple source rows per key; NULL keys are
+    // audited separately (countDistinct drops them, and a NULL key can
+    // never match under SQL equality anyway)
     val (nKeys, nRows, nNullKeys) = {
-      val anyNull = keys.columns.map(col(_).isNull)
-        .reduce(_ || _)
-      val r = keys.agg(countDistinct(struct_all(keys)).as("k"),
+      val anyNull = keys.columns.map(col(_).isNull).reduce(_ || _)
+      val r = keys.agg(
+        countDistinct(org.apache.spark.sql.functions.struct(
+          keys.columns.map(col).toIndexedSeq: _*)).as("k"),
         count(lit(1)).as("n"),
-        count(org.apache.spark.sql.functions.when(anyNull, 1)).as("nulls"))
-        .head()
+        count(when(anyNull, 1)).as("nulls")).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     if (nNullKeys > 0)
@@ -279,25 +465,110 @@ case class IcebergMergeCommand(name: String, tableDir: String,
         s"MERGE INTO $name: $nNullKeys source row(s) carry a NULL ON-key " +
           "column — a NULL key matches no target row under SQL equality; " +
           "filter them out (or fix the key) before merging")
-    if (nKeys != nRows - nNullKeys)
+    if (nKeys != nRows)
       throw new IllegalArgumentException(
-        s"MERGE INTO $name: the source has ${nRows - nNullKeys - nKeys} " +
-          "duplicate rows on the ON key — MERGE requires at most one " +
-          "source row per target row")
-    val n = IcebergLite.equalityDeleteMOR(session, tableDir, keys)
-    if (upsert) {
-      val target = IcebergLite.tableSchema(session, tableDir)
-      val aligned = IcebergWriteAlign.byName(s"MERGE INTO $name", src.toDF(),
+        s"MERGE INTO $name: the source has ${nRows - nKeys} duplicate " +
+          "rows on the ON key — MERGE requires at most one source row " +
+          "per target row")
+
+    val target = IcebergLite.tableSchema(session, tableDir)
+
+    // ---- matched frame: target ⋈ source, per-row first-clause-wins --
+    // __act = index of the first satisfied WHEN MATCHED clause (-1 =
+    // none fired → the row keeps its values); recomputed inline per
+    // output column (codegen CSE collapses the duplication)
+    def actIdx: Column = matched.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((a, i), acc) =>
+        when(condOf(a.cond), lit(i)).otherwise(acc)
+      }
+    def matchedValue(f: StructField): Column =
+      matched.zipWithIndex.foldRight(tcol(f.name): Column) {
+        case ((a, i), acc) =>
+          val v = a match {
+            case MergeUpdate(_, None) => scol(f.name).cast(f.dataType)
+            case MergeUpdate(_, Some(as)) =>
+              as.collectFirst { case (k, b) if k == f.name =>
+                GraftColumnShim.column(b.e).cast(f.dataType)
+              }.getOrElse(tcol(f.name))
+            case MergeDelete(_) => tcol(f.name) // row drops via __del
+          }
+          when(actIdx === lit(i), v).otherwise(acc)
+      }
+    val isDelete = matched.zipWithIndex
+      .collect { case (MergeDelete(_), i) => actIdx === lit(i) }
+      .foldLeft(lit(false))(_ || _)
+    val (nChanged, changedKeys, reappend) =
+      if (matched.isEmpty) (0L, None, None)
+      else {
+        val joined = GraftPlanShim.ofRows(session,
+          Join(targetRel, srcPlan, Inner, Some(mergeCond.e), JoinHint.NONE))
+        val shaped = joined.select(
+          (pairs.map(p => tcol(p._1).as(s"__k_${p._1}")) ++
+            Seq(actIdx.as("__act"), isDelete.as("__del")) ++
+            target.fields.toSeq.map(f => matchedValue(f).as(f.name))): _*)
+        // a key is AFFECTED when any of its rows fires a clause; rows
+        // of an affected key that fired nothing re-append UNCHANGED
+        // (the equality delete removes every row of the key)
+        val w = Window.partitionBy(
+          pairs.map(p => col(s"__k_${p._1}")): _*)
+        val mat = shaped
+          .withColumn("__changed",
+            max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
+          .localCheckpoint(eager = true)
+        val ck = mat.filter(col("__changed") === 1)
+          .select(pairs.map(p => col(s"__k_${p._1}").as(p._1)): _*)
+          .distinct()
+        val re = mat.filter(col("__changed") === 1 && !col("__del"))
+          .select(target.fieldNames.toIndexedSeq.map(col): _*)
+        (ck.count(), Some(ck), Some(re))
+      }
+
+    // ---- not-matched frame: source anti-join target ------------------
+    def insIdx: Column = notMatched.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((a, i), acc) =>
+        when(condOf(a.cond), lit(i)).otherwise(acc)
+      }
+    def insertValue(f: StructField): Column =
+      notMatched.zipWithIndex
+        .foldRight(lit(null).cast(f.dataType): Column) { case ((a, i), acc) =>
+          val v = a.assigns match {
+            case None => scol(f.name).cast(f.dataType)
+            case Some(as) =>
+              as.collectFirst { case (k, b) if k == f.name =>
+                GraftColumnShim.column(b.e).cast(f.dataType)
+              }.getOrElse(lit(null).cast(f.dataType))
+          }
+          when(insIdx === lit(i), v).otherwise(acc)
+        }
+    val inserts =
+      if (notMatched.isEmpty) None
+      else {
+        val anti = GraftPlanShim.ofRows(session,
+          Join(srcPlan, targetRel, LeftAnti, Some(mergeCond.e),
+            JoinHint.NONE))
+        Some(anti
+          .select((Seq(insIdx.as("__ins")) ++
+            target.fields.toSeq.map(f => insertValue(f).as(f.name))): _*)
+          .filter(col("__ins") >= 0)
+          .select(target.fieldNames.toIndexedSeq.map(col): _*)
+          .localCheckpoint(eager = true))
+      }
+    val nInserted = inserts.map(_.count()).getOrElse(0L)
+
+    // ---- commit: equality-delete the affected keys, append the new
+    // state (sequence semantics: re-appended rows postdate the delete)
+    if (nChanged > 0)
+      IcebergLite.equalityDeleteMOR(session, tableDir, changedKeys.get)
+    val toAppend = (reappend.toSeq ++ inserts.toSeq)
+      .reduceOption(_ unionByName _)
+    toAppend.foreach { rows =>
+      val aligned = IcebergWriteAlign.byName(s"MERGE INTO $name", rows,
         target)
       IcebergLite.appendSnapshot(session, aligned, tableDir,
         partitionBy = IcebergLite.tablePartitionSpec(session, tableDir))
     }
-    Seq(Row(n))
+    Seq(Row(nChanged + nInserted))
   }
-
-  private def struct_all(df: org.apache.spark.sql.DataFrame) =
-    org.apache.spark.sql.functions.struct(
-      df.columns.map(col).toIndexedSeq: _*)
 }
 
 /** Column alignment shared by insert and merge: every table column must

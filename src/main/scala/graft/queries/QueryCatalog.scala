@@ -3524,7 +3524,37 @@ object QueryCatalog {
             f.caps[(f.s % 64) + 1] AS b,
             CASE WHEN (f.s % 64) + 1 >= g.c THEN ((f.s % 64) + 1) // g.c
                  ELSE CAST(1 AS BIGINT) END AS q)) v),
-      bfd_bins AS (SELECT bins FROM bfd ORDER BY s DESC LIMIT 1)
+      bfd_bins AS (SELECT bins FROM bfd ORDER BY s DESC LIMIT 1),
+      big AS (SELECT doc_id, n FROM pos WHERE n > 64),
+      big_tot AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS bt FROM big),
+      big_cum AS (
+        SELECT doc_id, n,
+          CAST(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm
+        FROM big),
+      big_strad AS (
+        SELECT coalesce(CAST(sum((cm - 1) // 64 - (cm - n) // 64) AS BIGINT),
+          0) AS s
+        FROM big_cum),
+      small_grid AS MATERIALIZED (
+        SELECT n AS c, CAST(count(*) AS BIGINT) AS k,
+          CAST(row_number() OVER (ORDER BY n DESC) AS BIGINT) AS ci
+        FROM pos WHERE n <= 64 GROUP BY 1),
+      nfd2 AS (
+        SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS bins,
+               CAST(0 AS BIGINT) AS r
+        UNION ALL
+        SELECT g.ci,
+          f.bins + CASE WHEN g.k - least(g.k, f.r // g.c) > 0
+            THEN (g.k - least(g.k, f.r // g.c) + (64 // g.c) - 1) // (64 // g.c)
+            ELSE CAST(0 AS BIGINT) END,
+          CASE WHEN g.k - least(g.k, f.r // g.c) > 0
+            THEN 64 - (g.k - least(g.k, f.r // g.c)
+              - ((g.k - least(g.k, f.r // g.c) + (64 // g.c) - 1) // (64 // g.c)
+                 - 1) * (64 // g.c)) * g.c
+            ELSE f.r - least(g.k, f.r // g.c) * g.c END
+        FROM nfd2 f JOIN small_grid g ON g.ci = f.i + 1),
+      nfd2_bins AS (SELECT bins FROM nfd2 ORDER BY i DESC LIMIT 1)
       SELECT * FROM (
         SELECT 'stream' AS strategy,
           CAST((t.total + 63) // 64 AS BIGINT) AS n_seqs,
@@ -3539,7 +3569,17 @@ object QueryCatalog {
         UNION ALL
         SELECT 'bestfit_dec', b.bins, b.bins * 64 - t.total,
           CAST(0 AS BIGINT), t.n_pieces, t.total
-        FROM bfd_bins b, tot t)
+        FROM bfd_bins b, tot t
+        UNION ALL
+        SELECT 'hybrid_stream_nfd',
+          (SELECT bt FROM big_tot) // 64
+            + CASE WHEN (SELECT bt FROM big_tot) % 64 > 0 THEN 1 ELSE 0 END
+            + b.bins,
+          ((SELECT bt FROM big_tot) // 64
+            + CASE WHEN (SELECT bt FROM big_tot) % 64 > 0 THEN 1 ELSE 0 END
+            + b.bins) * 64 - t.total,
+          (SELECT s FROM big_strad), t.n_pieces, t.total
+        FROM nfd2_bins b, tot t)
       ORDER BY strategy""")),
 
     // Per-sequence DOCUMENT BOUNDARIES (TextAnalysis.sequenceBoundaries
@@ -5628,6 +5668,149 @@ object QueryCatalog {
         (SELECT CAST(count(*) AS BIGINT) FROM documents
           WHERE doc_id % 3 = 0) AS n_merge_keys
       FROM merged GROUP BY lang ORDER BY lang""")),
+
+    // SQL WRITE route, UPDATE (plans/IcebergWrite.scala r17): UPDATE
+    // SET maps onto the copy-on-write updateWhere machinery — only the
+    // files containing matches rewrite, every assignment reads the
+    // PRE-update row (simultaneous assignment), and updating the
+    // PARTITION column moves rows across partitions under the table
+    // contract. The returned count and the post-update state are both
+    // DuckDB-rederived from documents arithmetic. Data-derived at any
+    // scale.
+    QueryDef("iceberg_sql_update", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_squpd_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs, dir, partitionBy = Seq("lang"),
+        sortBy = Seq("doc_id"))
+      graft.Catalog.registerIcebergTable(s, "iceberg_sql_upd_docs", dir)
+      val nUpd = s.sql(
+        """UPDATE iceberg_sql_upd_docs
+           SET n_chars = n_chars * 2 + 1, lang = \u0027zz\u0027
+           WHERE doc_id % 5 = 0""").head().getLong(0)
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM iceberg_sql_upd_docs GROUP BY lang""")
+        .withColumn("n_updated", lit(nUpd))
+        .orderBy("lang")
+    }, Some("""
+      WITH upd AS (
+        SELECT CASE WHEN doc_id % 5 = 0 THEN \u0027zz\u0027 ELSE lang END AS lang,
+          CAST(CASE WHEN doc_id % 5 = 0 THEN n_chars * 2 + 1
+               ELSE n_chars END AS BIGINT) AS n_chars
+        FROM documents)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE doc_id % 5 = 0) AS n_updated
+      FROM upd GROUP BY lang ORDER BY lang""")),
+
+    // SQL WRITE route, CONDITIONAL MERGE (plans/IcebergWrite.scala
+    // r17): the general first-clause-wins form — WHEN MATCHED AND c
+    // THEN UPDATE SET <partial> / WHEN MATCHED THEN DELETE / WHEN NOT
+    // MATCHED AND c THEN INSERT *. Matched-even rows merge the two
+    // sides\u0027 n_chars (lang keeps the TARGET value — a partial
+    // assignment), matched-odd rows delete, and only the unmatched
+    // source rows passing the insert condition land; DuckDB rederives
+    // the merged state and the effect count. Data-derived at any scale.
+    QueryDef("iceberg_sql_merge_cond", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_sqlmc_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs.filter(col("doc_id") % 2 === 0), dir)
+      graft.Catalog.registerIcebergTable(s, "iceberg_sql_mc_docs", dir)
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 100000L)
+        .createOrReplaceTempView("iceberg_sql_mc_src")
+      val nEff = s.sql(
+        """MERGE INTO iceberg_sql_mc_docs t USING iceberg_sql_mc_src s
+           ON t.doc_id = s.doc_id
+           WHEN MATCHED AND s.n_chars % 2 = 0 THEN
+             UPDATE SET n_chars = s.n_chars + t.n_chars
+           WHEN MATCHED THEN DELETE
+           WHEN NOT MATCHED AND s.n_chars % 3 = 0 THEN INSERT *""")
+        .head().getLong(0)
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM iceberg_sql_mc_docs GROUP BY lang""")
+        .withColumn("n_effected", lit(nEff))
+        .orderBy("lang")
+    }, Some("""
+      WITH tgt AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0),
+      src AS (
+        SELECT doc_id, lang, CAST(n_chars + 100000 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 3 = 0),
+      merged AS (
+        SELECT t.doc_id, t.lang,
+          CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 = 0
+               THEN s.n_chars + t.n_chars ELSE t.n_chars END AS n_chars
+        FROM tgt t LEFT JOIN src s ON t.doc_id = s.doc_id
+        WHERE s.doc_id IS NULL OR s.n_chars % 2 = 0
+        UNION ALL
+        SELECT s.doc_id, s.lang, s.n_chars
+        FROM src s LEFT JOIN tgt t ON s.doc_id = t.doc_id
+        WHERE t.doc_id IS NULL AND s.n_chars % 3 = 0)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+           WHERE doc_id % 6 = 0) +
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+             AND (n_chars + 100000) % 3 = 0) AS n_effected
+      FROM merged GROUP BY lang ORDER BY lang""")),
+
+    // V2 TABLE CATALOG route (sources/GraftCatalog.scala r17): the
+    // reference ingests through its catalog with the DataFrameWriterV2
+    // API — df.writeTo(t).using("iceberg").createOrReplace()/.append()
+    // (ingest_neutron_data.py:209-211) — and reads back with
+    // spark.table. Both writes land as IcebergLite snapshots through
+    // spark.sql.catalog.*; the read rides the catalog scan facade; the
+    // partition/sort/bloom contract persisted by the CREATE governs the
+    // append exactly like the SQL INSERT route (contract_kept pins it).
+    // DuckDB rederives the final state. Data-derived at any scale.
+    QueryDef("iceberg_writeto", (s, d) => {
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_gwh_oracle").toString
+      s.conf.set("spark.sql.catalog.gwh",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set("spark.sql.catalog.gwh.warehouse", wh)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      docs.filter(col("doc_id") % 3 === 0)
+        .writeTo("gwh.writeto_docs").using("iceberg")
+        .partitionedBy(col("lang"))
+        .tableProperty("sort-order", "doc_id")
+        .tableProperty("bloom-columns", "doc_id")
+        .createOrReplace()
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .writeTo("gwh.writeto_docs").append()
+      val dir = s"$wh/writeto_docs"
+      val contractKept =
+        graft.sources.IcebergLite.tablePartitionSpec(s, dir) == Seq("lang") &&
+          graft.sources.IcebergLite.tableSortOrder(s, dir) == Seq("doc_id") &&
+          graft.sources.IcebergLite.tableBloomCols(s, dir) == Seq("doc_id")
+      s.table("gwh.writeto_docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("contract_kept", lit(contractKept))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS contract_kept
+      FROM documents GROUP BY lang ORDER BY lang""")),
 
     // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
     // the v2 position-delete mechanism): rows are deleted by writing

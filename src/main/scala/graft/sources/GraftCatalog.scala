@@ -1,0 +1,569 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark V2 `TableCatalog` over [[IcebergLite]] — the reference's
+  * ACTUAL ingestion API surface (ingest_neutron_data.py:209-211 drives
+  * its lakehouse through `df.writeTo(tbl).using("iceberg").append()` /
+  * `.createOrReplace()`, and reads back with `spark.table`). Configure:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftTableCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * and every `graft.<table>` name resolves through the native analyzer:
+  * `CREATE TABLE ... USING iceberg PARTITIONED BY (days(ts), bucket(16,
+  * id))`, CTAS / `REPLACE TABLE AS SELECT` (staged: REPLACE keeps the
+  * table's snapshot HISTORY — one metadata commit truncates and swaps
+  * the schema/spec/sort contract, see [[IcebergLite.replaceTable]]),
+  * `df.writeTo(...).append()/.overwritePartitions()` (by-filter
+  * overwrite; the dynamic form refuses), `spark.table`, `SELECT ... FOR
+  * VERSION AS OF` (snapshot id or named ref) / `FOR TIMESTAMP AS OF`,
+  * `ALTER TABLE ADD/RENAME COLUMN` and type widening, SHOW TABLES /
+  * DROP TABLE. Table properties `sort-order` and `bloom-columns`
+  * (comma-separated column lists) persist the clustering contract every
+  * later writer inherits — the same contract SQL INSERT and the
+  * API writers honor.
+  *
+  * Write path: `V1Write` → [[IcebergLite.appendSnapshot]] — the same
+  * distributed write the API route uses (file clustering from the
+  * persisted sort order, per-file bounds + bloom sidecars in one
+  * read-back pass); nothing is buffered on the driver. Read path: a
+  * `V1Scan` whose pushed filters map onto [[IcebergLite.readTableWhere]]
+  * manifest-bounds / partition-transform / Bloom FILE SKIPPING before
+  * Spark re-applies them exactly; UPDATE / MERGE / DELETE over catalog
+  * names route at parse time onto the same commands the registered
+  * temp-view route uses (plans/IcebergWrite.scala), so the two naming
+  * routes cannot drift.
+  */
+class GraftTableCatalog extends TableCatalog with StagingTableCatalog
+    with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def isTable(dir: String): Boolean = {
+    val hint = new Path(dir, "metadata/version-hint.text")
+    fs(hint).exists(hint)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(nsDir)
+    if (!f.exists(nsDir)) throw new NoSuchNamespaceException(
+      catName +: namespace.toSeq)
+    f.listStatus(nsDir).toSeq
+      .filter(s => s.isDirectory && isTable(s.getPath.toString))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(dirOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftIcebergTable(ident, dir, None)
+  }
+
+  /** `FOR VERSION AS OF <v>`: a snapshot id, or a named branch/tag. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftIcebergTable]
+    val snap = version.toLongOption.getOrElse {
+      IcebergLite.tableRefs(spark, t.tableDir).get(version).map(_._1)
+        .getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF on ${ident.name()}: '$version' is neither a " +
+            "snapshot id nor a named ref"))
+    }
+    new GraftIcebergTable(ident, t.tableDir, Some(snap))
+  }
+
+  /** `FOR TIMESTAMP AS OF <ts>`: Spark hands MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftIcebergTable]
+    new GraftIcebergTable(ident, t.tableDir,
+      Some(IcebergLite.snapshotIdAsOf(spark, t.tableDir, timestamp / 1000L)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val (sortBy, bloomFor) = GraftTableCatalog.contract(properties)
+    IcebergLite.createEmptyTable(spark, schema, dir,
+      partitionBy = partitions.toSeq.map(GraftTableCatalog.toSpecItem),
+      sortBy = sortBy, bloomFor = bloomFor)
+    new GraftIcebergTable(ident, dir, None)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "only top-level ADD COLUMN is supported")
+        IcebergLite.addColumn(spark, dir, add.fieldNames()(0), add.dataType())
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "only top-level RENAME COLUMN is supported")
+        IcebergLite.renameColumn(spark, dir, ren.fieldNames()(0),
+          ren.newName())
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "only top-level type widening is supported")
+        IcebergLite.widenColumn(spark, dir, upd.fieldNames()(0),
+          upd.newDataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other is not supported " +
+          "(ADD COLUMN, RENAME COLUMN, widen type)")
+    }
+    new GraftIcebergTable(ident, dir, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!isTable(dir)) false
+    else fs(new Path(dir)).delete(new Path(dir), true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val from = new Path(dirOf(oldIdent)); val to = new Path(dirOf(newIdent))
+    if (!isTable(from.toString))
+      throw new NoSuchTableException(oldIdent)
+    if (isTable(to.toString))
+      throw new TableAlreadyExistsException(newIdent)
+    require(fs(from).rename(from, to), s"rename $from -> $to failed")
+  }
+
+  // ---- staging (CTAS / RTAS / CREATE OR REPLACE) --------------------------
+  // The staged table buffers nothing on disk until commitStagedChanges:
+  // the written data materializes via localCheckpoint, and the commit
+  // performs the create (empty-table + append) or the history-
+  // preserving replaceTable in one step — an aborted CTAS/RTAS leaves
+  // the warehouse untouched.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, schema, partitions, properties, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable =
+    stage(ident, schema, partitions, properties, replace = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    replace: Boolean): StagedTable = {
+    val (sortBy, bloomFor) = GraftTableCatalog.contract(properties)
+    new GraftStagedTable(ident, dirOf(ident), schema,
+      partitions.toSeq.map(GraftTableCatalog.toSpecItem), sortBy, bloomFor,
+      replace)
+  }
+
+  // ---- namespaces (flat: directories under the warehouse) -----------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !isTable(s.getPath.toString))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      fs(p).exists(p)
+    }
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    fs(p).mkdirs(p)
+  }
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(p)
+    if (!f.exists(p)) false
+    else {
+      require(cascade || f.listStatus(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      f.delete(p, true)
+    }
+  }
+}
+
+object GraftTableCatalog {
+
+  /** V2 partition `Transform` → the [[IcebergTransforms.parse]] spec
+    * item string (`"col"`, `"bucket[16]:col"`, `"day:ts"`, ...) — via
+    * the public `name()/references()/arguments()` surface (the concrete
+    * transform case classes are `private[sql]`). */
+  def toSpecItem(t: Transform): String = {
+    def one(): String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"transform ${t.describe()} must reference exactly one " +
+          "top-level column")
+      refs(0).fieldNames()(0)
+    }
+    def intArg(): Int = t.arguments().collectFirst {
+      case l: Literal[_] => l.value() match {
+        case i: java.lang.Integer => i.intValue()
+        case i: java.lang.Long => i.intValue()
+        case other => throw new UnsupportedOperationException(
+          s"transform ${t.describe()}: non-integer argument $other")
+      }
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"transform ${t.describe()} needs an integer argument"))
+    t.name() match {
+      case "identity" => one()
+      case "bucket" => s"bucket[${intArg()}]:${one()}"
+      case "truncate" => s"truncate[${intArg()}]:${one()}"
+      case "years" | "year" => s"year:${one()}"
+      case "months" | "month" => s"month:${one()}"
+      case "days" | "day" => s"day:${one()}"
+      case "hours" | "hour" => s"hour:${one()}"
+      case other => throw new UnsupportedOperationException(
+        s"partition transform $other (identity, bucket, truncate, " +
+          "years, months, days, hours)")
+    }
+  }
+
+  /** A persisted spec item string back to the V2 `Transform`. */
+  def toTransform(item: String): Transform = {
+    val pf = IcebergTransforms.parse(item)
+    val B = """bucket\[(\d+)\]""".r
+    val W = """truncate\[(\d+)\]""".r
+    pf.transform match {
+      case "identity" => Expressions.identity(pf.sourceCol)
+      case B(n) => Expressions.bucket(n.toInt, pf.sourceCol)
+      case W(w) => Expressions.apply("truncate",
+        Expressions.literal(w.toInt), Expressions.column(pf.sourceCol))
+      case "year" => Expressions.years(pf.sourceCol)
+      case "month" => Expressions.months(pf.sourceCol)
+      case "day" => Expressions.days(pf.sourceCol)
+      case "hour" => Expressions.hours(pf.sourceCol)
+    }
+  }
+
+  /** The clustering-contract table properties. */
+  def contract(properties: util.Map[String, String])
+      : (Seq[String], Seq[String]) = {
+    def cols(k: String): Seq[String] =
+      Option(properties.get(k)).toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty)
+    (cols("sort-order"), cols("bloom-columns"))
+  }
+
+  /** `sources.Filter` → [[IcebergLite.Pred]]s for FILE SKIPPING —
+    * conservative: anything inexpressible prunes nothing (Spark
+    * re-applies every filter on the rows anyway). Mirrors
+    * [[graft.plans.IcebergScanRule]]'s catalyst-side extraction. */
+  def filterPreds(f: Filter): Seq[IcebergLite.Pred] = {
+    def value(v: Any): Option[Any] = v match {
+      case s: String => Some(s)
+      case n: java.lang.Integer => Some(n)
+      case n: java.lang.Long => Some(n)
+      case n: java.lang.Float => Some(n)
+      case n: java.lang.Double => Some(n)
+      case _ => None // temporal/decimal externals: skip pruning, stay exact
+    }
+    f match {
+      case sources.And(l, r) => filterPreds(l) ++ filterPreds(r)
+      case sources.EqualTo(a, v) =>
+        value(v).map(IcebergLite.EqTo(a, _)).toSeq
+      case sources.EqualNullSafe(a, v) if v != null =>
+        value(v).map(IcebergLite.EqTo(a, _)).toSeq
+      case sources.GreaterThan(a, v) =>
+        value(v).map(IcebergLite.GtEq(a, _)).toSeq
+      case sources.GreaterThanOrEqual(a, v) =>
+        value(v).map(IcebergLite.GtEq(a, _)).toSeq
+      case sources.LessThan(a, v) =>
+        value(v).map(IcebergLite.LtEq(a, _)).toSeq
+      case sources.LessThanOrEqual(a, v) =>
+        value(v).map(IcebergLite.LtEq(a, _)).toSeq
+      case sources.In(a, vs) =>
+        val conv = vs.toSeq.filter(_ != null).map(value)
+        if (conv.isEmpty || conv.exists(_.isEmpty) || conv.size > 1000) Nil
+        else Seq(IcebergLite.AnyOf(a, conv.flatten))
+      case sources.StringStartsWith(a, prefix) =>
+        IcebergLite.prefixPreds(a, prefix)
+      case _ => Nil
+    }
+  }
+
+  /** `sources.Filter` → an EXACT `Column` predicate (for DELETE /
+    * overwrite-by-filter); `None` when the filter has no faithful
+    * Column rendering. */
+  def filterColumn(f: Filter): Option[Column] = f match {
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case sources.And(l, r) =>
+      for (a <- filterColumn(l); b <- filterColumn(r)) yield a && b
+    case sources.Or(l, r) =>
+      for (a <- filterColumn(l); b <- filterColumn(r)) yield a || b
+    case sources.Not(c) => filterColumn(c).map(!_)
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case _ => None
+  }
+}
+
+/** One IcebergLite table seen through the V2 `Table` interface;
+  * `snapshotId` pins a time-travel read (write capabilities drop). */
+class GraftIcebergTable(ident: Identifier, val tableDir: String,
+                        snapshotId: Option[Long])
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = ident.toString
+  override def schema(): StructType =
+    IcebergLite.tableSchema(spark, tableDir)
+  override def partitioning(): Array[Transform] =
+    IcebergLite.tablePartitionSpec(spark, tableDir)
+      .map(GraftTableCatalog.toTransform).toArray
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put(TableCatalog.PROP_PROVIDER, "iceberg")
+    val sort = IcebergLite.tableSortOrder(spark, tableDir)
+    if (sort.nonEmpty) m.put("sort-order", sort.mkString(","))
+    val bloom = IcebergLite.tableBloomCols(spark, tableDir)
+    if (bloom.nonEmpty) m.put("bloom-columns", bloom.mkString(","))
+    m
+  }
+  override def capabilities(): util.Set[TableCapability] =
+    (if (snapshotId.isDefined) Set(TableCapability.BATCH_READ)
+     else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)).asJava
+
+  // ---- read: V1Scan with pushdown-driven FILE SKIPPING --------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // keep every filter as a SKIPPING HINT; return all of them as
+        // residuals so Spark re-applies exact row semantics (pruning
+        // is a superset guarantee, never a row filter)
+        pushed = filters
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new V1Scan {
+        private val preds =
+          pushed.toSeq.flatMap(GraftTableCatalog.filterPreds)
+        private val readSchema0 = required
+        override def readSchema(): StructType = readSchema0
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = readSchema0
+            override def needConversion: Boolean = true
+            override def buildScan(): RDD[Row] = {
+              val s = context.sparkSession
+              val df =
+                if (preds.nonEmpty)
+                  IcebergLite.readTableWhere(s, tableDir, preds, snapshotId)
+                else IcebergLite.readTable(s, tableDir, snapshotId)
+              df.select(readSchema0.fieldNames.toIndexedSeq.map(col): _*).rdd
+            }
+          }.asInstanceOf[T]
+      }
+    }
+
+  // ---- write: V1Write onto the distributed appendSnapshot -----------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      private var overwriteBy: Option[Array[Filter]] = None
+
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        overwriteBy = Some(filters); this
+      }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              val target = IcebergLite.tableSchema(s, tableDir)
+              val aligned = graft.plans.IcebergWriteAlign.byName(
+                s"write to ${name()}", data, target)
+              val doOverwrite = overwrite || overwriteBy.isDefined
+              val toWrite =
+                // pin the source before any delete (self-reference /
+                // mid-scan-failure safety, the INSERT OVERWRITE rule)
+                if (doOverwrite) aligned.localCheckpoint(eager = true)
+                else aligned
+              overwriteBy match {
+                case None if doOverwrite =>
+                  IcebergLite.truncateTable(s, tableDir)
+                case Some(fs0)
+                    if fs0.forall(_.isInstanceOf[sources.AlwaysTrue]) =>
+                  IcebergLite.truncateTable(s, tableDir)
+                case Some(fs0) =>
+                  val cond = fs0.toSeq.map { f0 =>
+                    GraftTableCatalog.filterColumn(f0).getOrElse(
+                      throw new UnsupportedOperationException(
+                        s"overwrite filter $f0 has no exact predicate"))
+                  }.reduceOption(_ && _).getOrElse(lit(true))
+                  IcebergLite.deleteWhere(s, tableDir, cond)
+                case None => ()
+              }
+              IcebergLite.appendSnapshot(s, toWrite, tableDir,
+                partitionBy = IcebergLite.tablePartitionSpec(s, tableDir))
+            }
+          }
+      }
+    }
+
+  // ---- row-level: native DELETE / TRUNCATE facades -------------------------
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTableCatalog.filterColumn(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.map(f =>
+      GraftTableCatalog.filterColumn(f).getOrElse(
+        throw new UnsupportedOperationException(s"DELETE filter $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    IcebergLite.deleteWhere(spark, tableDir, cond)
+  }
+  override def truncateTable(): Boolean = {
+    IcebergLite.truncateTable(spark, tableDir)
+    true
+  }
+}
+
+/** The staged side of CTAS / RTAS / CREATE OR REPLACE: the write
+  * materializes (localCheckpoint) and the COMMIT creates or replaces in
+  * one step — abort leaves the warehouse untouched, and REPLACE keeps
+  * history ([[IcebergLite.replaceTable]]). */
+private class GraftStagedTable(ident: Identifier, tableDir: String,
+                               stagedSchema: StructType,
+                               partitionBy: Seq[String], sortBy: Seq[String],
+                               bloomFor: Seq[String], replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private def spark = SparkSession.active
+  @volatile private var staged: Option[DataFrame] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = stagedSchema
+  override def partitioning(): Array[Transform] =
+    partitionBy.map(GraftTableCatalog.toTransform).toArray
+  override def properties(): util.Map[String, String] =
+    new util.HashMap[String, String]()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsOverwrite {
+      // the staged table is new by construction: truncate/overwrite
+      // have nothing to remove, so both collapse to the plain stash
+      override def overwrite(filters: Array[Filter]): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              staged = Some(data.localCheckpoint(eager = true))
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    if (replace)
+      IcebergLite.replaceTable(spark, tableDir, stagedSchema, staged,
+        partitionBy = partitionBy, sortBy = sortBy, bloomFor = bloomFor)
+    else staged match {
+      // CTAS lands as ONE snapshot (data create), exactly like the API
+      // route — snapshot 1 is the queryable state, not an empty shell
+      case Some(d) =>
+        IcebergLite.createTable(spark, d, tableDir, partitionBy,
+          sortBy = sortBy, bloomFor = bloomFor)
+      case None =>
+        IcebergLite.createEmptyTable(spark, stagedSchema, tableDir,
+          partitionBy = partitionBy, sortBy = sortBy, bloomFor = bloomFor)
+    }
+
+  override def abortStagedChanges(): Unit = ()
+}

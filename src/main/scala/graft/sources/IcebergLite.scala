@@ -1551,6 +1551,89 @@ object IcebergLite {
     nDeleted
   }
 
+  /** Copy-on-write row UPDATE — `SET col = expr` applied to rows
+    * matching `predicate`, with the [[deleteWhere]] cost shape: ONLY
+    * the files containing matching rows rewrite (plus any files named
+    * by outstanding merge-on-read deletes, which this snapshot applies
+    * physically); untouched files carry into the new manifest as
+    * EXISTING entries by reference. Assignment expressions read the
+    * PRE-update row (simultaneous assignment, the SQL UPDATE rule) and
+    * cast to the column\u0027s declared type under ANSI semantics; updating
+    * a partition or sort column re-clusters the rewritten rows under
+    * the table contract (writeDataFiles partitions by the spec on the
+    * NEW values). Rows where the predicate is NULL keep their values.
+    * Returns the number of rows updated. */
+  def updateWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum => sum0, when => when0}
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val files = liveFileEntries(spark, meta)
+    if (files.isEmpty) return 0L // empty table: nothing to update
+    val schema = declaredSchema(meta)
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val dup = assignments.map(_._1)
+      .diff(assignments.map(_._1).distinct).distinct
+    require(dup.isEmpty, s"duplicate assignment to ${dup.mkString(", ")}")
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"UPDATE column $c not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+    val assignMap = assignments.toMap
+
+    // one column-pruned scan finds the files containing LIVE matches
+    // (merge-on-read deletes applied first) and the match count per file
+    val hitAgg = applyDeletes(spark, meta, readRaw(spark, meta, files))
+      .filter(coalesce(predicate, lit(false)))
+      .groupBy("__file").agg(sum0(lit(1L)).as("__m"))
+      .collect()
+    val nUpdated = hitAgg.map(_.getLong(1)).sum
+    if (nUpdated == 0) return 0L
+    // files referenced by outstanding position/equality deletes rewrite
+    // too — after this snapshot every delete is physically applied, so
+    // the new manifest list legitimately drops the delete manifests
+    val deleteRefs: Set[String] = {
+      val dels = liveDeleteFiles(spark, meta)
+      if (dels.isEmpty) Set.empty
+      else spark.read.parquet(dels: _*).select("file_path").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val liveSet = files.map(_._1).toSet
+    val hits = hitAgg.map(_.getString(0)).toSet ++ (deleteRefs & liveSet) ++
+      (eqAffectedFiles(spark, meta) & liveSet)
+
+    val spec = typedSpec(meta.partitionSpec, schema)
+    val entrySchema = manifestEntrySchema(spec)
+    val snapshotId = meta.nextSnapshotId
+
+    // rewrite ONLY the hit files: matching rows take the assignments
+    // (each expression reading the pre-update row), others pass through
+    val matchedPred = coalesce(predicate, lit(false))
+    val rewritten = applyDeletes(spark, meta,
+        readRaw(spark, meta, files.filter(e => hits(e._1))))
+      .select(schema.fields.toIndexedSeq.map { f =>
+        assignMap.get(f.name) match {
+          case Some(e) =>
+            when0(matchedPred, e.cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val (newEntries, newBloomPath) =
+      writeDataFiles(spark, rewritten, root, snapshotId, spec, entrySchema,
+        topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap,
+        bloomCols = meta.bloomCols)
+    val groups = carryExisting(spark, meta, p => !hits.contains(p)) ++
+      Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
+        newEntries, newBloomPath.toSeq))
+    commitRewrite(spark, root, meta, snapshotId, groups,
+      operation = "overwrite")
+    nUpdated
+  }
+
   /** EXISTING-entry carry groups for a rewrite: every live data-file
     * entry whose path passes `keep`, deep-copied under its OWN entry
     * schema, grouped by (write-time schema, partition-spec id). */
@@ -2697,6 +2780,12 @@ object IcebergLite {
   /** The table's persisted default sort order (identity columns; empty
     * = unsorted) — the clustering contract [[appendSnapshot]]/[[sink]]
     * apply when the caller names no sortBy. */
+  /** The persisted Bloom-column contract (table property) — the third
+    * leg of the clustering contract next to the partition spec and the
+    * sort order. */
+  def tableBloomCols(spark: SparkSession, tableDir: String): Seq[String] =
+    readMeta(spark, tableDir).bloomCols
+
   def tableSortOrder(spark: SparkSession, tableDir: String): Seq[String] =
     readMeta(spark, tableDir).sortOrderCols
 

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * block masks, RAG/SFT samples) pay PADDING instead, and the packing
   * strategy decides how much. This module provides:
   *
-  *   - [[packEfficiency]]: the exact token-waste ledger of three
+  *   - [[packEfficiency]]: the exact token-waste ledger of four
   *     strategies on the same corpus — greedy stream-cut (zero pad,
-  *     counted straddles), NEXT-FIT-DECREASING, and BEST-FIT-DECREASING
-  *     (Johnson's classic heuristics on the per-length histogram).
+  *     counted straddles), NEXT-FIT-DECREASING, BEST-FIT-DECREASING
+  *     (Johnson's classic heuristics on the per-length histogram), and
+  *     the production HYBRID (stream-cut only the oversized documents,
+  *     NFD-pack the rest whole).
   *   - [[packWholeDocs]]: a distributed whole-document ASSIGNMENT
   *     (doc piece → sequence id + offset) under next-fit-decreasing,
   *     chosen because its per-piece placement has a CLOSED FORM from
@@ -187,12 +189,16 @@ object Packing {
           .as("start_in_seq"))
   }
 
-  /** The exact token-waste ledger of the three packing strategies on
-    * one corpus — one row per strategy:
+  /** The exact token-waste ledger of four packing strategies on one
+    * corpus — one row per strategy:
     * `(strategy, n_seqs, pad_tokens, n_straddles, n_pieces,
     * total_tokens)`. Stream-cut pads only the final sequence but
     * straddles documents; the whole-document strategies pad
-    * (`n_seqs * maxTokens - total`) and never straddle. */
+    * (`n_seqs * maxTokens - total`) and never straddle; the HYBRID
+    * (`hybrid_stream_nfd` — what production trainers usually run)
+    * stream-cuts ONLY the documents longer than `maxTokens`
+    * (contiguously, so only oversized documents straddle) and packs
+    * every document that fits whole under next-fit-decreasing. */
   def packEfficiency(docs: DataFrame, idCol: String, nTokensCol: String,
                      maxTokens: Long): DataFrame = {
     checkMaxTokens(maxTokens)
@@ -206,15 +212,34 @@ object Packing {
     val streamSeqs = (total + maxTokens - 1) / maxTokens
     // straddles: documents crossing stream cuts (pieces are irrelevant
     // to the stream strategy — it packs the raw document stream)
-    val straddles = TextAnalysis.packSequences(docs, idCol, nTokensCol,
-        maxTokens)
-      .agg(sum(col("n_seqs") - 1).as("s")).head().getLong(0)
+    def straddlesOf(d: DataFrame): Long = {
+      val r = TextAnalysis.packSequences(d, idCol, nTokensCol, maxTokens)
+        .agg(sum(col("n_seqs") - 1).as("s")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val straddles = straddlesOf(docs)
+    // hybrid: documents longer than maxTokens stream CONTIGUOUSLY
+    // (their remainders co-pack inside the big stream — zero pad
+    // except its final sequence), everything that fits packs whole
+    // under next-fit-decreasing; only the oversized documents straddle
+    val n = col(nTokensCol).cast("long")
+    val bigTotal = {
+      val r = docs.filter(n > maxTokens).agg(sum(n).as("t")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val bigSeqs = (bigTotal + maxTokens - 1) / maxTokens
+    val bigStraddles = straddlesOf(docs.filter(n > maxTokens))
+    val smallHist = docs.filter(n > 0 && n <= maxTokens)
+      .groupBy(n.as("len")).agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (_, smallBins) = nfdFold(smallHist, maxTokens)
     def row(st: String, seqs: Long, strad: Long) =
       (st, seqs, seqs * maxTokens - total, strad, nPieces, total)
     import spark.implicits._
     Seq(row("stream", streamSeqs, straddles),
         row("nextfit_dec", nfdBins, 0L),
-        row("bestfit_dec", bfdBins, 0L))
+        row("bestfit_dec", bfdBins, 0L),
+        row("hybrid_stream_nfd", bigSeqs + smallBins, bigStraddles))
       .toDF("strategy", "n_seqs", "pad_tokens", "n_straddles",
         "n_pieces", "total_tokens")
   }

@@ -134,6 +134,15 @@ class IcebergSqlWriteSpec extends SparkSuite {
       === 500L)
   }
 
+  test("TRUNCATE TABLE: metadata-only, count returned, history intact") {
+    val (name, _) = freshTable()
+    assert(spark.sql(s"TRUNCATE TABLE $name").head().getLong(0) === 10L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 0L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name VERSION AS OF 1")
+      .head().getLong(0) === 10L)
+  }
+
   test("INSERT OVERWRITE self-reference reads the pre-write snapshot") {
     val (name, _) = freshTable()
     // the advice scenario: OVERWRITE t SELECT ... FROM t must transform
@@ -223,21 +232,99 @@ class IcebergSqlWriteSpec extends SparkSuite {
     assert(!eNull.getMessage.contains("duplicate"))
   }
 
-  test("MERGE refusals: conditional actions, non-equality ON") {
+  test("UPDATE SET rewrites matching rows copy-on-write") {
+    val (name, dir) = freshTable()
+    val n = spark.sql(
+      s"UPDATE $name SET n = n + id, lang = 'u' WHERE id <= 3")
+      .head().getLong(0)
+    assert(n === 3L)
+    // simultaneous assignment: n read the PRE-update row (n = id*10 + id)
+    val got = spark.sql(s"SELECT id, lang, n FROM $name WHERE id <= 3")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "u", 11L), (2L, "u", 22L), (3L, "u", 33L)))
+    // untouched rows intact; row count preserved
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 10L)
+    // history: the pre-update snapshot is unchanged
+    assert(spark.sql(s"SELECT sum(n) AS s FROM $name VERSION AS OF 1")
+      .head().getLong(0) === (1 to 10).map(_ * 10L).sum)
+    // the PARTITION-column update moved the rows into the new partition
+    assert(IcebergLite.readTableWhere(spark, dir,
+      Seq(IcebergLite.EqTo("lang", "u"))).count() === 3L)
+  }
+
+  test("UPDATE refusals: unknown column; zero-match update commits nothing") {
+    val (name, dir) = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"UPDATE $name SET nope = 1 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("nope"))
+    val before = IcebergLite.snapshotIds(spark, dir).size
+    assert(spark.sql(s"UPDATE $name SET n = 0 WHERE id > 999")
+      .head().getLong(0) === 0L)
+    assert(IcebergLite.snapshotIds(spark, dir).size === before)
+  }
+
+  test("conditional MERGE: first clause wins, partial update, conditional insert") {
+    val (name, _) = freshTable()
+    // target ids 1..10 (n = id*10); source ids 8..13 with v = id
+    (8 to 13).map(i => (i.toLong, "m", i.toLong)).toDF("id", "lang", "v")
+      .createOrReplaceTempView("sqlw_cond_src")
+    val eff = spark.sql(
+      s"""MERGE INTO $name t USING sqlw_cond_src s ON t.id = s.id
+          WHEN MATCHED AND s.v % 2 = 0 THEN UPDATE SET n = t.n + s.v
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED AND s.v > 11 THEN
+            INSERT (id, lang, n) VALUES (s.id, s.lang, s.v * 100)""")
+      .head().getLong(0)
+    // matched 8,9,10: 8 and 10 update (first clause), 9 deletes (second);
+    // unmatched 11,12,13: only 12,13 pass the insert condition
+    assert(eff === 5L)
+    val got = spark.sql(s"SELECT id, lang, n FROM $name WHERE id >= 8")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((8L, "a", 88L), (10L, "a", 110L),
+      (12L, "m", 1200L), (13L, "m", 1300L)))
+    // partial update: lang kept the TARGET value for the updated rows.
+    // 10 target rows - 1 delete (id 9) + 2 inserts (12, 13) = 11
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 11L)
+  }
+
+  test("conditional MERGE: non-firing matched rows survive untouched") {
+    val (name, _) = freshTable()
+    Seq((2L, 1000L), (4L, 7L)).toDF("id", "v")
+      .createOrReplaceTempView("sqlw_cond2_src")
+    // only id=2 fires (v > 100); id=4 matches but no clause applies —
+    // its row must survive with its original values
+    val eff = spark.sql(
+      s"""MERGE INTO $name t USING sqlw_cond2_src s ON t.id = s.id
+          WHEN MATCHED AND s.v > 100 THEN UPDATE SET n = s.v""")
+      .head().getLong(0)
+    assert(eff === 1L)
+    val got = spark.sql(s"SELECT id, n FROM $name WHERE id IN (2, 4)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((2L, 1000L), (4L, 40L)))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 10L)
+  }
+
+  test("MERGE refusals: non-equality ON, NOT MATCHED BY SOURCE") {
     val (name, _) = freshTable()
     Seq((1L, "x", 1L)).toDF("id", "lang", "n")
       .createOrReplaceTempView("sqlw_bad_src")
-    val eCond = intercept[IllegalArgumentException] {
-      spark.sql(s"""MERGE INTO $name t USING sqlw_bad_src s ON t.id = s.id
-                    WHEN MATCHED AND s.n > 5 THEN UPDATE SET *
-                    WHEN NOT MATCHED THEN INSERT *""")
-    }
-    assert(eCond.getMessage.contains("Supported shapes"))
     val eOn = intercept[IllegalArgumentException] {
       spark.sql(s"""MERGE INTO $name t USING sqlw_bad_src s ON t.id < s.id
                     WHEN MATCHED THEN DELETE""")
     }
     assert(eOn.getMessage.contains("column equality"))
+    val eBySrc = intercept[IllegalArgumentException] {
+      spark.sql(s"""MERGE INTO $name t USING sqlw_bad_src s ON t.id = s.id
+                    WHEN MATCHED THEN DELETE
+                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(eBySrc.getMessage.contains("BY SOURCE"))
   }
 
   test("writes to unregistered names fall through to Spark untouched") {

@@ -99,7 +99,8 @@ class PackingSpec extends SparkSuite {
     rows.foreach { case (st, (seqs, pad, strad, p2, t2)) =>
       assert(p2 === pieces && t2 === total)
       assert(pad === seqs * B - total, s"$st pad identity")
-      if (st != "stream") assert(strad === 0L, s"$st never straddles")
+      if (st != "stream" && st != "hybrid_stream_nfd")
+        assert(strad === 0L, s"$st never straddles")
     }
     assert(rows("stream")._1 === (total + B - 1) / B)
     assert(rows("bestfit_dec")._1 <= rows("nextfit_dec")._1)
@@ -107,6 +108,30 @@ class PackingSpec extends SparkSuite {
     // docs longer than B split: doc of length 97+1? max n = 97 -> pieces
     // exceed doc count
     assert(pieces > 200L)
+  }
+
+  test("hybrid row: oversized docs stream contiguously, the rest pack NFD") {
+    val lens = (1L to 200L).map(i => (i % 97) + 1)
+    val docs = lens.zipWithIndex.map { case (n, i) => (i + 1L, n) }
+      .toDF("id", "n")
+    val rows = Packing.packEfficiency(docs, "id", "n", B)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute reference: the > B docs stream as one contiguous run, the
+    // rest fold NFD
+    val bigs = lens.filter(_ > B)
+    val bigSeqs = (bigs.sum + B - 1) / B
+    val smallBins = nfdBrute(lens.filter(l => l > 0 && l <= B))
+    val (seqs, pad, strad) = rows("hybrid_stream_nfd")
+    assert(seqs === bigSeqs + smallBins)
+    assert(pad === seqs * B - lens.sum)
+    // straddles: replay the cumulative cut count over the big docs in
+    // id order (the stream discipline)
+    var cm = 0L; var expect = 0L
+    bigs.foreach { n => cm += n; expect += (cm - 1) / B - (cm - n) / B }
+    assert(strad === expect && strad > 0L)
+    // the hybrid can never beat the pure stream's zero-pad lower bound
+    assert(rows("stream")._1 <= seqs)
   }
 
   test("zero-length docs drop; single long doc chunks exactly") {
