@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // moved filters to the leaves, map them onto manifest-bounds /
     // partition-transform / Bloom file skipping (plans/IcebergScan.scala)
     ext.injectPreCBORule(session => new graft.plans.IcebergScanRule(session))
+    // writeTo(...).overwritePartitions() on graft catalog tables: no V1
+    // dynamic-overwrite writer exists in Spark, so the resolved plan
+    // rewrites to the IcebergLite partition-replace command
+    ext.injectResolutionRule(session =>
+      new graft.plans.IcebergDynamicOverwriteRule(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_rolling_fingerprint"),

@@ -51,8 +51,12 @@ import graft.sources.IcebergLite
   *     containing matching rows rewrite (untouched files carry by
   *     reference), assignment expressions read the PRE-update row
   *     (simultaneous assignment), and partition/sort-column updates
-  *     re-cluster the rewritten rows under the table contract. Returns
-  *     the updated-row count.
+  *     re-cluster the rewritten rows under the table contract. Under
+  *     `spark.graft.iceberg.updateMode=mor` →
+  *     [[IcebergLite.updateWhereMOR]]: position deletes name the
+  *     matched rows (cost ∝ matches, zero files rewritten) and the
+  *     updated versions append behind them. Returns the updated-row
+  *     count either way.
   *   - `MERGE INTO <name> t USING <src> s ON t.k = s.k ...` in its
   *     GENERAL conditional form: any ordered mix of
   *     `WHEN MATCHED [AND c] THEN UPDATE SET *|assignments` /
@@ -322,6 +326,16 @@ case class IcebergInsertCommand(name: String, tableDir: String,
     // that fails mid-scan must not leave the table already truncated —
     // localCheckpoint materializes the source rows eagerly, so the
     // truncate below happens only after the source has fully evaluated.
+    // DYNAMIC overwrite (spark.sql.sources.partitionOverwriteMode):
+    // replace only the partitions the query touches — the Spark/Hive
+    // dynamic contract, riding the transform-aware deleteWhere
+    if (overwrite &&
+        session.conf.get("spark.sql.sources.partitionOverwriteMode",
+          "static").equalsIgnoreCase("dynamic") &&
+        IcebergLite.tablePartitionSpec(session, tableDir).nonEmpty) {
+      IcebergLite.overwritePartitions(session, tableDir, aligned0)
+      return Seq.empty
+    }
     val aligned =
       if (overwrite) aligned0.localCheckpoint(eager = true) else aligned0
     if (overwrite && IcebergLite.tableRowCount(session, tableDir) > 0)
@@ -337,6 +351,51 @@ case class IcebergInsertCommand(name: String, tableDir: String,
 
   private def refuse(why: String): Nothing =
     throw new IllegalArgumentException(s"INSERT INTO $name: $why")
+}
+
+/** `df.writeTo(t).overwritePartitions()` over a [[graft.sources.GraftIcebergTable]]:
+  * Spark has NO V1 fallback for dynamic overwrite (TableCapabilityCheck
+  * refuses V1_BATCH_WRITE tables), so
+  * [[graft.GraftExtensions]] injects [[IcebergDynamicOverwriteRule]] to
+  * rewrite the RESOLVED OverwritePartitionsDynamic (resolved = the
+  * query is already by-name aligned to the table schema) into this
+  * command, which runs [[IcebergLite.overwritePartitions]] — replace
+  * exactly the partitions the batch touches. */
+case class IcebergDynamicOverwriteCommand(name: String, tableDir: String,
+                                          query: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(session: SparkSession): Seq[Row] = {
+    val df = GraftPlanShim.ofRows(session, query)
+    val aligned = IcebergWriteAlign.byName(
+      s"overwritePartitions on $name", df,
+      IcebergLite.tableSchema(session, tableDir))
+    IcebergLite.overwritePartitions(session, tableDir, aligned)
+    Seq.empty
+  }
+}
+
+/** Analyzer-injected rewrite for the dynamic-overwrite shape above —
+  * fires only on fully-RESOLVED plans over graft catalog tables and
+  * replaces itself with a runnable command, so the V2 capability check
+  * (which would refuse: no V1 dynamic-overwrite writer exists) never
+  * sees the node. */
+class IcebergDynamicOverwriteRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case o: OverwritePartitionsDynamic if o.resolved =>
+      o.table match {
+        case r: DataSourceV2Relation =>
+          r.table match {
+            case t: graft.sources.GraftIcebergTable =>
+              IcebergDynamicOverwriteCommand(t.name(), t.tableDir, o.query)
+            case _ => plan
+          }
+        case _ => plan
+      }
+    case _ => plan
+  }
 }
 
 /** An opaque holder keeping a (deliberately unresolved) predicate out
@@ -401,8 +460,11 @@ case class IcebergUpdateCommand(name: String, tableDir: String,
   override def run(session: SparkSession): Seq[Row] = {
     val pred = condition.map(b => GraftColumnShim.column(b.e))
       .getOrElse(lit(true))
-    val n = IcebergLite.updateWhere(session, tableDir, pred,
-      assigns.map { case (k, b) => k -> GraftColumnShim.column(b.e) })
+    val cols = assigns.map { case (k, b) => k -> GraftColumnShim.column(b.e) }
+    val n =
+      if (session.conf.get("spark.graft.iceberg.updateMode", "cow") == "mor")
+        IcebergLite.updateWhereMOR(session, tableDir, pred, cols)
+      else IcebergLite.updateWhere(session, tableDir, pred, cols)
     Seq(Row(n))
   }
 }

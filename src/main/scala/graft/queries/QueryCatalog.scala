@@ -5812,6 +5812,106 @@ object QueryCatalog {
         TRUE AS contract_kept
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // DYNAMIC PARTITION OVERWRITE (sources/IcebergLite
+    // .overwritePartitions r17): INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic replaces exactly the partitions
+    // the query touches — rows land for a subset of langs, every other
+    // partition survives intact; the transform-aware delete predicate
+    // derives from the batch itself (hidden partitioning — the writer
+    // never names partitions). DuckDB rederives the merged state from
+    // documents arithmetic. Data-derived at any scale.
+    QueryDef("iceberg_dynamic_overwrite", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_dynow_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs, dir, partitionBy = Seq("lang"))
+      graft.Catalog.registerIcebergTable(s, "iceberg_dynow_docs", dir)
+      // replacement rows for ONE partition (the alphabetically-first
+      // lang — data-derived so the oracle holds at any scale)
+      docs.filter(col("doc_id") % 4 === 1)
+        .createOrReplaceTempView("iceberg_dynow_src_raw")
+      s.sql("""SELECT doc_id,
+                 (SELECT min(lang) FROM iceberg_dynow_docs) AS lang,
+                 n_chars + 5000 AS n_chars
+               FROM iceberg_dynow_src_raw""")
+        .createOrReplaceTempView("iceberg_dynow_src")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql("""INSERT OVERWRITE iceberg_dynow_docs
+                 SELECT doc_id, lang, n_chars FROM iceberg_dynow_src""")
+      finally
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM iceberg_dynow_docs GROUP BY lang""")
+        .orderBy("lang")
+    }, Some("""
+      WITH target_lang AS (SELECT min(lang) AS tl FROM documents),
+      merged AS (
+        SELECT doc_id, (SELECT tl FROM target_lang) AS lang,
+          CAST(n_chars + 5000 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 4 = 1
+        UNION ALL
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents WHERE lang <> (SELECT tl FROM target_lang))
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM merged GROUP BY lang ORDER BY lang""")),
+
+    // MERGE-ON-READ UPDATE (sources/IcebergLite.updateWhereMOR r17 —
+    // the position-delete composition of UPDATE): matched rows are
+    // dropped by (file_path, pos) delete files and their updated
+    // versions append behind them — cost proportional to MATCHES, zero
+    // data files rewritten; the read merges delete set + append. The
+    // returned count and the merged state are DuckDB-rederived, and
+    // no_rewrite pins the mechanism (original file count unchanged,
+    // a content=1 delete manifest present). Data-derived at any scale.
+    QueryDef("iceberg_mor_update", (s, d) => {
+      import graft.sources.IcebergLite
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_iceberg_morupd_oracle").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      IcebergLite.createTable(s, docs, dir, sortBy = Seq("doc_id"))
+      val filesBefore = IcebergLite.metaTable(s, dir, "files")
+        .filter(col("content") === 0).count()
+      graft.Catalog.registerIcebergTable(s, "iceberg_morupd_docs", dir)
+      s.conf.set("spark.graft.iceberg.updateMode", "mor")
+      val nUpd =
+        try s.sql("""UPDATE iceberg_morupd_docs
+                     SET n_chars = n_chars * 3 WHERE doc_id % 7 = 2""")
+          .head().getLong(0)
+        finally s.conf.set("spark.graft.iceberg.updateMode", "cow")
+      val manifests = IcebergLite.metaTable(s, dir, "manifests")
+      val files = IcebergLite.metaTable(s, dir, "files")
+      val noRewrite =
+        files.filter(col("content") === 0).count() > filesBefore &&
+          manifests.filter(col("content") === 1).count() >= 1
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM iceberg_morupd_docs GROUP BY lang""")
+        .withColumn("n_updated", lit(nUpd))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .orderBy("lang")
+    }, Some("""
+      WITH upd AS (
+        SELECT lang,
+          CAST(CASE WHEN doc_id % 7 = 2 THEN n_chars * 3
+               ELSE n_chars END AS BIGINT) AS n_chars
+        FROM documents)
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+          WHERE doc_id % 7 = 2) AS n_updated,
+        TRUE AS no_rewrite
+      FROM upd GROUP BY lang ORDER BY lang""")),
+
     // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
     // the v2 position-delete mechanism): rows are deleted by writing
     // (file_path, pos) delete files, NOT by rewriting data; the read

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -33,8 +33,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * id))`, CTAS / `REPLACE TABLE AS SELECT` (staged: REPLACE keeps the
   * table's snapshot HISTORY — one metadata commit truncates and swaps
   * the schema/spec/sort contract, see [[IcebergLite.replaceTable]]),
-  * `df.writeTo(...).append()/.overwritePartitions()` (by-filter
-  * overwrite; the dynamic form refuses), `spark.table`, `SELECT ... FOR
+  * `df.writeTo(...).append()`, `.overwrite(cond)` (metadata-only
+  * truncate for literal-true, exact-predicate delete otherwise), and
+  * `.overwritePartitions()` (DYNAMIC overwrite — replace exactly the
+  * partitions the batch touches via [[IcebergLite.overwritePartitions]]),
+  * `spark.table`, `SELECT ... FOR
   * VERSION AS OF` (snapshot id or named ref) / `FOR TIMESTAMP AS OF`,
   * `ALTER TABLE ADD/RENAME COLUMN` and type widening, SHOW TABLES /
   * DROP TABLE. Table properties `sort-order` and `bloom-columns`
@@ -93,8 +96,19 @@ class GraftTableCatalog extends TableCatalog with StagingTableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
-    new GraftIcebergTable(ident, dir, None)
+    if (isTable(dir)) return new GraftIcebergTable(ident, dir, None)
+    // operational METADATA tables ride as `<table>__<kind>` names (the
+    // `$`-suffix convention with a catalog-legal separator): current AS
+    // OF EACH QUERY, read-only
+    val n = ident.name()
+    val sep = n.lastIndexOf("__")
+    if (sep > 0) {
+      val (base, kind) = (n.substring(0, sep), n.substring(sep + 2))
+      val baseDir = dirOf(Identifier.of(ident.namespace(), base))
+      if (GraftMetaTable.Kinds(kind) && isTable(baseDir))
+        return new GraftMetaTable(ident, baseDir, kind)
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `FOR VERSION AS OF <v>`: a snapshot id, or a named branch/tag. */
@@ -405,7 +419,8 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
   override def capabilities(): util.Set[TableCapability] =
     (if (snapshotId.isDefined) Set(TableCapability.BATCH_READ)
      else Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-       TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)).asJava
+       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
+       TableCapability.TRUNCATE)).asJava
 
   // ---- read: V1Scan with pushdown-driven FILE SKIPPING --------------------
 
@@ -453,11 +468,15 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
   // ---- write: V1Write onto the distributed appendSnapshot -----------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsOverwrite {
+    new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       private var overwriteBy: Option[Array[Filter]] = None
+      private var dynamic = false
 
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
         overwriteBy = Some(filters); this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
       }
 
       override def build(): Write = new V1Write {
@@ -468,6 +487,11 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
               val target = IcebergLite.tableSchema(s, tableDir)
               val aligned = graft.plans.IcebergWriteAlign.byName(
                 s"write to ${name()}", data, target)
+              if (dynamic) {
+                // replace exactly the partitions the batch touches
+                IcebergLite.overwritePartitions(s, tableDir, aligned)
+                return
+              }
               val doOverwrite = overwrite || overwriteBy.isDefined
               val toWrite =
                 // pin the source before any delete (self-reference /
@@ -511,6 +535,39 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
     IcebergLite.truncateTable(spark, tableDir)
     true
   }
+}
+
+/** A read-only V2 facade over ONE [[IcebergLite.metaTable]] kind —
+  * `SELECT * FROM <cat>.<table>__snapshots` etc.; rows resolve at scan
+  * time, so the view is current as of each query. */
+class GraftMetaTable(ident: Identifier, tableDir: String, kind: String)
+    extends Table with SupportsRead {
+  private def spark = SparkSession.active
+  override def name(): String = ident.toString
+  override def schema(): StructType =
+    IcebergLite.metaTable(spark, tableDir, kind).schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new V1Scan {
+      private val schema0 = schema()
+      override def readSchema(): StructType = schema0
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = schema0
+          override def buildScan(): RDD[Row] =
+            IcebergLite.metaTable(context.sparkSession, tableDir, kind).rdd
+        }.asInstanceOf[T]
+    }
+  }
+}
+
+object GraftMetaTable {
+  val Kinds: Set[String] =
+    Set("snapshots", "manifests", "files", "partitions", "refs", "history")
 }
 
 /** The staged side of CTAS / RTAS / CREATE OR REPLACE: the write

@@ -1551,6 +1551,55 @@ object IcebergLite {
     nDeleted
   }
 
+  /** DYNAMIC partition overwrite — replace exactly the partitions the
+    * batch touches, leave every other partition untouched (the
+    * `INSERT OVERWRITE ... partitionOverwriteMode=dynamic` /
+    * `writeTo.overwritePartitions()` contract): the batch materializes
+    * once (self-reference / mid-scan-failure pinning), its DISTINCT
+    * partition tuples collect (bounded by the partitions touched —
+    * refused above 1000, where a driver-side predicate stops being the
+    * right tool), the matching rows copy-on-write delete through the
+    * SAME transform expressions the writer partitions by (hidden
+    * partitioning: the predicate is on derived values, day/bucket/...,
+    * never writer-addressed columns), and the batch appends. An
+    * UNPARTITIONED table degrades to the full metadata-only truncate +
+    * append (the Iceberg rule). Returns the rows dropped. */
+  def overwritePartitions(spark: SparkSession, tableDir: String,
+                          df0: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val meta = readMeta(spark, tableDir)
+    val spec = meta.partitionSpec
+    val df = df0.localCheckpoint(eager = true)
+    if (spec.isEmpty) {
+      val n = truncateTable(spark, tableDir)
+      appendSnapshot(spark, df, tableDir)
+      return n
+    }
+    val schema = declaredSchema(meta)
+    def derived(pf: IcebergTransforms.PartField) =
+      IcebergTransforms.column(spark, pf.transform, col(pf.sourceCol),
+        schema(pf.sourceCol).dataType)
+    val touched = df.select(spec.map(pf =>
+      derived(pf).as(pf.name)): _*).distinct().collect()
+    require(touched.length <= 1000,
+      s"dynamic overwrite touches ${touched.length} partitions (> 1000) " +
+        "— use a full INSERT OVERWRITE or split the write")
+    val n =
+      if (touched.isEmpty || tableRowCount(spark, tableDir) == 0) 0L
+      else {
+        val pred = touched.toSeq.map { row =>
+          spec.zipWithIndex.map { case (pf, i) =>
+            if (row.isNullAt(i)) derived(pf).isNull
+            else derived(pf) === lit(row.get(i))
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        deleteWhere(spark, tableDir, pred)
+      }
+    appendSnapshot(spark, df, tableDir,
+      partitionBy = spec.map(renderSpec))
+    n
+  }
+
   /** Copy-on-write row UPDATE — `SET col = expr` applied to rows
     * matching `predicate`, with the [[deleteWhere]] cost shape: ONLY
     * the files containing matching rows rewrite (plus any files named
@@ -1573,16 +1622,7 @@ object IcebergLite {
     val files = liveFileEntries(spark, meta)
     if (files.isEmpty) return 0L // empty table: nothing to update
     val schema = declaredSchema(meta)
-    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
-    val dup = assignments.map(_._1)
-      .diff(assignments.map(_._1).distinct).distinct
-    require(dup.isEmpty, s"duplicate assignment to ${dup.mkString(", ")}")
-    assignments.foreach { case (c, _) =>
-      require(schema.fieldNames.contains(c),
-        s"UPDATE column $c not in the table schema " +
-          s"(${schema.fieldNames.mkString(", ")})")
-    }
-    val assignMap = assignments.toMap
+    val assignMap = validAssignments(schema, assignments)
 
     // one column-pruned scan finds the files containing LIVE matches
     // (merge-on-read deletes applied first) and the match count per file
@@ -1685,14 +1725,80 @@ object IcebergLite {
     val files = liveFileEntries(spark, meta)
     if (files.isEmpty) return 0L // empty table: nothing to delete
     val snapshotId = meta.nextSnapshotId
-    val delDir = new Path(root, s"data/deletes-s$snapshotId")
 
     val matches = applyDeletes(spark, meta, readRaw(spark, meta, files))
       .filter(coalesce(predicate, lit(false)))
       .select(col("__file").as("file_path"), col("__pos").as("pos"))
       .localCheckpoint() // one scan serves the count and the write
     if (matches.isEmpty) return 0L
-    matches.write.mode("overwrite").parquet(delDir.toString)
+    commitPositionDeletes(spark, root, meta, snapshotId, matches)
+  }
+
+  private def validAssignments(schema: StructType,
+      assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : Map[String, org.apache.spark.sql.Column] = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val dup = assignments.map(_._1)
+      .diff(assignments.map(_._1).distinct).distinct
+    require(dup.isEmpty, s"duplicate assignment to ${dup.mkString(", ")}")
+    assignments.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"UPDATE column $c not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+    assignments.toMap
+  }
+
+  /** MERGE-ON-READ row UPDATE — the v2 position-delete composition of
+    * [[updateWhere]]: matching rows are dropped by (file_path, pos)
+    * delete files (write cost ∝ MATCHES, zero data files rewritten)
+    * and their updated versions append as the following snapshot,
+    * which the position deletes cannot name — the same sequence
+    * discipline the equality-delete upsert rides. ONE scan serves the
+    * delete positions and the updated rows (the matched frame is
+    * checkpointed before either commit); [[compact]] later makes the
+    * deletes physical. Same assignment semantics as [[updateWhere]]
+    * (pre-update row, ANSI cast, partition re-clustering). Returns the
+    * number of rows updated. */
+  def updateWhereMOR(spark: SparkSession, tableDir: String,
+                     predicate: org.apache.spark.sql.Column,
+                     assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val files = liveFileEntries(spark, meta)
+    if (files.isEmpty) return 0L // empty table: nothing to update
+    val schema = declaredSchema(meta)
+    val assignMap = validAssignments(schema, assignments)
+    val snapshotId = meta.nextSnapshotId
+    val matches = applyDeletes(spark, meta, readRaw(spark, meta, files))
+      .filter(coalesce(predicate, lit(false)))
+      .localCheckpoint()
+    if (matches.isEmpty) return 0L
+    val updated = matches.select(schema.fields.toIndexedSeq.map { f =>
+      assignMap.get(f.name) match {
+        case Some(e) => e.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    val n = commitPositionDeletes(spark, root, meta, snapshotId,
+      matches.select(col("__file").as("file_path"), col("__pos").as("pos")))
+    appendSnapshot(spark, updated, tableDir,
+      partitionBy = meta.partitionSpec.map(renderSpec))
+    n
+  }
+
+  /** Write `(file_path, pos)` rows as position-delete parquet under a
+    * content=1 manifest and commit the snapshot — the shared tail of
+    * [[deleteWhereMOR]] and [[updateWhereMOR]]. Returns the delete-row
+    * count. */
+  private def commitPositionDeletes(spark: SparkSession, root: Path,
+                                    meta: TableMeta, snapshotId: Long,
+                                    positions: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val delDir = new Path(root, s"data/deletes-s$snapshotId")
+    positions.write.mode("overwrite").parquet(delDir.toString)
 
     val perFile = spark.read.parquet(delDir.toString)
       .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))

@@ -155,6 +155,47 @@ class IcebergSqlWriteSpec extends SparkSuite {
     assert(got.getLong(1) === (1 to 10).map(_ + 100L).sum)
   }
 
+  test("INSERT OVERWRITE under partitionOverwriteMode=dynamic keeps other partitions") {
+    val (name, _) = freshTable() // partitioned by lang: a (even), b (odd)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql(s"INSERT OVERWRITE $name VALUES (100, 'a', 1000)")
+    finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    val got = spark.sql(
+      s"SELECT lang, count(*) AS c FROM $name GROUP BY lang")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // partition a fully replaced by the single new row; b untouched
+    assert(got.toSeq === Seq(("a", 1L), ("b", 5L)))
+    assert(spark.sql(s"SELECT sum(n) AS s FROM $name WHERE lang = 'a'")
+      .head().getLong(0) === 1000L)
+  }
+
+  test("UPDATE under updateMode=mor: position deletes, no data rewrite") {
+    val (name, dir) = freshTable()
+    val dataFilesBefore = IcebergLite.metaTable(spark, dir, "files")
+      .filter(col("content") === 0).count()
+    spark.conf.set("spark.graft.iceberg.updateMode", "mor")
+    try {
+      val n = spark.sql(s"UPDATE $name SET n = n + 1 WHERE id <= 4")
+        .head().getLong(0)
+      assert(n === 4L)
+    } finally spark.conf.set("spark.graft.iceberg.updateMode", "cow")
+    // values: updated rows visible through the MOR read
+    val got = spark.sql(s"SELECT id, n FROM $name WHERE id <= 4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === (1 to 4).map(i => (i.toLong, i * 10L + 1)))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 10L)
+    // mechanism: a content=1 delete manifest exists, and the ORIGINAL
+    // data files were not rewritten (only the update-append added)
+    assert(IcebergLite.metaTable(spark, dir, "manifests")
+      .filter(col("content") === 1).count() >= 1)
+    val origStill = IcebergLite.metaTable(spark, dir, "files")
+      .filter(col("content") === 0).count()
+    assert(origStill > dataFilesBefore) // originals + appended, no drop
+  }
+
   test("DELETE FROM: copy-on-write default, qualified WHERE, count returned") {
     val (name, _) = freshTable()
     val deleted = spark

@@ -134,6 +134,41 @@ class GraftCatalogSpec extends SparkSuite {
       .head().getLong(0) === 100L)
   }
 
+  test("metadata tables resolve as <table>__<kind> catalog names") {
+    batch(1 to 6).writeTo("gcat.wt8").using("iceberg").create()
+    batch(7 to 9).writeTo("gcat.wt8").append()
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.wt8__snapshots")
+      .head().getLong(0) === 2L)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM gcat.wt8__files WHERE content = 0")
+      .head().getLong(0) >= 2L)
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.wt8__history")
+      .head().getLong(0) === 2L)
+    // refs: main always present
+    assert(spark.sql("SELECT name FROM gcat.wt8__refs").collect()
+      .map(_.getString(0)).contains("main"))
+    // current AS OF EACH QUERY: a third append shows up without
+    // re-resolving anything
+    batch(10 to 10).writeTo("gcat.wt8").append()
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.wt8__snapshots")
+      .head().getLong(0) === 3L)
+  }
+
+  test("overwritePartitions replaces only the touched partitions") {
+    batch(1 to 12).writeTo("gcat.wt7").using("iceberg")
+      .partitionedBy(col("lang")).create()
+    // new rows only for lang 'a' (even ids) — 'b' must survive intact
+    (101 to 103).map(i => (i.toLong, "a", i * 10L)).toDF("id", "lang", "n")
+      .writeTo("gcat.wt7").overwritePartitions()
+    val got = spark.sql(
+      "SELECT lang, count(*) AS c, sum(n) AS s FROM gcat.wt7 GROUP BY lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", 3L, (101 to 103).map(_ * 10L).sum),
+      ("b", 6L, (1 to 12).filter(_ % 2 == 1).map(_ * 10L).sum)))
+  }
+
   test("ALTER TABLE add/rename/widen; SHOW TABLES; DROP TABLE") {
     batch(1 to 4).writeTo("gcat.wt6").using("iceberg").create()
     spark.sql("ALTER TABLE gcat.wt6 ADD COLUMN score DOUBLE")
