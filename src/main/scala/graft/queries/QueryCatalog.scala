@@ -5912,6 +5912,60 @@ object QueryCatalog {
         TRUE AS no_rewrite
       FROM upd GROUP BY lang ORDER BY lang""")),
 
+    // MAINTENANCE PROCEDURES over the V2 catalog (sources/
+    // GraftProcedures r17 — the Spark-4 ProcedureCatalog surface, the
+    // `CALL catalog.system.<proc>(...)` shape every Iceberg deployment
+    // schedules): tag -> rollback -> rewrite_data_files -> expire, all
+    // through SQL CALL; the final state must equal the tagged
+    // snapshot's data with the compaction content-preserving, and the
+    // rollback/compact/retention counters ride as pinned columns.
+    // DuckDB rederives the surviving aggregate. Data-derived at any
+    // scale.
+    QueryDef("iceberg_call_maintenance", (s, d) => {
+      import graft.sources.IcebergLite
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_gwh_call_oracle").toString
+      s.conf.set("spark.sql.catalog.gwhc",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set("spark.sql.catalog.gwhc.warehouse", wh)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .writeTo("gwhc.calldocs").using("iceberg").createOrReplace()
+      docs.filter(col("doc_id") % 2 === 1)
+        .writeTo("gwhc.calldocs").append()
+      // snapshot 2 = evens only (createOrReplace = replace+append when
+      // the table pre-exists from an earlier run, so derive the id)
+      val snapEvens = IcebergLite.snapshotIds(s, s"$wh/calldocs")
+        .takeRight(2).head
+      // refs survive createOrReplace by design — drop a leftover tag
+      // from an earlier run of this oracle before re-tagging
+      if (IcebergLite.tableRefs(s, s"$wh/calldocs").contains("evens"))
+        IcebergLite.dropRef(s, s"$wh/calldocs", "evens")
+      s.sql(s"CALL gwhc.system.create_tag(`table` => 'calldocs', " +
+        s"name => 'evens', snapshot_id => $snapEvens)")
+      val rolled = s.sql(
+        s"CALL gwhc.system.rollback_to_snapshot(`table` => 'calldocs', " +
+          s"snapshot_id => $snapEvens)").head().getLong(0) == snapEvens
+      val rewritten = s.sql(
+        "CALL gwhc.system.rewrite_data_files(`table` => 'calldocs')")
+        .head().getLong(0) >= 0L
+      val kept = s.sql(
+        "CALL gwhc.system.expire_snapshots(`table` => 'calldocs', " +
+          "keep_last => 1)").head().getLong(0) >= 1L
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM gwhc.calldocs GROUP BY lang""")
+        .withColumn("maintained", lit(rolled && rewritten && kept))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        TRUE AS maintained
+      FROM documents WHERE doc_id % 2 = 0
+      GROUP BY lang ORDER BY lang""")),
+
     // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
     // the v2 position-delete mechanism): rows are deleted by writing
     // (file_path, pos) delete files, NOT by rewriting data; the read

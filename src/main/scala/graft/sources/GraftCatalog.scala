@@ -57,7 +57,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * routes cannot drift.
   */
 class GraftTableCatalog extends TableCatalog with StagingTableCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -220,6 +221,31 @@ class GraftTableCatalog extends TableCatalog with StagingTableCatalog
       partitions.toSeq.map(GraftTableCatalog.toSpecItem), sortBy, bloomFor,
       replace)
   }
+
+  // ---- maintenance procedures (CALL <cat>.system.<proc>) ------------------
+
+  private lazy val procedures =
+    GraftProcedures.all(t => s"$warehouse/$t")
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val nsOk = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (!nsOk) throw new UnsupportedOperationException(
+      s"procedure namespace ${ident.namespace().mkString(".")} " +
+        "(procedures live under `system`)")
+    procedures.getOrElse(ident.name(),
+      throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.name()} " +
+          s"(have ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.nonEmpty && !namespace.sameElements(Array("system")))
+      Array.empty
+    else procedures.keys.toSeq.sorted
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- namespaces (flat: directories under the warehouse) -----------------
 

@@ -1468,6 +1468,122 @@ object IcebergLite {
     * maintenance pass, out of scope). Returns the number of rows
     * deleted.
     */
+  /** FILE-SKIPPING extraction for the DML paths: the row predicate a
+    * DELETE/UPDATE evaluates exactly is ALSO mined, conservatively,
+    * for [[Pred]]s so the match-finding scan visits only CANDIDATE
+    * files (manifest bounds / partition transforms / Blooms) instead
+    * of every live file — the difference between a partition-targeted
+    * DELETE costing its partition and costing the table at 100 TB.
+    * Returns DNF groups (`OR` of conjunctions): every group must be
+    * extractable or the whole OR abandons pruning (a branch that
+    * cannot be bounded might match anything); within a conjunction,
+    * unextractable conjuncts simply drop (superset guarantee — the
+    * exact row predicate still runs on every scanned row). Column
+    * references may be unresolved (the parse-time DML route) or
+    * resolved; values convert against the DECLARED schema. */
+  private def predGroupsOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                           schema: StructType): Seq[Seq[Pred]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualNullSafe, EqualTo, GreaterThan, GreaterThanOrEqual, In => CIn, InSet, LessThan, LessThanOrEqual, Literal, Or => COr}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    def nameOf(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[String] = x match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        Some(u.nameParts.head)
+      case _ => None
+    }
+    def value(n: String, v: Any): Option[Any] =
+      if (v == null) None
+      else byName.get(n).flatMap {
+        case StringType =>
+          Some(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .toString)
+        case IntegerType | LongType | FloatType | DoubleType => Some(v)
+        case TimestampType => Some(v) // catalyst micros
+        case DateType => Some(v) // catalyst days
+        case _ => None
+      }
+    def cmp(a: org.apache.spark.sql.catalyst.expressions.Expression,
+            v: Any, mk: (String, Any) => Pred): Seq[Pred] =
+      (for { n <- nameOf(a); c <- value(n, v) } yield mk(n, c)).toSeq
+    def conj(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[Pred] = x match {
+      case CAnd(l, r) => conj(l) ++ conj(r)
+      case EqualTo(a, Literal(v, _)) => cmp(a, v, EqTo.apply)
+      case EqualTo(Literal(v, _), a) => cmp(a, v, EqTo.apply)
+      case EqualNullSafe(a, Literal(v, _)) => cmp(a, v, EqTo.apply)
+      case EqualNullSafe(Literal(v, _), a) => cmp(a, v, EqTo.apply)
+      case GreaterThanOrEqual(a, Literal(v, _)) => cmp(a, v, GtEq.apply)
+      case GreaterThan(a, Literal(v, _)) => cmp(a, v, GtEq.apply)
+      case LessThanOrEqual(a, Literal(v, _)) => cmp(a, v, LtEq.apply)
+      case LessThan(a, Literal(v, _)) => cmp(a, v, LtEq.apply)
+      case GreaterThanOrEqual(Literal(v, _), a) => cmp(a, v, LtEq.apply)
+      case GreaterThan(Literal(v, _), a) => cmp(a, v, LtEq.apply)
+      case LessThanOrEqual(Literal(v, _), a) => cmp(a, v, GtEq.apply)
+      case LessThan(Literal(v, _), a) => cmp(a, v, GtEq.apply)
+      case CIn(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        (for {
+          n <- nameOf(a)
+          vs0 = list.map(_.asInstanceOf[Literal].value).filter(_ != null)
+          vs = vs0.map(value(n, _))
+          if vs.nonEmpty && vs.forall(_.isDefined) && vs.size <= 1000
+        } yield AnyOf(n, vs.flatten)).toSeq
+      case InSet(a, hset) =>
+        (for {
+          n <- nameOf(a)
+          vs0 = hset.toSeq.filter(_ != null)
+          vs = vs0.map(value(n, _))
+          if vs.nonEmpty && vs.forall(_.isDefined) && vs.size <= 1000
+        } yield AnyOf(n, vs.flatten)).toSeq
+      case _ => Nil
+    }
+    def dnf(x: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[Seq[Seq[Pred]]] = x match {
+      case COr(l, r) => for { a <- dnf(l); b <- dnf(r) } yield a ++ b
+      case other => conj(other) match {
+        case Nil => None
+        case ps => Some(Seq(ps))
+      }
+    }
+    // cap the group count: a 10k-branch OR would cost more to prune
+    // than to scan
+    dnf(e).filter(_.size <= 1024).getOrElse(Nil)
+  }
+
+  /** The candidate file set for a DML predicate: the union of
+    * [[pruneFiles]] over the predicate's DNF groups, or every live
+    * file when nothing extracts. */
+  private def candidateFiles(spark: SparkSession, meta: TableMeta,
+                             predicate: org.apache.spark.sql.Column,
+                             files: Seq[(String, String)])
+      : Seq[(String, String)] = {
+    // a Spark-4 Column wraps a ColumnNode tree, not catalyst — analysis
+    // against an empty frame of the declared schema is the supported
+    // way to a TYPED expression (it also folds literal casts onto the
+    // literal side where the mining can see them); an unresolvable
+    // predicate mines nothing and the real scan surfaces its error
+    val schema = declaredSchema(meta)
+    val resolved =
+      try {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        org.apache.spark.sql.GraftPlanShim
+          .analyzedPlan(empty.filter(predicate))
+          .collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val groups = resolved.map(predGroupsOf(_, schema)).getOrElse(Nil)
+    if (groups.isEmpty) files
+    else {
+      val keep = groups.flatMap(g => pruneFiles(spark, meta, g)._1)
+        .map(_._1).toSet
+      files.filter(e => keep(e._1))
+    }
+  }
+
   /** Metadata-only TRUNCATE: commit a snapshot whose manifest list is
     * empty — every live file drops in one KB-scale metadata write, ZERO
     * data files are read or written (vs routing `DELETE WHERE true`
@@ -1495,13 +1611,19 @@ object IcebergLite {
     val files = liveFileEntries(spark, meta)
     if (files.isEmpty) return 0L // empty table: nothing to delete
 
-    // one column-pruned scan finds the files containing LIVE matches
-    // (merge-on-read deletes applied first — a row already deleted by
-    // position cannot match again) and the matched count per file
-    val hitAgg = applyDeletes(spark, meta, readRaw(spark, meta, files))
-      .filter(coalesce(predicate, lit(false)))
-      .groupBy("__file").agg(sum0(lit(1L)).as("__m"))
-      .collect()
+    // one column-pruned scan over the CANDIDATE files (the predicate
+    // mined for bounds/partition/Bloom skipping — a partition-targeted
+    // delete scans its partition, never the table) finds the files
+    // containing LIVE matches (merge-on-read deletes applied first — a
+    // row already deleted by position cannot match again) and the
+    // matched count per file
+    val cand = candidateFiles(spark, meta, predicate, files)
+    val hitAgg =
+      if (cand.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else applyDeletes(spark, meta, readRaw(spark, meta, cand))
+        .filter(coalesce(predicate, lit(false)))
+        .groupBy("__file").agg(sum0(lit(1L)).as("__m"))
+        .collect()
     val nDeleted = hitAgg.map(_.getLong(1)).sum
     // files referenced by outstanding position deletes rewrite too —
     // after this snapshot every delete is physically applied, so the
@@ -1624,12 +1746,17 @@ object IcebergLite {
     val schema = declaredSchema(meta)
     val assignMap = validAssignments(schema, assignments)
 
-    // one column-pruned scan finds the files containing LIVE matches
-    // (merge-on-read deletes applied first) and the match count per file
-    val hitAgg = applyDeletes(spark, meta, readRaw(spark, meta, files))
-      .filter(coalesce(predicate, lit(false)))
-      .groupBy("__file").agg(sum0(lit(1L)).as("__m"))
-      .collect()
+    // one column-pruned scan over the CANDIDATE files (bounds/
+    // partition/Bloom-mined from the predicate) finds the files
+    // containing LIVE matches (merge-on-read deletes applied first)
+    // and the match count per file
+    val cand = candidateFiles(spark, meta, predicate, files)
+    val hitAgg =
+      if (cand.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else applyDeletes(spark, meta, readRaw(spark, meta, cand))
+        .filter(coalesce(predicate, lit(false)))
+        .groupBy("__file").agg(sum0(lit(1L)).as("__m"))
+        .collect()
     val nUpdated = hitAgg.map(_.getLong(1)).sum
     if (nUpdated == 0) return 0L
     // files referenced by outstanding position/equality deletes rewrite
@@ -1726,7 +1853,9 @@ object IcebergLite {
     if (files.isEmpty) return 0L // empty table: nothing to delete
     val snapshotId = meta.nextSnapshotId
 
-    val matches = applyDeletes(spark, meta, readRaw(spark, meta, files))
+    val cand = candidateFiles(spark, meta, predicate, files)
+    if (cand.isEmpty) return 0L
+    val matches = applyDeletes(spark, meta, readRaw(spark, meta, cand))
       .filter(coalesce(predicate, lit(false)))
       .select(col("__file").as("file_path"), col("__pos").as("pos"))
       .localCheckpoint() // one scan serves the count and the write
@@ -1772,7 +1901,9 @@ object IcebergLite {
     val schema = declaredSchema(meta)
     val assignMap = validAssignments(schema, assignments)
     val snapshotId = meta.nextSnapshotId
-    val matches = applyDeletes(spark, meta, readRaw(spark, meta, files))
+    val cand = candidateFiles(spark, meta, predicate, files)
+    if (cand.isEmpty) return 0L
+    val matches = applyDeletes(spark, meta, readRaw(spark, meta, cand))
       .filter(coalesce(predicate, lit(false)))
       .localCheckpoint()
     if (matches.isEmpty) return 0L

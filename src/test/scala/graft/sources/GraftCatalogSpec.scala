@@ -134,6 +134,42 @@ class GraftCatalogSpec extends SparkSuite {
       .head().getLong(0) === 100L)
   }
 
+  test("maintenance procedures run as CALL gcat.system.<proc>(...)") {
+    batch(1 to 6).writeTo("gcat.wt9").using("iceberg").create()
+    batch(7 to 9).writeTo("gcat.wt9").append()
+    batch(10 to 12).writeTo("gcat.wt9").append()
+    val dir = s"$warehouse/wt9"
+    // tag then rollback to snapshot 2, fast-forward back via a branch
+    spark.sql("CALL gcat.system.create_tag(`table` => 'wt9', name => 'v2', snapshot_id => 2)")
+    assert(IcebergLite.tableRefs(spark, dir).contains("v2"))
+    val rolled = spark.sql(
+      "CALL gcat.system.rollback_to_snapshot(`table` => 'wt9', snapshot_id => 2)")
+      .head().getLong(0)
+    assert(rolled === 2L)
+    assert(spark.table("gcat.wt9").count() === 9L)
+    // compact the small files: rewrites the live set, content preserved
+    val rewritten = spark.sql(
+      "CALL gcat.system.rewrite_data_files(`table` => 'wt9')")
+      .head().getLong(0)
+    assert(rewritten >= 1L)
+    assert(spark.table("gcat.wt9").count() === 9L)
+    // expire history down to the current lineage tail
+    val kept = spark.sql(
+      "CALL gcat.system.expire_snapshots(`table` => 'wt9', keep_last => 1)")
+      .head().getLong(0)
+    // the tag's snapshot is never purged; at least the head remains
+    assert(kept >= 1L)
+    assert(spark.table("gcat.wt9").count() === 9L)
+    // orphan scan returns a row per removed path (possibly none)
+    spark.sql("CALL gcat.system.remove_orphan_files(`table` => 'wt9')")
+      .collect()
+    // unknown procedure refuses with the catalog of known names
+    val e = intercept[Exception] {
+      spark.sql("CALL gcat.system.nope(`table` => 'wt9')")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("metadata tables resolve as <table>__<kind> catalog names") {
     batch(1 to 6).writeTo("gcat.wt8").using("iceberg").create()
     batch(7 to 9).writeTo("gcat.wt8").append()

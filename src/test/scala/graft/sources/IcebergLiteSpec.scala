@@ -1402,6 +1402,61 @@ class IcebergLiteSpec extends SparkSuite {
       Seq(IcebergLite.EqTo("s", "v1")))
     assert(keptS <= 2, s"string bloom leg lost: kept $keptS")
   }
+  test("DML match scans visit only CANDIDATE files mined from the predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iceb_dmlprune")
+      .toString + "/t"
+    val rows = (1 to 400)
+      .map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i * 10L))
+      .toDF("id", "lang", "n")
+    // 2 partitions x 4 id-ranged files each: a partition-targeted
+    // predicate has a 200-row candidate set, a bounds-targeted one ~50
+    IcebergLite.createTable(spark, rows, dir, partitionBy = Seq("lang"),
+      sortBy = Seq("id"), sortFiles = 4)
+    var recordsRead = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recordsRead += te.taskMetrics.inputMetrics.recordsRead
+    }
+    def measured(f: => Unit): Long = {
+      recordsRead = 0L
+      spark.sparkContext.addSparkListener(listener)
+      try { f; var prev = -1L; var spins = 0
+        while (prev != recordsRead && spins < 50) {
+          prev = recordsRead; spins += 1; Thread.sleep(100) }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      recordsRead
+    }
+    // zero-match partition-targeted DELETE: only partition a scans
+    val r1 = measured {
+      assert(IcebergLite.deleteWhere(spark, dir,
+        col("lang") === "a" && col("n") < 0L) === 0L)
+    }
+    assert(r1 <= 250, s"partition-targeted delete scanned $r1 rows " +
+      "(expected ~200: partition a only)")
+    // zero-match bounds-targeted UPDATE: the sorted id range prunes to
+    // ~1 file per partition
+    val r2 = measured {
+      assert(IcebergLite.updateWhere(spark, dir,
+        col("id") <= 40L && col("n") < 0L, Seq("n" -> lit(0L))) === 0L)
+    }
+    assert(r2 <= 150, s"bounds-targeted update scanned $r2 rows " +
+      "(expected ~100: the first id-range files)")
+    // an OR of conjunctions prunes as the union of its branches
+    val r3 = measured {
+      assert(IcebergLite.deleteWhereMOR(spark, dir,
+        (col("lang") === "a" && col("n") < 0L) ||
+          (col("lang") === "b" && col("id") <= 20L && col("n") < 0L))
+        === 0L)
+    }
+    assert(r3 <= 320, s"OR-pruned MOR delete scanned $r3 rows")
+    // correctness unchanged: a real targeted delete still lands
+    assert(IcebergLite.deleteWhere(spark, dir,
+      col("lang") === "a" && col("id") <= 10L) === 5L)
+    assert(IcebergLite.readTable(spark, dir).count() === 395L)
+  }
+
   test("createEmptyTable: schema-only create reads empty, first append stacks") {
     val dir = java.nio.file.Files.createTempDirectory("graft_iceb_empty")
       .toString + "/t"
