@@ -859,6 +859,40 @@ object BenchScale {
           s"SQL DELETE removed $deleted of $nDelta delta rows")
         keptIns * 1000000000L + deleted
       },
+      timed("iceberg_dml_prune") {
+        // DML PREDICATE MINING at corpus scale (r17): DELETE/UPDATE's
+        // match-finding scan visits only CANDIDATE files — here a
+        // bounds-targeted zero-match delete on the ts-sorted 32-file
+        // table must scan its ts slice (~1/32 of the corpus), never
+        // the table. Pinned from actual executor input metrics, not
+        // plan shape; the zero-match delete commits nothing, so the
+        // table is unchanged for later stages. Value = rows the pruned
+        // scan actually read.
+        import graft.sources.IcebergLite
+        val dir = s"$work/iceberg_bloom_docs"
+        val totalRows = IcebergLite.tableRowCount(spark, dir)
+        var recordsRead = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              recordsRead += te.taskMetrics.inputMetrics.recordsRead
+        }
+        spark.sparkContext.addSparkListener(listener)
+        try {
+          val n = IcebergLite.deleteWhere(spark, dir,
+            col("ts") <= 300000L && length(col("text")) < 0)
+          require(n == 0L, s"the zero-match probe deleted $n rows")
+          var prev = -1L; var spins = 0
+          while (prev != recordsRead && spins < 50) {
+            prev = recordsRead; spins += 1; Thread.sleep(100)
+          }
+        } finally spark.sparkContext.removeSparkListener(listener)
+        require(recordsRead < totalRows / 4,
+          s"DML predicate mining regressed: the bounds-targeted delete " +
+            s"scanned $recordsRead of $totalRows rows")
+        recordsRead
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor
