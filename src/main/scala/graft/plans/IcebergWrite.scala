@@ -72,11 +72,14 @@ import graft.sources.IcebergLite
   *     make the re-appended rows postdate the delete. Both frames are
   *     materialized BEFORE the delete commits, so the source and the
   *     target are read exactly once from the pre-merge snapshot.
-  *     Duplicate source keys refuse (real MERGE errors on multiple
-  *     matches); NULL source keys refuse with their own message;
-  *     `WHEN NOT MATCHED BY SOURCE` and schema evolution refuse.
-  *     Returns the count of source rows that took effect (updated +
-  *     deleted + inserted coverage).
+  *     `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET
+  *     assignments | DELETE` (the sync-mirror clauses) ride a LeftAnti
+  *     target-vs-source frame through the same machinery — conditions
+  *     see only the target row, per SQL scoping. Duplicate source keys
+  *     refuse (real MERGE errors on multiple matches); NULL source
+  *     keys refuse with their own message; schema evolution refuses.
+  *     Returns the count of rows/keys that took effect (updated +
+  *     deleted + inserted coverage across all three frame kinds).
   *
   * 100 TB shape: nothing here adds a driver-side pass — the writes ARE
   * the existing distributed appendSnapshot/delete machinery; the
@@ -217,13 +220,13 @@ object IcebergWriteRewrite {
       throw new IllegalArgumentException(
         s"MERGE INTO $name: $why. Supported: ON <conjunction of " +
           "t.col = s.col>, any ordered mix of WHEN MATCHED [AND c] THEN " +
-          "UPDATE SET *|assignments / DELETE and WHEN NOT MATCHED [AND c] " +
-          "THEN INSERT *|assignments; no NOT MATCHED BY SOURCE, no " +
-          "schema evolution")
+          "UPDATE SET *|assignments / DELETE, WHEN NOT MATCHED [AND c] " +
+          "THEN INSERT *|assignments, and WHEN NOT MATCHED BY SOURCE " +
+          "[AND c] THEN UPDATE SET assignments / DELETE; no schema " +
+          "evolution")
     if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE actions")
-    if (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty)
+    if (m.matchedActions.isEmpty && m.notMatchedActions.isEmpty &&
+        m.notMatchedBySourceActions.isEmpty)
       unsupported("no WHEN clauses")
     val targetQuals = aliasesOf(m.targetTable, name)
     // the INNERMOST visible qualifier of each side (an alias hides the
@@ -267,6 +270,18 @@ object IcebergWriteRewrite {
         MergeInsert(c.map(ExprBox), Some(boxAssigns(assigns)))
       case other => unsupported(s"not-matched action $other")
     }
+    // BY SOURCE clauses see only the target row (no source columns —
+    // the SQL scope rule; a star has nothing to copy from, so it
+    // refuses at parse)
+    val bySource: Seq[MergeMatched] = m.notMatchedBySourceActions.map {
+      case UpdateAction(c, assigns, _) =>
+        MergeUpdate(c.map(ExprBox), Some(boxAssigns(assigns)))
+      case UpdateStarAction(_) =>
+        unsupported("UPDATE SET * in a NOT MATCHED BY SOURCE clause " +
+          "(there is no source row to copy from)")
+      case DeleteAction(c) => MergeDelete(c.map(ExprBox))
+      case other => unsupported(s"not-matched-by-source action $other")
+    }
     // ON: a conjunction of target-col = source-col equalities; each
     // side must carry a qualifier so the pairing is unambiguous
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -290,7 +305,7 @@ object IcebergWriteRewrite {
     }
     IcebergMergeCommand(name, dir, m.targetTable, m.sourceTable,
       targetQual, sourceQual, ExprBox(m.mergeCondition), pairs,
-      matched, notMatched)
+      matched, notMatched, bySource)
   }
 
 }
@@ -485,7 +500,8 @@ case class IcebergMergeCommand(name: String, tableDir: String,
                                mergeCond: ExprBox,
                                pairs: Seq[(String, Seq[String])],
                                matched: Seq[MergeMatched],
-                               notMatched: Seq[MergeInsert])
+                               notMatched: Seq[MergeInsert],
+                               bySource: Seq[MergeMatched] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override val output: Seq[Attribute] =
@@ -535,55 +551,76 @@ case class IcebergMergeCommand(name: String, tableDir: String,
 
     val target = IcebergLite.tableSchema(session, tableDir)
 
-    // ---- matched frame: target ⋈ source, per-row first-clause-wins --
-    // __act = index of the first satisfied WHEN MATCHED clause (-1 =
-    // none fired → the row keeps its values); recomputed inline per
-    // output column (codegen CSE collapses the duplication)
-    def actIdx: Column = matched.zipWithIndex
-      .foldRight(lit(-1): Column) { case ((a, i), acc) =>
-        when(condOf(a.cond), lit(i)).otherwise(acc)
-      }
-    def matchedValue(f: StructField): Column =
-      matched.zipWithIndex.foldRight(tcol(f.name): Column) {
+    // the matched and the not-matched-BY-SOURCE frames share one
+    // shape: per-row first-fired clause, key-level affectedness (rows
+    // of an affected key that fired nothing re-append UNCHANGED — the
+    // equality delete removes every row of the key), one checkpoint
+    def clauseFrame(frame: org.apache.spark.sql.DataFrame,
+                    clauses: Seq[MergeMatched],
+                    value: StructField => Column)
+        : (Long, Option[org.apache.spark.sql.DataFrame],
+           Option[org.apache.spark.sql.DataFrame]) = {
+      def idx: Column = clauses.zipWithIndex
+        .foldRight(lit(-1): Column) { case ((a, i), acc) =>
+          when(condOf(a.cond), lit(i)).otherwise(acc)
+        }
+      val del = clauses.zipWithIndex
+        .collect { case (MergeDelete(_), i) => idx === lit(i) }
+        .foldLeft(lit(false))(_ || _)
+      val shaped = frame.select(
+        (pairs.map(p => tcol(p._1).as(s"__k_${p._1}")) ++
+          Seq(idx.as("__act"), del.as("__del")) ++
+          target.fields.toSeq.map(f => value(f).as(f.name))): _*)
+      val w = Window.partitionBy(
+        pairs.map(p => col(s"__k_${p._1}")): _*)
+      val mat = shaped
+        .withColumn("__changed",
+          max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
+        .localCheckpoint(eager = true)
+      val ck = mat.filter(col("__changed") === 1)
+        .select(pairs.map(p => col(s"__k_${p._1}").as(p._1)): _*)
+        .distinct()
+      val re = mat.filter(col("__changed") === 1 && !col("__del"))
+        .select(target.fieldNames.toIndexedSeq.map(col): _*)
+      (ck.count(), Some(ck), Some(re))
+    }
+    def clauseValue(clauses: Seq[MergeMatched], star: StructField => Column)
+        (f: StructField): Column =
+      clauses.zipWithIndex.foldRight(tcol(f.name): Column) {
         case ((a, i), acc) =>
+          val idx: Column = clauses.zipWithIndex
+            .foldRight(lit(-1): Column) { case ((a2, i2), acc2) =>
+              when(condOf(a2.cond), lit(i2)).otherwise(acc2)
+            }
           val v = a match {
-            case MergeUpdate(_, None) => scol(f.name).cast(f.dataType)
+            case MergeUpdate(_, None) => star(f)
             case MergeUpdate(_, Some(as)) =>
               as.collectFirst { case (k, b) if k == f.name =>
                 GraftColumnShim.column(b.e).cast(f.dataType)
               }.getOrElse(tcol(f.name))
             case MergeDelete(_) => tcol(f.name) // row drops via __del
           }
-          when(actIdx === lit(i), v).otherwise(acc)
+          when(idx === lit(i), v).otherwise(acc)
       }
-    val isDelete = matched.zipWithIndex
-      .collect { case (MergeDelete(_), i) => actIdx === lit(i) }
-      .foldLeft(lit(false))(_ || _)
     val (nChanged, changedKeys, reappend) =
       if (matched.isEmpty) (0L, None, None)
-      else {
-        val joined = GraftPlanShim.ofRows(session,
-          Join(targetRel, srcPlan, Inner, Some(mergeCond.e), JoinHint.NONE))
-        val shaped = joined.select(
-          (pairs.map(p => tcol(p._1).as(s"__k_${p._1}")) ++
-            Seq(actIdx.as("__act"), isDelete.as("__del")) ++
-            target.fields.toSeq.map(f => matchedValue(f).as(f.name))): _*)
-        // a key is AFFECTED when any of its rows fires a clause; rows
-        // of an affected key that fired nothing re-append UNCHANGED
-        // (the equality delete removes every row of the key)
-        val w = Window.partitionBy(
-          pairs.map(p => col(s"__k_${p._1}")): _*)
-        val mat = shaped
-          .withColumn("__changed",
-            max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
-          .localCheckpoint(eager = true)
-        val ck = mat.filter(col("__changed") === 1)
-          .select(pairs.map(p => col(s"__k_${p._1}").as(p._1)): _*)
-          .distinct()
-        val re = mat.filter(col("__changed") === 1 && !col("__del"))
-          .select(target.fieldNames.toIndexedSeq.map(col): _*)
-        (ck.count(), Some(ck), Some(re))
-      }
+      else clauseFrame(
+        GraftPlanShim.ofRows(session,
+          Join(targetRel, srcPlan, Inner, Some(mergeCond.e), JoinHint.NONE)),
+        matched,
+        clauseValue(matched, f => scol(f.name).cast(f.dataType)))
+    // NOT MATCHED BY SOURCE: target rows with NO source match (the
+    // sync-mirror clauses) — the anti join's output carries only the
+    // target side, so conditions/assignments naming source columns
+    // fail analysis exactly as SQL scoping demands
+    val (nChangedBys, changedKeysBys, reappendBys) =
+      if (bySource.isEmpty) (0L, None, None)
+      else clauseFrame(
+        GraftPlanShim.ofRows(session,
+          Join(targetRel, srcPlan, LeftAnti, Some(mergeCond.e),
+            JoinHint.NONE)),
+        bySource,
+        clauseValue(bySource, f => tcol(f.name)))
 
     // ---- not-matched frame: source anti-join target ------------------
     def insIdx: Column = notMatched.zipWithIndex
@@ -617,11 +654,15 @@ case class IcebergMergeCommand(name: String, tableDir: String,
       }
     val nInserted = inserts.map(_.count()).getOrElse(0L)
 
-    // ---- commit: equality-delete the affected keys, append the new
-    // state (sequence semantics: re-appended rows postdate the delete)
-    if (nChanged > 0)
-      IcebergLite.equalityDeleteMOR(session, tableDir, changedKeys.get)
-    val toAppend = (reappend.toSeq ++ inserts.toSeq)
+    // ---- commit: equality-delete the affected keys (matched ∪
+    // by-source — disjoint key sets: a key either has a source match
+    // or it does not), append the new state (sequence semantics:
+    // re-appended rows postdate the delete)
+    val allChangedKeys = (changedKeys.toSeq ++ changedKeysBys.toSeq)
+      .reduceOption(_ unionByName _)
+    if (nChanged + nChangedBys > 0)
+      IcebergLite.equalityDeleteMOR(session, tableDir, allChangedKeys.get)
+    val toAppend = (reappend.toSeq ++ reappendBys.toSeq ++ inserts.toSeq)
       .reduceOption(_ unionByName _)
     toAppend.foreach { rows =>
       val aligned = IcebergWriteAlign.byName(s"MERGE INTO $name", rows,
@@ -629,7 +670,7 @@ case class IcebergMergeCommand(name: String, tableDir: String,
       IcebergLite.appendSnapshot(session, aligned, tableDir,
         partitionBy = IcebergLite.tablePartitionSpec(session, tableDir))
     }
-    Seq(Row(nChanged + nInserted))
+    Seq(Row(nChanged + nChangedBys + nInserted))
   }
 }
 

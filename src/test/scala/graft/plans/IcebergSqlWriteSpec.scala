@@ -351,7 +351,44 @@ class IcebergSqlWriteSpec extends SparkSuite {
       === 10L)
   }
 
-  test("MERGE refusals: non-equality ON, NOT MATCHED BY SOURCE") {
+  test("MERGE NOT MATCHED BY SOURCE: the full sync-mirror statement") {
+    val (name, _) = freshTable() // ids 1..10, n = id*10
+    // source: ids 8..12 — after the mirror merge the table must equal
+    // the source exactly (matched update, unmatched insert, everything
+    // the source no longer has deleted)
+    (8 to 12).map(i => (i.toLong, "s", i * 7L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("sqlw_bys_src")
+    val eff = spark.sql(
+      s"""MERGE INTO $name t USING sqlw_bys_src s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""").head().getLong(0)
+    // 3 matched keys + 2 inserts + 7 deleted-by-source keys
+    assert(eff === 12L)
+    val got = spark.sql(s"SELECT id, lang, n FROM $name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === (8 to 12).map(i => (i.toLong, "s", i * 7L)))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE: conditional update, non-firing rows survive") {
+    val (name, _) = freshTable()
+    Seq((1L, 0L)).toDF("id", "v").createOrReplaceTempView("sqlw_bys2_src")
+    // unmatched-by-source = ids 2..10; only even ids fire the clause
+    val eff = spark.sql(
+      s"""MERGE INTO $name t USING sqlw_bys2_src s ON t.id = s.id
+          WHEN NOT MATCHED BY SOURCE AND t.id % 2 = 0 THEN
+            UPDATE SET n = t.n + 1""").head().getLong(0)
+    assert(eff === 5L)
+    val got = spark.sql(s"SELECT id, n FROM $name")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === (1 to 10).map(i =>
+      (i.toLong, if (i % 2 == 0 && i != 1) i * 10L + 1 else i * 10L)))
+    assert(spark.sql(s"SELECT count(*) AS c FROM $name").head().getLong(0)
+      === 10L)
+  }
+
+  test("MERGE refusals: non-equality ON, star in BY SOURCE") {
     val (name, _) = freshTable()
     Seq((1L, "x", 1L)).toDF("id", "lang", "n")
       .createOrReplaceTempView("sqlw_bad_src")
@@ -360,12 +397,6 @@ class IcebergSqlWriteSpec extends SparkSuite {
                     WHEN MATCHED THEN DELETE""")
     }
     assert(eOn.getMessage.contains("column equality"))
-    val eBySrc = intercept[IllegalArgumentException] {
-      spark.sql(s"""MERGE INTO $name t USING sqlw_bad_src s ON t.id = s.id
-                    WHEN MATCHED THEN DELETE
-                    WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-    }
-    assert(eBySrc.getMessage.contains("BY SOURCE"))
   }
 
   test("writes to unregistered names fall through to Spark untouched") {
