@@ -112,9 +112,17 @@ class GraftTableCatalog extends TableCatalog with StagingTableCatalog
     throw new NoSuchTableException(ident)
   }
 
+  private def dataTable(ident: Identifier, what: String): GraftIcebergTable =
+    loadTable(ident) match {
+      case t: GraftIcebergTable => t
+      case _ => throw new UnsupportedOperationException(
+        s"$what on ${ident.name()}: metadata tables are views of the " +
+          "CURRENT metadata chain and do not time-travel")
+    }
+
   /** `FOR VERSION AS OF <v>`: a snapshot id, or a named branch/tag. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val t = loadTable(ident).asInstanceOf[GraftIcebergTable]
+    val t = dataTable(ident, "VERSION AS OF")
     val snap = version.toLongOption.getOrElse {
       IcebergLite.tableRefs(spark, t.tableDir).get(version).map(_._1)
         .getOrElse(throw new IllegalArgumentException(
@@ -126,7 +134,7 @@ class GraftTableCatalog extends TableCatalog with StagingTableCatalog
 
   /** `FOR TIMESTAMP AS OF <ts>`: Spark hands MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val t = loadTable(ident).asInstanceOf[GraftIcebergTable]
+    val t = dataTable(ident, "TIMESTAMP AS OF")
     new GraftIcebergTable(ident, t.tableDir,
       Some(IcebergLite.snapshotIdAsOf(spark, t.tableDir, timestamp / 1000L)))
   }

@@ -188,6 +188,12 @@ class GraftCatalogSpec extends SparkSuite {
     batch(10 to 10).writeTo("gcat.wt8").append()
     assert(spark.sql("SELECT count(*) AS c FROM gcat.wt8__snapshots")
       .head().getLong(0) === 3L)
+    // time travel on a metadata table refuses with a real message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.wt8__snapshots VERSION AS OF 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("do not time-travel"))
   }
 
   test("overwritePartitions replaces only the touched partitions") {
