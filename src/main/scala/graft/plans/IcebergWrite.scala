@@ -334,33 +334,34 @@ case class IcebergInsertCommand(name: String, tableDir: String,
             s"(${target.fieldNames.mkString(", ")}), got ${df0.schema.size}")
         df0.toDF(target.fieldNames: _*)
       }
-    val aligned0 = IcebergWriteAlign.byName(name, renamed.toDF(), target)
-    // OVERWRITE pins the source BEFORE the table empties: a
-    // self-referencing `INSERT OVERWRITE t SELECT ... FROM t` must read
-    // the pre-write snapshot (the real Iceberg contract), and a source
-    // that fails mid-scan must not leave the table already truncated —
-    // localCheckpoint materializes the source rows eagerly, so the
-    // truncate below happens only after the source has fully evaluated.
+    val aligned = IcebergWriteAlign.byName(name, renamed.toDF(), target)
     // DYNAMIC overwrite (spark.sql.sources.partitionOverwriteMode):
     // replace only the partitions the query touches — the Spark/Hive
-    // dynamic contract, riding the transform-aware deleteWhere
+    // dynamic contract, riding the transform-aware atomic
+    // overwriteWhere (delete + append in ONE snapshot)
     if (overwrite &&
         session.conf.get("spark.sql.sources.partitionOverwriteMode",
           "static").equalsIgnoreCase("dynamic") &&
         IcebergLite.tablePartitionSpec(session, tableDir).nonEmpty) {
-      IcebergLite.overwritePartitions(session, tableDir, aligned0)
+      IcebergLite.overwritePartitions(session, tableDir, aligned)
       return Seq.empty
     }
-    val aligned =
-      if (overwrite) aligned0.localCheckpoint(eager = true) else aligned0
-    if (overwrite && IcebergLite.tableRowCount(session, tableDir) > 0)
-      // metadata-only: one empty-manifest-list snapshot drops every
-      // live file — zero data files read or written (deleteWhere(true)
-      // would scan the full table twice to produce nothing); history
-      // still time-travels to the pre-overwrite data
-      IcebergLite.truncateTable(session, tableDir)
-    IcebergLite.appendSnapshot(session, aligned, tableDir,
-      partitionBy = IcebergLite.tablePartitionSpec(session, tableDir))
+    if (overwrite)
+      // ATOMIC replace: ONE snapshot whose manifest list carries only
+      // the new batch — zero old data files read (the old truncate +
+      // append pair was two snapshots with a half-applied crash window
+      // between them, and its eager source checkpoint materialized the
+      // whole batch to executor disk; single-commit needs neither: a
+      // self-referencing `OVERWRITE t SELECT ... FROM t` reads the
+      // pre-write snapshot because the table head only moves at the
+      // final metadata write, and a mid-scan source failure leaves the
+      // head untouched with only orphan files to reclaim). History
+      // still time-travels to the pre-overwrite data.
+      IcebergLite.commitRowDelta(session, tableDir, appendDf = Some(aligned),
+        replaceAll = true, operation = "overwrite")
+    else
+      IcebergLite.appendSnapshot(session, aligned, tableDir,
+        partitionBy = IcebergLite.tablePartitionSpec(session, tableDir))
     Seq.empty
   }
 
@@ -487,13 +488,27 @@ case class IcebergUpdateCommand(name: String, tableDir: String,
 /** General conditional `MERGE INTO` — see [[IcebergWriteRewrite]] for
   * the contract. `pairs` maps each target ON-key column to the
   * source-side qualified name it equates to. Result is the count of
-  * source rows that took effect (updated + deleted + inserted).
+  * keys/rows that took effect (updated + deleted + inserted).
   *
   * 100 TB shape: one shuffle join (target ⋈ source on the ON keys), one
   * key-partitioned window over the matched frame, one anti join for the
-  * inserts — no driver-side data pass; the two frames materialize via
-  * localCheckpoint BEFORE the equality-delete commits so every read
-  * sees the pre-merge snapshot exactly once. */
+  * inserts — no driver-side data pass. What materializes
+  * (localCheckpoint) is bounded by the statement's own effect, never
+  * the table: the matched frame ∝ matched rows (inherent to MERGE),
+  * the NOT-MATCHED-BY-SOURCE frame ∝ AFFECTED-KEY rows (pass 1
+  * aggregates the anti-scan down to the keys that fire any clause —
+  * keys only, no payload — and pass 2 semi-joins the target to that
+  * key set before shaping, so a small sync-merge against a 100 TB
+  * target checkpoints KBs, not the table), and the insert frame ∝
+  * inserted rows. The whole statement commits as ONE snapshot
+  * ([[IcebergLite.commitRowDelta]]): the equality-delete manifest and
+  * the re-append data manifest share a manifest list, so a crash
+  * anywhere leaves the table at its prior version — the
+  * keys-deleted-but-updates-never-landed window is unrepresentable —
+  * and the same-snapshot sequencing rule keeps the re-appended rows
+  * alive under their own delete. Effect counts come from ONE
+  * multi-frame job over the checkpointed frames (a tagged union),
+  * not a count per frame kind. */
 case class IcebergMergeCommand(name: String, tableDir: String,
                                targetRel: LogicalPlan, source: LogicalPlan,
                                targetQual: String, sourceQual: String,
@@ -550,48 +565,20 @@ case class IcebergMergeCommand(name: String, tableDir: String,
           "per target row")
 
     val target = IcebergLite.tableSchema(session, tableDir)
+    val keyCols = pairs.map(_._1)
 
-    // the matched and the not-matched-BY-SOURCE frames share one
-    // shape: per-row first-fired clause, key-level affectedness (rows
-    // of an affected key that fired nothing re-append UNCHANGED — the
-    // equality delete removes every row of the key), one checkpoint
-    def clauseFrame(frame: org.apache.spark.sql.DataFrame,
-                    clauses: Seq[MergeMatched],
-                    value: StructField => Column)
-        : (Long, Option[org.apache.spark.sql.DataFrame],
-           Option[org.apache.spark.sql.DataFrame]) = {
-      def idx: Column = clauses.zipWithIndex
-        .foldRight(lit(-1): Column) { case ((a, i), acc) =>
-          when(condOf(a.cond), lit(i)).otherwise(acc)
-        }
-      val del = clauses.zipWithIndex
-        .collect { case (MergeDelete(_), i) => idx === lit(i) }
-        .foldLeft(lit(false))(_ || _)
-      val shaped = frame.select(
-        (pairs.map(p => tcol(p._1).as(s"__k_${p._1}")) ++
-          Seq(idx.as("__act"), del.as("__del")) ++
-          target.fields.toSeq.map(f => value(f).as(f.name))): _*)
-      val w = Window.partitionBy(
-        pairs.map(p => col(s"__k_${p._1}")): _*)
-      val mat = shaped
-        .withColumn("__changed",
-          max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
-        .localCheckpoint(eager = true)
-      val ck = mat.filter(col("__changed") === 1)
-        .select(pairs.map(p => col(s"__k_${p._1}").as(p._1)): _*)
-        .distinct()
-      val re = mat.filter(col("__changed") === 1 && !col("__del"))
-        .select(target.fieldNames.toIndexedSeq.map(col): _*)
-      (ck.count(), Some(ck), Some(re))
-    }
+    // first-fired clause index, computed ONCE as a projected column —
+    // every per-field value expression branches on `__act` instead of
+    // re-expanding the condition chain (generated code stays
+    // O(clauses × fields), not O(clauses² × fields))
+    def actOf(conds: Seq[Option[ExprBox]]): Column = conds.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((c, i), acc) =>
+        when(condOf(c), lit(i)).otherwise(acc)
+      }
     def clauseValue(clauses: Seq[MergeMatched], star: StructField => Column)
         (f: StructField): Column =
       clauses.zipWithIndex.foldRight(tcol(f.name): Column) {
         case ((a, i), acc) =>
-          val idx: Column = clauses.zipWithIndex
-            .foldRight(lit(-1): Column) { case ((a2, i2), acc2) =>
-              when(condOf(a2.cond), lit(i2)).otherwise(acc2)
-            }
           val v = a match {
             case MergeUpdate(_, None) => star(f)
             case MergeUpdate(_, Some(as)) =>
@@ -600,33 +587,102 @@ case class IcebergMergeCommand(name: String, tableDir: String,
               }.getOrElse(tcol(f.name))
             case MergeDelete(_) => tcol(f.name) // row drops via __del
           }
-          when(idx === lit(i), v).otherwise(acc)
+          when(col("__act") === lit(i), v).otherwise(acc)
       }
-    val (nChanged, changedKeys, reappend) =
-      if (matched.isEmpty) (0L, None, None)
-      else clauseFrame(
-        GraftPlanShim.ofRows(session,
-          Join(targetRel, srcPlan, Inner, Some(mergeCond.e), JoinHint.NONE)),
-        matched,
-        clauseValue(matched, f => scol(f.name).cast(f.dataType)))
+    // keys + fired-clause + per-field outcome of one clause family over
+    // one frame; `__del` marks rows whose fired clause is a DELETE
+    def shapedFrame(frame: org.apache.spark.sql.DataFrame,
+                    clauses: Seq[MergeMatched],
+                    value: StructField => Column)
+        : org.apache.spark.sql.DataFrame = {
+      val del = clauses.zipWithIndex
+        .collect { case (MergeDelete(_), i) => col("__act") === lit(i) }
+        .foldLeft(lit(false))(_ || _)
+      frame.withColumn("__act", actOf(clauses.map(_.cond)))
+        .select((pairs.map(p => tcol(p._1).as(s"__k_${p._1}")) ++
+          Seq(col("__act"), del.as("__del")) ++
+          target.fields.toSeq.map(f => value(f).as(f.name))): _*)
+    }
+    // MATCHED frame: key-level affectedness via a key window (rows of
+    // an affected key that fired nothing re-append UNCHANGED — the
+    // equality delete removes every row of the key); the checkpoint is
+    // ∝ MATCHED rows, inherent to MERGE
+    def clauseFrameDense(frame: org.apache.spark.sql.DataFrame,
+                         clauses: Seq[MergeMatched],
+                         value: StructField => Column)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(
+        pairs.map(p => col(s"__k_${p._1}")): _*)
+      val mat = shapedFrame(frame, clauses, value)
+        .withColumn("__changed",
+          max(when(col("__act") >= 0, 1).otherwise(0)).over(w))
+        .localCheckpoint(eager = true)
+      val ck = mat.filter(col("__changed") === 1)
+        .select(pairs.map(p => col(s"__k_${p._1}").as(p._1)): _*)
+        .distinct()
+      val re = mat.filter(col("__changed") === 1 && !col("__del"))
+        .select(target.fieldNames.toIndexedSeq.map(col): _*)
+      (ck, re)
+    }
+    val (changedKeys, reappend) =
+      if (matched.isEmpty) (None, None)
+      else {
+        val (ck, re) = clauseFrameDense(
+          GraftPlanShim.ofRows(session,
+            Join(targetRel, srcPlan, Inner, Some(mergeCond.e),
+              JoinHint.NONE)),
+          matched,
+          clauseValue(matched, f => scol(f.name).cast(f.dataType)))
+        (Some(ck), Some(re))
+      }
     // NOT MATCHED BY SOURCE: target rows with NO source match (the
     // sync-mirror clauses) — the anti join's output carries only the
     // target side, so conditions/assignments naming source columns
-    // fail analysis exactly as SQL scoping demands
-    val (nChangedBys, changedKeysBys, reappendBys) =
-      if (bySource.isEmpty) (0L, None, None)
-      else clauseFrame(
-        GraftPlanShim.ofRows(session,
-          Join(targetRel, srcPlan, LeftAnti, Some(mergeCond.e),
-            JoinHint.NONE)),
-        bySource,
-        clauseValue(bySource, f => tcol(f.name)))
+    // fail analysis exactly as SQL scoping demands. Against a small
+    // source this frame is NEARLY THE WHOLE TABLE, so it is never
+    // materialized: pass 1 aggregates it down to the keys that fire
+    // any clause (keys only — the checkpoint is ∝ affected keys), and
+    // pass 2 semi-joins the target to that key set BEFORE shaping, so
+    // only affected-key rows are read twice and checkpointed. Clause
+    // conditions must be deterministic (they re-evaluate in pass 2) —
+    // the SQL assumption every engine's MERGE makes.
+    val (changedKeysBys, reappendBys) =
+      if (bySource.isEmpty) (None, None)
+      else {
+        def antiFrame(rel: LogicalPlan) = GraftPlanShim.ofRows(session,
+          Join(rel, srcPlan, LeftAnti, Some(mergeCond.e), JoinHint.NONE))
+        val ck = antiFrame(targetRel)
+          .withColumn("__act", actOf(bySource.map(_.cond)))
+          .select((pairs.map(p => tcol(p._1).as(p._1)) :+
+            col("__act")): _*)
+          .groupBy(keyCols.map(col): _*)
+          .agg(max(when(col("__act") >= 0, 1).otherwise(0)).as("__ch"))
+          .filter(col("__ch") === 1)
+          .select(keyCols.map(col): _*)
+          .localCheckpoint(eager = true)
+        if (ck.isEmpty) (Some(ck), None)
+        else {
+          val ckPlan = SubqueryAlias("__graft_ck",
+            GraftPlanShim.analyzedPlan(ck.toDF(
+              keyCols.map(k => s"__ck_$k"): _*)))
+          val semiCond = pairs.map { case (t, _) =>
+            EqualTo(UnresolvedAttribute(Seq(targetQual, t)),
+              UnresolvedAttribute(Seq("__graft_ck", s"__ck_$t")))
+              : Expression
+          }.reduce(And(_, _))
+          val pruned = Join(targetRel, ckPlan,
+            org.apache.spark.sql.catalyst.plans.LeftSemi,
+            Some(semiCond), JoinHint.NONE)
+          val mat = shapedFrame(antiFrame(pruned), bySource,
+            clauseValue(bySource, f => tcol(f.name)))
+            .localCheckpoint(eager = true)
+          val re = mat.filter(!col("__del"))
+            .select(target.fieldNames.toIndexedSeq.map(col): _*)
+          (Some(ck), Some(re))
+        }
+      }
 
     // ---- not-matched frame: source anti-join target ------------------
-    def insIdx: Column = notMatched.zipWithIndex
-      .foldRight(lit(-1): Column) { case ((a, i), acc) =>
-        when(condOf(a.cond), lit(i)).otherwise(acc)
-      }
     def insertValue(f: StructField): Column =
       notMatched.zipWithIndex
         .foldRight(lit(null).cast(f.dataType): Column) { case ((a, i), acc) =>
@@ -637,7 +693,7 @@ case class IcebergMergeCommand(name: String, tableDir: String,
                 GraftColumnShim.column(b.e).cast(f.dataType)
               }.getOrElse(lit(null).cast(f.dataType))
           }
-          when(insIdx === lit(i), v).otherwise(acc)
+          when(col("__ins") === lit(i), v).otherwise(acc)
         }
     val inserts =
       if (notMatched.isEmpty) None
@@ -646,30 +702,45 @@ case class IcebergMergeCommand(name: String, tableDir: String,
           Join(srcPlan, targetRel, LeftAnti, Some(mergeCond.e),
             JoinHint.NONE))
         Some(anti
-          .select((Seq(insIdx.as("__ins")) ++
+          .withColumn("__ins", actOf(notMatched.map(_.cond)))
+          .select((Seq(col("__ins")) ++
             target.fields.toSeq.map(f => insertValue(f).as(f.name))): _*)
           .filter(col("__ins") >= 0)
           .select(target.fieldNames.toIndexedSeq.map(col): _*)
           .localCheckpoint(eager = true))
       }
-    val nInserted = inserts.map(_.count()).getOrElse(0L)
 
-    // ---- commit: equality-delete the affected keys (matched ∪
-    // by-source — disjoint key sets: a key either has a source match
-    // or it does not), append the new state (sequence semantics:
-    // re-appended rows postdate the delete)
+    // ---- effect counts: ONE job over the checkpointed frames (a
+    // tagged key union), not a count per frame kind
+    val tagged = (changedKeys.map(_.withColumn("__tag", lit("m"))).toSeq ++
+      changedKeysBys.map(_.withColumn("__tag", lit("b"))).toSeq ++
+      inserts.map(_.select(keyCols.map(col): _*)
+        .withColumn("__tag", lit("i"))).toSeq)
+      .reduceOption(_ unionByName _)
+    val counts: Map[String, Long] = tagged.map(
+      _.groupBy("__tag").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+    val nChanged = counts.getOrElse("m", 0L)
+    val nChangedBys = counts.getOrElse("b", 0L)
+    val nInserted = counts.getOrElse("i", 0L)
+
+    // ---- commit: ONE snapshot — the equality delete over the affected
+    // keys (matched ∪ by-source, disjoint: a key either has a source
+    // match or it does not) and the re-append share a manifest list;
+    // same-snapshot sequencing keeps the re-appended rows alive under
+    // their own delete
     val allChangedKeys = (changedKeys.toSeq ++ changedKeysBys.toSeq)
       .reduceOption(_ unionByName _)
-    if (nChanged + nChangedBys > 0)
-      IcebergLite.equalityDeleteMOR(session, tableDir, allChangedKeys.get)
+      .filter(_ => nChanged + nChangedBys > 0)
     val toAppend = (reappend.toSeq ++ reappendBys.toSeq ++ inserts.toSeq)
       .reduceOption(_ unionByName _)
-    toAppend.foreach { rows =>
-      val aligned = IcebergWriteAlign.byName(s"MERGE INTO $name", rows,
-        target)
-      IcebergLite.appendSnapshot(session, aligned, tableDir,
-        partitionBy = IcebergLite.tablePartitionSpec(session, tableDir))
-    }
+      .map(rows => IcebergWriteAlign.byName(s"MERGE INTO $name", rows,
+        target))
+    IcebergLite.commitRowDelta(session, tableDir,
+      equalityKeys = allChangedKeys, appendDf = toAppend,
+      operation =
+        if (nChanged + nChangedBys > 0) "overwrite" else "append")
     Seq(Row(nChanged + nChangedBys + nInserted))
   }
 }

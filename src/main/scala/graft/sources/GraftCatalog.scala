@@ -526,29 +526,31 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
                 IcebergLite.overwritePartitions(s, tableDir, aligned)
                 return
               }
-              val doOverwrite = overwrite || overwriteBy.isDefined
-              val toWrite =
-                // pin the source before any delete (self-reference /
-                // mid-scan-failure safety, the INSERT OVERWRITE rule)
-                if (doOverwrite) aligned.localCheckpoint(eager = true)
-                else aligned
+              // every overwrite shape commits as ONE snapshot (no
+              // delete-landed-but-batch-never-did crash window, no
+              // eager source materialization): full replace for
+              // literal-true filters, atomic delete+append otherwise
               overwriteBy match {
-                case None if doOverwrite =>
-                  IcebergLite.truncateTable(s, tableDir)
+                case None if overwrite =>
+                  IcebergLite.commitRowDelta(s, tableDir,
+                    appendDf = Some(aligned), replaceAll = true,
+                    operation = "overwrite")
                 case Some(fs0)
                     if fs0.forall(_.isInstanceOf[sources.AlwaysTrue]) =>
-                  IcebergLite.truncateTable(s, tableDir)
+                  IcebergLite.commitRowDelta(s, tableDir,
+                    appendDf = Some(aligned), replaceAll = true,
+                    operation = "overwrite")
                 case Some(fs0) =>
                   val cond = fs0.toSeq.map { f0 =>
                     GraftTableCatalog.filterColumn(f0).getOrElse(
                       throw new UnsupportedOperationException(
                         s"overwrite filter $f0 has no exact predicate"))
                   }.reduceOption(_ && _).getOrElse(lit(true))
-                  IcebergLite.deleteWhere(s, tableDir, cond)
-                case None => ()
+                  IcebergLite.overwriteWhere(s, tableDir, cond, aligned)
+                case None =>
+                  IcebergLite.appendSnapshot(s, aligned, tableDir,
+                    partitionBy = IcebergLite.tablePartitionSpec(s, tableDir))
               }
-              IcebergLite.appendSnapshot(s, toWrite, tableDir,
-                partitionBy = IcebergLite.tablePartitionSpec(s, tableDir))
             }
           }
       }

@@ -574,18 +574,7 @@ object IcebergLite {
     // (names + types in order) and the commit re-uses the table's
     // schema json VERBATIM — evolved field ids are never re-derived
     // from the Spark schema, which would renumber them.
-    // canonical type rendering: narrow integers (smallint/tinyint)
-    // canonicalize to "int" exactly as schemaJson maps them at CREATE,
-    // so a frame that could create the table can always append to it
-    def canon(dt: DataType): String = dt match {
-      case ShortType | ByteType => "int"
-      case MapType(k2, v2, n2) => s"map<${canon(k2)},${canon(v2)},$n2>"
-      case ArrayType(e2, n2) => s"array<${canon(e2)},$n2>"
-      case st: StructType => st.fields
-        .map(f2 => s"${f2.name}:${canon(f2.dataType)}")
-        .mkString("struct<", ",", ">")
-      case other => other.catalogString
-    }
+    def canon(dt: DataType): String = canonType(dt)
     val reqSpec = partitionBy.map(IcebergTransforms.parse)
     val (schemaJs, lastColumnId) = prior match {
       case Some(m) =>
@@ -646,6 +635,20 @@ object IcebergLite {
         (if (effectiveBloom.nonEmpty)
           Map(BloomColsProp -> effectiveBloom.mkString(","))
         else Map.empty))
+  }
+
+  /** Canonical type rendering for append-time schema checks: narrow
+    * integers (smallint/tinyint) canonicalize to "int" exactly as
+    * schemaJson maps them at CREATE, so a frame that could create the
+    * table can always append to it. */
+  private def canonType(dt: DataType): String = dt match {
+    case ShortType | ByteType => "int"
+    case MapType(k2, v2, n2) => s"map<${canonType(k2)},${canonType(v2)},$n2>"
+    case ArrayType(e2, n2) => s"array<${canonType(e2)},$n2>"
+    case st: StructType => st.fields
+      .map(f2 => s"${f2.name}:${canonType(f2.dataType)}")
+      .mkString("struct<", ",", ">")
+    case other => other.catalogString
   }
 
   private def hasCommitKey(m: TableMeta, key: String): Boolean = {
@@ -721,11 +724,12 @@ object IcebergLite {
                              entrySchema: Schema,
                              fieldIds: Map[String, Int],
                              distribute: Boolean = false,
-                             bloomCols: Seq[String] = Nil)
+                             bloomCols: Seq[String] = Nil,
+                             dirSuffix: String = "")
       : (Seq[GenericRecord], Option[String]) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val f = fs(spark, root)
-    val dataDir = new Path(root, s"data/s$snapshotId")
+    val dataDir = new Path(root, s"data/s$snapshotId$dirSuffix")
     // HIDDEN partitioning: non-identity transforms derive their
     // partition value as an extra column (computed inside the scan —
     // bucket is a native codegen expression), which Spark's partitionBy
@@ -1605,11 +1609,32 @@ object IcebergLite {
   def deleteWhere(spark: SparkSession,
                   tableDir: String,
                   predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not, sum => sum0}
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
+    if (liveFileEntries(spark, meta).isEmpty) return 0L
+    val snapshotId = meta.nextSnapshotId
+    stageDeleteWhere(spark, root, meta, snapshotId, predicate) match {
+      case None => 0L
+      case Some((groups, nDeleted)) =>
+        commitRewrite(spark, root, meta, snapshotId, groups,
+          operation = "overwrite")
+        nDeleted
+    }
+  }
+
+  /** STAGE a copy-on-write delete for `snapshotId`: the rewrite groups
+    * (survivor rewrites + carried EXISTING entries) that physically
+    * apply `predicate` — data files written, NO commit. `None` when no
+    * live row matches (and no outstanding MOR delete forces a rewrite)
+    * — the caller commits nothing. The shared head of [[deleteWhere]]
+    * and the atomic [[overwriteWhere]]. */
+  private def stageDeleteWhere(spark: SparkSession, root: Path,
+                               meta: TableMeta, snapshotId: Long,
+                               predicate: org.apache.spark.sql.Column)
+      : Option[(Seq[RewriteGroup], Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not, sum => sum0}
     val files = liveFileEntries(spark, meta)
-    if (files.isEmpty) return 0L // empty table: nothing to delete
+    if (files.isEmpty) return None
 
     // one column-pruned scan over the CANDIDATE files (the predicate
     // mined for bounds/partition/Bloom skipping — a partition-targeted
@@ -1637,12 +1662,11 @@ object IcebergLite {
     val liveSet = files.map(_._1).toSet
     val hits = hitAgg.map(_.getString(0)).toSet ++ (deleteRefs & liveSet) ++
       (eqAffectedFiles(spark, meta) & liveSet)
-    if (hits.isEmpty) return 0L
+    if (hits.isEmpty) return None
 
     val schema = declaredSchema(meta)
     val spec = typedSpec(meta.partitionSpec, schema)
     val entrySchema = manifestEntrySchema(spec)
-    val snapshotId = meta.nextSnapshotId
 
     // rewrite ONLY the hit files (projected to the current schema —
     // a rewrite is the one moment old-schema rows get rewritten new)
@@ -1668,9 +1692,35 @@ object IcebergLite {
         Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
           newEntries, newBloom))
       else Nil)
-    commitRewrite(spark, root, meta, snapshotId, groups,
-      operation = "overwrite")
-    nDeleted
+    Some((groups, nDeleted))
+  }
+
+  /** ATOMIC overwrite-by-predicate: copy-on-write delete of the rows
+    * matching `predicate` AND append of `df`, committed as ONE
+    * snapshot — the `.overwrite(cond)` / dynamic-partition-overwrite
+    * shape without the delete-landed-but-batch-never-did crash window
+    * (a failure anywhere before the final metadata write leaves the
+    * table at its prior version; staged files are orphans).
+    * Returns the rows dropped. */
+  def overwriteWhere(spark: SparkSession, tableDir: String,
+                     predicate: org.apache.spark.sql.Column,
+                     df: DataFrame): Long = {
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val snapshotId = meta.nextSnapshotId
+    val staged = stageDeleteWhere(spark, root, meta, snapshotId, predicate)
+    val base = staged match {
+      case Some((groups, _)) =>
+        stageRewriteManifests(spark, root, meta, snapshotId, groups)
+      case None => meta.manifests
+    }
+    val app = stageDataManifest(spark, root, meta, snapshotId, df)
+    if (staged.isEmpty && app.isEmpty) return 0L
+    commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+      base ++ app.map(_._1).toSeq, meta.schemaJs, meta.lastColumnId,
+      meta.specs, meta.defaultSpecId, operation = "overwrite",
+      sortCols = meta.sortOrderCols, props = meta.props)
+    staged.map(_._2).getOrElse(0L)
   }
 
   /** DYNAMIC partition overwrite — replace exactly the partitions the
@@ -1693,8 +1743,12 @@ object IcebergLite {
     val spec = meta.partitionSpec
     val df = df0.localCheckpoint(eager = true)
     if (spec.isEmpty) {
-      val n = truncateTable(spark, tableDir)
-      appendSnapshot(spark, df, tableDir)
+      // unpartitioned: degrade to a full replace — ONE snapshot whose
+      // manifest list carries only the new batch (the Iceberg rule),
+      // with the dropped-row count from the prior live manifests
+      val n = meta.manifests.filter(_.content == 0).map(_.totalRows).sum
+      commitRowDelta(spark, tableDir, appendDf = Some(df),
+        replaceAll = true, operation = "overwrite")
       return n
     }
     val schema = declaredSchema(meta)
@@ -1706,20 +1760,15 @@ object IcebergLite {
     require(touched.length <= 1000,
       s"dynamic overwrite touches ${touched.length} partitions (> 1000) " +
         "— use a full INSERT OVERWRITE or split the write")
-    val n =
-      if (touched.isEmpty || tableRowCount(spark, tableDir) == 0) 0L
-      else {
-        val pred = touched.toSeq.map { row =>
-          spec.zipWithIndex.map { case (pf, i) =>
-            if (row.isNullAt(i)) derived(pf).isNull
-            else derived(pf) === lit(row.get(i))
-          }.reduce(_ && _)
-        }.reduce(_ || _)
-        deleteWhere(spark, tableDir, pred)
-      }
-    appendSnapshot(spark, df, tableDir,
-      partitionBy = spec.map(renderSpec))
-    n
+    // delete-the-touched-partitions + append-the-batch commit as ONE
+    // snapshot (overwriteWhere) — no half-applied crash window
+    val pred = touched.toSeq.map { row =>
+      spec.zipWithIndex.map { case (pf, i) =>
+        if (row.isNullAt(i)) derived(pf).isNull
+        else derived(pf) === lit(row.get(i))
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    overwriteWhere(spark, tableDir, pred, df)
   }
 
   /** Copy-on-write row UPDATE — `SET col = expr` applied to rows
@@ -1847,11 +1896,9 @@ object IcebergLite {
                      tableDir: String,
                      predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
-    val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val files = liveFileEntries(spark, meta)
     if (files.isEmpty) return 0L // empty table: nothing to delete
-    val snapshotId = meta.nextSnapshotId
 
     val cand = candidateFiles(spark, meta, predicate, files)
     if (cand.isEmpty) return 0L
@@ -1860,7 +1907,8 @@ object IcebergLite {
       .select(col("__file").as("file_path"), col("__pos").as("pos"))
       .localCheckpoint() // one scan serves the count and the write
     if (matches.isEmpty) return 0L
-    commitPositionDeletes(spark, root, meta, snapshotId, matches)
+    commitRowDelta(spark, tableDir, positions = Some(matches),
+      operation = "delete")._1
   }
 
   private def validAssignments(schema: StructType,
@@ -1881,26 +1929,26 @@ object IcebergLite {
   /** MERGE-ON-READ row UPDATE — the v2 position-delete composition of
     * [[updateWhere]]: matching rows are dropped by (file_path, pos)
     * delete files (write cost ∝ MATCHES, zero data files rewritten)
-    * and their updated versions append as the following snapshot,
-    * which the position deletes cannot name — the same sequence
-    * discipline the equality-delete upsert rides. ONE scan serves the
-    * delete positions and the updated rows (the matched frame is
-    * checkpointed before either commit); [[compact]] later makes the
-    * deletes physical. Same assignment semantics as [[updateWhere]]
-    * (pre-update row, ANSI cast, partition re-clustering). Returns the
-    * number of rows updated. */
+    * and their updated versions append IN THE SAME SNAPSHOT — position
+    * deletes name pre-existing (file, pos) addresses, so the new files
+    * are untouchable by construction, and the single
+    * [[commitRowDelta]] commit makes the statement atomic (no
+    * rows-deleted-but-updates-never-landed crash window). ONE scan
+    * serves the delete positions and the updated rows (the matched
+    * frame is checkpointed before the write); [[compact]] later makes
+    * the deletes physical. Same assignment semantics as
+    * [[updateWhere]] (pre-update row, ANSI cast, partition
+    * re-clustering). Returns the number of rows updated. */
   def updateWhereMOR(spark: SparkSession, tableDir: String,
                      predicate: org.apache.spark.sql.Column,
                      assignments: Seq[(String, org.apache.spark.sql.Column)])
       : Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val files = liveFileEntries(spark, meta)
     if (files.isEmpty) return 0L // empty table: nothing to update
     val schema = declaredSchema(meta)
     val assignMap = validAssignments(schema, assignments)
-    val snapshotId = meta.nextSnapshotId
     val cand = candidateFiles(spark, meta, predicate, files)
     if (cand.isEmpty) return 0L
     val matches = applyDeletes(spark, meta, readRaw(spark, meta, cand))
@@ -1913,62 +1961,206 @@ object IcebergLite {
         case None => col(f.name)
       }
     }: _*)
-    val n = commitPositionDeletes(spark, root, meta, snapshotId,
-      matches.select(col("__file").as("file_path"), col("__pos").as("pos")))
-    appendSnapshot(spark, updated, tableDir,
-      partitionBy = meta.partitionSpec.map(renderSpec))
-    n
+    commitRowDelta(spark, tableDir,
+      positions = Some(matches.select(col("__file").as("file_path"),
+        col("__pos").as("pos"))),
+      appendDf = Some(updated), operation = "overwrite")._1
   }
 
-  /** Write `(file_path, pos)` rows as position-delete parquet under a
-    * content=1 manifest and commit the snapshot — the shared tail of
-    * [[deleteWhereMOR]] and [[updateWhereMOR]]. Returns the delete-row
-    * count. */
-  private def commitPositionDeletes(spark: SparkSession, root: Path,
-                                    meta: TableMeta, snapshotId: Long,
-                                    positions: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{count, input_file_name, lit}
-    val delDir = new Path(root, s"data/deletes-s$snapshotId")
-    positions.write.mode("overwrite").parquet(delDir.toString)
-
-    val perFile = spark.read.parquet(delDir.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect()
-    val nDeleted = perFile.map(_.getLong(1)).sum
-
-    // one content=1 manifest over the delete files; entries reuse the
-    // unpartitioned entry record (a delete file belongs to no partition)
+  /** Manifest entries over already-written DELETE parquet files (a
+    * content=1/2 manifest's body): one entry per file, unpartitioned
+    * (a delete file belongs to no partition). */
+  private def deleteFileEntries(spark: SparkSession, root: Path,
+                                snapshotId: Long,
+                                perFile: Seq[(String, Long)])
+      : (Schema, Seq[GenericRecord]) = {
     val delEntrySchema = manifestEntrySchema(Nil)
     val fileSchema = delEntrySchema.getField("data_file").schema()
     val partSchema = fileSchema.getField("partition").schema()
     val f = fs(spark, root)
-    val entries = perFile.toSeq.map { row =>
+    val entries = perFile.map { case (path, n) =>
       val e = new GenericData.Record(delEntrySchema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
       val d = new GenericData.Record(fileSchema)
-      d.put("file_path", row.getString(0))
+      d.put("file_path", path)
       d.put("file_format", "PARQUET")
       d.put("partition", new GenericData.Record(partSchema))
-      d.put("record_count", row.getLong(1))
+      d.put("record_count", n)
       d.put("file_size_in_bytes", f.getFileStatus(
-        new Path(new java.net.URI(row.getString(0)))).getLen)
+        new Path(new java.net.URI(path))).getLen)
       e.put("data_file", d)
       e
     }
-    val metaDir = new Path(root, "metadata")
-    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-del.avro")
+    (delEntrySchema, entries)
+  }
+
+  /** STAGE position deletes for `snapshotId`: write `(file_path, pos)`
+    * rows as delete parquet + ONE content=1 manifest — NO commit (the
+    * [[commitRowDelta]] single-snapshot discipline). Returns the
+    * manifest ref + delete-row count; `None` when `positions` is empty. */
+  private def stagePositionDeletes(spark: SparkSession, root: Path,
+                                   meta: TableMeta, snapshotId: Long,
+                                   positions: DataFrame)
+      : Option[(MRef, Long)] = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val delDir = new Path(root, s"data/deletes-s$snapshotId")
+    positions.write.mode("overwrite").parquet(delDir.toString)
+    val perFile = spark.read.parquet(delDir.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val nDeleted = perFile.map(_._2).sum
+    if (nDeleted == 0) return None
+    val (delEntrySchema, entries) =
+      deleteFileEntries(spark, root, snapshotId, perFile)
+    val manifestPath = new Path(new Path(root, "metadata"),
+      f"manifest-$snapshotId%05d-del.avro")
     val manifestLen = writeAvro(spark, manifestPath, delEntrySchema, entries,
       Map("schema" -> meta.schemaJs, "format-version" -> "1",
         "content" -> "deletes"))
+    Some((MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
+      nDeleted, content = 1, specId = meta.defaultSpecId), nDeleted))
+  }
+
+  /** STAGE an equality delete for `snapshotId`: the key frame's
+    * distinct rows as delete parquet + ONE content=2 manifest carrying
+    * the key columns by name + field id — NO commit. Key columns must
+    * exist in the table schema. Returns the manifest ref + distinct key
+    * count; `None` when the key frame is empty. */
+  private def stageEqualityDelete(spark: SparkSession, root: Path,
+                                  meta: TableMeta, snapshotId: Long,
+                                  keys: DataFrame): Option[(MRef, Long)] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    val declared = declaredSchema(meta)
+    val keyCols = keys.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    keyCols.foreach(c => require(declared.fieldNames.contains(c),
+      s"equality column $c not in the table schema"))
+    val delDir = new Path(root, s"data/eqdel-s$snapshotId")
+    // cast to the DECLARED types so the MOR join is type-exact even if
+    // the caller hands narrower literals
+    val casted = keys.select(keyCols.map(c =>
+      col(c).cast(declared(c).dataType).as(c)): _*).distinct()
+    casted.write.mode("overwrite").parquet(delDir.toString)
+    val perFile = spark.read.parquet(delDir.toString)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val nKeys = perFile.map(_._2).sum
+    if (nKeys == 0) return None
+    val (delEntrySchema, entries) =
+      deleteFileEntries(spark, root, snapshotId, perFile)
+    val manifestPath = new Path(new Path(root, "metadata"),
+      f"manifest-$snapshotId%05d-eqdel.avro")
+    // key columns ride the manifest metadata by NAME + field id (ids are
+    // the evolution-stable identity; names are what the MOR join uses)
+    val fieldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
+    val manifestLen = writeAvro(spark, manifestPath, delEntrySchema, entries,
+      Map("schema" -> meta.schemaJs, "format-version" -> "1",
+        "content" -> "deletes",
+        "equality-cols" -> keyCols.mkString(","),
+        "equality-ids" -> keyCols.map(fieldIds).mkString(",")))
+    Some((MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
+      nKeys, content = 2, specId = meta.defaultSpecId), nKeys))
+  }
+
+  /** STAGE a data append for an EXISTING table under the table's own
+    * persisted contract (partition spec, sort order, bloom columns —
+    * exactly what [[appendSnapshot]] applies when the caller names
+    * nothing): cluster + write the data files and ONE content=0
+    * manifest for `snapshotId` — NO commit. The frame must match the
+    * declared schema under the same canonical-type rule as
+    * [[appendSnapshot]]. Returns the manifest ref + row count; `None`
+    * when the frame is empty. */
+  private def stageDataManifest(spark: SparkSession, root: Path,
+                                meta: TableMeta, snapshotId: Long,
+                                df0: DataFrame): Option[(MRef, Long)] = {
+    import org.apache.spark.sql.functions.{col => c0}
+    val effectiveSort = meta.sortOrderCols
+    val df =
+      if (effectiveSort.isEmpty) df0
+      else df0.repartitionByRange(effectiveSort.map(c0): _*)
+        .sortWithinPartitions(effectiveSort.map(c0): _*)
+    if (df.isEmpty) return None
+    val declared = declaredSchema(meta)
+    require(declared.fields.map(f2 => (f2.name, canonType(f2.dataType)))
+        .sameElements(df.schema.fields.map(f2 =>
+          (f2.name, canonType(f2.dataType)))),
+      s"appended schema ${df.schema.simpleString} differs from the table " +
+        s"schema ${declared.simpleString}")
+    val spec = typedSpec(meta.partitionSpec, df.schema)
+    val entrySchema = manifestEntrySchema(spec)
+    val fieldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
+    // "-a" keeps this dir clear of a same-snapshot COW rewrite's s<id>
+    val (entries, bloomPath) = writeDataFiles(spark, df, root, snapshotId,
+      spec, entrySchema, fieldIds, distribute = effectiveSort.isEmpty,
+      bloomCols = meta.bloomCols, dirSuffix = "-a")
+    val manifestPath = new Path(new Path(root, "metadata"),
+      f"manifest-$snapshotId%05d.avro")
+    val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
+      Map("schema" -> meta.schemaJs, "format-version" -> "1",
+        "content" -> "data",
+        "partition-spec-id" -> meta.defaultSpecId.toString) ++
+        bloomPath.map("bloom-paths" -> _))
+    val newRows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
+    Some((MRef(manifestPath.toString, manifestLen, entries.size, snapshotId,
+      newRows, content = 0, specId = meta.defaultSpecId), newRows))
+  }
+
+  /** ONE-snapshot row-level delta commit — the ATOMIC DML shape: any
+    * combination of an equality-delete key frame, a position-delete
+    * frame, and an appended data frame lands under a SINGLE manifest
+    * list / metadata version. A crash before the final metadata write
+    * leaves the table at its prior version with every staged file
+    * unreferenced ([[removeOrphanFiles]] reclaims them) — the
+    * half-applied statement window of delete-snapshot + append-snapshot
+    * sequences is unrepresentable.
+    *
+    * Sequencing: manifest entries carry the snapshot that added them,
+    * and the MOR reader applies an equality delete only to data files
+    * from STRICTLY OLDER snapshots — so rows appended by this same
+    * commit survive its own delete (the Iceberg same-sequence-number
+    * rule), which is exactly what MERGE/UPDATE re-appends need.
+    * Position deletes name pre-existing (file, pos) addresses and
+    * cannot touch the new files by construction.
+    *
+    * `replaceAll` drops every prior manifest (the INSERT OVERWRITE /
+    * truncate-and-load shape — full history still time-travels) and is
+    * mutually exclusive with the delete frames. Returns
+    * (deleted keys/rows, appended rows). No-op (no new snapshot) when
+    * nothing stages and `replaceAll` is false. */
+  def commitRowDelta(spark: SparkSession, tableDir: String,
+                     equalityKeys: Option[DataFrame] = None,
+                     positions: Option[DataFrame] = None,
+                     appendDf: Option[DataFrame] = None,
+                     replaceAll: Boolean = false,
+                     operation: String = "overwrite",
+                     commitKey: Option[String] = None): (Long, Long) = {
+    require(!(replaceAll && (equalityKeys.nonEmpty || positions.nonEmpty)),
+      "replaceAll drops every prior file — combining it with delete " +
+        "frames is contradictory")
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    // exactly-once: a commit key already in the snapshot log means this
+    // statement landed before a checkpoint replay — no-op
+    if (commitKey.exists(k => hasCommitKey(meta, k))) return (0L, 0L)
+    val snapshotId = meta.nextSnapshotId
+    val hasLive = meta.manifests.exists(_.content == 0)
+    // deletes against an empty table stage nothing (nothing to delete)
+    val eq = equalityKeys.filter(_ => hasLive)
+      .flatMap(k => stageEqualityDelete(spark, root, meta, snapshotId, k))
+    val pos = positions.filter(_ => hasLive)
+      .flatMap(p => stagePositionDeletes(spark, root, meta, snapshotId, p))
+    val app = appendDf
+      .flatMap(df => stageDataManifest(spark, root, meta, snapshotId, df))
+    val staged = (eq.toSeq ++ pos.toSeq ++ app.toSeq).map(_._1)
+    if (staged.isEmpty && !replaceAll && commitKey.isEmpty) return (0L, 0L)
+    val base = if (replaceAll) Seq.empty else meta.manifests
     commit(spark, root, Some(meta), snapshotId, meta.version + 1,
-      meta.manifests :+ MRef(manifestPath.toString, manifestLen,
-        entries.size, snapshotId, nDeleted, content = 1,
-        specId = meta.defaultSpecId),
-      meta.schemaJs, meta.lastColumnId, meta.specs, meta.defaultSpecId,
-      operation = "delete", sortCols = meta.sortOrderCols,
-      props = meta.props)
-    nDeleted
+      base ++ staged, meta.schemaJs, meta.lastColumnId, meta.specs,
+      meta.defaultSpecId, operation, commitKey = commitKey,
+      sortCols = meta.sortOrderCols, props = meta.props)
+    ((eq.toSeq ++ pos.toSeq).map(_._2).sum, app.map(_._2).getOrElse(0L))
   }
 
   /** v2 merge-on-read EQUALITY delete — the CDC/streaming-upsert
@@ -1984,7 +2176,6 @@ object IcebergLite {
   def equalityDeleteMOR(spark: SparkSession, tableDir: String,
                         keys: DataFrame,
                         commitKey: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     // exactly-once: a commit key already in the snapshot log means this
@@ -2005,61 +2196,8 @@ object IcebergLite {
       }
       return 0L
     }
-    val declared = declaredSchema(meta)
-    val keyCols = keys.schema.fieldNames.toSeq
-    require(keyCols.nonEmpty, "equality delete needs at least one key column")
-    keyCols.foreach(c => require(declared.fieldNames.contains(c),
-      s"equality column $c not in the table schema"))
-    val snapshotId = meta.nextSnapshotId
-    val delDir = new Path(root, s"data/eqdel-s$snapshotId")
-    // cast to the DECLARED types so the MOR join is type-exact even if
-    // the caller hands narrower literals
-    val casted = keys.select(keyCols.map(c =>
-      col(c).cast(declared(c).dataType).as(c)): _*).distinct()
-    casted.write.mode("overwrite").parquet(delDir.toString)
-
-    val perFile = spark.read.parquet(delDir.toString)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .collect()
-    val nKeys = perFile.map(_.getLong(1)).sum
-    if (nKeys == 0) return 0L
-
-    val delEntrySchema = manifestEntrySchema(Nil)
-    val fileSchema = delEntrySchema.getField("data_file").schema()
-    val partSchema = fileSchema.getField("partition").schema()
-    val f = fs(spark, root)
-    val entries = perFile.toSeq.map { row =>
-      val e = new GenericData.Record(delEntrySchema)
-      e.put("status", 1)
-      e.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(fileSchema)
-      d.put("file_path", row.getString(0))
-      d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(partSchema))
-      d.put("record_count", row.getLong(1))
-      d.put("file_size_in_bytes", f.getFileStatus(
-        new Path(new java.net.URI(row.getString(0)))).getLen)
-      e.put("data_file", d)
-      e
-    }
-    val metaDir = new Path(root, "metadata")
-    val manifestPath = new Path(metaDir, f"manifest-$snapshotId%05d-eqdel.avro")
-    // key columns ride the manifest metadata by NAME + field id (ids are
-    // the evolution-stable identity; names are what the MOR join uses)
-    val fieldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
-    val manifestLen = writeAvro(spark, manifestPath, delEntrySchema, entries,
-      Map("schema" -> meta.schemaJs, "format-version" -> "1",
-        "content" -> "deletes",
-        "equality-cols" -> keyCols.mkString(","),
-        "equality-ids" -> keyCols.map(fieldIds).mkString(",")))
-    commit(spark, root, Some(meta), snapshotId, meta.version + 1,
-      meta.manifests :+ MRef(manifestPath.toString, manifestLen,
-        entries.size, snapshotId, nKeys, content = 2,
-        specId = meta.defaultSpecId),
-      meta.schemaJs, meta.lastColumnId, meta.specs, meta.defaultSpecId,
-      operation = "delete", commitKey = commitKey,
-      sortCols = meta.sortOrderCols, props = meta.props)
-    nKeys
+    commitRowDelta(spark, tableDir, equalityKeys = Some(keys),
+      operation = "delete", commitKey = commitKey)._1
   }
 
   /** Rewrite every live file into one fresh snapshot — the small-file
@@ -2203,9 +2341,22 @@ object IcebergLite {
   private def commitRewrite(spark: SparkSession, root: Path, meta: TableMeta,
                             snapshotId: Long,
                             groups: Seq[RewriteGroup],
-                            operation: String): Unit = {
+                            operation: String): Unit =
+    commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+      stageRewriteManifests(spark, root, meta, snapshotId, groups),
+      meta.schemaJs, meta.lastColumnId,
+      meta.specs, meta.defaultSpecId, operation,
+      sortCols = meta.sortOrderCols, props = meta.props)
+
+  /** Write one manifest PER rewrite group (existing + added entries)
+    * for `snapshotId` and return the refs — NO commit (the staging
+    * half of [[commitRewrite]], reused by atomic delete+append
+    * commits). */
+  private def stageRewriteManifests(spark: SparkSession, root: Path,
+                                    meta: TableMeta, snapshotId: Long,
+                                    groups: Seq[RewriteGroup]): Seq[MRef] = {
     val metaDir = new Path(root, "metadata")
-    val manifests = groups.zipWithIndex.map { case (g, k) =>
+    groups.zipWithIndex.map { case (g, k) =>
         val manifestPath =
           new Path(metaDir, f"manifest-$snapshotId%05d-$k.avro")
         val manifestLen = writeAvro(spark, manifestPath, g.entrySchema,
@@ -2228,10 +2379,6 @@ object IcebergLite {
           rows(added), content = 0, specId = g.specId,
           existingFiles = existing.size, existingRows = rows(existing))
     }
-    commit(spark, root, Some(meta), snapshotId, meta.version + 1,
-      manifests, meta.schemaJs, meta.lastColumnId,
-      meta.specs, meta.defaultSpecId, operation,
-      sortCols = meta.sortOrderCols, props = meta.props)
   }
 
   /** Physically purge history: keep the `keepLast` most recent
