@@ -893,6 +893,104 @@ object BenchScale {
             s"scanned $recordsRead of $totalRows rows")
         recordsRead
       },
+      timed("iceberg_merge_scale") {
+        // the GENERAL conditional MERGE at corpus scale (r18): a small
+        // source + a conditional NOT-MATCHED-BY-SOURCE clause against
+        // the 500k-row table must (a) commit as ONE snapshot (the
+        // atomic commitRowDelta discipline — no delete-then-append
+        // crash window) and (b) materialize ∝ AFFECTED KEYS, never the
+        // table: the BY-SOURCE anti-frame is aggregated to affected
+        // keys before anything checkpoints, so the statement's cache
+        // footprint stays orders of magnitude under the corpus. Both
+        // pinned here from live metadata + RDD storage accounting.
+        // Value = keys/rows the statement affected. LAST user of the
+        // bench iceberg table — the mutation ends its lifecycle.
+        import graft.sources.IcebergLite
+        val dir = s"$work/iceberg_bloom_docs"
+        val snapsBefore = IcebergLite.metaTable(spark, dir, "snapshots")
+          .count()
+        val tableBytes = IcebergLite.metaTable(spark, dir, "files")
+          .agg(sum(col("file_size_in_bytes"))).head().getLong(0)
+        spark.table("bench_iceberg_docs")
+          .filter(col("doc_id") % 1000L === 17L)
+          .select(col("doc_id"), (col("ts") + 1L).as("ts2"))
+          .createOrReplaceTempView("bench_iceberg_merge_src")
+        val sc0 = spark.sparkContext
+        val maxRddBefore = sc0.getRDDStorageInfo.map(_.id)
+          .foldLeft(-1)(_ max _)
+        val n = spark.sql(
+          """MERGE INTO bench_iceberg_docs t
+             USING bench_iceberg_merge_src s ON t.doc_id = s.doc_id
+             WHEN MATCHED THEN UPDATE SET ts = s.ts2
+             WHEN NOT MATCHED BY SOURCE AND t.doc_id % 50000 = 11
+               THEN DELETE""").head().getLong(0)
+        require(n > 0, "the scale merge matched nothing")
+        val snapsAfter = IcebergLite.metaTable(spark, dir, "snapshots")
+          .count()
+        require(snapsAfter == snapsBefore + 1,
+          s"MERGE committed ${snapsAfter - snapsBefore} snapshots — " +
+            "the atomic single-commit discipline regressed")
+        val newCached = sc0.getRDDStorageInfo
+          .filter(_.id > maxRddBefore)
+          .map(i => i.memSize + i.diskSize).sum
+        require(newCached < tableBytes / 4,
+          s"MERGE materialized $newCached bytes against a $tableBytes-" +
+            "byte table — the affected-key bound regressed")
+        n
+      },
+      timed("iceberg_spj_scale") {
+        // STORAGE-PARTITIONED JOIN at corpus scale (r18): two
+        // bucket(16, doc_id) tables of the amplified corpus join on
+        // doc_id with ZERO Exchange under the join — both native V2
+        // scans report the same KeyGroupedPartitioning, so
+        // EnsureRequirements co-locates instead of shuffling either
+        // 500k-row side (the plan property is REQUIRED, not observed:
+        // a regression fails the stage). Numeric payloads only — the
+        // stage prices the join topology, not text IO. Value = joined
+        // rows.
+        import graft.sources.IcebergLite
+        val wh = s"$work/spj_wh"
+        val whPath = new org.apache.hadoop.fs.Path(wh)
+        whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(whPath, true)
+        val base = docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        IcebergLite.createTable(spark, base, s"$wh/spj_a",
+          partitionBy = Seq("bucket[16]:doc_id"))
+        IcebergLite.createTable(spark,
+          base.filter(col("doc_id") % 3 =!= 1)
+            .withColumn("n_chars", col("n_chars") * 2),
+          s"$wh/spj_b", partitionBy = Seq("bucket[16]:doc_id"))
+        spark.conf.set("spark.sql.catalog.bs_spj",
+          classOf[graft.sources.GraftTableCatalog].getName)
+        spark.conf.set("spark.sql.catalog.bs_spj.warehouse", wh)
+        val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val joined = spark.table("bs_spj.spj_a")
+            .join(spark.table("bs_spj.spj_b").withColumnRenamed(
+              "n_chars", "n2"), "doc_id")
+            .agg(count(lit(1)).as("n"), sum(col("n_chars") + col("n2")))
+          import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          val smj = joined.queryExecution.executedPlan.collect {
+            case j: SortMergeJoinExec => j
+          }
+          require(smj.nonEmpty, "expected a storage-partitioned " +
+            s"sort-merge join, got:\n${joined.queryExecution.executedPlan}")
+          val shuffles = smj.head.collect {
+            case e: ShuffleExchangeExec => e
+          }
+          require(shuffles.isEmpty,
+            s"the bucketed join shuffled (${shuffles.size} exchanges) " +
+              "— the storage-partitioned join regressed")
+          joined.head().getLong(0)
+        } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is
         // ONE aggregation over ONE scan of the corpus in the HLL flavor

@@ -6008,6 +6008,188 @@ object QueryCatalog {
       FROM documents WHERE doc_id % 3 = 0
       GROUP BY lang ORDER BY lang""")),
 
+    // STORAGE-PARTITIONED JOIN over the V2 catalog (sources/
+    // GraftNativeScan r18): two tables bucketed bucket(8, doc_id) join
+    // on doc_id with ZERO Exchange — both scans report the same
+    // KeyGroupedPartitioning, so EnsureRequirements co-locates instead
+    // of shuffling (at 100 TB, the difference between a co-located
+    // merge join and shuffling both tables). `n_join_exchanges` pins
+    // the plan property THROUGH the oracle: the physical join subtree
+    // must contain no shuffle. Values DuckDB-rederived from a
+    // documents self-join. Data-derived at any scale.
+    QueryDef("iceberg_spj_join", (s, d) => {
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_spj_oracle").toString
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.spjcat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+      val docs = t(s, d, "documents")
+      s.sql("""CREATE TABLE spjcat.spj_a (doc_id BIGINT, lang STRING,
+               n_chars BIGINT) USING iceberg
+               PARTITIONED BY (bucket(8, doc_id))""")
+      s.sql("""CREATE TABLE spjcat.spj_b (doc_id BIGINT, n2 BIGINT)
+               USING iceberg PARTITIONED BY (bucket(8, doc_id))""")
+      docs.select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+        .writeTo("spjcat.spj_a").append()
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), (col("n_chars") * 2).cast("long").as("n2"))
+        .writeTo("spjcat.spj_b").append()
+      val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").map(k => k -> s.conf.get(k))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val joined = s.table("spjcat.spj_a")
+          .join(s.table("spjcat.spj_b"), "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars") + col("n2")).as("sum_all"))
+        val smj = joined.queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        val nEx = smj.headOption.map(_.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size).getOrElse(-1)
+        joined.withColumn("n_join_exchanges", lit(nEx)).orderBy("lang")
+          .localCheckpoint(eager = true)
+      } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+    }, Some("""
+      SELECT a.lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(a.n_chars + b.n2) AS BIGINT) AS sum_all,
+        0 AS n_join_exchanges
+      FROM documents a
+      JOIN (SELECT doc_id, n_chars * 2 AS n2 FROM documents
+            WHERE doc_id % 2 = 0) b USING (doc_id)
+      GROUP BY a.lang ORDER BY a.lang""")),
+
+    // NATIVE V2 row-level DML (sources/GraftNativeWrite r18): UPDATE +
+    // subquery DELETE + MERGE resolve through the STOCK analyzer's
+    // SupportsRowLevelOperations path — current-catalog single-part
+    // names keep the graft parser rewrite out of the loop, so this is
+    // the route a third-party tool takes (group-based copy-on-write:
+    // the operation's scan plans candidate files, the write replaces
+    // exactly those groups in ONE snapshot via executor-side parquet
+    // DataWriters). The final state is DuckDB-rederived from documents
+    // arithmetic. Data-derived at any scale.
+    QueryDef("iceberg_native_dml", (s, d) => {
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ndml_oracle").toString
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      s.conf.set("spark.sql.catalog.ndmlcat",
+        classOf[graft.sources.GraftTableCatalog].getName)
+      s.conf.set("spark.sql.catalog.ndmlcat.warehouse", wh)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+      s.sql("""CREATE TABLE ndmlcat.ndml_docs (doc_id BIGINT, lang STRING,
+               n_chars BIGINT) USING iceberg PARTITIONED BY (lang)""")
+      docs.writeTo("ndmlcat.ndml_docs").append()
+      docs.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), (col("n_chars") + 5000L).as("nc"))
+        .createOrReplaceTempView("ndml_merge_src")
+      docs.filter(col("doc_id") % 13 === 0).select("doc_id")
+        .createOrReplaceTempView("ndml_del_keys")
+      val prevCat = s.catalog.currentCatalog()
+      s.catalog.setCurrentCatalog("ndmlcat")
+      try {
+        // group-based UPDATE through ReplaceData
+        s.sql("UPDATE ndml_docs SET n_chars = n_chars * 2 " +
+          "WHERE doc_id % 7 = 3")
+        // subquery DELETE: not filter-convertible, so the metadata
+        // short-circuit cannot take it — the group plan must
+        s.sql("""DELETE FROM ndml_docs WHERE doc_id IN
+                 (SELECT doc_id FROM ndml_del_keys)""")
+        // the full MERGE through the stock analyzer
+        s.sql("""MERGE INTO ndml_docs t USING ndml_merge_src s
+                 ON t.doc_id = s.doc_id
+                 WHEN MATCHED THEN UPDATE SET n_chars = s.nc
+                 WHEN NOT MATCHED THEN INSERT
+                   (doc_id, lang, n_chars) VALUES (s.doc_id, 'xx', s.nc)""")
+      } finally s.catalog.setCurrentCatalog(prevCat)
+      s.sql("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+               FROM ndmlcat.ndml_docs GROUP BY lang ORDER BY lang""")
+    }, Some("""
+      WITH upd AS (
+        SELECT doc_id, lang,
+          CASE WHEN doc_id % 7 = 3 THEN n_chars * 2 ELSE n_chars END
+            AS n_chars
+        FROM documents),
+      del AS (SELECT * FROM upd WHERE doc_id % 13 <> 0)
+      SELECT COALESCE(lang, 'xx') AS lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM (
+        SELECT del.lang AS lang,
+          CASE WHEN m.doc_id IS NOT NULL THEN m.nc
+               ELSE del.n_chars END AS n_chars
+        FROM del
+        LEFT JOIN (SELECT doc_id, n_chars + 5000 AS nc FROM documents
+                   WHERE doc_id % 11 = 0) m USING (doc_id)
+        UNION ALL
+        SELECT 'xx' AS lang, m.nc AS n_chars
+        FROM (SELECT doc_id, n_chars + 5000 AS nc FROM documents
+              WHERE doc_id % 11 = 0) m
+        WHERE m.doc_id NOT IN (SELECT doc_id FROM del))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // REST-CATALOG wire twin (sources/RestCatalog r18): the reference's
+    // deployments resolve tables through a catalog SERVICE
+    // (spark_events_by_time.py:32,54 — `catalog.database.table` against
+    // a REST endpoint). Here the full loop runs over a real HTTP wire
+    // against the in-process service: CREATE NAMESPACE + CREATE TABLE
+    // through the client catalog, appends that stage data + manifests +
+    // manifest list on shared storage and COMMIT through the service
+    // (`add-snapshot` — the catalog owns the metadata pointer), reads
+    // through the metadata-location the wire returns, and VERSION AS OF
+    // time travel resolved from the wire metadata. The aggregate and
+    // the pinned pre-second-append count are DuckDB-rederived.
+    QueryDef("iceberg_rest_roundtrip", (s, d) => {
+      import graft.sources.{GraftRestCatalog, GraftRestCatalogServer}
+      val wh = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_rest_oracle").toString
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val server = new GraftRestCatalogServer(s, wh).start()
+      try {
+        s.conf.set("spark.sql.catalog.rcat",
+          classOf[GraftRestCatalog].getName)
+        s.conf.set("spark.sql.catalog.rcat.uri", server.uri)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+        s.sql("CREATE NAMESPACE rcat.db")
+        s.sql("""CREATE TABLE rcat.db.docs (doc_id BIGINT, lang STRING,
+                 n_chars BIGINT) USING iceberg PARTITIONED BY (lang)""")
+        docs.filter(col("doc_id") % 2 === 0)
+          .writeTo("rcat.db.docs").append()
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .writeTo("rcat.db.docs").append()
+        // time travel THROUGH THE WIRE metadata: the snapshot before
+        // the second append (ids: 1 = create, 2 = first append)
+        val nFirst = s.sql(
+          "SELECT count(*) AS c FROM rcat.db.docs VERSION AS OF 2")
+          .head().getLong(0)
+        s.sql("""SELECT lang, count(*) AS n_docs,
+                 sum(n_chars) AS sum_chars
+                 FROM rcat.db.docs GROUP BY lang""")
+          .withColumn("n_first_append", lit(nFirst))
+          .orderBy("lang")
+          .localCheckpoint(eager = true)
+      } finally server.stop()
+    }, Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        (SELECT CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id % 2 = 0) AS n_first_append
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
     // MERGE-ON-READ deletion (sources/IcebergLite.deleteWhereMOR —
     // the v2 position-delete mechanism): rows are deleted by writing
     // (file_path, pos) delete files, NOT by rewriting data; the read

@@ -58,7 +58,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftTableCatalog extends TableCatalog with StagingTableCatalog
     with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -255,6 +256,29 @@ class GraftTableCatalog extends TableCatalog with StagingTableCatalog
     else procedures.keys.toSeq.sorted
       .map(n => Identifier.of(Array("system"), n)).toArray
 
+  // ---- partition-transform functions (FunctionCatalog) --------------------
+  // What lets Spark REASON about this catalog's transforms: V2 scan
+  // partitioning (storage-partitioned joins) and write distributions
+  // resolve bucket/truncate/years/... through here onto the SAME
+  // spec-pinned evaluators the manifests were written with.
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val nsOk = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (!nsOk) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty && !namespace.sameElements(Array("system")))
+      Array.empty
+    else GraftFunctions.names.map(n =>
+      Identifier.of(Array("system"), n)).toArray
+
   // ---- namespaces (flat: directories under the warehouse) -----------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -431,7 +455,8 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
                         snapshotId: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark = SparkSession.active
 
@@ -476,28 +501,60 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = new V1Scan {
-        private val preds =
-          pushed.toSeq.flatMap(GraftTableCatalog.filterPreds)
-        private val readSchema0 = required
-        override def readSchema(): StructType = readSchema0
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = readSchema0
-            override def needConversion: Boolean = true
-            override def buildScan(): RDD[Row] = {
-              val s = context.sparkSession
-              val df =
-                if (preds.nonEmpty)
-                  IcebergLite.readTableWhere(s, tableDir, preds, snapshotId)
-                else IcebergLite.readTable(s, tableDir, snapshotId)
-              df.select(readSchema0.fieldNames.toIndexedSeq.map(col): _*).rdd
-            }
-          }.asInstanceOf[T]
+      override def build(): Scan = {
+        val preds = pushed.toSeq.flatMap(GraftTableCatalog.filterPreds)
+        // NATIVE V2 batch path when the table state allows it (current
+        // snapshot, no MOR deletes, single schema/spec generation):
+        // reports KeyGroupedPartitioning for storage-partitioned joins
+        // and reads through ParquetFileFormat directly. Falls back to
+        // the exact V1 route otherwise; kill-switch:
+        // spark.graft.nativeScan.enabled=false.
+        if (snapshotId.isEmpty &&
+            spark.conf.get("spark.graft.nativeScan.enabled", "true")
+              .toBoolean) {
+          IcebergLite.nativeScanInfo(spark, tableDir, preds) match {
+            case Some(info) =>
+              return new GraftNativeBatchScan(spark, name(), info,
+                required, pushed.toSeq)
+            case None => ()
+          }
+        }
+        val preds0 = preds
+        val readSchema0 = required
+        new V1Scan {
+          override def readSchema(): StructType = readSchema0
+          override def toV1TableScan[T <: BaseRelation with TableScan](
+              context: SQLContext): T =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = readSchema0
+              override def needConversion: Boolean = true
+              override def buildScan(): RDD[Row] = {
+                val s = context.sparkSession
+                val df =
+                  if (preds0.nonEmpty)
+                    IcebergLite.readTableWhere(s, tableDir, preds0, snapshotId)
+                  else IcebergLite.readTable(s, tableDir, snapshotId)
+                df.select(readSchema0.fieldNames.toIndexedSeq.map(col): _*).rdd
+              }
+            }.asInstanceOf[T]
+        }
       }
     }
+
+  // ---- row-level: native V2 DELETE / UPDATE / MERGE ------------------------
+  // The stock-analyzer route (no graft extensions in the session):
+  // group-based copy-on-write through GraftRowLevelOperation — the
+  // operation's scan plans the candidate groups, the write replaces
+  // exactly those in ONE snapshot.
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshotId.isEmpty,
+      s"${info.command()} on ${name()}: time-travel reads are immutable")
+    () => new GraftRowLevelOperation(name(), tableDir, info.command())
+  }
 
   // ---- write: V1Write onto the distributed appendSnapshot -----------------
 

@@ -1,0 +1,179 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{GraftParquetShim, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The NATIVE V2 batch read path over an IcebergLite table — the route
+  * that lets Spark REASON about the table's physical layout instead of
+  * treating it as an opaque row stream (the V1Scan route):
+  *
+  *   - `SupportsReportPartitioning` reports the table's partition
+  *     transforms as a `KeyGroupedPartitioning` with one input
+  *     partition per live partition tuple, so two graft tables
+  *     bucketed on the same key JOIN WITH NO EXCHANGE (Spark's
+  *     storage-partitioned join, `spark.sql.sources.v2.bucketing
+  *     .enabled`) — at 100 TB the difference between a co-located
+  *     merge join and shuffling both tables;
+  *   - the row-level DML plans (ReplaceData) consume this scan for
+  *     group accounting: the files it plans are exactly the groups the
+  *     operation replaces.
+  *
+  * Files are read by `ParquetFileFormat`'s own vectorized reader
+  * (through [[org.apache.spark.sql.GraftParquetShim]]), with identity
+  * partition columns re-attached from the manifest partition values
+  * (the directory layout moved them out of the files) and pushed data
+  * filters applied as parquet row-group filters. File-level skipping
+  * (bounds / transforms / Blooms) already happened in
+  * [[IcebergLite.nativeScanInfo]]'s planning pass.
+  *
+  * Eligibility is decided by [[IcebergLite.nativeScanInfo]] (no
+  * outstanding MOR deletes, single schema/spec generation); everything
+  * else falls back to the exact V1 route. Disable with
+  * `spark.graft.nativeScan.enabled=false`.
+  */
+class GraftNativeBatchScan(spark: SparkSession, tableName: String,
+                           info: IcebergLite.NativeScanInfo,
+                           required: StructType,
+                           pushed: Seq[Filter])
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  private val declared = info.schema
+  // identity-transform partition columns live in the DIRECTORY layout,
+  // not the files — they come back through PartitionedFile values
+  private val identityFields: Seq[StructField] = info.spec.collect {
+    case (pf, _) if pf.transform == "identity" => declared(pf.sourceCol)
+  }
+  private val identityNames = identityFields.map(_.name).toSet
+  private val fileSchema =
+    StructType(declared.filterNot(f => identityNames(f.name)))
+  private val requiredData =
+    StructType(required.filterNot(f => identityNames(f.name)))
+  // reader output = requiredData ++ ALL identity fields (the FileFormat
+  // contract appends the full partition schema); project back to the
+  // caller's column order
+  private val readerOut: Seq[StructField] = requiredData ++ identityFields
+  private val outIndices: Seq[Int] =
+    required.map(f => readerOut.indexWhere(_.name == f.name))
+  private val identityIdx: Seq[Int] = info.spec.zipWithIndex.collect {
+    case ((pf, _), i) if pf.transform == "identity" => i
+  }
+
+  /** The files this scan plans — the GROUP set a row-level operation
+    * replaces. */
+  def plannedFiles: Seq[String] = info.files.map(_.path)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftNativeScan $tableName (${info.files.size} files)"
+
+  private def catalystValue(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case other => other // Integer / Long box directly
+  }
+
+  // SPJ mode trades split granularity for co-location: ONE input
+  // partition per partition tuple (the KeyGroupedPartitioning
+  // contract). Outside SPJ, one partition per FILE keeps parallelism
+  // at the file level — same rows, different slicing. Decided at scan
+  // construction from the session conf, like the V2 sources do.
+  private val spjMode = info.spec.nonEmpty &&
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
+      .toBoolean
+
+  private def partitionOf(vals: Seq[Any],
+                          fs: Seq[IcebergLite.NativeFileInfo])
+      : GraftScanPartition =
+    GraftScanPartition(
+      new GenericInternalRow(vals.map(catalystValue).toArray),
+      new GenericInternalRow(
+        identityIdx.map(i => catalystValue(vals(i))).toArray),
+      fs.map(f => (f.path, f.sizeBytes)))
+
+  private lazy val parts: Array[GraftScanPartition] =
+    if (spjMode)
+      info.files.groupBy(_.partValues).toSeq
+        .sortBy(_._1.map(v => if (v == null) " " else v.toString)
+          .mkString(" "))
+        .map { case (vals, fs) => partitionOf(vals, fs) }.toArray
+    else
+      info.files.map(f => partitionOf(f.partValues, Seq(f))).toArray
+
+  override def planInputPartitions(): Array[InputPartition] =
+    parts.toArray[InputPartition]
+
+  override def outputPartitioning(): Partitioning =
+    if (spjMode)
+      new KeyGroupedPartitioning(
+        info.specItems.map(GraftTableCatalog.toTransform)
+          .toArray[org.apache.spark.sql.connector.expressions.Expression],
+        parts.length)
+    else new UnknownPartitioning(parts.length)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // row-group skipping: only filters fully on FILE columns (identity
+    // partition columns are not in the files); Spark re-applies every
+    // filter on the rows regardless, so this is pure pruning
+    val fileCols = fileSchema.fieldNames.toSet
+    val dataFilters = pushed.filter(_.references.forall(fileCols))
+    val readerFn = GraftParquetShim.parquetReader(spark, fileSchema,
+      StructType(identityFields), requiredData, dataFilters)
+    GraftNativeReaderFactory(readerFn,
+      readerOut.map(f => (f.dataType, f.nullable)), outIndices)
+  }
+}
+
+/** One partition tuple's files. `key` spans the FULL spec (the SPJ
+  * identity); `identityRow` is the identity-column subset the parquet
+  * reader re-attaches. */
+case class GraftScanPartition(key: InternalRow, identityRow: InternalRow,
+                              files: Seq[(String, Long)])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Executor-side reader: drives the serialized `ParquetFileFormat`
+  * reader closure over the partition's files, unwraps the vectorized
+  * reader's ColumnarBatch smuggling, and projects to the scan's
+  * declared column order. */
+case class GraftNativeReaderFactory(
+    readerFn: PartitionedFile => Iterator[InternalRow],
+    readerOut: Seq[(DataType, Boolean)],
+    outIndices: Seq[Int])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftScanPartition]
+    new PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(
+        outIndices.map(i => BoundReference(i, readerOut(i)._1,
+          readerOut(i)._2)).toIndexedSeq)
+      private val it: Iterator[InternalRow] =
+        gp.files.iterator.flatMap { case (path, len) =>
+          readerFn(GraftParquetShim.partitionedFile(gp.identityRow, path,
+            len)).asInstanceOf[Iterator[Object]].flatMap {
+            case b: ColumnarBatch => b.rowIterator().asScala
+            case r: InternalRow => Iterator.single(r)
+          }
+        }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = proj(it.next()); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -759,10 +759,30 @@ object IcebergLite {
     val writer = if (partNames.nonEmpty)
       distributed.write.partitionBy(partNames: _*) else distributed.write
     writer.mode("overwrite").parquet(dataDir.toString)
+    deriveDataEntries(spark, root, spark.read.parquet(dataDir.toString),
+      snapshotId, spec, entrySchema, fieldIds, df.schema, bloomCols,
+      dirSuffix)
+  }
 
+  /** The READ-BACK half of [[writeDataFiles]], reusable over any
+    * directory of parquet files in the partitionBy layout (the NATIVE
+    * V2 writer stages files the same way): per-file rows, bounds,
+    * partition values, and Bloom sidecars — manifest entries
+    * indistinguishable from the DataFrame route's. */
+  private def deriveDataEntries(spark: SparkSession, root: Path,
+                                back: DataFrame, snapshotId: Long,
+                                spec: TypedSpec, entrySchema: Schema,
+                                fieldIds: Map[String, Int],
+                                boundsSchema: StructType,
+                                bloomCols: Seq[String],
+                                bloomSuffix: String = "")
+      : (Seq[GenericRecord], Option[String]) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val f = fs(spark, root)
+    val partNames = spec.map(_._1.name)
     // boundable columns: primitive types with a total order the spec's
     // single-value serialization covers
-    val bounded = df.schema.fields.toSeq
+    val bounded = boundsSchema.fields.toSeq
       .filter(fd => fieldIds.contains(fd.name))
       .filter(fd => fd.dataType match {
         case IntegerType | LongType | FloatType | DoubleType | StringType => true
@@ -775,7 +795,6 @@ object IcebergLite {
     // still bound the column) — the Iceberg truncate(16) discipline:
     // manifests stay KB-sized even over document columns, and the
     // 17th point tells the driver whether the top value was truncated.
-    val back = spark.read.parquet(dataDir.toString)
     def boundCol(fd: StructField) = fd.dataType match {
       case StringType =>
         org.apache.spark.sql.functions.substring(col(fd.name), 1, 17)
@@ -785,9 +804,9 @@ object IcebergLite {
     // serves bounds AND filters); int casts to long so build-side
     // putLong matches the probe's mightContainLong
     val bloomTyped = bloomCols.map { c =>
-      require(df.schema.fieldNames.contains(c),
+      require(boundsSchema.fieldNames.contains(c),
         s"bloom column $c not in schema")
-      val dt = df.schema(c).dataType
+      val dt = boundsSchema(c).dataType
       require(dt == IntegerType || dt == LongType || dt == StringType,
         s"bloom column $c has type ${dt.simpleString} (int/long/string only)")
       (c, dt, fieldIds(c))
@@ -821,7 +840,7 @@ object IcebergLite {
           }
         }
         val p = new Path(new Path(root, "metadata"),
-          f"bloom-$snapshotId%05d.avro")
+          f"bloom-$snapshotId%05d$bloomSuffix.avro")
         writeAvro(spark, p, BloomSidecarSchema, records,
           Map("bloom-cols" -> bloomCols.mkString(",")))
         Some(p.toString)
@@ -908,39 +927,10 @@ object IcebergLite {
                      props: Map[String, String] = Map.empty): Unit = {
     val metaDir = new Path(root, "metadata")
     val listPath = new Path(metaDir, f"snap-$snapshotId%05d.avro")
-    val listRecords = manifests.map { m =>
-      val r = new GenericData.Record(ManifestFileSchema)
-      r.put("manifest_path", m.path)
-      r.put("manifest_length", m.len)
-      r.put("partition_spec_id", m.specId)
-      r.put("content", m.content)
-      r.put("added_snapshot_id", m.addedBy)
-      r.put("added_data_files_count", m.nFiles)
-      r.put("added_rows_count", m.nRows)
-      r.put("existing_data_files_count", m.existingFiles)
-      r.put("existing_rows_count", m.existingRows)
-      r
-    }
-    writeAvro(spark, listPath, ManifestFileSchema, listRecords,
-      Map("format-version" -> "1"))
-
-    // parent = the head this commit extends (ancestry for fastForward)
+    writeManifestList(spark, listPath, manifests)
     val parent = prior.map(_.currentSnapshotId).getOrElse(0L)
-    // operational metrics (the summary fields every engine's UI reads):
-    // added-* from THIS snapshot's manifests, total-* over the live set
-    val newData = manifests.filter(m => m.content == 0 &&
-      m.addedBy == snapshotId)
-    val liveData = manifests.filter(_.content == 0)
-    val newSummary = "{\"operation\": " + q(operation) +
-      commitKey.map(k => ", \"graft-commit-key\": " + q(k)).getOrElse("") +
-      s", \"graft-parent\": $parent" +
-      s", \"added-data-files\": ${q(newData.map(_.nFiles.toLong).sum.toString)}" +
-      s", \"added-records\": ${q(newData.map(_.nRows).sum.toString)}" +
-      s", \"total-data-files\": ${q(liveData.map(_.totalFiles).sum.toString)}" +
-      s", \"total-records\": ${q(liveData.map(_.totalRows).sum.toString)}" +
-      s", \"total-delete-files\": ${q(manifests.filter(_.content != 0)
-        .map(_.totalFiles).sum.toString)}" +
-      "}"
+    val newSummary =
+      summaryJson(operation, commitKey, parent, manifests, snapshotId)
     // the written branch advances to the new snapshot; main's head is
     // the current pointer (unchanged by a staging-branch commit)
     val priorRefs = prior.map(_.refs).getOrElse(Map.empty)
@@ -961,6 +951,118 @@ object IcebergLite {
       newRefs, props,
       prior.map(_.snapshotTs).getOrElse(Map.empty) + (snapshotId -> nowMs),
       newLog)
+  }
+
+  /** Write one MANIFEST LIST (snap-N.avro) over the given manifests —
+    * shared by [[commit]] and the REST client's staged append. */
+  private def writeManifestList(spark: SparkSession, listPath: Path,
+                                manifests: Seq[MRef]): Unit = {
+    val listRecords = manifests.map { m =>
+      val r = new GenericData.Record(ManifestFileSchema)
+      r.put("manifest_path", m.path)
+      r.put("manifest_length", m.len)
+      r.put("partition_spec_id", m.specId)
+      r.put("content", m.content)
+      r.put("added_snapshot_id", m.addedBy)
+      r.put("added_data_files_count", m.nFiles)
+      r.put("added_rows_count", m.nRows)
+      r.put("existing_data_files_count", m.existingFiles)
+      r.put("existing_rows_count", m.existingRows)
+      r
+    }
+    writeAvro(spark, listPath, ManifestFileSchema, listRecords,
+      Map("format-version" -> "1"))
+  }
+
+  /** One snapshot's summary JSON — operational metrics (the fields
+    * every engine's UI reads): added-* from THIS snapshot's manifests,
+    * total-* over the live set; `graft-parent` carries ancestry for
+    * fastForward, `graft-commit-key` the exactly-once replay key. */
+  private def summaryJson(operation: String, commitKey: Option[String],
+                          parent: Long, manifests: Seq[MRef],
+                          snapshotId: Long): String = {
+    val newData = manifests.filter(m => m.content == 0 &&
+      m.addedBy == snapshotId)
+    val liveData = manifests.filter(_.content == 0)
+    "{\"operation\": " + q(operation) +
+      commitKey.map(k => ", \"graft-commit-key\": " + q(k)).getOrElse("") +
+      s", \"graft-parent\": $parent" +
+      s", \"added-data-files\": ${q(newData.map(_.nFiles.toLong).sum.toString)}" +
+      s", \"added-records\": ${q(newData.map(_.nRows).sum.toString)}" +
+      s", \"total-data-files\": ${q(liveData.map(_.totalFiles).sum.toString)}" +
+      s", \"total-records\": ${q(liveData.map(_.totalRows).sum.toString)}" +
+      s", \"total-delete-files\": ${q(manifests.filter(_.content != 0)
+        .map(_.totalFiles).sum.toString)}" +
+      "}"
+  }
+
+  // ---- REST-catalog support (r18) ------------------------------------------
+
+  /** The Iceberg schema JSON of a Spark schema (what a REST
+    * create-table request body carries). */
+  def icebergSchemaJson(schema: StructType): String = schemaJson(schema)._1
+
+  /** Spark schema back from an Iceberg schema JSON (the REST server's
+    * side of create-table). */
+  def schemaFromIcebergJson(js: String): StructType = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+    StructType(node.get("fields").elements().asScala.map(f =>
+      StructField(f.get("name").asText(), sparkType(f.get("type")),
+        !f.get("required").asBoolean())).toSeq)
+  }
+
+  /** CLIENT side of a REST-catalog append, per the Iceberg REST
+    * protocol's division of labor: the client writes EVERYTHING on
+    * shared storage — data files, the content=0 manifest, and the new
+    * MANIFEST LIST — and only then asks the catalog service to commit
+    * (`add-snapshot` + ref update); NO metadata version moves here.
+    * Returns (snapshotId, manifestListPath, summaryJson); `None` for an
+    * empty batch. */
+  def stageRestAppend(spark: SparkSession, tableDir: String,
+                      df: DataFrame): Option[(Long, String, String)] = {
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val snapshotId = meta.nextSnapshotId
+    stageDataManifest(spark, root, meta, snapshotId, df).map {
+      case (mref, _) =>
+        val manifests = meta.manifests :+ mref
+        val listPath = new Path(new Path(root, "metadata"),
+          f"snap-$snapshotId%05d.avro")
+        writeManifestList(spark, listPath, manifests)
+        (snapshotId, listPath.toString,
+          summaryJson("append", None, meta.currentSnapshotId, manifests,
+            snapshotId))
+    }
+  }
+
+  /** SERVER side of a REST `add-snapshot` + `set-current-snapshot`
+    * commit: adopt a client-staged snapshot (its manifest list already
+    * on storage) as the new main head — one metadata version, the same
+    * atomicity as every other commit on this chain. */
+  def adoptSnapshot(spark: SparkSession, tableDir: String,
+                    snapshotId: Long, manifestListPath: String,
+                    summary: String): Unit = {
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    require(snapshotId == meta.nextSnapshotId,
+      s"stale commit: snapshot $snapshotId against a chain whose next " +
+        s"id is ${meta.nextSnapshotId} (concurrent writer?)")
+    val nowMs = System.currentTimeMillis()
+    writeMetadata(spark, root, meta.version + 1, meta.schemaJs,
+      meta.lastColumnId, meta.specs, meta.defaultSpecId, snapshotId,
+      meta.snapshots :+ ((snapshotId, manifestListPath, summary)),
+      meta.sortOrderCols, meta.refs + ("main" -> (snapshotId, "branch")),
+      meta.props, meta.snapshotTs + (snapshotId -> nowMs),
+      meta.snapshotLog :+ ((nowMs, snapshotId)))
+  }
+
+  /** The current metadata-file location (what a REST loadTable response
+    * reports). */
+  def metadataLocation(spark: SparkSession, tableDir: String): String = {
+    val hint = new Path(tableDir, "metadata/version-hint.text")
+    val v = new String(readBytes(spark, hint),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    new Path(tableDir, s"metadata/v$v.metadata.json").toString
   }
 
   /** Write vN.metadata.json + the version hint for the given snapshot
@@ -2198,6 +2300,117 @@ object IcebergLite {
     }
     commitRowDelta(spark, tableDir, equalityKeys = Some(keys),
       operation = "delete", commitKey = commitKey)._1
+  }
+
+  // ---- native V2 scan/write planning (r18) --------------------------------
+
+  /** Per-file planning info for the NATIVE V2 batch scan: absolute
+    * path, byte size, and the manifest partition values as JVM values
+    * (Integer/Long/String/null) aligned to the spec field order. */
+  case class NativeFileInfo(path: String, sizeBytes: Long,
+                            partValues: Seq[Any])
+
+  /** The NATIVE V2 scan plan of a table: declared schema, the spec
+    * (items + value types), the persisted sort order, and the
+    * bounds/partition/Bloom-pruned live file set. */
+  case class NativeScanInfo(schema: StructType, specItems: Seq[String],
+                            spec: Seq[(IcebergTransforms.PartField, DataType)],
+                            sortCols: Seq[String],
+                            files: Seq[NativeFileInfo])
+
+  /** Plan a NATIVE V2 batch scan of the CURRENT snapshot, or `None`
+    * when only the DataFrame route can represent the table state —
+    * outstanding merge-on-read deletes (the scan would resurrect
+    * deleted rows) or multiple schema/spec generations (files need
+    * field-id remapping / per-generation partition shapes; [[compact]]
+    * collapses both). File skipping is the SAME [[pruneFiles]] pass the
+    * V1 route uses (manifest bounds, partition transforms, Bloom
+    * sidecars). */
+  def nativeScanInfo(spark: SparkSession, tableDir: String,
+                     preds: Seq[Pred] = Nil): Option[NativeScanInfo] = {
+    val hint = new Path(tableDir, "metadata/version-hint.text")
+    if (!fs(spark, hint).exists(hint)) return None
+    val meta = readMeta(spark, tableDir)
+    if (meta.manifests.exists(_.content != 0)) return None
+    val perManifest = meta.manifests.map { m =>
+      val (recs, schemaJs) = readManifest(spark, new Path(m.path))
+      (m, recs, schemaJs)
+    }
+    if (perManifest.exists { case (m, _, js) =>
+      js != meta.schemaJs || m.specId != meta.defaultSpecId }) return None
+    val keep: Set[String] =
+      if (preds.isEmpty) null // no pruning requested: keep everything
+      else pruneFiles(spark, meta, preds)._1.map(_._1).toSet
+    val schema = declaredSchema(meta)
+    val spec = typedSpec(meta.partitionSpec, schema)
+    val files = perManifest.flatMap { case (_, recs, _) =>
+      recs.filter(_.get("status").asInstanceOf[Int] != 2).flatMap { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        val path = d.get("file_path").toString
+        if (keep != null && !keep.contains(path)) None
+        else {
+          val part = d.get("partition").asInstanceOf[GenericRecord]
+          val values = spec.map { case (pf, _) =>
+            part.get(pf.name) match {
+              case null => null
+              case u: org.apache.avro.util.Utf8 => u.toString
+              case other => other // Integer / Long / String
+            }
+          }
+          Some(NativeFileInfo(path,
+            d.get("file_size_in_bytes").asInstanceOf[Long], values))
+        }
+      }
+    }
+    Some(NativeScanInfo(schema, meta.partitionSpec.map(renderSpec), spec,
+      meta.sortOrderCols, files))
+  }
+
+  /** The snapshot id the NEXT commit will take — the native V2 write
+    * keys its staging directory to it (single-writer discipline, as
+    * everywhere on this metadata chain). */
+  def nextSnapshotIdOf(spark: SparkSession, tableDir: String): Long =
+    readMeta(spark, tableDir).nextSnapshotId
+
+  /** ATOMIC group replacement — the commit half of the NATIVE V2
+    * row-level write (ReplaceData): drop `replacedFiles` (the files the
+    * operation's scan planned), adopt `stagedFiles` (written by
+    * executor DataWriters under `stagingDir` in partitionBy layout),
+    * and commit ONE snapshot. Entries for the new files derive from
+    * the same read-back pass [[writeDataFiles]] uses (bounds,
+    * partition values, Bloom sidecars), so a native-written file is
+    * indistinguishable from an API-written one. Returns the appended
+    * row count. */
+  def commitReplaceGroups(spark: SparkSession, tableDir: String,
+                          replacedFiles: Set[String],
+                          stagingDir: String,
+                          stagedFiles: Seq[String]): Long = {
+    val root = new Path(tableDir)
+    val meta = readMeta(spark, tableDir)
+    val schema = declaredSchema(meta)
+    val spec = typedSpec(meta.partitionSpec, schema)
+    val entrySchema = manifestEntrySchema(spec)
+    val snapshotId = meta.nextSnapshotId
+    val fieldIds = topFields(meta.schemaNode).map(f2 => f2._2 -> f2._1).toMap
+    if (replacedFiles.isEmpty && stagedFiles.isEmpty) return 0L
+    val (entries, bloomPath) =
+      if (stagedFiles.isEmpty) (Seq.empty[GenericRecord], None)
+      else deriveDataEntries(spark, root,
+        // basePath keeps partition-directory inference rooted at the
+        // staging dir while reading ONLY the files the committed tasks
+        // wrote (a crashed speculative attempt's strays never adopt)
+        spark.read.option("basePath", stagingDir).parquet(stagedFiles: _*),
+        snapshotId, spec, entrySchema, fieldIds, schema, meta.bloomCols,
+        bloomSuffix = "-w")
+    val groups = carryExisting(spark, meta, p => !replacedFiles.contains(p)) ++
+      (if (entries.nonEmpty)
+        Seq(RewriteGroup(meta.schemaJs, meta.defaultSpecId, entrySchema,
+          entries, bloomPath.toSeq))
+      else Nil)
+    commitRewrite(spark, root, meta, snapshotId, groups,
+      operation = "overwrite")
+    entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
   }
 
   /** Rewrite every live file into one fresh snapshot — the small-file

@@ -31,6 +31,9 @@ ALLOWED_IMPORT_ROOTS = (
     # avro-core ships in the Spark distribution's jars (IcebergLite's
     # driver-side manifest read/write) — no added dependency
     "org.apache.avro",
+    # the JDK's built-in HTTP server (module jdk.httpserver, standard
+    # since Java 6) — the in-process REST-catalog stub (r18)
+    "com.sun.net.httpserver",
 )
 
 # Env vars the code may legitimately read (documented in SURVEY/README).
