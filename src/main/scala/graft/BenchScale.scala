@@ -987,7 +987,8 @@ object BenchScale {
           }
           require(shuffles.isEmpty,
             s"the bucketed join shuffled (${shuffles.size} exchanges) " +
-              "— the storage-partitioned join regressed")
+              "— the storage-partitioned join regressed:\n" +
+              joined.queryExecution.executedPlan)
           joined.head().getLong(0)
         } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
       },

@@ -2009,8 +2009,20 @@ object IcebergLite {
       .select(col("__file").as("file_path"), col("__pos").as("pos"))
       .localCheckpoint() // one scan serves the count and the write
     if (matches.isEmpty) return 0L
-    commitRowDelta(spark, tableDir, positions = Some(matches),
-      operation = "delete")._1
+    // stage + commit against the ALREADY-READ metadata (readMeta is
+    // O(snapshots) of avro IO — a streaming caller pays it once per
+    // batch, not twice)
+    val root = new Path(tableDir)
+    val snapshotId = meta.nextSnapshotId
+    stagePositionDeletes(spark, root, meta, snapshotId, matches) match {
+      case None => 0L
+      case Some((mref, nDeleted)) =>
+        commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+          meta.manifests :+ mref, meta.schemaJs, meta.lastColumnId,
+          meta.specs, meta.defaultSpecId, operation = "delete",
+          sortCols = meta.sortOrderCols, props = meta.props)
+        nDeleted
+    }
   }
 
   private def validAssignments(schema: StructType,
@@ -2298,8 +2310,30 @@ object IcebergLite {
       }
       return 0L
     }
-    commitRowDelta(spark, tableDir, equalityKeys = Some(keys),
-      operation = "delete", commitKey = commitKey)._1
+    // stage + commit against the ALREADY-READ metadata (readMeta is
+    // O(snapshots) of avro IO — the streaming upsert path pays it once
+    // per batch, not twice)
+    val snapshotId = meta.nextSnapshotId
+    stageEqualityDelete(spark, root, meta, snapshotId, keys) match {
+      case None =>
+        // empty key frame on a live table: a keyed call still RECORDS
+        // its commit key (replay protection, as on the empty table)
+        commitKey.foreach { _ =>
+          commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+            meta.manifests, meta.schemaJs, meta.lastColumnId, meta.specs,
+            meta.defaultSpecId, operation = "delete",
+            commitKey = commitKey, sortCols = meta.sortOrderCols,
+            props = meta.props)
+        }
+        0L
+      case Some((mref, nKeys)) =>
+        commit(spark, root, Some(meta), snapshotId, meta.version + 1,
+          meta.manifests :+ mref, meta.schemaJs, meta.lastColumnId,
+          meta.specs, meta.defaultSpecId, operation = "delete",
+          commitKey = commitKey, sortCols = meta.sortOrderCols,
+          props = meta.props)
+        nKeys
+    }
   }
 
   // ---- native V2 scan/write planning (r18) --------------------------------
@@ -2336,8 +2370,14 @@ object IcebergLite {
       val (recs, schemaJs) = readManifest(spark, new Path(m.path))
       (m, recs, schemaJs)
     }
+    // schema-generation equality is STRUCTURAL (manifests written at
+    // create-time carry the generator's whitespace, later ones the
+    // Jackson-normalized form — same schema either way)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val currentSchema = om.readTree(meta.schemaJs)
     if (perManifest.exists { case (m, _, js) =>
-      js != meta.schemaJs || m.specId != meta.defaultSpecId }) return None
+      om.readTree(js) != currentSchema ||
+        m.specId != meta.defaultSpecId }) return None
     val keep: Set[String] =
       if (preds.isEmpty) null // no pruning requested: keep everything
       else pruneFiles(spark, meta, preds)._1.map(_._1).toSet
