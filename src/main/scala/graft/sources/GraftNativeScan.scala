@@ -47,7 +47,8 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
                            info: IcebergLite.NativeScanInfo,
                            required: StructType,
                            pushed: Seq[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private val declared = info.schema
   // identity-transform partition columns live in the DIRECTORY layout,
@@ -70,9 +71,96 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
     case ((pf, _), i) if pf.transform == "identity" => i
   }
 
+  // RUNTIME GROUP FILTERING (SupportsRuntimeV2Filtering): Spark's
+  // RowLevelOperationRuntimeGroupFiltering injects a dynamic IN-filter
+  // on the partition SOURCE columns, built from the rows the command's
+  // condition actually matches — so a native MERGE (which has no
+  // static pushable filters) reads and REWRITES only the partitions
+  // containing matches, never the table. Runtime values map through
+  // the spec transforms onto manifest partition values; anything
+  // unconvertible prunes nothing (superset guarantee, as everywhere).
+  // Disabled in SPJ mode: the reported KeyGroupedPartitioning is
+  // computed before runtime filters, and shrinking the group set
+  // underneath it is not worth the edge cases.
+  @volatile private var runtimeFiles
+      : Option[Seq[IcebergLite.NativeFileInfo]] = None
+  private def activeFiles: Seq[IcebergLite.NativeFileInfo] =
+    runtimeFiles.getOrElse(info.files)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (info.spec.isEmpty || spjMode) Array.empty
+    else info.spec.map(_._1.sourceCol).distinct
+      // only columns this (possibly pruned) scan OUTPUTS — Spark
+      // resolves filter attributes against the scan's own schema
+      .filter(c => required.fieldNames.contains(c))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    if (spjMode) return
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+    def colOf(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def valOf(e: VExpr): Option[Any] = e match {
+      case l: VLit[_] => Some(l.value() match {
+        case u: UTF8String => u.toString
+        case other => other
+      })
+      case _ => None
+    }
+    // per-column allowed SOURCE values from IN / = predicates; an
+    // unconvertible predicate contributes nothing (conservative)
+    val byCol = scala.collection.mutable.Map.empty[String, Set[Any]]
+    def intersect(c: String, vs: Set[Any]): Unit =
+      byCol(c) = byCol.get(c).map(_ intersect vs).getOrElse(vs)
+    predicates.foreach { p =>
+      val ch = p.children()
+      p.name() match {
+        case "IN" if ch.nonEmpty =>
+          (colOf(ch.head), ch.tail.toSeq.map(valOf)) match {
+            case (Some(c), vs) if vs.forall(_.isDefined) =>
+              intersect(c, vs.flatten.toSet)
+            case _ => ()
+          }
+        case "=" if ch.length == 2 =>
+          (colOf(ch(0)), valOf(ch(1)), colOf(ch(1)), valOf(ch(0))) match {
+            case (Some(c), Some(v), _, _) => intersect(c, Set(v))
+            case (_, _, Some(c), Some(v)) => intersect(c, Set(v))
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    if (byCol.isEmpty) return
+    // allowed source values -> allowed partition values per spec field
+    val allowedPart: Seq[Option[Set[Any]]] = info.spec.map { case (pf, _) =>
+      byCol.get(pf.sourceCol).map(_.map(v =>
+        IcebergTransforms.applyValue(pf.transform,
+          declared(pf.sourceCol).dataType, v)))
+    }
+    runtimeFiles = Some(info.files.filter { f =>
+      allowedPart.zipWithIndex.forall { case (allowed, i) =>
+        allowed match {
+          case None => true
+          case Some(vals) =>
+            val pv = f.partValues(i)
+            // a NULL partition value cannot match an IN-list of
+            // non-null matched-row values — prune it
+            pv != null && vals.exists(v => v == pv)
+        }
+      }
+    })
+  }
+
   /** The files this scan plans — the GROUP set a row-level operation
-    * replaces. */
-  def plannedFiles: Seq[String] = info.files.map(_.path)
+    * replaces (runtime group filtering applied). */
+  def plannedFiles: Seq[String] = activeFiles.map(_.path)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -103,14 +191,16 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
         identityIdx.map(i => catalystValue(vals(i))).toArray),
       fs.map(f => (f.path, f.sizeBytes)))
 
-  private lazy val parts: Array[GraftScanPartition] =
+  // recomputed per call: runtime group filtering may shrink the file
+  // set between planning passes (driver-side, KB-scale)
+  private def parts: Array[GraftScanPartition] =
     if (spjMode)
-      info.files.groupBy(_.partValues).toSeq
+      activeFiles.groupBy(_.partValues).toSeq
         .sortBy(_._1.map(v => if (v == null) " " else v.toString)
           .mkString(" "))
         .map { case (vals, fs) => partitionOf(vals, fs) }.toArray
     else
-      info.files.map(f => partitionOf(f.partValues, Seq(f))).toArray
+      activeFiles.map(f => partitionOf(f.partValues, Seq(f))).toArray
 
   override def planInputPartitions(): Array[InputPartition] =
     parts.toArray[InputPartition]

@@ -148,6 +148,52 @@ class GraftNativeSpec extends SparkSuite {
     assert(snaps.length === 5, snaps.mkString(", "))
   }
 
+  test("native MERGE replaces only the groups its runtime filter matches") {
+    // MERGE has no static pushable filters — without runtime group
+    // filtering the group-based plan would read and REWRITE the whole
+    // table. SupportsRuntimeV2Filtering gets the matched rows' partition
+    // source values as a dynamic IN-filter, so only the touched
+    // partition's files are replaced; every other partition's files
+    // must survive BY PATH (carried as EXISTING entries)
+    val bare = GraftParquetShim.bareSession(spark)
+    bare.conf.set("spark.sql.catalog.ncat",
+      classOf[GraftTableCatalog].getName)
+    bare.conf.set("spark.sql.catalog.ncat.warehouse", wh)
+    bare.sql("""CREATE TABLE ncat.nat_rgf (id BIGINT, lang STRING,
+                n BIGINT) USING iceberg PARTITIONED BY (lang)""")
+    bare.range(0, 300)
+      .selectExpr("id", "element_at(array('a','b','c'), " +
+        "CAST(id % 3 + 1 AS INT)) AS lang", "id * 10 AS n")
+      .writeTo("ncat.nat_rgf").append()
+    val dir = s"$wh/nat_rgf"
+    def liveFiles = IcebergLite.metaTable(spark, dir, "files")
+      .filter(col("content") === 0)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val before = liveFiles
+    assert(before.exists(_.contains("lang=a")) &&
+      before.exists(_.contains("lang=b")))
+    // the source matches ONLY lang='a' rows (ids ≡ 0 mod 3)
+    bare.range(0, 100).selectExpr("id * 3 AS id", "id AS m")
+      .createOrReplaceTempView("nat_rgf_src")
+    bare.sql("""MERGE INTO ncat.nat_rgf t USING nat_rgf_src s
+                ON t.id = s.id
+                WHEN MATCHED THEN UPDATE SET n = s.m""")
+    val after = liveFiles
+    val untouched = before.filter(p =>
+      p.contains("lang=b") || p.contains("lang=c"))
+    assert(untouched.subsetOf(after),
+      "files of unmatched partitions were rewritten — runtime group " +
+        "filtering did not engage")
+    assert(!before.filter(_.contains("lang=a")).subsetOf(after),
+      "the matched partition's files were not replaced")
+    val got = bare.sql(
+      "SELECT sum(n) AS s FROM ncat.nat_rgf WHERE lang = 'a'")
+      .head().getLong(0)
+    assert(got === (0 until 100).map(_.toLong).sum)
+    assert(bare.sql("SELECT count(*) AS c FROM ncat.nat_rgf")
+      .head().getLong(0) === 300L)
+  }
+
   test("native DML on a MOR-deleted table refuses with a real message") {
     spark.sql("""CREATE TABLE ncat.nat_mor (id BIGINT, n BIGINT)
                  USING iceberg""")
