@@ -940,8 +940,12 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("n_comp"))
+      // carry the pre-iteration label through as __old so the convergence
+      // check below is a map-only filter over the checkpointed frame —
+      // the previous next⋈labels equality join cost one extra shuffle per
+      // iteration purely to detect "nothing changed" (guide §2.4)
       val propagated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
             .as("component"))
       // pointer jumping: also adopt the label of our current label's vertex
@@ -951,13 +955,13 @@ object Dedup {
       val byLabel = propagated
         .select(col("id").as("component"), col("component").as("__cc2"))
       val next = propagated.join(byLabel, Seq("component"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("component"), coalesce(col("__cc2"), col("component")))
             .as("component"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("__old"))
+        .limit(1).count()
+      labels = next.drop("__old")
       converged = changed == 0
       iter += 1
     }

@@ -88,7 +88,19 @@ object TrainingDataPipeline {
     // partial-cache recompute per action (first measurement: 113-400 s
     // vs ~15 s at sf0.1). Lineage truncation is the fix, not caching.
     val repOkCol = repetitionOk(col(textCol), cfg)
-    val gated = docs.select(col(idCol), col(textCol),
+    // Unsplittable-small inputs otherwise run the annotation scan (trigram
+    // language ID + quality + token counts — the pipeline's heaviest
+    // map stage) on 1-3 tasks (guide §2.5 input skew; measured 0.6 s ->
+    // ~0.1 s at sf0.1). The checkpoint is then COALESCED back down
+    // (narrow — reads the cached blocks, no recompute): the pipeline's
+    // many tiny downstream jobs each pay per-task launch overhead on
+    // every checkpoint read, and full-width checkpoints measured +1.5 s
+    // across the 54-job pipeline. Both steps are no-ops for inputs big
+    // enough that the scanner already parallelizes (Parallelism scaladoc).
+    val small = graft.ops.Parallelism.isSmall(docs)
+    val spreadDocs = if (small) graft.ops.Parallelism.spread(docs, col(idCol))
+                     else docs
+    val gatedCk = spreadDocs.select(col(idCol), col(textCol),
         TextAnalysis.langIdNgramCols(col(textCol))._1.as("lang_pred"),
         TextAnalysis.qualityScoreCol(col(textCol)).as("quality_score"),
         TextAnalysis.nWords(col(textCol)).as("n_ws_tokens"),
@@ -98,6 +110,8 @@ object TrainingDataPipeline {
       .withColumn("__len_ok",
         col("n_ws_tokens") >= cfg.minTokens && col("n_ws_tokens") <= cfg.maxTokens)
       .localCheckpoint()
+    val gated = if (small) gatedCk.coalesce(graft.ops.Parallelism.compactWidth(gatedCk))
+                else gatedCk
 
     // dedup runs only over docs that survive the cheap filters
     val candidates = gated

@@ -406,7 +406,12 @@ object Headline {
     // and measured 75 s vs ~2 s here): rows stay |docs| until the
     // 16-band fan-out.
     QueryDef("dedup_sigs_10k", (s, d) => {
-      val docs = t(s, d, "documents").select("doc_id", "text")
+      // spread BEFORE the 21x replication: the single-row-group input
+      // otherwise holds all 105k replicated docs in ONE task through the
+      // md5 signature scan (guide §2.5 — measured 3.3 s single-task);
+      // the shuffle moves only the 5k source docs
+      val docs = graft.ops.Parallelism.spread(
+        t(s, d, "documents").select("doc_id", "text"), col("doc_id"))
       val replicated = docs
         .withColumn("copy", explode(expr("sequence(0, 20)")))
         .select((col("doc_id") * 100 + col("copy")).as("doc_id"),

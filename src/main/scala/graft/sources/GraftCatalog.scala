@@ -521,8 +521,31 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
         }
         val preds0 = preds
         val readSchema0 = required
-        new V1Scan {
+        new V1Scan
+            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
           override def readSchema(): StructType = readSchema0
+          /** Manifest-accounted size for the optimizer (same fix as the
+            * native scan's estimateStatistics — without it this route
+            * reports defaultSizeInBytes ≈ ∞ and a KB dimension never
+            * broadcasts). Current-snapshot reads only; time travel
+            * stays unknown (conservative — Spark falls back to the
+            * default). MOR position/equality deletes make the manifest
+            * row count an OVERcount, which only under-broadcasts. */
+          override def estimateStatistics()
+              : org.apache.spark.sql.connector.read.Statistics =
+            new org.apache.spark.sql.connector.read.Statistics {
+              private val rows: Option[Long] =
+                if (snapshotId.isEmpty)
+                  Some(IcebergLite.tableRowCount(spark, tableDir))
+                else None
+              override def sizeInBytes(): java.util.OptionalLong =
+                rows.map(r => java.util.OptionalLong.of(
+                    math.max(1L, r * math.max(1, readSchema0.defaultSize))))
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def numRows(): java.util.OptionalLong =
+                rows.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            }
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
             new BaseRelation with TableScan {

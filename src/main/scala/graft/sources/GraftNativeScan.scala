@@ -48,7 +48,30 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
                            required: StructType,
                            pushed: Seq[Filter])
     extends Scan with Batch with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Manifest-accounted statistics (r18 verdict: without them the
+    * default sizeInBytes is effectively infinite, so a KB-scale
+    * dimension read through the catalog NEVER auto-broadcasts and every
+    * catalog-route fact⋈dim join shuffles both sides). Rows come from
+    * the planned files' record counts (bounds/Bloom/partition pruning
+    * already applied); size mirrors the registered-view route
+    * (plans/IcebergScan.computeStats): rows × the PRUNED read schema's
+    * default row width, so column pruning shrinks the estimate the way
+    * the broadcast decision needs. No data is read.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = activeFiles.map(_.rowCount).sum
+    val width = math.max(1, required.defaultSize)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, rows * width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   private val declared = info.schema
   // identity-transform partition columns live in the DIRECTORY layout,
@@ -138,21 +161,29 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
       }
     }
     if (byCol.isEmpty) return
-    // allowed source values -> allowed partition values per spec field
-    val allowedPart: Seq[Option[Set[Any]]] = info.spec.map { case (pf, _) =>
-      byCol.get(pf.sourceCol).map(_.map(v =>
-        IcebergTransforms.applyValue(pf.transform,
-          declared(pf.sourceCol).dataType, v)))
-    }
+    // allowed source values -> allowed partition values per spec field.
+    // NULL source values are tracked as a flag, NOT pushed through
+    // applyValue: Spark's runtime IN-list carries null when matched rows
+    // live in the null partition (every transform maps null -> null
+    // partition value), and bucket/truncate applyValue would NPE on it —
+    // while dropping null-partition files here would silently exclude
+    // exactly the rows a native DELETE/UPDATE/MERGE matched.
+    val allowedPart: Seq[Option[(Set[Any], Boolean)]] =
+      info.spec.map { case (pf, _) =>
+        byCol.get(pf.sourceCol).map { vs =>
+          (vs.filter(_ != null).map(v =>
+             IcebergTransforms.applyValue(pf.transform,
+               declared(pf.sourceCol).dataType, v)),
+           vs.contains(null))
+        }
+      }
     runtimeFiles = Some(info.files.filter { f =>
       allowedPart.zipWithIndex.forall { case (allowed, i) =>
         allowed match {
           case None => true
-          case Some(vals) =>
+          case Some((vals, allowsNull)) =>
             val pv = f.partValues(i)
-            // a NULL partition value cannot match an IN-list of
-            // non-null matched-row values — prune it
-            pv != null && vals.exists(v => v == pv)
+            if (pv == null) allowsNull else vals.exists(v => v == pv)
         }
       }
     })
@@ -221,8 +252,24 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
     val dataFilters = pushed.filter(_.references.forall(fileCols))
     val readerFn = GraftParquetShim.parquetReader(spark, fileSchema,
       StructType(identityFields), requiredData, dataFilters)
+    // COLUMNAR handoff (r18 verdict: the row path paid the vectorized
+    // decode, then unwrapped every batch into rows — losing columnar
+    // scan execution and batch-at-a-time downstream fusion). When the
+    // session's supportBatch gate says the result schema is batchable,
+    // ship the batch-mode reader too; Spark then plans the scan
+    // columnar (ColumnarToRow above the BatchScan) and the row path
+    // stays as the factory-level fallback. Kill-switch mirrors the
+    // scan's own: spark.graft.nativeScan.columnar.enabled=false.
+    val batchFn =
+      if (spark.conf.get("spark.graft.nativeScan.columnar.enabled", "true")
+            .toBoolean &&
+          GraftParquetShim.supportsBatchRead(spark,
+            StructType(readerOut.toArray)))
+        Some(GraftParquetShim.parquetBatchReader(spark, fileSchema,
+          StructType(identityFields), requiredData, dataFilters))
+      else None
     GraftNativeReaderFactory(readerFn,
-      readerOut.map(f => (f.dataType, f.nullable)), outIndices)
+      readerOut.map(f => (f.dataType, f.nullable)), outIndices, batchFn)
   }
 }
 
@@ -242,8 +289,41 @@ case class GraftScanPartition(key: InternalRow, identityRow: InternalRow,
 case class GraftNativeReaderFactory(
     readerFn: PartitionedFile => Iterator[InternalRow],
     readerOut: Seq[(DataType, Boolean)],
-    outIndices: Seq[Int])
+    outIndices: Seq[Int],
+    /** batch-mode reader — present iff the scan's supportBatch gate
+      * passed; its presence IS the columnar-read advertisement. */
+    batchFn: Option[PartitionedFile => Iterator[InternalRow]] = None)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    batchFn.isDefined
+
+  /** Columnar path: the vectorized reader's batches pass through
+    * whole, re-sliced (zero-copy — same column vectors, scan order) to
+    * the declared output order. */
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftScanPartition]
+    val fn = batchFn.getOrElse(
+      throw new IllegalStateException("columnar read not advertised"))
+    new PartitionReader[ColumnarBatch] {
+      private val it: Iterator[ColumnarBatch] =
+        gp.files.iterator.flatMap { case (path, len) =>
+          fn(GraftParquetShim.partitionedFile(gp.identityRow, path, len))
+            .asInstanceOf[Iterator[Object]].map(_.asInstanceOf[ColumnarBatch])
+        }
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val b = it.next()
+          cur = new ColumnarBatch(
+            outIndices.map(b.column).toArray, b.numRows())
+          true
+        } else false
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftScanPartition]

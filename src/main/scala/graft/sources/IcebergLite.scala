@@ -1023,11 +1023,19 @@ object IcebergLite {
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val snapshotId = meta.nextSnapshotId
-    stageDataManifest(spark, root, meta, snapshotId, df).map {
+    // Attempt-unique staging paths (Iceberg's snap-<id>-<attempt>-<uuid>
+    // discipline): two REST clients staging concurrently both compute
+    // the same next snapshot id, and with deterministic names the later
+    // stager would clobber the earlier one's data dir + manifest list
+    // BEFORE the catalog's 409 arbitration ever runs. The loser's
+    // orphaned files are reclaimed by removeOrphanFiles, as with any
+    // uncommitted staging.
+    val attempt = "-" + java.util.UUID.randomUUID.toString.take(8)
+    stageDataManifest(spark, root, meta, snapshotId, df, attempt).map {
       case (mref, _) =>
         val manifests = meta.manifests :+ mref
         val listPath = new Path(new Path(root, "metadata"),
-          f"snap-$snapshotId%05d.avro")
+          f"snap-$snapshotId%05d$attempt.avro")
         writeManifestList(spark, listPath, manifests)
         (snapshotId, listPath.toString,
           summaryJson("append", None, meta.currentSnapshotId, manifests,
@@ -1847,8 +1855,18 @@ object IcebergLite {
     if (spec.isEmpty) {
       // unpartitioned: degrade to a full replace — ONE snapshot whose
       // manifest list carries only the new batch (the Iceberg rule),
-      // with the dropped-row count from the prior live manifests
-      val n = meta.manifests.filter(_.content == 0).map(_.totalRows).sum
+      // with the dropped-row count from the prior live manifests.
+      // Outstanding merge-on-read deletes (content 1/2) mean the data
+      // manifests' totalRows OVERCOUNTS the live rows; position-delete
+      // counts subtract exactly, but an equality delete's matched-row
+      // count is not derivable from metadata (a key kills 0..n rows),
+      // so that case pays one read of the (about-to-be-replaced) table.
+      val dataRows = meta.manifests.filter(_.content == 0).map(_.totalRows).sum
+      val n =
+        if (meta.manifests.exists(_.content == 2))
+          readTable(spark, tableDir).count()
+        else dataRows -
+          meta.manifests.filter(_.content == 1).map(_.totalRows).sum
       commitRowDelta(spark, tableDir, appendDf = Some(df),
         replaceAll = true, operation = "overwrite")
       return n
@@ -2187,7 +2205,14 @@ object IcebergLite {
     * when the frame is empty. */
   private def stageDataManifest(spark: SparkSession, root: Path,
                                 meta: TableMeta, snapshotId: Long,
-                                df0: DataFrame): Option[(MRef, Long)] = {
+                                df0: DataFrame,
+                                /** extra per-ATTEMPT token for paths —
+                                  * REST clients stage before the catalog
+                                  * arbitrates, so two concurrent stagers
+                                  * computing the same next snapshot id
+                                  * must never collide on storage (the
+                                  * direct single-writer chain passes ""). */
+                                attempt: String = ""): Option[(MRef, Long)] = {
     import org.apache.spark.sql.functions.{col => c0}
     val effectiveSort = meta.sortOrderCols
     val df =
@@ -2207,9 +2232,9 @@ object IcebergLite {
     // "-a" keeps this dir clear of a same-snapshot COW rewrite's s<id>
     val (entries, bloomPath) = writeDataFiles(spark, df, root, snapshotId,
       spec, entrySchema, fieldIds, distribute = effectiveSort.isEmpty,
-      bloomCols = meta.bloomCols, dirSuffix = "-a")
+      bloomCols = meta.bloomCols, dirSuffix = s"-a$attempt")
     val manifestPath = new Path(new Path(root, "metadata"),
-      f"manifest-$snapshotId%05d.avro")
+      f"manifest-$snapshotId%05d$attempt.avro")
     val manifestLen = writeAvro(spark, manifestPath, entrySchema, entries,
       Map("schema" -> meta.schemaJs, "format-version" -> "1",
         "content" -> "data",
@@ -2342,7 +2367,7 @@ object IcebergLite {
     * path, byte size, and the manifest partition values as JVM values
     * (Integer/Long/String/null) aligned to the spec field order. */
   case class NativeFileInfo(path: String, sizeBytes: Long,
-                            partValues: Seq[Any])
+                            partValues: Seq[Any], rowCount: Long)
 
   /** The NATIVE V2 scan plan of a table: declared schema, the spec
     * (items + value types), the persisted sort order, and the
@@ -2398,7 +2423,8 @@ object IcebergLite {
             }
           }
           Some(NativeFileInfo(path,
-            d.get("file_size_in_bytes").asInstanceOf[Long], values))
+            d.get("file_size_in_bytes").asInstanceOf[Long], values,
+            d.get("record_count").asInstanceOf[Long]))
         }
       }
     }

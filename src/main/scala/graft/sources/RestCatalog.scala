@@ -148,11 +148,26 @@ class GraftRestCatalogServer(spark: SparkSession, warehouse: String) {
         else {
           val schema =
             IcebergLite.schemaFromIcebergJson(body.get("schema").toString)
-          val fieldNames = schema.fieldNames
-          def nameOfId(id: Int): String = fieldNames(id - 1)
-          val specItems = Option(body.get("partition-spec")).toSeq
-            .flatMap(_.get("fields").elements().asScala).map { f =>
-              val col = nameOfId(f.get("source-id").asInt())
+          // spec source-ids resolve through the schema JSON's own field
+          // `id` attributes — NOT positional arithmetic: a conformant
+          // client's ids need not be 1..N in declaration order (nested
+          // structs consume ids, evolved schemas renumber), and a silent
+          // wrong binding would partition on the wrong column
+          val idToName: Map[Int, String] =
+            body.get("schema").get("fields").elements().asScala
+              .map(f => f.get("id").asInt() -> f.get("name").asText())
+              .toMap
+          val specFields = Option(body.get("partition-spec")).toSeq
+            .flatMap(_.get("fields").elements().asScala.toSeq)
+          val badIds = specFields.map(_.get("source-id").asInt())
+            .filterNot(idToName.contains)
+          if (badIds.nonEmpty) {
+            err(ex, 400, s"partition-spec source-id(s) ${badIds.mkString(",")}" +
+              " do not resolve to a top-level schema field")
+            return
+          }
+          val specItems = specFields.map { f =>
+              val col = idToName(f.get("source-id").asInt())
               f.get("transform").asText() match {
                 case "identity" => col
                 case t => s"$t:$col"

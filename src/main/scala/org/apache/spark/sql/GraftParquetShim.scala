@@ -47,6 +47,27 @@ object GraftParquetShim {
         .OPTION_RETURNING_BATCH -> "false"),
       sessionHadoopConf(spark))
 
+  /** Whether the vectorized reader can hand whole `ColumnarBatch`es for
+    * this result schema (data + partition columns) under the session's
+    * conf — the exact `supportBatch` gate `FileSourceScanExec` uses. */
+  def supportsBatchRead(spark: SparkSession, resultSchema: StructType): Boolean =
+    new ParquetFileFormat().supportBatch(classic0(spark), resultSchema)
+
+  /** The COLUMNAR twin of [[parquetReader]]: `returning_batch=true`, so
+    * the returned iterator's elements are `ColumnarBatch`es smuggled as
+    * rows (the FileFormat batch contract). Only valid when
+    * [[supportsBatchRead]] said yes for the result schema. */
+  def parquetBatchReader(spark: SparkSession, dataSchema: StructType,
+                         partitionSchema: StructType, requiredSchema: StructType,
+                         filters: Seq[Filter])
+      : PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      classic0(spark), dataSchema, partitionSchema, requiredSchema,
+      filters,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "true"),
+      sessionHadoopConf(spark))
+
   /** A `PartitionedFile` for a whole file + the partition values its
     * directory layout carries. */
   def partitionedFile(partitionValues: InternalRow, path: String,
