@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's synthetic parquet tables plus the session
   * settings every entry point (Verify / Bench / tests) must share.
@@ -29,8 +29,37 @@ object Tables {
     .config("spark.sql.parquet.compression.codec", "zstd")
     .config("spark.sql.adaptive.enabled", "true")
 
-  def load(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+  /** Inferred-schema cache: `spark.read.parquet` with no schema runs a
+    * whole Spark JOB per call to read footers (schema inference), and the
+    * bench/verify mains reconstruct each table's frame per query per rep
+    * — measured ~30 ms + driver gap per load, ×6 tables on the 6-table
+    * join. Caching the inferred StructType (METADATA only — never rows;
+    * every query still scans the parquet) and passing it back through
+    * `.schema(...)` makes re-loads job-free, which is exactly what a
+    * catalog-registered table gives a long-lived session. Keyed by
+    * (session, path, mtime, length) so an overwritten file or a session
+    * with different inference conf (e.g. nanosAsLong) re-infers.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long, Long), StructType]()
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val path = s"$dir/$table.parquet"
+    val key = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      (System.identityHashCode(spark), path,
+        st.getModificationTime, st.getLen)
+    } catch { // missing/unstatable path: let the reader raise its own error
+      case _: java.io.IOException =>
+        return spark.read.parquet(path)
+    }
+    if (schemaCache.size > 1024) schemaCache.clear() // bound test churn
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Epoch-microseconds BIGINT expression for an event-time column,
     * adapting to however the parquet writer encoded it. The generated

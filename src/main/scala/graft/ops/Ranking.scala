@@ -57,7 +57,20 @@ object Ranking {
 
   private def resolveN(df: DataFrame, numPartitions: Int): Int =
     if (numPartitions > 0) numPartitions
-    else df.sparkSession.sessionState.conf.numShufflePartitions
+    else {
+      val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      // SCALE-ADAPTIVE width (optimization guide §2.2 "fewer, larger
+      // reduce partitions"): a frame whose whole optimizer-estimated
+      // size fits one scan split gains nothing from n-way ranging —
+      // each range stage then pays n task launches (and the stitch n
+      // driver rows) to move a handful of KB. Measured on the 2k-row
+      // pulse timeline at 32 partitions: 3 consecutive 32-task stages
+      // of pure launch overhead. Results are width-independent (the
+      // stitch math is exact), so this only changes task counts. Large
+      // frames keep the full width — the 100 TB shape is untouched.
+      if (Parallelism.isSmall(df)) math.min(n, Parallelism.compactWidth(df))
+      else n
+    }
 
   /** (tagged frame with row numbers, total row count). */
   private def withRowNumber(df: DataFrame, orderCols: Seq[Column], as: String,

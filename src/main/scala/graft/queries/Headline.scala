@@ -101,7 +101,14 @@ object Headline {
       LIMIT 20"""), bench = true),
 
     QueryDef("q4_order_priority", (s, d) => {
-      val li = t(s, d, "lineitem")
+      // single-row-group input: the (priority, orderkey) partial
+      // aggregate otherwise rides the ONE scan task (guide §2.5 input
+      // skew). Unlike q3/q5 — where the serial parquet DECODE is the
+      // floor and probes are cheap, so a spread only added a shuffle
+      // (measured, reverted) — q4's two-level count-distinct expansion
+      // is heavier than the decode and parallelizes. No-op at scale.
+      val li = graft.ops.Parallelism.spread(
+        t(s, d, "lineitem"), col("l_orderkey"))
       val ord = t(s, d, "orders")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")

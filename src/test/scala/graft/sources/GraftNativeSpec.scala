@@ -273,6 +273,45 @@ class GraftNativeSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("runtime file pruning engages on an ordinary fact⋈dim join (DPP)") {
+    // day-partitioned fact, selective dim filter: Spark's PartitionPruning
+    // hands the dim's matched day values to the scan's
+    // SupportsRuntimeV2Filtering, which must shrink the planned file set
+    // — at 100 TB the difference between reading one day and the table
+    spark.sql("""CREATE TABLE ncat.dpp_fact (id BIGINT, day BIGINT,
+                 v BIGINT) USING iceberg PARTITIONED BY (day)""")
+    spark.sql("""CREATE TABLE ncat.dpp_dim (day BIGINT, tag STRING)
+                 USING iceberg""")
+    spark.range(0, 10000)
+      .selectExpr("id", "id % 10 AS day", "id * 2 AS v")
+      .writeTo("ncat.dpp_fact").append()
+    spark.range(0, 10).selectExpr("id AS day", "concat('t', id) AS tag")
+      .writeTo("ncat.dpp_dim").append()
+
+    def recordsRead(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) } // let the listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+
+    val pruned = recordsRead {
+      val got = spark.table("ncat.dpp_fact")
+        .join(spark.table("ncat.dpp_dim").filter(col("tag") === "t3"), "day")
+        .agg(sum(col("v"))).head().getLong(0)
+      assert(got === (0 until 10000).filter(_ % 10 == 3).map(_ * 2L).sum)
+    }
+    // one of ten days + the dim itself: far below a full fact read
+    assert(pruned < 10000 / 2,
+      s"runtime filtering did not prune the fact read (records=$pruned)")
+  }
+
   test("native DML on a MOR-deleted table refuses with a real message") {
     spark.sql("""CREATE TABLE ncat.nat_mor (id BIGINT, n BIGINT)
                  USING iceberg""")
