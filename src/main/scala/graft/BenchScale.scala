@@ -965,9 +965,12 @@ object BenchScale {
           classOf[graft.sources.GraftTableCatalog].getName)
         spark.conf.set("spark.sql.catalog.bs_spj.warehouse", wh)
         val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+          "spark.graft.preserveDataGrouping",
           "spark.sql.autoBroadcastJoinThreshold",
-          "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
+          "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        // grouping opt-in (default false; see GraftNativeScan.spjMode)
+        spark.conf.set("spark.graft.preserveDataGrouping", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try {
@@ -990,7 +993,10 @@ object BenchScale {
               "— the storage-partitioned join regressed:\n" +
               joined.queryExecution.executedPlan)
           joined.head().getLong(0)
-        } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+        } finally saved.foreach { // None = was unset: restore by UNSET
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       },
       timed("profile_skew_scan") {
         // the pre-shuffle diagnostics at corpus scale: profileTable is

@@ -6038,9 +6038,13 @@ object QueryCatalog {
         .select(col("doc_id"), (col("n_chars") * 2).cast("long").as("n2"))
         .writeTo("spjcat.spj_b").append()
       val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.graft.preserveDataGrouping",
         "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.adaptive.enabled").map(k => k -> s.conf.get(k))
+        "spark.sql.adaptive.enabled").map(k => k -> s.conf.getOption(k))
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // grouping opt-in (default false — grouping costs split
+      // granularity + runtime filtering, so only an SPJ query wants it)
+      s.conf.set("spark.graft.preserveDataGrouping", "true")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       try {
@@ -6057,7 +6061,12 @@ object QueryCatalog {
         }.size).getOrElse(-1)
         joined.withColumn("n_join_exchanges", lit(nEx)).orderBy("lang")
           .localCheckpoint(eager = true)
-      } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+      } finally saved.foreach { // None = was unset: restore by UNSET, so
+        // the session's effective defaults survive (an explicit set of
+        // the old value would pin entry defaults forever)
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }, Some("""
       SELECT a.lang,
         CAST(count(*) AS BIGINT) AS n_docs,

@@ -486,9 +486,50 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
-        with SupportsPushDownRequiredColumns {
+        with SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = schema()
       private var pushed: Array[Filter] = Array.empty
+      private var aggCount: Option[Int] = None // n of pushed COUNT(*)s
+
+      /** METADATA-ONLY aggregate pushdown: a bare `COUNT(*)` (no
+        * group-by, no filters, no outstanding MOR deletes, current
+        * snapshot) is answered from live data-manifest accounting — on
+        * a 100 TB table a KB metadata read instead of a full scan.
+        * Everything else refuses, conservatively: COUNT(col) needs null
+        * counts, MIN/MAX need per-type bound decoding and delete
+        * awareness, filtered counts need exact row semantics — all of
+        * which the ordinary scan path answers correctly. This builder
+        * never claims filters (pushFilters returns all as residuals),
+        * so Spark only offers the aggregate when NO filter sits between
+        * it and the scan.
+        */
+      private def countStarAnswer(
+          agg: org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation): Option[Int] = {
+        import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+        if (snapshotId.isDefined || pushed.nonEmpty ||
+            agg.groupByExpressions().nonEmpty ||
+            agg.aggregateExpressions().isEmpty ||
+            !agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
+          None
+        // outstanding MOR deletes make the manifest sum an overcount —
+        // exactRowCountFromMetadata refuses, the scan path subtracts
+        else if (IcebergLite.exactRowCountFromMetadata(spark, tableDir)
+                   .isEmpty) None
+        else Some(agg.aggregateExpressions().length)
+      }
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation): Boolean = countStarAnswer(agg).isDefined
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation): Boolean = {
+        aggCount = countStarAnswer(agg)
+        aggCount.isDefined
+      }
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // keep every filter as a SKIPPING HINT; return all of them as
@@ -502,6 +543,28 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
         required = requiredSchema
 
       override def build(): Scan = {
+        aggCount match {
+          case Some(n) =>
+            // the pushed COUNT(*) answer: ONE local row from manifest
+            // accounting, zero file reads, zero tasks (LocalScan plans
+            // as a LocalTableScan)
+            val rowCount =
+              IcebergLite.exactRowCountFromMetadata(spark, tableDir)
+                .getOrElse(sys.error( // raced by a MOR delete since push
+                  s"$tableDir: metadata count no longer provable"))
+            val aggSchema = StructType((0 until n).map(i =>
+              org.apache.spark.sql.types.StructField(
+                s"count_star_$i", org.apache.spark.sql.types.LongType,
+                nullable = false)))
+            return new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = aggSchema
+              override def rows(): Array[
+                  org.apache.spark.sql.catalyst.InternalRow] =
+                Array(org.apache.spark.sql.catalyst.InternalRow
+                  .fromSeq(Seq.fill(n)(rowCount)))
+            }
+          case None => ()
+        }
         val preds = pushed.toSeq.flatMap(GraftTableCatalog.filterPreds)
         // NATIVE V2 batch path when the table state allows it (current
         // snapshot, no MOR deletes, single schema/spec generation):

@@ -204,14 +204,23 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
     case other => other // Integer / Long box directly
   }
 
-  // SPJ mode trades split granularity for co-location: ONE input
-  // partition per partition tuple (the KeyGroupedPartitioning
-  // contract). Outside SPJ, one partition per FILE keeps parallelism
-  // at the file level — same rows, different slicing. Decided at scan
-  // construction from the session conf, like the V2 sources do.
+  // SPJ mode trades split granularity (one input partition per
+  // partition TUPLE, the KeyGroupedPartitioning contract) and runtime
+  // file pruning (disabled in SPJ mode, see filterAttributes) for
+  // join co-location. That trade only pays when the join really is
+  // storage-partitioned, so grouping requires an EXPLICIT opt-in —
+  // `spark.graft.preserveDataGrouping` (default false), mirroring
+  // Iceberg's `read.split.preserve-data-grouping` — on top of Spark's
+  // own `spark.sql.sources.v2.bucketing.enabled`. The Spark conf is
+  // read at its EFFECTIVE value (default TRUE since Spark 4): the
+  // previous `conf.get(key, "false")` bypassed the entry default, so
+  // whether a session ever explicitly SET the conf — even to its
+  // default — silently flipped every partitioned scan into
+  // tuple-granularity mode and turned DPP off (caught by the
+  // ordinary-join DPP records-read test).
   private val spjMode = info.spec.nonEmpty &&
-    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
-      .toBoolean
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled").toBoolean &&
+    spark.conf.get("spark.graft.preserveDataGrouping", "false").toBoolean
 
   private def partitionOf(vals: Seq[Any],
                           fs: Seq[IcebergLite.NativeFileInfo])

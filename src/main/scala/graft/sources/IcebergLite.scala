@@ -3082,6 +3082,18 @@ object IcebergLite {
     readMeta(spark, tableDir).manifests.filter(_.content == 0)
       .map(_.totalRows).sum
 
+  /** Live row count when PROVABLE from metadata alone: the sum of the
+    * data manifests' totals, or None while any merge-on-read delete
+    * manifest is outstanding (the sum would overcount; the scan path
+    * subtracts exactly). The COUNT(*) pushdown substrate — a KB
+    * metadata read instead of a table scan. */
+  def exactRowCountFromMetadata(spark: SparkSession,
+                                tableDir: String): Option[Long] = {
+    val meta = readMeta(spark, tableDir)
+    if (meta.manifests.exists(_.content != 0)) None
+    else Some(meta.manifests.map(_.totalRows).sum)
+  }
+
   // ---- schema evolution (v1-legal, metadata-only commits) ----------------
   //
   // Evolution changes METADATA only — no snapshot, no data rewrite

@@ -69,11 +69,13 @@ class GraftNativeSpec extends SparkSuite {
       .writeTo("ncat.spj_b").append()
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // grouping opt-in (default false; see GraftNativeScan.spjMode)
+      "spark.graft.preserveDataGrouping" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       // a deterministic (non-adaptive) plan so the Exchange audit reads
       // the actual physical tree
       "spark.sql.adaptive.enabled" -> "false")
-    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val joined = spark.table("ncat.spj_a")
@@ -95,7 +97,10 @@ class GraftNativeSpec extends SparkSuite {
       val shuffles = smj.head.collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty,
         s"the bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
-    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    } finally saved.foreach { // None = was unset: restore by UNSET
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("native row-level DML: DELETE / UPDATE / MERGE through the stock analyzer, NO extensions") {
@@ -301,15 +306,63 @@ class GraftNativeSpec extends SparkSuite {
       acc.get()
     }
 
+    var planStr = ""
     val pruned = recordsRead {
-      val got = spark.table("ncat.dpp_fact")
+      val q = spark.table("ncat.dpp_fact")
         .join(spark.table("ncat.dpp_dim").filter(col("tag") === "t3"), "day")
-        .agg(sum(col("v"))).head().getLong(0)
+        .agg(sum(col("v")))
+      val got = q.head().getLong(0)
+      planStr = q.queryExecution.executedPlan.toString
       assert(got === (0 until 10000).filter(_ % 10 == 3).map(_ * 2L).sum)
     }
     // one of ten days + the dim itself: far below a full fact read
     assert(pruned < 10000 / 2,
-      s"runtime filtering did not prune the fact read (records=$pruned)")
+      s"runtime filtering did not prune the fact read (records=$pruned)\n$planStr")
+  }
+
+  test("COUNT(*) answers from metadata: zero file records read; filtered/MOR counts scan") {
+    spark.sql("""CREATE TABLE ncat.cnt_t (id BIGINT, day BIGINT)
+                 USING iceberg PARTITIONED BY (day)""")
+    spark.range(0, 7777).selectExpr("id", "id % 5 AS day")
+      .writeTo("ncat.cnt_t").append()
+
+    def recordsRead(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+
+    // clean table: the count comes from manifest accounting — no task
+    // may read a single file record
+    val n1 = recordsRead {
+      assert(spark.sql("SELECT count(*) FROM ncat.cnt_t")
+        .head().getLong(0) === 7777L)
+    }
+    assert(n1 === 0L, s"metadata count read $n1 file records")
+
+    // filtered count: the pushdown must REFUSE (this builder claims no
+    // filters) and the scan path answer exactly
+    val n2 = recordsRead {
+      assert(spark.sql(
+        "SELECT count(*) FROM ncat.cnt_t WHERE day = 2")
+        .head().getLong(0) === (0 until 7777).count(_ % 5 == 2).toLong)
+    }
+    assert(n2 > 0L, "filtered count did not scan")
+
+    // outstanding MOR delete: manifest totals overcount — refuse and scan
+    IcebergLite.deleteWhereMOR(spark, s"$wh/cnt_t", col("id") < 77L)
+    val n3 = recordsRead {
+      assert(spark.sql("SELECT count(*) FROM ncat.cnt_t")
+        .head().getLong(0) === 7700L)
+    }
+    assert(n3 > 0L, "MOR-deleted count did not scan")
   }
 
   test("native DML on a MOR-deleted table refuses with a real message") {
