@@ -490,45 +490,78 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = schema()
       private var pushed: Array[Filter] = Array.empty
-      private var aggCount: Option[Int] = None // n of pushed COUNT(*)s
+      // the pushed metadata-aggregate answer: (schema, one row of values)
+      private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
-      /** METADATA-ONLY aggregate pushdown: a bare `COUNT(*)` (no
-        * group-by, no filters, no outstanding MOR deletes, current
-        * snapshot) is answered from live data-manifest accounting — on
+      /** METADATA-ONLY aggregate pushdown: a bare `COUNT(*)` /
+        * `MIN(int|long col)` / `MAX(int|long col)` (no group-by, no
+        * filters, no outstanding MOR deletes, current snapshot) is
+        * answered from manifest accounting / recorded file bounds — on
         * a 100 TB table a KB metadata read instead of a full scan.
         * Everything else refuses, conservatively: COUNT(col) needs null
-        * counts, MIN/MAX need per-type bound decoding and delete
-        * awareness, filtered counts need exact row semantics — all of
-        * which the ordinary scan path answers correctly. This builder
-        * never claims filters (pushFilters returns all as residuals),
-        * so Spark only offers the aggregate when NO filter sits between
-        * it and the scan.
+        * counts, string bounds are truncated prefixes, floats have
+        * NaN/-0.0 aggregate-order hazards, filtered counts need exact
+        * row semantics — all of which the ordinary scan path answers
+        * correctly (see IcebergLite.exactMinMaxFromMetadata). This
+        * builder never claims filters (pushFilters returns all as
+        * residuals), so Spark only offers the aggregate when NO filter
+        * sits between it and the scan.
         */
-      private def countStarAnswer(
+      private def metadataAggAnswer(
           agg: org.apache.spark.sql.connector.expressions.aggregate
-            .Aggregation): Option[Int] = {
-        import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+            .Aggregation): Option[(StructType, Seq[Any])] = {
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+        import org.apache.spark.sql.types.{LongType, StructField}
         if (snapshotId.isDefined || pushed.nonEmpty ||
             agg.groupByExpressions().nonEmpty ||
-            agg.aggregateExpressions().isEmpty ||
-            !agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]))
-          None
-        // outstanding MOR deletes make the manifest sum an overcount —
-        // exactRowCountFromMetadata refuses, the scan path subtracts
-        else if (IcebergLite.exactRowCountFromMetadata(spark, tableDir)
-                   .isEmpty) None
-        else Some(agg.aggregateExpressions().length)
+            agg.aggregateExpressions().isEmpty) return None
+        def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+            : Option[String] = e match {
+          case nr: NamedReference if nr.fieldNames().length == 1 =>
+            Some(nr.fieldNames()(0))
+          case _ => None
+        }
+        val fields = Seq.newBuilder[StructField]
+        val values = Seq.newBuilder[Any]
+        agg.aggregateExpressions().zipWithIndex.foreach {
+          case (_: CountStar, i) =>
+            // outstanding MOR deletes make the manifest sum an
+            // overcount — exactRowCountFromMetadata refuses, the scan
+            // path subtracts exactly
+            val n = IcebergLite.exactRowCountFromMetadata(spark, tableDir)
+              .getOrElse(return None)
+            fields += StructField(s"agg_$i", LongType, nullable = false)
+            values += n
+          case (mm @ (_: Min | _: Max), i) =>
+            val (c, wantMax) = mm match {
+              case m: Min => (colOf(m.column()), false)
+              case m: Max => (colOf(m.column()), true)
+            }
+            val name = c.getOrElse(return None)
+            val dt = schema().fields.find(_.name == name)
+              .map(_.dataType).getOrElse(return None)
+            val v = IcebergLite.exactMinMaxFromMetadata(spark, tableDir,
+              name, wantMax).getOrElse(return None)
+            fields += StructField(s"agg_$i", dt, nullable = true)
+            values += v.orNull
+          case _ => return None
+        }
+        Some((StructType(fields.result()), values.result()))
       }
 
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate
-            .Aggregation): Boolean = countStarAnswer(agg).isDefined
+            .Aggregation): Boolean = {
+        aggAnswer = metadataAggAnswer(agg)
+        aggAnswer.isDefined
+      }
 
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate
             .Aggregation): Boolean = {
-        aggCount = countStarAnswer(agg)
-        aggCount.isDefined
+        aggAnswer = metadataAggAnswer(agg)
+        aggAnswer.isDefined
       }
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -543,25 +576,16 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
         required = requiredSchema
 
       override def build(): Scan = {
-        aggCount match {
-          case Some(n) =>
-            // the pushed COUNT(*) answer: ONE local row from manifest
-            // accounting, zero file reads, zero tasks (LocalScan plans
-            // as a LocalTableScan)
-            val rowCount =
-              IcebergLite.exactRowCountFromMetadata(spark, tableDir)
-                .getOrElse(sys.error( // raced by a MOR delete since push
-                  s"$tableDir: metadata count no longer provable"))
-            val aggSchema = StructType((0 until n).map(i =>
-              org.apache.spark.sql.types.StructField(
-                s"count_star_$i", org.apache.spark.sql.types.LongType,
-                nullable = false)))
+        aggAnswer match {
+          case Some((aggSchema, values)) =>
+            // the pushed metadata-aggregate answer: ONE local row, zero
+            // file reads, zero tasks (LocalScan plans as LocalTableScan)
             return new org.apache.spark.sql.connector.read.LocalScan {
               override def readSchema(): StructType = aggSchema
               override def rows(): Array[
                   org.apache.spark.sql.catalyst.InternalRow] =
                 Array(org.apache.spark.sql.catalyst.InternalRow
-                  .fromSeq(Seq.fill(n)(rowCount)))
+                  .fromSeq(values))
             }
           case None => ()
         }

@@ -3094,6 +3094,48 @@ object IcebergLite {
     else Some(meta.manifests.map(_.totalRows).sum)
   }
 
+  /** Exact MIN/MAX of an int/long column when PROVABLE from metadata
+    * alone (the aggregate-pushdown substrate): refuses (None) unless
+    * the table has no outstanding deletes and EVERY live data file
+    * carries both recorded bounds for the field — a file with no bound
+    * entry cannot be distinguished from one written before bounds, so
+    * its rows could silently fall outside the answer. Strings refuse
+    * structurally (stored bounds are 17-code-point truncations — a
+    * prefix of the min, not the min) and floats refuse (NaN / -0.0
+    * aggregate-order hazards); the scan path answers those exactly.
+    * `Some(None)` = provably empty table (SQL NULL aggregate).
+    */
+  def exactMinMaxFromMetadata(spark: SparkSession, tableDir: String,
+                              colName: String, wantMax: Boolean)
+      : Option[Option[Any]] = {
+    val meta = readMeta(spark, tableDir)
+    if (meta.manifests.exists(_.content != 0)) return None
+    val (fieldId, _, dt, _) = topFields(meta.schemaNode)
+      .find(_._2 == colName).getOrElse(return None)
+    if (dt != IntegerType && dt != LongType) return None
+    val side = if (wantMax) "upper_bounds" else "lower_bounds"
+    var best: Option[Any] = None
+    meta.manifests.foreach { m =>
+      val (recs, _) = readManifest(spark, new Path(m.path))
+      recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
+        val d = e.get("data_file").asInstanceOf[GenericRecord]
+        // zero-row files (possible via overwrite edge cases) carry no
+        // bounds and contribute no rows — skip, not refuse
+        if (d.get("record_count").asInstanceOf[Long] > 0L) {
+          entryBounds(d, side).get(fieldId)
+            .flatMap(boundValue(dt, _)) match {
+            case None => return None // unprovable: a file without bounds
+            case Some(v) =>
+              if (best.forall(b =>
+                    if (wantMax) cmpBound(dt, v, b) > 0
+                    else cmpBound(dt, v, b) < 0)) best = Some(v)
+          }
+        }
+      }
+    }
+    Some(best)
+  }
+
   // ---- schema evolution (v1-legal, metadata-only commits) ----------------
   //
   // Evolution changes METADATA only — no snapshot, no data rewrite

@@ -320,7 +320,7 @@ class GraftNativeSpec extends SparkSuite {
       s"runtime filtering did not prune the fact read (records=$pruned)\n$planStr")
   }
 
-  test("COUNT(*) answers from metadata: zero file records read; filtered/MOR counts scan") {
+  test("COUNT(*)/MIN/MAX answer from metadata: zero file records read; filtered/MOR/string aggregates scan") {
     spark.sql("""CREATE TABLE ncat.cnt_t (id BIGINT, day BIGINT)
                  USING iceberg PARTITIONED BY (day)""")
     spark.range(0, 7777).selectExpr("id", "id % 5 AS day")
@@ -346,6 +346,17 @@ class GraftNativeSpec extends SparkSuite {
         .head().getLong(0) === 7777L)
     }
     assert(n1 === 0L, s"metadata count read $n1 file records")
+
+    // MIN/MAX on an int/long column: recorded file bounds are exact —
+    // zero file records read; mixed with COUNT(*) in one aggregate
+    val nMm = recordsRead {
+      val r = spark.sql(
+        "SELECT min(id), max(id), count(*), max(day) FROM ncat.cnt_t")
+        .head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((0L, 7776L, 7777L, 4L)))
+    }
+    assert(nMm === 0L, s"metadata min/max read $nMm file records")
 
     // filtered count: the pushdown must REFUSE (this builder claims no
     // filters) and the scan path answer exactly
