@@ -37,20 +37,37 @@ object Tables {
     * every query still scans the parquet) and passing it back through
     * `.schema(...)` makes re-loads job-free, which is exactly what a
     * catalog-registered table gives a long-lived session. Keyed by
-    * (session, path, mtime, length) so an overwritten file or a session
-    * with different inference conf (e.g. nanosAsLong) re-infers.
+    * (sessionUUID, path, content fingerprint): the UUID is stable and
+    * collision-free where identityHashCode could alias a GC'd session,
+    * and the fingerprint folds the LEAF data files' (name, mtime, len)
+    * when the path is a directory — a Spark-rewritten directory's own
+    * status reads len≈0 with coarse mtime, so two overwrites inside one
+    * timestamp tick would otherwise serve a stale schema.
     */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long, Long), StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long), StructType]()
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     val path = s"$dir/$table.parquet"
     val key = try {
       val p = new org.apache.hadoop.fs.Path(path)
-      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(p)
-      (System.identityHashCode(spark), path,
-        st.getModificationTime, st.getLen)
+      val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fsys.getFileStatus(p)
+      val fp =
+        if (st.isFile) st.getModificationTime * 31L + st.getLen
+        else {
+          var h = 1L
+          val it = fsys.listFiles(p, true)
+          while (it.hasNext) {
+            val s2 = it.next()
+            val n = s2.getPath.getName
+            if (s2.isFile && !n.startsWith("_") && !n.startsWith("."))
+              h = h * 31L + n.hashCode + s2.getModificationTime * 7L +
+                s2.getLen
+          }
+          h
+        }
+      (org.apache.spark.sql.GraftParquetShim.sessionUUID(spark), path, fp)
     } catch { // missing/unstatable path: let the reader raise its own error
       case _: java.io.IOException =>
         return spark.read.parquet(path)

@@ -62,6 +62,9 @@ object EventTime {
       indexed.withColumnRenamed(timeCol, "pulse_time")
     }
     val primary = forLog(timeLog)
+    // with no alternates the fallback search cannot change the answer
+    // (empty or not, primary is returned) — skip its limit-1 probe job
+    if (alternates.isEmpty) return primary
     // isEmpty is a cheap limit-1 job; alternates are rare fallbacks.
     (timeLog +: alternates).distinct.view.map(forLog).find(!_.isEmpty)
       .getOrElse(primary)

@@ -61,16 +61,31 @@ object Ranking {
       val n = df.sparkSession.sessionState.conf.numShufflePartitions
       // SCALE-ADAPTIVE width (optimization guide §2.2 "fewer, larger
       // reduce partitions"): a frame whose whole optimizer-estimated
-      // size fits one scan split gains nothing from n-way ranging —
+      // size fits ONE scan split gains nothing from n-way ranging —
       // each range stage then pays n task launches (and the stitch n
-      // driver rows) to move a handful of KB. Measured on the 2k-row
-      // pulse timeline at 32 partitions: 3 consecutive 32-task stages
-      // of pure launch overhead. Results are width-independent (the
-      // stitch math is exact), so this only changes task counts. Large
-      // frames keep the full width — the 100 TB shape is untouched.
-      if (Parallelism.isSmall(df)) math.min(n, Parallelism.compactWidth(df))
+      // driver rows) to move a handful of KB. Width 1 makes every
+      // stitch input trivial (offsets 0, no next-partition patch), so
+      // the ops below drop the checkpoint materialization AND the
+      // driver collect entirely and become one plain partition-local
+      // window — measured 2 fewer jobs per ranking op at sf0.1 (r19
+      // ran these at compactWidth and still paid both stitch actions).
+      // Results are width-independent (the stitch math is exact), so
+      // this only changes task counts. Large frames keep the full
+      // width — the 100 TB shape is untouched.
+      if (Parallelism.isSmall(df)) 1
       else n
     }
+
+  /** The `n == 1` fast path's window: ALL rows form one group. The
+    * constant partition key is what makes this the scale-UNSAFE shape —
+    * only reachable when `resolveN` proved the frame fits one scan
+    * split (or a caller explicitly asked for 1) — but it keeps the op
+    * to ONE exchange with ZERO extra actions, where the ranged stitch
+    * pays a checkpoint job + a stats collect job. partitionBy(lit)
+    * rather than no-partition keeps WindowExec's single-partition
+    * warning out of the logs for a move that is deliberate here. */
+  private def singleWindow(orderCols: Seq[Column]) =
+    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
 
   /** (tagged frame with row numbers, total row count). */
   private def withRowNumber(df: DataFrame, orderCols: Seq[Column], as: String,
@@ -94,8 +109,14 @@ object Ranking {
     */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column], as: String,
                       numPartitions: Int = 0): DataFrame = {
-    val (tagged, _) = withRowNumber(df, orderCols, as, resolveN(df, numPartitions))
-    tagged.drop(Pid, Mid)
+    val n = resolveN(df, numPartitions)
+    if (n == 1)
+      df.withColumn(as,
+        row_number().over(singleWindow(orderCols)).cast("long"))
+    else {
+      val (tagged, _) = withRowNumber(df, orderCols, as, n)
+      tagged.drop(Pid, Mid)
+    }
   }
 
   /** Global NTILE(k) by `orderCols` — the standard SQL bucket sizing
@@ -105,8 +126,14 @@ object Ranking {
   def globalNtile(df: DataFrame, k: Int, orderCols: Seq[Column], as: String,
                   numPartitions: Int = 0): DataFrame = {
     require(k > 0, "ntile buckets must be positive")
+    val n = resolveN(df, numPartitions)
+    if (n == 1)
+      // Spark's ntile IS the standard SQL bucket sizing the stitched
+      // variant reproduces — one window, no total-count action
+      return df.withColumn(as,
+        ntile(k).over(singleWindow(orderCols)).cast("long"))
     val (withRn, total) =
-      withRowNumber(df, orderCols, "__rank_rn", resolveN(df, numPartitions))
+      withRowNumber(df, orderCols, "__rank_rn", n)
     val base = total / k
     val rem = total % k
     // INTEGRAL division (DIV), not Column `/`: the latter is IEEE double
@@ -141,6 +168,10 @@ object Ranking {
   def globalRunningSum(df: DataFrame, srcCol: String, orderCols: Seq[Column],
                        as: String, numPartitions: Int = 0): DataFrame = {
     val n = resolveN(df, numPartitions)
+    if (n == 1)
+      return df.withColumn(as,
+        sum(col(srcCol).cast("long")).over(singleWindow(orderCols)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tagged = ranged(df, orderCols, n)
     val totals = tagged.groupBy(col(Pid))
       .agg(sum(col(srcCol).cast("long")).as("s"))
@@ -178,6 +209,14 @@ object Ranking {
                       orderCols: Seq[Column], as: String,
                       numPartitions: Int = 0): DataFrame = {
     val n = resolveN(df, numPartitions)
+    if (n == 1)
+      // the SQL-obvious per-key window: sound EXACTLY here, where the
+      // whole frame fits one scan split (the scale hazard this op
+      // exists for is a hot key concentrating a 100 TB corpus slice)
+      return df.withColumn(as,
+        sum(col(srcCol).cast("long")).over(
+          Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tagged = ranged(df, col(keyCol) +: orderCols, n)
     // NUL sentinel keeps a null key addressable in the offset map (and
     // cannot collide: it is not a value cast-to-string produces)
@@ -218,6 +257,11 @@ object Ranking {
   def globalLead(df: DataFrame, srcCol: String, orderCols: Seq[Column],
                  as: String, numPartitions: Int = 0): DataFrame = {
     val n = resolveN(df, numPartitions)
+    if (n == 1)
+      // one group: the window's own lead IS total — no partition-edge
+      // patch, so no stats collect and no checkpoint
+      return df.withColumn(as,
+        lead(col(srcCol), 1).over(singleWindow(orderCols)))
     val srcType = df.schema(srcCol).dataType
     val tagged = ranged(df, orderCols, n)
     // first srcCol value of each partition, in sort order: min of the

@@ -490,22 +490,31 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required: StructType = schema()
       private var pushed: Array[Filter] = Array.empty
-      // the pushed metadata-aggregate answer: (schema, one row of values)
+      // the pushed metadata-aggregate answer: (schema, one row of
+      // values), cached per Aggregation instance so
+      // supportCompletePushDown / pushAggregation / build all see ONE
+      // answer — recomputing per callback could mix snapshots under a
+      // concurrent commit
       private var aggAnswer: Option[(StructType, Seq[Any])] = None
+      private var aggAnsweredFor
+          : org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation = _
 
       /** METADATA-ONLY aggregate pushdown: a bare `COUNT(*)` /
-        * `MIN(int|long col)` / `MAX(int|long col)` (no group-by, no
-        * filters, no outstanding MOR deletes, current snapshot) is
-        * answered from manifest accounting / recorded file bounds — on
-        * a 100 TB table a KB metadata read instead of a full scan.
-        * Everything else refuses, conservatively: COUNT(col) needs null
-        * counts, string bounds are truncated prefixes, floats have
-        * NaN/-0.0 aggregate-order hazards, filtered counts need exact
-        * row semantics — all of which the ordinary scan path answers
-        * correctly (see IcebergLite.exactMinMaxFromMetadata). This
-        * builder never claims filters (pushFilters returns all as
-        * residuals), so Spark only offers the aggregate when NO filter
-        * sits between it and the scan.
+        * `MIN(col)` / `MAX(col)` over int/long/date/timestamp (no
+        * group-by, no filters, no outstanding MOR deletes, current
+        * snapshot) is answered from manifest accounting / recorded
+        * file bounds — on a 100 TB table a KB metadata read instead of
+        * a full scan. The WHOLE aggregation resolves from ONE metadata
+        * snapshot (IcebergLite.exactAggsFromMetadata), so a concurrent
+        * commit can never tear `count(*), max(id)` across two states.
+        * Everything else refuses, conservatively: COUNT(col) needs
+        * null counts, string bounds are truncated prefixes, floats
+        * have NaN/-0.0 aggregate-order hazards, filtered counts need
+        * exact row semantics — all of which the ordinary scan path
+        * answers correctly. This builder never claims filters
+        * (pushFilters returns all as residuals), so Spark only offers
+        * the aggregate when NO filter sits between it and the scan.
         */
       private def metadataAggAnswer(
           agg: org.apache.spark.sql.connector.expressions.aggregate
@@ -523,16 +532,11 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
           case _ => None
         }
         val fields = Seq.newBuilder[StructField]
-        val values = Seq.newBuilder[Any]
+        val reqs = Seq.newBuilder[IcebergLite.MetaAgg]
         agg.aggregateExpressions().zipWithIndex.foreach {
           case (_: CountStar, i) =>
-            // outstanding MOR deletes make the manifest sum an
-            // overcount — exactRowCountFromMetadata refuses, the scan
-            // path subtracts exactly
-            val n = IcebergLite.exactRowCountFromMetadata(spark, tableDir)
-              .getOrElse(return None)
             fields += StructField(s"agg_$i", LongType, nullable = false)
-            values += n
+            reqs += IcebergLite.MetaCount
           case (mm @ (_: Min | _: Max), i) =>
             val (c, wantMax) = mm match {
               case m: Min => (colOf(m.column()), false)
@@ -541,28 +545,31 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
             val name = c.getOrElse(return None)
             val dt = schema().fields.find(_.name == name)
               .map(_.dataType).getOrElse(return None)
-            val v = IcebergLite.exactMinMaxFromMetadata(spark, tableDir,
-              name, wantMax).getOrElse(return None)
             fields += StructField(s"agg_$i", dt, nullable = true)
-            values += v.orNull
+            reqs += IcebergLite.MetaMinMax(name, wantMax)
           case _ => return None
         }
-        Some((StructType(fields.result()), values.result()))
+        IcebergLite.exactAggsFromMetadata(spark, tableDir, reqs.result())
+          .map(values => (StructType(fields.result()), values))
+      }
+
+      private def answerAgg(
+          agg: org.apache.spark.sql.connector.expressions.aggregate
+            .Aggregation): Boolean = {
+        if (!(agg eq aggAnsweredFor)) {
+          aggAnswer = metadataAggAnswer(agg)
+          aggAnsweredFor = agg
+        }
+        aggAnswer.isDefined
       }
 
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate
-            .Aggregation): Boolean = {
-        aggAnswer = metadataAggAnswer(agg)
-        aggAnswer.isDefined
-      }
+            .Aggregation): Boolean = answerAgg(agg)
 
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate
-            .Aggregation): Boolean = {
-        aggAnswer = metadataAggAnswer(agg)
-        aggAnswer.isDefined
-      }
+            .Aggregation): Boolean = answerAgg(agg)
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // keep every filter as a SKIPPING HINT; return all of them as
@@ -591,15 +598,18 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
         }
         val preds = pushed.toSeq.flatMap(GraftTableCatalog.filterPreds)
         // NATIVE V2 batch path when the table state allows it (current
-        // snapshot, no MOR deletes, single schema/spec generation):
-        // reports KeyGroupedPartitioning for storage-partitioned joins
-        // and reads through ParquetFileFormat directly. Falls back to
-        // the exact V1 route otherwise; kill-switch:
-        // spark.graft.nativeScan.enabled=false.
+        // snapshot, single schema/spec generation; outstanding MOR
+        // deletes are applied INSIDE the scan — r19 verdict task 1 —
+        // so CDC/upsert tables keep statistics, DPP and the direct
+        // parquet read): reports KeyGroupedPartitioning for
+        // storage-partitioned joins and reads through ParquetFileFormat
+        // directly. Falls back to the exact V1 route otherwise;
+        // kill-switch: spark.graft.nativeScan.enabled=false.
         if (snapshotId.isEmpty &&
             spark.conf.get("spark.graft.nativeScan.enabled", "true")
               .toBoolean) {
-          IcebergLite.nativeScanInfo(spark, tableDir, preds) match {
+          IcebergLite.nativeScanInfo(spark, tableDir, preds,
+              allowDeletes = true) match {
             case Some(info) =>
               return new GraftNativeBatchScan(spark, name(), info,
                 required, pushed.toSeq)
@@ -608,31 +618,15 @@ class GraftIcebergTable(ident: Identifier, val tableDir: String,
         }
         val preds0 = preds
         val readSchema0 = required
-        new V1Scan
-            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        // NOTE deliberately no SupportsReportStatistics here: Spark
+        // wraps V1 scans in V1ScanWrapper, which does NOT forward the
+        // interface — an override would be dead code whose (eager)
+        // metadata read could only ever cost. Join statistics live on
+        // the native BatchScan, which now also covers MOR-deleted
+        // tables; this fallback serves time travel, multi-generation
+        // schemas, over-cap delete states and the kill-switch.
+        new V1Scan {
           override def readSchema(): StructType = readSchema0
-          /** Manifest-accounted size for the optimizer (same fix as the
-            * native scan's estimateStatistics — without it this route
-            * reports defaultSizeInBytes ≈ ∞ and a KB dimension never
-            * broadcasts). Current-snapshot reads only; time travel
-            * stays unknown (conservative — Spark falls back to the
-            * default). MOR position/equality deletes make the manifest
-            * row count an OVERcount, which only under-broadcasts. */
-          override def estimateStatistics()
-              : org.apache.spark.sql.connector.read.Statistics =
-            new org.apache.spark.sql.connector.read.Statistics {
-              private val rows: Option[Long] =
-                if (snapshotId.isEmpty)
-                  Some(IcebergLite.tableRowCount(spark, tableDir))
-                else None
-              override def sizeInBytes(): java.util.OptionalLong =
-                rows.map(r => java.util.OptionalLong.of(
-                    math.max(1L, r * math.max(1, readSchema0.defaultSize))))
-                  .getOrElse(java.util.OptionalLong.empty())
-              override def numRows(): java.util.OptionalLong =
-                rows.map(java.util.OptionalLong.of)
-                  .getOrElse(java.util.OptionalLong.empty())
-            }
           override def toV1TableScan[T <: BaseRelation with TableScan](
               context: SQLContext): T =
             new BaseRelation with TableScan {

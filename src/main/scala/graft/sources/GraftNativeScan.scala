@@ -49,21 +49,28 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
                            pushed: Seq[Filter])
     extends Scan with Batch with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.internal.Logging {
 
   /** Manifest-accounted statistics (r18 verdict: without them the
     * default sizeInBytes is effectively infinite, so a KB-scale
     * dimension read through the catalog NEVER auto-broadcasts and every
     * catalog-route fact⋈dim join shuffles both sides). Rows come from
     * the planned files' record counts (bounds/Bloom/partition pruning
-    * already applied); size mirrors the registered-view route
-    * (plans/IcebergScan.computeStats): rows × the PRUNED read schema's
-    * default row width, so column pruning shrinks the estimate the way
-    * the broadcast decision needs. No data is read.
+    * already applied), minus the manifest-accounted POSITION-delete
+    * rows (equality deletes stay uncounted: their row impact is
+    * unknowable without reading — the residual overcount only
+    * under-broadcasts, the safe direction); size mirrors the
+    * registered-view route (plans/IcebergScan.computeStats): rows ×
+    * the PRUNED read schema's default row width, so column pruning
+    * shrinks the estimate the way the broadcast decision needs. No
+    * data is read.
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rows = activeFiles.map(_.rowCount).sum
+    val deleted = info.deletes.map(_.posDeleteRows).getOrElse(0L)
+    val rows =
+      math.max(0L, activeFiles.map(_.rowCount).sum - deleted)
     val width = math.max(1, required.defaultSize)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -82,8 +89,17 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
   private val identityNames = identityFields.map(_.name).toSet
   private val fileSchema =
     StructType(declared.filterNot(f => identityNames(f.name)))
-  private val requiredData =
-    StructType(required.filterNot(f => identityNames(f.name)))
+  // equality-delete KEY columns the reader must see to apply the
+  // deletes, even when the caller's projection pruned them — read as
+  // extra trailing data columns and projected away with everything
+  // else (identity-column keys are always present via identityFields)
+  private val eqExtraFields: Seq[StructField] = info.deletes.toSeq
+    .flatMap(_.eqDeletes.flatMap(_._2)).distinct
+    .filterNot(identityNames)
+    .filterNot(required.fieldNames.contains)
+    .map(declared(_))
+  private val requiredData = StructType(
+    required.filterNot(f => identityNames(f.name)) ++ eqExtraFields)
   // reader output = requiredData ++ ALL identity fields (the FileFormat
   // contract appends the full partition schema); project back to the
   // caller's column order
@@ -229,16 +245,25 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
       new GenericInternalRow(vals.map(catalystValue).toArray),
       new GenericInternalRow(
         identityIdx.map(i => catalystValue(vals(i))).toArray),
-      fs.map(f => (f.path, f.sizeBytes)))
+      fs.map(f => (f.path, f.sizeBytes, f.snapshotId)))
 
   // recomputed per call: runtime group filtering may shrink the file
-  // set between planning passes (driver-side, KB-scale)
+  // set between planning passes (driver-side, KB-scale).
+  // SPJ mode emits one input partition per FILE (key-tagged via
+  // HasPartitionKey, deterministically ordered) and lets Spark's own
+  // groupPartitions assemble the KeyGroupedPartitioning groups — the
+  // r18/r19 shape (pre-grouping here, one partition per TUPLE) made a
+  // hot partition structurally ONE mega-task; per-file reporting keeps
+  // the grouped plan identical by default AND lets
+  // `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+  // .enabled` split the many-files side of a skewed storage-partitioned
+  // join at runtime (guide §2.5).
   private def parts: Array[GraftScanPartition] =
     if (spjMode)
-      activeFiles.groupBy(_.partValues).toSeq
-        .sortBy(_._1.map(v => if (v == null) " " else v.toString)
-          .mkString(" "))
-        .map { case (vals, fs) => partitionOf(vals, fs) }.toArray
+      activeFiles
+        .sortBy(f => (f.partValues.map(v =>
+          if (v == null) " " else v.toString).mkString(" "), f.path))
+        .map(f => partitionOf(f.partValues, Seq(f))).toArray
     else
       activeFiles.map(f => partitionOf(f.partValues, Seq(f))).toArray
 
@@ -250,8 +275,57 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
       new KeyGroupedPartitioning(
         info.specItems.map(GraftTableCatalog.toTransform)
           .toArray[org.apache.spark.sql.connector.expressions.Expression],
-        parts.length)
+        activeFiles.map(_.partValues).distinct.length)
     else new UnknownPartitioning(parts.length)
+
+  /** Driver-resolved MOR delete sets (read once per scan, bounded by
+    * nativeScanInfo's manifest-accounted maxRows gate): position
+    * deletes grouped per data file as sorted row indexes, equality
+    * deletes as catalyst-valued key sets. Paths normalize through
+    * [[GraftNativeReaderFactory.normPath]] so manifest renderings and
+    * the `input_file_name()` strings recorded at delete time compare
+    * scheme-insensitively. */
+  private lazy val morSets: Option[(Map[String, Array[Long]],
+      Seq[(Long, Seq[(Int, DataType)], Set[Seq[Any]])])] =
+    info.deletes.map { d =>
+      import org.apache.spark.sql.catalyst.CatalystTypeConverters
+      val posByFile: Map[String, Array[Long]] =
+        if (d.posDeleteFiles.isEmpty) Map.empty
+        else {
+          val posSchema = StructType(Seq(
+            StructField("file_path", StringType, nullable = false),
+            StructField("pos", LongType, nullable = false)))
+          spark.read.schema(posSchema).parquet(d.posDeleteFiles: _*)
+            .collect()
+            .groupBy(r => GraftNativeReaderFactory.normPath(r.getString(0)))
+            .map { case (f, rs) =>
+              f -> rs.map(_.getLong(1)).distinct.sorted
+            }
+        }
+      val eq = d.eqDeletes.filter(_._3.nonEmpty).map {
+        case (delSnap, cols, paths) =>
+          val keySchema = StructType(cols.map(declared(_)))
+          val convs = keySchema.fields.map(f =>
+            CatalystTypeConverters.createToCatalystConverter(f.dataType))
+          // rows with a NULL key component can never match (the V1
+          // route's left-join semantics) — drop them from the set
+          val keys: Set[Seq[Any]] =
+            spark.read.schema(keySchema).parquet(paths: _*)
+              .collect().iterator
+              .filter(r => cols.indices.forall(!r.isNullAt(_)))
+              .map(r => cols.indices.map(i =>
+                GraftNativeReaderFactory.normKey(convs(i)(r.get(i))))
+                : Seq[Any])
+              .toSet
+          val keyIdx = cols.map { c =>
+            val i = readerOut.indexWhere(_.name == c)
+            require(i >= 0, s"equality-delete key $c not in reader output")
+            (i, readerOut(i).dataType)
+          }
+          (delSnap, keyIdx, keys)
+      }
+      (posByFile, eq)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // row-group skipping: only filters fully on FILE columns (identity
@@ -269,39 +343,81 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
     // columnar (ColumnarToRow above the BatchScan) and the row path
     // stays as the factory-level fallback. Kill-switch mirrors the
     // scan's own: spark.graft.nativeScan.columnar.enabled=false.
+    // Outstanding MOR deletes force the row path for the WHOLE scan:
+    // delete application is a row-level filter, and Spark requires all
+    // input partitions of one scan to agree on row-vs-columnar
+    // (restored by compact/maintenance, which clears the deletes).
+    val columnarWanted = info.deletes.isEmpty &&
+      spark.conf.get("spark.graft.nativeScan.columnar.enabled", "true")
+        .toBoolean
     val batchFn =
-      if (spark.conf.get("spark.graft.nativeScan.columnar.enabled", "true")
-            .toBoolean &&
-          GraftParquetShim.supportsBatchRead(spark,
+      if (columnarWanted && GraftParquetShim.supportsBatchRead(spark,
             StructType(readerOut.toArray)))
         Some(GraftParquetShim.parquetBatchReader(spark, fileSchema,
           StructType(identityFields), requiredData, dataFilters))
-      else None
+      else {
+        // never fall back to rows SILENTLY: supportBatch declines
+        // nested/wide schemas without a trace, and a row-mode 100 TB
+        // scan that should have been columnar is worth a log line
+        if (columnarWanted) logInfo(
+          s"native scan of $tableName reads ROWS, not ColumnarBatches: " +
+            s"supportBatch declined the result schema " +
+            s"(${readerOut.map(f => s"${f.name}:${f.dataType.simpleString}")
+              .mkString(", ")})")
+        None
+      }
+    // MOR deletes: position deletes filter on the parquet ROW INDEX
+    // (requested as an extra trailing data column — exact under
+    // row-group skipping, so pushed filters stay on); equality deletes
+    // filter on the key columns with the entry-snapshot sequence check
+    val mor = morSets.map { case (posByFile, eq) =>
+      val posFn = GraftParquetShim.parquetReader(spark, fileSchema,
+        StructType(identityFields),
+        GraftParquetShim.withRowIndexColumn(requiredData), dataFilters)
+      GraftMorState(posFn, requiredData.size, posByFile, eq)
+    }
     GraftNativeReaderFactory(readerFn,
-      readerOut.map(f => (f.dataType, f.nullable)), outIndices, batchFn)
+      readerOut.map(f => (f.dataType, f.nullable)), outIndices, batchFn,
+      mor)
   }
 }
 
 /** One partition tuple's files. `key` spans the FULL spec (the SPJ
   * identity); `identityRow` is the identity-column subset the parquet
-  * reader re-attaches. */
+  * reader re-attaches; each file rides as (path, byte size, entry
+  * snapshot id — the equality-delete sequence anchor). */
 case class GraftScanPartition(key: InternalRow, identityRow: InternalRow,
-                              files: Seq[(String, Long)])
+                              files: Seq[(String, Long, Long)])
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
+/** Driver-resolved MOR delete state shipped with the reader factory
+  * (KB-to-MB scale, gated by nativeScanInfo's manifest-accounted row
+  * cap): position deletes per normalized data-file path as sorted row
+  * indexes, equality deletes as (delete snapshot, key column bindings
+  * in the NORMAL reader layout, catalyst-valued key set). `posReaderFn`
+  * is the reader twin whose output splices the parquet ROW INDEX in at
+  * `posIdx` (after the data columns, before the identity columns). */
+case class GraftMorState(
+    posReaderFn: PartitionedFile => Iterator[InternalRow],
+    posIdx: Int,
+    posByFile: Map[String, Array[Long]],
+    eq: Seq[(Long, Seq[(Int, DataType)], Set[Seq[Any]])])
+
 /** Executor-side reader: drives the serialized `ParquetFileFormat`
   * reader closure over the partition's files, unwraps the vectorized
-  * reader's ColumnarBatch smuggling, and projects to the scan's
-  * declared column order. */
+  * reader's ColumnarBatch smuggling, applies any MOR deletes, and
+  * projects to the scan's declared column order. */
 case class GraftNativeReaderFactory(
     readerFn: PartitionedFile => Iterator[InternalRow],
     readerOut: Seq[(DataType, Boolean)],
     outIndices: Seq[Int],
     /** batch-mode reader — present iff the scan's supportBatch gate
       * passed; its presence IS the columnar-read advertisement. */
-    batchFn: Option[PartitionedFile => Iterator[InternalRow]] = None)
+    batchFn: Option[PartitionedFile => Iterator[InternalRow]] = None,
+    /** outstanding MOR deletes the reader applies row-level. */
+    mor: Option[GraftMorState] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean =
@@ -317,7 +433,7 @@ case class GraftNativeReaderFactory(
       throw new IllegalStateException("columnar read not advertised"))
     new PartitionReader[ColumnarBatch] {
       private val it: Iterator[ColumnarBatch] =
-        gp.files.iterator.flatMap { case (path, len) =>
+        gp.files.iterator.flatMap { case (path, len, _) =>
           fn(GraftParquetShim.partitionedFile(gp.identityRow, path, len))
             .asInstanceOf[Iterator[Object]].map(_.asInstanceOf[ColumnarBatch])
         }
@@ -340,19 +456,82 @@ case class GraftNativeReaderFactory(
       private val proj = UnsafeProjection.create(
         outIndices.map(i => BoundReference(i, readerOut(i)._1,
           readerOut(i)._2)).toIndexedSeq)
+      // POS layout = normal layout with the row-index column spliced in
+      // at posIdx: shift every binding at or past it one to the right
+      private lazy val posProj = {
+        val pi = mor.get.posIdx
+        UnsafeProjection.create(outIndices.map { i0 =>
+          val i = if (i0 >= pi) i0 + 1 else i0
+          BoundReference(i, readerOut(i0)._1, readerOut(i0)._2)
+        }.toIndexedSeq)
+      }
       private val it: Iterator[InternalRow] =
-        gp.files.iterator.flatMap { case (path, len) =>
-          readerFn(GraftParquetShim.partitionedFile(gp.identityRow, path,
-            len)).asInstanceOf[Iterator[Object]].flatMap {
-            case b: ColumnarBatch => b.rowIterator().asScala
-            case r: InternalRow => Iterator.single(r)
+        gp.files.iterator.flatMap { case (path, len, fsnap) =>
+          val dead = mor.flatMap(
+            _.posByFile.get(GraftNativeReaderFactory.normPath(path)))
+          // an equality delete drops matching rows only from files
+          // whose entry snapshot PREDATES it — a later re-append of the
+          // same key survives (the upsert contract, as on the V1 route)
+          val eqs = mor.map(_.eq.filter(_._1 > fsnap)).getOrElse(Nil)
+          val usePos = dead.isDefined
+          val fn = if (usePos) mor.get.posReaderFn else readerFn
+          var rows: Iterator[InternalRow] =
+            fn(GraftParquetShim.partitionedFile(gp.identityRow, path,
+              len)).asInstanceOf[Iterator[Object]].flatMap {
+              case b: ColumnarBatch => b.rowIterator().asScala
+              case r: InternalRow => Iterator.single(r)
+            }
+          dead.foreach { d =>
+            val pi = mor.get.posIdx
+            rows = rows.filter(r =>
+              java.util.Arrays.binarySearch(d, r.getLong(pi)) < 0)
           }
+          if (eqs.nonEmpty) {
+            val pi = if (usePos) mor.get.posIdx else Int.MaxValue
+            rows = rows.filter { r =>
+              eqs.forall { case (_, keyIdx, keys) =>
+                var hasNull = false
+                val key: Seq[Any] = keyIdx.map { case (i0, dt) =>
+                  val i = if (i0 >= pi) i0 + 1 else i0
+                  if (r.isNullAt(i)) { hasNull = true; null }
+                  else GraftNativeReaderFactory.normKey(r.get(i, dt))
+                }
+                // NULL key components never match (left-join semantics)
+                hasNull || !keys.contains(key)
+              }
+            }
+          }
+          val pr = if (usePos) posProj else proj
+          rows.map(pr)
         }
       private var cur: InternalRow = _
       override def next(): Boolean =
-        if (it.hasNext) { cur = proj(it.next()); true } else false
+        if (it.hasNext) { cur = it.next(); true } else false
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
+  }
+}
+
+object GraftNativeReaderFactory {
+  /** Scheme-insensitive path identity: manifest `file_path` strings and
+    * the `input_file_name()` renderings recorded inside position-delete
+    * files can disagree on scheme/authority ("file:/x" vs "file:///x")
+    * while naming the same file. */
+  def normPath(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    val path = u.getPath
+    if (path == null || path.isEmpty) p else path
+  }
+
+  /** Join-semantics float normalization (what the V1 route's real join
+    * gets from NormalizeFloatingNumbers): -0.0 keys as 0.0; boxed NaN
+    * already compares equal across bit patterns. */
+  def normKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d =>
+      java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case other => other
   }
 }

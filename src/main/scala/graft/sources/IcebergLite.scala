@@ -255,6 +255,23 @@ object IcebergLite {
         case (DoubleType, n: java.lang.Number) =>
           Some(le(java.lang.Double.doubleToLongBits(n.doubleValue()), 8))
         case (StringType, s: String) => Some(s.getBytes("UTF-8"))
+        // temporal bounds serialize as their integral physical values
+        // (spec Appendix D: date = days int, timestamp = micros long),
+        // exactly the Catalyst-internal readings predicates arrive in
+        case (DateType, d: java.sql.Date) =>
+          Some(le(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaDate(d).toLong, 4))
+        case (DateType, d: java.time.LocalDate) =>
+          Some(le(d.toEpochDay, 4))
+        case (DateType, n: java.lang.Number) => Some(le(n.longValue(), 4))
+        case (TimestampType, t: java.sql.Timestamp) =>
+          Some(le(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t), 8))
+        case (TimestampType, i: java.time.Instant) =>
+          Some(le(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .instantToMicros(i), 8))
+        case (TimestampType, n: java.lang.Number) =>
+          Some(le(n.longValue(), 8))
         case _ => None
       }
     }
@@ -270,11 +287,13 @@ object IcebergLite {
       v
     }
     dt match {
-      case IntegerType | LongType =>
+      case IntegerType | LongType | DateType | TimestampType =>
         var v = le(b.length)
         val shift = 64 - 8 * b.length
         if (shift > 0) v = (v << shift) >> shift
-        Some(if (dt == IntegerType) v.toInt else v)
+        // temporal values decode to their Catalyst-internal integrals
+        // (date = days INT, timestamp = micros LONG)
+        Some(if (dt == IntegerType || dt == DateType) v.toInt else v)
       case FloatType | DoubleType =>
         val d =
           if (b.length == 4) java.lang.Float.intBitsToFloat(le(4).toInt).toDouble
@@ -285,9 +304,26 @@ object IcebergLite {
     }
   }
 
+  /** Integral reading of a bound-comparable value: numbers pass
+    * through; temporal EXTERNALS (predicates arrive in both forms —
+    * Catalyst-internal integrals from the catalyst routes, java.sql /
+    * java.time values through the public Pred API) normalize to their
+    * Catalyst-internal integrals (days / micros). */
+  private def integralBound(v: Any): Long = v match {
+    case n: java.lang.Number => n.longValue()
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case other => sys.error(s"no integral bound reading for $other")
+  }
+
   private def cmpBound(dt: DataType, a: Any, b: Any): Int = dt match {
-    case IntegerType | LongType => java.lang.Long.compare(
-      a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+    case IntegerType | LongType | DateType | TimestampType =>
+      java.lang.Long.compare(integralBound(a), integralBound(b))
     case FloatType | DoubleType => java.lang.Double.compare(
       a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue())
     case StringType =>
@@ -785,7 +821,8 @@ object IcebergLite {
     val bounded = boundsSchema.fields.toSeq
       .filter(fd => fieldIds.contains(fd.name))
       .filter(fd => fd.dataType match {
-        case IntegerType | LongType | FloatType | DoubleType | StringType => true
+        case IntegerType | LongType | FloatType | DoubleType |
+             StringType | DateType | TimestampType => true
         case _ => false
       })
 
@@ -2364,34 +2401,70 @@ object IcebergLite {
   // ---- native V2 scan/write planning (r18) --------------------------------
 
   /** Per-file planning info for the NATIVE V2 batch scan: absolute
-    * path, byte size, and the manifest partition values as JVM values
-    * (Integer/Long/String/null) aligned to the spec field order. */
+    * path, byte size, the manifest partition values as JVM values
+    * (Integer/Long/String/null) aligned to the spec field order, and
+    * the ENTRY snapshot id (what equality-delete sequence checks
+    * compare against — stable across rewrites that carry entries as
+    * EXISTING, same as [[dataFileSnapshots]]). */
   case class NativeFileInfo(path: String, sizeBytes: Long,
-                            partValues: Seq[Any], rowCount: Long)
+                            partValues: Seq[Any], rowCount: Long,
+                            snapshotId: Long)
+
+  /** Outstanding merge-on-read deletes of the CURRENT snapshot, in
+    * planning shape for the native scan (r19 verdict task 1): the scan
+    * applies position deletes as a per-file row-index anti-filter and
+    * equality deletes as driver-resolved key sets with entry-snapshot
+    * sequence checks — the exact [[applyDeletes]] semantics, so
+    * CDC/upsert tables keep statistics, DPP and the direct parquet
+    * read instead of dropping to the stat-less V1 fallback. */
+  case class NativeDeletes(
+      posDeleteFiles: Seq[String],
+      /** (delete snapshot, key column names, delete parquet paths),
+        * oldest first — [[liveEqualityDeletes]] order. */
+      eqDeletes: Seq[(Long, Seq[String], Seq[String])],
+      /** manifest-accounted position-delete row total (statistics). */
+      posDeleteRows: Long)
 
   /** The NATIVE V2 scan plan of a table: declared schema, the spec
-    * (items + value types), the persisted sort order, and the
-    * bounds/partition/Bloom-pruned live file set. */
+    * (items + value types), the persisted sort order, the
+    * bounds/partition/Bloom-pruned live file set, and any outstanding
+    * MOR deletes the scan must apply. */
   case class NativeScanInfo(schema: StructType, specItems: Seq[String],
                             spec: Seq[(IcebergTransforms.PartField, DataType)],
                             sortCols: Seq[String],
-                            files: Seq[NativeFileInfo])
+                            files: Seq[NativeFileInfo],
+                            deletes: Option[NativeDeletes] = None)
 
   /** Plan a NATIVE V2 batch scan of the CURRENT snapshot, or `None`
     * when only the DataFrame route can represent the table state —
-    * outstanding merge-on-read deletes (the scan would resurrect
-    * deleted rows) or multiple schema/spec generations (files need
-    * field-id remapping / per-generation partition shapes; [[compact]]
-    * collapses both). File skipping is the SAME [[pruneFiles]] pass the
-    * V1 route uses (manifest bounds, partition transforms, Bloom
-    * sidecars). */
+    * multiple schema/spec generations (files need field-id remapping /
+    * per-generation partition shapes; [[compact]] collapses both), or
+    * outstanding merge-on-read deletes unless the caller opts in with
+    * `allowDeletes` (READ paths apply them inside the scan; the
+    * row-level DML path keeps refusing, so group replacement semantics
+    * are unchanged). Delete states larger than
+    * `spark.graft.nativeScan.morDeletes.maxRows` (default 4M rows,
+    * manifest-accounted before any file is read) also fall back: the
+    * native scan resolves deletes into driver-held sets, and past that
+    * size the V1 route's distributed anti-join is the right tool. File
+    * skipping is the SAME [[pruneFiles]] pass the V1 route uses
+    * (manifest bounds, partition transforms, Bloom sidecars). */
   def nativeScanInfo(spark: SparkSession, tableDir: String,
-                     preds: Seq[Pred] = Nil): Option[NativeScanInfo] = {
+                     preds: Seq[Pred] = Nil,
+                     allowDeletes: Boolean = false): Option[NativeScanInfo] = {
     val hint = new Path(tableDir, "metadata/version-hint.text")
     if (!fs(spark, hint).exists(hint)) return None
     val meta = readMeta(spark, tableDir)
-    if (meta.manifests.exists(_.content != 0)) return None
-    val perManifest = meta.manifests.map { m =>
+    val hasDeletes = meta.manifests.exists(_.content != 0)
+    if (hasDeletes) {
+      if (!allowDeletes) return None
+      val delRows =
+        meta.manifests.filter(_.content != 0).map(_.totalRows).sum
+      val cap = spark.conf
+        .get("spark.graft.nativeScan.morDeletes.maxRows", "4000000").toLong
+      if (delRows > cap) return None
+    }
+    val perManifest = meta.manifests.filter(_.content == 0).map { m =>
       val (recs, schemaJs) = readManifest(spark, new Path(m.path))
       (m, recs, schemaJs)
     }
@@ -2424,12 +2497,18 @@ object IcebergLite {
           }
           Some(NativeFileInfo(path,
             d.get("file_size_in_bytes").asInstanceOf[Long], values,
-            d.get("record_count").asInstanceOf[Long]))
+            d.get("record_count").asInstanceOf[Long],
+            e.get("snapshot_id").asInstanceOf[Long]))
         }
       }
     }
+    val deletes =
+      if (!hasDeletes) None
+      else Some(NativeDeletes(liveDeleteFiles(spark, meta),
+        liveEqualityDeletes(spark, meta),
+        meta.manifests.filter(_.content == 1).map(_.totalRows).sum))
     Some(NativeScanInfo(schema, meta.partitionSpec.map(renderSpec), spec,
-      meta.sortOrderCols, files))
+      meta.sortOrderCols, files, deletes))
   }
 
   /** The snapshot id the NEXT commit will take — the native V2 write
@@ -2568,35 +2647,65 @@ object IcebergLite {
     small.size.toLong
   }
 
-  /** Orphan-file GC: delete files under `data/` that NO snapshot's
-    * manifests reference — a failed writer's leftovers (manifest-driven
-    * reads never see them, but they cost storage forever). Walks every
-    * snapshot in the log, data AND delete manifests, so time travel
-    * stays intact. Returns the paths removed. */
+  /** Orphan-file GC: delete files that NO snapshot references — a
+    * failed or losing-concurrent writer's leftovers (manifest-driven
+    * reads never see them, but they cost storage forever). Two sweeps
+    * off ONE gathered reference set (the expireSnapshots discipline:
+    * gather everything before deleting anything), walking every
+    * snapshot in the log — data AND delete manifests — so time travel
+    * stays intact:
+    *
+    *  - `data/`: files no manifest of any snapshot references;
+    *  - `metadata/`: `snap-*` manifest lists no snapshot names and
+    *    `manifest-*` / `bloom-*` files no live manifest list reaches —
+    *    a losing concurrent REST stager's attempt-unique avro files
+    *    land here and were previously never reclaimed.
+    *
+    * Returns the paths removed. */
   def removeOrphanFiles(spark: SparkSession, tableDir: String): Seq[String] = {
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val f = fs(spark, root)
-    // every file referenced by ANY snapshot (the expireSnapshots refs
-    // discipline: gather all references before deleting anything)
-    val referenced = meta.snapshots.flatMap { case (_, listPath, _) =>
-      readAvro(spark, new Path(listPath))
-        .map(_.get("manifest_path").toString)
-        .flatMap(m => readAvro(spark, new Path(m))
-          .map(_.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString))
-    }.map(p2 => new Path(new java.net.URI(p2)).toUri.getPath).toSet
-    val dataDir = new Path(root, "data")
-    if (!f.exists(dataDir)) return Nil
-    val it = f.listFiles(dataDir, true)
+    def norm(p2: String): String = new Path(new java.net.URI(p2)).toUri.getPath
+    // every file referenced by ANY snapshot, by kind
+    val refLists = meta.snapshots.map(s2 => norm(s2._2)).toSet
+    val manifestPaths = meta.snapshots.flatMap { case (_, listPath, _) =>
+      readAvro(spark, new Path(listPath)).map(_.get("manifest_path").toString)
+    }.distinct
+    val refManifests = manifestPaths.map(norm).toSet
+    val refBlooms = manifestPaths.flatMap(m =>
+      manifestMetaString(spark, new Path(m), "bloom-paths")
+        .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)).map(norm).toSet
+    val refData = manifestPaths.flatMap(m => readAvro(spark, new Path(m))
+      .map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("file_path").toString)).map(norm).toSet
     val orphans = mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val st = it.next()
-      val p2 = st.getPath
-      val isDataFile = st.isFile && !p2.getName.startsWith("_") &&
-        !p2.getName.startsWith(".")
-      if (isDataFile && !referenced.contains(p2.toUri.getPath))
-        orphans += p2.toString
+    val dataDir = new Path(root, "data")
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p2 = st.getPath
+        val isDataFile = st.isFile && !p2.getName.startsWith("_") &&
+          !p2.getName.startsWith(".")
+        if (isDataFile && !refData.contains(p2.toUri.getPath))
+          orphans += p2.toString
+      }
+    }
+    val metaDir = new Path(root, "metadata")
+    if (f.exists(metaDir)) {
+      f.listStatus(metaDir).foreach { st =>
+        val p2 = st.getPath
+        val n = p2.getName
+        val unreferenced =
+          if (n.startsWith("snap-")) !refLists.contains(p2.toUri.getPath)
+          else if (n.startsWith("manifest-"))
+            !refManifests.contains(p2.toUri.getPath)
+          else if (n.startsWith("bloom-"))
+            !refBlooms.contains(p2.toUri.getPath)
+          else false // version files / hint: never swept here
+        if (st.isFile && unreferenced) orphans += p2.toString
+      }
     }
     orphans.foreach(o => f.delete(new Path(o), false))
     orphans.toSeq
@@ -3082,59 +3191,95 @@ object IcebergLite {
     readMeta(spark, tableDir).manifests.filter(_.content == 0)
       .map(_.totalRows).sum
 
-  /** Live row count when PROVABLE from metadata alone: the sum of the
-    * data manifests' totals, or None while any merge-on-read delete
-    * manifest is outstanding (the sum would overcount; the scan path
-    * subtracts exactly). The COUNT(*) pushdown substrate — a KB
-    * metadata read instead of a table scan. */
-  def exactRowCountFromMetadata(spark: SparkSession,
-                                tableDir: String): Option[Long] = {
-    val meta = readMeta(spark, tableDir)
-    if (meta.manifests.exists(_.content != 0)) None
-    else Some(meta.manifests.map(_.totalRows).sum)
-  }
+  /** One request of the metadata-aggregate pushdown: a bare row count,
+    * or the MIN/MAX of a named column. */
+  sealed trait MetaAgg
+  case object MetaCount extends MetaAgg
+  final case class MetaMinMax(col: String, wantMax: Boolean) extends MetaAgg
 
-  /** Exact MIN/MAX of an int/long column when PROVABLE from metadata
-    * alone (the aggregate-pushdown substrate): refuses (None) unless
-    * the table has no outstanding deletes and EVERY live data file
-    * carries both recorded bounds for the field — a file with no bound
-    * entry cannot be distinguished from one written before bounds, so
-    * its rows could silently fall outside the answer. Strings refuse
-    * structurally (stored bounds are 17-code-point truncations — a
-    * prefix of the min, not the min) and floats refuse (NaN / -0.0
-    * aggregate-order hazards); the scan path answers those exactly.
-    * `Some(None)` = provably empty table (SQL NULL aggregate).
-    */
-  def exactMinMaxFromMetadata(spark: SparkSession, tableDir: String,
-                              colName: String, wantMax: Boolean)
-      : Option[Option[Any]] = {
+  /** Answer a WHOLE pushed aggregation from ONE metadata snapshot —
+    * `readMeta` once, each manifest read once, every expression
+    * answered from the same state. (Answering each expression with an
+    * independent metadata read could return a row mixing two snapshots
+    * under a concurrent commit — a torn read the scan path, which pins
+    * one snapshot at planning, can never produce.) Refuses (None)
+    * wholesale when ANY expression is unanswerable:
+    *
+    *  - any outstanding MOR delete manifest (counts would overcount,
+    *    bounds could name deleted rows);
+    *  - MIN/MAX on a column that is not int/long/date/timestamp —
+    *    strings refuse structurally (stored bounds are 17-code-point
+    *    truncations: a prefix of the min, not the min), floats refuse
+    *    (NaN / -0.0 aggregate-order hazards); temporal types are exact
+    *    because their bounds serialize as the same integral physical
+    *    values their ordering is defined on;
+    *  - any live non-empty data file missing a recorded bound for a
+    *    requested column (indistinguishable from a pre-bounds file, so
+    *    its rows could fall outside the answer).
+    *
+    * Returned values align with `reqs`: counts as Long, MIN/MAX as the
+    * Catalyst-internal value (date = days int, timestamp = micros
+    * long), null for a provably-empty table (SQL NULL aggregate). */
+  def exactAggsFromMetadata(spark: SparkSession, tableDir: String,
+                            reqs: Seq[MetaAgg]): Option[Seq[Any]] = {
+    if (reqs.isEmpty) return None
     val meta = readMeta(spark, tableDir)
     if (meta.manifests.exists(_.content != 0)) return None
-    val (fieldId, _, dt, _) = topFields(meta.schemaNode)
-      .find(_._2 == colName).getOrElse(return None)
-    if (dt != IntegerType && dt != LongType) return None
-    val side = if (wantMax) "upper_bounds" else "lower_bounds"
-    var best: Option[Any] = None
-    meta.manifests.foreach { m =>
+    val fields = topFields(meta.schemaNode)
+    // resolve every MIN/MAX up front (cheap refusals before any
+    // manifest I/O)
+    val minMax = reqs.collect { case MetaMinMax(col, wantMax) =>
+      val (fieldId, _, dt, _) = fields.find(_._2 == col)
+        .getOrElse(return None)
+      if (dt != IntegerType && dt != LongType &&
+          dt != DateType && dt != TimestampType) return None
+      (col, wantMax, fieldId, dt)
+    }
+    val best = mutable.HashMap.empty[(String, Boolean), Any]
+    if (minMax.nonEmpty) meta.manifests.foreach { m =>
       val (recs, _) = readManifest(spark, new Path(m.path))
       recs.filter(_.get("status").asInstanceOf[Int] != 2).foreach { e =>
         val d = e.get("data_file").asInstanceOf[GenericRecord]
         // zero-row files (possible via overwrite edge cases) carry no
         // bounds and contribute no rows — skip, not refuse
         if (d.get("record_count").asInstanceOf[Long] > 0L) {
-          entryBounds(d, side).get(fieldId)
-            .flatMap(boundValue(dt, _)) match {
-            case None => return None // unprovable: a file without bounds
-            case Some(v) =>
-              if (best.forall(b =>
-                    if (wantMax) cmpBound(dt, v, b) > 0
-                    else cmpBound(dt, v, b) < 0)) best = Some(v)
+          val lower = entryBounds(d, "lower_bounds")
+          val upper = entryBounds(d, "upper_bounds")
+          minMax.foreach { case (col, wantMax, fieldId, dt) =>
+            (if (wantMax) upper else lower).get(fieldId)
+              .flatMap(boundValue(dt, _)) match {
+              case None => return None // unprovable: file without bounds
+              case Some(v) =>
+                val k = (col, wantMax)
+                if (best.get(k).forall(b =>
+                      if (wantMax) cmpBound(dt, v, b) > 0
+                      else cmpBound(dt, v, b) < 0)) best(k) = v
+            }
           }
         }
       }
     }
-    Some(best)
+    Some(reqs.map {
+      case MetaCount => meta.manifests.map(_.totalRows).sum
+      case MetaMinMax(col, wantMax) => best.get((col, wantMax)).orNull
+    })
   }
+
+  /** Live row count when PROVABLE from metadata alone — see
+    * [[exactAggsFromMetadata]]. */
+  def exactRowCountFromMetadata(spark: SparkSession,
+                                tableDir: String): Option[Long] =
+    exactAggsFromMetadata(spark, tableDir, Seq(MetaCount))
+      .map(_.head.asInstanceOf[Long])
+
+  /** Exact MIN/MAX of one column when PROVABLE from metadata alone —
+    * see [[exactAggsFromMetadata]]. `Some(None)` = provably empty
+    * table (SQL NULL aggregate). */
+  def exactMinMaxFromMetadata(spark: SparkSession, tableDir: String,
+                              colName: String, wantMax: Boolean)
+      : Option[Option[Any]] =
+    exactAggsFromMetadata(spark, tableDir,
+      Seq(MetaMinMax(colName, wantMax))).map(vs => Option(vs.head))
 
   // ---- schema evolution (v1-legal, metadata-only commits) ----------------
   //

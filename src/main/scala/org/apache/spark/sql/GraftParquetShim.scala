@@ -28,6 +28,11 @@ object GraftParquetShim {
   def sessionHadoopConf(spark: SparkSession): Configuration =
     classic0(spark).sessionState.newHadoopConf()
 
+  /** The session's stable unique id (`private[sql]` on the session) —
+    * a cache key that, unlike `System.identityHashCode`, cannot alias a
+    * GC'd session. */
+  def sessionUUID(spark: SparkSession): String = classic0(spark).sessionUUID
+
   /** A serializable, executor-usable `PartitionedFile => rows` reader —
     * `ParquetFileFormat.buildReaderWithPartitionValues`, the exact
     * reader `FileSourceScanExec` drives. The returned closure carries a
@@ -46,6 +51,22 @@ object GraftParquetShim {
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       sessionHadoopConf(spark))
+
+  /** The parquet ROW-INDEX request column: appending this field to the
+    * `requiredSchema` handed to [[parquetReader]] makes both parquet
+    * readers (vectorized and parquet-mr) fill it with each row's
+    * physical position IN ITS FILE — exact even when pushed filters
+    * skip whole row groups, which is what makes it the right join key
+    * for Iceberg-style position deletes (`_metadata.row_index` rides
+    * the same machinery). */
+  def withRowIndexColumn(schema: StructType): StructType =
+    // the generators key on the NAME alone (ParquetRowIndexUtil); the
+    // field must be NULLABLE so the missing-column check lets the
+    // readers null-fill it before the generator overwrites with the
+    // real per-file row indexes
+    StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType, nullable = true))
 
   /** Whether the vectorized reader can hand whole `ColumnarBatch`es for
     * this result schema (data + partition columns) under the session's

@@ -103,6 +103,117 @@ class GraftNativeSpec extends SparkSuite {
     }
   }
 
+  test("SPJ skew: partially-clustered distribution splits a multi-file partition") {
+    // r18/r19 carried item: the scan used to PRE-group files one
+    // InputPartition per tuple, so a hot partition was structurally one
+    // mega-task. Per-file reporting keeps the default grouped plan
+    // identical and lets Spark's partially-clustered machinery split
+    // the many-files side of a skewed storage-partitioned join.
+    spark.sql("""CREATE TABLE ncat.spj_skew_a (id BIGINT, v BIGINT)
+                 USING iceberg PARTITIONED BY (bucket(4, id))""")
+    spark.sql("""CREATE TABLE ncat.spj_skew_b (id BIGINT, w BIGINT)
+                 USING iceberg PARTITIONED BY (bucket(4, id))""")
+    // side A: 6 appends → 6 files per bucket tuple (every tuple "hot")
+    (0 until 6).foreach { i =>
+      (1 to 500).map(j => (j.toLong, (i * 1000 + j).toLong)).toDF("id", "v")
+        .writeTo("ncat.spj_skew_a").append()
+    }
+    (1 to 500).map(j => (j.toLong, j * 5L)).toDF("id", "w")
+      .writeTo("ncat.spj_skew_b").append()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val pcd =
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+    val savedPcd = spark.conf.getOption(pcd)
+    def run(split: Boolean): (Long, Long, Int) = {
+      spark.conf.set(pcd, split.toString)
+      val tasks = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          tasks.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val j = spark.table("ncat.spj_skew_a")
+          .join(spark.table("ncat.spj_skew_b"), "id")
+          .agg(sum(col("v") + col("w")).as("s"), count(lit(1)).as("c"))
+        val row = j.head()
+        // the join subtree stays Exchange-free in BOTH modes
+        val smj = j.queryExecution.executedPlan.collect {
+          case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x
+        }
+        assert(smj.nonEmpty)
+        assert(smj.head.collect {
+          case e: ShuffleExchangeExec => e }.isEmpty,
+          s"split=$split shuffled:\n${j.queryExecution.executedPlan}")
+        Thread.sleep(500)
+        (row.getLong(0), row.getLong(1), tasks.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    try {
+      val (s1, c1, tGrouped) = run(split = false)
+      val (s2, c2, tSplit) = run(split = true)
+      assert((s1, c1) === ((s2, c2)))
+      assert(c1 === 3000L) // 6 copies of each id match once
+      // partially-clustered: the 6-file tuples no longer collapse into
+      // one task per tuple — the scan-join stage runs MORE tasks
+      assert(tSplit > tGrouped,
+        s"partially-clustered did not split (grouped=$tGrouped, split=$tSplit)")
+    } finally {
+      (saved :+ (pcd -> savedPcd)).foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("columnar handoff matrix: temporal/decimal/partition-heavy schemas stay columnar") {
+    // supportBatch declines schemas silently — pin that the common
+    // non-trivial shapes keep ColumnarBatch handoff (and that the
+    // fallback, when it happens, is at least logged — see
+    // createReaderFactory)
+    spark.sql("""CREATE TABLE ncat.col_mat (id BIGINT, ts TIMESTAMP,
+                 d DATE, amt DECIMAL(12,2), lang STRING, n INT)
+                 USING iceberg PARTITIONED BY (lang, bucket(4, id))""")
+    (1 to 300).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(s"2031-01-01 00:0${i % 6}:00"),
+        java.sql.Date.valueOf("2031-03-15"),
+        new java.math.BigDecimal(s"${i}.25"), s"w${i % 3}", i))
+      .toDF("id", "ts", "d", "amt", "lang", "n")
+      .writeTo("ncat.col_mat").append()
+    def q = spark.table("ncat.col_mat")
+      .filter(col("id") <= 200)
+      .groupBy("lang")
+      .agg(sum(col("amt")).as("s"), max(col("ts")).as("m"),
+        min(col("d")).as("dd"), sum(col("n")).as("sn"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q.queryExecution.executedPlan
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty, s"no BatchScan in:\n$plan")
+      assert(scans.head.supportsColumnar,
+        s"temporal/decimal/partitioned schema fell back to rows:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val got = q.collect().map(r => (r.getString(0), r.getDecimal(1),
+      r.getTimestamp(2), r.getDate(3).toString, r.getLong(4))).sortBy(_._1)
+    spark.conf.set("spark.graft.nativeScan.enabled", "false")
+    val want =
+      try q.collect().map(r => (r.getString(0), r.getDecimal(1),
+        r.getTimestamp(2), r.getDate(3).toString, r.getLong(4))).sortBy(_._1)
+      finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    assert(got === want)
+    assert(got.length === 3)
+  }
+
   test("native row-level DML: DELETE / UPDATE / MERGE through the stock analyzer, NO extensions") {
     // the third-party-tool twin: a bare session with NO graft parser /
     // rules — DML must resolve through SupportsRowLevelOperations alone
@@ -374,6 +485,155 @@ class GraftNativeSpec extends SparkSuite {
         .head().getLong(0) === 7700L)
     }
     assert(n3 > 0L, "MOR-deleted count did not scan")
+  }
+
+  test("native scan applies MOR deletes: position + equality + sequence semantics ≡ V1") {
+    // r19 verdict task 1: MOR-deleted tables must stay on the native
+    // route (statistics, DPP, direct parquet) with the deletes applied
+    // INSIDE the scan — position deletes as a per-file row-index
+    // anti-filter, equality deletes as key sets with the entry-snapshot
+    // sequence check (a later re-append of a deleted key survives)
+    spark.sql("""CREATE TABLE ncat.nat_morscan (id BIGINT, lang STRING,
+                 body STRING, n BIGINT) USING iceberg
+                 PARTITIONED BY (lang)""")
+    val dir = s"$wh/nat_morscan"
+    docs(400).writeTo("ncat.nat_morscan").append()
+    // position deletes (content=1): a predicate MOR delete
+    IcebergLite.deleteWhereMOR(spark, dir, col("id") % 7 === 0)
+    // equality deletes (content=2) on id
+    IcebergLite.equalityDeleteMOR(spark, dir,
+      (1 to 100).map(_.toLong).toDF("id"))
+    // upsert: re-append some of the equality-deleted keys — the new
+    // rows postdate the delete and MUST survive
+    docs(40).withColumn("n", col("n") + 5000L)
+      .writeTo("ncat.nat_morscan").append()
+
+    def readAll(native: Boolean): Seq[(Long, String, Long)] = {
+      spark.conf.set("spark.graft.nativeScan.enabled", native.toString)
+      try spark.table("ncat.nat_morscan")
+        .select(col("id"), col("lang"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    }
+    val native = readAll(native = true)
+    val v1 = readAll(native = false)
+    assert(native === v1)
+    // independent expectation: survivors = (401..∞ none) — base docs
+    // minus id%7==0 minus id in 1..100, plus the 40 re-appended rows
+    val base = (1 to 400).filter(i => i % 7 != 0 && i > 100)
+      .map(i => (i.toLong, s"w${i % 7}", i * 3L))
+    val reup = (1 to 40).map(i => (i.toLong, s"w${i % 7}", i * 3L + 5000L))
+    assert(native === (base ++ reup).sorted)
+    // the native route actually engaged on the MOR table
+    val plan = spark.table("ncat.nat_morscan").queryExecution.executedPlan
+    assert(plan.toString.contains("GraftNativeScan"),
+      s"expected the native batch scan on the MOR table in:\n$plan")
+    // column pruning that EXCLUDES the equality key column still
+    // applies the deletes (the key rides as an extra reader column)
+    def langOnly(native: Boolean): Seq[String] = {
+      spark.conf.set("spark.graft.nativeScan.enabled", native.toString)
+      try spark.table("ncat.nat_morscan").select("lang", "n")
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}")
+        .toSeq.sorted
+      finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    }
+    assert(langOnly(native = true) === langOnly(native = false))
+    // filters pushed onto a position-deleted file stay exact (the row
+    // index is computed under row-group skipping, not row counting)
+    def filtered(native: Boolean): Seq[Long] = {
+      spark.conf.set("spark.graft.nativeScan.enabled", native.toString)
+      try spark.table("ncat.nat_morscan").filter(col("id") > 350)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+      finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    }
+    assert(filtered(native = true) === filtered(native = false))
+  }
+
+  test("MOR-deleted dimension keeps manifest statistics: the join still broadcasts") {
+    // the r19 gap: MOR tables fell to the V1ScanWrapper fallback, whose
+    // statistics Spark never consults — every fact⋈dim join on a
+    // CDC/upsert table planned a two-sided sort-merge join until compact
+    spark.sql("""CREATE TABLE ncat.stat_fact2 (id BIGINT, k BIGINT,
+                 v BIGINT) USING iceberg""")
+    spark.sql("""CREATE TABLE ncat.stat_dim2 (k BIGINT, name STRING)
+                 USING iceberg""")
+    spark.range(0, 50000)
+      .selectExpr("id", "id % 100 AS k", "id * 2 AS v")
+      .writeTo("ncat.stat_fact2").append()
+    spark.range(0, 100).selectExpr("id AS k", "concat('n', id) AS name")
+      .writeTo("ncat.stat_dim2").append()
+    // make the dim a genuine MOR table (outstanding position deletes)
+    IcebergLite.deleteWhereMOR(spark, s"$wh/stat_dim2", col("k") >= 90L)
+
+    val j = spark.table("ncat.stat_fact2")
+      .join(spark.table("ncat.stat_dim2"), "k")
+      .groupBy("name").agg(sum(col("v")).as("s"))
+    assert(j.count() === 90L)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"MOR dim did not auto-broadcast:\n$plan")
+    // and the values are the V1 route's
+    spark.conf.set("spark.graft.nativeScan.enabled", "false")
+    val want =
+      try spark.table("ncat.stat_fact2")
+        .join(spark.table("ncat.stat_dim2"), "k")
+        .groupBy("name").agg(sum(col("v")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    val got = j.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got === want)
+  }
+
+  test("MIN/MAX(date|timestamp) answer from metadata with zero file records read") {
+    // r19 carried item: temporal bounds serialize as the SAME integral
+    // physical values their ordering is defined on (date = days int,
+    // timestamp = micros long) — the exactness proof is int/long's
+    spark.sql("""CREATE TABLE ncat.mm_temporal (id BIGINT, d DATE,
+                 ts TIMESTAMP) USING iceberg""")
+    spark.range(0, 500)
+      .selectExpr("id", "date_add(DATE'2031-01-01', CAST(id AS INT)) AS d",
+        "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2031-01-01 00:00:00') AS ts")
+      .writeTo("ncat.mm_temporal").append()
+
+    def recordsRead(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+
+    val n = recordsRead {
+      val r = spark.sql(
+        "SELECT min(d), max(d), min(ts), max(ts), count(*) FROM ncat.mm_temporal")
+        .head()
+      assert(r.getDate(0).toString === "2031-01-01")
+      assert(r.getDate(1).toString === "2032-05-14")
+      assert(r.getTimestamp(2) ===
+        java.sql.Timestamp.valueOf("2031-01-01 00:00:00"))
+      assert(r.getTimestamp(3) ===
+        java.sql.Timestamp.valueOf("2031-01-21 19:00:00"))
+      assert(r.getLong(4) === 500L)
+    }
+    assert(n === 0L, s"temporal metadata min/max read $n file records")
+
+    // the recorded temporal bounds also serve ordinary value queries
+    // identically on both routes (sanity: bounds don't mis-prune)
+    def hot(native: Boolean): Long = {
+      spark.conf.set("spark.graft.nativeScan.enabled", native.toString)
+      try spark.table("ncat.mm_temporal")
+        .filter(col("d") >= java.sql.Date.valueOf("2032-05-10"))
+        .count()
+      finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    }
+    assert(hot(native = true) === hot(native = false))
+    assert(hot(native = true) === 5L)
   }
 
   test("native DML on a MOR-deleted table refuses with a real message") {

@@ -378,6 +378,26 @@ class IcebergLiteSpec extends SparkSuite {
     assert(IcebergLite.removeOrphanFiles(spark, dir).isEmpty)
   }
 
+  test("removeOrphanFiles also sweeps unreferenced metadata avro (losing stager's leftovers)") {
+    val dir = tmp()
+    IcebergLite.createTable(spark, batch1.toDF("id", "lang", "n"), dir)
+    IcebergLite.appendSnapshot(spark, batch2.toDF("id", "lang", "n"), dir)
+    // plant a losing concurrent stager's leftovers: attempt-unique
+    // manifest + manifest list that no snapshot references
+    val metaDir = java.nio.file.Paths.get(dir, "metadata")
+    val strayManifest = metaDir.resolve("manifest-99999-deadbeef.avro")
+    val strayList = metaDir.resolve("snap-99999-deadbeef.avro")
+    java.nio.file.Files.write(strayManifest, Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(strayList, Array[Byte](4, 5, 6))
+    val removed = IcebergLite.removeOrphanFiles(spark, dir)
+    assert(removed.exists(_.endsWith("manifest-99999-deadbeef.avro")))
+    assert(removed.exists(_.endsWith("snap-99999-deadbeef.avro")))
+    // live metadata untouched: current AND time-travel reads intact
+    assert(IcebergLite.readTable(spark, dir).count() == 5L)
+    assert(IcebergLite.readTable(spark, dir, Some(1L)).count() == 3L)
+    assert(IcebergLite.removeOrphanFiles(spark, dir).isEmpty)
+  }
+
   test("manifest column bounds prune files at scan planning") {
     val dir = tmp()
     // three snapshots with disjoint id ranges → bounds segment the space
