@@ -1,7 +1,10 @@
 package graft.dedup
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Deduplication operators for web-scale corpora. Design constraints at
   * 100 TB:
@@ -925,10 +928,27 @@ object Dedup {
     // materializes eagerly and replaces the plan with the stored blocks.
     // (On a real cluster prefer reliable checkpoints / an explicit
     // intermediate table for fault tolerance.)
+    val edgeObs = new org.apache.spark.sql.Observation()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .observe(edgeObs, count(lit(1)).as("n"))
       .localCheckpoint()
+    // BOUNDED duplicate graphs solve on the driver: the edge count is
+    // EXACT (observed on the checkpoint job, no extra action) and the
+    // cap is a hard conf'd bound, so this is the same driver-cost class
+    // as the Ranking stitch or the Packing solve — O(edges α) union-find
+    // over a few MB, replacing the iterative loop's ~5 jobs/round fixed
+    // cost (the dominant per-action price of small curation pipelines).
+    // Graphs past the cap — the 100 TB shape, where duplicate pairs are
+    // unbounded — run the distributed loop exactly as before.
+    val nEdges = edgeObs.get.get("n") match {
+      case Some(n: java.lang.Number) => n.longValue()
+      case _ => 0L
+    }
+    val localCap = pairs.sparkSession.conf
+      .get("spark.graft.cc.localMaxEdges", "200000").toLong
+    if (nEdges <= localCap) return localComponents(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
@@ -941,9 +961,9 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("n_comp"))
       // carry the pre-iteration label through as __old so the convergence
-      // check below is a map-only filter over the checkpointed frame —
-      // the previous next⋈labels equality join cost one extra shuffle per
-      // iteration purely to detect "nothing changed" (guide §2.4)
+      // check is row-local — the previous next⋈labels equality join cost
+      // one extra shuffle per iteration purely to detect "nothing
+      // changed" (guide §2.4)
       val propagated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
@@ -954,13 +974,21 @@ object Dedup {
       // loop converges in O(log diameter)
       val byLabel = propagated
         .select(col("id").as("component"), col("component").as("__cc2"))
+      // the convergence count rides the CHECKPOINT materialization as an
+      // observed metric — the previous limit(1).count() paid a whole
+      // extra job per iteration just to ask "did anything change"
+      val obs = new org.apache.spark.sql.Observation()
       val next = propagated.join(byLabel, Seq("component"), "left")
         .select(col("id"), col("__old"),
           least(col("component"), coalesce(col("__cc2"), col("component")))
             .as("component"))
+        .observe(obs, sum(when(col("component") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      val changed = next.filter(col("component") =!= col("__old"))
-        .limit(1).count()
+      val changed = obs.get.get("changed") match {
+        case Some(n: java.lang.Number) => n.longValue()
+        case _ => 0L // empty frame: sum over zero rows is NULL
+      }
       labels = next.drop("__old")
       converged = changed == 0
       iter += 1
@@ -971,6 +999,42 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter iterations; " +
         "raise maxIter (propagation needs ~log2(graph diameter) rounds)")
     labels
+  }
+
+  /** Exact union-find over a COLLECTED (cap-bounded, see caller) edge
+    * set — identical contract to the distributed loop: every vertex of
+    * `edges` labeled with the MIN id of its component, id-type-generic
+    * (ids are Comparable: long/int/string across the dedup APIs). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val srcField = edges.schema("src")
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOf = mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      if (minOf.get(r).forall(m => lt(v, m))) minOf(r) = v
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    parent.keys.foreach { v =>
+      rows.add(org.apache.spark.sql.Row(v, minOf(find(v))))
+    }
+    edges.sparkSession.createDataFrame(rows, StructType(Seq(
+      StructField("id", srcField.dataType, srcField.nullable),
+      StructField("component", srcField.dataType, srcField.nullable))))
   }
 
   /** Cluster-aware near-dedup: build candidate pairs (MinHash LSH), close

@@ -231,6 +231,45 @@ class DedupSpec extends SparkSuite {
     assert(comps(20L) === 20L && comps(21L) === 20L)
   }
 
+  test("connectedComponents: bounded graphs solve on the driver in 2 jobs ≡ the loop") {
+    // string ids + a longer chain — the union-find fast path must match
+    // the distributed loop exactly (min-id component, every vertex)
+    val pairs = Seq(("d", "b"), ("b", "a"), ("a", "c"), ("x", "y"),
+        ("m", "m"), ("y", "z"), ("q", "p"))
+      .toDF("id_a", "id_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val fast =
+      try {
+        val r = Dedup.connectedComponents(pairs)
+          .select("id", "component").as[(String, String)].collect().toMap
+        Thread.sleep(300)
+        r
+      } finally spark.sparkContext.removeSparkListener(l)
+    // edges checkpoint (carrying the observed count) + the collect +
+    // the final collect action of this test = 3
+    assert(jobs.get() <= 3,
+      s"bounded CC ran ${jobs.get()} jobs (expected ≤3: checkpoint, " +
+        "collect, result action)")
+    val loop =
+      try {
+        spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+        Dedup.connectedComponents(pairs)
+          .select("id", "component").as[(String, String)].collect().toMap
+      } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+    assert(fast === loop)
+    assert(fast("a") === "a" && fast("b") === "a" && fast("c") === "a" &&
+      fast("d") === "a")
+    assert(fast("x") === "x" && fast("z") === "x")
+    assert(fast("m") === "m")
+    assert(fast("q") === "p")
+  }
+
   test("minHashDedupClustered keeps one survivor per transitive near-dup chain") {
     // a chain: base, base+s1, base+s1+s2 — adjacent pairs are near-dups
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +

@@ -100,6 +100,60 @@ class RankingSpec extends SparkSuite {
     assert(got === Map(1L -> Some(2.0), 2L -> Some(3.0), 3L -> None))
   }
 
+  test("single-split fast path: no construction-time actions, window-exact values") {
+    // a frame that fits one scan split resolves to width 1: the op
+    // must become a pure transformation (the stitched variant pays a
+    // checkpoint job + a stats collect job DURING CONSTRUCTION)
+    val src = (1L to 120L).map(i => (i, (i * 37) % 23 + 1)).toDF("id", "v")
+      .repartition(5)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (rn, rs, ld, nt, ks) =
+      try {
+        val r = (
+          Ranking.globalRowNumber(src, Seq(col("id")), "rn"),
+          Ranking.globalRunningSum(src, "v", Seq(col("id")), "c"),
+          Ranking.globalLead(src, "v", Seq(col("id")), "nxt"),
+          Ranking.globalNtile(src, 4, Seq(col("id")), "q"),
+          Ranking.keyedRunningSum(
+            src.withColumn("k", (col("id") % 3).cast("string")),
+            "k", "v", Seq(col("id")), "c"))
+        Thread.sleep(300) // drain the listener bus
+        r
+      } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() === 0,
+      s"small-frame ranking ran ${jobs.get()} construction-time jobs")
+    // values: each op equals its single-partition window twin
+    val wAll = Window.orderBy(col("id"))
+    assert(rn.select("id", "rn").as[(Long, Long)].collect().toMap ===
+      src.withColumn("rn", row_number().over(wAll).cast("long"))
+        .select("id", "rn").as[(Long, Long)].collect().toMap)
+    assert(rs.select("id", "c").as[(Long, Long)].collect().toMap ===
+      src.withColumn("c", sum(col("v")).over(
+          wAll.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("id", "c").as[(Long, Long)].collect().toMap)
+    assert(ld.select("id", "nxt").as[(Long, Option[Long])].collect().toMap ===
+      src.withColumn("nxt", lead(col("v"), 1).over(wAll))
+        .select("id", "nxt").as[(Long, Option[Long])].collect().toMap)
+    assert(nt.select("id", "q").as[(Long, Long)].collect().toMap ===
+      src.withColumn("q", ntile(4).over(wAll).cast("long"))
+        .select("id", "q").as[(Long, Long)].collect().toMap)
+    val srcK = src.withColumn("k", (col("id") % 3).cast("string"))
+    assert(ks.select("id", "c").as[(Long, Long)].collect().toMap ===
+      srcK.withColumn("c", sum(col("v")).over(
+          Window.partitionBy("k").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("id", "c").as[(Long, Long)].collect().toMap)
+    // the fast path is still a PARTITIONED window (no WindowExec
+    // single-partition warning class)
+    assert(!hasUnpartitionedWindow(rn))
+  }
+
   test("globalNtile/globalRowNumber match the window versions at sf0.01 scale") {
     // regression for the repartitionByRange boundary-seed pitfall: the
     // stats action and the output action must see the SAME partitioning
