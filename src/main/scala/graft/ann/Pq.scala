@@ -63,10 +63,13 @@ object Pq {
     val anchors = q.filter(pmod(col("__aid"), lit(step)) === 0)
       .orderBy("__aid").limit(kSub)
       // global window over <= kSub rows — bounded by construction; the
-      // constant partition key keeps WindowExec's single-partition
-      // warning out of the logs for a deliberately bounded move
+      // single-valued NON-FOLDABLE partition key (a literal is stripped
+      // by EliminateWindowPartitions) keeps WindowExec's
+      // single-partition warning out of the logs for a deliberately
+      // bounded move
       .select(row_number().over(
-          Window.partitionBy(lit(0)).orderBy("__aid")).as("cidx"),
+          Window.partitionBy(pmod(xxhash64(col("__aid")), lit(1L)))
+            .orderBy("__aid")).as("cidx"),
         col("__ae"))
       .localCheckpoint() // materialize, then release the cached corpus
     q.unpersist()
@@ -162,10 +165,11 @@ object Pq {
         slice(col(vecCol), j * dsub + 1, dsub).as("__sv"))
       Similarity.kmeansCentroids(sub, "__sid", "__sv", kSub, iters)
         // stable 1..kSub codes: rank the (bounded, kSub-row) centroid
-        // table by its seed id; constant partition key — see pqAnchors
+        // table by its seed id; non-foldable constant key — see pqAnchors
         .select(lit(j).as("j"),
           row_number().over(
-            Window.partitionBy(lit(0)).orderBy("centroid_id")).as("cidx"),
+            Window.partitionBy(pmod(xxhash64(col("centroid_id")), lit(1L)))
+              .orderBy("centroid_id")).as("cidx"),
           col("centroid_vec").as("__cb"))
         .localCheckpoint()
     }.reduce(_ unionByName _)

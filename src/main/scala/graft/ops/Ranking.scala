@@ -81,11 +81,29 @@ object Ranking {
     * only reachable when `resolveN` proved the frame fits one scan
     * split (or a caller explicitly asked for 1) — but it keeps the op
     * to ONE exchange with ZERO extra actions, where the ranged stitch
-    * pays a checkpoint job + a stats collect job. partitionBy(lit)
-    * rather than no-partition keeps WindowExec's single-partition
-    * warning out of the logs for a move that is deliberate here. */
-  private def singleWindow(orderCols: Seq[Column]) =
-    Window.partitionBy(lit(0)).orderBy(orderCols: _*)
+    * pays a checkpoint job + a stats collect job.
+    *
+    * The key must be single-valued AND non-foldable: a literal key is
+    * stripped by the optimizer (FoldablePropagation +
+    * EliminateWindowPartitions), leaving the bare global window whose
+    * WindowExec warning exists to flag UNINTENTIONAL collapses —
+    * this one is deliberate and size-gated, so it must not cry wolf
+    * in every log. pmod(xxhash64(col), 1) is 0 on every row (null
+    * included) yet input-dependent to the optimizer; frames with no
+    * hash-safe atomic column fall back to the literal (worst case: the
+    * warning, never a wrong result). */
+  private def singleWindow(df: DataFrame, orderCols: Seq[Column]) = {
+    import org.apache.spark.sql.types._
+    val key = df.schema.fields
+      .find(_.dataType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType | BinaryType => true
+        case _ => false
+      })
+      .map(f => pmod(xxhash64(col(f.name)), lit(1L)))
+      .getOrElse(lit(0L))
+    Window.partitionBy(key).orderBy(orderCols: _*)
+  }
 
   /** (tagged frame with row numbers, total row count). */
   private def withRowNumber(df: DataFrame, orderCols: Seq[Column], as: String,
@@ -112,7 +130,7 @@ object Ranking {
     val n = resolveN(df, numPartitions)
     if (n == 1)
       df.withColumn(as,
-        row_number().over(singleWindow(orderCols)).cast("long"))
+        row_number().over(singleWindow(df, orderCols)).cast("long"))
     else {
       val (tagged, _) = withRowNumber(df, orderCols, as, n)
       tagged.drop(Pid, Mid)
@@ -131,7 +149,7 @@ object Ranking {
       // Spark's ntile IS the standard SQL bucket sizing the stitched
       // variant reproduces — one window, no total-count action
       return df.withColumn(as,
-        ntile(k).over(singleWindow(orderCols)).cast("long"))
+        ntile(k).over(singleWindow(df, orderCols)).cast("long"))
     val (withRn, total) =
       withRowNumber(df, orderCols, "__rank_rn", n)
     val base = total / k
@@ -170,7 +188,7 @@ object Ranking {
     val n = resolveN(df, numPartitions)
     if (n == 1)
       return df.withColumn(as,
-        sum(col(srcCol).cast("long")).over(singleWindow(orderCols)
+        sum(col(srcCol).cast("long")).over(singleWindow(df, orderCols)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val tagged = ranged(df, orderCols, n)
     val totals = tagged.groupBy(col(Pid))
@@ -261,7 +279,7 @@ object Ranking {
       // one group: the window's own lead IS total — no partition-edge
       // patch, so no stats collect and no checkpoint
       return df.withColumn(as,
-        lead(col(srcCol), 1).over(singleWindow(orderCols)))
+        lead(col(srcCol), 1).over(singleWindow(df, orderCols)))
     val srcType = df.schema(srcCol).dataType
     val tagged = ranged(df, orderCols, n)
     // first srcCol value of each partition, in sort order: min of the

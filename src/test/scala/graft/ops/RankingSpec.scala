@@ -19,10 +19,18 @@ class RankingSpec extends SparkSuite {
     (11L, 60.0), (12L, 5.0), (13L, 90.0))
     .toDF("id", "price").repartition(4)
 
-  private def hasUnpartitionedWindow(plan: org.apache.spark.sql.DataFrame): Boolean =
-    plan.queryExecution.executedPlan.collect {
-      case w: WindowExec if w.partitionSpec.isEmpty => w
-    }.nonEmpty
+  private def hasUnpartitionedWindow(plan: org.apache.spark.sql.DataFrame): Boolean = {
+    // look THROUGH AdaptiveSparkPlanExec: it has no children, so a plain
+    // collect over the AQE-wrapped plan finds no WindowExec at all and
+    // the assertion would be vacuous
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scan(a.executedPlan)
+      case w: WindowExec if w.partitionSpec.isEmpty => true
+      case other => other.children.exists(scan)
+    }
+    scan(plan.queryExecution.executedPlan)
+  }
 
   test("globalRowNumber equals row_number over a global window") {
     val expected = df

@@ -550,6 +550,32 @@ class GraftNativeSpec extends SparkSuite {
     assert(filtered(native = true) === filtered(native = false))
   }
 
+  test("MOR position deletes on a NESTED schema (parquet-mr row-index path) ≡ V1") {
+    // nested columns decline the vectorized reader — the row-index
+    // column must also come back from the parquet-mr reader wrapper
+    spark.sql("""CREATE TABLE ncat.nat_mor_nested (id BIGINT,
+                 tags ARRAY<STRING>, n BIGINT) USING iceberg""")
+    spark.range(1, 101)
+      .selectExpr("id", "array(concat('t', id % 5), 'x') AS tags",
+        "id * 7 AS n")
+      .writeTo("ncat.nat_mor_nested").append()
+    IcebergLite.deleteWhereMOR(spark, s"$wh/nat_mor_nested",
+      col("id") % 3 === 0)
+    def readAll(native: Boolean): Seq[(Long, String, Long)] = {
+      spark.conf.set("spark.graft.nativeScan.enabled", native.toString)
+      try spark.table("ncat.nat_mor_nested")
+        .selectExpr("id", "tags[0] AS t0", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      finally spark.conf.set("spark.graft.nativeScan.enabled", "true")
+    }
+    val native = readAll(native = true)
+    assert(native === readAll(native = false))
+    assert(native.size === 67)
+    assert(spark.table("ncat.nat_mor_nested").queryExecution.executedPlan
+      .toString.contains("GraftNativeScan"))
+  }
+
   test("MOR-deleted dimension keeps manifest statistics: the join still broadcasts") {
     // the r19 gap: MOR tables fell to the V1ScanWrapper fallback, whose
     // statistics Spark never consults — every fact⋈dim join on a
