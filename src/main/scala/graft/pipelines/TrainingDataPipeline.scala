@@ -134,10 +134,14 @@ object TrainingDataPipeline {
 
     val nearPairs = Dedup.minHashCandidates(afterExact, textCol, idCol,
       minJaccard = cfg.nearDupJaccard, maxBucketSize = cfg.maxBucketSize)
+    // no checkpoint here: connectedComponents' output is already
+    // lineage-truncated (checkpoint-backed loop labels, or a local
+    // relation from the bounded-graph solve), the trailing filter is
+    // trivial, and the frame has ONE consumer — a checkpoint would be
+    // a pure extra action
     val nearDropIds = Dedup.connectedComponents(nearPairs.select("id_a", "id_b"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__near_dup"))
-      .localCheckpoint()
 
     gated
       .join(exactDropIds, gated(idCol) === col("__exact_dup"), "left")
