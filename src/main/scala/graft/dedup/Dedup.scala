@@ -1020,8 +1020,16 @@ object Dedup {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(rb) = ra
     }
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // strings order by UNSIGNED UTF-8 bytes — Spark `min`'s ordering
+    // (UTF8String binary); String.compareTo is UTF-16 code-unit order,
+    // which disagrees above U+E000 vs supplementary planes and would
+    // pick a DIFFERENT survivor than the distributed loop
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val minOf = mutable.HashMap.empty[Any, Any]
     parent.keys.foreach { v =>
       val r = find(v)

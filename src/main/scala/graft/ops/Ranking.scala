@@ -100,7 +100,10 @@ object Ranking {
              TimestampType | TimestampNTZType | BinaryType => true
         case _ => false
       })
-      .map(f => pmod(xxhash64(col(f.name)), lit(1L)))
+      // backtick-quote: a dotted column name would otherwise parse as
+      // nested access and break frames the stitched path handled fine
+      .map(f => pmod(xxhash64(
+        col(s"`${f.name.replace("`", "``")}`")), lit(1L)))
       .getOrElse(lit(0L))
     Window.partitionBy(key).orderBy(orderCols: _*)
   }

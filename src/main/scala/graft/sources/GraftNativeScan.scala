@@ -68,7 +68,16 @@ class GraftNativeBatchScan(spark: SparkSession, tableName: String,
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val deleted = info.deletes.map(_.posDeleteRows).getOrElse(0L)
+    // subtract the position-delete total ONLY when the planned file set
+    // is the whole table (no predicate pruning, no runtime filtering):
+    // the delete total is global, so subtracting it from a pruned
+    // subset's rows can UNDER-estimate — and an underestimate flips the
+    // broadcast/build-side decision in the dangerous direction
+    val deleted =
+      if (runtimeFiles.isEmpty &&
+          info.deletes.forall(_.coversWholeTable))
+        info.deletes.map(_.posDeleteRows).getOrElse(0L)
+      else 0L
     val rows =
       math.max(0L, activeFiles.map(_.rowCount).sum - deleted)
     val width = math.max(1, required.defaultSize)

@@ -2423,7 +2423,13 @@ object IcebergLite {
         * oldest first — [[liveEqualityDeletes]] order. */
       eqDeletes: Seq[(Long, Seq[String], Seq[String])],
       /** manifest-accounted position-delete row total (statistics). */
-      posDeleteRows: Long)
+      posDeleteRows: Long,
+      /** true iff NO predicate pruning shaped the planned file set —
+        * only then may statistics subtract `posDeleteRows` from the
+        * planned rows (a pruned file set can hold fewer rows than the
+        * GLOBAL delete total, and under-estimating flips the broadcast
+        * decision the wrong way). */
+      coversWholeTable: Boolean = true)
 
   /** The NATIVE V2 scan plan of a table: declared schema, the spec
     * (items + value types), the persisted sort order, the
@@ -2458,11 +2464,20 @@ object IcebergLite {
     val hasDeletes = meta.manifests.exists(_.content != 0)
     if (hasDeletes) {
       if (!allowDeletes) return None
-      val delRows =
-        meta.manifests.filter(_.content != 0).map(_.totalRows).sum
-      val cap = spark.conf
+      // position deletes resolve to Array[Long] per file (~32 MB at the
+      // 4M default); equality deletes resolve to a Set of boxed key
+      // TUPLES — a far heavier shape (~100-250 B/row) — so they carry
+      // their own, much lower cap. Past either cap the V1 route's
+      // distributed anti-join is the right tool.
+      val posRows =
+        meta.manifests.filter(_.content == 1).map(_.totalRows).sum
+      val eqRows =
+        meta.manifests.filter(_.content == 2).map(_.totalRows).sum
+      val posCap = spark.conf
         .get("spark.graft.nativeScan.morDeletes.maxRows", "4000000").toLong
-      if (delRows > cap) return None
+      val eqCap = spark.conf
+        .get("spark.graft.nativeScan.morDeletes.maxEqRows", "1000000").toLong
+      if (posRows > posCap || eqRows > eqCap) return None
     }
     val perManifest = meta.manifests.filter(_.content == 0).map { m =>
       val (recs, schemaJs) = readManifest(spark, new Path(m.path))
@@ -2504,9 +2519,26 @@ object IcebergLite {
     }
     val deletes =
       if (!hasDeletes) None
-      else Some(NativeDeletes(liveDeleteFiles(spark, meta),
-        liveEqualityDeletes(spark, meta),
-        meta.manifests.filter(_.content == 1).map(_.totalRows).sum))
+      else {
+        val eqs = liveEqualityDeletes(spark, meta)
+        // the reader applies equality deletes by JVM value equality of
+        // boxed key tuples — exact for the primitive/string/temporal
+        // family, but Array[Byte] (binary) and nested values compare by
+        // REFERENCE, which would silently resurrect deleted rows. Gate
+        // on key types; anything outside the proven set keeps the V1
+        // route's real join.
+        val eqKeyTypesOk = eqs.flatMap(_._2).distinct.forall { c =>
+          schema.fields.find(_.name == c).map(_.dataType).exists {
+            case _: NumericType | StringType | BooleanType | DateType |
+                 TimestampType | TimestampNTZType => true
+            case _ => false
+          }
+        }
+        if (!eqKeyTypesOk) return None
+        Some(NativeDeletes(liveDeleteFiles(spark, meta), eqs,
+          meta.manifests.filter(_.content == 1).map(_.totalRows).sum,
+          coversWholeTable = preds.isEmpty))
+      }
     Some(NativeScanInfo(schema, meta.partitionSpec.map(renderSpec), spec,
       meta.sortOrderCols, files, deletes))
   }
@@ -2661,24 +2693,48 @@ object IcebergLite {
     *    a losing concurrent REST stager's attempt-unique avro files
     *    land here and were previously never reclaimed.
     *
-    * Returns the paths removed. */
-  def removeOrphanFiles(spark: SparkSession, tableDir: String): Seq[String] = {
+    * `olderThanMs` guards the CONCURRENT-STAGER race: an in-flight
+    * writer's staged files are unreferenced until its commit wins, so a
+    * sweep racing it could delete files a winning commit is about to
+    * reference — for staged METADATA that corrupts the whole table, not
+    * one file. Deployments with concurrent writers must pass a horizon
+    * comfortably above their longest staging window (the Iceberg
+    * remove_orphan_files discipline defaults to 3 days); 0 — the
+    * default, for single-writer/maintenance-window use — sweeps
+    * everything unreferenced. Returns the paths removed. */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String,
+                        olderThanMs: Long = 0L): Seq[String] = {
     val root = new Path(tableDir)
     val meta = readMeta(spark, tableDir)
     val f = fs(spark, root)
+    val cutoff =
+      if (olderThanMs <= 0L) Long.MaxValue
+      else System.currentTimeMillis() - olderThanMs
     def norm(p2: String): String = new Path(new java.net.URI(p2)).toUri.getPath
-    // every file referenced by ANY snapshot, by kind
+    // every file referenced by ANY snapshot, by kind — ONE read per
+    // manifest (records + the bloom-paths header from the same bytes)
     val refLists = meta.snapshots.map(s2 => norm(s2._2)).toSet
     val manifestPaths = meta.snapshots.flatMap { case (_, listPath, _) =>
       readAvro(spark, new Path(listPath)).map(_.get("manifest_path").toString)
     }.distinct
     val refManifests = manifestPaths.map(norm).toSet
-    val refBlooms = manifestPaths.flatMap(m =>
-      manifestMetaString(spark, new Path(m), "bloom-paths")
-        .toSeq.flatMap(_.split(',')).filter(_.nonEmpty)).map(norm).toSet
-    val refData = manifestPaths.flatMap(m => readAvro(spark, new Path(m))
-      .map(_.get("data_file").asInstanceOf[GenericRecord]
-        .get("file_path").toString)).map(norm).toSet
+    val refBlooms = Set.newBuilder[String]
+    val refData = Set.newBuilder[String]
+    manifestPaths.foreach { m =>
+      val in = new java.io.ByteArrayInputStream(readBytes(spark, new Path(m)))
+      val r = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try {
+        Option(r.getMetaString("bloom-paths")).toSeq
+          .flatMap(_.split(',')).filter(_.nonEmpty)
+          .foreach(b => refBlooms += norm(b))
+        r.iterator().asScala.foreach(e =>
+          refData += norm(e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString))
+      } finally r.close()
+    }
+    val refBloomSet = refBlooms.result()
+    val refDataSet = refData.result()
     val orphans = mutable.ArrayBuffer.empty[String]
     val dataDir = new Path(root, "data")
     if (f.exists(dataDir)) {
@@ -2688,7 +2744,8 @@ object IcebergLite {
         val p2 = st.getPath
         val isDataFile = st.isFile && !p2.getName.startsWith("_") &&
           !p2.getName.startsWith(".")
-        if (isDataFile && !refData.contains(p2.toUri.getPath))
+        if (isDataFile && st.getModificationTime <= cutoff &&
+            !refDataSet.contains(p2.toUri.getPath))
           orphans += p2.toString
       }
     }
@@ -2702,9 +2759,10 @@ object IcebergLite {
           else if (n.startsWith("manifest-"))
             !refManifests.contains(p2.toUri.getPath)
           else if (n.startsWith("bloom-"))
-            !refBlooms.contains(p2.toUri.getPath)
+            !refBloomSet.contains(p2.toUri.getPath)
           else false // version files / hint: never swept here
-        if (st.isFile && unreferenced) orphans += p2.toString
+        if (st.isFile && st.getModificationTime <= cutoff && unreferenced)
+          orphans += p2.toString
       }
     }
     orphans.foreach(o => f.delete(new Path(o), false))

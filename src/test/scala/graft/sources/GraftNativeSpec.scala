@@ -576,6 +576,60 @@ class GraftNativeSpec extends SparkSuite {
       .toString.contains("GraftNativeScan"))
   }
 
+  test("MOR equality deletes on a BINARY key refuse the native route (reference-equality hazard)") {
+    // the reader's key sets compare boxed values; Array[Byte] compares
+    // by REFERENCE, so a binary-keyed equality delete on the native
+    // route would silently resurrect rows — it must fall back to V1
+    spark.sql("""CREATE TABLE ncat.nat_mor_bin (k BINARY, n BIGINT)
+                 USING iceberg""")
+    spark.range(1, 21)
+      .selectExpr("CAST(CAST(id AS STRING) AS BINARY) AS k", "id AS n")
+      .writeTo("ncat.nat_mor_bin").append()
+    IcebergLite.equalityDeleteMOR(spark, s"$wh/nat_mor_bin",
+      Seq("3", "7").toDF("k").selectExpr("CAST(k AS BINARY) AS k"))
+    val df = spark.table("ncat.nat_mor_bin")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("GraftNativeScan"),
+      "binary-keyed equality deletes must not take the native route")
+    assert(df.count() === 18L)
+    // and the deletes actually applied (V1 route correctness)
+    assert(df.selectExpr("CAST(k AS STRING) AS s").collect()
+      .map(_.getString(0)).toSet === (1 to 20).map(_.toString).toSet -- Set("3", "7"))
+  }
+
+  test("MOR statistics do not under-estimate a pruned scan (global delete total)") {
+    // partition A carries heavy position deletes; a read pruned to
+    // partition B must NOT subtract the GLOBAL delete total from B's
+    // rows (rows=0 would flip the broadcast decision the wrong way)
+    spark.sql("""CREATE TABLE ncat.stat_prune (id BIGINT, part STRING,
+                 v BIGINT) USING iceberg PARTITIONED BY (part)""")
+    spark.range(0, 20000)
+      .selectExpr("id", "CASE WHEN id < 10000 THEN 'a' ELSE 'b' END AS part",
+        "id AS v")
+      .writeTo("ncat.stat_prune").append()
+    // delete most of partition a (MOR)
+    IcebergLite.deleteWhereMOR(spark, s"$wh/stat_prune",
+      col("part") === "a" && col("id") < 9000L)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val q = spark.table("ncat.stat_prune").filter(col("part") === "b")
+    val scan = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scan.nonEmpty)
+    val stats = scan.head.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong === 10000L,
+      s"pruned-scan estimate subtracted the global delete total: " +
+        s"${stats.numRows()}")
+    // unpruned scan still subtracts (exact direction for the whole table)
+    val full = spark.table("ncat.stat_prune").queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(full.numRows().getAsLong === 11000L, s"${full.numRows()}")
+  }
+
   test("MOR-deleted dimension keeps manifest statistics: the join still broadcasts") {
     // the r19 gap: MOR tables fell to the V1ScanWrapper fallback, whose
     // statistics Spark never consults — every fact⋈dim join on a

@@ -389,6 +389,11 @@ class IcebergLiteSpec extends SparkSuite {
     val strayList = metaDir.resolve("snap-99999-deadbeef.avro")
     java.nio.file.Files.write(strayManifest, Array[Byte](1, 2, 3))
     java.nio.file.Files.write(strayList, Array[Byte](4, 5, 6))
+    // a FRESH unreferenced file survives an age-guarded sweep — the
+    // concurrent-stager protection (an in-flight commit's staged files
+    // are unreferenced until the commit wins)
+    assert(IcebergLite.removeOrphanFiles(spark, dir,
+      olderThanMs = 3600L * 1000).isEmpty)
     val removed = IcebergLite.removeOrphanFiles(spark, dir)
     assert(removed.exists(_.endsWith("manifest-99999-deadbeef.avro")))
     assert(removed.exists(_.endsWith("snap-99999-deadbeef.avro")))
